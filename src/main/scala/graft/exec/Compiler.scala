@@ -1,0 +1,618 @@
+package graft.exec
+
+import graft.ast._
+import graft.model.GraphStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** The element stream flowing through a traversal: a DataFrame plus
+  * compile-time knowledge used for plan pruning.
+  *
+  * Columns: `_id`, `_label` (+ `_src`, `_dst`, optional `_came` on edge
+  * streams) + property columns + `_b_<name>` row-binding structs.
+  *
+  * `labels` is the statically-known set of possible labels — it prunes
+  * which per-label tables are unioned/joined (partition pruning at the
+  * plan level; on a real cluster this is the difference between reading
+  * one label's files and reading all of them).
+  */
+final case class Stream(df: DataFrame, isEdges: Boolean, labels: Option[Set[String]]) {
+  def bindingCols: Seq[String] = df.columns.toSeq.filter(_.startsWith("_b_"))
+}
+
+class TraversalException(msg: String) extends RuntimeException(msg)
+
+/** Compiles a traversal (ordered Vec[Step], dsl.rs:3304-3311) into a
+  * DataFrame plan. Spark-first: every step is a declarative DataFrame
+  * transformation so Catalyst handles pushdown/pruning/join selection;
+  * only `Repeat` is a driver-side loop (BFS pattern, cf. GraphFrames).
+  */
+class Compiler(
+    val store: GraphStore,
+    val params: Map[String, PropertyValue] = Map.empty,
+    val batchVars: mutable.Map[String, Stream] = mutable.Map.empty) {
+
+  import PropertyValue._
+
+  private val spark = store.spark
+
+  // ---------------------------------------------------------------- values
+
+  def valueToLit(v: PropertyValue): Column = v match {
+    case VNull => lit(null)
+    case VBool(b) => lit(b)
+    case VI64(i) => lit(i)
+    case VF64(d) => lit(d)
+    case VF32(f) => lit(f)
+    case VString(s) => lit(s)
+    case VDateTime(ms) => lit(java.time.Instant.ofEpochMilli(ms))
+    case VBytes(b) => lit(b)
+    case VI64Array(a) => array(a.map(lit): _*)
+    case VF64Array(a) => array(a.map(lit): _*)
+    case VF32Array(a) => array(a.map(lit): _*)
+    case VStringArray(a) => array(a.map(lit): _*)
+    case VArray(a) => array(a.map(valueToLit): _*)
+    case VObject(m) =>
+      map(m.toSeq.sortBy(_._1).flatMap { case (k, x) => Seq(lit(k), valueToLit(x)) }: _*)
+  }
+
+  /** Resolve a property name against the current stream. `$id`/`$label`
+    * virtual fields (dsl.rs:2948-2951); dot-paths reach into struct
+    * columns; a name absent from this label's schema is null (dynamic
+    * property model: missing == null).
+    */
+  def resolveProp(df: DataFrame, name: String): Column = name match {
+    case "$id" => col("_id")
+    case "$label" => col("_label")
+    case n =>
+      val head = n.split('.').head
+      if (df.columns.contains(head)) col(n) else lit(null)
+  }
+
+  def compileExpr(df: DataFrame, e: Expr): Column = e match {
+    case Expr.Property(n) => resolveProp(df, n)
+    case Expr.Id => col("_id")
+    case Expr.Timestamp => (unix_timestamp(current_timestamp()) * 1000).cast("long")
+    case Expr.DateTimeNow => current_timestamp()
+    case Expr.Constant(v) => valueToLit(v)
+    case Expr.Param(n) =>
+      valueToLit(params.getOrElse(n, throw new TraversalException(s"missing param: $n")))
+    case Expr.Add(l, r) => compileExpr(df, l) + compileExpr(df, r)
+    case Expr.Sub(l, r) => compileExpr(df, l) - compileExpr(df, r)
+    case Expr.Mul(l, r) => compileExpr(df, l) * compileExpr(df, r)
+    case Expr.Div(l, r) => compileExpr(df, l) / compileExpr(df, r)
+    case Expr.Mod(l, r) => compileExpr(df, l) % compileExpr(df, r)
+    case Expr.Neg(x) => -compileExpr(df, x)
+    case Expr.Case(whenThen, els) =>
+      val base = whenThen.foldLeft(Option.empty[Column]) { case (acc, (p, v)) =>
+        val c = compilePred(df, p); val out = compileExpr(df, v)
+        Some(acc.map(_.when(c, out)).getOrElse(when(c, out)))
+      }.getOrElse(throw new TraversalException("empty case"))
+      els.map(x => base.otherwise(compileExpr(df, x))).getOrElse(base)
+  }
+
+  def compilePred(df: DataFrame, p: Predicate): Column = {
+    import Predicate._
+    def r(n: String) = resolveProp(df, n)
+    p match {
+      case Eq(n, v) => r(n) === valueToLit(v)
+      case Neq(n, v) => r(n) =!= valueToLit(v)
+      case Gt(n, v) => r(n) > valueToLit(v)
+      case Gte(n, v) => r(n) >= valueToLit(v)
+      case Lt(n, v) => r(n) < valueToLit(v)
+      case Lte(n, v) => r(n) <= valueToLit(v)
+      case Between(n, lo, hi) => r(n).between(valueToLit(lo), valueToLit(hi))
+      case EqExpr(n, e) => r(n) === compileExpr(df, e)
+      case NeqExpr(n, e) => r(n) =!= compileExpr(df, e)
+      case GtExpr(n, e) => r(n) > compileExpr(df, e)
+      case GteExpr(n, e) => r(n) >= compileExpr(df, e)
+      case LtExpr(n, e) => r(n) < compileExpr(df, e)
+      case LteExpr(n, e) => r(n) <= compileExpr(df, e)
+      case HasKey(n) =>
+        if (df.columns.contains(n.split('.').head)) col(n.split('.').head).isNotNull else lit(false)
+      case IsNull(n) => r(n).isNull
+      case IsNotNull(n) => r(n).isNotNull
+      case StartsWith(n, s) => r(n).startsWith(s)
+      case EndsWith(n, s) => r(n).endsWith(s)
+      case Contains(n, s) => r(n).contains(s)
+      case ContainsExpr(n, e) => r(n).contains(compileExpr(df, e))
+      case IsIn(n, vs) =>
+        if (vs.isEmpty) lit(false)
+        else vs.map(v => r(n) === valueToLit(v)).reduce(_ || _)
+      case IsInExpr(n, e) => array_contains(compileExpr(df, e), r(n))
+      case And(ps) => ps.map(compilePred(df, _)).reduce(_ && _)
+      case Or(ps) => ps.map(compilePred(df, _)).reduce(_ || _)
+      case Not(x) => !compilePred(df, x)
+      case Compare(l, op, rr) =>
+        val lc = compileExpr(df, l); val rc = compileExpr(df, rr)
+        op match {
+          case CompareOp.Eq => lc === rc
+          case CompareOp.Neq => lc =!= rc
+          case CompareOp.Gt => lc > rc
+          case CompareOp.Gte => lc >= rc
+          case CompareOp.Lt => lc < rc
+          case CompareOp.Lte => lc <= rc
+        }
+    }
+  }
+
+  // ------------------------------------------------------------ navigation
+
+  private def keepCols(s: Stream): Seq[String] = s.bindingCols
+
+  /** node stream -> neighbor node stream via out/in edges.
+    * Two equi-joins (cur ⋈ edges ⋈ nodes); the edge/node tables joined
+    * are pruned to the labels statically reachable (edgeMeta).
+    */
+  private def nav(cur: Stream, edgeLabel: Option[String], outDir: Boolean): Stream = {
+    require(!cur.isEdges, "Out/In/Both require a node stream")
+    val eLabels = edgeLabel.map(Set(_)).getOrElse(
+      if (outDir) store.outEdgeLabels(cur.labels) else store.inEdgeLabels(cur.labels))
+    if (eLabels.isEmpty) throw new TraversalException(s"no such edge label: $edgeLabel")
+    val (nearCol, farCol) = if (outDir) ("_src", "_dst") else ("_dst", "_src")
+    val targetLabels = if (outDir) store.dstLabelsOf(eLabels) else store.srcLabelsOf(eLabels)
+    val edges = store.edgesUnion(eLabels).select(col(nearCol), col(farCol))
+    val keep = keepCols(cur)
+    val left = cur.df.select(col("_id").as("__cur") +: keep.map(col): _*)
+    val mid = left.join(edges, col("__cur") === col(nearCol))
+      .select(col(farCol).as("__far") +: keep.map(col): _*)
+    val target = store.nodesUnion(targetLabels)
+    val res = mid.join(target, col("__far") === target("_id")).drop("__far")
+    Stream(res, isEdges = false, Some(targetLabels))
+  }
+
+  /** node stream -> incident edge stream; `_came` records the node we
+    * arrived from (provenance for OtherN, dsl.rs:2932-2942).
+    */
+  private def navE(cur: Stream, edgeLabel: Option[String], outDir: Boolean): Stream = {
+    require(!cur.isEdges, "OutE/InE/BothE require a node stream")
+    val eLabels = edgeLabel.map(Set(_)).getOrElse(
+      if (outDir) store.outEdgeLabels(cur.labels) else store.inEdgeLabels(cur.labels))
+    if (eLabels.isEmpty) throw new TraversalException(s"no such edge label: $edgeLabel")
+    val nearCol = if (outDir) "_src" else "_dst"
+    val edges = store.edgesUnion(eLabels)
+    val keep = keepCols(cur)
+    val left = cur.df.select(col("_id").as("_came") +: keep.map(col): _*)
+    val res = left.join(edges, col("_came") === col(nearCol))
+    Stream(res, isEdges = true, Some(eLabels))
+  }
+
+  /** edge stream -> endpoint node stream. `which`: 1=dst (OutN), 2=src
+    * (InN), 3=the endpoint other than `_came` (OtherN).
+    */
+  private def endpoint(cur: Stream, which: Int): Stream = {
+    require(cur.isEdges, "OutN/InN/OtherN require an edge stream")
+    val eLabels = cur.labels.getOrElse(store.edgeLabels)
+    val targetLabels = which match {
+      case 1 => store.dstLabelsOf(eLabels)
+      case 2 => store.srcLabelsOf(eLabels)
+      case 3 => store.dstLabelsOf(eLabels) ++ store.srcLabelsOf(eLabels)
+    }
+    val keep = keepCols(cur)
+    val tgt = which match {
+      case 1 => col("_dst")
+      case 2 => col("_src")
+      case 3 =>
+        if (!cur.df.columns.contains("_came"))
+          throw new TraversalException("OtherN requires provenance (arrive via OutE/InE/BothE)")
+        when(col("_came") === col("_src"), col("_dst")).otherwise(col("_src"))
+    }
+    val left = cur.df.select(tgt.as("__t") +: keep.map(col): _*)
+    val target = store.nodesUnion(targetLabels)
+    val res = left.join(target, col("__t") === target("_id")).drop("__t")
+    Stream(res, isEdges = false, Some(targetLabels))
+  }
+
+  private def unionStreams(ss: Seq[Stream]): Stream = {
+    require(ss.nonEmpty, "empty union")
+    val isE = ss.head.isEdges
+    val df = ss.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
+    val labels = if (ss.forall(_.labels.isDefined)) Some(ss.flatMap(_.labels.get).toSet) else None
+    Stream(df, isE, labels)
+  }
+
+  // ------------------------------------------------------------- execution
+
+  private def lookupVar(env: mutable.Map[String, Stream], name: String): Stream =
+    env.getOrElse(name, batchVars.getOrElse(name,
+      throw new TraversalException(s"unknown variable: $name")))
+
+  private def sourceNodes(ref: NodeRef, env: mutable.Map[String, Stream]): Stream = ref match {
+    case NodeRef.All => Stream(store.allNodes, isEdges = false, Some(store.nodeLabels))
+    case NodeRef.Id(i) =>
+      Stream(store.allNodes.where(col("_id") === i), isEdges = false, Some(store.nodeLabels))
+    case NodeRef.Ids(is) =>
+      Stream(store.allNodes.where(col("_id").isin(is: _*)), isEdges = false, Some(store.nodeLabels))
+    case NodeRef.Var(n) => lookupVar(env, n)
+    case NodeRef.Param(n) => params.get(n) match {
+      case Some(VI64(i)) => sourceNodes(NodeRef.Id(i), env)
+      case Some(VI64Array(is)) => sourceNodes(NodeRef.Ids(is), env)
+      case other => throw new TraversalException(s"bad node param $n: $other")
+    }
+  }
+
+  private def sourceEdges(ref: EdgeRef, env: mutable.Map[String, Stream]): Stream = ref match {
+    case EdgeRef.All => Stream(store.allEdges, isEdges = true, Some(store.edgeLabels))
+    case EdgeRef.Id(i) =>
+      Stream(store.allEdges.where(col("_id") === i), isEdges = true, Some(store.edgeLabels))
+    case EdgeRef.Ids(is) =>
+      Stream(store.allEdges.where(col("_id").isin(is: _*)), isEdges = true, Some(store.edgeLabels))
+    case EdgeRef.Var(n) => lookupVar(env, n)
+    case EdgeRef.Param(n) => params.get(n) match {
+      case Some(VI64(i)) => sourceEdges(EdgeRef.Id(i), env)
+      case Some(VI64Array(is)) => sourceEdges(EdgeRef.Ids(is), env)
+      case other => throw new TraversalException(s"bad edge param $n: $other")
+    }
+  }
+
+  /** Property columns of a stream (excludes reserved + bookkeeping). */
+  private def propCols(s: Stream): Seq[String] =
+    s.df.columns.toSeq.filterNot(c => c.startsWith("_"))
+
+  /** Run a traversal to a final DataFrame: terminal output, or the
+    * cleaned element stream (id/label/props) when no terminal present.
+    */
+  def run(t: Traversal): DataFrame = runFrom(t, None, mutable.Map.empty)
+
+  def runFrom(t: Traversal, start: Option[Stream],
+      env: mutable.Map[String, Stream]): DataFrame = {
+    compileTail(t.steps.toList, start, env) match {
+      case Left(df) => df
+      case Right(s) =>
+        val keep = s.df.columns.toSeq.filter(c => !c.startsWith("_b_") && c != "_came")
+        s.df.select(keep.map(col): _*)
+    }
+  }
+
+  /** Run a sub-traversal from `start`, returning the resulting stream
+    * (sub-traversals inside Union/Choose/... must not be terminal).
+    */
+  private def runSub(t: Traversal, start: Stream, env: mutable.Map[String, Stream]): Stream =
+    compileTail(t.steps.toList, Some(start), env) match {
+      case Right(s) => s
+      case Left(_) => throw new TraversalException("terminal step inside sub-traversal")
+    }
+
+  /** Fold the step list. Left(df) = a terminal produced a final result. */
+  private def compileTail(steps: List[Step], start: Option[Stream],
+      env: mutable.Map[String, Stream]): Either[DataFrame, Stream] = {
+    var cur: Option[Stream] = start
+    var rest = steps
+    def s: Stream = cur.getOrElse(throw new TraversalException("no source step"))
+    while (rest.nonEmpty) {
+      val step = rest.head
+      rest = rest.tail
+      step match {
+        // sources
+        case Step.N(ref) => cur = Some(sourceNodes(ref, env))
+        case Step.NWhere(p) =>
+          // If the predicate pins $label to (a) literal(s), prune tables
+          // instead of filtering the all-labels union — scan-level pruning.
+          val pinned = pinnedLabels(p)
+          val base = pinned match {
+            case Some(ls) if ls.subsetOf(store.nodeLabels) =>
+              Stream(store.nodesUnion(ls), isEdges = false, Some(ls))
+            case _ => Stream(store.allNodes, isEdges = false, Some(store.nodeLabels))
+          }
+          cur = Some(base.copy(df = base.df.where(compilePred(base.df, p))))
+        case Step.E(ref) => cur = Some(sourceEdges(ref, env))
+        case Step.EWhere(p) =>
+          val pinned = pinnedLabels(p)
+          val base = pinned match {
+            case Some(ls) if ls.subsetOf(store.edgeLabels) =>
+              Stream(store.edgesUnion(ls), isEdges = true, Some(ls))
+            case _ => Stream(store.allEdges, isEdges = true, Some(store.edgeLabels))
+          }
+          cur = Some(base.copy(df = base.df.where(compilePred(base.df, p))))
+        case Step.VectorSearchNodes(label, prop, tenant, qv, k) =>
+          cur = Some(vectorSearch(store.nodesFor(label), Set(label), prop, tenant, qv, k, isEdges = false))
+        case Step.VectorSearchEdges(label, prop, tenant, qv, k) =>
+          cur = Some(vectorSearch(store.edgesFor(label), Set(label), prop, tenant, qv, k, isEdges = true))
+        case Step.TextSearchNodes(label, prop, tenant, qt, k) =>
+          cur = Some(textSearch(store.nodesFor(label), Set(label), prop, tenant, qt, k, isEdges = false))
+        case Step.TextSearchEdges(label, prop, tenant, qt, k) =>
+          cur = Some(textSearch(store.edgesFor(label), Set(label), prop, tenant, qt, k, isEdges = true))
+        case Step.Inject(v) =>
+          val injected = lookupVar(env, v)
+          cur match {
+            case None => cur = Some(injected)
+            case Some(c) =>
+              cur = Some(unionStreams(Seq(c, injected))
+                .copy(labels = None) match { case st => st.copy(df = st.df.dropDuplicates("_id")) })
+          }
+
+        // navigation
+        case Step.Out(l) => cur = Some(nav(s, l, outDir = true))
+        case Step.In(l) => cur = Some(nav(s, l, outDir = false))
+        case Step.Both(l) =>
+          cur = Some(unionStreams(Seq(nav(s, l, outDir = true), nav(s, l, outDir = false))))
+        case Step.OutE(l) => cur = Some(navE(s, l, outDir = true))
+        case Step.InE(l) => cur = Some(navE(s, l, outDir = false))
+        case Step.BothE(l) =>
+          cur = Some(unionStreams(Seq(navE(s, l, outDir = true), navE(s, l, outDir = false))))
+        case Step.OutN => cur = Some(endpoint(s, 1))
+        case Step.InN => cur = Some(endpoint(s, 2))
+        case Step.OtherN => cur = Some(endpoint(s, 3))
+
+        // filters
+        case Step.Has(p, v) =>
+          cur = Some(s.copy(df = s.df.where(compilePred(s.df, Predicate.Eq(p, v)))))
+        case Step.HasLabel(l) =>
+          cur = Some(Stream(s.df.where(col("_label") === l), s.isEdges,
+            s.labels.map(_.intersect(Set(l))).orElse(Some(Set(l)))))
+        case Step.HasKey(p) =>
+          cur = Some(s.copy(df = s.df.where(compilePred(s.df, Predicate.HasKey(p)))))
+        case Step.Where(p) => cur = Some(s.copy(df = s.df.where(compilePred(s.df, p))))
+        case Step.Dedup => cur = Some(s.copy(df = s.df.dropDuplicates("_id")))
+        case Step.Within(v) =>
+          cur = Some(s.copy(df = s.df.join(
+            lookupVar(env, v).df.select("_id"), Seq("_id"), "left_semi")))
+        case Step.Without(v) =>
+          cur = Some(s.copy(df = s.df.join(
+            lookupVar(env, v).df.select("_id"), Seq("_id"), "left_anti")))
+        case Step.EdgeHas(p, in) =>
+          val c = in match {
+            case PropertyInput.Value(v) => valueToLit(v)
+            case PropertyInput.FromExpr(e) => compileExpr(s.df, e)
+          }
+          cur = Some(s.copy(df = s.df.where(resolveProp(s.df, p) === c)))
+        case Step.EdgeHasLabel(l) =>
+          cur = Some(Stream(s.df.where(col("_label") === l), s.isEdges, Some(Set(l))))
+
+        // sort / page
+        case Step.OrderBy(p, o) =>
+          val c = resolveProp(s.df, p)
+          cur = Some(s.copy(df = s.df.orderBy(orderCol(c, o), col("_id").asc)))
+        case Step.OrderByMultiple(ks) =>
+          val cs = ks.map { case (p, o) => orderCol(resolveProp(s.df, p), o) } :+ col("_id").asc
+          cur = Some(s.copy(df = s.df.orderBy(cs: _*)))
+        case Step.Limit(n) => cur = Some(s.copy(df = s.df.limit(n.toInt)))
+        case Step.Skip(n) => cur = Some(s.copy(df = s.df.offset(n.toInt)))
+        case Step.Range(a, b) => cur = Some(s.copy(df = s.df.offset(a.toInt).limit((b - a).toInt)))
+        case Step.LimitBy(e) => cur = Some(s.copy(df = s.df.limit(resolveBound(e))))
+        case Step.SkipBy(e) => cur = Some(s.copy(df = s.df.offset(resolveBound(e))))
+        case Step.RangeBy(a, b) =>
+          val ai = resolveBound(a); val bi = resolveBound(b)
+          cur = Some(s.copy(df = s.df.offset(ai).limit(bi - ai)))
+
+        // aggregations (terminal-ish: produce result frames)
+        case Step.Group(p) =>
+          return Left(s.df.groupBy(resolveProp(s.df, p).as(propAlias(p)))
+            .agg(sort_array(collect_list(col("_id"))).as("ids")))
+        case Step.GroupCount(p) =>
+          return Left(s.df.groupBy(resolveProp(s.df, p).as(propAlias(p)))
+            .agg(count(lit(1)).as("cnt")))
+        case Step.AggregateBy(fn, p) =>
+          val c = resolveProp(s.df, p)
+          val (agg, name) = fn match {
+            case AggFn.Count => (count(c), "count")
+            case AggFn.Sum => (sum(c), "sum")
+            case AggFn.Min => (min(c), "min")
+            case AggFn.Max => (max(c), "max")
+            case AggFn.Mean => (avg(c), "mean")
+          }
+          return Left(s.df.agg(agg.as(name)))
+        case Step.Fold | Step.Unfold => () // reserved no-ops (dsl.rs:3216,3221)
+
+        // terminals
+        case Step.Count => return Left(s.df.agg(count(lit(1)).as("cnt")))
+        case Step.Exists => return Left(s.df.limit(1).agg((count(lit(1)) > 0).as("exists")))
+        case Step.Id => return Left(s.df.select(col("_id").as("id")))
+        case Step.Label => return Left(s.df.select(col("_label").as("label")))
+        case Step.Values(ps) =>
+          return Left(s.df.select(ps.map(p => resolveProp(s.df, p).as(propAlias(p))): _*))
+        case Step.ValueMap(ps) =>
+          val names = ps.getOrElse(propCols(s))
+          return Left(s.df.select(names.map(p => resolveProp(s.df, p).as(propAlias(p))): _*))
+        case Step.Project(ps) => return Left(project(s, ps))
+        case Step.ProjectBindings(ps, distinct) => return Left(projectBindings(s, ps, distinct))
+        case Step.EdgeProperties =>
+          return Left(s.df.select(propCols(s).map(col): _*))
+
+        // control flow
+        case Step.As(n) => env(n) = s
+        case Step.StoreVar(n) => env(n) = s
+        case Step.SelectVar(n) => cur = Some(lookupVar(env, n))
+        case Step.Bind(n) =>
+          val fields = s.df.columns.toSeq.filterNot(c => c.startsWith("_b_") && false)
+            .filterNot(_ == "_came")
+          cur = Some(s.copy(df =
+            s.df.withColumn(s"_b_$n", struct(fields.filterNot(_.startsWith("_b_")).map(col): _*))))
+        case Step.Union(branches) =>
+          cur = Some(unionStreams(branches.map(b => runSub(b, s, env))))
+        case Step.Choose(p, thenT, elseT) =>
+          val c = compilePred(s.df, p)
+          val thenS = runSub(thenT, s.copy(df = s.df.where(coalesce(c, lit(false)))), env)
+          val elseIn = s.copy(df = s.df.where(!coalesce(c, lit(false))))
+          val elseS = elseT.map(t => runSub(t, elseIn, env)).getOrElse(elseIn)
+          cur = Some(unionStreams(Seq(thenS, elseS)))
+        case Step.Coalesce(branches) =>
+          // Per-element: first branch producing results for an origin
+          // element wins (dsl.rs:3197). Joins, not driver iteration.
+          val withOrigin = s.copy(df = s.df.withColumn("_b___origin", struct(col("_id"))))
+          val results = branches.map(b => runSub(b, withOrigin, env))
+          var taken: DataFrame = null
+          val picked = results.map { r =>
+            val kept = if (taken == null) r.df
+              else r.df.join(taken, r.df("_b___origin._id") === taken("__tid"), "left_anti")
+            val origins = kept.select(col("_b___origin._id").as("__tid")).distinct()
+            taken = if (taken == null) origins else taken.union(origins).distinct()
+            r.copy(df = kept)
+          }
+          val merged = unionStreams(picked)
+          cur = Some(merged.copy(df = merged.df.drop("_b___origin")))
+        case Step.Optional(t) =>
+          val withOrigin = s.copy(df = s.df.withColumn("_b___origin", struct(col("_id"))))
+          val r = runSub(t, withOrigin, env)
+          val origins = r.df.select(col("_b___origin._id").as("__tid")).distinct()
+          val missing = s.df.join(origins, s.df("_id") === origins("__tid"), "left_anti")
+          val merged = unionStreams(Seq(r.copy(df = r.df.drop("_b___origin")),
+            s.copy(df = missing)))
+          cur = Some(merged)
+        case Step.Repeat(cfg) => cur = Some(repeat(s, cfg, env))
+        case Step.Path | Step.SimplePath => () // reserved no-ops (dsl.rs:3227,3232)
+        case _: Step.WithSack | _: Step.SackSet | _: Step.SackAdd | Step.SackGet => () // reserved
+
+        case m => throw new TraversalException(
+          s"mutation step $m not allowed in read traversal (use WriteExecutor)")
+      }
+    }
+    cur.map(Right(_)).getOrElse(Left(spark.emptyDataFrame))
+  }
+
+  /** Extract label literals pinned by a top-level `$label` equality
+    * ($label == x, or $label IN (...), possibly AND-ed) — used to turn
+    * the label filter into table pruning.
+    */
+  private def pinnedLabels(p: Predicate): Option[Set[String]] = p match {
+    case Predicate.Eq("$label", VString(s)) => Some(Set(s))
+    case Predicate.IsIn("$label", vs) =>
+      Some(vs.collect { case VString(x) => x }.toSet)
+    case Predicate.And(ps) =>
+      ps.flatMap(pinnedLabels(_).toSeq).reduceOption(_ intersect _)
+    case _ => None
+  }
+
+  private def orderCol(c: Column, o: SortOrder): Column = o match {
+    case SortOrder.Asc => c.asc_nulls_first
+    case SortOrder.Desc => c.desc_nulls_last
+  }
+
+  private def propAlias(p: String): String =
+    if (p == "$id") "id" else if (p == "$label") "label" else p
+
+  private def resolveBound(e: Expr): Int = e match {
+    case Expr.Constant(VI64(n)) => n.toInt
+    case Expr.Param(n) => params.get(n) match {
+      case Some(VI64(v)) => v.toInt
+      case other => throw new TraversalException(s"bad bound param $n: $other")
+    }
+    case other => throw new TraversalException(s"unsupported stream bound: $other")
+  }
+
+  // ------------------------------------------------------------ projections
+
+  private def project(s: Stream, ps: Seq[Projection]): DataFrame = {
+    val needsFrom = ps.exists(_.isInstanceOf[Projection.FromEndpoint])
+    val needsTo = ps.exists(_.isInstanceOf[Projection.ToEndpoint])
+    var df = s.df
+    if (needsFrom) {
+      val srcLabels = store.srcLabelsOf(s.labels.getOrElse(store.edgeLabels))
+      val n = store.nodesUnion(srcLabels)
+      val renamed = n.toDF(n.columns.map("__from_" + _): _*)
+      df = df.join(renamed, df("_src") === renamed("__from__id"), "left")
+    }
+    if (needsTo) {
+      val dstLabels = store.dstLabelsOf(s.labels.getOrElse(store.edgeLabels))
+      val n = store.nodesUnion(dstLabels)
+      val renamed = n.toDF(n.columns.map("__to_" + _): _*)
+      df = df.join(renamed, df("_dst") === renamed("__to__id"), "left")
+    }
+    val cols = ps.map {
+      case Projection.Property(src, alias) => resolveProp(s.df, src).as(alias)
+      case Projection.FromEndpoint(src, alias) =>
+        (if (src == "$id") col("__from__id") else col("__from_" + src)).as(alias)
+      case Projection.ToEndpoint(src, alias) =>
+        (if (src == "$id") col("__to__id") else col("__to_" + src)).as(alias)
+      case Projection.Computed(alias, e) => compileExpr(s.df, e).as(alias)
+    }
+    df.select(cols: _*)
+  }
+
+  private def projectBindings(s: Stream, ps: Seq[BindingProjection],
+      distinct: Boolean): DataFrame = {
+    def ref(t: BindingTarget, src: String): Column = t match {
+      case BindingTarget.Current => resolveProp(s.df, src)
+      case BindingTarget.Binding(n) =>
+        val bcol = s"_b_$n"
+        if (!s.df.columns.contains(bcol)) lit(null)
+        else {
+          val field = if (src == "$id") "_id" else if (src == "$label") "_label" else src
+          // missing fields in the binding struct project null (fixture 909)
+          val struct = s.df.schema(bcol).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          if (struct.fieldNames.contains(field.split('.').head)) col(s"$bcol.$field") else lit(null)
+        }
+    }
+    val cols = ps.map {
+      case BindingProjection.Property(t, src, alias) => ref(t, src).as(alias)
+      case BindingProjection.Coalesce(refs, alias) =>
+        coalesce(refs.map { case (t, src) => ref(t, src) }: _*).as(alias)
+    }
+    val out = s.df.select(cols: _*)
+    if (distinct) out.dropDuplicates() else out
+  }
+
+  // ---------------------------------------------------------------- repeat
+
+  /** Driver-side BFS loop (SURVEY §2.7). Emits per EmitBehavior;
+    * `until`-satisfying elements exit the loop; localCheckpoint every
+    * few iterations cuts lineage growth on deep repeats.
+    */
+  private def repeat(start: Stream, cfg: RepeatConfig,
+      env: mutable.Map[String, Stream]): Stream = {
+    val emitted = mutable.ListBuffer.empty[Stream]
+    var frontier = start
+    var depth = 0
+    val maxIter = cfg.times.map(t => math.min(t, cfg.maxDepth)).getOrElse(cfg.maxDepth)
+    def emitFilter(s: Stream): Stream = cfg.emitPredicate match {
+      case Some(p) => s.copy(df = s.df.where(compilePred(s.df, p)))
+      case None => s
+    }
+    var done = false
+    while (!done && depth < maxIter) {
+      cfg.until.foreach { u =>
+        val c = compilePred(frontier.df, u)
+        val exiting = frontier.copy(df = frontier.df.where(coalesce(c, lit(false))))
+        emitted += emitFilter(exiting)
+        frontier = frontier.copy(df = frontier.df.where(!coalesce(c, lit(false))))
+      }
+      if (cfg.emit == EmitBehavior.Before || cfg.emit == EmitBehavior.All)
+        emitted += emitFilter(frontier)
+      val next = runSub(cfg.traversal, frontier, env)
+      depth += 1
+      frontier = if (depth % 5 == 0) next.copy(df = next.df.localCheckpoint(true)) else next
+      if (cfg.emit == EmitBehavior.After || cfg.emit == EmitBehavior.All)
+        emitted += emitFilter(frontier)
+      // empty-frontier termination only when iteration count is open-ended
+      // (each isEmpty is a Spark job — skip it for fixed `times`)
+      if (cfg.times.isEmpty && frontier.df.isEmpty) done = true
+    }
+    if (cfg.emit == EmitBehavior.None) {
+      if (cfg.until.isEmpty) frontier
+      else unionStreams(emitted.toSeq :+ frontier)
+    } else unionStreams(emitted.toSeq)
+  }
+
+  // ------------------------------------------------------------- search ops
+
+  /** Exact batch k-NN by cosine similarity, expressed with codegen'd
+    * higher-order functions (no UDF): dot/norms via aggregate+zip_with,
+    * global top-k via TakeOrderedAndProject (orderBy+limit).
+    * Scale path (IVF/LSH) lives in graft.search; this is the oracle-
+    * matching exact variant used for parity (SURVEY §2.1, dsl.rs:2813-2832).
+    */
+  private def vectorSearch(base: DataFrame, labels: Set[String], prop: String,
+      tenant: Option[PropertyValue], qv: Seq[Float], k: Int, isEdges: Boolean): Stream = {
+    val filtered = tenant match {
+      case Some(t) => base.where(col("tenant") === valueToLit(t))
+      case None => base
+    }
+    val scored = filtered.withColumn("_score",
+      graft.search.VectorOps.cosineSim(col(prop), qv.map(_.toDouble)))
+    val top = scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
+    Stream(top.drop("_score"), isEdges, Some(labels))
+  }
+
+  /** BM25 top-k (dsl.rs:2834-2847); scoring in graft.search.BM25. */
+  private def textSearch(base: DataFrame, labels: Set[String], prop: String,
+      tenant: Option[PropertyValue], query: String, k: Int, isEdges: Boolean): Stream = {
+    val filtered = tenant match {
+      case Some(t) => base.where(col("tenant") === valueToLit(t))
+      case None => base
+    }
+    val top = graft.search.BM25.topK(filtered, prop, query, k)
+    Stream(top, isEdges, Some(labels))
+  }
+}

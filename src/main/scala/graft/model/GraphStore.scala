@@ -1,0 +1,179 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Labeled-property-graph storage for the Spark engine.
+  *
+  * Layout decision (scale-first): ONE table per node label and per edge
+  * label, instead of a single mega-table with a dynamic props map.
+  * Rationale for 100 TB:
+  *  - label filter == table/partition pruning (no scan of other labels);
+  *  - each label keeps a concrete columnar schema, so Parquet min/max
+  *    stats, dictionary encoding, predicate pushdown and column pruning
+  *    all apply to user properties (a MAP<STRING,VARIANT> column would
+  *    defeat all of them);
+  *  - edge tables can be bucketed by `_src` (and a mirror by `_dst`) for
+  *    shuffle-free adjacency joins on a real cluster.
+  *
+  * Reserved columns: `_id`, `_label` on nodes; plus `_src`, `_dst` on
+  * edges (GraphFrames-style, cf. SURVEY.md §1.1). Reference virtual
+  * fields `$id` / `$label` (dsl.rs:2948-2951) resolve to `_id`/`_label`.
+  */
+final case class EdgeMeta(srcLabels: Set[String], dstLabels: Set[String])
+
+final class GraphStore(
+    val spark: SparkSession,
+    val nodeTables: Map[String, DataFrame],
+    val edgeTables: Map[String, DataFrame],
+    val edgeMeta: Map[String, EdgeMeta]) {
+
+  /** All node labels that can be reached out of / into the given edge labels. */
+  def nodeLabels: Set[String] = nodeTables.keySet
+  def edgeLabels: Set[String] = edgeTables.keySet
+
+  def nodesFor(label: String): DataFrame =
+    nodeTables.getOrElse(label, sys.error(s"unknown node label: $label"))
+  def edgesFor(label: String): DataFrame =
+    edgeTables.getOrElse(label, sys.error(s"unknown edge label: $label"))
+
+  /** Union of the given labels' node tables, schema-merged (missing props null). */
+  def nodesUnion(labels: Set[String]): DataFrame = {
+    val dfs = labels.toSeq.sorted.map(nodesFor)
+    require(dfs.nonEmpty, "empty label set")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+  def allNodes: DataFrame = nodesUnion(nodeTables.keySet)
+
+  def edgesUnion(labels: Set[String]): DataFrame = {
+    val dfs = labels.toSeq.sorted.map(edgesFor)
+    require(dfs.nonEmpty, "empty edge label set")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+  def allEdges: DataFrame = edgesUnion(edgeTables.keySet)
+
+  /** Labels an edge set can end at (for pruning the node-join target). */
+  def dstLabelsOf(edgeLabels: Set[String]): Set[String] =
+    edgeLabels.flatMap(l => edgeMeta.get(l).map(_.dstLabels).getOrElse(nodeTables.keySet))
+  def srcLabelsOf(edgeLabels: Set[String]): Set[String] =
+    edgeLabels.flatMap(l => edgeMeta.get(l).map(_.srcLabels).getOrElse(nodeTables.keySet))
+
+  /** Edge labels whose source (resp. dest) can be one of `labels`. */
+  def outEdgeLabels(labels: Option[Set[String]]): Set[String] = labels match {
+    case None => edgeTables.keySet
+    case Some(ls) => edgeTables.keySet.filter(e =>
+      edgeMeta.get(e).forall(_.srcLabels.exists(ls.contains)))
+  }
+  def inEdgeLabels(labels: Option[Set[String]]): Set[String] = labels match {
+    case None => edgeTables.keySet
+    case Some(ls) => edgeTables.keySet.filter(e =>
+      edgeMeta.get(e).forall(_.dstLabels.exists(ls.contains)))
+  }
+}
+
+/** Builds the graph projection of the driver's TPC-H-ish testdata
+  * (see /root/repo/FIXTURES.md §B). Original column names are kept as
+  * property names so DuckDB-oracle SQL reads naturally off the raw
+  * parquet tables.
+  *
+  * Global id scheme: ids are disjoint per label via a band offset
+  * (`band * 1e9 + natural key`). Deterministic, join-free, and
+  * reproducible in plain SQL on the oracle side. (A production deploy
+  * at 100 TB would widen the band arithmetic; the scheme itself —
+  * label-banded ids derived from natural keys, never a global counter —
+  * is the scale-safe part.)
+  */
+object TestGraph {
+  val OFF = 1000000000L
+  // node bands
+  val RegionB = 1L; val NationB = 2L; val CustomerB = 3L; val SupplierB = 4L
+  val PartB = 5L; val OrderB = 6L; val LineitemB = 7L; val EventB = 8L
+  val DocumentB = 9L; val EmbeddingB = 10L
+  // edge bands start at 20
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
+
+  def apply(spark: SparkSession, dir: String): GraphStore =
+    cache.computeIfAbsent(dir + "@" + System.identityHashCode(spark), _ => build(spark, dir))
+
+  private def pq(spark: SparkSession, dir: String, t: String): DataFrame =
+    spark.read.parquet(s"$dir/$t.parquet")
+
+  def build(spark: SparkSession, dir: String): GraphStore = {
+    def node(df: DataFrame, label: String, idCol: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn("_id", idCol.cast("long")).withColumn("_label", lit(label))
+
+    val region   = pq(spark, dir, "region")
+    val nation   = pq(spark, dir, "nation")
+    val customer = pq(spark, dir, "customer")
+    val supplier = pq(spark, dir, "supplier")
+    val part     = pq(spark, dir, "part")
+    val orders   = pq(spark, dir, "orders")
+    val lineitem = pq(spark, dir, "lineitem")
+    val events   = pq(spark, dir, "events")
+    val documents  = pq(spark, dir, "documents")
+    val embeddings = pq(spark, dir, "embeddings")
+
+    // lineitem natural key = (l_orderkey, l_linenumber); linenumber < 10.
+    val liId = col("l_orderkey") * 10 + col("l_linenumber")
+
+    val nodes = Map(
+      "Region"    -> node(region, "Region", lit(RegionB * OFF) + col("r_regionkey")),
+      "Nation"    -> node(nation, "Nation", lit(NationB * OFF) + col("n_nationkey")),
+      "Customer"  -> node(customer, "Customer", lit(CustomerB * OFF) + col("c_custkey")),
+      "Supplier"  -> node(supplier, "Supplier", lit(SupplierB * OFF) + col("s_suppkey")),
+      "Part"      -> node(part, "Part", lit(PartB * OFF) + col("p_partkey")),
+      "Order"     -> node(orders, "Order", lit(OrderB * OFF) + col("o_orderkey")),
+      "Lineitem"  -> node(lineitem, "Lineitem", lit(LineitemB * OFF) + liId),
+      "Event"     -> node(events, "Event", lit(EventB * OFF) + col("event_id")),
+      "Document"  -> node(documents, "Document", lit(DocumentB * OFF) + col("doc_id")),
+      "Embedding" -> node(embeddings, "Embedding", lit(EmbeddingB * OFF) + col("vec_id")),
+    )
+
+    def edge(df: DataFrame, label: String, band: Long,
+             eid: org.apache.spark.sql.Column,
+             src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
+             props: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+      val base = df.select(
+        Seq((lit(band * OFF) + eid).cast("long").as("_id"), lit(label).as("_label"),
+            src.cast("long").as("_src"), dst.cast("long").as("_dst")) ++
+          props.map { case (n, c) => c.as(n) }: _*)
+      base
+    }
+
+    val fromNation = edge(customer, "FROM_NATION", 21L, col("c_custkey"),
+        lit(CustomerB * OFF) + col("c_custkey"), lit(NationB * OFF) + col("c_nationkey"))
+      .unionByName(edge(supplier, "FROM_NATION", 22L, col("s_suppkey"),
+        lit(SupplierB * OFF) + col("s_suppkey"), lit(NationB * OFF) + col("s_nationkey")))
+
+    val edges = Map(
+      "IN_REGION" -> edge(nation, "IN_REGION", 20L, col("n_nationkey"),
+        lit(NationB * OFF) + col("n_nationkey"), lit(RegionB * OFF) + col("n_regionkey")),
+      "FROM_NATION" -> fromNation,
+      "PLACED" -> edge(orders, "PLACED", 23L, col("o_orderkey"),
+        lit(CustomerB * OFF) + col("o_custkey"), lit(OrderB * OFF) + col("o_orderkey")),
+      // CONTAINS carries a couple of edge properties to exercise
+      // edge-stream filters/sorts (EdgeHas, edge_properties, order_by).
+      "CONTAINS" -> edge(lineitem, "CONTAINS", 24L, liId,
+        lit(OrderB * OFF) + col("l_orderkey"), lit(LineitemB * OFF) + liId,
+        Seq("l_quantity" -> col("l_quantity"), "l_linenumber" -> col("l_linenumber"))),
+      "OF_PART" -> edge(lineitem, "OF_PART", 25L, liId,
+        lit(LineitemB * OFF) + liId, lit(PartB * OFF) + col("l_partkey")),
+      "SUPPLIED_BY" -> edge(lineitem, "SUPPLIED_BY", 26L, liId,
+        lit(LineitemB * OFF) + liId, lit(SupplierB * OFF) + col("l_suppkey")),
+      "BY_CUSTOMER" -> edge(events, "BY_CUSTOMER", 27L, col("event_id"),
+        lit(EventB * OFF) + col("event_id"), lit(CustomerB * OFF) + col("user_id")),
+    )
+
+    val meta = Map(
+      "IN_REGION"   -> EdgeMeta(Set("Nation"), Set("Region")),
+      "FROM_NATION" -> EdgeMeta(Set("Customer", "Supplier"), Set("Nation")),
+      "PLACED"      -> EdgeMeta(Set("Customer"), Set("Order")),
+      "CONTAINS"    -> EdgeMeta(Set("Order"), Set("Lineitem")),
+      "OF_PART"     -> EdgeMeta(Set("Lineitem"), Set("Part")),
+      "SUPPLIED_BY" -> EdgeMeta(Set("Lineitem"), Set("Supplier")),
+      "BY_CUSTOMER" -> EdgeMeta(Set("Event"), Set("Customer")),
+    )
+
+    new GraphStore(spark, nodes, edges, meta)
+  }
+}

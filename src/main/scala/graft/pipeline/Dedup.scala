@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.search.VectorOps
+
+/** Deduplication strategies for training-data pipelines, smallest to
+  * largest hammer. All are shuffle-conscious:
+  *  - exact: one hash-aggregate on a digest (map-side partial agg);
+  *  - minhash/LSH: band-bucket join — candidate pairs only, never the
+  *    full n² cross product;
+  *  - simhash: 64-bit signature, self-join on signature bands;
+  *  - n-gram Jaccard: shared-shingle equi-join (inverted-index style);
+  *  - embedding cosine: brute pairs under a threshold at small n,
+  *    cluster-bucketed (IVF) at scale.
+  *
+  * Hashes that must match the DuckDB oracle use md5 hex substrings
+  * compared AS STRINGS (lexicographic min == uniform minhash) — both
+  * engines produce identical md5 hex, so signatures agree bit-for-bit.
+  */
+object Dedup {
+
+  def tokens(c: Column): Column = TextAnalysis.tokens(c)
+
+  /** Word n-gram shingles: ["w1 w2 w3", ...]; empty when < n tokens. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Exact dedup: canonical (min) id per distinct text digest. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("_digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Distinct (id, shingle) pairs — the shared inverted-index shape. */
+  def shingleSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_did"), explode(shingles(col(textCol), n)).as("_sh")).distinct()
+
+  /** MinHash signature: numHashes columns `mh0..mhK`, each the
+    * lexicographic min of md5("<j>:" + shingle) over the doc's shingles.
+    */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val ss = shingleSet(df, textCol, idCol, n)
+    val aggs = (0 until numHashes).map(j =>
+      min(substring(md5(concat(lit(j + ":"), col("_sh"))), 1, 16)).as(s"mh$j"))
+    ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: pairs of ids sharing at least one band of the
+    * signature. Equi-join per band on the band key -> candidates only.
+    */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val perBand = (0 until bands).map { b =>
+      val key = concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*)
+      val keyed = sig.select(col("_did"), key.as("_band"))
+      val a = keyed.select(col("_did").as("id_a"), col("_band"))
+      val bb = keyed.select(col("_did").as("id_b"), col("_band"))
+      a.join(bb, Seq("_band")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }
+    perBand.reduce(_ union _).distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for a pair list (verification). */
+  private def withJaccard(pairs: DataFrame, ss: DataFrame): DataFrame = {
+    val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
+    val a = ss.select(col("_did").as("id_a"), col("_sh"))
+    val b = ss.select(col("_did").as("id_b"), col("_sh"))
+    val inter = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    pairs.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("_inter"))
+      .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+      .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs, LSH candidates verified by exact
+    * Jaccard >= num/den (integer cross-multiply: float-free, oracle-stable).
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    val ss = shingleSet(df, textCol, idCol, n)
+    val cands = lshCandidates(minhashSignature(df, textCol, idCol, n, numHashes), numHashes, bands)
+    withJaccard(cands, ss)
+      .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
+      .select("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard pairs via shared-shingle inverted join
+    * (no LSH recall loss; the candidate set is docs sharing >= 1 shingle).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      num: Int, den: Int): DataFrame = {
+    val ss = shingleSet(df, textCol, idCol, n)
+    val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
+    val a = ss.select(col("_did").as("id_a"), col("_sh"))
+    val b = ss.select(col("_did").as("id_b"), col("_sh"))
+    a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+      .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+      .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+      .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
+      .select("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash over tokens (xxhash64 bit votes). Near-dups =
+    * signatures within a small Hamming distance; here exposed as the
+    * signature plus a band join helper.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("_did"), explode(tokens(col(textCol))).as("_t"))
+      .groupBy("_did", "_t").agg(count(lit(1)).as("_w"))
+      .withColumn("_h", xxhash64(col("_t")))
+    // vote per bit: sum(+w if bit set else -w); bit i of result = vote>0
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, col("_w"))
+        .otherwise(-col("_w"))).as(s"_v$i")
+    }
+    val voted = tok.groupBy(col("_did")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("_did").as(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: equal 16-bit band (4 bands) then
+    * exact Hamming distance <= maxDist via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
+    val sig = simhash(df, textCol, idCol)
+    val bands = (0 until 4).map { b =>
+      val key = shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      sig.select(col(idCol).as("id_a"), col("simhash").as("_sa"), key.as("_band"))
+        .join(sig.select(col(idCol).as("id_b"), col("simhash").as("_sb"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("_band")), Seq("_band"))
+        .where(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+    }
+    bands.reduce(_ union _).distinct()
+      .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Exact self-join
+    * under `bruteForceLimit` rows; IVF cluster-bucketed join above it
+    * (pairs only form inside a cluster — the 100 TB path).
+    */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bruteForce: Boolean = true): DataFrame = {
+    if (bruteForce) {
+      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    } else {
+      val model = VectorOps.trainIvf(df.withColumnRenamed(idCol, "_id")
+        .withColumnRenamed(vecCol, "_v"), "_v", nlist = 64)
+      val assigned = VectorOps.assignCluster(
+        df.select(col(idCol).as("_aid"), col(vecCol).as("_v")), "_v", model.centroids)
+      val a = assigned.select(col("_aid").as("id_a"), col("_v").as("_va"), col("_cluster"))
+      val b = assigned.select(col("_aid").as("id_b"), col("_v").as("_vb"), col("_cluster"))
+      a.join(b, Seq("_cluster")).where(col("id_a") < col("id_b"))
+        .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 text relevance (the reference enables a BM25 index by default:
+  * helix-cli/src/config.rs:174-175; search steps dsl.rs:2834-2847).
+  *
+  * Okapi BM25 with Lucene's idf: k1 = 1.2, b = 0.75,
+  *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+  *   tfNorm  = tf*(k1+1) / (tf + k1*(1 - b + b*len/avgLen))
+  *
+  * All column math (codegen'd); postings are built per-query restricted
+  * to the query's terms so the shuffled data is tiny. At 100 TB the
+  * same scoring runs against a PRE-BUILT postings table partitioned by
+  * term (see buildIndex) instead of tokenizing at query time.
+  */
+object BM25 {
+  val K1 = 1.2
+  val B = 0.75
+  /** Tokenizer shared by index + query: lowercase, split on non-alphanumerics. */
+  val TokenSplit = "[^a-z0-9]+"
+
+  def tokenize(s: String): Seq[String] =
+    s.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
+
+  /** Per-document postings restricted to `terms`: (_id, len, term, tf). */
+  private def postings(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
+    df.select(col("_id"), toks.as("_toks"))
+      .select(col("_id"), size(col("_toks")).as("_len"), explode(col("_toks")).as("_term"))
+      .where(col("_term").isin(terms: _*))
+      .groupBy(col("_id"), col("_len"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+  }
+
+  /** Write-time inverted index artifact for the scale path:
+    * term -> (doc, tf) postings plus a one-row corpus-stats frame.
+    */
+  def buildIndex(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val toks = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
+    val post = df.select(col("_id"), toks.as("_toks"))
+      .select(col("_id"), size(col("_toks")).as("_len"), explode(col("_toks")).as("_term"))
+      .groupBy(col("_term"), col("_id"), col("_len")).agg(count(lit(1)).as("_tf"))
+    val lens = df.select(col("_id"),
+      size(filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")).as("_len"))
+    val stats = lens.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+    (post, stats)
+  }
+
+  /** Scores every matching document; returns (_id, _bm25). */
+  def score(df: DataFrame, textCol: String, query: String): DataFrame = {
+    val terms = tokenize(query).distinct
+    require(terms.nonEmpty, "empty query")
+    val post = postings(df, textCol, terms)
+    val lens = df.select(
+      size(filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")).as("_len"))
+    val stats = lens.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+    val dfreq = post.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
+    val tfNorm = (col("_tf") * lit(K1 + 1)) /
+      (col("_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("_len") / col("_avglen")))
+    post.join(dfreq, "_term").crossJoin(stats)
+      .withColumn("_termScore", idf * tfNorm)
+      .groupBy(col("_id")).agg(sum(col("_termScore")).as("_bm25"))
+  }
+
+  /** Top-k rows of `df` by BM25 relevance of `textCol` to `query`. */
+  def topK(df: DataFrame, textCol: String, query: String, k: Int): DataFrame = {
+    val scores = score(df, textCol, query)
+    df.join(scores, "_id")
+      .orderBy(col("_bm25").desc, col("_id").asc)
+      .limit(k)
+      .drop("_bm25")
+  }
+
+  /** Top-k (_id, score) pairs — for callers that want the relevance. */
+  def topKScores(df: DataFrame, textCol: String, query: String, k: Int): DataFrame =
+    score(df, textCol, query)
+      .orderBy(col("_bm25").desc, col("_id").asc)
+      .limit(k)
+}

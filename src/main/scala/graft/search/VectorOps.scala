@@ -1,0 +1,105 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives, expressed with Spark's codegen'd
+  * higher-order functions (`zip_with`, `aggregate`) — no UDFs, so the
+  * whole scoring pipeline stays inside WholeStageCodegen and vectorized
+  * parquet reads.
+  *
+  * Replaces the reference's HNSW index (helix-cli/src/config.rs:191-201:
+  * m=16, ef_construction=128, ef_search=768) with batch-oriented
+  * strategies:
+  *  - exact brute-force top-k (baseline; distributed scan + TakeOrdered);
+  *  - IVF partition pruning (k-means centroids; scan only the closest
+  *    `nprobe` clusters — the 100 TB path, see Ivf below).
+  */
+object VectorOps {
+
+  /** Sum over an array column: aggregate(col, 0.0, (acc,x) -> acc+x). */
+  private def arrSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    arrSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column =
+    sqrt(arrSum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosineSim(vecCol: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    dot(vecCol, q) / (norm(vecCol) * lit(qn))
+  }
+
+  def cosineSimCols(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine similarity. orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge on
+    * the driver — no full sort, no shuffle of the data.
+    */
+  def bruteForceTopK(df: DataFrame, vecCol: String, query: Seq[Double], k: Int,
+      idCol: String = "_id"): DataFrame =
+    df.withColumn("_score", cosineSim(col(vecCol), query))
+      .orderBy(col("_score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of
+    * `nlist` centroids once (a write-time artifact at scale), then serve
+    * queries by scanning only the `nprobe` nearest clusters. With the
+    * cluster id as a partition column, the scan prunes to
+    * nprobe/nlist of the data — the strategy that survives 100 TB.
+    *
+    * Centroids here come from a deterministic sample + iterative Lloyd
+    * refinement done with DataFrame aggs (no MLlib dependency needed).
+    */
+  final case class IvfModel(centroids: Array[Array[Double]])
+
+  def trainIvf(df: DataFrame, vecCol: String, nlist: Int, iters: Int = 3): IvfModel = {
+    // deterministic init: first nlist distinct vectors by id order
+    var cents: Array[Array[Double]] = df
+      .select(col(vecCol)).limit(nlist).collect()
+      .map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCluster(df, vecCol, cents)
+      val agg = assigned.groupBy(col("_cluster"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until cents(0).length).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double"))): _*).as("sums"))
+        .collect()
+      val next = cents.clone()
+      agg.foreach { r =>
+        val cl = r.getInt(0); val n = r.getLong(1).toDouble
+        if (n > 0) next(cl) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      cents = next
+      it += 1
+    }
+    IvfModel(cents)
+  }
+
+  /** Nearest-centroid id as a column (argmin over a literal centroid array). */
+  def assignCluster(df: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame = {
+    // dist^2 to each centroid; argmin via array_position(min)
+    val dists = array(cents.map { c =>
+      arrSum(zip_with(col(vecCol), array(c.map(lit): _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
+    }: _*)
+    df.withColumn("_cluster",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  def ivfTopK(df: DataFrame, vecCol: String, model: IvfModel,
+      query: Seq[Double], k: Int, nprobe: Int, idCol: String = "_id"): DataFrame = {
+    val ranked = model.centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val assigned = assignCluster(df, vecCol, model.centroids)
+    bruteForceTopK(assigned.where(col("_cluster").isin(ranked.map(Integer.valueOf): _*))
+      .drop("_cluster"), vecCol, query, k, idCol)
+  }
+}
