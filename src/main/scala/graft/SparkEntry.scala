@@ -1,13 +1,435 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ast._
+import graft.ast.PropertyValue._
+import graft.dsl.Dsl._
+import graft.exec.Compiler
+import graft.model.TestGraph
+import graft.pipeline.{Dedup, TextAnalysis}
+import graft.search.VectorOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query runs through the graft engine (DSL -> traversal AST ->
+  * Compiler -> DataFrame) over the graph projection of the driver's
+  * testdata (FIXTURES.md §B), and has a hand-written DuckDB oracle on
+  * the raw parquet tables. Pipeline extension ops (dedup / similarity /
+  * text analysis) run on the documents/embeddings tables directly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def comp(s: SparkSession, dir: String): Compiler =
+    new Compiler(TestGraph(s, dir))
+
+  private def run(s: SparkSession, dir: String, tr: graft.dsl.Tr): DataFrame =
+    comp(s, dir).run(tr.t)
+
+  private def withVars(s: SparkSession, dir: String, vars: (String, graft.dsl.Tr)*)(
+      main: graft.dsl.Tr): DataFrame = {
+    val c = comp(s, dir)
+    vars.foreach { case (n, t) => c.batchVars(n) = c.evalToStream(t.t) }
+    c.run(main.t)
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Query vector = the stored embedding of vec_id 0 (so Spark and the
+    * oracle agree on it without hard-coding 64 floats).
+    */
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    emb(s, dir).where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+  /** Flagship query on sf=0.001 (the reference's scaffolded example:
+    * count nodes of one label — helix-cli/src/commands/init.rs:191-207).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    run(spark, "/root/testdata/sf0.001", g().nWithLabel("Customer").count())
+
+  /** Headline subset used by Bench. */
+  val headline: Seq[String] = Seq(
+    "q_out_count", "q_repeat2", "q_group_count", "q_agg_sum", "q_orderby_limit",
+    "q_compare_expr", "q_coalesce", "q_vector_knn", "q_text_bm25",
+    "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
+    "q_doc_fingerprint", "q_union")
+
+  import SortOrder.{Asc, Desc}
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans & filters (SURVEY §2.1, §2.3)
+    "q_count" -> ((s, d) => run(s, d, g().nWithLabel("Customer").count())),
+    "q_nwhere" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Customer", gt("c_acctbal", 5000.0))
+        .values("c_custkey", "c_acctbal"))),
+    "q_has" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").has("o_orderstatus", "F").count())),
+    "q_haskey" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").hasKey("c_mktsegment").count())),
+    "q_where_logic" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").where(and(
+        or(eq_("l_returnflag", "R"), eq_("l_linestatus", "F")),
+        Predicate.Gte("l_quantity", VF64(25.0)))).count())),
+    "q_between" -> ((s, d) => run(s, d,
+      g().nWithLabel("Part").where(between("p_size", VI64(10), VI64(20)))
+        .values("p_partkey", "p_size"))),
+    "q_strings" -> ((s, d) => run(s, d,
+      g().nWithLabel("Part").where(or(
+        startsWith("p_name", "red"), containsStr("p_name", "bolt")))
+        .values("p_partkey", "p_name"))),
+    "q_isin" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer")
+        .where(isIn("c_mktsegment", VString("BUILDING"), VString("MACHINERY"))).count())),
+    "q_isnotnull" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").where(Predicate.IsNotNull("c_name")).count())),
+    "q_compare_expr" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").where(Predicate.Compare(
+        Expr.Mul(prop("l_extendedprice"), Expr.Sub(lit_(1.0), prop("l_discount"))),
+        CompareOp.Gt, lit_(30000.0)))
+        .values("l_orderkey", "l_linenumber"))),
+
+    // ---- sort / page (§2.4)
+    "q_orderby_limit" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").orderBy("o_totalprice", Desc).limit(10)
+        .values("o_orderkey", "o_totalprice"))),
+    "q_range" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").orderBy("o_totalprice", Desc).range(5, 15)
+        .values("o_orderkey"))),
+    "q_orderby_multi" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem")
+        .orderByMultiple(("l_returnflag", Asc), ("l_quantity", Desc)).limit(20)
+        .values("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))),
+
+    // ---- navigation (§2.2)
+    "q_out_count" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING"))
+        .out("PLACED").count())),
+    "q_out_values" -> ((s, d) => run(s, d,
+      g().nWithLabel("Nation").out("IN_REGION").values("r_name"))),
+    "q_in" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Region", eq_("r_name", "ASIA")).in("IN_REGION")
+        .values("n_name"))),
+    "q_both" -> ((s, d) => run(s, d, g().n().both("IN_REGION").id())),
+    "q_oute_project" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").outE("PLACED").project(
+        Projection.FromEndpoint("c_name", "cust"),
+        Projection.ToEndpoint("o_totalprice", "price")))),
+    "q_ine_othern" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").inE("PLACED").otherN().id())),
+    "q_outn" -> ((s, d) => run(s, d, g().eWithLabel("PLACED").outN().id())),
+    "q_inn" -> ((s, d) => run(s, d, g().eWithLabel("PLACED").inN().id())),
+    "q_edge_has" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").outE("CONTAINS").edgeHas("l_linenumber", VI64(1)).count())),
+    "q_edge_props" -> ((s, d) => run(s, d,
+      g().eWithLabelWhere("CONTAINS", gt("l_quantity", 45.0)).edgeProperties())),
+
+    // ---- dedup / set membership (§2.3)
+    "q_dedup" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").out("OF_PART").dedup().count())),
+    "q_within" -> ((s, d) => withVars(s, d,
+      "big" -> g().nWithLabelWhere("Customer", gt("c_acctbal", 7000.0)))(
+      g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING"))
+        .within("big").count())),
+    "q_without" -> ((s, d) => withVars(s, d,
+      "big" -> g().nWithLabelWhere("Customer", gt("c_acctbal", 7000.0)))(
+      g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING"))
+        .without("big").count())),
+    "q_inject" -> ((s, d) => withVars(s, d,
+      "autos" -> g().nWithLabelWhere("Customer", eq_("c_mktsegment", "AUTOMOBILE")))(
+      g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING"))
+        .inject("autos").count())),
+
+    // ---- aggregations (§2.5)
+    "q_group_count" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").groupCount("o_orderstatus"))),
+    "q_group" -> ((s, d) => run(s, d, g().nWithLabel("Nation").group("n_regionkey"))),
+    "q_agg_sum" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").aggregateBy(AggFn.Sum, "l_quantity"))),
+    "q_agg_min" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").aggregateBy(AggFn.Min, "l_extendedprice"))),
+    "q_agg_max" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").aggregateBy(AggFn.Max, "l_extendedprice"))),
+    "q_agg_mean" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").aggregateBy(AggFn.Mean, "l_quantity"))),
+    "q_agg_count" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").aggregateBy(AggFn.Count, "o_totalprice"))),
+
+    // ---- terminals / projections (§2.6)
+    "q_exists" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Customer", gt("c_acctbal", 99999999.0)).exists())),
+    "q_values_virtual" -> ((s, d) => run(s, d,
+      g().nWithLabel("Supplier").values("$id", "s_name"))),
+    "q_label_terminal" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Nation", lt("n_nationkey", 5L)).label())),
+    "q_valuemap" -> ((s, d) => run(s, d, g().nWithLabel("Region").valueMap())),
+    "q_project_case" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").project(
+        Projection.Property("c_custkey", "custkey"),
+        Projection.Computed("bal_class", Expr.Case(Seq(
+          Predicate.Lt("c_acctbal", VF64(0.0)) -> lit_("neg"),
+          Predicate.Lt("c_acctbal", VF64(5000.0)) -> lit_("mid")),
+          Some(lit_("high"))))))),
+    "q_project_arith" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").project(
+        Projection.Property("l_orderkey", "okey"),
+        Projection.Property("l_linenumber", "ln"),
+        Projection.Computed("revenue",
+          Expr.Mul(prop("l_extendedprice"), Expr.Sub(lit_(1.0), prop("l_discount"))))))),
+
+    // ---- control flow (§2.7)
+    "q_choose" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer")
+        .choose(Predicate.Gte("c_acctbal", VF64(0.0)), sub().out("PLACED")).id())),
+    "q_union" -> ((s, d) => run(s, d,
+      g().nWithLabel("Nation").union(
+        sub().out("IN_REGION"),
+        sub().in("FROM_NATION").hasLabel("Customer")).id())),
+    "q_coalesce" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").coalesceSteps(
+        sub().out("PLACED").where(gt("o_totalprice", 300000.0)),
+        sub()).id())),
+    "q_optional" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer")
+        .optional(sub().out("PLACED").where(gt("o_totalprice", 400000.0))).id())),
+    "q_repeat2" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Order", eq_("o_orderstatus", "F"))
+        .repeat(sub().out(), 2).id())),
+    "q_repeat_emit" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Order", eq_("o_orderstatus", "F"))
+        .repeat(RepeatConfig(sub().out().t, times = Some(2),
+          emit = EmitBehavior.All)).id())),
+    "q_repeat_until" -> ((s, d) => run(s, d,
+      g().nWithLabel("Nation")
+        .repeat(RepeatConfig(sub().out("IN_REGION").t,
+          until = Some(eq_("$label", "Region")), maxDepth = 5)).id())),
+
+    // ---- vector / text search (§2.1 search steps)
+    "q_vector_knn" -> ((s, d) => run(s, d,
+      g().vectorSearchNodes("Embedding", "embedding", queryVec(s, d), 10).id())),
+    "q_vector_ivf" -> ((s, d) => {
+      val e = emb(s, d).withColumnRenamed("vec_id", "_id")
+      val model = VectorOps.trainIvf(e, "embedding", nlist = 16)
+      VectorOps.ivfTopK(e, "embedding", model,
+        queryVec(s, d).map(_.toDouble), 10, nprobe = 4)
+        .select(col("_id").as("vec_id"))
+    }),
+    "q_text_bm25" -> ((s, d) => run(s, d,
+      g().textSearchNodes("Document", "text", "spark hash join window", 10).id())),
+
+    // ---- training-data pipeline: dedup (extension)
+    "q_doc_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "text", "doc_id")),
+    "q_doc_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "text", "doc_id",
+        n = 3, numHashes = 6, bands = 3, num = 3, den = 10)),
+    "q_doc_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
+    "q_doc_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
+    "q_embed_pairs" -> ((s, d) =>
+      Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5)),
+
+    // ---- training-data pipeline: text analysis (extension)
+    "q_doc_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "q_doc_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+    "q_doc_quality" -> ((s, d) =>
+      docs(s, d).select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)),
+    "q_doc_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+  )
+
+  // ------------------------------------------------------------------ oracle
+
+  /** Lineitem ids are a dense row_number over the full-row total order
+    * (no unique natural key exists in this data) — mirrored here.
+    */
+  private val liCte = "li AS (SELECT *, CAST(7000000000 + row_number() OVER (ORDER BY " +
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, " +
+    "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS BIGINT) AS li_id " +
+    "FROM lineitem)"
+
+  /** Shared CTE prefix for document tokenization (mirrors
+    * TextAnalysis.tokens / Dedup.shingles exactly).
+    */
+  private val tokCte =
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)"
+  private val shCte =
+    tokCte + ", sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END) AS s FROM toks)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_count" -> "SELECT count(*) AS cnt FROM customer",
+    "q_nwhere" -> "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0",
+    "q_has" -> "SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F'",
+    "q_haskey" -> "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment IS NOT NULL",
+    "q_where_logic" -> ("SELECT count(*) AS cnt FROM lineitem WHERE " +
+      "(l_returnflag = 'R' OR l_linestatus = 'F') AND l_quantity >= 25.0"),
+    "q_between" -> "SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 10 AND 20",
+    "q_strings" -> ("SELECT p_partkey, p_name FROM part WHERE " +
+      "p_name LIKE 'red%' OR p_name LIKE '%bolt%'"),
+    "q_isin" -> ("SELECT count(*) AS cnt FROM customer WHERE " +
+      "c_mktsegment IN ('BUILDING', 'MACHINERY')"),
+    "q_isnotnull" -> "SELECT count(*) AS cnt FROM customer WHERE c_name IS NOT NULL",
+    "q_compare_expr" -> ("SELECT l_orderkey, l_linenumber FROM lineitem WHERE " +
+      "l_extendedprice * (1.0 - l_discount) > 30000.0"),
+
+    "q_orderby_limit" -> ("SELECT o_orderkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_range" -> ("SELECT o_orderkey FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5"),
+    "q_orderby_multi" -> ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+      "FROM lineitem ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber LIMIT 20"),
+
+    "q_out_count" -> ("SELECT count(*) AS cnt FROM orders JOIN customer " +
+      "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'"),
+    "q_out_values" -> ("SELECT r_name FROM nation JOIN region ON n_regionkey = r_regionkey"),
+    "q_in" -> ("SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA'"),
+    "q_both" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation " +
+      "UNION ALL SELECT CAST(2000000000 + n_nationkey AS BIGINT) AS id FROM nation"),
+    "q_oute_project" -> ("SELECT c_name AS cust, o_totalprice AS price FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey"),
+    "q_ine_othern" -> "SELECT CAST(3000000000 + o_custkey AS BIGINT) AS id FROM orders",
+    "q_outn" -> "SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders",
+    "q_inn" -> "SELECT CAST(3000000000 + o_custkey AS BIGINT) AS id FROM orders",
+    "q_edge_has" -> "SELECT count(*) AS cnt FROM lineitem WHERE l_linenumber = 1",
+    "q_edge_props" -> ("SELECT l_quantity, l_linenumber FROM lineitem " +
+      "WHERE l_quantity > 45.0"),
+
+    "q_dedup" -> "SELECT count(DISTINCT l_partkey) AS cnt FROM lineitem",
+    "q_within" -> ("SELECT count(*) AS cnt FROM customer WHERE " +
+      "c_mktsegment = 'BUILDING' AND c_acctbal > 7000.0"),
+    "q_without" -> ("SELECT count(*) AS cnt FROM customer WHERE " +
+      "c_mktsegment = 'BUILDING' AND NOT (c_acctbal > 7000.0)"),
+    "q_inject" -> ("SELECT count(*) AS cnt FROM customer WHERE " +
+      "c_mktsegment IN ('BUILDING', 'AUTOMOBILE')"),
+
+    "q_group_count" -> ("SELECT o_orderstatus, count(*) AS cnt FROM orders " +
+      "GROUP BY o_orderstatus"),
+    "q_group" -> ("SELECT n_regionkey, list_sort(list(CAST(2000000000 + n_nationkey AS BIGINT))) " +
+      "AS ids FROM nation GROUP BY n_regionkey"),
+    "q_agg_sum" -> "SELECT sum(l_quantity) AS \"sum\" FROM lineitem",
+    "q_agg_min" -> "SELECT min(l_extendedprice) AS \"min\" FROM lineitem",
+    "q_agg_max" -> "SELECT max(l_extendedprice) AS \"max\" FROM lineitem",
+    "q_agg_mean" -> "SELECT avg(l_quantity) AS \"mean\" FROM lineitem",
+    "q_agg_count" -> "SELECT count(o_totalprice) AS \"count\" FROM orders",
+
+    "q_exists" -> ("SELECT (count(*) > 0) AS \"exists\" FROM customer " +
+      "WHERE c_acctbal > 99999999.0"),
+    "q_values_virtual" -> ("SELECT CAST(4000000000 + s_suppkey AS BIGINT) AS id, s_name " +
+      "FROM supplier"),
+    "q_label_terminal" -> "SELECT 'Nation' AS label FROM nation WHERE n_nationkey < 5",
+    "q_valuemap" -> "SELECT r_regionkey, r_name FROM region",
+    "q_project_case" -> ("SELECT c_custkey AS custkey, CASE WHEN c_acctbal < 0.0 THEN 'neg' " +
+      "WHEN c_acctbal < 5000.0 THEN 'mid' ELSE 'high' END AS bal_class FROM customer"),
+    "q_project_arith" -> ("SELECT l_orderkey AS okey, l_linenumber AS ln, " +
+      "l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem"),
+
+    "q_choose" -> ("SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey WHERE c_acctbal >= 0.0 " +
+      "UNION ALL SELECT CAST(3000000000 + c_custkey AS BIGINT) AS id FROM customer " +
+      "WHERE NOT (c_acctbal >= 0.0)"),
+    "q_union" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation " +
+      "UNION ALL SELECT CAST(3000000000 + c_custkey AS BIGINT) AS id FROM customer"),
+    "q_coalesce" -> ("SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders " +
+      "WHERE o_totalprice > 300000.0 UNION ALL " +
+      "SELECT CAST(3000000000 + c_custkey AS BIGINT) AS id FROM customer " +
+      "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)"),
+    "q_optional" -> ("SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders " +
+      "WHERE o_totalprice > 400000.0 UNION ALL " +
+      "SELECT CAST(3000000000 + c_custkey AS BIGINT) AS id FROM customer " +
+      "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"),
+    "q_repeat2" -> ("SELECT CAST(5000000000 + l_partkey AS BIGINT) AS id FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F' " +
+      "UNION ALL SELECT CAST(4000000000 + l_suppkey AS BIGINT) AS id FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
+    "q_repeat_emit" -> ("WITH " + liCte + " " +
+      "SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders " +
+      "WHERE o_orderstatus = 'F' " +
+      "UNION ALL SELECT li_id AS id FROM li JOIN orders " +
+      "ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F' " +
+      "UNION ALL SELECT CAST(5000000000 + l_partkey AS BIGINT) AS id FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F' " +
+      "UNION ALL SELECT CAST(4000000000 + l_suppkey AS BIGINT) AS id FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
+    "q_repeat_until" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation"),
+
+    "q_vector_knn" -> ("SELECT CAST(10000000000 + e.vec_id AS BIGINT) AS id " +
+      "FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) " +
+      "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q AS DOUBLE[])) DESC, " +
+      "e.vec_id LIMIT 10"),
+    "q_text_bm25" -> ("WITH " + tokCte + ", " +
+      "lens AS (SELECT doc_id, len(t) AS len FROM toks), " +
+      "stats AS (SELECT count(*) AS n, avg(len) AS avglen FROM lens), " +
+      "post AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(t) AS term FROM toks) " +
+      "WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, term), " +
+      "dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
+      "scores AS (SELECT doc_id, sum(ln(1 + (n - df + 0.5)/(df + 0.5)) * " +
+      "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avglen))) AS s " +
+      "FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
+      "GROUP BY doc_id) " +
+      "SELECT CAST(9000000000 + doc_id AS BIGINT) AS id FROM scores " +
+      "ORDER BY s DESC, doc_id LIMIT 10"),
+
+    "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
+    "q_doc_minhash_pairs" -> ("WITH " + shCte + ", " +
+      "sig AS (SELECT doc_id, " +
+      (0 until 6).map(j =>
+        s"min(substr(md5(concat('$j:', s)), 1, 16)) AS mh$j").mkString(", ") + " " +
+      "FROM sh GROUP BY doc_id), " +
+      "cand AS (" +
+      (0 until 3).map(b =>
+        s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON " +
+          s"a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1} " +
+          "AND a.doc_id < b.doc_id").mkString(" UNION ") + "), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b) " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+      "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    "q_doc_ngram_pairs" -> ("WITH " + shCte + ", " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b FROM inter " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+      "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    "q_embed_pairs" -> ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) >= 0.5"),
+
+    "q_doc_token_count" -> ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) " +
+      "AS BIGINT) AS n_tokens FROM documents"),
+    "q_doc_langid" -> ("WITH d AS (SELECT doc_id, " +
+      "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
+      "FROM documents), s AS (SELECT doc_id, " +
+      TextAnalysis.Markers.map { case (l, ms) =>
+        s"len(list_intersect(t, [${ms.map(m => s"'$m'").mkString(", ")}])) AS s_$l"
+      }.mkString(", ") + " FROM d) " +
+      "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' " +
+      "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' " +
+      "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' " +
+      "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' " +
+      "ELSE 'es' END AS lang_guess FROM s"),
+    "q_doc_quality" -> ("WITH " + tokCte + " " +
+      "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
+      "CAST(len(t.t) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_filter(t.t, x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS BIGINT) AS stop_hits, " +
+      "round(CAST(length(d.text) AS DOUBLE) / greatest(len(t.t), 1), 4) AS mean_tok_len, " +
+      "round(least(len(t.t) / 40.0, 1.0) * 0.5 + " +
+      "least(CAST(len(list_filter(t.t, x -> list_contains(['the','a','of','and','to','in','is','for','on','with'], x))) AS DOUBLE) * 10.0 / greatest(len(t.t), 1), 1.0) * 0.5, 4) AS quality " +
+      "FROM documents d JOIN toks t ON d.doc_id = t.doc_id"),
+    "q_doc_fingerprint" -> ("WITH " + tokCte + " " +
+      "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp FROM toks"),
+  )
 }

@@ -164,7 +164,7 @@ final case class RepeatConfig(
     traversal: Traversal,
     times: Option[Int] = None,
     until: Option[Predicate] = None,
-    emit: EmitBehavior = EmitBehavior.After,
+    emit: EmitBehavior = EmitBehavior.None,
     emitPredicate: Option[Predicate] = None,
     maxDepth: Int = 100)
 

@@ -148,9 +148,11 @@ class Compiler(
     */
   private def nav(cur: Stream, edgeLabel: Option[String], outDir: Boolean): Stream = {
     require(!cur.isEdges, "Out/In/Both require a node stream")
-    val eLabels = edgeLabel.map(Set(_)).getOrElse(
+    val pruned = edgeLabel.map(Set(_)).getOrElse(
       if (outDir) store.outEdgeLabels(cur.labels) else store.inEdgeLabels(cur.labels))
-    if (eLabels.isEmpty) throw new TraversalException(s"no such edge label: $edgeLabel")
+    // meta-pruned to nothing (e.g. a leaf label) -> join against all edges;
+    // the join correctly yields empty. Explicit unknown labels still error.
+    val eLabels = if (pruned.isEmpty) store.edgeLabels else pruned
     val (nearCol, farCol) = if (outDir) ("_src", "_dst") else ("_dst", "_src")
     val targetLabels = if (outDir) store.dstLabelsOf(eLabels) else store.srcLabelsOf(eLabels)
     val edges = store.edgesUnion(eLabels).select(col(nearCol), col(farCol))
@@ -168,9 +170,9 @@ class Compiler(
     */
   private def navE(cur: Stream, edgeLabel: Option[String], outDir: Boolean): Stream = {
     require(!cur.isEdges, "OutE/InE/BothE require a node stream")
-    val eLabels = edgeLabel.map(Set(_)).getOrElse(
+    val pruned = edgeLabel.map(Set(_)).getOrElse(
       if (outDir) store.outEdgeLabels(cur.labels) else store.inEdgeLabels(cur.labels))
-    if (eLabels.isEmpty) throw new TraversalException(s"no such edge label: $edgeLabel")
+    val eLabels = if (pruned.isEmpty) store.edgeLabels else pruned
     val nearCol = if (outDir) "_src" else "_dst"
     val edges = store.edgesUnion(eLabels)
     val keep = keepCols(cur)
@@ -255,6 +257,16 @@ class Compiler(
     * cleaned element stream (id/label/props) when no terminal present.
     */
   def run(t: Traversal): DataFrame = runFrom(t, None, mutable.Map.empty)
+
+  /** Evaluate a non-terminal traversal to its element stream (for
+    * storing as a batch variable consumed by Within/Without/Inject/Var).
+    */
+  def evalToStream(t: Traversal): Stream =
+    compileTail(t.steps.toList, None, mutable.Map.empty) match {
+      case Right(s) => s
+      case Left(_) => throw new TraversalException(
+        "terminal traversal cannot be stored as a stream variable")
+    }
 
   def runFrom(t: Traversal, start: Option[Stream],
       env: mutable.Map[String, Stream]): DataFrame = {
@@ -416,10 +428,9 @@ class Compiler(
         case Step.StoreVar(n) => env(n) = s
         case Step.SelectVar(n) => cur = Some(lookupVar(env, n))
         case Step.Bind(n) =>
-          val fields = s.df.columns.toSeq.filterNot(c => c.startsWith("_b_") && false)
-            .filterNot(_ == "_came")
-          cur = Some(s.copy(df =
-            s.df.withColumn(s"_b_$n", struct(fields.filterNot(_.startsWith("_b_")).map(col): _*))))
+          val fields = s.df.columns.toSeq
+            .filterNot(c => c.startsWith("_b_") || c == "_came")
+          cur = Some(s.copy(df = s.df.withColumn(s"_b_$n", struct(fields.map(col): _*))))
         case Step.Union(branches) =>
           cur = Some(unionStreams(branches.map(b => runSub(b, s, env))))
         case Step.Choose(p, thenT, elseT) =>
@@ -436,8 +447,9 @@ class Compiler(
           var taken: DataFrame = null
           val picked = results.map { r =>
             val kept = if (taken == null) r.df
-              else r.df.join(taken, r.df("_b___origin._id") === taken("__tid"), "left_anti")
-            val origins = kept.select(col("_b___origin._id").as("__tid")).distinct()
+              else r.df.join(taken,
+                col("_b___origin").getField("_id") === taken("__tid"), "left_anti")
+            val origins = kept.select(col("_b___origin").getField("_id").as("__tid")).distinct()
             taken = if (taken == null) origins else taken.union(origins).distinct()
             r.copy(df = kept)
           }
@@ -446,7 +458,7 @@ class Compiler(
         case Step.Optional(t) =>
           val withOrigin = s.copy(df = s.df.withColumn("_b___origin", struct(col("_id"))))
           val r = runSub(t, withOrigin, env)
-          val origins = r.df.select(col("_b___origin._id").as("__tid")).distinct()
+          val origins = r.df.select(col("_b___origin").getField("_id").as("__tid")).distinct()
           val missing = s.df.join(origins, s.df("_id") === origins("__tid"), "left_anti")
           val merged = unionStreams(Seq(r.copy(df = r.df.drop("_b___origin")),
             s.copy(df = missing)))
@@ -546,9 +558,12 @@ class Compiler(
 
   // ---------------------------------------------------------------- repeat
 
-  /** Driver-side BFS loop (SURVEY §2.7). Emits per EmitBehavior;
-    * `until`-satisfying elements exit the loop; localCheckpoint every
-    * few iterations cuts lineage growth on deep repeats.
+  /** Driver-side BFS loop (SURVEY §2.7). Emit semantics: Before = each
+    * frontier entering an iteration (depths 0..n-1); After = each
+    * frontier leaving one (1..n); All = every visited depth (0..n).
+    * `until`-satisfying elements exit the loop as results. A
+    * localCheckpoint every few iterations cuts lineage growth on deep
+    * repeats (the BFS pattern, cf. GraphFrames).
     */
   private def repeat(start: Stream, cfg: RepeatConfig,
       env: mutable.Map[String, Stream]): Stream = {
@@ -560,6 +575,7 @@ class Compiler(
       case Some(p) => s.copy(df = s.df.where(compilePred(s.df, p)))
       case None => s
     }
+    if (cfg.emit == EmitBehavior.All) emitted += emitFilter(frontier)
     var done = false
     while (!done && depth < maxIter) {
       cfg.until.foreach { u =>
@@ -568,16 +584,18 @@ class Compiler(
         emitted += emitFilter(exiting)
         frontier = frontier.copy(df = frontier.df.where(!coalesce(c, lit(false))))
       }
-      if (cfg.emit == EmitBehavior.Before || cfg.emit == EmitBehavior.All)
-        emitted += emitFilter(frontier)
-      val next = runSub(cfg.traversal, frontier, env)
-      depth += 1
-      frontier = if (depth % 5 == 0) next.copy(df = next.df.localCheckpoint(true)) else next
-      if (cfg.emit == EmitBehavior.After || cfg.emit == EmitBehavior.All)
-        emitted += emitFilter(frontier)
-      // empty-frontier termination only when iteration count is open-ended
-      // (each isEmpty is a Spark job — skip it for fixed `times`)
-      if (cfg.times.isEmpty && frontier.df.isEmpty) done = true
+      // emptiness probe (a Spark job) only when the loop is open-ended
+      // or until may have drained the frontier — never for plain times=k
+      val stop = (cfg.until.isDefined || cfg.times.isEmpty) && frontier.df.isEmpty
+      if (stop) done = true
+      else {
+        if (cfg.emit == EmitBehavior.Before) emitted += emitFilter(frontier)
+        val next = runSub(cfg.traversal, frontier, env)
+        depth += 1
+        frontier = if (depth % 5 == 0) next.copy(df = next.df.localCheckpoint(true)) else next
+        if (cfg.emit == EmitBehavior.After || cfg.emit == EmitBehavior.All)
+          emitted += emitFilter(frontier)
+      }
     }
     if (cfg.emit == EmitBehavior.None) {
       if (cfg.until.isEmpty) frontier

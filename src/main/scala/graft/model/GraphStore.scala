@@ -99,6 +99,9 @@ object TestGraph {
     spark.read.parquet(s"$dir/$t.parquet")
 
   def build(spark: SparkSession, dir: String): GraphStore = {
+    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark refuses;
+    // read nanos as long and convert to a proper timestamp column below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def node(df: DataFrame, label: String, idCol: org.apache.spark.sql.Column): DataFrame =
       df.withColumn("_id", idCol.cast("long")).withColumn("_label", lit(label))
 
@@ -109,12 +112,25 @@ object TestGraph {
     val part     = pq(spark, dir, "part")
     val orders   = pq(spark, dir, "orders")
     val lineitem = pq(spark, dir, "lineitem")
-    val events   = pq(spark, dir, "events")
+    val events0  = pq(spark, dir, "events")
+    // nanos-as-long -> TimestampType (µs precision, matches the oracle)
+    val events = if (events0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      events0.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else events0
     val documents  = pq(spark, dir, "documents")
     val embeddings = pq(spark, dir, "embeddings")
 
-    // lineitem natural key = (l_orderkey, l_linenumber); linenumber < 10.
-    val liId = col("l_orderkey") * 10 + col("l_linenumber")
+    // lineitem has NO unique natural key in this synthetic data (dup
+    // (orderkey, linenumber) pairs); the full row IS unique, so assign a
+    // deterministic dense id by total-ordering on all columns. (Test
+    // harness only — a production store allocates ids at ingest; a
+    // global row_number would not fly at 100 TB.)
+    val liWin = org.apache.spark.sql.expressions.Window.orderBy(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    val lineitemR = lineitem.withColumn("_rn", row_number().over(liWin))
+    val liId = col("_rn")
 
     val nodes = Map(
       "Region"    -> node(region, "Region", lit(RegionB * OFF) + col("r_regionkey")),
@@ -123,7 +139,7 @@ object TestGraph {
       "Supplier"  -> node(supplier, "Supplier", lit(SupplierB * OFF) + col("s_suppkey")),
       "Part"      -> node(part, "Part", lit(PartB * OFF) + col("p_partkey")),
       "Order"     -> node(orders, "Order", lit(OrderB * OFF) + col("o_orderkey")),
-      "Lineitem"  -> node(lineitem, "Lineitem", lit(LineitemB * OFF) + liId),
+      "Lineitem"  -> node(lineitemR, "Lineitem", lit(LineitemB * OFF) + liId).drop("_rn"),
       "Event"     -> node(events, "Event", lit(EventB * OFF) + col("event_id")),
       "Document"  -> node(documents, "Document", lit(DocumentB * OFF) + col("doc_id")),
       "Embedding" -> node(embeddings, "Embedding", lit(EmbeddingB * OFF) + col("vec_id")),
@@ -153,12 +169,12 @@ object TestGraph {
         lit(CustomerB * OFF) + col("o_custkey"), lit(OrderB * OFF) + col("o_orderkey")),
       // CONTAINS carries a couple of edge properties to exercise
       // edge-stream filters/sorts (EdgeHas, edge_properties, order_by).
-      "CONTAINS" -> edge(lineitem, "CONTAINS", 24L, liId,
+      "CONTAINS" -> edge(lineitemR, "CONTAINS", 24L, liId,
         lit(OrderB * OFF) + col("l_orderkey"), lit(LineitemB * OFF) + liId,
         Seq("l_quantity" -> col("l_quantity"), "l_linenumber" -> col("l_linenumber"))),
-      "OF_PART" -> edge(lineitem, "OF_PART", 25L, liId,
+      "OF_PART" -> edge(lineitemR, "OF_PART", 25L, liId,
         lit(LineitemB * OFF) + liId, lit(PartB * OFF) + col("l_partkey")),
-      "SUPPLIED_BY" -> edge(lineitem, "SUPPLIED_BY", 26L, liId,
+      "SUPPLIED_BY" -> edge(lineitemR, "SUPPLIED_BY", 26L, liId,
         lit(LineitemB * OFF) + liId, lit(SupplierB * OFF) + col("l_suppkey")),
       "BY_CUSTOMER" -> edge(events, "BY_CUSTOMER", 27L, col("event_id"),
         lit(EventB * OFF) + col("event_id"), lit(CustomerB * OFF) + col("user_id")),
