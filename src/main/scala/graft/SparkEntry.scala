@@ -246,13 +246,13 @@ object SparkEntry {
 
   // ------------------------------------------------------------------ oracle
 
-  /** Lineitem ids are a dense row_number over the full-row total order
-    * (no unique natural key exists in this data) — mirrored here.
+  /** Lineitem ids are content-hashed from all columns (no unique
+    * natural key exists in this data) — mirrored here bit-for-bit.
     */
-  private val liCte = "li AS (SELECT *, CAST(7000000000 + row_number() OVER (ORDER BY " +
-    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, " +
-    "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate) AS BIGINT) AS li_id " +
-    "FROM lineitem)"
+  private val liCte = "li AS (SELECT *, 100000000000000000 + " +
+    "('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+    "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, " +
+    "epoch_ms(l_shipdate))), 1, 14))::BIGINT AS li_id FROM lineitem)"
 
   /** Shared CTE prefix for document tokenization (mirrors
     * TextAnalysis.tokens / Dedup.shingles exactly).
@@ -284,8 +284,9 @@ object SparkEntry {
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
     "q_range" -> ("SELECT o_orderkey FROM orders " +
       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5"),
-    "q_orderby_multi" -> ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
-      "FROM lineitem ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey, l_linenumber LIMIT 20"),
+    "q_orderby_multi" -> ("WITH " + liCte + " " +
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+      "FROM li ORDER BY l_returnflag ASC, l_quantity DESC, li_id LIMIT 20"),
 
     "q_out_count" -> ("SELECT count(*) AS cnt FROM orders JOIN customer " +
       "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'"),

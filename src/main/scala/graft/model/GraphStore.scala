@@ -89,6 +89,10 @@ object TestGraph {
   val RegionB = 1L; val NationB = 2L; val CustomerB = 3L; val SupplierB = 4L
   val PartB = 5L; val OrderB = 6L; val LineitemB = 7L; val EventB = 8L
   val DocumentB = 9L; val EmbeddingB = 10L
+  /** Lineitem ids are content-hashed (no unique natural key); they live
+    * in their own high band well above the arithmetic bands.
+    */
+  val LineitemHashBand = 100000000000000000L // 1e17
   // edge bands start at 20
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
 
@@ -121,15 +125,19 @@ object TestGraph {
     val embeddings = pq(spark, dir, "embeddings")
 
     // lineitem has NO unique natural key in this synthetic data (dup
-    // (orderkey, linenumber) pairs); the full row IS unique, so assign a
-    // deterministic dense id by total-ordering on all columns. (Test
-    // harness only — a production store allocates ids at ingest; a
-    // global row_number would not fly at 100 TB.)
-    val liWin = org.apache.spark.sql.expressions.Window.orderBy(
+    // (orderkey, linenumber) pairs) but the full row IS unique, so use a
+    // content-addressed id: 56-bit md5 of all columns, offset into its
+    // own band. Fully parallel (no global sort/counter — the pattern
+    // that survives 100 TB), deterministic, and reproducible in oracle
+    // SQL. Collision odds at 600k rows: ~2.5e-6.
+    val liKey = concat_ws("|",
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-    val lineitemR = lineitem.withColumn("_rn", row_number().over(liWin))
+      col("l_returnflag"), col("l_linestatus"),
+      // NTZ -> epoch ms; session tz is UTC so this equals DuckDB's epoch_ms
+      unix_millis(col("l_shipdate").cast("timestamp")))
+    val lineitemR = lineitem.withColumn("_rn",
+      lit(LineitemHashBand) + conv(substring(md5(liKey), 1, 14), 16, 10).cast("long"))
     val liId = col("_rn")
 
     val nodes = Map(
@@ -139,7 +147,7 @@ object TestGraph {
       "Supplier"  -> node(supplier, "Supplier", lit(SupplierB * OFF) + col("s_suppkey")),
       "Part"      -> node(part, "Part", lit(PartB * OFF) + col("p_partkey")),
       "Order"     -> node(orders, "Order", lit(OrderB * OFF) + col("o_orderkey")),
-      "Lineitem"  -> node(lineitemR, "Lineitem", lit(LineitemB * OFF) + liId).drop("_rn"),
+      "Lineitem"  -> node(lineitemR, "Lineitem", liId).drop("_rn"),
       "Event"     -> node(events, "Event", lit(EventB * OFF) + col("event_id")),
       "Document"  -> node(documents, "Document", lit(DocumentB * OFF) + col("doc_id")),
       "Embedding" -> node(embeddings, "Embedding", lit(EmbeddingB * OFF) + col("vec_id")),
@@ -169,13 +177,13 @@ object TestGraph {
         lit(CustomerB * OFF) + col("o_custkey"), lit(OrderB * OFF) + col("o_orderkey")),
       // CONTAINS carries a couple of edge properties to exercise
       // edge-stream filters/sorts (EdgeHas, edge_properties, order_by).
-      "CONTAINS" -> edge(lineitemR, "CONTAINS", 24L, liId,
-        lit(OrderB * OFF) + col("l_orderkey"), lit(LineitemB * OFF) + liId,
+      "CONTAINS" -> edge(lineitemR, "CONTAINS", 24L, liId - lit(LineitemHashBand),
+        lit(OrderB * OFF) + col("l_orderkey"), liId,
         Seq("l_quantity" -> col("l_quantity"), "l_linenumber" -> col("l_linenumber"))),
-      "OF_PART" -> edge(lineitemR, "OF_PART", 25L, liId,
-        lit(LineitemB * OFF) + liId, lit(PartB * OFF) + col("l_partkey")),
-      "SUPPLIED_BY" -> edge(lineitemR, "SUPPLIED_BY", 26L, liId,
-        lit(LineitemB * OFF) + liId, lit(SupplierB * OFF) + col("l_suppkey")),
+      "OF_PART" -> edge(lineitemR, "OF_PART", 25L, liId - lit(LineitemHashBand),
+        liId, lit(PartB * OFF) + col("l_partkey")),
+      "SUPPLIED_BY" -> edge(lineitemR, "SUPPLIED_BY", 26L, liId - lit(LineitemHashBand),
+        liId, lit(SupplierB * OFF) + col("l_suppkey")),
       "BY_CUSTOMER" -> edge(events, "BY_CUSTOMER", 27L, col("event_id"),
         lit(EventB * OFF) + col("event_id"), lit(CustomerB * OFF) + col("user_id")),
     )

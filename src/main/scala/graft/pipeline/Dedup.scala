@@ -86,7 +86,13 @@ object Dedup {
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
     val ss = shingleSet(df, textCol, idCol, n)
     val cands = lshCandidates(minhashSignature(df, textCol, idCol, n, numHashes), numHashes, bands)
-    withJaccard(cands, ss)
+    // verify only docs that appear in some candidate pair — the
+    // expensive shared-shingle join runs on the candidate subset, not
+    // the whole corpus (this is the entire point of LSH at scale)
+    val candDocs = cands.select(col("id_a").as("_did"))
+      .union(cands.select(col("id_b").as("_did"))).distinct()
+    val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
+    withJaccard(cands, ssCand)
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
   }
@@ -152,11 +158,7 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bruteForce: Boolean = true): DataFrame = {
     if (bruteForce) {
-      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-      a.crossJoin(b).where(col("id_a") < col("id_b"))
-        .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= threshold)
-        .select("id_a", "id_b")
+      VectorOps.cosinePairsBroadcast(df, vecCol, idCol, threshold)
     } else {
       val model = VectorOps.trainIvf(df.withColumnRenamed(idCol, "_id")
         .withColumnRenamed(vecCol, "_v"), "_v", nlist = 64)
