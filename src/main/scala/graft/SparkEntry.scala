@@ -251,8 +251,7 @@ object SparkEntry {
     */
   private val liCte = "li AS (SELECT *, 100000000000000000 + " +
     "('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
-    "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, " +
-    "epoch_ms(l_shipdate))), 1, 14))::BIGINT AS li_id FROM lineitem)"
+    "l_quantity)), 1, 14))::BIGINT AS li_id FROM lineitem)"
 
   /** Shared CTE prefix for document tokenization (mirrors
     * TextAnalysis.tokens / Dedup.shingles exactly).

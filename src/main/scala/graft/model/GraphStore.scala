@@ -130,14 +130,21 @@ object TestGraph {
     // own band. Fully parallel (no global sort/counter — the pattern
     // that survives 100 TB), deterministic, and reproducible in oracle
     // SQL. Collision odds at 600k rows: ~2.5e-6.
+    // (orderkey, linenumber, partkey, suppkey, quantity) is unique at
+    // every SF — the minimal (cheapest-to-hash) distinguishing key
     val liKey = concat_ws("|",
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-      col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-      col("l_returnflag"), col("l_linestatus"),
-      // NTZ -> epoch ms; session tz is UTC so this equals DuckDB's epoch_ms
-      unix_millis(col("l_shipdate").cast("timestamp")))
-    val lineitemR = lineitem.withColumn("_rn",
-      lit(LineitemHashBand) + conv(substring(md5(liKey), 1, 14), 16, 10).cast("long"))
+      col("l_quantity"))
+    // cache the id-stamped frame: one parallel materialization instead
+    // of re-hashing on every scan (lineitem backs 3 edge tables + nodes).
+    // The parquet is a single ~40MB split, so spread it across the
+    // cluster first — otherwise every downstream scan-side stage runs
+    // on one core.
+    val lineitemR = lineitem
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("_rn",
+        lit(LineitemHashBand) + conv(substring(md5(liKey), 1, 14), 16, 10).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val liId = col("_rn")
 
     val nodes = Map(

@@ -22,6 +22,15 @@ object Dedup {
 
   def tokens(c: Column): Column = TextAnalysis.tokens(c)
 
+  /** Small inputs often arrive as one parquet split; fan the rows out
+    * before CPU-heavy tokenize/hash stages. No-op when the input is
+    * already well-partitioned (the 100 TB case).
+    */
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+  }
+
   /** Word n-gram shingles: ["w1 w2 w3", ...]; empty when < n tokens. */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(c)
@@ -39,7 +48,8 @@ object Dedup {
 
   /** Distinct (id, shingle) pairs — the shared inverted-index shape. */
   def shingleSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("_did"), explode(shingles(col(textCol), n)).as("_sh")).distinct()
+    ensureParallelism(df)
+      .select(col(idCol).as("_did"), explode(shingles(col(textCol), n)).as("_sh")).distinct()
 
   /** MinHash signature: numHashes columns `mh0..mhK`, each the
     * lexicographic min of md5("<j>:" + shingle) over the doc's shingles.
@@ -119,7 +129,8 @@ object Dedup {
     * signature plus a band join helper.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("_did"), explode(tokens(col(textCol))).as("_t"))
+    val tok = ensureParallelism(df)
+      .select(col(idCol).as("_did"), explode(tokens(col(textCol))).as("_t"))
       .groupBy("_did", "_t").agg(count(lit(1)).as("_w"))
       .withColumn("_h", xxhash64(col("_t")))
     // vote per bit: sum(+w if bit set else -w); bit i of result = vote>0

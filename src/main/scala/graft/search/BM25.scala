@@ -24,10 +24,15 @@ object BM25 {
   def tokenize(s: String): Seq[String] =
     s.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
 
+  private def ensurePar(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+  }
+
   /** Per-document postings restricted to `terms`: (_id, len, term, tf). */
   private def postings(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
     val toks = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
-    df.select(col("_id"), toks.as("_toks"))
+    ensurePar(df).select(col("_id"), toks.as("_toks"))
       .select(col("_id"), size(col("_toks")).as("_len"), explode(col("_toks")).as("_term"))
       .where(col("_term").isin(terms: _*))
       .groupBy(col("_id"), col("_len"), col("_term"))
