@@ -108,6 +108,7 @@ object Predicate {
   final case class GteExpr(prop: String, e: Expr) extends Predicate
   final case class LtExpr(prop: String, e: Expr) extends Predicate
   final case class LteExpr(prop: String, e: Expr) extends Predicate
+  final case class BetweenExpr(prop: String, lo: Expr, hi: Expr) extends Predicate
   final case class HasKey(prop: String) extends Predicate
   /** True when missing OR explicitly null (dsl.rs:1617-1618). */
   final case class IsNull(prop: String) extends Predicate
@@ -175,12 +176,19 @@ object PropertyInput {
   final case class FromExpr(e: Expr) extends PropertyInput
 }
 
+/** Non-negative bound for limit/skip/range steps (dsl.rs:1496-1515). */
+sealed trait StreamBound extends Serializable
+object StreamBound {
+  final case class Literal(n: Long) extends StreamBound
+  final case class FromExpr(e: Expr) extends StreamBound
+}
+
 /** Index DDL spec (dsl.rs:2580-2658). */
 sealed trait IndexSpec extends Serializable
 object IndexSpec {
   final case class NodeEquality(label: String, property: String, unique: Boolean = false) extends IndexSpec
   final case class NodeRange(label: String, property: String, descending: Boolean = false) extends IndexSpec
-  final case class EdgeEquality(label: String, property: String, unique: Boolean = false) extends IndexSpec
+  final case class EdgeEquality(label: String, property: String) extends IndexSpec
   final case class EdgeRange(label: String, property: String, descending: Boolean = false) extends IndexSpec
   final case class NodeVector(label: String, property: String, tenantProperty: Option[String] = None) extends IndexSpec
   final case class NodeText(label: String, property: String, tenantProperty: Option[String] = None) extends IndexSpec
@@ -197,13 +205,13 @@ object Step {
   final case class E(ref: EdgeRef) extends Step
   final case class EWhere(p: Predicate) extends Step
   final case class VectorSearchNodes(label: String, property: String,
-      tenantValue: Option[PropertyValue], queryVector: Seq[Float], k: Int) extends Step
+      tenantValue: Option[PropertyInput], queryVector: PropertyInput, k: StreamBound) extends Step
   final case class TextSearchNodes(label: String, property: String,
-      tenantValue: Option[PropertyValue], queryText: String, k: Int) extends Step
+      tenantValue: Option[PropertyInput], queryText: PropertyInput, k: StreamBound) extends Step
   final case class VectorSearchEdges(label: String, property: String,
-      tenantValue: Option[PropertyValue], queryVector: Seq[Float], k: Int) extends Step
+      tenantValue: Option[PropertyInput], queryVector: PropertyInput, k: StreamBound) extends Step
   final case class TextSearchEdges(label: String, property: String,
-      tenantValue: Option[PropertyValue], queryText: String, k: Int) extends Step
+      tenantValue: Option[PropertyInput], queryText: PropertyInput, k: StreamBound) extends Step
   /** As source: start from var; mid-stream: union var into stream (dsl.rs:3909-3913). */
   final case class Inject(varName: String) extends Step
 
@@ -237,7 +245,7 @@ object Step {
   final case class Range(start: Long, end: Long) extends Step
   final case class LimitBy(e: Expr) extends Step
   final case class SkipBy(e: Expr) extends Step
-  final case class RangeBy(start: Expr, end: Expr) extends Step
+  final case class RangeBy(start: StreamBound, end: StreamBound) extends Step
 
   // ---- Aggregations (dsl.rs:3204-3222)
   final case class Group(prop: String) extends Step
@@ -270,8 +278,8 @@ object Step {
   case object Path extends Step       // reserved no-op
   case object SimplePath extends Step // reserved no-op
   final case class WithSack(v: PropertyValue) extends Step // reserved no-op
-  final case class SackSet(v: PropertyInput) extends Step  // reserved no-op
-  final case class SackAdd(v: PropertyInput) extends Step  // reserved no-op
+  final case class SackSet(prop: String) extends Step      // reserved no-op
+  final case class SackAdd(prop: String) extends Step      // reserved no-op
   case object SackGet extends Step                         // reserved no-op
 
   // ---- Mutations (dsl.rs:3121-3167)
@@ -285,6 +293,14 @@ object Step {
   final case class DropEdgeById(ref: EdgeRef) extends Step
   final case class CreateIndex(spec: IndexSpec, ifNotExists: Boolean) extends Step
   final case class DropIndex(spec: IndexSpec) extends Step
+  final case class CreateVectorIndexNodes(label: String, property: String,
+      tenantProperty: Option[String]) extends Step
+  final case class CreateVectorIndexEdges(label: String, property: String,
+      tenantProperty: Option[String]) extends Step
+  final case class CreateTextIndexNodes(label: String, property: String,
+      tenantProperty: Option[String]) extends Step
+  final case class CreateTextIndexEdges(label: String, property: String,
+      tenantProperty: Option[String]) extends Step
 }
 
 final case class Traversal(steps: Vector[Step]) {
@@ -301,7 +317,7 @@ object BatchCondition {
   case object PrevNotEmpty extends BatchCondition
 }
 
-final case class NamedQuery(name: String, traversal: Traversal,
+final case class NamedQuery(name: Option[String], traversal: Traversal,
     condition: Option[BatchCondition] = None)
 
 sealed trait BatchEntry extends Serializable

@@ -26,16 +26,20 @@ final case class Tr(t: Traversal) {
     this + Step.EWhere(Predicate.And(Seq(Predicate.Eq("$label", VString(l)), p)))
   def vectorSearchNodes(label: String, prop: String, q: Seq[Float], k: Int,
       tenant: Option[PropertyValue] = None): Tr =
-    this + Step.VectorSearchNodes(label, prop, tenant, q, k)
+    this + Step.VectorSearchNodes(label, prop, tenant.map(PropertyInput.Value),
+      PropertyInput.Value(VF32Array(q)), StreamBound.Literal(k))
   def textSearchNodes(label: String, prop: String, q: String, k: Int,
       tenant: Option[PropertyValue] = None): Tr =
-    this + Step.TextSearchNodes(label, prop, tenant, q, k)
+    this + Step.TextSearchNodes(label, prop, tenant.map(PropertyInput.Value),
+      PropertyInput.Value(VString(q)), StreamBound.Literal(k))
   def vectorSearchEdges(label: String, prop: String, q: Seq[Float], k: Int,
       tenant: Option[PropertyValue] = None): Tr =
-    this + Step.VectorSearchEdges(label, prop, tenant, q, k)
+    this + Step.VectorSearchEdges(label, prop, tenant.map(PropertyInput.Value),
+      PropertyInput.Value(VF32Array(q)), StreamBound.Literal(k))
   def textSearchEdges(label: String, prop: String, q: String, k: Int,
       tenant: Option[PropertyValue] = None): Tr =
-    this + Step.TextSearchEdges(label, prop, tenant, q, k)
+    this + Step.TextSearchEdges(label, prop, tenant.map(PropertyInput.Value),
+      PropertyInput.Value(VString(q)), StreamBound.Literal(k))
   def inject(v: String): Tr = this + Step.Inject(v)
 
   // navigation

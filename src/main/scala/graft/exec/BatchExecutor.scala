@@ -1,0 +1,75 @@
+package graft.exec
+
+import graft.ast._
+import graft.model.GraphStore
+import org.apache.spark.sql.DataFrame
+
+import scala.collection.mutable
+
+/** Executes a batch (one HTTP request = one transaction, SURVEY §2.7):
+  * ordered entries, named variables, conditions, foreach over array
+  * params, returns selection. Write batches run with mutations enabled
+  * and read their own writes (the updated store threads through the
+  * shared Compiler).
+  */
+class BatchExecutor(initialStore: GraphStore,
+    baseParams: Map[String, PropertyValue] = Map.empty) {
+
+  final case class Result(
+      results: Map[String, DataFrame],
+      store: GraphStore)
+
+  def execute(batch: Batch): Result = {
+    val vars = mutable.Map.empty[String, Stream]
+    val results = mutable.LinkedHashMap.empty[String, DataFrame]
+    var store = initialStore
+    var prevNonEmpty = true
+
+    def cond(c: BatchCondition): Boolean = c match {
+      case BatchCondition.VarNotEmpty(n) => vars.get(n).exists(!_.df.isEmpty)
+      case BatchCondition.VarEmpty(n) => vars.get(n).forall(_.df.isEmpty)
+      case BatchCondition.VarMinSize(n, k) => vars.get(n).exists(_.df.count() >= k)
+      case BatchCondition.PrevNotEmpty => prevNonEmpty
+    }
+
+    def runEntries(entries: Seq[BatchEntry], params: Map[String, PropertyValue]): Unit =
+      entries.foreach {
+        case BatchEntry.Query(q) =>
+          if (q.condition.forall(cond)) {
+            val comp = new Compiler(store, params, vars, writeEnabled = batch.write)
+            comp.compilePublic(q.traversal) match {
+              case Left(df) =>
+                q.name.foreach(n => results(n) = df)
+                prevNonEmpty = !df.isEmpty
+              case Right(stream) =>
+                q.name.foreach { n =>
+                  vars(n) = stream
+                  results(n) = comp.cleanStream(stream)
+                }
+                prevNonEmpty = !stream.df.isEmpty
+            }
+            store = comp.store
+          }
+        case BatchEntry.ForEach(param, body) =>
+          // one execution of the body per object element of the array
+          // param, with that object's fields visible as params
+          // (dsl.rs:4458-4468, parity fixtures 012/013)
+          val arr = params.get(param) match {
+            case Some(PropertyValue.VArray(items)) => items
+            case Some(other) => Seq(other)
+            case None => throw new TraversalException(s"missing foreach param: $param")
+          }
+          arr.foreach {
+            case PropertyValue.VObject(fields) => runEntries(body, params ++ fields)
+            case scalar => runEntries(body, params + (param -> scalar))
+          }
+      }
+
+    runEntries(batch.entries, baseParams)
+
+    val returned =
+      if (batch.returns.isEmpty) results.toMap
+      else batch.returns.flatMap(n => results.get(n).map(n -> _)).toMap
+    Result(returned, store)
+  }
+}

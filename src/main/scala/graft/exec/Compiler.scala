@@ -1,7 +1,7 @@
 package graft.exec
 
 import graft.ast._
-import graft.model.GraphStore
+import graft.model.{EdgeMeta, GraphStore}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,9 +30,10 @@ class TraversalException(msg: String) extends RuntimeException(msg)
   * only `Repeat` is a driver-side loop (BFS pattern, cf. GraphFrames).
   */
 class Compiler(
-    val store: GraphStore,
+    var store: GraphStore,
     val params: Map[String, PropertyValue] = Map.empty,
-    val batchVars: mutable.Map[String, Stream] = mutable.Map.empty) {
+    val batchVars: mutable.Map[String, Stream] = mutable.Map.empty,
+    val writeEnabled: Boolean = false) {
 
   import PropertyValue._
 
@@ -66,9 +67,39 @@ class Compiler(
   def resolveProp(df: DataFrame, name: String): Column = name match {
     case "$id" => col("_id")
     case "$label" => col("_label")
+    // relevance virtual fields populated by vector/text search steps
+    case "$distance" | "$score" =>
+      if (df.columns.contains("_score")) col("_score") else lit(null)
     case n =>
       val head = n.split('.').head
       if (df.columns.contains(head)) col(n) else lit(null)
+  }
+
+  /** Resolve a PropertyInput to a literal PropertyValue (for inputs that
+    * must be known at plan time: query vectors, tenants, bounds).
+    */
+  def resolveInputValue(in: PropertyInput): PropertyValue = in match {
+    case PropertyInput.Value(v) => v
+    case PropertyInput.FromExpr(Expr.Constant(v)) => v
+    case PropertyInput.FromExpr(Expr.Param(n)) =>
+      params.getOrElse(n, throw new TraversalException(s"missing param: $n"))
+    case other => throw new TraversalException(s"input not resolvable at plan time: $other")
+  }
+
+  private def asDoubles(v: PropertyValue): Seq[Double] = v match {
+    case VF32Array(a) => a.map(_.toDouble)
+    case VF64Array(a) => a
+    case VI64Array(a) => a.map(_.toDouble)
+    case VArray(a) => a.map {
+      case VF32(x) => x.toDouble; case VF64(x) => x; case VI64(x) => x.toDouble
+      case other => throw new TraversalException(s"non-numeric vector element: $other")
+    }
+    case other => throw new TraversalException(s"not a vector: $other")
+  }
+
+  private def asString(v: PropertyValue): String = v match {
+    case VString(s) => s
+    case other => throw new TraversalException(s"not a string: $other")
   }
 
   def compileExpr(df: DataFrame, e: Expr): Column = e match {
@@ -104,6 +135,7 @@ class Compiler(
       case Lt(n, v) => r(n) < valueToLit(v)
       case Lte(n, v) => r(n) <= valueToLit(v)
       case Between(n, lo, hi) => r(n).between(valueToLit(lo), valueToLit(hi))
+      case BetweenExpr(n, lo, hi) => r(n).between(compileExpr(df, lo), compileExpr(df, hi))
       case EqExpr(n, e) => r(n) === compileExpr(df, e)
       case NeqExpr(n, e) => r(n) =!= compileExpr(df, e)
       case GtExpr(n, e) => r(n) > compileExpr(df, e)
@@ -272,10 +304,19 @@ class Compiler(
       env: mutable.Map[String, Stream]): DataFrame = {
     compileTail(t.steps.toList, start, env) match {
       case Left(df) => df
-      case Right(s) =>
-        val keep = s.df.columns.toSeq.filter(c => !c.startsWith("_b_") && c != "_came")
-        s.df.select(keep.map(col): _*)
+      case Right(s) => cleanStream(s)
     }
+  }
+
+  /** Compile a traversal to its terminal DataFrame or element stream. */
+  def compilePublic(t: Traversal): Either[DataFrame, Stream] =
+    compileTail(t.steps.toList, None, mutable.Map.empty)
+
+  /** Element stream without bookkeeping columns. */
+  def cleanStream(s: Stream): DataFrame = {
+    val keep = s.df.columns.toSeq
+      .filter(c => !c.startsWith("_b_") && c != "_came" && c != "_score")
+    s.df.select(keep.map(col): _*)
   }
 
   /** Run a sub-traversal from `start`, returning the resulting stream
@@ -319,13 +360,21 @@ class Compiler(
           }
           cur = Some(base.copy(df = base.df.where(compilePred(base.df, p))))
         case Step.VectorSearchNodes(label, prop, tenant, qv, k) =>
-          cur = Some(vectorSearch(store.nodesFor(label), Set(label), prop, tenant, qv, k, isEdges = false))
+          cur = Some(vectorSearch(store.nodesFor(label), Set(label), prop,
+            tenant.map(resolveInputValue), asDoubles(resolveInputValue(qv)),
+            resolveStreamBound(k), isEdges = false))
         case Step.VectorSearchEdges(label, prop, tenant, qv, k) =>
-          cur = Some(vectorSearch(store.edgesFor(label), Set(label), prop, tenant, qv, k, isEdges = true))
+          cur = Some(vectorSearch(store.edgesFor(label), Set(label), prop,
+            tenant.map(resolveInputValue), asDoubles(resolveInputValue(qv)),
+            resolveStreamBound(k), isEdges = true))
         case Step.TextSearchNodes(label, prop, tenant, qt, k) =>
-          cur = Some(textSearch(store.nodesFor(label), Set(label), prop, tenant, qt, k, isEdges = false))
+          cur = Some(textSearch(store.nodesFor(label), Set(label), prop,
+            tenant.map(resolveInputValue), asString(resolveInputValue(qt)),
+            resolveStreamBound(k), isEdges = false))
         case Step.TextSearchEdges(label, prop, tenant, qt, k) =>
-          cur = Some(textSearch(store.edgesFor(label), Set(label), prop, tenant, qt, k, isEdges = true))
+          cur = Some(textSearch(store.edgesFor(label), Set(label), prop,
+            tenant.map(resolveInputValue), asString(resolveInputValue(qt)),
+            resolveStreamBound(k), isEdges = true))
         case Step.Inject(v) =>
           val injected = lookupVar(env, v)
           cur match {
@@ -386,7 +435,7 @@ class Compiler(
         case Step.LimitBy(e) => cur = Some(s.copy(df = s.df.limit(resolveBound(e))))
         case Step.SkipBy(e) => cur = Some(s.copy(df = s.df.offset(resolveBound(e))))
         case Step.RangeBy(a, b) =>
-          val ai = resolveBound(a); val bi = resolveBound(b)
+          val ai = resolveStreamBound(a); val bi = resolveStreamBound(b)
           cur = Some(s.copy(df = s.df.offset(ai).limit(bi - ai)))
 
         // aggregations (terminal-ish: produce result frames)
@@ -467,11 +516,165 @@ class Compiler(
         case Step.Path | Step.SimplePath => () // reserved no-ops (dsl.rs:3227,3232)
         case _: Step.WithSack | _: Step.SackSet | _: Step.SackAdd | Step.SackGet => () // reserved
 
-        case m => throw new TraversalException(
-          s"mutation step $m not allowed in read traversal (use WriteExecutor)")
+        case m => cur = Some(applyMutation(m, cur, env))
       }
     }
     cur.map(Right(_)).getOrElse(Left(spark.emptyDataFrame))
+  }
+
+  // ------------------------------------------------------------ mutations
+
+  private lazy val idBase = new java.util.concurrent.atomic.AtomicLong {
+    val maxNode = if (store.nodeTables.isEmpty) 0L
+      else store.allNodes.agg(max(col("_id"))).head().getLong(0)
+    val maxEdge = if (store.edgeTables.isEmpty) 0L
+      else store.allEdges.agg(max(col("_id"))).head().getLong(0)
+    set(math.max(maxNode, maxEdge) + 1)
+  }
+
+  private def inputCol(df: DataFrame, in: PropertyInput): Column = in match {
+    case PropertyInput.Value(v) => valueToLit(v)
+    case PropertyInput.FromExpr(e) => compileExpr(df, e)
+  }
+
+  /** Write steps (SURVEY §2.8; dsl.rs:3121-3167). Single-writer
+    * semantics (the reference cloud is single-writer too, README.md:221):
+    * ids allocate from a session counter; tables are rebuilt
+    * copy-on-write so later batch entries read their own writes.
+    */
+  private def applyMutation(step: Step, cur: Option[Stream],
+      env: mutable.Map[String, Stream]): Stream = {
+    if (!writeEnabled) throw new TraversalException(
+      s"mutation step in read traversal: $step (send a write batch)")
+    def s: Stream = cur.getOrElse(throw new TraversalException("mutation needs a stream"))
+    step match {
+      case Step.AddN(label, props) =>
+        val id = idBase.getAndIncrement()
+        val dummy = spark.range(1)
+        val cols = Seq(lit(id).cast("long").as("_id"), lit(label).as("_label")) ++
+          props.map { case (k, in) => inputCol(dummy.toDF(), in).as(k) }
+        val row = dummy.select(cols: _*)
+        store = store.withNodes(label,
+          store.nodeTables.get(label).map(_.unionByName(row, allowMissingColumns = true))
+            .getOrElse(row))
+        Stream(store.nodesFor(label).where(col("_id") === id), isEdges = false, Some(Set(label)))
+
+      case Step.AddE(label, to, props) =>
+        val target = sourceNodes(to, env)
+        val left = s.df.select(col("_id").as("_src"))
+        val right = target.df.select(col("_id").as("_dst"))
+        val base = idBase.get()
+        val win = org.apache.spark.sql.expressions.Window.orderBy(col("_src"), col("_dst"))
+        val cols = Seq((lit(base) + row_number().over(win).cast("long") - 1).as("_id"),
+          lit(label).as("_label"), col("_src"), col("_dst")) ++
+          props.map { case (k, in) => inputCol(left, in).as(k) }
+        val rows = left.crossJoin(right).select(cols: _*)
+        val n = rows.count()
+        idBase.addAndGet(n)
+        val meta = EdgeMeta(
+          s.labels.getOrElse(store.nodeLabels) ++ store.edgeMeta.get(label).map(_.srcLabels).getOrElse(Set.empty),
+          target.labels.getOrElse(store.nodeLabels) ++ store.edgeMeta.get(label).map(_.dstLabels).getOrElse(Set.empty))
+        store = store.withEdges(label,
+          store.edgeTables.get(label).map(_.unionByName(rows, allowMissingColumns = true))
+            .getOrElse(rows), Some(meta))
+        Stream(store.edgesFor(label).where(col("_id") >= base && col("_id") < base + n),
+          isEdges = true, Some(Set(label)))
+
+      case Step.SetProperty(name, in) =>
+        val updates = s.df.select(col("_id").as("__uid"), inputCol(s.df, in).as("__newv"))
+        val labels = s.labels.getOrElse(if (s.isEdges) store.edgeLabels else store.nodeLabels)
+        labels.foreach { l =>
+          val table = if (s.isEdges) store.edgesFor(l) else store.nodesFor(l)
+          val joined = table.join(updates, table("_id") === updates("__uid"), "left")
+          val existing = if (table.columns.contains(name)) col(name) else lit(null)
+          val upd = joined
+            .withColumn("__tmp", when(col("__uid").isNotNull, col("__newv")).otherwise(existing))
+            .drop(name, "__uid", "__newv").withColumnRenamed("__tmp", name)
+          store = if (s.isEdges) store.withEdges(l, upd) else store.withNodes(l, upd)
+        }
+        s.copy(df = s.df.withColumn(name, inputCol(s.df, in)))
+
+      case Step.RemoveProperty(name) =>
+        val ids = s.df.select(col("_id").as("__uid"))
+        val labels = s.labels.getOrElse(if (s.isEdges) store.edgeLabels else store.nodeLabels)
+        labels.foreach { l =>
+          val table = if (s.isEdges) store.edgesFor(l) else store.nodesFor(l)
+          if (table.columns.contains(name)) {
+            val joined = table.join(ids, table("_id") === ids("__uid"), "left")
+            val upd = joined
+              .withColumn("__tmp", when(col("__uid").isNotNull, lit(null)).otherwise(col(name)))
+              .drop(name, "__uid").withColumnRenamed("__tmp", name)
+            store = if (s.isEdges) store.withEdges(l, upd) else store.withNodes(l, upd)
+          }
+        }
+        s.copy(df = s.df.withColumn(name, lit(null)))
+
+      case Step.Drop =>
+        val ids = s.df.select(col("_id").as("__did"))
+        if (!s.isEdges) {
+          val labels = s.labels.getOrElse(store.nodeLabels)
+          labels.foreach { l =>
+            store = store.withNodes(l,
+              store.nodesFor(l).join(ids, col("_id") === col("__did"), "left_anti"))
+          }
+          // cascade: drop incident edges (dsl.rs:3147 doc)
+          store.edgeLabels.foreach { l =>
+            store = store.withEdges(l, store.edgesFor(l)
+              .join(ids, col("_src") === col("__did"), "left_anti")
+              .join(ids, col("_dst") === col("__did"), "left_anti"))
+          }
+        } else {
+          val labels = s.labels.getOrElse(store.edgeLabels)
+          labels.foreach { l =>
+            store = store.withEdges(l,
+              store.edgesFor(l).join(ids, col("_id") === col("__did"), "left_anti"))
+          }
+        }
+        s.copy(df = s.df.limit(0))
+
+      case Step.DropEdge(to) => dropEdges(s, to, None, env)
+      case Step.DropEdgeLabeled(to, label) => dropEdges(s, to, Some(label), env)
+
+      case Step.DropEdgeById(ref) =>
+        val ids = sourceEdges(ref, env).df.select(col("_id").as("__did"))
+        store.edgeLabels.foreach { l =>
+          store = store.withEdges(l,
+            store.edgesFor(l).join(ids, col("_id") === col("__did"), "left_anti"))
+        }
+        s
+
+      case Step.CreateIndex(spec, _) => store = store.withIndexes(store.indexes + spec); s
+      case Step.DropIndex(spec) => store = store.withIndexes(store.indexes - spec); s
+      case Step.CreateVectorIndexNodes(l, p, t) =>
+        store = store.withIndexes(store.indexes + IndexSpec.NodeVector(l, p, t)); s
+      case Step.CreateVectorIndexEdges(l, p, t) =>
+        store = store.withIndexes(store.indexes + IndexSpec.EdgeVector(l, p, t)); s
+      case Step.CreateTextIndexNodes(l, p, t) =>
+        store = store.withIndexes(store.indexes + IndexSpec.NodeText(l, p, t)); s
+      case Step.CreateTextIndexEdges(l, p, t) =>
+        store = store.withIndexes(store.indexes + IndexSpec.EdgeText(l, p, t)); s
+
+      case other => throw new TraversalException(s"unsupported step: $other")
+    }
+  }
+
+  /** Delete ALL edges cur -> to (multigraph caveat dsl.rs:3150-3152),
+    * optionally restricted to one label.
+    */
+  private def dropEdges(s: Stream, to: NodeRef, label: Option[String],
+      env: mutable.Map[String, Stream]): Stream = {
+    val srcIds = s.df.select(col("_id").as("__sid"))
+    val dstIds = sourceNodes(to, env).df.select(col("_id").as("__tid"))
+    val labels = label.map(Set(_)).getOrElse(store.edgeLabels)
+    labels.foreach { l =>
+      val table = store.edgesFor(l)
+      val bad = table
+        .join(srcIds, col("_src") === col("__sid"), "left_semi")
+        .join(dstIds, col("_dst") === col("__tid"), "left_semi")
+        .select(col("_id").as("__bid"))
+      store = store.withEdges(l, table.join(bad, col("_id") === col("__bid"), "left_anti"))
+    }
+    s
   }
 
   /** Extract label literals pinned by a top-level `$label` equality
@@ -502,6 +705,11 @@ class Compiler(
       case other => throw new TraversalException(s"bad bound param $n: $other")
     }
     case other => throw new TraversalException(s"unsupported stream bound: $other")
+  }
+
+  private def resolveStreamBound(b: StreamBound): Int = b match {
+    case StreamBound.Literal(n) => n.toInt
+    case StreamBound.FromExpr(e) => resolveBound(e)
   }
 
   // ------------------------------------------------------------ projections
@@ -612,15 +820,15 @@ class Compiler(
     * matching exact variant used for parity (SURVEY §2.1, dsl.rs:2813-2832).
     */
   private def vectorSearch(base: DataFrame, labels: Set[String], prop: String,
-      tenant: Option[PropertyValue], qv: Seq[Float], k: Int, isEdges: Boolean): Stream = {
+      tenant: Option[PropertyValue], qv: Seq[Double], k: Int, isEdges: Boolean): Stream = {
     val filtered = tenant match {
       case Some(t) => base.where(col("tenant") === valueToLit(t))
       case None => base
     }
     val scored = filtered.withColumn("_score",
-      graft.search.VectorOps.cosineSim(col(prop), qv.map(_.toDouble)))
+      graft.search.VectorOps.cosineSim(col(prop), qv))
     val top = scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
-    Stream(top.drop("_score"), isEdges, Some(labels))
+    Stream(top, isEdges, Some(labels))
   }
 
   /** BM25 top-k (dsl.rs:2834-2847); scoring in graft.search.BM25. */
@@ -630,7 +838,7 @@ class Compiler(
       case Some(t) => base.where(col("tenant") === valueToLit(t))
       case None => base
     }
-    val top = graft.search.BM25.topK(filtered, prop, query, k)
+    val top = graft.search.BM25.topK(filtered, prop, query, k, keepScore = true)
     Stream(top, isEdges, Some(labels))
   }
 }

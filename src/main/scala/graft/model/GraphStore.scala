@@ -26,7 +26,22 @@ final class GraphStore(
     val spark: SparkSession,
     val nodeTables: Map[String, DataFrame],
     val edgeTables: Map[String, DataFrame],
-    val edgeMeta: Map[String, EdgeMeta]) {
+    val edgeMeta: Map[String, EdgeMeta],
+    val indexes: Set[graft.ast.IndexSpec] = Set.empty) {
+
+  def withNodes(label: String, df: DataFrame): GraphStore =
+    new GraphStore(spark, nodeTables + (label -> df), edgeTables, edgeMeta, indexes)
+  def withEdges(label: String, df: DataFrame, meta: Option[EdgeMeta] = None): GraphStore =
+    new GraphStore(spark, nodeTables, edgeTables + (label -> df),
+      meta.map(m => edgeMeta + (label -> m)).getOrElse(edgeMeta), indexes)
+  def withIndexes(ix: Set[graft.ast.IndexSpec]): GraphStore =
+    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, ix)
+
+  /** Empty store bound to a session (write batches can build a graph
+    * from scratch via AddN/AddE).
+    */
+  def this(spark: SparkSession) =
+    this(spark, Map.empty, Map.empty, Map.empty)
 
   /** All node labels that can be reached out of / into the given edge labels. */
   def nodeLabels: Set[String] = nodeTables.keySet

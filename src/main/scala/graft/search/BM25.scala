@@ -70,13 +70,17 @@ object BM25 {
       .groupBy(col("_id")).agg(sum(col("_termScore")).as("_bm25"))
   }
 
-  /** Top-k rows of `df` by BM25 relevance of `textCol` to `query`. */
-  def topK(df: DataFrame, textCol: String, query: String, k: Int): DataFrame = {
+  /** Top-k rows of `df` by BM25 relevance of `textCol` to `query`.
+    * With keepScore the relevance stays available as `_score`
+    * (the `$score` virtual field).
+    */
+  def topK(df: DataFrame, textCol: String, query: String, k: Int,
+      keepScore: Boolean = false): DataFrame = {
     val scores = score(df, textCol, query)
-    df.join(scores, "_id")
+    val top = df.join(scores, "_id")
       .orderBy(col("_bm25").desc, col("_id").asc)
       .limit(k)
-      .drop("_bm25")
+    if (keepScore) top.withColumnRenamed("_bm25", "_score") else top.drop("_bm25")
   }
 
   /** Top-k (_id, score) pairs — for callers that want the relevance. */

@@ -1,0 +1,80 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+import graft.ast.Json
+import graft.exec.BatchExecutor
+import graft.model.GraphStore
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP façade mirroring the reference gateway surface:
+  * `POST /v1/query` accepts the DynamicQueryRequest envelope and
+  * returns JSON keyed by the batch's returned variable names
+  * (sdks/rust/src/lib.rs:244-247; default local port 6969,
+  * helix-cli/src/config.rs:7). Built on the JDK's HttpServer —
+  * no extra dependencies.
+  */
+class Gateway(@volatile private var store: GraphStore, port: Int = 6969) {
+
+  private var server: HttpServer = _
+
+  def currentStore: GraphStore = store
+
+  /** Render a result frame: single-row single-column -> scalar;
+    * otherwise an array of row objects (CLI prints raw JSON,
+    * commands/query.rs:93-101).
+    */
+  private def renderDf(df: DataFrame): String = {
+    val rows = df.toJSON.collect()
+    if (rows.length == 1 && df.columns.length == 1) {
+      // unwrap {"col": value} -> value
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rows(0))
+      m.get(df.columns(0)).toString
+    } else rows.mkString("[", ",", "]")
+  }
+
+  def handle(body: String): String = {
+    val req = Json.parseRequest(body)
+    val exec = new BatchExecutor(store, req.parameters)
+    val out = exec.execute(req.batch)
+    if (req.batch.write) store = out.store
+    out.results.toSeq.sortBy(_._1)
+      .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
+      .mkString("{", ",", "}")
+  }
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/v1/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          try Gateway.this.handle(
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          catch {
+            case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
+          }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
