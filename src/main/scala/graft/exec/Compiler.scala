@@ -819,10 +819,24 @@ class Compiler(
     * Scale path (IVF/LSH) lives in graft.search; this is the oracle-
     * matching exact variant used for parity (SURVEY §2.1, dsl.rs:2813-2832).
     */
+  /** Tenant partition column for a (label, property) search: the
+    * declared index's tenant_property (IndexSpec, dsl.rs:2618-2658),
+    * else the conventional `tenantId`/`tenant` column.
+    */
+  private def tenantColumn(base: DataFrame, label: String, prop: String): String = {
+    val declared = store.indexes.collectFirst {
+      case IndexSpec.NodeVector(l, p, Some(t)) if l == label && p == prop => t
+      case IndexSpec.NodeText(l, p, Some(t)) if l == label && p == prop => t
+      case IndexSpec.EdgeVector(l, p, Some(t)) if l == label && p == prop => t
+      case IndexSpec.EdgeText(l, p, Some(t)) if l == label && p == prop => t
+    }
+    declared.getOrElse(if (base.columns.contains("tenantId")) "tenantId" else "tenant")
+  }
+
   private def vectorSearch(base: DataFrame, labels: Set[String], prop: String,
       tenant: Option[PropertyValue], qv: Seq[Double], k: Int, isEdges: Boolean): Stream = {
     val filtered = tenant match {
-      case Some(t) => base.where(col("tenant") === valueToLit(t))
+      case Some(t) => base.where(col(tenantColumn(base, labels.head, prop)) === valueToLit(t))
       case None => base
     }
     val scored = filtered.withColumn("_score",
@@ -835,7 +849,7 @@ class Compiler(
   private def textSearch(base: DataFrame, labels: Set[String], prop: String,
       tenant: Option[PropertyValue], query: String, k: Int, isEdges: Boolean): Stream = {
     val filtered = tenant match {
-      case Some(t) => base.where(col("tenant") === valueToLit(t))
+      case Some(t) => base.where(col(tenantColumn(base, labels.head, prop)) === valueToLit(t))
       case None => base
     }
     val top = graft.search.BM25.topK(filtered, prop, query, k, keepScore = true)

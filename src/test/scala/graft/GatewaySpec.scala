@@ -1,0 +1,59 @@
+package graft
+
+import graft.server.Gateway
+
+/** End-to-end protocol test: the envelope goes in, JSON keyed by
+  * returned variables comes out — without binding a socket (handle())
+  * plus one real HTTP round-trip.
+  */
+class GatewaySpec extends GraftSuite {
+
+  test("scaffolded node_count request end-to-end") {
+    val gw = new Gateway(TestBase.parityGraph())
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"node_count",
+        "steps":[{"NWhere":{"Eq":["$label",{"String":"ParityUser"}]}},"Count"],
+        "condition":null}}],"returns":["node_count"]},"parameters":{}}""")
+    assert(resp == """{"node_count":3}""")
+  }
+
+  test("write then read in separate requests (store persists)") {
+    val gw = new Gateway(TestBase.parityGraph())
+    gw.handle(
+      """{"request_type":"write","query":{"queries":[{"Query":{"name":"created",
+        "steps":[{"AddN":{"label":"ParityUser","properties":[
+        ["name",{"Value":{"String":"Dana"}}]]}}],"condition":null}}],
+        "returns":["created"]},"parameters":{}}""")
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"n",
+        "steps":[{"NWhere":{"Eq":["$label",{"String":"ParityUser"}]}},"Count"],
+        "condition":null}}],"returns":["n"]},"parameters":{}}""")
+    assert(resp == """{"n":4}""")
+  }
+
+  test("multi-row results render as row arrays") {
+    val gw = new Gateway(TestBase.parityGraph())
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"names",
+        "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+        "condition":null}}],"returns":["names"]},"parameters":{}}""")
+    assert(resp == """{"names":[{"name":"Alice"},{"name":"Bob"},{"name":"Carol"}]}""")
+  }
+
+  test("HTTP server answers POST /v1/query") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16969)
+    gw.start()
+    try {
+      val conn = new java.net.URL("http://localhost:16969/v1/query")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"request_type":"read","query":{"queries":[{"Query":{"name":"c",
+          "steps":[{"N":"All"},"Count"],"condition":null}}],
+          "returns":["c"]},"parameters":{}}""".getBytes("UTF-8"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body == """{"c":3}""")
+    } finally gw.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ast._
+import graft.ast.PropertyValue._
+import graft.dsl.Dsl._
+import graft.exec.BatchExecutor
+import graft.model.GraphStore
+
+/** Write-batch semantics (SURVEY §2.8): mutations, read-your-writes,
+  * conditions, foreach.
+  */
+class MutationSpec extends GraftSuite {
+
+  test("AddN creates a node and becomes the stream") {
+    val comp = TestBase.compiler(write = true)
+    val created = comp.run(g().addN("ParityUser",
+      "name" -> VString("Dave"), "age" -> VI64(50)).values("name").t)
+    assert(rows(created) == Seq(Seq("Dave")))
+    assert(singleLong(comp.run(g().nWithLabel("ParityUser").count().t)) == 4)
+  }
+
+  test("AddN bootstraps an empty store") {
+    val comp = new graft.exec.Compiler(new GraphStore(spark),
+      writeEnabled = true)
+    comp.run(g().addN("Doc", "title" -> VString("hello")).t)
+    assert(singleLong(comp.run(g().nWithLabel("Doc").count().t)) == 1)
+  }
+
+  test("AddE links current nodes to target ref") {
+    val comp = TestBase.compiler(write = true)
+    comp.run(g().n(3L).addE("FOLLOWS", NodeRef.Ids(Seq(1L)),
+      "weight" -> VF64(0.7)).t)
+    assert(singleLong(comp.run(g().eWithLabel("FOLLOWS").count().t)) == 3)
+    assert(ids(comp.run(g().n(3L).out("FOLLOWS").id().t)) == Seq(1L))
+  }
+
+  test("SetProperty / RemoveProperty update matching nodes only") {
+    val comp = TestBase.compiler(write = true)
+    comp.run(g().n(1L).setProperty("city", VString("Oslo")).t)
+    val cities = comp.run(g().nWithLabel("ParityUser").orderBy("$id").values("city").t)
+    assert(rows(cities).map(_.head) == Seq("Oslo", "Paris", "Berlin"))
+    comp.run(g().n(2L).removeProperty("city").t)
+    val after = comp.run(g().nWithLabel("ParityUser").orderBy("$id").values("city").t)
+    assert(rows(after).map(_.head) == Seq("Oslo", null, "Berlin"))
+  }
+
+  test("Drop cascades to incident edges") {
+    val comp = TestBase.compiler(write = true)
+    comp.run(g().n(2L).drop().t)
+    assert(singleLong(comp.run(g().n().count().t)) == 2)
+    assert(singleLong(comp.run(g().e().count().t)) == 0)
+  }
+
+  test("DropEdge / DropEdgeLabeled / DropEdgeById") {
+    val comp = TestBase.compiler(write = true)
+    comp.run(g().n(1L).t) // warm
+    comp.run(Traversal(Vector(Step.N(NodeRef.Ids(Seq(1L))),
+      Step.DropEdge(NodeRef.Ids(Seq(2L))))))
+    assert(singleLong(comp.run(g().eWithLabel("FOLLOWS").count().t)) == 1)
+    val comp2 = TestBase.compiler(write = true)
+    comp2.run(Traversal(Vector(Step.E(EdgeRef.Ids(Seq(101L))), Step.DropEdgeById(EdgeRef.Ids(Seq(101L))))))
+    assert(singleLong(comp2.run(g().e().count().t)) == 1)
+  }
+
+  test("index DDL registers metadata") {
+    val comp = TestBase.compiler(write = true)
+    comp.run(Traversal(Vector(Step.N(NodeRef.All),
+      Step.CreateVectorIndexNodes("ParityUser", "embedding", Some("tenantId")))))
+    assert(comp.store.indexes.contains(
+      IndexSpec.NodeVector("ParityUser", "embedding", Some("tenantId"))))
+  }
+
+  test("batch: vars, conditions, read-your-writes, returns") {
+    val exec = new BatchExecutor(TestBase.parityGraph())
+    val batch = Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("created"),
+        g().addN("ParityUser", "name" -> VString("Eve"), "status" -> VString("active")).t)),
+      BatchEntry.Query(NamedQuery(Some("all_count"),
+        g().nWithLabel("ParityUser").count().t,
+        Some(BatchCondition.VarNotEmpty("created")))),
+      BatchEntry.Query(NamedQuery(Some("skipped"),
+        g().n().count().t, Some(BatchCondition.VarEmpty("created")))),
+    ), returns = Seq("all_count", "skipped"), write = true)
+    val out = exec.execute(batch)
+    assert(singleLong(out.results("all_count")) == 4)
+    assert(!out.results.contains("skipped"))
+  }
+
+  test("batch: foreach over array param") {
+    val params = Map("users" -> VArray(Seq(
+      VObject(Map("n" -> VString("U1"))), VObject(Map("n" -> VString("U2"))))))
+    val exec = new BatchExecutor(new GraphStore(spark), params)
+    val batch = Batch(Seq(
+      BatchEntry.ForEach("users", Seq(
+        BatchEntry.Query(NamedQuery(Some("made"),
+          Traversal(Vector(Step.AddN("U",
+            Seq("n" -> PropertyInput.FromExpr(Expr.Param("n")))))))))),
+      BatchEntry.Query(NamedQuery(Some("total"),
+        g().nWithLabel("U").count().t)),
+    ), returns = Seq("total"), write = true)
+    assert(singleLong(exec.execute(batch).results("total")) == 2)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
+
+/** Training-data pipeline operators: dedup family, text analysis,
+  * multimodal plumbing.
+  */
+class PipelineSpec extends GraftSuite {
+
+  private def docs() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+      (3L, "completely different text about database engines and queries"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (5L, "der schnelle braune fuchs springt und der hund ist nicht froh"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps one id per distinct text") {
+    val kept = Dedup.exact(docs(), "text", "doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapses into 1
+  }
+
+  test("ngram jaccard finds near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs(), "text", "doc_id", n = 3, num = 6, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates include true near-dups and verification filters") {
+    val pairs = Dedup.minhashPairs(docs(), "text", "doc_id",
+      n = 3, numHashes = 6, bands = 3, num = 6, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical docs share every band
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs exact dups at distance 0") {
+    val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embedding cosine pairs via broadcast kernel") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(embs, "embedding", "vec_id", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("language id picks marker-rich language") {
+    val r = docs().select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(5L) == "de")
+  }
+
+  test("token count, quality metrics, fingerprint") {
+    val d = docs()
+    val tc = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .where(col("doc_id") === 1L).collect()(0).getLong(1)
+    assert(tc == 13L)
+    val q = d.select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+      .where(col("doc_id") === 1L).collect()(0)
+    assert(q.getLong(2) == 13L) // n_tokens
+    assert(q.getLong(3) == 3L)  // stop hits: "the" x3
+    val fp = d.select(TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("multimodal: feature extraction keeps schema + adds fixed-dim features") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val out = Multimodal.extractFeatures(media, dim = 16)
+    assert(out.columns.contains("features"))
+    val f = out.select("features").collect()
+    assert(f.forall(_.getSeq[Float](0).length == 16))
+    // deterministic: same input bytes -> same features
+    val again = Multimodal.extractFeatures(media, dim = 16)
+      .select("media_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val first = out.select("media_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == first)
+  }
+
+  test("multimodal: resize updates image meta only; frame sampling explodes videos") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val resized = Multimodal.resizeImages(media, 224, 224)
+    val img = resized.where(col("modality") === "image").select("meta.width").distinct().collect()
+    assert(img.map(_.getInt(0)).toSeq == Seq(224))
+    val aud = resized.where(col("modality") === "audio").select("meta.width").distinct().collect()
+    assert(aud.map(_.getInt(0)).length > 1)
+    val frames = Multimodal.sampleFrames(media, stride = 10)
+    assert(frames.where(col("modality") =!= "video").count() == 0)
+    assert(frames.count() > media.where(col("modality") === "video").count())
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.{BM25, VectorOps}
+
+/** Vector + BM25 search kernels (replacements for the reference's HNSW
+  * m=16/ef_search=768 and default-on BM25 — BASELINE.md).
+  */
+class SearchSpec extends GraftSuite {
+
+  private def vecs(n: Int, dim: Int) = {
+    val s = spark
+    import s.implicits._
+    // deterministic clustered vectors: cluster c at e_c + small offset
+    (0 until n).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(dim)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7))
+      (i.toLong, v.toSeq)
+    }.toDF("_id", "emb")
+  }
+
+  test("brute-force top-k matches exact ranking") {
+    val df = vecs(200, 16)
+    val q = Seq.tabulate(16)(j => if (j == 3) 1.0 else 0.0)
+    val top = VectorOps.bruteForceTopK(df, "emb", q, 5).select("_id").collect().map(_.getLong(0))
+    // all results must be from cluster 3 (ids ≡ 3 mod 8)
+    assert(top.forall(_ % 8 == 3))
+    assert(top.length == 5)
+  }
+
+  test("IVF top-k recalls the brute-force result on clustered data") {
+    val df = vecs(400, 16).cache()
+    val q = Seq.tabulate(16)(j => if (j == 5) 1.0 else 0.0)
+    val brute = VectorOps.bruteForceTopK(df, "emb", q, 10)
+      .select("_id").collect().map(_.getLong(0)).toSet
+    val model = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+    val ivf = VectorOps.ivfTopK(df, "emb", model, q, 10, nprobe = 3)
+      .select("_id").collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
+  test("cosinePairsBroadcast equals the declarative crossJoin result") {
+    val df = vecs(80, 8)
+    val kernel = VectorOps.cosinePairsBroadcast(df, "emb", "_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = df.select(col("_id").as("id_a"), col("emb").as("_va"))
+    val b = df.select(col("_id").as("id_b"), col("emb").as("_vb"))
+    val declarative = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == declarative)
+    assert(kernel.nonEmpty)
+  }
+
+  test("BM25 ranks exact term matches above partial ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark query engine with hash joins"),
+      (2L, "hash tables and hash maps, hash everywhere hash"),
+      (3L, "gardening tips for spring"),
+      (4L, "spark hash spark hash spark"),
+    ).toDF("_id", "text")
+    val top = BM25.topKScores(docs, "text", "spark hash", 3).collect()
+    assert(top.map(_.getLong(0)).take(2).toSet == Set(4L, 1L))
+    // doc 3 shares no terms: must be absent entirely
+    assert(!top.map(_.getLong(0)).contains(3L))
+  }
+
+  test("BM25 idf downweights ubiquitous terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common common common"),
+      (3L, "common word soup"),
+    ).toDF("_id", "text")
+    val scores = BM25.score(docs, "text", "rare common").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("buildIndex postings agree with on-the-fly scoring") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a a d")).toDF("_id", "text")
+    val (post, stats) = BM25.buildIndex(docs, "text")
+    assert(post.where(col("_term") === "a").count() == 2)
+    val st = stats.collect()(0)
+    assert(st.getLong(0) == 2 && st.getDouble(1) == 3.0)
+  }
+}
