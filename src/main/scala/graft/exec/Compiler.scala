@@ -174,11 +174,29 @@ class Compiler(
 
   private def keepCols(s: Stream): Seq[String] = s.bindingCols
 
-  /** node stream -> neighbor node stream via out/in edges.
-    * Two equi-joins (cur ⋈ edges ⋈ nodes); the edge/node tables joined
-    * are pruned to the labels statically reachable (edgeMeta).
+  /** Steps that only ever touch `_id` — if every remaining step is in
+    * this set, adjacency can skip the target-node join entirely
+    * (SURVEY §4.2 "adjacency fusion": prune the nodes-join when the
+    * next steps only need ids). Empty rest = unknown continuation
+    * (sub-traversal) -> not provably props-free.
     */
-  private def nav(cur: Stream, edgeLabel: Option[String], outDir: Boolean): Stream = {
+  private def propsFree(rest: List[Step]): Boolean = rest.nonEmpty && rest.forall {
+    case Step.Count | Step.Exists | Step.Id | Step.Dedup => true
+    case _: Step.Within | _: Step.Without => true
+    case _: Step.Limit | _: Step.Skip | _: Step.Range => true
+    case _ => false
+  }
+
+  /** node stream -> neighbor node stream via out/in edges. Per edge
+    * label: cur ⋈ edges ⋈ nodes(dst labels of that edge label) — the
+    * per-label split keeps each join pruned to exactly the reachable
+    * tables. When the continuation is props-free and the edge label has
+    * a single endpoint label, the nodes join is skipped and `_id`/
+    * `_label` are synthesized from the edge (valid under the store's
+    * referential-integrity invariant, which cascade Drop maintains).
+    */
+  private def nav(cur: Stream, edgeLabel: Option[String], outDir: Boolean,
+      rest: List[Step] = Nil): Stream = {
     require(!cur.isEdges, "Out/In/Both require a node stream")
     val pruned = edgeLabel.map(Set(_)).getOrElse(
       if (outDir) store.outEdgeLabels(cur.labels) else store.inEdgeLabels(cur.labels))
@@ -186,15 +204,25 @@ class Compiler(
     // the join correctly yields empty. Explicit unknown labels still error.
     val eLabels = if (pruned.isEmpty) store.edgeLabels else pruned
     val (nearCol, farCol) = if (outDir) ("_src", "_dst") else ("_dst", "_src")
-    val targetLabels = if (outDir) store.dstLabelsOf(eLabels) else store.srcLabelsOf(eLabels)
-    val edges = store.edgesUnion(eLabels).select(col(nearCol), col(farCol))
     val keep = keepCols(cur)
     val left = cur.df.select(col("_id").as("__cur") +: keep.map(col): _*)
-    val mid = left.join(edges, col("__cur") === col(nearCol))
-      .select(col(farCol).as("__far") +: keep.map(col): _*)
-    val target = store.nodesUnion(targetLabels)
-    val res = mid.join(target, col("__far") === target("_id")).drop("__far")
-    Stream(res, isEdges = false, Some(targetLabels))
+    val skipJoin = propsFree(rest)
+    val branches = eLabels.toSeq.sorted.map { el =>
+      val tls = if (outDir) store.dstLabelsOf(Set(el)) else store.srcLabelsOf(Set(el))
+      val edges = store.edgesFor(el).select(col(nearCol), col(farCol))
+      val mid = left.join(edges, col("__cur") === col(nearCol))
+        .select(col(farCol).as("__far") +: keep.map(col): _*)
+      val df =
+        if (skipJoin && tls.size == 1)
+          mid.select(col("__far").as("_id") +: lit(tls.head).as("_label") +: keep.map(col): _*)
+        else {
+          val target = store.nodesUnion(tls)
+          mid.join(target, col("__far") === target("_id")).drop("__far")
+        }
+      (df, tls)
+    }
+    val df = branches.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
+    Stream(df, isEdges = false, Some(branches.flatMap(_._2).toSet))
   }
 
   /** node stream -> incident edge stream; `_came` records the node we
@@ -385,10 +413,11 @@ class Compiler(
           }
 
         // navigation
-        case Step.Out(l) => cur = Some(nav(s, l, outDir = true))
-        case Step.In(l) => cur = Some(nav(s, l, outDir = false))
+        case Step.Out(l) => cur = Some(nav(s, l, outDir = true, rest))
+        case Step.In(l) => cur = Some(nav(s, l, outDir = false, rest))
         case Step.Both(l) =>
-          cur = Some(unionStreams(Seq(nav(s, l, outDir = true), nav(s, l, outDir = false))))
+          cur = Some(unionStreams(Seq(
+            nav(s, l, outDir = true, rest), nav(s, l, outDir = false, rest))))
         case Step.OutE(l) => cur = Some(navE(s, l, outDir = true))
         case Step.InE(l) => cur = Some(navE(s, l, outDir = false))
         case Step.BothE(l) =>
