@@ -1,0 +1,82 @@
+package graft.model
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+
+import scala.jdk.CollectionConverters._
+
+/** Parquet-backed persistence for a GraphStore: one directory per
+  * label (`root/nodes/<label>/`, `root/edges/<label>/`) plus a meta
+  * JSON with edge endpoint labels and declared indexes.
+  *
+  * Scale layout choices:
+  *  - per-label directories = label filter is directory pruning;
+  *  - edges repartitioned by `_src` on write so adjacency joins read
+  *    co-located postings (a bucket-join starter; real deployments add
+  *    a `_dst`-ordered mirror for In() traversals, same as any
+  *    adjacency-list store keeps two directions).
+  */
+object GraphPersistence {
+  private val mapper = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+
+  def save(store: GraphStore, root: String, edgeShufflePartitions: Int = 0): Unit = {
+    store.nodeTables.foreach { case (label, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/nodes/$label")
+    }
+    store.edgeTables.foreach { case (label, df) =>
+      val out = if (edgeShufflePartitions > 0)
+        df.repartition(edgeShufflePartitions, col("_src")) else df
+      out.write.mode(SaveMode.Overwrite).parquet(s"$root/edges/$label")
+    }
+    val meta = F.objectNode()
+    val em = F.objectNode()
+    store.edgeMeta.foreach { case (l, m) =>
+      val o = F.objectNode()
+      val srcs = F.arrayNode(); m.srcLabels.toSeq.sorted.foreach(srcs.add)
+      val dsts = F.arrayNode(); m.dstLabels.toSeq.sorted.foreach(dsts.add)
+      o.set[com.fasterxml.jackson.databind.JsonNode]("src", srcs)
+      o.set[com.fasterxml.jackson.databind.JsonNode]("dst", dsts)
+      em.set[com.fasterxml.jackson.databind.JsonNode](l, o)
+    }
+    meta.set[com.fasterxml.jackson.databind.JsonNode]("edgeMeta", em)
+    val ix = F.arrayNode()
+    store.indexes.foreach(spec => ix.add(graft.ast.Json.writeIndexSpec(spec)))
+    meta.set[com.fasterxml.jackson.databind.JsonNode]("indexes", ix)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/graph_meta.json"), mapper.writeValueAsString(meta))
+  }
+
+  def load(spark: SparkSession, root: String): GraphStore = {
+    def labelsIn(dir: String): Seq[String] = {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) Nil
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
+    val nodes = labelsIn(s"$root/nodes")
+      .map(l => l -> spark.read.parquet(s"$root/nodes/$l")).toMap
+    val edges = labelsIn(s"$root/edges")
+      .map(l => l -> spark.read.parquet(s"$root/edges/$l")).toMap
+    val metaPath = java.nio.file.Paths.get(s"$root/graph_meta.json")
+    val (edgeMeta, indexes) =
+      if (java.nio.file.Files.exists(metaPath)) {
+        val tree = mapper.readTree(java.nio.file.Files.readString(metaPath))
+        val em = Option(tree.get("edgeMeta")).map { emn =>
+          emn.properties.asScala.map { e =>
+            e.getKey -> EdgeMeta(
+              e.getValue.get("src").elements.asScala.map(_.asText).toSet,
+              e.getValue.get("dst").elements.asScala.map(_.asText).toSet)
+          }.toMap
+        }.getOrElse(Map.empty[String, EdgeMeta])
+        val ix = Option(tree.get("indexes")).map(
+          _.elements.asScala.map(graft.ast.Json.readIndexSpec).toSet)
+          .getOrElse(Set.empty[graft.ast.IndexSpec])
+        (em, ix)
+      } else (Map.empty[String, EdgeMeta], Set.empty[graft.ast.IndexSpec])
+    new GraphStore(spark, nodes, edges, edgeMeta, indexes)
+  }
+}

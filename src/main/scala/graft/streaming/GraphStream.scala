@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming extension (beyond reference parity — the reference has no
+  * streaming surface, SURVEY §2.9; its local default storage is even
+  * ephemeral). This module makes the graph ingestible and analyzable as
+  * Structured Streaming flows:
+  *  - continuous AddN/AddE ingest into the per-label parquet layout;
+  *  - watermarked windowed aggregation over an event stream;
+  *  - custom per-key state via flatMapGroupsWithState (sessionization).
+  */
+object GraphStream {
+
+  /** Normalize an arbitrary streaming frame into the node-table shape
+    * (`_id`, `_label`, props…) and return an appending writer into the
+    * store's per-label layout (`root/nodes/<label>/`). Partitioned by
+    * id-hash bucket so a 1000-executor writer doesn't produce one file
+    * per trigger per executor in the same directory.
+    */
+  def nodeIngest(stream: DataFrame, label: String, idCol: String,
+      root: String, buckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream
+      .withColumn("_id", col(idCol).cast("long"))
+      .withColumn("_label", lit(label))
+      .withColumn("_bucket", pmod(hash(col("_id")), lit(buckets)))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$root/nodes/$label")
+      .option("checkpointLocation", s"$root/_checkpoints/nodes_$label")
+      .partitionBy("_bucket")
+      .outputMode(OutputMode.Append())
+  }
+
+  /** Same for edges: (`_id`, `_label`, `_src`, `_dst`, props…),
+    * bucketed by `_src` hash — adjacency scans prune to the bucket.
+    */
+  def edgeIngest(stream: DataFrame, label: String, idCol: String,
+      srcCol: String, dstCol: String, root: String,
+      buckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream
+      .withColumn("_id", col(idCol).cast("long"))
+      .withColumn("_label", lit(label))
+      .withColumn("_src", col(srcCol).cast("long"))
+      .withColumn("_dst", col(dstCol).cast("long"))
+      .withColumn("_bucket", pmod(hash(col("_src")), lit(buckets)))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$root/edges/$label")
+      .option("checkpointLocation", s"$root/_checkpoints/edges_$label")
+      .partitionBy("_bucket")
+      .outputMode(OutputMode.Append())
+  }
+
+  /** Watermarked tumbling-window counts per event type — the canonical
+    * late-data-tolerant streaming aggregation over the `events` shape
+    * (ts, event_type, value).
+    */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionUpdate(user_id: Long, events: Long, closed: Boolean)
+
+  /** Per-user session tracking — the flatMapGroupsWithState pattern for
+    * custom streaming state (SURVEY §2.9: KeyValueGroupedDataset custom
+    * state). Sessions close on an explicit "end" event; running counts
+    * stream out in Update mode. (An idle-gap variant would add
+    * ProcessingTimeTimeout; kept explicit here so batch tests are
+    * deterministic.)
+    */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[Long]) =>
+          val batch = evs.toSeq
+          val ends = batch.count(_.event_type == "end")
+          val n = state.getOption.getOrElse(0L) + batch.size - ends
+          if (ends > 0) {
+            state.remove()
+            Iterator(SessionUpdate(uid, n, closed = true))
+          } else {
+            state.update(n)
+            Iterator(SessionUpdate(uid, n, closed = false))
+          }
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.GraphStream
+import graft.model.{GraphPersistence, GraphStore}
+
+class StreamingSpec extends GraftSuite {
+
+  test("windowed event counts with watermark (streaming plan, memory sink)") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = GraphStream.windowedEventCounts(events, "1 minute", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((t(0), "click", 1.0), (t(0), "click", 2.0), (t(1), "view", 5.0))
+      q.processAllAvailable()
+      // push watermark far forward so earlier windows close and emit
+      mem.addData((t(30), "click", 1.0))
+      q.processAllAvailable()
+      val out = s.table("winagg").select("event_type", "cnt", "total_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out.contains(("click", 2L, 3.0)))
+      assert(out.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize counts events per user via flatMapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[GraphStream.SessionEvent]
+    val q = GraphStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(GraphStream.SessionEvent(7L, ts, "click"),
+        GraphStream.SessionEvent(7L, ts, "view"),
+        GraphStream.SessionEvent(8L, ts, "click"))
+      q.processAllAvailable()
+      mem.addData(GraphStream.SessionEvent(7L, ts, "end"))
+      q.processAllAvailable()
+      val out = s.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(out.contains((7L, 2L, false)))
+      assert(out.contains((8L, 1L, false)))
+      assert(out.contains((7L, 2L, true))) // closed by the end event
+    } finally q.stop()
+  }
+
+  test("streaming node ingest writes the per-label parquet layout") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = GraphStream.nodeIngest(mem.toDF().toDF("uid", "name"), "User", "uid", root,
+      buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    q.awaitTermination(60000)
+    val written = s.read.parquet(s"$root/nodes/User")
+    assert(written.count() == 3)
+    assert(written.columns.toSet == Set("uid", "name", "_id", "_label", "_bucket"))
+    assert(written.select("_label").distinct().collect()(0).getString(0) == "User")
+  }
+
+  test("graph persistence round-trips tables, meta and indexes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-persist").toString
+    val store0 = TestBase.parityGraph()
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("ParityUser", "embedding", Some("tenantId"))))
+    GraphPersistence.save(store0, root, edgeShufflePartitions = 2)
+    val loaded = GraphPersistence.load(spark, root)
+    assert(loaded.nodeTables.keySet == Set("ParityUser"))
+    assert(loaded.edgeTables.keySet == Set("FOLLOWS"))
+    assert(loaded.edgeMeta("FOLLOWS").dstLabels == Set("ParityUser"))
+    assert(loaded.indexes.size == 1)
+    val c = new graft.exec.Compiler(loaded)
+    import graft.dsl.Dsl._
+    assert(ids(c.run(g().n(1L).out("FOLLOWS").id().t)) == Seq(2L))
+  }
+}
