@@ -208,6 +208,36 @@ object SparkEntry {
         .repeat(RepeatConfig(sub().out("IN_REGION").t,
           until = Some(eq_("$label", "Region")), maxDepth = 5)).id())),
 
+    // ---- more coverage: variables, bindings, params, json dot-paths
+    "q_as_select" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING"))
+        .as("x").out("PLACED").select("x").count())),
+    "q_bind_project" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").bind("c").out("PLACED")
+        .projectBindings(
+          BindingProjection.Property(BindingTarget.Binding("c"), "c_name", "cust_name"),
+          BindingProjection.Property(BindingTarget.Current, "o_totalprice", "price")))),
+    "q_limit_param" -> ((s, d) => {
+      val c = new Compiler(TestGraph(s, d), Map("k" -> VI64(7)))
+      c.run(g().nWithLabel("Order").orderBy("o_totalprice", Desc)
+        .limitBy(Expr.Param("k")).values("o_orderkey").t)
+    }),
+    "q_datetime_pred" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").where(Predicate.Gte("o_orderdate",
+        VDateTime(java.time.Instant.parse("1999-01-01T00:00:00Z").toEpochMilli)))
+        .count())),
+    "q_event_json" -> ((s, d) => run(s, d,
+      g().nWithLabel("Event").project(
+        Projection.Property("event_id", "event_id"),
+        Projection.Property("props.k", "k")))),
+    "q_choose_else" -> ((s, d) => run(s, d,
+      g().nWithLabel("Customer").choose(Predicate.Gte("c_acctbal", VF64(5000.0)),
+        sub().out("PLACED"), sub().out("FROM_NATION")).id())),
+    "q_exists_true" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING")).exists())),
+    "q_group_count_edges" -> ((s, d) => run(s, d,
+      g().eWithLabel("CONTAINS").groupCount("l_linenumber"))),
+
     // ---- vector / text search (§2.1 search steps)
     "q_vector_knn" -> ((s, d) => run(s, d,
       g().vectorSearchNodes("Embedding", "embedding", queryVec(s, d), 10).id())),
@@ -361,6 +391,23 @@ object SparkEntry {
       "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
     "q_repeat_until" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation"),
 
+    "q_as_select" -> ("SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'"),
+    "q_bind_project" -> ("SELECT c_name AS cust_name, o_totalprice AS price " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "q_limit_param" -> ("SELECT o_orderkey FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 7"),
+    "q_datetime_pred" -> ("SELECT count(*) AS cnt FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"),
+    "q_event_json" -> ("SELECT event_id, json_extract_string(props, '$.k') AS k FROM events"),
+    "q_choose_else" -> ("SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey WHERE c_acctbal >= 5000.0 " +
+      "UNION ALL SELECT CAST(2000000000 + c_nationkey AS BIGINT) AS id FROM customer " +
+      "WHERE NOT (c_acctbal >= 5000.0)"),
+    "q_exists_true" -> ("SELECT (count(*) > 0) AS \"exists\" FROM customer " +
+      "WHERE c_mktsegment = 'BUILDING'"),
+    "q_group_count_edges" -> ("SELECT l_linenumber, count(*) AS cnt FROM lineitem " +
+      "GROUP BY l_linenumber"),
+
     "q_vector_knn" -> ("SELECT CAST(10000000000 + e.vec_id AS BIGINT) AS id " +
       "FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) " +
       "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q AS DOUBLE[])) DESC, " +
@@ -382,8 +429,9 @@ object SparkEntry {
     "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
     "q_doc_minhash_pairs" -> ("WITH " + shCte + ", " +
       "sig AS (SELECT doc_id, " +
-      (0 until 6).map(j =>
-        s"min(substr(md5(concat('$j:', s)), 1, 16)) AS mh$j").mkString(", ") + " " +
+      Dedup.minhashSeeds(6).zipWithIndex.map { case (seed, j) =>
+        s"min(xor(('0x' || substr(md5(s), 1, 15))::BIGINT, $seed)) AS mh$j"
+      }.mkString(", ") + " " +
       "FROM sh GROUP BY doc_id), " +
       "cand AS (" +
       (0 until 3).map(b =>

@@ -48,7 +48,10 @@ class Compiler(
     case VF64(d) => lit(d)
     case VF32(f) => lit(f)
     case VString(s) => lit(s)
-    case VDateTime(ms) => lit(java.time.Instant.ofEpochMilli(ms))
+    // epoch-ms UTC -> NTZ wall-clock literal (session tz pinned to UTC;
+    // the testdata's timestamps read as TIMESTAMP_NTZ)
+    case VDateTime(ms) => lit(java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC))
     case VBytes(b) => lit(b)
     case VI64Array(a) => array(a.map(lit): _*)
     case VF64Array(a) => array(a.map(lit): _*)
@@ -72,7 +75,14 @@ class Compiler(
       if (df.columns.contains("_score")) col("_score") else lit(null)
     case n =>
       val head = n.split('.').head
-      if (df.columns.contains(head)) col(n) else lit(null)
+      if (!df.columns.contains(head)) lit(null)
+      else if (n.contains('.') &&
+        df.schema(head).dataType == org.apache.spark.sql.types.StringType)
+        // dynamic document properties serialized as JSON strings:
+        // dot-paths reach into them (reference nested-Object dot-path
+        // semantics, generate_parity_fixtures.rs:1312-1338)
+        get_json_object(col(head), "$." + n.substring(head.length + 1))
+      else col(n)
   }
 
   /** Resolve a PropertyInput to a literal PropertyValue (for inputs that

@@ -199,12 +199,17 @@ object TestGraph {
         lit(CustomerB * OFF) + col("o_custkey"), lit(OrderB * OFF) + col("o_orderkey")),
       // CONTAINS carries a couple of edge properties to exercise
       // edge-stream filters/sorts (EdgeHas, edge_properties, order_by).
-      "CONTAINS" -> edge(lineitemR, "CONTAINS", 24L, liId - lit(LineitemHashBand),
+      // lineitem-derived edges inherit the content hash; each label gets
+      // its own high band so edge ids stay globally unique
+      "CONTAINS" -> edge(lineitemR, "CONTAINS", 0L,
+        liId - lit(LineitemHashBand) + lit(2L * LineitemHashBand),
         lit(OrderB * OFF) + col("l_orderkey"), liId,
         Seq("l_quantity" -> col("l_quantity"), "l_linenumber" -> col("l_linenumber"))),
-      "OF_PART" -> edge(lineitemR, "OF_PART", 25L, liId - lit(LineitemHashBand),
+      "OF_PART" -> edge(lineitemR, "OF_PART", 0L,
+        liId - lit(LineitemHashBand) + lit(3L * LineitemHashBand),
         liId, lit(PartB * OFF) + col("l_partkey")),
-      "SUPPLIED_BY" -> edge(lineitemR, "SUPPLIED_BY", 26L, liId - lit(LineitemHashBand),
+      "SUPPLIED_BY" -> edge(lineitemR, "SUPPLIED_BY", 0L,
+        liId - lit(LineitemHashBand) + lit(4L * LineitemHashBand),
         liId, lit(SupplierB * OFF) + col("l_suppkey")),
       "BY_CUSTOMER" -> edge(events, "BY_CUSTOMER", 27L, col("event_id"),
         lit(EventB * OFF) + col("event_id"), lit(CustomerB * OFF) + col("user_id")),

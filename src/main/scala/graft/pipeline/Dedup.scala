@@ -31,14 +31,19 @@ object Dedup {
     if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
   }
 
-  /** Word n-gram shingles: ["w1 w2 w3", ...]; empty when < n tokens. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-gram shingles over an ALREADY-TOKENIZED array column;
+    * whole text when < n tokens. Taking the token array (not the raw
+    * text) matters: expression trees re-evaluate repeated subtrees, so
+    * inlining the regex tokenizer here would re-split the text once per
+    * shingle position.
+    */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
       .otherwise(array(concat_ws(" ", t)))
-  }
+
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
   /** Exact dedup: canonical (min) id per distinct text digest. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -46,20 +51,35 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
-  /** Distinct (id, shingle) pairs — the shared inverted-index shape. */
+  /** Distinct (id, shingle) pairs — the shared inverted-index shape.
+    * Tokenization runs in its own projection so the regex split
+    * executes once per document, not once per shingle reference.
+    */
   def shingleSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     ensureParallelism(df)
-      .select(col(idCol).as("_did"), explode(shingles(col(textCol), n)).as("_sh")).distinct()
+      .select(col(idCol).as("_did"), tokens(col(textCol)).as("_t"))
+      .select(col("_did"), explode(shinglesOfTokens(col("_t"), n)).as("_sh"))
+      .distinct()
 
-  /** MinHash signature: numHashes columns `mh0..mhK`, each the
-    * lexicographic min of md5("<j>:" + shingle) over the doc's shingles.
+  /** Fixed xor-seed family: one md5 per shingle, `numHashes` derived
+    * hashes via xor with golden-ratio seeds (60-bit, positive longs).
+    * The same constants are inlined into the DuckDB oracle SQL.
+    */
+  def minhashSeeds(numHashes: Int): Seq[Long] =
+    (0 until numHashes).map(j => (j.toLong * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1))
+
+  /** MinHash signature: numHashes columns `mh0..mhK`, each
+    * min over the doc's shingles of (md5_60bit(shingle) xor seed_j).
     */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
       n: Int, numHashes: Int): DataFrame = {
     val ss = shingleSet(df, textCol, idCol, n)
-    val aggs = (0 until numHashes).map(j =>
-      min(substring(md5(concat(lit(j + ":"), col("_sh"))), 1, 16)).as(s"mh$j"))
-    ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
+    val base = conv(substring(md5(col("_sh")), 1, 15), 16, 10).cast("long")
+    val withBase = ss.withColumn("_h", base)
+    val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
+      min(col("_h").bitwiseXOR(lit(seed))).as(s"mh$j")
+    }
+    withBase.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: pairs of ids sharing at least one band of the
@@ -94,14 +114,31 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    // the shingle set feeds the signature, the band joins AND the
+    // verification — materialize it eagerly once (sequentially) rather
+    // than letting a dozen concurrent stages race on the same cache
     val ss = shingleSet(df, textCol, idCol, n)
-    val cands = lshCandidates(minhashSignature(df, textCol, idCol, n, numHashes), numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ss.count()
+    val base = conv(substring(md5(col("_sh")), 1, 15), 16, 10).cast("long")
+    val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
+      min(col("_h").bitwiseXOR(lit(seed))).as(s"mh$j")
+    }
+    val sig = ss.withColumn("_h", base).groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    // cands and the candidate shingle subset are each referenced by
+    // several downstream joins — persist them too, or the band-join /
+    // semi-join subplans re-evaluate once per reference
+    val cands = lshCandidates(sig, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify only docs that appear in some candidate pair — the
     // expensive shared-shingle join runs on the candidate subset, not
     // the whole corpus (this is the entire point of LSH at scale)
     val candDocs = cands.select(col("id_a").as("_did"))
       .union(cands.select(col("id_b").as("_did"))).distinct()
     val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withJaccard(cands, ssCand)
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
@@ -113,6 +150,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       num: Int, den: Int): DataFrame = {
     val ss = shingleSet(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
     val a = ss.select(col("_did").as("id_a"), col("_sh"))
     val b = ss.select(col("_did").as("id_b"), col("_sh"))

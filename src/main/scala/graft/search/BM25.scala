@@ -53,14 +53,24 @@ object BM25 {
     (post, stats)
   }
 
-  /** Scores every matching document; returns (_id, _bm25). */
+  /** Scores every matching document; returns (_id, _bm25). The corpus
+    * is tokenized ONCE (cached) — corpus stats and query-term postings
+    * both read the tokenized frame.
+    */
   def score(df: DataFrame, textCol: String, query: String): DataFrame = {
     val terms = tokenize(query).distinct
     require(terms.nonEmpty, "empty query")
-    val post = postings(df, textCol, terms)
-    val lens = df.select(
-      size(filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")).as("_len"))
-    val stats = lens.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+    val toksCol = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
+    val toks = ensurePar(df).select(col("_id"), toksCol.as("_toks"))
+      .withColumn("_len", size(col("_toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // eager: stats and postings race on this cache otherwise
+    val stats = toks.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+    val post = toks
+      .select(col("_id"), col("_len"), explode(col("_toks")).as("_term"))
+      .where(col("_term").isin(terms: _*))
+      .groupBy(col("_id"), col("_len"), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
     val dfreq = post.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
     val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
     val tfNorm = (col("_tf") * lit(K1 + 1)) /
