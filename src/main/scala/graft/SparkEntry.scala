@@ -127,6 +127,9 @@ object SparkEntry {
       g().nWithLabel("Order").outE("CONTAINS").edgeHas("l_linenumber", VI64(1)).count())),
     "q_edge_props" -> ((s, d) => run(s, d,
       g().eWithLabelWhere("CONTAINS", gt("l_quantity", 45.0)).edgeProperties())),
+    "q_bothe" -> ((s, d) => run(s, d, g().nWithLabel("Nation").bothE().count())),
+    "q_skip" -> ((s, d) => run(s, d,
+      g().nWithLabel("Order").orderBy("o_orderkey").skip(100).count())),
 
     // ---- dedup / set membership (§2.3)
     "q_dedup" -> ((s, d) => run(s, d,
@@ -332,6 +335,10 @@ object SparkEntry {
     "q_edge_has" -> "SELECT count(*) AS cnt FROM lineitem WHERE l_linenumber = 1",
     "q_edge_props" -> ("SELECT l_quantity, l_linenumber FROM lineitem " +
       "WHERE l_quantity > 45.0"),
+    "q_bothe" -> ("SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM customer) + " +
+      "(SELECT count(*) FROM supplier) AS cnt"),
+    "q_skip" -> ("SELECT count(*) AS cnt FROM " +
+      "(SELECT * FROM orders ORDER BY o_orderkey OFFSET 100)"),
 
     "q_dedup" -> "SELECT count(DISTINCT l_partkey) AS cnt FROM lineitem",
     "q_within" -> ("SELECT count(*) AS cnt FROM customer WHERE " +

@@ -27,7 +27,17 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(arrSum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  def cosineSim(vecCol: Column, query: Seq[Double]): Column = {
+  /** Vector-vs-query scoring uses the fused native expression (one
+    * loop, codegen'd — graft.functions.CosineToQuery); results are
+    * bit-equal with the HOF formulation below.
+    */
+  def cosineSim(vecCol: Column, query: Seq[Double]): Column =
+    graft.functions.CosineToQuery(vecCol, query)
+
+  /** Composable HOF formulation (kept for column-to-column use and as
+    * the reference for the fused expression's semantics).
+    */
+  def cosineSimHof(vecCol: Column, query: Seq[Double]): Column = {
     val q = array(query.map(lit): _*)
     val qn = math.sqrt(query.map(x => x * x).sum)
     dot(vecCol, q) / (norm(vecCol) * lit(qn))

@@ -53,6 +53,18 @@ class SearchSpec extends GraftSuite {
     assert(kernel.nonEmpty)
   }
 
+  test("fused CosineToQuery expression is bit-equal with the HOF formulation") {
+    val df = vecs(150, 16)
+    val q = Seq.tabulate(16)(j => math.sin(j + 1.0))
+    val fused = df.select(col("_id"),
+      graft.functions.CosineToQuery(col("emb"), q).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = df.select(col("_id"), VectorOps.cosineSimHof(col("emb"), q).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused.keySet == hof.keySet)
+    fused.foreach { case (k, v) => assert(v == hof(k), s"id $k: $v vs ${hof(k)}") }
+  }
+
   test("BM25 ranks exact term matches above partial ones") {
     val s = spark
     import s.implicits._
