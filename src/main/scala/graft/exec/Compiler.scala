@@ -190,11 +190,19 @@ class Compiler(
     * next steps only need ids). Empty rest = unknown continuation
     * (sub-traversal) -> not provably props-free.
     */
-  private def propsFree(rest: List[Step]): Boolean = rest.nonEmpty && rest.forall {
+  private def propsFreeSteps(rest: List[Step]): Boolean = rest.forall {
     case Step.Count | Step.Exists | Step.Id | Step.Dedup => true
     case _: Step.Within | _: Step.Without => true
     case _: Step.Limit | _: Step.Skip | _: Step.Range => true
     case _ => false
+  }
+
+  /** A repeat body consisting only of label-filtered navigation and
+    * id-only steps never reads node properties at any depth.
+    */
+  private def propsFreeNavOnly(t: Traversal): Boolean = t.steps.forall {
+    case _: Step.Out | _: Step.In | _: Step.Both => true
+    case other => propsFreeSteps(List(other))
   }
 
   /** node stream -> neighbor node stream via out/in edges. Per edge
@@ -206,7 +214,7 @@ class Compiler(
     * referential-integrity invariant, which cascade Drop maintains).
     */
   private def nav(cur: Stream, edgeLabel: Option[String], outDir: Boolean,
-      rest: List[Step] = Nil): Stream = {
+      propsFreeTail: Boolean = false): Stream = {
     require(!cur.isEdges, "Out/In/Both require a node stream")
     val pruned = edgeLabel.map(Set(_)).getOrElse(
       if (outDir) store.outEdgeLabels(cur.labels) else store.inEdgeLabels(cur.labels))
@@ -216,7 +224,7 @@ class Compiler(
     val (nearCol, farCol) = if (outDir) ("_src", "_dst") else ("_dst", "_src")
     val keep = keepCols(cur)
     val left = cur.df.select(col("_id").as("__cur") +: keep.map(col): _*)
-    val skipJoin = propsFree(rest)
+    val skipJoin = propsFreeTail
     val branches = eLabels.toSeq.sorted.map { el =>
       val tls = if (outDir) store.dstLabelsOf(Set(el)) else store.srcLabelsOf(Set(el))
       val edges = store.edgesFor(el).select(col(nearCol), col(farCol))
@@ -360,17 +368,27 @@ class Compiler(
   /** Run a sub-traversal from `start`, returning the resulting stream
     * (sub-traversals inside Union/Choose/... must not be terminal).
     */
-  private def runSub(t: Traversal, start: Stream, env: mutable.Map[String, Stream]): Stream =
-    compileTail(t.steps.toList, Some(start), env) match {
+  private def runSub(t: Traversal, start: Stream, env: mutable.Map[String, Stream],
+      tailPropsFree: Boolean = false): Stream =
+    compileTail(t.steps.toList, Some(start), env, tailPropsFree) match {
       case Right(s) => s
       case Left(_) => throw new TraversalException("terminal step inside sub-traversal")
     }
 
-  /** Fold the step list. Left(df) = a terminal produced a final result. */
+  /** Fold the step list. Left(df) = a terminal produced a final result.
+    * `tailPropsFree`: the (unknown-here) continuation after this step
+    * list is known not to read properties — lets navigation at the end
+    * of a sub-traversal skip node-table joins too.
+    */
   private def compileTail(steps: List[Step], start: Option[Stream],
-      env: mutable.Map[String, Stream]): Either[DataFrame, Stream] = {
+      env: mutable.Map[String, Stream],
+      tailPropsFree: Boolean = false): Either[DataFrame, Stream] = {
     var cur: Option[Stream] = start
     var rest = steps
+    // continuation-aware props-free check: an empty rest defers to the
+    // caller-provided hint (sub-traversal tails)
+    def pf(r: List[Step]): Boolean =
+      if (r.isEmpty) tailPropsFree else propsFreeSteps(r)
     def s: Stream = cur.getOrElse(throw new TraversalException("no source step"))
     while (rest.nonEmpty) {
       val step = rest.head
@@ -423,11 +441,11 @@ class Compiler(
           }
 
         // navigation
-        case Step.Out(l) => cur = Some(nav(s, l, outDir = true, rest))
-        case Step.In(l) => cur = Some(nav(s, l, outDir = false, rest))
+        case Step.Out(l) => cur = Some(nav(s, l, outDir = true, pf(rest)))
+        case Step.In(l) => cur = Some(nav(s, l, outDir = false, pf(rest)))
         case Step.Both(l) =>
           cur = Some(unionStreams(Seq(
-            nav(s, l, outDir = true, rest), nav(s, l, outDir = false, rest))))
+            nav(s, l, outDir = true, pf(rest)), nav(s, l, outDir = false, pf(rest)))))
         case Step.OutE(l) => cur = Some(navE(s, l, outDir = true))
         case Step.InE(l) => cur = Some(navE(s, l, outDir = false))
         case Step.BothE(l) =>
@@ -551,7 +569,7 @@ class Compiler(
           val merged = unionStreams(Seq(r.copy(df = r.df.drop("_b___origin")),
             s.copy(df = missing)))
           cur = Some(merged)
-        case Step.Repeat(cfg) => cur = Some(repeat(s, cfg, env))
+        case Step.Repeat(cfg) => cur = Some(repeat(s, cfg, env, pf(rest)))
         case Step.Path | Step.SimplePath => () // reserved no-ops (dsl.rs:3227,3232)
         case _: Step.WithSack | _: Step.SackSet | _: Step.SackAdd | Step.SackGet => () // reserved
 
@@ -813,7 +831,7 @@ class Compiler(
     * repeats (the BFS pattern, cf. GraphFrames).
     */
   private def repeat(start: Stream, cfg: RepeatConfig,
-      env: mutable.Map[String, Stream]): Stream = {
+      env: mutable.Map[String, Stream], tailPropsFree: Boolean = false): Stream = {
     val emitted = mutable.ListBuffer.empty[Stream]
     var frontier = start
     var depth = 0
@@ -822,6 +840,13 @@ class Compiler(
       case Some(p) => s.copy(df = s.df.where(compilePred(s.df, p)))
       case None => s
     }
+    // The body's tail may skip node joins when: nothing observes the
+    // intermediate frontiers (no emits, no until/emit predicates), the
+    // body itself never reads properties, and the continuation after
+    // the repeat is props-free. Then every hop is pure id/edge algebra.
+    val bodyTailPropsFree = tailPropsFree &&
+      cfg.until.isEmpty && cfg.emitPredicate.isEmpty &&
+      cfg.emit == EmitBehavior.None && propsFreeNavOnly(cfg.traversal)
     if (cfg.emit == EmitBehavior.All) emitted += emitFilter(frontier)
     var done = false
     while (!done && depth < maxIter) {
@@ -837,7 +862,7 @@ class Compiler(
       if (stop) done = true
       else {
         if (cfg.emit == EmitBehavior.Before) emitted += emitFilter(frontier)
-        val next = runSub(cfg.traversal, frontier, env)
+        val next = runSub(cfg.traversal, frontier, env, bodyTailPropsFree)
         depth += 1
         frontier = if (depth % 5 == 0) next.copy(df = next.df.localCheckpoint(true)) else next
         if (cfg.emit == EmitBehavior.After || cfg.emit == EmitBehavior.All)
