@@ -59,11 +59,44 @@ class BatchExecutor(initialStore: GraphStore,
             case Some(other) => Seq(other)
             case None => throw new TraversalException(s"missing foreach param: $param")
           }
-          arr.foreach {
-            case PropertyValue.VObject(fields) => runEntries(body, params ++ fields)
-            case scalar => runEntries(body, params + (param -> scalar))
+          if (!vectorizeAddN(arr, body, params)) {
+            arr.foreach {
+              case PropertyValue.VObject(fields) => runEntries(body, params ++ fields)
+              case scalar => runEntries(body, params + (param -> scalar))
+            }
           }
       }
+
+    /** ForEach vectorization (SURVEY §4.2 rewrite 5): a body that is a
+      * single unconditional AddN whose property inputs are params or
+      * constants appends ALL elements as one DataFrame — a driver loop
+      * over a 100k-element bulk-load param would otherwise build 100k
+      * unioned single-row plans. Returns false when not eligible (the
+      * general loop runs instead).
+      */
+    def vectorizeAddN(items: Seq[PropertyValue], body: Seq[BatchEntry],
+        params: Map[String, PropertyValue]): Boolean = body match {
+      case Seq(BatchEntry.Query(NamedQuery(name, Traversal(Vector(
+            Step.AddN(label, props))), None)))
+          if items.nonEmpty && items.forall(_.isInstanceOf[PropertyValue.VObject]) &&
+            props.forall {
+              case (_, PropertyInput.Value(_)) => true
+              case (_, PropertyInput.FromExpr(Expr.Param(_) | Expr.Constant(_))) => true
+              case _ => false
+            } =>
+        val comp = new Compiler(store, params, vars, writeEnabled = batch.write)
+        try {
+          val created = comp.addNodesBulk(label, props,
+            items.map(_.asInstanceOf[PropertyValue.VObject].v))
+          name.foreach { n => vars(n) = created; results(n) = comp.cleanStream(created) }
+          prevNonEmpty = true
+          store = comp.store
+          true
+        } catch {
+          case _: comp.UnsupportedBulkType => false // general loop handles it
+        }
+      case _ => false
+    }
 
     runEntries(batch.entries, baseParams)
 

@@ -594,6 +594,75 @@ class Compiler(
     case PropertyInput.FromExpr(e) => compileExpr(df, e)
   }
 
+  class UnsupportedBulkType(msg: String) extends RuntimeException(msg)
+
+  /** Bulk AddN: append one DataFrame holding every element of a foreach
+    * array param (the ForEach-vectorization rewrite target). Property
+    * values resolve driver-side per element; ids allocate as one dense
+    * block.
+    */
+  def addNodesBulk(label: String, props: Seq[(String, PropertyInput)],
+      items: Seq[Map[String, PropertyValue]]): Stream = {
+    if (!writeEnabled) throw new TraversalException("bulk AddN in read batch")
+    import org.apache.spark.sql.types._
+    def resolve(in: PropertyInput, fields: Map[String, PropertyValue]): PropertyValue =
+      in match {
+        case PropertyInput.Value(v) => v
+        case PropertyInput.FromExpr(Expr.Constant(v)) => v
+        case PropertyInput.FromExpr(Expr.Param(n)) =>
+          fields.getOrElse(n, params.getOrElse(n, VNull))
+        case other => throw new UnsupportedBulkType(s"expr not bulk-resolvable: $other")
+      }
+    def typeOf(v: PropertyValue): DataType = v match {
+      case VBool(_) => BooleanType
+      case VI64(_) => LongType
+      case VF64(_) => DoubleType
+      case VF32(_) => FloatType
+      case VString(_) => StringType
+      case VDateTime(_) => TimestampNTZType
+      case VI64Array(_) => ArrayType(LongType)
+      case VF64Array(_) => ArrayType(DoubleType)
+      case VF32Array(_) => ArrayType(FloatType)
+      case VStringArray(_) => ArrayType(StringType)
+      case other => throw new UnsupportedBulkType(s"type not bulk-encodable: $other")
+    }
+    def jval(v: PropertyValue): Any = v match {
+      case VNull => null
+      case VBool(b) => b
+      case VI64(i) => i
+      case VF64(d) => d
+      case VF32(f) => f
+      case VString(s) => s
+      case VDateTime(ms) => java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+      case VI64Array(a) => a
+      case VF64Array(a) => a
+      case VF32Array(a) => a
+      case VStringArray(a) => a
+      case other => throw new UnsupportedBulkType(s"value not bulk-encodable: $other")
+    }
+    val resolved: Seq[Seq[PropertyValue]] =
+      items.map(fields => props.map { case (_, in) => resolve(in, fields) })
+    val colTypes: Seq[DataType] = props.indices.map { i =>
+      resolved.iterator.map(_(i)).find(_ != VNull).map(typeOf).getOrElse(StringType)
+    }
+    val base = idBase.getAndAdd(items.size.toLong)
+    val schema = StructType(
+      Seq(StructField("_id", LongType, nullable = false),
+        StructField("_label", StringType, nullable = false)) ++
+        props.zipWithIndex.map { case ((n, _), i) => StructField(n, colTypes(i)) })
+    val rows = resolved.zipWithIndex.map { case (vals, i) =>
+      org.apache.spark.sql.Row.fromSeq((base + i) +: label +: vals.map(jval))
+    }
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    store = store.withNodes(label,
+      store.nodeTables.get(label).map(_.unionByName(df, allowMissingColumns = true))
+        .getOrElse(df))
+    Stream(store.nodesFor(label).where(col("_id") >= base && col("_id") < base + items.size),
+      isEdges = false, Some(Set(label)))
+  }
+
   /** Write steps (SURVEY §2.8; dsl.rs:3121-3167). Single-writer
     * semantics (the reference cloud is single-writer too, README.md:221):
     * ids allocate from a session counter; tables are rebuilt

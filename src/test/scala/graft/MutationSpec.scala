@@ -86,6 +86,36 @@ class MutationSpec extends GraftSuite {
     assert(!out.results.contains("skipped"))
   }
 
+  test("DropEdgeLabeled removes only the labeled edges") {
+    val comp = TestBase.compiler(write = true)
+    // add a second, differently-labeled edge 1->2, then drop only FOLLOWS
+    comp.run(g().n(1L).addE("LIKES", NodeRef.Ids(Seq(2L))).t)
+    comp.run(Traversal(Vector(Step.N(NodeRef.Ids(Seq(1L))),
+      Step.DropEdgeLabeled(NodeRef.Ids(Seq(2L)), "FOLLOWS"))))
+    assert(singleLong(comp.run(g().eWithLabel("FOLLOWS").count().t)) == 1)
+    assert(singleLong(comp.run(g().eWithLabel("LIKES").count().t)) == 1)
+  }
+
+  test("foreach bulk AddN vectorizes to a single append") {
+    val n = 500
+    val items = VArray((0 until n).map(i =>
+      VObject(Map("name" -> VString(s"U$i"), "score" -> VI64(i.toLong)))))
+    val exec = new BatchExecutor(new GraphStore(spark), Map("users" -> items))
+    val batch = Batch(Seq(
+      BatchEntry.ForEach("users", Seq(
+        BatchEntry.Query(NamedQuery(Some("made"),
+          Traversal(Vector(Step.AddN("U", Seq(
+            "name" -> PropertyInput.FromExpr(Expr.Param("name")),
+            "score" -> PropertyInput.FromExpr(Expr.Param("score")))))))))),
+      BatchEntry.Query(NamedQuery(Some("total"), g().nWithLabel("U").count().t)),
+      BatchEntry.Query(NamedQuery(Some("top"),
+        g().nWithLabel("U").orderBy("score", SortOrder.Desc).limit(1).values("name").t)),
+    ), returns = Seq("total", "top"), write = true)
+    val out = exec.execute(batch)
+    assert(singleLong(out.results("total")) == n)
+    assert(out.results("top").collect()(0).getString(0) == s"U${n - 1}")
+  }
+
   test("batch: foreach over array param") {
     val params = Map("users" -> VArray(Seq(
       VObject(Map("n" -> VString("U1"))), VObject(Map("n" -> VString("U2"))))))
