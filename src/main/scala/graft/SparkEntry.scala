@@ -451,6 +451,27 @@ object SparkEntry {
       "SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b) " +
       "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
       "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    "q_doc_simhash_pairs" -> {
+      val bits = Dedup.SimhashBits; val bb = Dedup.SimhashBandBits
+      val mask = (1L << bb) - 1
+      "WITH " + tokCte + ", " +
+        "tokc AS (SELECT doc_id, term, count(*) AS w FROM " +
+        "(SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term), " +
+        "h AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h, w FROM tokc), " +
+        "votes AS (SELECT doc_id, " +
+        (0 until bits).map(i =>
+          s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN w ELSE -w END) AS v$i").mkString(", ") +
+        " FROM h GROUP BY doc_id), " +
+        "sig AS (SELECT doc_id, " +
+        (0 until bits).map(i =>
+          s"(CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ") +
+        " AS s FROM votes), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (" +
+        (0 until Dedup.SimhashBands).map(b =>
+          s"((a.s >> ${b * bb}) & $mask) = ((b.s >> ${b * bb}) & $mask)").mkString(" OR ") +
+        ")) SELECT DISTINCT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 12"
+    },
     "q_doc_ngram_pairs" -> ("WITH " + shCte + ", " +
       "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +

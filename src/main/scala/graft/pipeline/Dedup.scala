@@ -162,37 +162,48 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** 64-bit SimHash over tokens (xxhash64 bit votes). Near-dups =
-    * signatures within a small Hamming distance; here exposed as the
-    * signature plus a band join helper.
+  /** SimHash geometry shared with the DuckDB oracle: 60 bits (md5-hex
+    * prefix), 4 bands of 15 bits.
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+
+  /** 60-bit SimHash over tokens. The token hash is an md5-hex prefix
+    * (not xxhash64) so the oracle reproduces signatures bit-for-bit.
+    * Vote per bit: sum(+w if bit set else -w); bit set in the signature
+    * iff the vote is positive.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = ensureParallelism(df)
-      .select(col(idCol).as("_did"), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol).as("_did"), tokens(col(textCol)).as("_t"))
+      .select(col("_did"), explode(col("_t")).as("_t"))
       .groupBy("_did", "_t").agg(count(lit(1)).as("_w"))
-      .withColumn("_h", xxhash64(col("_t")))
-    // vote per bit: sum(+w if bit set else -w); bit i of result = vote>0
-    val votes = (0 until 64).map { i =>
+      .withColumn("_h", conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(1) === 1, col("_w"))
         .otherwise(-col("_w"))).as(s"_v$i")
     }
     val voted = tok.groupBy(col("_did")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(i =>
+    val sig = (0 until SimhashBits).map(i =>
       when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     voted.select(col("_did").as(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: equal 16-bit band (4 bands) then
+  /** SimHash near-dup candidate pairs: equal 15-bit band (4 bands) then
     * exact Hamming distance <= maxDist via bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
+    val mask = (1L << SimhashBandBits) - 1
     val sig = simhash(df, textCol, idCol)
-    val bands = (0 until 4).map { b =>
-      val key = shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until SimhashBands).map { b =>
+      val key = shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask)
       sig.select(col(idCol).as("id_a"), col("simhash").as("_sa"), key.as("_band"))
         .join(sig.select(col(idCol).as("id_b"), col("simhash").as("_sb"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("_band")), Seq("_band"))
+          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("_band")),
+          Seq("_band"))
         .where(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
     }
     bands.reduce(_ union _).distinct()
