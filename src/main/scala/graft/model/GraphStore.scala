@@ -43,6 +43,15 @@ final class GraphStore(
   def this(spark: SparkSession) =
     this(spark, Map.empty, Map.empty, Map.empty)
 
+  /** Expose the graph to Spark SQL: `nodes_<label>` / `edges_<label>`
+    * temp views — `spark.sql("SELECT ... FROM nodes_Customer JOIN
+    * edges_PLACED ON ...")` works alongside the traversal API.
+    */
+  def registerViews(prefix: String = ""): Unit = {
+    nodeTables.foreach { case (l, df) => df.createOrReplaceTempView(s"${prefix}nodes_$l") }
+    edgeTables.foreach { case (l, df) => df.createOrReplaceTempView(s"${prefix}edges_$l") }
+  }
+
   /** All node labels that can be reached out of / into the given edge labels. */
   def nodeLabels: Set[String] = nodeTables.keySet
   def edgeLabels: Set[String] = edgeTables.keySet

@@ -72,6 +72,16 @@ class StreamingSpec extends GraftSuite {
     assert(written.select("_label").distinct().collect()(0).getString(0) == "User")
   }
 
+  test("registerViews exposes the graph to Spark SQL") {
+    TestBase.parityGraph().registerViews()
+    val r = spark.sql(
+      """SELECT u2.name FROM nodes_ParityUser u1
+        |JOIN edges_FOLLOWS e ON u1._id = e._src
+        |JOIN nodes_ParityUser u2 ON e._dst = u2._id
+        |WHERE u1.name = 'Alice'""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Bob"))
+  }
+
   test("graph persistence round-trips tables, meta and indexes") {
     val root = java.nio.file.Files.createTempDirectory("graft-persist").toString
     val store0 = TestBase.parityGraph()
