@@ -72,6 +72,27 @@ class StreamingSpec extends GraftSuite {
     assert(written.select("_label").distinct().collect()(0).getString(0) == "User")
   }
 
+  test("GraphBuilder projects raw tables into a traversable graph") {
+    val s = spark
+    import s.implicits._
+    val users = Seq((1L, "ann"), (2L, "bo")).toDF("uid", "uname")
+    val items = Seq((10L, "hammer")).toDF("iid", "iname")
+    val orders = Seq((100L, 1L, 10L, 3)).toDF("oid", "uid", "iid", "qty")
+    val store = graft.model.GraphBuilder(s)
+      .nodes("User", users, col("uid"))
+      .nodes("Item", items, col("iid") + 1000)
+      .edges("BOUGHT", orders, col("oid") + 5000,
+        "User" -> col("uid"), "Item" -> (col("iid") + 1000), props = Seq("qty"))
+      .build()
+    val c = new graft.exec.Compiler(store)
+    import graft.dsl.Dsl._
+    val bought = c.run(g().nWithLabelWhere("User", eq_("uname", "ann"))
+      .out("BOUGHT").values("iname").t)
+    assert(rows(bought) == Seq(Seq("hammer")))
+    val qty = c.run(g().nWithLabel("User").outE("BOUGHT").values("qty").t)
+    assert(rows(qty) == Seq(Seq(3)))
+  }
+
   test("registerViews exposes the graph to Spark SQL") {
     TestBase.parityGraph().registerViews()
     val r = spark.sql(
