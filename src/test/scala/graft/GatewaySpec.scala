@@ -40,6 +40,27 @@ class GatewaySpec extends GraftSuite {
     assert(resp == """{"names":[{"name":"Alice"},{"name":"Bob"},{"name":"Carol"}]}""")
   }
 
+  test("malformed requests return a structured error, not a crash") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16970)
+    gw.start()
+    try {
+      def post(body: String): String = {
+        val conn = new java.net.URL("http://localhost:16970/v1/query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      assert(post("""{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
+        "steps":[{"Bogus":1}],"condition":null}}],"returns":["x"]}}""").contains("error"))
+      assert(post("not json at all").contains("error"))
+      // mutation in a read batch is rejected
+      assert(post("""{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
+        "steps":[{"AddN":{"label":"U","properties":[]}}],"condition":null}}],
+        "returns":["x"]}}""").contains("error"))
+    } finally gw.stop()
+  }
+
   test("HTTP server answers POST /v1/query") {
     val gw = new Gateway(TestBase.parityGraph(), port = 16969)
     gw.start()
