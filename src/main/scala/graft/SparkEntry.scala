@@ -291,10 +291,15 @@ object SparkEntry {
     */
   private val tokCte =
     "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)"
+  /** Shingles are carried as 60-bit md5 hashes (mirrors
+    * Dedup.shingleHashSet — identical hashes, identical set algebra).
+    */
   private val shCte =
-    tokCte + ", sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+    tokCte + ", sh AS (SELECT DISTINCT doc_id, " +
+      "('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM " +
+      "(SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
       "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
-      "ELSE [array_to_string(t, ' ')] END) AS s FROM toks)"
+      "ELSE [array_to_string(t, ' ')] END) AS s0 FROM toks))"
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
@@ -437,7 +442,7 @@ object SparkEntry {
     "q_doc_minhash_pairs" -> ("WITH " + shCte + ", " +
       "sig AS (SELECT doc_id, " +
       Dedup.minhashSeeds(6).zipWithIndex.map { case (seed, j) =>
-        s"min(xor(('0x' || substr(md5(s), 1, 15))::BIGINT, $seed)) AS mh$j"
+        s"min(xor(s, $seed)) AS mh$j"
       }.mkString(", ") + " " +
       "FROM sh GROUP BY doc_id), " +
       "cand AS (" +

@@ -61,6 +61,21 @@ object Dedup {
       .select(col("_did"), explode(shinglesOfTokens(col("_t"), n)).as("_sh"))
       .distinct()
 
+  /** Like shingleSet but with each shingle replaced by its 60-bit md5
+    * hash BEFORE the distinct: the shuffle moves 8-byte longs instead
+    * of strings and every downstream equi-join runs on long keys. The
+    * oracle derives identical hashes, so set sizes/intersections agree
+    * exactly (identical collisions on both sides; p(collision) ~
+    * |shingles|²/2^61).
+    */
+  def shingleHashSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    ensureParallelism(df)
+      .select(col(idCol).as("_did"), tokens(col(textCol)).as("_t"))
+      .select(col("_did"), explode(shinglesOfTokens(col("_t"), n)).as("_s0"))
+      .select(col("_did"),
+        conv(substring(md5(col("_s0")), 1, 15), 16, 10).cast("long").as("_sh"))
+      .distinct()
+
   /** Fixed xor-seed family: one md5 per shingle, `numHashes` derived
     * hashes via xor with golden-ratio seeds (60-bit, positive longs).
     * The same constants are inlined into the DuckDB oracle SQL.
@@ -117,14 +132,13 @@ object Dedup {
     // the shingle set feeds the signature, the band joins AND the
     // verification — materialize it eagerly once (sequentially) rather
     // than letting a dozen concurrent stages race on the same cache
-    val ss = shingleSet(df, textCol, idCol, n)
+    val ss = shingleHashSet(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ss.count()
-    val base = conv(substring(md5(col("_sh")), 1, 15), 16, 10).cast("long")
     val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
-      min(col("_h").bitwiseXOR(lit(seed))).as(s"mh$j")
+      min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
     }
-    val sig = ss.withColumn("_h", base).groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
+    val sig = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count()
     // cands and the candidate shingle subset are each referenced by
@@ -149,7 +163,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       num: Int, den: Int): DataFrame = {
-    val ss = shingleSet(df, textCol, idCol, n)
+    val ss = shingleHashSet(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
     val a = ss.select(col("_did").as("id_a"), col("_sh"))
