@@ -978,14 +978,33 @@ class Compiler(
     Stream(top, isEdges, Some(labels))
   }
 
-  /** BM25 top-k (dsl.rs:2834-2847); scoring in graft.search.BM25. */
+  /** BM25 top-k (dsl.rs:2834-2847); scoring in graft.search.BM25. When
+    * a text index is DECLARED for (label, property) and no tenant
+    * filter narrows the corpus, the pre-built postings artifact serves
+    * the query (no query-time tokenization).
+    */
   private def textSearch(base: DataFrame, labels: Set[String], prop: String,
       tenant: Option[PropertyValue], query: String, k: Int, isEdges: Boolean): Stream = {
-    val filtered = tenant match {
-      case Some(t) => base.where(col(tenantColumn(base, labels.head, prop)) === valueToLit(t))
-      case None => base
+    val label = labels.head
+    val indexed = tenant.isEmpty && store.indexes.exists {
+      case IndexSpec.NodeText(l, p, _) => !isEdges && l == label && p == prop
+      case IndexSpec.EdgeText(l, p, _) => isEdges && l == label && p == prop
+      case _ => false
     }
-    val top = graft.search.BM25.topK(filtered, prop, query, k, keepScore = true)
+    val top = if (indexed) {
+      val (post, stats) = graft.search.IndexCache.textIndex(
+        System.identityHashCode(store), label, prop, base)
+      val scores = graft.search.BM25.scoreFromIndex(post, stats, query)
+      base.join(scores, "_id")
+        .orderBy(col("_bm25").desc, col("_id").asc).limit(k)
+        .withColumnRenamed("_bm25", "_score")
+    } else {
+      val filtered = tenant match {
+        case Some(t) => base.where(col(tenantColumn(base, label, prop)) === valueToLit(t))
+        case None => base
+      }
+      graft.search.BM25.topK(filtered, prop, query, k, keepScore = true)
+    }
     Stream(top, isEdges, Some(labels))
   }
 }

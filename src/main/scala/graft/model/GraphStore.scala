@@ -234,6 +234,12 @@ object TestGraph {
       "BY_CUSTOMER" -> EdgeMeta(Set("Event"), Set("Customer")),
     )
 
-    new GraphStore(spark, nodes, edges, meta)
+    // declared search indexes: BM25 over documents, ANN over embeddings
+    // (the serving paths the reference's default-on bm25 + HNSW imply)
+    val indexes: Set[graft.ast.IndexSpec] = Set(
+      graft.ast.IndexSpec.NodeText("Document", "text", None),
+      graft.ast.IndexSpec.NodeVector("Embedding", "embedding", None))
+
+    new GraphStore(spark, nodes, edges, meta, indexes)
   }
 }

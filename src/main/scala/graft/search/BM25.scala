@@ -98,4 +98,22 @@ object BM25 {
     score(df, textCol, query)
       .orderBy(col("_bm25").desc, col("_id").asc)
       .limit(k)
+
+  /** Score against a PRE-BUILT index (postings + stats from buildIndex):
+    * the serving path once a text index is declared — no query-time
+    * tokenization at all; only the query terms' postings are read
+    * (term-partitioned at scale = partition-pruned scan).
+    */
+  def scoreFromIndex(post: DataFrame, stats: DataFrame, query: String): DataFrame = {
+    val terms = tokenize(query).distinct
+    require(terms.nonEmpty, "empty query")
+    val qPost = post.where(col("_term").isin(terms: _*))
+    val dfreq = qPost.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
+    val tfNorm = (col("_tf") * lit(K1 + 1)) /
+      (col("_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("_len") / col("_avglen")))
+    qPost.join(dfreq, "_term").crossJoin(stats)
+      .withColumn("_termScore", idf * tfNorm)
+      .groupBy(col("_id")).agg(sum(col("_termScore")).as("_bm25"))
+  }
 }

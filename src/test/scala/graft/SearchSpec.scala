@@ -93,6 +93,35 @@ class SearchSpec extends GraftSuite {
     assert(scores(1L) > scores(2L))
   }
 
+  test("index-served BM25 equals on-the-fly scoring") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark query engine with hash joins"),
+      (2L, "hash tables and hash maps"),
+      (3L, "gardening tips for spring"),
+      (4L, "spark hash spark hash spark")).toDF("_id", "text")
+    val (post, stats) = BM25.buildIndex(docs, "text")
+    val fromIndex = BM25.scoreFromIndex(post, stats, "spark hash").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val onTheFly = BM25.score(docs, "text", "spark hash").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fromIndex == onTheFly)
+  }
+
+  test("declared text index drives the compiler's search path") {
+    val store = TestBase.parityGraph()
+      .withIndexes(Set(graft.ast.IndexSpec.NodeText("ParityUser", "bio", None)))
+    val c = TestBase.compiler(store)
+    import graft.dsl.Dsl._
+    val viaIndex = c.run(g().textSearchNodes("ParityUser", "bio", "vector search", 2)
+      .values("name").t).collect().map(_.getString(0)).toSet
+    val plain = TestBase.compiler().run(
+      g().textSearchNodes("ParityUser", "bio", "vector search", 2)
+        .values("name").t).collect().map(_.getString(0)).toSet
+    assert(viaIndex == plain)
+  }
+
   test("buildIndex postings agree with on-the-fly scoring") {
     val s = spark
     import s.implicits._
