@@ -98,18 +98,19 @@ object Dedup {
   }
 
   /** LSH banding: pairs of ids sharing at least one band of the
-    * signature. Equi-join per band on the band key -> candidates only.
+    * signature. One exploded (band_idx, band_key) self-join — a single
+    * shuffle for all bands instead of one join per band.
     */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val perBand = (0 until bands).map { b =>
-      val key = concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*)
-      val keyed = sig.select(col("_did"), key.as("_band"))
-      val a = keyed.select(col("_did").as("id_a"), col("_band"))
-      val bb = keyed.select(col("_did").as("id_b"), col("_band"))
-      a.join(bb, Seq("_band")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
-    }
-    perBand.reduce(_ union _).distinct()
+    val banded = sig.select(col("_did"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("bi"),
+        concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*).as("bk"))
+    }: _*)).as("_b")).select(col("_did"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
+    val a = banded.select(col("_did").as("id_a"), col("bi"), col("bk"))
+    val b = banded.select(col("_did").as("id_b"), col("bi"), col("bk"))
+    a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** Exact Jaccard over shingle sets for a pair list (verification). */
@@ -212,15 +213,16 @@ object Dedup {
     val mask = (1L << SimhashBandBits) - 1
     val sig = simhash(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until SimhashBands).map { b =>
-      val key = shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask)
-      sig.select(col(idCol).as("id_a"), col("simhash").as("_sa"), key.as("_band"))
-        .join(sig.select(col(idCol).as("id_b"), col("simhash").as("_sb"),
-          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("_band")),
-          Seq("_band"))
-        .where(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
-    }
-    bands.reduce(_ union _).distinct()
+    val banded = sig.select(col(idCol).as("_i"), col("simhash"),
+      explode(array((0 until SimhashBands).map { b =>
+        struct(lit(b).as("bi"),
+          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bk"))
+      }: _*)).as("_b"))
+      .select(col("_i"), col("simhash"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
+    val a = banded.select(col("_i").as("id_a"), col("simhash").as("_sa"), col("bi"), col("bk"))
+    val b = banded.select(col("_i").as("id_b"), col("simhash").as("_sb"), col("bi"), col("bk"))
+    a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "_sa", "_sb").distinct()
       .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
       .select("id_a", "id_b")
   }
