@@ -234,12 +234,11 @@ object TestGraph {
       "BY_CUSTOMER" -> EdgeMeta(Set("Event"), Set("Customer")),
     )
 
-    // declared search indexes: BM25 over documents, ANN over embeddings
-    // (the serving paths the reference's default-on bm25 + HNSW imply)
-    val indexes: Set[graft.ast.IndexSpec] = Set(
-      graft.ast.IndexSpec.NodeText("Document", "text", None),
-      graft.ast.IndexSpec.NodeVector("Embedding", "embedding", None))
-
-    new GraphStore(spark, nodes, edges, meta, indexes)
+    // No indexes declared by default: for one-shot queries the
+    // query-term-restricted on-the-fly postings beat building the full
+    // postings artifact. Declaring NodeText/NodeVector (CreateIndex
+    // steps or withIndexes) switches to the cached-artifact serving
+    // path — the right trade once queries repeat.
+    new GraphStore(spark, nodes, edges, meta)
   }
 }
