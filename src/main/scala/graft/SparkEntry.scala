@@ -269,6 +269,8 @@ object SparkEntry {
     // ---- training-data pipeline: text analysis (extension)
     "q_doc_token_count" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "q_doc_token_bpe" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
     "q_doc_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
     "q_doc_quality" -> ((s, d) =>
@@ -491,6 +493,8 @@ object SparkEntry {
 
     "q_doc_token_count" -> ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) " +
       "AS BIGINT) AS n_tokens FROM documents"),
+    "q_doc_token_bpe" -> ("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +
+      "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe FROM documents"),
     "q_doc_langid" -> ("WITH d AS (SELECT doc_id, " +
       "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
       "FROM documents), s AS (SELECT doc_id, " +

@@ -16,6 +16,14 @@ object TextAnalysis {
   /** Whitespace token count (matches `\S+` runs). */
   def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+")).cast("long")
 
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the usual
+    * pre-tokenization granularity BPE vocabularies start from.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(lower(c), lit(BpePattern)).cast("long")
+
   // Marker stopword sets per language for the n-gram/stopword
   // language-ID heuristic. Score = #distinct marker words present.
   val Markers: Seq[(String, Seq[String])] = Seq(

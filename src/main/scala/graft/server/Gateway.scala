@@ -20,8 +20,38 @@ import java.nio.charset.StandardCharsets
 class Gateway(@volatile private var store: GraphStore, port: Int = 6969) {
 
   private var server: HttpServer = _
+  private val stored =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ast.Batch]()
 
   def currentStore: GraphStore = store
+
+  /** Deploy a stored query (the reference's registered-query surface:
+    * `#[register]` fn -> queries.json bundle -> POST /v1/query/<name>
+    * with a JSON params body, SURVEY §3.3).
+    */
+  def registerQuery(name: String, batch: graft.ast.Batch): Unit =
+    stored.put(name, batch)
+
+  /** Execute a stored query with a plain JSON parameters object. */
+  def handleStored(name: String, paramsJson: String): String = {
+    val batch = Option(stored.get(name))
+      .getOrElse(throw new IllegalArgumentException(s"unknown stored query: $name"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = if (paramsJson.trim.isEmpty) mapper.createObjectNode()
+      else mapper.readTree(paramsJson)
+    val params = tree.properties().iterator()
+    val pmap = scala.collection.mutable.Map.empty[String, graft.ast.PropertyValue]
+    while (params.hasNext) {
+      val e = params.next()
+      pmap(e.getKey) = Json.readParamValue(e.getValue)
+    }
+    val exec = new BatchExecutor(store, pmap.toMap)
+    val out = exec.execute(batch)
+    if (batch.write) store = out.store
+    out.results.toSeq.sortBy(_._1)
+      .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
+      .mkString("{", ",", "}")
+  }
 
   /** Render a result frame: single-row single-column -> scalar;
     * otherwise an array of row objects (CLI prints raw JSON,
@@ -50,10 +80,16 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969) {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/v1/query", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val path = ex.getRequestURI.getPath
         val resp =
-          try Gateway.this.handle(
-            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-          catch {
+          try {
+            // POST /v1/query/<name> runs a deployed stored query
+            // (sdks/rust/src/lib.rs:244-247); bare /v1/query takes the
+            // inline envelope
+            val sub = path.stripPrefix("/v1/query").stripPrefix("/")
+            if (sub.nonEmpty) handleStored(sub, body) else Gateway.this.handle(body)
+          } catch {
             case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
           }
         val bytes = resp.getBytes(StandardCharsets.UTF_8)

@@ -61,6 +61,27 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("stored queries run at /v1/query/<name> with a params body") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    val gw = new Gateway(TestBase.parityGraph(), port = 16971)
+    gw.registerQuery("users_over", Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("n"),
+        g().nWithLabel("ParityUser")
+          .where(Predicate.GteExpr("age", Expr.Param("min_age"))).count().t))),
+      returns = Seq("n")))
+    gw.start()
+    try {
+      val conn = new java.net.URL("http://localhost:16971/v1/query/users_over")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("""{"min_age": 30}""".getBytes("UTF-8"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body == """{"n":2}""")
+      assert(gw.handleStored("users_over", """{"min_age": 40}""") == """{"n":1}""")
+    } finally gw.stop()
+  }
+
   test("HTTP server answers POST /v1/query") {
     val gw = new Gateway(TestBase.parityGraph(), port = 16969)
     gw.start()
