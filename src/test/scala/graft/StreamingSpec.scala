@@ -72,6 +72,22 @@ class StreamingSpec extends GraftSuite {
     assert(written.select("_label").distinct().collect()(0).getString(0) == "User")
   }
 
+  test("streaming edge ingest writes the src-bucketed edge layout") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-e").toString
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = GraphStream.edgeIngest(mem.toDF().toDF("eid", "from", "to", "w"),
+      "KNOWS", "eid", "from", "to", root, buckets = 4)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData((1L, 10L, 20L, 0.5), (2L, 11L, 21L, 0.9))
+    q.awaitTermination(60000)
+    val written = s.read.parquet(s"$root/edges/KNOWS")
+    assert(written.count() == 2)
+    assert(Set("_id", "_label", "_src", "_dst", "_bucket").subsetOf(written.columns.toSet))
+  }
+
   test("GraphBuilder projects raw tables into a traversable graph") {
     val s = spark
     import s.implicits._
