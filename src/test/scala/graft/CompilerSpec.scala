@@ -154,7 +154,7 @@ class CompilerSpec extends GraftSuite {
   }
   test("edgeProperties") {
     val ep = c.run(g().n(1L).outE("FOLLOWS").edgeProperties().t)
-    assert(ep.columns.toSeq.sorted == Seq("since", "weight"))
+    assert(ep.columns.toSeq.sorted == Seq("embedding", "note", "since", "weight"))
   }
 
   // ---- bind / projectBindings
@@ -231,6 +231,15 @@ class CompilerSpec extends GraftSuite {
       .values("name").t)
     assert(rows(r).map(_.head).toSet == Set("Alice", "Bob"))
   }
+  test("vector and text search over edges") {
+    val v = c.run(g().vectorSearchEdges("FOLLOWS", "embedding",
+      Seq(0.9f, 0.1f), 1).values("weight").t)
+    assert(rows(v) == Seq(Seq(1.0)))
+    val t = c.run(g().textSearchEdges("FOLLOWS", "note", "travel blog", 1)
+      .outN().values("name").t)
+    assert(rows(t) == Seq(Seq("Carol")))
+  }
+
   test("vector search with tenant filter") {
     val r = c.run(Traversal(Vector(
       Step.VectorSearchNodes("ParityUser", "embedding",

@@ -39,10 +39,14 @@ object TestBase {
         "cooking and travel blogs", Seq(0.0f, 1.0f, 0.0f), "t2"),
     ).toDF("_id", "_label", "externalId", "name", "age", "score", "status",
       "city", "bio", "embedding", "tenantId")
+    // FOLLOWS edges also carry a BM25-indexed note + a 2-dim embedding
+    // (the parity seed's edge-index surface, FIXTURES.md §A)
     val follows = Seq(
-      (100L, "FOLLOWS", 1L, 2L, 1.0, "2024-01-01"),
-      (101L, "FOLLOWS", 2L, 3L, 0.5, "2024-02-01"),
-    ).toDF("_id", "_label", "_src", "_dst", "weight", "since")
+      (100L, "FOLLOWS", 1L, 2L, 1.0, "2024-01-01",
+        "close friends from work", Seq(1.0f, 0.0f)),
+      (101L, "FOLLOWS", 2L, 3L, 0.5, "2024-02-01",
+        "travel blog subscription", Seq(0.0f, 1.0f)),
+    ).toDF("_id", "_label", "_src", "_dst", "weight", "since", "note", "embedding")
     new GraphStore(s, Map("ParityUser" -> users), Map("FOLLOWS" -> follows),
       Map("FOLLOWS" -> EdgeMeta(Set("ParityUser"), Set("ParityUser"))))
   }
