@@ -161,6 +161,16 @@ object SparkEntry {
       g().nWithLabel("Lineitem").aggregateBy(AggFn.Mean, "l_quantity"))),
     "q_agg_count" -> ((s, d) => run(s, d,
       g().nWithLabel("Order").aggregateBy(AggFn.Count, "o_totalprice"))),
+    // money (2-decimal) double sums round to 2 places on both sides:
+    // the true sum has exactly 2 decimals, so the ~1e-9 partial-order
+    // double error can't flip the rounding
+    "q_agg_sum_money" -> ((s, d) =>
+      run(s, d, g().nWithLabel("Lineitem").aggregateBy(AggFn.Sum, "l_extendedprice"))
+        .select(round(col("sum"), 2).as("sum"))),
+    "q_nav_agg" -> ((s, d) =>
+      run(s, d, g().nWithLabelWhere("Customer", eq_("c_mktsegment", "BUILDING"))
+        .out("PLACED").aggregateBy(AggFn.Sum, "o_totalprice"))
+        .select(round(col("sum"), 2).as("sum"))),
 
     // ---- terminals / projections (§2.6)
     "q_exists" -> ((s, d) => run(s, d,
@@ -364,6 +374,9 @@ object SparkEntry {
     "q_agg_max" -> "SELECT max(l_extendedprice) AS \"max\" FROM lineitem",
     "q_agg_mean" -> "SELECT avg(l_quantity) AS \"mean\" FROM lineitem",
     "q_agg_count" -> "SELECT count(o_totalprice) AS \"count\" FROM orders",
+    "q_agg_sum_money" -> "SELECT round(sum(l_extendedprice), 2) AS \"sum\" FROM lineitem",
+    "q_nav_agg" -> ("SELECT round(sum(o_totalprice), 2) AS \"sum\" FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'"),
 
     "q_exists" -> ("SELECT (count(*) > 0) AS \"exists\" FROM customer " +
       "WHERE c_acctbal > 99999999.0"),
