@@ -150,7 +150,10 @@ object SparkEntry {
     // ---- aggregations (§2.5)
     "q_group_count" -> ((s, d) => run(s, d,
       g().nWithLabel("Order").groupCount("o_orderstatus"))),
-    "q_group" -> ((s, d) => run(s, d, g().nWithLabel("Nation").group("n_regionkey"))),
+    // group ids project to a sorted comma-joined string: the driver's
+    // pandas comparator can't hash list columns, scalars it can
+    "q_group" -> ((s, d) => run(s, d, g().nWithLabel("Nation").group("n_regionkey"))
+      .select(col("n_regionkey"), array_join(col("ids"), ",").as("ids"))),
     "q_agg_sum" -> ((s, d) => run(s, d,
       g().nWithLabel("Lineitem").aggregateBy(AggFn.Sum, "l_quantity"))),
     "q_agg_min" -> ((s, d) => run(s, d,
@@ -254,12 +257,17 @@ object SparkEntry {
     // ---- vector / text search (§2.1 search steps)
     "q_vector_knn" -> ((s, d) => run(s, d,
       g().vectorSearchNodes("Embedding", "embedding", queryVec(s, d), 10).id())),
+    // self-checking IVF: recall@10 of the IVF path vs exact brute-force
+    // top-10 must clear 0.9 — the oracle trivially asserts the gate, so
+    // the approximate path is now correctness-gated, not rows-only
     "q_vector_ivf" -> ((s, d) => {
       val e = emb(s, d).withColumnRenamed("vec_id", "_id")
       val model = VectorOps.trainIvf(e, "embedding", nlist = 16)
-      VectorOps.ivfTopK(e, "embedding", model,
-        queryVec(s, d).map(_.toDouble), 10, nprobe = 4)
-        .select(col("_id").as("vec_id"))
+      val q = queryVec(s, d).map(_.toDouble)
+      val ivf = VectorOps.ivfTopK(e, "embedding", model, q, 10, nprobe = 4).select("_id")
+      val brute = VectorOps.bruteForceTopK(e, "embedding", q, 10).select("_id")
+      ivf.join(brute, Seq("_id"), "left_semi")
+        .agg((count(lit(1)) >= 9).cast("double").as("recall_gate"))
     }),
     "q_text_bm25" -> ((s, d) => run(s, d,
       g().textSearchNodes("Document", "text", "spark hash join window", 10).id())),
@@ -367,8 +375,10 @@ object SparkEntry {
 
     "q_group_count" -> ("SELECT o_orderstatus, count(*) AS cnt FROM orders " +
       "GROUP BY o_orderstatus"),
-    "q_group" -> ("SELECT n_regionkey, list_sort(list(CAST(2000000000 + n_nationkey AS BIGINT))) " +
+    "q_group" -> ("SELECT n_regionkey, array_to_string(list_sort(" +
+      "list(CAST(2000000000 + n_nationkey AS BIGINT))), ',') " +
       "AS ids FROM nation GROUP BY n_regionkey"),
+    "q_vector_ivf" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_gate",
     "q_agg_sum" -> "SELECT sum(l_quantity) AS \"sum\" FROM lineitem",
     "q_agg_min" -> "SELECT min(l_extendedprice) AS \"min\" FROM lineitem",
     "q_agg_max" -> "SELECT max(l_extendedprice) AS \"max\" FROM lineitem",
