@@ -24,6 +24,16 @@ final case class Stream(df: DataFrame, isEdges: Boolean, labels: Option[Set[Stri
 
 class TraversalException(msg: String) extends RuntimeException(msg)
 
+object Compiler {
+  /** AddE id allocation: new-edge rows hash into `AddEBands` bands, each
+    * band numbering up to `AddEBandCap` edges with its own window; one
+    * AddE call reserves Bands*Cap ids arithmetically — no global-window
+    * single-partition exchange, no per-call count() job.
+    */
+  val AddEBands = 64L
+  val AddEBandCap: Long = 1L << 33
+}
+
 /** Compiles a traversal (ordered Vec[Step], dsl.rs:3304-3311) into a
   * DataFrame plan. Spark-first: every step is a declarative DataFrame
   * transformation so Catalyst handles pushdown/pruning/join selection;
@@ -687,27 +697,50 @@ class Compiler(
 
       case Step.AddE(label, to, props) =>
         val target = sourceNodes(to, env)
-        val left = s.df.select(col("_id").as("_src"))
+        // carry the source stream's property columns through the join so
+        // FromExpr props can reference current-element properties (they
+        // were silently null when `left` was projected down to _src only)
+        val srcProps = s.df.columns.toSeq.filterNot(c =>
+          c.startsWith("_b_") || c == "_came" || c == "_score" ||
+            c == "_id" || c == "_label" || c == "_src" || c == "_dst")
+        val left = s.df.select(col("_id").as("_src") +: srcProps.map(col): _*)
         val right = target.df.select(col("_id").as("_dst"))
-        val base = idBase.get()
-        val win = org.apache.spark.sql.expressions.Window.orderBy(col("_src"), col("_dst"))
-        val cols = Seq((lit(base) + row_number().over(win).cast("long") - 1).as("_id"),
+        // id allocation without a global single-partition window and
+        // without a per-call count() action: hash-band the rows, number
+        // within each band (parallel windows), and reserve a fixed id
+        // band per AddE call. Deterministic, collision-free, and the
+        // counter advances by arithmetic — the shape that survives a
+        // billion-edge AddE on a real cluster.
+        val base = idBase.getAndAdd(Compiler.AddEBands * Compiler.AddEBandCap)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band")).orderBy(col("_src"), col("_dst"))
+        val cols = Seq(
+          (lit(base) + col("__band") * Compiler.AddEBandCap +
+            row_number().over(win).cast("long") - 1).as("_id"),
           lit(label).as("_label"), col("_src"), col("_dst")) ++
           props.map { case (k, in) => inputCol(left, in).as(k) }
-        val rows = left.crossJoin(right).select(cols: _*)
-        val n = rows.count()
-        idBase.addAndGet(n)
+        val rows = left.crossJoin(right)
+          .withColumn("__band",
+            pmod(hash(col("_src"), col("_dst")), lit(Compiler.AddEBands)).cast("long"))
+          .select(cols: _*)
         val meta = EdgeMeta(
           s.labels.getOrElse(store.nodeLabels) ++ store.edgeMeta.get(label).map(_.srcLabels).getOrElse(Set.empty),
           target.labels.getOrElse(store.nodeLabels) ++ store.edgeMeta.get(label).map(_.dstLabels).getOrElse(Set.empty))
         store = store.withEdges(label,
           store.edgeTables.get(label).map(_.unionByName(rows, allowMissingColumns = true))
             .getOrElse(rows), Some(meta))
-        Stream(store.edgesFor(label).where(col("_id") >= base && col("_id") < base + n),
+        Stream(store.edgesFor(label)
+          .where(col("_id") >= base && col("_id") < base + Compiler.AddEBands * Compiler.AddEBandCap),
           isEdges = true, Some(Set(label)))
 
       case Step.SetProperty(name, in) =>
+        // a stream may visit the same element twice (e.g. n().out() with
+        // no dedup): without dedup the left join would MULTIPLY matching
+        // rows in the rebuilt table — permanent store corruption. The
+        // computed value is a function of the element's own columns, so
+        // duplicates carry identical values and any survivor is correct.
         val updates = s.df.select(col("_id").as("__uid"), inputCol(s.df, in).as("__newv"))
+          .dropDuplicates("__uid")
         val labels = s.labels.getOrElse(if (s.isEdges) store.edgeLabels else store.nodeLabels)
         labels.foreach { l =>
           val table = if (s.isEdges) store.edgesFor(l) else store.nodesFor(l)
@@ -721,7 +754,7 @@ class Compiler(
         s.copy(df = s.df.withColumn(name, inputCol(s.df, in)))
 
       case Step.RemoveProperty(name) =>
-        val ids = s.df.select(col("_id").as("__uid"))
+        val ids = s.df.select(col("_id").as("__uid")).dropDuplicates("__uid")
         val labels = s.labels.getOrElse(if (s.isEdges) store.edgeLabels else store.nodeLabels)
         labels.foreach { l =>
           val table = if (s.isEdges) store.edgesFor(l) else store.nodesFor(l)
@@ -968,13 +1001,38 @@ class Compiler(
 
   private def vectorSearch(base: DataFrame, labels: Set[String], prop: String,
       tenant: Option[PropertyValue], qv: Seq[Double], k: Int, isEdges: Boolean): Stream = {
+    val label = labels.head
     val filtered = tenant match {
-      case Some(t) => base.where(col(tenantColumn(base, labels.head, prop)) === valueToLit(t))
+      case Some(t) => base.where(col(tenantColumn(base, label, prop)) === valueToLit(t))
       case None => base
     }
-    val scored = filtered.withColumn("_score",
-      graft.search.VectorOps.cosineSim(col(prop), qv))
-    val top = scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
+    // Declared vector index + large table -> IVF partition-pruned scan
+    // (the analogue of the reference's always-on HNSW serving,
+    // dsl.rs:2813-2832 / config.rs:191-201). Below the threshold the
+    // exact brute scan wins on latency AND stays oracle-exact, so the
+    // switch is size-gated. Tenant-filtered queries stay brute: the
+    // filter already prunes the scan to one tenant's partitions.
+    val declared = tenant.isEmpty && store.indexes.exists {
+      case IndexSpec.NodeVector(l, p, _) => !isEdges && l == label && p == prop
+      case IndexSpec.EdgeVector(l, p, _) => isEdges && l == label && p == prop
+      case _ => false
+    }
+    val threshold = spark.conf.get("graft.search.ivfThreshold", "100000").toLong
+    val top = if (declared &&
+        graft.search.IndexCache.rowCount(store.version, label, prop, base) >= threshold) {
+      val n = graft.search.IndexCache.rowCount(store.version, label, prop, base)
+      // nlist ~ sqrt(n) (IVF rule of thumb); nprobe = nlist/4 probes a
+      // quarter of the centroids — recall comparable to the reference's
+      // ef_search=768 profile on clustered data (SearchSpec gates >=0.9@10)
+      val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+      val nprobe = math.max(4, nlist / 4)
+      val model = graft.search.IndexCache.ivfModel(store.version, label, prop, nlist, base)
+      graft.search.VectorOps.ivfTopK(base, prop, model, qv, k, nprobe)
+    } else {
+      val scored = filtered.withColumn("_score",
+        graft.search.VectorOps.cosineSim(col(prop), qv))
+      scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
+    }
     Stream(top, isEdges, Some(labels))
   }
 
@@ -993,7 +1051,7 @@ class Compiler(
     }
     val top = if (indexed) {
       val (post, stats) = graft.search.IndexCache.textIndex(
-        System.identityHashCode(store), label, prop, base)
+        store.version, label, prop, base)
       val scores = graft.search.BM25.scoreFromIndex(post, stats, query)
       base.join(scores, "_id")
         .orderBy(col("_bm25").desc, col("_id").asc).limit(k)

@@ -154,9 +154,15 @@ object Dedup {
       .union(cands.select(col("id_b").as("_did"))).distinct()
     val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withJaccard(cands, ssCand)
+    // materialize the (small) verified pair set, then release the four
+    // persisted intermediates — otherwise every call leaks cached blocks
+    // for the session's lifetime
+    val out = withJaccard(cands, ssCand)
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
+    Seq(ss, sig, cands, ssCand).foreach(_.unpersist(false))
+    out
   }
 
   /** Exact n-gram Jaccard pairs via shared-shingle inverted join
@@ -169,12 +175,15 @@ object Dedup {
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
     val a = ss.select(col("_did").as("id_a"), col("_sh"))
     val b = ss.select(col("_did").as("id_b"), col("_sh"))
-    a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
+    val out = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
       .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
       .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
+    ss.unpersist(false)
+    out
   }
 
   /** SimHash geometry shared with the DuckDB oracle: 60 bits (md5-hex
@@ -221,19 +230,29 @@ object Dedup {
       .select(col("_i"), col("simhash"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
     val a = banded.select(col("_i").as("id_a"), col("simhash").as("_sa"), col("bi"), col("bk"))
     val b = banded.select(col("_i").as("id_b"), col("simhash").as("_sb"), col("bi"), col("bk"))
-    a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
+    val out = a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "_sa", "_sb").distinct()
       .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    out
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold. Exact self-join
-    * under `bruteForceLimit` rows; IVF cluster-bucketed join above it
-    * (pairs only form inside a cluster — the 100 TB path).
+  /** Above this row count the brute path's driver collect would OOM;
+    * auto-switch to the IVF-bucketed join.
+    */
+  val BruteForcePairLimit = 100000L
+
+  /** Embedding near-dup pairs: cosine >= threshold. Exact broadcast
+    * kernel under `BruteForcePairLimit` rows; IVF cluster-bucketed join
+    * above it (pairs only form inside a cluster — the 100 TB path).
+    * Pass `bruteForce` explicitly to pin a path; the default decides by
+    * row count so no caller can accidentally collect a 100 TB table.
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, bruteForce: Boolean = true): DataFrame = {
-    if (bruteForce) {
+      threshold: Double, bruteForce: Option[Boolean] = None): DataFrame = {
+    if (bruteForce.getOrElse(df.count() <= BruteForcePairLimit)) {
       VectorOps.cosinePairsBroadcast(df, vecCol, idCol, threshold)
     } else {
       val model = VectorOps.trainIvf(df.withColumnRenamed(idCol, "_id")

@@ -53,11 +53,11 @@ object BM25 {
     (post, stats)
   }
 
-  /** Scores every matching document; returns (_id, _bm25). The corpus
-    * is tokenized ONCE (cached) — corpus stats and query-term postings
-    * both read the tokenized frame.
+  /** Scores + a handle on the cached tokenized corpus so callers can
+    * unpersist once their result is materialized.
     */
-  def score(df: DataFrame, textCol: String, query: String): DataFrame = {
+  private def scoreWithHandle(df: DataFrame, textCol: String,
+      query: String): (DataFrame, DataFrame) = {
     val terms = tokenize(query).distinct
     require(terms.nonEmpty, "empty query")
     val toksCol = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
@@ -75,29 +75,46 @@ object BM25 {
     val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
     val tfNorm = (col("_tf") * lit(K1 + 1)) /
       (col("_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("_len") / col("_avglen")))
-    post.join(dfreq, "_term").crossJoin(stats)
+    val scores = post.join(dfreq, "_term").crossJoin(stats)
       .withColumn("_termScore", idf * tfNorm)
       .groupBy(col("_id")).agg(sum(col("_termScore")).as("_bm25"))
+    (scores, toks)
   }
+
+  /** Scores every matching document; returns (_id, _bm25). The corpus
+    * is tokenized ONCE (cached). NOTE: the cache lives until the session
+    * evicts it — use topK/topKScores (which release it) in serving paths.
+    */
+  def score(df: DataFrame, textCol: String, query: String): DataFrame =
+    scoreWithHandle(df, textCol, query)._1
 
   /** Top-k rows of `df` by BM25 relevance of `textCol` to `query`.
     * With keepScore the relevance stays available as `_score`
-    * (the `$score` virtual field).
+    * (the `$score` virtual field). The k result rows are materialized
+    * eagerly (localCheckpoint) so the tokenized-corpus cache can be
+    * released before returning — a long-running gateway would otherwise
+    * accumulate one persisted corpus per query.
     */
   def topK(df: DataFrame, textCol: String, query: String, k: Int,
       keepScore: Boolean = false): DataFrame = {
-    val scores = score(df, textCol, query)
+    val (scores, toks) = scoreWithHandle(df, textCol, query)
     val top = df.join(scores, "_id")
       .orderBy(col("_bm25").desc, col("_id").asc)
       .limit(k)
-    if (keepScore) top.withColumnRenamed("_bm25", "_score") else top.drop("_bm25")
+    val named = if (keepScore) top.withColumnRenamed("_bm25", "_score") else top.drop("_bm25")
+    val out = named.localCheckpoint(true)
+    toks.unpersist(false)
+    out
   }
 
   /** Top-k (_id, score) pairs — for callers that want the relevance. */
-  def topKScores(df: DataFrame, textCol: String, query: String, k: Int): DataFrame =
-    score(df, textCol, query)
-      .orderBy(col("_bm25").desc, col("_id").asc)
-      .limit(k)
+  def topKScores(df: DataFrame, textCol: String, query: String, k: Int): DataFrame = {
+    val (scores, toks) = scoreWithHandle(df, textCol, query)
+    val out = scores.orderBy(col("_bm25").desc, col("_id").asc).limit(k)
+      .localCheckpoint(true)
+    toks.unpersist(false)
+    out
+  }
 
   /** Score against a PRE-BUILT index (postings + stats from buildIndex):
     * the serving path once a text index is declared — no query-time

@@ -7,21 +7,27 @@ import java.util.concurrent.ConcurrentHashMap
 
 /** Session-lived artifacts behind declared indexes (SURVEY §4.1: the
   * vector/text index DDL maps to batch index artifacts, not B-trees).
-  * Keyed by store identity, so any mutation (which produces a new
-  * GraphStore) naturally invalidates.
+  *
+  * Keyed by `GraphStore.version` (a UUID minted per data mutation) so a
+  * post-mutation store can never be served another store's artifact —
+  * identity-hash keys could collide once the old store is GC'd. A
+  * long-running gateway calls `evictOthers(current)` after each write
+  * batch to unpersist superseded artifacts instead of leaking cached
+  * blocks until executor-store pressure evicts them.
   */
 object IndexCache {
-  private val text =
-    new ConcurrentHashMap[(Int, String, String), (DataFrame, DataFrame)]()
-  private val ivf =
-    new ConcurrentHashMap[(Int, String, String), VectorOps.IvfModel]()
+  type Key = (String, String, String) // (storeVersion, label, property)
+
+  private val text = new ConcurrentHashMap[Key, (DataFrame, DataFrame)]()
+  private val ivf = new ConcurrentHashMap[Key, VectorOps.IvfModel]()
+  private val counts = new ConcurrentHashMap[Key, java.lang.Long]()
 
   /** Postings + corpus stats for a declared text index, built once per
-    * (store, label, property) and cached persisted.
+    * (store version, label, property) and cached persisted.
     */
-  def textIndex(storeId: Int, label: String, prop: String,
+  def textIndex(storeVersion: String, label: String, prop: String,
       table: => DataFrame): (DataFrame, DataFrame) =
-    text.computeIfAbsent((storeId, label, prop), _ => {
+    text.computeIfAbsent((storeVersion, label, prop), _ => {
       val (post, stats) = BM25.buildIndex(table, prop)
       val p = post.persist(StorageLevel.MEMORY_AND_DISK)
       val s = stats.persist(StorageLevel.MEMORY_AND_DISK)
@@ -30,8 +36,33 @@ object IndexCache {
     })
 
   /** IVF centroids for a declared vector index. */
-  def ivfModel(storeId: Int, label: String, prop: String, nlist: Int,
+  def ivfModel(storeVersion: String, label: String, prop: String, nlist: Int,
       table: => DataFrame): VectorOps.IvfModel =
-    ivf.computeIfAbsent((storeId, label, prop), _ =>
+    ivf.computeIfAbsent((storeVersion, label, prop), _ =>
       VectorOps.trainIvf(table, prop, nlist))
+
+  /** Table row count, computed once per (store version, label, prop) —
+    * drives the brute-vs-IVF serving decision without re-counting per
+    * query (on parquet sources this is a metadata-only job anyway).
+    */
+  def rowCount(storeVersion: String, label: String, prop: String,
+      table: => DataFrame): Long =
+    counts.computeIfAbsent((storeVersion, label, prop), _ => table.count()).longValue()
+
+  /** Drop (and unpersist) every artifact built for a store version other
+    * than `current` — the post-write lifecycle hook.
+    */
+  def evictOthers(current: String): Unit = {
+    text.keySet.forEach { k =>
+      if (k._1 != current) {
+        val v = text.remove(k)
+        if (v != null) { v._1.unpersist(false); v._2.unpersist(false) }
+      }
+    }
+    ivf.keySet.forEach { k => if (k._1 != current) ivf.remove(k) }
+    counts.keySet.forEach { k => if (k._1 != current) counts.remove(k) }
+  }
+
+  /** Number of cached artifacts (for tests/diagnostics). */
+  def size: Int = text.size + ivf.size
 }

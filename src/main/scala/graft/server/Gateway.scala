@@ -17,7 +17,8 @@ import java.nio.charset.StandardCharsets
   * helix-cli/src/config.rs:7). Built on the JDK's HttpServer —
   * no extra dependencies.
   */
-class Gateway(@volatile private var store: GraphStore, port: Int = 6969) {
+class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
+    maxResponseRows: Int = 10000) {
 
   private var server: HttpServer = _
   private val stored =
@@ -47,7 +48,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969) {
     }
     val exec = new BatchExecutor(store, pmap.toMap)
     val out = exec.execute(batch)
-    if (batch.write) store = out.store
+    if (batch.write) { store = out.store; graft.search.IndexCache.evictOthers(store.version) }
     out.results.toSeq.sortBy(_._1)
       .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
       .mkString("{", ",", "}")
@@ -56,21 +57,85 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969) {
   /** Render a result frame: single-row single-column -> scalar;
     * otherwise an array of row objects (CLI prints raw JSON,
     * commands/query.rs:93-101).
+    *
+    * Hand-rolled writer instead of Dataset.toJSON: toJSON OMITS
+    * null-valued fields (row objects would silently lose null
+    * properties, and a single null scalar NPE'd the unwrap path);
+    * the reference's JSON carries explicit nulls. Responses cap at
+    * `maxResponseRows` so one unbounded query can't buffer the whole
+    * table into a driver string.
     */
   private def renderDf(df: DataFrame): String = {
-    val rows = df.toJSON.collect()
-    if (rows.length == 1 && df.columns.length == 1) {
-      // unwrap {"col": value} -> value
-      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(rows(0))
-      m.get(df.columns(0)).toString
-    } else rows.mkString("[", ",", "]")
+    val rows = df.limit(maxResponseRows).collect()
+    val names = df.columns
+    val sb = new StringBuilder
+    def writeVal(v: Any): Unit = v match {
+      case null => sb.append("null")
+      case s: String => sb.append(quote(s))
+      case b: Boolean => sb.append(b)
+      case d: Double =>
+        if (d.isNaN || d.isInfinite) sb.append(quote(d.toString)) else sb.append(d)
+      case f: Float =>
+        if (f.isNaN || f.isInfinite) sb.append(quote(f.toString)) else sb.append(f.toDouble)
+      case d: java.math.BigDecimal => sb.append(d.toPlainString)
+      case t: java.time.LocalDateTime => sb.append(quote(t.toString))
+      case t: java.sql.Timestamp => sb.append(quote(t.toInstant.toString))
+      case t: java.time.Instant => sb.append(quote(t.toString))
+      case d: java.sql.Date => sb.append(quote(d.toString))
+      case b: Array[Byte] =>
+        sb.append(quote(java.util.Base64.getEncoder.encodeToString(b)))
+      case seq: scala.collection.Seq[_] =>
+        sb.append('[')
+        var first = true
+        seq.foreach { x => if (!first) sb.append(','); first = false; writeVal(x) }
+        sb.append(']')
+      case m: scala.collection.Map[_, _] =>
+        sb.append('{')
+        var first = true
+        m.foreach { case (k, x) =>
+          if (!first) sb.append(','); first = false
+          sb.append(quote(String.valueOf(k))).append(':'); writeVal(x)
+        }
+        sb.append('}')
+      case r: org.apache.spark.sql.Row =>
+        sb.append('{')
+        val fns = r.schema.fieldNames
+        var i = 0
+        while (i < fns.length) {
+          if (i > 0) sb.append(',')
+          sb.append(quote(fns(i))).append(':'); writeVal(r.get(i))
+          i += 1
+        }
+        sb.append('}')
+      case n @ (_: Long | _: Int | _: Short | _: Byte) => sb.append(n.toString)
+      case other => sb.append(quote(other.toString))
+    }
+    if (rows.length == 1 && names.length == 1) writeVal(rows(0).get(0))
+    else {
+      sb.append('[')
+      var i = 0
+      while (i < rows.length) {
+        if (i > 0) sb.append(',')
+        sb.append('{')
+        var j = 0
+        while (j < names.length) {
+          if (j > 0) sb.append(',')
+          sb.append(quote(names(j))).append(':'); writeVal(rows(i).get(j))
+          j += 1
+        }
+        sb.append('}')
+        i += 1
+      }
+      sb.append(']')
+    }
+    sb.toString
   }
 
   def handle(body: String): String = {
     val req = Json.parseRequest(body)
     val exec = new BatchExecutor(store, req.parameters)
     val out = exec.execute(req.batch)
-    if (req.batch.write) store = out.store
+    if (req.batch.write) { store = out.store; graft.search.IndexCache.evictOthers(store.version) }
     out.results.toSeq.sortBy(_._1)
       .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
       .mkString("{", ",", "}")

@@ -40,6 +40,28 @@ class GatewaySpec extends GraftSuite {
     assert(resp == """{"names":[{"name":"Alice"},{"name":"Bob"},{"name":"Carol"}]}""")
   }
 
+  test("null property values render as explicit JSON nulls") {
+    val gw = new Gateway(TestBase.parityGraph())
+    // `city` exists, `missing` does not -> null column in every row
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"r",
+        "steps":[{"NWhere":{"Eq":["name",{"String":"Alice"}]}},
+        {"Values":["name","missing"]}],
+        "condition":null}}],"returns":["r"]},"parameters":{}}""")
+    assert(resp == """{"r":[{"name":"Alice","missing":null}]}""")
+  }
+
+  test("a single null scalar renders as null, not an error") {
+    val gw = new Gateway(TestBase.parityGraph())
+    // Min over an empty stream -> one row, one null column
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"m",
+        "steps":[{"NWhere":{"Eq":["name",{"String":"Nobody"}]}},
+        {"AggregateBy":["Min","age"]}],
+        "condition":null}}],"returns":["m"]},"parameters":{}}""")
+    assert(resp == """{"m":null}""")
+  }
+
   test("malformed requests return a structured error, not a crash") {
     val gw = new Gateway(TestBase.parityGraph(), port = 16970)
     gw.start()

@@ -62,6 +62,36 @@ class MutationSpec extends GraftSuite {
     assert(singleLong(comp2.run(g().e().count().t)) == 1)
   }
 
+  test("SetProperty through a duplicate-visiting stream does not multiply rows") {
+    val comp = TestBase.compiler(write = true)
+    // make node 2 reachable twice: 1->2 exists; add 3->2
+    comp.run(g().n(3L).addE("FOLLOWS", NodeRef.Ids(Seq(2L))).t)
+    // n().out() now yields node 2 twice (from 1 and from 3)
+    comp.run(g().n().out("FOLLOWS").setProperty("seen", VBool(true)).t)
+    assert(singleLong(comp.run(g().nWithLabel("ParityUser").count().t)) == 3)
+    val seen = comp.run(g().nWithLabel("ParityUser").orderBy("$id").values("seen").t)
+    assert(rows(seen).map(_.head) == Seq(null, true, true))
+  }
+
+  test("AddE property can reference a current-element property") {
+    val comp = TestBase.compiler(write = true)
+    comp.run(Traversal(Vector(
+      Step.N(NodeRef.Ids(Seq(1L))),
+      Step.AddE("SCORED", NodeRef.Ids(Seq(2L)),
+        Seq("w" -> PropertyInput.FromExpr(Expr.Property("score")))))))
+    val w = comp.run(g().eWithLabel("SCORED").edgeProperties().t)
+    assert(rows(w) == Seq(Seq(90.5))) // node 1's score, not null
+  }
+
+  test("AddE from a multi-node stream allocates unique ids without a global window") {
+    val comp = TestBase.compiler(write = true)
+    // 3 sources x 2 targets = 6 new edges in one AddE
+    comp.run(g().n().addE("ALL_TO", NodeRef.Ids(Seq(1L, 2L))).t)
+    val es = comp.run(g().eWithLabel("ALL_TO").id().t)
+    val allIds = es.collect().map(_.getLong(0)).toSeq
+    assert(allIds.length == 6 && allIds.distinct.length == 6)
+  }
+
   test("index DDL registers metadata") {
     val comp = TestBase.compiler(write = true)
     comp.run(Traversal(Vector(Step.N(NodeRef.All),

@@ -58,6 +58,29 @@ class PipelineSpec extends GraftSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding pairs: IVF-bucketed path finds the same close pairs as brute") {
+    val s = spark
+    import s.implicits._
+    // 30 groups of 4 identical vectors: in-group cosine = 1.0, cross-group
+    // <= ~0.99 — identical vectors always share an IVF cluster, so the
+    // bucketed path must have zero recall loss vs brute
+    val embs = (0 until 120).map { i =>
+      val grp = i / 4
+      val c = grp % 8
+      val v = Array.tabulate(8)(j =>
+        if (j == c) 1.0f else if (j == (c + 1 + grp / 8) % 8) 0.1f else 0.0f).toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingPairs(embs, "embedding", "vec_id", 0.999,
+        bruteForce = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Dedup.embeddingPairs(embs, "embedding", "vec_id", 0.999,
+        bruteForce = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 30 * 6) // within-group pairs only
+    assert(ivf == brute)
+  }
+
   test("language id picks marker-rich language") {
     val r = docs().select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap

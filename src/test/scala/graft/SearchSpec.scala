@@ -122,6 +122,59 @@ class SearchSpec extends GraftSuite {
     assert(viaIndex == plain)
   }
 
+  test("declared vector index serves IVF above the size threshold, recall >= 0.9@10") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0 until 600).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+      (i.toLong, "Vec", v)
+    }.toDF("_id", "_label", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", None)))
+    val q = Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0)
+    val qv = graft.ast.PropertyValue.VF64Array(q)
+    import graft.ast._
+    def search(c: graft.exec.Compiler) = c.run(Traversal(Vector(
+      Step.VectorSearchNodes("Vec", "emb", None,
+        PropertyInput.Value(qv), StreamBound.Literal(10)), Step.Id)))
+      .collect().map(_.getLong(0)).toSet
+    spark.conf.set("graft.search.ivfThreshold", "100")
+    try {
+      val ivf = search(TestBase.compiler(store))
+      val brute = search(TestBase.compiler(
+        store.withIndexes(Set.empty))) // undeclared -> exact path
+      val recall = (ivf intersect brute).size.toDouble / brute.size
+      assert(recall >= 0.9, s"compiled IVF recall too low: $recall")
+    } finally spark.conf.unset("graft.search.ivfThreshold")
+  }
+
+  test("below the threshold a declared vector index still serves exact brute-force") {
+    val store = TestBase.parityGraph()
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("ParityUser", "embedding", None)))
+    import graft.dsl.Dsl._
+    val top = TestBase.compiler(store).run(
+      g().vectorSearchNodes("ParityUser", "embedding", Seq(1.0f, 0.05f, 0.0f), 2).id().t)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L)) // exact ranking
+  }
+
+  test("IndexCache evicts artifacts of superseded store versions") {
+    val s = spark
+    import s.implicits._
+    // distinct plans per version (as real mutated stores have): Spark's
+    // cache manager is plan-keyed, so identical plans would share storage
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("_id", "text")
+    graft.search.IndexCache.textIndex("v-old-test", "D", "text", docs.where("_id <= 2"))
+    graft.search.IndexCache.textIndex("v-new-test", "D", "text", docs)
+    graft.search.IndexCache.evictOthers("v-new-test")
+    // old version's artifact gone; current one still served from cache
+    val (p1, _) = graft.search.IndexCache.textIndex("v-new-test", "D", "text",
+      sys.error("must be cached"): org.apache.spark.sql.DataFrame)
+    assert(p1.storageLevel.useMemory || p1.storageLevel.useDisk)
+    graft.search.IndexCache.evictOthers("none")
+  }
+
   test("buildIndex postings agree with on-the-fly scoring") {
     val s = spark
     import s.implicits._
