@@ -693,6 +693,18 @@ object Json {
     }
   }
 
+  /** Bare batch object (the `query` payload shape, reused as a bundle
+    * route value): {"queries": [...], "returns": [...]}.
+    */
+  def writeBatchObj(b: Batch): JsonNode =
+    obj("queries" -> arr(b.entries.map(writeEntry)), "returns" -> arr(b.returns.map(s)))
+  def readBatchObj(n: JsonNode, write: Boolean): Batch = {
+    val entries = n.get("queries").elements.asScala.map(readEntry).toSeq
+    val returns = Option(n.get("returns")).filterNot(_.isNull)
+      .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+    Batch(entries, returns, write)
+  }
+
   // ------------------------------------------------- envelope + params
 
   final case class Request(
@@ -725,6 +737,10 @@ object Json {
   def coerceParam(v: PropertyValue, tpe: String): PropertyValue = {
     import PropertyValue._
     (tpe, v) match {
+      // the reference rejects Bytes on the dynamic JSON route
+      // (DynamicQueryError::UnsupportedBytesParameter, dsl.rs:4669-4670)
+      case ("Bytes", _) => throw new IllegalArgumentException(
+        "unsupported parameter type Bytes in the dynamic JSON query route")
       case ("DateTime", VString(rfc)) =>
         VDateTime(java.time.OffsetDateTime.parse(rfc).toInstant.toEpochMilli)
       case ("DateTime", VI64(ms)) => VDateTime(ms)

@@ -295,8 +295,88 @@ class Compiler(
     Stream(res, isEdges = false, Some(targetLabels))
   }
 
-  private def unionStreams(ss: Seq[Stream]): Stream = {
-    require(ss.nonEmpty, "empty union")
+  /** Rebuild `_b_*` binding structs to a merged schema before a union.
+    * unionByName matches nested fields by name, but a field bound under
+    * the SAME name with DIFFERENT types across branches (mixed-label
+    * Union/Choose — parity fixtures 909/910) would be silently cast and
+    * corrupt or fail at runtime; conflicts widen to string (the dynamic
+    * property model's common denominator), missing fields to null.
+    */
+  private def reconcileBindings(ss: Seq[Stream]): Seq[Stream] = {
+    import org.apache.spark.sql.types.{DataType, StringType, StructType}
+    val allB = ss.flatMap(_.bindingCols).distinct
+    if (allB.isEmpty) return ss
+    val merged: Map[String, Seq[(String, DataType)]] = allB.map { b =>
+      val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+      ss.foreach { st =>
+        if (st.df.columns.contains(b)) st.df.schema(b).dataType match {
+          case s: StructType => s.fields.foreach { f =>
+            order.get(f.name) match {
+              case None => order(f.name) = f.dataType
+              case Some(t) if t == f.dataType => ()
+              case Some(_) => order(f.name) = StringType
+            }
+          }
+          case _ => ()
+        }
+      }
+      b -> order.toSeq
+    }.toMap
+    ss.map { st =>
+      val present = allB.filter(b => st.df.columns.contains(b))
+      val needsRebuild = present.filter { b =>
+        st.df.schema(b).dataType match {
+          case s: StructType =>
+            s.fields.map(f => f.name -> f.dataType).toSeq != merged(b)
+          case _ => false
+        }
+      }
+      if (needsRebuild.isEmpty) st
+      else {
+        var df = st.df
+        needsRebuild.foreach { b =>
+          val inner = df.schema(b).dataType.asInstanceOf[StructType]
+          val cols = merged(b).map { case (fname, ftype) =>
+            if (inner.fieldNames.contains(fname)) {
+              val c = col(b).getField(fname)
+              (if (inner(fname).dataType == ftype) c else c.cast(ftype)).as(fname)
+            } else lit(null).cast(ftype).as(fname)
+          }
+          df = df.withColumn(b, struct(cols: _*))
+        }
+        st.copy(df = df)
+      }
+    }
+  }
+
+  /** Widen top-level property columns whose type CONFLICTS across the
+    * streams to string (same dynamic-model rule as binding structs) —
+    * unionByName would otherwise coerce one side and fail at runtime.
+    */
+  private def reconcileTopLevel(ss: Seq[Stream]): Seq[Stream] = {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    val types = scala.collection.mutable.Map.empty[String, DataType]
+    val conflicted = scala.collection.mutable.Set.empty[String]
+    ss.foreach(_.df.schema.fields.foreach { f =>
+      if (!f.name.startsWith("_b_")) types.get(f.name) match {
+        case None => types(f.name) = f.dataType
+        case Some(t) if t == f.dataType => ()
+        case Some(_) => conflicted += f.name
+      }
+    })
+    if (conflicted.isEmpty) ss
+    else ss.map { st =>
+      val hit = st.df.schema.fields.filter(f =>
+        conflicted.contains(f.name) && f.dataType != StringType)
+      if (hit.isEmpty) st
+      else st.copy(df = hit.foldLeft(st.df)((d, f) =>
+        d.withColumn(f.name, col(f.name).cast(StringType))))
+    }
+  }
+
+  private def unionStreams(ss0: Seq[Stream]): Stream = {
+    require(ss0.nonEmpty, "empty union")
+    val ss = reconcileTopLevel(reconcileBindings(ss0))
     val isE = ss.head.isEdges
     val df = ss.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
     val labels = if (ss.forall(_.labels.isDefined)) Some(ss.flatMap(_.labels.get).toSet) else None
@@ -604,6 +684,28 @@ class Compiler(
     case PropertyInput.FromExpr(e) => compileExpr(df, e)
   }
 
+  /** Properties under a declared UNIQUE NodeEquality index for a label
+    * (IndexSpec::NodeEquality{unique}, dsl.rs:2580-2658).
+    */
+  private def uniqueProps(label: String): Seq[String] =
+    store.indexes.collect {
+      case IndexSpec.NodeEquality(l, p, true) if l == label => p
+    }.toSeq
+
+  /** Reject an AddN whose unique-indexed property value already exists.
+    * One indexed-equality probe per unique index — the analogue of the
+    * reference's per-insert B-tree uniqueness check.
+    */
+  private def enforceUnique(label: String, values: Map[String, PropertyValue]): Unit =
+    uniqueProps(label).foreach { p =>
+      values.get(p).filter(_ != VNull).foreach { v =>
+        store.nodeTables.get(label).foreach { t =>
+          if (t.columns.contains(p) && !t.where(col(p) === valueToLit(v)).isEmpty)
+            throw new TraversalException(s"unique index violation: $label.$p")
+        }
+      }
+    }
+
   class UnsupportedBulkType(msg: String) extends RuntimeException(msg)
 
   /** Bulk AddN: append one DataFrame holding every element of a foreach
@@ -653,6 +755,21 @@ class Compiler(
     }
     val resolved: Seq[Seq[PropertyValue]] =
       items.map(fields => props.map { case (_, in) => resolve(in, fields) })
+    // unique-index enforcement: duplicates within the bulk batch AND
+    // against the stored table (one isin-probe per unique index)
+    uniqueProps(label).foreach { p =>
+      val idx = props.indexWhere(_._1 == p)
+      if (idx >= 0) {
+        val vals = resolved.map(_(idx)).filter(_ != VNull)
+        if (vals.distinct.size != vals.size)
+          throw new TraversalException(s"unique index violation within batch: $label.$p")
+        store.nodeTables.get(label).foreach { t =>
+          if (t.columns.contains(p) && vals.nonEmpty &&
+              !t.where(col(p).isin(vals.map(jval): _*)).isEmpty)
+            throw new TraversalException(s"unique index violation: $label.$p")
+        }
+      }
+    }
     val colTypes: Seq[DataType] = props.indices.map { i =>
       resolved.iterator.map(_(i)).find(_ != VNull).map(typeOf).getOrElse(StringType)
     }
@@ -685,6 +802,9 @@ class Compiler(
     def s: Stream = cur.getOrElse(throw new TraversalException("mutation needs a stream"))
     step match {
       case Step.AddN(label, props) =>
+        enforceUnique(label, props.flatMap { case (k, in) =>
+          scala.util.Try(resolveInputValue(in)).toOption.map(k -> _)
+        }.toMap)
         val id = idBase.getAndIncrement()
         val dummy = spark.range(1)
         val cols = Seq(lit(id).cast("long").as("_id"), lit(label).as("_label")) ++

@@ -68,18 +68,41 @@ final class GraphStore(
   def edgesFor(label: String): DataFrame =
     edgeTables.getOrElse(label, sys.error(s"unknown edge label: $label"))
 
+  /** Widen property columns whose type conflicts across labels to
+    * string (dynamic property model: same name, per-label types) —
+    * unionByName would otherwise coerce one side and corrupt or fail.
+    */
+  private def widenConflicts(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    val types = scala.collection.mutable.Map.empty[String, DataType]
+    val conflicted = scala.collection.mutable.Set.empty[String]
+    dfs.foreach(_.schema.fields.foreach { f =>
+      types.get(f.name) match {
+        case None => types(f.name) = f.dataType
+        case Some(t) if t == f.dataType => ()
+        case Some(_) => conflicted += f.name
+      }
+    })
+    if (conflicted.isEmpty) dfs
+    else dfs.map { df =>
+      val hit = df.schema.fields.filter(f =>
+        conflicted.contains(f.name) && f.dataType != StringType)
+      hit.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(StringType)))
+    }
+  }
+
   /** Union of the given labels' node tables, schema-merged (missing props null). */
   def nodesUnion(labels: Set[String]): DataFrame = {
     val dfs = labels.toSeq.sorted.map(nodesFor)
     require(dfs.nonEmpty, "empty label set")
-    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    widenConflicts(dfs).reduce(_.unionByName(_, allowMissingColumns = true))
   }
   def allNodes: DataFrame = nodesUnion(nodeTables.keySet)
 
   def edgesUnion(labels: Set[String]): DataFrame = {
     val dfs = labels.toSeq.sorted.map(edgesFor)
     require(dfs.nonEmpty, "empty edge label set")
-    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    widenConflicts(dfs).reduce(_.unionByName(_, allowMissingColumns = true))
   }
   def allEdges: DataFrame = edgesUnion(edgeTables.keySet)
 

@@ -22,7 +22,11 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
 
   private var server: HttpServer = _
   private val stored =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ast.Batch]()
+    new java.util.concurrent.ConcurrentHashMap[String, QueryBundle.StoredRoute]()
+  /** Stored routes that have executed at least once — the `x-helix-warm`
+    * serving gate (sdks/rust/src/lib.rs:279-287).
+    */
+  private val warm = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def currentStore: GraphStore = store
 
@@ -30,25 +34,52 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     * `#[register]` fn -> queries.json bundle -> POST /v1/query/<name>
     * with a JSON params body, SURVEY §3.3).
     */
-  def registerQuery(name: String, batch: graft.ast.Batch): Unit =
-    stored.put(name, batch)
+  def registerQuery(name: String, batch: graft.ast.Batch,
+      params: Seq[(String, QueryBundle.PTy)] = Nil): Unit =
+    stored.put(name, QueryBundle.StoredRoute(batch, params, batch.write))
 
-  /** Execute a stored query with a plain JSON parameters object. */
+  /** Deploy every route of a `queries.json` bundle (v4/v5); returns the
+    * number of routes loaded. Mirrors read_query_bundle_from_path +
+    * route registration (query_generator.rs:150-236).
+    */
+  def loadBundle(json: String): Int = {
+    val routes = QueryBundle.parse(json)
+    routes.foreach { case (n, r) => stored.put(n, r) }
+    routes.size
+  }
+
+  /** The currently-deployed routes as a v5 bundle document. */
+  def renderBundle: String = {
+    import scala.jdk.CollectionConverters._
+    QueryBundle.render(stored.asScala.toMap)
+  }
+
+  def isWarm(name: String): Boolean = warm.contains(name)
+
+  /** Execute a stored query with a plain JSON parameters object;
+    * declared parameter shapes coerce (RFC3339 DateTime, F32 narrowing,
+    * element-wise arrays; Bytes rejects).
+    */
   def handleStored(name: String, paramsJson: String): String = {
-    val batch = Option(stored.get(name))
+    val route = Option(stored.get(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown stored query: $name"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val tree = if (paramsJson.trim.isEmpty) mapper.createObjectNode()
       else mapper.readTree(paramsJson)
+    val types = route.params.toMap
     val params = tree.properties().iterator()
     val pmap = scala.collection.mutable.Map.empty[String, graft.ast.PropertyValue]
     while (params.hasNext) {
       val e = params.next()
-      pmap(e.getKey) = Json.readParamValue(e.getValue)
+      val raw = Json.readParamValue(e.getValue)
+      pmap(e.getKey) = types.get(e.getKey).map(QueryBundle.coerce(raw, _)).getOrElse(raw)
     }
     val exec = new BatchExecutor(store, pmap.toMap)
-    val out = exec.execute(batch)
-    if (batch.write) { store = out.store; graft.search.IndexCache.evictOthers(store.version) }
+    val out = exec.execute(route.batch)
+    if (route.batch.write) {
+      store = out.store; graft.search.IndexCache.evictOthers(store.version)
+    }
+    warm.add(name)
     out.results.toSeq.sortBy(_._1)
       .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
       .mkString("{", ",", "}")
@@ -147,13 +178,30 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       override def handle(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val path = ex.getRequestURI.getPath
+        // x-helix-* request headers (sdks/rust/src/lib.rs:270-298):
+        //  - require-writer: single-writer deployment — this node IS the
+        //    writer, acknowledged via a response header (routing stub);
+        //  - warm: serve a stored route only if it has already run;
+        //  - await-durable: writes apply synchronously here, so the ack
+        //    is truthful either way.
+        def hdr(n: String): Option[String] =
+          Option(ex.getRequestHeaders.getFirst(n)).map(_.trim.toLowerCase)
+        val warmOnly = hdr("x-helix-warm").contains("true")
+        if (hdr("x-helix-require-writer").contains("true"))
+          ex.getResponseHeaders.set("x-helix-served-by", "writer")
+        hdr("x-helix-await-durable").foreach(v =>
+          ex.getResponseHeaders.set("x-helix-durable", v))
         val resp =
           try {
             // POST /v1/query/<name> runs a deployed stored query
             // (sdks/rust/src/lib.rs:244-247); bare /v1/query takes the
             // inline envelope
             val sub = path.stripPrefix("/v1/query").stripPrefix("/")
-            if (sub.nonEmpty) handleStored(sub, body) else Gateway.this.handle(body)
+            if (sub.nonEmpty) {
+              if (warmOnly && !isWarm(sub))
+                s"""{"error":${quote(s"query not warm: $sub")}}"""
+              else handleStored(sub, body)
+            } else Gateway.this.handle(body)
           } catch {
             case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
           }

@@ -170,6 +170,27 @@ class CompilerSpec extends GraftSuite {
     assert(rows(r) == Seq(Seq("Alice", "Bob", 2L, "Alice")))
   }
 
+  test("bind survives heterogeneous Union/Choose branches (fixtures 909/910)") {
+    // two labels whose `age` property has CONFLICTING types (dynamic
+    // property model): long on Person, string on Item — the binding
+    // struct must widen the conflict to string across the union
+    val s = spark
+    import s.implicits._
+    val people = Seq((1L, "Person", "Alice", 31L)).toDF("_id", "_label", "name", "age")
+    val items = Seq((2L, "Item", "Widget", "old")).toDF("_id", "_label", "name", "age")
+    val store = new graft.model.GraphStore(s,
+      Map("Person" -> people, "Item" -> items), Map.empty, Map.empty)
+    val comp = TestBase.compiler(store)
+    val r = comp.run(g().n().union(
+      sub().hasLabel("Person").bind("c"),
+      sub().hasLabel("Item").bind("c"))
+      .projectBindings(
+        BindingProjection.Property(BindingTarget.Binding("c"), "name", "bname"),
+        BindingProjection.Property(BindingTarget.Binding("c"), "age", "bage")).t)
+    val got = rows(r).map(x => (x(0), x(1))).toSet
+    assert(got == Set(("Alice", "31"), ("Widget", "old")))
+  }
+
   // ---- control flow
   test("union merges branch results") {
     val r = c.run(g().n(2L).union(

@@ -104,6 +104,86 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("queries.json bundle round-trips and serves typed params over HTTP") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    import graft.server.QueryBundle
+    val gw = new Gateway(TestBase.parityGraph(), port = 16972)
+    // author a bundle: one read route with a DateTime param + an I64 array
+    val batch = Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("n"),
+        g().nWithLabel("ParityUser")
+          .where(Predicate.GteExpr("age", Expr.Param("min_age")))
+          .where(Predicate.IsInExpr("$id", Expr.Param("ids")))
+          .count().t))), returns = Seq("n"))
+    val routes = Map("n_in" -> QueryBundle.StoredRoute(batch,
+      Seq("min_age" -> QueryBundle.Scalar("I64"),
+        "ids" -> QueryBundle.Arr(QueryBundle.Scalar("I64")),
+        "since" -> QueryBundle.Scalar("DateTime")), write = false))
+    val doc = QueryBundle.render(routes)
+    // bundle document round-trips exactly
+    assert(QueryBundle.parse(doc).map { case (k, r) => k -> (r.batch, r.params, r.write) } ==
+      routes.map { case (k, r) => k -> (r.batch, r.params, r.write) })
+    assert(gw.loadBundle(doc) == 1)
+    gw.start()
+    try {
+      val conn = new java.net.URL("http://localhost:16972/v1/query/n_in")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"min_age": 30, "ids": [1, 3], "since": "2024-06-01T00:00:00Z"}"""
+          .getBytes("UTF-8"))
+      val bodyOut = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(bodyOut == """{"n":2}""") // Alice(31) + Carol(42), both in ids
+    } finally gw.stop()
+  }
+
+  test("unsupported bundle versions are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      graft.server.QueryBundle.parse("""{"version":3,"read_routes":{}}""")
+    }
+    assert(e.getMessage.contains("version"))
+    // v4 (legacy) still accepted
+    assert(graft.server.QueryBundle.parse(
+      """{"version":4,"read_routes":{},"write_routes":{},
+         "read_parameters":{},"write_parameters":{}}""").isEmpty)
+  }
+
+  test("x-helix-warm serves only already-run stored queries; writer/durable ack") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    val gw = new Gateway(TestBase.parityGraph(), port = 16973)
+    gw.registerQuery("cnt", Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("n"), g().nWithLabel("ParityUser").count().t))),
+      returns = Seq("n")))
+    gw.start()
+    try {
+      def post(warmOnly: Boolean): (String, Map[String, String]) = {
+        val conn = new java.net.URL("http://localhost:16973/v1/query/cnt")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        if (warmOnly) conn.setRequestProperty("x-helix-warm", "true")
+        conn.setRequestProperty("x-helix-require-writer", "true")
+        conn.setRequestProperty("x-helix-await-durable", "true")
+        conn.getOutputStream.write("{}".getBytes("UTF-8"))
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        import scala.jdk.CollectionConverters._
+        val hs = conn.getHeaderFields.asScala.collect {
+          case (k, v) if k != null => k.toLowerCase -> v.get(0)
+        }.toMap
+        (body, hs)
+      }
+      val (cold, _) = post(warmOnly = true)
+      assert(cold == """{"error":"query not warm: cnt"}""")
+      val (run1, h1) = post(warmOnly = false) // executes, warms the route
+      assert(run1 == """{"n":3}""")
+      assert(h1.get("x-helix-served-by").contains("writer"))
+      assert(h1.get("x-helix-durable").contains("true"))
+      val (run2, _) = post(warmOnly = true) // warm now
+      assert(run2 == """{"n":3}""")
+    } finally gw.stop()
+  }
+
   test("HTTP server answers POST /v1/query") {
     val gw = new Gateway(TestBase.parityGraph(), port = 16969)
     gw.start()

@@ -157,4 +157,12 @@ class JsonCodecSpec extends GraftSuite {
       java.time.OffsetDateTime.parse("2024-06-01T12:30:00Z").toInstant.toEpochMilli))
     assert(req.parameters("f") == VF32(1.5f))
   }
+
+  test("Bytes parameter type is rejected on the dynamic JSON route") {
+    val json = """{"request_type":"read","query":{"queries":[],"returns":[]},
+      "parameters":{"b":"AAEC"},
+      "parameter_types":{"b":"Bytes"}}"""
+    val e = intercept[IllegalArgumentException] { Json.parseRequest(json) }
+    assert(e.getMessage.contains("Bytes"))
+  }
 }

@@ -100,6 +100,36 @@ class MutationSpec extends GraftSuite {
       IndexSpec.NodeVector("ParityUser", "embedding", Some("tenantId"))))
   }
 
+  test("unique index rejects duplicate AddN, allows fresh values") {
+    val store = TestBase.parityGraph().withIndexes(Set(
+      IndexSpec.NodeEquality("ParityUser", "externalId", unique = true)))
+    val comp = TestBase.compiler(store, write = true)
+    comp.run(g().addN("ParityUser", "externalId" -> VString("u9")).t) // fresh: ok
+    intercept[graft.exec.TraversalException] {
+      comp.run(g().addN("ParityUser", "externalId" -> VString("u1")).t) // seeded: dup
+    }
+    intercept[graft.exec.TraversalException] {
+      comp.run(g().addN("ParityUser", "externalId" -> VString("u9")).t) // own write: dup
+    }
+    assert(singleLong(comp.run(g().nWithLabel("ParityUser").count().t)) == 4)
+  }
+
+  test("unique index rejects duplicates in bulk AddN (in-batch and vs store)") {
+    val store = TestBase.parityGraph().withIndexes(Set(
+      IndexSpec.NodeEquality("ParityUser", "externalId", unique = true)))
+    def bulk(ids: String*) = Batch(Seq(
+      BatchEntry.ForEach("users", Seq(
+        BatchEntry.Query(NamedQuery(Some("made"),
+          Traversal(Vector(Step.AddN("ParityUser", Seq(
+            "externalId" -> PropertyInput.FromExpr(Expr.Param("x"))))))))))),
+      returns = Nil, write = true)
+    def exec(ids: String*) = new BatchExecutor(store,
+      Map("users" -> VArray(ids.map(i => VObject(Map("x" -> VString(i))))))).execute(bulk())
+    intercept[graft.exec.TraversalException] { exec("a1", "a1") } // in-batch dup
+    intercept[graft.exec.TraversalException] { exec("b1", "u2") } // collides with store
+    assert(exec("c1", "c2") != null) // fresh values pass
+  }
+
   test("batch: vars, conditions, read-your-writes, returns") {
     val exec = new BatchExecutor(TestBase.parityGraph())
     val batch = Batch(Seq(
