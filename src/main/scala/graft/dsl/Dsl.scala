@@ -118,12 +118,29 @@ final case class Tr(t: Traversal) {
   // mutations
   def addN(label: String, props: (String, PropertyValue)*): Tr =
     this + Step.AddN(label, props.map { case (k, v) => k -> (PropertyInput.Value(v): PropertyInput) })
+  def addNIn(label: String, props: (String, PropertyInput)*): Tr =
+    this + Step.AddN(label, props)
   def addE(label: String, to: NodeRef, props: (String, PropertyValue)*): Tr =
     this + Step.AddE(label, to, props.map { case (k, v) => k -> (PropertyInput.Value(v): PropertyInput) })
+  def addEIn(label: String, to: NodeRef, props: (String, PropertyInput)*): Tr =
+    this + Step.AddE(label, to, props)
   def setProperty(name: String, v: PropertyValue): Tr =
     this + Step.SetProperty(name, PropertyInput.Value(v))
   def removeProperty(name: String): Tr = this + Step.RemoveProperty(name)
   def drop(): Tr = this + Step.Drop
+
+  // index DDL (dsl.rs:3121-3167 create/drop index builders)
+  def createIndex(spec: IndexSpec, ifNotExists: Boolean = true): Tr =
+    this + Step.CreateIndex(spec, ifNotExists)
+  def dropIndex(spec: IndexSpec): Tr = this + Step.DropIndex(spec)
+  def createTextIndexNodes(l: String, p: String, tenant: Option[String] = None): Tr =
+    this + Step.CreateTextIndexNodes(l, p, tenant)
+  def createTextIndexEdges(l: String, p: String, tenant: Option[String] = None): Tr =
+    this + Step.CreateTextIndexEdges(l, p, tenant)
+  def createVectorIndexNodes(l: String, p: String, tenant: Option[String] = None): Tr =
+    this + Step.CreateVectorIndexNodes(l, p, tenant)
+  def createVectorIndexEdges(l: String, p: String, tenant: Option[String] = None): Tr =
+    this + Step.CreateVectorIndexEdges(l, p, tenant)
 }
 
 object Dsl {

@@ -922,19 +922,37 @@ class Compiler(
         }
         s
 
-      case Step.CreateIndex(spec, _) => store = store.withIndexes(store.indexes + spec); s
-      case Step.DropIndex(spec) => store = store.withIndexes(store.indexes - spec); s
+      // index DDL needs no source stream (fixtures 020/024 issue bare
+      // g().create_index... traversals): fall back to an empty stream
+      case Step.CreateIndex(spec, _) =>
+        store = store.withIndexes(store.indexes + spec); cur.getOrElse(emptyNodeStream)
+      case Step.DropIndex(spec) =>
+        store = store.withIndexes(store.indexes - spec); cur.getOrElse(emptyNodeStream)
       case Step.CreateVectorIndexNodes(l, p, t) =>
-        store = store.withIndexes(store.indexes + IndexSpec.NodeVector(l, p, t)); s
+        store = store.withIndexes(store.indexes + IndexSpec.NodeVector(l, p, t))
+        cur.getOrElse(emptyNodeStream)
       case Step.CreateVectorIndexEdges(l, p, t) =>
-        store = store.withIndexes(store.indexes + IndexSpec.EdgeVector(l, p, t)); s
+        store = store.withIndexes(store.indexes + IndexSpec.EdgeVector(l, p, t))
+        cur.getOrElse(emptyNodeStream)
       case Step.CreateTextIndexNodes(l, p, t) =>
-        store = store.withIndexes(store.indexes + IndexSpec.NodeText(l, p, t)); s
+        store = store.withIndexes(store.indexes + IndexSpec.NodeText(l, p, t))
+        cur.getOrElse(emptyNodeStream)
       case Step.CreateTextIndexEdges(l, p, t) =>
-        store = store.withIndexes(store.indexes + IndexSpec.EdgeText(l, p, t)); s
+        store = store.withIndexes(store.indexes + IndexSpec.EdgeText(l, p, t))
+        cur.getOrElse(emptyNodeStream)
 
       case other => throw new TraversalException(s"unsupported step: $other")
     }
+  }
+
+  /** Empty node stream (the result of a source-less DDL traversal). */
+  private def emptyNodeStream: Stream = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_id", LongType), StructField("_label", StringType)))
+    Stream(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      isEdges = false, Some(Set.empty))
   }
 
   /** Delete ALL edges cur -> to (multigraph caveat dsl.rs:3150-3152),

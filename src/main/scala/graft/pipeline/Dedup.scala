@@ -167,16 +167,42 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs via shared-shingle inverted join
     * (no LSH recall loss; the candidate set is docs sharing >= 1 shingle).
+    *
+    * `maxShingleDf` caps the document frequency of shingles used for
+    * CANDIDATE GENERATION — the skew guard at scale: one boilerplate
+    * shingle shared by 1M docs would otherwise force a 10^12-pair join.
+    * Verification always computes exact Jaccard over the FULL shingle
+    * sets, so a capped run only loses pairs whose every shared shingle
+    * is ultra-common (Jaccard of such pairs is near-0 anyway). The
+    * default (MaxValue) is fully exact.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-      num: Int, den: Int): DataFrame = {
+      num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSet(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joinable =
+      if (maxShingleDf == Int.MaxValue) ss
+      else ss.withColumn("_df", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_sh"))))
+        .where(col("_df") <= maxShingleDf).drop("_df")
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
-    val a = ss.select(col("_did").as("id_a"), col("_sh"))
-    val b = ss.select(col("_did").as("id_b"), col("_sh"))
-    val out = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    val a = joinable.select(col("_did").as("id_a"), col("_sh"))
+    val b = joinable.select(col("_did").as("id_b"), col("_sh"))
+    val cands = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pre = if (maxShingleDf == Int.MaxValue) {
+      // exact path: intersection counts fall out of the same join
+      a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    } else {
+      // capped path: verify candidates against FULL shingle sets
+      val fa = ss.select(col("_did").as("id_a"), col("_sh"))
+      val fb = ss.select(col("_did").as("id_b"), col("_sh"))
+      fa.join(fb, Seq("_sh")).where(col("id_a") < col("id_b"))
+        .join(cands, Seq("id_a", "id_b"), "left_semi")
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    }
+    val out = pre
       .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
       .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)

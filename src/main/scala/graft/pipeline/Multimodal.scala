@@ -1,20 +1,26 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal (image/audio/video) column plumbing for training-data
   * pipelines. Media is carried as an opaque `BINARY` column plus a
   * typed metadata struct; per-item compute runs as `mapPartitions`
-  * over Arrow-sized batches so a real decoder drops in without
-  * changing the plan shape.
+  * batches so kernels execute distributed (no driver collect) and the
+  * input partitioning is preserved for downstream ANN/dedup joins.
   *
-  * The decode kernels themselves are STUBBED with deterministic fakes
-  * (image/audio codecs are not available in this container); the Spark
-  * plumbing — schema, partitioning, batch iteration, output shape —
-  * is real and tested.
+  * The IMAGE path is real: decode / probe / resize / feature-extract
+  * run through `javax.imageio` (pure JVM — PNG/JPEG/BMP/GIF). Audio
+  * and video kernels remain deterministic byte-level fallbacks (no
+  * codec libraries exist in a bare JVM); their plumbing (schema,
+  * batching, explode shapes) is identical to what a real codec would
+  * use, so swapping one in changes no plan.
   */
 object Multimodal {
 
@@ -34,10 +40,64 @@ object Multimodal {
     )), nullable = true),
   ))
 
-  /** STUB decode: a real implementation would decode the codec here.
-    * The fake is deterministic in the bytes so tests are stable.
+  /** Decode an image payload; None when the bytes aren't a supported
+    * image format (ImageIO returns null rather than throwing).
     */
-  private def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image features: mean RGB over a sqrt(dim/3)-sided grid of
+    * cells (a classic tiny-thumbnail embedding), L1-normalized. dim
+    * must leave room for at least one 3-channel cell.
+    */
+  private def imageFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+    val grid = math.max(1, math.sqrt(dim / 3.0).toInt)
+    val out = new Array[Float](dim)
+    val cw = math.max(1, img.getWidth / grid)
+    val ch = math.max(1, img.getHeight / grid)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        var y = gy * ch
+        val yMax = math.min(img.getHeight, (gy + 1) * ch)
+        while (y < yMax) {
+          var x = gx * cw
+          val xMax = math.min(img.getWidth, (gx + 1) * cw)
+          while (x < xMax) {
+            val px = img.getRGB(x, y)
+            r += (px >> 16) & 0xFF; g += (px >> 8) & 0xFF; b += px & 0xFF; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        val base = (gy * grid + gx) * 3
+        if (n > 0 && base + 2 < dim) {
+          out(base) = r.toFloat / n / 255.0f
+          out(base + 1) = g.toFloat / n / 255.0f
+          out(base + 2) = b.toFloat / n / 255.0f
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Byte-level fallback features for payloads with no JVM codec
+    * (audio/video) — deterministic in the bytes so tests are stable.
+    */
+  private def byteFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes != null) {
       var i = 0
@@ -47,48 +107,109 @@ object Multimodal {
   }
 
   /** Feature extraction: binary -> fixed-dim float vector, executed
-    * per-partition (distributed; no driver collect). Output keeps the
-    * input's partitioning, so a downstream ANN/dedup join needs no
-    * extra shuffle.
+    * per-partition (distributed; no driver collect). Images decode for
+    * real (ImageIO); other modalities use the byte-level fallback.
+    * Output keeps the input's partitioning, so a downstream ANN/dedup
+    * join needs no extra shuffle.
     */
   def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     val binIdx = df.schema.fieldIndex("content")
+    val modIdx = df.schema.fieldIndex("modality")
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(r.toSeq :+ fakeDecodeFeatures(bytes, dim).toSeq)
+        val feats =
+          if (r.getString(modIdx) == "image")
+            decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(byteFeatures(bytes, dim))
+          else byteFeatures(bytes, dim)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
   }
 
-  /** Image resize stub: metadata-level transform (new dims recorded;
-    * payload passthrough — a real kernel would re-encode bytes).
+  /** Probe real dimensions of decodable image payloads into `meta`
+    * (width/height/format from the actual bytes; non-images untouched).
     */
-  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("meta", when(col("modality") === "image",
-        col("meta").withField("width", lit(w)).withField("height", lit(h)))
-      .otherwise(col("meta")))
+  def probeImageMeta(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val binIdx = df.schema.fieldIndex("content")
+    val modIdx = df.schema.fieldIndex("modality")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(modIdx) != "image" || r.isNullAt(binIdx)) r
+        else decodeImage(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(img) =>
+            val old = r.getStruct(metaIdx)
+            val meta = Row(img.getWidth, img.getHeight,
+              if (old != null) old.get(2) else null,
+              if (old != null) old.get(3) else null, "png-decodable")
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta))
+          case None => r
+        }
+      }
+    }(enc)
+  }
 
-  /** Video frame sampling stub: every `stride`-th frame index, bounded
-    * by meta.n_frames — the explode pattern a real sampler would use
-    * (one output row per sampled frame, parallelism preserved).
+  /** Image resize: decodable payloads are REALLY resized (Graphics2D
+    * bilinear scale, re-encoded PNG) and meta updated; non-decodable
+    * image rows update metadata only; other modalities pass through.
+    */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val binIdx = df.schema.fieldIndex("content")
+    val modIdx = df.schema.fieldIndex("modality")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(modIdx) != "image") r
+        else {
+          val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          val old = r.getStruct(metaIdx)
+          val newMeta = Row(w, h,
+            if (old != null) old.get(2) else null,
+            if (old != null) old.get(3) else null,
+            if (old != null) old.get(4) else null)
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+              val gfx = scaled.createGraphics()
+              gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              gfx.drawImage(img, 0, 0, w, h, null)
+              gfx.dispose()
+              Row.fromSeq(r.toSeq.updated(binIdx, encodePng(scaled)).updated(metaIdx, newMeta))
+            case None =>
+              Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Video frame sampling: every `stride`-th frame index, bounded by
+    * meta.n_frames — the explode pattern a real demuxer would feed
+    * (one output row per sampled frame, parallelism preserved). The
+    * demux itself needs a codec library, absent in a bare JVM.
     */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.where(col("modality") === "video" && col("meta.n_frames").isNotNull)
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
 
-  /** Deterministic synthetic media table for tests/benches. */
+  /** Deterministic synthetic media table for tests/benches. Image rows
+    * carry REAL PNG payloads (synthesized per-partition, distributed);
+    * audio/video rows carry deterministic pseudo-bytes.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
-    import spark.implicits._
-    spark.range(n.toLong).select(
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val base = spark.range(n.toLong).select(
       col("id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("id") % 3 + 1).cast("int")).as("modality"),
-      // deterministic pseudo-payload
       unhex(md5(col("id").cast("string"))).as("content"),
       struct(
         (col("id") % 640 + 1).cast("int").as("width"),
@@ -96,5 +217,26 @@ object Multimodal {
         lit(16000).cast("int").as("sample_rate"),
         (col("id") % 100 + 1).cast("int").as("n_frames"),
         lit("fake").as("format")).as("meta"))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(1) != "image") r
+        else {
+          // deterministic 8x8 PNG: color derived from the media id
+          val id = r.getLong(0)
+          val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              img.setRGB(x, y, (((id * 37 + x * 5 + y * 11) % 255).toInt << 16) |
+                (((id * 13 + x) % 255).toInt << 8) | ((id * 7 + y) % 255).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(r.toSeq.updated(2, encodePng(img)))
+        }
+      }
+    }(enc)
   }
 }

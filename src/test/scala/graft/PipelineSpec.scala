@@ -33,6 +33,18 @@ class PipelineSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram jaccard with a shingle df-cap still verifies against full sets") {
+    // docs 1/2/4 are near-dups with many shared shingles; cap df at 3 so
+    // only the ubiquitous shingles drop from candidate generation — true
+    // near-dup pairs survive because verification uses full sets
+    val capped = Dedup.ngramJaccardPairs(docs(), "text", "doc_id",
+      n = 3, num = 6, den = 10, maxShingleDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs(), "text", "doc_id", n = 3, num = 6, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact) // at df-cap 3 nothing real is lost on this corpus
+  }
+
   test("minhash LSH candidates include true near-dups and verification filters") {
     val pairs = Dedup.minhashPairs(docs(), "text", "doc_id",
       n = 3, numHashes = 6, bands = 3, num = 6, den = 10)
@@ -125,5 +137,27 @@ class PipelineSpec extends GraftSuite {
     val frames = Multimodal.sampleFrames(media, stride = 10)
     assert(frames.where(col("modality") =!= "video").count() == 0)
     assert(frames.count() > media.where(col("modality") === "video").count())
+  }
+
+  test("multimodal: image payloads REALLY decode, resize, and re-decode (ImageIO)") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    // synthetic image rows carry genuine PNG bytes
+    val png = media.where(col("modality") === "image").select("content").head.getAs[Array[Byte]](0)
+    val decoded = Multimodal.decodeImage(png)
+    assert(decoded.isDefined && decoded.get.getWidth == 8 && decoded.get.getHeight == 8)
+    // probe reads true dimensions from the bytes, not the declared meta
+    val probed = Multimodal.probeImageMeta(media)
+      .where(col("modality") === "image").select("meta.width", "meta.height").distinct().collect()
+    assert(probed.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((8, 8)))
+    // resize re-encodes: decoding the OUTPUT bytes yields the new dims
+    val out = Multimodal.resizeImages(media, 32, 16)
+      .where(col("modality") === "image").select("content").head.getAs[Array[Byte]](0)
+    val outImg = Multimodal.decodeImage(out)
+    assert(outImg.isDefined && outImg.get.getWidth == 32 && outImg.get.getHeight == 16)
+    // image features come from decoded pixels (RGB in [0,1]), not byte hashes
+    val feats = Multimodal.extractFeatures(media.where(col("modality") === "image"), dim = 12)
+      .select("features").collect().map(_.getSeq[Float](0))
+    assert(feats.forall(f => f.forall(v => v >= 0.0f && v <= 1.0f)))
+    assert(feats.distinct.length > 1) // different images -> different features
   }
 }
