@@ -76,6 +76,52 @@ object Dedup {
         conv(substring(md5(col("_s0")), 1, 15), 16, 10).cast("long").as("_sh"))
       .distinct()
 
+  /** Bounded cache of materialized shingle sets, keyed by the source
+    * plan's canonical hash + (textCol, idCol, n). The shingle set is the
+    * shared artifact of every dedup variant (minhash, ngram, …) — at
+    * scale it is a write-time table; here, running two dedup ops over
+    * the same corpus builds it once. Entries own their persisted frames;
+    * eviction (FIFO past `ShingleCacheMax`) unpersists.
+    */
+  private val ShingleCacheMax = 8
+  private val shingleCache =
+    new java.util.LinkedHashMap[(Int, String, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int), DataFrame]): Boolean = {
+        val evict = size() > ShingleCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  def shingleHashSetCached(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val key = (df.queryExecution.logical.canonicalized.semanticHash(),
+      s"$textCol|$idCol", n)
+    shingleCache.synchronized {
+      val hit = shingleCache.get(key)
+      if (hit != null) hit
+      else {
+        val ss = shingleHashSet(df, textCol, idCol, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ss.count()
+        shingleCache.put(key, ss)
+        ss
+      }
+    }
+  }
+
+  /** Drop and unpersist every cached shingle set. */
+  def clearShingleCache(): Unit = shingleCache.synchronized {
+    shingleCache.values.asScalaIterator.foreach(_.unpersist(false))
+    shingleCache.clear()
+  }
+  private implicit class JIter[T](v: java.util.Collection[T]) {
+    def asScalaIterator: Iterator[T] = {
+      val it = v.iterator()
+      new Iterator[T] { def hasNext = it.hasNext; def next() = it.next() }
+    }
+  }
+
   /** Fixed xor-seed family: one md5 per shingle, `numHashes` derived
     * hashes via xor with golden-ratio seeds (60-bit, positive longs).
     * The same constants are inlined into the DuckDB oracle SQL.
@@ -131,14 +177,14 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
     // the shingle set feeds the signature, the band joins AND the
-    // verification — materialize it eagerly once (sequentially) rather
-    // than letting a dozen concurrent stages race on the same cache
-    val ss = shingleHashSet(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ss.count()
+    // verification — the cached artifact materializes it once (and
+    // shares it with any other dedup variant over the same corpus)
+    val ss = shingleHashSetCached(df, textCol, idCol, n)
     val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
       min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
     }
+    // eager count: the banded self-join reads sig twice; without a
+    // materialized cache both sides recompute it concurrently
     val sig = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count()
@@ -161,7 +207,8 @@ object Dedup {
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
       .localCheckpoint(true)
-    Seq(ss, sig, cands, ssCand).foreach(_.unpersist(false))
+    // ss stays persisted (the cache owns its lifecycle)
+    Seq(sig, cands, ssCand).foreach(_.unpersist(false))
     out
   }
 
@@ -178,8 +225,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val ss = shingleHashSet(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ss = shingleHashSetCached(df, textCol, idCol, n)
     val joinable =
       if (maxShingleDf == Int.MaxValue) ss
       else ss.withColumn("_df", count(lit(1))
@@ -208,7 +254,7 @@ object Dedup {
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
       .localCheckpoint(true)
-    ss.unpersist(false)
+    // ss stays persisted (the shingle cache owns its lifecycle)
     out
   }
 
