@@ -196,6 +196,15 @@ object SparkEntry {
         Projection.Property("l_linenumber", "ln"),
         Projection.Computed("revenue",
           Expr.Mul(prop("l_extendedprice"), Expr.Sub(lit_(1.0), prop("l_discount"))))))),
+    // Div/Mod/Neg expr coverage (both engines do IEEE-754 double math)
+    "q_project_divmod" -> ((s, d) => run(s, d,
+      g().nWithLabel("Lineitem").project(
+        Projection.Property("l_orderkey", "okey"),
+        Projection.Property("l_linenumber", "ln"),
+        Projection.Computed("qmod", Expr.Mod(prop("l_quantity"), lit_(7.0))),
+        Projection.Computed("negd", Expr.Neg(prop("l_discount"))),
+        Projection.Computed("unit_price",
+          Expr.Div(prop("l_extendedprice"), prop("l_quantity")))))),
 
     // ---- control flow (§2.7)
     "q_choose" -> ((s, d) => run(s, d,
@@ -398,6 +407,9 @@ object SparkEntry {
       "WHEN c_acctbal < 5000.0 THEN 'mid' ELSE 'high' END AS bal_class FROM customer"),
     "q_project_arith" -> ("SELECT l_orderkey AS okey, l_linenumber AS ln, " +
       "l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem"),
+    "q_project_divmod" -> ("SELECT l_orderkey AS okey, l_linenumber AS ln, " +
+      "fmod(l_quantity, 7.0) AS qmod, -l_discount AS negd, " +
+      "l_extendedprice / l_quantity AS unit_price FROM lineitem"),
 
     "q_choose" -> ("SELECT CAST(6000000000 + o_orderkey AS BIGINT) AS id FROM orders " +
       "JOIN customer ON o_custkey = c_custkey WHERE c_acctbal >= 0.0 " +

@@ -66,6 +66,21 @@ object GraphStream {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup for document ingest: drop rows whose text
+    * digest was already seen within the watermark horizon. The state
+    * store holds one md5 per distinct document inside the horizon —
+    * the streaming half of `pipeline.Dedup.exact`, for dedup-at-ingest
+    * in a training-data pipeline (duplicates cluster in time: crawl
+    * re-fetches, retry storms).
+    */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionUpdate(user_id: Long, events: Long, closed: Boolean)
 

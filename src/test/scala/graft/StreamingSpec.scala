@@ -32,6 +32,26 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated documents within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = GraphStream.streamingDedup(docs, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedupdocs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((ts, 1L, "alpha"), (ts, 2L, "alpha"), (ts, 3L, "beta"))
+      q.processAllAvailable()
+      mem.addData((ts, 4L, "alpha")) // still inside the horizon: dropped
+      q.processAllAvailable()
+      val texts = s.table("dedupdocs").select("text").collect().map(_.getString(0)).toSeq
+      assert(texts.sorted == Seq("alpha", "beta")) // one alpha survives
+    } finally q.stop()
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
