@@ -232,6 +232,11 @@ object SparkEntry {
       g().nWithLabel("Nation")
         .repeat(RepeatConfig(sub().out("IN_REGION").t,
           until = Some(eq_("$label", "Region")), maxDepth = 5)).id())),
+    // emit predicate: emit every visited depth, keep only Part rows
+    "q_repeat_emit_pred" -> ((s, d) => run(s, d,
+      g().nWithLabelWhere("Order", eq_("o_orderstatus", "F"))
+        .repeat(RepeatConfig(sub().out().t, times = Some(2),
+          emit = EmitBehavior.All, emitPredicate = Some(eq_("$label", "Part")))).id())),
 
     // ---- more coverage: variables, bindings, params, json dot-paths
     "q_as_select" -> ((s, d) => run(s, d,
@@ -439,6 +444,8 @@ object SparkEntry {
       "UNION ALL SELECT CAST(4000000000 + l_suppkey AS BIGINT) AS id FROM lineitem " +
       "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
     "q_repeat_until" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation"),
+    "q_repeat_emit_pred" -> ("SELECT CAST(5000000000 + l_partkey AS BIGINT) AS id " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
 
     "q_as_select" -> ("SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'"),
     "q_bind_project" -> ("SELECT c_name AS cust_name, o_totalprice AS price " +

@@ -94,7 +94,13 @@ object Dedup {
       }
     }
 
-  def shingleHashSetCached(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  /** `eager = false` skips the materializing count on a cache MISS —
+    * valid only when the caller's own next action reads the frame
+    * exactly once before any self-join fans out over it (the persist
+    * then populates during that action with no duplicate compute).
+    */
+  def shingleHashSetCached(df: DataFrame, textCol: String, idCol: String, n: Int,
+      eager: Boolean = true): DataFrame = {
     val key = (df.queryExecution.logical.canonicalized.semanticHash(),
       s"$textCol|$idCol", n)
     shingleCache.synchronized {
@@ -103,7 +109,7 @@ object Dedup {
       else {
         val ss = shingleHashSet(df, textCol, idCol, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ss.count()
+        if (eager) ss.count()
         shingleCache.put(key, ss)
         ss
       }
@@ -178,8 +184,10 @@ object Dedup {
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
     // the shingle set feeds the signature, the band joins AND the
     // verification — the cached artifact materializes it once (and
-    // shares it with any other dedup variant over the same corpus)
-    val ss = shingleHashSetCached(df, textCol, idCol, n)
+    // shares it with any other dedup variant over the same corpus).
+    // lazy build: the sig.count() below reads ss exactly once and
+    // populates the persist as a side effect — one fewer job
+    val ss = shingleHashSetCached(df, textCol, idCol, n, eager = false)
     val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
       min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
     }
