@@ -157,6 +157,21 @@ class CompilerSpec extends GraftSuite {
     assert(ep.columns.toSeq.sorted == Seq("embedding", "note", "since", "weight"))
   }
 
+  test("repeat pins until+times combined semantics") {
+    // our documented choice (no public fixture pins this corner): the
+    // loop runs at most `times` iterations; elements satisfying `until`
+    // exit as results at whatever depth they reach it; the final
+    // frontier joins them. From node 1: depth1 = {2}, until($id==2)
+    // fires -> {2} exits; frontier empty -> loop ends early.
+    val r = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(5), until = Some(eq_("$id", 2L)))).id().t)
+    assert(ids(r) == Seq(2L))
+    // times caps depth even when until never fires: 1 -(2 hops)-> 3
+    val r2 = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(2), until = Some(eq_("name", "Nobody")))).id().t)
+    assert(ids(r2) == Seq(3L))
+  }
+
   // ---- bind / projectBindings
   test("bind captures row provenance through navigation") {
     val r = c.run(g().n(1L).bind("src").out("FOLLOWS").bind("dst")
