@@ -1,0 +1,97 @@
+package graft.search
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ast.IndexSpec
+import graft.model.GraphStore
+
+/** Durable index artifacts: the batch-built equivalents of the
+  * reference's always-on HNSW/BM25 index files (config.rs:166-209),
+  * persisted as parquet tables next to the graph
+  * (`root/_index/text/<label>/<prop>/…`, `root/_index/ivf/<label>/<prop>`).
+  *
+  * At 100 TB these are produced by the WRITE path (a nightly or
+  * incremental index build job), and query serving only ever reads
+  * them — `load` pre-populates the serving cache so the first query
+  * after a restart pays zero build cost.
+  */
+object IndexArtifacts {
+
+  def save(store: GraphStore, root: String): Unit = {
+    store.indexes.foreach {
+      case IndexSpec.NodeText(l, p, _) if store.nodeTables.contains(l) =>
+        saveText(store, store.nodesFor(l).sparkSession, l, p, isEdges = false, root)
+      case IndexSpec.EdgeText(l, p, _) if store.edgeTables.contains(l) =>
+        saveText(store, store.edgesFor(l).sparkSession, l, p, isEdges = true, root)
+      case IndexSpec.NodeVector(l, p, _) if store.nodeTables.contains(l) =>
+        saveIvf(store, l, p, isEdges = false, root)
+      case IndexSpec.EdgeVector(l, p, _) if store.edgeTables.contains(l) =>
+        saveIvf(store, l, p, isEdges = true, root)
+      case _ => ()
+    }
+  }
+
+  private def saveText(store: GraphStore, spark: SparkSession, label: String,
+      prop: String, isEdges: Boolean, root: String): Unit = {
+    val table = if (isEdges) store.edgesFor(label) else store.nodesFor(label)
+    val (post, stats) = BM25.buildIndex(table, prop)
+    // postings bucketed by term hash: a query's term lookup prunes to
+    // its buckets (partitionBy("_term") would explode the namespace)
+    post.withColumn("_tb", pmod(hash(col("_term")), lit(64)))
+      .repartition(col("_tb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_tb")
+      .parquet(s"$root/_index/text/$label/$prop/postings")
+    stats.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/_index/text/$label/$prop/stats")
+  }
+
+  private def saveIvf(store: GraphStore, label: String, prop: String,
+      isEdges: Boolean, root: String): Unit = {
+    val table = if (isEdges) store.edgesFor(label) else store.nodesFor(label)
+    val spark = table.sparkSession
+    val n = table.count()
+    val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+    val model = VectorOps.trainIvf(table, prop, nlist)
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/_index/ivf/$label/$prop")
+  }
+
+  /** Load persisted artifacts for `store` (matching its DECLARED
+    * indexes) into the serving cache under the store's version. Returns
+    * the number of artifacts loaded; missing artifacts are skipped
+    * (they build lazily on first query as usual).
+    */
+  def load(spark: SparkSession, root: String, store: GraphStore): Int = {
+    var loaded = 0
+    def exists(p: String) = new java.io.File(p).isDirectory
+    store.indexes.foreach {
+      case IndexSpec.NodeText(l, p, _) if exists(s"$root/_index/text/$l/$p/postings") =>
+        val post = spark.read.parquet(s"$root/_index/text/$l/$p/postings").drop("_tb")
+        val stats = spark.read.parquet(s"$root/_index/text/$l/$p/stats")
+        IndexCache.putText(store.version, l, p, post, stats)
+        loaded += 1
+      case IndexSpec.EdgeText(l, p, _) if exists(s"$root/_index/text/$l/$p/postings") =>
+        val post = spark.read.parquet(s"$root/_index/text/$l/$p/postings").drop("_tb")
+        val stats = spark.read.parquet(s"$root/_index/text/$l/$p/stats")
+        IndexCache.putText(store.version, l, p, post, stats)
+        loaded += 1
+      case IndexSpec.NodeVector(l, p, _) if exists(s"$root/_index/ivf/$l/$p") =>
+        IndexCache.putIvf(store.version, l, p, readIvf(spark, s"$root/_index/ivf/$l/$p"))
+        loaded += 1
+      case IndexSpec.EdgeVector(l, p, _) if exists(s"$root/_index/ivf/$l/$p") =>
+        IndexCache.putIvf(store.version, l, p, readIvf(spark, s"$root/_index/ivf/$l/$p"))
+        loaded += 1
+      case _ => ()
+    }
+    loaded
+  }
+
+  private def readIvf(spark: SparkSession, path: String): VectorOps.IvfModel = {
+    val rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    VectorOps.IvfModel(rows.map(_.getSeq[Double](1).toArray))
+  }
+}

@@ -41,6 +41,17 @@ object IndexCache {
     ivf.computeIfAbsent((storeVersion, label, prop), _ =>
       VectorOps.trainIvf(table, prop, nlist))
 
+  /** Pre-populate from durable artifacts (IndexArtifacts.load). */
+  def putText(storeVersion: String, label: String, prop: String,
+      post: DataFrame, stats: DataFrame): Unit = {
+    val p = post.persist(StorageLevel.MEMORY_AND_DISK)
+    val s = stats.persist(StorageLevel.MEMORY_AND_DISK)
+    text.put((storeVersion, label, prop), (p, s))
+  }
+  def putIvf(storeVersion: String, label: String, prop: String,
+      model: VectorOps.IvfModel): Unit =
+    ivf.put((storeVersion, label, prop), model)
+
   /** Table row count, computed once per (store version, label, prop) —
     * drives the brute-vs-IVF serving decision without re-counting per
     * query (on parquet sources this is a metadata-only job anyway).

@@ -175,6 +175,35 @@ class SearchSpec extends GraftSuite {
     graft.search.IndexCache.evictOthers("none")
   }
 
+  test("durable index artifacts round-trip and pre-populate the serving cache") {
+    val dir = java.nio.file.Files.createTempDirectory("gidx").toString
+    val store = TestBase.parityGraph().withIndexes(Set(
+      graft.ast.IndexSpec.NodeText("ParityUser", "bio", None),
+      graft.ast.IndexSpec.NodeVector("ParityUser", "embedding", None)))
+    graft.model.GraphPersistence.save(store, dir)
+    graft.search.IndexArtifacts.save(store, dir)
+    // reload: a NEW store version; artifacts pre-populate its cache
+    val loaded = graft.model.GraphPersistence.load(spark, dir)
+    assert(graft.search.IndexArtifacts.load(spark, dir, loaded) == 2)
+    import graft.dsl.Dsl._
+    // text search on the loaded store serves from the loaded postings
+    val viaLoaded = TestBase.compiler(loaded)
+      .run(g().textSearchNodes("ParityUser", "bio", "vector search", 2).values("name").t)
+      .collect().map(_.getString(0)).toSet
+    val fresh = TestBase.compiler()
+      .run(g().textSearchNodes("ParityUser", "bio", "vector search", 2).values("name").t)
+      .collect().map(_.getString(0)).toSet
+    assert(viaLoaded == fresh)
+    // vector search through the pre-loaded IVF model (forced via threshold)
+    spark.conf.set("graft.search.ivfThreshold", "1")
+    try {
+      val ids = TestBase.compiler(loaded)
+        .run(g().vectorSearchNodes("ParityUser", "embedding", Seq(1.0f, 0.05f, 0.0f), 2)
+          .id().t).collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L))
+    } finally spark.conf.unset("graft.search.ivfThreshold")
+  }
+
   test("buildIndex postings agree with on-the-fly scoring") {
     val s = spark
     import s.implicits._
