@@ -1182,16 +1182,39 @@ class Compiler(
   private def textSearch(base: DataFrame, labels: Set[String], prop: String,
       tenant: Option[PropertyValue], query: String, k: Int, isEdges: Boolean): Stream = {
     val label = labels.head
-    val indexed = tenant.isEmpty && store.indexes.exists {
-      case IndexSpec.NodeText(l, p, _) => !isEdges && l == label && p == prop
-      case IndexSpec.EdgeText(l, p, _) => isEdges && l == label && p == prop
-      case _ => false
+    // the declared index, if any, carries its tenant-partitioning prop
+    val declared: Option[Option[String]] = store.indexes.collectFirst {
+      case IndexSpec.NodeText(l, p, t) if !isEdges && l == label && p == prop => t
+      case IndexSpec.EdgeText(l, p, t) if isEdges && l == label && p == prop => t
+    }
+    // exact-serving matrix: a plain index serves untenanted queries; a
+    // tenant-partitioned index serves tenant-filtered queries (its
+    // per-tenant stats equal on-the-fly scoring of that tenant's
+    // corpus). The two mismatched combinations score on the fly —
+    // always exact, never approximated stats.
+    val indexed = declared match {
+      case Some(None) => tenant.isEmpty
+      case Some(Some(_)) => tenant.isDefined
+      case None => false
     }
     val top = if (indexed) {
+      val tenantProp = declared.get
       val (post, stats) = graft.search.IndexCache.textIndex(
-        store.version, label, prop, base)
-      val scores = graft.search.BM25.scoreFromIndex(post, stats, query)
-      base.join(scores, "_id")
+        store.version, label, prop, base, tenantProp)
+      val (qPost, qStats) = tenant match {
+        case Some(tv) =>
+          val lit0 = valueToLit(tv)
+          (post.where(col("_tenant") === lit0).drop("_tenant"),
+            stats.where(col("_tenant") === lit0).drop("_tenant"))
+        case None => (post, stats)
+      }
+      val scores = graft.search.BM25.scoreFromIndex(qPost, qStats, query)
+      val scoped = tenant match {
+        case Some(tv) =>
+          base.where(col(tenantColumn(base, label, prop)) === valueToLit(tv))
+        case None => base
+      }
+      scoped.join(scores, "_id")
         .orderBy(col("_bm25").desc, col("_id").asc).limit(k)
         .withColumnRenamed("_bm25", "_score")
     } else {

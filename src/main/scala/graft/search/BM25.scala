@@ -41,15 +41,28 @@ object BM25 {
 
   /** Write-time inverted index artifact for the scale path:
     * term -> (doc, tf) postings plus a one-row corpus-stats frame.
+    * With `tenantCol`, postings carry the tenant and stats are computed
+    * PER TENANT (each tenant is its own corpus — idf/avglen must match
+    * what on-the-fly scoring of the tenant-filtered corpus produces).
     */
-  def buildIndex(df: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+  def buildIndex(df: DataFrame, textCol: String,
+      tenantCol: Option[String] = None): (DataFrame, DataFrame) = {
     val toks = filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")
-    val post = df.select(col("_id"), toks.as("_toks"))
-      .select(col("_id"), size(col("_toks")).as("_len"), explode(col("_toks")).as("_term"))
-      .groupBy(col("_term"), col("_id"), col("_len")).agg(count(lit(1)).as("_tf"))
-    val lens = df.select(col("_id"),
-      size(filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")).as("_len"))
-    val stats = lens.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+    val tcols = tenantCol.toSeq.map(c => col(c).as("_tenant"))
+    val post = df.select(Seq(col("_id"), toks.as("_toks")) ++ tcols: _*)
+      .select(Seq(col("_id"), size(col("_toks")).as("_len"),
+        explode(col("_toks")).as("_term")) ++ tenantCol.map(_ => col("_tenant")).toSeq: _*)
+      .groupBy((Seq(col("_term"), col("_id"), col("_len")) ++
+        tenantCol.map(_ => col("_tenant")).toSeq): _*)
+      .agg(count(lit(1)).as("_tf"))
+    val lens = df.select(Seq(col("_id"),
+      size(filter(split(lower(col(textCol)), TokenSplit), t => t =!= "")).as("_len")) ++
+      tcols: _*)
+    val stats = tenantCol match {
+      case Some(_) => lens.groupBy(col("_tenant"))
+        .agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+      case None => lens.agg(count(lit(1)).as("_n"), avg(col("_len")).as("_avglen"))
+    }
     (post, stats)
   }
 

@@ -20,10 +20,10 @@ object IndexArtifacts {
 
   def save(store: GraphStore, root: String): Unit = {
     store.indexes.foreach {
-      case IndexSpec.NodeText(l, p, _) if store.nodeTables.contains(l) =>
-        saveText(store, store.nodesFor(l).sparkSession, l, p, isEdges = false, root)
-      case IndexSpec.EdgeText(l, p, _) if store.edgeTables.contains(l) =>
-        saveText(store, store.edgesFor(l).sparkSession, l, p, isEdges = true, root)
+      case IndexSpec.NodeText(l, p, t) if store.nodeTables.contains(l) =>
+        saveText(store, store.nodesFor(l).sparkSession, l, p, isEdges = false, root, t)
+      case IndexSpec.EdgeText(l, p, t) if store.edgeTables.contains(l) =>
+        saveText(store, store.edgesFor(l).sparkSession, l, p, isEdges = true, root, t)
       case IndexSpec.NodeVector(l, p, _) if store.nodeTables.contains(l) =>
         saveIvf(store, l, p, isEdges = false, root)
       case IndexSpec.EdgeVector(l, p, _) if store.edgeTables.contains(l) =>
@@ -33,9 +33,10 @@ object IndexArtifacts {
   }
 
   private def saveText(store: GraphStore, spark: SparkSession, label: String,
-      prop: String, isEdges: Boolean, root: String): Unit = {
+      prop: String, isEdges: Boolean, root: String,
+      tenantCol: Option[String] = None): Unit = {
     val table = if (isEdges) store.edgesFor(label) else store.nodesFor(label)
-    val (post, stats) = BM25.buildIndex(table, prop)
+    val (post, stats) = BM25.buildIndex(table, prop, tenantCol)
     // postings bucketed by term hash: a query's term lookup prunes to
     // its buckets (partitionBy("_term") would explode the namespace)
     post.withColumn("_tb", pmod(hash(col("_term")), lit(64)))

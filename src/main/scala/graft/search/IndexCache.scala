@@ -23,12 +23,14 @@ object IndexCache {
   private val counts = new ConcurrentHashMap[Key, java.lang.Long]()
 
   /** Postings + corpus stats for a declared text index, built once per
-    * (store version, label, property) and cached persisted.
+    * (store version, label, property) and cached persisted. A declared
+    * tenant property makes the artifact tenant-partitioned (postings
+    * carry `_tenant`; stats are per tenant).
     */
   def textIndex(storeVersion: String, label: String, prop: String,
-      table: => DataFrame): (DataFrame, DataFrame) =
+      table: => DataFrame, tenantCol: Option[String] = None): (DataFrame, DataFrame) =
     text.computeIfAbsent((storeVersion, label, prop), _ => {
-      val (post, stats) = BM25.buildIndex(table, prop)
+      val (post, stats) = BM25.buildIndex(table, prop, tenantCol)
       val p = post.persist(StorageLevel.MEMORY_AND_DISK)
       val s = stats.persist(StorageLevel.MEMORY_AND_DISK)
       p.count(); s.count()

@@ -175,6 +175,31 @@ class SearchSpec extends GraftSuite {
     graft.search.IndexCache.evictOthers("none")
   }
 
+  test("tenant-partitioned text index serves tenant queries exactly") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    // tenant-partitioned index: per-tenant postings + stats
+    val indexed = TestBase.parityGraph().withIndexes(Set(
+      IndexSpec.NodeText("ParityUser", "bio", Some("tenantId"))))
+    def q(store: graft.model.GraphStore) = TestBase.compiler(store).run(
+      Traversal(Vector(
+        Step.TextSearchNodes("ParityUser", "bio",
+          Some(PropertyInput.Value(PropertyValue.VString("t1"))),
+          PropertyInput.Value(PropertyValue.VString("vector search")),
+          StreamBound.Literal(3)),
+        Step.Values(Seq("name", "$score")))))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaIndex = q(indexed)
+    val onTheFly = q(TestBase.parityGraph()) // no index -> on-the-fly path
+    assert(viaIndex.keySet == Set("Alice", "Bob")) // Carol is tenant t2
+    assert(viaIndex == onTheFly) // identical scores: per-tenant stats are exact
+    // untenanted query against the tenanted index falls back on the fly
+    val global = TestBase.compiler(indexed).run(
+      g().textSearchNodes("ParityUser", "bio", "vector search", 3).values("name").t)
+      .collect().map(_.getString(0)).toSet
+    assert(global == Set("Alice", "Bob"))
+  }
+
   test("durable index artifacts round-trip and pre-populate the serving cache") {
     val dir = java.nio.file.Files.createTempDirectory("gidx").toString
     val store = TestBase.parityGraph().withIndexes(Set(
