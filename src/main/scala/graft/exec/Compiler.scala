@@ -924,7 +924,9 @@ class Compiler(
 
       // index DDL needs no source stream (fixtures 020/024 issue bare
       // g().create_index... traversals): fall back to an empty stream
-      case Step.CreateIndex(spec, _) =>
+      case Step.CreateIndex(spec, ifNotExists) =>
+        if (!ifNotExists && store.indexes.contains(spec))
+          throw new TraversalException(s"index already exists: $spec")
         store = store.withIndexes(store.indexes + spec); cur.getOrElse(emptyNodeStream)
       case Step.DropIndex(spec) =>
         store = store.withIndexes(store.indexes - spec); cur.getOrElse(emptyNodeStream)

@@ -27,14 +27,14 @@ final class GraphStore(
     val nodeTables: Map[String, DataFrame],
     val edgeTables: Map[String, DataFrame],
     val edgeMeta: Map[String, EdgeMeta],
-    val indexes: Set[graft.ast.IndexSpec] = Set.empty) {
-
-  /** Monotonic store identity for index-artifact caching: every data
-    * mutation (withNodes/withEdges) yields a new version, so cached
-    * postings/IVF artifacts can never be served for stale data —
-    * identity-hash keys could collide across GC'd stores.
-    */
-  val version: String = java.util.UUID.randomUUID().toString
+    val indexes: Set[graft.ast.IndexSpec] = Set.empty,
+    /** Store identity for index-artifact caching: every DATA mutation
+      * (withNodes/withEdges) mints a new version, so cached postings/IVF
+      * artifacts can never be served for stale data. DDL-only changes
+      * (withIndexes) keep the version — the data behind any existing
+      * artifact is unchanged, so evicting it would only force rebuilds.
+      */
+    val version: String = GraphStore.newVersion()) {
 
   def withNodes(label: String, df: DataFrame): GraphStore =
     new GraphStore(spark, nodeTables + (label -> df), edgeTables, edgeMeta, indexes)
@@ -42,7 +42,7 @@ final class GraphStore(
     new GraphStore(spark, nodeTables, edgeTables + (label -> df),
       meta.map(m => edgeMeta + (label -> m)).getOrElse(edgeMeta), indexes)
   def withIndexes(ix: Set[graft.ast.IndexSpec]): GraphStore =
-    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, ix)
+    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, ix, version)
 
   /** Empty store bound to a session (write batches can build a graph
     * from scratch via AddN/AddE).
@@ -123,6 +123,10 @@ final class GraphStore(
     case Some(ls) => edgeTables.keySet.filter(e =>
       edgeMeta.get(e).forall(_.dstLabels.exists(ls.contains)))
   }
+}
+
+object GraphStore {
+  def newVersion(): String = java.util.UUID.randomUUID().toString
 }
 
 /** Builds the graph projection of the driver's TPC-H-ish testdata

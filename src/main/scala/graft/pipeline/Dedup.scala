@@ -77,17 +77,17 @@ object Dedup {
       .distinct()
 
   /** Bounded cache of materialized shingle sets, keyed by the source
-    * plan's canonical hash + (textCol, idCol, n). The shingle set is the
-    * shared artifact of every dedup variant (minhash, ngram, …) — at
-    * scale it is a write-time table; here, running two dedup ops over
-    * the same corpus builds it once. Entries own their persisted frames;
-    * eviction (FIFO past `ShingleCacheMax`) unpersists.
+    * plan + (textCol, idCol, n). The shingle set is the shared artifact
+    * of every dedup variant (minhash, ngram, …) — at scale it is a
+    * write-time table; here, running two dedup ops over the same corpus
+    * builds it once. Entries own their persisted frames; eviction (FIFO
+    * past `ShingleCacheMax`) unpersists.
     */
   private val ShingleCacheMax = 8
   private val shingleCache =
-    new java.util.LinkedHashMap[(Int, String, Int), DataFrame](16, 0.75f, false) {
+    new java.util.LinkedHashMap[(String, String, Int), DataFrame](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int), DataFrame]): Boolean = {
+          e: java.util.Map.Entry[(String, String, Int), DataFrame]): Boolean = {
         val evict = size() > ShingleCacheMax
         if (evict) e.getValue.unpersist(false)
         evict
@@ -98,22 +98,32 @@ object Dedup {
     * valid only when the caller's own next action reads the frame
     * exactly once before any self-join fans out over it (the persist
     * then populates during that action with no duplicate compute).
+    *
+    * Keyed by the FULL canonicalized source plan, not a 32-bit hash —
+    * a hash collision would silently serve another corpus's shingles.
+    * Caveat shared by any plan-keyed cache: overwriting the files
+    * behind an identical plan mid-session requires clearShingleCache().
+    * The eager count runs OUTSIDE the cache lock so a build doesn't
+    * block other dedup calls for a whole Spark job; a concurrent
+    * reader may briefly duplicate compute, never see wrong data.
     */
   def shingleHashSetCached(df: DataFrame, textCol: String, idCol: String, n: Int,
       eager: Boolean = true): DataFrame = {
-    val key = (df.queryExecution.logical.canonicalized.semanticHash(),
+    val key = (df.queryExecution.logical.canonicalized.toString,
       s"$textCol|$idCol", n)
-    shingleCache.synchronized {
+    var built: DataFrame = null
+    val ss = shingleCache.synchronized {
       val hit = shingleCache.get(key)
       if (hit != null) hit
       else {
-        val ss = shingleHashSet(df, textCol, idCol, n)
+        built = shingleHashSet(df, textCol, idCol, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (eager) ss.count()
-        shingleCache.put(key, ss)
-        ss
+        shingleCache.put(key, built)
+        built
       }
     }
+    if (eager && (ss eq built)) ss.count()
+    ss
   }
 
   /** Drop and unpersist every cached shingle set. */
@@ -249,9 +259,16 @@ object Dedup {
       a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
     } else {
-      // capped path: verify candidates against FULL shingle sets
-      val fa = ss.select(col("_did").as("id_a"), col("_sh"))
-      val fb = ss.select(col("_did").as("id_b"), col("_sh"))
+      // capped path: verify candidates against FULL shingle sets — but
+      // restrict the verify join's INPUTS to candidate docs first
+      // (minhashPairs' ssCand pattern); a semi-join on (id_a,id_b)
+      // AFTER the self-join would still materialize the hot-shingle
+      // blow-up the cap exists to prevent
+      val candDocs = cands.select(col("id_a").as("_did"))
+        .union(cands.select(col("id_b").as("_did"))).distinct()
+      val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
+      val fa = ssCand.select(col("_did").as("id_a"), col("_sh"))
+      val fb = ssCand.select(col("_did").as("id_b"), col("_sh"))
       fa.join(fb, Seq("_sh")).where(col("id_a") < col("id_b"))
         .join(cands, Seq("id_a", "id_b"), "left_semi")
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))

@@ -35,8 +35,10 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     * with a JSON params body, SURVEY §3.3).
     */
   def registerQuery(name: String, batch: graft.ast.Batch,
-      params: Seq[(String, QueryBundle.PTy)] = Nil): Unit =
+      params: Seq[(String, QueryBundle.PTy)] = Nil): Unit = {
     stored.put(name, QueryBundle.StoredRoute(batch, params, batch.write))
+    warm.remove(name) // a replaced route is a new, cold query
+  }
 
   /** Deploy every route of a `queries.json` bundle (v4/v5); returns the
     * number of routes loaded. Mirrors read_query_bundle_from_path +
@@ -44,7 +46,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     */
   def loadBundle(json: String): Int = {
     val routes = QueryBundle.parse(json)
-    routes.foreach { case (n, r) => stored.put(n, r) }
+    routes.foreach { case (n, r) => stored.put(n, r); warm.remove(n) }
     routes.size
   }
 
@@ -96,8 +98,18 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     * `maxResponseRows` so one unbounded query can't buffer the whole
     * table into a driver string.
     */
+  /** Set when the last handled request's rendering hit the row cap —
+    * surfaced as the `x-graft-truncated` response header. (The default
+    * HttpServer executor serves requests on one thread, so a plain
+    * field is race-free on the HTTP path.)
+    */
+  @volatile private var lastTruncated = false
+
   private def renderDf(df: DataFrame): String = {
-    val rows = df.limit(maxResponseRows).collect()
+    val collected = df.limit(maxResponseRows + 1).collect()
+    val rows =
+      if (collected.length > maxResponseRows) { lastTruncated = true; collected.take(maxResponseRows) }
+      else collected
     val names = df.columns
     val sb = new StringBuilder
     def writeVal(v: Any): Unit = v match {
@@ -107,9 +119,17 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       case d: Double =>
         if (d.isNaN || d.isInfinite) sb.append(quote(d.toString)) else sb.append(d)
       case f: Float =>
-        if (f.isNaN || f.isInfinite) sb.append(quote(f.toString)) else sb.append(f.toDouble)
+        // Float's own shortest representation — widening to double
+        // would print 0.1f as 0.10000000149011612
+        if (f.isNaN || f.isInfinite) sb.append(quote(f.toString)) else sb.append(f.toString)
       case d: java.math.BigDecimal => sb.append(d.toPlainString)
-      case t: java.time.LocalDateTime => sb.append(quote(t.toString))
+      case t: java.time.LocalDateTime =>
+        // fixed second precision: LocalDateTime.toString drops ":00"
+        // seconds, yielding two formats in one column
+        sb.append(quote(if (t.getNano == 0)
+          t.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+        else t.toString))
       case t: java.sql.Timestamp => sb.append(quote(t.toInstant.toString))
       case t: java.time.Instant => sb.append(quote(t.toString))
       case d: java.sql.Date => sb.append(quote(d.toString))
@@ -191,6 +211,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
           ex.getResponseHeaders.set("x-helix-served-by", "writer")
         hdr("x-helix-await-durable").foreach(v =>
           ex.getResponseHeaders.set("x-helix-durable", v))
+        lastTruncated = false
         val resp =
           try {
             // POST /v1/query/<name> runs a deployed stored query
@@ -205,6 +226,8 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
           } catch {
             case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
           }
+        if (lastTruncated)
+          ex.getResponseHeaders.set("x-graft-truncated", "true")
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)

@@ -184,6 +184,45 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("re-registering a stored route resets its warm state") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    val gw = new Gateway(TestBase.parityGraph())
+    gw.registerQuery("r", Batch(Seq(BatchEntry.Query(NamedQuery(Some("n"),
+      g().n().count().t))), returns = Seq("n")))
+    gw.handleStored("r", "{}")
+    assert(gw.isWarm("r"))
+    gw.registerQuery("r", Batch(Seq(BatchEntry.Query(NamedQuery(Some("n"),
+      g().n().exists().t))), returns = Seq("n")))
+    assert(!gw.isWarm("r")) // replaced route is a new, cold query
+  }
+
+  test("row-capped responses carry the x-graft-truncated header") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16974, maxResponseRows = 2)
+    gw.start()
+    try {
+      def post(body: String) = {
+        val conn = new java.net.URL("http://localhost:16974/v1/query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val b = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        (b, Option(conn.getHeaderField("x-graft-truncated")))
+      }
+      val (b1, h1) = post(
+        """{"request_type":"read","query":{"queries":[{"Query":{"name":"r",
+          "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+          "condition":null}}],"returns":["r"]},"parameters":{}}""")
+      assert(b1 == """{"r":[{"name":"Alice"},{"name":"Bob"}]}""") // 3 rows capped at 2
+      assert(h1.contains("true"))
+      val (_, h2) = post(
+        """{"request_type":"read","query":{"queries":[{"Query":{"name":"c",
+          "steps":[{"N":"All"},"Count"],"condition":null}}],
+          "returns":["c"]},"parameters":{}}""")
+      assert(h2.isEmpty) // un-truncated responses carry no header
+    } finally gw.stop()
+  }
+
   test("HTTP server answers POST /v1/query") {
     val gw = new Gateway(TestBase.parityGraph(), port = 16969)
     gw.start()

@@ -92,6 +92,18 @@ class MutationSpec extends GraftSuite {
     assert(allIds.length == 6 && allIds.distinct.length == 6)
   }
 
+  test("CreateIndex without ifNotExists rejects duplicates; DDL keeps the store version") {
+    val comp = TestBase.compiler(write = true)
+    val spec = IndexSpec.NodeEquality("ParityUser", "externalId")
+    val v0 = comp.store.version
+    comp.run(g().createIndex(spec, ifNotExists = false).t)
+    assert(comp.store.version == v0) // DDL-only change: artifacts stay valid
+    comp.run(g().createIndex(spec).t) // ifNotExists = true: idempotent
+    intercept[graft.exec.TraversalException] {
+      comp.run(g().createIndex(spec, ifNotExists = false).t)
+    }
+  }
+
   test("index DDL registers metadata") {
     val comp = TestBase.compiler(write = true)
     comp.run(Traversal(Vector(Step.N(NodeRef.All),
