@@ -699,7 +699,9 @@ object Json {
   def writeBatchObj(b: Batch): JsonNode =
     obj("queries" -> arr(b.entries.map(writeEntry)), "returns" -> arr(b.returns.map(s)))
   def readBatchObj(n: JsonNode, write: Boolean): Batch = {
-    val entries = n.get("queries").elements.asScala.map(readEntry).toSeq
+    val qn = Option(n.get("queries")).filterNot(_.isNull)
+      .getOrElse(bad("batch object missing 'queries'", n))
+    val entries = qn.elements.asScala.map(readEntry).toSeq
     val returns = Option(n.get("returns")).filterNot(_.isNull)
       .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
     Batch(entries, returns, write)

@@ -51,6 +51,21 @@ class Compiler(
 
   // ---------------------------------------------------------------- values
 
+  /** Raw string form of a scalar value — stable cache/artifact keys
+    * (tenant-partitioned index artifacts key on the tenant VALUE; the
+    * ADT wrapper's toString would couple keys to case-class names).
+    */
+  def valueKey(v: PropertyValue): String = v match {
+    case VNull => "null"
+    case VBool(b) => b.toString
+    case VI64(i) => i.toString
+    case VF64(d) => d.toString
+    case VF32(f) => f.toString
+    case VString(s) => s
+    case VDateTime(ms) => ms.toString
+    case other => other.toString
+  }
+
   def valueToLit(v: PropertyValue): Column = v match {
     case VNull => lit(null)
     case VBool(b) => lit(b)
@@ -834,9 +849,16 @@ class Compiler(
         val base = idBase.getAndAdd(Compiler.AddEBands * Compiler.AddEBandCap)
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__band")).orderBy(col("_src"), col("_dst"))
+        // a band past its reserved range (AddEBandCap rows) would
+        // silently collide with the adjacent band's ids — raise in the
+        // same window pass instead (no extra action)
+        val rn = row_number().over(win).cast("long")
+        val rnChecked = when(rn <= Compiler.AddEBandCap, rn).otherwise(
+          raise_error(lit(s"AddE band overflow: one hash band exceeded " +
+            s"${Compiler.AddEBandCap} rows in a single call")).cast("long"))
         val cols = Seq(
           (lit(base) + col("__band") * Compiler.AddEBandCap +
-            row_number().over(win).cast("long") - 1).as("_id"),
+            rnChecked - 1).as("_id"),
           lit(label).as("_label"), col("_src"), col("_dst")) ++
           props.map { case (k, in) => inputCol(left, in).as(k) }
         val rows = left.crossJoin(right)
@@ -1150,28 +1172,39 @@ class Compiler(
     // (the analogue of the reference's always-on HNSW serving,
     // dsl.rs:2813-2832 / config.rs:191-201). Below the threshold the
     // exact brute scan wins on latency AND stays oracle-exact, so the
-    // switch is size-gated. Tenant-filtered queries stay brute: the
-    // filter already prunes the scan to one tenant's partitions.
-    val declared = tenant.isEmpty && store.indexes.exists {
-      case IndexSpec.NodeVector(l, p, _) => !isEdges && l == label && p == prop
-      case IndexSpec.EdgeVector(l, p, _) => isEdges && l == label && p == prop
-      case _ => false
+    // switch is size-gated. Serving matrix mirrors textSearch: a plain
+    // index serves untenanted queries from global centroids; an index
+    // declared WITH tenant_property (dsl.rs:2618-2627) serves
+    // tenant-filtered queries from per-tenant centroids (trained on —
+    // and sized by — that tenant's corpus only); the two mismatched
+    // combinations stay exact brute scans.
+    val declaredTenant: Option[Option[String]] = store.indexes.collectFirst {
+      case IndexSpec.NodeVector(l, p, t) if !isEdges && l == label && p == prop => t
+      case IndexSpec.EdgeVector(l, p, t) if isEdges && l == label && p == prop => t
+    }
+    val ivfServing: Option[(DataFrame, String)] = (declaredTenant, tenant) match {
+      case (Some(None), None) => Some((base, prop))
+      case (Some(Some(_)), Some(tv)) =>
+        Some((filtered, graft.search.IndexCache.tenantKey(prop, valueKey(tv))))
+      case _ => None
     }
     val threshold = spark.conf.get("graft.search.ivfThreshold", "100000").toLong
-    val top = if (declared &&
-        graft.search.IndexCache.rowCount(store.version, label, prop, base) >= threshold) {
-      val n = graft.search.IndexCache.rowCount(store.version, label, prop, base)
-      // nlist ~ sqrt(n) (IVF rule of thumb); nprobe = nlist/4 probes a
-      // quarter of the centroids — recall comparable to the reference's
-      // ef_search=768 profile on clustered data (SearchSpec gates >=0.9@10)
-      val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-      val nprobe = math.max(4, nlist / 4)
-      val model = graft.search.IndexCache.ivfModel(store.version, label, prop, nlist, base)
-      graft.search.VectorOps.ivfTopK(base, prop, model, qv, k, nprobe)
-    } else {
-      val scored = filtered.withColumn("_score",
-        graft.search.VectorOps.cosineSim(col(prop), qv))
-      scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
+    val top = ivfServing match {
+      case Some((tbl, propKey))
+          if graft.search.IndexCache.rowCount(store.version, label, propKey, tbl) >= threshold =>
+        val n = graft.search.IndexCache.rowCount(store.version, label, propKey, tbl)
+        // nlist ~ sqrt(n) (IVF rule of thumb); nprobe = nlist/4 probes a
+        // quarter of the centroids — recall comparable to the reference's
+        // ef_search=768 profile on clustered data (SearchSpec gates >=0.9@10)
+        val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+        val nprobe = math.max(4, nlist / 4)
+        val model = graft.search.IndexCache.ivfModel(
+          store.version, label, propKey, nlist, tbl, vecCol = prop)
+        graft.search.VectorOps.ivfTopK(tbl, prop, model, qv, k, nprobe)
+      case _ =>
+        val scored = filtered.withColumn("_score",
+          graft.search.VectorOps.cosineSim(col(prop), qv))
+        scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
     }
     Stream(top, isEdges, Some(labels))
   }

@@ -341,26 +341,93 @@ object Dedup {
     */
   val BruteForcePairLimit = 100000L
 
+  /** One cluster's pair-join block is capped at this many rows per
+    * side: a cluster of m rows splits into ceil(m/cap) sub-buckets and
+    * pairs form per sub-bucket PAIR, so the largest single join block
+    * is cap² comparisons — no degenerate cluster (e.g. near-zero
+    * vectors all landing on one centroid) can put an m² blow-up into
+    * one task.
+    */
+  val MaxClusterBlock = 4096
+
+  /** Row counts for path selection, keyed by the canonicalized source
+    * plan (bounded FIFO): embeddingPairs needs the count once per
+    * corpus, not one count job per call. At 100 TB this is table
+    * metadata the catalog already knows — recounting per query is the
+    * anti-pattern this cache removes.
+    */
+  private val RowCountCacheMax = 32
+  private val rowCountCache =
+    new java.util.LinkedHashMap[String, java.lang.Long](32, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > RowCountCacheMax
+    }
+
+  private def cachedCount(df: DataFrame): Long = {
+    val key = df.queryExecution.logical.canonicalized.toString
+    val hit = rowCountCache.synchronized(rowCountCache.get(key))
+    if (hit != null) hit.longValue()
+    else {
+      val n = df.count()
+      rowCountCache.synchronized(rowCountCache.put(key, n))
+      n
+    }
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold. Exact broadcast
     * kernel under `BruteForcePairLimit` rows; IVF cluster-bucketed join
     * above it (pairs only form inside a cluster — the 100 TB path).
-    * Pass `bruteForce` explicitly to pin a path; the default decides by
-    * row count so no caller can accidentally collect a 100 TB table.
+    * Pass `bruteForce` explicitly to pin a path (the default decides by
+    * cached/hinted row count so no caller can accidentally collect a
+    * 100 TB table), `rowCountHint` when the caller already knows the
+    * size (catalog statistics).
+    *
+    * Skew guard: clusters larger than `maxClusterBlock` are hash-split
+    * into sub-buckets and the pair join runs per unordered sub-bucket
+    * PAIR — total work is unchanged (all intra-cluster pairs are still
+    * compared) but the largest single join block is maxClusterBlock²,
+    * spread over ~(m/cap)² tasks instead of one.
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, bruteForce: Option[Boolean] = None): DataFrame = {
-    if (bruteForce.getOrElse(df.count() <= BruteForcePairLimit)) {
+      threshold: Double, bruteForce: Option[Boolean] = None,
+      rowCountHint: Option[Long] = None,
+      maxClusterBlock: Int = MaxClusterBlock): DataFrame = {
+    val brute = bruteForce.getOrElse(
+      rowCountHint.getOrElse(cachedCount(df)) <= BruteForcePairLimit)
+    if (brute) {
       VectorOps.cosinePairsBroadcast(df, vecCol, idCol, threshold)
     } else {
       val model = VectorOps.trainIvf(df.withColumnRenamed(idCol, "_id")
         .withColumnRenamed(vecCol, "_v"), "_v", nlist = 64)
       val assigned = VectorOps.assignCluster(
         df.select(col(idCol).as("_aid"), col(vecCol).as("_v")), "_v", model.centroids)
-      val a = assigned.select(col("_aid").as("id_a"), col("_v").as("_va"), col("_cluster"))
-      val b = assigned.select(col("_aid").as("id_b"), col("_v").as("_vb"), col("_cluster"))
-      a.join(b, Seq("_cluster")).where(col("id_a") < col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-cluster sub-bucket count (nlist rows -> broadcast join)
+      val nb = assigned.groupBy(col("_cluster"))
+        .agg(ceil(count(lit(1)) / lit(maxClusterBlock.toDouble)).cast("int").as("_nb"))
+      val bucketed = assigned.join(broadcast(nb), Seq("_cluster"))
+        .withColumn("_bkt", pmod(hash(col("_aid")), col("_nb")))
+      // every unordered sub-bucket pair (p <= q) is one join key: side A
+      // emits its row under keys (bkt, q) for q >= bkt, side B under
+      // (p, bkt) for p <= bkt — a pair of rows in buckets (x <= y)
+      // meets at exactly (x, y) (twice, A/B swapped, iff x == y; the
+      // `p < q || id_a < id_b` filter keeps each pair once). In the
+      // common nb=1 case both sides emit (0,0) once — zero overhead.
+      val aSide = bucketed.select(col("_cluster"), col("_bkt").as("_p"),
+        explode(sequence(col("_bkt"), col("_nb") - 1)).as("_q"),
+        col("_aid").as("id_a"), col("_v").as("_va"))
+      val bSide = bucketed.select(col("_cluster"),
+        explode(sequence(lit(0), col("_bkt"))).as("_p"),
+        col("_bkt").as("_q"), col("_aid").as("id_b"), col("_v").as("_vb"))
+      val out = aSide.join(bSide, Seq("_cluster", "_p", "_q"))
+        .where((col("_p") < col("_q")) || (col("id_a") < col("id_b")))
         .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= threshold)
-        .select("id_a", "id_b")
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .localCheckpoint(true)
+      assigned.unpersist(false)
+      out
     }
   }
 }

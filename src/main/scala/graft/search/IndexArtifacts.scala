@@ -24,10 +24,10 @@ object IndexArtifacts {
         saveText(store, store.nodesFor(l).sparkSession, l, p, isEdges = false, root, t)
       case IndexSpec.EdgeText(l, p, t) if store.edgeTables.contains(l) =>
         saveText(store, store.edgesFor(l).sparkSession, l, p, isEdges = true, root, t)
-      case IndexSpec.NodeVector(l, p, _) if store.nodeTables.contains(l) =>
-        saveIvf(store, l, p, isEdges = false, root)
-      case IndexSpec.EdgeVector(l, p, _) if store.edgeTables.contains(l) =>
-        saveIvf(store, l, p, isEdges = true, root)
+      case IndexSpec.NodeVector(l, p, t) if store.nodeTables.contains(l) =>
+        saveIvf(store, l, p, isEdges = false, root, t)
+      case IndexSpec.EdgeVector(l, p, t) if store.edgeTables.contains(l) =>
+        saveIvf(store, l, p, isEdges = true, root, t)
       case _ => ()
     }
   }
@@ -47,18 +47,45 @@ object IndexArtifacts {
       .parquet(s"$root/_index/text/$label/$prop/stats")
   }
 
+  /** For a tenant-partitioned index (tenant_property declared), one
+    * centroid set PER TENANT whose corpus clears the IVF serving
+    * threshold — smaller tenants serve exact brute scans anyway, so a
+    * centroid artifact for them would never be read. The driver loop is
+    * bounded by the number of above-threshold tenants (each holding
+    * >= threshold rows, so at most corpus/threshold of them).
+    */
   private def saveIvf(store: GraphStore, label: String, prop: String,
-      isEdges: Boolean, root: String): Unit = {
+      isEdges: Boolean, root: String, tenantCol: Option[String] = None): Unit = {
     val table = if (isEdges) store.edgesFor(label) else store.nodesFor(label)
     val spark = table.sparkSession
-    val n = table.count()
-    val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-    val model = VectorOps.trainIvf(table, prop, nlist)
     import spark.implicits._
-    model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("centroid_id", "centroid")
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/_index/ivf/$label/$prop")
+    val path = s"$root/_index/ivf/$label/$prop"
+    tenantCol match {
+      case None =>
+        val n = table.count()
+        val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+        val model = VectorOps.trainIvf(table, prop, nlist)
+        model.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("centroid_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(tp) =>
+        val threshold =
+          spark.conf.get("graft.search.ivfThreshold", "100000").toLong
+        val bigTenants = table.groupBy(col(tp)).count()
+          .where(col("count") >= threshold).collect()
+        val rows = bigTenants.toSeq.flatMap { r =>
+          val tv = r.get(0)
+          val n = r.getLong(1)
+          val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+          val model = VectorOps.trainIvf(table.where(col(tp) === tv), prop, nlist)
+          model.centroids.zipWithIndex.map { case (c, i) =>
+            (String.valueOf(tv), i, c.toSeq)
+          }
+        }
+        rows.toDF("_tenant", "centroid_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 
   /** Load persisted artifacts for `store` (matching its DECLARED
@@ -80,16 +107,33 @@ object IndexArtifacts {
         val stats = spark.read.parquet(s"$root/_index/text/$l/$p/stats")
         IndexCache.putText(store.version, l, p, post, stats)
         loaded += 1
-      case IndexSpec.NodeVector(l, p, _) if exists(s"$root/_index/ivf/$l/$p") =>
-        IndexCache.putIvf(store.version, l, p, readIvf(spark, s"$root/_index/ivf/$l/$p"))
-        loaded += 1
-      case IndexSpec.EdgeVector(l, p, _) if exists(s"$root/_index/ivf/$l/$p") =>
-        IndexCache.putIvf(store.version, l, p, readIvf(spark, s"$root/_index/ivf/$l/$p"))
-        loaded += 1
+      case IndexSpec.NodeVector(l, p, t) if exists(s"$root/_index/ivf/$l/$p") =>
+        loaded += loadIvf(spark, s"$root/_index/ivf/$l/$p", store.version, l, p, t)
+      case IndexSpec.EdgeVector(l, p, t) if exists(s"$root/_index/ivf/$l/$p") =>
+        loaded += loadIvf(spark, s"$root/_index/ivf/$l/$p", store.version, l, p, t)
       case _ => ()
     }
     loaded
   }
+
+  private def loadIvf(spark: SparkSession, path: String, version: String,
+      label: String, prop: String, tenantCol: Option[String]): Int =
+    tenantCol match {
+      case None =>
+        IndexCache.putIvf(version, label, prop, readIvf(spark, path))
+        1
+      case Some(_) =>
+        // per-tenant models: rows are (tenant, centroid_id, centroid);
+        // the collect is bounded by (above-threshold tenants) × nlist
+        val rows = spark.read.parquet(path)
+          .orderBy("_tenant", "centroid_id").collect()
+        val byTenant = rows.groupBy(_.getString(0))
+        byTenant.foreach { case (tv, rs) =>
+          IndexCache.putIvf(version, label, IndexCache.tenantKey(prop, tv),
+            VectorOps.IvfModel(rs.map(_.getSeq[Double](2).toArray)))
+        }
+        byTenant.size
+    }
 
   private def readIvf(spark: SparkSession, path: String): VectorOps.IvfModel = {
     val rows = spark.read.parquet(path).orderBy("centroid_id").collect()

@@ -18,6 +18,14 @@ import java.util.concurrent.ConcurrentHashMap
 object IndexCache {
   type Key = (String, String, String) // (storeVersion, label, property)
 
+  /** Composite property key for a tenant-partitioned artifact: a vector
+    * index declared with a tenant_property (IndexSpec, dsl.rs:2618-2658)
+    * keeps one IVF model / row count PER TENANT, so a tenant-filtered
+    * search serves from centroids trained on that tenant's corpus only
+    * (mirroring the per-tenant postings/stats the text path keeps).
+    */
+  def tenantKey(prop: String, tenant: String): String = s"$prop#tenant=$tenant"
+
   private val text = new ConcurrentHashMap[Key, (DataFrame, DataFrame)]()
   private val ivf = new ConcurrentHashMap[Key, VectorOps.IvfModel]()
   private val counts = new ConcurrentHashMap[Key, java.lang.Long]()
@@ -37,11 +45,14 @@ object IndexCache {
       (p, s)
     })
 
-  /** IVF centroids for a declared vector index. */
+  /** IVF centroids for a declared vector index. `prop` is the CACHE key
+    * (possibly a tenantKey composite); `vecCol` names the actual vector
+    * column to train on when the two differ.
+    */
   def ivfModel(storeVersion: String, label: String, prop: String, nlist: Int,
-      table: => DataFrame): VectorOps.IvfModel =
+      table: => DataFrame, vecCol: String = null): VectorOps.IvfModel =
     ivf.computeIfAbsent((storeVersion, label, prop), _ =>
-      VectorOps.trainIvf(table, prop, nlist))
+      VectorOps.trainIvf(table, Option(vecCol).getOrElse(prop), nlist))
 
   /** Pre-populate from durable artifacts (IndexArtifacts.load). */
   def putText(storeVersion: String, label: String, prop: String,

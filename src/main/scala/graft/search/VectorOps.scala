@@ -134,16 +134,14 @@ object VectorOps {
     IvfModel(cents)
   }
 
-  /** Nearest-centroid id as a column (argmin over a literal centroid array). */
-  def assignCluster(df: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame = {
-    // dist^2 to each centroid; argmin via array_position(min)
-    val dists = array(cents.map { c =>
-      arrSum(zip_with(col(vecCol), array(c.map(lit): _*),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)))
-    }: _*)
-    df.withColumn("_cluster",
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
-  }
+  /** Nearest-centroid id as a column. The native expression carries the
+    * centroid matrix as ONE reference object (graft.functions
+    * .NearestCentroid), so codegen stays a fixed-size loop at any nlist —
+    * the literal-array argmin it replaces built a ~260k-node expression
+    * tree at nlist=4096 × dim=64 and fell out of codegen entirely.
+    */
+  def assignCluster(df: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("_cluster", graft.functions.NearestCentroid(col(vecCol), cents))
 
   def ivfTopK(df: DataFrame, vecCol: String, model: IvfModel,
       query: Seq[Double], k: Int, nprobe: Int, idCol: String = "_id"): DataFrame = {

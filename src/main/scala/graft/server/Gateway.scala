@@ -16,11 +16,34 @@ import java.nio.charset.StandardCharsets
   * (sdks/rust/src/lib.rs:244-247; default local port 6969,
   * helix-cli/src/config.rs:7). Built on the JDK's HttpServer —
   * no extra dependencies.
+  *
+  * Concurrency model (the reference gateway is a multi-client HTTP
+  * service, lib.rs:244-338): requests are served by a fixed thread
+  * pool. READS run concurrently against an immutable store snapshot
+  * (GraphStore is copy-on-write — a volatile read pins the version
+  * for the whole request). WRITES serialize on a single lock, and the
+  * new store publishes via the volatile field, so every read sees
+  * either the pre- or post-write store, never a torn one.
+  *
+  * Single-live-store assumption: IndexCache.evictOthers after a write
+  * assumes this Gateway's store is the only live lineage in the JVM —
+  * a second Gateway instance sharing the process would have its cached
+  * artifacts evicted (forced rebuild on next query; a perf hazard, not
+  * a correctness one).
   */
 class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
-    maxResponseRows: Int = 10000) {
+    maxResponseRows: Int = 10000, workerThreads: Int = 8,
+    /** When set, every write batch commits to the GraphWal segment log
+      * under this root BEFORE the new store publishes — an unplanned
+      * exit loses nothing past the last acked write
+      * (GraphWal.recover replays the log over the snapshot).
+      */
+    walRoot: Option[String] = None) {
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+  /** Writes serialize here; reads never take it. */
+  private val writeLock = new Object
   private val stored =
     new java.util.concurrent.ConcurrentHashMap[String, QueryBundle.StoredRoute]()
   /** Stored routes that have executed at least once — the `x-helix-warm`
@@ -40,12 +63,18 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     warm.remove(name) // a replaced route is a new, cold query
   }
 
-  /** Deploy every route of a `queries.json` bundle (v4/v5); returns the
-    * number of routes loaded. Mirrors read_query_bundle_from_path +
-    * route registration (query_generator.rs:150-236).
+  /** Deploy a `queries.json` bundle (v4/v5) with WHOLE-BUNDLE
+    * replacement semantics (the reference redeploy swaps the deployed
+    * query set): routes absent from the new bundle stop serving.
+    * Returns the number of routes loaded. Mirrors
+    * read_query_bundle_from_path + route registration
+    * (query_generator.rs:150-236).
     */
   def loadBundle(json: String): Int = {
     val routes = QueryBundle.parse(json)
+    val names = routes.map(_._1).toSet
+    stored.keySet.removeIf(k => !names.contains(k))
+    warm.removeIf(k => !names.contains(k))
     routes.foreach { case (n, r) => stored.put(n, r); warm.remove(n) }
     routes.size
   }
@@ -62,7 +91,10 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     * declared parameter shapes coerce (RFC3339 DateTime, F32 narrowing,
     * element-wise arrays; Bytes rejects).
     */
-  def handleStored(name: String, paramsJson: String): String = {
+  def handleStored(name: String, paramsJson: String): String =
+    handleStoredT(name, paramsJson)._1
+
+  private[server] def handleStoredT(name: String, paramsJson: String): (String, Boolean) = {
     val route = Option(stored.get(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown stored query: $name"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -76,40 +108,63 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       val raw = Json.readParamValue(e.getValue)
       pmap(e.getKey) = types.get(e.getKey).map(QueryBundle.coerce(raw, _)).getOrElse(raw)
     }
-    val exec = new BatchExecutor(store, pmap.toMap)
-    val out = exec.execute(route.batch)
-    if (route.batch.write) {
-      store = out.store; graft.search.IndexCache.evictOthers(store.version)
-    }
+    val rendered = executeBatch(route.batch, pmap.toMap)
     warm.add(name)
-    out.results.toSeq.sortBy(_._1)
-      .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
+    rendered
+  }
+
+  /** Run one batch: reads on the current snapshot (concurrent), writes
+    * under the write lock (serialized; the updated store publishes
+    * before the lock drops).
+    */
+  private def executeBatch(batch: graft.ast.Batch,
+      params: Map[String, graft.ast.PropertyValue]): (String, Boolean) = {
+    if (batch.write) writeLock.synchronized {
+      val out = new BatchExecutor(store, params).execute(batch)
+      // commit order: segment durable first, then the store publishes —
+      // a crash between the two replays the batch on recovery (same
+      // deterministic result), never loses an acked write
+      walRoot.foreach(graft.model.GraphWal.logWrite(_, batch, params))
+      store = out.store
+      graft.search.IndexCache.evictOthers(store.version)
+      renderResults(out.results)
+    } else {
+      val out = new BatchExecutor(store, params).execute(batch)
+      renderResults(out.results)
+    }
+  }
+
+  private def renderResults(results: Map[String, DataFrame]): (String, Boolean) = {
+    var truncated = false
+    val body = results.toSeq.sortBy(_._1)
+      .map { case (k, df) =>
+        val (json, t) = renderDf(df)
+        if (t) truncated = true
+        "\"" + k + "\":" + json
+      }
       .mkString("{", ",", "}")
+    (body, truncated)
   }
 
   /** Render a result frame: single-row single-column -> scalar;
     * otherwise an array of row objects (CLI prints raw JSON,
-    * commands/query.rs:93-101).
+    * commands/query.rs:93-101). Returns the JSON plus whether the row
+    * cap truncated the result (per-request state — no shared field, so
+    * concurrent requests can't cross-flag each other's truncation).
     *
     * Hand-rolled writer instead of Dataset.toJSON: toJSON OMITS
     * null-valued fields (row objects would silently lose null
     * properties, and a single null scalar NPE'd the unwrap path);
     * the reference's JSON carries explicit nulls. Responses cap at
     * `maxResponseRows` so one unbounded query can't buffer the whole
-    * table into a driver string.
+    * table into a driver string. The scalar unwrap keys off the
+    * PRE-truncation count: a capped multi-row single-column result
+    * stays a JSON array even at maxResponseRows=1.
     */
-  /** Set when the last handled request's rendering hit the row cap —
-    * surfaced as the `x-graft-truncated` response header. (The default
-    * HttpServer executor serves requests on one thread, so a plain
-    * field is race-free on the HTTP path.)
-    */
-  @volatile private var lastTruncated = false
-
-  private def renderDf(df: DataFrame): String = {
+  private def renderDf(df: DataFrame): (String, Boolean) = {
     val collected = df.limit(maxResponseRows + 1).collect()
-    val rows =
-      if (collected.length > maxResponseRows) { lastTruncated = true; collected.take(maxResponseRows) }
-      else collected
+    val truncated = collected.length > maxResponseRows
+    val rows = if (truncated) collected.take(maxResponseRows) else collected
     val names = df.columns
     val sb = new StringBuilder
     def writeVal(v: Any): Unit = v match {
@@ -161,7 +216,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       case n @ (_: Long | _: Int | _: Short | _: Byte) => sb.append(n.toString)
       case other => sb.append(quote(other.toString))
     }
-    if (rows.length == 1 && names.length == 1) writeVal(rows(0).get(0))
+    if (collected.length == 1 && names.length == 1) writeVal(rows(0).get(0))
     else {
       sb.append('[')
       var i = 0
@@ -179,17 +234,14 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       }
       sb.append(']')
     }
-    sb.toString
+    (sb.toString, truncated)
   }
 
-  def handle(body: String): String = {
+  def handle(body: String): String = handleT(body)._1
+
+  private[server] def handleT(body: String): (String, Boolean) = {
     val req = Json.parseRequest(body)
-    val exec = new BatchExecutor(store, req.parameters)
-    val out = exec.execute(req.batch)
-    if (req.batch.write) { store = out.store; graft.search.IndexCache.evictOthers(store.version) }
-    out.results.toSeq.sortBy(_._1)
-      .map { case (k, df) => "\"" + k + "\":" + renderDf(df) }
-      .mkString("{", ",", "}")
+    executeBatch(req.batch, req.parameters)
   }
 
   def start(): Unit = {
@@ -211,8 +263,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
           ex.getResponseHeaders.set("x-helix-served-by", "writer")
         hdr("x-helix-await-durable").foreach(v =>
           ex.getResponseHeaders.set("x-helix-durable", v))
-        lastTruncated = false
-        val resp =
+        val (resp, truncated) =
           try {
             // POST /v1/query/<name> runs a deployed stored query
             // (sdks/rust/src/lib.rs:244-247); bare /v1/query takes the
@@ -220,13 +271,13 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
             val sub = path.stripPrefix("/v1/query").stripPrefix("/")
             if (sub.nonEmpty) {
               if (warmOnly && !isWarm(sub))
-                s"""{"error":${quote(s"query not warm: $sub")}}"""
-              else handleStored(sub, body)
-            } else Gateway.this.handle(body)
+                (s"""{"error":${quote(s"query not warm: $sub")}}""", false)
+              else handleStoredT(sub, body)
+            } else handleT(body)
           } catch {
-            case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
+            case e: Exception => (s"""{"error":${quote(e.getMessage)}}""", false)
           }
-        if (lastTruncated)
+        if (truncated)
           ex.getResponseHeaders.set("x-graft-truncated", "true")
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -235,11 +286,15 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
         ex.close()
       }
     })
-    server.setExecutor(null)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(workerThreads)
+    server.setExecutor(pool)
     server.start()
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   private def quote(s: String): String =
     "\"" + Option(s).getOrElse("").flatMap {

@@ -223,6 +223,107 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("concurrent reads: a pool of parallel queries all answer correctly") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16975, workerThreads = 8)
+    gw.start()
+    try {
+      def post(body: String): String = {
+        val conn = new java.net.URL("http://localhost:16975/v1/query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      val countQ = """{"request_type":"read","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"N":"All"},"Count"],"condition":null}}],"returns":["c"]},"parameters":{}}"""
+      val namesQ = """{"request_type":"read","query":{"queries":[{"Query":{"name":"r",
+        "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+        "condition":null}}],"returns":["r"]},"parameters":{}}"""
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val futures = (0 until 16).map { i =>
+        Future(if (i % 2 == 0) ("c", post(countQ)) else ("r", post(namesQ)))
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      results.foreach {
+        case ("c", body) => assert(body == """{"c":3}""")
+        case (_, body) =>
+          assert(body == """{"r":[{"name":"Alice"},{"name":"Bob"},{"name":"Carol"}]}""")
+      }
+    } finally gw.stop()
+  }
+
+  test("truncation flags stay per-request under concurrency") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16976,
+      maxResponseRows = 2, workerThreads = 8)
+    gw.start()
+    try {
+      def post(body: String): (String, Boolean) = {
+        val conn = new java.net.URL("http://localhost:16976/v1/query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val b = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        (b, Option(conn.getHeaderField("x-graft-truncated")).contains("true"))
+      }
+      val truncQ = """{"request_type":"read","query":{"queries":[{"Query":{"name":"r",
+        "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+        "condition":null}}],"returns":["r"]},"parameters":{}}"""
+      val smallQ = """{"request_type":"read","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"N":"All"},"Count"],"condition":null}}],"returns":["c"]},"parameters":{}}"""
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val futures = (0 until 12).map { i =>
+        Future(if (i % 2 == 0) ("trunc", post(truncQ)) else ("small", post(smallQ)))
+      }
+      Await.result(Future.sequence(futures), 120.seconds).foreach {
+        case ("trunc", (_, flagged)) => assert(flagged, "capped result missing header")
+        case (_, (_, flagged)) => assert(!flagged, "uncapped result cross-flagged")
+      }
+    } finally gw.stop()
+  }
+
+  test("scalar unwrap keys off the pre-truncation count") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    // 3-row single-column result capped at 1 row must stay a JSON array
+    val gw = new Gateway(TestBase.parityGraph(), maxResponseRows = 1)
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"r",
+        "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+        "condition":null}}],"returns":["r"]},"parameters":{}}""")
+    assert(resp == """{"r":[{"name":"Alice"}]}""")
+    // a genuine 1-row scalar still unwraps
+    assert(gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"N":"All"},"Count"],"condition":null}}],
+        "returns":["c"]},"parameters":{}}""") == """{"c":3}""")
+  }
+
+  test("loadBundle replaces the whole deployed route set") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    import graft.server.QueryBundle
+    val gw = new Gateway(TestBase.parityGraph())
+    val batch = Batch(Seq(BatchEntry.Query(NamedQuery(Some("n"),
+      g().nWithLabel("ParityUser").count().t))), returns = Seq("n"))
+    gw.loadBundle(QueryBundle.render(Map(
+      "a" -> QueryBundle.StoredRoute(batch, Nil, write = false),
+      "b" -> QueryBundle.StoredRoute(batch, Nil, write = false))))
+    assert(gw.handleStored("a", "{}") == """{"n":3}""")
+    // redeploy without route "a": it must stop serving (reference
+    // whole-bundle replacement, not additive merge)
+    gw.loadBundle(QueryBundle.render(Map(
+      "b" -> QueryBundle.StoredRoute(batch, Nil, write = false))))
+    val e = intercept[IllegalArgumentException](gw.handleStored("a", "{}"))
+    assert(e.getMessage.contains("unknown stored query"))
+    assert(gw.handleStored("b", "{}") == """{"n":3}""")
+  }
+
   test("HTTP server answers POST /v1/query") {
     val gw = new Gateway(TestBase.parityGraph(), port = 16969)
     gw.start()

@@ -93,6 +93,26 @@ class PipelineSpec extends GraftSuite {
     assert(ivf == brute)
   }
 
+  test("embedding pairs: degenerate one-cluster corpus stays capped and exact") {
+    val s = spark
+    import s.implicits._
+    // all-same-vector corpus: every row lands on one centroid, so an
+    // uncapped cluster join would form n² pairs in ONE task — the
+    // sub-bucket cap must spread the (inherently quadratic) output over
+    // ~(n/cap)² blocks while producing each pair exactly once
+    val n = 1200
+    val embs = (0 until n).map(i => (i.toLong, Seq(1.0f, 0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.embeddingPairs(embs, "embedding", "vec_id", 0.99,
+      bruteForce = Some(false), maxClusterBlock = 128)
+    val cnt = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cnt == n.toLong * (n - 1) / 2, s"expected all pairs once, got $cnt")
+    assert(pairs.distinct().count() == cnt) // no duplicates from the bucket join
+    assert(secs < 120.0, s"degenerate corpus took ${secs}s")
+  }
+
   test("language id picks marker-rich language") {
     val r = docs().select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap

@@ -65,6 +65,104 @@ class SearchSpec extends GraftSuite {
     fused.foreach { case (k, v) => assert(v == hof(k), s"id $k: $v vs ${hof(k)}") }
   }
 
+  test("NearestCentroid matches the literal-argmin formulation bit-for-bit") {
+    val df = vecs(200, 16)
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(13)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val kernel = VectorOps.assignCluster(df, "emb", cents)
+      .select("_id", "_cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the previous formulation: literal centroid arrays, argmin via
+    // array_position(array_min) — the reference semantics being preserved
+    val dists = array(cents.map { c =>
+      aggregate(zip_with(col("emb"), array(c.map(lit): _*),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    val literal = df.withColumn("_cluster",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .select("_id", "_cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel == literal)
+    assert(kernel.values.toSet.size > 1)
+  }
+
+  test("IVF train + assign at nlist>=1024 stays a single codegen kernel") {
+    // the literal-argmin tree at this size (1024 centroids × 32 dims =
+    // ~100k literal nodes) blew past Janino's method limit and fell back
+    // to interpreted eval; the reference-object kernel must stay flat
+    val df = vecs(3000, 32).cache()
+    val t0 = System.nanoTime()
+    val model = VectorOps.trainIvf(df, "emb", nlist = 1024, iters = 1)
+    val assigned = VectorOps.assignCluster(df, "emb", model.centroids)
+    assert(assigned.queryExecution.executedPlan.toString.contains("nearest_centroid"))
+    val clusters = assigned.select("_cluster").distinct().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(clusters >= 8)
+    assert(secs < 60.0, s"nlist=1024 assignment took ${secs}s — codegen fallback?")
+    df.unpersist()
+  }
+
+  test("tenant-partitioned vector index serves per-tenant IVF, recall >= 0.9@10") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0 until 600).map { i =>
+      val t = if (i < 300) "t1" else "t2"
+      val c = i % 8
+      val v = Array.tabulate(16)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+      (i.toLong, "Vec", t, v)
+    }.toDF("_id", "_label", "tenantId", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", Some("tenantId"))))
+    import graft.ast._
+    val q = Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0)
+    val qv = PropertyValue.VF64Array(q)
+    def search(c: graft.exec.Compiler) = c.run(Traversal(Vector(
+      Step.VectorSearchNodes("Vec", "emb",
+        Some(PropertyInput.Value(PropertyValue.VString("t1"))),
+        PropertyInput.Value(qv), StreamBound.Literal(10)), Step.Id)))
+      .collect().map(_.getLong(0)).toSet
+    spark.conf.set("graft.search.ivfThreshold", "100")
+    try {
+      val ivf = search(TestBase.compiler(store))
+      assert(ivf.nonEmpty && ivf.forall(_ < 300), s"non-tenant rows served: $ivf")
+      // exact filtered scan (no declared index) as the recall reference
+      val brute = search(TestBase.compiler(store.withIndexes(Set.empty)))
+      val recall = (ivf intersect brute).size.toDouble / brute.size
+      assert(recall >= 0.9, s"tenant IVF recall too low: $recall")
+    } finally spark.conf.unset("graft.search.ivfThreshold")
+  }
+
+  test("per-tenant IVF centroid artifacts round-trip through save/load") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gtenantivf").toString
+    val nodes = (0 until 600).map { i =>
+      val t = if (i < 300) "t1" else "t2"
+      val c = i % 8
+      val v = Array.tabulate(16)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+      (i.toLong, "Vec", t, v)
+    }.toDF("_id", "_label", "tenantId", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", Some("tenantId"))))
+    spark.conf.set("graft.search.ivfThreshold", "100")
+    try {
+      graft.model.GraphPersistence.save(store, dir)
+      graft.search.IndexArtifacts.save(store, dir)
+      val loaded = graft.model.GraphPersistence.load(spark, dir)
+      // both tenants clear the threshold -> two per-tenant models
+      assert(graft.search.IndexArtifacts.load(spark, dir, loaded) == 2)
+      import graft.ast._
+      val qv = PropertyValue.VF64Array(Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0))
+      val ids = TestBase.compiler(loaded).run(Traversal(Vector(
+        Step.VectorSearchNodes("Vec", "emb",
+          Some(PropertyInput.Value(PropertyValue.VString("t2"))),
+          PropertyInput.Value(qv), StreamBound.Literal(10)), Step.Id)))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty && ids.forall(_ >= 300), s"non-tenant rows served: $ids")
+    } finally spark.conf.unset("graft.search.ivfThreshold")
+  }
+
   test("BM25 ranks exact term matches above partial ones") {
     val s = spark
     import s.implicits._
