@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // count(*) on raw parquet resolves from footers, not a scan
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // let AQE coalesce stages DOWNSTREAM of persisted frames (the
+      // dedup pipelines cache signature/candidate frames): without it
+      // every post-cache shuffle keeps the static partition count even
+      // when the data is tiny — at scale this is the knob that lets
+      // runtime stats, not a static number, size each exchange
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

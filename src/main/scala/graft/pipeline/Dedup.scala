@@ -159,9 +159,24 @@ object Dedup {
     withBase.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** All ordered (id_a < id_b) pairs from an ASCENDING-sorted id array,
+    * as an array of structs — the in-task expansion of a group's pair
+    * set. A group of d ids materializes d longs in one aggregation row
+    * and d(d-1)/2 output pairs; that is the SAME per-key bound as the
+    * equi-join formulation (one join task owned all d² outputs of a hot
+    * key anyway), minus two shuffle legs and the id_a<id_b half that
+    * the join computed only to discard.
+    */
+  private[graft] def orderedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids) - i - 1), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+
   /** LSH banding: pairs of ids sharing at least one band of the
-    * signature. One exploded (band_idx, band_key) self-join — a single
-    * shuffle for all bands instead of one join per band.
+    * signature. One aggregation groups ids per (band_idx, band_key)
+    * bucket and pairs explode in-task — no self-join, so the signature
+    * frame is read exactly ONCE (no persist/eager-count needed to stop
+    * a self-join recomputing both sides).
     *
     * `dedup = false` skips the distinct (one whole shuffle): callers
     * that verify candidates and dedup the (far smaller) verified output
@@ -174,10 +189,11 @@ object Dedup {
       struct(lit(b).as("bi"),
         concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*).as("bk"))
     }: _*)).as("_b")).select(col("_did"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val a = banded.select(col("_did").as("id_a"), col("bi"), col("bk"))
-    val b = banded.select(col("_did").as("id_b"), col("bi"), col("bk"))
-    val joined = a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val joined = banded.groupBy(col("bi"), col("bk"))
+      .agg(sort_array(collect_list(col("_did"))).as("_ids"))
+      .where(size(col("_ids")) > 1)
+      .select(explode(orderedPairs(col("_ids"))).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
     if (dedup) joined.distinct() else joined
   }
 
@@ -196,29 +212,41 @@ object Dedup {
       min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
     } :+ count(lit(1)).as("_sz") // shingle-set size rides the SAME
     // aggregation — the verify stage's sizes come from persisted sig
-    // instead of a second full scan + shuffle of the shingle set
-    // eager count: the banded self-join reads sig twice; without a
-    // materialized cache both sides recompute it concurrently
+    // instead of a second full scan + shuffle of the shingle set.
+    // Lazy persist (no eager count job): candidate generation reads sig
+    // exactly once (groupBy, not a self-join), filling the cache; the
+    // later `sizes` read runs in a downstream stage of the same job and
+    // hits the cached blocks.
     val sig = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.count()
     // candidate pairs stay dedup-free here (saves a whole shuffle);
     // a pair sharing k bands just carries k duplicates into the tiny
     // verified set, deduped at the end
     val cands = lshCandidates(sig, numHashes, bands, dedup = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one eager job materializes BOTH caches (sig is upstream of cands
+    // and read exactly once): without it the final join's two branches
+    // — candDocs→inter and the direct cands read — are submitted as
+    // concurrent stages that each recompute cands (and sig) before
+    // either fills the cache
+    cands.count()
     // verify only docs that appear in some candidate pair — the
-    // expensive shared-shingle join runs on the candidate subset, not
-    // the whole corpus (this is the entire point of LSH at scale)
+    // expensive shared-shingle intersection runs on the candidate
+    // subset, not the whole corpus (the entire point of LSH at scale)
     val candDocs = cands.select(col("id_a").as("_did"))
       .union(cands.select(col("id_b").as("_did"))).distinct()
     val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sig.select(col("_did"), col("_sz"))
-    val a = ssCand.select(col("_did").as("id_a"), col("_sh"))
-    val b = ssCand.select(col("_did").as("id_b"), col("_sh"))
-    val inter = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+    // per-shingle doc groups -> in-task ordered pairs (orderedPairs
+    // doc); one aggregation + one pair-aggregation replaces the
+    // two-legged _sh self-join, and ssCand is read once so it needs no
+    // persist of its own
+    val inter = ssCand.groupBy(col("_sh"))
+      .agg(sort_array(collect_list(col("_did"))).as("_ids"))
+      .where(size(col("_ids")) > 1)
+      .select(explode(orderedPairs(col("_ids"))).as("_p"))
+      .groupBy(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("_inter"))
     // materialize the (small) verified pair set, then release the
     // persisted intermediates — otherwise every call leaks cached blocks
     // for the session's lifetime
@@ -229,7 +257,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
       .localCheckpoint(true)
     // ss stays persisted (the cache owns its lifecycle)
-    Seq(sig, cands, ssCand).foreach(_.unpersist(false))
+    Seq(sig, cands).foreach(_.unpersist(false))
     out
   }
 
@@ -247,32 +275,35 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSetCached(df, textCol, idCol, n)
-    val joinable =
-      if (maxShingleDf == Int.MaxValue) ss
-      else ss.withColumn("_df", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_sh"))))
-        .where(col("_df") <= maxShingleDf).drop("_df")
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
-    val a = joinable.select(col("_did").as("id_a"), col("_sh"))
-    val b = joinable.select(col("_did").as("id_b"), col("_sh"))
-    val cands = a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // per-shingle doc groups; pairs explode in-task (orderedPairs doc).
+    // The df cap is a plain bucket-size filter here — the old
+    // formulation needed a whole Window shuffle+sort over _sh for it
+    val bySh = ss.groupBy(col("_sh"))
+      .agg(sort_array(collect_list(col("_did"))).as("_ids"))
+      .where(size(col("_ids")) > 1)
     val pre = if (maxShingleDf == Int.MaxValue) {
-      // exact path: intersection counts fall out of the same join
-      a.join(b, Seq("_sh")).where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
+      // exact path: intersection counts fall out of the same groups
+      bySh.select(explode(orderedPairs(col("_ids"))).as("_p"))
+        .groupBy(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("_inter"))
     } else {
-      // capped path: verify candidates against FULL shingle sets — but
-      // restrict the verify join's INPUTS to candidate docs first
-      // (minhashPairs' ssCand pattern); a semi-join on (id_a,id_b)
-      // AFTER the self-join would still materialize the hot-shingle
-      // blow-up the cap exists to prevent
+      // capped path: candidates only from shingles with df <= cap, then
+      // verify against FULL shingle sets — but restrict the verify
+      // aggregation's INPUT to candidate docs first (minhashPairs'
+      // ssCand pattern), so the hot-shingle blow-up the cap exists to
+      // prevent never materializes
+      val cands = bySh.where(size(col("_ids")) <= maxShingleDf)
+        .select(explode(orderedPairs(col("_ids"))).as("_p"))
+        .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b")).distinct()
       val candDocs = cands.select(col("id_a").as("_did"))
         .union(cands.select(col("id_b").as("_did"))).distinct()
       val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
-      val fa = ssCand.select(col("_did").as("id_a"), col("_sh"))
-      val fb = ssCand.select(col("_did").as("id_b"), col("_sh"))
-      fa.join(fb, Seq("_sh")).where(col("id_a") < col("id_b"))
+      ssCand.groupBy(col("_sh"))
+        .agg(sort_array(collect_list(col("_did"))).as("_ids"))
+        .where(size(col("_ids")) > 1)
+        .select(explode(orderedPairs(col("_ids"))).as("_p"))
+        .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
         .join(cands, Seq("id_a", "id_b"), "left_semi")
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
     }
@@ -321,21 +352,26 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
     val sig = simhash(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col(idCol).as("_i"), col("simhash"),
+    // each element carries (id, signature); struct sort order is by
+    // leading field, so the pair explode still yields id_a < id_b.
+    // groupBy reads sig ONCE — no persist needed (the old self-join
+    // formulation read it twice)
+    val banded = sig.select(
+      struct(col(idCol).as("i"), col("simhash").as("s")).as("_e"),
       explode(array((0 until SimhashBands).map { b =>
         struct(lit(b).as("bi"),
           shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
-      .select(col("_i"), col("simhash"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val a = banded.select(col("_i").as("id_a"), col("simhash").as("_sa"), col("bi"), col("bk"))
-    val b = banded.select(col("_i").as("id_b"), col("simhash").as("_sb"), col("bi"), col("bk"))
-    val out = a.join(b, Seq("bi", "bk")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_sa", "_sb").distinct()
+      .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
+    val out = banded.groupBy(col("bi"), col("bk"))
+      .agg(sort_array(collect_list(col("_e"))).as("_es"))
+      .where(size(col("_es")) > 1)
+      .select(explode(orderedPairs(col("_es"))).as("_p"))
+      .select(col("_p.id_a.i").as("id_a"), col("_p.id_b.i").as("id_b"),
+        col("_p.id_a.s").as("_sa"), col("_p.id_b.s").as("_sb")).distinct()
       .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
       .select("id_a", "id_b")
       .localCheckpoint(true)
-    sig.unpersist(false)
     out
   }
 
