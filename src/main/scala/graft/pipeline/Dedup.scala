@@ -159,18 +159,23 @@ object Dedup {
     withBase.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** All ordered (id_a < id_b) pairs from an ASCENDING-sorted id array,
-    * as an array of structs — the in-task expansion of a group's pair
-    * set. A group of d ids materializes d longs in one aggregation row
-    * and d(d-1)/2 output pairs; that is the SAME per-key bound as the
-    * equi-join formulation (one join task owned all d² outputs of a hot
-    * key anyway), minus two shuffle legs and the id_a<id_b half that
-    * the join computed only to discard.
+  /** Stream all ordered (id_a < id_b) element pairs of an ASCENDING-
+    * sorted `_ids` array column — the in-task expansion of a group's
+    * pair set. Two chained explodes (element, then its tail slice) keep
+    * per-row memory at O(d) — the id array the collect_list buffer
+    * already held — while the d(d-1)/2 pairs STREAM through the stage
+    * the way a self-join's outputs would; a single flatten-of-pairs
+    * expression would materialize all d²/2 structs in one value. The
+    * per-key work bound is the same as the equi-join formulation (one
+    * join task owned all d² outputs of a hot key anyway), minus two
+    * shuffle legs and the id_a >= id_b half the join computed only to
+    * discard. Output columns: id_a, id_b (element type preserved).
     */
-  private[graft] def orderedPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids) - i - 1), y =>
-        struct(x.as("id_a"), y.as("id_b")))))
+  private[graft] def explodePairs(grouped: DataFrame): DataFrame =
+    grouped.select(col("_ids"), posexplode(col("_ids")).as(Seq("_i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("_ids"), col("_i") + lit(2),
+          size(col("_ids")) - col("_i") - 1)).as("id_b"))
 
   /** LSH banding: pairs of ids sharing at least one band of the
     * signature. One aggregation groups ids per (band_idx, band_key)
@@ -189,11 +194,9 @@ object Dedup {
       struct(lit(b).as("bi"),
         concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*).as("bk"))
     }: _*)).as("_b")).select(col("_did"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val joined = banded.groupBy(col("bi"), col("bk"))
+    val joined = explodePairs(banded.groupBy(col("bi"), col("bk"))
       .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-      .where(size(col("_ids")) > 1)
-      .select(explode(orderedPairs(col("_ids"))).as("_p"))
-      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .where(size(col("_ids")) > 1))
     if (dedup) joined.distinct() else joined
   }
 
@@ -237,15 +240,14 @@ object Dedup {
       .union(cands.select(col("id_b").as("_did"))).distinct()
     val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
     val sizes = sig.select(col("_did"), col("_sz"))
-    // per-shingle doc groups -> in-task ordered pairs (orderedPairs
+    // per-shingle doc groups -> in-task ordered pairs (explodePairs
     // doc); one aggregation + one pair-aggregation replaces the
     // two-legged _sh self-join, and ssCand is read once so it needs no
     // persist of its own
-    val inter = ssCand.groupBy(col("_sh"))
+    val inter = explodePairs(ssCand.groupBy(col("_sh"))
       .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-      .where(size(col("_ids")) > 1)
-      .select(explode(orderedPairs(col("_ids"))).as("_p"))
-      .groupBy(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .where(size(col("_ids")) > 1))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("_inter"))
     // materialize the (small) verified pair set, then release the
     // persisted intermediates — otherwise every call leaks cached blocks
@@ -276,7 +278,7 @@ object Dedup {
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSetCached(df, textCol, idCol, n)
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
-    // per-shingle doc groups; pairs explode in-task (orderedPairs doc).
+    // per-shingle doc groups; pairs explode in-task (explodePairs doc).
     // The df cap is a plain bucket-size filter here — the old
     // formulation needed a whole Window shuffle+sort over _sh for it
     val bySh = ss.groupBy(col("_sh"))
@@ -284,8 +286,8 @@ object Dedup {
       .where(size(col("_ids")) > 1)
     val pre = if (maxShingleDf == Int.MaxValue) {
       // exact path: intersection counts fall out of the same groups
-      bySh.select(explode(orderedPairs(col("_ids"))).as("_p"))
-        .groupBy(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      explodePairs(bySh)
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("_inter"))
     } else {
       // capped path: candidates only from shingles with df <= cap, then
@@ -293,17 +295,14 @@ object Dedup {
       // aggregation's INPUT to candidate docs first (minhashPairs'
       // ssCand pattern), so the hot-shingle blow-up the cap exists to
       // prevent never materializes
-      val cands = bySh.where(size(col("_ids")) <= maxShingleDf)
-        .select(explode(orderedPairs(col("_ids"))).as("_p"))
-        .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b")).distinct()
+      val cands = explodePairs(bySh.where(size(col("_ids")) <= maxShingleDf))
+        .distinct()
       val candDocs = cands.select(col("id_a").as("_did"))
         .union(cands.select(col("id_b").as("_did"))).distinct()
       val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
-      ssCand.groupBy(col("_sh"))
+      explodePairs(ssCand.groupBy(col("_sh"))
         .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-        .where(size(col("_ids")) > 1)
-        .select(explode(orderedPairs(col("_ids"))).as("_p"))
-        .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+        .where(size(col("_ids")) > 1))
         .join(cands, Seq("id_a", "id_b"), "left_semi")
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
     }
@@ -363,12 +362,11 @@ object Dedup {
           shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
       .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val out = banded.groupBy(col("bi"), col("bk"))
-      .agg(sort_array(collect_list(col("_e"))).as("_es"))
-      .where(size(col("_es")) > 1)
-      .select(explode(orderedPairs(col("_es"))).as("_p"))
-      .select(col("_p.id_a.i").as("id_a"), col("_p.id_b.i").as("id_b"),
-        col("_p.id_a.s").as("_sa"), col("_p.id_b.s").as("_sb")).distinct()
+    val out = explodePairs(banded.groupBy(col("bi"), col("bk"))
+      .agg(sort_array(collect_list(col("_e"))).as("_ids"))
+      .where(size(col("_ids")) > 1))
+      .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
+        col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
       .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
       .select("id_a", "id_b")
       .localCheckpoint(true)
