@@ -34,10 +34,11 @@ import scala.jdk.CollectionConverters._
   *                        store's plans are still reading;
   *   `wal/seg-<n>.json`   one write batch per file, append-only;
   *   `wal/MANIFEST.json`  `{"snapshot": "snap-<k>", "applied":
-  *                        ["seg-1.json", …]}` — replaced atomically
-  *                        (tmp + ATOMIC_MOVE), so a crash mid-commit
-  *                        leaves the previous manifest and the
-  *                        half-written segment is simply ignored.
+  *                        ["seg-1.json", …], "streams": [{"kind":
+  *                        "nodes", "label": "Document", "path": …}]}` —
+  *                        replaced atomically (tmp + ATOMIC_MOVE), so a
+  *                        crash mid-commit leaves the previous manifest
+  *                        and the half-written segment is simply ignored.
   *
   * `checkpoint` folds the log into the next snapshot and truncates the
   * manifest — the standard compaction step that bounds replay cost
@@ -45,6 +46,18 @@ import scala.jdk.CollectionConverters._
   * replays on recovery). Superseded snapshot dirs are left for an
   * external GC once no live reader references them (same discipline as
   * any MVCC table format).
+  *
+  * Streaming ingest unification: a Structured Streaming file sink is
+  * ALREADY durable (its `_spark_metadata` manifest gives exactly-once
+  * committed files), so streamed rows are never re-logged as segments —
+  * `attachStream` records the sink directory in the manifest and
+  * `recover` overlays its committed rows onto the recovered store. The
+  * overlay anti-joins on `_id` against the batch table, which makes it
+  * IDEMPOTENT: a checkpoint that baked previously-streamed rows into a
+  * snapshot cannot double-count them on the next recovery, and rows
+  * written through both paths resolve to the batch copy. One durability
+  * catalog, two write paths, each logged in the form that is O(1) for
+  * it (batches as logical segments, streams as attached file sinks).
   */
 object GraphWal {
   private val mapper = new ObjectMapper()
@@ -53,25 +66,40 @@ object GraphWal {
   private def walDir(root: String): Path = Paths.get(root, "wal")
   private def manifestPath(root: String): Path = walDir(root).resolve("MANIFEST.json")
 
-  /** (current snapshot dir name, applied segment files). */
-  private def readManifest(root: String): (Option[String], Seq[String]) = {
+  /** An attached streaming file sink: `kind` is "nodes" or "edges". */
+  final case class StreamAttachment(kind: String, label: String, path: String)
+
+  private final case class Manifest(snapshot: Option[String],
+      applied: Seq[String], streams: Seq[StreamAttachment])
+
+  private def readManifest(root: String): Manifest = {
     val p = manifestPath(root)
-    if (!Files.exists(p)) (None, Nil)
+    if (!Files.exists(p)) Manifest(None, Nil, Nil)
     else {
       val tree = mapper.readTree(Files.readString(p))
       val snap = Option(tree.get("snapshot")).filterNot(_.isNull).map(_.asText)
       val applied = Option(tree.get("applied"))
         .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
-      (snap, applied)
+      val streams = Option(tree.get("streams")).map(_.elements.asScala.map { s =>
+        StreamAttachment(s.get("kind").asText, s.get("label").asText,
+          s.get("path").asText)
+      }.toSeq).getOrElse(Nil)
+      Manifest(snap, applied, streams)
     }
   }
 
-  private def writeManifest(root: String, snapshot: Option[String],
-      applied: Seq[String]): Unit = {
-    val arr = F.arrayNode(); applied.foreach(arr.add)
+  private def writeManifest(root: String, m: Manifest): Unit = {
+    val arr = F.arrayNode(); m.applied.foreach(arr.add)
     val obj = F.objectNode()
-    snapshot.foreach(obj.put("snapshot", _))
+    m.snapshot.foreach(obj.put("snapshot", _))
     obj.set[com.fasterxml.jackson.databind.JsonNode]("applied", arr)
+    val sarr = F.arrayNode()
+    m.streams.foreach { s =>
+      val o = F.objectNode()
+      o.put("kind", s.kind); o.put("label", s.label); o.put("path", s.path)
+      sarr.add(o)
+    }
+    obj.set[com.fasterxml.jackson.databind.JsonNode]("streams", sarr)
     val tmp = walDir(root).resolve("MANIFEST.tmp")
     Files.writeString(tmp, mapper.writeValueAsString(obj))
     try Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
@@ -88,8 +116,8 @@ object GraphWal {
   def logWrite(root: String, batch: Batch,
       params: Map[String, PropertyValue]): Unit = synchronized {
     Files.createDirectories(walDir(root))
-    val (snap, applied) = readManifest(root)
-    val name = s"seg-${applied.size + 1}.json"
+    val m = readManifest(root)
+    val name = s"seg-${m.applied.size + 1}.json"
     val seg = F.objectNode()
     val pn = F.objectNode()
     params.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -98,7 +126,22 @@ object GraphWal {
     seg.set[com.fasterxml.jackson.databind.JsonNode]("parameters", pn)
     seg.set[com.fasterxml.jackson.databind.JsonNode]("batch", Json.writeBatchObj(batch))
     Files.writeString(walDir(root).resolve(name), mapper.writeValueAsString(seg))
-    writeManifest(root, snap, applied :+ name)
+    writeManifest(root, m.copy(applied = m.applied :+ name))
+  }
+
+  /** Register a streaming file-sink directory as part of this store's
+    * durable state (call before or after starting the stream; a missing
+    * or still-empty directory overlays as zero rows). Idempotent per
+    * (kind, label, path).
+    */
+  def attachStream(root: String, kind: String, label: String,
+      path: String): Unit = synchronized {
+    require(kind == "nodes" || kind == "edges", s"kind must be nodes|edges: $kind")
+    Files.createDirectories(walDir(root))
+    val m = readManifest(root)
+    val att = StreamAttachment(kind, label, path)
+    if (!m.streams.contains(att))
+      writeManifest(root, m.copy(streams = m.streams :+ att))
   }
 
   /** Load the manifest's snapshot and replay every committed segment in
@@ -106,10 +149,10 @@ object GraphWal {
     * pre-crash live store).
     */
   def recover(spark: SparkSession, root: String): GraphStore = {
-    val (snap, applied) = readManifest(root)
+    val m = readManifest(root)
     var store = GraphPersistence.load(spark,
-      snap.map(s => s"$root/$s").getOrElse(root))
-    applied.foreach { name =>
+      m.snapshot.map(s => s"$root/$s").getOrElse(root))
+    m.applied.foreach { name =>
       val tree = mapper.readTree(Files.readString(walDir(root).resolve(name)))
       val params = Option(tree.get("parameters")).map { pn =>
         pn.properties.asScala.map(e => e.getKey -> Json.readValue(e.getValue)).toMap
@@ -117,7 +160,34 @@ object GraphWal {
       val batch = Json.readBatchObj(tree.get("batch"), write = true)
       store = new BatchExecutor(store, params).execute(batch).store
     }
-    store
+    m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
+  }
+
+  /** Overlay one attached streaming sink onto the store. Reading the
+    * sink dir with `spark.read.parquet` goes through the sink's
+    * `_spark_metadata` manifest, so only COMMITTED files are seen —
+    * half-written trigger output is invisible, matching the segment
+    * log's crash semantics. `_bucket` is the sink's layout partition
+    * column, not a property. The `_id` anti-join makes the overlay
+    * idempotent (see class doc).
+    */
+  private def overlayStream(spark: SparkSession, store: GraphStore,
+      att: StreamAttachment): GraphStore = {
+    if (!new java.io.File(att.path).isDirectory) return store
+    val streamed0 = spark.read.parquet(att.path)
+    val streamed = if (streamed0.columns.contains("_bucket"))
+      streamed0.drop("_bucket") else streamed0
+    def merged(existing: Option[org.apache.spark.sql.DataFrame]) = existing match {
+      case None => streamed
+      case Some(base) =>
+        base.unionByName(
+          streamed.join(base.select("_id"), Seq("_id"), "left_anti"),
+          allowMissingColumns = true)
+    }
+    if (att.kind == "nodes")
+      store.withNodes(att.label, merged(store.nodeTables.get(att.label)))
+    else
+      store.withEdges(att.label, merged(store.edgeTables.get(att.label)))
   }
 
   /** Fold the current state into the NEXT snapshot dir, then truncate
@@ -125,15 +195,18 @@ object GraphWal {
     * parquet, so the save never targets a directory being read.
     */
   def checkpoint(store: GraphStore, root: String): Unit = synchronized {
-    val (snap, applied) = readManifest(root)
-    val next = snap match {
+    val m = readManifest(root)
+    val next = m.snapshot match {
       case Some(s) if s.startsWith("snap-") =>
         s"snap-${s.stripPrefix("snap-").toInt + 1}"
       case _ => "snap-1"
     }
     GraphPersistence.save(store, s"$root/$next")
     Files.createDirectories(walDir(root))
-    writeManifest(root, Some(next), Nil)
-    applied.foreach(n => Files.deleteIfExists(walDir(root).resolve(n)))
+    // stream attachments survive compaction: the sinks keep appending
+    // after the fold, and the idempotent overlay absorbs any rows the
+    // snapshot already contains
+    writeManifest(root, Manifest(Some(next), Nil, m.streams))
+    m.applied.foreach(n => Files.deleteIfExists(walDir(root).resolve(n)))
   }
 }

@@ -80,4 +80,73 @@ class WalSpec extends GraftSuite {
     gw2.handle(addN("Frank", 41))
     assert(userRows(GraphWal.recover(spark, dir)).map(_._2).contains("Frank"))
   }
+
+  test("attached streaming sink unifies with the WAL: recover sees streamed rows, overlay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gwal-stream").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    // real Structured Streaming file sink into the store's stream area;
+    // one streamed row (_id 1) collides with a batch row — the batch
+    // copy must win (anti-join overlay)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.GraphStream.nodeIngest(
+      mem.toDF().toDF("uid", "name"), "ParityUser", "uid", s"$dir/stream",
+      buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData((50L, "Stream50"), (51L, "Stream51"), (1L, "NotAlice"))
+    q.awaitTermination(60000)
+    GraphWal.attachStream(dir, "nodes", "ParityUser", s"$dir/stream/nodes/ParityUser")
+
+    val rec1 = GraphWal.recover(spark, dir)
+    val names1 = userRows(rec1).map(_._2)
+    assert(Set("Stream50", "Stream51").subsetOf(names1))
+    assert(!names1.contains("NotAlice")) // batch copy of _id 1 wins
+    assert(userRows(rec1).count(_._1 == 1L) == 1)
+    // streamed props missing from the batch schema arrive as nulls
+    assert(rec1.nodesFor("ParityUser")
+      .where(org.apache.spark.sql.functions.col("_id") === 50L)
+      .select("age").head().isNullAt(0))
+
+    // a batch write + checkpoint BAKES streamed rows into the snapshot;
+    // the attachment survives compaction and must not double-count
+    val gw = new Gateway(rec1, walRoot = Some(dir))
+    gw.handle(addN("Dana", 28))
+    GraphWal.checkpoint(gw.currentStore, dir)
+    val rec2 = GraphWal.recover(spark, dir)
+    assert(userRows(rec2).size == userRows(rec1).size + 1)
+    assert(userRows(rec2).count(_._1 == 50L) == 1)
+
+    // the sink keeps appending after the fold (same source, restarted
+    // query resumes from the sink checkpoint's committed offsets);
+    // recovery picks the new rows up
+    mem.addData((52L, "Stream52"))
+    val q2 = graft.streaming.GraphStream.nodeIngest(
+      mem.toDF().toDF("uid", "name"), "ParityUser", "uid", s"$dir/stream",
+      buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(userRows(GraphWal.recover(spark, dir)).map(_._2).contains("Stream52"))
+  }
+
+  test("attached streaming edge sink overlays onto the recovered store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gwal-estream").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.GraphStream.edgeIngest(
+      mem.toDF().toDF("eid", "from", "to"), "FOLLOWS", "eid", "from", "to",
+      s"$dir/stream", buckets = 4)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData((900L, 2L, 3L))
+    q.awaitTermination(60000)
+    GraphWal.attachStream(dir, "edges", "FOLLOWS", s"$dir/stream/edges/FOLLOWS")
+    val rec = GraphWal.recover(spark, dir)
+    val ids = rec.edgesFor("FOLLOWS").select("_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(900L))
+    assert(ids.size == rec.edgesFor("FOLLOWS").count()) // no duplicates
+  }
 }
