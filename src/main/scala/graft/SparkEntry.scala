@@ -291,6 +291,9 @@ object SparkEntry {
     "q_doc_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "text", "doc_id",
         n = 3, numHashes = 6, bands = 3, num = 3, den = 10)),
+    "q_doc_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.minhashPairs(docs(s, d), "text", "doc_id",
+        n = 3, numHashes = 6, bands = 3, num = 3, den = 10))),
     "q_doc_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
     "q_doc_simhash_pairs" -> ((s, d) =>
@@ -334,6 +337,27 @@ object SparkEntry {
       "(SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
       "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
       "ELSE [array_to_string(t, ' ')] END) AS s0 FROM toks))"
+
+  /** MinHash+LSH verified pair set as a CTE chain (shared by the pair
+    * query and the cluster query built on top of it).
+    */
+  private val minhashPairsCtes = shCte + ", " +
+    "sig AS (SELECT doc_id, " +
+    Dedup.minhashSeeds(6).zipWithIndex.map { case (seed, j) =>
+      s"min(xor(s, $seed)) AS mh$j"
+    }.mkString(", ") + " " +
+    "FROM sh GROUP BY doc_id), " +
+    "cand AS (" +
+    (0 until 3).map(b =>
+      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON " +
+        s"a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1} " +
+        "AND a.doc_id < b.doc_id").mkString(" UNION ") + "), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "pairs AS (SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b) " +
+    "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+    "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i))"
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
@@ -483,23 +507,18 @@ object SparkEntry {
       "ORDER BY s DESC, doc_id LIMIT 10"),
 
     "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
-    "q_doc_minhash_pairs" -> ("WITH " + shCte + ", " +
-      "sig AS (SELECT doc_id, " +
-      Dedup.minhashSeeds(6).zipWithIndex.map { case (seed, j) =>
-        s"min(xor(s, $seed)) AS mh$j"
-      }.mkString(", ") + " " +
-      "FROM sh GROUP BY doc_id), " +
-      "cand AS (" +
-      (0 until 3).map(b =>
-        s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON " +
-          s"a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1} " +
-          "AND a.doc_id < b.doc_id").mkString(" UNION ") + "), " +
-      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
-      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      "SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b) " +
-      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
-      "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    "q_doc_minhash_pairs" -> ("WITH " + minhashPairsCtes +
+      " SELECT id_a, id_b FROM pairs"),
+    // transitive closure of the (small, verified) pair set via a
+    // recursive CTE, then component min per doc — an independent
+    // formulation of the same clusters the engine's label propagation
+    // computes
+    "q_doc_dup_clusters" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
+      "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"),
     "q_doc_simhash_pairs" -> {
       val bits = Dedup.SimhashBits; val bb = Dedup.SimhashBandBits
       val mask = (1L << bb) - 1

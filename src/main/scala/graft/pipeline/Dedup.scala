@@ -316,6 +316,48 @@ object Dedup {
     out
   }
 
+  /** Connected components over an undirected near-dup pair set:
+    * every doc that appears in some pair gets the MIN id of its
+    * component as `cluster_id` — the canonical-representative step a
+    * dedup pipeline runs after pair generation (keep one doc per
+    * cluster, drop the rest).
+    *
+    * Min-label propagation: per round, one equi-join (edges ⋈ labels)
+    * + one min-aggregation, with `localCheckpoint` truncating lineage
+    * so round N's plan doesn't re-derive rounds 1..N-1 (the same
+    * driver-side sequencing discipline as the Repeat BFS). Rounds =
+    * component diameter; near-dup components are band/shingle-overlap
+    * near-cliques, so this converges in 1-3 rounds in practice.
+    * `maxIter` bounds pathological chains — escalate to large-star/
+    * small-star (O(log n) rounds) if a corpus ever hits the bound.
+    * The convergence probe reads the just-materialized checkpoint, so
+    * it costs no recompute.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("_nmin"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"),
+          (coalesce(col("_nmin"), col("lbl")) < col("lbl")).as("_chg"))
+        .localCheckpoint(true)
+      converged = next.where(col("_chg")).isEmpty
+      labels = next.drop("_chg")
+      round += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash geometry shared with the DuckDB oracle: 60 bits (md5-hex
     * prefix), 4 bands of 15 bits.
     */

@@ -53,6 +53,24 @@ class PipelineSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dup clusters: connected components with min-id representatives") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} via a chain (diameter 2 — needs propagation,
+    // not just direct neighbors), {10,11,12} via a triangle, {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long chain exercises multi-round convergence
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
