@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -312,6 +312,17 @@ object SparkEntry {
       docs(s, d).select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)),
     "q_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- training-data pipeline: dataset curation (extension)
+    "q_doc_scrub" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), Curation.scrubPii(col("text")).as("scrubbed"))),
+    "q_doc_sample" -> ((s, d) =>
+      Curation.hashSample(docs(s, d), "doc_id", num = 1, den = 10).select("doc_id")),
+    "q_doc_split" -> ((s, d) =>
+      Curation.splitAssign(docs(s, d), "doc_id",
+        Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
+        .groupBy("split").agg(count(lit(1)).as("cnt"))),
+    "q_doc_stats" -> ((s, d) => Curation.corpusStats(docs(s, d), "text")),
   )
 
   // ------------------------------------------------------------------ oracle
@@ -577,5 +588,25 @@ object SparkEntry {
       "FROM documents d JOIN toks t ON d.doc_id = t.doc_id"),
     "q_doc_fingerprint" -> ("WITH " + tokCte + " " +
       "SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp FROM toks"),
+
+    "q_doc_scrub" -> ("SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'https?://[^\\s]+', '<URL>', 'g'), " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed " +
+      "FROM documents"),
+    "q_doc_sample" -> ("SELECT doc_id FROM documents WHERE " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 1"),
+    "q_doc_split" -> ("WITH b AS (SELECT " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
+      "FROM documents) " +
+      "SELECT CASE WHEN bucket < 90 THEN 'train' " +
+      "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, " +
+      "count(*) AS cnt FROM b GROUP BY 1"),
+    "q_doc_stats" -> ("WITH m AS (SELECT CAST(length(text) AS BIGINT) AS nc, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents) " +
+      "SELECT count(*) AS docs, CAST(sum(nc) AS BIGINT) AS total_chars, " +
+      "round(avg(nc), 4) AS avg_chars, quantile_cont(nt, 0.5) AS p50_tokens, " +
+      "quantile_cont(nt, 0.95) AS p95_tokens FROM m"),
   )
 }

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: PII
+  * scrubbing, deterministic sampling, split assignment, corpus stats.
+  * All pure column expressions / hash-aggregations — scan-speed,
+  * shuffle-free except the stats aggregation, and every formula
+  * mirrors 1:1 into DuckDB oracle SQL.
+  */
+object Curation {
+
+  /** Redaction patterns chosen to mean the same thing in Java regex
+    * (Spark codegen) and RE2 (DuckDB): no lookarounds, no backrefs.
+    * URLs go first so an address inside a URL doesn't leave a stranded
+    * scheme behind.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** Replace URLs / emails / phone-shaped numbers with typed
+    * placeholder tags. Order matters (see pattern doc).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** 60-bit md5 hash of the id's decimal string — the same
+    * hash-family trick as Dedup.shingleHashSet, so the oracle derives
+    * identical values and sampling decisions agree bit-for-bit.
+    */
+  private[graft] def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic hash sample: keep a row iff
+    * md5hash(id) % den < num. Consistent across runs, machines, and
+    * engines (no RNG state, no partition sensitivity) — the property
+    * that matters when a 100 TB corpus is re-sampled incrementally:
+    * a doc's membership never changes as the corpus grows.
+    */
+  def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
+    df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < num)
+
+  /** Deterministic train/val/test assignment from the same id hash:
+    * bucket = md5hash(id) % den, split by cumulative thresholds.
+    * `cuts` are upper bounds per split, e.g.
+    * Seq(("train", 90), ("val", 95), ("test", 100)) with den=100.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      cuts: Seq[(String, Int)], den: Int): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == den, "cuts must cover [0, den)")
+    val bucket = pmod(idHash(col(idCol)), lit(den.toLong))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, hi), rest) => when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Corpus-level statistics: doc count, char count stats, and exact
+    * token-count percentiles (exact `percentile`, not approximate —
+    * interpolation matches SQL quantile_cont; the single-reduce exact
+    * percentile is fine because the aggregation state is the value
+    * multiset of ONE numeric column, not the corpus).
+    */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col(textCol))
+    df.select(length(col(textCol)).cast("long").as("_nc"), nTok.as("_nt"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("_nc")).as("total_chars"),
+        round(avg(col("_nc")), 4).as("avg_chars"),
+        percentile(col("_nt"), lit(0.5)).as("p50_tokens"),
+        percentile(col("_nt"), lit(0.95)).as("p95_tokens"))
+  }
+}

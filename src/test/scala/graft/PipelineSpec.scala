@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, TextAnalysis}
 
 /** Training-data pipeline operators: dedup family, text analysis,
   * multimodal plumbing.
@@ -150,6 +150,61 @@ class PipelineSpec extends GraftSuite {
       .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
     assert(fp(1L) == fp(4L))
     assert(fp(1L) != fp(2L))
+  }
+
+  test("curation: PII scrub redacts urls, emails, and phone shapes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe@example.com or 555-123-4567 today"),
+      (2L, "see https://example.com/a?b=c#d and http://x.io for details"),
+      (3L, "clean text with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Curation.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact me at <EMAIL> or <PHONE> today")
+    assert(got(2L) == "see <URL> and <URL> for details")
+    assert(got(3L) == "clean text with no identifiers at all")
+  }
+
+  test("curation: hash sampling is deterministic and membership is stable under growth") {
+    val s = spark
+    import s.implicits._
+    val small = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val big = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Curation.hashSample(df, "doc_id", 3, 10).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val s1 = sample(small)
+    assert(s1 == sample(small)) // deterministic
+    // a doc's membership never changes as the corpus grows
+    assert(sample(big).filter(_ <= 200L) == s1)
+    // roughly 30%
+    assert(s1.size > 30 && s1.size < 90)
+  }
+
+  test("curation: split assignment is total, deterministic, and proportional-ish") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val cuts = Seq(("train", 90), ("val", 95), ("test", 100))
+    val counts = Curation.splitAssign(df, "doc_id", cuts, 100)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 800L && counts("val") > 10L && counts("test") > 10L)
+  }
+
+  test("curation: corpus stats computes exact percentiles") {
+    val s = spark
+    import s.implicits._
+    // token counts 1..5 -> p50 = 3.0 exactly
+    val df = (1 to 5).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.corpusStats(df, "text").collect()(0)
+    assert(r.getAs[Long]("docs") == 5L)
+    assert(r.getAs[Double]("p50_tokens") == 3.0)
+    assert(r.getAs[Long]("total_chars") == (1 to 5).map(n => 2 * n - 1).sum.toLong)
   }
 
   test("multimodal: feature extraction keeps schema + adds fixed-dim features") {
