@@ -57,7 +57,7 @@ object SparkEntry {
     "q_out_count", "q_repeat2", "q_group_count", "q_agg_sum", "q_orderby_limit",
     "q_compare_expr", "q_coalesce", "q_vector_knn", "q_text_bm25",
     "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
-    "q_doc_fingerprint", "q_union")
+    "q_embed_knn", "q_doc_fingerprint", "q_union")
 
   import SortOrder.{Asc, Desc}
 
@@ -300,6 +300,13 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
     "q_embed_pairs" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5)),
+    // batch k-NN join: top-5 cosine neighbors for each of 8 query
+    // vectors — the retrieval / semantic-dedup primitive (one corpus
+    // scan, per-partition k-heaps, no corpus shuffle)
+    "q_embed_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.knnJoin(e, e.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+    }),
 
     // ---- training-data pipeline: text analysis (extension)
     "q_doc_token_count" -> ((s, d) =>
@@ -562,6 +569,16 @@ object SparkEntry {
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) >= 0.5"),
+    "q_embed_knn" -> ("SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank " +
+      "FROM embeddings e CROSS JOIN " +
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q " +
+      "WHERE e.vec_id <> q.vec_id " +
+      "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
 
     "q_doc_token_count" -> ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) " +
       "AS BIGINT) AS n_tokens FROM documents"),

@@ -143,6 +143,123 @@ object VectorOps {
   def assignCluster(df: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame =
     df.withColumn("_cluster", graft.functions.NearestCentroid(col(vecCol), cents))
 
+  /** Batch k-NN join: for every row of `queries`, the `k` most
+    * cosine-similar rows of `corpus` (ties broken by ascending neighbor
+    * id; the query row itself excluded when `excludeSelf`).
+    *
+    * Plan shape for 100 TB: the query set is broadcast (bounded — it is
+    * the batch being enriched, not the corpus), each corpus partition
+    * keeps a k-bounded heap PER QUERY (map-side top-k combine), and
+    * only numPartitions × k candidates per query reach the final
+    * rank — one full corpus scan, no corpus shuffle, the same
+    * TakeOrdered discipline as bruteForceTopK generalized to a query
+    * batch. Arithmetic matches cosineSimCols (left-to-right double
+    * accumulation) so ranks agree with the declarative form bit-for-bit.
+    *
+    * Output: (query_id, neighbor_id, rank), rank 1-based.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
+    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0)
+
+  /** IVF-pruned batch k-NN join: like knnJoin, but corpus rows are only
+    * scored against queries whose `nprobe` nearest centroids include
+    * the row's cluster. With the cluster id as a partition column the
+    * scan itself prunes to the union of probed clusters; here the
+    * pruning cuts scoring work (the dominant cost at high dim).
+    */
+  def knnJoinIvf(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, model: IvfModel, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf,
+      Some(model), nprobe)
+
+  private def knnJoinPruned(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, excludeSelf: Boolean,
+      model: Option[IvfModel], nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // per-query L2 norms, precomputed once
+    val qn = qs.map { case (_, v) =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(n)
+    }
+    // per-query probe set over clusters (null = no pruning)
+    val probes: Array[Array[Boolean]] = model match {
+      case None => null
+      case Some(m) =>
+        qs.map { case (_, v) =>
+          val d = m.centroids.map { c =>
+            var s = 0.0; var i = 0
+            while (i < c.length) {
+              val dx = c(i) - v(i).toDouble; s += dx * dx; i += 1
+            }
+            s
+          }
+          val keep = d.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2)
+          val mask = new Array[Boolean](m.centroids.length)
+          keep.foreach(mask(_) = true)
+          mask
+        }
+    }
+    val bcQ = spark.sparkContext.broadcast(qs)
+    val bcN = spark.sparkContext.broadcast(qn)
+    val bcP = spark.sparkContext.broadcast(probes)
+    val base = model match {
+      case None => corpus.select(col(idCol).cast("long"), col(vecCol),
+        lit(-1).as("_cluster"))
+      case Some(m) => assignCluster(
+        corpus.select(col(idCol).cast("long").as("_kid"), col(vecCol)),
+        vecCol, m.centroids).select(col("_kid"), col(vecCol), col("_cluster"))
+    }
+    // worst-first ordering: pop = lowest score, then highest id
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, id) => (-s, id)
+    }
+    val partial = base.as[(Long, Array[Float], Int)].mapPartitions { it =>
+      val q = bcQ.value; val nrm = bcN.value; val pr = bcP.value
+      val heaps = Array.fill(q.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+      it.foreach { case (cid, cv, cluster) =>
+        var nc = 0.0; var i = 0
+        while (i < cv.length) { nc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+        val snc = math.sqrt(nc)
+        var qi = 0
+        while (qi < q.length) {
+          val (qid, qv) = q(qi)
+          val probed = pr == null || pr(qi)(cluster)
+          if (probed && !(excludeSelf && cid == qid)) {
+            var d = 0.0; var j = 0
+            while (j < qv.length) { d += cv(j).toDouble * qv(j).toDouble; j += 1 }
+            val s = d / (snc * nrm(qi))
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((s, cid))
+            else {
+              val w = h.head // worst of the current k
+              if (s > w._1 || (s == w._1 && cid < w._2)) {
+                h.dequeue(); h.enqueue((s, cid))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (s, cid) => (q(qi)._1, cid, s) }
+      }
+    }.toDF("query_id", "neighbor_id", "_score")
+    // final exact rank over the (numPartitions * k)-bounded candidates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   def ivfTopK(df: DataFrame, vecCol: String, model: IvfModel,
       query: Seq[Double], k: Int, nprobe: Int, idCol: String = "_id"): DataFrame = {
     val ranked = model.centroids.zipWithIndex.map { case (c, i) =>

@@ -53,6 +53,38 @@ class SearchSpec extends GraftSuite {
     assert(kernel.nonEmpty)
   }
 
+  test("knnJoin matches the declarative crossJoin + rank result") {
+    val df = vecs(120, 8).cache()
+    val queries = df.where(col("_id") < 6)
+    val kernel = VectorOps.knnJoin(df, queries, "emb", "_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("_s").desc, col("neighbor_id").asc)
+    val declarative = df.select(col("_id").as("neighbor_id"), col("emb").as("_vn"))
+      .crossJoin(queries.select(col("_id").as("query_id"), col("emb").as("_vq")))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_s", VectorOps.cosineSimCols(col("_vn"), col("_vq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 4).select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernel == declarative)
+    assert(kernel.size == 24) // 6 queries x 4 neighbors
+    df.unpersist()
+  }
+
+  test("knnJoinIvf prunes scoring yet recalls >= 0.9 of exact neighbors") {
+    val df = vecs(400, 16).cache()
+    val queries = df.where(col("_id") < 8)
+    val exact = VectorOps.knnJoin(df, queries, "emb", "_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+    val ivf = VectorOps.knnJoinIvf(df, queries, "emb", "_id", k = 5, model, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF knn-join recall too low: $recall")
+    df.unpersist()
+  }
+
   test("fused CosineToQuery expression is bit-equal with the HOF formulation") {
     val df = vecs(150, 16)
     val q = Seq.tabulate(16)(j => math.sin(j + 1.0))
