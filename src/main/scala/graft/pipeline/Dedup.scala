@@ -358,6 +358,72 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the scale escalation dupClusters documents: label
+    * propagation needs diameter rounds, this needs O(log n) regardless
+    * of chain length, so a 100 TB corpus whose near-dup pairs form
+    * long chains (evolving templates, quoted-reply email threads)
+    * still converges in a handful of shuffles.
+    *
+    * Each round is two groupBy-min aggregations + equi-joins; lineage
+    * truncates per round (localCheckpoint) exactly like dupClusters.
+    * Convergence = canonical edge set stable (count + 64-bit hash sum —
+    * both read off the just-materialized checkpoint, no recompute).
+    * Output schema matches dupClusters: (doc_id, cluster_id) with
+    * cluster_id = component minimum.
+    */
+  def dupClustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint(true)
+    // canonical orientation: u = larger endpoint, v = smaller
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    // set fingerprint: count + xor of row hashes (xor is duplicate-
+    // sensitive only in pairs, and the edge set is distinct; sum would
+    // overflow under ANSI arithmetic)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val bidir = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = bidir.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = bidir.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star on (u > v) orientation: u and all its smaller
+      // neighbors link to the minimum of that closed neighborhood
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(greatest(col("e.a"), col("e.b")).as("u"),
+          least(col("e.a"), col("e.b")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val cur = sig(ss)
+      converged = cur == prev
+      prev = cur
+      edges = ss
+      round += 1
+    }
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
+  }
+
   /** SimHash geometry shared with the DuckDB oracle: 60 bits (md5-hex
     * prefix), 4 bands of 15 bits.
     */

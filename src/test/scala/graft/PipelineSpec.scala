@@ -71,6 +71,37 @@ class PipelineSpec extends GraftSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("dupClustersStar: O(log n) rounds on a chain label propagation can't afford") {
+    val s = spark
+    import s.implicits._
+    // a 64-node chain has diameter 63: label propagation would need 63
+    // rounds; the star alternation must finish well inside maxIter=12
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClustersStar(chain, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("dupClustersStar agrees with label propagation on a mixed graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // random components: 12 groups of random internal edges + isolates
+    val pairs = (0 until 12).flatMap { g =>
+      val ids = (0 until 6).map(i => (g * 100 + i).toLong)
+      (0 until 7).map { _ =>
+        val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+    }.toDF("id_a", "id_b")
+    val prop = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.dupClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star.nonEmpty)
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
