@@ -296,6 +296,13 @@ object SparkEntry {
         n = 3, numHashes = 6, bands = 3, num = 3, den = 10))),
     "q_doc_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
+    // full pipeline terminal: corpus minus non-canonical dup-cluster
+    // members (pairs -> clusters -> anti-join keep-set)
+    "q_doc_keep" -> ((s, d) =>
+      Dedup.dedupCorpus(docs(s, d), "doc_id",
+        Dedup.minhashPairs(docs(s, d), "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+        .select("doc_id")),
     "q_doc_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
     "q_embed_pairs" -> ((s, d) =>
@@ -537,6 +544,13 @@ object SparkEntry {
       "reach(a, b) AS (SELECT a, b FROM und " +
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"),
+    "q_doc_keep" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT a FROM reach GROUP BY a HAVING a <> min(b))"),
     "q_doc_simhash_pairs" -> {
       val bits = Dedup.SimhashBits; val bb = Dedup.SimhashBandBits
       val mask = (1L << bb) - 1

@@ -358,6 +358,18 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Terminal step of the dedup pipeline: the corpus with every
+    * non-canonical near-dup member dropped — docs in no pair survive,
+    * and each dup cluster keeps exactly its min-id representative.
+    * One anti-join against the (tiny) non-representative set; the
+    * corpus itself is never shuffled.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = dupClusters(pairs).where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Connected components via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the scale escalation dupClusters documents: label

@@ -71,6 +71,17 @@ class PipelineSpec extends GraftSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("dedupCorpus keeps unpaired docs and one representative per cluster") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {2,5,7} keeps 2; {3,9} keeps 3; everything unpaired survives
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L, 8L, 10L))
+  }
+
   test("dupClustersStar: O(log n) rounds on a chain label propagation can't afford") {
     val s = spark
     import s.implicits._
