@@ -126,10 +126,61 @@ object Dedup {
     ss
   }
 
-  /** Drop and unpersist every cached shingle set. */
-  def clearShingleCache(): Unit = shingleCache.synchronized {
-    shingleCache.values.asScalaIterator.foreach(_.unpersist(false))
-    shingleCache.clear()
+  /** MinHash signatures (+ shingle-set size) per doc, cached like the
+    * shingle set: at 100 TB the signature is a per-doc column written
+    * at ingest (the reference's vector/text indexes are the same
+    * write-time trade), so serving latency doesn't re-aggregate the
+    * corpus's shingles per query. Key includes the hash-family params;
+    * lifecycle owned by the bounded cache (FIFO unpersist).
+    */
+  private val sigCache =
+    new java.util.LinkedHashMap[(String, String, Int, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Int), DataFrame]): Boolean = {
+        val evict = size() > ShingleCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  /** Signature artifact: mh0..mhK + `_sz` per `_did`. On a cache miss
+    * the aggregation reads the (cached) shingle set once; `eager`
+    * materializes it immediately (warm-up path).
+    */
+  def minhashSignatureCached(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int, eager: Boolean = true): DataFrame = {
+    val key = (df.queryExecution.logical.canonicalized.toString,
+      s"$textCol|$idCol", n, numHashes)
+    var built: DataFrame = null
+    val sig = sigCache.synchronized {
+      val hit = sigCache.get(key)
+      if (hit != null) hit
+      else {
+        val ss = shingleHashSetCached(df, textCol, idCol, n, eager = false)
+        val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
+          min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
+        } :+ count(lit(1)).as("_sz") // set size rides the same agg —
+        // the verify stage reads it from here, not a second shingle scan
+        built = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigCache.put(key, built)
+        built
+      }
+    }
+    if (eager && (sig eq built)) sig.count()
+    sig
+  }
+
+  /** Drop and unpersist every cached shingle set / signature artifact. */
+  def clearShingleCache(): Unit = {
+    shingleCache.synchronized {
+      shingleCache.values.asScalaIterator.foreach(_.unpersist(false))
+      shingleCache.clear()
+    }
+    sigCache.synchronized {
+      sigCache.values.asScalaIterator.foreach(_.unpersist(false))
+      sigCache.clear()
+    }
   }
   private implicit class JIter[T](v: java.util.Collection[T]) {
     def asScalaIterator: Iterator[T] = {
@@ -205,23 +256,13 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
-    // the shingle set feeds the signature, the band joins AND the
-    // verification — the cached artifact materializes it once (and
-    // shares it with any other dedup variant over the same corpus).
-    // lazy build: the sig.count() below reads ss exactly once and
-    // populates the persist as a side effect — one fewer job
+    // the shingle set feeds the signature AND the verification; the
+    // signature (a write-time per-doc artifact at scale) comes from its
+    // own bounded cache. Lazy on a miss: candidate generation below
+    // reads sig exactly once (groupBy, not a self-join), filling the
+    // persist; the later `sizes` read hits the cached blocks.
     val ss = shingleHashSetCached(df, textCol, idCol, n, eager = false)
-    val aggs = minhashSeeds(numHashes).zipWithIndex.map { case (seed, j) =>
-      min(col("_sh").bitwiseXOR(lit(seed))).as(s"mh$j")
-    } :+ count(lit(1)).as("_sz") // shingle-set size rides the SAME
-    // aggregation — the verify stage's sizes come from persisted sig
-    // instead of a second full scan + shuffle of the shingle set.
-    // Lazy persist (no eager count job): candidate generation reads sig
-    // exactly once (groupBy, not a self-join), filling the cache; the
-    // later `sizes` read runs in a downstream stage of the same job and
-    // hits the cached blocks.
-    val sig = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatureCached(df, textCol, idCol, n, numHashes, eager = false)
     // candidate pairs stay dedup-free here (saves a whole shuffle);
     // a pair sharing k bands just carries k duplicates into the tiny
     // verified set, deduped at the end
@@ -258,8 +299,8 @@ object Dedup {
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b").distinct()
       .localCheckpoint(true)
-    // ss stays persisted (the cache owns its lifecycle)
-    Seq(sig, cands).foreach(_.unpersist(false))
+    // ss and sig stay persisted (their caches own the lifecycle)
+    cands.unpersist(false)
     out
   }
 
