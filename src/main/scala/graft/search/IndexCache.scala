@@ -73,6 +73,37 @@ object IndexCache {
       table: => DataFrame): Long =
     counts.computeIfAbsent((storeVersion, label, prop), _ => table.count()).longValue()
 
+  /** Re-key artifacts of UNCHANGED labels from a superseded store
+    * version to its successor. The stores are copy-on-write, so a label
+    * whose table kept reference identity across a write has bit-identical
+    * data — its postings/IVF/count artifacts stay valid. Called by the
+    * write path before `evictOthers`, this turns "any write evicts every
+    * artifact" into "a write evicts only the labels it touched" — at
+    * 100 TB an ingest stream into one table no longer forces rebuilds
+    * of every other table's indexes.
+    */
+  def migrate(from: String, to: String, unchangedLabels: Set[String]): Unit = {
+    if (from == to) return
+    text.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = text.remove(k)
+        if (v != null) text.put((to, k._2, k._3), v)
+      }
+    }
+    ivf.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = ivf.remove(k)
+        if (v != null) ivf.put((to, k._2, k._3), v)
+      }
+    }
+    counts.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = counts.remove(k)
+        if (v != null) counts.put((to, k._2, k._3), v)
+      }
+    }
+  }
+
   /** Drop (and unpersist) every artifact built for a store version other
     * than `current` — the post-write lifecycle hook.
     */

@@ -120,12 +120,21 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
   private def executeBatch(batch: graft.ast.Batch,
       params: Map[String, graft.ast.PropertyValue]): (String, Boolean) = {
     if (batch.write) writeLock.synchronized {
+      val prev = store
       val out = new BatchExecutor(store, params).execute(batch)
       // commit order: segment durable first, then the store publishes —
       // a crash between the two replays the batch on recovery (same
       // deterministic result), never loses an acked write
       walRoot.foreach(graft.model.GraphWal.logWrite(_, batch, params))
       store = out.store
+      // copy-on-write: labels whose tables kept reference identity are
+      // untouched by this batch — their index artifacts migrate to the
+      // new version instead of rebuilding (only touched labels evict)
+      val unchanged = (prev.nodeTables.keySet ++ prev.edgeTables.keySet).filter { l =>
+        prev.nodeTables.get(l).forall(df => store.nodeTables.get(l).exists(_ eq df)) &&
+          prev.edgeTables.get(l).forall(df => store.edgeTables.get(l).exists(_ eq df))
+      }
+      graft.search.IndexCache.migrate(prev.version, store.version, unchanged)
       graft.search.IndexCache.evictOthers(store.version)
       renderResults(out.results)
     } else {

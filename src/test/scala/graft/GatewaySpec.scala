@@ -304,6 +304,35 @@ class GatewaySpec extends GraftSuite {
         "returns":["c"]},"parameters":{}}""") == """{"c":3}""")
   }
 
+  test("write batches keep index artifacts of untouched labels") {
+    val gw = new Gateway(TestBase.parityGraph())
+    val v0 = gw.currentStore.version
+    graft.search.IndexCache.textIndex(v0, "ParityUser", "bio",
+      gw.currentStore.nodesFor("ParityUser"))
+    // a write that only creates a NEW label leaves ParityUser untouched
+    gw.handle(
+      """{"request_type":"write","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"AddN":{"label":"Audit","properties":[
+        ["note",{"Value":{"String":"x"}}]]}}],"condition":null}}],
+        "returns":["c"]},"parameters":{}}""")
+    val v1 = gw.currentStore.version
+    assert(v1 != v0)
+    // migrated artifact serves under the new version — the rebuild
+    // thunk must never run
+    graft.search.IndexCache.textIndex(v1, "ParityUser", "bio",
+      throw new RuntimeException("artifact rebuilt despite untouched label"))
+    // a write that DOES touch ParityUser evicts its artifact
+    gw.handle(
+      """{"request_type":"write","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"AddN":{"label":"ParityUser","properties":[
+        ["name",{"Value":{"String":"Eve"}}]]}}],"condition":null}}],
+        "returns":["c"]},"parameters":{}}""")
+    var rebuilt = false
+    graft.search.IndexCache.textIndex(gw.currentStore.version, "ParityUser", "bio",
+      { rebuilt = true; gw.currentStore.nodesFor("ParityUser") })
+    assert(rebuilt, "touched label's artifact must rebuild")
+  }
+
   test("loadBundle replaces the whole deployed route set") {
     import graft.ast._
     import graft.dsl.Dsl._
