@@ -337,6 +337,11 @@ object SparkEntry {
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
         .groupBy("split").agg(count(lit(1)).as("cnt"))),
     "q_doc_stats" -> ((s, d) => Curation.corpusStats(docs(s, d), "text")),
+    "q_doc_source_stats" -> ((s, d) =>
+      Curation.sourceStats(docs(s, d), "source", "text")),
+    "q_doc_source_cap" -> ((s, d) =>
+      Curation.capPerSource(docs(s, d), "source", "doc_id", maxPer = 20)
+        .select("doc_id")),
   )
 
   // ------------------------------------------------------------------ oracle
@@ -639,5 +644,12 @@ object SparkEntry {
       "SELECT count(*) AS docs, CAST(sum(nc) AS BIGINT) AS total_chars, " +
       "round(avg(nc), 4) AS avg_chars, quantile_cont(nt, 0.5) AS p50_tokens, " +
       "quantile_cont(nt, 0.95) AS p95_tokens FROM m"),
+    "q_doc_source_stats" -> ("SELECT source, count(*) AS docs, " +
+      "CAST(sum(length(text)) AS BIGINT) AS chars FROM documents GROUP BY source"),
+    // same 60-bit md5 id-hash family as the Spark side, so the kept set
+    // is identical (deterministic, stable under corpus growth)
+    "q_doc_source_cap" -> ("SELECT doc_id FROM documents " +
+      "QUALIFY row_number() OVER (PARTITION BY source ORDER BY " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) <= 20"),
   )
 }

@@ -61,6 +61,31 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** Per-source corpus composition — the report behind source-mix
+    * decisions (and the input to capPerSource policies). One hash
+    * aggregation; scan-speed at any scale.
+    */
+  def sourceStats(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col(textCol)).cast("long")).as("chars"))
+
+  /** Deterministic per-source cap: keep at most `maxPer` docs per
+    * source, chosen by id-hash order — an unbiased-but-stable sample,
+    * so re-running on a GROWN corpus keeps the same docs it kept
+    * before (no reshuffling of the retained set under append). The
+    * anti-domination guard that stops one crawl domain from swamping
+    * the training mix. One window per source; a pathologically hot
+    * source is bounded by the same skew discipline as the dedup
+    * paths (the window sorts only that source's partition).
+    */
+  def capPerSource(df: DataFrame, srcCol: String, idCol: String, maxPer: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(idHash(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxPer).drop("_rk")
+  }
+
   /** Corpus-level statistics: doc count, char count stats, and exact
     * token-count percentiles (exact `percentile`, not approximate —
     * interpolation matches SQL quantile_cont; the single-reduce exact

@@ -71,6 +71,27 @@ class PipelineSpec extends GraftSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("capPerSource keeps a stable subset as the corpus grows") {
+    val s = spark
+    import s.implicits._
+    val small = (1L to 30L).map(i => (i, s"s${i % 3}", s"doc $i")).toDF("doc_id", "source", "text")
+    val grown = (1L to 60L).map(i => (i, s"s${i % 3}", s"doc $i")).toDF("doc_id", "source", "text")
+    val keptSmall = Curation.capPerSource(small, "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptGrown = Curation.capPerSource(grown, "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSmall.size == 15) // 3 sources x 5
+    assert(keptGrown.size == 15)
+    // growth only SWAPS docs when a new doc hashes earlier; the kept
+    // set stays a deterministic function of the corpus (re-runs agree)
+    val again = Curation.capPerSource(grown, "source", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptGrown)
+    val stats = Curation.sourceStats(small, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+  }
+
   test("dedupCorpus keeps unpaired docs and one representative per cluster") {
     val s = spark
     import s.implicits._
