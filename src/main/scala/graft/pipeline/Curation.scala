@@ -71,9 +71,13 @@ object Curation {
         sum(length(col(textCol)).cast("long")).as("chars"))
 
   /** Deterministic per-source cap: keep at most `maxPer` docs per
-    * source, chosen by id-hash order — an unbiased-but-stable sample,
-    * so re-running on a GROWN corpus keeps the same docs it kept
-    * before (no reshuffling of the retained set under append). The
+    * source, chosen by id-hash order — unbiased and reproducible (the
+    * same corpus always yields the same kept set, with no RNG or
+    * partition sensitivity). NOT append-stable: a newly appended doc
+    * that hashes earlier than a kept doc displaces it from the top
+    * `maxPer`, so growth can swap members of the kept set — when
+    * membership must survive corpus growth, use `hashSample`
+    * (threshold membership is per-doc, so appends never evict). The
     * anti-domination guard that stops one crawl domain from swamping
     * the training mix. One window per source; a pathologically hot
     * source is bounded by the same skew discipline as the dedup

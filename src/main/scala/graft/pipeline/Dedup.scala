@@ -369,10 +369,13 @@ object Dedup {
     * driver-side sequencing discipline as the Repeat BFS). Rounds =
     * component diameter; near-dup components are band/shingle-overlap
     * near-cliques, so this converges in 1-3 rounds in practice.
-    * `maxIter` bounds pathological chains — escalate to large-star/
-    * small-star (O(log n) rounds) if a corpus ever hits the bound.
-    * The convergence probe reads the just-materialized checkpoint, so
-    * it costs no recompute.
+    * `maxIter` bounds pathological chains — when the bound is hit
+    * before the fingerprint converges, the result would be PARTIALLY
+    * merged (multiple representatives per true component), so instead
+    * of returning it silently this escalates to `dupClustersStar`
+    * (O(log n) rounds regardless of chain length) and logs the
+    * escalation. The convergence probe reads the just-materialized
+    * checkpoint, so it costs no recompute.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -396,7 +399,22 @@ object Dedup {
       round += 1
     }
     edges.unpersist(false)
+    if (!converged) {
+      // partial merge would diverge from the transitive-closure oracle —
+      // never return it; the star variant converges on any topology
+      logNonConvergence(round)
+      return dupClustersStar(pairs)
+    }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Visible seam for the maxIter escalation (tests count invocations). */
+  @volatile private[graft] var nonConvergedRounds: Long = 0L
+  private def logNonConvergence(rounds: Int): Unit = {
+    nonConvergedRounds += 1
+    System.err.println(
+      s"[graft.Dedup] dupClusters hit maxIter=$rounds without converging; " +
+        "escalating to dupClustersStar (O(log n) rounds)")
   }
 
   /** Terminal step of the dedup pipeline: the corpus with every

@@ -87,19 +87,24 @@ object IndexCache {
     text.keySet.forEach { k =>
       if (k._1 == from && unchangedLabels.contains(k._2)) {
         val v = text.remove(k)
-        if (v != null) text.put((to, k._2, k._3), v)
+        // keep-existing merge: if a reader already serving `to` built an
+        // equivalent artifact concurrently, keep theirs and unpersist the
+        // migrating copy — never silently orphan persisted blocks
+        if (v != null && text.putIfAbsent((to, k._2, k._3), v) != null) {
+          v._1.unpersist(false); v._2.unpersist(false)
+        }
       }
     }
     ivf.keySet.forEach { k =>
       if (k._1 == from && unchangedLabels.contains(k._2)) {
         val v = ivf.remove(k)
-        if (v != null) ivf.put((to, k._2, k._3), v)
+        if (v != null) ivf.putIfAbsent((to, k._2, k._3), v)
       }
     }
     counts.keySet.forEach { k =>
       if (k._1 == from && unchangedLabels.contains(k._2)) {
         val v = counts.remove(k)
-        if (v != null) counts.put((to, k._2, k._3), v)
+        if (v != null) counts.putIfAbsent((to, k._2, k._3), v)
       }
     }
   }

@@ -126,15 +126,18 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       // a crash between the two replays the batch on recovery (same
       // deterministic result), never loses an acked write
       walRoot.foreach(graft.model.GraphWal.logWrite(_, batch, params))
-      store = out.store
       // copy-on-write: labels whose tables kept reference identity are
       // untouched by this batch — their index artifacts migrate to the
-      // new version instead of rebuilding (only touched labels evict)
+      // new version instead of rebuilding (only touched labels evict).
+      // Migrate BEFORE the new store publishes: no reader can be on the
+      // new version yet, so migrate's put can never clobber (and orphan)
+      // an artifact a concurrent reader just built for it.
       val unchanged = (prev.nodeTables.keySet ++ prev.edgeTables.keySet).filter { l =>
-        prev.nodeTables.get(l).forall(df => store.nodeTables.get(l).exists(_ eq df)) &&
-          prev.edgeTables.get(l).forall(df => store.edgeTables.get(l).exists(_ eq df))
+        prev.nodeTables.get(l).forall(df => out.store.nodeTables.get(l).exists(_ eq df)) &&
+          prev.edgeTables.get(l).forall(df => out.store.edgeTables.get(l).exists(_ eq df))
       }
-      graft.search.IndexCache.migrate(prev.version, store.version, unchanged)
+      graft.search.IndexCache.migrate(prev.version, out.store.version, unchanged)
+      store = out.store
       graft.search.IndexCache.evictOthers(store.version)
       renderResults(out.results)
     } else {

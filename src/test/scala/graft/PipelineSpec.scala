@@ -71,6 +71,20 @@ class PipelineSpec extends GraftSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("dupClusters escalates to the star variant instead of returning a partial merge") {
+    val s = spark
+    import s.implicits._
+    // diameter-15 chain with maxIter=3: label propagation CANNOT converge,
+    // so the result must come from the dupClustersStar escalation and
+    // still be the exact transitive closure — never a partial merge
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = Dedup.nonConvergedRounds
+    val got = Dedup.dupClusters(chain, maxIter = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 15L).map(_ -> 0L).toMap)
+    assert(Dedup.nonConvergedRounds == before + 1)
+  }
+
   test("capPerSource keeps a stable subset as the corpus grows") {
     val s = spark
     import s.implicits._
