@@ -186,8 +186,10 @@ class Compiler(
       case Contains(n, s) => r(n).contains(s)
       case ContainsExpr(n, e) => r(n).contains(compileExpr(df, e))
       case IsIn(n, vs) =>
+        // single In predicate (not an ===-OR chain): a 10k-element list
+        // stays one pushdown-friendly node instead of a 10k-deep tree
         if (vs.isEmpty) lit(false)
-        else vs.map(v => r(n) === valueToLit(v)).reduce(_ || _)
+        else r(n).isin(vs.map(valueToLit): _*)
       case IsInExpr(n, e) => array_contains(compileExpr(df, e), r(n))
       case And(ps) => ps.map(compilePred(df, _)).reduce(_ && _)
       case Or(ps) => ps.map(compilePred(df, _)).reduce(_ || _)

@@ -228,6 +228,65 @@ object Dedup {
         explode(slice(col("_ids"), col("_i") + lit(2),
           size(col("_ids")) - col("_i") - 1)).as("id_b"))
 
+  /** All ordered pairs of elements sharing a key, with BOUNDED per-task
+    * memory — the one pair-generation primitive every dedup variant
+    * routes through. Semantics match a naive
+    * `groupBy(keys).collect_list -> explodePairs`: each unordered
+    * element pair under each key is emitted exactly once (columns
+    * id_a < id_b, element type preserved), so intersection counts
+    * (one row per shared key) still fall out of a downstream groupBy.
+    *
+    * Memory bound: a key with n <= cap elements aggregates into one
+    * collect_list buffer (≤ cap entries) and pair-explodes in-task —
+    * the cheap path, one co-partitioned join + agg. A key with n > cap
+    * elements NEVER materializes a collect_list: its elements hash-split
+    * into nb = ceil(n/cap) sub-buckets and pairs form per unordered
+    * sub-bucket PAIR through an equi-join on (keys, p, q) — the largest
+    * single join block is cap², spread over ~nb²/2 tasks, so a
+    * boilerplate band key owned by 1M docs costs many bounded tasks
+    * instead of one 1M-element aggregation buffer (the same skew guard
+    * as embeddingPairs' MaxClusterBlock split). A row in sub-bucket b
+    * enters side A under keys (b, q) for q >= b and side B under (p, b)
+    * for p <= b; a pair in buckets (x <= y) meets at exactly (x, y) —
+    * twice (A/B swapped) iff x == y, which the `p < q || id_a < id_b`
+    * filter reduces to once.
+    *
+    * The up-front count aggregation doubles as singleton pruning: only
+    * rows under keys with n > 1 survive the join, so unique shingles —
+    * the vast majority of an inverted index — never reach the
+    * collect_list shuffle at all.
+    *
+    * `maxKeyDf` additionally DROPS keys with n > maxKeyDf (the
+    * ngramJaccardPairs document-frequency cap); the default keeps
+    * every key, bounding memory without changing the pair set.
+    */
+  private[graft] def boundedKeyPairs(items: DataFrame, keyCols: Seq[String],
+      elemCol: String, cap: Int = MaxClusterBlock,
+      maxKeyDf: Int = Int.MaxValue): DataFrame = {
+    val keys = keyCols.map(col)
+    var counts = items.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+    if (maxKeyDf != Int.MaxValue) counts = counts.where(col("_n") <= maxKeyDf)
+    val withN = items.join(counts, keyCols)
+    val small = explodePairs(withN.where(col("_n") <= cap)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col(elemCol))).as("_ids")))
+    val big = withN.where(col("_n") > cap)
+      .withColumn("_nb", ceil(col("_n") / lit(cap.toDouble)).cast("int"))
+      .withColumn("_bkt", pmod(hash(col(elemCol)), col("_nb")))
+    val aSide = big.select(keys ++ Seq(col("_bkt").as("_p"),
+      explode(sequence(col("_bkt"), col("_nb") - 1)).as("_q"),
+      col(elemCol).as("_ea")): _*)
+    val bSide = big.select(keys ++ Seq(
+      explode(sequence(lit(0), col("_bkt"))).as("_p"),
+      col("_bkt").as("_q"), col(elemCol).as("_eb")): _*)
+    val bigPairs = aSide.join(bSide, keyCols ++ Seq("_p", "_q"))
+      .where((col("_p") < col("_q")) || (col("_ea") < col("_eb")))
+      .select(least(col("_ea"), col("_eb")).as("id_a"),
+        greatest(col("_ea"), col("_eb")).as("id_b"))
+    small.union(bigPairs)
+  }
+
   /** LSH banding: pairs of ids sharing at least one band of the
     * signature. One aggregation groups ids per (band_idx, band_key)
     * bucket and pairs explode in-task — no self-join, so the signature
@@ -245,9 +304,7 @@ object Dedup {
       struct(lit(b).as("bi"),
         concat_ws("|", (b * rows until (b + 1) * rows).map(j => col(s"mh$j")): _*).as("bk"))
     }: _*)).as("_b")).select(col("_did"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val joined = explodePairs(banded.groupBy(col("bi"), col("bk"))
-      .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-      .where(size(col("_ids")) > 1))
+    val joined = boundedKeyPairs(banded, Seq("bi", "bk"), "_did")
     if (dedup) joined.distinct() else joined
   }
 
@@ -281,13 +338,10 @@ object Dedup {
       .union(cands.select(col("id_b").as("_did"))).distinct()
     val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
     val sizes = sig.select(col("_did"), col("_sz"))
-    // per-shingle doc groups -> in-task ordered pairs (explodePairs
-    // doc); one aggregation + one pair-aggregation replaces the
-    // two-legged _sh self-join, and ssCand is read once so it needs no
-    // persist of its own
-    val inter = explodePairs(ssCand.groupBy(col("_sh"))
-      .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-      .where(size(col("_ids")) > 1))
+    // per-shingle doc groups -> bounded in-task ordered pairs
+    // (boundedKeyPairs doc); one count + one pair-aggregation replaces
+    // the two-legged _sh self-join, with no hot-shingle buffer
+    val inter = boundedKeyPairs(ssCand, Seq("_sh"), "_did")
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("_inter"))
     // materialize the (small) verified pair set, then release the
@@ -319,31 +373,26 @@ object Dedup {
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSetCached(df, textCol, idCol, n)
     val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
-    // per-shingle doc groups; pairs explode in-task (explodePairs doc).
-    // The df cap is a plain bucket-size filter here — the old
-    // formulation needed a whole Window shuffle+sort over _sh for it
-    val bySh = ss.groupBy(col("_sh"))
-      .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-      .where(size(col("_ids")) > 1)
     val pre = if (maxShingleDf == Int.MaxValue) {
-      // exact path: intersection counts fall out of the same groups
-      explodePairs(bySh)
+      // exact path: intersection counts fall out of the per-shingle
+      // pair stream (boundedKeyPairs emits each pair once per shared
+      // shingle, with no hot-shingle aggregation buffer)
+      boundedKeyPairs(ss, Seq("_sh"), "_did")
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("_inter"))
     } else {
-      // capped path: candidates only from shingles with df <= cap, then
-      // verify against FULL shingle sets — but restrict the verify
-      // aggregation's INPUT to candidate docs first (minhashPairs'
-      // ssCand pattern), so the hot-shingle blow-up the cap exists to
-      // prevent never materializes
-      val cands = explodePairs(bySh.where(size(col("_ids")) <= maxShingleDf))
+      // capped path: candidates only from shingles with df <= cap
+      // (boundedKeyPairs' maxKeyDf drops hotter shingles before any
+      // aggregation), then verify against FULL shingle sets — but
+      // restrict the verify aggregation's INPUT to candidate docs first
+      // (minhashPairs' ssCand pattern), so the hot-shingle blow-up the
+      // cap exists to prevent never materializes
+      val cands = boundedKeyPairs(ss, Seq("_sh"), "_did", maxKeyDf = maxShingleDf)
         .distinct()
       val candDocs = cands.select(col("id_a").as("_did"))
         .union(cands.select(col("id_b").as("_did"))).distinct()
       val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
-      explodePairs(ssCand.groupBy(col("_sh"))
-        .agg(sort_array(collect_list(col("_did"))).as("_ids"))
-        .where(size(col("_ids")) > 1))
+      boundedKeyPairs(ssCand, Seq("_sh"), "_did")
         .join(cands, Seq("id_a", "id_b"), "left_semi")
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
     }
@@ -408,10 +457,13 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** Visible seam for the maxIter escalation (tests count invocations). */
-  @volatile private[graft] var nonConvergedRounds: Long = 0L
+  /** Visible seam for the maxIter escalation (tests count invocations):
+    * number of ESCALATION EVENTS (one per non-converged dupClusters
+    * call), not propagation rounds.
+    */
+  @volatile private[graft] var escalationCount: Long = 0L
   private def logNonConvergence(rounds: Int): Unit = {
-    nonConvergedRounds += 1
+    escalationCount += 1
     System.err.println(
       s"[graft.Dedup] dupClusters hit maxIter=$rounds without converging; " +
         "escalating to dupClustersStar (O(log n) rounds)")
@@ -530,10 +582,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
     val mask = (1L << SimhashBandBits) - 1
     val sig = simhash(df, textCol, idCol)
-    // each element carries (id, signature); struct sort order is by
-    // leading field, so the pair explode still yields id_a < id_b.
-    // groupBy reads sig ONCE — no persist needed (the old self-join
-    // formulation read it twice)
+    // each element carries (id, signature); struct ordering is by
+    // leading field, so boundedKeyPairs still yields id_a < id_b.
+    // The grouped read touches sig ONCE — no persist needed (the old
+    // self-join formulation read it twice)
     val banded = sig.select(
       struct(col(idCol).as("i"), col("simhash").as("s")).as("_e"),
       explode(array((0 until SimhashBands).map { b =>
@@ -541,9 +593,7 @@ object Dedup {
           shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
       .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val out = explodePairs(banded.groupBy(col("bi"), col("bk"))
-      .agg(sort_array(collect_list(col("_e"))).as("_ids"))
-      .where(size(col("_ids")) > 1))
+    val out = boundedKeyPairs(banded, Seq("bi", "bk"), "_e")
       .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
         col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
       .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)

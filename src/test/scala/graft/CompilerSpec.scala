@@ -37,6 +37,17 @@ class CompilerSpec extends GraftSuite {
     assert(singleLong(c.run(g().n().where(Predicate.Compare(
       Expr.Mul(prop("age"), lit_(2L)), CompareOp.Gt, prop("score"))).count().t)) == 1)
   }
+  test("isIn compiles to one In predicate, not an OR chain") {
+    // 1000-element membership list: must stay a single pushdown-friendly
+    // In/InSet node — the old ===-OR chain built a 1000-deep boolean
+    // tree that defeated predicate pushdown and strained codegen
+    val vs = (0 until 1000).map(i => VString(s"city$i")) :+ VString("Paris")
+    val df = c.run(g().n().where(isIn("city", vs: _*)).t)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains(" OR "), s"OR chain leaked into plan:\n$plan")
+    assert(plan.toLowerCase.contains("in"), s"no In predicate in plan:\n$plan")
+    assert(df.count() == 1) // only Bob's Paris matches
+  }
   test("isNull vs isNotNull vs missing column") {
     assert(singleLong(c.run(g().n().where(Predicate.IsNull("nope")).count().t)) == 3)
     assert(singleLong(c.run(g().n().where(Predicate.IsNotNull("name")).count().t)) == 3)

@@ -53,6 +53,48 @@ class PipelineSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("boundedKeyPairs: sub-bucket split matches the naive pair set") {
+    val s = spark
+    import s.implicits._
+    // random multi-occupancy keys; cap=4 forces most keys through the
+    // big-path sub-bucket join, whose pair set must equal the naive
+    // collect_list -> explodePairs expansion (exactly once per key)
+    val rnd = new scala.util.Random(42)
+    val items = (1 to 400).map(_ => (rnd.nextInt(12), rnd.nextInt(200).toLong))
+      .distinct.toDF("k", "e")
+    def naive(): Set[(Int, Long, Long)] = {
+      val byK = items.collect().map(r => (r.getInt(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      byK.toSeq.flatMap { case (k, es) =>
+        for (i <- es.indices; j <- (i + 1) until es.length) yield (k, es(i), es(j))
+      }.toSet
+    }
+    // key rides along so per-key multiplicity is also checked (the
+    // intersection-count contract: one pair row per shared key)
+    val keyed = Dedup.boundedKeyPairs(
+      items.select(col("k"), struct(col("k").as("kk"), col("e").as("ee")).as("_el")),
+      Seq("k"), "_el", cap = 4)
+      .select(col("id_a.kk"), col("id_a.ee"), col("id_b.ee"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(keyed.length == keyed.toSet.size) // exactly once per key
+    assert(keyed.toSet == naive())
+  }
+
+  test("boundedKeyPairs: a 50k-element degenerate bucket completes with bounded buffers") {
+    val s = spark
+    import s.implicits._
+    // one band key owned by 50k docs — the boilerplate-corpus case that
+    // used to build one 50k-element collect_list buffer and emit 1.25B
+    // pairs from a single task. With the default cap (4096) the largest
+    // aggregation buffer is cap entries and the largest join block cap²,
+    // spread over ~ (50000/4096)²/2 tasks; the full pair stream still
+    // comes out exactly once each.
+    val n = 50000L
+    val items = s.range(n).select(lit(0).as("k"), col("id").as("e"))
+    val cnt = Dedup.boundedKeyPairs(items, Seq("k"), "e").count()
+    assert(cnt == n * (n - 1) / 2)
+  }
+
   test("dup clusters: connected components with min-id representatives") {
     val s = spark
     import s.implicits._
@@ -78,14 +120,14 @@ class PipelineSpec extends GraftSuite {
     // so the result must come from the dupClustersStar escalation and
     // still be the exact transitive closure — never a partial merge
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val before = Dedup.nonConvergedRounds
+    val before = Dedup.escalationCount
     val got = Dedup.dupClusters(chain, maxIter = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 15L).map(_ -> 0L).toMap)
-    assert(Dedup.nonConvergedRounds == before + 1)
+    assert(Dedup.escalationCount == before + 1)
   }
 
-  test("capPerSource keeps a stable subset as the corpus grows") {
+  test("capPerSource is deterministic and bounded per source") {
     val s = spark
     import s.implicits._
     val small = (1L to 30L).map(i => (i, s"s${i % 3}", s"doc $i")).toDF("doc_id", "source", "text")
