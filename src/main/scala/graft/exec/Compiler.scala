@@ -688,13 +688,27 @@ class Compiler(
 
   // ------------------------------------------------------------ mutations
 
+  /** Id allocation seed: the store's durable high-water mark when
+    * known (stamped by prior writes, persisted in graph_meta.json) —
+    * the `max(_id)` aggregation below is only the FIRST-EVER-write
+    * fallback for stores that predate the mark, never a per-session
+    * cost on a store the engine has written before (at 100 TB that
+    * scan is a whole-corpus job).
+    */
   private lazy val idBase = new java.util.concurrent.atomic.AtomicLong {
-    val maxNode = if (store.nodeTables.isEmpty) 0L
-      else store.allNodes.agg(max(col("_id"))).head().getLong(0)
-    val maxEdge = if (store.edgeTables.isEmpty) 0L
-      else store.allEdges.agg(max(col("_id"))).head().getLong(0)
-    set(math.max(maxNode, maxEdge) + 1)
+    set(store.idHighWater.map(_ + 1).getOrElse {
+      val maxNode = if (store.nodeTables.isEmpty) 0L
+        else store.allNodes.agg(max(col("_id"))).head().getLong(0)
+      val maxEdge = if (store.edgeTables.isEmpty) 0L
+        else store.allEdges.agg(max(col("_id"))).head().getLong(0)
+      math.max(maxNode, maxEdge) + 1
+    })
   }
+
+  /** Re-stamp the allocation mark after an id-allocating mutation (the
+    * withNodes/withEdges copy carried the pre-allocation mark).
+    */
+  private def stampIds(): Unit = store = store.withIdHighWater(idBase.get() - 1)
 
   private def inputCol(df: DataFrame, in: PropertyInput): Column = in match {
     case PropertyInput.Value(v) => valueToLit(v)
@@ -803,6 +817,7 @@ class Compiler(
     store = store.withNodes(label,
       store.nodeTables.get(label).map(_.unionByName(df, allowMissingColumns = true))
         .getOrElse(df))
+    stampIds()
     Stream(store.nodesFor(label).where(col("_id") >= base && col("_id") < base + items.size),
       isEdges = false, Some(Set(label)))
   }
@@ -830,6 +845,7 @@ class Compiler(
         store = store.withNodes(label,
           store.nodeTables.get(label).map(_.unionByName(row, allowMissingColumns = true))
             .getOrElse(row))
+        stampIds()
         Stream(store.nodesFor(label).where(col("_id") === id), isEdges = false, Some(Set(label)))
 
       case Step.AddE(label, to, props) =>
@@ -873,6 +889,7 @@ class Compiler(
         store = store.withEdges(label,
           store.edgeTables.get(label).map(_.unionByName(rows, allowMissingColumns = true))
             .getOrElse(rows), Some(meta))
+        stampIds()
         Stream(store.edgesFor(label)
           .where(col("_id") >= base && col("_id") < base + Compiler.AddEBands * Compiler.AddEBandCap),
           isEdges = true, Some(Set(label)))
@@ -1098,7 +1115,22 @@ class Compiler(
     */
   private def repeat(start: Stream, cfg: RepeatConfig,
       env: mutable.Map[String, Stream], tailPropsFree: Boolean = false): Stream = {
+    // Bounded emit accumulation: one stream is emitted per depth, and a
+    // flat union of maxDepth branches (100+ on deep repeats) makes the
+    // final plan — and every analysis pass over it — O(depth). Fold the
+    // buffer into a single checkpointed stream every FoldWidth depths,
+    // so the final union has at most FoldWidth+1 branches and lineage
+    // resets with the same cadence discipline as the frontier.
+    val FoldWidth = 8
     val emitted = mutable.ListBuffer.empty[Stream]
+    def pushEmitted(s: Stream): Unit = {
+      emitted += s
+      if (emitted.size >= FoldWidth) {
+        val folded = unionStreams(emitted.toSeq)
+        emitted.clear()
+        emitted += folded.copy(df = folded.df.localCheckpoint(true))
+      }
+    }
     var frontier = start
     var depth = 0
     val maxIter = cfg.times.map(t => math.min(t, cfg.maxDepth)).getOrElse(cfg.maxDepth)
@@ -1113,13 +1145,13 @@ class Compiler(
     val bodyTailPropsFree = tailPropsFree &&
       cfg.until.isEmpty && cfg.emitPredicate.isEmpty &&
       cfg.emit == EmitBehavior.None && propsFreeNavOnly(cfg.traversal)
-    if (cfg.emit == EmitBehavior.All) emitted += emitFilter(frontier)
+    if (cfg.emit == EmitBehavior.All) pushEmitted(emitFilter(frontier))
     var done = false
     while (!done && depth < maxIter) {
       cfg.until.foreach { u =>
         val c = compilePred(frontier.df, u)
         val exiting = frontier.copy(df = frontier.df.where(coalesce(c, lit(false))))
-        emitted += emitFilter(exiting)
+        pushEmitted(emitFilter(exiting))
         frontier = frontier.copy(df = frontier.df.where(!coalesce(c, lit(false))))
       }
       // emptiness probe (a Spark job) only when the loop is open-ended
@@ -1127,12 +1159,12 @@ class Compiler(
       val stop = (cfg.until.isDefined || cfg.times.isEmpty) && frontier.df.isEmpty
       if (stop) done = true
       else {
-        if (cfg.emit == EmitBehavior.Before) emitted += emitFilter(frontier)
+        if (cfg.emit == EmitBehavior.Before) pushEmitted(emitFilter(frontier))
         val next = runSub(cfg.traversal, frontier, env, bodyTailPropsFree)
         depth += 1
         frontier = if (depth % 5 == 0) next.copy(df = next.df.localCheckpoint(true)) else next
         if (cfg.emit == EmitBehavior.After || cfg.emit == EmitBehavior.All)
-          emitted += emitFilter(frontier)
+          pushEmitted(emitFilter(frontier))
       }
     }
     if (cfg.emit == EmitBehavior.None) {

@@ -46,6 +46,9 @@ object GraphPersistence {
     val ix = F.arrayNode()
     store.indexes.foreach(spec => ix.add(graft.ast.Json.writeIndexSpec(spec)))
     meta.set[com.fasterxml.jackson.databind.JsonNode]("indexes", ix)
+    // durable id allocation mark: a reloaded store seeds its id counter
+    // from here instead of a full-table max(_id) scan
+    store.idHighWater.foreach(meta.put("idHighWater", _))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/graph_meta.json"), mapper.writeValueAsString(meta))
@@ -62,7 +65,7 @@ object GraphPersistence {
     val edges = labelsIn(s"$root/edges")
       .map(l => l -> spark.read.parquet(s"$root/edges/$l")).toMap
     val metaPath = java.nio.file.Paths.get(s"$root/graph_meta.json")
-    val (edgeMeta, indexes) =
+    val (edgeMeta, indexes, hw) =
       if (java.nio.file.Files.exists(metaPath)) {
         val tree = mapper.readTree(java.nio.file.Files.readString(metaPath))
         val em = Option(tree.get("edgeMeta")).map { emn =>
@@ -75,8 +78,11 @@ object GraphPersistence {
         val ix = Option(tree.get("indexes")).map(
           _.elements.asScala.map(graft.ast.Json.readIndexSpec).toSet)
           .getOrElse(Set.empty[graft.ast.IndexSpec])
-        (em, ix)
-      } else (Map.empty[String, EdgeMeta], Set.empty[graft.ast.IndexSpec])
-    new GraphStore(spark, nodes, edges, edgeMeta, indexes)
+        val w = Option(tree.get("idHighWater")).filterNot(_.isNull).map(_.asLong)
+        (em, ix, w)
+      } else (Map.empty[String, EdgeMeta], Set.empty[graft.ast.IndexSpec],
+        Option.empty[Long])
+    new GraphStore(spark, nodes, edges, edgeMeta, indexes,
+      idHighWater = hw)
   }
 }

@@ -34,15 +34,33 @@ final class GraphStore(
       * (withIndexes) keep the version — the data behind any existing
       * artifact is unchanged, so evicting it would only force rebuilds.
       */
-    val version: String = GraphStore.newVersion()) {
+    val version: String = GraphStore.newVersion(),
+    /** Highest id ever allocated in this store, when known — the write
+      * path seeds its id counter from `idHighWater + 1` instead of a
+      * full-table `max(_id)` aggregation (a whole-corpus scan at
+      * 100 TB). INVARIANT: when Some, it is >= every `_id` in every
+      * table. Only the engine's own allocator (Compiler.idBase) stamps
+      * it, post-allocation, so the invariant holds by induction; any
+      * path that merges rows with EXTERNAL ids (streaming overlay) must
+      * clear it. Persisted in graph_meta.json across save/load.
+      */
+    val idHighWater: Option[Long] = None) {
 
   def withNodes(label: String, df: DataFrame): GraphStore =
-    new GraphStore(spark, nodeTables + (label -> df), edgeTables, edgeMeta, indexes)
+    new GraphStore(spark, nodeTables + (label -> df), edgeTables, edgeMeta,
+      indexes, GraphStore.newVersion(), idHighWater)
   def withEdges(label: String, df: DataFrame, meta: Option[EdgeMeta] = None): GraphStore =
     new GraphStore(spark, nodeTables, edgeTables + (label -> df),
-      meta.map(m => edgeMeta + (label -> m)).getOrElse(edgeMeta), indexes)
+      meta.map(m => edgeMeta + (label -> m)).getOrElse(edgeMeta), indexes,
+      GraphStore.newVersion(), idHighWater)
   def withIndexes(ix: Set[graft.ast.IndexSpec]): GraphStore =
-    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, ix, version)
+    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, ix, version, idHighWater)
+  /** Stamp the durable id allocation mark (no data change — version kept). */
+  def withIdHighWater(n: Long): GraphStore =
+    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, indexes, version, Some(n))
+  /** Forget the allocation mark (rows with external ids were merged). */
+  def clearIdHighWater: GraphStore =
+    new GraphStore(spark, nodeTables, edgeTables, edgeMeta, indexes, version, None)
 
   /** Empty store bound to a session (write batches can build a graph
     * from scratch via AddN/AddE).

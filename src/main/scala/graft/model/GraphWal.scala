@@ -20,10 +20,12 @@ import scala.jdk.CollectionConverters._
   * This is a LOGICAL log: each segment is one committed write batch
   * (wire-codec JSON + parameters), and recovery replays segments over
   * the snapshot through the same BatchExecutor that ran them live.
-  * Replay is deterministic — id allocation seeds from max(_id)+1 of
-  * the store state each batch sees (Compiler.idBase), which replay
-  * reproduces exactly — so ids, properties, and declared indexes come
-  * back bit-identical without ever writing a table delta. Logging a
+  * Replay is deterministic — id allocation seeds from the store's
+  * durable high-water mark (graph_meta.json `idHighWater`, falling
+  * back to max(_id)+1 for pre-mark stores; Compiler.idBase), and the
+  * mark each replayed batch sees equals the mark the live batch saw —
+  * so ids, properties, and declared indexes come back bit-identical
+  * without ever writing a table delta. Logging a
   * batch is O(batch text); a physical delta log would pay a Spark
   * write job per commit.
   *
@@ -184,10 +186,15 @@ object GraphWal {
           streamed.join(base.select("_id"), Seq("_id"), "left_anti"),
           allowMissingColumns = true)
     }
-    if (att.kind == "nodes")
+    // streamed rows carry ids minted OUTSIDE the engine's allocator, so
+    // the durable allocation mark no longer bounds every _id — drop it
+    // (the next write batch falls back to the max-scan seed once, then
+    // re-stamps)
+    val out = if (att.kind == "nodes")
       store.withNodes(att.label, merged(store.nodeTables.get(att.label)))
     else
       store.withEdges(att.label, merged(store.edgeTables.get(att.label)))
+    out.clearIdHighWater
   }
 
   /** Fold the current state into the NEXT snapshot dir, then truncate

@@ -257,6 +257,19 @@ class CompilerSpec extends GraftSuite {
       maxDepth = 50)).id().t)
     assert(ids(r) == Seq())
   }
+  test("deep repeat with emit keeps the final plan bounded") {
+    // 60 emitting depths used to build a 60-branch union plan; the
+    // FoldWidth fold collapses the buffer into checkpointed prefixes so
+    // the final plan's leaves stay O(FoldWidth) regardless of depth
+    val r = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(60), emit = EmitBehavior.All)).id().t)
+    assert(ids(r) == Seq(1L, 2L, 3L)) // depths 0,1,2; deeper frontiers empty
+    // each surviving branch holds a few scan leaves (node+edge tables),
+    // so the bound is O(FoldWidth * leaves-per-branch) ≈ 3 dozen —
+    // depth-independent; unfolded, 60 emitting depths exceed 150 leaves
+    val leaves = r.queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves <= 40, s"plan has $leaves leaves — emit union not folded")
+  }
   test("reserved steps are no-ops") {
     assert(singleLong(c.run(Traversal(Vector(
       Step.N(NodeRef.All), Step.Path, Step.SimplePath,

@@ -49,6 +49,33 @@ class WalSpec extends GraftSuite {
     assert(recovered.indexes == base.indexes)
   }
 
+  test("id allocation seeds from the durable high-water mark, not a max-scan") {
+    import org.apache.spark.sql.functions._
+    // 1) the mark round-trips disk: write -> checkpoint -> load
+    val dir = java.nio.file.Files.createTempDirectory("gwal-hw").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    val gw = new Gateway(GraphWal.recover(spark, dir), walRoot = Some(dir))
+    gw.handle(addN("Dana", 28)) // first-ever write: max-scan fallback, then stamp
+    val liveHw = gw.currentStore.idHighWater
+    assert(liveHw.exists(_ >= 102L)) // parity ids top out at 101
+    GraphWal.checkpoint(gw.currentStore, dir)
+    assert(GraphWal.recover(spark, dir).idHighWater == liveHw)
+
+    // 2) with the mark present the next write NEVER aggregates the
+    //    tables: poison every row so any max(_id) scan throws — seeding
+    //    from the mark allocates without touching the data
+    val poisoned = spark.range(1).select(
+      when(col("id") >= 0, raise_error(lit("id seed scanned the table")))
+        .cast("long").as("_id"),
+      lit("ParityUser").as("_label"), lit("Zed").as("name"))
+    val store = new graft.model.GraphStore(spark,
+      Map("ParityUser" -> poisoned), Map.empty, Map.empty).withIdHighWater(777L)
+    val comp = TestBase.compiler(store, write = true)
+    comp.run(graft.dsl.Dsl.g().addN("ParityUser",
+      "name" -> graft.ast.PropertyValue.VString("NewGuy")).t)
+    assert(comp.store.idHighWater == Some(778L)) // 777 + 1 allocated, re-stamped
+  }
+
   test("recovery ignores segments that never reached the manifest") {
     val dir = java.nio.file.Files.createTempDirectory("gwal2").toString
     GraphWal.checkpoint(TestBase.parityGraph(), dir)
