@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Dedup, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -57,7 +57,7 @@ object SparkEntry {
     "q_out_count", "q_repeat2", "q_group_count", "q_agg_sum", "q_orderby_limit",
     "q_compare_expr", "q_coalesce", "q_vector_knn", "q_text_bm25",
     "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
-    "q_embed_knn", "q_doc_fingerprint", "q_union")
+    "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum")
 
   import SortOrder.{Asc, Desc}
 
@@ -342,6 +342,26 @@ object SparkEntry {
     "q_doc_source_cap" -> ((s, d) =>
       Curation.capPerSource(docs(s, d), "source", "doc_id", maxPer = 20)
         .select("doc_id")),
+
+    // ---- training-data pipeline: multimodal (extension). Payloads are
+    // REAL PNGs synthesized per-partition from doc ids; the engine
+    // decodes them (ImageIO) distributed, and the oracle recomputes the
+    // expected integers arithmetically — so a hash match proves the
+    // encode -> distribute -> decode roundtrip is pixel-exact.
+    "q_media_checksum" -> ((s, d) =>
+      Multimodal.pixelChecksum(
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
+          .where(col("modality") === "image"))),
+    "q_media_probe" -> ((s, d) =>
+      Multimodal.probeImageMeta(
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id"))
+        .where(col("modality") === "image")
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.format").as("format"))),
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id"), stride = 7)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))),
   )
 
   // ------------------------------------------------------------------ oracle
@@ -651,5 +671,24 @@ object SparkEntry {
     "q_doc_source_cap" -> ("SELECT doc_id FROM documents " +
       "QUALIFY row_number() OVER (PARTITION BY source ORDER BY " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) <= 20"),
+
+    // ---- multimodal: the engine decodes REAL PNGs; the oracle
+    // recomputes every derived integer from the same id-formulas
+    // (mediaFromIds doc) — matching hashes prove the pixel roundtrip
+    "q_media_checksum" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      "px AS (SELECT media_id, w, h, unnest(range(0, (w * h)::BIGINT)) AS p FROM m) " +
+      "SELECT media_id, CAST(sum(" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) * 65536 + " +
+      "((media_id * 13 + (p % w)) % 255) * 256 + " +
+      "((media_id * 7 + (p // w)) % 255)) AS BIGINT) AS checksum " +
+      "FROM px GROUP BY media_id"),
+    "q_media_probe" -> ("SELECT doc_id AS media_id, " +
+      "(doc_id % 13 + 1)::INT AS width, (doc_id % 7 + 1)::INT AS height, " +
+      "'png-decodable' AS format FROM documents WHERE doc_id % 3 = 0"),
+    "q_media_frames" -> ("SELECT doc_id AS media_id, " +
+      "unnest(range(0, (doc_id % 100 + 1)::BIGINT, 7)) AS frame_idx " +
+      "FROM documents WHERE doc_id % 3 = 2"),
   )
 }

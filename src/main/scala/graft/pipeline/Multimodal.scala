@@ -200,6 +200,82 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
 
+  /** Media table derived from an id column — the shape the ORACLE
+    * queries use: modality, payload and metadata are pure functions of
+    * the id, so a SQL oracle can recompute every derived quantity
+    * arithmetically while the engine derives it from the REAL bytes.
+    * Image rows (id % 3 == 0) carry true PNG payloads of
+    * (id%13+1) x (id%7+1) pixels with packed RGB(x, y) =
+    * ((id*37+x*5+y*11)%255, (id*13+x)%255, (id*7+y)%255); audio
+    * (id%3==1) / video (id%3==2) rows carry md5 pseudo-bytes with
+    * id-derived sample_rate / n_frames. PNG synthesis runs
+    * per-partition (distributed, no driver loop).
+    */
+  def mediaFromIds(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val base = ids.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("modality"),
+      unhex(md5(col(idCol).cast("string"))).as("content"),
+      struct(
+        (col(idCol) % 13 + 1).cast("int").as("width"),
+        (col(idCol) % 7 + 1).cast("int").as("height"),
+        lit(16000).cast("int").as("sample_rate"),
+        (col(idCol) % 100 + 1).cast("int").as("n_frames"),
+        lit("fake").as("format")).as("meta"))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(1) != "image") r
+        else {
+          val id = r.getLong(0)
+          val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (((id * 37 + x * 5 + y * 11) % 255).toInt << 16) |
+                (((id * 13 + x) % 255).toInt << 8) | ((id * 7 + y) % 255).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(r.toSeq.updated(2, encodePng(img)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Integer fingerprint of the DECODED payload: sum over pixels of the
+    * packed 24-bit RGB. Exact-integer, so an arithmetic SQL oracle can
+    * verify that PNG encode -> distribute -> decode reproduced every
+    * pixel bit-for-bit. Null checksum for rows that don't decode.
+    */
+  def pixelChecksum(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("checksum", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val sum = decodeImage(bytes).map { img =>
+          var s = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s += img.getRGB(x, y) & 0xFFFFFF; x += 1 }
+            y += 1
+          }
+          s
+        }
+        Row(r.getLong(idIdx), sum.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic media table for tests/benches. Image rows
     * carry REAL PNG payloads (synthesized per-partition, distributed);
     * audio/video rows carry deterministic pseudo-bytes.

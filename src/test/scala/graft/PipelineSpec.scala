@@ -351,6 +351,23 @@ class PipelineSpec extends GraftSuite {
     assert(frames.count() > media.where(col("modality") === "video").count())
   }
 
+  test("multimodal: mediaFromIds payloads decode back to the id-formula pixels") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L to 30L).toDF("doc_id")
+    val media = Multimodal.mediaFromIds(ids, "doc_id")
+    val got = Multimodal.pixelChecksum(media.where(col("modality") === "image"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expect(id: Long): Long = {
+      val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+      (for (y <- 0 until h; x <- 0 until w) yield
+        ((id * 37 + x * 5 + y * 11) % 255) * 65536L +
+          ((id * 13 + x) % 255) * 256L + ((id * 7 + y) % 255)).sum
+    }
+    assert(got.keySet == (0L to 30L).filter(_ % 3 == 0).toSet)
+    got.foreach { case (id, cs) => assert(cs == expect(id), s"media_id $id") }
+  }
+
   test("multimodal: image payloads REALLY decode, resize, and re-decode (ImageIO)") {
     val media = Multimodal.syntheticMedia(spark, 12)
     // synthetic image rows carry genuine PNG bytes
