@@ -125,6 +125,10 @@ class Compiler(
     case VF32Array(a) => a.map(_.toDouble)
     case VF64Array(a) => a
     case VI64Array(a) => a.map(_.toDouble)
+    // a STRING query vector embeds engine-side (Embedder doc — the
+    // reference's search-with-text via its configured embedding_model)
+    case VString(s) =>
+      graft.search.Embedder.default.embed(s).toSeq.map(_.toDouble)
     case VArray(a) => a.map {
       case VF32(x) => x.toDouble; case VF64(x) => x; case VI64(x) => x.toDouble
       case other => throw new TraversalException(s"non-numeric vector element: $other")
@@ -715,6 +719,34 @@ class Compiler(
     case PropertyInput.FromExpr(e) => compileExpr(df, e)
   }
 
+  /** Declared vector index on (label, prop)? */
+  private def vectorIndexed(label: String, prop: String, isEdges: Boolean): Boolean =
+    store.indexes.exists {
+      case IndexSpec.NodeVector(l, p, _) => !isEdges && l == label && p == prop
+      case IndexSpec.EdgeVector(l, p, _) => isEdges && l == label && p == prop
+      case _ => false
+    }
+
+  /** Engine-side write embedding (Embedder doc): a STRING written to a
+    * vector-indexed property stores its embedding instead — the
+    * reference embeds inserts server-side via its configured
+    * `embedding_model` (config.rs:207-209). Non-string inputs (client
+    * already supplied a vector) pass through untouched. The UDF is the
+    * local stand-in for a batched model call; a production impl swaps
+    * `Embedder.default`.
+    */
+  private def embedIfIndexed(label: String, prop: String, c: Column,
+      df: DataFrame, isEdges: Boolean): Column =
+    if (!vectorIndexed(label, prop, isEdges)) c
+    else {
+      val dt = df.select(c).schema.head.dataType
+      if (dt != org.apache.spark.sql.types.StringType) c
+      else {
+        val emb = graft.search.Embedder.default
+        udf((s: String) => if (s == null) null else emb.embed(s)).apply(c)
+      }
+    }
+
   /** Properties under a declared UNIQUE NodeEquality index for a label
     * (IndexSpec::NodeEquality{unique}, dsl.rs:2580-2658).
     */
@@ -784,8 +816,19 @@ class Compiler(
       case VStringArray(a) => a
       case other => throw new UnsupportedBulkType(s"value not bulk-encodable: $other")
     }
-    val resolved: Seq[Seq[PropertyValue]] =
+    val resolved0: Seq[Seq[PropertyValue]] =
       items.map(fields => props.map { case (_, in) => resolve(in, fields) })
+    // engine-side embedding on the bulk path: STRING values under a
+    // declared vector index store their embedding (embedIfIndexed doc)
+    val embedIdx = props.indices.filter(i =>
+      vectorIndexed(label, props(i)._1, isEdges = false)).toSet
+    val resolved: Seq[Seq[PropertyValue]] =
+      if (embedIdx.isEmpty) resolved0
+      else resolved0.map(_.zipWithIndex.map {
+        case (VString(s), i) if embedIdx(i) =>
+          VF32Array(graft.search.Embedder.default.embed(s).toSeq)
+        case (v, _) => v
+      })
     // unique-index enforcement: duplicates within the bulk batch AND
     // against the stored table (one isin-probe per unique index)
     uniqueProps(label).foreach { p =>
@@ -840,7 +883,10 @@ class Compiler(
         val id = idBase.getAndIncrement()
         val dummy = spark.range(1)
         val cols = Seq(lit(id).cast("long").as("_id"), lit(label).as("_label")) ++
-          props.map { case (k, in) => inputCol(dummy.toDF(), in).as(k) }
+          props.map { case (k, in) =>
+            embedIfIndexed(label, k, inputCol(dummy.toDF(), in), dummy.toDF(),
+              isEdges = false).as(k)
+          }
         val row = dummy.select(cols: _*)
         store = store.withNodes(label,
           store.nodeTables.get(label).map(_.unionByName(row, allowMissingColumns = true))
@@ -878,7 +924,9 @@ class Compiler(
           (lit(base) + col("__band") * Compiler.AddEBandCap +
             rnChecked - 1).as("_id"),
           lit(label).as("_label"), col("_src"), col("_dst")) ++
-          props.map { case (k, in) => inputCol(left, in).as(k) }
+          props.map { case (k, in) =>
+            embedIfIndexed(label, k, inputCol(left, in), left, isEdges = true).as(k)
+          }
         val rows = left.crossJoin(right)
           .withColumn("__band",
             pmod(hash(col("_src"), col("_dst")), lit(Compiler.AddEBands)).cast("long"))
@@ -900,10 +948,13 @@ class Compiler(
         // rows in the rebuilt table — permanent store corruption. The
         // computed value is a function of the element's own columns, so
         // duplicates carry identical values and any survivor is correct.
-        val updates = s.df.select(col("_id").as("__uid"), inputCol(s.df, in).as("__newv"))
-          .dropDuplicates("__uid")
+        // Per-label update column: a vector-indexed property embeds
+        // string inputs engine-side (embedIfIndexed doc).
         val labels = s.labels.getOrElse(if (s.isEdges) store.edgeLabels else store.nodeLabels)
         labels.foreach { l =>
+          val updates = s.df.select(col("_id").as("__uid"),
+            embedIfIndexed(l, name, inputCol(s.df, in), s.df, s.isEdges).as("__newv"))
+            .dropDuplicates("__uid")
           val table = if (s.isEdges) store.edgesFor(l) else store.nodesFor(l)
           val joined = table.join(updates, table("_id") === updates("__uid"), "left")
           val existing = if (table.columns.contains(name)) col(name) else lit(null)
@@ -912,7 +963,13 @@ class Compiler(
             .drop(name, "__uid", "__newv").withColumnRenamed("__tmp", name)
           store = if (s.isEdges) store.withEdges(l, upd) else store.withNodes(l, upd)
         }
-        s.copy(df = s.df.withColumn(name, inputCol(s.df, in)))
+        // the continuing stream mirrors the store write when every
+        // target label agrees on the embedding decision
+        val streamCol =
+          if (labels.nonEmpty && labels.forall(l => vectorIndexed(l, name, s.isEdges)))
+            embedIfIndexed(labels.head, name, inputCol(s.df, in), s.df, s.isEdges)
+          else inputCol(s.df, in)
+        s.copy(df = s.df.withColumn(name, streamCol))
 
       case Step.RemoveProperty(name) =>
         val ids = s.df.select(col("_id").as("__uid")).dropDuplicates("__uid")

@@ -31,6 +31,38 @@ class GatewaySpec extends GraftSuite {
     assert(resp == """{"n":4}""")
   }
 
+  test("engine-side embedding: write text, vector-search with text, no client vectors") {
+    // mirrors the reference's embedding_model flow (config.rs:207-209):
+    // a string written to a vector-indexed property is embedded by the
+    // engine, and a string query_vector embeds the same way — the
+    // client never ships a vector. Production swaps Embedder.default
+    // for a model-backed implementation; this wiring is unchanged.
+    val gw = new Gateway(TestBase.parityGraph())
+    gw.handle(
+      """{"request_type":"write","query":{"queries":[{"Query":{"name":"w",
+        "steps":[{"CreateVectorIndexNodes":{"label":"Memo","property":"embedding","tenant_property":null}},
+        {"AddN":{"label":"Memo","properties":[
+        ["title",{"Value":{"String":"m1"}}],
+        ["embedding",{"Value":{"String":"graph databases and vector search"}}]]}},
+        {"AddN":{"label":"Memo","properties":[
+        ["title",{"Value":{"String":"m2"}}],
+        ["embedding",{"Value":{"String":"cooking recipes for fresh pasta"}}]]}},
+        {"AddN":{"label":"Memo","properties":[
+        ["title",{"Value":{"String":"m3"}}],
+        ["embedding",{"Value":{"String":"football match results today"}}]]}}],
+        "condition":null}}],"returns":["w"]},"parameters":{}}""")
+    // the stored property is a real fixed-dim vector, not the text
+    val dt = gw.currentStore.nodesFor("Memo").schema("embedding").dataType
+    assert(dt.isInstanceOf[org.apache.spark.sql.types.ArrayType], s"stored type: $dt")
+    val resp = gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"hit",
+        "steps":[{"VectorSearchNodes":{"label":"Memo","property":"embedding",
+        "tenant_value":null,"query_vector":{"Value":{"String":"cooking recipes for fresh pasta"}},
+        "k":{"Literal":1}}},{"Values":["title"]}],
+        "condition":null}}],"returns":["hit"]},"parameters":{}}""")
+    assert(resp == """{"hit":"m2"}""", s"got: $resp")
+  }
+
   test("multi-row results render as row arrays") {
     val gw = new Gateway(TestBase.parityGraph())
     val resp = gw.handle(
