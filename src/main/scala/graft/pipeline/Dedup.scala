@@ -25,10 +25,20 @@ object Dedup {
   /** Small inputs often arrive as one parquet split; fan the rows out
     * before CPU-heavy tokenize/hash stages. No-op when the input is
     * already well-partitioned (the 100 TB case).
+    *
+    * Sizing reads the optimizer's byte estimate (file sizes for scans)
+    * rather than `df.rdd.getNumPartitions` — converting to an RDD
+    * forces a full extra physical planning of the input per call. The
+    * estimate errs large on joins/aggregates, which errs toward the
+    * no-op — exactly the posture a big input wants.
     */
   private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(maxSplit.max(1L))
+    if (estSplits < p / 2) df.repartition(p) else df
   }
 
   /** Word n-gram shingles over an ALREADY-TOKENIZED array column;

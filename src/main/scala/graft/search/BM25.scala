@@ -24,10 +24,8 @@ object BM25 {
   def tokenize(s: String): Seq[String] =
     s.toLowerCase.split(TokenSplit).filter(_.nonEmpty).toSeq
 
-  private def ensurePar(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p / 2) df.repartition(p) else df
-  }
+  private def ensurePar(df: DataFrame): DataFrame =
+    graft.pipeline.Dedup.ensureParallelism(df)
 
   /** Per-document postings restricted to `terms`: (_id, len, term, tf). */
   private def postings(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {

@@ -38,7 +38,12 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       * exit loses nothing past the last acked write
       * (GraphWal.recover replays the log over the snapshot).
       */
-    walRoot: Option[String] = None) {
+    walRoot: Option[String] = None,
+    /** Serve the MCP tool surface at `/mcp` — default on, mirroring the
+      * reference's `DbConfig.mcp: bool = true` instance toggle
+      * (helix-cli/src/config.rs:173,243).
+      */
+    mcp: Boolean = true) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -86,6 +91,12 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
   }
 
   def isWarm(name: String): Boolean = warm.contains(name)
+
+  /** Deployed routes, sorted by name — the MCP tool inventory. */
+  private[server] def storedSnapshot: Seq[(String, QueryBundle.StoredRoute)] = {
+    import scala.jdk.CollectionConverters._
+    stored.asScala.toSeq.sortBy(_._1)
+  }
 
   /** Execute a stored query with a plain JSON parameters object;
     * declared parameter shapes coerce (RFC3339 DateTime, F32 narrowing,
@@ -295,6 +306,27 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    if (mcp) server.createContext("/mcp", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val method = ex.getRequestMethod
+        if (method != "POST") {
+          // the streamable transport's GET opens a server event stream,
+          // which this gateway doesn't offer — 405 per spec
+          ex.sendResponseHeaders(405, -1); ex.close(); return
+        }
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        Mcp.handle(Gateway.this, body) match {
+          case Some(resp) =>
+            val bytes = resp.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case None => // notification: accepted, no body
+            ex.sendResponseHeaders(202, -1)
+        }
         ex.close()
       }
     })

@@ -401,4 +401,138 @@ class GatewaySpec extends GraftSuite {
       assert(body == """{"c":3}""")
     } finally gw.stop()
   }
+
+  // ---- MCP surface (DbConfig.mcp default-on toggle, config.rs:173,243) ----
+
+  private def mcpTree(gw: Gateway, req: String) = {
+    val resp = graft.server.Mcp.handle(gw, req)
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.get)
+  }
+
+  test("mcp initialize advertises tools and answers ping") {
+    val gw = new Gateway(TestBase.parityGraph())
+    val init = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""")
+    assert(init.get("id").asInt == 1)
+    assert(init.get("result").get("protocolVersion").asText == "2025-03-26")
+    assert(init.get("result").get("serverInfo").get("name").asText == "graft")
+    assert(init.get("result").get("capabilities").has("tools"))
+    val ping = mcpTree(gw, """{"jsonrpc":"2.0","id":2,"method":"ping"}""")
+    assert(ping.get("result").isObject)
+    // the initialized notification has no id -> no response body
+    assert(graft.server.Mcp.handle(gw,
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+  }
+
+  test("mcp tools/list exposes stored routes with typed schemas") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    import graft.server.QueryBundle
+    val gw = new Gateway(TestBase.parityGraph())
+    gw.registerQuery("users_over", Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("n"),
+        g().nWithLabel("ParityUser")
+          .where(Predicate.GteExpr("age", Expr.Param("min_age"))).count().t))),
+      returns = Seq("n")),
+      params = Seq("min_age" -> QueryBundle.Scalar("I64")))
+    val tools = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":3,"method":"tools/list"}""")
+      .get("result").get("tools")
+    val names = (0 until tools.size).map(tools.get(_).get("name").asText)
+    assert(names.contains("users_over"))
+    assert(names.contains("graft.query"))
+    val uo = (0 until tools.size).map(tools.get)
+      .find(_.get("name").asText == "users_over").get
+    val schema = uo.get("inputSchema")
+    assert(schema.get("type").asText == "object")
+    assert(schema.get("properties").get("min_age").get("type").asText == "integer")
+    assert(schema.get("required").get(0).asText == "min_age")
+    // the tool inventory tracks the live route table: redeploy drops it
+    gw.loadBundle(QueryBundle.render(Map.empty))
+    val after = mcpTree(gw, """{"jsonrpc":"2.0","id":4,"method":"tools/list"}""")
+      .get("result").get("tools")
+    assert((0 until after.size).map(after.get(_).get("name").asText)
+      == Seq("graft.query"))
+  }
+
+  test("mcp tools/call runs a stored route and the dynamic query tool") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    import graft.server.QueryBundle
+    val gw = new Gateway(TestBase.parityGraph())
+    gw.registerQuery("users_over", Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("n"),
+        g().nWithLabel("ParityUser")
+          .where(Predicate.GteExpr("age", Expr.Param("min_age"))).count().t))),
+      returns = Seq("n")),
+      params = Seq("min_age" -> QueryBundle.Scalar("I64")))
+    val call = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call",
+        "params":{"name":"users_over","arguments":{"min_age":30}}}""")
+    assert(!call.get("result").get("isError").asBoolean)
+    assert(call.get("result").get("content").get(0).get("text").asText
+      == """{"n":2}""")
+    val dyn = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":6,"method":"tools/call",
+        "params":{"name":"graft.query","arguments":{"request":
+        {"request_type":"read","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"N":"All"},"Count"],"condition":null}}],
+        "returns":["c"]},"parameters":{}}}}}""")
+    assert(!dyn.get("result").get("isError").asBoolean)
+    assert(dyn.get("result").get("content").get(0).get("text").asText
+      == """{"c":3}""")
+  }
+
+  test("mcp protocol faults use jsonrpc errors; tool faults report in-band") {
+    val gw = new Gateway(TestBase.parityGraph())
+    val parse = mcpTree(gw, "{nope")
+    assert(parse.get("error").get("code").asInt == -32700)
+    val unknownMethod = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":7,"method":"resources/list"}""")
+    assert(unknownMethod.get("error").get("code").asInt == -32601)
+    val unknownTool = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":8,"method":"tools/call",
+        "params":{"name":"no_such_tool","arguments":{}}}""")
+    assert(unknownTool.get("error").get("code").asInt == -32602)
+    // a known tool that fails at runtime is an isError result, not a
+    // protocol error (per the MCP spec's tool-error convention)
+    val bad = mcpTree(gw,
+      """{"jsonrpc":"2.0","id":9,"method":"tools/call",
+        "params":{"name":"graft.query","arguments":{"request":
+        {"request_type":"read","query":{"queries":[],"returns":[]},
+        "parameters":{}}}}}""")
+    assert(!bad.has("error"))
+  }
+
+  test("mcp serves over HTTP at /mcp; 202 for notifications; off when disabled") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16973)
+    gw.start()
+    try {
+      def post(body: String): (Int, String) = {
+        val conn = new java.net.URL("http://localhost:16973/mcp")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, if (is == null) "" else new String(is.readAllBytes(), "UTF-8"))
+      }
+      val (code, body) = post(
+        """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")
+      assert(code == 200)
+      assert(body.contains("graft.query"))
+      val (nCode, nBody) = post(
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""")
+      assert(nCode == 202 && nBody.isEmpty)
+    } finally gw.stop()
+    val off = new Gateway(TestBase.parityGraph(), port = 16974, mcp = false)
+    off.start()
+    try {
+      val conn = new java.net.URL("http://localhost:16974/mcp")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("{}".getBytes("UTF-8"))
+      assert(conn.getResponseCode == 404)
+    } finally off.stop()
+  }
 }
