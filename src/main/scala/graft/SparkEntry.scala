@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -342,6 +342,29 @@ object SparkEntry {
     "q_doc_source_cap" -> ((s, d) =>
       Curation.capPerSource(docs(s, d), "source", "doc_id", maxPer = 20)
         .select("doc_id")),
+    // domain-mix recipe: keep half of src0, a quarter of src1, a tenth
+    // of everything else — per-row hash decision, broadcast-free scan
+    "q_doc_domain_mix" -> ((s, d) =>
+      Curation.sampleByRates(docs(s, d), "source", "doc_id",
+        rates = Map("src0" -> 5, "src1" -> 3), defaultNum = 1, den = 10)
+        .select("doc_id")),
+
+    // ---- training-data pipeline: decontamination + repetition
+    // (extension). Eval side = the doc_id % 10 = 7 held-out slice;
+    // its shingle set broadcasts, the corpus side never shuffles.
+    "q_doc_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontam.contamination(all.where(col("doc_id") % 10 =!= 7),
+        all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+    }),
+    "q_doc_decontam_keep" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontam.decontaminate(all.where(col("doc_id") % 10 =!= 7),
+        all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+        .select("doc_id")
+    }),
+    "q_doc_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*)),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -671,6 +694,36 @@ object SparkEntry {
     "q_doc_source_cap" -> ("SELECT doc_id FROM documents " +
       "QUALIFY row_number() OVER (PARTITION BY source ORDER BY " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) <= 20"),
+    "q_doc_domain_mix" -> ("SELECT doc_id FROM documents WHERE " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < " +
+      "CASE WHEN source = 'src0' THEN 5 WHEN source = 'src1' THEN 3 ELSE 1 END"),
+
+    // ---- decontamination: eval slice = doc_id % 10 = 7; a corpus doc
+    // is contaminated per shared distinct 3-gram shingle (hash algebra
+    // identical to the dedup family's shCte)
+    "q_doc_decontam" -> ("WITH " + shCte + ", " +
+      "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7) " +
+      "SELECT doc_id, count(*) AS n_hit FROM sh JOIN ev USING (s) " +
+      "WHERE doc_id % 10 <> 7 GROUP BY doc_id"),
+    "q_doc_decontam_keep" -> ("WITH " + shCte + ", " +
+      "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7), " +
+      "bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) " +
+      "WHERE sh.doc_id % 10 <> 7) " +
+      "SELECT doc_id FROM documents WHERE doc_id % 10 <> 7 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+    "q_doc_repetition" -> ("WITH " + tokCte + ", " +
+      "ng AS (SELECT doc_id, t, " +
+      "CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), " +
+      "i -> array_to_string(t[i+1:i+2], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END AS b, " +
+      "CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2), " +
+      "i -> array_to_string(t[i+1:i+3], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END AS g FROM toks) " +
+      "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, " +
+      "CASE WHEN len(t) > 0 THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) ELSE 0.0 END AS dup_word_frac, " +
+      "CASE WHEN len(b) > 0 THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4) ELSE 0.0 END AS dup_bigram_frac, " +
+      "CASE WHEN len(g) > 0 THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) ELSE 0.0 END AS dup_trigram_frac " +
+      "FROM ng"),
 
     // ---- multimodal: the engine decodes REAL PNGs; the oracle
     // recomputes every derived integer from the same id-formulas

@@ -46,6 +46,24 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
     df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < num)
 
+  /** Domain-mix sampling: per-source deterministic keep rates, the
+    * operator behind "20% web, 2× wiki epochs, downsample crawl"
+    * mixture recipes. A row survives iff `md5hash(id) % den <
+    * rates(source)` (sources absent from `rates` use `defaultNum`), so
+    * membership is a pure per-row function of (id, source): no RNG, no
+    * shuffle, stable under corpus growth AND under rate changes for
+    * other sources — re-weighting one domain never churns the others'
+    * kept sets. Rates above `den` keep everything (upsampling/multiple
+    * epochs is a repeat at read time, not a row multiplication here).
+    */
+  def sampleByRates(df: DataFrame, srcCol: String, idCol: String,
+      rates: Map[String, Int], defaultNum: Int, den: Int): DataFrame = {
+    val rate = rates.foldRight(lit(defaultNum): Column) {
+      case ((src, num), rest) => when(col(srcCol) === src, lit(num)).otherwise(rest)
+    }
+    df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < rate)
+  }
+
   /** Deterministic train/val/test assignment from the same id hash:
     * bucket = md5hash(id) % den, split by cumulative thresholds.
     * `cuts` are upper bounds per split, e.g.

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with a held-out evaluation set, the standard guard against
+  * eval contamination in LLM training corpora (13-gram overlap in
+  * GPT-3/PaLM-style pipelines; the n is a parameter here).
+  *
+  * Scale shape: the eval side is benchmarks — megabytes, not
+  * terabytes — so its distinct shingle-hash set is BROADCAST to the
+  * corpus scan. The 100 TB corpus is never shuffled: each corpus
+  * partition streams its shingles against the in-memory eval set and
+  * emits per-doc hit counts through a partial aggregation. Shingles
+  * ride as 60-bit md5 longs (Dedup.shingleHashSet), so the broadcast
+  * is 8 bytes per eval shingle and the probe is a long-key hash join.
+  */
+object Decontam {
+
+  /** Per-document contamination report: `(idCol, n_hit)` where
+    * `n_hit` counts DISTINCT n-gram shingles the document shares with
+    * `evalSet` — docs with zero overlap are absent (filter or
+    * anti-join downstream as policy dictates). Both sides tokenize and
+    * shingle identically (Dedup.shingleHashSet), so a hit means the
+    * same n consecutive words appear in both.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val evalShingles = Dedup.shingleHashSet(evalSet, textCol, idCol, n)
+      .select(col("_sh")).distinct()
+    Dedup.shingleHashSet(corpus, textCol, idCol, n)
+      .join(broadcast(evalShingles), "_sh")
+      .groupBy(col("_did").as(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** The keep-side terminal: corpus rows whose overlap with `evalSet`
+    * stays under `maxHits` shared shingles (strictly-less; 1 drops any
+    * overlap at all). Broadcast anti-join against the (small)
+    * contaminated id set — the corpus again streams without a shuffle.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int, maxHits: Long = 1L): DataFrame = {
+    val bad = contamination(corpus, evalSet, textCol, idCol, n)
+      .where(col("n_hit") >= maxHits).select(idCol)
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+}

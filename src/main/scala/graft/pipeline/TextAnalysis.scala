@@ -72,4 +72,30 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** In-document repetition metrics (MassiveText/Gopher-style
+    * duplicate-n-gram filters): the share of n-grams that are repeats
+    * of an earlier n-gram in the SAME document, for n = 1..3. High
+    * values flag boilerplate, keyword stuffing, and generation loops —
+    * the standard pre-training quality cut alongside [[qualityColumns]].
+    *
+    * `dup_frac(n) = 1 - |distinct n-grams| / |n-grams|`, rounded for
+    * oracle-stable doubles; 0 for empty docs. Pure column expressions
+    * over one tokenization — scan speed, no shuffle, no UDF. Documents
+    * shorter than n tokens shingle to one whole-text n-gram
+    * (Dedup.shinglesOfTokens), so their dup fraction is 0 by
+    * construction.
+    */
+  def repetitionColumns(c: Column): Seq[Column] = {
+    val t = tokens(c)
+    def dupFrac(a: Column): Column =
+      when(size(a) > 0,
+        round(lit(1.0) - size(array_distinct(a)).cast("double") / size(a), 4))
+        .otherwise(lit(0.0))
+    Seq(
+      size(t).cast("long").as("n_words"),
+      dupFrac(t).as("dup_word_frac"),
+      dupFrac(Dedup.shinglesOfTokens(t, 2)).as("dup_bigram_frac"),
+      dupFrac(Dedup.shinglesOfTokens(t, 3)).as("dup_trigram_frac"))
+  }
 }

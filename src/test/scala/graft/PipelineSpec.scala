@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Curation, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, TextAnalysis}
 
 /** Training-data pipeline operators: dedup family, text analysis,
   * multimodal plumbing.
@@ -366,6 +366,63 @@ class PipelineSpec extends GraftSuite {
     }
     assert(got.keySet == (0L to 30L).filter(_ % 3 == 0).toSet)
     got.foreach { case (id, cs) => assert(cs == expect(id), s"media_id $id") }
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs() // 1/2/4 share trigrams; 3 and 5 are disjoint from eval
+    val eval = Seq((100L, "fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val hits = Decontam.contamination(corpus, eval, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L, 2L, 4L)) // share "fox jumps over" etc.
+    assert(hits(1L) == hits(4L)) // exact dups overlap identically
+    val kept = Decontam.decontaminate(corpus, eval, "text", "doc_id", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("decontamination broadcasts the eval side; corpus side has no shuffle before the join") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq((100L, "fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val plan = Decontam.contamination(docs(), eval, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$plan")
+  }
+
+  test("repetition metrics: dup fractions match hand counts and bound [0,1]") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"), // 4 words 1 distinct; 3 bigrams 1 distinct
+      (2L, "all words here differ"), // no repeats
+      (3L, ""), // empty: all fractions 0
+    ).toDF("doc_id", "text")
+    val m = df.select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((4L, 0.75, 0.6667, 0.5))) // bigram frac rounds to 4dp
+    assert(m(2L) == ((4L, 0.0, 0.0, 0.0)))
+    assert(m(3L) == ((0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("sampleByRates keeps per-source rates and ignores other sources' rate changes") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}", s"text $i")).toDF("doc_id", "source", "text")
+    val a = Curation.sampleByRates(df, "source", "doc_id",
+      Map("src0" -> 10, "src1" -> 2), defaultNum = 1, den = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // rate 10/10 keeps every src0 row
+    assert((0L until 400L by 4).forall(a.contains))
+    // re-weighting src1 must not churn the other sources' kept sets
+    val b = Curation.sampleByRates(df, "source", "doc_id",
+      Map("src0" -> 10, "src1" -> 7), defaultNum = 1, den = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.filter(_ % 4 != 1) == b.filter(_ % 4 != 1))
+    assert(a.filter(_ % 4 == 1).subsetOf(b)) // higher rate only adds
   }
 
   test("multimodal: image payloads REALLY decode, resize, and re-decode (ImageIO)") {
