@@ -72,11 +72,17 @@ object GraphWal {
   final case class StreamAttachment(kind: String, label: String, path: String)
 
   private final case class Manifest(snapshot: Option[String],
-      applied: Seq[String], streams: Seq[StreamAttachment])
+      applied: Seq[String], streams: Seq[StreamAttachment],
+      /** Monotonic count of write batches ever committed to this log —
+        * unlike `applied.size` it survives checkpoint truncation, so it
+        * serves as the replication position replicas ack and clients
+        * pin for read-your-writes routing.
+        */
+      commitSeq: Long)
 
   private def readManifest(root: String): Manifest = {
     val p = manifestPath(root)
-    if (!Files.exists(p)) Manifest(None, Nil, Nil)
+    if (!Files.exists(p)) Manifest(None, Nil, Nil, 0L)
     else {
       val tree = mapper.readTree(Files.readString(p))
       val snap = Option(tree.get("snapshot")).filterNot(_.isNull).map(_.asText)
@@ -86,7 +92,9 @@ object GraphWal {
         StreamAttachment(s.get("kind").asText, s.get("label").asText,
           s.get("path").asText)
       }.toSeq).getOrElse(Nil)
-      Manifest(snap, applied, streams)
+      val seq = Option(tree.get("commitSeq")).map(_.asLong)
+        .getOrElse(applied.size.toLong) // pre-field manifests: best effort
+      Manifest(snap, applied, streams, seq)
     }
   }
 
@@ -94,6 +102,7 @@ object GraphWal {
     val arr = F.arrayNode(); m.applied.foreach(arr.add)
     val obj = F.objectNode()
     m.snapshot.foreach(obj.put("snapshot", _))
+    obj.put("commitSeq", m.commitSeq)
     obj.set[com.fasterxml.jackson.databind.JsonNode]("applied", arr)
     val sarr = F.arrayNode()
     m.streams.foreach { s =>
@@ -128,8 +137,15 @@ object GraphWal {
     seg.set[com.fasterxml.jackson.databind.JsonNode]("parameters", pn)
     seg.set[com.fasterxml.jackson.databind.JsonNode]("batch", Json.writeBatchObj(batch))
     Files.writeString(walDir(root).resolve(name), mapper.writeValueAsString(seg))
-    writeManifest(root, m.copy(applied = m.applied :+ name))
+    writeManifest(root, m.copy(applied = m.applied :+ name,
+      commitSeq = m.commitSeq + 1))
   }
+
+  /** The log's current replication position: total write batches ever
+    * committed (monotonic across checkpoints). One small-file read —
+    * at scale, one object-store GET of the manifest.
+    */
+  def commitPosition(root: String): Long = readManifest(root).commitSeq
 
   /** Register a streaming file-sink directory as part of this store's
     * durable state (call before or after starting the stream; a missing
@@ -150,19 +166,67 @@ object GraphWal {
     * order. Returns the recovered store (ids/indexes identical to the
     * pre-crash live store).
     */
-  def recover(spark: SparkSession, root: String): GraphStore = {
+  def recover(spark: SparkSession, root: String): GraphStore =
+    openReplica(spark, root).served
+
+  /** A read replica's tracked view of one WAL: `base` is
+    * snapshot + replayed segments — bit-identical to the writer's live
+    * store at `position` (same BatchExecutor, same id seeding) —
+    * and `served` adds the streaming-sink overlays on top. Replicas
+    * replay against `base` so incremental catch-up stays on the exact
+    * path the writer executed; the overlay re-derives lazily (it is
+    * plan construction, not a job).
+    */
+  final case class ReplicaState(base: GraphStore, served: GraphStore,
+      private[model] val snapshot: Option[String],
+      private[model] val applied: Seq[String],
+      private[model] val streams: Seq[StreamAttachment],
+      position: Long)
+
+  private def replaySegment(root: String, store: GraphStore,
+      name: String): GraphStore = {
+    val tree = mapper.readTree(Files.readString(walDir(root).resolve(name)))
+    val params = Option(tree.get("parameters")).map { pn =>
+      pn.properties.asScala.map(e => e.getKey -> Json.readValue(e.getValue)).toMap
+    }.getOrElse(Map.empty[String, PropertyValue])
+    val batch = Json.readBatchObj(tree.get("batch"), write = true)
+    new BatchExecutor(store, params).execute(batch).store
+  }
+
+  /** Open a replica view at the log's current position (full load:
+    * snapshot + every committed segment + stream overlays).
+    */
+  def openReplica(spark: SparkSession, root: String): ReplicaState = {
     val m = readManifest(root)
     var store = GraphPersistence.load(spark,
       m.snapshot.map(s => s"$root/$s").getOrElse(root))
-    m.applied.foreach { name =>
-      val tree = mapper.readTree(Files.readString(walDir(root).resolve(name)))
-      val params = Option(tree.get("parameters")).map { pn =>
-        pn.properties.asScala.map(e => e.getKey -> Json.readValue(e.getValue)).toMap
-      }.getOrElse(Map.empty[String, PropertyValue])
-      val batch = Json.readBatchObj(tree.get("batch"), write = true)
-      store = new BatchExecutor(store, params).execute(batch).store
+    m.applied.foreach(name => store = replaySegment(root, store, name))
+    val served = m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
+    ReplicaState(store, served, m.snapshot, m.applied, m.streams, m.commitSeq)
+  }
+
+  /** Catch a replica up to the log's current position. Unchanged log →
+    * returns `st` itself (reference-equal; the no-op fast path costs
+    * one manifest read). New segments on the same snapshot replay
+    * INCREMENTALLY over `st.base` — catch-up cost is proportional to
+    * the writes since the last refresh, not the store size. A snapshot
+    * flip (writer checkpointed) or a truncated/rewritten log falls
+    * back to a full [[openReplica]].
+    */
+  def advanceReplica(spark: SparkSession, root: String,
+      st: ReplicaState): ReplicaState = {
+    val m = readManifest(root)
+    if (m.commitSeq == st.position && m.streams == st.streams) st
+    else if (m.snapshot != st.snapshot ||
+        m.applied.take(st.applied.size) != st.applied)
+      openReplica(spark, root)
+    else {
+      var store = st.base
+      m.applied.drop(st.applied.size)
+        .foreach(name => store = replaySegment(root, store, name))
+      val served = m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
+      ReplicaState(store, served, m.snapshot, m.applied, m.streams, m.commitSeq)
     }
-    m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
   }
 
   /** Overlay one attached streaming sink onto the store. Reading the
@@ -213,7 +277,9 @@ object GraphWal {
     // stream attachments survive compaction: the sinks keep appending
     // after the fold, and the idempotent overlay absorbs any rows the
     // snapshot already contains
-    writeManifest(root, Manifest(Some(next), Nil, m.streams))
+    // commitSeq carries across the fold: the position of a committed
+    // write never changes, only where replicas read it from
+    writeManifest(root, Manifest(Some(next), Nil, m.streams, m.commitSeq))
     m.applied.foreach(n => Files.deleteIfExists(walDir(root).resolve(n)))
   }
 }

@@ -58,6 +58,19 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
 
   def currentStore: GraphStore = store
 
+  /** Replication hook: swap in a newer store version (Router's read
+    * replicas refresh through this). Only for gateways that never take
+    * local writes — a swap racing a local write batch would silently
+    * drop whichever published first.
+    */
+  private[server] def replaceStore(s: GraphStore): Unit = { store = s }
+
+  /** Whether a deployed stored route is a write route (None: unknown
+    * name) — the Router's dispatch decision for `/v1/query/<name>`.
+    */
+  private[server] def storedIsWrite(name: String): Option[Boolean] =
+    Option(stored.get(name)).map(_.write)
+
   /** Deploy a stored query (the reference's registered-query surface:
     * `#[register]` fn -> queries.json bundle -> POST /v1/query/<name>
     * with a JSON params body, SURVEY §3.3).

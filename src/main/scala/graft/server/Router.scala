@@ -1,0 +1,185 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.ast.Json
+import graft.model.{GraphStore, GraphWal}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Single-writer / many-readers serving topology over one WAL — the
+  * reference cloud's deployment shape ("queries are routed to the
+  * writer or the read replicas", README.md:221; `x-helix-require-writer`
+  * routing header, sdks/rust/src/lib.rs:270-298), realized Spark-side:
+  *
+  *  - ONE writer [[Gateway]] owns the store lineage: every write batch
+  *    commits to the GraphWal segment log before its store publishes.
+  *  - N [[ReadReplica]]s serve reads from their own store view, caught
+  *    up by tailing the SAME log (GraphWal.advanceReplica): catch-up
+  *    replays only the segments committed since the replica's last
+  *    refresh — cost proportional to write traffic, not store size.
+  *  - Dispatch: write batches, stored write routes, and requests
+  *    carrying `x-helix-require-writer: true` go to the writer;
+  *    everything else round-robins across replicas.
+  *
+  * Consistency: a write ack carries `x-graft-wal-position` (the log's
+  * monotonic commit position). A client that needs read-your-writes
+  * sends it back as `x-graft-min-position`; the serving replica
+  * refreshes past that position before answering. By default every
+  * read refreshes to the log head first (read-committed; the no-change
+  * fast path is one manifest read). `x-graft-stale: true` skips the
+  * refresh entirely and serves the replica's current view — the
+  * zero-coordination path for throughput-over-freshness readers.
+  *
+  * In this single-JVM build the replicas are in-process (local[32]
+  * stands in for the cluster); across machines each replica is the
+  * same object tailing the same manifest on shared storage — nothing
+  * in the protocol assumes shared memory.
+  */
+final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
+    numReaders: Int = 2, maxResponseRows: Int = 10000,
+    workerThreads: Int = 8) {
+  require(numReaders >= 1, "a Router needs at least one read replica")
+
+  val writer = new Gateway(GraphWal.recover(spark, walRoot),
+    maxResponseRows = maxResponseRows, walRoot = Some(walRoot), mcp = false)
+  private val readers = Array.tabulate(numReaders)(
+    i => new ReadReplica(spark, walRoot, maxResponseRows, i))
+  private val rr = new AtomicInteger(0)
+  private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Deploy to the writer AND every replica (all serve the route; the
+    * writer's copy is authoritative for the write/read dispatch bit).
+    */
+  def registerQuery(name: String, batch: graft.ast.Batch,
+      params: Seq[(String, QueryBundle.PTy)] = Nil): Unit = {
+    writer.registerQuery(name, batch, params)
+    readers.foreach(_.gateway.registerQuery(name, batch, params))
+  }
+
+  def loadBundle(json: String): Int = {
+    val n = writer.loadBundle(json)
+    readers.foreach(_.gateway.loadBundle(json))
+    n
+  }
+
+  def readerPositions: Seq[Long] = readers.map(_.position).toSeq
+
+  /** Dispatch one request (the in-process entry the HTTP handler and
+    * embedded callers share). `sub` is the stored-route name ("" for
+    * the inline envelope); returns (response body, response headers).
+    */
+  def route(sub: String, body: String,
+      hdr: String => Option[String]): (String, Map[String, String]) = {
+    val toWriter = hdr("x-helix-require-writer").exists(_.trim.toLowerCase == "true") ||
+      (if (sub.nonEmpty) writer.storedIsWrite(sub).getOrElse(false)
+       else Json.parseRequest(body).batch.write)
+    if (toWriter) {
+      val (resp, truncated) =
+        if (sub.nonEmpty) writer.handleStoredT(sub, body) else writer.handleT(body)
+      respond(resp, truncated, "writer", GraphWal.commitPosition(walRoot))
+    } else {
+      val r = readers(math.floorMod(rr.getAndIncrement(), readers.length))
+      val minPos = hdr("x-graft-min-position").flatMap(_.toLongOption).getOrElse(-1L)
+      val stale = hdr("x-graft-stale").exists(_.trim.toLowerCase == "true")
+      val pos = if (stale && r.position >= minPos) r.position else r.refresh()
+      if (pos < minPos)
+        (s"""{"error":"replica behind requested position: $pos < $minPos"}""",
+          Map("x-helix-served-by" -> r.name))
+      else {
+        val (resp, truncated) =
+          if (sub.nonEmpty) r.gateway.handleStoredT(sub, body)
+          else r.gateway.handleT(body)
+        respond(resp, truncated, r.name, pos)
+      }
+    }
+  }
+
+  private def respond(resp: String, truncated: Boolean, servedBy: String,
+      pos: Long): (String, Map[String, String]) = {
+    val base = Map("x-helix-served-by" -> servedBy,
+      "x-graft-wal-position" -> pos.toString)
+    (resp, if (truncated) base + ("x-graft-truncated" -> "true") else base)
+  }
+
+  /** Cluster status: writer commit position + each replica's ack. */
+  def status: String = {
+    val rs = readers.zipWithIndex
+      .map { case (r, i) => s""""reader-$i":${r.position}""" }.mkString(",")
+    s"""{"wal_position":${GraphWal.commitPosition(walRoot)},"readers":{$rs}}"""
+  }
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/v1/query", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val sub = ex.getRequestURI.getPath.stripPrefix("/v1/query").stripPrefix("/")
+        val (resp, headers) =
+          try route(sub, body, n => Option(ex.getRequestHeaders.getFirst(n)))
+          catch { case e: Exception =>
+            (s"""{"error":${quote(e.getMessage)}}""", Map.empty[String, String])
+          }
+        headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+        send(ex, resp)
+      }
+    })
+    server.createContext("/v1/cluster", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = send(ex, status)
+    })
+    pool = java.util.concurrent.Executors.newFixedThreadPool(workerThreads)
+    server.setExecutor(pool)
+    server.start()
+  }
+
+  private def send(ex: HttpExchange, resp: String): Unit = {
+    val bytes = resp.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+/** One read replica: a read-only Gateway over a store view tailed from
+  * the WAL. `refresh` is the only mutator and synchronizes with
+  * itself; `position` reads are volatile (a concurrent refresh is
+  * visible or not — either way a consistent (store, position) pair
+  * serves the request).
+  */
+private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
+    maxResponseRows: Int, index: Int) {
+  @volatile private var st = GraphWal.openReplica(spark, walRoot)
+  private[server] val gateway =
+    new Gateway(st.served, maxResponseRows = maxResponseRows, mcp = false)
+  private[server] val name = s"reader-$index"
+
+  def position: Long = st.position
+
+  /** Catch up to the log head; no-op (one manifest read) when nothing
+    * new committed. Returns the acked position.
+    */
+  def refresh(): Long = synchronized {
+    val next = GraphWal.advanceReplica(spark, walRoot, st)
+    if (next ne st) { st = next; gateway.replaceStore(next.served) }
+    next.position
+  }
+}

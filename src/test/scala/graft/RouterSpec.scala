@@ -1,0 +1,131 @@
+package graft
+
+import graft.model.GraphWal
+import graft.server.Router
+
+/** Single-writer / many-readers routing over one WAL: dispatch rules,
+  * replica catch-up (incremental + across checkpoints), and the
+  * read-your-writes position handshake.
+  */
+class RouterSpec extends GraftSuite {
+
+  private def walRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("grouter").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    dir
+  }
+
+  private def addN(name: String): String =
+    s"""{"request_type":"write","query":{"queries":[{"Query":{"name":"created",
+      "steps":[{"AddN":{"label":"ParityUser","properties":[
+      ["name",{"Value":{"String":"$name"}}]]}}],"condition":null}}],
+      "returns":["created"]},"parameters":{}}"""
+
+  private val countUsers =
+    """{"request_type":"read","query":{"queries":[{"Query":{"name":"n",
+      "steps":[{"NWhere":{"Eq":["$label",{"String":"ParityUser"}]}},"Count"],
+      "condition":null}}],"returns":["n"]},"parameters":{}}"""
+
+  private val noHdr: String => Option[String] = _ => None
+
+  test("writes go to the writer with a wal position; default reads see them via refresh") {
+    val router = new Router(spark, walRoot(), numReaders = 2)
+    val (_, wh) = router.route("", addN("Dana"), noHdr)
+    assert(wh("x-helix-served-by") == "writer")
+    assert(wh("x-graft-wal-position") == "1")
+    // default read refreshes to the log head before serving
+    val (body, rh) = router.route("", countUsers, noHdr)
+    assert(body == """{"n":4}""")
+    assert(rh("x-helix-served-by").startsWith("reader-"))
+    assert(rh("x-graft-wal-position") == "1")
+  }
+
+  test("reads round-robin across replicas; require-writer overrides to the writer") {
+    val router = new Router(spark, walRoot(), numReaders = 2)
+    val served = (1 to 4).map(_ => router.route("", countUsers, noHdr)._2("x-helix-served-by"))
+    assert(served.toSet == Set("reader-0", "reader-1"))
+    assert(served(0) != served(1)) // alternates
+    val (_, h) = router.route("", countUsers,
+      n => if (n == "x-helix-require-writer") Some("true") else None)
+    assert(h("x-helix-served-by") == "writer")
+  }
+
+  test("stale reads skip catch-up; min-position forces it (read-your-writes)") {
+    val router = new Router(spark, walRoot(), numReaders = 1)
+    router.route("", addN("Dana"), noHdr) // replica still at position 0
+    val (stale, sh) = router.route("", countUsers,
+      n => if (n == "x-graft-stale") Some("true") else None)
+    assert(stale == """{"n":3}""") // served the pre-write view
+    assert(sh("x-graft-wal-position") == "0")
+    // pinning the write's position forces catch-up even on a stale read
+    val (fresh, fh) = router.route("", countUsers, n => n match {
+      case "x-graft-stale" => Some("true")
+      case "x-graft-min-position" => Some("1")
+      case _ => None
+    })
+    assert(fresh == """{"n":4}""")
+    assert(fh("x-graft-wal-position") == "1")
+  }
+
+  test("replica catch-up is incremental and survives a writer checkpoint") {
+    val dir = walRoot()
+    var st = GraphWal.openReplica(spark, dir)
+    assert(st.position == 0)
+    assert(GraphWal.advanceReplica(spark, dir, st) eq st) // unchanged log: no-op fast path
+
+    val router = new Router(spark, dir, numReaders = 1)
+    router.route("", addN("Dana"), noHdr)
+    router.route("", addN("Eve"), noHdr)
+    st = GraphWal.advanceReplica(spark, dir, st) // incremental: replays 2 segments
+    assert(st.position == 2)
+
+    // writer checkpoints (snapshot flips, log truncates), then writes more
+    GraphWal.checkpoint(router.writer.currentStore, dir)
+    router.route("", addN("Frank"), noHdr)
+    st = GraphWal.advanceReplica(spark, dir, st) // snapshot flip: full reopen
+    assert(st.position == 3)
+    val names = st.served.nodesFor("ParityUser").select("name")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("Dana", "Eve", "Frank").subsetOf(names))
+    // the router's own replica converges to the same position
+    router.route("", countUsers, noHdr)
+    assert(router.readerPositions == Seq(3L))
+  }
+
+  test("stored routes dispatch by their write bit; HTTP surface serves cluster status") {
+    val dir = walRoot()
+    val router = new Router(spark, dir, port = 16990, numReaders = 1)
+    val read = graft.ast.Json.parseRequest(countUsers)
+    val write = graft.ast.Json.parseRequest(addN("Gail"))
+    router.registerQuery("cnt", read.batch)
+    router.registerQuery("mk", write.batch)
+    val (_, rh) = router.route("cnt", "{}", noHdr)
+    assert(rh("x-helix-served-by") == "reader-0")
+    val (_, wh) = router.route("mk", "{}", noHdr)
+    assert(wh("x-helix-served-by") == "writer")
+    assert(wh("x-graft-wal-position") == "1")
+
+    router.start()
+    try {
+      def get(path: String): String = {
+        val conn = new java.net.URL(s"http://localhost:16990$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      }
+      def post(path: String, body: String): (String, String) = {
+        val conn = new java.net.URL(s"http://localhost:16990$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        (new String(conn.getInputStream.readAllBytes(), "UTF-8"),
+          conn.getHeaderField("x-helix-served-by"))
+      }
+      val (body, servedBy) = post("/v1/query", countUsers)
+      assert(body == """{"n":4}""") // Gail visible: read refreshed past the write
+      assert(servedBy == "reader-0")
+      val status = get("/v1/cluster")
+      assert(status.contains(""""wal_position":1"""))
+      assert(status.contains(""""reader-0":1"""))
+    } finally router.stop()
+  }
+}
