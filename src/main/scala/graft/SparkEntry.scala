@@ -57,7 +57,8 @@ object SparkEntry {
     "q_out_count", "q_repeat2", "q_group_count", "q_agg_sum", "q_orderby_limit",
     "q_compare_expr", "q_coalesce", "q_vector_knn", "q_text_bm25",
     "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
-    "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum")
+    "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
+    "q_doc_decontam", "q_doc_repetition")
 
   import SortOrder.{Asc, Desc}
 

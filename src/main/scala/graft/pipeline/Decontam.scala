@@ -22,16 +22,28 @@ object Decontam {
     * `n_hit` counts DISTINCT n-gram shingles the document shares with
     * `evalSet` — docs with zero overlap are absent (filter or
     * anti-join downstream as policy dictates). Both sides tokenize and
-    * shingle identically (Dedup.shingleHashSet), so a hit means the
-    * same n consecutive words appear in both.
+    * shingle identically (Dedup.shingles hash family), so a hit means
+    * the same n consecutive words appear in both.
+    *
+    * The corpus side deliberately does NOT reuse Dedup.shingleHashSet:
+    * its per-(doc, shingle) `distinct()` is a full-corpus shuffle. Here
+    * the dedup happens WITHIN each row (`array_distinct` over the
+    * doc's shingle-hash array) before the explode, so the corpus path
+    * is scan → explode → broadcast-probe with zero exchanges; the only
+    * shuffle left is the final per-doc count over rows that survived
+    * the probe — the contaminated sliver, not the corpus.
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
     val evalShingles = Dedup.shingleHashSet(evalSet, textCol, idCol, n)
       .select(col("_sh")).distinct()
-    Dedup.shingleHashSet(corpus, textCol, idCol, n)
+    val docShingles = array_distinct(transform(
+      Dedup.shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+    corpus
+      .select(col(idCol), explode(docShingles).as("_sh"))
       .join(broadcast(evalShingles), "_sh")
-      .groupBy(col("_did").as(idCol))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit"))
   }
 
