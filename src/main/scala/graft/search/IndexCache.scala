@@ -112,15 +112,32 @@ object IndexCache {
   /** Drop (and unpersist) every artifact built for a store version other
     * than `current` — the post-write lifecycle hook.
     */
-  def evictOthers(current: String): Unit = {
+  def evictOthers(current: String, alsoLive: Set[String] = Set.empty): Unit = {
+    val keep = alsoLive + current
     text.keySet.forEach { k =>
-      if (k._1 != current) {
+      if (!keep.contains(k._1)) {
         val v = text.remove(k)
         if (v != null) { v._1.unpersist(false); v._2.unpersist(false) }
       }
     }
-    ivf.keySet.forEach { k => if (k._1 != current) ivf.remove(k) }
-    counts.keySet.forEach { k => if (k._1 != current) counts.remove(k) }
+    ivf.keySet.forEach { k => if (!keep.contains(k._1)) ivf.remove(k) }
+    counts.keySet.forEach { k => if (!keep.contains(k._1)) counts.remove(k) }
+  }
+
+  /** Evict ONE version's artifacts (a replica dropping its superseded
+    * view migrates unchanged labels forward first, then clears the
+    * remainder here — the replica-side mirror of the writer's
+    * migrate + evictOthers sequence).
+    */
+  def evictVersion(version: String): Unit = {
+    text.keySet.forEach { k =>
+      if (k._1 == version) {
+        val v = text.remove(k)
+        if (v != null) { v._1.unpersist(false); v._2.unpersist(false) }
+      }
+    }
+    ivf.keySet.forEach { k => if (k._1 == version) ivf.remove(k) }
+    counts.keySet.forEach { k => if (k._1 == version) counts.remove(k) }
   }
 
   /** Number of cached artifacts (for tests/diagnostics). */

@@ -43,7 +43,14 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       * reference's `DbConfig.mcp: bool = true` instance toggle
       * (helix-cli/src/config.rs:173,243).
       */
-    mcp: Boolean = true) {
+    mcp: Boolean = true,
+    /** Store versions that must survive post-write artifact eviction in
+      * addition to this gateway's own — a Router passes its read
+      * replicas' current versions so a write doesn't cold-start every
+      * reader's BM25/IVF artifacts (the single-live-store assumption
+      * relaxed to known-live-stores).
+      */
+    liveVersions: () => Set[String] = () => Set.empty) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -162,7 +169,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       }
       graft.search.IndexCache.migrate(prev.version, out.store.version, unchanged)
       store = out.store
-      graft.search.IndexCache.evictOthers(store.version)
+      graft.search.IndexCache.evictOthers(store.version, liveVersions())
       renderResults(out.results)
     } else {
       val out = new BatchExecutor(store, params).execute(batch)

@@ -45,7 +45,12 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
   require(numReaders >= 1, "a Router needs at least one read replica")
 
   val writer = new Gateway(GraphWal.recover(spark, walRoot),
-    maxResponseRows = maxResponseRows, walRoot = Some(walRoot), mcp = false)
+    maxResponseRows = maxResponseRows, walRoot = Some(walRoot), mcp = false,
+    // a writer-side write must not cold-start the readers: their store
+    // versions stay live through artifact eviction (readers is still
+    // null while the writer recovers — guard the early window)
+    liveVersions = () => Option(readers).map(_.map(_.gateway.currentStore.version).toSet)
+      .getOrElse(Set.empty))
   private val readers = Array.tabulate(numReaders)(
     i => new ReadReplica(spark, walRoot, maxResponseRows, i))
   private val rr = new AtomicInteger(0)
@@ -68,6 +73,9 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
   }
 
   def readerPositions: Seq[Long] = readers.map(_.position).toSeq
+
+  private[graft] def readerVersions: Seq[String] =
+    readers.map(_.gateway.currentStore.version).toSeq
 
   /** Dispatch one request (the in-process entry the HTTP handler and
     * embedded callers share). `sub` is the stored-route name ("" for
@@ -176,10 +184,27 @@ private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
 
   /** Catch up to the log head; no-op (one manifest read) when nothing
     * new committed. Returns the acked position.
+    *
+    * Artifact continuity mirrors the writer's write path: labels whose
+    * tables kept reference identity across the advance migrate their
+    * cached BM25/IVF artifacts to the new store version (incremental
+    * replay leaves untouched labels `eq`), then the superseded
+    * version's remainder evicts — a refresh only cold-starts the
+    * labels the replayed writes actually touched.
     */
   def refresh(): Long = synchronized {
+    val prev = st.served
     val next = GraphWal.advanceReplica(spark, walRoot, st)
-    if (next ne st) { st = next; gateway.replaceStore(next.served) }
+    if (next ne st) {
+      val unchanged = (prev.nodeTables.keySet ++ prev.edgeTables.keySet).filter { l =>
+        prev.nodeTables.get(l).forall(df => next.served.nodeTables.get(l).exists(_ eq df)) &&
+          prev.edgeTables.get(l).forall(df => next.served.edgeTables.get(l).exists(_ eq df))
+      }
+      graft.search.IndexCache.migrate(prev.version, next.served.version, unchanged)
+      graft.search.IndexCache.evictVersion(prev.version)
+      st = next
+      gateway.replaceStore(next.served)
+    }
     next.position
   }
 }

@@ -92,6 +92,31 @@ class RouterSpec extends GraftSuite {
     assert(router.readerPositions == Seq(3L))
   }
 
+  test("writer writes spare reader artifacts; refresh migrates untouched labels") {
+    import graft.search.IndexCache
+    val router = new Router(spark, walRoot(), numReaders = 1)
+    val rv0 = router.readerVersions.head
+    val users = TestBase.parityGraph().nodesFor("ParityUser")
+    val (p1, _) = IndexCache.textIndex(rv0, "ParityUser", "name", users)
+    // a write to a DIFFERENT label must not cold-start the reader's
+    // ParityUser artifact (writer eviction spares live reader versions)
+    router.route("",
+      """{"request_type":"write","query":{"queries":[{"Query":{"name":"c",
+        "steps":[{"AddN":{"label":"Other","properties":[]}}],"condition":null}}],
+        "returns":["c"]},"parameters":{}}""", noHdr)
+    val (p2, _) = IndexCache.textIndex(rv0, "ParityUser", "name",
+      sys.error("artifact was evicted"): org.apache.spark.sql.DataFrame)
+    assert(p2 eq p1)
+    // refresh replays the write; ParityUser kept reference identity, so
+    // its artifact migrates to the reader's NEW version (no rebuild)
+    router.route("", countUsers, noHdr)
+    val rv1 = router.readerVersions.head
+    assert(rv1 != rv0)
+    val (p3, _) = IndexCache.textIndex(rv1, "ParityUser", "name",
+      sys.error("artifact was not migrated"): org.apache.spark.sql.DataFrame)
+    assert(p3 eq p1)
+  }
+
   test("stored routes dispatch by their write bit; HTTP surface serves cluster status") {
     val dir = walRoot()
     val router = new Router(spark, dir, port = 16990, numReaders = 1)
