@@ -366,6 +366,8 @@ object SparkEntry {
     }),
     "q_doc_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*)),
+    "q_doc_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(docs(s, d), "text", n = 2, k = 20)),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -725,6 +727,12 @@ object SparkEntry {
       "CASE WHEN len(b) > 0 THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4) ELSE 0.0 END AS dup_bigram_frac, " +
       "CASE WHEN len(g) > 0 THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) ELSE 0.0 END AS dup_trigram_frac " +
       "FROM ng"),
+    "q_doc_top_ngrams" -> ("WITH " + tokCte + ", " +
+      "ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
+      "list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END) AS ngram FROM toks) " +
+      "SELECT ngram, count(*) AS cnt FROM ng GROUP BY ngram " +
+      "ORDER BY cnt DESC, ngram LIMIT 20"),
 
     // ---- multimodal: the engine decodes REAL PNGs; the oracle
     // recomputes every derived integer from the same id-formulas

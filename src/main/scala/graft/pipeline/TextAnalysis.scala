@@ -73,6 +73,24 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
 
+  /** Corpus-level top-k n-gram frequencies — the report behind
+    * contamination audits, boilerplate discovery, and tokenizer
+    * corpus prep. Counts every occurrence (not per-doc distinct).
+    * Scale shape: explode → hash aggregation with map-side partial
+    * combine (the shuffle carries one row per DISTINCT n-gram per
+    * partition, not per occurrence) → `TakeOrderedAndProject` for the
+    * k heads (per-partition top-k heaps, no global sort). Ties at the
+    * k boundary break on the n-gram string, so the returned SET is
+    * deterministic at any parallelism.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(tokens(col(textCol)).as("_t"))
+      .select(explode(graft.pipeline.Dedup.shinglesOfTokens(col("_t"), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
   /** In-document repetition metrics (MassiveText/Gopher-style
     * duplicate-n-gram filters): the share of n-grams that are repeats
     * of an earlier n-gram in the SAME document, for n = 1..3. High

@@ -408,6 +408,25 @@ class PipelineSpec extends GraftSuite {
     assert(m(3L) == ((0L, 0.0, 0.0, 0.0)))
   }
 
+  test("topNgrams counts occurrences with a deterministic tie-break at the k boundary") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "red fox red fox blue sky"),
+      (2L, "blue sky over the hill"),
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(df, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "red fox" x2, "blue sky" x2, then the count-1 ties in string order
+    assert(top(0) == ("blue sky", 2L) || top(1) == ("blue sky", 2L))
+    assert(top.take(2).map(_._1).toSet == Set("red fox", "blue sky"))
+    assert(top(2) == ("fox blue", 1L)) // first count-1 bigram alphabetically
+    // the plan takes per-partition top-k heaps, not a global sort
+    val plan = TextAnalysis.topNgrams(df, "text", 2, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("sampleByRates keeps per-source rates and ignores other sources' rate changes") {
     val s = spark
     import s.implicits._
