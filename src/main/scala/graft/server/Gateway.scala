@@ -282,10 +282,15 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
 
   def handle(body: String): String = handleT(body)._1
 
-  private[server] def handleT(body: String): (String, Boolean) = {
-    val req = Json.parseRequest(body)
+  private[server] def handleT(body: String): (String, Boolean) =
+    handleParsedT(Json.parseRequest(body))
+
+  /** Execute an already-parsed envelope (the Router parses once for
+    * its dispatch decision and hands the result here — a bulk-ingest
+    * envelope is megabytes of JSON, not worth decoding twice).
+    */
+  private[server] def handleParsedT(req: Json.Request): (String, Boolean) =
     executeBatch(req.batch, req.parameters)
-  }
 
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress(port), 0)

@@ -83,12 +83,19 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     */
   def route(sub: String, body: String,
       hdr: String => Option[String]): (String, Map[String, String]) = {
+    // parse the inline envelope ONCE: the dispatch decision needs its
+    // write bit, and the serving gateway reuses the parsed request (a
+    // bulk-ingest envelope is megabytes of JSON)
+    val parsed = if (sub.isEmpty) Some(Json.parseRequest(body)) else None
     val toWriter = hdr("x-helix-require-writer").exists(_.trim.toLowerCase == "true") ||
-      (if (sub.nonEmpty) writer.storedIsWrite(sub).getOrElse(false)
-       else Json.parseRequest(body).batch.write)
+      parsed.map(_.batch.write)
+        .getOrElse(writer.storedIsWrite(sub).getOrElse(false))
+    def serve(gw: Gateway): (String, Boolean) = parsed match {
+      case Some(req) => gw.handleParsedT(req)
+      case None => gw.handleStoredT(sub, body)
+    }
     if (toWriter) {
-      val (resp, truncated) =
-        if (sub.nonEmpty) writer.handleStoredT(sub, body) else writer.handleT(body)
+      val (resp, truncated) = serve(writer)
       respond(resp, truncated, "writer", GraphWal.commitPosition(walRoot))
     } else {
       val r = readers(math.floorMod(rr.getAndIncrement(), readers.length))
@@ -99,9 +106,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         (s"""{"error":"replica behind requested position: $pos < $minPos"}""",
           Map("x-helix-served-by" -> r.name))
       else {
-        val (resp, truncated) =
-          if (sub.nonEmpty) r.gateway.handleStoredT(sub, body)
-          else r.gateway.handleT(body)
+        val (resp, truncated) = serve(r.gateway)
         respond(resp, truncated, r.name, pos)
       }
     }
