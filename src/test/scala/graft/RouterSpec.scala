@@ -117,6 +117,34 @@ class RouterSpec extends GraftSuite {
     assert(p3 eq p1)
   }
 
+  test("concurrent reads during writes: every response is a consistent count") {
+    val router = new Router(spark, walRoot(), numReaders = 2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    try {
+      val writerTask = pool.submit(new Runnable {
+        override def run(): Unit =
+          (1 to 4).foreach(i => router.route("", addN(s"W$i"), noHdr))
+      })
+      val readerTasks = (1 to 4).map(_ => pool.submit(new Runnable {
+        override def run(): Unit = (1 to 5).foreach { _ =>
+          val (body, _) = router.route("", countUsers, noHdr)
+          if (body.startsWith("{\"n\":")) counts.add(body.stripPrefix("{\"n\":").stripSuffix("}").toLong)
+          else errors.add(body)
+        }
+      }))
+      writerTask.get(); readerTasks.foreach(_.get())
+      assert(errors.isEmpty, s"errors: $errors")
+      import scala.jdk.CollectionConverters._
+      // every observed count is a real store state: between the base 3
+      // and 3 + 4 writes, and the final read sees all of them
+      assert(counts.asScala.forall(c => c >= 3 && c <= 7), counts.asScala.toSeq)
+      val (fin, _) = router.route("", countUsers, noHdr)
+      assert(fin == """{"n":7}""")
+    } finally pool.shutdown()
+  }
+
   test("stored routes dispatch by their write bit; HTTP surface serves cluster status") {
     val dir = walRoot()
     val router = new Router(spark, dir, port = 16990, numReaders = 1)
