@@ -365,7 +365,7 @@ object SparkEntry {
         .select("doc_id")
     }),
     "q_doc_repetition" -> ((s, d) =>
-      docs(s, d).select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*)),
+      TextAnalysis.repetition(docs(s, d), "doc_id", "text")),
     "q_doc_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(docs(s, d), "text", n = 2, k = 20)),
 
@@ -714,18 +714,25 @@ object SparkEntry {
       "WHERE sh.doc_id % 10 <> 7) " +
       "SELECT doc_id FROM documents WHERE doc_id % 10 <> 7 " +
       "AND doc_id NOT IN (SELECT doc_id FROM bad)"),
+    // dup fractions count distinct 56-bit md5 TOKEN hashes combined
+    // arithmetically per n-gram (5·h(a)+h(b); 25·h(a)+5·h(b)+h(c)) —
+    // same formulas as the engine, so counts and collisions agree, and
+    // 31·2^56 < 2^61 keeps the combine inside DuckDB's non-wrapping
+    // BIGINT
     "q_doc_repetition" -> ("WITH " + tokCte + ", " +
-      "ng AS (SELECT doc_id, t, " +
-      "CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), " +
-      "i -> array_to_string(t[i+1:i+2], ' ')) " +
-      "ELSE [array_to_string(t, ' ')] END AS b, " +
-      "CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2), " +
-      "i -> array_to_string(t[i+1:i+3], ' ')) " +
-      "ELSE [array_to_string(t, ' ')] END AS g FROM toks) " +
-      "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, " +
-      "CASE WHEN len(t) > 0 THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) ELSE 0.0 END AS dup_word_frac, " +
-      "CASE WHEN len(b) > 0 THEN round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4) ELSE 0.0 END AS dup_bigram_frac, " +
-      "CASE WHEN len(g) > 0 THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4) ELSE 0.0 END AS dup_trigram_frac " +
+      "h AS (SELECT doc_id, t, len(t) AS nw, " +
+      "list_transform(t, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS th FROM toks), " +
+      "ng AS (SELECT doc_id, nw, th, " +
+      "CASE WHEN len(th) >= 2 THEN list_transform(range(len(th) - 1), " +
+      "i -> th[i+1] * 5 + th[i+2]) " +
+      "ELSE [('0x' || substr(md5(array_to_string(t, ' ')), 1, 14))::BIGINT] END AS bh, " +
+      "CASE WHEN len(th) >= 3 THEN list_transform(range(len(th) - 2), " +
+      "i -> th[i+1] * 25 + th[i+2] * 5 + th[i+3]) " +
+      "ELSE [('0x' || substr(md5(array_to_string(t, ' ')), 1, 14))::BIGINT] END AS gh FROM h) " +
+      "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, " +
+      "CASE WHEN len(th) > 0 THEN round(1.0 - CAST(len(list_distinct(th)) AS DOUBLE) / len(th), 4) ELSE 0.0 END AS dup_word_frac, " +
+      "CASE WHEN len(bh) > 0 THEN round(1.0 - CAST(len(list_distinct(bh)) AS DOUBLE) / len(bh), 4) ELSE 0.0 END AS dup_bigram_frac, " +
+      "CASE WHEN len(gh) > 0 THEN round(1.0 - CAST(len(list_distinct(gh)) AS DOUBLE) / len(gh), 4) ELSE 0.0 END AS dup_trigram_frac " +
       "FROM ng"),
     "q_doc_top_ngrams" -> ("WITH " + tokCte + ", " +
       "ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +

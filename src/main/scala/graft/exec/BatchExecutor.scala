@@ -13,11 +13,21 @@ import scala.collection.mutable
   * shared Compiler).
   */
 class BatchExecutor(initialStore: GraphStore,
-    baseParams: Map[String, PropertyValue] = Map.empty) {
+    baseParams: Map[String, PropertyValue] = Map.empty,
+    /** WAL replay forces the id seed the live batch recorded
+      * (Compiler.IdSeedControl doc); None = live execution.
+      */
+    forcedIdSeed: Option[Long] = None) {
+
+  private val seedCtl = new Compiler.IdSeedControl(forcedIdSeed)
 
   final case class Result(
       results: Map[String, DataFrame],
-      store: GraphStore)
+      store: GraphStore,
+      /** First id-allocation seed the batch used (None: allocated no
+        * ids) — logged into the WAL segment for deterministic replay.
+        */
+      idSeed: Option[Long])
 
   def execute(batch: Batch): Result = {
     val vars = mutable.Map.empty[String, Stream]
@@ -36,7 +46,7 @@ class BatchExecutor(initialStore: GraphStore,
       entries.foreach {
         case BatchEntry.Query(q) =>
           if (q.condition.forall(cond)) {
-            val comp = new Compiler(store, params, vars, writeEnabled = batch.write)
+            val comp = new Compiler(store, params, vars, writeEnabled = batch.write, idSeedCtl = seedCtl)
             comp.compilePublic(q.traversal) match {
               case Left(df) =>
                 q.name.foreach(n => results(n) = df)
@@ -84,7 +94,7 @@ class BatchExecutor(initialStore: GraphStore,
               case (_, PropertyInput.FromExpr(Expr.Param(_) | Expr.Constant(_))) => true
               case _ => false
             } =>
-        val comp = new Compiler(store, params, vars, writeEnabled = batch.write)
+        val comp = new Compiler(store, params, vars, writeEnabled = batch.write, idSeedCtl = seedCtl)
         try {
           val created = comp.addNodesBulk(label, props,
             items.map(_.asInstanceOf[PropertyValue.VObject].v))
@@ -103,6 +113,6 @@ class BatchExecutor(initialStore: GraphStore,
     val returned =
       if (batch.returns.isEmpty) results.toMap
       else batch.returns.flatMap(n => results.get(n).map(n -> _)).toMap
-    Result(returned, store)
+    Result(returned, store, seedCtl.firstSeed)
   }
 }

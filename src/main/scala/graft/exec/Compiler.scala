@@ -32,6 +32,31 @@ object Compiler {
     */
   val AddEBands = 64L
   val AddEBandCap: Long = 1L << 33
+
+  /** Batch-scoped control of the id-allocation seed. The first seed a
+    * batch computes can come from a max-scan fallback whose result
+    * depends on runtime state WAL replay cannot reconstruct (a
+    * streaming overlay's external ids, cleared marks), so the live
+    * batch RECORDS the seed it actually used (`firstSeed`, logged into
+    * the WAL segment) and replay FORCES the recorded value — ids come
+    * back bit-identical without re-deriving the environment that
+    * produced them. Subsequent compilers in the same batch seed from
+    * the high-water mark the previous one stamped, which is
+    * deterministic given the first.
+    */
+  final class IdSeedControl(forced: Option[Long] = None) {
+    private var pending = forced
+    @volatile private var first: Option[Long] = None
+    def firstSeed: Option[Long] = first
+    private[exec] def seed(default: => Long): Long = synchronized {
+      val s = pending match {
+        case Some(v) => pending = None; v
+        case None => default
+      }
+      if (first.isEmpty) first = Some(s)
+      s
+    }
+  }
 }
 
 /** Compiles a traversal (ordered Vec[Step], dsl.rs:3304-3311) into a
@@ -43,7 +68,9 @@ class Compiler(
     var store: GraphStore,
     val params: Map[String, PropertyValue] = Map.empty,
     val batchVars: mutable.Map[String, Stream] = mutable.Map.empty,
-    val writeEnabled: Boolean = false) {
+    val writeEnabled: Boolean = false,
+    /** Shared across a batch's compilers; see Compiler.IdSeedControl. */
+    val idSeedCtl: Compiler.IdSeedControl = new Compiler.IdSeedControl()) {
 
   import PropertyValue._
 
@@ -125,15 +152,32 @@ class Compiler(
     case VF32Array(a) => a.map(_.toDouble)
     case VF64Array(a) => a
     case VI64Array(a) => a.map(_.toDouble)
-    // a STRING query vector embeds engine-side (Embedder doc — the
-    // reference's search-with-text via its configured embedding_model)
-    case VString(s) =>
-      graft.search.Embedder.default.embed(s).toSeq.map(_.toDouble)
     case VArray(a) => a.map {
       case VF32(x) => x.toDouble; case VF64(x) => x; case VI64(x) => x.toDouble
       case other => throw new TraversalException(s"non-numeric vector element: $other")
     }
     case other => throw new TraversalException(s"not a vector: $other")
+  }
+
+  /** A query vector for a search against (label, prop). A STRING
+    * embeds engine-side — but ONLY when the property has a declared
+    * vector index, because then the stored vectors were embedded by
+    * the same engine Embedder and the dimensions are guaranteed to
+    * agree (the reference's embedding_model flow likewise applies to
+    * indexed properties). Against an undeclared property holding
+    * client-supplied vectors of arbitrary dimension, an embedded
+    * string would silently cosine-compare mismatched lengths
+    * (null-padded zip → all-null scores → arbitrary top-k), so it
+    * stays the explicit "not a vector" error.
+    */
+  private def asQueryVector(v: PropertyValue, label: String, prop: String,
+      isEdges: Boolean): Seq[Double] = v match {
+    case VString(s) if vectorIndexed(label, prop, isEdges) =>
+      graft.search.Embedder.default.embed(s).toSeq.map(_.toDouble)
+    case VString(_) => throw new TraversalException(
+      s"string query_vector requires a declared vector index on ($label, $prop) " +
+        "for engine-side embedding; pass a numeric vector instead")
+    case other => asDoubles(other)
   }
 
   private def asString(v: PropertyValue): String = v match {
@@ -528,11 +572,13 @@ class Compiler(
           cur = Some(base.copy(df = base.df.where(compilePred(base.df, p))))
         case Step.VectorSearchNodes(label, prop, tenant, qv, k) =>
           cur = Some(vectorSearch(store.nodesFor(label), Set(label), prop,
-            tenant.map(resolveInputValue), asDoubles(resolveInputValue(qv)),
+            tenant.map(resolveInputValue),
+            asQueryVector(resolveInputValue(qv), label, prop, isEdges = false),
             resolveStreamBound(k), isEdges = false))
         case Step.VectorSearchEdges(label, prop, tenant, qv, k) =>
           cur = Some(vectorSearch(store.edgesFor(label), Set(label), prop,
-            tenant.map(resolveInputValue), asDoubles(resolveInputValue(qv)),
+            tenant.map(resolveInputValue),
+            asQueryVector(resolveInputValue(qv), label, prop, isEdges = true),
             resolveStreamBound(k), isEdges = true))
         case Step.TextSearchNodes(label, prop, tenant, qt, k) =>
           cur = Some(textSearch(store.nodesFor(label), Set(label), prop,
@@ -700,13 +746,13 @@ class Compiler(
     * scan is a whole-corpus job).
     */
   private lazy val idBase = new java.util.concurrent.atomic.AtomicLong {
-    set(store.idHighWater.map(_ + 1).getOrElse {
+    set(idSeedCtl.seed(store.idHighWater.map(_ + 1).getOrElse {
       val maxNode = if (store.nodeTables.isEmpty) 0L
         else store.allNodes.agg(max(col("_id"))).head().getLong(0)
       val maxEdge = if (store.edgeTables.isEmpty) 0L
         else store.allEdges.agg(max(col("_id"))).head().getLong(0)
       math.max(maxNode, maxEdge) + 1
-    })
+    }))
   }
 
   /** Re-stamp the allocation mark after an id-allocating mutation (the
@@ -951,6 +997,21 @@ class Compiler(
         // Per-label update column: a vector-indexed property embeds
         // string inputs engine-side (embedIfIndexed doc).
         val labels = s.labels.getOrElse(if (s.isEdges) store.edgeLabels else store.nodeLabels)
+        // a string input to a property vector-indexed on only SOME of
+        // the stream's labels is rejected up front: the store would
+        // hold an embedding for indexed labels and the raw string for
+        // the rest, while the single continuing stream column can hold
+        // only one of the two types — same-batch reads would diverge
+        // from what was stored. Splitting the traversal per label makes
+        // each write unambiguous.
+        val embLabels = labels.filter(l => vectorIndexed(l, name, s.isEdges))
+        val inputIsString = s.df.select(inputCol(s.df, in)).schema.head.dataType ==
+          org.apache.spark.sql.types.StringType
+        if (inputIsString && embLabels.nonEmpty && embLabels != labels)
+          throw new TraversalException(
+            s"SetProperty($name): string input would embed on vector-indexed " +
+              s"label(s) ${embLabels.mkString(",")} but store raw text on " +
+              s"${(labels -- embLabels).mkString(",")} — split the traversal per label")
         labels.foreach { l =>
           val updates = s.df.select(col("_id").as("__uid"),
             embedIfIndexed(l, name, inputCol(s.df, in), s.df, s.isEdges).as("__newv"))
@@ -963,10 +1024,11 @@ class Compiler(
             .drop(name, "__uid", "__newv").withColumnRenamed("__tmp", name)
           store = if (s.isEdges) store.withEdges(l, upd) else store.withNodes(l, upd)
         }
-        // the continuing stream mirrors the store write when every
-        // target label agrees on the embedding decision
+        // the continuing stream mirrors the store write exactly: the
+        // mixed case was rejected above, so either every label embeds
+        // or none does
         val streamCol =
-          if (labels.nonEmpty && labels.forall(l => vectorIndexed(l, name, s.isEdges)))
+          if (labels.nonEmpty && embLabels == labels)
             embedIfIndexed(labels.head, name, inputCol(s.df, in), s.df, s.isEdges)
           else inputCol(s.df, in)
         s.copy(df = s.df.withColumn(name, streamCol))

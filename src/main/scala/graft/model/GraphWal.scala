@@ -125,11 +125,18 @@ object GraphWal {
     * (the Gateway's), in commit order.
     */
   def logWrite(root: String, batch: Batch,
-      params: Map[String, PropertyValue]): Unit = synchronized {
+      params: Map[String, PropertyValue],
+      /** First id-allocation seed the live batch used
+        * (BatchExecutor.Result.idSeed): recorded so replay can force
+        * it instead of re-deriving it from state the log cannot
+        * reconstruct (max-scan fallbacks over streaming overlays).
+        */
+      idSeed: Option[Long] = None): Unit = synchronized {
     Files.createDirectories(walDir(root))
     val m = readManifest(root)
     val name = s"seg-${m.applied.size + 1}.json"
     val seg = F.objectNode()
+    idSeed.foreach(seg.put("idSeed", _))
     val pn = F.objectNode()
     params.toSeq.sortBy(_._1).foreach { case (k, v) =>
       pn.set[com.fasterxml.jackson.databind.JsonNode](k, Json.writeValue(v))
@@ -190,13 +197,33 @@ object GraphWal {
       pn.properties.asScala.map(e => e.getKey -> Json.readValue(e.getValue)).toMap
     }.getOrElse(Map.empty[String, PropertyValue])
     val batch = Json.readBatchObj(tree.get("batch"), write = true)
-    new BatchExecutor(store, params).execute(batch).store
+    val idSeed = Option(tree.get("idSeed")).filterNot(_.isNull).map(_.asLong)
+    new BatchExecutor(store, params, forcedIdSeed = idSeed).execute(batch).store
   }
 
   /** Open a replica view at the log's current position (full load:
     * snapshot + every committed segment + stream overlays).
+    *
+    * A concurrent [[checkpoint]] deletes segment files AFTER flipping
+    * the manifest, so a reader holding the pre-flip manifest can find
+    * a listed segment gone — that is always a sign the manifest moved
+    * on, never corruption, so the load retries against the fresh
+    * manifest (bounded; more checkpoints than retries within one open
+    * would take deliberate sabotage).
     */
   def openReplica(spark: SparkSession, root: String): ReplicaState = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return openReplicaOnce(spark, root)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempts < 5 => // re-read manifest
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def openReplicaOnce(spark: SparkSession, root: String): ReplicaState = {
     val m = readManifest(root)
     var store = GraphPersistence.load(spark,
       m.snapshot.map(s => s"$root/$s").getOrElse(root))
@@ -221,11 +248,18 @@ object GraphWal {
         m.applied.take(st.applied.size) != st.applied)
       openReplica(spark, root)
     else {
-      var store = st.base
-      m.applied.drop(st.applied.size)
-        .foreach(name => store = replaySegment(root, store, name))
-      val served = m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
-      ReplicaState(store, served, m.snapshot, m.applied, m.streams, m.commitSeq)
+      try {
+        var store = st.base
+        m.applied.drop(st.applied.size)
+          .foreach(name => store = replaySegment(root, store, name))
+        val served = m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
+        ReplicaState(store, served, m.snapshot, m.applied, m.streams, m.commitSeq)
+      } catch {
+        // a checkpoint flipped the manifest and deleted a segment we
+        // were about to replay — the fresh manifest has the folded
+        // snapshot, so a full reopen converges
+        case _: java.nio.file.NoSuchFileException => openReplica(spark, root)
+      }
     }
   }
 

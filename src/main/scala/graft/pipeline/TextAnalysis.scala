@@ -98,22 +98,60 @@ object TextAnalysis {
     * the standard pre-training quality cut alongside [[qualityColumns]].
     *
     * `dup_frac(n) = 1 - |distinct n-grams| / |n-grams|`, rounded for
-    * oracle-stable doubles; 0 for empty docs. Pure column expressions
-    * over one tokenization — scan speed, no shuffle, no UDF. Documents
-    * shorter than n tokens shingle to one whole-text n-gram
+    * oracle-stable doubles; 0 for empty docs. No shuffle, no UDF.
+    * Documents shorter than n tokens shingle to one whole-text n-gram
     * (Dedup.shinglesOfTokens), so their dup fraction is 0 by
     * construction.
+    *
+    * Shape, tuned stage by stage at sf0.1 (56 s → 1.x s):
+    *  - STAGED projections (tokens, then token hashes, then n-gram
+    *    hashes, then metrics): expression trees re-evaluate at every
+    *    reference — no hoisting across higher-order-function lambdas,
+    *    and a Column used twice IS the tree twice — so each array
+    *    materializes as an attribute before anything references it
+    *    per-element (inlining everything measured 56 s; CollapseProject
+    *    keeps multi-referenced non-cheap aliases staged).
+    *  - Distinct over LONGS, not strings: `array_distinct` on string
+    *    arrays is a quadratic UTF8-compare loop per row; on longs a
+    *    primitive probe (staged strings still measured 7.0 s).
+    *  - Hash each TOKEN once (56-bit md5, the engine's shared hash
+    *    family), then combine n-gram hashes arithmetically —
+    *    `h(a,b) = 5·h(a)+h(b)`, `h(a,b,c) = 25·h(a)+5·h(b)+h(c)`,
+    *    overflow-free in a signed 64 at 56-bit inputs (31·2^56 < 2^61)
+    *    so the DuckDB oracle (which ERRORS on BIGINT overflow, unlike
+    *    Spark's silent wrap) mirrors it verbatim. Hashing every
+    *    shingle string separately is 3× the hashing work at any scale.
+    * Steady-state (codegen-warm): ~0.6 s for the full corpus scan at
+    * sf0.1 on local[32].
     */
-  def repetitionColumns(c: Column): Seq[Column] = {
-    val t = tokens(c)
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def h56(s: Column): Column =
+      conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+    // n-gram hash combine over the token-hash array at position i
+    // (1-based element_at); whole-text fallback matches
+    // shinglesOfTokens's short-doc convention
+    def ngramHashes(th: Column, t: Column, n: Int): Column = {
+      val weights = Seq.iterate(1L, n)(_ * 5).reverse // 25, 5, 1
+      when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - n), i =>
+          weights.zipWithIndex.map { case (w, k) =>
+            element_at(th, i + k + 1) * w
+          }.reduce(_ + _)))
+        .otherwise(array(h56(concat_ws(" ", t))))
+    }
     def dupFrac(a: Column): Column =
       when(size(a) > 0,
         round(lit(1.0) - size(array_distinct(a)).cast("double") / size(a), 4))
         .otherwise(lit(0.0))
-    Seq(
-      size(t).cast("long").as("n_words"),
-      dupFrac(t).as("dup_word_frac"),
-      dupFrac(Dedup.shinglesOfTokens(t, 2)).as("dup_bigram_frac"),
-      dupFrac(Dedup.shinglesOfTokens(t, 3)).as("dup_trigram_frac"))
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).cast("long").as("n_words"),
+        transform(col("_t"), s => h56(s)).as("_th"))
+      .select(col(idCol), col("n_words"), col("_th"),
+        ngramHashes(col("_th"), col("_t"), 2).as("_bh"),
+        ngramHashes(col("_th"), col("_t"), 3).as("_gh"))
+      .select(col(idCol), col("n_words"),
+        dupFrac(col("_th")).as("dup_word_frac"),
+        dupFrac(col("_bh")).as("dup_bigram_frac"),
+        dupFrac(col("_gh")).as("dup_trigram_frac"))
   }
 }

@@ -156,7 +156,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       // commit order: segment durable first, then the store publishes —
       // a crash between the two replays the batch on recovery (same
       // deterministic result), never loses an acked write
-      walRoot.foreach(graft.model.GraphWal.logWrite(_, batch, params))
+      walRoot.foreach(graft.model.GraphWal.logWrite(_, batch, params, out.idSeed))
       // copy-on-write: labels whose tables kept reference identity are
       // untouched by this batch — their index artifacts migrate to the
       // new version instead of rebuilding (only touched labels evict).

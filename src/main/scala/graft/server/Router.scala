@@ -47,9 +47,11 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
   val writer = new Gateway(GraphWal.recover(spark, walRoot),
     maxResponseRows = maxResponseRows, walRoot = Some(walRoot), mcp = false,
     // a writer-side write must not cold-start the readers: their store
-    // versions stay live through artifact eviction (readers is still
-    // null while the writer recovers — guard the early window)
-    liveVersions = () => Option(readers).map(_.map(_.gateway.currentStore.version).toSet)
+    // versions — including a refresh's in-flight target version, whose
+    // artifacts have migrated but whose store has not published yet —
+    // stay live through artifact eviction (readers is still null while
+    // the writer recovers — guard the early window)
+    liveVersions = () => Option(readers).map(_.flatMap(_.liveVersions).toSet)
       .getOrElse(Set.empty))
   private val readers = Array.tabulate(numReaders)(
     i => new ReadReplica(spark, walRoot, maxResponseRows, i))
@@ -181,11 +183,19 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
 private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
     maxResponseRows: Int, index: Int) {
   @volatile private var st = GraphWal.openReplica(spark, walRoot)
+  /** Version a refresh is migrating artifacts toward but has not
+    * published yet — live for eviction purposes (a writer-side evict
+    * racing the migrate window must spare it).
+    */
+  @volatile private var inFlight: Option[String] = None
   private[server] val gateway =
     new Gateway(st.served, maxResponseRows = maxResponseRows, mcp = false)
   private[server] val name = s"reader-$index"
 
   def position: Long = st.position
+
+  private[server] def liveVersions: Seq[String] =
+    gateway.currentStore.version +: inFlight.toSeq
 
   /** Catch up to the log head; no-op (one manifest read) when nothing
     * new committed. Returns the acked position.
@@ -205,10 +215,16 @@ private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
         prev.nodeTables.get(l).forall(df => next.served.nodeTables.get(l).exists(_ eq df)) &&
           prev.edgeTables.get(l).forall(df => next.served.edgeTables.get(l).exists(_ eq df))
       }
+      inFlight = Some(next.served.version)
       graft.search.IndexCache.migrate(prev.version, next.served.version, unchanged)
       graft.search.IndexCache.evictVersion(prev.version)
-      st = next
+      // store BEFORE position: a concurrent stale read that observes the
+      // new position must find the new store behind it (the store may
+      // lead the advertised position, never lag it — publishing st
+      // first would let a min-position check pass against the old view)
       gateway.replaceStore(next.served)
+      st = next
+      inFlight = None
     }
     next.position
   }

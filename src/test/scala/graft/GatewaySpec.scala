@@ -61,6 +61,25 @@ class GatewaySpec extends GraftSuite {
         "k":{"Literal":1}}},{"Values":["title"]}],
         "condition":null}}],"returns":["hit"]},"parameters":{}}""")
     assert(resp == """{"hit":"m2"}""", s"got: $resp")
+    // a string query against a property with NO declared vector index
+    // must error, not silently embed: client-supplied vectors there
+    // can have any dimension, and a mismatched cosine would null-pad
+    // to garbage scores
+    val bad = intercept[graft.exec.TraversalException] { gw.handle(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
+        "steps":[{"VectorSearchNodes":{"label":"Memo","property":"title",
+        "tenant_value":null,"query_vector":{"Value":{"String":"anything"}},
+        "k":{"Literal":1}}}],
+        "condition":null}}],"returns":["x"]},"parameters":{}}""") }
+    assert(bad.getMessage.contains("declared vector index"))
+    // SetProperty of a string over a MIXED stream (Memo is
+    // vector-indexed, ParityUser is not) is rejected up front — the
+    // store would diverge from the continuing stream otherwise
+    val mixed = intercept[graft.exec.TraversalException] { gw.handle(
+      """{"request_type":"write","query":{"queries":[{"Query":{"name":"m",
+        "steps":[{"N":"All"},{"SetProperty":["embedding",{"Value":{"String":"some text"}}]}],
+        "condition":null}}],"returns":["m"]},"parameters":{}}""") }
+    assert(mixed.getMessage.contains("split the traversal"))
   }
 
   test("multi-row results render as row arrays") {

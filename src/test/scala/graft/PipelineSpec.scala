@@ -400,7 +400,7 @@ class PipelineSpec extends GraftSuite {
       (2L, "all words here differ"), // no repeats
       (3L, ""), // empty: all fractions 0
     ).toDF("doc_id", "text")
-    val m = df.select(col("doc_id") +: TextAnalysis.repetitionColumns(col("text")): _*)
+    val m = TextAnalysis.repetition(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(m(1L) == ((4L, 0.75, 0.6667, 0.5))) // bigram frac rounds to 4dp

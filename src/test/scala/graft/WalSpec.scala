@@ -156,6 +156,38 @@ class WalSpec extends GraftSuite {
     assert(userRows(GraphWal.recover(spark, dir)).map(_._2).contains("Stream52"))
   }
 
+  test("replay reuses the recorded id seed: writes over a streamed overlay recover bit-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gwal-seed").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    // streamed rows mint EXTERNAL ids far above the batch ids (parity
+    // tops out at 101): the live store's max-scan sees them, the
+    // snapshot+segments base does not — only the recorded seed can
+    // make replay agree
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.GraphStream.nodeIngest(
+      mem.toDF().toDF("uid", "name"), "ParityUser", "uid", s"$dir/stream",
+      buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData((500L, "Stream500"), (501L, "Stream501"))
+    q.awaitTermination(60000)
+    GraphWal.attachStream(dir, "nodes", "ParityUser", s"$dir/stream/nodes/ParityUser")
+
+    val gw = new Gateway(GraphWal.recover(spark, dir), walRoot = Some(dir))
+    gw.handle(addN("Dana", 28)) // max-scan over the overlaid store -> 502
+    def danaId(st: graft.model.GraphStore): Long =
+      st.nodesFor("ParityUser").where(col("name") === "Dana")
+        .select("_id").head().getLong(0)
+    val liveId = danaId(gw.currentStore)
+    assert(liveId == 502L, s"live id: $liveId")
+    // replay runs over the non-overlaid base, where max(_id) is 101 —
+    // the segment's recorded seed must force the live outcome anyway
+    assert(danaId(GraphWal.recover(spark, dir)) == liveId)
+  }
+
   test("attached streaming edge sink overlays onto the recovered store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
