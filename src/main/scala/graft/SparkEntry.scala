@@ -322,9 +322,9 @@ object SparkEntry {
     "q_doc_token_bpe" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
     "q_doc_langid" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+      TextAnalysis.langIdReport(docs(s, d), "doc_id", "text")),
     "q_doc_quality" -> ((s, d) =>
-      docs(s, d).select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)),
+      TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")),
     "q_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 

@@ -37,33 +37,54 @@ object TextAnalysis {
     size(array_intersect(array_distinct(tokens(c)), array(markers.map(lit): _*)))
 
   /** Heuristic language ID: argmax of marker-set overlap; ties resolve
-    * in Markers order; no markers at all -> "und".
+    * in Markers order; no markers at all -> "und". `langId` is the
+    * expression form over a raw text column — it re-tokenizes once per
+    * marker set (4×), so corpus scans should use [[langIdReport]],
+    * which stages the distinct-token array as an attribute first.
     */
-  def langId(c: Column): Column = {
-    val scored = Markers.map { case (l, ms) => (l, langScore(c, ms)) }
+  def langId(c: Column): Column =
+    langIdOfDistinctTokens(array_distinct(tokens(c)))
+
+  private def langIdOfDistinctTokens(dt: Column): Column = {
+    val scored = Markers.map { case (l, ms) =>
+      (l, size(array_intersect(dt, array(ms.map(lit): _*))))
+    }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
 
+  /** Corpus-scan language ID: one tokenization per row (staged as an
+    * attribute — expression trees re-evaluate at every reference, see
+    * [[repetition]]), then the marker-overlap argmax over it.
+    */
+  def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), array_distinct(tokens(col(textCol))).as("_dt"))
+      .select(col(idCol), langIdOfDistinctTokens(col("_dt")).as("lang_guess"))
+
   /** Quality metrics: char count, token count, mean token length,
     * stopword share, and a composite score in [0,1] (rounded so the
-    * double arithmetic is oracle-stable).
+    * double arithmetic is oracle-stable). Tokens stage as an attribute
+    * (one tokenization per row, not one per metric).
     */
-  def qualityColumns(c: Column): Seq[Column] = {
-    val toks = tokens(c)
-    val nTok = size(toks).cast("long")
-    val nChars = length(c).cast("long")
-    val stopHits = size(filter(toks,
-      t => t.isin(Markers.head._2.map(x => x: Any): _*))).cast("long")
-    val meanTokLen = round(nChars.cast("double") / greatest(nTok, lit(1L)), 4)
-    // score: saturating length term + stopword presence term
-    val score = round(
-      least(nTok.cast("double") / lit(40.0), lit(1.0)) * 0.5 +
-        least(stopHits.cast("double") * lit(10.0) / greatest(nTok, lit(1L)), lit(1.0)) * 0.5, 4)
-    Seq(nChars.as("n_chars"), nTok.as("n_tokens"), stopHits.as("stop_hits"),
-      meanTokLen.as("mean_tok_len"), score.as("quality"))
+  def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val metrics = {
+      val toks = col("_t")
+      val nTok = size(toks).cast("long")
+      val nChars = length(col("_c")).cast("long")
+      val stopHits = size(filter(toks,
+        t => t.isin(Markers.head._2.map(x => x: Any): _*))).cast("long")
+      val meanTokLen = round(nChars.cast("double") / greatest(nTok, lit(1L)), 4)
+      // score: saturating length term + stopword presence term
+      val score = round(
+        least(nTok.cast("double") / lit(40.0), lit(1.0)) * 0.5 +
+          least(stopHits.cast("double") * lit(10.0) / greatest(nTok, lit(1L)), lit(1.0)) * 0.5, 4)
+      Seq(nChars.as("n_chars"), nTok.as("n_tokens"), stopHits.as("stop_hits"),
+        meanTokLen.as("mean_tok_len"), score.as("quality"))
+    }
+    df.select(col(idCol), col(textCol).as("_c"), tokens(col(textCol)).as("_t"))
+      .select(col(idCol) +: metrics: _*)
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

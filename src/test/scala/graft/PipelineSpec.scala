@@ -250,10 +250,13 @@ class PipelineSpec extends GraftSuite {
     assert(secs < 120.0, s"degenerate corpus took ${secs}s")
   }
 
-  test("language id picks marker-rich language") {
+  test("language id picks marker-rich language (expression and staged report agree)") {
     val r = docs().select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r(1L) == "en" && r(5L) == "de")
+    val staged = TextAnalysis.langIdReport(docs(), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(staged == r)
   }
 
   test("token count, quality metrics, fingerprint") {
@@ -261,7 +264,7 @@ class PipelineSpec extends GraftSuite {
     val tc = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
       .where(col("doc_id") === 1L).collect()(0).getLong(1)
     assert(tc == 13L)
-    val q = d.select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+    val q = TextAnalysis.qualityReport(d, "doc_id", "text")
       .where(col("doc_id") === 1L).collect()(0)
     assert(q.getLong(2) == 13L) // n_tokens
     assert(q.getLong(3) == 3L)  // stop hits: "the" x3
