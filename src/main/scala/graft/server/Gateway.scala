@@ -334,6 +334,30 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
         ex.close()
       }
     })
+    // bundle deploy/sync over the wire — the `helix push` / `helix
+    // sync` workflow (queries.json to the instance and back,
+    // commands/push.rs:1-50, query_generator.rs:150-236): POST a v4/v5
+    // bundle to (re)deploy the whole route set, GET the currently
+    // deployed set as a v5 document
+    server.createContext("/v1/deploy", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          try {
+            if (ex.getRequestMethod == "GET") renderBundle
+            else {
+              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              s"""{"deployed":${loadBundle(body)}}"""
+            }
+          } catch {
+            case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
+          }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
     if (mcp) server.createContext("/mcp", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val method = ex.getRequestMethod

@@ -146,6 +146,23 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     server.createContext("/v1/cluster", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = send(ex, status)
     })
+    // deploy reaches the writer AND every replica (Router.loadBundle);
+    // sync reads the writer's authoritative set
+    server.createContext("/v1/deploy", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          try {
+            if (ex.getRequestMethod == "GET") writer.renderBundle
+            else {
+              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              s"""{"deployed":${loadBundle(body)}}"""
+            }
+          } catch {
+            case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
+          }
+        send(ex, resp)
+      }
+    })
     pool = java.util.concurrent.Executors.newFixedThreadPool(workerThreads)
     server.setExecutor(pool)
     server.start()

@@ -186,6 +186,20 @@ class GatewaySpec extends GraftSuite {
           .getBytes("UTF-8"))
       val bodyOut = new String(conn.getInputStream.readAllBytes(), "UTF-8")
       assert(bodyOut == """{"n":2}""") // Alice(31) + Carol(42), both in ids
+
+      // push/sync over the wire: POST a bundle to /v1/deploy replaces
+      // the route set; GET returns the deployed set as a v5 document
+      def http(method: String, path: String, body: Option[String]): String = {
+        val c = new java.net.URL(s"http://localhost:16972$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod(method)
+        body.foreach { b => c.setDoOutput(true); c.getOutputStream.write(b.getBytes("UTF-8")) }
+        new String(c.getInputStream.readAllBytes(), "UTF-8")
+      }
+      assert(http("POST", "/v1/deploy", Some(doc)) == """{"deployed":1}""")
+      val synced = http("GET", "/v1/deploy", None)
+      assert(synced.contains("n_in") && synced.contains("\"version\""))
+      assert(http("POST", "/v1/deploy", Some("not a bundle")).contains("error"))
     } finally gw.stop()
   }
 

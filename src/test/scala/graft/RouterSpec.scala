@@ -179,6 +179,12 @@ class RouterSpec extends GraftSuite {
       val status = get("/v1/cluster")
       assert(status.contains(""""wal_position":1"""))
       assert(status.contains(""""reader-0":1"""))
+      // deploy over HTTP reaches writer and replicas: the stored read
+      // then serves from a reader
+      val (dep, _) = post("/v1/deploy", router.writer.renderBundle)
+      assert(dep.startsWith("""{"deployed":"""), dep)
+      val (cnt, by) = post("/v1/query/cnt", "{}")
+      assert(cnt == """{"n":4}""" && by == "reader-0", s"$cnt $by")
     } finally router.stop()
   }
 }
