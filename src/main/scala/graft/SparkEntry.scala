@@ -368,6 +368,8 @@ object SparkEntry {
       TextAnalysis.repetition(docs(s, d), "doc_id", "text")),
     "q_doc_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(docs(s, d), "text", n = 2, k = 20)),
+    "q_doc_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d), "text", "doc_id", n = 3)),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -734,6 +736,18 @@ object SparkEntry {
       "CASE WHEN len(bh) > 0 THEN round(1.0 - CAST(len(list_distinct(bh)) AS DOUBLE) / len(bh), 4) ELSE 0.0 END AS dup_bigram_frac, " +
       "CASE WHEN len(gh) > 0 THEN round(1.0 - CAST(len(list_distinct(gh)) AS DOUBLE) / len(gh), 4) ELSE 0.0 END AS dup_trigram_frac " +
       "FROM ng"),
+    // positions (not distinct shingles) vs global shingle document
+    // frequency — same hash family as shCte
+    "q_doc_dup_spans" -> ("WITH " + tokCte + ", " +
+      "pos AS (SELECT doc_id, ('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM " +
+      "(SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END) AS s0 FROM toks)), " +
+      "df AS (SELECT s, count(DISTINCT doc_id) AS d FROM pos GROUP BY s) " +
+      "SELECT doc_id, count(*) AS n_spans, " +
+      "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+      "round(CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_span_frac " +
+      "FROM pos JOIN df USING (s) GROUP BY doc_id"),
     "q_doc_top_ngrams" -> ("WITH " + tokCte + ", " +
       "ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
       "list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' ')) " +

@@ -368,6 +368,39 @@ object Dedup {
     out
   }
 
+  /** Span-level duplication report (the signal behind substring-level
+    * dedup à la "Deduplicating Training Data Makes Language Models
+    * Better"): per document, how many of its n-gram POSITIONS carry a
+    * shingle that also appears in at least one OTHER document. High
+    * `dup_span_frac` with low whole-doc similarity marks shared
+    * boilerplate (headers, licenses, templates) that pair-level dedup
+    * keeps.
+    *
+    * Output: `(idCol, n_spans, n_dup_spans, dup_span_frac)` —
+    * positions, not distinct shingles (a phrase repeated 10× counts
+    * 10 spans). Scale shape: explode positions → global shingle
+    * document-frequency (hash agg with map-side combine) → join back
+    * on the 8-byte shingle hash → per-doc count. Two shuffles, both
+    * linear in corpus shingle volume; no pairs are ever materialized,
+    * so there is no quadratic blow-up to cap.
+    */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val pos = ensureParallelism(df)
+      .select(col(idCol).as("_did"), tokens(col(textCol)).as("_t"))
+      .select(col("_did"), explode(shinglesOfTokens(col("_t"), n)).as("_s0"))
+      .select(col("_did"),
+        conv(substring(md5(col("_s0")), 1, 15), 16, 10).cast("long").as("_sh"))
+    val docFreq = pos.select("_did", "_sh").distinct()
+      .groupBy(col("_sh")).agg(count(lit(1)).as("_df"))
+    pos.join(docFreq, "_sh")
+      .groupBy(col("_did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
   /** Exact n-gram Jaccard pairs via shared-shingle inverted join
     * (no LSH recall loss; the candidate set is docs sharing >= 1 shingle).
     *

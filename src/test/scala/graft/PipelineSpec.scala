@@ -371,6 +371,20 @@ class PipelineSpec extends GraftSuite {
     got.foreach { case (id, cs) => assert(cs == expect(id), s"media_id $id") }
   }
 
+  test("dupSpans counts cross-doc duplicated positions, not distinct shingles") {
+    val r = Dedup.dupSpans(docs(), "text", "doc_id", n = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // doc 1 and its exact dup 4: every trigram position duplicated
+    assert(r(1L) == ((11L, 11L, 1.0))) // 13 tokens -> 11 trigram positions
+    assert(r(4L) == ((11L, 11L, 1.0)))
+    // doc 3 and 5 share no trigrams with anything
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0.0)
+    assert(r(5L)._2 == 0L)
+    // doc 2 differs from 1 only in the last word: just the final
+    // trigram position is unique, the other 10 duplicate
+    assert(r(2L)._1 == 11L && r(2L)._2 == 10L)
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
     val s = spark
     import s.implicits._
