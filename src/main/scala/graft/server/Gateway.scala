@@ -56,6 +56,35 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
   private var pool: java.util.concurrent.ExecutorService = _
   /** Writes serialize here; reads never take it. */
   private val writeLock = new Object
+
+  // ---- serving counters (GET /metrics). The reference ships a
+  // metrics member that batches telemetry to its cloud
+  // (metrics/src/lib.rs:50 METRICS_URL); the engine-side counterpart
+  // here is LOCAL observability only — counters over this instance's
+  // serving, nothing leaves the process.
+  import java.util.concurrent.atomic.AtomicLong
+  private val nReads = new AtomicLong
+  private val nWrites = new AtomicLong
+  private val nErrors = new AtomicLong
+  private val nTruncated = new AtomicLong
+  private val routeHits = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  private[server] def countError(): Unit = nErrors.incrementAndGet()
+
+  /** Serving counters as one JSON object (stored-route hit counts
+    * sorted by name; `wal_position` present when this gateway logs to
+    * a WAL).
+    */
+  def metricsJson: String = {
+    import scala.jdk.CollectionConverters._
+    val routes = routeHits.asScala.toSeq.sortBy(_._1)
+      .map { case (n, c) => "\"" + n + "\":" + c.get() }.mkString("{", ",", "}")
+    val wal = walRoot.map(r =>
+      s""","wal_position":${graft.model.GraphWal.commitPosition(r)}""").getOrElse("")
+    s"""{"reads":${nReads.get()},"writes":${nWrites.get()},""" +
+      s""""errors":${nErrors.get()},"truncated":${nTruncated.get()},""" +
+      s""""routes":$routes$wal}"""
+  }
   private val stored =
     new java.util.concurrent.ConcurrentHashMap[String, QueryBundle.StoredRoute]()
   /** Stored routes that have executed at least once — the `x-helix-warm`
@@ -141,6 +170,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     }
     val rendered = executeBatch(route.batch, pmap.toMap)
     warm.add(name)
+    routeHits.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
     rendered
   }
 
@@ -149,6 +179,14 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     * before the lock drops).
     */
   private def executeBatch(batch: graft.ast.Batch,
+      params: Map[String, graft.ast.PropertyValue]): (String, Boolean) = {
+    val out = executeBatchInner(batch, params)
+    (if (batch.write) nWrites else nReads).incrementAndGet()
+    if (out._2) nTruncated.incrementAndGet()
+    out
+  }
+
+  private def executeBatchInner(batch: graft.ast.Batch,
       params: Map[String, graft.ast.PropertyValue]): (String, Boolean) = {
     if (batch.write) writeLock.synchronized {
       val prev = store
@@ -323,11 +361,22 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
               else handleStoredT(sub, body)
             } else handleT(body)
           } catch {
-            case e: Exception => (s"""{"error":${quote(e.getMessage)}}""", false)
+            case e: Exception =>
+              countError()
+              (s"""{"error":${quote(e.getMessage)}}""", false)
           }
         if (truncated)
           ex.getResponseHeaders.set("x-graft-truncated", "true")
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.createContext("/metrics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = metricsJson.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)

@@ -56,6 +56,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
   private val readers = Array.tabulate(numReaders)(
     i => new ReadReplica(spark, walRoot, maxResponseRows, i))
   private val rr = new AtomicInteger(0)
+  private val nErrors = new java.util.concurrent.atomic.AtomicLong
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
@@ -128,6 +129,17 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     s"""{"wal_position":${GraphWal.commitPosition(walRoot)},"readers":{$rs}}"""
   }
 
+  /** Aggregated serving counters: the writer's plus each replica's
+    * (Gateway.metricsJson per node, keyed by role).
+    */
+  def metricsJson: String = {
+    val rs = readers.map(r => "\"" + r.name + "\":" + r.gateway.metricsJson)
+      .mkString(",")
+    s"""{"writer":${writer.metricsJson},$rs,""" +
+      s""""router_errors":${nErrors.get()},""" +
+      s""""wal_position":${GraphWal.commitPosition(walRoot)}}"""
+  }
+
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/v1/query", new HttpHandler {
@@ -137,6 +149,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         val (resp, headers) =
           try route(sub, body, n => Option(ex.getRequestHeaders.getFirst(n)))
           catch { case e: Exception =>
+            nErrors.incrementAndGet()
             (s"""{"error":${quote(e.getMessage)}}""", Map.empty[String, String])
           }
         headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
@@ -145,6 +158,9 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     })
     server.createContext("/v1/cluster", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = send(ex, status)
+    })
+    server.createContext("/metrics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = send(ex, metricsJson)
     })
     // deploy reaches the writer AND every replica (Router.loadBundle);
     // sync reads the writer's authoritative set

@@ -200,6 +200,12 @@ class GatewaySpec extends GraftSuite {
       val synced = http("GET", "/v1/deploy", None)
       assert(synced.contains("n_in") && synced.contains("\"version\""))
       assert(http("POST", "/v1/deploy", Some("not a bundle")).contains("error"))
+
+      // serving counters: the stored-route call above + per-route hits
+      val m = http("GET", "/metrics", None)
+      assert(m.contains(""""reads":1"""), m)
+      assert(m.contains(""""n_in":1"""), m)
+      assert(m.contains(""""errors":0"""), m)
     } finally gw.stop()
   }
 

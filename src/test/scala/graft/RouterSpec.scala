@@ -185,6 +185,12 @@ class RouterSpec extends GraftSuite {
       assert(dep.startsWith("""{"deployed":"""), dep)
       val (cnt, by) = post("/v1/query/cnt", "{}")
       assert(cnt == """{"n":4}""" && by == "reader-0", s"$cnt $by")
+      // aggregated counters: the writer saw the mk write, reader-0 the
+      // stored + inline reads
+      val m = get("/metrics")
+      assert(m.contains(""""writer":{"""), m)
+      assert(m.contains(""""reader-0":{"""), m)
+      assert(m.contains(""""wal_position":1"""), m)
     } finally router.stop()
   }
 }
