@@ -370,6 +370,20 @@ object SparkEntry {
       TextAnalysis.topNgrams(docs(s, d), "text", n = 2, k = 20)),
     "q_doc_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), "text", "doc_id", n = 3)),
+    // incremental dedup: the odd-id half is a "new batch" deduped
+    // against the even-id standing corpus — cross-side pairs only
+    "q_doc_cross_pairs" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.crossJaccardPairs(all.where(col("doc_id") % 2 === 0),
+        all.where(col("doc_id") % 2 === 1), "text", "doc_id",
+        n = 3, num = 3, den = 10)
+    }),
+    // model-based quality: unigram LM trained on the corpus itself
+    // (vocab capped at 200 so the OOV path is exercised), scored back
+    // over every document
+    "q_doc_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScoreReport(docs(s, d), "doc_id", "text",
+        docs(s, d), "text", vocab = 200)),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -748,6 +762,32 @@ object SparkEntry {
       "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
       "round(CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_span_frac " +
       "FROM pos JOIN df USING (s) GROUP BY doc_id"),
+    // cross-corpus exact Jaccard: even ids = standing corpus (side A),
+    // odd ids = new batch (side B); same shingle-hash algebra as shCte
+    "q_doc_cross_pairs" -> ("WITH " + shCte + ", " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s " +
+      "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2) " +
+      "SELECT id_a, id_b FROM inter " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+      "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    // unigram LM with add-one smoothing over a 200-term vocab plus one
+    // pooled OOV class: p(in-vocab t) = (cnt_t+1)/(N+V+1),
+    // p(OOV) = (N - N_in + 1)/(N+V+1); score = mean token ln p
+    "q_doc_lm_score" -> ("WITH " + tokCte + ", " +
+      "occ AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+      "lm0 AS (SELECT term, count(*) AS cnt FROM occ GROUP BY term), " +
+      "top AS (SELECT term, cnt FROM lm0 ORDER BY cnt DESC, term LIMIT 200), " +
+      "tot AS (SELECT (SELECT sum(cnt) FROM lm0) AS n, " +
+      "(SELECT count(*) FROM top) AS v, (SELECT sum(cnt) FROM top) AS nin), " +
+      "dt AS (SELECT doc_id, term, count(*) AS c FROM occ GROUP BY 1, 2), " +
+      "sc AS (SELECT doc_id, sum(c) AS ntok, " +
+      "round(sum(CAST(c AS DOUBLE) * ln((CAST(coalesce(top.cnt, tot.n - tot.nin) AS DOUBLE) + 1.0) / " +
+      "(CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0))) / CAST(sum(c) AS DOUBLE), 4) AS lm_logp " +
+      "FROM dt LEFT JOIN top USING (term) CROSS JOIN tot GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(sc.ntok, 0) AS BIGINT) AS n_tokens, " +
+      "sc.lm_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
     "q_doc_top_ngrams" -> ("WITH " + tokCte + ", " +
       "ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
       "list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' ')) " +

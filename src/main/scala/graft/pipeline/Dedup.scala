@@ -297,6 +297,73 @@ object Dedup {
     small.union(bigPairs)
   }
 
+  /** Cross-side variant of [[boundedKeyPairs]]: every (element of `a`,
+    * element of `b`) pair sharing a key, with the same bounded-memory
+    * guarantee and NO within-side pairs. Both inputs carry `keyCols`
+    * plus an element column named `elemCol`; output columns are
+    * `id_a` (always from `a`) and `id_b` (always from `b`).
+    *
+    * Shape: per-key counts from both sides join into one key-meta frame
+    * (an inner join — keys present on only one side are pruned before
+    * any data shuffles, the cross analogue of singleton pruning). Each
+    * side hash-splits a key's elements into ceil(n/cap) sub-buckets;
+    * an `a` row in bucket p replicates across `b`'s buckets (key, p, *)
+    * and a `b` row in bucket q across (key, *, q), so a cross pair
+    * meets at exactly one (p, q) join key and the largest single join
+    * block is cap² — a boilerplate key shared by 1M docs on each side
+    * costs many bounded tasks, never one 10¹²-pair task. In the common
+    * na = nb = 1 case both sides emit one row — zero overhead.
+    */
+  private[graft] def boundedCrossPairs(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], elemCol: String,
+      cap: Int = MaxClusterBlock): DataFrame = {
+    val keys = keyCols.map(col)
+    val meta = a.groupBy(keys: _*).agg(count(lit(1)).as("_cna"))
+      .join(b.groupBy(keys: _*).agg(count(lit(1)).as("_cnb")), keyCols)
+      .select(keys
+        :+ ceil(col("_cna") / lit(cap.toDouble)).cast("int").as("_na")
+        :+ ceil(col("_cnb") / lit(cap.toDouble)).cast("int").as("_nb"): _*)
+    val aSide = a.join(meta, keyCols)
+      .select(keys ++ Seq(pmod(hash(col(elemCol)), col("_na")).as("_p"),
+        explode(sequence(lit(0), col("_nb") - 1)).as("_q"),
+        col(elemCol).as("id_a")): _*)
+    val bSide = b.join(meta, keyCols)
+      .select(keys ++ Seq(explode(sequence(lit(0), col("_na") - 1)).as("_p"),
+        pmod(hash(col(elemCol)), col("_nb")).as("_q"),
+        col(elemCol).as("id_b")): _*)
+    aSide.join(bSide, keyCols ++ Seq("_p", "_q")).select("id_a", "id_b")
+  }
+
+  /** Cross-corpus exact n-gram Jaccard near-dup pairs — the incremental
+    * dedup shape: `dfB` is a NEW batch (a fresh crawl) deduped against
+    * the EXISTING corpus `dfA` without ever re-pairing `dfA` against
+    * itself. Output: (id_a from A, id_b from B) with
+    * Jaccard(shingles_a, shingles_b) >= num/den.
+    *
+    * Scale posture: candidates come from the shared-shingle inverted
+    * cross join ([[boundedCrossPairs]] — keys pruned to shingles present
+    * on BOTH sides before any pair forms, hot shingles sub-bucketed),
+    * so cost is proportional to cross-corpus shingle overlap, not
+    * |A|×|B|. Re-running per ingest batch touches each batch once —
+    * the standing corpus's shingle set is a write-time artifact
+    * (shingleHashSetCached locally; a persisted table at 100 TB).
+    */
+  def crossJaccardPairs(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      idCol: String, n: Int, num: Int, den: Int): DataFrame = {
+    val ssA = shingleHashSetCached(dfA, textCol, idCol, n)
+    val ssB = shingleHashSetCached(dfB, textCol, idCol, n)
+    def sizes(ss: DataFrame, out: String) =
+      ss.groupBy(col("_did")).agg(count(lit(1)).as(out))
+    val inter = boundedCrossPairs(ssA, ssB, Seq("_sh"), "_did")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes(ssA, "_sza").withColumnRenamed("_did", "id_a"), "id_a")
+      .join(sizes(ssB, "_szb").withColumnRenamed("_did", "id_b"), "id_b")
+      .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
+      .select("id_a", "id_b")
+  }
+
   /** LSH banding: pairs of ids sharing at least one band of the
     * signature. One aggregation groups ids per (band_idx, band_key)
     * bucket and pairs explode in-task — no self-join, so the signature

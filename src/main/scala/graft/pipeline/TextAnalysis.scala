@@ -112,6 +112,76 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  /** Per-term counts of a reference corpus, capped to the `vocab` most
+    * frequent terms (ties break on the term string, so the SET is
+    * deterministic at any parallelism) — the model half of
+    * [[lmScoreReport]]. One explode + hash aggregation with map-side
+    * partial combine, then a per-partition top-k heap
+    * (TakeOrderedAndProject): the shuffle carries one row per distinct
+    * term per partition and the cap keeps the resulting model
+    * broadcast-sized regardless of corpus scale.
+    */
+  def unigramLm(df: DataFrame, textCol: String, vocab: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocab)
+
+  /** Unigram language-model score per document — the model-based
+    * quality filter of CCNet-style pipelines (documents whose token
+    * distribution diverges from a reference corpus score low; the
+    * production counterpart swaps the unigram model for a KenLM
+    * n-gram model, same pipeline shape). Output:
+    * `(idCol, n_tokens, lm_logp)` where `lm_logp` is the mean
+    * per-token natural log-probability (rounded for oracle-stable
+    * doubles; null for token-free documents, which a filter should
+    * judge by other means).
+    *
+    * Model: add-one smoothing over the capped vocabulary plus one
+    * pooled OOV class. With `N` = total occurrences in the LM corpus,
+    * `V` = kept vocab size, `oov` = occurrences outside the cap:
+    * `p(t in vocab) = (cnt_t + 1) / (N + V + 1)`,
+    * `p(OOV) = (oov + 1) / (N + V + 1)`.
+    *
+    * Scale shape: the corpus aggregates once into vocab-sized `lm0`
+    * (persisted — read twice: totals + top-k); the model and its
+    * 1-row totals BROADCAST to the scoring side, which is one
+    * explode → (doc, term) hash aggregation (map-side combine turns
+    * occurrences into per-doc distincts before the shuffle) → broadcast
+    * join → per-doc aggregation. No corpus self-join, no shuffle of
+    * the model side. Scoring docs ≠ LM corpus is the cross-corpus
+    * (CCNet "score crawl against Wikipedia") configuration.
+    */
+  def lmScoreReport(docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String, vocab: Int): DataFrame = {
+    // materialized once (localCheckpoint, the engine's standard eager
+    // artifact idiom): read twice below (top-k + totals) — blocks are
+    // released with the frame, unlike an unmatched persist
+    val lm0 = lmCorpus
+      .select(explode(tokens(col(lmTextCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val lmTop = lm0.orderBy(col("cnt").desc, col("term")).limit(vocab)
+    val tot = lm0.agg(sum(col("cnt")).as("_n")).crossJoin(
+      lmTop.agg(count(lit(1)).as("_v"), sum(col("cnt")).as("_nin")))
+    val occ = docs
+      .select(col(idCol).as("_did"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("_did"), col("term")).agg(count(lit(1)).as("_c"))
+    val scored = occ
+      .join(broadcast(lmTop), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_lp",
+        log((coalesce(col("cnt"), col("_n") - col("_nin")).cast("double") + 1.0) /
+          (col("_n").cast("double") + col("_v").cast("double") + 1.0)))
+      .groupBy(col("_did"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        round(sum(col("_c").cast("double") * col("_lp")) /
+          sum(col("_c")).cast("double"), 4).as("lm_logp"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("_did", idCol), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens"))
+  }
+
   /** In-document repetition metrics (MassiveText/Gopher-style
     * duplicate-n-gram filters): the share of n-grams that are repeats
     * of an earlier n-gram in the SAME document, for n = 1..3. High

@@ -190,6 +190,67 @@ class PipelineSpec extends GraftSuite {
     assert(star.nonEmpty)
   }
 
+  test("boundedCrossPairs: sub-bucketed cross join matches the naive cross set") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = (1 to 300).map(_ => (rnd.nextInt(10), rnd.nextInt(150).toLong))
+      .distinct.toDF("k", "_e")
+    val b = (1 to 300).map(_ => (rnd.nextInt(10), (1000 + rnd.nextInt(150)).toLong))
+      .distinct.toDF("k", "_e")
+    def naive(): Seq[(Long, Long)] = {
+      val ka = a.collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      val kb = b.collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      (ka.keySet & kb.keySet).toSeq.flatMap(k =>
+        for (x <- ka(k).toSeq.map(_._2); y <- kb(k).toSeq.map(_._2)) yield (x, y))
+    }
+    // cap=4 pushes most keys through the 2-D sub-bucket replication;
+    // each cross pair must come out exactly once PER SHARED KEY
+    val got = Dedup.boundedCrossPairs(a, b, Seq("k"), "_e", cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive().sorted)
+  }
+
+  test("crossJaccardPairs pairs new-batch docs against the standing corpus only") {
+    val all = docs()
+    val pairs = Dedup.crossJaccardPairs(
+      all.where(col("doc_id") % 2 === 0), all.where(col("doc_id") % 2 === 1),
+      "text", "doc_id", n = 3, num = 6, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 (even, corpus) vs 1 (odd, batch) are exact dups -> cross pair;
+    // 2 (even) vs 1 (odd) are near-dups -> cross pair; no within-side
+    // pair (1,2 or 2,4 style) and no unrelated doc
+    assert(pairs == Set((4L, 1L), (2L, 1L)))
+  }
+
+  test("lmScoreReport: common-token docs outscore rare-token docs; OOV pooled") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "the dog sat on the rug"),
+      (4L, ""), // token-free doc -> null score, n_tokens 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScoreReport(corpus, "doc_id", "text", corpus, "text", vocab = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    assert(r(4L)._1 == 0L && r(4L)._2.isNaN)
+    assert(r(1L)._1 == 6L)
+    assert(Seq(1L, 2L, 3L).forall(i => r(i)._2 < 0.0))
+    // lm0: the=6, cat=2, sat=2, on=2, mat=2, dog=1, ran=1, rug=1, to=1;
+    // vocab cap 8 drops only 'to' (cnt-then-term order) -> OOV pool = 1.
+    // Doc 1 is all high-count in-vocab tokens; doc 2 spends tokens on
+    // ran (cnt 1) and to (OOV) -> strictly lower mean log-prob.
+    assert(r(1L)._2 > r(2L)._2)
+    // hand-check doc 1 against the add-one formula: N=18, V=8, D=27
+    val d = 18.0 + 8.0 + 1.0
+    def lp(c: Double) = math.log((c + 1.0) / d)
+    val exp1 = (2 * lp(6) + 4 * lp(2)) / 6.0
+    assert(math.abs(r(1L)._2 -
+      BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
