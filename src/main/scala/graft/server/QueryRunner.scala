@@ -19,6 +19,13 @@ import graft.model.{GraphWal, TestGraph}
   *   --name <route>   run a stored route from the bundle with --json
   *                    / --file as the PARAMS body instead of a raw
   *                    envelope
+  *   --replica        open the store through the read-replica path
+  *                    (GraphWal.openReplica: snapshot + committed-
+  *                    segment replay, no writer coordination) and
+  *                    serve READS ONLY — the per-process entry a
+  *                    multi-machine deployment runs N of against one
+  *                    shared WAL root, writes going to the single
+  *                    writer process
   *
   * The execution path is exactly the Gateway's (same envelope codec,
   * batch executor, WAL commit hook) — this main only swaps the HTTP
@@ -28,7 +35,7 @@ object QueryRunner {
 
   final case class Args(store: Option[String], data: Option[String],
       file: Option[String], json: Option[String], bundle: Option[String],
-      name: Option[String])
+      name: Option[String], replica: Boolean = false)
 
   private[graft] def parseArgs(argv: Seq[String]): Args = {
     def loop(rest: List[String], a: Args): Args = rest match {
@@ -38,6 +45,7 @@ object QueryRunner {
       case "--json" :: v :: t => loop(t, a.copy(json = Some(v)))
       case "--bundle" :: v :: t => loop(t, a.copy(bundle = Some(v)))
       case "--name" :: v :: t => loop(t, a.copy(name = Some(v)))
+      case "--replica" :: t => loop(t, a.copy(replica = true))
       case Nil => a
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
@@ -46,6 +54,7 @@ object QueryRunner {
       "exactly one of --store/--data is required")
     require(a.file.isDefined ^ a.json.isDefined,
       "exactly one of --file/--json is required")
+    require(!a.replica || a.store.isDefined, "--replica requires --store")
     a
   }
 
@@ -56,14 +65,25 @@ object QueryRunner {
   private[graft] def run(spark: SparkSession, argv: Seq[String]): String = {
     val a = parseArgs(argv)
     val store = a.store match {
+      case Some(root) if a.replica => GraphWal.openReplica(spark, root).served
       case Some(root) => GraphWal.recover(spark, root)
       case None => TestGraph(spark, a.data.get)
     }
-    val gw = new Gateway(store, walRoot = a.store)
+    // a replica never commits: no WAL hook, and write envelopes are
+    // rejected before execution (an uncommitted in-memory write would
+    // silently vanish — route writes to the writer process)
+    val gw = new Gateway(store, walRoot = if (a.replica) None else a.store)
     a.bundle.foreach(p => gw.loadBundle(
       java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
     val body = a.json.getOrElse(
       java.nio.file.Files.readString(java.nio.file.Paths.get(a.file.get)))
+    if (a.replica) {
+      val isWrite = a.name match {
+        case Some(route) => gw.storedIsWrite(route).getOrElse(false)
+        case None => graft.ast.Json.parseRequest(body).batch.write
+      }
+      require(!isWrite, "--replica serves reads only; route writes to the writer")
+    }
     a.name match {
       case Some(route) => gw.handleStored(route, body)
       case None => gw.handle(body)
