@@ -188,7 +188,29 @@ object GraphWal {
       private[model] val snapshot: Option[String],
       private[model] val applied: Seq[String],
       private[model] val streams: Seq[StreamAttachment],
+      private[model] val streamMarks: Seq[String],
       position: Long)
+
+  /** Cheap progress mark for one attached sink: the name-set digest of
+    * its `_spark_metadata` dir (the file sink's commit log — one
+    * LIST of one small prefix at object-store scale), falling back to
+    * the data dir for metadata-less layouts. The manifest does NOT
+    * change when a stream appends, so without this a stream-heavy /
+    * write-light replica would serve a stale overlay forever: the
+    * overlay plan captures the sink's file listing at construction
+    * time, and the no-op fast path in [[advanceReplica]] would never
+    * rebuild it. Any commit changes the mark (count grows append-only);
+    * the mark is read BEFORE the overlay plan is built, so a file
+    * committed between the two is at worst picked up next refresh.
+    */
+  private def streamMark(att: StreamAttachment): String = {
+    val root = new java.io.File(att.path)
+    if (!root.isDirectory) return "absent"
+    val meta = new java.io.File(root, "_spark_metadata")
+    val dir = if (meta.isDirectory) meta else root
+    val names = Option(dir.list()).map(_.toSeq).getOrElse(Nil)
+    if (names.isEmpty) "empty" else s"${names.size}:${names.max}"
+  }
 
   private def replaySegment(root: String, store: GraphStore,
       name: String): GraphStore = {
@@ -228,8 +250,9 @@ object GraphWal {
     var store = GraphPersistence.load(spark,
       m.snapshot.map(s => s"$root/$s").getOrElse(root))
     m.applied.foreach(name => store = replaySegment(root, store, name))
+    val marks = m.streams.map(streamMark)
     val served = m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
-    ReplicaState(store, served, m.snapshot, m.applied, m.streams, m.commitSeq)
+    ReplicaState(store, served, m.snapshot, m.applied, m.streams, marks, m.commitSeq)
   }
 
   /** Catch a replica up to the log's current position. Unchanged log →
@@ -243,17 +266,24 @@ object GraphWal {
   def advanceReplica(spark: SparkSession, root: String,
       st: ReplicaState): ReplicaState = {
     val m = readManifest(root)
-    if (m.commitSeq == st.position && m.streams == st.streams) st
+    // the no-op fast path also checks sink progress: streamed commits
+    // never touch the manifest, so the marks are what keeps a
+    // stream-heavy / write-light replica's overlay fresh
+    lazy val marks = m.streams.map(streamMark)
+    if (m.commitSeq == st.position && m.streams == st.streams &&
+      marks == st.streamMarks) st
     else if (m.snapshot != st.snapshot ||
         m.applied.take(st.applied.size) != st.applied)
       openReplica(spark, root)
     else {
       try {
+        val marksBefore = marks // force BEFORE overlay plans capture listings
         var store = st.base
         m.applied.drop(st.applied.size)
           .foreach(name => store = replaySegment(root, store, name))
         val served = m.streams.foldLeft(store)((s, att) => overlayStream(spark, s, att))
-        ReplicaState(store, served, m.snapshot, m.applied, m.streams, m.commitSeq)
+        ReplicaState(store, served, m.snapshot, m.applied, m.streams, marksBefore,
+          m.commitSeq)
       } catch {
         // a checkpoint flipped the manifest and deleted a segment we
         // were about to replay — the fresh manifest has the folded

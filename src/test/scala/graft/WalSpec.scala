@@ -156,6 +156,38 @@ class WalSpec extends GraftSuite {
     assert(userRows(GraphWal.recover(spark, dir)).map(_._2).contains("Stream52"))
   }
 
+  test("replica refresh observes sink progress without any manifest change") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gwal-mark").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    val mem = MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      val q = graft.streaming.GraphStream.nodeIngest(
+        mem.toDF().toDF("uid", "name"), "ParityUser", "uid", s"$dir/stream",
+        buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    mem.addData((60L, "Stream60")); runOnce()
+    GraphWal.attachStream(dir, "nodes", "ParityUser", s"$dir/stream/nodes/ParityUser")
+    val st0 = GraphWal.openReplica(spark, dir)
+    assert(userRows(st0.served).map(_._2).contains("Stream60"))
+    // nothing changed anywhere -> reference-equal no-op fast path
+    assert(GraphWal.advanceReplica(spark, dir, st0) eq st0)
+    // the sink commits MORE rows; the manifest is untouched (no
+    // logWrite, no checkpoint) — the progress mark alone must trigger
+    // an overlay rebuild at the same position
+    mem.addData((61L, "Stream61")); runOnce()
+    val st1 = GraphWal.advanceReplica(spark, dir, st0)
+    assert(st1 ne st0)
+    assert(st1.position == st0.position)
+    assert(userRows(st1.served).map(_._2).contains("Stream61"))
+    // and the refreshed state no-ops again
+    assert(GraphWal.advanceReplica(spark, dir, st1) eq st1)
+  }
+
   test("replay reuses the recorded id seed: writes over a streamed overlay recover bit-identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
