@@ -384,6 +384,8 @@ object SparkEntry {
     "q_doc_lm_score" -> ((s, d) =>
       TextAnalysis.lmScoreReport(docs(s, d), "doc_id", "text",
         docs(s, d), "text", vocab = 200)),
+    "q_doc_keywords" -> ((s, d) =>
+      TextAnalysis.keywordReport(docs(s, d), "doc_id", "text", k = 3)),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -788,6 +790,20 @@ object SparkEntry {
       "FROM dt LEFT JOIN top USING (term) CROSS JOIN tot GROUP BY doc_id) " +
       "SELECT d.doc_id, CAST(coalesce(sc.ntok, 0) AS BIGINT) AS n_tokens, " +
       "sc.lm_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+    // tf-idf keywords: ranking and values use the ROUNDED score so
+    // both engines order identically; ties break on the term string
+    "q_doc_keywords" -> ("WITH " + tokCte + ", " +
+      "occ AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+      "tf AS (SELECT doc_id, term, count(*) AS c FROM occ GROUP BY 1, 2), " +
+      "dfr AS (SELECT term, count(*) AS d FROM tf GROUP BY term), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
+      "sc AS (SELECT doc_id, term, round(CAST(c AS DOUBLE) * " +
+      "ln(CAST(n.n AS DOUBLE) / CAST(d AS DOUBLE)), 4) AS score " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, CAST(row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank, score " +
+      "FROM sc QUALIFY row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, term) <= 3"),
     "q_doc_top_ngrams" -> ("WITH " + tokCte + ", " +
       "ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
       "list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' ')) " +

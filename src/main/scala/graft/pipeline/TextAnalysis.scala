@@ -182,6 +182,33 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_tokens"))
   }
 
+  /** Top-k tf-idf keywords per document — the tagging/routing signal a
+    * curation pipeline uses for topic bucketing and per-domain mixing.
+    * Output: `(idCol, term, rank, score)`, k rows per document with at
+    * least one token; `score = tf · ln(N / df)` rounded so ranking and
+    * values are oracle-stable, ranks breaking ties on the term string.
+    *
+    * Scale shape: explode → (doc, term) hash aggregation (map-side
+    * combine), term-keyed join against the vocab-sized document
+    * frequencies, then a per-doc window for the k heads. Two shuffles
+    * (by term, then by doc), both linear in distinct (doc, term) pairs;
+    * the doc count rides in as a broadcast 1-row frame.
+    */
+  def keywordReport(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val occ = df.select(col(idCol).as("_did"), explode(tokens(col(textCol))).as("term"))
+    val tf = occ.groupBy(col("_did"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("_tf").cast("double") *
+        log(col("_n").cast("double") / col("_df").cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_did")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("_did").as(idCol), col("term"), col("rank"), col("score"))
+  }
+
   /** In-document repetition metrics (MassiveText/Gopher-style
     * duplicate-n-gram filters): the share of n-grams that are repeats
     * of an earlier n-gram in the SAME document, for n = 1..3. High

@@ -251,6 +251,27 @@ class PipelineSpec extends GraftSuite {
       BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("keywordReport ranks distinctive terms above ubiquitous ones") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "apple apple banana the the the"),
+      (2L, "the the banana cherry"),
+      (3L, "the banana"),
+    ).toDF("doc_id", "text")
+    val kw = TextAnalysis.keywordReport(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> (r.getString(1), r.getDouble(3)))
+      .toMap
+    // 'the'/'banana' appear in every doc -> idf 0; unique terms dominate
+    assert(kw((1L, 1L))._1 == "apple")
+    assert(math.abs(kw((1L, 1L))._2 - 2.1972) < 1e-9) // 2·ln(3) rounded
+    assert(kw((2L, 1L))._1 == "cherry")
+    // zero-idf terms tie at 0.0 and order by term string
+    assert(kw((1L, 2L)) == ("banana", 0.0) && kw((1L, 3L)) == ("the", 0.0))
+    assert(kw((3L, 1L)) == ("banana", 0.0) && kw((3L, 2L)) == ("the", 0.0))
+    assert(!kw.contains((3L, 3L))) // only 2 distinct terms in doc 3
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
