@@ -386,6 +386,9 @@ object SparkEntry {
         docs(s, d), "text", vocab = 200)),
     "q_doc_keywords" -> ((s, d) =>
       TextAnalysis.keywordReport(docs(s, d), "doc_id", "text", k = 3)),
+    "q_doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunkReport(docs(s, d), "doc_id", "text",
+        chunkSize = 64, overlap = 16)),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -804,6 +807,15 @@ object SparkEntry {
       "(PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank, score " +
       "FROM sc QUALIFY row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY score DESC, term) <= 3"),
+    // token-window chunking: chunk i = tokens [i*48, i*48+64), last
+    // chunk short; DuckDB list slices are 1-based inclusive and clamp
+    "q_doc_chunks" -> ("WITH " + tokCte + ", " +
+      "c AS (SELECT doc_id, t, len(t) AS nw FROM toks WHERE len(t) > 0), " +
+      "x AS (SELECT doc_id, t, nw, unnest(range(CASE WHEN nw <= 64 THEN 1 " +
+      "ELSE CAST(ceil(CAST(nw - 64 AS DOUBLE) / 48) AS BIGINT) + 1 END)) AS ci FROM c) " +
+      "SELECT doc_id, ci AS chunk_idx, " +
+      "array_to_string(t[ci*48+1 : ci*48+64], ' ') AS chunk_text, " +
+      "least(64, nw - ci*48) AS n_tokens FROM x"),
     "q_doc_top_ngrams" -> ("WITH " + tokCte + ", " +
       "ng AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN " +
       "list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' ')) " +

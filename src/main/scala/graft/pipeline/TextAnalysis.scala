@@ -182,6 +182,39 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_tokens"))
   }
 
+  /** Overlapping token-window chunks per document — the segmentation
+    * step ahead of embedding/RAG indexing and fixed-context
+    * pre-training. Chunk i covers tokens `[i·stride, i·stride +
+    * chunkSize)` with `stride = chunkSize - overlap`; every token
+    * lands in at least one chunk and the last chunk may be short.
+    * Output: `(idCol, chunk_idx, chunk_text, n_tokens)`, token-free
+    * documents contribute no rows.
+    *
+    * One projection + one generator over the staged token array — no
+    * shuffle at all; chunking a 100 TB corpus is a single scan whose
+    * output feeds the embedding stage.
+    */
+  def chunkReport(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("_nw", size(col("_t")).cast("long"))
+      .where(col("_nw") > 0)
+      .withColumn("_nc", when(col("_nw") <= chunkSize, lit(1L))
+        .otherwise(ceil((col("_nw") - chunkSize).cast("double") / stride)
+          .cast("long") + 1L))
+      .select(col(idCol), col("_t"), col("_nw"),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_t"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize.toLong), col("_nw") - col("chunk_idx") * stride)
+          .as("n_tokens"))
+  }
+
   /** Top-k tf-idf keywords per document — the tagging/routing signal a
     * curation pipeline uses for topic bucketing and per-domain mixing.
     * Output: `(idCol, term, rank, score)`, k rows per document with at

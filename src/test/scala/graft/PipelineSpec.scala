@@ -272,6 +272,31 @@ class PipelineSpec extends GraftSuite {
     assert(!kw.contains((3L, 3L))) // only 2 distinct terms in doc 3
   }
 
+  test("chunkReport windows tokens with overlap; every token is covered") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                            // shorter than one chunk
+      (3L, ""),                               // token-free -> no rows
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkReport(corpus, "doc_id", "text",
+      chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(rows == Set(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6 t7 t8 t9", 4L),
+      (2L, 0L, "a b", 2L)))
+    // an 11th token forces a short trailing chunk
+    val tail = TextAnalysis.chunkReport(
+      Seq((9L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(tail.contains((3L, "t9 t10", 2L)))
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
