@@ -389,6 +389,17 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, d) =>
       TextAnalysis.chunkReport(docs(s, d), "doc_id", "text",
         chunkSize = 64, overlap = 16)),
+    // int8 quantization fidelity, summarized scalar-only (the driver
+    // compare rejects collection columns): quantized-component sum,
+    // rounded scale, and the max dequantization error per vector
+    "q_embed_quant" -> ((s, d) => {
+      val q = VectorOps.quantizeInt8(emb(s, d), "embedding")
+      q.select(col("vec_id"), round(col("q_scale"), 6).as("scale"),
+        aggregate(col("q_vec"), lit(0L), (acc, x) => acc + x.cast("long")).as("qsum"),
+        round(array_max(zip_with(col("embedding"), col("q_vec"),
+          (v, qi) => abs(v.cast("double") - qi.cast("double") * col("q_scale")))), 6)
+          .as("max_err"))
+    }),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -666,6 +677,20 @@ object SparkEntry {
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
 
+    // int8 quantization: q_i = round(v_i / (max|v|/127)); exact-widened
+    // float->double on both sides, round() = half away from zero in
+    // both engines
+    "q_embed_quant" -> ("WITH q AS (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS s " +
+      "FROM embeddings), " +
+      "z AS (SELECT vec_id, v, s, CASE WHEN s = 0 THEN " +
+      "list_transform(v, x -> CAST(0 AS DOUBLE)) " +
+      "ELSE list_transform(v, x -> round(x / s)) END AS qv FROM q) " +
+      "SELECT vec_id, round(s, 6) AS scale, " +
+      "CAST(list_sum(qv) AS BIGINT) AS qsum, " +
+      "round(list_max(list_transform(range(len(v)), " +
+      "i -> abs(v[i+1] - qv[i+1] * s))), 6) AS max_err FROM z"),
     "q_doc_token_count" -> ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) " +
       "AS BIGINT) AS n_tokens FROM documents"),
     "q_doc_token_bpe" -> ("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +

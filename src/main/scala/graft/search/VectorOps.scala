@@ -46,6 +46,25 @@ object VectorOps {
   def cosineSimCols(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric per-vector int8 quantization — the 4×-storage/IO shrink
+    * a 100 TB embedding corpus takes before serving (float32 → 1 byte
+    * per dimension + one scale per vector). Adds `q_vec`
+    * (array<byte>, `round(v_i / q_scale)`) and `q_scale`
+    * (`max|v_i| / 127`); dequantize as `q_i · q_scale`, with per-value
+    * error bounded by `q_scale / 2`. All-zero vectors quantize to
+    * zeros with scale 0. Pure column expressions (the scale stages as
+    * an attribute before the per-element lambda references it) — a
+    * codegen'd scan, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("q_scale",
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") / col("q_scale")).cast("byte"))))
+
   /** Exact top-k by cosine similarity. orderBy+limit plans as
     * TakeOrderedAndProject: per-partition top-k then a k-row merge on
     * the driver — no full sort, no shuffle of the data.

@@ -297,6 +297,31 @@ class PipelineSpec extends GraftSuite {
     assert(tail.contains((3L, "t9 t10", 2L)))
   }
 
+  test("quantizeInt8: round-trip error bounded by scale/2; zero vector safe") {
+    val s = spark
+    import s.implicits._
+    import graft.search.VectorOps
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.54f, 1.27f, 0.635f, 2.54f)),
+    ).toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(vecs, "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(r.fieldIndex("q_scale")),
+        r.getSeq[Byte](r.fieldIndex("q_vec")))).toMap
+    assert(q(1L)._1 == 1.0 / 127.0)
+    assert(q(1L)._2 == Seq[Byte](127, -64, 32, 0)) // round(±k·127)
+    assert(q(2L)._1 == 0.0 && q(2L)._2.forall(_ == 0))
+    // extreme components hit ±127 exactly; error ≤ scale/2 everywhere
+    assert(q(3L)._2.head == -127 && q(3L)._2.last == 127)
+    for ((id, (scale, qv)) <- q if id != 2L) {
+      val orig = vecs.where(col("vec_id") === id)
+        .head().getSeq[Float](1).map(_.toDouble)
+      orig.zip(qv).foreach { case (v, b) =>
+        assert(math.abs(v - b * scale) <= scale / 2 + 1e-12) }
+    }
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
