@@ -322,6 +322,47 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("RAG loop: chunk, engine-embedded ingest, text vector search finds the source chunk") {
+    import graft.ast._
+    import graft.ast.PropertyValue._
+    import graft.exec.{BatchExecutor, Compiler}
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark streaming handles late data with watermarks and stateful operators over unbounded event time"),
+      (2L, "the recipe for fresh pasta needs flour eggs salt and a long patient kneading of the dough"),
+    ).toDF("doc_id", "text")
+    // pipeline side: token-window chunks; engine side: bulk AddN with
+    // the chunk text written INTO the vector-indexed property — the
+    // engine embeds at write (Embedder hook), the client ships no vector
+    val chunks = TextAnalysis.chunkReport(corpus, "doc_id", "text",
+      chunkSize = 8, overlap = 2)
+      .collect().map(r => VObject(Map(
+        "d" -> VI64(r.getLong(0)), "i" -> VI64(r.getLong(1)),
+        "t" -> VString(r.getString(2)))))
+    assert(chunks.length > 2)
+    val batch = Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("ix"), Traversal(Vector(
+        Step.CreateVectorIndexNodes("Chunk", "embedding", None))))),
+      BatchEntry.ForEach("chunks", Seq(
+        BatchEntry.Query(NamedQuery(Some("made"), Traversal(Vector(Step.AddN("Chunk", Seq(
+          "doc_id" -> PropertyInput.FromExpr(Expr.Param("d")),
+          "chunk_idx" -> PropertyInput.FromExpr(Expr.Param("i")),
+          "chunk_text" -> PropertyInput.FromExpr(Expr.Param("t")),
+          "embedding" -> PropertyInput.FromExpr(Expr.Param("t")))))))))),
+    ), returns = Nil, write = true)
+    val out = new BatchExecutor(TestBase.parityGraph(),
+      Map("chunks" -> VArray(chunks.toSeq))).execute(batch)
+    // retrieval with a TEXT query (embedded engine-side the same way)
+    val hit = new Compiler(out.store).run(Traversal(Vector(
+      Step.VectorSearchNodes("Chunk", "embedding", None,
+        PropertyInput.Value(VString("a recipe for fresh pasta with flour and eggs")),
+        StreamBound.Literal(1)),
+      Step.Values(Seq("chunk_text")))))
+      .collect().map(_.getString(0))
+    assert(hit.length == 1 && hit.head.contains("pasta"), s"got: ${hit.mkString}")
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
