@@ -58,7 +58,8 @@ object SparkEntry {
     "q_compare_expr", "q_coalesce", "q_vector_knn", "q_text_bm25",
     "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
     "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
-    "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score")
+    "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
+    "q_doc_keywords", "q_doc_chunks", "q_embed_quant")
 
   import SortOrder.{Asc, Desc}
 
