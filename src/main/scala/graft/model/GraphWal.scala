@@ -191,25 +191,38 @@ object GraphWal {
       private[model] val streamMarks: Seq[String],
       position: Long)
 
-  /** Cheap progress mark for one attached sink: the name-set digest of
-    * its `_spark_metadata` dir (the file sink's commit log — one
-    * LIST of one small prefix at object-store scale), falling back to
-    * the data dir for metadata-less layouts. The manifest does NOT
-    * change when a stream appends, so without this a stream-heavy /
-    * write-light replica would serve a stale overlay forever: the
-    * overlay plan captures the sink's file listing at construction
-    * time, and the no-op fast path in [[advanceReplica]] would never
-    * rebuild it. Any commit changes the mark (count grows append-only);
-    * the mark is read BEFORE the overlay plan is built, so a file
-    * committed between the two is at worst picked up next refresh.
+  /** Cheap progress mark for one attached sink (one LIST of one small
+    * prefix at object-store scale). The manifest does NOT change when a
+    * stream appends, so without this a stream-heavy / write-light
+    * replica would serve a stale overlay forever: the overlay plan
+    * captures the sink's file listing at construction time, and the
+    * no-op fast path in [[advanceReplica]] would never rebuild it.
+    *
+    * The mark must be MONOTONIC under the sink's own housekeeping:
+    * `_spark_metadata` batch ids only grow (every commit writes a new
+    * `<id>[.compact]` entry), while the name-SET size does not —
+    * expired-entry deletion (`fileSink.log.deletion`, on by default)
+    * shrinks it, so a size-based digest could cycle back to a
+    * previously-seen value and mask progress. The numeric max id is
+    * the progress signal. Metadata-less layouts (hand-built dirs) fall
+    * back to entry count + newest mtime — a one-level append updates
+    * its parent entry's mtime, covering partitioned subdirs too.
+    * Marks are read BEFORE overlay plans capture listings, so a commit
+    * racing the refresh is at worst picked up next time.
     */
   private def streamMark(att: StreamAttachment): String = {
     val root = new java.io.File(att.path)
     if (!root.isDirectory) return "absent"
     val meta = new java.io.File(root, "_spark_metadata")
-    val dir = if (meta.isDirectory) meta else root
-    val names = Option(dir.list()).map(_.toSeq).getOrElse(Nil)
-    if (names.isEmpty) "empty" else s"${names.size}:${names.max}"
+    if (meta.isDirectory) {
+      val ids = Option(meta.list()).map(_.toSeq).getOrElse(Nil)
+        .flatMap(n => n.stripSuffix(".compact").toLongOption)
+      s"meta:${if (ids.isEmpty) -1L else ids.max}"
+    } else {
+      val entries = Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      val newest = if (entries.isEmpty) 0L else entries.map(_.lastModified).max
+      s"dir:${entries.size}:$newest"
+    }
   }
 
   private def replaySegment(root: String, store: GraphStore,

@@ -122,10 +122,15 @@ object TextAnalysis {
     * broadcast-sized regardless of corpus scale.
     */
   def unigramLm(df: DataFrame, textCol: String, vocab: Int): DataFrame =
+    capVocab(termCounts(df, textCol), vocab)
+
+  /** Per-term occurrence counts (the uncapped model). */
+  private def termCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term"))
-      .limit(vocab)
+
+  private def capVocab(counts: DataFrame, vocab: Int): DataFrame =
+    counts.orderBy(col("cnt").desc, col("term")).limit(vocab)
 
   /** Unigram language-model score per document — the model-based
     * quality filter of CCNet-style pipelines (documents whose token
@@ -156,12 +161,11 @@ object TextAnalysis {
       lmCorpus: DataFrame, lmTextCol: String, vocab: Int): DataFrame = {
     // materialized once (localCheckpoint, the engine's standard eager
     // artifact idiom): read twice below (top-k + totals) — blocks are
-    // released with the frame, unlike an unmatched persist
-    val lm0 = lmCorpus
-      .select(explode(tokens(col(lmTextCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val lmTop = lm0.orderBy(col("cnt").desc, col("term")).limit(vocab)
+    // released with the frame, unlike an unmatched persist. The
+    // uncapped counts are needed here (totals cover OOV mass), which
+    // is why this stages termCounts rather than calling unigramLm.
+    val lm0 = termCounts(lmCorpus, lmTextCol).localCheckpoint(true)
+    val lmTop = capVocab(lm0, vocab)
     val tot = lm0.agg(sum(col("cnt")).as("_n")).crossJoin(
       lmTop.agg(count(lit(1)).as("_v"), sum(col("cnt")).as("_nin")))
     val occ = docs

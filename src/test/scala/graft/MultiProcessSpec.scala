@@ -51,9 +51,11 @@ class MultiProcessSpec extends GraftSuite {
     val err = new java.io.ByteArrayOutputStream
     val t1 = drain(p.getInputStream, out)
     val t2 = drain(p.getErrorStream, err)
-    assert(p.waitFor(240, TimeUnit.SECONDS), "child JVM timed out")
-    t1.join(5000); t2.join(5000)
-    (p.exitValue(), out.toString("UTF-8"), err.toString("UTF-8"))
+    try {
+      assert(p.waitFor(240, TimeUnit.SECONDS), "child JVM timed out")
+      t1.join(5000); t2.join(5000)
+      (p.exitValue(), out.toString("UTF-8"), err.toString("UTF-8"))
+    } finally if (p.isAlive) p.destroyForcibly() // never leak a hung child
   }
 
   private def drain(in: java.io.InputStream, to: java.io.OutputStream): Thread = {

@@ -232,6 +232,10 @@ class PipelineSpec extends GraftSuite {
       (3L, "the dog sat on the rug"),
       (4L, ""), // token-free doc -> null score, n_tokens 0
     ).toDF("doc_id", "text")
+    // the standalone model builder caps by count-then-term
+    val lm = TextAnalysis.unigramLm(corpus, "text", vocab = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(lm.toSeq == Seq(("the", 6L), ("cat", 2L)))
     val r = TextAnalysis.lmScoreReport(corpus, "doc_id", "text", corpus, "text", vocab = 8)
       .collect().map(x => x.getLong(0) ->
         (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
