@@ -211,6 +211,35 @@ class PipelineSpec extends GraftSuite {
     assert(got.sorted == naive().sorted)
   }
 
+  test("pair primitives match naive semantics across caps (randomized)") {
+    val s = spark
+    import s.implicits._
+    // the two primitives under every dedup variant, swept across caps
+    // that force all paths: all-small (big cap), all-big (cap 1), mixed
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 3; cap <- Seq(1, 3, 4096)) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val a = (1 to 150).map(_ => (rnd.nextInt(nKeys), rnd.nextInt(80).toLong))
+        .distinct.toDF("k", "_e")
+      val b = (1 to 150).map(_ => (rnd.nextInt(nKeys), (500 + rnd.nextInt(80)).toLong))
+        .distinct.toDF("k", "_e")
+      val ka = a.collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      val kb = b.collect().map(r => (r.getInt(0), r.getLong(1))).groupBy(_._1)
+      val naiveSelf = ka.toSeq.flatMap { case (_, es) =>
+        val v = es.map(_._2).sorted
+        for (i <- v.indices; j <- (i + 1) until v.length) yield (v(i), v(j))
+      }.sorted
+      val gotSelf = Dedup.boundedKeyPairs(a, Seq("k"), "_e", cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(gotSelf == naiveSelf, s"self pairs diverged at cap=$cap trial=$trial")
+      val naiveCross = (ka.keySet & kb.keySet).toSeq.flatMap(k =>
+        for (x <- ka(k).toSeq.map(_._2); y <- kb(k).toSeq.map(_._2)) yield (x, y)).sorted
+      val gotCross = Dedup.boundedCrossPairs(a, b, Seq("k"), "_e", cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(gotCross == naiveCross, s"cross pairs diverged at cap=$cap trial=$trial")
+    }
+  }
+
   test("crossJaccardPairs pairs new-batch docs against the standing corpus only") {
     val all = docs()
     val pairs = Dedup.crossJaccardPairs(
