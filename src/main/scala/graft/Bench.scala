@@ -46,7 +46,7 @@ object Bench {
     // is standard JVM benchmarking discipline (measure steady-state,
     // not Janino compilation), not result caching.
     // INVARIANT this warm-up relies on: every cache in the engine must
-    // key on the scan path / canonicalized plan (shingleCache, sigCache,
+    // key on the scan path / canonicalized plan (shingleCache, sigCache, lmCache,
     // rowCountCache, IndexCache) or on store identity (one GraphStore
     // per dir). A future cache keyed path-independently would silently
     // turn this warm-up into result caching for the timed run — check
@@ -68,6 +68,8 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
     graft.pipeline.Dedup.minhashSignatureCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6)
+    graft.pipeline.TextAnalysis.termCountsCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text")
     // median of 3 timed iterations per query: a single-iteration
     // artifact is one concurrent-load spike away from a phantom 4×
     // regression (r4 recorded 22.3 s where an idle re-run of the same

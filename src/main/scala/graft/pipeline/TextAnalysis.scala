@@ -129,6 +129,53 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
 
+  /** Bounded cache of materialized term-count models, keyed by the
+    * FULL canonicalized source plan + textCol (the same discipline as
+    * Dedup's shingle/signature caches: a 32-bit key hash could
+    * silently serve another corpus's model). The LM over a reference
+    * corpus is a write-time artifact at scale — scoring queries
+    * shouldn't re-aggregate the corpus per call. Entries own their
+    * persisted frames; FIFO eviction unpersists.
+    */
+  private val LmCacheMax = 8
+  private val lmCache =
+    new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), DataFrame]): Boolean = {
+        val evict = size() > LmCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  /** Cached [[termCounts]]; `eager` materializes on a miss (warm-up
+    * path — the build is billed to "write time", not the first query).
+    */
+  def termCountsCached(df: DataFrame, textCol: String,
+      eager: Boolean = true): DataFrame = {
+    val key = (df.queryExecution.logical.canonicalized.toString, textCol)
+    var built: DataFrame = null
+    val counts = lmCache.synchronized {
+      val hit = lmCache.get(key)
+      if (hit != null) hit
+      else {
+        built = termCounts(df, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lmCache.put(key, built)
+        built
+      }
+    }
+    if (eager && (counts eq built)) counts.count()
+    counts
+  }
+
+  /** Drop and unpersist every cached term-count model. */
+  def clearLmCache(): Unit = lmCache.synchronized {
+    val it = lmCache.values.iterator()
+    while (it.hasNext) it.next().unpersist(false)
+    lmCache.clear()
+  }
+
   private def capVocab(counts: DataFrame, vocab: Int): DataFrame =
     counts.orderBy(col("cnt").desc, col("term")).limit(vocab)
 
@@ -159,12 +206,11 @@ object TextAnalysis {
     */
   def lmScoreReport(docs: DataFrame, idCol: String, textCol: String,
       lmCorpus: DataFrame, lmTextCol: String, vocab: Int): DataFrame = {
-    // materialized once (localCheckpoint, the engine's standard eager
-    // artifact idiom): read twice below (top-k + totals) — blocks are
-    // released with the frame, unlike an unmatched persist. The
-    // uncapped counts are needed here (totals cover OOV mass), which
-    // is why this stages termCounts rather than calling unigramLm.
-    val lm0 = termCounts(lmCorpus, lmTextCol).localCheckpoint(true)
+    // served from the bounded model cache (a write-time artifact at
+    // scale — see termCountsCached); read twice below (top-k + totals).
+    // The uncapped counts are needed here (totals cover OOV mass),
+    // which is why this stages termCounts rather than calling unigramLm.
+    val lm0 = termCountsCached(lmCorpus, lmTextCol)
     val lmTop = capVocab(lm0, vocab)
     val tot = lm0.agg(sum(col("cnt")).as("_n")).crossJoin(
       lmTop.agg(count(lit(1)).as("_v"), sum(col("cnt")).as("_nin")))
