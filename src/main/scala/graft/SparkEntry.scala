@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, Temporal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,7 +59,7 @@ object SparkEntry {
     "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
     "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
-    "q_doc_keywords", "q_doc_chunks", "q_embed_quant")
+    "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof")
 
   import SortOrder.{Asc, Desc}
 
@@ -390,6 +390,19 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, d) =>
       TextAnalysis.chunkReport(docs(s, d), "doc_id", "text",
         chunkSize = 64, overlap = 16)),
+    // point-in-time-correct feature alignment: for each click, the
+    // latest purchase value the user had AT that moment (inclusive);
+    // null when no purchase precedes — the label-leakage-safe join
+    "q_event_asof" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      Temporal.asofJoin(
+        ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value", out = "last_purchase")
+        .select("event_id", "last_purchase")
+    }),
     // int8 quantization fidelity, summarized scalar-only (the driver
     // compare rejects collection columns): quantized-component sum,
     // rounded scale, and the max dequantization error per vector
@@ -678,6 +691,15 @@ object SparkEntry {
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
 
+    // as-of join: DuckDB's native ASOF LEFT JOIN is the independent
+    // formulation of the union + running-last-value window; right-side
+    // ts collisions pre-aggregate to max(value) on both sides
+    "q_event_asof" -> ("WITH a AS (SELECT event_id, user_id, ts FROM events " +
+      "WHERE event_type = 'click'), " +
+      "b AS (SELECT user_id, ts, max(value) AS v FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+      "SELECT a.event_id, b.v AS last_purchase FROM a ASOF LEFT JOIN b " +
+      "ON a.user_id = b.user_id AND a.ts >= b.ts"),
     // int8 quantization: q_i = round(v_i / (max|v|/127)); exact-widened
     // float->double on both sides, round() = half away from zero in
     // both engines

@@ -396,6 +396,29 @@ class PipelineSpec extends GraftSuite {
     assert(hit.length == 1 && hit.head.contains("pasta"), s"got: ${hit.mkString}")
   }
 
+  test("asofJoin: latest right value at-or-before each left row, per key") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Temporal
+    val left = Seq( // (event_id, user, ts)
+      (100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 20L),
+      (103L, 2L, 7L), (104L, 3L, 9L),
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq( // (user, ts, value)
+      (1L, 10L, 1.5), (1L, 10L, 2.5), // tie at ts=10 -> max wins
+      (1L, 15L, 3.5),
+      (2L, 8L, 9.0), // after user 2's only left row
+    ).toDF("user_id", "ts", "value")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(100L).isNaN)   // before any purchase
+    assert(got(101L) == 2.5)  // equal ts is inclusive; tie -> max
+    assert(got(102L) == 3.5)  // latest prior (ts=15)
+    assert(got(103L).isNaN)   // right row is later (ts 8 > 7)
+    assert(got(104L).isNaN)   // key with no right rows at all
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
