@@ -36,6 +36,19 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads
+    * as long (nanosAsLong); convert to a real µs TimestampType exactly
+    * (integer DIV — a double division would round within ±1 µs at
+    * epoch-nanos magnitude), matching DuckDB's ns→µs truncation.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -394,7 +407,7 @@ object SparkEntry {
     // latest purchase value the user had AT that moment (inclusive);
     // null when no purchase precedes — the label-leakage-safe join
     "q_event_asof" -> ((s, d) => {
-      val ev = s.read.parquet(s"$d/events.parquet")
+      val ev = events(s, d)
       Temporal.asofJoin(
         ev.where(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts")),
@@ -403,6 +416,11 @@ object SparkEntry {
         "user_id", "ts", "event_id", "value", out = "last_purchase")
         .select("event_id", "last_purchase")
     }),
+    // trailing-hour activity velocity per user, point-in-time correct
+    "q_event_window" -> ((s, d) =>
+      Temporal.rollingCount(events(s, d),
+        "user_id", "ts", "event_id", windowSec = 3600)
+        .select("event_id", "n_prior")),
     // int8 quantization fidelity, summarized scalar-only (the driver
     // compare rejects collection columns): quantized-component sum,
     // rounded scale, and the max dequantization error per vector
@@ -700,6 +718,12 @@ object SparkEntry {
       "WHERE event_type = 'purchase' GROUP BY 1, 2) " +
       "SELECT a.event_id, b.v AS last_purchase FROM a ASOF LEFT JOIN b " +
       "ON a.user_id = b.user_id AND a.ts >= b.ts"),
+    // trailing RANGE window: peers at equal ts counted by both engines
+    // (value-based frame), self excluded
+    "q_event_window" -> ("SELECT event_id, count(*) OVER " +
+      "(PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) - 1 " +
+      "AS n_prior FROM events"),
     // int8 quantization: q_i = round(v_i / (max|v|/127)); exact-widened
     // float->double on both sides, round() = half away from zero in
     // both engines

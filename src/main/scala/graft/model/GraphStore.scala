@@ -193,9 +193,11 @@ object TestGraph {
     val orders   = pq(spark, dir, "orders")
     val lineitem = pq(spark, dir, "lineitem")
     val events0  = pq(spark, dir, "events")
-    // nanos-as-long -> TimestampType (µs precision, matches the oracle)
+    // nanos-as-long -> TimestampType (µs precision, matches the oracle's
+    // ns->µs truncation; integer DIV — a double division rounds within
+    // ±1 µs at epoch-nanos magnitude)
     val events = if (events0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      events0.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      events0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else events0
     val documents  = pq(spark, dir, "documents")
     val embeddings = pq(spark, dir, "embeddings")

@@ -46,4 +46,22 @@ object Temporal {
       .where(col("_side") === 1)
       .select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol), col(out))
   }
+
+  /** Trailing-window activity count: for each row, how many OTHER rows
+    * of the same key fall within `windowSec` seconds at or before its
+    * timestamp — the standard point-in-time rate/velocity feature
+    * ("events by this user in the last hour"). A value-RANGE window
+    * frame, so equal-timestamp peers are counted identically at any
+    * parallelism (both engines define RANGE frames by value, peers
+    * included); the row itself is excluded. One shuffle by key, one
+    * per-key sort — same cost envelope as [[asofJoin]].
+    */
+  def rollingCount(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, windowSec: Long, out: String = "n_prior"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSec, 0)
+    df.select(col(idCol), col(keyCol), col(tsCol),
+      (count(lit(1)).over(w) - 1).as(out))
+  }
 }

@@ -419,6 +419,25 @@ class PipelineSpec extends GraftSuite {
     assert(got(104L).isNaN)   // key with no right rows at all
   }
 
+  test("rollingCount counts trailing-window peers, excluding self") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Temporal
+    val ev = Seq( // (id, user, epoch-sec ts)
+      (1L, 1L, 1000L), (2L, 1L, 1500L), (3L, 1L, 4000L), (4L, 1L, 4000L),
+      (5L, 2L, 1000L),
+    ).toDF("event_id", "user_id", "tsec")
+      .select(col("event_id"), col("user_id"), col("tsec").cast("timestamp").as("ts"))
+    val got = Temporal.rollingCount(ev, "user_id", "ts", "event_id", windowSec = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(
+      1L -> 0L, // nothing before
+      2L -> 1L, // id 1 within 3600s
+      3L -> 3L, // ids 1 (3000s back) + 2 (2500s) + equal-ts peer id 4
+      4L -> 3L, // symmetric: equal-ts peers count each other
+      5L -> 0L))
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
