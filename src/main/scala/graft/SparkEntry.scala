@@ -72,7 +72,8 @@ object SparkEntry {
     "q_doc_minhash_pairs", "q_doc_ngram_pairs", "q_embed_pairs",
     "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
-    "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof")
+    "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
+    "q_event_window")
 
   import SortOrder.{Asc, Desc}
 
