@@ -385,6 +385,12 @@ object SparkEntry {
       TextAnalysis.topNgrams(docs(s, d), "text", n = 2, k = 20)),
     "q_doc_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), "text", "doc_id", n = 3)),
+    // substring-level dedup: maximal duplicated-window spans, and the
+    // corpus rewritten with covered tokens cut
+    "q_doc_span_extract" -> ((s, d) =>
+      Dedup.dupSpanExtract(docs(s, d), "text", "doc_id", n = 3)),
+    "q_doc_span_strip" -> ((s, d) =>
+      Dedup.stripDupSpans(docs(s, d), "text", "doc_id", n = 3)),
     // incremental dedup: the odd-id half is a "new batch" deduped
     // against the even-id standing corpus — cross-side pairs only
     "q_doc_cross_pairs" -> ((s, d) => {
@@ -478,6 +484,20 @@ object SparkEntry {
       "(SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
       "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
       "ELSE [array_to_string(t, ' ')] END) AS s0 FROM toks))"
+
+  /** Position-indexed duplicated 3-token windows (substring-dedup
+    * family): `dup(doc_id, nw, p)` = 0-based window starts whose
+    * window text occurs >= 2 times in the corpus (any occurrences,
+    * within-doc included). Mirrors Dedup.windowPositions /
+    * duplicatedPositions exactly (same md5-60bit hash family).
+    */
+  private val spanDupCte =
+    "posc AS (SELECT doc_id, len(t) AS nw, unnest(CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(range(len(t) - 2), i -> {'p': i, 's': array_to_string(t[i+1:i+3], ' ')}) " +
+      "ELSE [{'p': 0, 's': array_to_string(t, ' ')}] END, recursive := true) FROM toks), " +
+      "wh AS (SELECT doc_id, nw, p, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM posc), " +
+      "occ AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2), " +
+      "dup AS (SELECT doc_id, nw, p FROM wh JOIN occ USING (h))"
 
   /** MinHash+LSH verified pair set as a CTE chain (shared by the pair
     * query and the cluster query built on top of it).
@@ -840,6 +860,29 @@ object SparkEntry {
       "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
       "round(CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_span_frac " +
       "FROM pos JOIN df USING (s) GROUP BY doc_id"),
+    // substring-level dedup: position-indexed 3-token windows (same
+    // hash family as shCte, positions kept), total occurrence >= 2,
+    // gaps-and-islands merge; strip = anti-join token surgery on
+    // affected docs only, verbatim passthrough otherwise
+    "q_doc_span_extract" -> ("WITH " + tokCte + ", " + spanDupCte + ", " +
+      "g AS (SELECT doc_id, nw, p, p - row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY p) AS grp FROM dup) " +
+      "SELECT doc_id, min(p) AS span_start, " +
+      "least(max(p) + 2, max(nw) - 1) AS span_end, " +
+      "least(max(p) + 2, max(nw) - 1) - min(p) + 1 AS span_tokens " +
+      "FROM g GROUP BY doc_id, grp"),
+    "q_doc_span_strip" -> ("WITH " + tokCte + ", " + spanDupCte + ", " +
+      "affected AS (SELECT DISTINCT doc_id FROM dup), " +
+      "tokpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i " +
+      "FROM toks WHERE doc_id IN (SELECT doc_id FROM affected)), " +
+      "kept AS (SELECT tp.doc_id, tp.tok, tp.i FROM tokpos tp ANTI JOIN dup d " +
+      "ON d.doc_id = tp.doc_id AND tp.i BETWEEN d.p + 1 AND d.p + 3), " +
+      "clean0 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct " +
+      "FROM kept GROUP BY doc_id) " +
+      "SELECT d.doc_id, CASE WHEN a.doc_id IS NOT NULL " +
+      "THEN coalesce(c.ct, '') ELSE d.text END AS clean_text " +
+      "FROM documents d LEFT JOIN affected a ON d.doc_id = a.doc_id " +
+      "LEFT JOIN clean0 c ON d.doc_id = c.doc_id"),
     // cross-corpus exact Jaccard: even ids = standing corpus (side A),
     // odd ids = new batch (side B); same shingle-hash algebra as shCte
     "q_doc_cross_pairs" -> ("WITH " + shCte + ", " +

@@ -468,6 +468,91 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Per-position n-token windows (NOT deduped — position matters):
+    * `(_did, _nw, _p, _sh)` with `_p` the 0-based window start and the
+    * short-doc fallback window at position 0, mirroring
+    * [[shinglesOfTokens]].
+    */
+  private def windowPositions(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    ensureParallelism(df)
+      .select(col(idCol).as("_did"), tokens(col(textCol)).as("_t"))
+      .select(col("_did"), size(col("_t")).cast("long").as("_nw"),
+        posexplode(shinglesOfTokens(col("_t"), n)).as(Seq("_p", "_s0")))
+      .select(col("_did"), col("_nw"), col("_p").cast("long").as("_p"),
+        conv(substring(md5(col("_s0")), 1, 15), 16, 10).cast("long").as("_sh"))
+
+  /** 0-based window-start positions whose n-token window occurs >= 2
+    * times in the corpus (ANY occurrences — within-doc repeats count,
+    * unlike [[dupSpans]]' cross-document frequency).
+    */
+  private def duplicatedPositions(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val pos = windowPositions(df, textCol, idCol, n)
+    val occ = pos.groupBy(col("_sh")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2)
+    pos.join(occ, "_sh").select(col("_did"), col("_nw"), col("_p"))
+  }
+
+  /** Maximal duplicated token spans — the extraction step of
+    * substring-level dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021): runs of consecutive
+    * window starts whose n-token window occurs >= 2 times anywhere in
+    * the corpus merge into one maximal span per run. Output:
+    * `(idCol, span_start, span_end, span_tokens)` — inclusive 0-based
+    * token indexes, clipped to the document.
+    *
+    * The standard practical relaxation of the suffix-array
+    * formulation: every n-window inside a reported span is duplicated
+    * somewhere (possibly with different partners), so span removal
+    * only ever cuts window-level-duplicated text; a true suffix array
+    * would additionally guarantee each whole span repeats verbatim.
+    *
+    * Scale shape: position explode → window-hash aggregation (map-side
+    * combine) → join back → per-doc gaps-and-islands (one window
+    * function over positions). All linear in corpus token count; no
+    * pairs, no concatenated-corpus structure.
+    */
+  def dupSpanExtract(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_did")).orderBy(col("_p"))
+    duplicatedPositions(df, textCol, idCol, n)
+      .withColumn("_grp", col("_p") - row_number().over(w))
+      .groupBy(col("_did"), col("_grp"))
+      .agg(min(col("_p")).as("span_start"),
+        least(max(col("_p")) + (n - 1), max(col("_nw")) - 1).as("span_end"))
+      .select(col("_did").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The rewrite terminal of substring-level dedup: every token
+    * covered by some duplicated n-window is cut, and the survivors
+    * re-join into `clean_text` (untouched docs pass through verbatim).
+    * Per-doc duplicated positions aggregate into one array (bounded by
+    * the doc's own token count — the same order as the token array
+    * itself) and the cut is a per-row filter: token i survives iff no
+    * duplicated window start p satisfies p <= i <= p+n-1. No
+    * corpus-shaped state beyond the window-hash aggregation.
+    */
+  def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val dupPos = duplicatedPositions(df, textCol, idCol, n)
+      .groupBy(col("_did")).agg(sort_array(collect_list(col("_p"))).as("_ps"))
+      .withColumnRenamed("_did", idCol)
+    df.join(dupPos, Seq(idCol), "left")
+      .select(col(idCol), col("_ps"), tokens(col(textCol)).as("_t"),
+        col(textCol))
+      .select(col(idCol),
+        when(col("_ps").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("_t"), (t, i) =>
+              !exists(col("_ps"), p =>
+                p <= i.cast("long") && i.cast("long") <= p + (n - 1))),
+            " "))
+          .as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard pairs via shared-shingle inverted join
     * (no LSH recall loss; the candidate set is docs sharing >= 1 shingle).
     *

@@ -438,6 +438,31 @@ class PipelineSpec extends GraftSuite {
       5L -> 0L))
   }
 
+  test("dupSpanExtract merges duplicated windows into maximal spans; strip cuts them") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two alpha beta gamma delta seven eight"),
+      (3L, "repeat me repeat me repeat"), // within-doc repeat
+      (4L, "Totally UNIQUE content, here!"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpanExtract(corpus, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 0L, 3L, 4L), // "alpha beta gamma delta" (windows 0,1 merge)
+      (2L, 2L, 5L, 4L), // same phrase at offset 2
+      (3L, 0L, 2L, 3L), (3L, 2L, 4L, 3L), // "repeat me repeat" twice, non-adjacent starts
+    ))
+    val clean = Dedup.stripDupSpans(corpus, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "epsilon zeta")
+    assert(clean(2L) == "one two seven eight")
+    assert(clean(3L) == "") // all five tokens covered
+    assert(clean(4L) == "Totally UNIQUE content, here!") // untouched: raw passthrough
+  }
+
   test("simhash pairs exact dups at distance 0") {
     val pairs = Dedup.simhashPairs(docs(), "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
