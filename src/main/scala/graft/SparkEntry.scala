@@ -73,7 +73,7 @@ object SparkEntry {
     "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
-    "q_event_window")
+    "q_event_window", "q_doc_span_extract", "q_doc_span_strip")
 
   import SortOrder.{Asc, Desc}
 
