@@ -70,6 +70,8 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6)
     graft.pipeline.TextAnalysis.termCountsCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text")
+    graft.pipeline.Dedup.duplicatedPositionsCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
     // median of 3 timed iterations per query: a single-iteration
     // artifact is one concurrent-load spike away from a phantom 4×
     // regression (r4 recorded 22.3 s where an idle re-run of the same

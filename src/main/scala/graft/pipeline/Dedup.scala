@@ -484,14 +484,41 @@ object Dedup {
 
   /** 0-based window-start positions whose n-token window occurs >= 2
     * times in the corpus (ANY occurrences — within-doc repeats count,
-    * unlike [[dupSpans]]' cross-document frequency).
+    * unlike [[dupSpans]]' cross-document frequency). Served from a
+    * bounded plan-keyed cache: span extraction and span stripping both
+    * read this frame, and at scale it is a write-time artifact of the
+    * same family as the shingle sets and minhash signatures.
     */
-  private def duplicatedPositions(df: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val pos = windowPositions(df, textCol, idCol, n)
-    val occ = pos.groupBy(col("_sh")).agg(count(lit(1)).as("_c"))
-      .where(col("_c") >= 2)
-    pos.join(occ, "_sh").select(col("_did"), col("_nw"), col("_p"))
+  private val dupPosCache =
+    new java.util.LinkedHashMap[(String, String, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), DataFrame]): Boolean = {
+        val evict = size() > ShingleCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  private[graft] def duplicatedPositionsCached(df: DataFrame, textCol: String,
+      idCol: String, n: Int, eager: Boolean = true): DataFrame = {
+    val key = (df.queryExecution.logical.canonicalized.toString,
+      s"$textCol|$idCol", n)
+    var built: DataFrame = null
+    val out = dupPosCache.synchronized {
+      val hit = dupPosCache.get(key)
+      if (hit != null) hit
+      else {
+        val pos = windowPositions(df, textCol, idCol, n)
+        val occ = pos.groupBy(col("_sh")).agg(count(lit(1)).as("_c"))
+          .where(col("_c") >= 2)
+        built = pos.join(occ, "_sh").select(col("_did"), col("_nw"), col("_p"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dupPosCache.put(key, built)
+        built
+      }
+    }
+    if (eager && (out eq built)) out.count()
+    out
   }
 
   /** Maximal duplicated token spans — the extraction step of
@@ -517,7 +544,7 @@ object Dedup {
       n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_did")).orderBy(col("_p"))
-    duplicatedPositions(df, textCol, idCol, n)
+    duplicatedPositionsCached(df, textCol, idCol, n)
       .withColumn("_grp", col("_p") - row_number().over(w))
       .groupBy(col("_did"), col("_grp"))
       .agg(min(col("_p")).as("span_start"),
@@ -537,7 +564,7 @@ object Dedup {
     */
   def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    val dupPos = duplicatedPositions(df, textCol, idCol, n)
+    val dupPos = duplicatedPositionsCached(df, textCol, idCol, n)
       .groupBy(col("_did")).agg(sort_array(collect_list(col("_p"))).as("_ps"))
       .withColumnRenamed("_did", idCol)
     df.join(dupPos, Seq(idCol), "left")
