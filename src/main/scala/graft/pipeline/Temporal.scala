@@ -31,20 +31,26 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, leftIdCol: String, rightValCol: String,
       out: String = "asof_value"): DataFrame = {
+    // The matched value rides inside a struct so that a right row whose
+    // value is genuinely NULL is still a non-null window entry: the
+    // running last() tracks row PRESENCE, and the NULL value propagates
+    // to the output instead of falling back to an older right row.
     val r = right.groupBy(col(keyCol), col(tsCol))
       .agg(max(col(rightValCol)).as("_rv"))
       .select(col(keyCol), col(tsCol), lit(0).as("_side"),
-        col("_rv"), lit(null).cast(left.schema(leftIdCol).dataType).as("_lid"))
+        struct(col("_rv").as("v")).as("_rrow"),
+        lit(null).cast(left.schema(leftIdCol).dataType).as("_lid"))
     val l = left.select(col(keyCol), col(tsCol), lit(1).as("_side"),
-      lit(null).cast(r.schema("_rv").dataType).as("_rv"),
+      lit(null).cast(r.schema("_rrow").dataType).as("_rrow"),
       col(leftIdCol).as("_lid"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
-      .withColumn(out, last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol), col(out))
+      .select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol),
+        col("_m")("v").as(out))
   }
 
   /** Trailing-window activity count: for each row, how many OTHER rows
@@ -58,9 +64,12 @@ object Temporal {
     */
   def rollingCount(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, windowSec: Long, out: String = "n_prior"): DataFrame = {
+    // Frame evaluated over epoch MICROS, not whole seconds: a long cast
+    // of the timestamp truncates to seconds and shifts the boundary by
+    // up to ±1 s vs the µs-precision `ts >= t - windowSec` semantics.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).cast("long"))
-      .rangeBetween(-windowSec, 0)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0)
     df.select(col(idCol), col(keyCol), col(tsCol),
       (count(lit(1)).over(w) - 1).as(out))
   }

@@ -438,6 +438,39 @@ class PipelineSpec extends GraftSuite {
       5L -> 0L))
   }
 
+  test("asofJoin: a matched right row with NULL value yields NULL, not an older value") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Temporal
+    val left = Seq((100L, 1L, 20L)).toDF("event_id", "user_id", "ts")
+    val right = Seq( // latest right row (ts=15) has a NULL value
+      (1L, 5L, Some(1.5)), (1L, 15L, Option.empty[Double]),
+    ).toDF("user_id", "ts", "value")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts", "event_id", "value")
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(3),
+      s"matched NULL must propagate, got ${got(0)}")
+  }
+
+  test("rollingCount frame boundary is µs-precise, not second-truncated") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Temporal
+    // id 2 sits 3600.000001s after id 1: OUTSIDE a µs-precise window,
+    // but a whole-second cast would truncate both to :00 and count it.
+    // id 3 sits exactly 3600s after id 1: inclusive boundary, counted.
+    val ev = Seq(
+      (1L, 1L, 1000000500L),          // t0 (epoch 1000s + 500µs)
+      (2L, 1L, 4600000501L),          // t0 + 3600.000001s
+      (3L, 1L, 4600000500L),          // t0 + 3600s exactly
+    ).toDF("event_id", "user_id", "tmicros")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tmicros")).as("ts"))
+    val got = Temporal.rollingCount(ev, "user_id", "ts", "event_id", windowSec = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("dupSpanExtract merges duplicated windows into maximal spans; strip cuts them") {
     val s = spark
     import s.implicits._
