@@ -134,7 +134,14 @@ object GraphWal {
       idSeed: Option[Long] = None): Unit = synchronized {
     Files.createDirectories(walDir(root))
     val m = readManifest(root)
-    val name = s"seg-${m.applied.size + 1}.json"
+    // Name from the MONOTONIC commitSeq, not applied.size: the applied
+    // list truncates at checkpoint, so size-derived names would reuse
+    // seg-1 across checkpoint generations and a replica holding a
+    // pre-checkpoint manifest could silently replay a post-checkpoint
+    // batch against the old snapshot (ABA). With commitSeq names a
+    // stale manifest's segment is simply GONE — the reader gets
+    // NoSuchFileException and retries against the fresh manifest.
+    val name = s"seg-${m.commitSeq + 1}.json"
     val seg = F.objectNode()
     idSeed.foreach(seg.put("idSeed", _))
     val pn = F.objectNode()

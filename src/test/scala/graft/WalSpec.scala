@@ -108,6 +108,24 @@ class WalSpec extends GraftSuite {
     assert(userRows(GraphWal.recover(spark, dir)).map(_._2).contains("Frank"))
   }
 
+  test("segment names never reuse across checkpoint generations (ABA)") {
+    val dir = java.nio.file.Files.createTempDirectory("gwal-aba").toString
+    GraphWal.checkpoint(TestBase.parityGraph(), dir)
+    val gw = new Gateway(GraphWal.recover(spark, dir), walRoot = Some(dir))
+    gw.handle(addN("Dana", 28))
+    gw.handle(addN("Eve", 35)) // seg-1, seg-2
+    GraphWal.checkpoint(gw.currentStore, dir) // truncates the applied list
+    gw.handle(addN("Frank", 41))
+    // a reader holding the PRE-checkpoint manifest must find its listed
+    // segments gone (loud NoSuchFileException -> retry), never a
+    // recreated same-named file with post-checkpoint content
+    val segs = new java.io.File(s"$dir/wal").listFiles()
+      .filter(_.getName.startsWith("seg-")).map(_.getName).toSet
+    assert(segs == Set("seg-3.json"), s"got $segs")
+    // and recovery replays the commitSeq-named segment fine
+    assert(userRows(GraphWal.recover(spark, dir)).map(_._2).contains("Frank"))
+  }
+
   test("attached streaming sink unifies with the WAL: recover sees streamed rows, overlay is idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
