@@ -296,7 +296,7 @@ object TextAnalysis {
     * duplicate-n-gram filters): the share of n-grams that are repeats
     * of an earlier n-gram in the SAME document, for n = 1..3. High
     * values flag boilerplate, keyword stuffing, and generation loops —
-    * the standard pre-training quality cut alongside [[qualityColumns]].
+    * the standard pre-training quality cut alongside [[qualityReport]].
     *
     * `dup_frac(n) = 1 - |distinct n-grams| / |n-grams|`, rounded for
     * oracle-stable doubles; 0 for empty docs. No shuffle, no UDF.

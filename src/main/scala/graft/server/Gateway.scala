@@ -78,7 +78,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
   def metricsJson: String = {
     import scala.jdk.CollectionConverters._
     val routes = routeHits.asScala.toSeq.sortBy(_._1)
-      .map { case (n, c) => "\"" + n + "\":" + c.get() }.mkString("{", ",", "}")
+      .map { case (n, c) => quote(n) + ":" + c.get() }.mkString("{", ",", "}")
     val wal = walRoot.map(r =>
       s""","wal_position":${graft.model.GraphWal.commitPosition(r)}""").getOrElse("")
     s"""{"reads":${nReads.get()},"writes":${nWrites.get()},""" +

@@ -209,6 +209,19 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("metrics JSON stays parseable when a route name needs escaping") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    val gw = new Gateway(TestBase.parityGraph())
+    gw.registerQuery("we\"ird\\name", Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("n"), g().nWithLabel("ParityUser").count().t))),
+      returns = Seq("n")))
+    gw.handleStored("we\"ird\\name", "{}")
+    val m = gw.metricsJson
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m)
+    assert(tree.get("routes").get("we\"ird\\name").asLong == 1L, m)
+  }
+
   test("unsupported bundle versions are rejected") {
     val e = intercept[IllegalArgumentException] {
       graft.server.QueryBundle.parse("""{"version":3,"read_routes":{}}""")
