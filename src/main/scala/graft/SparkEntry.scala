@@ -73,7 +73,8 @@ object SparkEntry {
     "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
-    "q_event_window", "q_doc_span_extract", "q_doc_span_strip")
+    "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
+    "q_vector_recall_batch")
 
   import SortOrder.{Asc, Desc}
 
@@ -289,15 +290,49 @@ object SparkEntry {
       g().vectorSearchNodes("Embedding", "embedding", queryVec(s, d), 10).id())),
     // self-checking IVF: recall@10 of the IVF path vs exact brute-force
     // top-10 must clear 0.9 — the oracle trivially asserts the gate, so
-    // the approximate path is now correctness-gated, not rows-only
+    // the approximate path is correctness-gated, not rows-only. nprobe
+    // comes from the write-time recall calibration (the serving path's
+    // discipline), not a hand-picked constant.
     "q_vector_ivf" -> ((s, d) => {
       val e = emb(s, d).withColumnRenamed("vec_id", "_id")
       val model = VectorOps.trainIvf(e, "embedding", nlist = 16)
+      val calib = e.where(col("_id") >= 100)
+        .orderBy(xxhash64(col("_id")), col("_id")).limit(64)
+      val np = VectorOps.calibrateNprobe(e, "embedding", "_id", model,
+        k = 10, targetRecall = 0.95, calibQueries = calib)
       val q = queryVec(s, d).map(_.toDouble)
-      val ivf = VectorOps.ivfTopK(e, "embedding", model, q, 10, nprobe = 4).select("_id")
+      val ivf = VectorOps.ivfTopK(e, "embedding", model, q, 10, nprobe = np).select("_id")
       val brute = VectorOps.bruteForceTopK(e, "embedding", q, 10).select("_id")
       ivf.join(brute, Seq("_id"), "left_semi")
         .agg((count(lit(1)) >= 9).cast("double").as("recall_gate"))
+    }),
+    // IVF serving quality AT BATCH SCALE: mean recall@10 over 100 query
+    // vectors must clear 0.9 at the serving parameters (nlist ~ sqrt(n),
+    // nprobe recall-calibrated at 0.95 on a DISJOINT hash-sampled batch,
+    // so the gate also measures calibration generalization) — the
+    // BASELINE.md "recall comparable to HNSW at ef_search=768" bar,
+    // measured instead of asserted
+    "q_vector_recall_batch" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+      val model = VectorOps.trainIvf(e, "embedding", nlist)
+      val calib = e.where(col("vec_id") >= 100)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      val np = VectorOps.calibrateNprobe(e, "embedding", "vec_id", model,
+        k = 10, targetRecall = 0.95, calibQueries = calib)
+      val queries = e.where(col("vec_id") < 100)
+      val exact = VectorOps.knnJoin(e, queries, "embedding", "vec_id",
+        k = 10, excludeSelf = false)
+      val approx = VectorOps.knnJoinIvf(e, queries, "embedding", "vec_id",
+        k = 10, model, np, excludeSelf = false)
+      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("_total"))
+        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+        .select(col("n_queries"),
+          (col("_hits").cast("double") / col("_total") >= 0.9)
+            .cast("double").as("recall_gate"))
     }),
     "q_text_bm25" -> ((s, d) => run(s, d,
       g().textSearchNodes("Document", "text", "spark hash join window", 10).id())),
@@ -578,6 +613,11 @@ object SparkEntry {
       "list(CAST(2000000000 + n_nationkey AS BIGINT))), ',') " +
       "AS ids FROM nation GROUP BY n_regionkey"),
     "q_vector_ivf" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_gate",
+    // gate asserts: 100 queries evaluated, mean recall@10 >= 0.9 at the
+    // calibrated serving parameters (the engine computes recall against
+    // its own exact brute force; the oracle pins the required outcome)
+    "q_vector_recall_batch" ->
+      "SELECT CAST(100 AS BIGINT) AS n_queries, CAST(1.0 AS DOUBLE) AS recall_gate",
     "q_agg_sum" -> "SELECT sum(l_quantity) AS \"sum\" FROM lineitem",
     "q_agg_min" -> "SELECT min(l_extendedprice) AS \"min\" FROM lineitem",
     "q_agg_max" -> "SELECT max(l_extendedprice) AS \"max\" FROM lineitem",

@@ -1346,13 +1346,19 @@ class Compiler(
       case Some((tbl, propKey))
           if graft.search.IndexCache.rowCount(store.version, label, propKey, tbl) >= threshold =>
         val n = graft.search.IndexCache.rowCount(store.version, label, propKey, tbl)
-        // nlist ~ sqrt(n) (IVF rule of thumb); nprobe = nlist/4 probes a
-        // quarter of the centroids — recall comparable to the reference's
-        // ef_search=768 profile on clustered data (SearchSpec gates >=0.9@10)
+        // nlist ~ sqrt(n) (IVF rule of thumb); nprobe is CALIBRATED at
+        // build time to the smallest probe count meeting the recall
+        // target on a held sample (VectorOps.calibrateNprobe) — the
+        // measured counterpart of the reference's ef_search=768 quality
+        // profile, instead of a fixed nlist/4 guess that only holds on
+        // clustered data
         val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-        val nprobe = math.max(4, nlist / 4)
         val model = graft.search.IndexCache.ivfModel(
           store.version, label, propKey, nlist, tbl, vecCol = prop)
+        val target = spark.conf.get("graft.search.recallTarget", "0.9").toDouble
+        val calibN = spark.conf.get("graft.search.calibQueries", "64").toInt
+        val nprobe = graft.search.IndexCache.nprobe(store.version, label,
+          propKey, model, tbl, vecCol = prop, target = target, calibN = calibN)
         graft.search.VectorOps.ivfTopK(tbl, prop, model, qv, k, nprobe)
       case _ =>
         val scored = filtered.withColumn("_score",

@@ -870,6 +870,16 @@ object Dedup {
     }
   }
 
+  /** IVF cluster count for an n-row dedup corpus: sqrt(n), floored at
+    * 64 (the standard IVF sizing). A FIXED cluster count would leave
+    * ~n/nlist rows per cluster and ~n²/nlist intra-cluster comparisons —
+    * the sub-bucket cap bounds per-task memory but not total work.
+    * sqrt keeps expected cluster size ~sqrt(n), so total pair work
+    * stays ~n^1.5, not n².
+    */
+  def ivfNlistFor(n: Long): Int =
+    math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Embedding near-dup pairs: cosine >= threshold. Exact broadcast
     * kernel under `BruteForcePairLimit` rows; IVF cluster-bucketed join
     * above it (pairs only form inside a cluster — the 100 TB path).
@@ -888,13 +898,13 @@ object Dedup {
       threshold: Double, bruteForce: Option[Boolean] = None,
       rowCountHint: Option[Long] = None,
       maxClusterBlock: Int = MaxClusterBlock): DataFrame = {
-    val brute = bruteForce.getOrElse(
-      rowCountHint.getOrElse(cachedCount(df)) <= BruteForcePairLimit)
+    lazy val n = rowCountHint.getOrElse(cachedCount(df))
+    val brute = bruteForce.getOrElse(n <= BruteForcePairLimit)
     if (brute) {
       VectorOps.cosinePairsBroadcast(df, vecCol, idCol, threshold)
     } else {
       val model = VectorOps.trainIvf(df.withColumnRenamed(idCol, "_id")
-        .withColumnRenamed(vecCol, "_v"), "_v", nlist = 64)
+        .withColumnRenamed(vecCol, "_v"), "_v", nlist = ivfNlistFor(n))
       val assigned = VectorOps.assignCluster(
         df.select(col(idCol).as("_aid"), col(vecCol).as("_v")), "_v", model.centroids)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -29,6 +29,7 @@ object IndexCache {
   private val text = new ConcurrentHashMap[Key, (DataFrame, DataFrame)]()
   private val ivf = new ConcurrentHashMap[Key, VectorOps.IvfModel]()
   private val counts = new ConcurrentHashMap[Key, java.lang.Long]()
+  private val probes = new ConcurrentHashMap[Key, java.lang.Integer]()
 
   /** Postings + corpus stats for a declared text index, built once per
     * (store version, label, property) and cached persisted. A declared
@@ -53,6 +54,27 @@ object IndexCache {
       table: => DataFrame, vecCol: String = null): VectorOps.IvfModel =
     ivf.computeIfAbsent((storeVersion, label, prop), _ =>
       VectorOps.trainIvf(table, Option(vecCol).getOrElse(prop), nlist))
+
+  /** Recall-calibrated nprobe for a declared vector index: the smallest
+    * probe count meeting `target` mean recall@10 on a deterministic
+    * calibration batch of `calibN` corpus vectors (hash-ordered pick —
+    * a uniform, reproducible sample). Computed once per artifact like
+    * the centroids themselves; see VectorOps.calibrateNprobe for cost.
+    * Recall@10 is the serving quality bar; larger k only widens the
+    * probe set through the same gate.
+    */
+  def nprobe(storeVersion: String, label: String, prop: String,
+      model: VectorOps.IvfModel, table: => DataFrame, vecCol: String,
+      target: Double, calibN: Int, idCol: String = "_id"): Int =
+    probes.computeIfAbsent((storeVersion, label, prop), _ => {
+      val t = table
+      val calib = t.orderBy(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col(idCol)),
+        org.apache.spark.sql.functions.col(idCol)).limit(calibN)
+      VectorOps.calibrateNprobe(t, vecCol, idCol, model, k = 10,
+        targetRecall = target, calibQueries = calib)
+    }).intValue()
 
   /** Pre-populate from durable artifacts (IndexArtifacts.load). */
   def putText(storeVersion: String, label: String, prop: String,
@@ -107,6 +129,12 @@ object IndexCache {
         if (v != null) counts.putIfAbsent((to, k._2, k._3), v)
       }
     }
+    probes.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = probes.remove(k)
+        if (v != null) probes.putIfAbsent((to, k._2, k._3), v)
+      }
+    }
   }
 
   /** Drop (and unpersist) every artifact built for a store version other
@@ -122,6 +150,7 @@ object IndexCache {
     }
     ivf.keySet.forEach { k => if (!keep.contains(k._1)) ivf.remove(k) }
     counts.keySet.forEach { k => if (!keep.contains(k._1)) counts.remove(k) }
+    probes.keySet.forEach { k => if (!keep.contains(k._1)) probes.remove(k) }
   }
 
   /** Evict ONE version's artifacts (a replica dropping its superseded
@@ -138,6 +167,7 @@ object IndexCache {
     }
     ivf.keySet.forEach { k => if (k._1 == version) ivf.remove(k) }
     counts.keySet.forEach { k => if (k._1 == version) counts.remove(k) }
+    probes.keySet.forEach { k => if (k._1 == version) probes.remove(k) }
   }
 
   /** Number of cached artifacts (for tests/diagnostics). */

@@ -130,9 +130,20 @@ object VectorOps {
   final case class IvfModel(centroids: Array[Array[Double]])
 
   def trainIvf(df: DataFrame, vecCol: String, nlist: Int, iters: Int = 3): IvfModel = {
-    // deterministic init: first nlist distinct vectors by id order
+    // Deterministic init: nlist DISTINCT vectors ordered by a hash of
+    // the vector (ties broken by the vector itself). A bare limit()
+    // takes whatever rows the scan yields first — stable on one parquet
+    // file, not across multi-file reads — so centroids (and therefore
+    // IVF recall) would drift run-to-run. The hash order makes the
+    // pick a deterministic UNIFORM sample of the corpus (a value sort
+    // would clump all centroids in one corner of the space and k-means
+    // cannot recover in few iterations). distinct is a partial agg
+    // (map-side combine) and orderBy+limit plans as TakeOrdered:
+    // per-partition top-nlist, tiny driver merge.
     var cents: Array[Array[Double]] = df
-      .select(col(vecCol)).limit(nlist).collect()
+      .select(col(vecCol)).distinct()
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(nlist).collect()
       .map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
     var it = 0
     while (it < iters) {
@@ -277,6 +288,64 @@ object VectorOps {
     partial.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Smallest `nprobe` whose mean recall@k over a calibration query
+    * batch meets `targetRecall` — the write-time step that turns the
+    * IVF index into a QUALITY-GUARANTEED artifact instead of a fixed
+    * nlist/4 guess. On clustered corpora this lands a small nprobe
+    * (strong pruning); on unstructured corpora it honestly pays more
+    * probes, up to a full scan (nprobe = nlist) when no pruning can
+    * meet the target.
+    *
+    * Cost: ONE exact knnJoin over the corpus (broadcast queries,
+    * per-partition heaps — no corpus shuffle) + one assignment join of
+    * the k·|Q| exact neighbors. Recall as a function of nprobe falls
+    * out of a single pass: an exact neighbor is recalled iff the rank
+    * of its cluster in the query's centroid-distance order is
+    * <= nprobe, so one histogram over ranks yields every candidate
+    * nprobe's recall at once — no per-nprobe re-scan.
+    */
+  def calibrateNprobe(corpus: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, k: Int, targetRecall: Double,
+      calibQueries: DataFrame): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nlist = model.centroids.length
+    val qs = calibQueries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    if (qs.isEmpty) return nlist
+    // probe order per calibration query: rank(cluster) = 1-based
+    // position of the cluster in ascending centroid distance
+    val rankOf: Map[Long, Array[Int]] = qs.map { case (qid, v) =>
+      val d = model.centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { val dx = c(i) - v(i).toDouble; s += dx * dx; i += 1 }
+        s
+      }
+      val rank = new Array[Int](nlist)
+      d.zipWithIndex.sortBy(_._1).zipWithIndex.foreach {
+        case ((_, cl), r) => rank(cl) = r + 1
+      }
+      qid -> rank
+    }.toMap
+    val exact = knnJoin(corpus, calibQueries, vecCol, idCol, k, excludeSelf = false)
+    val assigned = assignCluster(
+      corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol)),
+      vecCol, model.centroids).select(col("neighbor_id"), col("_cluster"))
+    val pairs = exact.join(assigned, Seq("neighbor_id"))
+      .select(col("query_id"), col("_cluster")).as[(Long, Int)].collect()
+    if (pairs.isEmpty) return nlist
+    val hist = new Array[Long](nlist + 1)
+    pairs.foreach { case (qid, cl) => hist(rankOf(qid)(cl)) += 1 }
+    val total = pairs.length.toDouble
+    var cum = 0L
+    var np = 0
+    while (np < nlist && cum < targetRecall * total) {
+      np += 1
+      cum += hist(np)
+    }
+    math.max(1, np)
   }
 
   def ivfTopK(df: DataFrame, vecCol: String, model: IvfModel,

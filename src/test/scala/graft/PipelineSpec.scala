@@ -556,6 +556,12 @@ class PipelineSpec extends GraftSuite {
     assert(secs < 120.0, s"degenerate corpus took ${secs}s")
   }
 
+  test("embedding pairs IVF sizing scales with corpus count") {
+    assert(Dedup.ivfNlistFor(1000L) == 64)          // floor
+    assert(Dedup.ivfNlistFor(1000000L) == 1000)     // sqrt
+    assert(Dedup.ivfNlistFor(1000000000L) == 31623) // ~n/31k rows per cluster
+  }
+
   test("language id picks marker-rich language (expression and staged report agree)") {
     val r = docs().select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap

@@ -119,6 +119,59 @@ class SearchSpec extends GraftSuite {
     assert(kernel.values.toSet.size > 1)
   }
 
+  private def uniformVecs(n: Int, dim: Int) = {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random vectors with NO cluster structure —
+    // the adversarial case for IVF pruning
+    (0 until n).map { i =>
+      val r = new scala.util.Random(i * 2654435761L)
+      (i.toLong, Array.fill(dim)(r.nextFloat() * 2 - 1).toSeq)
+    }.toDF("_id", "emb")
+  }
+
+  test("calibrated nprobe: strong pruning on clustered data, honest on uniform") {
+    val clustered = vecs(400, 16).cache()
+    val cm = VectorOps.trainIvf(clustered, "emb", nlist = 16, iters = 2)
+    val calibC = clustered.where(col("_id") >= 100)
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(48)
+    val npC = VectorOps.calibrateNprobe(clustered, "emb", "_id", cm,
+      k = 10, targetRecall = 0.95, calibQueries = calibC)
+    // 8 true clusters over 16 lists: a handful of probes must suffice
+    assert(npC <= 8, s"clustered corpus calibrated to nprobe=$npC")
+
+    val uniform = uniformVecs(400, 16).cache()
+    val um = VectorOps.trainIvf(uniform, "emb", nlist = 16, iters = 2)
+    val calibU = uniform.where(col("_id") >= 100)
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(48)
+    val npU = VectorOps.calibrateNprobe(uniform, "emb", "_id", um,
+      k = 10, targetRecall = 0.95, calibQueries = calibU)
+    assert(npU > npC, s"uniform corpus must need more probes: $npU vs $npC")
+
+    // generalization: the calibrated nprobe meets the gate on HELDOUT
+    // queries (disjoint from the calibration batch) on both corpora
+    for ((df, m, np) <- Seq((clustered, cm, npC), (uniform, um, npU))) {
+      val held = df.where(col("_id") < 40)
+      val exact = VectorOps.knnJoin(df, held, "emb", "_id", k = 10, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = VectorOps.knnJoinIvf(df, held, "emb", "_id", k = 10, m, np,
+        excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect ivf).size.toDouble / exact.size
+      assert(recall >= 0.9, s"heldout recall $recall at nprobe=$np")
+    }
+    clustered.unpersist(); uniform.unpersist()
+  }
+
+  test("trainIvf centroids are identical across runs on repartitioned input") {
+    val df = vecs(300, 16)
+    val a = VectorOps.trainIvf(df.repartition(7), "emb", nlist = 8, iters = 2)
+    val b = VectorOps.trainIvf(df.repartition(3).sortWithinPartitions(col("_id").desc),
+      "emb", nlist = 8, iters = 2)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+      "init must not depend on scan order")
+  }
+
   test("IVF train + assign at nlist>=1024 stays a single codegen kernel") {
     // the literal-argmin tree at this size (1024 centroids × 32 dims =
     // ~100k literal nodes) blew past Janino's method limit and fell back
