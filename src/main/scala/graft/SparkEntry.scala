@@ -447,7 +447,8 @@ object SparkEntry {
         chunkSize = 64, overlap = 16)),
     // point-in-time-correct feature alignment: for each click, the
     // latest purchase value the user had AT that moment (inclusive);
-    // null when no purchase precedes — the label-leakage-safe join
+    // null when no purchase precedes — the label-leakage-safe join.
+    // Runs through the SALTED hot-key path so the oracle gates it.
     "q_event_asof" -> ((s, d) => {
       val ev = events(s, d)
       Temporal.asofJoin(
@@ -455,13 +456,15 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts")),
         ev.where(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("value")),
-        "user_id", "ts", "event_id", "value", out = "last_purchase")
+        "user_id", "ts", "event_id", "value", out = "last_purchase",
+        saltBuckets = 8)
         .select("event_id", "last_purchase")
     }),
     // trailing-hour activity velocity per user, point-in-time correct
+    // (salted span path — counts must stay exact across span edges)
     "q_event_window" -> ((s, d) =>
       Temporal.rollingCount(events(s, d),
-        "user_id", "ts", "event_id", windowSec = 3600)
+        "user_id", "ts", "event_id", windowSec = 3600, saltBuckets = 8)
         .select("event_id", "n_prior")),
     // int8 quantization fidelity, summarized scalar-only (the driver
     // compare rejects collection columns): quantized-component sum,

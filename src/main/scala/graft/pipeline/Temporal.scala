@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
   * example to the LATEST feature/label state known at its timestamp
   * (point-in-time-correct feature backfill — the join that prevents
   * label leakage in time-split training data).
+  *
+  * Both operators are per-key window computations, so their inherent
+  * scale caveat is a pathologically HOT key serializing into one task.
+  * Each takes a `saltBuckets` knob that splits every key's timeline
+  * into equal time spans and windows per (key, span) instead — results
+  * stay bit-identical (the as-of join carries each span's closing
+  * right-value into the next span as a synthetic boundary row; the
+  * rolling count duplicates rows near a span edge into the next span
+  * as ghost peers that are counted but never emitted), while the hot
+  * key's work spreads over saltBuckets tasks.
   */
 object Temporal {
 
@@ -23,14 +33,13 @@ object Temporal {
     * time-ordered window (right rows sort before left rows at equal
     * timestamps). ONE shuffle by key and a per-key sort; no range
     * self-join, no per-row right-side scan, so a 100 TB event stream
-    * pays exactly what a groupBy over it would. A pathologically hot
-    * key serializes into one task (the inherent window caveat); salt
-    * by coarse time-bucket with boundary carry-forward if one key owns
-    * a material share of the stream.
+    * pays exactly what a groupBy over it would. `saltBuckets > 1`
+    * adds one small aggregation (global time bounds) and one
+    * right-side shuffle, in exchange for hot-key spread.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, leftIdCol: String, rightValCol: String,
-      out: String = "asof_value"): DataFrame = {
+      out: String = "asof_value", saltBuckets: Int = 1): DataFrame = {
     // The matched value rides inside a struct so that a right row whose
     // value is genuinely NULL is still a non-null window entry: the
     // running last() tracks row PRESENCE, and the NULL value propagates
@@ -43,14 +52,69 @@ object Temporal {
     val l = left.select(col(keyCol), col(tsCol), lit(1).as("_side"),
       lit(null).cast(r.schema("_rrow").dataType).as("_rrow"),
       col(leftIdCol).as("_lid"))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
-      .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-      .select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol),
-        col("_m")("v").as(out))
+    val u = r.unionByName(l)
+
+    def finish(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      df.withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
+        .where(col("_side") === 1)
+        .select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol),
+          col("_m")("v").as(out))
+
+    if (saltBuckets <= 1) {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(tsCol).asc, col("_side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      finish(u, w)
+    } else {
+      // Timeline as a double: epoch micros stay exactly distinct in a
+      // 53-bit mantissa, and plain longs cast losslessly — one numeric
+      // axis for bucketing AND in-bucket ordering, any ts type.
+      val b0 = u.withColumn("_us", col(tsCol).cast("double"))
+      val bounds = b0.agg(min(col("_us")), max(col("_us"))).head()
+      if (bounds.isNullAt(0)) {
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return finish(u, w) // empty input: nothing to salt
+      }
+      val (tmin, tmax) = (bounds.getDouble(0), bounds.getDouble(1))
+      val width = math.max((tmax - tmin) / saltBuckets, 1e-9)
+      val b = b0.withColumn("_bkt",
+        least(floor((col("_us") - tmin) / width), lit(saltBuckets - 1L)).cast("int"))
+      // last right row per occupied (key, span) — the span's closing value
+      val rb = b.where(col("_side") === 0)
+        .groupBy(col(keyCol), col("_bkt"))
+        .agg(max_by(col("_rrow"), col("_us")).as("_lastr"))
+      // spans that contain left rows and therefore need a carry-in
+      val lb = b.where(col("_side") === 1)
+        .select(col(keyCol), col("_bkt")).distinct()
+      // carry-in for span k = closing value of the latest span < k:
+      // order right-span rows AFTER left-span markers at the same span,
+      // so the running last() sees strictly-earlier spans only. This
+      // frame has at most one row per (key, span, side) — tiny.
+      val cw = Window.partitionBy(col(keyCol))
+        .orderBy(col("_bkt").asc, col("_o").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val frame = rb.select(col(keyCol), col("_bkt"), lit(1).as("_o"), col("_lastr"))
+        .unionByName(lb.select(col(keyCol), col("_bkt"), lit(0).as("_o"),
+          lit(null).cast(rb.schema("_lastr").dataType).as("_lastr")))
+      val boundary = frame
+        .withColumn("_carry", last(col("_lastr"), ignoreNulls = true).over(cw))
+        .where(col("_o") === 0 && col("_carry").isNotNull)
+        .select(col(keyCol), col("_bkt"), lit(-1).as("_side"),
+          col("_carry").as("_rrow"),
+          lit(null).cast(l.schema("_lid").dataType).as("_lid"),
+          lit(null).cast(left.schema(tsCol).dataType).as(tsCol),
+          lit(null).cast("double").as("_us"))
+      // boundary rows sort before every real row of their span (rank
+      // 0 vs 1) — immune to any floating-point edge in span start
+      val all = b.unionByName(boundary)
+        .withColumn("_rank", when(col("_side") === -1, 0).otherwise(1))
+      val w = Window.partitionBy(col(keyCol), col("_bkt"))
+        .orderBy(col("_rank").asc, col("_us").asc, col("_side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      finish(all, w)
+    }
   }
 
   /** Trailing-window activity count: for each row, how many OTHER rows
@@ -61,16 +125,58 @@ object Temporal {
     * parallelism (both engines define RANGE frames by value, peers
     * included); the row itself is excluded. One shuffle by key, one
     * per-key sort — same cost envelope as [[asofJoin]].
+    *
+    * `saltBuckets > 1` splits each key's timeline into equal spans (at
+    * least `windowSec` wide, so a trailing frame reaches back at most
+    * one span): rows within `windowSec` of a span's end are duplicated
+    * into the next span as GHOST peers — counted by the frame, never
+    * emitted — keeping counts exact while a hot key's sort spreads
+    * across spans.
     */
   def rollingCount(df: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, windowSec: Long, out: String = "n_prior"): DataFrame = {
+      idCol: String, windowSec: Long, out: String = "n_prior",
+      saltBuckets: Int = 1): DataFrame = {
     // Frame evaluated over epoch MICROS, not whole seconds: a long cast
     // of the timestamp truncates to seconds and shifts the boundary by
     // up to ±1 s vs the µs-precision `ts >= t - windowSec` semantics.
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(unix_micros(col(tsCol)))
-      .rangeBetween(-windowSec * 1000000L, 0)
-    df.select(col(idCol), col(keyCol), col(tsCol),
-      (count(lit(1)).over(w) - 1).as(out))
+    val windowUs = windowSec * 1000000L
+    val base = df.select(col(idCol), col(keyCol), col(tsCol),
+      unix_micros(col(tsCol)).as("_us"))
+    if (saltBuckets <= 1) {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("_us")).rangeBetween(-windowUs, 0)
+      base.select(col(idCol), col(keyCol), col(tsCol),
+        (count(lit(1)).over(w) - 1).as(out))
+    } else {
+      val bounds = base.agg(min(col("_us")), max(col("_us"))).head()
+      if (bounds.isNullAt(0)) {
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("_us")).rangeBetween(-windowUs, 0)
+        return base.select(col(idCol), col(keyCol), col(tsCol),
+          (count(lit(1)).over(w) - 1).as(out))
+      }
+      val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
+      // spans must be >= the trailing window, so ghosts reach exactly
+      // one span forward; clamp the bucket count accordingly
+      val span = math.max(tmax - tmin + 1, 1L)
+      val nb = math.max(1L, math.min(saltBuckets.toLong,
+        span / math.max(windowUs, 1L))).toInt
+      val width = math.max(span / nb + 1, windowUs)
+      val bkt = least(floor((col("_us") - tmin) / width), lit(nb - 1L)).cast("int")
+      val real = base.withColumn("_bkt", bkt).withColumn("_ghost", lit(0))
+      // a row within windowUs of its span end also peers rows of the
+      // NEXT span's opening windowUs — duplicate it there as a ghost
+      val ghosts = real
+        .where(col("_bkt") < nb - 1 &&
+          col("_us") >= lit(tmin) + (col("_bkt") + 1) * width - windowUs)
+        .withColumn("_bkt", col("_bkt") + 1)
+        .withColumn("_ghost", lit(1))
+      val w = Window.partitionBy(col(keyCol), col("_bkt"))
+        .orderBy(col("_us")).rangeBetween(-windowUs, 0)
+      real.unionByName(ghosts)
+        .withColumn(out, count(lit(1)).over(w) - 1)
+        .where(col("_ghost") === 0)
+        .select(col(idCol), col(keyCol), col(tsCol), col(out))
+    }
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Temporal
+
+/** Salted temporal operators: a hot key (one key owning half the
+  * corpus) must produce BIT-IDENTICAL results through the salted
+  * per-(key, time-span) path and the plain per-key window path.
+  */
+class TemporalSpec extends GraftSuite {
+
+  // ~2400 events, key 1 owns 50%; deterministic µs-precision times
+  private def skewed() = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 2400).map { i =>
+      val key = if (i % 2 == 0) 1L else 2L + (i % 7)
+      val us = 1000000000L + math.abs(rnd.nextLong() % 40000000000L) // ~11h span
+      val kind = if (rnd.nextInt(3) == 0) "purchase" else "click"
+      val value: Option[Double] =
+        if (kind == "purchase" && rnd.nextInt(10) == 0) None // NULL values too
+        else Some(rnd.nextInt(1000) / 10.0)
+      (i.toLong, key, us, kind, value)
+    }.toDF("event_id", "user_id", "tus", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tus")).as("ts"), col("event_type"), col("value"))
+  }
+
+  test("salted asofJoin equals unsalted on a 50%-hot-key corpus") {
+    val ev = skewed().cache()
+    val left = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val right = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    def run(buckets: Int) =
+      Temporal.asofJoin(left, right, "user_id", "ts", "event_id", "value",
+        saltBuckets = buckets)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val plain = run(1)
+    for (b <- Seq(2, 8, 64)) {
+      assert(run(b) == plain, s"saltBuckets=$b diverged")
+    }
+    assert(plain.size == left.count())
+    assert(plain.values.exists(_ != null) && plain.values.exists(_ == null))
+    ev.unpersist()
+  }
+
+  test("salted rollingCount equals unsalted on a 50%-hot-key corpus") {
+    val ev = skewed().cache()
+    def run(buckets: Int) =
+      Temporal.rollingCount(ev, "user_id", "ts", "event_id",
+        windowSec = 3600, saltBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val plain = run(1)
+    for (b <- Seq(2, 8, 64)) {
+      assert(run(b) == plain, s"saltBuckets=$b diverged")
+    }
+    assert(plain.values.max > 0)
+    ev.unpersist()
+  }
+
+  test("salted rollingCount clamps span width to the trailing window") {
+    val s = spark
+    import s.implicits._
+    // 10s of data, 3600s window, 64 requested buckets: every row peers
+    // every earlier row; the clamp must collapse to one span rather
+    // than produce windows that cannot reach back far enough
+    val ev = (0 until 50).map(i => (i.toLong, 1L, 1000000000L + i * 200000L))
+      .toDF("event_id", "user_id", "tus")
+      .select(col("event_id"), col("user_id"), timestamp_micros(col("tus")).as("ts"))
+    val got = Temporal.rollingCount(ev, "user_id", "ts", "event_id",
+      windowSec = 3600, saltBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((0 until 50).forall(i => got(i.toLong) == i.toLong), s"got $got")
+  }
+
+  test("salted asofJoin on empty input returns empty, not a crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("event_id", "user_id", "ts")
+    val emptyR = Seq.empty[(Long, Long, Double)].toDF("user_id", "ts", "value")
+    assert(Temporal.asofJoin(empty, emptyR, "user_id", "ts", "event_id",
+      "value", saltBuckets = 8).count() == 0)
+  }
+}
