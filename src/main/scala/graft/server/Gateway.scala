@@ -50,7 +50,16 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       * reader's BM25/IVF artifacts (the single-live-store assumption
       * relaxed to known-live-stores).
       */
-    liveVersions: () => Set[String] = () => Set.empty) {
+    liveVersions: () => Set[String] = () => Set.empty,
+    /** Optional shared API key, mirroring the reference's cloud path
+      * (`Authorization: Bearer <key>`, sdks/rust/src/lib.rs:226-238;
+      * the CLI reads HELIX_API_KEY, helix-cli/src/commands/query.rs:
+      * 49-66). When set, the `/v1/...` endpoints and `/mcp` reject a
+      * missing or wrong bearer token with 401; `/metrics` stays open (local
+      * observability / health). Defaults to GRAFT_API_KEY from the
+      * environment; None (the local-container default) serves keyless.
+      */
+    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY")) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -330,10 +339,35 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
   private[server] def handleParsedT(req: Json.Request): (String, Boolean) =
     executeBatch(req.batch, req.parameters)
 
+  /** Bearer-token check for protected endpoints; constant-time compare
+    * so the key is not probeable byte by byte.
+    */
+  private[server] def authorized(header: Option[String]): Boolean =
+    apiKey.forall { k =>
+      header.map(_.trim).exists { h =>
+        h.startsWith("Bearer ") && java.security.MessageDigest.isEqual(
+          h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
+          k.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+  private def requireAuth(ex: HttpExchange): Boolean = {
+    val ok = authorized(Option(ex.getRequestHeaders.getFirst("Authorization")))
+    if (!ok) {
+      val bytes = """{"error":"unauthorized"}""".getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(401, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    ok
+  }
+
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/v1/query", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (!requireAuth(ex)) return
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val path = ex.getRequestURI.getPath
         // x-helix-* request headers (sdks/rust/src/lib.rs:270-298):
@@ -390,6 +424,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     // deployed set as a v5 document
     server.createContext("/v1/deploy", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (!requireAuth(ex)) return
         val resp =
           try {
             if (ex.getRequestMethod == "GET") renderBundle
@@ -409,6 +444,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     })
     if (mcp) server.createContext("/mcp", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (!requireAuth(ex)) return
         val method = ex.getRequestMethod
         if (method != "POST") {
           // the streamable transport's GET opens a server event stream,

@@ -41,11 +41,20 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     numReaders: Int = 2, maxResponseRows: Int = 10000,
-    workerThreads: Int = 8) {
+    workerThreads: Int = 8,
+    /** Optional shared API key (see Gateway.apiKey): enforced once at
+      * this HTTP boundary for `/v1/query` and `/v1/deploy` — the
+      * replicas are in-process, so the authenticated identity rides the
+      * dispatch call itself (the in-process analogue of forwarding the
+      * Authorization header). `/v1/cluster` and `/metrics` stay open
+      * (health/observability).
+      */
+    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY")) {
   require(numReaders >= 1, "a Router needs at least one read replica")
 
   val writer = new Gateway(GraphWal.recover(spark, walRoot),
     maxResponseRows = maxResponseRows, walRoot = Some(walRoot), mcp = false,
+    apiKey = apiKey,
     // a writer-side write must not cold-start the readers: their store
     // versions — including a refresh's in-flight target version, whose
     // artifacts have migrated but whose store has not published yet —
@@ -54,7 +63,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     liveVersions = () => Option(readers).map(_.flatMap(_.liveVersions).toSet)
       .getOrElse(Set.empty))
   private val readers = Array.tabulate(numReaders)(
-    i => new ReadReplica(spark, walRoot, maxResponseRows, i))
+    i => new ReadReplica(spark, walRoot, maxResponseRows, i, apiKey))
   private val rr = new AtomicInteger(0)
   private val nErrors = new java.util.concurrent.atomic.AtomicLong
   private var server: HttpServer = _
@@ -140,10 +149,24 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       s""""wal_position":${GraphWal.commitPosition(walRoot)}}"""
   }
 
+  private def requireAuth(ex: HttpExchange): Boolean = {
+    val ok = writer.authorized(
+      Option(ex.getRequestHeaders.getFirst("Authorization")))
+    if (!ok) {
+      val bytes = """{"error":"unauthorized"}""".getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(401, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    ok
+  }
+
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/v1/query", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (!requireAuth(ex)) return
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val sub = ex.getRequestURI.getPath.stripPrefix("/v1/query").stripPrefix("/")
         val (resp, headers) =
@@ -166,6 +189,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     // sync reads the writer's authoritative set
     server.createContext("/v1/deploy", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (!requireAuth(ex)) return
         val resp =
           try {
             if (ex.getRequestMethod == "GET") writer.renderBundle
@@ -214,7 +238,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
   * serves the request).
   */
 private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
-    maxResponseRows: Int, index: Int) {
+    maxResponseRows: Int, index: Int, apiKey: Option[String] = None) {
   @volatile private var st = GraphWal.openReplica(spark, walRoot)
   /** Version a refresh is migrating artifacts toward but has not
     * published yet — live for eviction purposes (a writer-side evict
@@ -222,7 +246,8 @@ private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
     */
   @volatile private var inFlight: Option[String] = None
   private[server] val gateway =
-    new Gateway(st.served, maxResponseRows = maxResponseRows, mcp = false)
+    new Gateway(st.served, maxResponseRows = maxResponseRows, mcp = false,
+      apiKey = apiKey)
   private[server] val name = s"reader-$index"
 
   def position: Long = st.position

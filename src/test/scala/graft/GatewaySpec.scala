@@ -209,6 +209,35 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("API key: keyed gateway 401s /v1/* and /mcp without the bearer; metrics open") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16975,
+      apiKey = Some("k3y"))
+    gw.start()
+    try {
+      def post(path: String, auth: Option[String], body: String): Int = {
+        val conn = new java.net.URL(s"http://localhost:16975$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        auth.foreach(a => conn.setRequestProperty("Authorization", a))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      val q = """{"request_type":"read","query":{"queries":[{"Query":{"name":"n",
+        "steps":[{"NWhere":{"Eq":["$label",{"String":"ParityUser"}]}},"Count"],
+        "condition":null}}],"returns":["n"]},"parameters":{}}"""
+      assert(post("/v1/query", None, q) == 401)
+      assert(post("/v1/query", Some("Bearer nope"), q) == 401)
+      assert(post("/v1/query", Some("Bearer k3y"), q) == 200)
+      assert(post("/v1/deploy", None, "{}") == 401)
+      assert(post("/mcp", None, """{"jsonrpc":"2.0","id":1,"method":"ping"}""") == 401)
+      assert(post("/mcp", Some("Bearer k3y"),
+        """{"jsonrpc":"2.0","id":1,"method":"ping"}""") == 200)
+      val m = new java.net.URL("http://localhost:16975/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(m.getResponseCode == 200) // observability stays keyless
+    } finally gw.stop()
+  }
+
   test("metrics JSON stays parseable when a route name needs escaping") {
     import graft.ast._
     import graft.dsl.Dsl._

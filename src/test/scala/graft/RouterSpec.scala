@@ -193,4 +193,45 @@ class RouterSpec extends GraftSuite {
       assert(m.contains(""""wal_position":1"""), m)
     } finally router.stop()
   }
+
+  test("API key: keyed router rejects missing/wrong bearer, accepts the key; health open") {
+    val router = new Router(spark, walRoot(), port = 16991, numReaders = 1,
+      apiKey = Some("sekrit"))
+    router.start()
+    try {
+      def post(path: String, auth: Option[String]): (Int, String) = {
+        val conn = new java.net.URL(s"http://localhost:16991$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        auth.foreach(a => conn.setRequestProperty("Authorization", a))
+        conn.getOutputStream.write(countUsers.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        (code, new String(in.readAllBytes(), "UTF-8"))
+      }
+      assert(post("/v1/query", None) == (401, """{"error":"unauthorized"}"""))
+      assert(post("/v1/query", Some("Bearer wrong"))._1 == 401)
+      assert(post("/v1/query", Some("sekrit"))._1 == 401) // scheme required
+      val (okCode, okBody) = post("/v1/query", Some("Bearer sekrit"))
+      assert(okCode == 200 && okBody == """{"n":3}""", s"$okCode $okBody")
+      assert(post("/v1/deploy", None)._1 == 401)
+      // health/observability stay keyless
+      val health = new java.net.URL("http://localhost:16991/v1/cluster")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(health.getResponseCode == 200)
+    } finally router.stop()
+  }
+
+  test("keyless router keeps serving unauthenticated (local-container default)") {
+    val router = new Router(spark, walRoot(), port = 16992, numReaders = 1)
+    router.start()
+    try {
+      val conn = new java.net.URL("http://localhost:16992/v1/query")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(countUsers.getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      assert(new String(conn.getInputStream.readAllBytes(), "UTF-8") == """{"n":3}""")
+    } finally router.stop()
+  }
 }
