@@ -99,7 +99,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine load at measurement time: totals on this box swing 40-60%
+    // with concurrent load (r4: 22.3 s recorded vs 5.9 s idle), so the
+    // artifact records the conditions it was taken under
+    val loadavg = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Exception => "null" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg}""")
     spark.stop()
   }
 }
