@@ -69,12 +69,61 @@ class BatchExecutor(initialStore: GraphStore,
             case Some(other) => Seq(other)
             case None => throw new TraversalException(s"missing foreach param: $param")
           }
-          if (!vectorizeAddN(arr, body, params)) {
+          if (!vectorizeAddN(arr, body, params) &&
+              !readForEachFastPath(param, arr, body, params)) {
             arr.foreach {
               case PropertyValue.VObject(fields) => runEntries(body, params ++ fields)
               case scalar => runEntries(body, params + (param -> scalar))
             }
           }
+      }
+
+    /** Read-side ForEach fast path (SURVEY §4.2 rewrite 5). ForEach
+      * result semantics are per-iteration REBINDING (fixture 012: the
+      * named result holds the LAST iteration's value), so when the body
+      * is a single unconditional read-only query with no
+      * cross-iteration variable dependence, every iteration except the
+      * last is dead work: the loop is equivalent to ONE evaluation with
+      * the last element's fields. The driver loop would build one plan
+      * and run one isEmpty job PER ELEMENT — a 1k-element lookup array
+      * costs 1k Spark jobs for a result only its last element defines.
+      * (An exploded-params join would accumulate ALL elements' rows —
+      * different semantics than the loop; rebinding is what the parity
+      * corpus pins.)
+      *
+      * Cross-iteration dependence check: a body that READS a variable
+      * it also BINDS (via its result name, As, or StoreVar) sees the
+      * previous iteration's value and must keep looping; reads of
+      * variables bound outside the loop are iteration-invariant.
+      */
+    def readForEachFastPath(param: String, items: Seq[PropertyValue],
+        body: Seq[BatchEntry], params: Map[String, PropertyValue]): Boolean =
+      body match {
+        case Seq(BatchEntry.Query(q @ NamedQuery(_, t, None))) if items.nonEmpty =>
+          val mutates = deepCollect(t) {
+            case s: Step if isMutation(s) => ()
+          }.nonEmpty
+          val bound = (q.name.toSeq ++ deepCollect(t) {
+            case Step.As(n) => n
+            case Step.StoreVar(n) => n
+          }).toSet
+          val reads = deepCollect(t) {
+            case NodeRef.Var(n) => n
+            case EdgeRef.Var(n) => n
+            case Step.Inject(n) => n
+            case Step.SelectVar(n) => n
+            case Step.Within(n) => n
+            case Step.Without(n) => n
+          }.toSet
+          if (mutates || reads.intersect(bound).nonEmpty) false
+          else {
+            items.last match {
+              case PropertyValue.VObject(fields) => runEntries(body, params ++ fields)
+              case scalar => runEntries(body, params + (param -> scalar))
+            }
+            true
+          }
+        case _ => false
       }
 
     /** ForEach vectorization (SURVEY §4.2 rewrite 5): a body that is a
@@ -114,5 +163,30 @@ class BatchExecutor(initialStore: GraphStore,
       if (batch.returns.isEmpty) results.toMap
       else batch.returns.flatMap(n => results.get(n).map(n -> _)).toMap
     Result(returned, store, seedCtl.firstSeed)
+  }
+
+  /** Deep scan over the case-class tree (steps, nested traversals,
+    * predicates, expressions) collecting every node the partial
+    * function matches — structure-agnostic, so a new Step variant with
+    * an embedded Traversal is scanned without code changes here.
+    */
+  private def deepCollect[T](x: Any)(pf: PartialFunction[Any, T]): Vector[T] = {
+    val self = pf.lift(x).toVector
+    val kids = x match {
+      case p: Product => p.productIterator.toVector
+      case it: Iterable[_] => it.toVector
+      case _ => Vector.empty
+    }
+    self ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
+  private def isMutation(s: Step): Boolean = s match {
+    case _: Step.AddN | _: Step.AddE | _: Step.SetProperty
+       | _: Step.RemoveProperty | Step.Drop | _: Step.DropEdge
+       | _: Step.DropEdgeLabeled | _: Step.DropEdgeById
+       | _: Step.CreateIndex | _: Step.DropIndex
+       | _: Step.CreateVectorIndexNodes | _: Step.CreateVectorIndexEdges
+       | _: Step.CreateTextIndexNodes | _: Step.CreateTextIndexEdges => true
+    case _ => false
   }
 }
