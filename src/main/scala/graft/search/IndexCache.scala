@@ -31,6 +31,11 @@ object IndexCache {
   private val counts = new ConcurrentHashMap[Key, java.lang.Long]()
   private val probes = new ConcurrentHashMap[Key, java.lang.Integer]()
 
+  /** Full posting builds, for tests asserting the incremental append
+    * path (appendText) was taken instead of a rebuild.
+    */
+  private[graft] val textBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Postings + corpus stats for a declared text index, built once per
     * (store version, label, property) and cached persisted. A declared
     * tenant property makes the artifact tenant-partitioned (postings
@@ -39,12 +44,66 @@ object IndexCache {
   def textIndex(storeVersion: String, label: String, prop: String,
       table: => DataFrame, tenantCol: Option[String] = None): (DataFrame, DataFrame) =
     text.computeIfAbsent((storeVersion, label, prop), _ => {
+      textBuilds.incrementAndGet()
       val (post, stats) = BM25.buildIndex(table, prop, tenantCol)
       val p = post.persist(StorageLevel.MEMORY_AND_DISK)
       val s = stats.persist(StorageLevel.MEMORY_AND_DISK)
       p.count(); s.count()
       (p, s)
     })
+
+  /** Incremental text-artifact refresh for an APPEND-ONLY data change
+    * (streaming sink commits): the raw postings carry no idf — df/idf
+    * derive at query time — so `old postings ∪ postings(delta)` IS the
+    * exact new artifact, and corpus stats merge in closed form
+    * (N' = N + n_delta, avglen' re-weighted). Cost is one pass over the
+    * DELTA plus a cached-artifact copy, not a full-corpus re-tokenize.
+    * The merged frames materialize eagerly, BEFORE the superseded
+    * version's artifact is unpersisted, so the copy reads the warm
+    * cache. No-op (returns false) when nothing is cached under `from` —
+    * the next query builds fresh and already sees the appended rows.
+    * Tenant-partitioned artifacts are out of scope (they rebuild).
+    */
+  def appendText(from: String, to: String, label: String, prop: String,
+      delta: DataFrame): Boolean = {
+    val old = text.get((from, label, prop))
+    if (old == null) return false
+    val (dPost, dStats) = BM25.buildIndex(delta, prop, None)
+    val post = old._1.unionByName(dPost).persist(StorageLevel.MEMORY_AND_DISK)
+    val d = dStats.select(
+      org.apache.spark.sql.functions.col("_n").as("_dn"),
+      org.apache.spark.sql.functions.col("_avglen").as("_davg"))
+    val stats = {
+      import org.apache.spark.sql.functions._
+      old._2.crossJoin(d).select(
+        (col("_n") + col("_dn")).as("_n"),
+        when(col("_n") + col("_dn") === 0, lit(0.0))
+          .otherwise((col("_n") * coalesce(col("_avglen"), lit(0.0)) +
+            col("_dn") * coalesce(col("_davg"), lit(0.0))) /
+            (col("_n") + col("_dn"))).as("_avglen"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    post.count(); stats.count()
+    val prior = text.putIfAbsent((to, label, prop), (post, stats))
+    if (prior != null) { post.unpersist(false); stats.unpersist(false) }
+    true
+  }
+
+  /** Carry a vector index's centroids (and calibrated nprobe) forward
+    * across an append-only change: new rows assign to the EXISTING
+    * centroids — the standard IVF serving discipline (append-time
+    * assignment, periodic retrain). Recall degrades gracefully with
+    * drift; the next full rebuild re-trains and re-calibrates. The row
+    * count is deliberately NOT carried (it re-counts on demand, keeping
+    * the brute-vs-IVF threshold decision fresh).
+    */
+  def migrateIvfAppend(from: String, to: String, label: String,
+      prop: String): Unit = {
+    val m = ivf.get((from, label, prop))
+    if (m != null) ivf.putIfAbsent((to, label, prop), m)
+    val np = probes.get((from, label, prop))
+    if (np != null) probes.putIfAbsent((to, label, prop), np)
+  }
 
   /** IVF centroids for a declared vector index. `prop` is the CACHE key
     * (possibly a tenantKey composite); `vecCol` names the actual vector

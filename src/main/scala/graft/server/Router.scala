@@ -275,6 +275,30 @@ private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
       }
       inFlight = Some(next.served.version)
       graft.search.IndexCache.migrate(prev.version, next.served.version, unchanged)
+      // position unchanged means no segments replayed: only the stream
+      // overlays can have moved, and those are APPEND-ONLY — declared
+      // artifacts on the changed labels refresh incrementally (postings
+      // merge with the appended rows' postings; IVF centroids carry
+      // forward and new vectors assign to them) instead of cold-starting
+      if (next.position == st.position) {
+        import graft.ast.IndexSpec
+        val (from, to) = (prev.version, next.served.version)
+        next.served.indexes.foreach {
+          case IndexSpec.NodeText(l, p, None) if !unchanged.contains(l) =>
+            for (pt <- prev.nodeTables.get(l); nt <- next.served.nodeTables.get(l))
+              graft.search.IndexCache.appendText(from, to, l, p,
+                nt.join(pt.select("_id"), Seq("_id"), "left_anti"))
+          case IndexSpec.EdgeText(l, p, None) if !unchanged.contains(l) =>
+            for (pt <- prev.edgeTables.get(l); nt <- next.served.edgeTables.get(l))
+              graft.search.IndexCache.appendText(from, to, l, p,
+                nt.join(pt.select("_id"), Seq("_id"), "left_anti"))
+          case IndexSpec.NodeVector(l, p, _) if !unchanged.contains(l) =>
+            graft.search.IndexCache.migrateIvfAppend(from, to, l, p)
+          case IndexSpec.EdgeVector(l, p, _) if !unchanged.contains(l) =>
+            graft.search.IndexCache.migrateIvfAppend(from, to, l, p)
+          case _ =>
+        }
+      }
       graft.search.IndexCache.evictVersion(prev.version)
       // store BEFORE position: a concurrent stale read that observes the
       // new position must find the new store behind it (the store may

@@ -108,6 +108,48 @@ class StreamingSpec extends GraftSuite {
     assert(Set("_id", "_label", "_src", "_dst", "_bucket").subsetOf(written.columns.toSet))
   }
 
+  test("a streamed-in document becomes text-searchable after the sink commit, postings refresh incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ast._
+    import graft.model.GraphWal
+    val s = spark
+    import s.implicits._
+    implicit val sqlc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gstream-ix").toString
+    GraphWal.checkpoint(TestBase.parityGraph()
+      .withIndexes(Set(IndexSpec.NodeText("ParityUser", "bio", None))), dir)
+    val mem = MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      val q = graft.streaming.GraphStream.nodeIngest(
+        mem.toDF().toDF("uid", "bio"), "ParityUser", "uid", s"$dir/stream",
+        buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    mem.addData((70L, "zanzibar expedition notes")); runOnce()
+    GraphWal.attachStream(dir, "nodes", "ParityUser", s"$dir/stream/nodes/ParityUser")
+
+    val router = new graft.server.Router(spark, dir, numReaders = 1)
+    val search = Batch(Seq(BatchEntry.Query(NamedQuery(Some("hits"), Traversal(Vector(
+      Step.TextSearchNodes("ParityUser", "bio", None,
+        PropertyInput.Value(PropertyValue.VString("zanzibar")),
+        StreamBound.Literal(5)),
+      Step.Id))))), returns = Seq("hits"))
+    router.registerQuery("zsearch", search)
+    val noHdr: String => Option[String] = _ => None
+    // first search: builds the postings artifact (sees the pre-attached doc)
+    assert(router.route("zsearch", "{}", noHdr)._1.contains("70"))
+    val buildsAfterFirst = graft.search.IndexCache.textBuilds.get()
+
+    // the sink commits another matching doc; no WAL write, no checkpoint
+    mem.addData((71L, "more zanzibar material")); runOnce()
+    val (resp, _) = router.route("zsearch", "{}", noHdr)
+    assert(resp.contains("70") && resp.contains("71"),
+      s"streamed doc must be searchable after the sink commit: $resp")
+    // and the artifact refreshed INCREMENTALLY — no full posting rebuild
+    assert(graft.search.IndexCache.textBuilds.get() == buildsAfterFirst,
+      "expected the append merge path, not a rebuild")
+  }
+
   test("GraphBuilder projects raw tables into a traversable graph") {
     val s = spark
     import s.implicits._
