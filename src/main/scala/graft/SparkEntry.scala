@@ -74,7 +74,7 @@ object SparkEntry {
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
-    "q_vector_recall_batch")
+    "q_vector_recall_batch", "q_doc_span_cross")
 
   import SortOrder.{Asc, Desc}
 
@@ -426,6 +426,15 @@ object SparkEntry {
       Dedup.dupSpanExtract(docs(s, d), "text", "doc_id", n = 3)),
     "q_doc_span_strip" -> ((s, d) =>
       Dedup.stripDupSpans(docs(s, d), "text", "doc_id", n = 3)),
+    // incremental substring dedup: the odd-id half is a "new batch"
+    // whose duplicated spans (vs new ∪ standing even-id corpus) are
+    // extracted by probing the corpus's window-count artifact — the
+    // per-ingest path that never re-tokenizes the standing corpus
+    "q_doc_span_cross" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.dupSpanExtractCross(all.where(col("doc_id") % 2 === 1),
+        all.where(col("doc_id") % 2 === 0), "text", "doc_id", n = 3)
+    }),
     // incremental dedup: the odd-id half is a "new batch" deduped
     // against the even-id standing corpus — cross-side pairs only
     "q_doc_cross_pairs" -> ((s, d) => {
@@ -910,6 +919,16 @@ object SparkEntry {
     "q_doc_span_extract" -> ("WITH " + tokCte + ", " + spanDupCte + ", " +
       "g AS (SELECT doc_id, nw, p, p - row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY p) AS grp FROM dup) " +
+      "SELECT doc_id, min(p) AS span_start, " +
+      "least(max(p) + 2, max(nw) - 1) AS span_end, " +
+      "least(max(p) + 2, max(nw) - 1) - min(p) + 1 AS span_tokens " +
+      "FROM g GROUP BY doc_id, grp"),
+    // cross-batch spans: occurrence counts over the WHOLE table (the
+    // union new ∪ corpus is exactly `documents` here), duplicated
+    // positions restricted to the new (odd-id) batch
+    "q_doc_span_cross" -> ("WITH " + tokCte + ", " + spanDupCte + ", " +
+      "g AS (SELECT doc_id, nw, p, p - row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY p) AS grp FROM dup WHERE doc_id % 2 = 1) " +
       "SELECT doc_id, min(p) AS span_start, " +
       "least(max(p) + 2, max(nw) - 1) AS span_end, " +
       "least(max(p) + 2, max(nw) - 1) - min(p) + 1 AS span_tokens " +

@@ -541,10 +541,19 @@ object Dedup {
     * pairs, no concatenated-corpus structure.
     */
   def dupSpanExtract(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    spansFromPositions(duplicatedPositionsCached(df, textCol, idCol, n),
+      idCol, n)
+
+  /** Gaps-and-islands merge of duplicated window starts `(_did, _nw,
+    * _p)` into maximal spans (shared by the batch and cross-batch
+    * extract paths).
+    */
+  private def spansFromPositions(dupPos: DataFrame, idCol: String,
       n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_did")).orderBy(col("_p"))
-    duplicatedPositionsCached(df, textCol, idCol, n)
+    dupPos
       .withColumn("_grp", col("_p") - row_number().over(w))
       .groupBy(col("_did"), col("_grp"))
       .agg(min(col("_p")).as("span_start"),
@@ -563,8 +572,13 @@ object Dedup {
     * corpus-shaped state beyond the window-hash aggregation.
     */
   def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val dupPos = duplicatedPositionsCached(df, textCol, idCol, n)
+      n: Int): DataFrame =
+    stripFromPositions(df, duplicatedPositionsCached(df, textCol, idCol, n),
+      textCol, idCol, n)
+
+  private def stripFromPositions(df: DataFrame, positions: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val dupPos = positions
       .groupBy(col("_did")).agg(sort_array(collect_list(col("_p"))).as("_ps"))
       .withColumnRenamed("_did", idCol)
     df.join(dupPos, Seq(idCol), "left")
@@ -579,6 +593,71 @@ object Dedup {
             " "))
           .as("clean_text"))
   }
+
+  /** Standing-corpus window-hash occurrence counts `(_sh, _cc)` — the
+    * durable artifact incremental span dedup probes (same family as
+    * the shingle sets / minhash signatures: built once at write time,
+    * keyed by the corpus plan). At 100 TB this is a table partitioned
+    * by hash, maintained additively on ingest.
+    */
+  private[graft] def windowCountsCached(corpus: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val key = (corpus.queryExecution.logical.canonicalized.toString,
+      s"wc|$textCol|$idCol", n)
+    var built: DataFrame = null
+    val out = dupPosCache.synchronized {
+      val hit = dupPosCache.get(key)
+      if (hit != null) hit
+      else {
+        built = windowPositions(corpus, textCol, idCol, n)
+          .groupBy(col("_sh")).agg(count(lit(1)).as("_cc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dupPosCache.put(key, built)
+        built
+      }
+    }
+    if (out eq built) out.count()
+    out
+  }
+
+  /** Cross-batch duplicated positions of the NEW batch against
+    * (new ∪ standing corpus): a new-batch window start is duplicated
+    * iff its window hash occurs >= 2 times in total — within the
+    * batch, against the corpus, or both. The corpus side is served
+    * from its window-count ARTIFACT ([[windowCountsCached]]), so an
+    * ingest pays one pass over the batch plus a hash-keyed join
+    * against the artifact — the [[crossJaccardPairs]] discipline
+    * applied to spans; the standing corpus is never re-tokenized.
+    */
+  private def crossDuplicatedPositions(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val newPos = windowPositions(newDf, textCol, idCol, n)
+    val counts = windowCountsCached(corpus, textCol, idCol, n)
+    val dupSh = newPos.groupBy(col("_sh")).agg(count(lit(1)).as("_cn"))
+      .join(counts, Seq("_sh"), "left")
+      .where(col("_cn") + coalesce(col("_cc"), lit(0L)) >= 2)
+      .select("_sh")
+    newPos.join(dupSh, Seq("_sh"), "left_semi")
+      .select(col("_did"), col("_nw"), col("_p"))
+  }
+
+  /** Incremental [[dupSpanExtract]]: maximal duplicated spans of the
+    * NEW batch only, counting occurrences across new ∪ corpus. Equals
+    * the batch run over the union restricted to the new docs.
+    */
+  def dupSpanExtractCross(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame =
+    spansFromPositions(
+      crossDuplicatedPositions(newDf, corpus, textCol, idCol, n), idCol, n)
+
+  /** Incremental [[stripDupSpans]]: rewrite the NEW batch with its
+    * duplicated spans (vs new ∪ corpus) cut; corpus docs untouched.
+    */
+  def stripDupSpansCross(newDf: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame =
+    stripFromPositions(newDf,
+      crossDuplicatedPositions(newDf, corpus, textCol, idCol, n),
+      textCol, idCol, n)
 
   /** Exact n-gram Jaccard pairs via shared-shingle inverted join
     * (no LSH recall loss; the candidate set is docs sharing >= 1 shingle).

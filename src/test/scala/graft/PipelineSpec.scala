@@ -471,6 +471,39 @@ class PipelineSpec extends GraftSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $got")
   }
 
+  test("cross-batch span dedup equals the batch run restricted to the new docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "the standing corpus has its own content here"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "one two alpha beta gamma delta seven eight"), // dups vs corpus
+      (3L, "purely novel text with no duplicate windows at all"),
+      (5L, "shared within batch only phrase xyz"),
+      (7L, "another shared within batch only phrase abc"), // dups vs doc 5
+    ).toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cross = spans(Dedup.dupSpanExtractCross(fresh, corpus, "text", "doc_id", 3))
+    val batch = spans(Dedup.dupSpanExtract(fresh.unionByName(corpus),
+      "text", "doc_id", 3).where(col("doc_id") % 2 === 1))
+    assert(cross == batch, s"cross=$cross batch=$batch")
+    assert(cross.exists(_._1 == 1L)) // corpus-vs-new duplication found
+    assert(cross.exists(_._1 == 5L) && cross.exists(_._1 == 7L)) // within-batch
+    assert(!cross.exists(_._1 == 3L)) // novel doc untouched
+
+    // strip path: same equality on the rewritten text
+    val cleanCross = Dedup.stripDupSpansCross(fresh, corpus, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cleanBatch = Dedup.stripDupSpans(fresh.unionByName(corpus),
+      "text", "doc_id", 3).where(col("doc_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanCross == cleanBatch)
+    assert(cleanCross(3L) == "purely novel text with no duplicate windows at all")
+  }
+
   test("dupSpanExtract merges duplicated windows into maximal spans; strip cuts them") {
     val s = spark
     import s.implicits._
