@@ -436,13 +436,11 @@ object SparkEntry {
         all.where(col("doc_id") % 2 === 0), "text", "doc_id", n = 3)
     }),
     // incremental dedup: the odd-id half is a "new batch" deduped
-    // against the even-id standing corpus — cross-side pairs only
-    "q_doc_cross_pairs" -> ((s, d) => {
-      val all = docs(s, d)
-      Dedup.crossJaccardPairs(all.where(col("doc_id") % 2 === 0),
-        all.where(col("doc_id") % 2 === 1), "text", "doc_id",
-        n = 3, num = 3, den = 10)
-    }),
+    // against the even-id standing corpus — cross-side pairs only.
+    // Both sides share ONE shingle-set build (fused single-table form).
+    "q_doc_cross_pairs" -> ((s, d) =>
+      Dedup.crossJaccardPairsFused(docs(s, d), "text", "doc_id",
+        id => id % 2 === 1, n = 3, num = 3, den = 10)),
     // model-based quality: unigram LM trained on the corpus itself
     // (vocab capped at 200 so the OOV path is exercised), scored back
     // over every document

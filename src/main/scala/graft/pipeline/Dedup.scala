@@ -349,9 +349,27 @@ object Dedup {
     * (shingleHashSetCached locally; a persisted table at 100 TB).
     */
   def crossJaccardPairs(dfA: DataFrame, dfB: DataFrame, textCol: String,
-      idCol: String, n: Int, num: Int, den: Int): DataFrame = {
-    val ssA = shingleHashSetCached(dfA, textCol, idCol, n)
-    val ssB = shingleHashSetCached(dfB, textCol, idCol, n)
+      idCol: String, n: Int, num: Int, den: Int): DataFrame =
+    crossFromShingleSets(
+      shingleHashSetCached(dfA, textCol, idCol, n),
+      shingleHashSetCached(dfB, textCol, idCol, n), num, den)
+
+  /** One-table variant of [[crossJaccardPairs]] for when the standing
+    * corpus and the new batch live in the SAME table, split by a
+    * predicate over the id column: both sides' shingle sets come from
+    * ONE shared scan/build (side filters over the unified artifact)
+    * instead of two independent builds — half the tokenize/shuffle
+    * work, one cached artifact for the union instead of one per side.
+    */
+  def crossJaccardPairsFused(all: DataFrame, textCol: String, idCol: String,
+      isNewBatch: Column => Column, n: Int, num: Int, den: Int): DataFrame = {
+    val ss = shingleHashSetCached(all, textCol, idCol, n)
+    crossFromShingleSets(ss.where(!isNewBatch(col("_did"))),
+      ss.where(isNewBatch(col("_did"))), num, den)
+  }
+
+  private def crossFromShingleSets(ssA: DataFrame, ssB: DataFrame,
+      num: Int, den: Int): DataFrame = {
     def sizes(ss: DataFrame, out: String) =
       ss.groupBy(col("_did")).agg(count(lit(1)).as(out))
     val inter = boundedCrossPairs(ssA, ssB, Seq("_sh"), "_did")

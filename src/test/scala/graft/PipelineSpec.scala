@@ -250,6 +250,12 @@ class PipelineSpec extends GraftSuite {
     // 2 (even) vs 1 (odd) are near-dups -> cross pair; no within-side
     // pair (1,2 or 2,4 style) and no unrelated doc
     assert(pairs == Set((4L, 1L), (2L, 1L)))
+    // the fused single-table form produces the identical pair set from
+    // ONE shared shingle build
+    val fused = Dedup.crossJaccardPairsFused(all, "text", "doc_id",
+      id => id % 2 === 1, n = 3, num = 6, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == pairs)
   }
 
   test("lmScoreReport: common-token docs outscore rare-token docs; OOV pooled") {
