@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, Temporal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, SuffixDedup, Temporal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -74,7 +74,7 @@ object SparkEntry {
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
-    "q_vector_recall_batch", "q_doc_span_cross")
+    "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats")
 
   import SortOrder.{Asc, Desc}
 
@@ -426,6 +426,13 @@ object SparkEntry {
       Dedup.dupSpanExtract(docs(s, d), "text", "doc_id", n = 3)),
     "q_doc_span_strip" -> ((s, d) =>
       Dedup.stripDupSpans(docs(s, d), "text", "doc_id", n = 3)),
+    // EXACT maximal verbatim repeats (distributed prefix-doubling
+    // suffix ranking — SuffixDedup): one row per maximal repeated run
+    // of >= 5 tokens, with its text. The oracle recomputes the same
+    // inventory INDEPENDENTLY by brute-force window counting (no
+    // suffix structure), so the two formulations check each other.
+    "q_doc_repeats" -> ((s, d) =>
+      SuffixDedup.maximalRepeats(docs(s, d), "text", "doc_id", n = 5)),
     // incremental substring dedup: the odd-id half is a "new batch"
     // whose duplicated spans (vs new ∪ standing even-id corpus) are
     // extracted by probing the corpus's window-count artifact — the
@@ -921,6 +928,25 @@ object SparkEntry {
       "least(max(p) + 2, max(nw) - 1) AS span_end, " +
       "least(max(p) + 2, max(nw) - 1) - min(p) + 1 AS span_tokens " +
       "FROM g GROUP BY doc_id, grp"),
+    // maximal verbatim repeats, brute-force formulation: every (p, L)
+    // window of every doc hashed and counted; dupLen(p) = max L whose
+    // window occurs >= 2 times; left-maximal unless the previous
+    // position's repeat extends over it. Independent of the engine's
+    // suffix-ranking construction — the strongest kind of oracle.
+    "q_doc_repeats" -> ("WITH toks AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t " +
+      "FROM documents), " +
+      "pos AS (SELECT doc_id, t, len(t) AS n, unnest(range(len(t))) AS p FROM toks), " +
+      "win AS (SELECT doc_id, p, L, md5(array_to_string(t[p+1:p+L], ' ')) AS h " +
+      "FROM pos CROSS JOIN (SELECT unnest(range(1, 100)) AS L) WHERE p + L <= n), " +
+      "dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2), " +
+      "dl AS (SELECT doc_id, p, max(L) AS dl FROM win JOIN dup USING (h) GROUP BY doc_id, p), " +
+      "rep AS (SELECT d.doc_id, d.p, d.dl FROM dl d " +
+      "LEFT JOIN dl prev ON prev.doc_id = d.doc_id AND prev.p = d.p - 1 " +
+      "WHERE d.dl >= 5 AND (prev.p IS NULL OR prev.dl <= d.dl)) " +
+      "SELECT r.doc_id, r.p AS rep_start, CAST(r.dl AS BIGINT) AS rep_len, " +
+      "array_to_string(t[r.p+1:r.p+r.dl], ' ') AS rep_text " +
+      "FROM rep r JOIN toks USING (doc_id)"),
     // cross-batch spans: occurrence counts over the WHOLE table (the
     // union new ∪ corpus is exactly `documents` here), duplicated
     // positions restricted to the new (odd-id) batch

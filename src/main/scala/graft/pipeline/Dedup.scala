@@ -104,6 +104,25 @@ object Dedup {
       }
     }
 
+  /** Cache key for a plan-keyed artifact: the FULL canonicalized plan
+    * string PLUS a content hash of every in-memory LocalRelation in it.
+    * The plan string alone names parquet scans by path (distinct
+    * corpora never collide) but prints a LocalRelation as its SCHEMA
+    * only — two same-shaped in-memory frames with different rows would
+    * silently share one artifact (caught by SuffixDedupSpec's
+    * cross-validation: a cached dup-position frame served another
+    * corpus's positions).
+    */
+  private[graft] def planKey(df: DataFrame): String = {
+    val canon = df.queryExecution.logical.canonicalized
+    val localData = canon.collect {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.hashCode()
+    }
+    if (localData.isEmpty) canon.toString
+    else canon.toString + localData.mkString("|local:", ",", "")
+  }
+
   /** `eager = false` skips the materializing count on a cache MISS —
     * valid only when the caller's own next action reads the frame
     * exactly once before any self-join fans out over it (the persist
@@ -119,7 +138,7 @@ object Dedup {
     */
   def shingleHashSetCached(df: DataFrame, textCol: String, idCol: String, n: Int,
       eager: Boolean = true): DataFrame = {
-    val key = (df.queryExecution.logical.canonicalized.toString,
+    val key = (planKey(df),
       s"$textCol|$idCol", n)
     var built: DataFrame = null
     val ss = shingleCache.synchronized {
@@ -159,7 +178,7 @@ object Dedup {
     */
   def minhashSignatureCached(df: DataFrame, textCol: String, idCol: String,
       n: Int, numHashes: Int, eager: Boolean = true): DataFrame = {
-    val key = (df.queryExecution.logical.canonicalized.toString,
+    val key = (planKey(df),
       s"$textCol|$idCol", n, numHashes)
     var built: DataFrame = null
     val sig = sigCache.synchronized {
@@ -519,7 +538,7 @@ object Dedup {
 
   private[graft] def duplicatedPositionsCached(df: DataFrame, textCol: String,
       idCol: String, n: Int, eager: Boolean = true): DataFrame = {
-    val key = (df.queryExecution.logical.canonicalized.toString,
+    val key = (planKey(df),
       s"$textCol|$idCol", n)
     var built: DataFrame = null
     val out = dupPosCache.synchronized {
@@ -547,11 +566,14 @@ object Dedup {
     * `(idCol, span_start, span_end, span_tokens)` — inclusive 0-based
     * token indexes, clipped to the document.
     *
-    * The standard practical relaxation of the suffix-array
-    * formulation: every n-window inside a reported span is duplicated
-    * somewhere (possibly with different partners), so span removal
-    * only ever cuts window-level-duplicated text; a true suffix array
-    * would additionally guarantee each whole span repeats verbatim.
+    * COVERAGE-EXACT relative to the suffix-array formulation: a token
+    * is inside a duplicated n-window iff it is inside a verbatim
+    * repeat of length >= n, so the covered token set (and therefore
+    * [[stripDupSpans]]) is identical to Lee et al.'s — proved against
+    * the suffix-ranking path by SuffixDedupSpec's cross-validation.
+    * What the window merge does NOT provide is the per-repeat
+    * inventory (which string repeats, how far): that is
+    * [[SuffixDedup.maximalRepeats]].
     *
     * Scale shape: position explode → window-hash aggregation (map-side
     * combine) → join back → per-doc gaps-and-islands (one window
@@ -620,7 +642,7 @@ object Dedup {
     */
   private[graft] def windowCountsCached(corpus: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
-    val key = (corpus.queryExecution.logical.canonicalized.toString,
+    val key = (planKey(corpus),
       s"wc|$textCol|$idCol", n)
     var built: DataFrame = null
     val out = dupPosCache.synchronized {
@@ -957,7 +979,7 @@ object Dedup {
   def warmRowCount(df: DataFrame): Long = cachedCount(df)
 
   private def cachedCount(df: DataFrame): Long = {
-    val key = df.queryExecution.logical.canonicalized.toString
+    val key = planKey(df)
     val hit = rowCountCache.synchronized(rowCountCache.get(key))
     if (hit != null) hit.longValue()
     else {

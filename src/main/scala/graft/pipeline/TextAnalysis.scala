@@ -153,7 +153,7 @@ object TextAnalysis {
     */
   def termCountsCached(df: DataFrame, textCol: String,
       eager: Boolean = true): DataFrame = {
-    val key = (df.queryExecution.logical.canonicalized.toString, textCol)
+    val key = (Dedup.planKey(df), textCol)
     var built: DataFrame = null
     val counts = lmCache.synchronized {
       val hit = lmCache.get(key)
