@@ -57,12 +57,26 @@ object SuffixDedup {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // Initial ranking granularity: suffixes order by the ARRAY of
+    // their first min(InitGran, remaining) token hashes — array order
+    // is truncated-lexicographic (element-wise, shorter-prefix first),
+    // i.e. exactly suffix order over the hash-permuted alphabet at
+    // this granularity, so the doubling recurrence composes. (A flat
+    // HASH of the 8-token window would not be prefix-compatible:
+    // suffixes sharing 5 tokens would sort arbitrarily far apart and
+    // suffix-array adjacency would break — caught by the brute-force
+    // spec.) Starting at 8 tokens removes the first three doubling
+    // rounds outright.
+    val InitGran = 8
     val pos = Dedup.ensureParallelism(df)
-      .select(col(idCol).as("_did"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("_did"), size(col("_t")).cast("long").as("_len"),
-        posexplode(col("_t")).as(Seq("_p", "_tok")))
-      .select(col("_did"), col("_len"), col("_p").cast("long").as("_p"),
-        conv(substring(md5(col("_tok")), 1, 15), 16, 10).cast("long").as("_h"))
+      .select(col(idCol).as("_did"),
+        transform(TextAnalysis.tokens(col(textCol)),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_th"))
+      .where(size(col("_th")) > 0)
+      .select(col("_did"), size(col("_th")).cast("long").as("_len"), col("_th"),
+        explode(sequence(lit(0), size(col("_th")) - 1)).as("_p0"))
+      .select(col("_did"), col("_len"), col("_p0").cast("long").as("_p"),
+        slice(col("_th"), col("_p0") + 1, lit(InitGran)).as("_ka"))
 
     // distributed dense rank of (k1, k2) keys: distinct keys sort
     // globally, zipWithIndex assigns contiguous longs (the one RDD use
@@ -77,25 +91,39 @@ object SuffixDedup {
       keyed.join(ranked, Seq("_k1", "_k2"))
     }
 
+    // rounds double the covered prefix from InitGran up past the
+    // longest document: ceil(log2(maxLen / InitGran))
     val maxLen = pos.agg(max(col("_len"))).head().getLong(0)
-    val rounds = math.max(1,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen - 1))).toInt
+    var rounds = 0
+    while ((InitGran.toLong << rounds) < maxLen) rounds += 1
 
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // each level materializes EAGERLY with its LINEAGE TRUNCATED
+    // (localCheckpoint): every round references the previous level
+    // twice (the rank frame and its shifted self-join), so an untrimmed
+    // logical plan doubles per round — exponential analysis cost that
+    // measured 60 s at sf0.1 and OOM'd the driver building plan
+    // strings. A lazy persist alone also leaves each round's
+    // zipWithIndex action re-evaluating every prior round (quadratic).
     def keep(frame: DataFrame): DataFrame = {
-      val p = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = frame.localCheckpoint(true)
       persisted += p
       p
     }
 
-    // level 0: rank by the token itself
-    val rk0 = keep(denseRank(pos.select(col("_did"), col("_len"), col("_p"),
-      col("_h").as("_k1"), lit(-1L).as("_k2")))
+    val total = pos.count()
+    // level 0: rank by the truncated-prefix array key
+    val ranked0 = pos.select(col("_ka")).distinct().orderBy(col("_ka"))
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getSeq[Long](0), i) }
+      .toDF("_ka", "_r")
+    val rk0 = keep(pos.join(ranked0, Seq("_ka"))
       .select(col("_did"), col("_len"), col("_p"), col("_r")))
-    val levels = scala.collection.mutable.ArrayBuffer(rk0)
     var rk = rk0
-    for (k <- 1 to rounds) {
-      val step = 1L << (k - 1)
+    var k = 1
+    var stable = false
+    while (k <= rounds && !stable) {
+      val step = InitGran.toLong << (k - 1)
       val shifted = rk.select(col("_did"), (col("_p") - step).as("_p"),
         col("_r").as("_r2"))
       val paired = rk.join(shifted, Seq("_did", "_p"), "left")
@@ -103,7 +131,13 @@ object SuffixDedup {
           col("_r").as("_k1"), coalesce(col("_r2"), lit(-1L)).as("_k2"))
       rk = keep(denseRank(paired)
         .select(col("_did"), col("_len"), col("_p"), col("_r")))
-      levels += rk
+      // all ranks unique -> the suffix order is final and no later
+      // round can change anything; corpora with truly identical
+      // suffixes keep iterating until the doubling horizon covers the
+      // longest document (the classical termination bound). Ranks are
+      // dense, so uniqueness is one cheap max() on the cached frame.
+      stable = rk.agg(max(col("_r"))).head().getLong(0) + 1 == total
+      k += 1
     }
 
     // suffix-array order and adjacent pairs
@@ -115,31 +149,30 @@ object SuffixDedup {
       col("_p").as("_ap"), col("_i"))
       .join(sa.select(col("_did").as("_bd"), col("_len").as("_bl"),
         col("_p").as("_bp"), (col("_i") - 1).as("_i")), "_i")
-      .select(col("_ad"), col("_al"), col("_ap"), col("_bd"), col("_bl"),
-        col("_bp"), lit(0L).as("_l"))
 
-    // greedy LCP descent, high level to low
-    var pairs = adj
-    for (k <- rounds to 0 by -1) {
-      val lvl = levels(k)
-      val step = 1L << k
-      val ra = lvl.select(col("_did").as("_ad"), col("_p").as("_qa"),
-        col("_r").as("_ra"))
-      val rb = lvl.select(col("_did").as("_bd"), col("_p").as("_qb"),
-        col("_r").as("_rb"))
-      pairs = pairs
-        .withColumn("_qa", col("_ap") + col("_l"))
-        .withColumn("_qb", col("_bp") + col("_l"))
-        .join(ra, Seq("_ad", "_qa"), "left")
-        .join(rb, Seq("_bd", "_qb"), "left")
-        .withColumn("_l",
-          when(col("_ra").isNotNull && col("_rb").isNotNull &&
-            col("_ra") === col("_rb"),
-            col("_l") + least(lit(step),
-              col("_al") - col("_qa"), col("_bl") - col("_qb")))
-            .otherwise(col("_l")))
-        .drop("_qa", "_qb", "_ra", "_rb")
-    }
+    // LCP of each adjacent pair, computed WITHIN-ROW against the two
+    // docs' hashed token arrays: two joins total (one per side), then
+    // a bounded fold over min(remaining-a, remaining-b) positions.
+    // The alternative — greedy descent over the doubling levels — is
+    // 2 joins PER LEVEL; with documents bounded at thousands of
+    // tokens the per-row fold is cheaper than ~20 extra shuffles of
+    // the full adjacency frame (measured 3× end-to-end).
+    val toksA = df.select(col(idCol).as("_ad"),
+      transform(TextAnalysis.tokens(col(textCol)),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_ta"))
+    val toksB = toksA.select(col("_ad").as("_bd"), col("_ta").as("_tb"))
+    val maxCmp = least(col("_al") - col("_ap"), col("_bl") - col("_bp"))
+    val lcp = aggregate(
+      sequence(lit(0L), maxCmp - 1),
+      lit(0L),
+      (acc, i) => when(acc === i &&
+        element_at(col("_ta"), (col("_ap") + i + 1).cast("int")) ===
+          element_at(col("_tb"), (col("_bp") + i + 1).cast("int")),
+        acc + 1).otherwise(acc))
+    val pairs = adj.join(toksA, "_ad").join(toksB, "_bd")
+      .withColumn("_l", when(maxCmp <= 0, lit(0L)).otherwise(lcp))
+      .select(col("_ad"), col("_al"), col("_ap"), col("_bd"), col("_bl"),
+        col("_bp"), col("_l"))
 
     val out = pairs.select(col("_ad").as("_did"), col("_al").as("_len"),
       col("_ap").as("_p"), col("_l"))
