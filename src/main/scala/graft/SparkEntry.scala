@@ -938,7 +938,8 @@ object SparkEntry {
       "FROM documents), " +
       "pos AS (SELECT doc_id, t, len(t) AS n, unnest(range(len(t))) AS p FROM toks), " +
       "win AS (SELECT doc_id, p, L, md5(array_to_string(t[p+1:p+L], ' ')) AS h " +
-      "FROM pos CROSS JOIN (SELECT unnest(range(1, 100)) AS L) WHERE p + L <= n), " +
+      "FROM pos CROSS JOIN (SELECT unnest(range(1, " +
+      "(SELECT max(n) FROM pos) + 1)) AS L) WHERE p + L <= n), " +
       "dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2), " +
       "dl AS (SELECT doc_id, p, max(L) AS dl FROM win JOIN dup USING (h) GROUP BY doc_id, p), " +
       "rep AS (SELECT d.doc_id, d.p, d.dl FROM dl d " +

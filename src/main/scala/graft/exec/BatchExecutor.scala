@@ -115,7 +115,21 @@ class BatchExecutor(initialStore: GraphStore,
             case Step.Within(n) => n
             case Step.Without(n) => n
           }.toSet
-          if (mutates || reads.intersect(bound).nonEmpty) false
+          // every element must supply the body's referenced params: the
+          // loop raises "missing param" on the FIRST offending element,
+          // and evaluating only the last one would swallow that error —
+          // an under-supplied element keeps the loop (and its error)
+          val needed = deepCollect(t) {
+            case Expr.Param(p) => p
+            case NodeRef.Param(p) => p
+            case EdgeRef.Param(p) => p
+          }.toSet
+          val supplied = items.forall {
+            case PropertyValue.VObject(fields) =>
+              needed.subsetOf(fields.keySet ++ params.keySet)
+            case _ => needed.subsetOf(params.keySet + param)
+          }
+          if (mutates || !supplied || reads.intersect(bound).nonEmpty) false
           else {
             items.last match {
               case PropertyValue.VObject(fields) => runEntries(body, params ++ fields)

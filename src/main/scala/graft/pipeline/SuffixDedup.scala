@@ -68,11 +68,18 @@ object SuffixDedup {
     // spec.) Starting at 8 tokens removes the first three doubling
     // rounds outright.
     val InitGran = 8
-    val pos = Dedup.ensureParallelism(df)
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // hashed token arrays, built ONCE and reused by the position
+    // explode AND the LCP join below (tokenize + per-token md5 is the
+    // dominant per-pass cost)
+    val toksH = Dedup.ensureParallelism(df)
       .select(col(idCol).as("_did"),
         transform(TextAnalysis.tokens(col(textCol)),
           t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_th"))
       .where(size(col("_th")) > 0)
+      .localCheckpoint(true)
+    persisted += toksH
+    val pos = toksH
       .select(col("_did"), size(col("_th")).cast("long").as("_len"), col("_th"),
         explode(sequence(lit(0), size(col("_th")) - 1)).as("_p0"))
       .select(col("_did"), col("_len"), col("_p0").cast("long").as("_p"),
@@ -97,7 +104,6 @@ object SuffixDedup {
     var rounds = 0
     while ((InitGran.toLong << rounds) < maxLen) rounds += 1
 
-    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // each level materializes EAGERLY with its LINEAGE TRUNCATED
     // (localCheckpoint): every round references the previous level
     // twice (the rank frame and its shifted self-join), so an untrimmed
@@ -140,11 +146,16 @@ object SuffixDedup {
       k += 1
     }
 
-    // suffix-array order and adjacent pairs
-    val sa = rk.orderBy(col("_r"), col("_did"), col("_p"))
-      .rdd.zipWithIndex
-      .map { case (r, i) => (r.getLong(0), r.getLong(1), r.getLong(2), i) }
-      .toDF("_did", "_len", "_p", "_i")
+    // suffix-array order and adjacent pairs. Row-based zipWithIndex
+    // keeps the id column's ORIGINAL type (string/int ids work like
+    // the sibling Dedup span APIs; a typed-tuple map would force long)
+    val ordered = rk.orderBy(col("_r"), col("_did"), col("_p"))
+      .select(col("_did"), col("_len"), col("_p"))
+    val saRdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val sa = spark.createDataFrame(saRdd,
+      ordered.schema.add("_i", org.apache.spark.sql.types.LongType))
     val adj = sa.select(col("_did").as("_ad"), col("_len").as("_al"),
       col("_p").as("_ap"), col("_i"))
       .join(sa.select(col("_did").as("_bd"), col("_len").as("_bl"),
@@ -157,10 +168,8 @@ object SuffixDedup {
     // 2 joins PER LEVEL; with documents bounded at thousands of
     // tokens the per-row fold is cheaper than ~20 extra shuffles of
     // the full adjacency frame (measured 3× end-to-end).
-    val toksA = df.select(col(idCol).as("_ad"),
-      transform(TextAnalysis.tokens(col(textCol)),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_ta"))
-    val toksB = toksA.select(col("_ad").as("_bd"), col("_ta").as("_tb"))
+    val toksA = toksH.select(col("_did").as("_ad"), col("_th").as("_ta"))
+    val toksB = toksH.select(col("_did").as("_bd"), col("_th").as("_tb"))
     val maxCmp = least(col("_al") - col("_ap"), col("_bl") - col("_bp"))
     val lcp = aggregate(
       sequence(lit(0L), maxCmp - 1),

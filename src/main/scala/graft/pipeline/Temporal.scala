@@ -139,9 +139,15 @@ object Temporal {
     // Frame evaluated over epoch MICROS, not whole seconds: a long cast
     // of the timestamp truncates to seconds and shifts the boundary by
     // up to ±1 s vs the µs-precision `ts >= t - windowSec` semantics.
+    // Numeric ts columns keep their original contract (interpreted as
+    // epoch SECONDS, like [[asofJoin]] accepts any orderable ts).
     val windowUs = windowSec * 1000000L
+    val usExpr = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long") * 1000000L
+    }
     val base = df.select(col(idCol), col(keyCol), col(tsCol),
-      unix_micros(col(tsCol)).as("_us"))
+      usExpr.as("_us"))
     if (saltBuckets <= 1) {
       val w = Window.partitionBy(col(keyCol))
         .orderBy(col("_us")).rangeBetween(-windowUs, 0)

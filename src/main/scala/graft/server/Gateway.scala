@@ -57,9 +57,11 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       * 49-66). When set, the `/v1/...` endpoints and `/mcp` reject a
       * missing or wrong bearer token with 401; `/metrics` stays open (local
       * observability / health). Defaults to GRAFT_API_KEY from the
-      * environment; None (the local-container default) serves keyless.
+      * environment (set-but-EMPTY is treated as unset — a lockout no
+      * token could ever satisfy); None (the local-container default)
+      * serves keyless.
       */
-    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY")) {
+    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY").filter(_.nonEmpty)) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -351,17 +353,9 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       }
     }
 
-  private def requireAuth(ex: HttpExchange): Boolean = {
-    val ok = authorized(Option(ex.getRequestHeaders.getFirst("Authorization")))
-    if (!ok) {
-      val bytes = """{"error":"unauthorized"}""".getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(401, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
-    ok
-  }
+  private def requireAuth(ex: HttpExchange): Boolean =
+    ServerAuth.require(ex,
+      authorized(Option(ex.getRequestHeaders.getFirst("Authorization"))))
 
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -482,4 +476,20 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+}
+
+/** Shared bearer-auth response for the Gateway and Router HTTP
+  * boundaries: one place owns the 401 contract.
+  */
+private[server] object ServerAuth {
+  def require(ex: HttpExchange, ok: Boolean): Boolean = {
+    if (!ok) {
+      val bytes = """{"error":"unauthorized"}""".getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(401, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    ok
+  }
 }

@@ -49,7 +49,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       * Authorization header). `/v1/cluster` and `/metrics` stay open
       * (health/observability).
       */
-    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY")) {
+    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY").filter(_.nonEmpty)) {
   require(numReaders >= 1, "a Router needs at least one read replica")
 
   val writer = new Gateway(GraphWal.recover(spark, walRoot),
@@ -149,18 +149,9 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       s""""wal_position":${GraphWal.commitPosition(walRoot)}}"""
   }
 
-  private def requireAuth(ex: HttpExchange): Boolean = {
-    val ok = writer.authorized(
-      Option(ex.getRequestHeaders.getFirst("Authorization")))
-    if (!ok) {
-      val bytes = """{"error":"unauthorized"}""".getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(401, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
-    ok
-  }
+  private def requireAuth(ex: HttpExchange): Boolean =
+    ServerAuth.require(ex, writer.authorized(
+      Option(ex.getRequestHeaders.getFirst("Authorization"))))
 
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress(port), 0)

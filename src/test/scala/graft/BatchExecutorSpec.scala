@@ -89,6 +89,20 @@ class BatchExecutorSpec extends GraftSuite {
     assert(ids == Set(1L, 2L, 3L), s"loop must accumulate, got $ids")
   }
 
+  test("an element missing a referenced param keeps the loop, so the error surfaces") {
+    // the loop raises "missing param" on the FIRST offending element;
+    // the fast path must not swallow it by only evaluating the last
+    val r = intercept[Exception] {
+      new BatchExecutor(TestBase.parityGraph(),
+        Map("lookups" -> VArray(Seq(
+          VObject(Map("wrongField" -> VString("x"))),
+          VObject(Map("externalId" -> VString("u3")))))))
+        .execute(Batch(Seq(BatchEntry.ForEach("lookups", lookupBody())),
+          returns = Seq("matched")))
+    }
+    assert(r.getMessage.toLowerCase.contains("param"), r.getMessage)
+  }
+
   test("a mutating body never takes the read fast path") {
     // the arithmetic property makes it ineligible for bulk AddN too,
     // so this pins the general loop running every iteration

@@ -97,6 +97,18 @@ class SuffixDedupSpec extends GraftSuite {
     }
   }
 
+  test("maximalRepeats works with a non-long id column") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("doc-a", "one two three four five six"),
+      ("doc-b", "zz one two three four five qq"))
+      .toDF("doc_id", "text")
+    val got = SuffixDedup.maximalRepeats(docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("doc-a", 0L, 5L), ("doc-b", 1L, 5L)), s"got $got")
+  }
+
   test("exactDupSpanExtract merges overlapping repeats into coverage spans") {
     val s = spark
     import s.implicits._

@@ -77,6 +77,18 @@ class TemporalSpec extends GraftSuite {
     assert((0 until 50).forall(i => got(i.toLong) == i.toLong), s"got $got")
   }
 
+  test("rollingCount accepts a numeric epoch-seconds ts column (legacy contract)") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 1000L), (2L, 1L, 1500L), (3L, 1L, 5000L))
+      .toDF("event_id", "user_id", "ts") // plain long seconds
+    val got = Temporal.rollingCount(ev, "user_id", "ts", "event_id",
+      windowSec = 3600)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // id 3's frame is [1400, 5000]: includes id 2 (1500), not id 1 (1000)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("salted asofJoin on empty input returns empty, not a crash") {
     val s = spark
     import s.implicits._
