@@ -74,7 +74,8 @@ object SparkEntry {
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
-    "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats")
+    "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
+    "q_media_audio")
 
   import SortOrder.{Asc, Desc}
 
@@ -511,6 +512,14 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id"), stride = 7)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // real audio: WAV payloads synthesized distributed, decoded via
+    // javax.sound — the oracle recomputes the decoded sample sum
+    // arithmetically, so a hash match proves the encode -> distribute
+    // -> decode roundtrip reproduced every 16-bit sample
+    "q_media_audio" -> ((s, d) =>
+      Multimodal.audioChecksum(
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
+          .where(col("modality") === "audio"))),
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1044,5 +1053,13 @@ object SparkEntry {
     "q_media_frames" -> ("SELECT doc_id AS media_id, " +
       "unnest(range(0, (doc_id % 100 + 1)::BIGINT, 7)) AS frame_idx " +
       "FROM documents WHERE doc_id % 3 = 2"),
+    // decoded-sample sum recomputed arithmetically: sample k of media
+    // id is (id*31 + k*7) % 65536 - 32768 over n = id%50+10 samples
+    "q_media_audio" -> ("WITH a AS (SELECT doc_id AS media_id, " +
+      "doc_id % 50 + 10 AS n FROM documents WHERE doc_id % 3 = 1) " +
+      "SELECT media_id, CAST(list_sum(list_transform(range(n), " +
+      "k -> (media_id * 31 + k * 7) % 65536 - 32768)) AS BIGINT) AS sample_sum, " +
+      "CAST(n AS BIGINT) AS n_samples, CAST(16000 AS BIGINT) AS sample_rate " +
+      "FROM a"),
   )
 }

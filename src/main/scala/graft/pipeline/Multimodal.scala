@@ -16,11 +16,15 @@ import javax.imageio.ImageIO
   * input partitioning is preserved for downstream ANN/dedup joins.
   *
   * The IMAGE path is real: decode / probe / resize / feature-extract
-  * run through `javax.imageio` (pure JVM — PNG/JPEG/BMP/GIF). Audio
-  * and video kernels remain deterministic byte-level fallbacks (no
-  * codec libraries exist in a bare JVM); their plumbing (schema,
-  * batching, explode shapes) is identical to what a real codec would
-  * use, so swapping one in changes no plan.
+  * run through `javax.imageio` (pure JVM — PNG/JPEG/BMP/GIF). The
+  * AUDIO path is real too: WAV/AIFF/AU containers with PCM payloads
+  * decode through `javax.sound.sampled` (also pure JVM), and the
+  * encode → distribute → decode roundtrip is proven sample-exact by
+  * an arithmetic oracle (q_media_audio), mirroring the image
+  * checksum. Only VIDEO remains a deterministic byte-level fallback
+  * (no demuxer exists in a bare JVM); its plumbing (schema, batching,
+  * explode shapes) is identical to what a real codec would use, so
+  * swapping one in changes no plan.
   */
 object Multimodal {
 
@@ -94,8 +98,79 @@ object Multimodal {
     out
   }
 
+  /** Encode 16-bit signed mono PCM samples as a real WAV container
+    * (javax.sound.sampled — pure JVM, headless-safe).
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode an audio payload to (sampleRate, channels, interleaved
+    * 16-bit samples); None when the bytes aren't a JVM-decodable
+    * 16-bit PCM container (WAV/AIFF/AU).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    if (bytes == null) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Short](n)
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xFF
+            val hi = raw(2 * i + 1) & 0xFF
+            out(i) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+            i += 1
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+        }
+      } catch { case _: Exception => None }
+
+  /** Real audio features: mean absolute amplitude per time bin over
+    * the DECODED samples, normalized to [0,1] — the standard envelope
+    * sketch a downstream ANN/dedup join consumes.
+    */
+  private def audioFeatures(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.nonEmpty) {
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < samples.length) {
+        val b = (i.toLong * dim / samples.length).toInt
+        out(b) += math.abs(samples(i).toInt) / 32768.0f
+        counts(b) += 1
+        i += 1
+      }
+      var b = 0
+      while (b < dim) { if (counts(b) > 0) out(b) /= counts(b); b += 1 }
+    }
+    out
+  }
+
   /** Byte-level fallback features for payloads with no JVM codec
-    * (audio/video) — deterministic in the bytes so tests are stable.
+    * (video; non-decodable payloads) — deterministic in the bytes so
+    * tests are stable.
     */
   private def byteFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -108,9 +183,10 @@ object Multimodal {
 
   /** Feature extraction: binary -> fixed-dim float vector, executed
     * per-partition (distributed; no driver collect). Images decode for
-    * real (ImageIO); other modalities use the byte-level fallback.
-    * Output keeps the input's partitioning, so a downstream ANN/dedup
-    * join needs no extra shuffle.
+    * real (ImageIO), audio decodes for real (javax.sound PCM ->
+    * amplitude-envelope bins); video and non-decodable payloads use
+    * the byte-level fallback. Output keeps the input's partitioning,
+    * so a downstream ANN/dedup join needs no extra shuffle.
     */
   def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -121,11 +197,44 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val feats =
-          if (r.getString(modIdx) == "image")
+        val feats = r.getString(modIdx) match {
+          case "image" =>
             decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(byteFeatures(bytes, dim))
-          else byteFeatures(bytes, dim)
+          case "audio" =>
+            decodeAudio(bytes).map(a => audioFeatures(a._3, dim)).getOrElse(byteFeatures(bytes, dim))
+          case _ => byteFeatures(bytes, dim)
+        }
         Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Integer fingerprint of the DECODED audio payload: sum of 16-bit
+    * sample values plus the sample count and rate — exact integers, so
+    * an arithmetic SQL oracle can verify the WAV encode -> distribute
+    * -> decode roundtrip reproduced every SAMPLE bit-for-bit (the
+    * audio counterpart of [[pixelChecksum]]). Nulls for rows that
+    * don't decode.
+    */
+  def audioChecksum(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_sum", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_rate", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        decodeAudio(bytes) match {
+          case Some((rate, _, samples)) =>
+            var s = 0L; var i = 0
+            while (i < samples.length) { s += samples(i); i += 1 }
+            Row(r.getLong(idIdx), s, samples.length.toLong, rate.toLong)
+          case None => Row(r.getLong(idIdx), null, null, null)
+        }
       }
     }(enc)
   }
@@ -206,10 +315,11 @@ object Multimodal {
     * arithmetically while the engine derives it from the REAL bytes.
     * Image rows (id % 3 == 0) carry true PNG payloads of
     * (id%13+1) x (id%7+1) pixels with packed RGB(x, y) =
-    * ((id*37+x*5+y*11)%255, (id*13+x)%255, (id*7+y)%255); audio
-    * (id%3==1) / video (id%3==2) rows carry md5 pseudo-bytes with
-    * id-derived sample_rate / n_frames. PNG synthesis runs
-    * per-partition (distributed, no driver loop).
+    * ((id*37+x*5+y*11)%255, (id*13+x)%255, (id*7+y)%255); audio rows
+    * (id%3==1) carry true 16 kHz mono WAVs of (id%50+10) samples with
+    * sample k = (id*31 + k*7) % 65536 - 32768; video rows (id%3==2)
+    * carry md5 pseudo-bytes with id-derived n_frames. PNG/WAV
+    * synthesis runs per-partition (distributed, no driver loop).
     */
   def mediaFromIds(ids: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -226,22 +336,28 @@ object Multimodal {
         lit("fake").as("format")).as("meta"))
     base.mapPartitions { rows =>
       rows.map { r =>
-        if (r.getString(1) != "image") r
-        else {
-          val id = r.getLong(0)
-          val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y, (((id * 37 + x * 5 + y * 11) % 255).toInt << 16) |
-                (((id * 13 + x) % 255).toInt << 8) | ((id * 7 + y) % 255).toInt)
-              x += 1
+        val id = r.getLong(0)
+        r.getString(1) match {
+          case "image" =>
+            val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, (((id * 37 + x * 5 + y * 11) % 255).toInt << 16) |
+                  (((id * 13 + x) % 255).toInt << 8) | ((id * 7 + y) % 255).toInt)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          Row.fromSeq(r.toSeq.updated(2, encodePng(img)))
+            Row.fromSeq(r.toSeq.updated(2, encodePng(img)))
+          case "audio" =>
+            val n = (id % 50 + 10).toInt
+            val samples = Array.tabulate(n)(k =>
+              ((id * 31 + k * 7) % 65536 - 32768).toShort)
+            Row.fromSeq(r.toSeq.updated(2, encodeWav(samples, 16000)))
+          case _ => r
         }
       }
     }(enc)

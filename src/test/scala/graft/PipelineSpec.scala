@@ -722,6 +722,33 @@ class PipelineSpec extends GraftSuite {
     got.foreach { case (id, cs) => assert(cs == expect(id), s"media_id $id") }
   }
 
+  test("multimodal: WAV encode -> decode roundtrip is sample-exact; audioChecksum matches formula") {
+    val s = spark
+    import s.implicits._
+    // direct roundtrip
+    val samples = Array.tabulate(777)(k => ((k * 131 % 65536) - 32768).toShort)
+    val decoded = Multimodal.decodeAudio(Multimodal.encodeWav(samples, 8000))
+    assert(decoded.exists { case (rate, ch, got) =>
+      rate == 8000 && ch == 1 && got.sameElements(samples)
+    })
+    // distributed: mediaFromIds audio rows decode to the id formula
+    val ids = (0L to 30L).toDF("doc_id")
+    val got = Multimodal.audioChecksum(
+      Multimodal.mediaFromIds(ids, "doc_id").where(col("modality") === "audio"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def expect(id: Long): Long =
+      (0 until (id % 50 + 10).toInt).map(k => (id * 31 + k * 7) % 65536 - 32768).sum
+    assert(got.keySet == (0L to 30L).filter(_ % 3 == 1).toSet)
+    got.foreach { case (id, (sum, n, rate)) =>
+      assert(sum == expect(id) && n == id % 50 + 10 && rate == 16000L, s"id $id")
+    }
+    // real audio features: the decoded-envelope path, not the byte fallback
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromIds(ids, "doc_id").where(col("modality") === "audio"),
+      dim = 8).select("features").head().getSeq[Float](0)
+    assert(feats.length == 8 && feats.exists(_ > 0.0f))
+  }
+
   test("dupSpans counts cross-doc duplicated positions, not distinct shingles") {
     val r = Dedup.dupSpans(docs(), "text", "doc_id", n = 3)
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
