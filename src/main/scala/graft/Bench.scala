@@ -4,11 +4,67 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{...}}.
+  *
+  * Args: `--require-idle` refuses to record when the 1-minute loadavg
+  * exceeds 2× cores/16 (committed artifacts kept being taken under
+  * concurrent load — r4 recorded 22.3 s where an idle re-run gave
+  * 5.9 s); any other arg filters the headline set by query name (local
+  * iteration on one query). A query that throws is recorded as
+  * `-1` with its message under `"errors"` and the run exits nonzero —
+  * a failure must never be timed as a fast success.
   */
 object Bench {
+
+  /** True when the 1-minute loadavg is at or under the idle bar for
+    * this core count (2× cores/16 — i.e. 4.0 on the 32-core box).
+    */
+  def idleEnough(loadavg1m: Double, cpus: Int): Boolean =
+    loadavg1m <= 2.0 * cpus / 16.0
+
+  /** Times each query (median of `iters` noop-sink runs). A throwing
+    * query short-circuits its remaining iterations and reports
+    * `(-1, Some(message))` — never a normal-looking duration.
+    */
+  def timeQueries(names: Seq[String],
+      run: String => Unit, iters: Int): Seq[(String, Double, Option[String])] =
+    names.map { name =>
+      var err: Option[String] = None
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < iters && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          run(name)
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some(e.toString.linesIterator.next().take(300))
+        }
+        i += 1
+      }
+      if (err.isDefined) (name, -1.0, err)
+      else (name, times.sorted.apply(iters / 2), None)
+    }
+
+  private def loadavg(): Array[Double] =
+    try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).map(_.toDouble)
+    } catch { case _: Exception => Array.empty[Double] }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val requireIdle = args.contains("--require-idle")
+    val nameFilter = args.filterNot(_.startsWith("--")).toSet
+    if (requireIdle) {
+      val l = loadavg()
+      if (l.nonEmpty && !idleEnough(l(0), cpus.toInt)) {
+        System.err.println(s"--require-idle: 1-min loadavg ${l(0)} exceeds " +
+          s"${2.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
+        sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +81,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.headline.filter(SparkEntry.queries.contains)
+    val allNames = SparkEntry.headline.filter(SparkEntry.queries.contains)
+    val names =
+      if (nameFilter.isEmpty) allNames else allNames.filter(nameFilter)
     // warm-up actions so JVM/codegen startup and the one-time lineitem
     // id materialization aren't billed to the first timed query; the
     // text-search warm-up builds the declared Document.text postings
@@ -84,29 +142,24 @@ object Bench {
     // cost was 50× that before its own fix), while the noop sink
     // evaluates every output column and discards the rows — the
     // standard benchmarking sink shape
-    def runOnce(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-    val Iters = 3
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (0 until Iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { runOnce(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(Iters / 2)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = timeQueries(names,
+      name => SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save(),
+      iters = 3)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errors = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     // machine load at measurement time: totals on this box swing 40-60%
     // with concurrent load (r4: 22.3 s recorded vs 5.9 s idle), so the
     // artifact records the conditions it was taken under
-    val loadavg = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+").take(3).mkString("[", ",", "]")
-    } catch { case _: Exception => "null" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadavg}""")
+    val load = loadavg()
+    val loadJson =
+      if (load.isEmpty) "null" else load.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","loadavg":$loadJson}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -1,7 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** EXACT substring-level dedup — the suffix-array formulation of
   * "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -10,164 +14,381 @@ import org.apache.spark.sql.functions._
   * or across documents), and reported spans are maximal unions of such
   * runs. [[Dedup.dupSpanExtract]] is the fast window-merge relaxation
   * of this (every n-window of a span duplicated somewhere, possibly
-  * with different partners); this module closes that gap at the cost
-  * of log-rounds of global sorts — the write-time exact pass.
+  * with different partners); this module closes that gap — the
+  * write-time exact pass.
   *
-  * Construction, all DataFrame ops over (doc, position) rows:
+  * Suffixes are DOC-LOCAL (the distributed equivalent of Lee et al.'s
+  * unique-separator concatenation: no match crosses a doc boundary),
+  * and tokens compare by their 60-bit md5 value — any fixed total
+  * order on the alphabet yields a valid suffix ordering.
   *
-  *  1. Suffixes are DOC-LOCAL (the distributed equivalent of Lee et
-  *     al.'s unique-separator concatenation: no match crosses a doc
-  *     boundary). Tokens rank by their 60-bit md5 value — any fixed
-  *     total order on the alphabet yields a valid suffix ordering, and
-  *     this one is reproducible in DuckDB for the oracle.
-  *  2. Prefix doubling: rank_k(p) orders suffixes by their first 2^k
-  *     tokens; each round dense-ranks (rank_{k-1}(p),
-  *     rank_{k-1}(p+2^{k-1})) pairs. The dense rank is the standard
-  *     distributed sort + zipWithIndex; ceil(log2(max doc tokens))
-  *     rounds TOTAL because suffixes never cross documents — the
-  *     round count scales with the longest DOCUMENT, not the corpus.
-  *  3. Suffix-array adjacency: sort by (final rank, doc, p) and pair
-  *     each suffix with its successor. The longest common prefix of a
-  *     suffix with ANY other suffix is achieved at an adjacent entry,
-  *     so per-position max-LCP needs only these N-1 pairs.
-  *  4. LCP per adjacent pair by greedy descent over the level frames:
-  *     at level k, if the two (possibly shifted) suffixes agree on
-  *     rank_k, advance by min(2^k, remaining) — two equijoins per
-  *     level against the kept rank frame, no random access into
-  *     neighbor arrays.
-  *  5. dupLen(p) = max LCP with either neighbor; positions with
-  *     dupLen >= n contribute the interval [p, p + dupLen - 1];
-  *     touching intervals merge per doc (gaps-and-islands on running
-  *     max end) into maximal covered spans.
+  * Two physical plans, chosen by the longest document:
   *
-  * Scale posture: every stage is linear in corpus tokens; the doubling
-  * rounds are log(max doc length) sorts, each a full shuffle — the
-  * same cost family as a global sort, run once per corpus at write
-  * time. Level rank frames persist for the LCP descent and release at
-  * the end.
+  * PRIMARY (docs <= `graft.suffix.maxSliceTokens`, default 8192 —
+  * the chunk-bounded corpora this engine stores; cf.
+  * [[TextAnalysis.chunk]]):
+  *  1. Hash every position's n-token window; one aggregation finds
+  *     windows occurring >= 2 times. Positions with a unique window
+  *     have dupLen < n: they can never report and never affect a
+  *     reporting position's answer (any LCP >= n partner shares the
+  *     n-token window), so they are DROPPED outright — at web scale
+  *     the overwhelming majority of positions, discarded for the cost
+  *     of one map-side-combined count.
+  *  2. ONE global sort of the retained positions by their remaining
+  *     suffix (token-hash slice). Lexicographic array order groups
+  *     equal-window positions contiguously, so suffix-array adjacency
+  *     within the retained set is exact for every LCP >= n.
+  *  3. dupLen(p) = max(LCP with sort-predecessor, with successor),
+  *     computed in one partition-local pass: each partition's first
+  *     and last rows are collected (bounded by partition count) and
+  *     broadcast so boundary pairs need no extra shuffle or self-join.
+  *  HARD ASSUMPTION: the sorted frame carries each retained position's
+  *  remaining tokens — O(retained positions × doc length). The same
+  *  bound the LCP stage of any formulation pays here; unbounded
+  *  documents must chunk first or take the fallback.
+  *
+  * FALLBACK (unbounded documents): KR prefix-refinement. Positions
+  * rank by the COUNT of strictly-smaller suffixes at the current
+  * horizon (so a tie block occupies the contiguous rank interval
+  * [base, base+size)); each round extends the horizon ×4 by keying on
+  * (rank(p), rank(p+h), rank(p+2h), rank(p+3h)) and re-ranks
+  * BLOCK-LOCALLY — new rank = base + rows in strictly smaller
+  * sub-blocks, a grouped count + block-partitioned running sum, no
+  * global sort in any round. Rows freeze (final rank) once their
+  * sub-block is a singleton or the horizon covers their remaining
+  * suffix; later rounds touch only the shrinking tied set. Frozen KR
+  * ranks stay valid as other blocks refine: splits never move a
+  * suffix across another block's boundary.
+  *
+  * Scale posture: one aggregation + one global sort of the retained
+  * minority (primary path). Level frames persist through
+  * `FrameStore`: `localCheckpoint` locally (fast, executor-resident),
+  * or RELIABLE scratch parquet on a real cluster
+  * (`graft.suffix.scratchDir`, spilling when the corpus exceeds
+  * `graft.suffix.spillRowThreshold` positions) so losing an executor
+  * mid-pass cannot strand a lineage-truncated frame.
   */
 object SuffixDedup {
 
-  /** Positions with their maximal duplicated-substring length:
-    * `(_did, _len, _p, _dl)` — `_dl` = length of the longest token run
-    * starting at `_p` that occurs >= 2 times in the corpus.
-    */
-  private def dupLengths(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  private val Fan = 4
 
-    // Initial ranking granularity: suffixes order by the ARRAY of
-    // their first min(InitGran, remaining) token hashes — array order
-    // is truncated-lexicographic (element-wise, shorter-prefix first),
-    // i.e. exactly suffix order over the hash-permuted alphabet at
-    // this granularity, so the doubling recurrence composes. (A flat
-    // HASH of the 8-token window would not be prefix-compatible:
-    // suffixes sharing 5 tokens would sort arbitrarily far apart and
-    // suffix-array adjacency would break — caught by the brute-force
-    // spec.) Starting at 8 tokens removes the first three doubling
-    // rounds outright.
-    val InitGran = 8
-    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Persistence for the intermediate frames of one dedup pass.
+    * Local default: eager `localCheckpoint` (lineage truncated —
+    * required: refinement references the prior level twice, so an
+    * untrimmed plan doubles per round; measured 60 s of analysis +
+    * driver OOM at sf0.1 without it). Cluster mode: when
+    * `graft.suffix.scratchDir` is set, frames marked `spill` write to
+    * a per-run subdirectory as parquet — reliable storage that
+    * survives executor loss, unlike localCheckpoint blocks. The run
+    * directory is removed on `release()` unless
+    * `graft.suffix.keepScratch=true`.
+    */
+  private final class FrameStore(spark: SparkSession) {
+    private val scratch =
+      spark.conf.getOption("graft.suffix.scratchDir").filter(_.nonEmpty)
+    private val keepScratch =
+      spark.conf.getOption("graft.suffix.keepScratch").exists(_.toBoolean)
+    val spillRowThreshold: Long =
+      spark.conf.getOption("graft.suffix.spillRowThreshold")
+        .map(_.toLong).getOrElse(10000000L)
+    private val runDir = scratch.map(d =>
+      s"${d.stripSuffix("/")}/suffix-run-${java.util.UUID.randomUUID()}")
+    private val persisted = ArrayBuffer.empty[DataFrame]
+    private var seq = 0
+
+    def keep(frame: DataFrame, spill: Boolean): DataFrame =
+      runDir.filter(_ => spill) match {
+        case Some(dir) =>
+          seq += 1
+          val path = s"$dir/frame_$seq"
+          frame.write.mode("error").parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          val p = frame.localCheckpoint(true)
+          persisted += p
+          p
+      }
+
+    def release(): Unit = {
+      persisted.foreach(_.unpersist(false))
+      if (!keepScratch) runDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+
+  /** Positions that can participate in a >= `n`-token repeat, with
+    * their maximal duplicated-substring length: `(_did, _len, _p,
+    * _dl)` — `_dl` = length of the longest token run starting at `_p`
+    * that occurs >= 2 times in the corpus. Positions whose n-token
+    * window is unique corpus-wide (dupLen < n, can never report) are
+    * omitted.
+    */
+  private def dupLengths(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val store = new FrameStore(spark)
+    val debug = spark.conf.getOption("graft.suffix.debugTiming").exists(_.toBoolean)
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"  SUFFIX $label: ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
+    val maxSliceTokens = spark.conf.getOption("graft.suffix.maxSliceTokens")
+      .map(_.toInt).getOrElse(8192)
+
     // hashed token arrays, built ONCE and reused by the position
-    // explode AND the LCP join below (tokenize + per-token md5 is the
+    // explode AND the LCP computation (tokenize + per-token md5 is the
     // dominant per-pass cost)
-    val toksH = Dedup.ensureParallelism(df)
+    val toksH = store.keep(Dedup.ensureParallelism(df)
       .select(col(idCol).as("_did"),
         transform(TextAnalysis.tokens(col(textCol)),
           t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("_th"))
-      .where(size(col("_th")) > 0)
-      .localCheckpoint(true)
-    persisted += toksH
+      .where(size(col("_th")) > 0), spill = true)
+    mark("toksH")
+
+    val statsRow = toksH
+      .agg(max(size(col("_th"))), sum(size(col("_th")).cast("long"))).head()
+    val maxLen = if (statsRow.isNullAt(0)) 0L else statsRow.getInt(0).toLong
+    val total = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val spill = total >= store.spillRowThreshold
+    mark(s"stats total=$total maxLen=$maxLen")
+
+    val out =
+      if (maxLen <= maxSliceTokens) sliceSortPath(spark, store, toksH, n, spill, mark)
+      else rankRefinePath(spark, store, toksH, n, spill, mark)
+    store.release()
+    out
+  }
+
+  /** PRIMARY path: dup-window hash filter, one global sort of the
+    * retained suffix slices, partition-local adjacent-LCP scan with
+    * broadcast partition-boundary rows.
+    */
+  private def sliceSortPath(spark: SparkSession, store: FrameStore,
+      toksH: DataFrame, n: Int, spill: Boolean,
+      mark: String => Unit): DataFrame = {
+    // n-token window hash per position; a 64-bit collision can only
+    // RETAIN a unique-window position (its exact LCPs stay < n and it
+    // reports nothing) — never lose a duplicated one
     val pos = toksH
       .select(col("_did"), size(col("_th")).cast("long").as("_len"), col("_th"),
         explode(sequence(lit(0), size(col("_th")) - 1)).as("_p0"))
       .select(col("_did"), col("_len"), col("_p0").cast("long").as("_p"),
-        slice(col("_th"), col("_p0") + 1, lit(InitGran)).as("_ka"))
+        xxhash64(slice(col("_th"), col("_p0") + 1, lit(n))).as("_kh"))
+    val dupKeys = pos.groupBy(col("_kh")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= 2).select("_kh")
+    val retained = pos.join(dupKeys, "_kh").select("_did", "_len", "_p")
+    // the UNSORTED slices are the reliably-kept frame; the sort runs on
+    // top with a lineage-PRESERVING persist. A parquet read-back of a
+    // sorted frame would not do: scan splits are scheduled size-first,
+    // so file order != rank order — and the boundary scan below needs
+    // rdd partition order to BE the global sort order. Recomputing a
+    // lost sort partition from the kept frame is deterministic (range
+    // partitioner bounds are sampled once per plan).
+    val base = store.keep(retained.join(toksH, "_did")
+      .select(col("_did"), col("_len"), col("_p"),
+        slice(col("_th"), col("_p") + 1,
+          (col("_len") - col("_p")).cast("int")).as("_sfx")), spill)
+    val sorted = base.orderBy(col("_sfx"))
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mark("slice-sort")
 
-    // distributed dense rank of (k1, k2) keys: distinct keys sort
-    // globally, zipWithIndex assigns contiguous longs (the one RDD use
-    // — there is no shuffle-free dense_rank over an unpartitioned
-    // window in the DataFrame API)
-    def denseRank(keyed: DataFrame): DataFrame = {
-      val ranked = keyed.select(col("_k1"), col("_k2")).distinct()
-        .orderBy(col("_k1"), col("_k2"))
-        .rdd.zipWithIndex
-        .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
-        .toDF("_k1", "_k2", "_r")
-      keyed.join(ranked, Seq("_k1", "_k2"))
+    // per-partition first/last rows (bounded by the partition count)
+    // broadcast so each partition computes every one of its rows'
+    // dupLen locally — boundary pairs cost no shuffle and no self-join
+    val rdd = sorted.rdd
+    val nParts = rdd.getNumPartitions
+    val ends = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        var last = first
+        while (it.hasNext) last = it.next()
+        Iterator((i, first, last))
+      }
+    }.collect()
+    val bcFirst = spark.sparkContext.broadcast(ends.map(e => e._1 -> e._2).toMap)
+    val bcLast = spark.sparkContext.broadcast(ends.map(e => e._1 -> e._3).toMap)
+    mark("ends")
+
+    def sfx(r: Row): Seq[Long] = r.getSeq[Long](3)
+    def lcpOf(a: Seq[Long], b: Seq[Long]): Long = {
+      val m = math.min(a.length, b.length)
+      var l = 0
+      while (l < m && a(l) == b(l)) l += 1
+      l.toLong
+    }
+    val outRdd = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pred = ((i - 1) to 0 by -1).iterator
+          .flatMap(j => bcLast.value.get(j)).find(_ => true)
+        val succ = ((i + 1) until nParts).iterator
+          .flatMap(j => bcFirst.value.get(j)).find(_ => true)
+        val buf = it.buffered
+        var prevSfx = pred.map(sfx).orNull
+        new Iterator[Row] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Row = {
+            val cur = buf.next()
+            val cs = sfx(cur)
+            val withPrev = if (prevSfx == null) 0L else lcpOf(prevSfx, cs)
+            val nextSfx =
+              if (buf.hasNext) sfx(buf.head) else succ.map(sfx).orNull
+            val withNext = if (nextSfx == null) 0L else lcpOf(cs, nextSfx)
+            prevSfx = cs
+            Row(cur.get(0), cur.getLong(1), cur.getLong(2),
+              math.max(withPrev, withNext))
+          }
+        }
+      }
+    }
+    val schema = StructType(sorted.schema.fields.take(3) :+
+      StructField("_dl", LongType, nullable = false))
+    val out = spark.createDataFrame(outRdd, schema).localCheckpoint(true)
+    sorted.unpersist(false)
+    mark("lcp+out")
+    out
+  }
+
+  /** FALLBACK path for corpora with documents too long to slice: KR
+    * prefix-refinement (see the class doc), rounds over the shrinking
+    * tied set only, no global sort in any round.
+    */
+  private def rankRefinePath(spark: SparkSession, store: FrameStore,
+      toksH: DataFrame, n: Int, spill: Boolean,
+      mark: String => Unit): DataFrame = {
+    val pos = toksH
+      .select(col("_did"), size(col("_th")).cast("long").as("_len"), col("_th"),
+        explode(sequence(lit(0), size(col("_th")) - 1)).as("_p0"))
+      .select(col("_did"), col("_len"), col("_p0").cast("long").as("_p"),
+        slice(col("_th"), col("_p0") + 1, lit(n)).as("_ka"))
+
+    // ---- level 0: KR ranks from ONE global sort of the distinct keys.
+    // rank(key) = count of positions with strictly smaller keys — the
+    // per-partition prefix-sum pattern (partition subtotals collected,
+    // offsets broadcast) over the range-sorted (key, count) frame.
+    val keyCnt = pos.groupBy(col("_ka")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_ka"))
+    val kcRdd = keyCnt.rdd
+    kcRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = kcRdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator(i -> it.map(_.getLong(1)).sum)
+    }.collect().toMap
+    val offsets = (0 until kcRdd.getNumPartitions)
+      .scanLeft(0L)((acc, i) => acc + partSums.getOrElse(i, 0L))
+    val rankedRdd = kcRdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val row = Row(r.get(0), acc, r.getLong(1))
+        acc += r.getLong(1)
+        row
+      }
+    }
+    val ranked0 = spark.createDataFrame(rankedRdd, StructType(Seq(
+      keyCnt.schema("_ka"),
+      StructField("_r", LongType, nullable = false),
+      StructField("_c", LongType, nullable = false))))
+    mark("keyrank")
+
+    val rem = col("_len") - col("_p")
+    val level0 = store.keep(pos.join(ranked0, Seq("_ka"))
+      .select(col("_did"), col("_len"), col("_p"), col("_r"),
+        (col("_c") >= 2).as("_dup")), spill)
+    kcRdd.unpersist(false)
+
+    // retained = positions in a >= 2-member key block; of those, the
+    // ones whose whole remaining suffix fits inside the key are final
+    // already (identical-tail ties — frozen, still in the SA)
+    val frozenLookups = ArrayBuffer(
+      level0.where(!col("_dup") || rem <= n).select("_did", "_p", "_r"))
+    val saFrames = ArrayBuffer(
+      level0.where(col("_dup") && rem <= n).select("_did", "_len", "_p", "_r"))
+    var active = level0.where(col("_dup") && rem > n)
+      .select("_did", "_len", "_p", "_r")
+    var activeCnt = active.count()
+    mark("level0")
+
+    // ---- refinement rounds: block-local, over the tied set only
+    var h = n.toLong
+    while (activeCnt > 0) {
+      if (h > (1L << 40)) throw new IllegalStateException(
+        s"SuffixDedup failed to converge (horizon $h, $activeCnt tied)")
+      val horizon = h * Fan
+      // continuation ranks for the 3 lookahead offsets via ONE join
+      // against the full rank set (frozen frames + current active)
+      val lookup = (frozenLookups.toSeq :+ active.select("_did", "_p", "_r"))
+        .reduce(_ unionByName _)
+      val wanted = active
+        .select(col("_did"), col("_p"), col("_len"),
+          posexplode(array((1 until Fan).map(j => col("_p") + lit(j * h)): _*)))
+        .withColumnRenamed("pos", "_j").withColumnRenamed("col", "_q")
+        .where(col("_q") < col("_len"))
+        .select("_did", "_p", "_j", "_q")
+      val contAggs = (0 until Fan - 1).map(j =>
+        max(when(col("_j") === j, col("_cr"))).as(s"_c${j + 1}"))
+      val conts = wanted
+        .join(lookup.select(col("_did"), col("_p").as("_q"),
+          col("_r").as("_cr")), Seq("_did", "_q"))
+        .groupBy(col("_did"), col("_p"))
+        .agg(contAggs.head, contAggs.tail: _*)
+      val keyCols = (1 until Fan).map(j => col(s"_c$j"))
+      val keyed = active.join(conts, Seq("_did", "_p"), "left")
+        .select(col("_did") +: col("_len") +: col("_p") +: col("_r") +:
+          (1 until Fan).map(j =>
+            coalesce(col(s"_c$j"), lit(-1L)).as(s"_c$j")): _*)
+      // KR refinement: new rank = block base + rows in strictly
+      // smaller sub-blocks. Grouped first so the block-partitioned
+      // window ranks DISTINCT continuation tuples, not occurrences.
+      val grouped = keyed.groupBy(col("_r") +: keyCols: _*)
+        .agg(count(lit(1)).as("_sc"))
+      val wB = Window.partitionBy(col("_r")).orderBy(keyCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val based = grouped.withColumn("_rn",
+        col("_r") + coalesce(sum(col("_sc")).over(wB), lit(0L)))
+      val refined = store.keep(
+        keyed.join(based, "_r" +: (1 until Fan).map(j => s"_c$j"))
+          .select(col("_did"), col("_len"), col("_p"),
+            col("_rn").as("_r"),
+            (col("_sc") === 1 || col("_len") - col("_p") <= horizon)
+              .as("_frz")), spill)
+      val frozen = refined.where(col("_frz"))
+        .select("_did", "_len", "_p", "_r")
+      frozenLookups += frozen.select("_did", "_p", "_r")
+      saFrames += frozen
+      active = refined.where(!col("_frz")).select("_did", "_len", "_p", "_r")
+      activeCnt = active.count()
+      mark(s"round h=$h active=$activeCnt")
+      h = horizon
     }
 
-    // rounds double the covered prefix from InitGran up past the
-    // longest document: ceil(log2(maxLen / InitGran))
-    val maxLen = pos.agg(max(col("_len"))).head().getLong(0)
-    var rounds = 0
-    while ((InitGran.toLong << rounds) < maxLen) rounds += 1
-
-    // each level materializes EAGERLY with its LINEAGE TRUNCATED
-    // (localCheckpoint): every round references the previous level
-    // twice (the rank frame and its shifted self-join), so an untrimmed
-    // logical plan doubles per round — exponential analysis cost that
-    // measured 60 s at sf0.1 and OOM'd the driver building plan
-    // strings. A lazy persist alone also leaves each round's
-    // zipWithIndex action re-evaluating every prior round (quadratic).
-    def keep(frame: DataFrame): DataFrame = {
-      val p = frame.localCheckpoint(true)
-      persisted += p
-      p
-    }
-
-    val total = pos.count()
-    // level 0: rank by the truncated-prefix array key
-    val ranked0 = pos.select(col("_ka")).distinct().orderBy(col("_ka"))
-      .rdd.zipWithIndex
-      .map { case (r, i) => (r.getSeq[Long](0), i) }
-      .toDF("_ka", "_r")
-    val rk0 = keep(pos.join(ranked0, Seq("_ka"))
-      .select(col("_did"), col("_len"), col("_p"), col("_r")))
-    var rk = rk0
-    var k = 1
-    var stable = false
-    while (k <= rounds && !stable) {
-      val step = InitGran.toLong << (k - 1)
-      val shifted = rk.select(col("_did"), (col("_p") - step).as("_p"),
-        col("_r").as("_r2"))
-      val paired = rk.join(shifted, Seq("_did", "_p"), "left")
-        .select(col("_did"), col("_len"), col("_p"),
-          col("_r").as("_k1"), coalesce(col("_r2"), lit(-1L)).as("_k2"))
-      rk = keep(denseRank(paired)
-        .select(col("_did"), col("_len"), col("_p"), col("_r")))
-      // all ranks unique -> the suffix order is final and no later
-      // round can change anything; corpora with truly identical
-      // suffixes keep iterating until the doubling horizon covers the
-      // longest document (the classical termination bound). Ranks are
-      // dense, so uniqueness is one cheap max() on the cached frame.
-      stable = rk.agg(max(col("_r"))).head().getLong(0) + 1 == total
-      k += 1
-    }
-
-    // suffix-array order and adjacent pairs. Row-based zipWithIndex
-    // keeps the id column's ORIGINAL type (string/int ids work like
-    // the sibling Dedup span APIs; a typed-tuple map would force long)
-    val ordered = rk.orderBy(col("_r"), col("_did"), col("_p"))
-      .select(col("_did"), col("_len"), col("_p"))
+    // ---- suffix-array adjacency over the retained positions (ranks
+    // tie only for fully identical suffixes; (did, p) breaks those
+    // arbitrarily — the LCP below is exact either way)
+    val ordered = saFrames.reduce(_ unionByName _)
+      .orderBy(col("_r"), col("_did"), col("_p"))
+      .select("_did", "_len", "_p")
     val saRdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      Row.fromSeq(r.toSeq :+ i)
     }
-    val sa = spark.createDataFrame(saRdd,
-      ordered.schema.add("_i", org.apache.spark.sql.types.LongType))
+    val sa = spark.createDataFrame(saRdd, ordered.schema.add("_i", LongType))
+    mark("sa-build")
     val adj = sa.select(col("_did").as("_ad"), col("_len").as("_al"),
       col("_p").as("_ap"), col("_i"))
       .join(sa.select(col("_did").as("_bd"), col("_len").as("_bl"),
         col("_p").as("_bp"), (col("_i") - 1).as("_i")), "_i")
 
     // LCP of each adjacent pair, computed WITHIN-ROW against the two
-    // docs' hashed token arrays: two joins total (one per side), then
-    // a bounded fold over min(remaining-a, remaining-b) positions.
-    // The alternative — greedy descent over the doubling levels — is
-    // 2 joins PER LEVEL; with documents bounded at thousands of
-    // tokens the per-row fold is cheaper than ~20 extra shuffles of
-    // the full adjacency frame (measured 3× end-to-end).
+    // docs' hashed token arrays. HARD ASSUMPTION (same as the primary
+    // path's slices): O(adjacent pairs × doc length) intermediate —
+    // acceptable because this path only runs for rare giant-document
+    // corpora where the ALTERNATIVE (per-level greedy descent, 2 joins
+    // per level) costs ~20 extra shuffles of the adjacency frame
+    // (measured 3× end-to-end).
     val toksA = toksH.select(col("_did").as("_ad"), col("_th").as("_ta"))
     val toksB = toksH.select(col("_did").as("_bd"), col("_th").as("_tb"))
     val maxCmp = least(col("_al") - col("_ap"), col("_bl") - col("_bp"))
@@ -190,7 +411,7 @@ object SuffixDedup {
       .groupBy(col("_did"), col("_len"), col("_p"))
       .agg(max(col("_l")).as("_dl"))
       .localCheckpoint(true)
-    persisted.foreach(_.unpersist(false))
+    mark("lcp+out")
     out
   }
 
@@ -207,12 +428,16 @@ object SuffixDedup {
     */
   def maximalRepeats(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_did")).orderBy(col("_p"))
-    val reps = dupLengths(df, textCol, idCol)
+    val w = Window.partitionBy(col("_did")).orderBy(col("_p"))
+    // dupLengths omits positions that cannot reach dupLen >= n; a gap
+    // before `_p` therefore means dupLen(p-1) < n <= dupLen(p), which
+    // never suppresses left-maximality — only a true p-1 row can.
+    val reps = dupLengths(df, textCol, idCol, n)
+      .withColumn("_prevP", lag(col("_p"), 1).over(w))
       .withColumn("_prev", lag(col("_dl"), 1).over(w))
       .where(col("_dl") >= n &&
-        (col("_prev").isNull || col("_prev") <= col("_dl")))
+        (col("_prev").isNull || col("_prevP") =!= col("_p") - 1 ||
+          col("_prev") <= col("_dl")))
       .select(col("_did"), col("_p"), col("_dl"))
     val toks = df.select(col(idCol).as("_did"),
       TextAnalysis.tokens(col(textCol)).as("_t"))
@@ -240,13 +465,12 @@ object SuffixDedup {
 
   private def intervals(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
-    dupLengths(df, textCol, idCol)
+    dupLengths(df, textCol, idCol, n)
       .where(col("_dl") >= n)
       .select(col("_did"), col("_p").as("_s"), (col("_p") + col("_dl") - 1).as("_e"))
 
   private def mergeIntervals(iv: DataFrame, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_did")).orderBy(col("_s"), col("_e"))
+    val w = Window.partitionBy(col("_did")).orderBy(col("_s"), col("_e"))
     val prevMax = max(col("_e")).over(w.rowsBetween(Long.MinValue, -1))
     iv.withColumn("_new",
         when(prevMax.isNull || col("_s") > prevMax + 1, 1).otherwise(0))

@@ -56,32 +56,62 @@ object IndexCache {
     * (streaming sink commits): the raw postings carry no idf — df/idf
     * derive at query time — so `old postings ∪ postings(delta)` IS the
     * exact new artifact, and corpus stats merge in closed form
-    * (N' = N + n_delta, avglen' re-weighted). Cost is one pass over the
-    * DELTA plus a cached-artifact copy, not a full-corpus re-tokenize.
-    * The merged frames materialize eagerly, BEFORE the superseded
-    * version's artifact is unpersisted, so the copy reads the warm
-    * cache. No-op (returns false) when nothing is cached under `from` —
-    * the next query builds fresh and already sees the appended rows.
-    * Tenant-partitioned artifacts are out of scope (they rebuild).
+    * (N' = N + n_delta, avglen' re-weighted; per tenant when the index
+    * is tenant-partitioned). Cost is one pass over the DELTA plus a
+    * cached-artifact copy, not a full-corpus re-tokenize. The merged
+    * frames materialize eagerly, BEFORE the superseded version's
+    * artifact is unpersisted, so the copy reads the warm cache.
+    *
+    * Returns false — leaving the next query to cold-build against the
+    * true table — when nothing is cached under `from`, or when the
+    * APPEND-ONLY INVARIANT fails its gate: |prev| + |delta| must equal
+    * |next| (a delete or re-keyed row disagrees). A same-`_id` rewrite
+    * of the indexed text passes the count gate but violates the
+    * documented append-only sink contract; set
+    * `graft.index.verifyAppendContent=true` to also xor-hash
+    * (`_id`, text) on both sides — one shuffle-free scan of the
+    * standing corpus per refresh, so it is opt-in rather than the
+    * steady-state default.
     */
   def appendText(from: String, to: String, label: String, prop: String,
-      delta: DataFrame): Boolean = {
+      prev: DataFrame, next: DataFrame,
+      tenantCol: Option[String] = None): Boolean = {
     val old = text.get((from, label, prop))
     if (old == null) return false
-    val (dPost, dStats) = BM25.buildIndex(delta, prop, None)
+    import org.apache.spark.sql.functions._
+    val delta = next.join(prev.select("_id"), Seq("_id"), "left_anti")
+    if (prev.count() + delta.count() != next.count()) return false
+    if (prev.sparkSession.conf.getOption("graft.index.verifyAppendContent")
+        .exists(_.toBoolean)) {
+      def sig(df: DataFrame): Long = df
+        .select(xxhash64(col("_id"), col(prop)).as("_h"))
+        .agg(coalesce(expr("bit_xor(_h)"), lit(0L))).head().getLong(0)
+      if ((sig(prev) ^ sig(delta)) != sig(next)) return false
+    }
+    val (dPost, dStats) = BM25.buildIndex(delta, prop, tenantCol)
     val post = old._1.unionByName(dPost).persist(StorageLevel.MEMORY_AND_DISK)
-    val d = dStats.select(
-      org.apache.spark.sql.functions.col("_n").as("_dn"),
-      org.apache.spark.sql.functions.col("_avglen").as("_davg"))
     val stats = {
-      import org.apache.spark.sql.functions._
-      old._2.crossJoin(d).select(
-        (col("_n") + col("_dn")).as("_n"),
-        when(col("_n") + col("_dn") === 0, lit(0.0))
-          .otherwise((col("_n") * coalesce(col("_avglen"), lit(0.0)) +
-            col("_dn") * coalesce(col("_davg"), lit(0.0))) /
-            (col("_n") + col("_dn"))).as("_avglen"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val merged = tenantCol match {
+        case None =>
+          old._2.crossJoin(dStats.select(col("_n").as("_dn"),
+            col("_avglen").as("_davg")))
+            .select(lit(1).as("_one"), col("_n"), col("_avglen"),
+              col("_dn"), col("_davg"))
+        case Some(_) =>
+          // per-tenant closed-form merge: tenants present on either
+          // side only (full outer), absent side contributes 0
+          old._2.select(col("_tenant"), col("_n"), col("_avglen"))
+            .join(dStats.select(col("_tenant"), col("_n").as("_dn"),
+              col("_avglen").as("_davg")), Seq("_tenant"), "full_outer")
+      }
+      val n = coalesce(col("_n"), lit(0L))
+      val dn = coalesce(col("_dn"), lit(0L))
+      val outCols = tenantCol.map(_ => col("_tenant")).toSeq ++ Seq(
+        (n + dn).as("_n"),
+        when(n + dn === 0, lit(0.0))
+          .otherwise((n * coalesce(col("_avglen"), lit(0.0)) +
+            dn * coalesce(col("_davg"), lit(0.0))) / (n + dn)).as("_avglen"))
+      merged.select(outCols: _*).persist(StorageLevel.MEMORY_AND_DISK)
     }
     post.count(); stats.count()
     val prior = text.putIfAbsent((to, label, prop), (post, stats))

@@ -275,14 +275,12 @@ private[server] final class ReadReplica(spark: SparkSession, walRoot: String,
         import graft.ast.IndexSpec
         val (from, to) = (prev.version, next.served.version)
         next.served.indexes.foreach {
-          case IndexSpec.NodeText(l, p, None) if !unchanged.contains(l) =>
+          case IndexSpec.NodeText(l, p, t) if !unchanged.contains(l) =>
             for (pt <- prev.nodeTables.get(l); nt <- next.served.nodeTables.get(l))
-              graft.search.IndexCache.appendText(from, to, l, p,
-                nt.join(pt.select("_id"), Seq("_id"), "left_anti"))
-          case IndexSpec.EdgeText(l, p, None) if !unchanged.contains(l) =>
+              graft.search.IndexCache.appendText(from, to, l, p, pt, nt, t)
+          case IndexSpec.EdgeText(l, p, t) if !unchanged.contains(l) =>
             for (pt <- prev.edgeTables.get(l); nt <- next.served.edgeTables.get(l))
-              graft.search.IndexCache.appendText(from, to, l, p,
-                nt.join(pt.select("_id"), Seq("_id"), "left_anti"))
+              graft.search.IndexCache.appendText(from, to, l, p, pt, nt, t)
           case IndexSpec.NodeVector(l, p, _) if !unchanged.contains(l) =>
             graft.search.IndexCache.migrateIvfAppend(from, to, l, p)
           case IndexSpec.EdgeVector(l, p, _) if !unchanged.contains(l) =>

@@ -150,6 +150,51 @@ class StreamingSpec extends GraftSuite {
       "expected the append merge path, not a rebuild")
   }
 
+  test("tenant-partitioned postings refresh incrementally on streamed appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ast._
+    import graft.model.GraphWal
+    val s = spark
+    import s.implicits._
+    implicit val sqlc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gstream-tix").toString
+    GraphWal.checkpoint(TestBase.parityGraph()
+      .withIndexes(Set(IndexSpec.NodeText("ParityUser", "bio", Some("tenantId")))), dir)
+    val mem = MemoryStream[(Long, String, String)]
+    def runOnce(): Unit = {
+      val q = graft.streaming.GraphStream.nodeIngest(
+        mem.toDF().toDF("uid", "bio", "tenantId"), "ParityUser", "uid",
+        s"$dir/stream", buckets = 4)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    mem.addData((70L, "zanzibar expedition notes", "t1")); runOnce()
+    GraphWal.attachStream(dir, "nodes", "ParityUser", s"$dir/stream/nodes/ParityUser")
+
+    val router = new graft.server.Router(spark, dir, numReaders = 1)
+    val search = Batch(Seq(BatchEntry.Query(NamedQuery(Some("hits"), Traversal(Vector(
+      Step.TextSearchNodes("ParityUser", "bio",
+        Some(PropertyInput.Value(PropertyValue.VString("t1"))),
+        PropertyInput.Value(PropertyValue.VString("zanzibar")),
+        StreamBound.Literal(5)),
+      Step.Id))))), returns = Seq("hits"))
+    router.registerQuery("ztsearch", search)
+    val noHdr: String => Option[String] = _ => None
+    assert(router.route("ztsearch", "{}", noHdr)._1.contains("70"))
+    val buildsAfterFirst = graft.search.IndexCache.textBuilds.get()
+
+    // appended docs for BOTH tenants; the t1 search must see only the
+    // t1 addition, and the per-tenant artifact must merge, not rebuild
+    mem.addData((71L, "more zanzibar material", "t1"),
+      (72L, "zanzibar from the other tenant", "t2")); runOnce()
+    val (resp, _) = router.route("ztsearch", "{}", noHdr)
+    assert(resp.contains("70") && resp.contains("71"),
+      s"tenant t1 must see both its docs after the sink commit: $resp")
+    assert(!resp.contains("72"), s"tenant filter must hold: $resp")
+    assert(graft.search.IndexCache.textBuilds.get() == buildsAfterFirst,
+      "expected the tenant-partitioned append merge path, not a rebuild")
+  }
+
   test("GraphBuilder projects raw tables into a traversable graph") {
     val s = spark
     import s.implicits._

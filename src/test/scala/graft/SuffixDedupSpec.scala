@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Dedup, SuffixDedup}
@@ -48,6 +50,14 @@ class SuffixDedupSpec extends GraftSuite {
     }
   }
 
+  /** Force the giant-document fallback (KR prefix-refinement) by
+    * setting the slice bound below every doc length.
+    */
+  private def withFallbackPath[T](body: => T): T = {
+    spark.conf.set("graft.suffix.maxSliceTokens", "1")
+    try body finally spark.conf.unset("graft.suffix.maxSliceTokens")
+  }
+
   test("maximalRepeats matches the brute-force inventory on random corpora") {
     val s = spark
     import s.implicits._
@@ -59,6 +69,22 @@ class SuffixDedupSpec extends GraftSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
         .toSet
       assert(got == bruteRepeats(docs, 3), s"seed=$seed")
+    }
+  }
+
+  test("fallback rank-refinement path matches brute force too") {
+    val s = spark
+    import s.implicits._
+    withFallbackPath {
+      for (seed <- Seq(7, 19, 31)) {
+        val docs = randomDocs(seed, nDocs = 6, maxLen = 18)
+        val got = SuffixDedup.maximalRepeats(docs.toDF("doc_id", "text"),
+          "text", "doc_id", n = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+          .toSet
+        assert(got == bruteRepeats(docs, 3), s"seed=$seed (fallback)")
+      }
     }
   }
 
@@ -107,6 +133,42 @@ class SuffixDedupSpec extends GraftSuite {
     val got = SuffixDedup.maximalRepeats(docs, "text", "doc_id", n = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(("doc-a", 0L, 5L), ("doc-b", 1L, 5L)), s"got $got")
+  }
+
+  test("level frames spill to the configured scratch dir, results unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-suffix").toString
+    s.conf.set("graft.suffix.scratchDir", dir)
+    s.conf.set("graft.suffix.spillRowThreshold", "0")
+    s.conf.set("graft.suffix.keepScratch", "true")
+    try {
+      val docs = randomDocs(43, nDocs = 6, maxLen = 18)
+      val got = SuffixDedup.maximalRepeats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", n = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == bruteRepeats(docs, 3))
+      val frames = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.map(_.toString).toSeq
+      assert(frames.exists(_.contains("/frame_")), s"no frames under $dir")
+      assert(frames.exists(p => p.contains("/frame_") && p.endsWith(".parquet")),
+        "frames must be parquet")
+
+      // default lifecycle: the per-run directory is removed on release
+      s.conf.set("graft.suffix.keepScratch", "false")
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-suffix2").toString
+      s.conf.set("graft.suffix.scratchDir", dir2)
+      SuffixDedup.maximalRepeats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", n = 3).collect()
+      val left = new java.io.File(dir2).listFiles()
+      assert(left == null || left.isEmpty, s"run dir not cleaned: ${left.toSeq}")
+    } finally {
+      s.conf.unset("graft.suffix.scratchDir")
+      s.conf.unset("graft.suffix.spillRowThreshold")
+      s.conf.unset("graft.suffix.keepScratch")
+    }
   }
 
   test("exactDupSpanExtract merges overlapping repeats into coverage spans") {
