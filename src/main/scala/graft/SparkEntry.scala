@@ -75,7 +75,7 @@ object SparkEntry {
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
-    "q_media_audio")
+    "q_media_audio", "q_media_video")
 
   import SortOrder.{Asc, Desc}
 
@@ -508,10 +508,24 @@ object SparkEntry {
         .where(col("modality") === "image")
         .select(col("media_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"))),
+    // frame sampling over the REAL demuxed frame count: probeVideoMeta
+    // reads n_frames from the AVI container (correcting the declared
+    // id%100+1 metadata), and the oracle recomputes the true count
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id"), stride = 7)
+        Multimodal.probeVideoMeta(
+          Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
+            .where(col("modality") === "video")), stride = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // real video: AVI containers (uncompressed DIB frames) synthesized
+    // distributed, demuxed + decoded per partition — the oracle
+    // recomputes each FRAME's pixel sum arithmetically, so a hash
+    // match proves the mux -> distribute -> demux -> decode roundtrip
+    // reproduced every frame of every payload bit-for-bit
+    "q_media_video" -> ((s, d) =>
+      Multimodal.videoChecksum(
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
+          .where(col("modality") === "video"))),
     // real audio: WAV payloads synthesized distributed, decoded via
     // javax.sound — the oracle recomputes the decoded sample sum
     // arithmetically, so a hash match proves the encode -> distribute
@@ -1051,8 +1065,21 @@ object SparkEntry {
       "(doc_id % 13 + 1)::INT AS width, (doc_id % 7 + 1)::INT AS height, " +
       "'png-decodable' AS format FROM documents WHERE doc_id % 3 = 0"),
     "q_media_frames" -> ("SELECT doc_id AS media_id, " +
-      "unnest(range(0, (doc_id % 100 + 1)::BIGINT, 7)) AS frame_idx " +
+      "unnest(range(0, (doc_id % 5 + 2)::BIGINT, 2)) AS frame_idx " +
       "FROM documents WHERE doc_id % 3 = 2"),
+    // per-frame pixel sums recomputed arithmetically from the frame
+    // formula RGB(x,y,f) of mediaFromIds' video payloads
+    "q_media_video" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "fr AS (SELECT media_id, w, h, unnest(range(0, nf::BIGINT)) AS f FROM m), " +
+      "px AS (SELECT media_id, w, h, f, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM fr) " +
+      "SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(sum(" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) * 65536 + " +
+      "((media_id * 13 + (p % w) + f) % 255) * 256 + " +
+      "((media_id * 7 + (p // w) + 2 * f) % 255)) AS BIGINT) AS checksum " +
+      "FROM px GROUP BY media_id, f"),
     // decoded-sample sum recomputed arithmetically: sample k of media
     // id is (id*31 + k*7) % 65536 - 32768 over n = id%50+10 samples
     "q_media_audio" -> ("WITH a AS (SELECT doc_id AS media_id, " +

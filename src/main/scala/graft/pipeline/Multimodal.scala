@@ -21,10 +21,14 @@ import javax.imageio.ImageIO
   * decode through `javax.sound.sampled` (also pure JVM), and the
   * encode → distribute → decode roundtrip is proven sample-exact by
   * an arithmetic oracle (q_media_audio), mirroring the image
-  * checksum. Only VIDEO remains a deterministic byte-level fallback
-  * (no demuxer exists in a bare JVM); its plumbing (schema, batching,
-  * explode shapes) is identical to what a real codec would use, so
-  * swapping one in changes no plan.
+  * checksum. The VIDEO path is real as well: a RIFF/AVI demuxer
+  * (implemented here against the public AVI container layout — RIFF
+  * chunk grammar, `BITMAPINFOHEADER`) handles uncompressed 24-bit DIB
+  * streams (`00db`, decoded to pixels directly — the frame-exact
+  * oracle path, q_media_video) and MJPEG streams (`00dc`, each frame
+  * an ImageIO JPEG decode, mirroring the audio approach). Payloads in
+  * containers the demuxer doesn't recognize fall back to
+  * deterministic byte-level features, never an error.
   */
 object Multimodal {
 
@@ -168,9 +172,244 @@ object Multimodal {
     out
   }
 
+  // ---------------------------------------------------------------- video
+
+  private def putLe32(b: ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+    b.write((v >> 16) & 0xFF); b.write((v >> 24) & 0xFF)
+  }
+  private def putLe16(b: ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+  }
+  private def putFourcc(b: ByteArrayOutputStream, s: String): Unit =
+    b.write(s.getBytes("US-ASCII"), 0, 4)
+
+  /** Bottom-up BGR24 DIB bytes of a frame, rows padded to 4 bytes —
+    * the uncompressed AVI payload (`biCompression = 0`).
+    */
+  private def dibBytes(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val row = (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        out(row + x * 3) = (px & 0xFF).toByte
+        out(row + x * 3 + 1) = ((px >> 8) & 0xFF).toByte
+        out(row + x * 3 + 2) = ((px >> 16) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Mux frames into a standard RIFF/AVI container: uncompressed
+    * 24-bit DIB frames by default (`00db`, `biCompression = 0` —
+    * byte-exact pixels, playable by any AVI reader), or MJPEG
+    * (`00dc`, one ImageIO JPEG per frame) with `mjpeg = true`.
+    * Single video stream, `idx1` keyframe index included.
+    */
+  def encodeAvi(frames: Seq[BufferedImage], fps: Int,
+      mjpeg: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAvi needs at least one frame")
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    val payloads = frames.map { f =>
+      if (mjpeg) {
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(f, "jpg", bos)
+        bos.toByteArray
+      } else dibBytes(f)
+    }
+    val chunkId = if (mjpeg) "00dc" else "00db"
+    val maxPayload = payloads.map(_.length).max
+    val stride = (w * 3 + 3) & ~3
+
+    val movi = new ByteArrayOutputStream()
+    putFourcc(movi, "movi")
+    val offsets = payloads.map { p =>
+      val off = movi.size() // relative to the 'movi' fourcc
+      putFourcc(movi, chunkId); putLe32(movi, p.length)
+      movi.write(p, 0, p.length)
+      if ((p.length & 1) == 1) movi.write(0)
+      off
+    }
+
+    val hdrl = new ByteArrayOutputStream()
+    putFourcc(hdrl, "hdrl")
+    putFourcc(hdrl, "avih"); putLe32(hdrl, 56)
+    putLe32(hdrl, if (fps > 0) 1000000 / fps else 0) // dwMicroSecPerFrame
+    putLe32(hdrl, 0); putLe32(hdrl, 0)
+    putLe32(hdrl, 0x10) // AVIF_HASINDEX
+    putLe32(hdrl, frames.length); putLe32(hdrl, 0); putLe32(hdrl, 1)
+    putLe32(hdrl, maxPayload); putLe32(hdrl, w); putLe32(hdrl, h)
+    (0 until 4).foreach(_ => putLe32(hdrl, 0))
+    val strl = new ByteArrayOutputStream()
+    putFourcc(strl, "strl")
+    putFourcc(strl, "strh"); putLe32(strl, 56)
+    putFourcc(strl, "vids"); putFourcc(strl, if (mjpeg) "MJPG" else "DIB ")
+    putLe32(strl, 0); putLe32(strl, 0); putLe32(strl, 0)
+    putLe32(strl, 1); putLe32(strl, math.max(fps, 1)) // dwScale, dwRate
+    putLe32(strl, 0); putLe32(strl, frames.length)
+    putLe32(strl, maxPayload); putLe32(strl, -1); putLe32(strl, 0)
+    putLe16(strl, 0); putLe16(strl, 0); putLe16(strl, w); putLe16(strl, h)
+    putFourcc(strl, "strf"); putLe32(strl, 40)
+    putLe32(strl, 40); putLe32(strl, w); putLe32(strl, h)
+    putLe16(strl, 1); putLe16(strl, 24) // biPlanes, biBitCount
+    if (mjpeg) putFourcc(strl, "MJPG") else putLe32(strl, 0)
+    putLe32(strl, if (mjpeg) maxPayload else stride * h)
+    (0 until 4).foreach(_ => putLe32(strl, 0))
+    putFourcc(hdrl, "LIST"); putLe32(hdrl, strl.size())
+    hdrl.write(strl.toByteArray, 0, strl.size())
+
+    val idx = new ByteArrayOutputStream()
+    payloads.zip(offsets).foreach { case (p, off) =>
+      putFourcc(idx, chunkId); putLe32(idx, 0x10) // AVIIF_KEYFRAME
+      putLe32(idx, off); putLe32(idx, p.length)
+    }
+
+    val body = new ByteArrayOutputStream()
+    putFourcc(body, "AVI ")
+    putFourcc(body, "LIST"); putLe32(body, hdrl.size())
+    body.write(hdrl.toByteArray, 0, hdrl.size())
+    putFourcc(body, "LIST"); putLe32(body, movi.size())
+    body.write(movi.toByteArray, 0, movi.size())
+    putFourcc(body, "idx1"); putLe32(body, idx.size())
+    body.write(idx.toByteArray, 0, idx.size())
+
+    val out = new ByteArrayOutputStream()
+    putFourcc(out, "RIFF"); putLe32(out, body.size())
+    out.write(body.toByteArray, 0, body.size())
+    out.toByteArray
+  }
+
+  /** Demux + decode an AVI payload: `(width, height, frames)`. Handles
+    * uncompressed 24-bit DIB streams (`00db`/`biCompression = 0`,
+    * bottom-up or top-down) and MJPEG (`00dc`, ImageIO per frame).
+    * None for anything the walker can't parse — the caller's
+    * byte-level fallback stays in charge of unknown containers.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Seq[BufferedImage])] =
+    if (bytes == null || bytes.length < 12) None
+    else try {
+      def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      def u32(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      def u16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      var w = 0; var hSigned = 0; var bitCount = 0; var comp = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[BufferedImage]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(off); val sz = u32(off + 4)
+          val body = off + 8
+          if (sz < 0 || body + sz > bytes.length) return
+          if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
+          else if (id == "strf" && sz >= 40 && w == 0) {
+            w = u32(body + 4); hSigned = u32(body + 8)
+            bitCount = u16(body + 14); comp = u32(body + 16)
+          } else if (sz > 0 && (id.endsWith("db") || id.endsWith("dc"))) {
+            val h = math.abs(hSigned)
+            if (id.endsWith("dc")) {
+              val img = ImageIO.read(new ByteArrayInputStream(bytes, body, sz))
+              if (img != null) frames += img
+            } else if (comp == 0 && bitCount == 24 && w > 0 && h > 0) {
+              val stride = (w * 3 + 3) & ~3
+              if (sz >= stride * h) {
+                val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  // positive biHeight = bottom-up row order
+                  val row = body + (if (hSigned > 0) (h - 1 - y) else y) * stride
+                  var x = 0
+                  while (x < w) {
+                    img.setRGB(x, y, ((bytes(row + x * 3 + 2) & 0xFF) << 16) |
+                      ((bytes(row + x * 3 + 1) & 0xFF) << 8) |
+                      (bytes(row + x * 3) & 0xFF))
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += img
+              }
+            }
+          }
+          off = body + sz + (sz & 1)
+        }
+      }
+      walk(12, math.min(12 + u32(4), bytes.length))
+      if (w > 0 && frames.nonEmpty) Some((w, math.abs(hSigned), frames.toSeq))
+      else None
+    } catch { case _: Exception => None }
+
+  /** Per-FRAME integer fingerprint of the DECODED video payload:
+    * `(media_id, frame_idx, checksum)` with checksum = sum over the
+    * frame's pixels of the packed 24-bit RGB — exact integers, so an
+    * arithmetic SQL oracle verifies the AVI mux → distribute → demux →
+    * decode roundtrip reproduced every frame bit-for-bit (the video
+    * counterpart of [[pixelChecksum]]/[[audioChecksum]]). A single
+    * null-frame row for payloads that don't demux.
+    */
+  def videoChecksum(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = true),
+      StructField("checksum", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        decodeVideo(bytes) match {
+          case Some((_, _, frames)) =>
+            frames.iterator.zipWithIndex.map { case (img, f) =>
+              var s = 0L; var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { s += img.getRGB(x, y) & 0xFFFFFF; x += 1 }
+                y += 1
+              }
+              Row(r.getLong(idIdx), f.toLong, s)
+            }
+          case None => Iterator(Row(r.getLong(idIdx), null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Probe real video dimensions + frame count of demuxable payloads
+    * into `meta` (from the actual container, not declared values;
+    * non-video and non-demuxable rows untouched).
+    */
+  def probeVideoMeta(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val binIdx = df.schema.fieldIndex("content")
+    val modIdx = df.schema.fieldIndex("modality")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(modIdx) != "video" || r.isNullAt(binIdx)) r
+        else decodeVideo(r.getAs[Array[Byte]](binIdx)) match {
+          case Some((w, h, frames)) =>
+            val old = r.getStruct(metaIdx)
+            val meta = Row(w, h,
+              if (old != null) old.get(2) else null,
+              frames.length, "avi-decodable")
+            Row.fromSeq(r.toSeq.updated(metaIdx, meta))
+          case None => r
+        }
+      }
+    }(enc)
+  }
+
   /** Byte-level fallback features for payloads with no JVM codec
-    * (video; non-decodable payloads) — deterministic in the bytes so
-    * tests are stable.
+    * (unknown containers; non-decodable payloads) — deterministic in
+    * the bytes so tests are stable.
     */
   private def byteFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -184,9 +423,11 @@ object Multimodal {
   /** Feature extraction: binary -> fixed-dim float vector, executed
     * per-partition (distributed; no driver collect). Images decode for
     * real (ImageIO), audio decodes for real (javax.sound PCM ->
-    * amplitude-envelope bins); video and non-decodable payloads use
-    * the byte-level fallback. Output keeps the input's partitioning,
-    * so a downstream ANN/dedup join needs no extra shuffle.
+    * amplitude-envelope bins), video demuxes for real (AVI DIB/MJPEG
+    * -> temporal mean of per-frame thumbnail features); non-decodable
+    * payloads use the byte-level fallback. Output keeps the input's
+    * partitioning, so a downstream ANN/dedup join needs no extra
+    * shuffle.
     */
   def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -202,6 +443,18 @@ object Multimodal {
             decodeImage(bytes).map(imageFeatures(_, dim)).getOrElse(byteFeatures(bytes, dim))
           case "audio" =>
             decodeAudio(bytes).map(a => audioFeatures(a._3, dim)).getOrElse(byteFeatures(bytes, dim))
+          case "video" =>
+            decodeVideo(bytes).map { case (_, _, frames) =>
+              val acc = new Array[Float](dim)
+              frames.foreach { f =>
+                val ff = imageFeatures(f, dim)
+                var i = 0
+                while (i < dim) { acc(i) += ff(i); i += 1 }
+              }
+              var i = 0
+              while (i < dim) { acc(i) /= frames.length; i += 1 }
+              acc
+            }.getOrElse(byteFeatures(bytes, dim))
           case _ => byteFeatures(bytes, dim)
         }
         Row.fromSeq(r.toSeq :+ feats.toSeq)
@@ -318,8 +571,12 @@ object Multimodal {
     * ((id*37+x*5+y*11)%255, (id*13+x)%255, (id*7+y)%255); audio rows
     * (id%3==1) carry true 16 kHz mono WAVs of (id%50+10) samples with
     * sample k = (id*31 + k*7) % 65536 - 32768; video rows (id%3==2)
-    * carry md5 pseudo-bytes with id-derived n_frames. PNG/WAV
-    * synthesis runs per-partition (distributed, no driver loop).
+    * carry true uncompressed-DIB AVI containers of (id%5+2) frames of
+    * (id%13+1) x (id%7+1) pixels with frame-f RGB(x, y) =
+    * ((id*37+x*5+y*11+f*3)%255, (id*13+x+f)%255, (id*7+y+2*f)%255);
+    * the declared meta.n_frames stays the raw id%100+1 so the probe
+    * path demonstrably corrects it from the real container. PNG/WAV/
+    * AVI synthesis runs per-partition (distributed, no driver loop).
     */
   def mediaFromIds(ids: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -357,7 +614,26 @@ object Multimodal {
             val samples = Array.tabulate(n)(k =>
               ((id * 31 + k * 7) % 65536 - 32768).toShort)
             Row.fromSeq(r.toSeq.updated(2, encodeWav(samples, 16000)))
-          case _ => r
+          case _ =>
+            val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+            val nf = (id % 5 + 2).toInt
+            val frames = (0 until nf).map { f =>
+              val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  img.setRGB(x, y,
+                    (((id * 37 + x * 5 + y * 11 + f * 3) % 255).toInt << 16) |
+                      (((id * 13 + x + f) % 255).toInt << 8) |
+                      ((id * 7 + y + 2 * f) % 255).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              img
+            }
+            Row.fromSeq(r.toSeq.updated(2, encodeAvi(frames, fps = 10)))
         }
       }
     }(enc)

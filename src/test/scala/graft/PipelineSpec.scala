@@ -749,6 +749,64 @@ class PipelineSpec extends GraftSuite {
     assert(feats.length == 8 && feats.exists(_ > 0.0f))
   }
 
+  test("multimodal: AVI DIB mux -> demux roundtrip is pixel-exact; MJPEG decodes") {
+    def frame(seed: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((seed * 31 + x * 7 + y * 3) % 0xFFFFFF))
+      img
+    }
+    val frames = (0 until 4).map(f => frame(f + 1, 11, 5)) // odd width: stride padding
+    val avi = Multimodal.encodeAvi(frames, fps = 10)
+    val Some((w, h, got)) = Multimodal.decodeVideo(avi)
+    assert((w, h, got.length) == (11, 5, 4))
+    for (f <- 0 until 4; y <- 0 until 5; x <- 0 until 11)
+      assert((got(f).getRGB(x, y) & 0xFFFFFF) == (frames(f).getRGB(x, y) & 0xFFFFFF),
+        s"frame $f pixel ($x,$y)")
+    // MJPEG: lossy, so assert container geometry + decodability, not pixels
+    val mjpeg = Multimodal.encodeAvi(frames, fps = 10, mjpeg = true)
+    val Some((mw, mh, mgot)) = Multimodal.decodeVideo(mjpeg)
+    assert((mw, mh, mgot.length) == (11, 5, 4))
+    assert(mgot.forall(f => f.getWidth == 11 && f.getHeight == 5))
+    // unknown containers refuse to demux (byte fallback stays in charge)
+    assert(Multimodal.decodeVideo(Array.fill[Byte](64)(7)).isEmpty)
+    assert(Multimodal.decodeVideo("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(null).isEmpty)
+  }
+
+  test("multimodal: video checksum + probe follow the real demuxed container") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L to 30L).toDF("doc_id")
+    val vids = Multimodal.mediaFromIds(ids, "doc_id")
+      .where(col("modality") === "video")
+    val got = Multimodal.videoChecksum(vids).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def expect(id: Long, f: Long): Long = {
+      val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+      (for (y <- 0 until h; x <- 0 until w) yield
+        ((id * 37 + x * 5 + y * 11 + f * 3) % 255) * 65536L +
+          ((id * 13 + x + f) % 255) * 256L + ((id * 7 + y + 2 * f) % 255)).sum
+    }
+    val videoIds = (0L to 30L).filter(_ % 3 == 2)
+    assert(got.keySet == videoIds.flatMap(id =>
+      (0L until (id % 5 + 2)).map(id -> _)).toSet)
+    got.foreach { case ((id, f), cs) =>
+      assert(cs == expect(id, f), s"media_id $id frame $f") }
+    // probe corrects the declared n_frames from the real container
+    val probed = Multimodal.probeVideoMeta(vids)
+      .select("media_id", "meta.n_frames", "meta.format").collect()
+    probed.foreach { r =>
+      assert(r.getInt(1) == (r.getLong(0) % 5 + 2).toInt)
+      assert(r.getString(2) == "avi-decodable")
+    }
+    // feature extraction runs the real decode path on video rows
+    val feats = Multimodal.extractFeatures(vids, dim = 12)
+      .select("features").collect()
+    assert(feats.forall(_.getSeq[Float](0).length == 12))
+  }
+
   test("dupSpans counts cross-doc duplicated positions, not distinct shingles") {
     val r = Dedup.dupSpans(docs(), "text", "doc_id", n = 3)
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
