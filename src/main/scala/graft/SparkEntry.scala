@@ -255,6 +255,18 @@ object SparkEntry {
       g().nWithLabelWhere("Order", eq_("o_orderstatus", "F"))
         .repeat(RepeatConfig(sub().out().t, times = Some(2),
           emit = EmitBehavior.All, emitPredicate = Some(eq_("$label", "Part")))).id())),
+    // emit Before: frontier at each iteration START (nations at depth
+    // 0, regions at depth 1); the post-loop frontier is not appended
+    "q_repeat_emit_before" -> ((s, d) => run(s, d,
+      g().nWithLabel("Nation")
+        .repeat(RepeatConfig(sub().out("IN_REGION").t, times = Some(2),
+          emit = EmitBehavior.Before)).id())),
+    // emit After: each post-hop frontier (regions, then the empty
+    // depth-2 frontier), final frontier included
+    "q_repeat_emit_after" -> ((s, d) => run(s, d,
+      g().nWithLabel("Nation")
+        .repeat(RepeatConfig(sub().out("IN_REGION").t, times = Some(2),
+          emit = EmitBehavior.After)).id())),
 
     // ---- more coverage: variables, bindings, params, json dot-paths
     "q_as_select" -> ((s, d) => run(s, d,
@@ -709,6 +721,9 @@ object SparkEntry {
       "UNION ALL SELECT CAST(4000000000 + l_suppkey AS BIGINT) AS id FROM lineitem " +
       "JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
     "q_repeat_until" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation"),
+    "q_repeat_emit_before" -> ("SELECT CAST(2000000000 + n_nationkey AS BIGINT) AS id FROM nation " +
+      "UNION ALL SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation"),
+    "q_repeat_emit_after" -> ("SELECT CAST(1000000000 + n_regionkey AS BIGINT) AS id FROM nation"),
     "q_repeat_emit_pred" -> ("SELECT CAST(5000000000 + l_partkey AS BIGINT) AS id " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'"),
 

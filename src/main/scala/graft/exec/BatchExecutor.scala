@@ -38,7 +38,11 @@ class BatchExecutor(initialStore: GraphStore,
     def cond(c: BatchCondition): Boolean = c match {
       case BatchCondition.VarNotEmpty(n) => vars.get(n).exists(!_.df.isEmpty)
       case BatchCondition.VarEmpty(n) => vars.get(n).forall(_.df.isEmpty)
-      case BatchCondition.VarMinSize(n, k) => vars.get(n).exists(_.df.count() >= k)
+      // limit(k) bounds the scan: "at least k rows" never needs the
+      // full count of a 100 TB variable
+      case BatchCondition.VarMinSize(n, k) =>
+        vars.get(n).exists(
+          _.df.limit(math.min(k, Int.MaxValue.toLong).toInt).count() >= k)
       case BatchCondition.PrevNotEmpty => prevNonEmpty
     }
 
@@ -101,7 +105,7 @@ class BatchExecutor(initialStore: GraphStore,
       body match {
         case Seq(BatchEntry.Query(q @ NamedQuery(_, t, None))) if items.nonEmpty =>
           val mutates = deepCollect(t) {
-            case s: Step if isMutation(s) => ()
+            case s: Step if !isReadOnlyStep(s) => ()
           }.nonEmpty
           val bound = (q.name.toSeq ++ deepCollect(t) {
             case Step.As(n) => n
@@ -194,13 +198,36 @@ class BatchExecutor(initialStore: GraphStore,
     self ++ kids.flatMap(deepCollect(_)(pf))
   }
 
-  private def isMutation(s: Step): Boolean = s match {
-    case _: Step.AddN | _: Step.AddE | _: Step.SetProperty
-       | _: Step.RemoveProperty | Step.Drop | _: Step.DropEdge
-       | _: Step.DropEdgeLabeled | _: Step.DropEdgeById
-       | _: Step.CreateIndex | _: Step.DropIndex
-       | _: Step.CreateVectorIndexNodes | _: Step.CreateVectorIndexEdges
-       | _: Step.CreateTextIndexNodes | _: Step.CreateTextIndexEdges => true
+  /** Fail-closed READ-ONLY whitelist: the ForEach read fast path must
+    * stay off for any step not provably read-only, so a future
+    * mutating Step variant that nobody adds here defaults to "mutates"
+    * (the loop runs every iteration) instead of silently skipping all
+    * but the last. Container steps (Union/Choose/Coalesce/Optional/
+    * Repeat) qualify because deepCollect descends into their
+    * sub-traversals and classifies the nested steps individually.
+    */
+  private def isReadOnlyStep(s: Step): Boolean = s match {
+    case _: Step.N | _: Step.NWhere | _: Step.E | _: Step.EWhere
+       | _: Step.VectorSearchNodes | _: Step.TextSearchNodes
+       | _: Step.VectorSearchEdges | _: Step.TextSearchEdges
+       | _: Step.Inject | _: Step.Out | _: Step.In | _: Step.Both
+       | _: Step.OutE | _: Step.InE | _: Step.BothE
+       | Step.OutN | Step.InN | Step.OtherN
+       | _: Step.Has | _: Step.HasLabel | _: Step.HasKey
+       | _: Step.Where | Step.Dedup | _: Step.Within | _: Step.Without
+       | _: Step.EdgeHas | _: Step.EdgeHasLabel
+       | _: Step.OrderBy | _: Step.OrderByMultiple
+       | _: Step.Limit | _: Step.Skip | _: Step.Range
+       | _: Step.LimitBy | _: Step.SkipBy | _: Step.RangeBy
+       | _: Step.Group | _: Step.GroupCount | _: Step.AggregateBy
+       | Step.Fold | Step.Unfold | Step.Count | Step.Exists
+       | Step.Id | Step.Label | _: Step.Values | _: Step.ValueMap
+       | _: Step.Project | _: Step.ProjectBindings | Step.EdgeProperties
+       | _: Step.As | _: Step.StoreVar | _: Step.SelectVar | _: Step.Bind
+       | _: Step.Union | _: Step.Choose | _: Step.Coalesce
+       | _: Step.Optional | _: Step.Repeat
+       | Step.Path | Step.SimplePath | _: Step.WithSack
+       | _: Step.SackSet | _: Step.SackAdd | Step.SackGet => true
     case _ => false
   }
 }

@@ -115,9 +115,15 @@ object Dedup {
     */
   private[graft] def planKey(df: DataFrame): String = {
     val canon = df.queryExecution.logical.canonicalized
+    // 128-bit MD5 over the rows' string forms plus the row count — a
+    // 32-bit Seq.hashCode would make two same-schema in-memory frames
+    // collide at birthday-bound odds and silently share an artifact
     val localData = canon.collect {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        lr.data.hashCode()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        lr.data.foreach(r => md.update(r.toString.getBytes("UTF-8")))
+        lr.data.length.toString + ":" +
+          md.digest().map("%02x".format(_)).mkString
     }
     if (localData.isEmpty) canon.toString
     else canon.toString + localData.mkString("|local:", ",", "")

@@ -55,13 +55,18 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       * (`Authorization: Bearer <key>`, sdks/rust/src/lib.rs:226-238;
       * the CLI reads HELIX_API_KEY, helix-cli/src/commands/query.rs:
       * 49-66). When set, the `/v1/...` endpoints and `/mcp` reject a
-      * missing or wrong bearer token with 401; `/metrics` stays open (local
-      * observability / health). Defaults to GRAFT_API_KEY from the
-      * environment (set-but-EMPTY is treated as unset — a lockout no
-      * token could ever satisfy); None (the local-container default)
-      * serves keyless.
+      * missing or wrong bearer token with 401; `/metrics` stays open
+      * by default (local observability / health) but is gated behind
+      * the same key when `protectMetrics` is set — non-local
+      * deployments that consider WAL position / route names sensitive
+      * opt in via GRAFT_PROTECT_METRICS=true. Defaults to
+      * GRAFT_API_KEY from the environment (set-but-EMPTY is treated
+      * as unset — a lockout no token could ever satisfy); None (the
+      * local-container default) serves keyless.
       */
-    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY").filter(_.nonEmpty)) {
+    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY").filter(_.nonEmpty),
+    protectMetrics: Boolean =
+      sys.env.get("GRAFT_PROTECT_METRICS").exists(_.toBoolean)) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -404,6 +409,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     })
     server.createContext("/metrics", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (protectMetrics && !requireAuth(ex)) return
         val bytes = metricsJson.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)

@@ -47,9 +47,13 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       * replicas are in-process, so the authenticated identity rides the
       * dispatch call itself (the in-process analogue of forwarding the
       * Authorization header). `/v1/cluster` and `/metrics` stay open
-      * (health/observability).
+      * by default (health/observability) and are gated behind the same
+      * key when `protectMetrics` is set (GRAFT_PROTECT_METRICS=true) —
+      * they expose WAL position, route names, and cluster topology.
       */
-    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY").filter(_.nonEmpty)) {
+    apiKey: Option[String] = sys.env.get("GRAFT_API_KEY").filter(_.nonEmpty),
+    protectMetrics: Boolean =
+      sys.env.get("GRAFT_PROTECT_METRICS").exists(_.toBoolean)) {
   require(numReaders >= 1, "a Router needs at least one read replica")
 
   val writer = new Gateway(GraphWal.recover(spark, walRoot),
@@ -171,10 +175,16 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       }
     })
     server.createContext("/v1/cluster", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = send(ex, status)
+      override def handle(ex: HttpExchange): Unit = {
+        if (protectMetrics && !requireAuth(ex)) return
+        send(ex, status)
+      }
     })
     server.createContext("/metrics", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = send(ex, metricsJson)
+      override def handle(ex: HttpExchange): Unit = {
+        if (protectMetrics && !requireAuth(ex)) return
+        send(ex, metricsJson)
+      }
     })
     // deploy reaches the writer AND every replica (Router.loadBundle);
     // sync reads the writer's authoritative set

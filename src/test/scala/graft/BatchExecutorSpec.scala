@@ -103,6 +103,21 @@ class BatchExecutorSpec extends GraftSuite {
     assert(r.getMessage.toLowerCase.contains("param"), r.getMessage)
   }
 
+  test("VarMinSize gates at exactly k without a full count") {
+    // 3 ParityUsers: k=3 passes, k=4 blocks — the limit(k)-bounded
+    // scan must preserve the >= k contract exactly at the threshold
+    def run(k: Long) = new BatchExecutor(TestBase.parityGraph(), Map.empty)
+      .execute(Batch(Seq(
+        BatchEntry.Query(NamedQuery(Some("users"),
+          g().nWithLabel("ParityUser").t)),
+        BatchEntry.Query(NamedQuery(Some("gated"),
+          Traversal(Vector(Step.Inject("users"), Step.Count)),
+          Some(BatchCondition.VarMinSize("users", k))))),
+        returns = Seq("gated")))
+    assert(run(3).results.contains("gated"))
+    assert(!run(4).results.contains("gated"))
+  }
+
   test("a mutating body never takes the read fast path") {
     // the arithmetic property makes it ineligible for bulk AddN too,
     // so this pins the general loop running every iteration

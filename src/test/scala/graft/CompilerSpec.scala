@@ -183,6 +183,52 @@ class CompilerSpec extends GraftSuite {
     assert(ids(r2) == Seq(3L))
   }
 
+  test("repeat: remaining RepeatConfig shapes — Before/After/emit_if/depth clamp") {
+    // Before (dsl.rs:2550-2554): the frontier is emitted at each
+    // iteration START, and the result is the emit stream — the
+    // post-loop frontier is not appended. (Unobservable in the public
+    // fixtures — 017 only exercises emit_all — so this pins OUR
+    // documented choice.) From 1: iter1 emits {1}, iter2 emits {2}.
+    val before = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(2), emit = EmitBehavior.Before)).id().t)
+    assert(ids(before) == Seq(1L, 2L))
+    // After (dsl.rs:2556-2560): each post-hop frontier, final included
+    val after = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(2), emit = EmitBehavior.After)).id().t)
+    assert(ids(after) == Seq(2L, 3L))
+    // emit_if = After + predicate (dsl.rs:2562-2570): Bob(27) filtered
+    val emitIf = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(2), emit = EmitBehavior.After,
+      emitPredicate = Some(gt("age", 30L)))).id().t)
+    assert(ids(emitIf) == Seq(3L))
+    // max_depth clamps times (dsl.rs:2572-2576; default 100)
+    val clamped = c.run(g().n(1L).repeat(RepeatConfig(sub().out("FOLLOWS").t,
+      times = Some(50), maxDepth = 1)).id().t)
+    assert(ids(clamped) == Seq(2L))
+  }
+
+  test("repeat: the full wire RepeatConfig decodes and executes") {
+    // every RepeatConfig field on the wire at once, in the reference's
+    // serde layout (RepeatConfig, dsl.rs:2499-2516), decoded by the
+    // JSON codec and run — times+until+emit+emit_predicate+max_depth
+    val json = """{"Repeat":{"traversal":{"steps":[{"Out":"FOLLOWS"}]},
+      "times":5,"until":{"Eq":["$id",{"I64":3}]},"emit":"All",
+      "emit_predicate":{"Gt":["age",{"I64":20}]},"max_depth":4}}"""
+    val step = graft.ast.Json.readStep(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+    val expected = Step.Repeat(RepeatConfig(
+      Traversal(Vector(Step.Out(Some("FOLLOWS")))),
+      times = Some(5), until = Some(Predicate.Eq("$id", VI64(3))),
+      emit = EmitBehavior.All,
+      emitPredicate = Some(Predicate.Gt("age", VI64(20))), maxDepth = 4))
+    assert(step == expected)
+    // run it: emit-All emits {1} at depth 0 and each hop frontier;
+    // until($id==3) exits Carol when reached; ids are the union
+    val r = c.run(Traversal(Vector(
+      Step.N(NodeRef.Ids(Seq(1L))), step, Step.Id)))
+    assert(ids(r).distinct == Seq(1L, 2L, 3L))
+  }
+
   // ---- bind / projectBindings
   test("bind captures row provenance through navigation") {
     val r = c.run(g().n(1L).bind("src").out("FOLLOWS").bind("dst")

@@ -238,6 +238,23 @@ class GatewaySpec extends GraftSuite {
     } finally gw.stop()
   }
 
+  test("protectMetrics gates /metrics behind the same bearer key") {
+    val gw = new Gateway(TestBase.parityGraph(), port = 16979,
+      apiKey = Some("k3y"), protectMetrics = true)
+    gw.start()
+    try {
+      def get(auth: Option[String]): Int = {
+        val conn = new java.net.URL("http://localhost:16979/metrics")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        auth.foreach(a => conn.setRequestProperty("Authorization", a))
+        conn.getResponseCode
+      }
+      assert(get(None) == 401)
+      assert(get(Some("Bearer nope")) == 401)
+      assert(get(Some("Bearer k3y")) == 200)
+    } finally gw.stop()
+  }
+
   test("metrics JSON stays parseable when a route name needs escaping") {
     import graft.ast._
     import graft.dsl.Dsl._
