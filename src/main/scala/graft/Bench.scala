@@ -126,6 +126,8 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
     graft.pipeline.Dedup.minhashSignatureCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6)
+    graft.pipeline.Dedup.shingleArrayCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
     graft.pipeline.TextAnalysis.termCountsCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text")
     graft.pipeline.Dedup.duplicatedPositionsCached(

@@ -206,6 +206,43 @@ object Dedup {
     sig
   }
 
+  private val arrCache =
+    new java.util.LinkedHashMap[(String, String, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), DataFrame]): Boolean = {
+        val evict = size() > ShingleCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  /** Per-doc shingle-hash ARRAY artifact (`_did`, `_sha`) — the same
+    * write-time material as [[shingleHashSetCached]] in the row shape
+    * candidate VERIFICATION wants: one codegen'd `array_intersect`
+    * per candidate pair replaces a per-shingle pair aggregation
+    * (grouped from the exploded set once, then cached; array length is
+    * doc-bounded like every shingle structure here).
+    */
+  def shingleArrayCached(df: DataFrame, textCol: String, idCol: String,
+      n: Int, eager: Boolean = true): DataFrame = {
+    val key = (planKey(df), s"$textCol|$idCol", n)
+    var built: DataFrame = null
+    val arr = arrCache.synchronized {
+      val hit = arrCache.get(key)
+      if (hit != null) hit
+      else {
+        val ss = shingleHashSetCached(df, textCol, idCol, n, eager = false)
+        built = ss.groupBy(col("_did"))
+          .agg(collect_list(col("_sh")).as("_sha"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        arrCache.put(key, built)
+        built
+      }
+    }
+    if (eager && (arr eq built)) arr.count()
+    arr
+  }
+
   /** Drop and unpersist every cached shingle set / signature artifact. */
   def clearShingleCache(): Unit = {
     shingleCache.synchronized {
@@ -433,50 +470,38 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
-    // the shingle set feeds the signature AND the verification; the
-    // signature (a write-time per-doc artifact at scale) comes from its
-    // own bounded cache. Lazy on a miss: candidate generation below
-    // reads sig exactly once (groupBy, not a self-join), filling the
-    // persist; the later `sizes` read hits the cached blocks.
-    val ss = shingleHashSetCached(df, textCol, idCol, n, eager = false)
+    // both artifacts are write-time per-doc material from their bounded
+    // caches. sig stays lazy (candidate generation below reads it
+    // exactly once, filling the persist); arr is EAGER because the
+    // verification plan reads it on BOTH join sides — two concurrent
+    // branches over an unfilled persist would each recompute the build.
     val sig = minhashSignatureCached(df, textCol, idCol, n, numHashes, eager = false)
-    // candidate pairs stay dedup-free here (saves a whole shuffle);
-    // a pair sharing k bands just carries k duplicates into the tiny
-    // verified set, deduped at the end
-    val cands = lshCandidates(sig, numHashes, bands, dedup = false)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one eager job materializes BOTH caches (sig is upstream of cands
-    // and read exactly once): without it the final join's two branches
-    // — candDocs→inter and the direct cands read — are submitted as
-    // concurrent stages that each recompute cands (and sig) before
-    // either fills the cache
-    cands.count()
-    // verify only docs that appear in some candidate pair — the
-    // expensive shared-shingle intersection runs on the candidate
-    // subset, not the whole corpus (the entire point of LSH at scale)
-    val candDocs = cands.select(col("id_a").as("_did"))
-      .union(cands.select(col("id_b").as("_did"))).distinct()
-    val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
-    val sizes = sig.select(col("_did"), col("_sz"))
-    // per-shingle doc groups -> bounded in-task ordered pairs
-    // (boundedKeyPairs doc); one count + one pair-aggregation replaces
-    // the two-legged _sh self-join, with no hot-shingle buffer
-    val inter = boundedKeyPairs(ssCand, Seq("_sh"), "_did")
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_inter"))
-    // materialize the (small) verified pair set, then release the
-    // persisted intermediates — otherwise every call leaks cached blocks
-    // for the session's lifetime
-    val out = cands.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("_inter"))
-      .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-      .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
-      .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
-      .select("id_a", "id_b").distinct()
-      .localCheckpoint(true)
-    // ss and sig stay persisted (their caches own the lifecycle)
-    cands.unpersist(false)
-    out
+    val arr = shingleArrayCached(df, textCol, idCol, n)
+    // candidate pairs: duplicates from multi-band collisions removed
+    // BEFORE the array join (one shuffle of the tiny pair set) so each
+    // pair ships its two shingle arrays exactly once
+    val cands = lshCandidates(sig, numHashes, bands, dedup = false).distinct()
+    verifyJaccard(cands, arr, num, den).localCheckpoint(true)
   }
+
+  /** Exact-Jaccard verification of candidate pairs against the per-doc
+    * shingle-array artifact: one codegen'd `array_intersect` per pair
+    * (doc-bounded arrays), not a per-shingle pair aggregation — at
+    * scale the artifact side shuffles by id once (or broadcasts when
+    * small), and no candidate-subset semi-join / groupBy stages are
+    * needed at all. Integer cross-multiply keeps the >= num/den check
+    * float-free (oracle-stable).
+    */
+  private def verifyJaccard(cands: DataFrame, arr: DataFrame,
+      num: Int, den: Int): DataFrame =
+    cands
+      .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
+      .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
+      .withColumn("_inter",
+        size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
+      .where(col("_inter") * den >=
+        (size(col("_seta")).cast("long") + size(col("_setb")) - col("_inter")) * num)
+      .select("id_a", "id_b")
 
   /** Span-level duplication report (the signal behind substring-level
     * dedup à la "Deduplicating Training Data Makes Language Models
@@ -719,38 +744,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSetCached(df, textCol, idCol, n)
-    val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
-    val pre = if (maxShingleDf == Int.MaxValue) {
-      // exact path: intersection counts fall out of the per-shingle
-      // pair stream (boundedKeyPairs emits each pair once per shared
-      // shingle, with no hot-shingle aggregation buffer)
-      boundedKeyPairs(ss, Seq("_sh"), "_did")
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("_inter"))
-    } else {
-      // capped path: candidates only from shingles with df <= cap
-      // (boundedKeyPairs' maxKeyDf drops hotter shingles before any
-      // aggregation), then verify against FULL shingle sets — but
-      // restrict the verify aggregation's INPUT to candidate docs first
-      // (minhashPairs' ssCand pattern), so the hot-shingle blow-up the
-      // cap exists to prevent never materializes
-      val cands = boundedKeyPairs(ss, Seq("_sh"), "_did", maxKeyDf = maxShingleDf)
-        .distinct()
-      val candDocs = cands.select(col("id_a").as("_did"))
-        .union(cands.select(col("id_b").as("_did"))).distinct()
-      val ssCand = ss.join(candDocs, Seq("_did"), "left_semi")
-      boundedKeyPairs(ssCand, Seq("_sh"), "_did")
-        .join(cands, Seq("id_a", "id_b"), "left_semi")
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_inter"))
-    }
-    val out = pre
-      .join(sizes.withColumnRenamed("_did", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-      .join(sizes.withColumnRenamed("_did", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
-      .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
-      .select("id_a", "id_b")
-      .localCheckpoint(true)
-    // ss stays persisted (the shingle cache owns its lifecycle)
-    out
+    val arr = shingleArrayCached(df, textCol, idCol, n)
+    // candidates = distinct pairs sharing >= 1 (df-capped) shingle —
+    // boundedKeyPairs' maxKeyDf drops hotter shingles before any
+    // aggregation, so the hot-shingle blow-up never materializes;
+    // verification is then exact against FULL shingle arrays either way
+    val cands = boundedKeyPairs(ss, Seq("_sh"), "_did",
+      maxKeyDf = maxShingleDf).distinct()
+    verifyJaccard(cands, arr, num, den).localCheckpoint(true)
   }
 
   /** Connected components over an undirected near-dup pair set:
