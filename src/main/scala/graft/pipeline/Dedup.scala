@@ -761,9 +761,9 @@ object Dedup {
     * cluster, drop the rest).
     *
     * Min-label propagation: per round, one equi-join (edges ⋈ labels)
-    * + one min-aggregation, with `localCheckpoint` truncating lineage
-    * so round N's plan doesn't re-derive rounds 1..N-1 (the same
-    * driver-side sequencing discipline as the Repeat BFS). Rounds =
+    * + one min-aggregation, each round's frame kept through the shared
+    * iterative-pass store (lineage truncated; reliable scratch parquet
+    * under `graft.scratch.dir` on a cluster — [[Scratch.FrameStore]]). Rounds =
     * component diameter; near-dup components are band/shingle-overlap
     * near-cliques, so this converges in 1-3 rounds in practice.
     * `maxIter` bounds pathological chains — when the bound is hit
@@ -775,22 +775,24 @@ object Dedup {
     * checkpoint, so it costs no recompute.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // per-round frames go through the shared iterative-pass store:
+    // localCheckpoint locally, reliable scratch parquet on a cluster
+    // (graft.scratch.dir) — see Scratch.FrameStore
+    val store = new Scratch.FrameStore(pairs.sparkSession)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    var labels = store.keep(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("_nmin"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val next = store.keep(labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"),
-          (coalesce(col("_nmin"), col("lbl")) < col("lbl")).as("_chg"))
-        .localCheckpoint(true)
+          (coalesce(col("_nmin"), col("lbl")) < col("lbl")).as("_chg")))
       converged = next.where(col("_chg")).isEmpty
       labels = next.drop("_chg")
       round += 1
@@ -800,9 +802,13 @@ object Dedup {
       // partial merge would diverge from the transitive-closure oracle —
       // never return it; the star variant converges on any topology
       logNonConvergence(round)
+      store.release()
       return dupClustersStar(pairs)
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    store.release()
+    out
   }
 
   /** Visible seam for the maxIter escalation (tests count invocations):
@@ -837,23 +843,23 @@ object Dedup {
     * long chains (evolving templates, quoted-reply email threads)
     * still converges in a handful of shuffles.
     *
-    * Each round is two groupBy-min aggregations + equi-joins; lineage
-    * truncates per round (localCheckpoint) exactly like dupClusters.
+    * Each round is two groupBy-min aggregations + equi-joins; each
+    * round's frame is kept through the shared iterative-pass store
+    * exactly like dupClusters.
     * Convergence = canonical edge set stable (count + 64-bit hash sum —
     * both read off the just-materialized checkpoint, no recompute).
     * Output schema matches dupClusters: (doc_id, cluster_id) with
     * cluster_id = component minimum.
     */
   def dupClustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-      .localCheckpoint(true)
+    val store = new Scratch.FrameStore(pairs.sparkSession)
+    val nodes = store.keep(pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct())
     // canonical orientation: u = larger endpoint, v = smaller
-    var edges = pairs
+    var edges = store.keep(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .where(col("u") =!= col("v")).distinct())
     // set fingerprint: count + xor of row hashes (xor is duplicate-
     // sensitive only in pairs, and the edge set is distinct; sum would
     // overflow under ANSI arithmetic)
@@ -877,22 +883,24 @@ object Dedup {
       // small-star on (u > v) orientation: u and all its smaller
       // neighbors link to the minimum of that closed neighborhood
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
+      val ss = store.keep(ls.join(ssMin, "u")
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
           struct(col("u").as("a"), col("m").as("b")))).as("e"))
         .select(greatest(col("e.a"), col("e.b")).as("u"),
           least(col("e.a"), col("e.b")).as("v"))
-        .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .where(col("u") =!= col("v")).distinct())
       val cur = sig(ss)
       converged = cur == prev
       prev = cur
       edges = ss
       round += 1
     }
-    nodes.join(edges, nodes("id") === edges("u"), "left")
+    val out = nodes.join(edges, nodes("id") === edges("u"), "left")
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
+    store.release()
+    out
   }
 
   /** SimHash geometry shared with the DuckDB oracle: 60 bits (md5-hex

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reliable persistence for the per-round frames of ITERATIVE passes
+  * (label propagation, star contraction, suffix refinement).
+  *
+  * Every such loop must truncate lineage each round — an untrimmed
+  * plan doubles per round and the analysis cost alone becomes the
+  * bottleneck (measured 60 s + driver OOM on the suffix pass at
+  * sf0.1). The local default is eager `localCheckpoint`: fast, but
+  * the blocks live on executors with lineage TRUNCATED, so losing one
+  * executor mid-pass leaves every later round unrecoverable — no
+  * lineage to recompute, no replica. On a real cluster set
+  * `graft.scratch.dir`: frames of passes whose size estimate is at
+  * least `graft.scratch.spillRowThreshold` rows (or whose caller
+  * always spills) write to per-run parquet under that directory —
+  * reliable storage that survives executor loss. Run directories are
+  * deleted on `release()` unless `graft.scratch.keep=true`.
+  */
+private[graft] object Scratch {
+
+  final class FrameStore(spark: SparkSession,
+      dirKeys: Seq[String] = Seq("graft.scratch.dir"),
+      thresholdKeys: Seq[String] = Seq("graft.scratch.spillRowThreshold"),
+      keepKeys: Seq[String] = Seq("graft.scratch.keep")) {
+    private def confOpt(keys: Seq[String]): Option[String] =
+      keys.iterator.map(spark.conf.getOption)
+        .collectFirst { case Some(v) if v.nonEmpty => v }
+    private val scratch = confOpt(dirKeys)
+    private val keepScratch = confOpt(keepKeys).exists(_.toBoolean)
+    val spillRowThreshold: Long =
+      confOpt(thresholdKeys).map(_.toLong).getOrElse(10000000L)
+    private val runDir = scratch.map(d =>
+      s"${d.stripSuffix("/")}/run-${java.util.UUID.randomUUID()}")
+    private val persisted = ArrayBuffer.empty[DataFrame]
+    private var seq = 0
+
+    /** Materialize `frame` with truncated lineage: scratch parquet
+      * when a dir is configured and the caller marked it `spill`,
+      * eager localCheckpoint otherwise. CONTRACT: the returned frame
+      * is only valid until `release()` — derive and materialize the
+      * pass's final result (e.g. a terminal localCheckpoint) first.
+      */
+    def keep(frame: DataFrame, spill: Boolean = true): DataFrame =
+      runDir.filter(_ => spill) match {
+        case Some(dir) =>
+          seq += 1
+          val path = s"$dir/frame_$seq"
+          frame.write.mode("error").parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          val p = frame.localCheckpoint(true)
+          persisted += p
+          p
+      }
+
+    def release(): Unit = {
+      persisted.foreach(_.unpersist(false))
+      if (!keepScratch) runDir.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
+  }
+}

@@ -62,7 +62,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Scale posture: one aggregation + one global sort of the retained
   * minority (primary path). Level frames persist through
-  * `FrameStore`: `localCheckpoint` locally (fast, executor-resident),
+  * `Scratch.FrameStore`: `localCheckpoint` locally (executor-resident),
   * or RELIABLE scratch parquet on a real cluster
   * (`graft.suffix.scratchDir`, spilling when the corpus exceeds
   * `graft.suffix.spillRowThreshold` positions) so losing an executor
@@ -72,52 +72,15 @@ object SuffixDedup {
 
   private val Fan = 4
 
-  /** Persistence for the intermediate frames of one dedup pass.
-    * Local default: eager `localCheckpoint` (lineage truncated —
-    * required: refinement references the prior level twice, so an
-    * untrimmed plan doubles per round; measured 60 s of analysis +
-    * driver OOM at sf0.1 without it). Cluster mode: when
-    * `graft.suffix.scratchDir` is set, frames marked `spill` write to
-    * a per-run subdirectory as parquet — reliable storage that
-    * survives executor loss, unlike localCheckpoint blocks. The run
-    * directory is removed on `release()` unless
-    * `graft.suffix.keepScratch=true`.
+  /** The shared iterative-pass store ([[Scratch.FrameStore]]), with
+    * this pass's original `graft.suffix.*` keys honored ahead of the
+    * generic `graft.scratch.*` ones.
     */
-  private final class FrameStore(spark: SparkSession) {
-    private val scratch =
-      spark.conf.getOption("graft.suffix.scratchDir").filter(_.nonEmpty)
-    private val keepScratch =
-      spark.conf.getOption("graft.suffix.keepScratch").exists(_.toBoolean)
-    val spillRowThreshold: Long =
-      spark.conf.getOption("graft.suffix.spillRowThreshold")
-        .map(_.toLong).getOrElse(10000000L)
-    private val runDir = scratch.map(d =>
-      s"${d.stripSuffix("/")}/suffix-run-${java.util.UUID.randomUUID()}")
-    private val persisted = ArrayBuffer.empty[DataFrame]
-    private var seq = 0
-
-    def keep(frame: DataFrame, spill: Boolean): DataFrame =
-      runDir.filter(_ => spill) match {
-        case Some(dir) =>
-          seq += 1
-          val path = s"$dir/frame_$seq"
-          frame.write.mode("error").parquet(path)
-          spark.read.parquet(path)
-        case None =>
-          val p = frame.localCheckpoint(true)
-          persisted += p
-          p
-      }
-
-    def release(): Unit = {
-      persisted.foreach(_.unpersist(false))
-      if (!keepScratch) runDir.foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
-    }
-  }
+  private def frameStore(spark: SparkSession) = new Scratch.FrameStore(spark,
+    dirKeys = Seq("graft.suffix.scratchDir", "graft.scratch.dir"),
+    thresholdKeys =
+      Seq("graft.suffix.spillRowThreshold", "graft.scratch.spillRowThreshold"),
+    keepKeys = Seq("graft.suffix.keepScratch", "graft.scratch.keep"))
 
   /** Positions that can participate in a >= `n`-token repeat, with
     * their maximal duplicated-substring length: `(_did, _len, _p,
@@ -129,7 +92,7 @@ object SuffixDedup {
   private def dupLengths(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val spark = df.sparkSession
-    val store = new FrameStore(spark)
+    val store = frameStore(spark)
     val debug = spark.conf.getOption("graft.suffix.debugTiming").exists(_.toBoolean)
     var tMark = System.nanoTime()
     def mark(label: String): Unit = if (debug) {
@@ -168,7 +131,7 @@ object SuffixDedup {
     * retained suffix slices, partition-local adjacent-LCP scan with
     * broadcast partition-boundary rows.
     */
-  private def sliceSortPath(spark: SparkSession, store: FrameStore,
+  private def sliceSortPath(spark: SparkSession, store: Scratch.FrameStore,
       toksH: DataFrame, n: Int, spill: Boolean,
       mark: String => Unit): DataFrame = {
     // n-token window hash per position; a 64-bit collision can only
@@ -259,7 +222,7 @@ object SuffixDedup {
     * prefix-refinement (see the class doc), rounds over the shrinking
     * tied set only, no global sort in any round.
     */
-  private def rankRefinePath(spark: SparkSession, store: FrameStore,
+  private def rankRefinePath(spark: SparkSession, store: Scratch.FrameStore,
       toksH: DataFrame, n: Int, spill: Boolean,
       mark: String => Unit): DataFrame = {
     val pos = toksH

@@ -125,14 +125,28 @@ object IndexCache {
     * assignment, periodic retrain). Recall degrades gracefully with
     * drift; the next full rebuild re-trains and re-calibrates. The row
     * count is deliberately NOT carried (it re-counts on demand, keeping
-    * the brute-vs-IVF threshold decision fresh).
+    * the brute-vs-IVF threshold decision fresh). Tenant-partitioned
+    * artifacts live under `tenantKey(prop, tenant)` composites — they
+    * migrate too (each tenant's appended vectors assign to that
+    * tenant's existing centroids).
     */
   def migrateIvfAppend(from: String, to: String, label: String,
       prop: String): Unit = {
-    val m = ivf.get((from, label, prop))
-    if (m != null) ivf.putIfAbsent((to, label, prop), m)
-    val np = probes.get((from, label, prop))
-    if (np != null) probes.putIfAbsent((to, label, prop), np)
+    val tenantPfx = s"$prop#tenant="
+    def matches(k: Key): Boolean = k._1 == from && k._2 == label &&
+      (k._3 == prop || k._3.startsWith(tenantPfx))
+    ivf.keySet.forEach { k =>
+      if (matches(k)) {
+        val m = ivf.get(k)
+        if (m != null) ivf.putIfAbsent((to, k._2, k._3), m)
+      }
+    }
+    probes.keySet.forEach { k =>
+      if (matches(k)) {
+        val np = probes.get(k)
+        if (np != null) probes.putIfAbsent((to, k._2, k._3), np)
+      }
+    }
   }
 
   /** IVF centroids for a declared vector index. `prop` is the CACHE key

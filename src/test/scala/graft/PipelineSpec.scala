@@ -113,6 +113,30 @@ class PipelineSpec extends GraftSuite {
     assert(gotChain == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("dupClusters rounds spill to graft.scratch.dir; results unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    s.conf.set("graft.scratch.dir", dir)
+    s.conf.set("graft.scratch.keep", "true")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+      val got = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L))
+      val frames = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator()
+      var sawFrame = false
+      while (frames.hasNext) {
+        if (frames.next().toString.contains("/frame_")) sawFrame = true
+      }
+      assert(sawFrame, s"expected round frames under $dir")
+    } finally {
+      s.conf.unset("graft.scratch.dir")
+      s.conf.unset("graft.scratch.keep")
+    }
+  }
+
   test("dupClusters escalates to the star variant instead of returning a partial merge") {
     val s = spark
     import s.implicits._

@@ -358,6 +358,22 @@ class SearchSpec extends GraftSuite {
     graft.search.IndexCache.evictOthers("none")
   }
 
+  test("migrateIvfAppend carries tenant-partitioned models and probes forward") {
+    import graft.search.{IndexCache, VectorOps}
+    val model = VectorOps.IvfModel(Array(Array(1.0, 0.0)))
+    IndexCache.putIvf("v-mig-a", "L", "emb", model)
+    IndexCache.putIvf("v-mig-a", "L", IndexCache.tenantKey("emb", "t1"), model)
+    IndexCache.putIvf("v-mig-a", "L", "other", model) // different prop: stays
+    IndexCache.migrateIvfAppend("v-mig-a", "v-mig-b", "L", "emb")
+    // bare + tenant-composite keys both present under the new version
+    assert(IndexCache.ivfModel("v-mig-b", "L", "emb", 1,
+      sys.error("must be cached"): org.apache.spark.sql.DataFrame) eq model)
+    assert(IndexCache.ivfModel("v-mig-b", "L", IndexCache.tenantKey("emb", "t1"), 1,
+      sys.error("must be cached"): org.apache.spark.sql.DataFrame) eq model)
+    IndexCache.evictVersion("v-mig-a")
+    IndexCache.evictVersion("v-mig-b")
+  }
+
   test("tenant-partitioned text index serves tenant queries exactly") {
     import graft.ast._
     import graft.dsl.Dsl._
