@@ -75,7 +75,7 @@ object SparkEntry {
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
-    "q_media_audio", "q_media_video")
+    "q_media_audio", "q_media_video", "q_vector_pq_recall")
 
   import SortOrder.{Asc, Desc}
 
@@ -344,6 +344,37 @@ object SparkEntry {
           count(lit(1)).as("_total"))
         .crossJoin(matched.agg(count(lit(1)).as("_hits")))
         .select(col("n_queries"),
+          (col("_hits").cast("double") / col("_total") >= 0.9)
+            .cast("double").as("recall_gate"))
+    }),
+    // PQ serving quality AT BATCH SCALE: product-quantized codes (m=8
+    // byte codes per 64-dim float vector — a 32× shrink of what the
+    // ANN scan reads) + ADC lookup scan + exact re-rank must recall
+    // >= 0.9 of the exact top-10 over 100 query vectors. The candidate
+    // depth (refine) is recall-CALIBRATED at 0.95 on a DISJOINT
+    // hash-sampled batch — the calibrateNprobe discipline, so the gate
+    // also measures calibration generalization. Complements
+    // q_vector_recall_batch: IVF prunes WHICH vectors are read, PQ
+    // shrinks what a read COSTS — at 100 TB the two compose (IVF-PQ).
+    "q_vector_pq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = VectorOps.trainPq(e, "embedding", m = 8, ks = 256)
+      val enc = VectorOps.encodePq(e, "embedding", model)
+      val calib = e.where(col("vec_id") >= 100)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      val refine = VectorOps.calibrateRefine(e, enc, "embedding", "vec_id",
+        model, k = 10, targetRecall = 0.95, calibQueries = calib)
+      val queries = e.where(col("vec_id") < 100)
+      val exact = VectorOps.knnJoin(e, queries, "embedding", "vec_id",
+        k = 10, excludeSelf = false)
+      val approx = VectorOps.pqKnnJoin(enc, queries, "embedding", "vec_id",
+        k = 10, model, refine = refine, excludeSelf = false)
+      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("_total"))
+        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+        .select(col("n_queries"),
+          lit(model.compressionX).as("compression_x"),
           (col("_hits").cast("double") / col("_total") >= 0.9)
             .cast("double").as("recall_gate"))
     }),
@@ -670,6 +701,12 @@ object SparkEntry {
     // its own exact brute force; the oracle pins the required outcome)
     "q_vector_recall_batch" ->
       "SELECT CAST(100 AS BIGINT) AS n_queries, CAST(1.0 AS DOUBLE) AS recall_gate",
+    // gate asserts: 100 queries, 32x code compression (64 dims x 4B ->
+    // 8 x 1B codes), mean recall@10 >= 0.9 through the ADC + re-rank
+    // serving path (the engine computes recall against its own exact
+    // brute force; the oracle pins the required outcome)
+    "q_vector_pq_recall" -> ("SELECT CAST(100 AS BIGINT) AS n_queries, " +
+      "CAST(32.0 AS DOUBLE) AS compression_x, CAST(1.0 AS DOUBLE) AS recall_gate"),
     "q_agg_sum" -> "SELECT sum(l_quantity) AS \"sum\" FROM lineitem",
     "q_agg_min" -> "SELECT min(l_extendedprice) AS \"min\" FROM lineitem",
     "q_agg_max" -> "SELECT max(l_extendedprice) AS \"max\" FROM lineitem",

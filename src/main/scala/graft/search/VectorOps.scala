@@ -358,4 +358,346 @@ object VectorOps {
     bruteForceTopK(assigned.where(col("_cluster").isin(ranked.map(Integer.valueOf): _*))
       .drop("_cluster"), vecCol, query, k, idCol)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the MEMORY/IO side of the 100 TB ANN
+  // story. IVF prunes which vectors are read; PQ shrinks what a read
+  // costs: each vector stores as m byte codes (dim·4 bytes → m bytes,
+  // 32× at dim=64/m=8), and a query scores a code with m table lookups
+  // instead of a dim-length dot product. Serving is the standard
+  // two-stage plan: ADC scan over codes → top (k·refine) candidates →
+  // exact cosine re-rank of that bounded set on the raw vectors.
+  // Geometry is cosine via normalize-then-inner-product: codebooks
+  // train on L2-normalized vectors, the ADC table holds
+  // dot(query_sub, centroid), so the lookup sum approximates cosine
+  // directly.
+  // -------------------------------------------------------------------
+
+  /** `codebooks(s)(c)` = centroid `c` of subspace `s` (length `subDim`).
+    * All codebooks are padded to a uniform ks (see [[trainPq]]).
+    */
+  final case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ks: Int = codebooks(0).length
+    /** float32 bytes per vector / code bytes per vector. */
+    def compressionX: Double = (m * subDim * 4.0) / m
+  }
+
+  /** L2-normalized copy of an array column (zero vectors stay zero) —
+    * pure codegen'd HOFs, no UDF.
+    */
+  private def normalizedCol(c: Column): Column = {
+    val nrm = norm(c)
+    when(nrm === 0.0, transform(c, _ => lit(0.0)))
+      .otherwise(transform(c, x => x.cast("double") / nrm))
+  }
+
+  /** Train PQ codebooks: per-subspace Lloyd k-means over a bounded
+    * DETERMINISTIC sample (hash-ordered distinct, the [[trainIvf]]
+    * discipline — codebook quality needs a representative sample, not
+    * the full corpus, so this is the standard bounded-driver step even
+    * at 100 TB). Init per subspace = first `ks` distinct subvectors in
+    * hash-shuffled order; empty clusters keep their previous centroid;
+    * first-min tie-breaks throughout, so training is bit-reproducible.
+    * Codebooks with fewer than `ks` distinct subvectors pad with copies
+    * of centroid 0 — padding never wins an assignment (first-min
+    * resolves to the lower index), it only keeps the ADC table layout
+    * uniform.
+    */
+  def trainPq(df: DataFrame, vecCol: String, m: Int, ks: Int = 256,
+      iters: Int = 10, maxTrainRows: Int = 16384): PqModel = {
+    val sample = df.select(col(vecCol)).distinct()
+      .orderBy(xxhash64(col(vecCol)), col(vecCol))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+    require(sample.nonEmpty, "trainPq: empty corpus")
+    val dim = sample(0).length
+    require(m > 0 && dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val normed = sample.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val s = math.sqrt(n)
+      if (s == 0.0) v else v.map(_ / s)
+    }
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = normed.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      var si = 0
+      while (si < subs.length && seen.size < ks) { seen += subs(si).toSeq; si += 1 }
+      var cents = seen.iterator.map(_.toArray).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < subDim) { val x = v(j) - cents(c)(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      if (cents.length < ks)
+        cents ++ Array.fill(ks - cents.length)(cents(0).clone())
+      else cents
+    }
+    PqModel(subDim, codebooks)
+  }
+
+  /** Add the `codeCol` (array<tinyint>, length m) PQ encoding of
+    * `vecCol` — the write-time artifact. Per subspace, one codegen'd
+    * [[graft.functions.NearestCentroid]] over the normalized slice;
+    * codes store offset by -128 so 0..255 fits a signed byte under
+    * ANSI casts. A pure column plan: codegen'd scan, no shuffle.
+    */
+  def encodePq(df: DataFrame, vecCol: String, model: PqModel,
+      codeCol: String = "pq_code"): DataFrame = {
+    val nv = normalizedCol(col(vecCol))
+    val codes = (0 until model.m).map { s =>
+      (graft.functions.NearestCentroid(
+        slice(nv, s * model.subDim + 1, model.subDim), model.codebooks(s))
+        - 128).cast("byte")
+    }
+    df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Per-query ADC lookup table, flat `m·ks` row-major:
+    * `t(s·ks + c) = dot(normalized(query)_sub_s, codebook_s(c))`.
+    */
+  def adcTable(query: Seq[Double], model: PqModel): Array[Double] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val q = if (qn == 0.0) query.toArray else query.map(_ / qn).toArray
+    val t = new Array[Double](model.m * model.ks)
+    var s = 0
+    while (s < model.m) {
+      var c = 0
+      while (c < model.ks) {
+        var d = 0.0; var j = 0
+        while (j < model.subDim) {
+          d += q(s * model.subDim + j) * model.codebooks(s)(c)(j); j += 1
+        }
+        t(s * model.ks + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  /** Single-query PQ top-k: ADC scan over codes (codegen'd
+    * [[graft.functions.PqAdcScore]], TakeOrdered — no shuffle) keeps
+    * `k·refine` candidates, exact cosine re-ranks that bounded set.
+    * `encoded` must carry both `vecCol` and `codeCol` (encodePq output).
+    */
+  def pqTopK(encoded: DataFrame, vecCol: String, model: PqModel,
+      query: Seq[Double], k: Int, refine: Int = 4, idCol: String = "_id",
+      codeCol: String = "pq_code"): DataFrame = {
+    val t = adcTable(query, model)
+    val cand = encoded
+      .withColumn("_adc", graft.functions.PqAdcScore(col(codeCol), t, model.ks))
+      .orderBy(col("_adc").desc, col(idCol).asc)
+      .limit(math.max(k * refine, k))
+    bruteForceTopK(cand.drop("_adc"), vecCol, query, k, idCol)
+  }
+
+  /** Smallest `refine` (candidate multiplier) whose mean recall@k over
+    * a calibration query batch meets `targetRecall` — the PQ analogue
+    * of [[calibrateNprobe]], turning the ADC stage's candidate depth
+    * into a measured quality guarantee instead of a guessed constant.
+    *
+    * One-scan method, same discipline as the IVF calibration: an exact
+    * neighbor survives the ADC cut iff its rank in the query's
+    * `(adc desc, id asc)` order is <= k·refine, so its rank = 1 + the
+    * number of corpus codes strictly ahead of it. One pass over the
+    * code column counts that per (query, neighbor) — per-partition
+    * counter arrays of |calib|·k longs, merged on the driver — and a
+    * rank histogram then yields every candidate refine's recall at
+    * once. Returns at most `maxRefine` (the honest ceiling: a corpus
+    * whose geometry PQ can't rank within `maxRefine·k` candidates
+    * pays a deeper re-rank, it doesn't get a silent quality cut).
+    */
+  def calibrateRefine(corpus: DataFrame, encoded: DataFrame, vecCol: String,
+      idCol: String, model: PqModel, k: Int, targetRecall: Double,
+      calibQueries: DataFrame, maxRefine: Int = 64,
+      codeCol: String = "pq_code"): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = calibQueries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (qs.isEmpty) return 1
+    val tables = qs.map { case (_, v) => adcTable(v.map(_.toDouble).toSeq, model) }
+    val qIndex = qs.map(_._1).zipWithIndex.toMap
+    val ks = model.ks
+    def adcOf(qi: Int, code: Seq[Byte]): Double = {
+      val t = tables(qi); var s = 0.0; var i = 0
+      while (i < code.length) { s += t(i * ks + (code(i) + 128)); i += 1 }
+      s
+    }
+    // exact top-k neighbors with their codes -> per-query ADC thresholds
+    val exact = knnJoin(corpus, calibQueries, vecCol, idCol, k,
+      excludeSelf = false)
+    val nbrs = exact.join(
+        encoded.select(col(idCol).cast("long").as("neighbor_id"), col(codeCol)),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col(codeCol))
+      .as[(Long, Long, Seq[Byte])].collect()
+    if (nbrs.isEmpty) return 1
+    // thr(qi) = this query's exact neighbors as (adcScore, neighborId)
+    val thr: Array[Array[(Double, Long)]] = {
+      val buf = Array.fill(qs.length)(
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Long)])
+      nbrs.foreach { case (qid, nid, code) =>
+        val qi = qIndex(qid)
+        buf(qi) += ((adcOf(qi, code), nid))
+      }
+      buf.map(_.toArray)
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val bcThr = spark.sparkContext.broadcast(thr)
+    val kCap = thr.map(_.length).max
+    // one scan: count, per (query, neighbor), corpus codes strictly
+    // ahead in (adc desc, id asc) order — flat |calib|·k counters per
+    // partition, merged on the driver
+    val counts: Array[Long] = encoded
+      .select(col(idCol).cast("long"), col(codeCol))
+      .as[(Long, Seq[Byte])].mapPartitions { it =>
+        val ts = bcT.value; val th = bcThr.value
+        val local = new Array[Long](ts.length * kCap)
+        it.foreach { case (cid, code) =>
+          var qi = 0
+          while (qi < ts.length) {
+            val t = ts(qi)
+            var s = 0.0; var i = 0
+            while (i < code.length) { s += t(i * ks + (code(i) + 128)); i += 1 }
+            val row = th(qi)
+            var j = 0
+            while (j < row.length) {
+              val (ns, nid) = row(j)
+              if (s > ns || (s == ns && cid < nid)) local(qi * kCap + j) += 1
+              j += 1
+            }
+            qi += 1
+          }
+        }
+        Iterator.single(local)
+      }.collect()
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    // rank histogram -> smallest refine meeting the target
+    val ranks: Seq[Long] = for {
+      qi <- thr.indices
+      j <- thr(qi).indices
+    } yield counts(qi * kCap + j) + 1L
+    val total = ranks.length.toDouble
+    var refine = 1
+    while (refine < maxRefine &&
+        ranks.count(_ <= k.toLong * refine) < targetRecall * total)
+      refine += 1
+    refine
+  }
+
+  /** Batch PQ k-NN join — the [[knnJoin]] plan shape with ADC lookups
+    * in place of dot products on the scan: broadcast per-query tables,
+    * per-partition `k·refine` heaps over the CODE column only (the
+    * scan that at 100 TB reads m bytes/row instead of 4·dim), a
+    * bounded global ADC rank, then ONE more corpus scan that
+    * broadcast-joins the candidate set (no corpus shuffle) and
+    * re-ranks exactly on raw vectors — arithmetic identical to
+    * [[knnJoin]], so with `refine` covering the corpus the output is
+    * bit-equal to the exact join.
+    *
+    * Output: (query_id, neighbor_id, rank), rank 1-based by exact
+    * cosine, ties to the ascending neighbor id.
+    */
+  def pqKnnJoin(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, model: PqModel, refine: Int = 4,
+      excludeSelf: Boolean = true, codeCol: String = "pq_code"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val tables = qs.map { case (_, v) => adcTable(v.map(_.toDouble).toSeq, model) }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val bcQid = spark.sparkContext.broadcast(qs.map(_._1))
+    val kk = math.max(k * refine, k)
+    val ks = model.ks
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, id) => (-s, id)
+    }
+    // note: Seq[Byte], not Array[Byte] — the latter's encoder is
+    // BinaryType, which doesn't deserialize from array<tinyint>
+    val partial = corpus.select(col(idCol).cast("long"), col(codeCol))
+      .as[(Long, Seq[Byte])].mapPartitions { it =>
+        val ts = bcT.value; val qids = bcQid.value
+        val heaps = Array.fill(ts.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        it.foreach { case (cid, code) =>
+          var qi = 0
+          while (qi < ts.length) {
+            if (!(excludeSelf && cid == qids(qi))) {
+              val t = ts(qi)
+              var sSum = 0.0; var i = 0
+              while (i < code.length) { sSum += t(i * ks + (code(i) + 128)); i += 1 }
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((sSum, cid))
+              else {
+                val w = h.head
+                if (sSum > w._1 || (sSum == w._1 && cid < w._2)) {
+                  h.dequeue(); h.enqueue((sSum, cid))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (sv, cid) => (qids(qi), cid, sv) }
+        }
+      }.toDF("query_id", "neighbor_id", "_adc")
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id").asc)
+    val cand = partial.withColumn("_r", row_number().over(wAdc))
+      .where(col("_r") <= kk).select("query_id", "neighbor_id")
+    val qmap = spark.sparkContext.broadcast(qs.toMap)
+    val rescored = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_v"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_v"))
+      .as[(Long, Long, Array[Float])].mapPartitions { it =>
+        val qm = qmap.value
+        it.map { case (qid, nid, v) =>
+          val qv = qm(qid)
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < v.length) {
+            val a = v(i).toDouble; val b = qv(i).toDouble
+            d += a * b; na += a * a; nb += b * b; i += 1
+          }
+          val score = if (na == 0.0 || nb == 0.0) 0.0
+            else d / (math.sqrt(na) * math.sqrt(nb))
+          (qid, nid, score)
+        }
+      }.toDF("query_id", "neighbor_id", "_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_score").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }

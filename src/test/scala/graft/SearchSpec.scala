@@ -85,6 +85,113 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("trainPq is bit-reproducible and encodePq emits m in-range byte codes") {
+    val df = vecs(300, 16).cache()
+    val a = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)
+    val b = VectorOps.trainPq(df.repartition(7), "emb", m = 4, ks = 16, iters = 4)
+    assert(a.subDim == 4 && a.m == 4 && a.ks == 16)
+    (0 until a.m).foreach { s =>
+      (0 until a.ks).foreach { c =>
+        assert(java.util.Arrays.equals(a.codebooks(s)(c), b.codebooks(s)(c)),
+          s"codebook ($s,$c) differs across runs")
+      }
+    }
+    assert(a.compressionX == 16.0) // 16 dims x 4B -> 4 codes x 1B
+    val enc = VectorOps.encodePq(df, "emb", a)
+    val codes = enc.select("pq_code").collect().map(_.getSeq[Byte](0))
+    assert(codes.forall(_.length == 4))
+    // stored offset by -128: all codes decode to [0, ks)
+    assert(codes.forall(_.forall(cd => (cd + 128) >= 0 && (cd + 128) < 16)))
+    df.unpersist()
+  }
+
+  test("PqAdcScore expression equals the driver-side table-lookup sum") {
+    val df = vecs(120, 16)
+    val model = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)
+    val q = Seq.tabulate(16)(j => math.cos(j + 0.5))
+    val t = VectorOps.adcTable(q, model)
+    val enc = VectorOps.encodePq(df, "emb", model)
+    val got = enc.select(col("_id"),
+      graft.functions.PqAdcScore(col("pq_code"), t, model.ks).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val codes = enc.select(col("_id"), col("pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(got.keySet == codes.keySet)
+    codes.foreach { case (id, code) =>
+      val manual = code.iterator.zipWithIndex
+        .map { case (cd, s) => t(s * model.ks + (cd + 128)) }.sum
+      assert(got(id) == manual, s"id $id: ${got(id)} vs $manual")
+    }
+  }
+
+  test("pqTopK (ADC scan + exact re-rank) recalls brute-force top-k") {
+    val df = vecs(400, 16).cache()
+    val q = Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0)
+    val brute = VectorOps.bruteForceTopK(df, "emb", q, 10)
+      .select("_id").collect().map(_.getLong(0)).toSet
+    val model = VectorOps.trainPq(df, "emb", m = 4, ks = 32, iters = 4)
+    val enc = VectorOps.encodePq(df, "emb", model)
+    val pq = VectorOps.pqTopK(enc, "emb", model, q, k = 10, refine = 4)
+      .select("_id").collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"PQ recall too low: $recall")
+    df.unpersist()
+  }
+
+  test("pqKnnJoin with refine covering the corpus is bit-equal to exact knnJoin") {
+    val df = vecs(150, 8).cache()
+    val queries = df.where(col("_id") < 5)
+    val exact = VectorOps.knnJoin(df, queries, "emb", "_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val model = VectorOps.trainPq(df, "emb", m = 4, ks = 8, iters = 3)
+    val enc = VectorOps.encodePq(df, "emb", model)
+    // refine spans the whole corpus -> candidates = every non-self row,
+    // and the exact re-rank stage reproduces knnJoin bit-for-bit
+    val pq = VectorOps.pqKnnJoin(enc, queries, "emb", "_id", k = 4, model,
+      refine = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == exact)
+    df.unpersist()
+  }
+
+  test("calibrateRefine: serving at the calibrated depth meets the target on the calibration batch") {
+    val df = vecs(400, 16).cache()
+    val model = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)
+    val enc = VectorOps.encodePq(df, "emb", model)
+    val calib = df.where(col("_id") >= 100)
+      .orderBy(xxhash64(col("emb")), col("_id")).limit(32)
+    val target = 1.0
+    val refine = VectorOps.calibrateRefine(df, enc, "emb", "_id", model,
+      k = 5, targetRecall = target, calibQueries = calib)
+    assert(refine >= 1 && refine <= 64)
+    // by construction: every exact neighbor's ADC rank <= k*refine, so
+    // the serving path at that depth recalls 100% of the calib batch
+    val exact = VectorOps.knnJoin(df, calib, "emb", "_id", k = 5,
+      excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.pqKnnJoin(enc, calib, "emb", "_id", k = 5, model,
+      refine = refine, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= target, s"calibrated refine=$refine missed target: $recall")
+    df.unpersist()
+  }
+
+  test("pqKnnJoin at serving refine recalls >= 0.9 of exact neighbors") {
+    val df = vecs(400, 16).cache()
+    val queries = df.where(col("_id") < 8)
+    val exact = VectorOps.knnJoin(df, queries, "emb", "_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = VectorOps.trainPq(df, "emb", m = 4, ks = 32, iters = 4)
+    val enc = VectorOps.encodePq(df, "emb", model)
+    val pq = VectorOps.pqKnnJoin(enc, queries, "emb", "_id", k = 5, model,
+      refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ knn-join recall too low: $recall")
+    df.unpersist()
+  }
+
   test("fused CosineToQuery expression is bit-equal with the HOF formulation") {
     val df = vecs(150, 16)
     val q = Seq.tabulate(16)(j => math.sin(j + 1.0))
