@@ -75,7 +75,8 @@ object SparkEntry {
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
-    "q_media_audio", "q_media_video", "q_vector_pq_recall")
+    "q_media_audio", "q_media_video", "q_vector_pq_recall",
+    "q_vector_ivfpq_recall")
 
   import SortOrder.{Asc, Desc}
 
@@ -375,6 +376,38 @@ object SparkEntry {
         .crossJoin(matched.agg(count(lit(1)).as("_hits")))
         .select(col("n_queries"),
           lit(model.compressionX).as("compression_x"),
+          (col("_hits").cast("double") / col("_total") >= 0.9)
+            .cast("double").as("recall_gate"))
+    }),
+    // the full IVF-PQ composition at serving params: cluster pruning
+    // decides WHICH codes are scored (nprobe recall-calibrated), ADC
+    // over 8-byte codes decides what scoring COSTS (refine depth
+    // recall-calibrated), exact re-rank restores precision on the
+    // bounded candidate set. Both knobs calibrate at 0.97 on a
+    // disjoint batch so the composed error still clears the 0.9 gate.
+    "q_vector_ivfpq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+      val ivf = VectorOps.trainIvf(e, "embedding", nlist)
+      val pq = VectorOps.trainPq(e, "embedding", m = 8, ks = 256)
+      val enc = VectorOps.encodePq(e, "embedding", pq)
+      val calib = e.where(col("vec_id") >= 100)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      val np = VectorOps.calibrateNprobe(e, "embedding", "vec_id", ivf,
+        k = 10, targetRecall = 0.97, calibQueries = calib)
+      val refine = VectorOps.calibrateRefine(e, enc, "embedding", "vec_id",
+        pq, k = 10, targetRecall = 0.97, calibQueries = calib)
+      val queries = e.where(col("vec_id") < 100)
+      val exact = VectorOps.knnJoin(e, queries, "embedding", "vec_id",
+        k = 10, excludeSelf = false)
+      val approx = VectorOps.pqKnnJoinIvf(enc, queries, "embedding", "vec_id",
+        k = 10, pq, ivf, nprobe = np, refine = refine, excludeSelf = false)
+      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("_total"))
+        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+        .select(col("n_queries"),
           (col("_hits").cast("double") / col("_total") >= 0.9)
             .cast("double").as("recall_gate"))
     }),
@@ -707,6 +740,11 @@ object SparkEntry {
     // brute force; the oracle pins the required outcome)
     "q_vector_pq_recall" -> ("SELECT CAST(100 AS BIGINT) AS n_queries, " +
       "CAST(32.0 AS DOUBLE) AS compression_x, CAST(1.0 AS DOUBLE) AS recall_gate"),
+    // gate asserts: 100 queries, mean recall@10 >= 0.9 through the
+    // composed IVF-PQ serving path (both knobs recall-calibrated at
+    // 0.97 on a disjoint batch)
+    "q_vector_ivfpq_recall" -> ("SELECT CAST(100 AS BIGINT) AS n_queries, " +
+      "CAST(1.0 AS DOUBLE) AS recall_gate"),
     "q_agg_sum" -> "SELECT sum(l_quantity) AS \"sum\" FROM lineitem",
     "q_agg_min" -> "SELECT min(l_extendedprice) AS \"min\" FROM lineitem",
     "q_agg_max" -> "SELECT max(l_extendedprice) AS \"max\" FROM lineitem",

@@ -626,30 +626,83 @@ object VectorOps {
     */
   def pqKnnJoin(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, model: PqModel, refine: Int = 4,
-      excludeSelf: Boolean = true, codeCol: String = "pq_code"): DataFrame = {
+      excludeSelf: Boolean = true, codeCol: String = "pq_code"): DataFrame =
+    pqKnnJoinPruned(corpus, queries, vecCol, idCol, k, model, refine,
+      excludeSelf, codeCol, None, 0)
+
+  /** IVF-PQ batch k-NN join — the full 100 TB composition: IVF probe
+    * masks prune WHICH codes are scored (with the cluster id as a
+    * partition column the scan prunes to nprobe/nlist of the data),
+    * PQ codes shrink what scoring a row COSTS (m byte lookups), and
+    * the exact re-rank restores precision on the bounded candidate
+    * set. Calibrate `nprobe` with [[calibrateNprobe]] and `refine`
+    * with [[calibrateRefine]] — both are measured knobs, not guesses.
+    */
+  def pqKnnJoinIvf(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, model: PqModel, ivf: IvfModel, nprobe: Int,
+      refine: Int = 4, excludeSelf: Boolean = true,
+      codeCol: String = "pq_code"): DataFrame =
+    pqKnnJoinPruned(corpus, queries, vecCol, idCol, k, model, refine,
+      excludeSelf, codeCol, Some(ivf), nprobe)
+
+  private def pqKnnJoinPruned(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, model: PqModel, refine: Int,
+      excludeSelf: Boolean, codeCol: String, ivf: Option[IvfModel],
+      nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qs = queries.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val tables = qs.map { case (_, v) => adcTable(v.map(_.toDouble).toSeq, model) }
+    // per-query probe set over IVF clusters (null = no pruning) — the
+    // knnJoinPruned mask discipline
+    val probeMasks: Array[Array[Boolean]] = ivf match {
+      case None => null
+      case Some(m) =>
+        qs.map { case (_, v) =>
+          val d = m.centroids.map { c =>
+            var s = 0.0; var i = 0
+            while (i < c.length) {
+              val dx = c(i) - v(i).toDouble; s += dx * dx; i += 1
+            }
+            s
+          }
+          val keep = d.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2)
+          val mask = new Array[Boolean](m.centroids.length)
+          keep.foreach(mask(_) = true)
+          mask
+        }
+    }
     val bcT = spark.sparkContext.broadcast(tables)
     val bcQid = spark.sparkContext.broadcast(qs.map(_._1))
+    val bcP = spark.sparkContext.broadcast(probeMasks)
     val kk = math.max(k * refine, k)
     val ks = model.ks
     val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
       case (s, id) => (-s, id)
     }
+    // at scale _cluster is a write-time partition column; here it is
+    // assigned on the fly like knnJoinPruned does
+    val base = ivf match {
+      case None => corpus.select(col(idCol).cast("long"), col(codeCol),
+        lit(-1).as("_cluster"))
+      case Some(m) => assignCluster(
+        corpus.select(col(idCol).cast("long").as("_kid"), col(codeCol),
+          col(vecCol)), vecCol, m.centroids)
+        .select(col("_kid"), col(codeCol), col("_cluster"))
+    }
     // note: Seq[Byte], not Array[Byte] — the latter's encoder is
     // BinaryType, which doesn't deserialize from array<tinyint>
-    val partial = corpus.select(col(idCol).cast("long"), col(codeCol))
-      .as[(Long, Seq[Byte])].mapPartitions { it =>
-        val ts = bcT.value; val qids = bcQid.value
+    val partial = base
+      .as[(Long, Seq[Byte], Int)].mapPartitions { it =>
+        val ts = bcT.value; val qids = bcQid.value; val pr = bcP.value
         val heaps = Array.fill(ts.length)(
           new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
-        it.foreach { case (cid, code) =>
+        it.foreach { case (cid, code, cluster) =>
           var qi = 0
           while (qi < ts.length) {
-            if (!(excludeSelf && cid == qids(qi))) {
+            val probed = pr == null || pr(qi)(cluster)
+            if (probed && !(excludeSelf && cid == qids(qi))) {
               val t = ts(qi)
               var sSum = 0.0; var i = 0
               while (i < code.length) { sSum += t(i * ks + (code(i) + 128)); i += 1 }

@@ -192,6 +192,28 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("pqKnnJoinIvf composes cluster pruning with ADC and recalls >= 0.9") {
+    val df = vecs(400, 16).cache()
+    val queries = df.where(col("_id") < 8)
+    val exact = VectorOps.knnJoin(df, queries, "emb", "_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.trainPq(df, "emb", m = 4, ks = 32, iters = 4)
+    val enc = VectorOps.encodePq(df, "emb", pq)
+    val ivf = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+    val got = VectorOps.pqKnnJoinIvf(enc, queries, "emb", "_id", k = 5,
+      pq, ivf, nprobe = 3, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ knn-join recall too low: $recall")
+    // with every cluster probed and refine covering the corpus, the
+    // composition degrades to the exact join bit-for-bit
+    val full = VectorOps.pqKnnJoinIvf(enc, queries, "emb", "_id", k = 5,
+      pq, ivf, nprobe = 8, refine = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    df.unpersist()
+  }
+
   test("fused CosineToQuery expression is bit-equal with the HOF formulation") {
     val df = vecs(150, 16)
     val q = Seq.tabulate(16)(j => math.sin(j + 1.0))
