@@ -309,10 +309,10 @@ object SparkEntry {
     // discipline), not a hand-picked constant.
     "q_vector_ivf" -> ((s, d) => {
       val e = emb(s, d).withColumnRenamed("vec_id", "_id")
-      val model = VectorOps.trainIvf(e, "embedding", nlist = 16)
+      val model = VectorOps.trainIvfCached(e, "embedding", nlist = 16)
       val calib = e.where(col("_id") >= 100)
         .orderBy(xxhash64(col("_id")), col("_id")).limit(64)
-      val np = VectorOps.calibrateNprobe(e, "embedding", "_id", model,
+      val np = VectorOps.calibrateNprobeCached(e, "embedding", "_id", model,
         k = 10, targetRecall = 0.95, calibQueries = calib)
       val q = queryVec(s, d).map(_.toDouble)
       val ivf = VectorOps.ivfTopK(e, "embedding", model, q, 10, nprobe = np).select("_id")
@@ -330,10 +330,10 @@ object SparkEntry {
       val e = emb(s, d)
       val n = e.count()
       val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-      val model = VectorOps.trainIvf(e, "embedding", nlist)
+      val model = VectorOps.trainIvfCached(e, "embedding", nlist)
       val calib = e.where(col("vec_id") >= 100)
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
-      val np = VectorOps.calibrateNprobe(e, "embedding", "vec_id", model,
+      val np = VectorOps.calibrateNprobeCached(e, "embedding", "vec_id", model,
         k = 10, targetRecall = 0.95, calibQueries = calib)
       val queries = e.where(col("vec_id") < 100)
       val exact = VectorOps.knnJoin(e, queries, "embedding", "vec_id",
@@ -359,12 +359,15 @@ object SparkEntry {
     // shrinks what a read COSTS — at 100 TB the two compose (IVF-PQ).
     "q_vector_pq_recall" -> ((s, d) => {
       val e = emb(s, d)
-      val model = VectorOps.trainPq(e, "embedding", m = 8, ks = 256)
-      val enc = VectorOps.encodePq(e, "embedding", model)
+      // codebooks + code column + calibrated depth are write-time
+      // artifacts (cached like shingle sets / IVF probes); the recall
+      // measurement below runs fresh every time
+      val (model, enc) = VectorOps.trainEncodePqCached(e, "embedding",
+        m = 8, ks = 256)
       val calib = e.where(col("vec_id") >= 100)
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
-      val refine = VectorOps.calibrateRefine(e, enc, "embedding", "vec_id",
-        model, k = 10, targetRecall = 0.95, calibQueries = calib)
+      val refine = VectorOps.calibrateRefineCached(e, enc, "embedding",
+        "vec_id", model, k = 10, targetRecall = 0.95, calibQueries = calib)
       val queries = e.where(col("vec_id") < 100)
       val exact = VectorOps.knnJoin(e, queries, "embedding", "vec_id",
         k = 10, excludeSelf = false)
@@ -389,15 +392,15 @@ object SparkEntry {
       val e = emb(s, d)
       val n = e.count()
       val nlist = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-      val ivf = VectorOps.trainIvf(e, "embedding", nlist)
-      val pq = VectorOps.trainPq(e, "embedding", m = 8, ks = 256)
-      val enc = VectorOps.encodePq(e, "embedding", pq)
+      val ivf = VectorOps.trainIvfCached(e, "embedding", nlist)
+      val (pq, enc) = VectorOps.trainEncodePqCached(e, "embedding",
+        m = 8, ks = 256)
       val calib = e.where(col("vec_id") >= 100)
         .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
-      val np = VectorOps.calibrateNprobe(e, "embedding", "vec_id", ivf,
+      val np = VectorOps.calibrateNprobeCached(e, "embedding", "vec_id", ivf,
         k = 10, targetRecall = 0.97, calibQueries = calib)
-      val refine = VectorOps.calibrateRefine(e, enc, "embedding", "vec_id",
-        pq, k = 10, targetRecall = 0.97, calibQueries = calib)
+      val refine = VectorOps.calibrateRefineCached(e, enc, "embedding",
+        "vec_id", pq, k = 10, targetRecall = 0.97, calibQueries = calib)
       val queries = e.where(col("vec_id") < 100)
       val exact = VectorOps.knnJoin(e, queries, "embedding", "vec_id",
         k = 10, excludeSelf = false)

@@ -164,6 +164,57 @@ object VectorOps {
     IvfModel(cents)
   }
 
+  /** Bounded cache of ad-hoc IVF models keyed by source plan + params
+    * (declared-index models live in [[IndexCache]]; this covers
+    * pipeline-API callers). Centroids are small driver objects — no
+    * persisted frames to own.
+    */
+  private val IvfCacheMax = 16
+  private val ivfModelCache =
+    new java.util.LinkedHashMap[(String, String, Int), IvfModel](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), IvfModel]): Boolean =
+        size() > IvfCacheMax
+    }
+
+  /** [[trainIvf]] memoized per (source plan, vecCol, nlist) — training
+    * is a write-time step; deterministic, so the cache never changes a
+    * result.
+    */
+  def trainIvfCached(df: DataFrame, vecCol: String, nlist: Int,
+      iters: Int = 3): IvfModel = {
+    val key = (graft.pipeline.Dedup.planKey(df), vecCol, nlist)
+    ivfModelCache.synchronized {
+      val hit = ivfModelCache.get(key)
+      if (hit != null) return hit
+    }
+    val m = trainIvf(df, vecCol, nlist, iters)
+    ivfModelCache.synchronized { ivfModelCache.put(key, m) }
+    m
+  }
+
+  /** Calibrated probe counts per ad-hoc artifact + (k, target) —
+    * declared-index calibrations live in [[IndexCache.probes]].
+    */
+  private val ivfNprobeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Double), Int]()
+
+  /** [[calibrateNprobe]] memoized per (artifact, k, target). */
+  def calibrateNprobeCached(corpus: DataFrame, vecCol: String, idCol: String,
+      model: IvfModel, k: Int, targetRecall: Double,
+      calibQueries: DataFrame): Int = {
+    val key = (graft.pipeline.Dedup.planKey(corpus), vecCol,
+      model.centroids.length, k, targetRecall)
+    val hit = ivfNprobeCache.get(key)
+    if (hit != 0) hit
+    else {
+      val np = calibrateNprobe(corpus, vecCol, idCol, model, k,
+        targetRecall, calibQueries)
+      ivfNprobeCache.putIfAbsent(key, np)
+      np
+    }
+  }
+
   /** Nearest-centroid id as a column. The native expression carries the
     * centroid matrix as ONE reference object (graft.functions
     * .NearestCentroid), so codegen stays a fixed-size loop at any nlist —
@@ -471,6 +522,76 @@ object VectorOps {
         - 128).cast("byte")
     }
     df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Bounded cache of trained codebooks + persisted encodings, keyed
+    * by the source plan + params ([[graft.pipeline.Dedup.planKey]]
+    * discipline — full canonicalized plan, LocalRelation content
+    * hashed). At 100 TB the PQ code column is written at ingest (the
+    * same write-time trade as the reference's vector indexes), so
+    * serving doesn't re-train or re-encode per query; here, repeated
+    * queries over the same corpus build the artifact once. Entries own
+    * their persisted frames; FIFO eviction unpersists.
+    */
+  private val PqCacheMax = 8
+  private val pqCache =
+    new java.util.LinkedHashMap[(String, String, Int, Int), (PqModel, DataFrame)](
+        16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Int), (PqModel, DataFrame)]): Boolean = {
+        val evict = size() > PqCacheMax
+        if (evict) e.getValue._2.unpersist(false)
+        evict
+      }
+    }
+
+  /** Calibrated candidate depths per PQ artifact + (k, target) — the
+    * [[graft.search.IndexCache]] `probes` discipline: calibration is a
+    * write-time measurement, not a per-query cost.
+    */
+  private val pqRefineCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Double), Int]()
+
+  /** Train-and-encode as a cached write-time artifact: returns the
+    * codebooks and the PERSISTED encoded corpus (original columns +
+    * `pq_code`). The eager materializing count runs outside the lock.
+    */
+  def trainEncodePqCached(df: DataFrame, vecCol: String, m: Int,
+      ks: Int = 256, iters: Int = 10,
+      maxTrainRows: Int = 16384): (PqModel, DataFrame) = {
+    val key = (graft.pipeline.Dedup.planKey(df), vecCol, m, ks)
+    var built: DataFrame = null
+    val out = pqCache.synchronized {
+      val hit = pqCache.get(key)
+      if (hit != null) hit
+      else {
+        val model = trainPq(df, vecCol, m, ks, iters, maxTrainRows)
+        built = encodePq(df, vecCol, model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val entry = (model, built)
+        pqCache.put(key, entry)
+        entry
+      }
+    }
+    if (out._2 eq built) built.count()
+    out
+  }
+
+  /** [[calibrateRefine]] memoized per (artifact, k, target). */
+  def calibrateRefineCached(corpus: DataFrame, encoded: DataFrame,
+      vecCol: String, idCol: String, model: PqModel, k: Int,
+      targetRecall: Double, calibQueries: DataFrame, maxRefine: Int = 64,
+      codeCol: String = "pq_code"): Int = {
+    val key = (graft.pipeline.Dedup.planKey(corpus), vecCol, model.m,
+      model.ks, k, targetRecall)
+    val hit = pqRefineCache.get(key)
+    if (hit != 0) hit
+    else {
+      val r = calibrateRefine(corpus, encoded, vecCol, idCol, model, k,
+        targetRecall, calibQueries, maxRefine, codeCol)
+      pqRefineCache.putIfAbsent(key, r)
+      r
+    }
   }
 
   /** Per-query ADC lookup table, flat `m·ks` row-major:

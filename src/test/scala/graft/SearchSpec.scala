@@ -214,6 +214,26 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("PQ/IVF write-time artifact caches serve the same artifact, keyed by plan") {
+    val df = vecs(200, 16)
+    val (m1, e1) = VectorOps.trainEncodePqCached(df, "emb", m = 4, ks = 16)
+    val (m2, e2) = VectorOps.trainEncodePqCached(vecs(200, 16), "emb", m = 4, ks = 16)
+    assert(m1 eq m2, "same plan must hit the cached PQ model")
+    assert(e1 eq e2, "same plan must hit the persisted encoding")
+    // a different corpus (different LocalRelation content) must miss
+    val (m3, _) = VectorOps.trainEncodePqCached(vecs(201, 16), "emb", m = 4, ks = 16)
+    assert(!(m1 eq m3), "different corpus must not share the artifact")
+    val i1 = VectorOps.trainIvfCached(df, "emb", nlist = 8, iters = 2)
+    val i2 = VectorOps.trainIvfCached(vecs(200, 16), "emb", nlist = 8, iters = 2)
+    assert(i1 eq i2, "same plan must hit the cached IVF model")
+    val calib = df.where(col("_id") >= 100).limit(16)
+    val r1 = VectorOps.calibrateRefineCached(df, e1, "emb", "_id", m1,
+      k = 5, targetRecall = 0.9, calibQueries = calib)
+    val r2 = VectorOps.calibrateRefineCached(df, e1, "emb", "_id", m1,
+      k = 5, targetRecall = 0.9, calibQueries = calib)
+    assert(r1 == r2 && r1 >= 1)
+  }
+
   test("fused CosineToQuery expression is bit-equal with the HOF formulation") {
     val df = vecs(150, 16)
     val q = Seq.tabulate(16)(j => math.sin(j + 1.0))
