@@ -1342,6 +1342,14 @@ class Compiler(
       case _ => None
     }
     val threshold = spark.conf.get("graft.search.ivfThreshold", "100000").toLong
+    // Third serving tier: above pqThreshold even the probed clusters'
+    // full float vectors are too expensive to score per query, so the
+    // ADC scan runs over the PQ code column (m bytes/row; written at
+    // ingest in a 100 TB deployment) and an exact re-rank of the
+    // calibrated candidate depth restores precision. Both quality
+    // knobs (nprobe, refine) are recall-calibrated per artifact.
+    val pqThreshold = spark.conf.get("graft.search.pqThreshold", "10000000").toLong
+    val pqM = spark.conf.get("graft.search.pqM", "8").toInt
     val top = ivfServing match {
       case Some((tbl, propKey))
           if graft.search.IndexCache.rowCount(store.version, label, propKey, tbl) >= threshold =>
@@ -1359,7 +1367,16 @@ class Compiler(
         val calibN = spark.conf.get("graft.search.calibQueries", "64").toInt
         val nprobe = graft.search.IndexCache.nprobe(store.version, label,
           propKey, model, tbl, vecCol = prop, target = target, calibN = calibN)
-        graft.search.VectorOps.ivfTopK(tbl, prop, model, qv, k, nprobe)
+        if (n >= pqThreshold && qv.length % pqM == 0) {
+          val (pqModel, enc) = graft.search.IndexCache.pqArtifact(
+            store.version, label, propKey, m = pqM, ks = 256, tbl, vecCol = prop)
+          val refine = graft.search.IndexCache.pqRefine(store.version, label,
+            propKey, pqModel, enc, tbl, vecCol = prop, target = target,
+            calibN = calibN)
+          graft.search.VectorOps.ivfPqTopK(enc, prop, model, pqModel, qv, k,
+            nprobe, refine)
+        } else
+          graft.search.VectorOps.ivfTopK(tbl, prop, model, qv, k, nprobe)
       case _ =>
         val scored = filtered.withColumn("_score",
           graft.search.VectorOps.cosineSim(col(prop), qv))

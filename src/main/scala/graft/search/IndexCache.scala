@@ -30,6 +30,13 @@ object IndexCache {
   private val ivf = new ConcurrentHashMap[Key, VectorOps.IvfModel]()
   private val counts = new ConcurrentHashMap[Key, java.lang.Long]()
   private val probes = new ConcurrentHashMap[Key, java.lang.Integer]()
+  // PQ codebooks and the persisted encoded corpus are SEPARATE maps:
+  // on an append-only change the codebooks stay valid (new rows encode
+  // against them) but the encoded frame is stale — migrate carries
+  // models/refines forward and drops encodings for re-scan.
+  private val pqModels = new ConcurrentHashMap[Key, VectorOps.PqModel]()
+  private val pqEnc = new ConcurrentHashMap[Key, DataFrame]()
+  private val pqRefines = new ConcurrentHashMap[Key, java.lang.Integer]()
 
   /** Full posting builds, for tests asserting the incremental append
     * path (appendText) was taken instead of a rebuild.
@@ -147,6 +154,22 @@ object IndexCache {
         if (np != null) probes.putIfAbsent((to, k._2, k._3), np)
       }
     }
+    // PQ codebooks and calibrated depths carry forward (new rows encode
+    // against the existing codebooks); the encoded frame does NOT — it
+    // is stale the moment rows append, so the next query re-encodes by
+    // one scan (no re-training).
+    pqModels.keySet.forEach { k =>
+      if (matches(k)) {
+        val m = pqModels.get(k)
+        if (m != null) pqModels.putIfAbsent((to, k._2, k._3), m)
+      }
+    }
+    pqRefines.keySet.forEach { k =>
+      if (matches(k)) {
+        val r = pqRefines.get(k)
+        if (r != null) pqRefines.putIfAbsent((to, k._2, k._3), r)
+      }
+    }
   }
 
   /** IVF centroids for a declared vector index. `prop` is the CACHE key
@@ -176,6 +199,44 @@ object IndexCache {
           org.apache.spark.sql.functions.col(idCol)),
         org.apache.spark.sql.functions.col(idCol)).limit(calibN)
       VectorOps.calibrateNprobe(t, vecCol, idCol, model, k = 10,
+        targetRecall = target, calibQueries = calib)
+    }).intValue()
+
+  /** PQ codebooks + persisted encoded corpus for a declared vector
+    * index above the PQ serving threshold. Trained/encoded once per
+    * (store version, label, propKey) like the IVF centroids; the
+    * encoded frame is the query-time stand-in for the ingest-written
+    * code column a 100 TB deployment would store.
+    */
+  def pqArtifact(storeVersion: String, label: String, prop: String,
+      m: Int, ks: Int, table: => DataFrame,
+      vecCol: String): (VectorOps.PqModel, DataFrame) = {
+    val key = (storeVersion, label, prop)
+    val model = pqModels.computeIfAbsent(key, _ =>
+      VectorOps.trainPq(table, vecCol, m, ks))
+    val enc = pqEnc.computeIfAbsent(key, _ => {
+      val e = VectorOps.encodePq(table, vecCol, model)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    })
+    (model, enc)
+  }
+
+  /** Recall-calibrated ADC candidate depth (refine) per PQ artifact —
+    * the [[nprobe]] discipline applied to the second serving knob.
+    */
+  def pqRefine(storeVersion: String, label: String, prop: String,
+      model: VectorOps.PqModel, encoded: DataFrame, table: => DataFrame,
+      vecCol: String, target: Double, calibN: Int,
+      idCol: String = "_id"): Int =
+    pqRefines.computeIfAbsent((storeVersion, label, prop), _ => {
+      val t = table
+      val calib = t.orderBy(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col(idCol)),
+        org.apache.spark.sql.functions.col(idCol)).limit(calibN)
+      VectorOps.calibrateRefine(t, encoded, vecCol, idCol, model, k = 10,
         targetRecall = target, calibQueries = calib)
     }).intValue()
 
@@ -238,6 +299,25 @@ object IndexCache {
         if (v != null) probes.putIfAbsent((to, k._2, k._3), v)
       }
     }
+    pqModels.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = pqModels.remove(k)
+        if (v != null) pqModels.putIfAbsent((to, k._2, k._3), v)
+      }
+    }
+    pqEnc.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = pqEnc.remove(k)
+        if (v != null && pqEnc.putIfAbsent((to, k._2, k._3), v) != null)
+          v.unpersist(false)
+      }
+    }
+    pqRefines.keySet.forEach { k =>
+      if (k._1 == from && unchangedLabels.contains(k._2)) {
+        val v = pqRefines.remove(k)
+        if (v != null) pqRefines.putIfAbsent((to, k._2, k._3), v)
+      }
+    }
   }
 
   /** Drop (and unpersist) every artifact built for a store version other
@@ -254,6 +334,14 @@ object IndexCache {
     ivf.keySet.forEach { k => if (!keep.contains(k._1)) ivf.remove(k) }
     counts.keySet.forEach { k => if (!keep.contains(k._1)) counts.remove(k) }
     probes.keySet.forEach { k => if (!keep.contains(k._1)) probes.remove(k) }
+    pqModels.keySet.forEach { k => if (!keep.contains(k._1)) pqModels.remove(k) }
+    pqEnc.keySet.forEach { k =>
+      if (!keep.contains(k._1)) {
+        val v = pqEnc.remove(k)
+        if (v != null) v.unpersist(false)
+      }
+    }
+    pqRefines.keySet.forEach { k => if (!keep.contains(k._1)) pqRefines.remove(k) }
   }
 
   /** Evict ONE version's artifacts (a replica dropping its superseded
@@ -271,6 +359,14 @@ object IndexCache {
     ivf.keySet.forEach { k => if (k._1 == version) ivf.remove(k) }
     counts.keySet.forEach { k => if (k._1 == version) counts.remove(k) }
     probes.keySet.forEach { k => if (k._1 == version) probes.remove(k) }
+    pqModels.keySet.forEach { k => if (k._1 == version) pqModels.remove(k) }
+    pqEnc.keySet.forEach { k =>
+      if (k._1 == version) {
+        val v = pqEnc.remove(k)
+        if (v != null) v.unpersist(false)
+      }
+    }
+    pqRefines.keySet.forEach { k => if (k._1 == version) pqRefines.remove(k) }
   }
 
   /** Number of cached artifacts (for tests/diagnostics). */

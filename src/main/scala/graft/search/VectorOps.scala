@@ -732,6 +732,34 @@ object VectorOps {
     refine
   }
 
+  /** Single-query IVF-PQ top-k — the serving-path analogue of
+    * [[ivfTopK]] for corpora where even the probed clusters' full
+    * vectors are too expensive to score: prune to the `nprobe` nearest
+    * clusters, ADC-score their CODES (m byte lookups per row, both
+    * stages codegen'd TakeOrdered — no shuffle), then exact-cosine
+    * re-rank the `k·refine` candidates on raw vectors. `encoded` must
+    * carry both `vecCol` and `codeCol`; at 100 TB it is the stored
+    * table itself (the code column is written at ingest, the cluster
+    * id is a partition column).
+    */
+  def ivfPqTopK(encoded: DataFrame, vecCol: String, ivf: IvfModel,
+      pq: PqModel, query: Seq[Double], k: Int, nprobe: Int, refine: Int,
+      idCol: String = "_id", codeCol: String = "pq_code"): DataFrame = {
+    val ranked = ivf.centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val probed = assignCluster(encoded, vecCol, ivf.centroids)
+      .where(col("_cluster").isin(ranked.map(Integer.valueOf): _*))
+      .drop("_cluster")
+    val t = adcTable(query, pq)
+    val cand = probed
+      .withColumn("_adc", graft.functions.PqAdcScore(col(codeCol), t, pq.ks))
+      .orderBy(col("_adc").desc, col(idCol).asc)
+      .limit(math.max(k * refine, k))
+    bruteForceTopK(cand.drop("_adc"), vecCol, query, k, idCol)
+  }
+
   /** Batch PQ k-NN join — the [[knnJoin]] plan shape with ADC lookups
     * in place of dot products on the scan: broadcast per-query tables,
     * per-partition `k·refine` heaps over the CODE column only (the

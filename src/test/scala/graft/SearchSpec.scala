@@ -481,6 +481,71 @@ class SearchSpec extends GraftSuite {
     } finally spark.conf.unset("graft.search.ivfThreshold")
   }
 
+  test("declared vector index serves IVF-PQ above the PQ threshold, recall >= 0.9@10") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0 until 600).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+      (i.toLong, "Vec", v)
+    }.toDF("_id", "_label", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", None)))
+    val q = Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0)
+    val qv = graft.ast.PropertyValue.VF64Array(q)
+    import graft.ast._
+    def search(c: graft.exec.Compiler) = c.run(Traversal(Vector(
+      Step.VectorSearchNodes("Vec", "emb", None,
+        PropertyInput.Value(qv), StreamBound.Literal(10)), Step.Id)))
+      .collect().map(_.getLong(0)).toSet
+    spark.conf.set("graft.search.ivfThreshold", "100")
+    spark.conf.set("graft.search.pqThreshold", "100")
+    spark.conf.set("graft.search.pqM", "4")
+    try {
+      val pq = search(TestBase.compiler(store))
+      val brute = search(TestBase.compiler(
+        store.withIndexes(Set.empty))) // undeclared -> exact path
+      val recall = (pq intersect brute).size.toDouble / brute.size
+      assert(recall >= 0.9, s"compiled IVF-PQ recall too low: $recall")
+    } finally {
+      spark.conf.unset("graft.search.ivfThreshold")
+      spark.conf.unset("graft.search.pqThreshold")
+      spark.conf.unset("graft.search.pqM")
+    }
+  }
+
+  test("a query dim indivisible by pqM falls back to IVF serving, still >= 0.9@10") {
+    val s = spark
+    import s.implicits._
+    val nodes = (0 until 600).map { i =>
+      val c = i % 5
+      val v = Array.tabulate(15)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+      (i.toLong, "Vec", v)
+    }.toDF("_id", "_label", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", None)))
+    val q = Seq.tabulate(15)(j => if (j == 2) 1.0 else 0.0)
+    val qv = graft.ast.PropertyValue.VF64Array(q)
+    import graft.ast._
+    def search(c: graft.exec.Compiler) = c.run(Traversal(Vector(
+      Step.VectorSearchNodes("Vec", "emb", None,
+        PropertyInput.Value(qv), StreamBound.Literal(10)), Step.Id)))
+      .collect().map(_.getLong(0)).toSet
+    spark.conf.set("graft.search.ivfThreshold", "100")
+    spark.conf.set("graft.search.pqThreshold", "100")
+    spark.conf.set("graft.search.pqM", "4") // 15 % 4 != 0 -> IVF tier
+    try {
+      val got = search(TestBase.compiler(store))
+      val brute = search(TestBase.compiler(store.withIndexes(Set.empty)))
+      val recall = (got intersect brute).size.toDouble / brute.size
+      assert(recall >= 0.9, s"fallback IVF recall too low: $recall")
+    } finally {
+      spark.conf.unset("graft.search.ivfThreshold")
+      spark.conf.unset("graft.search.pqThreshold")
+      spark.conf.unset("graft.search.pqM")
+    }
+  }
+
   test("below the threshold a declared vector index still serves exact brute-force") {
     val store = TestBase.parityGraph()
       .withIndexes(Set(graft.ast.IndexSpec.NodeVector("ParityUser", "embedding", None)))
