@@ -26,8 +26,10 @@ object IndexArtifacts {
         saveText(store, store.edgesFor(l).sparkSession, l, p, isEdges = true, root, t)
       case IndexSpec.NodeVector(l, p, t) if store.nodeTables.contains(l) =>
         saveIvf(store, l, p, isEdges = false, root, t)
+        savePq(store, l, p, isEdges = false, root, t)
       case IndexSpec.EdgeVector(l, p, t) if store.edgeTables.contains(l) =>
         saveIvf(store, l, p, isEdges = true, root, t)
+        savePq(store, l, p, isEdges = true, root, t)
       case _ => ()
     }
   }
@@ -88,6 +90,51 @@ object IndexArtifacts {
     }
   }
 
+  /** PQ codebooks for the IVF-PQ serving tier. Only the CODEBOOKS
+    * persist — at 100 TB the code column itself is part of the stored
+    * table (written at ingest); rebuilding it from durable codebooks
+    * is one scan, never a re-train. Rows: (subspace, centroid_id,
+    * centroid), plus `_tenant` for tenant-partitioned indexes (one
+    * codebook set per above-threshold tenant, like saveIvf).
+    * Vector dims indivisible by `graft.search.pqM` save nothing — the
+    * serving path falls back to plain IVF for them anyway.
+    */
+  private def savePq(store: GraphStore, label: String, prop: String,
+      isEdges: Boolean, root: String, tenantCol: Option[String] = None): Unit = {
+    val table = if (isEdges) store.edgesFor(label) else store.nodesFor(label)
+    val spark = table.sparkSession
+    import spark.implicits._
+    val m = spark.conf.get("graft.search.pqM", "8").toInt
+    val dimRow = table.select(size(col(prop))).head()
+    if (dimRow.isNullAt(0) || dimRow.getInt(0) % m != 0) return
+    val path = s"$root/_index/pq/$label/$prop"
+    tenantCol match {
+      case None =>
+        val model = VectorOps.trainPq(table, prop, m)
+        model.codebooks.toSeq.zipWithIndex.flatMap { case (cb, s) =>
+          cb.toSeq.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+        }.toDF("subspace", "centroid_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(tp) =>
+        val threshold =
+          spark.conf.get("graft.search.ivfThreshold", "100000").toLong
+        val bigTenants = table.groupBy(col(tp)).count()
+          .where(col("count") >= threshold).collect()
+        if (bigTenants.isEmpty) return
+        val rows = bigTenants.toSeq.flatMap { r =>
+          val tv = r.get(0)
+          val model = VectorOps.trainPq(table.where(col(tp) === tv), prop, m)
+          model.codebooks.toSeq.zipWithIndex.flatMap { case (cb, s) =>
+            cb.toSeq.zipWithIndex.map { case (c, i) =>
+              (String.valueOf(tv), s, i, c.toSeq)
+            }
+          }
+        }
+        rows.toDF("_tenant", "subspace", "centroid_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+  }
+
   /** Load persisted artifacts for `store` (matching its DECLARED
     * indexes) into the serving cache under the store's version. Returns
     * the number of artifacts loaded; missing artifacts are skipped
@@ -109,8 +156,12 @@ object IndexArtifacts {
         loaded += 1
       case IndexSpec.NodeVector(l, p, t) if exists(s"$root/_index/ivf/$l/$p") =>
         loaded += loadIvf(spark, s"$root/_index/ivf/$l/$p", store.version, l, p, t)
+        if (exists(s"$root/_index/pq/$l/$p"))
+          loaded += loadPq(spark, s"$root/_index/pq/$l/$p", store.version, l, p, t)
       case IndexSpec.EdgeVector(l, p, t) if exists(s"$root/_index/ivf/$l/$p") =>
         loaded += loadIvf(spark, s"$root/_index/ivf/$l/$p", store.version, l, p, t)
+        if (exists(s"$root/_index/pq/$l/$p"))
+          loaded += loadPq(spark, s"$root/_index/pq/$l/$p", store.version, l, p, t)
       case _ => ()
     }
     loaded
@@ -139,4 +190,32 @@ object IndexArtifacts {
     val rows = spark.read.parquet(path).orderBy("centroid_id").collect()
     VectorOps.IvfModel(rows.map(_.getSeq[Double](1).toArray))
   }
+
+  private def pqFromRows(
+      rows: Array[(Int, Int, Array[Double])]): VectorOps.PqModel = {
+    val books = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3) }.toArray
+    VectorOps.PqModel(books(0)(0).length, books)
+  }
+
+  private def loadPq(spark: SparkSession, path: String, version: String,
+      label: String, prop: String, tenantCol: Option[String]): Int =
+    tenantCol match {
+      case None =>
+        val rows = spark.read.parquet(path)
+          .orderBy("subspace", "centroid_id").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        IndexCache.putPq(version, label, prop, pqFromRows(rows))
+        1
+      case Some(_) =>
+        val rows = spark.read.parquet(path)
+          .orderBy("_tenant", "subspace", "centroid_id").collect()
+        val byTenant = rows.groupBy(_.getString(0))
+        byTenant.foreach { case (tv, rs) =>
+          IndexCache.putPq(version, label, IndexCache.tenantKey(prop, tv),
+            pqFromRows(rs.map(r =>
+              (r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))))
+        }
+        byTenant.size
+    }
 }

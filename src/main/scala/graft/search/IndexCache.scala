@@ -250,6 +250,9 @@ object IndexCache {
   def putIvf(storeVersion: String, label: String, prop: String,
       model: VectorOps.IvfModel): Unit =
     ivf.put((storeVersion, label, prop), model)
+  def putPq(storeVersion: String, label: String, prop: String,
+      model: VectorOps.PqModel): Unit =
+    pqModels.put((storeVersion, label, prop), model)
 
   /** Table row count, computed once per (store version, label, prop) —
     * drives the brute-vs-IVF serving decision without re-counting per

@@ -384,8 +384,9 @@ class SearchSpec extends GraftSuite {
       graft.model.GraphPersistence.save(store, dir)
       graft.search.IndexArtifacts.save(store, dir)
       val loaded = graft.model.GraphPersistence.load(spark, dir)
-      // both tenants clear the threshold -> two per-tenant models
-      assert(graft.search.IndexArtifacts.load(spark, dir, loaded) == 2)
+      // both tenants clear the threshold -> two per-tenant IVF models
+      // + two per-tenant PQ codebook sets (dim 16 divides default pqM=8)
+      assert(graft.search.IndexArtifacts.load(spark, dir, loaded) == 4)
       import graft.ast._
       val qv = PropertyValue.VF64Array(Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0))
       val ids = TestBase.compiler(loaded).run(Traversal(Vector(
@@ -611,6 +612,42 @@ class SearchSpec extends GraftSuite {
       g().textSearchNodes("ParityUser", "bio", "vector search", 3).values("name").t)
       .collect().map(_.getString(0)).toSet
     assert(global == Set("Alice", "Bob"))
+  }
+
+  test("durable PQ codebooks round-trip and pre-populate the serving cache") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gpq").toString
+    val nodes = (0 until 300).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16)(j => if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+      (i.toLong, "Vec", v)
+    }.toDF("_id", "_label", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", None)))
+    spark.conf.set("graft.search.pqM", "4")
+    try {
+      graft.model.GraphPersistence.save(store, dir)
+      graft.search.IndexArtifacts.save(store, dir)
+      assert(new java.io.File(s"$dir/_index/pq/Vec/emb").isDirectory,
+        "PQ codebooks must persist next to the IVF centroids")
+      val loaded = graft.model.GraphPersistence.load(spark, dir)
+      // 2 artifacts: IVF centroids + PQ codebooks
+      assert(graft.search.IndexArtifacts.load(spark, dir, loaded) == 2)
+      // the served model must be the PRE-POPULATED one: equal to a
+      // deterministic fresh train, with no rebuild cost hidden here
+      val (served, _) = graft.search.IndexCache.pqArtifact(
+        loaded.version, "Vec", "emb", m = 4, ks = 256,
+        loaded.nodesFor("Vec"), vecCol = "emb")
+      val fresh = VectorOps.trainPq(nodes, "emb", m = 4)
+      assert(served.m == fresh.m && served.subDim == fresh.subDim)
+      (0 until fresh.m).foreach { sI =>
+        (0 until fresh.ks).foreach { c =>
+          assert(java.util.Arrays.equals(served.codebooks(sI)(c), fresh.codebooks(sI)(c)),
+            s"loaded codebook ($sI,$c) differs from deterministic train")
+        }
+      }
+    } finally spark.conf.unset("graft.search.pqM")
   }
 
   test("durable index artifacts round-trip and pre-populate the serving cache") {
