@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, SuffixDedup, Temporal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,7 +76,7 @@ object SparkEntry {
     "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
     "q_media_audio", "q_media_video", "q_vector_pq_recall",
-    "q_vector_ivfpq_recall")
+    "q_vector_ivfpq_recall", "q_doc_pack")
 
   import SortOrder.{Asc, Desc}
 
@@ -479,6 +479,20 @@ object SparkEntry {
       Curation.sampleByRates(docs(s, d), "source", "doc_id",
         rates = Map("src0" -> 5, "src1" -> 3), defaultNum = 1, den = 10)
         .select("doc_id")),
+    // epoch upsampling: 2.5× src0, 1× src1, 0.4× the rest — row copies
+    // with a deterministic fractional epoch, no shuffle
+    "q_doc_upsample" -> ((s, d) =>
+      Curation.upsampleByRates(docs(s, d), "source", "doc_id",
+        rates = Map("src0" -> 25, "src1" -> 10), defaultNum = 4, den = 10)
+        .select("doc_id", "epoch")),
+    // sequence packing: shard by doc_id mod 16, greedy-fill 512-token
+    // training sequences per shard (one exchange + one sequential scan)
+    "q_doc_pack" -> ((s, d) =>
+      Packing.packSequences(docs(s, d), "doc_id", "text",
+        window = 512, nBuckets = 16)),
+    "q_doc_pack_stats" -> ((s, d) =>
+      Packing.packStats(docs(s, d), "doc_id", "text",
+        window = 512, nBuckets = 16)),
 
     // ---- training-data pipeline: decontamination + repetition
     // (extension). Eval side = the doc_id % 10 = 7 held-out slice;
@@ -987,6 +1001,39 @@ object SparkEntry {
     "q_doc_domain_mix" -> ("SELECT doc_id FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < " +
       "CASE WHEN source = 'src0' THEN 5 WHEN source = 'src1' THEN 3 ELSE 1 END"),
+    // epoch upsampling: copies = num//den + (idhash%den < num%den),
+    // one output row per (doc, epoch) — same 60-bit md5 hash family
+    "q_doc_upsample" -> ("WITH t AS (SELECT doc_id, " +
+      "CASE WHEN source = 'src0' THEN 25 WHEN source = 'src1' THEN 10 ELSE 4 END AS num, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS h " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, num // 10 + CASE WHEN h < num % 10 THEN 1 ELSE 0 END AS c FROM t) " +
+      "SELECT doc_id, unnest(range(c)) AS epoch FROM c WHERE c > 0"),
+    // greedy shard-then-pack replayed as a recursive CTE: one row per
+    // step per bucket, carrying (open seq, fill) forward in id order
+    "q_doc_pack" -> (
+      "WITH RECURSIVE base AS (SELECT doc_id, doc_id % 16 AS bucket, " +
+      "least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 512) AS t, " +
+      "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn FROM documents), " +
+      "pack AS (SELECT bucket, rn, doc_id, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
+      "FROM base WHERE rn = 1 " +
+      "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.t, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.seq ELSE p.seq + 1 END, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END " +
+      "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
+      "SELECT doc_id, bucket, seq, t AS n_tok FROM pack"),
+    "q_doc_pack_stats" -> (
+      "WITH RECURSIVE base AS (SELECT doc_id, doc_id % 16 AS bucket, " +
+      "least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 512) AS t, " +
+      "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn FROM documents), " +
+      "pack AS (SELECT bucket, rn, doc_id, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
+      "FROM base WHERE rn = 1 " +
+      "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.t, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.seq ELSE p.seq + 1 END, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END " +
+      "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
+      "SELECT bucket, seq, count(*) AS docs, CAST(sum(t) AS BIGINT) AS fill, " +
+      "round(CAST(sum(t) AS DOUBLE) / 512, 4) AS fill_ratio FROM pack GROUP BY 1, 2"),
 
     // ---- decontamination: eval slice = doc_id % 10 = 7; a corpus doc
     // is contaminated per shared distinct 3-gram shingle (hash algebra

@@ -64,6 +64,32 @@ object Curation {
     df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < rate)
   }
 
+  /** Epoch upsampling — the other half of the mixture recipe that
+    * [[sampleByRates]] downsamples: emit `num/den` copies of each row
+    * (per-source rates, e.g. "2.5× wiki epochs" = num 25, den 10),
+    * with the fractional epoch decided by the same deterministic id
+    * hash, so expected multiplicity is exactly `num/den` and the
+    * chosen rows never churn as other sources' rates change. Output
+    * gains an `epoch` column (0-based copy index) so downstream
+    * shuffles can spread copies. Pure per-row `explode(sequence(...))`
+    * — no shuffle, no RNG, linear output in the configured epoch mass.
+    * Rates below `den` degrade to [[sampleByRates]] (0-or-1 copies).
+    */
+  def upsampleByRates(df: DataFrame, srcCol: String, idCol: String,
+      rates: Map[String, Int], defaultNum: Int, den: Int): DataFrame = {
+    require(den > 0, s"den must be positive, got $den")
+    val rate = rates.foldRight(lit(defaultNum): Column) {
+      case ((src, num), rest) => when(col(srcCol) === src, lit(num)).otherwise(rest)
+    }
+    val copies = (rate.cast("long") / lit(den.toLong)).cast("long") +
+      when(pmod(idHash(col(idCol)), lit(den.toLong)) < pmod(rate.cast("long"), lit(den.toLong)),
+        lit(1L)).otherwise(lit(0L))
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   /** Deterministic train/val/test assignment from the same id hash:
     * bucket = md5hash(id) % den, split by cumulative thresholds.
     * `cuts` are upper bounds per split, e.g.

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for LLM pretraining pipelines: bin documents into
+  * fixed token-budget training sequences (context windows) with
+  * deterministic shard-then-pack semantics.
+  *
+  * Packing is inherently sequential (an open bin's leftover space
+  * depends on every earlier placement), so the scalable shape is the
+  * one production pipelines use: SHARD first, pack WITHIN each shard.
+  * Shard assignment is pure arithmetic (`bucket = doc_id mod B`), so
+  * the layout is a deterministic function of the corpus alone — no
+  * RNG, no partition sensitivity, and an external engine can replay
+  * the exact same packing (the DuckDB oracle does, via a recursive
+  * CTE). At 100 TB the B buckets pack in parallel, each as a single
+  * bounded sequential scan; B scales with the corpus (target shard
+  * size = what one task should stream), and bucket-mod-id keeps shards
+  * uniform so there is no skew to salt.
+  *
+  * Physical plan: one hash exchange on `bucket`, an in-partition sort
+  * `(bucket, doc_id)`, then a stateful `mapPartitions` scan (state =
+  * one open bin per bucket; buckets are contiguous after the sort, so
+  * state is two longs). No collect, no windows over the whole corpus,
+  * no second shuffle.
+  *
+  * Greedy first-fit-in-id-order: a doc joins the open sequence if it
+  * fits, else opens the next one. Docs longer than the window cap at
+  * the window (real pipelines truncate or split long docs upstream;
+  * the cap keeps every sequence's fill ≤ window without a special
+  * case). This is the standard "greedy packing" baseline — within a
+  * few percent of optimal fill for natural document-length
+  * distributions, and O(n) versus NP-hard exact binning.
+  */
+object Packing {
+
+  /** Per-document sequence assignment: `(doc_id, bucket, seq, n_tok)`
+    * where `seq` is 1-based within the bucket and `n_tok` is the
+    * window-capped whitespace token count the doc contributes.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      window: Int, nBuckets: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val base = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).as("bucket"),
+      least(TextAnalysis.tokenCount(col(textCol)), lit(window.toLong))
+        .cast("long").as("n_tok"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("n_tok", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val w = window.toLong
+    base.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .mapPartitions { rows =>
+        // One open bin per bucket; buckets arrive contiguous, so the
+        // state resets on each bucket change: the first doc of a
+        // bucket always anchors sequence 1 (even at 0 tokens).
+        var cur = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        rows.map { r =>
+          val id = r.getLong(0); val b = r.getLong(1); val t = r.getLong(2)
+          if (b != cur) { cur = b; seq = 1L; fill = t }
+          else if (fill + t <= w) fill += t
+          else { seq += 1L; fill = t }
+          Row(id, b, seq, t)
+        }
+      }(enc)
+  }
+
+  /** Per-sequence fill report over [[packSequences]]:
+    * `(bucket, seq, docs, fill, fill_ratio)` — the packing-efficiency
+    * view (padding waste = `1 - fill_ratio`) that decides whether the
+    * window/shard parameters are right before a training run. Pure
+    * hash aggregation over the assignment; adds one exchange.
+    */
+  def packStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int, nBuckets: Int): DataFrame =
+    packSequences(df, idCol, textCol, window, nBuckets)
+      .groupBy(col("bucket"), col("seq"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tok")).as("fill"),
+        round(sum(col("n_tok")).cast("double") / window, 4).as("fill_ratio"))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Curation, Packing}
+
+/** Sequence packing + epoch upsampling: the Spark operators replayed
+  * against single-threaded reference implementations on randomized
+  * corpora (fixed seeds), plus the structural invariants a training
+  * loader relies on.
+  */
+class PackingSpec extends GraftSuite {
+
+  private def corpus(seed: Int, n: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val words = rnd.nextInt(40) // includes 0-token docs
+      (i.toLong, Seq.fill(words)("w" + rnd.nextInt(9)).mkString(" "),
+        "src" + rnd.nextInt(3))
+    }.toDF("doc_id", "text", "source")
+  }
+
+  /** Reference greedy pack: shard by id mod B, fill in id order. */
+  private def refPack(docs: Seq[(Long, Int)], window: Int, nBuckets: Int)
+      : Map[Long, (Long, Long, Long)] =
+    docs.groupBy { case (id, _) => id % nBuckets }.flatMap { case (b, ds) =>
+      var seq = 0L; var fill = 0L
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, rawT), i) =>
+        val t = math.min(rawT, window).toLong
+        if (i == 0) { seq = 1L; fill = t }
+        else if (fill + t <= window) fill += t
+        else { seq += 1L; fill = t }
+        id -> ((b, seq, t))
+      }
+    }
+
+  private def tokens(text: String): Int =
+    text.split("\\s+").count(_.nonEmpty)
+
+  test("packSequences matches the sequential greedy reference on random corpora") {
+    for (seed <- Seq(1, 7, 23)) {
+      val df = corpus(seed, 120)
+      val expected = refPack(
+        df.collect().map(r => (r.getLong(0), tokens(r.getString(1)))).toSeq,
+        window = 50, nBuckets = 8)
+      val got = Packing.packSequences(df, "doc_id", "text", window = 50, nBuckets = 8)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("packSequences invariants: fill <= window, seqs contiguous from 1, docs capped") {
+    val df = corpus(99, 200)
+    val rows = Packing.packSequences(df, "doc_id", "text", window = 40, nBuckets = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall(_._3 <= 40))
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((b, s), g) =>
+      assert(g.map(_._3).sum <= 40, s"bucket $b seq $s overflows")
+    }
+    rows.groupBy(_._1).foreach { case (b, g) =>
+      val seqs = g.map(_._2).distinct.sorted.toSeq
+      assert(seqs == (1L to seqs.max), s"bucket $b seqs not contiguous: $seqs")
+    }
+  }
+
+  test("packSequences survives a bucket spanning multiple input partitions") {
+    // all docs in ONE bucket, scattered across 4 input partitions: the
+    // repartition+sort must reassemble a single sequential scan
+    val s = spark
+    import s.implicits._
+    val df = (0 until 60).map(i => (i * 8L, "a b c d e f g"))
+      .toDF("doc_id", "text").repartition(4)
+    val got = Packing.packSequences(df, "doc_id", "text", window = 21, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    // 7 tokens each, window 21 -> exactly 3 docs per sequence, in id order
+    got.zipWithIndex.foreach { case ((_, seq), i) =>
+      assert(seq == i / 3 + 1, s"doc index $i got seq $seq")
+    }
+  }
+
+  test("packStats aggregates fill per sequence") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "a b c"), (8L, "d e"), (16L, "f g h i"))
+      .toDF("doc_id", "text") // one bucket (mod 8 = 0): 3+2 fit in 5, then 4
+    val stats = Packing.packStats(df, "doc_id", "text", window = 5, nBuckets = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(stats.toSeq == Seq((1L, 2L, 5L, 1.0), (2L, 1L, 4L, 0.8)))
+  }
+
+  test("upsampleByRates emits num/den copies with deterministic fractional epochs") {
+    val df = corpus(5, 100)
+    val got = Curation.upsampleByRates(df, "source", "doc_id",
+      rates = Map("src0" -> 25, "src1" -> 10), defaultNum = 4, den = 10)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"), max("epoch").as("maxe"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val src = df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    src.foreach { case (id, source) =>
+      val num = source match { case "src0" => 25; case "src1" => 10; case _ => 4 }
+      got.get(id) match {
+        case Some((c, maxe)) =>
+          assert(c == num / 10 || c == num / 10 + 1, s"doc $id copies $c for rate $num/10")
+          assert(maxe == c - 1, s"doc $id epochs not 0..${c - 1}")
+        case None => assert(num < 10, s"doc $id dropped at rate $num/10")
+      }
+    }
+    // aggregate multiplicity ~ num/den: exactly floor + hash-fraction
+    val src0 = src.filter(_._2 == "src0").keys.toSet
+    val copies0 = got.filter(k => src0(k._1)).values.map(_._1).sum
+    assert(copies0 >= src0.size * 2 && copies0 <= src0.size * 3)
+  }
+
+  test("upsampleByRates at sub-unit rates equals sampleByRates membership") {
+    val df = corpus(11, 150)
+    val up = Curation.upsampleByRates(df, "source", "doc_id",
+      rates = Map("src0" -> 5, "src1" -> 3), defaultNum = 1, den = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val down = Curation.sampleByRates(df, "source", "doc_id",
+      rates = Map("src0" -> 5, "src1" -> 3), defaultNum = 1, den = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(up == down)
+    assert(up.distinct == up) // never more than one copy below den
+  }
+}
