@@ -593,12 +593,12 @@ object SparkEntry {
     // encode -> distribute -> decode roundtrip is pixel-exact.
     "q_media_checksum" -> ((s, d) =>
       Multimodal.pixelChecksum(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
-          .where(col("modality") === "image"))),
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("image")))),
     "q_media_probe" -> ((s, d) =>
       Multimodal.probeImageMeta(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id"))
-        .where(col("modality") === "image")
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("image")))
         .select(col("media_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"))),
     // frame sampling over the REAL demuxed frame count: probeVideoMeta
@@ -607,8 +607,8 @@ object SparkEntry {
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.probeVideoMeta(
-          Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
-            .where(col("modality") === "video")), stride = 2)
+          Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+            only = Some("video"))), stride = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))),
     // real video: AVI containers (uncompressed DIB frames) synthesized
     // distributed, demuxed + decoded per partition — the oracle
@@ -617,16 +617,16 @@ object SparkEntry {
     // reproduced every frame of every payload bit-for-bit
     "q_media_video" -> ((s, d) =>
       Multimodal.videoChecksum(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
-          .where(col("modality") === "video"))),
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("video")))),
     // real audio: WAV payloads synthesized distributed, decoded via
     // javax.sound — the oracle recomputes the decoded sample sum
     // arithmetically, so a hash match proves the encode -> distribute
     // -> decode roundtrip reproduced every 16-bit sample
     "q_media_audio" -> ((s, d) =>
       Multimodal.audioChecksum(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id")
-          .where(col("modality") === "audio"))),
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("audio")))),
   )
 
   // ------------------------------------------------------------------ oracle

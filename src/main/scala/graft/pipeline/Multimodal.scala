@@ -102,25 +102,36 @@ object Multimodal {
     out
   }
 
-  /** Encode 16-bit signed mono PCM samples as a real WAV container
-    * (javax.sound.sampled — pure JVM, headless-safe).
+  /** Encode 16-bit signed mono PCM samples as a real WAV container:
+    * the canonical 44-byte RIFF/WAVE/fmt/data layout (identical bytes
+    * to what javax.sound's WAVE writer emits for this format), written
+    * directly — the per-item `AudioSystem` stream machinery costs
+    * ~1 ms/row, which dominates a corpus-scale encode kernel.
     */
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, 1, true, false) // 16-bit signed LE mono
-    val pcm = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1); le32(24, sampleRate) // mono
+    le32(28, sampleRate * 2); le16(32, 2); le16(34, 16) // byteRate/block/bits
+    tag(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xFF).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      out(44 + 2 * i) = (samples(i) & 0xFF).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   /** Decode an audio payload to (sampleRate, channels, interleaved
@@ -129,7 +140,49 @@ object Multimodal {
     */
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
     if (bytes == null) None
-    else
+    else decodeWavPcm(bytes).orElse(decodeAudioJavax(bytes))
+
+  /** Direct RIFF/WAVE chunk walk for the common case (16-bit PCM,
+    * little-endian) — the same grammar the AVI demuxer below parses,
+    * without per-item `AudioSystem` SPI lookup. Returns None for
+    * anything non-canonical (AIFF/AU, compressed, 8/24-bit), which
+    * then takes the javax.sound path unchanged.
+    */
+  private def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def le32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var channels = -1; var ok = false
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (data.isEmpty || !ok)) {
+      val id = tag(off); val len = le32(off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          ok = le16(off + 8) == 1 && le16(off + 22) == 16 // PCM, 16-bit
+          channels = le16(off + 10); rate = le32(off + 12)
+        case "data" => data = Some((off + 8, len))
+        case _ => ()
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (!ok || data.isEmpty || rate <= 0 || channels <= 0) return None
+    val (start, len) = data.get
+    val n = len / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((b(start + 2 * i) & 0xFF) | (b(start + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Some((rate, channels, out))
+  }
+
+  private def decodeAudioJavax(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(bytes))
@@ -577,10 +630,17 @@ object Multimodal {
     * the declared meta.n_frames stays the raw id%100+1 so the probe
     * path demonstrably corrects it from the real container. PNG/WAV/
     * AVI synthesis runs per-partition (distributed, no driver loop).
+    *
+    * `only` restricts synthesis to one modality: Catalyst cannot push
+    * a `modality = …` predicate through the opaque mapPartitions
+    * kernel, so a caller that wants one modality's rows must hand the
+    * predicate to the builder or pay payload synthesis for the other
+    * two thirds of the corpus.
     */
-  def mediaFromIds(ids: DataFrame, idCol: String): DataFrame = {
+  def mediaFromIds(ids: DataFrame, idCol: String,
+      only: Option[String] = None): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    val base = ids.select(
+    val base0 = ids.select(
       col(idCol).cast("long").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col(idCol) % 3 + 1).cast("int")).as("modality"),
@@ -591,6 +651,15 @@ object Multimodal {
         lit(16000).cast("int").as("sample_rate"),
         (col(idCol) % 100 + 1).cast("int").as("n_frames"),
         lit("fake").as("format")).as("meta"))
+    val filtered = only.fold(base0)(m => base0.where(col("modality") === m))
+    // The codec kernel below is CPU-bound per item; a small id list
+    // read from one parquet file collapses to 1-2 partitions and would
+    // serialize it on one core. Spreading bare (id, meta) rows is a
+    // ~free shuffle next to per-item PNG/WAV/AVI synthesis. Real media
+    // tables arrive partitioned from storage and skip this branch.
+    val target = ids.sparkSession.sessionState.conf.numShufflePartitions
+    val base = if (filtered.rdd.getNumPartitions * 2 < target)
+      filtered.repartition(target) else filtered
     base.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
