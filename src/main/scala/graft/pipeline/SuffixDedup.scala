@@ -35,17 +35,22 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     the overwhelming majority of positions, discarded for the cost
   *     of one map-side-combined count.
   *  2. ONE global sort of the retained positions by their remaining
-  *     suffix (token-hash slice). Lexicographic array order groups
-  *     equal-window positions contiguously, so suffix-array adjacency
-  *     within the retained set is exact for every LCP >= n.
+  *     suffix (token-hash slice), EXECUTED ONCE. Lexicographic array
+  *     order groups equal-window positions contiguously, so
+  *     suffix-array adjacency within the retained set is exact for
+  *     every LCP >= n.
   *  3. dupLen(p) = max(LCP with sort-predecessor, with successor),
-  *     computed in one partition-local pass: each partition's first
-  *     and last rows are collected (bounded by partition count) and
-  *     broadcast so boundary pairs need no extra shuffle or self-join.
-  *  HARD ASSUMPTION: the sorted frame carries each retained position's
-  *  remaining tokens — O(retained positions × doc length). The same
-  *  bound the LCP stage of any formulation pays here; unbounded
-  *  documents must chunk first or take the fallback.
+  *     computed in the same single pass over the sort output: interior
+  *     rows emit compactly (no suffix), each partition's first/last
+  *     rows keep their suffix and are collected (bounded by partition
+  *     count) for a driver-side cross-partition LCP fix-up broadcast
+  *     into a second map over the small pass output. The sorted slice
+  *     frame itself is never persisted — peak memory is the sort's own
+  *     spillable execution buffers.
+  *  HARD ASSUMPTION: the sort shuffles each retained position's
+  *  remaining tokens — O(retained positions × doc length) bytes moved
+  *  (not resident). The same bound the LCP stage of any formulation
+  *  pays; unbounded documents must chunk first or take the fallback.
   *
   * FALLBACK (unbounded documents): KR prefix-refinement. Positions
   * rank by the COUNT of strictly-smaller suffixes at the current
@@ -121,18 +126,30 @@ object SuffixDedup {
     mark(s"stats total=$total maxLen=$maxLen")
 
     val out =
-      if (maxLen <= maxSliceTokens) sliceSortPath(spark, store, toksH, n, spill, mark)
+      if (maxLen <= maxSliceTokens) sliceSortPath(spark, toksH, n, mark)
       else rankRefinePath(spark, store, toksH, n, spill, mark)
     store.release()
     out
   }
 
-  /** PRIMARY path: dup-window hash filter, one global sort of the
-    * retained suffix slices, partition-local adjacent-LCP scan with
-    * broadcast partition-boundary rows.
+  /** PRIMARY path: dup-window hash filter, ONE global sort of the
+    * retained suffix slices executed ONCE, partition-local adjacent-LCP
+    * scan, driver-side fix-up of the <= 2·partitions boundary pairs.
+    *
+    * The sorted slice frame — the pass's only O(retained positions ×
+    * doc length) object — is never persisted: the single scan over it
+    * emits COMPACT rows (id, len, p, within-partition dupLen) for
+    * interior positions and keeps a suffix copy only on each
+    * partition's first/last row. Those boundary rows are collected
+    * (bounded by partition count), their cross-partition LCPs computed
+    * on the driver, and the corrections broadcast into a second map
+    * over the SMALL persisted pass output. Peak memory is therefore
+    * the sort's own execution buffers (spillable, managed) plus the
+    * compact output — the earlier shape (persist the sorted slices,
+    * run the scan as a second job) held the full slice frame in
+    * storage memory and thrashed everything else in a shared session.
     */
-  private def sliceSortPath(spark: SparkSession, store: Scratch.FrameStore,
-      toksH: DataFrame, n: Int, spill: Boolean,
+  private def sliceSortPath(spark: SparkSession, toksH: DataFrame, n: Int,
       mark: String => Unit): DataFrame = {
     // n-token window hash per position; a 64-bit collision can only
     // RETAIN a unique-window position (its exact LCPs stay < n and it
@@ -145,38 +162,15 @@ object SuffixDedup {
     val dupKeys = pos.groupBy(col("_kh")).agg(count(lit(1)).as("_c"))
       .where(col("_c") >= 2).select("_kh")
     val retained = pos.join(dupKeys, "_kh").select("_did", "_len", "_p")
-    // the UNSORTED slices are the reliably-kept frame; the sort runs on
-    // top with a lineage-PRESERVING persist. A parquet read-back of a
-    // sorted frame would not do: scan splits are scheduled size-first,
-    // so file order != rank order — and the boundary scan below needs
-    // rdd partition order to BE the global sort order. Recomputing a
-    // lost sort partition from the kept frame is deterministic (range
-    // partitioner bounds are sampled once per plan).
-    val base = store.keep(retained.join(toksH, "_did")
+    // lineage of the sorted frame stays rooted at the KEPT toksH
+    // (checkpoint or scratch parquet), so a lost sort partition
+    // recomputes deterministically (range bounds are sampled once per
+    // plan) without materializing the slice frame anywhere
+    val sorted = retained.join(toksH, "_did")
       .select(col("_did"), col("_len"), col("_p"),
         slice(col("_th"), col("_p") + 1,
-          (col("_len") - col("_p")).cast("int")).as("_sfx")), spill)
-    val sorted = base.orderBy(col("_sfx"))
-    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    mark("slice-sort")
-
-    // per-partition first/last rows (bounded by the partition count)
-    // broadcast so each partition computes every one of its rows'
-    // dupLen locally — boundary pairs cost no shuffle and no self-join
-    val rdd = sorted.rdd
-    val nParts = rdd.getNumPartitions
-    val ends = rdd.mapPartitionsWithIndex { (i, it) =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val first = it.next()
-        var last = first
-        while (it.hasNext) last = it.next()
-        Iterator((i, first, last))
-      }
-    }.collect()
-    val bcFirst = spark.sparkContext.broadcast(ends.map(e => e._1 -> e._2).toMap)
-    val bcLast = spark.sparkContext.broadcast(ends.map(e => e._1 -> e._3).toMap)
-    mark("ends")
+          (col("_len") - col("_p")).cast("int")).as("_sfx"))
+      .orderBy(col("_sfx"))
 
     def sfx(r: Row): Seq[Long] = r.getSeq[Long](3)
     def lcpOf(a: Seq[Long], b: Seq[Long]): Long = {
@@ -185,36 +179,69 @@ object SuffixDedup {
       while (l < m && a(l) == b(l)) l += 1
       l.toLong
     }
-    val outRdd = rdd.mapPartitionsWithIndex { (i, it) =>
+    // roles: 0 = interior (no suffix carried), 1 = partition first,
+    // 2 = partition last, 3 = both (single-row partition)
+    val passed = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pred = ((i - 1) to 0 by -1).iterator
-          .flatMap(j => bcLast.value.get(j)).find(_ => true)
-        val succ = ((i + 1) until nParts).iterator
-          .flatMap(j => bcFirst.value.get(j)).find(_ => true)
         val buf = it.buffered
-        var prevSfx = pred.map(sfx).orNull
-        new Iterator[Row] {
+        var prevSfx: Seq[Long] = null
+        var isFirst = true
+        new Iterator[(Int, Int, Row, Seq[Long], Long)] {
           def hasNext: Boolean = buf.hasNext
-          def next(): Row = {
+          def next(): (Int, Int, Row, Seq[Long], Long) = {
             val cur = buf.next()
             val cs = sfx(cur)
             val withPrev = if (prevSfx == null) 0L else lcpOf(prevSfx, cs)
-            val nextSfx =
-              if (buf.hasNext) sfx(buf.head) else succ.map(sfx).orNull
-            val withNext = if (nextSfx == null) 0L else lcpOf(cs, nextSfx)
+            val withNext = if (buf.hasNext) lcpOf(cs, sfx(buf.head)) else 0L
             prevSfx = cs
-            Row(cur.get(0), cur.getLong(1), cur.getLong(2),
-              math.max(withPrev, withNext))
+            val isLast = !buf.hasNext
+            val role = (if (isFirst) 1 else 0) | (if (isLast) 2 else 0)
+            isFirst = false
+            (pi, role, Row(cur.get(0), cur.getLong(1), cur.getLong(2)),
+              if (role == 0) null else cs, math.max(withPrev, withNext))
           }
         }
       }
     }
-    val schema = StructType(sorted.schema.fields.take(3) :+
-      StructField("_dl", LongType, nullable = false))
+    passed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // boundary fix-up: adjacent (last of partition i, first of next
+    // non-empty partition j) pairs — computed on the driver from the
+    // collected boundary rows, bounded by 2 × partition count
+    val boundary = passed.filter(_._2 != 0)
+      .map { case (pi, role, r, s, dl) => (pi, role, r, s, dl) }.collect()
+    mark("slice-sort+scan")
+    val byPart = boundary.groupBy(_._1)
+    val partsInOrder = byPart.keys.toArray.sorted
+    val corr = scala.collection.mutable.HashMap.empty[(Any, Long), Long]
+    var k = 0
+    while (k < partsInOrder.length - 1) {
+      val left = byPart(partsInOrder(k)).find(e => (e._2 & 2) != 0).get
+      val right = byPart(partsInOrder(k + 1)).find(e => (e._2 & 1) != 0).get
+      val l = lcpOf(left._4, right._4)
+      def bump(e: (Int, Int, Row, Seq[Long], Long)): Unit = {
+        val key = (e._3.get(0), e._3.getLong(2))
+        corr(key) = math.max(corr.getOrElse(key, 0L), l)
+      }
+      bump(left); bump(right)
+      k += 1
+    }
+    val bcCorr = spark.sparkContext.broadcast(corr.toMap)
+    val outRdd = passed.map { case (_, role, r, _, dl) =>
+      val fixed =
+        if (role == 0) dl
+        else math.max(dl,
+          bcCorr.value.getOrElse((r.get(0), r.getLong(2)), 0L))
+      Row(r.get(0), r.getLong(1), r.getLong(2), fixed)
+    }
+    val schema = StructType(toksH.schema("_did") +:
+      Seq(StructField("_len", LongType, nullable = false),
+        StructField("_p", LongType, nullable = false),
+        StructField("_dl", LongType, nullable = false)))
     val out = spark.createDataFrame(outRdd, schema).localCheckpoint(true)
-    sorted.unpersist(false)
-    mark("lcp+out")
+    passed.unpersist(false)
+    mark("fixup+out")
     out
   }
 
