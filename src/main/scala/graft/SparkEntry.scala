@@ -73,7 +73,7 @@ object SparkEntry {
     "q_embed_knn", "q_doc_fingerprint", "q_union", "q_media_checksum",
     "q_doc_decontam", "q_doc_repetition", "q_doc_cross_pairs", "q_doc_lm_score",
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
-    "q_event_window", "q_doc_span_extract", "q_doc_span_strip",
+    "q_event_window", "q_event_range", "q_doc_span_extract", "q_doc_span_strip",
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
     "q_media_audio", "q_media_video", "q_vector_pq_recall",
     "q_vector_ivfpq_recall", "q_doc_pack")
@@ -574,6 +574,21 @@ object SparkEntry {
       Temporal.rollingCount(events(s, d),
         "user_id", "ts", "event_id", windowSec = 3600, saltBuckets = 8)
         .select("event_id", "n_prior")),
+    // range (interval) join: clicks inside a ±6 h attribution window
+    // around each purchase by the same user — the bin-bucketed
+    // equi-join plan (derived bucket width), exact BETWEEN post-filter
+    "q_event_range" -> ((s, d) => {
+      val ev = events(s, d)
+      Temporal.rangeJoin(
+        ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (col("ts") - expr("INTERVAL 6 HOURS")).as("w_start"),
+            (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end")),
+        "user_id", "ts", "w_start", "w_end")
+        .select("click_id", "purchase_id")
+    }),
     // int8 quantization fidelity, summarized scalar-only (the driver
     // compare rejects collection columns): quantized-component sum,
     // rounded scale, and the max dequantization error per vector
@@ -932,6 +947,15 @@ object SparkEntry {
       "(PARTITION BY user_id ORDER BY ts " +
       "RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) - 1 " +
       "AS n_prior FROM events"),
+    // range join: the plain BETWEEN join is the independent formulation
+    // of the bin-bucketed equi-join + post-filter plan
+    "q_event_range" -> ("WITH c AS (SELECT event_id AS click_id, user_id, ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT event_id AS purchase_id, user_id, " +
+      "ts - INTERVAL 6 HOUR AS s, ts + INTERVAL 6 HOUR AS e " +
+      "FROM events WHERE event_type = 'purchase') " +
+      "SELECT c.click_id, p.purchase_id FROM c JOIN p " +
+      "ON c.user_id = p.user_id AND c.ts BETWEEN p.s AND p.e"),
     // int8 quantization: q_i = round(v_i / (max|v|/127)); exact-widened
     // float->double on both sides, round() = half away from zero in
     // both engines

@@ -117,6 +117,63 @@ object Temporal {
     }
   }
 
+  /** Range (interval) join: every (left point, right interval) pair
+    * with the same key where `startCol <= tsCol <= endCol` — the
+    * point-in-interval join behind session attribution, exposure
+    * windows, and label-window alignment. Inner join; output = the
+    * key, then the remaining left columns, then the right columns,
+    * one row per matching pair. Rows whose interval is inverted
+    * (`start > end`) match nothing, exactly as SQL `BETWEEN`.
+    *
+    * Shape — the bin-bucketed equi-join formulation (how warehouse
+    * engines execute range joins when given a bin-size hint): a plain
+    * `l.key = r.key AND l.ts BETWEEN r.s AND r.e` plan degenerates to
+    * per-key nested-loop filtering inside a sort-merge join — a hot
+    * key serializes. Instead both sides bucket the TIME axis: a point
+    * lands in `floor(ts / W)`, an interval explodes over the buckets
+    * it covers, and the join becomes an equi-join on `(key, bucket)`
+    * with the exact `BETWEEN` as a post-filter. Each true pair meets
+    * in EXACTLY one bucket (the point's), so no dedup pass is needed.
+    * Cost: the interval side inflates by `len/W + 1` rows; hash
+    * parallelism is `key × occupied-bucket`, so a hot key spreads
+    * across its timeline — same discipline as [[rollingCount]]'s
+    * spans, without ghosts because pairs, not window frames, are the
+    * output.
+    *
+    * `bucketWidthSec = 0` derives the width from the data as the MAX
+    * interval length (one aggregation): every interval then covers at
+    * most 2 buckets (inflation bound 2×), the right tradeoff when
+    * interval lengths are comparable. Corpora mixing rare huge
+    * intervals into mostly-short ones should pass an explicit width
+    * near the TYPICAL length instead — long intervals inflate but the
+    * bucket grain stays fine.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, startCol: String, endCol: String,
+      bucketWidthSec: Long = 0): DataFrame = {
+    def usOf(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => (col(c).cast("double") * 1000000L).cast("long")
+    }
+    val r0 = right.where(col(startCol) <= col(endCol))
+      .withColumn("_sus", usOf(right, startCol))
+      .withColumn("_eus", usOf(right, endCol))
+    val widthUs =
+      if (bucketWidthSec > 0) bucketWidthSec * 1000000L
+      else {
+        val m = r0.agg(max(col("_eus") - col("_sus"))).head()
+        if (m.isNullAt(0)) 1000000L else math.max(m.getLong(0), 1L)
+      }
+    val l = left.withColumn("_lus", usOf(left, tsCol))
+      .withColumn("_bkt", floor(col("_lus") / widthUs))
+    val r = r0.withColumn("_bkt",
+      explode(sequence(floor(col("_sus") / widthUs),
+        floor(col("_eus") / widthUs))))
+    l.join(r, Seq(keyCol, "_bkt"))
+      .where(col("_lus").between(col("_sus"), col("_eus")))
+      .drop("_bkt", "_lus", "_sus", "_eus")
+  }
+
   /** Trailing-window activity count: for each row, how many OTHER rows
     * of the same key fall within `windowSec` seconds at or before its
     * timestamp — the standard point-in-time rate/velocity feature

@@ -97,4 +97,44 @@ class TemporalSpec extends GraftSuite {
     assert(Temporal.asofJoin(empty, emptyR, "user_id", "ts", "event_id",
       "value", saltBuckets = 8).count() == 0)
   }
+
+  test("rangeJoin equals the naive BETWEEN join at any bucket width") {
+    val ev = skewed()
+    val left = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val right = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("s"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+    val naive = left.join(right.withColumnRenamed("user_id", "u2"),
+        col("user_id") === col("u2") && col("ts").between(col("s"), col("e")))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture must produce matches")
+    // derived width (= max interval length) and widths far smaller /
+    // larger than the intervals must all agree pair-for-pair
+    for (w <- Seq(0L, 60L, 100000L)) {
+      val got = Temporal.rangeJoin(left, right, "user_id", "ts", "s", "e",
+          bucketWidthSec = w)
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w: ${got.size} vs ${naive.size}")
+    }
+  }
+
+  test("rangeJoin: inverted and point intervals, numeric ts contract") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 2L, 100L))
+      .toDF("lid", "k", "ts") // epoch seconds as longs
+    val right = Seq(
+      (10L, 1L, 100L, 100L), // point interval: matches ts=100 exactly
+      (11L, 1L, 150L, 90L),  // inverted: matches nothing
+      (12L, 2L, 50L, 150L))  // spans lid=3
+      .toDF("rid", "k", "s", "e")
+    val got = Temporal.rangeJoin(left, right, "k", "ts", "s", "e")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 12L)), s"got $got")
+  }
 }
