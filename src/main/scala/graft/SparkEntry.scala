@@ -463,6 +463,17 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), Curation.scrubPii(col("text")).as("scrubbed"))),
     "q_doc_sample" -> ((s, d) =>
       Curation.hashSample(docs(s, d), "doc_id", num = 1, den = 10).select("doc_id")),
+    // seeded deterministic training-order shuffle: every doc's position
+    // in the md5(id:seed) permutation, replayable on any engine
+    "q_doc_shuffle" -> ((s, d) =>
+      Curation.shuffleOrder(docs(s, d), "doc_id", seed = "s7")),
+    // SemDeDup-shaped embedding dedup: cosine >= 0.5 near-dup pairs ->
+    // connected components -> keep each cluster's min id (composition
+    // of the IVF-bucketed pair path and the cluster/keep machinery)
+    "q_embed_keep" -> ((s, d) =>
+      Dedup.dedupCorpus(emb(s, d), "vec_id",
+        Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5))
+        .select("vec_id")),
     "q_doc_split" -> ((s, d) =>
       Curation.splitAssign(docs(s, d), "doc_id",
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
@@ -1004,6 +1015,22 @@ object SparkEntry {
       "FROM documents"),
     "q_doc_sample" -> ("SELECT doc_id FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 1"),
+    // hex digests sort identically in both engines; ties break by id
+    "q_doc_shuffle" -> ("SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s7'), doc_id) - 1 AS BIGINT) " +
+      "AS shuffle_pos FROM documents"),
+    // same reach-CTE shape as q_doc_keep, over cosine near-dup pairs
+    "q_embed_keep" -> ("WITH RECURSIVE pairs AS (" +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) >= 0.5), " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
+      "SELECT vec_id FROM embeddings WHERE vec_id NOT IN " +
+      "(SELECT a FROM reach GROUP BY a HAVING a <> min(b))"),
     "q_doc_split" -> ("WITH b AS (SELECT " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
       "FROM documents) " +

@@ -46,6 +46,33 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
     df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < num)
 
+  /** Deterministic seeded global shuffle: assign every row its
+    * position in the `md5(id ++ ":" ++ seed)`-ordered permutation of
+    * the corpus — the training-order shuffle. Changing the seed
+    * produces an unrelated permutation; the same seed replays the
+    * exact order on any engine (the hex digest sorts identically
+    * everywhere; ties — 128-bit collisions — break by id).
+    *
+    * Scale shape: one range-partitioned sort on the hash (what any
+    * global orderBy costs) plus the standard two-job rank assignment
+    * (per-partition counts collected, offsets broadcast — bounded by
+    * partition count). A pipeline that only needs the DATA in
+    * shuffled order (not the positions) should just `orderBy` the
+    * same key and write; the positions exist for manifests, resume
+    * points, and cross-engine verification.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String,
+      out: String = "shuffle_pos"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))).as("_sk"))
+      .orderBy(col("_sk"), col(idCol))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }
+    df.sparkSession.createDataFrame(rdd, StructType(Seq(
+      df.schema(idCol), StructField(out, LongType, nullable = false))))
+  }
+
   /** Domain-mix sampling: per-source deterministic keep rates, the
     * operator behind "20% web, 2× wiki epochs, downsample crawl"
     * mixture recipes. A row survives iff `md5hash(id) % den <

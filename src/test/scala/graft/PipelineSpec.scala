@@ -921,6 +921,24 @@ class PipelineSpec extends GraftSuite {
     assert(a.filter(_ % 4 == 1).subsetOf(b)) // higher rate only adds
   }
 
+  test("shuffleOrder is a seeded bijective permutation, stable across partitionings") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = Curation.shuffleOrder(df, "doc_id", "seedA")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bijection onto [0, n)
+    assert(a.values.toSet == (0L until 300L).toSet)
+    // same seed replays the exact order at a different partitioning
+    val a2 = Curation.shuffleOrder(df.repartition(7), "doc_id", "seedA")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2 == a)
+    // a different seed is a different permutation
+    val b = Curation.shuffleOrder(df, "doc_id", "seedB")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b != a && b.values.toSet == a.values.toSet)
+  }
+
   test("multimodal: image payloads REALLY decode, resize, and re-decode (ImageIO)") {
     val media = Multimodal.syntheticMedia(spark, 12)
     // synthetic image rows carry genuine PNG bytes
