@@ -81,6 +81,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration knob passthrough (e.g. graft.suffix.debugTiming):
+    // SPARK_GRAFT_CONF="k=v,k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     val allNames = SparkEntry.headline.filter(SparkEntry.queries.contains)
     val names =
       if (nameFilter.isEmpty) allNames else allNames.filter(nameFilter)
