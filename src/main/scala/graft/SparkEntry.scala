@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -585,6 +585,26 @@ object SparkEntry {
       Temporal.rollingCount(events(s, d),
         "user_id", "ts", "event_id", windowSec = 3600, saltBuckets = 8)
         .select("event_id", "n_prior")),
+    // ---- graph analytics (extension): co-occurrence projection of the
+    // order-part bipartite relation, then triangles / components over it
+    // (thinned by part-key residue so the oracle's self-joins stay
+    // bounded; the Spark side is the degree-ordered O(m^1.5) plan)
+    "q_graph_tri" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.triangleCounts(GraphAlgos.coOccurrence(
+        li.where(col("l_partkey") % 20 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"))
+        .select(col("node_id").as("order_id"), col("triangles"))
+    }),
+    "q_graph_cc" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.connectedComponents(GraphAlgos.coOccurrence(
+        li.where(col("l_partkey") % 200 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"))
+        .select(col("node_id").as("order_id"), col("component_id"))
+    }),
     // range (interval) join: clicks inside a ±6 h attribution window
     // around each purchase by the same user — the bin-bucketed
     // equi-join plan (derived bucket width), exact BETWEEN post-filter
@@ -958,6 +978,27 @@ object SparkEntry {
       "(PARTITION BY user_id ORDER BY ts " +
       "RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) - 1 " +
       "AS n_prior FROM events"),
+    // triangle listing by plain id order (a < b < c) — independent of
+    // the engine's degree-ordered orientation; same triangles
+    "q_graph_tri" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 20 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM ed e1 " +
+      "JOIN ed e2 ON e2.u = e1.v JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+      "SELECT order_id, count(*) AS triangles FROM " +
+      "(SELECT a AS order_id FROM tri UNION ALL SELECT b FROM tri " +
+      "UNION ALL SELECT c FROM tri) GROUP BY 1"),
+    // reach-CTE closure labels each vertex with its component minimum
+    "q_graph_cc" -> ("WITH RECURSIVE e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 200 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
+      "SELECT a AS order_id, least(a, min(b)) AS component_id " +
+      "FROM reach GROUP BY a"),
     // range join: the plain BETWEEN join is the independent formulation
     // of the bin-bucketed equi-join + post-filter plan
     "q_event_range" -> ("WITH c AS (SELECT event_id AS click_id, user_id, ts " +

@@ -774,7 +774,20 @@ object Dedup {
     * escalation. The convergence probe reads the just-materialized
     * checkpoint, so it costs no recompute.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Constraint barrier for the star/propagation rounds: an RDD
+    * round-trip yields a LogicalRDD with NO inherited constraints.
+    * Catalyst's Union constraint rewrite throws `key not found:
+    * <attr>` when a swapped-alias self-union child carries constraints
+    * referencing non-output attributes inherited from deep lineage
+    * (observed on co-occurrence pair frames over parquet joins —
+    * GraphAlgos.connectedComponents); localCheckpoint does NOT help,
+    * it preserves the origin constraints.
+    */
+  private def constraintBarrier(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  def dupClusters(pairs0: DataFrame, maxIter: Int = 20): DataFrame = {
+    val pairs = constraintBarrier(pairs0)
     // per-round frames go through the shared iterative-pass store:
     // localCheckpoint locally, reliable scratch parquet on a cluster
     // (graft.scratch.dir) — see Scratch.FrameStore
@@ -851,7 +864,8 @@ object Dedup {
     * Output schema matches dupClusters: (doc_id, cluster_id) with
     * cluster_id = component minimum.
     */
-  def dupClustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def dupClustersStar(pairs0: DataFrame, maxIter: Int = 30): DataFrame = {
+    val pairs = constraintBarrier(pairs0)
     val store = new Scratch.FrameStore(pairs.sparkSession)
     val nodes = store.keep(pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct())

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Curation, Decontam, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Curation, Decontam, Dedup, GraphAlgos, Multimodal, TextAnalysis}
 
 /** Training-data pipeline operators: dedup family, text analysis,
   * multimodal plumbing.
@@ -919,6 +919,57 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a.filter(_ % 4 != 1) == b.filter(_ % 4 != 1))
     assert(a.filter(_ % 4 == 1).subsetOf(b)) // higher rate only adds
+  }
+
+  test("GraphAlgos: co-occurrence, degrees, triangles vs brute force; CC over projection") {
+    val s = spark
+    import s.implicits._
+    // bipartite (group, item): groups of sizes 1-4 over 30 items
+    val rnd = new scala.util.Random(7)
+    val rel = (0 until 60).flatMap { g =>
+      (0 until rnd.nextInt(4) + 1).map(_ => (g.toLong, rnd.nextInt(30).toLong))
+    }.toDF("grp", "item")
+    val edges = GraphAlgos.coOccurrence(rel, "grp", "item")
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force projection
+    val raw = rel.distinct().collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val naive: Set[(Long, Long)] = raw.groupBy(_._1).values.toSeq.flatMap { g =>
+      val items = g.map(_._2).distinct
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.toSet
+    assert(got == naive, s"${got.size} vs ${naive.size}")
+    // degrees
+    val deg = GraphAlgos.degrees(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDeg = naive.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(deg == nDeg)
+    // triangles: per-vertex participation vs brute force over all triples
+    val tri = GraphAlgos.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verts = nDeg.keys.toSeq.sorted
+    val has = naive ++ naive.map(p => (p._2, p._1))
+    val nTri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- verts.indices; j <- i + 1 until verts.size; k <- j + 1 until verts.size) {
+      val (a, b, c) = (verts(i), verts(j), verts(k))
+      if (has((a, b)) && has((b, c)) && has((a, c))) {
+        nTri(a) += 1; nTri(b) += 1; nTri(c) += 1
+      }
+    }
+    assert(tri == nTri.toMap, s"tri mismatch: ${tri.size} vs ${nTri.size} vertices")
+    assert(tri.nonEmpty, "fixture must contain triangles")
+    // connected components directly over the projected edges (the
+    // constraint-barrier regression path: deep-lineage pair frames)
+    val cc = GraphAlgos.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force components
+    val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+    def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    naive.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nCc = verts.map(v => v -> find(v)).toMap
+    assert(cc == nCc)
   }
 
   test("shuffleOrder is a seeded bijective permutation, stable across partitionings") {
