@@ -469,10 +469,14 @@ object SparkEntry {
       Curation.shuffleOrder(docs(s, d), "doc_id", seed = "s7")),
     // SemDeDup-shaped embedding dedup: cosine >= 0.5 near-dup pairs ->
     // connected components -> keep each cluster's min id (composition
-    // of the IVF-bucketed pair path and the cluster/keep machinery)
+    // of the pair path and the cluster/keep machinery). bruteForce is
+    // PINNED exact here because the DuckDB oracle computes exact
+    // all-pairs cosine — the auto path would switch to the approximate
+    // IVF-bucketed join past BruteForcePairLimit and break the gate.
     "q_embed_keep" -> ((s, d) =>
       Dedup.dedupCorpus(emb(s, d), "vec_id",
-        Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5))
+        Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5,
+          bruteForce = Some(true)))
         .select("vec_id")),
     "q_doc_split" -> ((s, d) =>
       Curation.splitAssign(docs(s, d), "doc_id",

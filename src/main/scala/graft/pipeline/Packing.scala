@@ -40,14 +40,28 @@ object Packing {
   /** Per-document sequence assignment: `(doc_id, bucket, seq, n_tok)`
     * where `seq` is 1-based within the bucket and `n_tok` is the
     * window-capped whitespace token count the doc contributes.
+    *
+    * Id contract: `idCol` must hold NON-NEGATIVE NUMERIC ids. A null
+    * or non-numeric id (cast-to-long → null) would NPE inside the
+    * packing scan, and a negative id's `pmod` diverges from plain SQL
+    * `%` (Spark `pmod(-5,16)=11` vs DuckDB `-5%16=-5`), silently
+    * shifting shard assignment vs any external replay. Both fail
+    * loudly at execution instead.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       window: Int, nBuckets: Int): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val idL = col(idCol).cast("long")
+    val checkedId = when(idL.isNull || idL < 0, raise_error(concat(
+        lit(s"Packing.packSequences: '$idCol' must be a non-negative " +
+          "numeric id (shard = id mod B must replay identically in " +
+          "external engines), got: "),
+        coalesce(col(idCol).cast("string"), lit("null")))).cast("long"))
+      .otherwise(idL)
     val base = df.select(
-      col(idCol).cast("long").as("doc_id"),
-      pmod(col(idCol).cast("long"), lit(nBuckets.toLong)).as("bucket"),
+      checkedId.as("doc_id"),
+      pmod(checkedId, lit(nBuckets.toLong)).as("bucket"),
       least(TextAnalysis.tokenCount(col(textCol)), lit(window.toLong))
         .cast("long").as("n_tok"))
     val outSchema = StructType(Seq(

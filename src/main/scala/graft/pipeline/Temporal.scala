@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Hard cap on how many buckets one interval may explode into in
+    * [[rangeJoin]]: the effective bucket width is clamped so the
+    * LONGEST right-side interval covers at most this many buckets.
+    * 4096 keeps the per-row `sequence` array far below Spark's element
+    * limit and executor memory while still spreading a hot key's
+    * timeline over thousands of join blocks.
+    */
+  val MaxBucketsPerInterval = 4096L
+
   /** As-of join: for each left row, the latest `rightValCol` whose
     * `tsCol` is <= the left row's (per `keyCol`); null when no right
     * row precedes. Equal timestamps count as "known" (inclusive,
@@ -147,6 +156,18 @@ object Temporal {
     * intervals into mostly-short ones should pass an explicit width
     * near the TYPICAL length instead — long intervals inflate but the
     * bucket grain stays fine.
+    *
+    * NOTE: this builder runs ONE small aggregation job eagerly (max
+    * interval length over the right side) at construction time — in
+    * the width=0 path to derive the width, and in the explicit-width
+    * path to bound it: the effective width is clamped to at least
+    * `maxIntervalLen / MaxBucketsPerInterval`, so one pathological
+    * year-long interval combined with `bucketWidthSec = 1` explodes
+    * into at most `MaxBucketsPerInterval + 1` rows instead of ~31M
+    * (a per-row array that OOMs an executor). Any width is CORRECT
+    * (the `BETWEEN` post-filter is exact and each true pair still
+    * meets in exactly one bucket); the clamp only coarsens the grain
+    * for outlier intervals.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, startCol: String, endCol: String,
@@ -158,12 +179,18 @@ object Temporal {
     val r0 = right.where(col(startCol) <= col(endCol))
       .withColumn("_sus", usOf(right, startCol))
       .withColumn("_eus", usOf(right, endCol))
+    val maxLenUs = {
+      val m = r0.agg(max(col("_eus") - col("_sus"))).head()
+      if (m.isNullAt(0)) 0L else math.max(m.getLong(0), 0L)
+    }
     val widthUs =
-      if (bucketWidthSec > 0) bucketWidthSec * 1000000L
-      else {
-        val m = r0.agg(max(col("_eus") - col("_sus"))).head()
-        if (m.isNullAt(0)) 1000000L else math.max(m.getLong(0), 1L)
-      }
+      if (bucketWidthSec > 0)
+        // explode bound: the longest interval spans at most
+        // MaxBucketsPerInterval buckets at the effective width
+        math.max(bucketWidthSec * 1000000L,
+          maxLenUs / MaxBucketsPerInterval + 1)
+      else if (maxLenUs == 0L) 1000000L
+      else math.max(maxLenUs, 1L)
     val l = left.withColumn("_lus", usOf(left, tsCol))
       .withColumn("_bkt", floor(col("_lus") / widthUs))
     val r = r0.withColumn("_bkt",

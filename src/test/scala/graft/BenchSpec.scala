@@ -29,10 +29,10 @@ class BenchSpec extends AnyFunSuite {
     assert(out.head._2 > 0 && out.head._3.isEmpty)
   }
 
-  test("idleEnough gates at 2x cores/16") {
-    assert(Bench.idleEnough(4.0, 32))
-    assert(!Bench.idleEnough(4.1, 32))
-    assert(Bench.idleEnough(2.0, 16))
-    assert(!Bench.idleEnough(2.5, 16))
+  test("idleEnough gates at 1x cores/16") {
+    assert(Bench.idleEnough(2.0, 32))
+    assert(!Bench.idleEnough(2.1, 32))
+    assert(Bench.idleEnough(1.0, 16))
+    assert(!Bench.idleEnough(1.5, 16))
   }
 }

@@ -80,6 +80,22 @@ class PackingSpec extends GraftSuite {
     }
   }
 
+  test("packSequences fails loudly on null and negative ids") {
+    val s = spark
+    import s.implicits._
+    val nullId = Seq((java.lang.Long.valueOf(1L), "a b"), (null.asInstanceOf[java.lang.Long], "c d"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      Packing.packSequences(nullId, "doc_id", "text", 10, 4).collect()
+    }
+    assert(e1.getMessage.contains("non-negative"), e1.getMessage)
+    val negId = Seq((1L, "a b"), (-5L, "c d")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Packing.packSequences(negId, "doc_id", "text", 10, 4).collect()
+    }
+    assert(e2.getMessage.contains("non-negative"), e2.getMessage)
+  }
+
   test("packStats aggregates fill per sequence") {
     val s = spark
     import s.implicits._

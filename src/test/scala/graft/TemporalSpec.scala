@@ -122,6 +122,23 @@ class TemporalSpec extends GraftSuite {
     }
   }
 
+  test("rangeJoin clamps explode width: year-long interval at width 1s") {
+    val s = spark
+    import s.implicits._
+    // without the MaxBucketsPerInterval clamp this builds a ~31M-element
+    // sequence array per interval row (Spark errors or the executor
+    // OOMs); with it the effective width coarsens and the query runs
+    val left = Seq((1L, 1L, 1000L), (2L, 1L, 20000000L), (3L, 1L, 40000000L))
+      .toDF("lid", "k", "ts") // lid=3 falls outside the interval
+    val right = Seq((10L, 1L, 0L, 31536000L)) // one year in seconds
+      .toDF("rid", "k", "s", "e")
+    val got = Temporal.rangeJoin(left, right, "k", "ts", "s", "e",
+        bucketWidthSec = 1L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)), s"got $got")
+  }
+
   test("rangeJoin: inverted and point intervals, numeric ts contract") {
     val s = spark
     import s.implicits._
