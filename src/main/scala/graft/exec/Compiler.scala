@@ -2,6 +2,7 @@ package graft.exec
 
 import graft.ast._
 import graft.model.{EdgeMeta, GraphStore}
+import graft.pipeline.Scratch
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -1229,8 +1230,11 @@ class Compiler(
     * frontier entering an iteration (depths 0..n-1); After = each
     * frontier leaving one (1..n); All = every visited depth (0..n).
     * `until`-satisfying elements exit the loop as results. A
-    * localCheckpoint every few iterations cuts lineage growth on deep
-    * repeats (the BFS pattern, cf. GraphFrames).
+    * lineage-truncating materialization every few iterations
+    * ([[Scratch.stable]]: localCheckpoint locally, reliable checkpoint
+    * under `graft.scratch.dir` on a cluster — a depth-50 traversal
+    * must survive executor loss) cuts lineage growth on deep repeats
+    * (the BFS pattern, cf. GraphFrames).
     */
   private def repeat(start: Stream, cfg: RepeatConfig,
       env: mutable.Map[String, Stream], tailPropsFree: Boolean = false): Stream = {
@@ -1247,7 +1251,7 @@ class Compiler(
       if (emitted.size >= FoldWidth) {
         val folded = unionStreams(emitted.toSeq)
         emitted.clear()
-        emitted += folded.copy(df = folded.df.localCheckpoint(true))
+        emitted += folded.copy(df = Scratch.stable(folded.df))
       }
     }
     var frontier = start
@@ -1281,7 +1285,7 @@ class Compiler(
         if (cfg.emit == EmitBehavior.Before) pushEmitted(emitFilter(frontier))
         val next = runSub(cfg.traversal, frontier, env, bodyTailPropsFree)
         depth += 1
-        frontier = if (depth % 5 == 0) next.copy(df = next.df.localCheckpoint(true)) else next
+        frontier = if (depth % 5 == 0) next.copy(df = Scratch.stable(next.df)) else next
         if (cfg.emit == EmitBehavior.After || cfg.emit == EmitBehavior.All)
           pushEmitted(emitFilter(frontier))
       }

@@ -22,6 +22,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Scratch {
 
+  /** Durable lineage-truncating materialization for TERMINAL frames —
+    * results that must outlive any [[FrameStore]] (query results
+    * returned to a caller, cached index artifacts, Repeat's
+    * accumulated emit streams). Locally this is eager
+    * `localCheckpoint` (fast, executor-resident). With a scratch dir
+    * configured it becomes a RELIABLE `Dataset.checkpoint` into
+    * `<dir>/checkpoints` (the context checkpoint dir, set on first
+    * use): blocks live on shared storage, so losing an executor
+    * between materialization and consumption re-reads instead of
+    * failing the whole query — the posture a 1000-executor cluster
+    * needs for results it will consume minutes later. Checkpoint
+    * files follow Spark's own lifecycle (reaped when the RDD is GC'd
+    * under `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+    * else swept with the scratch dir by the operator).
+    */
+  def stable(frame: DataFrame,
+      dirKeys: Seq[String] = Seq("graft.scratch.dir")): DataFrame = {
+    val spark = frame.sparkSession
+    val dir = dirKeys.iterator.map(spark.conf.getOption)
+      .collectFirst { case Some(v) if v.nonEmpty => v }
+    dir match {
+      case Some(d) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(s"${d.stripSuffix("/")}/checkpoints")
+        frame.checkpoint(eager = true)
+      case None => frame.localCheckpoint(true)
+    }
+  }
+
   final class FrameStore(spark: SparkSession,
       dirKeys: Seq[String] = Seq("graft.scratch.dir"),
       thresholdKeys: Seq[String] = Seq("graft.scratch.spillRowThreshold"),
