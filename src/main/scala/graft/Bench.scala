@@ -98,18 +98,28 @@ object Bench {
     val allNames = SparkEntry.headline.filter(SparkEntry.queries.contains)
     val names =
       if (nameFilter.isEmpty) allNames else allNames.filter(nameFilter)
+    // Warm-up must never kill the run: one query whose PLAN throws at
+    // analysis time (r8: a testdata schema change broke the temporal
+    // queries) would otherwise abort before a single timing is taken
+    // (BENCH_r08 was rc=1 with no numbers). The timed loop records the
+    // real error per-query; warm-up just logs and moves on.
+    def warm(what: String)(f: => Unit): Unit =
+      try f catch {
+        case e: Throwable => System.err.println(s"[bench] warm-up $what: " +
+          e.toString.linesIterator.next().take(200))
+      }
     // warm-up actions so JVM/codegen startup and the one-time lineitem
     // id materialization aren't billed to the first timed query; the
     // text-search warm-up builds the declared Document.text postings
     // artifact (a write-time artifact in a real deployment — serving
     // latency shouldn't be billed for index construction)
-    SparkEntry.queries("q_count")(spark, sfDir).count()
-    SparkEntry.queries("q_agg_sum")(spark, sfDir).count()
-    SparkEntry.queries("q_text_bm25")(spark, sfDir).count()
+    warm("q_count")(SparkEntry.queries("q_count")(spark, sfDir).count())
+    warm("q_agg_sum")(SparkEntry.queries("q_agg_sum")(spark, sfDir).count())
+    warm("q_text_bm25")(SparkEntry.queries("q_text_bm25")(spark, sfDir).count())
     // table row counts are write-time catalog statistics; warm the one
     // the dedup path-selector reads (not the query itself)
-    graft.pipeline.Dedup.warmRowCount(
-      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    warm("rowCount")(graft.pipeline.Dedup.warmRowCount(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")))
     // JIT/codegen warm-up for EVERY headline plan shape on the TINY
     // corpus: whole-stage codegen compiles one generated class per plan
     // shape, and the timed sf0.1 queries reuse those classes (plan
@@ -129,23 +139,23 @@ object Bench {
     // shape cold
     val tiny = new java.io.File(sfDir).getParent + "/sf0.001"
     if (new java.io.File(tiny).isDirectory) {
-      names.foreach(q => SparkEntry.queries(q)(spark, tiny)
-        .write.mode("overwrite").format("noop").save())
+      names.foreach(q => warm(q)(SparkEntry.queries(q)(spark, tiny)
+        .write.mode("overwrite").format("noop").save()))
     }
     // the shared shingle-set and minhash-signature artifacts are
     // write-time tables at scale (Dedup.shingleHashSetCached /
     // minhashSignatureCached docs) — build them like the BM25 postings
     // above, so serving latency isn't billed for artifact construction
-    graft.pipeline.Dedup.shingleHashSetCached(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
-    graft.pipeline.Dedup.minhashSignatureCached(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6)
-    graft.pipeline.Dedup.shingleArrayCached(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
-    graft.pipeline.TextAnalysis.termCountsCached(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "text")
-    graft.pipeline.Dedup.duplicatedPositionsCached(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3)
+    warm("shingleSet")(graft.pipeline.Dedup.shingleHashSetCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
+    warm("minhashSig")(graft.pipeline.Dedup.minhashSignatureCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6))
+    warm("shingleArr")(graft.pipeline.Dedup.shingleArrayCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
+    warm("termCounts")(graft.pipeline.TextAnalysis.termCountsCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text"))
+    warm("dupPositions")(graft.pipeline.Dedup.duplicatedPositionsCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
     // median of 3 timed iterations per query: a single-iteration
     // artifact is one concurrent-load spike away from a phantom 4×
     // regression (r4 recorded 22.3 s where an idle re-run of the same

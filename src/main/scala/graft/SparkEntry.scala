@@ -37,17 +37,25 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads
-    * as long (nanosAsLong); convert to a real µs TimestampType exactly
-    * (integer DIV — a double division would round within ±1 µs at
-    * epoch-nanos magnitude), matching DuckDB's ns→µs truncation.
+  /** events.parquet's `ts` has shipped in two physical shapes across
+    * testdata generations; normalize both to a µs `TimestampType`:
+    *  - TIMESTAMP(NANOS) → Spark reads long under nanosAsLong; integer
+    *    DIV to µs (a double division would round within ±1 µs at
+    *    epoch-nanos magnitude), matching DuckDB's ns→µs truncation;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=0) → Spark reads
+    *    `TIMESTAMP_NTZ`; cast interprets the wall clock in the session
+    *    time zone (UTC everywhere in graft), the DuckDB semantic.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

@@ -193,12 +193,20 @@ object TestGraph {
     val orders   = pq(spark, dir, "orders")
     val lineitem = pq(spark, dir, "lineitem")
     val events0  = pq(spark, dir, "events")
-    // nanos-as-long -> TimestampType (µs precision, matches the oracle's
-    // ns->µs truncation; integer DIV — a double division rounds within
-    // ±1 µs at epoch-nanos magnitude)
-    val events = if (events0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      events0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else events0
+    // normalize ts to µs TimestampType from either physical shape:
+    // TIMESTAMP(NANOS) read as long under nanosAsLong (integer DIV —
+    // a double division rounds within ±1 µs at epoch-nanos magnitude,
+    // matching the oracle's ns->µs truncation), or
+    // TIMESTAMP(MICROS, isAdjustedToUTC=0) read as TIMESTAMP_NTZ
+    // (cast interprets the wall clock in the session tz — UTC in graft)
+    val events = events0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events0.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => events0
+    }
     val documents  = pq(spark, dir, "documents")
     val embeddings = pq(spark, dir, "embeddings")
 

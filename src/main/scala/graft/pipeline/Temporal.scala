@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /** Temporal alignment operators for training pipelines: joining each
   * example to the LATEST feature/label state known at its timestamp
@@ -29,6 +30,20 @@ object Temporal {
     * timeline over thousands of join blocks.
     */
   val MaxBucketsPerInterval = 4096L
+
+  /** `TIMESTAMP_NTZ` view as an instant: Spark forbids a direct
+    * numeric cast of NTZ, so route through `TimestampType` — the
+    * standard NTZ→TZ cast interprets the wall clock in the SESSION
+    * time zone. graft entry points (Bench, Verify, Gateway, specs)
+    * all pin `spark.sql.session.timeZone=UTC`, under which this is
+    * exactly the DuckDB/parquet-NTZ semantic (wall clock == UTC
+    * instant). Under any fixed-offset session zone results stay
+    * internally consistent (the mapping is monotonic).
+    */
+  private def asInstant(dt: DataType, c: Column): Column = dt match {
+    case TimestampNTZType => c.cast(TimestampType)
+    case _ => c
+  }
 
   /** As-of join: for each left row, the latest `rightValCol` whose
     * `tsCol` is <= the left row's (per `keyCol`); null when no right
@@ -77,8 +92,10 @@ object Temporal {
     } else {
       // Timeline as a double: epoch micros stay exactly distinct in a
       // 53-bit mantissa, and plain longs cast losslessly — one numeric
-      // axis for bucketing AND in-bucket ordering, any ts type.
-      val b0 = u.withColumn("_us", col(tsCol).cast("double"))
+      // axis for bucketing AND in-bucket ordering, any ts type (NTZ
+      // routes through TimestampType first; see [[asInstant]]).
+      val b0 = u.withColumn("_us",
+        asInstant(u.schema(tsCol).dataType, col(tsCol)).cast("double"))
       val bounds = b0.agg(min(col("_us")), max(col("_us"))).head()
       if (bounds.isNullAt(0)) {
         val w = Window.partitionBy(col(keyCol))
@@ -173,7 +190,8 @@ object Temporal {
       tsCol: String, startCol: String, endCol: String,
       bucketWidthSec: Long = 0): DataFrame = {
     def usOf(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(asInstant(df.schema(c).dataType, col(c)))
       case _ => (col(c).cast("double") * 1000000L).cast("long")
     }
     val r0 = right.where(col(startCol) <= col(endCol))
@@ -227,7 +245,8 @@ object Temporal {
     // epoch SECONDS, like [[asofJoin]] accepts any orderable ts).
     val windowUs = windowSec * 1000000L
     val usExpr = df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(asInstant(df.schema(tsCol).dataType, col(tsCol)))
       case _ => col(tsCol).cast("long") * 1000000L
     }
     val base = df.select(col(idCol), col(keyCol), col(tsCol),

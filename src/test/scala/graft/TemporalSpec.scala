@@ -139,6 +139,51 @@ class TemporalSpec extends GraftSuite {
     assert(got == Set((1L, 10L), (2L, 10L)), s"got $got")
   }
 
+  test("temporal ops accept TIMESTAMP_NTZ ts read from parquet (driver's events shape)") {
+    // The driver's regenerated events.parquet stores ts as
+    // TIMESTAMP(MICROS, isAdjustedToUTC=0), which Spark 4 reads as
+    // TIMESTAMP_NTZ — r8's type dispatch only knew TimestampType and
+    // all three operators died at analysis time (DATATYPE_MISMATCH:
+    // cannot cast TIMESTAMP_NTZ). Round-trip the fixture through an
+    // NTZ parquet file and require bit-identical results to the
+    // TimestampType path (UTC session, so the instants coincide).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val tz = skewed().cache()
+    tz.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/events_ntz")
+    val ntz = spark.read.parquet(s"$dir/events_ntz")
+    assert(ntz.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType,
+      "fixture must reproduce the driver's NTZ shape")
+
+    def asof(ev: org.apache.spark.sql.DataFrame) = Temporal.asofJoin(
+      ev.where(col("event_type") === "click").select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "purchase").select("user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", saltBuckets = 8)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(asof(ntz) == asof(tz))
+
+    def rolling(ev: org.apache.spark.sql.DataFrame) =
+      Temporal.rollingCount(ev, "user_id", "ts", "event_id",
+        windowSec = 3600, saltBuckets = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rolling(ntz) == rolling(tz))
+
+    def range(ev: org.apache.spark.sql.DataFrame) = Temporal.rangeJoin(
+      ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("e")),
+      "user_id", "ts", "s", "e")
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(range(ntz) == range(tz) && range(tz).nonEmpty)
+    tz.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("rangeJoin: inverted and point intervals, numeric ts contract") {
     val s = spark
     import s.implicits._
