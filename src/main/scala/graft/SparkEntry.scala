@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
+import graft.pipeline.{Bpe, Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
 import graft.search.VectorOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -87,6 +87,12 @@ object SparkEntry {
     "q_vector_ivfpq_recall", "q_doc_pack")
 
   import SortOrder.{Asc, Desc}
+
+  /** BPE merge-table size for q_doc_bpe / q_doc_bpe_count: big enough
+    * to reach multi-character merges on the synthetic corpus, small
+    * enough that the oracle's unrolled CTE chain stays readable.
+    */
+  val BpeK = 12
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans & filters (SURVEY §2.1, §2.3)
@@ -459,6 +465,13 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
     "q_doc_token_bpe" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))),
+    // real merge-table BPE: k merges trained on the corpus's
+    // word-frequency table (deterministic count-desc/lexicographic
+    // argmax per iteration), then applied as a codegen'd replace chain
+    "q_doc_bpe" -> ((s, d) =>
+      Bpe.mergeTable(s, docs(s, d), "text", k = BpeK)),
+    "q_doc_bpe_count" -> ((s, d) =>
+      Bpe.trainAndCount(docs(s, d), "doc_id", "text", k = BpeK)),
     "q_doc_langid" -> ((s, d) =>
       TextAnalysis.langIdReport(docs(s, d), "doc_id", "text")),
     "q_doc_quality" -> ((s, d) =>
@@ -1038,6 +1051,10 @@ object SparkEntry {
       "AS BIGINT) AS n_tokens FROM documents"),
     "q_doc_token_bpe" -> ("SELECT doc_id, CAST(len(regexp_extract_all(lower(text), " +
       "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe FROM documents"),
+    // identical BPE training unrolled as k (pairs, argmax, replace)
+    // CTE triples — independent engine, same deterministic tie-break
+    "q_doc_bpe" -> Bpe.oracleMergesSql("documents", "text", BpeK),
+    "q_doc_bpe_count" -> Bpe.oracleCountSql("documents", "doc_id", "text", BpeK),
     "q_doc_langid" -> ("WITH d AS (SELECT doc_id, " +
       "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
       "FROM documents), s AS (SELECT doc_id, " +

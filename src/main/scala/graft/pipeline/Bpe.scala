@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real merge-table BPE: deterministic byte-pair-encoding merge
+  * training over the corpus's word-frequency table, plus application
+  * of a trained merge list (token segmentation / budget counting for
+  * [[Packing]]). Replaces the regex approximation
+  * [[TextAnalysis.tokenCountBpe]] with actual learned merges.
+  *
+  * Algorithm (classic BPE, Sennrich et al. 2016 "Neural Machine
+  * Translation of Rare Words with Subword Units"): pre-tokenize to
+  * lowercase alphanumeric words (the same tokenizer as BM25/Dedup, so
+  * one vocabulary serves the whole engine), aggregate to a word
+  * -> frequency table, seed each word as its character sequence, then
+  * `k` times: count adjacent token pairs weighted by word frequency,
+  * merge the most frequent pair everywhere (ties break on count DESC,
+  * then pair lexicographically ASC — fully deterministic at any
+  * parallelism).
+  *
+  * Scale shape: every pass is ONE distributed aggregation over the
+  * distinct-WORD table (the vocabulary), which is sublinear in corpus
+  * size (heavy-tailed: ~millions of types for a 100 TB web corpus vs
+  * trillions of tokens). Only the 1-row argmax reaches the driver per
+  * iteration, so training cost is k small shuffles — and at real
+  * scale one trains on a corpus sample anyway. Application is a pure
+  * per-row expression chain (codegen'd, no UDF): k literal
+  * `replace()` calls over the delimited state string.
+  *
+  * State encoding: each token wrapped in `_…_` and concatenated, e.g.
+  * "ab" -> "_a__b_". `_` cannot occur inside a token (tokens are
+  * [a-z0-9]+, closed under concatenation), so a merge of pair (l, r)
+  * is exactly `replace(state, "_l__r_", "_lr_")`: left-to-right
+  * non-overlapping replacement == BPE's greedy left-to-right merge,
+  * and a one-pass-per-merge sweep in priority order equals the
+  * iterative algorithm because a merge's constituents exist only
+  * after all earlier merges have been applied.
+  */
+object Bpe {
+
+  /** Word -> initial character-delimited state ("ab" -> "_a__b_"). */
+  def initState(word: Column): Column =
+    regexp_replace(word, "(.)", "_$1_")
+
+  /** Apply an ordered merge list to a state column (codegen'd literal
+    * replace chain).
+    */
+  def applyMerges(state: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(state) { case (e, (l, r)) =>
+      call_function("replace", e, lit(s"_${l}__${r}_"), lit(s"_$l$r" + "_"))
+    }
+
+  /** Token count of a state string: tokens = segments between `__`
+    * after trimming the outer delimiters; empty state counts 0.
+    */
+  def stateTokenCount(state: Column): Column =
+    when(length(state) === 0, lit(0L))
+      .otherwise(size(split(trim(state, "_"), "__")).cast("long"))
+
+  /** Train `k` merges over `docs(textCol)`. Returns (rank, left,
+    * right) with rank 1-based in merge-priority order; may return
+    * fewer than `k` when the vocabulary runs out of adjacent pairs.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, k: Int): Seq[(Int, String, String)] = {
+    val wordFreq = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .persist()
+    try {
+      var st = wordFreq.select(initState(col("w")).as("s"), col("f"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+      var i = 1
+      var exhausted = false
+      while (i <= k && !exhausted) {
+        val t = split(trim(col("s"), "_"), "__")
+        val n1 = greatest(size(t) - 1, lit(0))
+        val pair = explode(zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+          (x, y) => struct(x.as("l"), y.as("r"))))
+        val top = st.select(col("f"), pair.as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("f").as("sf"))
+          .orderBy(col("sf").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r) = (top(0).getString(0), top(0).getString(1))
+          merges += ((i, l, r))
+          st = st.withColumn("s", applyMerges(col("s"), Seq((l, r))))
+          i += 1
+        }
+      }
+      merges.toSeq
+    } finally wordFreq.unpersist()
+  }
+
+  /** The trained merge table as a DataFrame; columns avoid the SQL
+    * reserved words rank/left/right for oracle portability.
+    */
+  def mergeTable(spark: SparkSession, docs: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(docs, textCol, k).toDF("merge_rank", "lhs", "rhs")
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+  }
+
+  /** Per-doc BPE token count under a trained merge list: every doc
+    * keeps a row (docs with no words count 0). One scan + one
+    * aggregation; the merge chain is a literal expression, so the
+    * whole thing stays inside whole-stage codegen.
+    */
+  def tokenCountReport(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], out: String = "bpe_tokens"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val counts = words
+      .select(col(idCol), stateTokenCount(
+        applyMerges(initState(col("w")), merges)).as("_n"))
+      .groupBy(idCol).agg(sum("_n").as(out))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(out), lit(0L)).as(out))
+  }
+
+  /** Train-then-count in one call (the `queries()` entry shape). */
+  def trainAndCount(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    tokenCountReport(docs, idCol, textCol,
+      trainMerges(docs, textCol, k).map { case (_, l, r) => (l, r) })
+
+  /** Generated DuckDB oracle: the identical computation as unrolled
+    * CTEs (one `(pairs, argmax, replace)` triple per iteration; the
+    * argmax CTE is single-row, so the application chain references it
+    * as scalar subqueries — empty iterations coalesce to a
+    * never-matching `~` pattern). `table` must expose `textCol`.
+    */
+  def oracleMergesSql(table: String, textCol: String, k: Int): String =
+    oracleCtes(table, textCol, k) + " " +
+      (1 to k).map(i =>
+        s"SELECT $i AS merge_rank, l AS lhs, r AS rhs FROM m$i")
+        .mkString(" UNION ALL ") + " ORDER BY merge_rank"
+
+  def oracleCountSql(table: String, idCol: String, textCol: String,
+      k: Int, out: String = "bpe_tokens"): String = {
+    val app = (1 to k).foldLeft(
+      s"regexp_replace(w, '(.)', '_\\1_', 'g')") { (e, i) =>
+      s"replace($e, coalesce((SELECT '_'||l||'__'||r||'_' FROM m$i), '~'), " +
+        s"coalesce((SELECT '_'||l||r||'_' FROM m$i), '~'))"
+    }
+    oracleCtes(table, textCol, k) +
+      s", dw AS (SELECT $idCol, unnest(regexp_extract_all(lower($textCol), " +
+      s"'[a-z0-9]+')) AS w FROM $table)" +
+      s", dc AS (SELECT $idCol, sum(len(string_split(trim($app, '_'), '__'))) " +
+      s"AS $out FROM dw GROUP BY $idCol) " +
+      s"SELECT d.$idCol, CAST(coalesce(dc.$out, 0) AS BIGINT) AS $out " +
+      s"FROM $table d LEFT JOIN dc ON d.$idCol = dc.$idCol"
+  }
+
+  private def oracleCtes(table: String, textCol: String, k: Int): String = {
+    val head = Seq(
+      s"WITH w0 AS MATERIALIZED (SELECT w, count(*) AS f FROM (SELECT " +
+        s"unnest(regexp_extract_all(lower($textCol), '[a-z0-9]+')) AS w " +
+        s"FROM $table) GROUP BY w)",
+      s"s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '_\\1_', 'g') AS s, f FROM w0)")
+    val iters = (1 to k).flatMap { i =>
+      val p = i - 1
+      Seq(
+        s"t$i AS MATERIALIZED (SELECT string_split(trim(s, '_'), '__') AS t, f FROM s$p)",
+        s"p$i AS MATERIALIZED (SELECT l, r, sum(f) AS sf FROM (SELECT " +
+          s"unnest(list_slice(t, 1, len(t)-1)) AS l, " +
+          s"unnest(list_slice(t, 2, len(t))) AS r, f FROM t$i) GROUP BY l, r)",
+        s"m$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY sf DESC, l ASC, r ASC LIMIT 1)",
+        s"s$i AS MATERIALIZED (SELECT replace(s, " +
+          s"coalesce((SELECT '_'||l||'__'||r||'_' FROM m$i), '~'), " +
+          s"coalesce((SELECT '_'||l||r||'_' FROM m$i), '~')) AS s, f FROM s$p)")
+    }
+    (head ++ iters).mkString(", ")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Bpe
+
+/** Merge-table BPE: training argmax determinism, greedy left-to-right
+  * application semantics of the delimited-replace encoding, and the
+  * keep-every-doc contract of the count report.
+  */
+class BpeSpec extends GraftSuite {
+
+  test("trainMerges learns the expected merges on a hand-checked corpus") {
+    val s = spark
+    import s.implicits._
+    // word freqs: aaa:2, ab:3, abc:2
+    val docs = Seq("aaa aaa ab ab ab", "abc abc").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", k = 3)
+    // round 1: (a,a)=4 (two pairs per "aaa"), (a,b)=3+2=5, (b,c)=2
+    //   -> merge "ab"
+    // round 2: aaa->[a,a,a]: (a,a)=4; ab->[ab]; abc->[ab,c]: (ab,c)=2
+    //   -> merge "aa"
+    // round 3: aaa->[aa,a]: (aa,a)=2; (ab,c)=2 -> tie on count;
+    //   ("aa","a") < ("ab","c") lexicographically -> merge "aaa"
+    assert(merges == Seq((1, "a", "b"), (2, "a", "a"), (3, "aa", "a")),
+      s"got $merges")
+  }
+
+  test("applyMerges is greedy left-to-right (aaaa -> aa aa, not aa a a)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("aaaa", "aaa", "a").toDF("w")
+      .select(col("w"), Bpe.applyMerges(Bpe.initState(col("w")),
+        Seq(("a", "a"))).as("st"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("aaaa") == "_aa__aa_")
+    assert(got("aaa") == "_aa__a_")
+    assert(got("a") == "_a_")
+  }
+
+  test("tokenCountReport keeps wordless docs at 0 and counts merged tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa ab"), (2L, "!!!"), (3L, "")).toDF("doc_id", "text")
+    // merge (a,a): "aa"->1 token, "ab"->2 tokens
+    val got = Bpe.tokenCountReport(docs, "doc_id", "text", Seq(("a", "a")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L), s"got $got")
+  }
+
+  test("merge table shape + a later merge can consume an earlier one") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("join join join joint").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", k = 4)
+    assert(merges.size == 4)
+    val vocab = merges.map { case (_, l, r) => l + r }
+    // with one dominant word the chain must build it up cumulatively
+    assert(vocab.last.length > 2, s"expected multi-char merge, got $vocab")
+  }
+}
