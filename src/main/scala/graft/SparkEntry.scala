@@ -515,6 +515,11 @@ object SparkEntry {
       Curation.sampleByRates(docs(s, d), "source", "doc_id",
         rates = Map("src0" -> 5, "src1" -> 3), defaultNum = 1, den = 10)
         .select("doc_id")),
+    // temperature mixing: p_i ∝ n_i^0.5 scaled to 25% of the corpus —
+    // rates derived FROM the data (one tiny broadcast agg), not fixed
+    "q_doc_mix_temp" -> ((s, d) =>
+      Curation.temperatureMix(docs(s, d), "source", "doc_id",
+        alpha = 0.5, targetFrac = 0.25).select("doc_id")),
     // epoch upsampling: 2.5× src0, 1× src1, 0.4× the rest — row copies
     // with a deterministic fractional epoch, no shuffle
     "q_doc_upsample" -> ((s, d) =>
@@ -1122,6 +1127,18 @@ object SparkEntry {
     "q_doc_domain_mix" -> ("SELECT doc_id FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < " +
       "CASE WHEN source = 'src0' THEN 5 WHEN source = 'src1' THEN 3 ELSE 1 END"),
+    // temperature mixing: identical rate derivation (quantized sqrt
+    // weights -> exact integer sums -> one fixed double expression)
+    "q_doc_mix_temp" -> ("WITH c AS (SELECT source, count(*) AS n " +
+      "FROM documents GROUP BY source), " +
+      "cw AS (SELECT source, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) " +
+      "AS BIGINT) AS w FROM c), " +
+      "t AS (SELECT sum(n) AS nn, sum(w) AS ws FROM cw), " +
+      "r AS (SELECT cw.source, least(1000000, CAST(round(0.25 * t.nn * cw.w " +
+      "/ t.ws / cw.n * 1000000) AS BIGINT)) AS thr FROM cw, t) " +
+      "SELECT d.doc_id FROM documents d JOIN r ON d.source = r.source " +
+      "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT " +
+      "% 1000000 < r.thr"),
     // epoch upsampling: copies = num//den + (idhash%den < num%den),
     // one output row per (doc, epoch) — same 60-bit md5 hash family
     "q_doc_upsample" -> ("WITH t AS (SELECT doc_id, " +

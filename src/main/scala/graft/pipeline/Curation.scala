@@ -91,6 +91,45 @@ object Curation {
     df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < rate)
   }
 
+  /** Temperature-based domain mixing — the standard pretraining
+    * recipe one step above fixed per-source rates: sample source `i`
+    * with probability `p_i ∝ n_i^alpha` (alpha in (0, 1] flattens the
+    * source-size distribution: alpha=1 is proportional = no change,
+    * alpha→0 approaches uniform over sources), scaled so the expected
+    * kept mass is `targetFrac` of the corpus. Per-source keep rate:
+    * `r_i = min(1, targetFrac * N * (w_i / W) / n_i)` with
+    * `w_i = n_i^alpha`, `W = Σ w_j`, `N = Σ n_j`; membership uses the
+    * same deterministic id-hash discipline as [[sampleByRates]] with a
+    * fractional threshold at `den` granularity.
+    *
+    * Cross-engine determinism: the weights are QUANTIZED to integers
+    * (`w_i = round(n_i^alpha * 1e6)`) so the weight sum is exact
+    * integer arithmetic, not an order-dependent float reduction; the
+    * remaining double expression is a fixed tree both engines evaluate
+    * under IEEE semantics (alpha = 0.5 routes through correctly-
+    * rounded `sqrt`; other alphas rely on libm pow agreement at the
+    * 1e-6 round granularity). Shape: one tiny per-source aggregation
+    * broadcast back — the corpus itself is filtered in place, no
+    * shuffle, so re-mixing 100 TB is a scan.
+    */
+  def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
+      alpha: Double, targetFrac: Double, den: Long = 1000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val nD = col("_n").cast("double")
+    val wQ = round((if (alpha == 0.5) sqrt(nD) else pow(nD, alpha)) * 1000000L)
+      .cast("long")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wQ)
+    val tot = counts.agg(sum("_n").as("_nn"), sum("_w").as("_ws"))
+    val rates = counts.crossJoin(broadcast(tot)).select(col(srcCol),
+      least(lit(den), round(lit(targetFrac) * col("_nn") * col("_w") /
+        col("_ws") / col("_n") * lit(den)).cast("long")).as("_thr"))
+    val cols = df.columns.map(col).toSeq
+    df.join(broadcast(rates), Seq(srcCol))
+      .where(pmod(idHash(col(idCol)), lit(den)) < col("_thr"))
+      .select(cols: _*)
+  }
+
   /** Epoch upsampling — the other half of the mixture recipe that
     * [[sampleByRates]] downsamples: emit `num/den` copies of each row
     * (per-source rates, e.g. "2.5× wiki epochs" = num 25, den 10),

@@ -921,6 +921,43 @@ class PipelineSpec extends GraftSuite {
     assert(a.filter(_ % 4 == 1).subsetOf(b)) // higher rate only adds
   }
 
+  test("temperatureMix flattens the source distribution toward the target mass") {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: src0 = 800 rows, src1 = 150, src2 = 50
+    val df = ((0L until 800L).map(i => (i, "src0")) ++
+      (800L until 950L).map(i => (i, "src1")) ++
+      (950L until 1000L).map(i => (i, "src2")))
+      .toDF("doc_id", "source")
+    val kept = Curation.temperatureMix(df, "source", "doc_id",
+      alpha = 0.5, targetFrac = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Map("src0" -> 800.0, "src1" -> 150.0, "src2" -> 50.0)
+    val w = n.view.mapValues(math.sqrt).toMap
+    val wsum = w.values.sum
+    // expected kept mass per source = min(n_i, 0.5 * 1000 * w_i / wsum);
+    // the hash threshold realizes it within a few percent of the corpus
+    n.keys.foreach { src =>
+      val expected = math.min(n(src), 500.0 * w(src) / wsum)
+      assert(math.abs(kept.getOrElse(src, 0L) - expected) <= 0.05 * 1000,
+        s"$src: kept ${kept.get(src)} vs expected $expected")
+    }
+    // alpha=0.5 must keep relatively MORE of the small source than of
+    // the big one (the whole point of temperature flattening)
+    assert(kept("src2").toDouble / 50 > kept("src0").toDouble / 800)
+    // alpha=1 degrades to proportional sampling: every source keeps
+    // ~targetFrac of itself
+    val prop = Curation.temperatureMix(df, "source", "doc_id",
+      alpha = 1.0, targetFrac = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.keys.foreach { src =>
+      assert(math.abs(prop(src) / n(src) - 0.5) < 0.15,
+        s"$src proportional: ${prop(src)} of ${n(src)}")
+    }
+  }
+
   test("GraphAlgos: co-occurrence, degrees, triangles vs brute force; CC over projection") {
     val s = spark
     import s.implicits._
