@@ -499,6 +499,33 @@ object SparkEntry {
         Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5,
           bruteForce = Some(true)))
         .select("vec_id")),
+    // the SCALABLE (IVF cluster-bucketed) pair path, oracle-gated:
+    // plant 50 deterministic near-duplicates (cosine ~0.9999 — the
+    // similarity grade the bucketed path serves; k-means bucketing is
+    // NOT a moderate-similarity search structure), run embeddingPairs
+    // pinned to the bucketed path, and gate its pair recall >= 0.9
+    // against the in-plan exact kernel. The oracle independently
+    // recomputes the exact near-dup pair count, so the planting and
+    // the brute-force truth are cross-engine-verified, and the gate
+    // value is pinned like q_vector_ivf's.
+    "q_embed_keep_ivf" -> ((s, d) => {
+      val e = emb(s, d).select("vec_id", "embedding")
+      val planted = e.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x * lit(1.01f) + lit(0.001f)).otherwise(x))
+            .as("embedding"))
+      val corpus = e.unionByName(planted)
+      val ivfPairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id", 0.98,
+        bruteForce = Some(false))
+      val exactPairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id", 0.98,
+        bruteForce = Some(true))
+      val nInter = exactPairs.join(ivfPairs, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      exactPairs.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
+        .select(col("n_exact"),
+          (col("_ni") >= col("n_exact") * 0.9).cast("double").as("recall_gate"))
+    }),
     "q_doc_split" -> ((s, d) =>
       Curation.splitAssign(docs(s, d), "doc_id",
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
@@ -1106,6 +1133,21 @@ object SparkEntry {
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT vec_id FROM embeddings WHERE vec_id NOT IN " +
       "(SELECT a FROM reach GROUP BY a HAVING a <> min(b))"),
+    // exact near-dup pair count over the planted corpus recomputed
+    // independently (cross-checks the planting arithmetic AND the
+    // exact kernel); the recall gate outcome is pinned like
+    // q_vector_ivf's — the engine measures its bucketed path against
+    // its own exact kernel in-plan
+    "q_embed_keep_ivf" -> ("WITH base AS (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "planted AS (SELECT vec_id + 100000 AS vec_id, " +
+      "list_transform(range(1, len(v) + 1), " +
+      "i -> CASE WHEN i = 1 THEN v[1] * 1.01 + 0.001 ELSE v[i] END) AS v " +
+      "FROM base WHERE vec_id < 50), " +
+      "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted) " +
+      "SELECT count(*) AS n_exact, CAST(1.0 AS DOUBLE) AS recall_gate " +
+      "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.98"),
     "q_doc_split" -> ("WITH b AS (SELECT " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
       "FROM documents) " +
