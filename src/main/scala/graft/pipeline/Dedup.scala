@@ -481,7 +481,7 @@ object Dedup {
     // BEFORE the array join (one shuffle of the tiny pair set) so each
     // pair ships its two shingle arrays exactly once
     val cands = lshCandidates(sig, numHashes, bands, dedup = false).distinct()
-    verifyJaccard(cands, arr, num, den).localCheckpoint(true)
+    Scratch.stable(verifyJaccard(cands, arr, num, den))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the per-doc
@@ -751,7 +751,7 @@ object Dedup {
     // verification is then exact against FULL shingle arrays either way
     val cands = boundedKeyPairs(ss, Seq("_sh"), "_did",
       maxKeyDf = maxShingleDf).distinct()
-    verifyJaccard(cands, arr, num, den).localCheckpoint(true)
+    Scratch.stable(verifyJaccard(cands, arr, num, den))
   }
 
   /** Connected components over an undirected near-dup pair set:
@@ -818,8 +818,8 @@ object Dedup {
       store.release()
       return dupClustersStar(pairs)
     }
-    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .localCheckpoint(true)
+    val out = Scratch.stable(labels.select(col("id").as("doc_id"),
+      col("lbl").as("cluster_id")))
     store.release()
     out
   }
@@ -910,9 +910,8 @@ object Dedup {
       edges = ss
       round += 1
     }
-    val out = nodes.join(edges, nodes("id") === edges("u"), "left")
-      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
+    val out = Scratch.stable(nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id")))
     store.release()
     out
   }
@@ -963,12 +962,11 @@ object Dedup {
           shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
       .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val out = boundedKeyPairs(banded, Seq("bi", "bk"), "_e")
+    val out = Scratch.stable(boundedKeyPairs(banded, Seq("bi", "bk"), "_e")
       .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
         col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
       .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
-      .select("id_a", "id_b")
-      .localCheckpoint(true)
+      .select("id_a", "id_b"))
     out
   }
 
@@ -1078,9 +1076,9 @@ object Dedup {
         .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= threshold)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
-        .localCheckpoint(true)
+      val stable = Scratch.stable(out)
       assigned.unpersist(false)
-      out
+      stable
     }
   }
 }

@@ -27,15 +27,23 @@ private[graft] object Scratch {
     * returned to a caller, cached index artifacts, Repeat's
     * accumulated emit streams). Locally this is eager
     * `localCheckpoint` (fast, executor-resident). With a scratch dir
-    * configured it becomes a RELIABLE `Dataset.checkpoint` into
-    * `<dir>/checkpoints` (the context checkpoint dir, set on first
-    * use): blocks live on shared storage, so losing an executor
-    * between materialization and consumption re-reads instead of
-    * failing the whole query — the posture a 1000-executor cluster
-    * needs for results it will consume minutes later. Checkpoint
-    * files follow Spark's own lifecycle (reaped when the RDD is GC'd
-    * under `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
-    * else swept with the scratch dir by the operator).
+    * configured the frame is written ONCE as parquet under
+    * `<dir>/stable/<session-uuid>/` and read back — reliable storage
+    * that survives executor loss, the posture a 1000-executor cluster
+    * needs for results it will consume minutes later.
+    *
+    * Parquet write/read beats `Dataset.checkpoint(eager = true)`
+    * here on BOTH counts the latter was flagged for: checkpoint runs
+    * the plan twice (the eager count job, then
+    * ReliableRDDCheckpointData recomputing the unpersisted RDD for
+    * the write — doubling every 5-depth Repeat segment), and its
+    * files under the context checkpoint dir are never reclaimed
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+    * false). The session subdir is deleted by a JVM shutdown hook, so
+    * a long-lived server reclaims stable frames when it exits;
+    * operators can sweep `<dir>/stable` of dead sessions on a
+    * schedule. The context checkpoint dir is left untouched — no
+    * cross-SparkSession conflict over a context-global setting.
     */
   def stable(frame: DataFrame,
       dirKeys: Seq[String] = Seq("graft.scratch.dir")): DataFrame = {
@@ -44,13 +52,33 @@ private[graft] object Scratch {
       .collectFirst { case Some(v) if v.nonEmpty => v }
     dir match {
       case Some(d) =>
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(s"${d.stripSuffix("/")}/checkpoints")
-        frame.checkpoint(eager = true)
+        val path = s"${stableSessionDir(spark, d)}/frame_${stableSeq.incrementAndGet()}"
+        frame.write.mode("error").parquet(path)
+        spark.read.parquet(path)
       case None => frame.localCheckpoint(true)
     }
   }
+
+  private val stableSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var stableDir: Option[String] = None
+
+  /** One stable-frame subdir per JVM, created lazily and deleted on
+    * shutdown (by then nothing consumes the frames anymore).
+    */
+  private def stableSessionDir(spark: SparkSession, base: String): String =
+    synchronized {
+      stableDir.getOrElse {
+        val d = s"${base.stripSuffix("/")}/stable/session-${java.util.UUID.randomUUID()}"
+        val hconf = spark.sparkContext.hadoopConfiguration
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(hconf).delete(p, true)
+          } catch { case _: Throwable => () }))
+        stableDir = Some(d)
+        d
+      }
+    }
 
   final class FrameStore(spark: SparkSession,
       dirKeys: Seq[String] = Seq("graft.scratch.dir"),

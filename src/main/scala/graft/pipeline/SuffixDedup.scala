@@ -239,7 +239,7 @@ object SuffixDedup {
       Seq(StructField("_len", LongType, nullable = false),
         StructField("_p", LongType, nullable = false),
         StructField("_dl", LongType, nullable = false)))
-    val out = spark.createDataFrame(outRdd, schema).localCheckpoint(true)
+    val out = Scratch.stable(spark.createDataFrame(outRdd, schema))
     passed.unpersist(false)
     mark("fixup+out")
     out
@@ -394,13 +394,12 @@ object SuffixDedup {
       .select(col("_ad"), col("_al"), col("_ap"), col("_bd"), col("_bl"),
         col("_bp"), col("_l"))
 
-    val out = pairs.select(col("_ad").as("_did"), col("_al").as("_len"),
-      col("_ap").as("_p"), col("_l"))
+    val out = Scratch.stable(pairs.select(col("_ad").as("_did"),
+      col("_al").as("_len"), col("_ap").as("_p"), col("_l"))
       .unionByName(pairs.select(col("_bd").as("_did"), col("_bl").as("_len"),
         col("_bp").as("_p"), col("_l")))
       .groupBy(col("_did"), col("_len"), col("_p"))
-      .agg(max(col("_l")).as("_dl"))
-      .localCheckpoint(true)
+      .agg(max(col("_l")).as("_dl")))
     mark("lcp+out")
     out
   }

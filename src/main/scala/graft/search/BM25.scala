@@ -113,7 +113,7 @@ object BM25 {
       .orderBy(col("_bm25").desc, col("_id").asc)
       .limit(k)
     val named = if (keepScore) top.withColumnRenamed("_bm25", "_score") else top.drop("_bm25")
-    val out = named.localCheckpoint(true)
+    val out = graft.pipeline.Scratch.stable(named)
     toks.unpersist(false)
     out
   }
@@ -121,8 +121,8 @@ object BM25 {
   /** Top-k (_id, score) pairs — for callers that want the relevance. */
   def topKScores(df: DataFrame, textCol: String, query: String, k: Int): DataFrame = {
     val (scores, toks) = scoreWithHandle(df, textCol, query)
-    val out = scores.orderBy(col("_bm25").desc, col("_id").asc).limit(k)
-      .localCheckpoint(true)
+    val out = graft.pipeline.Scratch.stable(
+      scores.orderBy(col("_bm25").desc, col("_id").asc).limit(k))
     toks.unpersist(false)
     out
   }

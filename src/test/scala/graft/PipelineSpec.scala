@@ -127,10 +127,16 @@ class PipelineSpec extends GraftSuite {
       val frames = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .iterator()
       var sawFrame = false
+      var sawStable = false
       while (frames.hasNext) {
-        if (frames.next().toString.contains("/frame_")) sawFrame = true
+        val p = frames.next().toString
+        if (p.contains("/frame_")) sawFrame = true
+        if (p.contains("/stable/session-")) sawStable = true
       }
       assert(sawFrame, s"expected round frames under $dir")
+      // the TERMINAL result must live in reliable storage too
+      // (Scratch.stable parquet), not only the per-round FrameStore
+      assert(sawStable, s"expected stable terminal frames under $dir")
     } finally {
       s.conf.unset("graft.scratch.dir")
       s.conf.unset("graft.scratch.keep")
