@@ -83,8 +83,9 @@ object SparkEntry {
     "q_doc_keywords", "q_doc_chunks", "q_embed_quant", "q_event_asof",
     "q_event_window", "q_event_range", "q_doc_span_extract", "q_doc_span_strip",
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
-    "q_media_audio", "q_media_video", "q_vector_pq_recall",
-    "q_vector_ivfpq_recall", "q_doc_pack")
+    "q_media_audio", "q_media_video", "q_media_frames", "q_vector_pq_recall",
+    "q_vector_ivfpq_recall", "q_doc_pack", "q_doc_bpe_count",
+    "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist")
 
   import SortOrder.{Asc, Desc}
 
@@ -458,6 +459,32 @@ object SparkEntry {
     "q_embed_knn" -> ((s, d) => {
       val e = emb(s, d)
       VectorOps.knnJoin(e, e.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+    }),
+    // the fully-DISTRIBUTED knn join (no driver-side query collect —
+    // the path for query sides that are themselves corpora): recall
+    // vs the exact broadcast join gated >= 0.9 at the CALIBRATED
+    // probe count (the serving path's discipline — honest on uniform
+    // data, pruning on clustered), exact pair count cross-checked by
+    // the oracle
+    "q_embed_knn_dist" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 8)
+      val eid = e.withColumnRenamed("vec_id", "_id")
+      val model = VectorOps.trainIvfCached(eid, "embedding", nlist = 16)
+      // calibration batch disjoint from the query ids (< 8) — and
+      // non-empty at every SF, unlike a fixed >= 100 floor
+      val calib = eid.where(col("_id") >= 8)
+        .orderBy(xxhash64(col("_id")), col("_id")).limit(64)
+      val np = VectorOps.calibrateNprobeCached(eid, "embedding", "_id", model,
+        k = 5, targetRecall = 0.98, calibQueries = calib)
+      val dist = VectorOps.knnJoinDistributed(e, q, "embedding", "vec_id",
+        k = 5, model, nprobe = np)
+      val exact = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 5)
+      val nInter = exact.join(dist, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
+        .select(col("n_exact"),
+          (col("_ni") >= col("n_exact") * 0.9).cast("double").as("recall_gate"))
     }),
 
     // ---- training-data pipeline: text analysis (extension)
@@ -1009,6 +1036,18 @@ object SparkEntry {
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) >= 0.5"),
+    // exact top-k pair count recomputed independently; the recall gate
+    // outcome is pinned (the engine measures its distributed join
+    // against its own exact broadcast join in-plan)
+    "q_embed_knn_dist" -> ("WITH ex AS (SELECT q.vec_id AS query_id, " +
+      "e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id " +
+      "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk " +
+      "FROM embeddings e CROSS JOIN " +
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q " +
+      "WHERE e.vec_id <> q.vec_id) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+      "CAST(1.0 AS DOUBLE) AS recall_gate FROM ex WHERE rk <= 5"),
     "q_embed_knn" -> ("SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +

@@ -255,6 +255,48 @@ object VectorOps {
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf,
       Some(model), nprobe)
 
+  /** Fully-DISTRIBUTED approximate k-NN join: no driver-side query
+    * collect, so the query side may itself be a corpus (the contract
+    * [[knnJoin]]/[[knnJoinIvf]] cannot serve — they broadcast the
+    * collected query batch). Corpus rows are assigned to their single
+    * nearest IVF cluster; each query row fans out to its `nprobe`
+    * nearest clusters ([[graft.functions.NearestCentroids]], one
+    * codegen'd argmin-k per row); the candidate set forms as a plain
+    * equi-join on the cluster id and a per-query window keeps the
+    * top-k (score desc, neighbor id asc — [[knnJoin]]'s exact
+    * tie-break, so at nprobe = nlist the two paths agree rank for
+    * rank).
+    *
+    * Shape at 100 TB: one shuffle of each side on the cluster id
+    * (query side inflated nprobe×) + one shuffle of the bounded
+    * candidate set (≤ nprobe/nlist of the corpus per query) on the
+    * query id for the window — all hash-partitioned, AQE-coalesced;
+    * a pair can meet in at most ONE cluster (the corpus row's), so no
+    * dedup pass. Recall follows the probed-cluster mass like every
+    * IVF serving path; calibrate `nprobe` with the same discipline as
+    * [[calibrateNprobe]].
+    */
+  def knnJoinDistributed(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, model: IvfModel, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv"))
+      .withColumn("_cluster", explode(
+        graft.functions.NearestCentroids(col("_qv"), model.centroids, nprobe)))
+    val c = assignCluster(corpus.select(col(idCol).cast("long")
+        .as("neighbor_id"), col(vecCol).as("_nv")), "_nv", model.centroids)
+    val scored = q.join(c, Seq("_cluster"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("_sim", cosineSimCols(col("_qv"), col("_nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank")) // same schema as knnJoin
+  }
+
   private def knnJoinPruned(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, excludeSelf: Boolean,
       model: Option[IvfModel], nprobe: Int): DataFrame = {

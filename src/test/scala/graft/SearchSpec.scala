@@ -85,6 +85,34 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("knnJoinDistributed at nprobe=nlist equals knnJoin rank-for-rank; pruned recalls >= 0.9") {
+    val df = vecs(400, 16).cache()
+    val queries = df.where(col("_id") < 8)
+    val exact = VectorOps.knnJoin(df, queries, "emb", "_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val model = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+    // full probe: the shuffle-based plan must reproduce the broadcast
+    // plan exactly, including the (score desc, id asc) tie-break
+    val full = VectorOps.knnJoinDistributed(df, queries, "emb", "_id",
+      k = 5, model, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, s"full-probe mismatch: ${full.diff(exact)} / ${exact.diff(full)}")
+    // pruned probe: approximate, recall-bounded like knnJoinIvf
+    val pruned = VectorOps.knnJoinDistributed(df, queries, "emb", "_id",
+      k = 5, model, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = (exactPairs intersect pruned).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"distributed knn-join recall too low: $recall")
+    // the top-k is computed by the distributed window (rank-limit
+    // pushed into WindowGroupLimit, partial before the exchange), not
+    // by a driver-side heap over collected queries
+    val plan = VectorOps.knnJoinDistributed(df, queries, "emb", "_id",
+      k = 5, model, nprobe = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    df.unpersist()
+  }
+
   test("trainPq is bit-reproducible and encodePq emits m in-range byte codes") {
     val df = vecs(300, 16).cache()
     val a = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)
