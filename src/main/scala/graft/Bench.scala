@@ -44,6 +44,16 @@ object Bench {
         }
         i += 1
       }
+      // between queries (outside every timing window): let the
+      // ContextCleaner reap dead localCheckpoint blocks. The eager
+      // checkpoints of prior queries stay pinned until their discarded
+      // DataFrames are GC'd, and with a big driver heap GC may never
+      // run during the bench — storage fills, later artifact-dependent
+      // queries degrade 3-8x (measured: q_doc_ngram_pairs 0.9 s alone
+      // vs 8.6 s late in a 41-query run). A long-lived server gets the
+      // same reaping from its natural allocation churn; a benchmark
+      // must force it.
+      System.gc()
       if (err.isDefined) (name, -1.0, err)
       else (name, times.sorted.apply(iters / 2), None)
     }
