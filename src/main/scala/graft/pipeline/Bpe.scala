@@ -105,22 +105,19 @@ object Bpe {
   }
 
   /** Per-doc BPE token count under a trained merge list: every doc
-    * keeps a row (docs with no words count 0). One scan + one
-    * aggregation; the merge chain is a literal expression, so the
-    * whole thing stays inside whole-stage codegen.
+    * keeps a row (docs with no words count 0). A pure per-row
+    * expression — `aggregate` over the token array with the literal
+    * merge chain applied per word — so the plan is ONE scan with
+    * zero shuffles and zero joins, entirely inside whole-stage
+    * codegen (the explode + groupBy + join formulation it replaces
+    * shuffled the whole word stream for no reason).
     */
   def tokenCountReport(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], out: String = "bpe_tokens"): DataFrame = {
-    val words = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("w"))
-    val counts = words
-      .select(col(idCol), stateTokenCount(
-        applyMerges(initState(col("w")), merges)).as("_n"))
-      .groupBy(idCol).agg(sum("_n").as(out))
-    docs.select(col(idCol))
-      .join(counts, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(out), lit(0L)).as(out))
-  }
+      merges: Seq[(String, String)], out: String = "bpe_tokens"): DataFrame =
+    docs.select(col(idCol), coalesce(
+      aggregate(TextAnalysis.tokens(col(textCol)), lit(0L),
+        (acc, w) => acc + stateTokenCount(applyMerges(initState(w), merges))),
+      lit(0L)).as(out))
 
   /** Train-then-count in one call (the `queries()` entry shape). */
   def trainAndCount(docs: DataFrame, idCol: String, textCol: String,

@@ -120,10 +120,19 @@ object Curation {
       .cast("long")
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", wQ)
-    val tot = counts.agg(sum("_n").as("_nn"), sum("_w").as("_ws"))
-    val rates = counts.crossJoin(broadcast(tot)).select(col(srcCol),
-      least(lit(den), round(lit(targetFrac) * col("_nn") * col("_w") /
-        col("_ws") / col("_n") * lit(den)).cast("long")).as("_thr"))
+    // totals via an unpartitioned window over the per-source frame
+    // (#sources rows, one partition) — NOT a second aggregation over
+    // `counts`, which would re-run the corpus scan since the tiny
+    // frame is not cached. One corpus pass total for the rates.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("_nn", sum("_n").over(wAll))
+      .withColumn("_ws", sum("_w").over(wAll))
+      .select(col(srcCol),
+        least(lit(den), round(lit(targetFrac) * col("_nn") * col("_w") /
+          col("_ws") / col("_n") * lit(den)).cast("long")).as("_thr"))
     val cols = df.columns.map(col).toSeq
     df.join(broadcast(rates), Seq(srcCol))
       .where(pmod(idHash(col(idCol)), lit(den)) < col("_thr"))
