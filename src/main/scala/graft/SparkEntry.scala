@@ -85,7 +85,8 @@ object SparkEntry {
     "q_vector_recall_batch", "q_doc_span_cross", "q_doc_repeats",
     "q_media_audio", "q_media_video", "q_media_frames", "q_vector_pq_recall",
     "q_vector_ivfpq_recall", "q_doc_pack", "q_doc_bpe_count",
-    "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist")
+    "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist",
+    "q_doc_pack_bpe")
 
   import SortOrder.{Asc, Desc}
 
@@ -588,6 +589,17 @@ object SparkEntry {
     "q_doc_pack_stats" -> ((s, d) =>
       Packing.packStats(docs(s, d), "doc_id", "text",
         window = 512, nBuckets = 16)),
+    // packing under REAL BPE budgets: train the merge table, count
+    // per-doc BPE tokens (zero-shuffle scan), pack by those counts —
+    // the composition that makes Packing's budget axis honest
+    "q_doc_pack_bpe" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = Bpe.trainMergesCached(dd, "text", BpeK)
+        .map { case (_, l, r) => (l, r) }
+      Packing.packByCounts(
+        Bpe.tokenCountReport(dd, "doc_id", "text", merges),
+        "doc_id", "bpe_tokens", window = 512, nBuckets = 16)
+    }),
 
     // ---- training-data pipeline: decontamination + repetition
     // (extension). Eval side = the doc_id % 10 = 7 held-out slice;
@@ -1234,6 +1246,23 @@ object SparkEntry {
       "WITH RECURSIVE base AS (SELECT doc_id, doc_id % 16 AS bucket, " +
       "least(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 512) AS t, " +
       "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn FROM documents), " +
+      "pack AS (SELECT bucket, rn, doc_id, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
+      "FROM base WHERE rn = 1 " +
+      "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.t, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.seq ELSE p.seq + 1 END, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END " +
+      "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
+      "SELECT doc_id, bucket, seq, t AS n_tok FROM pack"),
+    // BPE-budget packing: the trained-merge count chain feeds the
+    // same recursive pack replay
+    "q_doc_pack_bpe" -> ("WITH RECURSIVE " +
+      Bpe.oracleCountChain("documents", "doc_id", "text", BpeK)
+        .stripPrefix("WITH ") +
+      ", b2 AS (SELECT d.doc_id AS doc_id, " +
+      "CAST(coalesce(dc.bpe_tokens, 0) AS BIGINT) AS bt " +
+      "FROM documents d LEFT JOIN dc ON d.doc_id = dc.doc_id), " +
+      "base AS (SELECT doc_id, doc_id % 16 AS bucket, least(bt, 512) AS t, " +
+      "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn FROM b2), " +
       "pack AS (SELECT bucket, rn, doc_id, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
       "FROM base WHERE rn = 1 " +
       "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.t, " +

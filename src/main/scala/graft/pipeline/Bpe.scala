@@ -94,13 +94,28 @@ object Bpe {
     } finally wordFreq.unpersist()
   }
 
+  /** [[trainMerges]] memoized per (canonicalized source plan, text
+    * column, k) — the merge table is a write-time artifact of the
+    * corpus (like IVF centroids or BM25 postings), not something to
+    * retrain per query. Keyed on the canonicalized plan, so the bench
+    * warm-up invariant holds (sf0.001 and sf0.1 scans key apart).
+    */
+  def trainMergesCached(docs: DataFrame, textCol: String,
+      k: Int): Seq[(Int, String, String)] =
+    mergeCache.computeIfAbsent(
+      docs.queryExecution.analyzed.canonicalized.toString + "|" + textCol + "|" + k,
+      _ => trainMerges(docs, textCol, k))
+
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String)]]()
+
   /** The trained merge table as a DataFrame; columns avoid the SQL
     * reserved words rank/left/right for oracle portability.
     */
   def mergeTable(spark: SparkSession, docs: DataFrame, textCol: String,
       k: Int): DataFrame = {
     import spark.implicits._
-    trainMerges(docs, textCol, k).toDF("merge_rank", "lhs", "rhs")
+    trainMergesCached(docs, textCol, k).toDF("merge_rank", "lhs", "rhs")
       .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"))
   }
 
@@ -123,7 +138,7 @@ object Bpe {
   def trainAndCount(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     tokenCountReport(docs, idCol, textCol,
-      trainMerges(docs, textCol, k).map { case (_, l, r) => (l, r) })
+      trainMergesCached(docs, textCol, k).map { case (_, l, r) => (l, r) })
 
   /** Generated DuckDB oracle: the identical computation as unrolled
     * CTEs (one `(pairs, argmax, replace)` triple per iteration; the
@@ -138,6 +153,16 @@ object Bpe {
         .mkString(" UNION ALL ") + " ORDER BY merge_rank"
 
   def oracleCountSql(table: String, idCol: String, textCol: String,
+      k: Int, out: String = "bpe_tokens"): String =
+    oracleCountChain(table, idCol, textCol, k, out) + " " +
+      s"SELECT d.$idCol, CAST(coalesce(dc.$out, 0) AS BIGINT) AS $out " +
+      s"FROM $table d LEFT JOIN dc ON d.$idCol = dc.$idCol"
+
+  /** The training CTEs plus the per-doc count CTE `dc` — an open WITH
+    * chain for oracles that keep computing past the counts (e.g.
+    * BPE-budget sequence packing).
+    */
+  def oracleCountChain(table: String, idCol: String, textCol: String,
       k: Int, out: String = "bpe_tokens"): String = {
     val app = (1 to k).foldLeft(
       s"regexp_replace(w, '(.)', '_\\1_', 'g')") { (e, i) =>
@@ -148,9 +173,7 @@ object Bpe {
       s", dw AS (SELECT $idCol, unnest(regexp_extract_all(lower($textCol), " +
       s"'[a-z0-9]+')) AS w FROM $table)" +
       s", dc AS (SELECT $idCol, sum(len(string_split(trim($app, '_'), '__'))) " +
-      s"AS $out FROM dw GROUP BY $idCol) " +
-      s"SELECT d.$idCol, CAST(coalesce(dc.$out, 0) AS BIGINT) AS $out " +
-      s"FROM $table d LEFT JOIN dc ON d.$idCol = dc.$idCol"
+      s"AS $out FROM dw GROUP BY $idCol)"
   }
 
   private def oracleCtes(table: String, textCol: String, k: Int): String = {

@@ -49,12 +49,24 @@ object Packing {
     * loudly at execution instead.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      window: Int, nBuckets: Int): DataFrame =
+    packByCounts(
+      df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("_pack_tc")),
+      idCol, "_pack_tc", window, nBuckets)
+
+  /** [[packSequences]] over a PRECOMPUTED per-doc token-count column —
+    * the budget axis is pluggable (whitespace counts, real BPE counts
+    * from [[Bpe.tokenCountReport]], char budgets), the shard-then-pack
+    * mechanics identical.
+    */
+  def packByCounts(df: DataFrame, idCol: String, countCol: String,
       window: Int, nBuckets: Int): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val idL = col(idCol).cast("long")
     val checkedId = when(idL.isNull || idL < 0, raise_error(concat(
-        lit(s"Packing.packSequences: '$idCol' must be a non-negative " +
+        lit(s"Packing.packByCounts: '$idCol' must be a non-negative " +
           "numeric id (shard = id mod B must replay identically in " +
           "external engines), got: "),
         coalesce(col(idCol).cast("string"), lit("null")))).cast("long"))
@@ -62,7 +74,7 @@ object Packing {
     val base = df.select(
       checkedId.as("doc_id"),
       pmod(checkedId, lit(nBuckets.toLong)).as("bucket"),
-      least(TextAnalysis.tokenCount(col(textCol)), lit(window.toLong))
+      least(col(countCol).cast("long"), lit(window.toLong))
         .cast("long").as("n_tok"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

@@ -96,6 +96,18 @@ class PackingSpec extends GraftSuite {
     assert(e2.getMessage.contains("non-negative"), e2.getMessage)
   }
 
+  test("packByCounts packs a precomputed budget column, capped at the window") {
+    val s = spark
+    import s.implicits._
+    // budgets: 300+300 > 512 splits; 600 caps to 512 and fills alone
+    val df = Seq((0L, 300L), (16L, 300L), (32L, 600L), (48L, 10L))
+      .toDF("doc_id", "nb") // all bucket 0 at nBuckets=16
+    val got = Packing.packByCounts(df, "doc_id", "nb", window = 512, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 1L, 300L), (16L, 2L, 300L), (32L, 3L, 512L),
+      (48L, 4L, 10L)), s"got $got")
+  }
+
   test("packStats aggregates fill per sequence") {
     val s = spark
     import s.implicits._
