@@ -140,6 +140,23 @@ object Bpe {
     tokenCountReport(docs, idCol, textCol,
       trainMergesCached(docs, textCol, k).map { case (_, l, r) => (l, r) })
 
+  /** Persist a trained merge table as a parquet artifact — the BPE
+    * analogue of the IVF-centroid / BM25-postings write-time artifacts
+    * (`search.IndexArtifacts`): train once in the write/index job,
+    * serve counts everywhere else without retraining.
+    */
+  def saveMerges(spark: SparkSession, path: String,
+      merges: Seq[(Int, String, String)]): Unit = {
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveMerges]], in rank order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(Int, String, String)] =
+    spark.read.parquet(path).orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+
   /** Generated DuckDB oracle: the identical computation as unrolled
     * CTEs (one `(pairs, argmax, replace)` triple per iteration; the
     * argmax CTE is single-row, so the application chain references it

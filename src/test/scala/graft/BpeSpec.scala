@@ -48,6 +48,17 @@ class BpeSpec extends GraftSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L), s"got $got")
   }
 
+  test("merge table round-trips through the parquet artifact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("aaa aaa ab ab ab", "abc abc").toDF("text")
+    val trained = Bpe.trainMerges(docs, "text", k = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.saveMerges(s, s"$dir/merges", trained)
+    assert(Bpe.loadMerges(s, s"$dir/merges") == trained)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("merge table shape + a later merge can consume an earlier one") {
     val s = spark
     import s.implicits._
