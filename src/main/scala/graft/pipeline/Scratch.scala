@@ -60,25 +60,26 @@ private[graft] object Scratch {
   }
 
   private val stableSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  @volatile private var stableDir: Option[String] = None
+  private val stableDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** One stable-frame subdir per JVM, created lazily and deleted on
-    * shutdown (by then nothing consumes the frames anymore).
+  /** One stable-frame subdir per (JVM, base dir) — keyed by the base
+    * so two SparkSessions with DIFFERENT `graft.scratch.dir` values
+    * never cross-write (the conflict class the old context-global
+    * checkpoint dir had) — created lazily and deleted on shutdown (by
+    * then nothing consumes the frames anymore).
     */
   private def stableSessionDir(spark: SparkSession, base: String): String =
-    synchronized {
-      stableDir.getOrElse {
-        val d = s"${base.stripSuffix("/")}/stable/session-${java.util.UUID.randomUUID()}"
-        val hconf = spark.sparkContext.hadoopConfiguration
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(d)
-            p.getFileSystem(hconf).delete(p, true)
-          } catch { case _: Throwable => () }))
-        stableDir = Some(d)
-        d
-      }
-    }
+    stableDirs.computeIfAbsent(base.stripSuffix("/"), b => {
+      val d = s"$b/stable/session-${java.util.UUID.randomUUID()}"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(hconf).delete(p, true)
+        } catch { case _: Throwable => () }))
+      d
+    })
 
   final class FrameStore(spark: SparkSession,
       dirKeys: Seq[String] = Seq("graft.scratch.dir"),
