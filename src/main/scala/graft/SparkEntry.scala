@@ -537,8 +537,12 @@ object SparkEntry {
     // the brute-force truth are cross-engine-verified, and the gate
     // value is pinned like q_vector_ivf's.
     "q_embed_keep_ivf" -> ((s, d) => {
+      // a 1-in-3 subsample carries the same gate at a third of the
+      // exact-kernel and clustering cost (the planted originals are
+      // drawn FROM the subsample, so every planted pair stays present)
       val e = emb(s, d).select("vec_id", "embedding")
-      val planted = e.where(col("vec_id") < 50)
+        .where(col("vec_id") % 3 === 0)
+      val planted = e.where(col("vec_id") < 150)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             when(i === 0, x * lit(1.01f) + lit(0.001f)).otherwise(x))
@@ -1190,11 +1194,12 @@ object SparkEntry {
     // q_vector_ivf's — the engine measures its bucketed path against
     // its own exact kernel in-plan
     "q_embed_keep_ivf" -> ("WITH base AS (SELECT vec_id, " +
-      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+      "WHERE vec_id % 3 = 0), " +
       "planted AS (SELECT vec_id + 100000 AS vec_id, " +
       "list_transform(range(1, len(v) + 1), " +
       "i -> CASE WHEN i = 1 THEN v[1] * 1.01 + 0.001 ELSE v[i] END) AS v " +
-      "FROM base WHERE vec_id < 50), " +
+      "FROM base WHERE vec_id < 150), " +
       "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted) " +
       "SELECT count(*) AS n_exact, CAST(1.0 AS DOUBLE) AS recall_gate " +
       "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +

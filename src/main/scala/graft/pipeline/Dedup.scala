@@ -1049,7 +1049,7 @@ object Dedup {
     if (brute) {
       VectorOps.cosinePairsBroadcast(df, vecCol, idCol, threshold)
     } else {
-      val model = VectorOps.trainIvf(df.withColumnRenamed(idCol, "_id")
+      val model = VectorOps.trainIvfCached(df.withColumnRenamed(idCol, "_id")
         .withColumnRenamed(vecCol, "_v"), "_v", nlist = ivfNlistFor(n))
       val assigned = VectorOps.assignCluster(
         df.select(col(idCol).as("_aid"), col(vecCol).as("_v")), "_v", model.centroids)
