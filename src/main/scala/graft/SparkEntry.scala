@@ -86,7 +86,7 @@ object SparkEntry {
     "q_media_audio", "q_media_video", "q_media_frames", "q_vector_pq_recall",
     "q_vector_ivfpq_recall", "q_doc_pack", "q_doc_bpe_count",
     "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist",
-    "q_doc_pack_bpe")
+    "q_doc_pack_bpe", "q_doc_mix_lang")
 
   import SortOrder.{Asc, Desc}
 
@@ -500,6 +500,15 @@ object SparkEntry {
       Bpe.mergeTable(s, docs(s, d), "text", k = BpeK)),
     "q_doc_bpe_count" -> ((s, d) =>
       Bpe.trainAndCount(docs(s, d), "doc_id", "text", k = BpeK)),
+    // the encode step: each doc's learned-subword token stream (space-
+    // joined — subwords are [a-z0-9]+, so the join is lossless)
+    "q_doc_bpe_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      val merges = Bpe.trainMergesCached(dd, "text", BpeK)
+        .map { case (_, l, r) => (l, r) }
+      dd.select(col("doc_id"),
+        concat_ws(" ", Bpe.encodeTokens(col("text"), merges)).as("bpe_text"))
+    }),
     "q_doc_langid" -> ((s, d) =>
       TextAnalysis.langIdReport(docs(s, d), "doc_id", "text")),
     "q_doc_quality" -> ((s, d) =>
@@ -579,6 +588,16 @@ object SparkEntry {
     "q_doc_mix_temp" -> ((s, d) =>
       Curation.temperatureMix(docs(s, d), "source", "doc_id",
         alpha = 0.5, targetFrac = 0.25).select("doc_id")),
+    // per-language temperature mixing: the mixture key is
+    // source × language-ID (both derived in-plan), so low-resource
+    // (source, lang) cells are boosted relative to their share exactly
+    // as pretraining recipes upsample low-resource languages
+    "q_doc_mix_lang" -> ((s, d) =>
+      Curation.temperatureMix(
+        TextAnalysis.withLangId(docs(s, d), "text", "_lg")
+          .withColumn("_sl", concat_ws(":", col("source"), col("_lg"))),
+        "_sl", "doc_id", alpha = 0.5, targetFrac = 0.25)
+        .select("doc_id")),
     // epoch upsampling: 2.5× src0, 1× src1, 0.4× the rest — row copies
     // with a deterministic fractional epoch, no shuffle
     "q_doc_upsample" -> ((s, d) =>
@@ -798,6 +817,24 @@ object SparkEntry {
       "(SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
       "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
       "ELSE [array_to_string(t, ' ')] END) AS s0 FROM toks))"
+
+  /** Language-ID argmax as SQL over a distinct-token list column `t`
+    * (mirrors TextAnalysis.langId: score = distinct-marker overlap,
+    * ties resolve in Markers order, all-zero -> 'und'). Generated from
+    * the same Markers table the Spark expression uses, so the two
+    * engines cannot drift.
+    */
+  private val langGreatestSql =
+    TextAnalysis.Markers.map { case (l, _) => s"s_$l" }.mkString(", ")
+  private val langScoresSql =
+    TextAnalysis.Markers.map { case (l, ms) =>
+      s"len(list_intersect(t, [${ms.map(m => s"'$m'").mkString(", ")}])) AS s_$l"
+    }.mkString(", ")
+  private val langCaseSql =
+    s"CASE WHEN greatest($langGreatestSql) = 0 THEN 'und' " +
+      TextAnalysis.Markers.init.map { case (l, _) =>
+        s"WHEN s_$l = greatest($langGreatestSql) THEN '$l' "
+      }.mkString + s"ELSE '${TextAnalysis.Markers.last._1}' END"
 
   /** Position-indexed duplicated 3-token windows (substring-dedup
     * family): `dup(doc_id, nw, p)` = 0-based window starts whose
@@ -1142,17 +1179,11 @@ object SparkEntry {
     // CTE triples — independent engine, same deterministic tie-break
     "q_doc_bpe" -> Bpe.oracleMergesSql("documents", "text", BpeK),
     "q_doc_bpe_count" -> Bpe.oracleCountSql("documents", "doc_id", "text", BpeK),
+    "q_doc_bpe_encode" -> Bpe.oracleEncodeSql("documents", "doc_id", "text", BpeK),
     "q_doc_langid" -> ("WITH d AS (SELECT doc_id, " +
       "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
-      "FROM documents), s AS (SELECT doc_id, " +
-      TextAnalysis.Markers.map { case (l, ms) =>
-        s"len(list_intersect(t, [${ms.map(m => s"'$m'").mkString(", ")}])) AS s_$l"
-      }.mkString(", ") + " FROM d) " +
-      "SELECT doc_id, CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' " +
-      "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' " +
-      "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' " +
-      "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' " +
-      "ELSE 'es' END AS lang_guess FROM s"),
+      s"FROM documents), s AS (SELECT doc_id, $langScoresSql FROM d) " +
+      s"SELECT doc_id, $langCaseSql AS lang_guess FROM s"),
     "q_doc_quality" -> ("WITH " + tokCte + " " +
       "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
       "CAST(len(t.t) AS BIGINT) AS n_tokens, " +
@@ -1236,6 +1267,23 @@ object SparkEntry {
       "/ t.ws / cw.n * 1000000) AS BIGINT)) AS thr FROM cw, t) " +
       "SELECT d.doc_id FROM documents d JOIN r ON d.source = r.source " +
       "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT " +
+      "% 1000000 < r.thr"),
+    // identical rate pipeline over the source × language-ID key; the
+    // lang CASE is generated from the same Markers table as the Spark
+    // expression
+    "q_doc_mix_lang" -> ("WITH dt AS (SELECT doc_id, source, " +
+      "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
+      "FROM documents), " +
+      s"sc AS (SELECT doc_id, source, $langScoresSql FROM dt), " +
+      s"lg AS (SELECT doc_id, source || ':' || $langCaseSql AS sl FROM sc), " +
+      "c AS (SELECT sl, count(*) AS n FROM lg GROUP BY sl), " +
+      "cw AS (SELECT sl, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) " +
+      "AS BIGINT) AS w FROM c), " +
+      "t AS (SELECT sum(n) AS nn, sum(w) AS ws FROM cw), " +
+      "r AS (SELECT cw.sl, least(1000000, CAST(round(0.25 * t.nn * cw.w " +
+      "/ t.ws / cw.n * 1000000) AS BIGINT)) AS thr FROM cw, t) " +
+      "SELECT lg.doc_id FROM lg JOIN r ON lg.sl = r.sl " +
+      "WHERE ('0x' || substr(md5(CAST(lg.doc_id AS VARCHAR)), 1, 15))::BIGINT " +
       "% 1000000 < r.thr"),
     // epoch upsampling: copies = num//den + (idhash%den < num%den),
     // one output row per (doc, epoch) — same 60-bit md5 hash family

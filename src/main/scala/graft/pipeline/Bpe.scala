@@ -119,6 +119,16 @@ object Bpe {
       .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"))
   }
 
+  /** The BPE token stream of a text column under a trained merge list:
+    * each word segmented into its learned subwords (in order), words
+    * concatenated — the encode step that makes the merge table usable
+    * as a tokenizer, not just a budget counter. Pure per-row expression
+    * (no UDF, no shuffle); empty/word-free text yields an empty array.
+    */
+  def encodeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextAnalysis.tokens(text),
+      w => split(trim(applyMerges(initState(w), merges), "_"), "__")))
+
   /** Per-doc BPE token count under a trained merge list: every doc
     * keeps a row (docs with no words count 0). A pure per-row
     * expression — `aggregate` over the token array with the literal
@@ -180,18 +190,43 @@ object Bpe {
     * BPE-budget sequence packing).
     */
   def oracleCountChain(table: String, idCol: String, textCol: String,
-      k: Int, out: String = "bpe_tokens"): String = {
-    val app = (1 to k).foldLeft(
+      k: Int, out: String = "bpe_tokens"): String =
+    oracleCtes(table, textCol, k) +
+      s", dw AS (SELECT $idCol, unnest(regexp_extract_all(lower($textCol), " +
+      s"'[a-z0-9]+')) AS w FROM $table)" +
+      s", dc AS (SELECT $idCol, sum(len(string_split(trim(${appSql(k)}, '_'), '__'))) " +
+      s"AS $out FROM dw GROUP BY $idCol)"
+
+  /** Generated oracle for [[encodeTokens]] joined to one string per
+    * doc: the same merge-application chain inside a per-word lambda,
+    * flattened in word order (tokens are [a-z0-9]+, so the space join
+    * is lossless).
+    */
+  def oracleEncodeSql(table: String, idCol: String, textCol: String,
+      k: Int, out: String = "bpe_text"): String =
+    oracleCtes(table, textCol, k) +
+      // words unnest to rows (lockstep unnest keeps the position — the
+      // merge chain's scalar subqueries cannot live inside a lambda),
+      // segment per row, then re-join in word order; wordless docs
+      // come back as '' via the left join
+      s", dw AS (SELECT $idCol, unnest(ws) AS w, " +
+      s"unnest(range(1, len(ws) + 1)) AS pos FROM (SELECT $idCol, " +
+      s"regexp_extract_all(lower($textCol), '[a-z0-9]+') AS ws FROM $table))" +
+      s", ag AS (SELECT $idCol, string_agg(array_to_string(" +
+      s"string_split(trim(${appSql(k)}, '_'), '__'), ' '), ' ' ORDER BY pos) " +
+      s"AS $out FROM dw GROUP BY $idCol) " +
+      s"SELECT d.$idCol, coalesce(ag.$out, '') AS $out " +
+      s"FROM $table d LEFT JOIN ag ON d.$idCol = ag.$idCol"
+
+  /** The merge-application chain over a word expression `w` (shared by
+    * the count and encode oracles).
+    */
+  private def appSql(k: Int): String =
+    (1 to k).foldLeft(
       s"regexp_replace(w, '(.)', '_\\1_', 'g')") { (e, i) =>
       s"replace($e, coalesce((SELECT '_'||l||'__'||r||'_' FROM m$i), '~'), " +
         s"coalesce((SELECT '_'||l||r||'_' FROM m$i), '~'))"
     }
-    oracleCtes(table, textCol, k) +
-      s", dw AS (SELECT $idCol, unnest(regexp_extract_all(lower($textCol), " +
-      s"'[a-z0-9]+')) AS w FROM $table)" +
-      s", dc AS (SELECT $idCol, sum(len(string_split(trim($app, '_'), '__'))) " +
-      s"AS $out FROM dw GROUP BY $idCol)"
-  }
 
   private def oracleCtes(table: String, textCol: String, k: Int): String = {
     val head = Seq(

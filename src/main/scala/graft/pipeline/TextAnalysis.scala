@@ -63,6 +63,18 @@ object TextAnalysis {
     df.select(col(idCol), array_distinct(tokens(col(textCol))).as("_dt"))
       .select(col(idCol), langIdOfDistinctTokens(col("_dt")).as("lang_guess"))
 
+  /** `df` plus a language-ID column, all input columns preserved — the
+    * composition shape for language-keyed curation (e.g. per-language
+    * temperature mixing). The distinct-token array stages as its own
+    * projection: CollapseProject keeps a non-cheap alias referenced by
+    * every marker set from inlining, so tokenization runs once per row.
+    */
+  def withLangId(df: DataFrame, textCol: String,
+      out: String = "lang_guess"): DataFrame =
+    df.withColumn("_dt", array_distinct(tokens(col(textCol))))
+      .withColumn(out, langIdOfDistinctTokens(col("_dt")))
+      .drop("_dt")
+
   /** Quality metrics: char count, token count, mean token length,
     * stopword share, and a composite score in [0,1] (rounded so the
     * double arithmetic is oracle-stable). Tokens stage as an attribute

@@ -48,6 +48,33 @@ class BpeSpec extends GraftSuite {
     assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L), s"got $got")
   }
 
+  test("encodeTokens segments words into subwords; concat reconstructs, size matches count") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaaa ab cab"), (2L, "!!!"), (3L, "")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val enc = docs.select(col("doc_id"),
+      Bpe.encodeTokens(col("text"), merges).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // aaaa -> [aa, aa]; ab -> [ab]; cab -> [c, ab] (greedy after aa)
+    assert(enc(1L) == Seq("aa", "aa", "ab", "c", "ab"), s"got ${enc(1L)}")
+    assert(enc(2L).isEmpty && enc(3L).isEmpty)
+    // invariants vs the count report on a larger corpus: same length,
+    // and the concatenated subwords reproduce the word stream
+    val big = Seq((10L, "the cat and the hat sat"), (11L, "a ab abc abcd"))
+      .toDF("doc_id", "text")
+    val m2 = Bpe.trainMerges(big, "text", k = 4).map { case (_, l, r) => (l, r) }
+    val counts = Bpe.tokenCountReport(big, "doc_id", "text", m2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    big.select(col("doc_id"), col("text"),
+      Bpe.encodeTokens(col("text"), m2).as("t")).collect().foreach { r =>
+      val toks = r.getSeq[String](2)
+      assert(toks.size.toLong == counts(r.getLong(0)))
+      assert(toks.mkString == r.getString(1).toLowerCase
+        .replaceAll("[^a-z0-9]+", ""))
+    }
+  }
+
   test("merge table round-trips through the parquet artifact") {
     val s = spark
     import s.implicits._

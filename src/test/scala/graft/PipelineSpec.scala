@@ -964,6 +964,32 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("withLangId preserves columns; temperature mixing composes over source × lang") {
+    val d = docs()
+    val wl = TextAnalysis.withLangId(d, "text", "lg")
+    assert(wl.columns.toSeq == d.columns.toSeq :+ "lg")
+    val viaReport = TextAnalysis.langIdReport(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaWith = wl.select("doc_id", "lg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaWith == viaReport)
+    val keyed = wl
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2L))))
+      .withColumn("_sl", concat_ws(":", col("source"), col("lg")))
+    // alpha=1, targetFrac=1 is the identity mix: every per-key
+    // threshold saturates at den, so every row is kept
+    val all = Curation.temperatureMix(keyed, "_sl", "doc_id",
+      alpha = 1.0, targetFrac = 1.0)
+    assert(all.count() == d.count())
+    assert(all.columns.toSeq == keyed.columns.toSeq) // input shape out
+    // sub-identity mixes are deterministic (hash threshold, no RNG)
+    val k1 = Curation.temperatureMix(keyed, "_sl", "doc_id",
+      alpha = 0.5, targetFrac = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = Curation.temperatureMix(keyed, "_sl", "doc_id",
+      alpha = 0.5, targetFrac = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.nonEmpty && k1.size < d.count())
+  }
+
   test("GraphAlgos: co-occurrence, degrees, triangles vs brute force; CC over projection") {
     val s = spark
     import s.implicits._
