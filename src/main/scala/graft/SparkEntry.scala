@@ -86,7 +86,7 @@ object SparkEntry {
     "q_media_audio", "q_media_video", "q_media_frames", "q_vector_pq_recall",
     "q_vector_ivfpq_recall", "q_doc_pack", "q_doc_bpe_count",
     "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist",
-    "q_doc_pack_bpe", "q_doc_mix_lang")
+    "q_doc_pack_bpe", "q_doc_mix_lang", "q_graph_pagerank")
 
   import SortOrder.{Asc, Desc}
 
@@ -724,6 +724,18 @@ object SparkEntry {
         "p", "o"))
         .select(col("node_id").as("order_id"), col("component_id"))
     }),
+    // integer-quantized PageRank (8 damped power iterations) over the
+    // same co-occurrence projection family — "domain ranking" for
+    // curation; exact integer arithmetic makes ranks bit-identical
+    // across engines and partitionings
+    "q_graph_pagerank" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.pageRank(GraphAlgos.coOccurrence(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), iters = 8)
+        .select(col("node_id").as("order_id"), col("pr_q"))
+    }),
     // range (interval) join: clicks inside a ±6 h attribution window
     // around each purchase by the same user — the bin-bucketed
     // equi-join plan (derived bucket width), exact BETWEEN post-filter
@@ -1148,6 +1160,27 @@ object SparkEntry {
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT a AS order_id, least(a, min(b)) AS component_id " +
       "FROM reach GROUP BY a"),
+    // identical quantized power iteration unrolled as one CTE per
+    // round (integer floor division mirrors Spark's `div`; the final
+    // CAST pins DuckDB's HUGEINT sums back to BIGINT)
+    "q_graph_pagerank" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS MATERIALIZED (SELECT u AS s, v AS d FROM ed " +
+      "UNION ALL SELECT v AS s, u AS d FROM ed), " +
+      "deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM und GROUP BY s), " +
+      "pr0 AS MATERIALIZED (SELECT s AS v, " +
+      "1000000000 // (SELECT count(*) FROM deg) AS pr FROM deg), " +
+      "bs AS MATERIALIZED (SELECT (1000000000 // (SELECT count(*) FROM deg)) " +
+      "* 15 // 100 AS b), " +
+      (1 to 8).map { i =>
+        s"pr$i AS MATERIALIZED (SELECT und.d AS v, (SELECT b FROM bs) + " +
+          s"(sum(pr.pr // deg.dg) * 85) // 100 AS pr " +
+          s"FROM und JOIN pr${i - 1} pr ON und.s = pr.v " +
+          "JOIN deg ON und.s = deg.s GROUP BY und.d)"
+      }.mkString(", ") +
+      " SELECT v AS order_id, CAST(pr AS BIGINT) AS pr_q FROM pr8"),
     // range join: the plain BETWEEN join is the independent formulation
     // of the bin-bucketed equi-join + post-filter plan
     "q_event_range" -> ("WITH c AS (SELECT event_id AS click_id, user_id, ts " +

@@ -100,4 +100,71 @@ object GraphAlgos {
       .unionAll(tris.select(col("_w").as("node_id")))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Integer-quantized PageRank over a canonical undirected edge
+    * frame: `(node_id, pr_q)` where `pr_q / scale` approximates the
+    * damped PageRank after `iters` power iterations. All arithmetic is
+    * integer (`div` floor division, exact long sums): ranks are
+    * bit-identical at any partitioning AND across engines — the same
+    * reproducibility trick as `Curation.temperatureMix`'s quantized
+    * weights; a double formulation would hash-differ per run from
+    * float summation order alone.
+    *
+    * Undirected graph: every vertex has degree >= 1, so there is no
+    * dangling mass; contribution of `u` to each neighbor is
+    * `pr(u) div deg(u)` and
+    * `pr'(v) = base + (damp% of the contribution sum)` with
+    * `base = (scale div n) * (100 - dampPct) div 100`.
+    *
+    * Scale shape: one degree aggregation up front, then per iteration
+    * ONE equi-join of the adjacency against the (n-row) rank frame and
+    * ONE aggregation by destination — the standard distributed power
+    * iteration. Rank frames go through the reliable iterative-pass
+    * store; the adjacency is kept once and reused by every round.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 8,
+      scale: Long = 1000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    val store = new Scratch.FrameStore(edges.sparkSession)
+    // materialize the directed edge list BEFORE deriving degrees: the
+    // adjacency plan references it twice (degree agg + join), and an
+    // upstream edge frame is often itself an expensive projection
+    // (e.g. coOccurrence) that must not run once per branch
+    val und = store.keep(
+      edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+        .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst"))))
+    val adj = store.keep(und
+      .join(und.groupBy("_src").agg(count(lit(1)).as("_deg")), "_src"))
+    // vertex count: a catalog statistic at 100 TB (cf. Dedup's cached
+    // row counts); one distinct-count job here
+    val n = adj.select(col("_src")).distinct().count()
+    if (n == 0) {
+      store.release()
+      return edges.select(col("id_a").as("node_id"), lit(0L).as("pr_q"))
+        .where(lit(false))
+    }
+    val init = scale / n
+    val base = init * (100 - dampPct) / 100
+    var pr = adj.select(col("_src").as("node_id")).distinct()
+      .withColumn("_pr", lit(init))
+    // materialize every 4th round only: the rank frame is one row per
+    // vertex, so a per-round checkpoint costs more than the bounded
+    // (<= 4 join+agg stages) lineage it would cut — same segmenting
+    // discipline as Repeat's depth folds
+    var it = 0
+    while (it < iters) {
+      val next = adj.join(pr, adj("_src") === pr("node_id"))
+        .select(col("_dst"), expr("_pr div _deg").as("_c"))
+        .groupBy(col("_dst"))
+        .agg(sum(col("_c")).as("_s"))
+        .select(col("_dst").as("node_id"),
+          (lit(base) + expr(s"(_s * $dampPct) div 100")).as("_pr"))
+      it += 1
+      pr = if (it % 4 == 0 && it < iters) store.keep(next) else next
+    }
+    val out = Scratch.stable(pr.select(col("node_id"), col("_pr").as("pr_q")))
+    store.release()
+    out
+  }
 }

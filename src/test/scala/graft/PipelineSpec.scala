@@ -990,6 +990,39 @@ class PipelineSpec extends GraftSuite {
     assert(k1 == k2 && k1.nonEmpty && k1.size < d.count())
   }
 
+  test("pageRank: quantized power iteration matches a driver-side reference") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = GraphAlgos.pageRank(edges, iters = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the same integer recurrence in plain Scala
+    val und = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+      1L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 3L)
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val init = 1000000000L / deg.size
+    val base = init * 15 / 100
+    var pr = deg.keys.map(_ -> init).toMap
+    for (_ <- 1 to 8) {
+      val contrib = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = contrib.map { case (v, cs) => v -> (base + cs * 85 / 100) }
+    }
+    assert(got == pr, s"got $got expected $pr")
+    // quantization loses at most a few units per vertex per round;
+    // total mass stays within that of the full scale
+    assert(math.abs(got.values.sum - 1000000000L) < 100L * got.size * 8)
+    // the hub of a star graph ends up with the highest rank
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)).toDF("id_a", "id_b")
+    val sp = GraphAlgos.pageRank(star, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(10L) == sp.values.max && sp(10L) > sp(1L))
+    // empty edge frame -> empty ranks, schema intact
+    val empty = GraphAlgos.pageRank(edges.where(lit(false)))
+    assert(empty.columns.toSeq == Seq("node_id", "pr_q") && empty.count() == 0)
+  }
+
   test("GraphAlgos: co-occurrence, degrees, triangles vs brute force; CC over projection") {
     val s = spark
     import s.implicits._
