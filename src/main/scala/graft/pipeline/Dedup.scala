@@ -465,6 +465,40 @@ object Dedup {
     if (dedup) joined.distinct() else joined
   }
 
+  /** Band-key expressions shared by every LSH consumer: band `b`'s key
+    * is `concat_ws("|", b, mh_{b·r} … mh_{b·r+r-1})` with `mhOf(j)`
+    * supplying the j-th signature component. Centralized so batch
+    * bucketing and the streaming per-row formulation below cannot
+    * drift (a key mismatch silently degrades recall to zero).
+    */
+  def bandKeyExprs(numHashes: Int, bands: Int, mhOf: Int => Column): Seq[Column] = {
+    val rows = numHashes / bands
+    (0 until bands).map { b =>
+      concat_ws("|", lit(b) +: (b * rows until (b + 1) * rows).map(mhOf): _*)
+    }
+  }
+
+  /** Per-row MinHash band keys as a staged expression pipeline — no
+    * explode, no aggregation, no shuffle: the signature formulation for
+    * STREAMING ingest, where [[minhashSignatureCached]]'s per-corpus
+    * groupBy is unavailable. Each stage lands in its own projection
+    * (tokens → distinct shingle hashes → signature → band keys) so
+    * nothing re-evaluates per reference; keys are bit-identical to the
+    * batch artifact's (same shingle hash family, same seeds, same
+    * [[bandKeyExprs]]).
+    */
+  def withMinhashBandKeys(df: DataFrame, textCol: String, n: Int,
+      numHashes: Int, bands: Int, out: String = "_bands"): DataFrame =
+    df.withColumn("_t0", tokens(col(textCol)))
+      .withColumn("_sha0", array_distinct(transform(
+        shinglesOfTokens(col("_t0"), n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+      .withColumn("_mh0", array(minhashSeeds(numHashes).map(seed =>
+        array_min(transform(col("_sha0"), h => h.bitwiseXOR(lit(seed))))): _*))
+      .withColumn(out, array(bandKeyExprs(numHashes, bands,
+        j => element_at(col("_mh0"), j + 1)): _*))
+      .drop("_t0", "_sha0", "_mh0")
+
   /** MinHash+LSH near-dup pairs, LSH candidates verified by exact
     * Jaccard >= num/den (integer cross-multiply: float-free, oracle-stable).
     */

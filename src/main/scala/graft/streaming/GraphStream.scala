@@ -81,6 +81,40 @@ object GraphStream {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  /** Near-dup filtering at ingest: drop stream rows whose MinHash
+    * signature shares any LSH band with the STANDING corpus — the
+    * streaming half of `pipeline.Dedup.minhashPairs`, guarding a
+    * training corpus against re-crawled boilerplate before it lands.
+    *
+    * Plan shape: the corpus side is the write-time signature artifact
+    * ([[graft.pipeline.Dedup.minhashSignatureCached]]) reduced to a
+    * Bloom filter of its band keys (built ONCE at filter construction
+    * — `bands × |corpus|` keys; ~1.2 GB at 10⁹ keys / 1% fpp, a
+    * broadcast-sized sketch even for a billion-doc corpus). The stream
+    * side computes band keys per row with
+    * [[graft.pipeline.Dedup.withMinhashBandKeys]] — a pure staged
+    * expression, no shuffle, no state store — and keeps rows none of
+    * whose keys might be in the corpus. Bloom false positives drop a
+    * clean doc at rate ≤ `bands × fpp` (tune `fpp` down for precious
+    * data); false negatives don't exist, so nothing near-duplicate
+    * slips through that batch LSH would have caught.
+    */
+  def nearDupIngestFilter(stream: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, numHashes: Int = 6,
+      bands: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import graft.pipeline.Dedup
+    val sig = Dedup.minhashSignatureCached(corpus, textCol, idCol, n, numHashes)
+    val keyed = sig.select(explode(array(Dedup.bandKeyExprs(numHashes, bands,
+      j => col(s"mh$j")): _*)).as("_k"))
+    val bloom = keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
+    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    val hits = udf((ks: Seq[String]) =>
+      ks != null && ks.exists(bloomB.value.mightContainString))
+    Dedup.withMinhashBandKeys(stream, textCol, n, numHashes, bands, "_bands")
+      .where(!hits(col("_bands")))
+      .drop("_bands")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionUpdate(user_id: Long, events: Long, closed: Boolean)
 

@@ -990,6 +990,18 @@ class PipelineSpec extends GraftSuite {
     assert(k1 == k2 && k1.nonEmpty && k1.size < d.count())
   }
 
+  test("withMinhashBandKeys matches the batch signature artifact's band keys") {
+    val d = docs()
+    val sig = Dedup.minhashSignatureCached(d, "text", "doc_id", n = 3, numHashes = 6)
+    val expected = sig.select(col("_did"), array(Dedup.bandKeyExprs(6, 3,
+      j => col(s"mh$j")): _*).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val got = Dedup.withMinhashBandKeys(d, "text", 3, 6, 3)
+      .select(col("doc_id"), col("_bands")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == expected)
+  }
+
   test("pageRank: quantized power iteration matches a driver-side reference") {
     val s = spark
     import s.implicits._

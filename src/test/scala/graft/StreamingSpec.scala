@@ -52,6 +52,31 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("nearDupIngestFilter drops stream docs near-duplicate to the standing corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark structured streaming"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = GraphStream.nearDupIngestFilter(docs, corpus, "text", "doc_id")
+      .writeStream.format("memory").queryName("ingestclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+        (11L, "unrelated fresh words with novel vocabulary entirely"))
+      q.processAllAvailable()
+      val kept = s.table("ingestclean").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!kept.contains(10L), "exact duplicate must be dropped")
+      assert(kept.contains(11L), "fresh document must survive")
+    } finally q.stop()
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
