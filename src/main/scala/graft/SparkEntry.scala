@@ -571,6 +571,12 @@ object SparkEntry {
       Curation.splitAssign(docs(s, d), "doc_id",
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
         .groupBy("split").agg(count(lit(1)).as("cnt"))),
+    // the stratified view of the same assignment: split × source cell
+    // counts — the check that a hash split stays balanced per domain
+    "q_doc_split_strat" -> ((s, d) =>
+      Curation.splitAssign(docs(s, d), "doc_id",
+        Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
+        .groupBy("source", "split").agg(count(lit(1)).as("cnt"))),
     "q_doc_stats" -> ((s, d) => Curation.corpusStats(docs(s, d), "text")),
     "q_doc_source_stats" -> ((s, d) =>
       Curation.sourceStats(docs(s, d), "source", "text")),
@@ -724,6 +730,16 @@ object SparkEntry {
         "p", "o"))
         .select(col("node_id").as("order_id"), col("component_id"))
     }),
+    // per-vertex degrees of the co-occurrence projection (the quick
+    // structural profile that sizes skew guards before heavier passes)
+    "q_graph_degrees" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.degrees(GraphAlgos.coOccurrence(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"))
+        .select(col("node_id").as("order_id"), col("degree"))
+    }),
     // integer-quantized PageRank (8 damped power iterations) over the
     // same co-occurrence projection family — "domain ranking" for
     // curation; exact integer arithmetic makes ranks bit-identical
@@ -762,6 +778,13 @@ object SparkEntry {
           (v, qi) => abs(v.cast("double") - qi.cast("double") * col("q_scale")))), 6)
           .as("max_err"))
     }),
+
+    // integer-quantized L2 normalization (fixed-point unit vectors,
+    // bit-deterministic across engines; comma-joined — the driver
+    // compare rejects collection columns)
+    "q_embed_norm" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"), concat_ws(",",
+        VectorOps.l2NormalizeQuantized(col("embedding"))).as("nvec"))),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -1160,6 +1183,12 @@ object SparkEntry {
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT a AS order_id, least(a, min(b)) AS component_id " +
       "FROM reach GROUP BY a"),
+    "q_graph_degrees" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u AS s FROM ed UNION ALL SELECT v FROM ed) " +
+      "SELECT s AS order_id, count(*) AS degree FROM und GROUP BY s"),
     // identical quantized power iteration unrolled as one CTE per
     // round (integer floor division mirrors Spark's `div`; the final
     // CAST pins DuckDB's HUGEINT sums back to BIGINT)
@@ -1268,12 +1297,28 @@ object SparkEntry {
       "SELECT count(*) AS n_exact, CAST(1.0 AS DOUBLE) AS recall_gate " +
       "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(a.v, b.v) >= 0.98"),
+    "q_embed_norm" -> ("WITH q AS (SELECT vec_id, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
+      "n AS (SELECT vec_id, xq, CAST(floor(sqrt(CAST(" +
+      "list_sum(list_transform(xq, x -> x * x)) AS DOUBLE))) AS BIGINT) " +
+      "AS nrm FROM q) " +
+      "SELECT vec_id, CASE WHEN nrm = 0 THEN " +
+      "array_to_string(list_transform(xq, x -> 0), ',') ELSE " +
+      "array_to_string(list_transform(xq, x -> (x * 1000000) // nrm), ',') " +
+      "END AS nvec FROM n"),
     "q_doc_split" -> ("WITH b AS (SELECT " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
       "FROM documents) " +
       "SELECT CASE WHEN bucket < 90 THEN 'train' " +
       "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, " +
       "count(*) AS cnt FROM b GROUP BY 1"),
+    "q_doc_split_strat" -> ("WITH b AS (SELECT source, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
+      "FROM documents) " +
+      "SELECT source, CASE WHEN bucket < 90 THEN 'train' " +
+      "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, " +
+      "count(*) AS cnt FROM b GROUP BY 1, 2"),
     "q_doc_stats" -> ("WITH m AS (SELECT CAST(length(text) AS BIGINT) AS nc, " +
       "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt FROM documents) " +
       "SELECT count(*) AS docs, CAST(sum(nc) AS BIGINT) AS total_chars, " +

@@ -65,6 +65,29 @@ object VectorOps {
           .otherwise(transform(col(vecCol),
             x => round(x.cast("double") / col("q_scale")).cast("byte"))))
 
+  /** L2 normalization with integer-quantized arithmetic: components
+    * quantize to `round(x · scale)` longs, the squared norm is an EXACT
+    * long sum (order-free — a double norm would hash-differ across
+    * engines/partitionings from summation order alone), and the output
+    * component is `(x_q · scale) div floor(sqrt(norm²))` — IEEE sqrt of
+    * an exact integer is correctly rounded everywhere, so the whole
+    * pipeline is bit-deterministic. Output ≈ unit vector at `scale`
+    * fixed-point; zero vectors normalize to zeros. One codegen'd scan,
+    * no shuffle.
+    */
+  def l2NormalizeQuantized(vec: Column, scale: Long = 1000000L): Column = {
+    val q = transform(vec, x => round(x.cast("double") * scale).cast("long"))
+    val n2 = aggregate(q, lit(0L), (acc, x) => acc + x * x)
+    val norm = floor(sqrt(n2.cast("double"))).cast("long")
+    // truncating integer division via double: |a| ≤ scale² = 1e12 is
+    // double-exact, and a non-integer quotient sits ≥ 1/norm ≈ 1e-6
+    // from any integer — far beyond the ~2e-10 division ulp — so the
+    // cast truncates identically to DuckDB's `//` (also trunc-to-zero)
+    when(norm === 0L, transform(vec, _ => lit(0L)))
+      .otherwise(transform(q,
+        x => ((x * scale).cast("double") / norm).cast("long")))
+  }
+
   /** Exact top-k by cosine similarity. orderBy+limit plans as
     * TakeOrderedAndProject: per-partition top-k then a k-row merge on
     * the driver — no full sort, no shuffle of the data.

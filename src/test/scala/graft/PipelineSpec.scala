@@ -391,6 +391,29 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("l2NormalizeQuantized: fixed-point unit vectors, direction preserved, zero safe") {
+    val s = spark
+    import s.implicits._
+    import graft.search.VectorOps
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f)),               // norm 5 -> (0.6, 0.8)
+      (2L, Seq(0.0f, 0.0f)),               // zero vector
+      (3L, Seq(-1.0f, 1.0f, 2.0f, -2.0f)), // mixed signs
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+      VectorOps.l2NormalizeQuantized(col("embedding")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(600000L, 800000L))
+    assert(got(2L) == Seq(0L, 0L))
+    // unit length at the fixed point, within quantization slack
+    for (v <- got.values if v.exists(_ != 0)) {
+      val n2 = v.map(x => x.toDouble * x).sum
+      assert(math.abs(math.sqrt(n2) - 1000000.0) < 10.0, s"norm of $v")
+    }
+    // sign/direction preserved componentwise
+    assert(got(3L).map(_.sign) == Seq(-1L, 1L, 1L, -1L))
+  }
+
   test("RAG loop: chunk, engine-embedded ingest, text vector search finds the source chunk") {
     import graft.ast._
     import graft.ast.PropertyValue._
