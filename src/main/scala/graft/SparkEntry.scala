@@ -651,6 +651,13 @@ object SparkEntry {
         all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
         .select("doc_id")
     }),
+    // eval-side attribution: which benchmark items are compromised,
+    // by how many train docs / leaked shingles
+    "q_doc_decontam_attr" -> ((s, d) => {
+      val all = docs(s, d)
+      Decontam.attribution(all.where(col("doc_id") % 10 =!= 7),
+        all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+    }),
     "q_doc_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d), "doc_id", "text")),
     "q_doc_top_ngrams" -> ((s, d) =>
@@ -1440,6 +1447,11 @@ object SparkEntry {
       "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7) " +
       "SELECT doc_id, count(*) AS n_hit FROM sh JOIN ev USING (s) " +
       "WHERE doc_id % 10 <> 7 GROUP BY doc_id"),
+    "q_doc_decontam_attr" -> ("WITH " + shCte + ", " +
+      "ev AS (SELECT doc_id AS eid, s FROM sh WHERE doc_id % 10 = 7) " +
+      "SELECT ev.eid AS eval_id, count(DISTINCT sh.doc_id) AS n_train_docs, " +
+      "count(DISTINCT sh.s) AS n_shared FROM sh JOIN ev USING (s) " +
+      "WHERE sh.doc_id % 10 <> 7 GROUP BY ev.eid"),
     "q_doc_decontam_keep" -> ("WITH " + shCte + ", " +
       "ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7), " +
       "bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s) " +

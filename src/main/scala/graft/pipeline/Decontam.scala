@@ -52,6 +52,31 @@ object Decontam {
       .agg(count(lit(1)).as("n_hit"))
   }
 
+  /** Eval-side ATTRIBUTION: for each evaluation document, how many
+    * corpus documents overlap it (`n_train_docs`) and how many of its
+    * distinct shingles leak (`n_shared`) — the report that tells a
+    * benchmark owner WHICH eval items are compromised and how broadly,
+    * where [[contamination]] tells the corpus owner what to drop.
+    * Same plan shape: the broadcast now carries (eval_id, shingle)
+    * instead of the bare shingle set — still benchmark-sized — and the
+    * corpus streams through the probe with zero exchanges before the
+    * sliver-sized final aggregation.
+    */
+  def attribution(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val evalShingles = Dedup.shingleHashSet(evalSet, textCol, idCol, n)
+      .select(col("_did").as("_eid"), col("_sh"))
+    corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(array_distinct(transform(
+        Dedup.shinglesOfTokens(col("_t"), n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("_sh"))
+      .join(broadcast(evalShingles), "_sh")
+      .groupBy(col("_eid").as("eval_id"))
+      .agg(countDistinct(col(idCol)).as("n_train_docs"),
+        countDistinct(col("_sh")).as("n_shared"))
+  }
+
   /** The keep-side terminal: corpus rows whose overlap with `evalSet`
     * stays under `maxHits` shared shingles (strictly-less; 1 drops any
     * overlap at all). Broadcast anti-join against the (small)

@@ -888,6 +888,21 @@ class PipelineSpec extends GraftSuite {
     assert(kept == Set(3L, 5L))
   }
 
+  test("attribution reports per-eval-doc train overlap breadth") {
+    val s = spark
+    import s.implicits._
+    val corpus = docs()
+    val eval = Seq(
+      (100L, "fox jumps over the lazy dog today"),   // leaks into 1/2/4
+      (101L, "nothing here matches the training corpus vocabulary"))
+      .toDF("doc_id", "text")
+    val attr = Decontam.attribution(corpus, eval, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(attr.keySet == Set(100L), s"got $attr") // 101 clean -> absent
+    assert(attr(100L)._1 == 3L) // three train docs touch it
+    assert(attr(100L)._2 >= 1L)
+  }
+
   test("decontamination broadcasts the eval side; corpus side has no shuffle before the join") {
     val s = spark
     import s.implicits._
