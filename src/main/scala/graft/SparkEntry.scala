@@ -87,7 +87,9 @@ object SparkEntry {
     "q_vector_ivfpq_recall", "q_doc_pack", "q_doc_bpe_count",
     "q_doc_mix_temp", "q_embed_keep_ivf", "q_embed_knn_dist",
     "q_doc_pack_bpe", "q_doc_mix_lang", "q_graph_pagerank",
-    "q_doc_edit_pairs")
+    "q_doc_edit_pairs", "q_event_sessions", "q_event_funnel",
+    "q_event_retention", "q_event_sketch_gate", "q_doc_gopher",
+    "q_doc_pmi", "q_doc_len_quantiles")
 
   import SortOrder.{Asc, Desc}
 
@@ -841,6 +843,51 @@ object SparkEntry {
       Multimodal.audioChecksum(
         Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
           only = Some("audio")))),
+
+    // ---- temporal analytics (extension): sessionization, funnels,
+    // cohort retention — the event-log triad behind engagement-style
+    // training-data slicing. All single-key-shuffle shapes (Temporal
+    // scaladoc) with epoch-µs integer arithmetic so every derived
+    // number is bit-identical to the oracle.
+    "q_event_sessions" -> ((s, d) =>
+      Temporal.sessionize(events(s, d), "user_id", "ts", "event_id",
+        gapSec = 21600)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))),
+    "q_event_funnel" -> ((s, d) =>
+      Temporal.funnel(events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSec = 604800)
+        .groupBy(col("steps_completed"))
+        .agg(count(lit(1)).as("n_users"))),
+    "q_event_retention" -> ((s, d) =>
+      Temporal.retention(events(s, d), "user_id", "ts", periodSec = 86400)),
+    // sketch self-gate: HLL distinct-users and t-digest-style median
+    // must land within 5% / 2% of the exact answers computed in the
+    // SAME plan; the oracle independently recomputes the exact count
+    // and pins both gates true (the q_vector_ivf gate pattern)
+    "q_event_sketch_gate" -> ((s, d) =>
+      events(s, d).agg(
+        count_distinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("_est"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("_amed"),
+        percentile(col("value"), lit(0.5)).as("_med"))
+        .select(col("n_exact"),
+          (abs(col("_est") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("within_5pct"),
+          (abs(col("_amed") - col("_med")) /
+            greatest(abs(col("_med")), lit(1e-9)) <= 0.02).as("med_within_2pct"))),
+
+    // ---- text curation (extension): Gopher-rule flags, PMI
+    // collocations, exact histogram quantiles
+    "q_doc_gopher" -> ((s, d) =>
+      TextAnalysis.gopherReport(docs(s, d), "doc_id", "text")),
+    "q_doc_pmi" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d), "text", minCount = 5, k = 20)),
+    "q_doc_len_quantiles" -> ((s, d) =>
+      Curation.exactQuantiles(docs(s, d), "lang", "n_chars",
+        Seq(0.25, 0.5, 0.75))),
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1638,5 +1685,93 @@ object SparkEntry {
       "k -> (media_id * 31 + k * 7) % 65536 - 32768)) AS BIGINT) AS sample_sum, " +
       "CAST(n AS BIGINT) AS n_samples, CAST(16000 AS BIGINT) AS sample_rate " +
       "FROM a"),
+
+    // gap sessionization: same lag + running-sum formulation over
+    // epoch µs; CASE's null-cond -> ELSE mirrors when().otherwise()
+    "q_event_sessions" -> ("WITH e AS (SELECT event_id, user_id, " +
+      "epoch_us(ts) AS us FROM events), " +
+      "s AS (SELECT user_id, event_id, us, CASE WHEN us - lag(us) OVER " +
+      "(PARTITION BY user_id ORDER BY us, event_id) <= 21600000000 " +
+      "THEN 0 ELSE 1 END AS nw FROM e), " +
+      "t AS (SELECT user_id, us, CAST(sum(nw) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS session_seq FROM s) " +
+      "SELECT user_id, session_seq, count(*) AS n_events, " +
+      "min(us) AS start_us, max(us) AS end_us FROM t GROUP BY 1, 2"),
+    // chained conditional-min formulation of the ordered funnel; a key
+    // missing step i never appears in step i+1's CTE
+    "q_event_funnel" -> ("WITH e AS (SELECT user_id, event_type, " +
+      "epoch_us(ts) AS us FROM events), " +
+      "t1 AS (SELECT user_id, min(us) AS t1 FROM e " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id) " +
+      "WHERE event_type = 'click' AND us >= t1 " +
+      "AND us <= t1 + 604800000000 GROUP BY 1), " +
+      "t3 AS (SELECT e.user_id, min(us) AS t3 FROM e " +
+      "JOIN t1 USING (user_id) JOIN t2 USING (user_id) " +
+      "WHERE event_type = 'purchase' AND us >= t2 " +
+      "AND us <= t1 + 604800000000 GROUP BY 1), " +
+      "f AS (SELECT t1.user_id, CAST(1 + " +
+      "CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END + " +
+      "CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) " +
+      "AS steps_completed FROM t1 " +
+      "LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) " +
+      "SELECT steps_completed, count(*) AS n_users FROM f GROUP BY 1"),
+    // integer floor division on positive epoch µs == Spark's `div`
+    "q_event_retention" -> ("WITH e AS (SELECT user_id, epoch_us(ts) AS us " +
+      "FROM events), " +
+      "f AS (SELECT user_id, min(us) // 86400000000 AS cohort " +
+      "FROM e GROUP BY 1) " +
+      "SELECT cohort, (us // 86400000000) - cohort AS period_offset, " +
+      "count(DISTINCT user_id) AS n_active " +
+      "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
+    // the oracle recomputes the exact distinct count and pins the
+    // sketch-accuracy gates (engine-side |approx-exact| checks) true
+    "q_event_sketch_gate" -> ("SELECT count(DISTINCT user_id) AS n_exact, " +
+      "TRUE AS within_5pct, TRUE AS med_within_2pct FROM events"),
+
+    "q_doc_gopher" -> ("WITH w AS (SELECT doc_id, text, " +
+      "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+      "round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) " +
+      "/ greatest(len(ws), 1), 6) AS mean_word_len, " +
+      "CAST(len(list_intersect(list_distinct(list_transform(ws, " +
+      "x -> lower(x))), " +
+      "['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT) " +
+      "AS stop_hits, " +
+      "round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) " +
+      "AS DOUBLE) / greatest(len(ws), 1), 6) AS alpha_frac, " +
+      "(n_words BETWEEN 50 AND 100000) AND " +
+      "(mean_word_len BETWEEN 3.0 AND 10.0) AND stop_hits >= 2 " +
+      "AND alpha_frac >= 0.8 AS keep FROM w"),
+    // e^PMI odds ratio as ONE exact-integer division (log libms are
+    // not bit-portable); marginals = directional pair-count sums
+    "q_doc_pmi" -> ("WITH t AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      "x -> x <> '') AS ts FROM documents), " +
+      "w AS (SELECT doc_id, UNNEST(ts) AS w, " +
+      "generate_subscripts(ts, 1) AS i FROM t), " +
+      "p AS (SELECT a.w AS x, b.w AS y FROM w a JOIN w b " +
+      "ON a.doc_id = b.doc_id AND b.i = a.i + 1), " +
+      "pc AS MATERIALIZED (SELECT x, y, count(*) AS c_xy FROM p GROUP BY 1, 2), " +
+      "xc AS (SELECT x, sum(c_xy) AS c_x FROM pc GROUP BY 1), " +
+      "yc AS (SELECT y, sum(c_xy) AS c_y FROM pc GROUP BY 1), " +
+      "n AS (SELECT sum(c_xy) AS nt FROM pc) " +
+      "SELECT pc.x, pc.y, pc.c_xy, " +
+      "CAST(pc.c_xy * (SELECT nt FROM n) AS DOUBLE) / (xc.c_x * yc.c_y) " +
+      "AS pmi_ratio FROM pc JOIN xc USING (x) JOIN yc USING (y) " +
+      "WHERE c_xy >= 5 ORDER BY pmi_ratio DESC, x, y LIMIT 20"),
+    // count-histogram percentile_disc: value v is the ceil(p*n)-th
+    // smallest iff cum-c < ceil(p*n) <= cum
+    "q_doc_len_quantiles" -> ("WITH c AS (SELECT lang, n_chars, count(*) AS c " +
+      "FROM documents GROUP BY 1, 2), " +
+      "k AS (SELECT lang, n_chars, c, sum(c) OVER (PARTITION BY lang " +
+      "ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(c) OVER (PARTITION BY lang) AS n FROM c), " +
+      "ps AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75]) AS DOUBLE) AS p) " +
+      "SELECT lang, p, n_chars AS q_value FROM k JOIN ps " +
+      "ON cum >= CAST(ceil(p * n) AS BIGINT) " +
+      "AND cum - c < CAST(ceil(p * n) AS BIGINT)"),
   )
 }

@@ -225,4 +225,41 @@ object Curation {
         percentile(col("_nt"), lit(0.5)).as("p50_tokens"),
         percentile(col("_nt"), lit(0.95)).as("p95_tokens"))
   }
+
+  /** Exact per-group quantiles of an INTEGER-valued column, by the
+    * count-histogram formulation: the p-quantile is the ceil(p·n)-th
+    * smallest value (`percentile_disc` semantics — an actual corpus
+    * value, no interpolation; quantile q emits once per requested p
+    * even when several p's land on it). Output:
+    * `(groupCol, p, q_value)`.
+    *
+    * Scale shape — the reason this exists next to the single-reduce
+    * `percentile` in [[corpusStats]]: the heavy pass is a hash
+    * aggregation on (group, value) with map-side combine, so 100 TB
+    * reduces to |groups| × |distinct values| rows BEFORE any sort;
+    * the cumulative window then runs over that tiny table. A
+    * per-group `row_number` sort (the textbook formulation) would
+    * funnel each group — 5 languages = 5 tasks — through one
+    * executor; this never sorts more than the distinct-value set.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol))
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    counts
+      // value v is the idx-th smallest iff cum-_c < idx <= cum, where
+      // idx = ceil(p*n); p*n is exact in double for dyadic p
+      .withColumn("p", explode(filter(array(ps.map(lit): _*), p => {
+        val idx = ceil(p * col("_n"))
+        col("_cum") >= idx && (col("_cum") - col("_c")) < idx
+      })))
+      .select(col(groupCol), col("p"), col(valCol).as("q_value"))
+  }
 }

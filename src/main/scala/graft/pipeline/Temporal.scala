@@ -288,4 +288,125 @@ object Temporal {
         .select(col(idCol), col(keyCol), col(tsCol), col(out))
     }
   }
+
+  /** Epoch-µs view of any supported ts column type (timestamps at µs
+    * precision; numerics interpreted as epoch seconds, like
+    * [[rollingCount]]'s contract).
+    */
+  private def usCol(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(asInstant(df.schema(c).dataType, col(c)))
+      case _ => col(c).cast("long") * 1000000L
+    }
+
+  /** Gap-based sessionization: consecutive events of a key belong to
+    * the same session while the inter-event gap is <= `gapSec`; a
+    * larger gap opens a new session. Emits each row with its 1-based
+    * `session_seq` per key — aggregate downstream for per-session
+    * stats (count, span, first/last event).
+    *
+    * Equal timestamps order by `idCol`, so the assignment is
+    * deterministic at any parallelism (ties can never straddle a
+    * session boundary anyway — their gap is 0 — but the running sum
+    * must visit rows in one canonical order).
+    *
+    * Shape: ONE shuffle by key + a per-key sort (lag + running sum
+    * over the same window frame, so Spark plans a single Window
+    * exchange). This is the groupBy-cost envelope; a 100 TB event log
+    * sessionizes in one pass. Hot-key caveat matches [[asofJoin]]'s —
+    * a single key's timeline serializes into one task; sessions are
+    * inherently sequential per key, so the mitigation at scale is
+    * range-splitting keys whose sessions are known-short, which
+    * callers can do by pre-mapping the key column.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapSec: Long): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val base = df.select(col(idCol), col(keyCol), col(tsCol),
+      usCol(df, tsCol).as("_us"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_us").asc, col(idCol).asc)
+    base
+      .withColumn("_new",
+        when(col("_us") - lag(col("_us"), 1).over(w) <= gapUs, 0L)
+          .otherwise(1L)) // first row per key: lag is null -> new session
+      .withColumn("session_seq", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(idCol), col(keyCol), col(tsCol), col("session_seq"))
+  }
+
+  /** Ordered-step funnel: for each key that performed `steps.head`,
+    * how far through the step sequence it progressed, where step i+1
+    * must happen AT or after the FIRST completion time of step i and
+    * every step within `horizonSec` of the first step-1 time. Output:
+    * `(keyCol, steps_completed)` — one row per key with >= 1 step.
+    *
+    * Shape: one conditional-min aggregation per step — k-1 equi-joins
+    * of the per-key step-time table back onto the filtered event scan
+    * (AQE broadcasts it when it fits; it stays a shuffle join at
+    * billion-key scale). Each pass is a groupBy over the event log — no
+    * windows, no per-key sort, no self-join on time — so a 100 TB log
+    * pays k filtered aggregation passes. The per-key state (one
+    * timestamp per step) is what a streaming version would keep in
+    * `flatMapGroupsWithState`.
+    */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], horizonSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val horizonUs = horizonSec * 1000000L
+    val ev = df.select(col(keyCol), col(typeCol),
+      usCol(df, tsCol).as("_us"))
+    // t1: first time of the entry step, per key
+    var acc = ev.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col("_us")).as("_t1"))
+      .withColumn("_tprev", col("_t1"))
+      .withColumn("steps_completed", lit(1L))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      // only keys that completed step i are eligible for step i+1 —
+      // a missing middle step must stop the key's progression
+      val frontier = acc.where(col("steps_completed") === (i + 1).toLong)
+        .select(col(keyCol), col("_t1"), col("_tprev"))
+      val nxt = ev.where(col(typeCol) === step)
+        .join(frontier, Seq(keyCol))
+        .where(col("_us") >= col("_tprev") &&
+          col("_us") <= col("_t1") + horizonUs)
+        .groupBy(col(keyCol)).agg(min(col("_us")).as("_tnext"))
+      acc = acc.join(nxt, Seq(keyCol), "left")
+        .withColumn("steps_completed",
+          when(col("_tnext").isNotNull, lit((i + 2).toLong))
+            .otherwise(col("steps_completed")))
+        .withColumn("_tprev", coalesce(col("_tnext"), col("_tprev")))
+        .drop("_tnext")
+    }
+    acc.select(col(keyCol), col("steps_completed"))
+  }
+
+  /** Cohort retention: keys are cohorted by the period of their FIRST
+    * event (`floor(first_us / periodUs)`), and each (cohort, offset)
+    * cell counts the distinct keys active `offset` periods after
+    * their cohort period. Output:
+    * `(cohort, period_offset, n_active)`.
+    *
+    * Shape: one groupBy per key for first-event times, one equi-join
+    * back on key, one distinct-aggregate for the cells — all plain
+    * key shuffles; nothing per-row driver-side. The per-key table is
+    * |keys| rows (small next to the log, but NOT forced broadcast —
+    * at a billion keys it must stay a shuffle join; AQE picks
+    * broadcast when it fits).
+    */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+      periodSec: Long): DataFrame = {
+    val periodUs = periodSec * 1000000L
+    val ev = df.select(col(keyCol), usCol(df, tsCol).as("_us"))
+    // integer `div`, not floor(double /): epoch-µs magnitudes divide
+    // exactly in long arithmetic; a double quotient can straddle a
+    // period boundary by one ulp
+    val first = ev.groupBy(col(keyCol))
+      .agg(expr(s"min(_us) div ${periodUs}L").as("cohort"))
+    ev.withColumn("_p", expr(s"_us div ${periodUs}L"))
+      .join(first, Seq(keyCol))
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("period_offset"))
+      .agg(count_distinct(col(keyCol)).as("n_active"))
+  }
 }

@@ -367,4 +367,82 @@ object TextAnalysis {
         dupFrac(col("_bh")).as("dup_bigram_frac"),
         dupFrac(col("_gh")).as("dup_trigram_frac"))
   }
+
+  /** Gopher-style quality rule flags (Rae et al. 2021 §A1.1 repurposed
+    * for this corpus): per doc, the rule inputs plus a composite
+    * `keep` verdict. Rules kept to the subset whose signals are
+    * non-degenerate on whitespace-token corpora:
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [3, 10] chars;
+    *   - >= 2 distinct English stopwords present (the "ghost page"
+    *     guard);
+    *   - >= 80% of words contain an alphabetic character.
+    * Pure column expressions over ONE staged tokenization — a codegen
+    * scan, no shuffle; at 100 TB this runs at parquet-read speed and
+    * composes with any downstream filter pushdown.
+    */
+  def gopherReport(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val stop = Markers.head._2
+    df.select(col(idCol), col(textCol).as("_c"),
+      split(col(textCol), "\\s+").as("_w"))
+      .select(col(idCol), col("_c"),
+        filter(col("_w"), w => w =!= "").as("_w"))
+      .select(col(idCol),
+        size(col("_w")).cast("long").as("n_words"),
+        round(length(regexp_replace(col("_c"), "\\s", ""))
+          .cast("double") / greatest(size(col("_w")), lit(1)).cast("double"), 6)
+          .as("mean_word_len"),
+        size(array_intersect(array_distinct(transform(col("_w"), w => lower(w))),
+          array(stop.map(lit): _*))).cast("long").as("stop_hits"),
+        round(size(filter(col("_w"), w => w.rlike("[A-Za-z]")))
+          .cast("double") / greatest(size(col("_w")), lit(1)).cast("double"), 6)
+          .as("alpha_frac"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("stop_hits") >= 2L && col("alpha_frac") >= 0.8)
+  }
+
+  /** Bigram collocations by pointwise mutual information: the top-k
+    * adjacent word pairs whose co-occurrence most exceeds the
+    * independence expectation. Directional convention: p(x) counts x
+    * as a LEFT element, p(y) counts y as a RIGHT element, p(x,y) over
+    * all adjacent pairs; `pmi_ratio = c_xy * N / (c_x * c_y)` is the
+    * e^PMI odds ratio — emitted instead of the log so the output is a
+    * SINGLE exact-integer division (bit-identical across engines; log
+    * libm implementations are not).
+    *
+    * Scale shape: bigrams via a zip of the token array with its own
+    * tail (codegen, no posexplode self-join), ONE hash aggregation
+    * with map-side partial combine to distinct-pair counts; the
+    * marginals and the grand total re-aggregate that (far smaller)
+    * table, so every branch hangs off the same exchange and
+    * ReuseExchange computes the heavy pass once. The tiny total is
+    * broadcast; marginal joins broadcast under AQE when they fit.
+    * Top-k via TakeOrderedAndProject — per-partition heaps, no global
+    * sort. Ties break lexicographically on the pair.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val pc = df.select(tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("_p"))
+      .select(col("_p")("x").as("x"), col("_p")("y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+    val xc = pc.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val yc = pc.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    val tot = pc.agg(sum(col("c_xy")).as("_n"))
+    pc.where(col("c_xy") >= minCount)
+      .join(xc, Seq("x")).join(yc, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c_xy"),
+        ((col("c_xy") * col("_n")).cast("double") / (col("c_x") * col("c_y")))
+          .as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
+      .limit(k)
+  }
 }

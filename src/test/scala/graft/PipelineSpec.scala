@@ -1184,4 +1184,60 @@ class PipelineSpec extends GraftSuite {
     assert(feats.forall(f => f.forall(v => v >= 0.0f && v <= 1.0f)))
     assert(feats.distinct.length > 1) // different images -> different features
   }
+
+  test("gopherReport computes rule inputs and the composite keep verdict") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // 60 stopword-bearing words, mean len in range -> keep
+      (1L, (Seq.fill(29)("the brown") :+ "a fox").mkString(" ")),
+      (2L, "short doc"),                        // too few words
+      (3L, Seq.fill(60)("zzzzzzzzzzzzzzzz").mkString(" ")), // mean len 16, no stopwords
+      (4L, (Seq.fill(30)("the 123 456 789") :+ "a").mkString(" "))) // alpha_frac < 0.8
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherReport(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(5))).toMap
+    assert(got(1L)._1 == 60 && got(1L)._2, s"got $got")
+    assert(!got(2L)._2 && !got(3L)._2 && !got(4L)._2, s"got $got")
+    // alpha_frac of doc 4: 31 of 121 words alphabetic (30× "the" + "a")
+    val af = TextAnalysis.gopherReport(df, "doc_id", "text")
+      .where(col("doc_id") === 4).select("alpha_frac").head.getDouble(0)
+    assert(math.abs(af - 31.0 / 121.0) < 1e-5, s"alpha_frac $af")
+  }
+
+  test("collocations ranks adjacent pairs by the exact PMI odds ratio") {
+    val s = spark
+    import s.implicits._
+    // "x y" always adjacent (8×); "c" ubiquitous so (c,*) pairs are expected
+    val df = Seq.tabulate(8)(i => (i.toLong, s"x y c w$i c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 2, k = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    // N = 32 pairs; (x,y): c_xy=8, c_x(x as left)=8, c_y(y as right)=8
+    // -> ratio 8*32/(8*8) = 4.0, the clear top pair
+    assert(got.head._1 == ("x", "y") && got.head._2 == 8L &&
+      got.head._3 == 4.0, s"got ${got.toSeq}")
+    // ratios are non-increasing
+    assert(got.sliding(2).forall(p => p.head._3 >= p.last._3))
+  }
+
+  test("exactQuantiles matches a per-group sort at percentile_disc semantics") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i =>
+      (s"g${i % 3}", rnd.nextInt(40).toLong)).toDF("grp", "v")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val got = Curation.exactQuantiles(df, "grp", "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      ps.map(p => (g, p) ->
+        sorted(math.ceil(p * sorted.length).toInt - 1))
+    }.toMap
+    assert(got == expect)
+    // duplicate-heavy groups: one output row per requested p even when
+    // several p's land on the same value
+    assert(got.size == 9)
+  }
 }

@@ -199,4 +199,95 @@ class TemporalSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (3L, 12L)), s"got $got")
   }
+
+  test("sessionize splits on gaps > gapSec, inclusive at the boundary") {
+    val s = spark
+    import s.implicits._
+    // key 1: gaps of 10s, 60s (== gap, same session), 61s (new session)
+    // key 2: single event
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10L), (3L, 1L, 70L), (4L, 1L, 131L),
+      (5L, 2L, 1000L))
+      .map { case (id, k, sec) => (id, k, sec * 1000000L) }
+      .toDF("event_id", "user_id", "tus")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tus")).as("ts"))
+    val got = Temporal.sessionize(ev, "user_id", "ts", "event_id", gapSec = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L),
+      s"got $got")
+  }
+
+  test("sessionize matches a brute-force scan on the skewed corpus") {
+    val ev = skewed()
+    val got = Temporal.sessionize(ev, "user_id", "ts", "event_id",
+        gapSec = 1800)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val brute = ev.select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._1))
+        var seq = 0L; var prev = Long.MinValue
+        sorted.map { case (id, _, us) =>
+          if (prev == Long.MinValue || us - prev > 1800000000L) seq += 1
+          prev = us
+          id -> seq
+        }.toSeq
+      }.toMap
+    assert(got == brute)
+  }
+
+  test("funnel: a missing middle step stops progression") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      // user 2: view then purchase, NO click -> stuck at 1
+      (2L, "view", 0L), (2L, "purchase", 5L),
+      // user 3: click before view -> click doesn't count, stuck at 1
+      (3L, "click", 0L), (3L, "view", 10L),
+      // user 4: no view at all -> absent from output
+      (4L, "click", 0L), (4L, "purchase", 10L),
+      // user 5: full funnel but purchase beyond horizon -> stuck at 2
+      (5L, "view", 0L), (5L, "click", 10L), (5L, "purchase", 5000L))
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSec = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 2L), s"got $got")
+  }
+
+  test("funnel: equal timestamps satisfy the >= step ordering") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "view", 0L), (1L, "click", 0L), (1L, "purchase", 0L))
+      .toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("sec")).as("ts"))
+    val got = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSec = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L), s"got $got")
+  }
+
+  test("retention cohorts by first-event period and counts distinct keys") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L), (1L, day + 5), (1L, 2 * day),      // cohort 0: offsets 0,1,2
+      (2L, day), (2L, day + 100), (2L, 3 * day),   // cohort 1: offsets 0,0,2
+      (3L, 0L))                                    // cohort 0: offset 0
+      .toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val got = Temporal.retention(ev, "user_id", "ts", periodSec = day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L), s"got $got")
+  }
 }
