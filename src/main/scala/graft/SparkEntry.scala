@@ -867,17 +867,24 @@ object SparkEntry {
     // must land within 5% / 2% of the exact answers computed in the
     // SAME plan; the oracle independently recomputes the exact count
     // and pins both gates true (the q_vector_ivf gate pattern)
-    "q_event_sketch_gate" -> ((s, d) =>
-      events(s, d).agg(
-        count_distinct(col("user_id")).as("n_exact"),
+    // two separate aggregations on purpose: an exact DISTINCT agg
+    // mixed with TypedImperativeAggregates (HLL / percentiles) forces
+    // the Expand + SortAggregate rewrite — measured 5x slower than the
+    // two plain single-phase aggs joined 1-row x 1-row here
+    "q_event_sketch_gate" -> ((s, d) => {
+      val ev = events(s, d)
+      val sk = ev.agg(
         approx_count_distinct(col("user_id"), 0.02).as("_est"),
         approx_percentile(col("value"), lit(0.5), lit(10000)).as("_amed"),
         percentile(col("value"), lit(0.5)).as("_med"))
+      ev.agg(count_distinct(col("user_id")).as("n_exact"))
+        .crossJoin(sk)
         .select(col("n_exact"),
           (abs(col("_est") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.05).as("within_5pct"),
           (abs(col("_amed") - col("_med")) /
-            greatest(abs(col("_med")), lit(1e-9)) <= 0.02).as("med_within_2pct"))),
+            greatest(abs(col("_med")), lit(1e-9)) <= 0.02).as("med_within_2pct"))
+    }),
 
     // ---- text curation (extension): Gopher-rule flags, PMI
     // collocations, exact histogram quantiles

@@ -58,6 +58,17 @@ object Bpe {
     when(length(state) === 0, lit(0L))
       .otherwise(size(split(trim(state, "_"), "__")).cast("long"))
 
+  /** Vocabularies at or below this row count train driver-locally:
+    * the distributed loop costs k scheduler round-trips + shuffles
+    * over a table that usually fits in one task. Even a 100 TB web
+    * corpus has ~1e7 word types, so the LOCAL path is the common one
+    * — exactly how production BPE trainers work (the corpus-sized
+    * stage is the word-count aggregation; the merge loop runs on the
+    * collected type table). The distributed loop remains the fallback
+    * for pathological vocabularies.
+    */
+  val LocalTrainVocabLimit = 2000000L
+
   /** Train `k` merges over `docs(textCol)`. Returns (rank, left,
     * right) with rank 1-based in merge-priority order; may return
     * fewer than `k` when the vocabulary runs out of adjacent pairs.
@@ -68,6 +79,9 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .persist()
     try {
+      if (wordFreq.count() <= LocalTrainVocabLimit)
+        return trainMergesLocal(
+          wordFreq.collect().map(r => (r.getString(0), r.getLong(1))), k)
       var st = wordFreq.select(initState(col("w")).as("s"), col("f"))
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
       var i = 1
@@ -92,6 +106,52 @@ object Bpe {
       }
       merges.toSeq
     } finally wordFreq.unpersist()
+  }
+
+  /** Driver-local merge loop over a collected (word, freq) vocabulary
+    * — bit-identical to the distributed loop: pair counts sum word
+    * frequencies at every adjacent position (overlaps included), the
+    * argmax breaks ties count-DESC then pair-lex-ASC, and merging is
+    * greedy left-to-right non-overlapping (== the `replace` sweep).
+    */
+  private def trainMergesLocal(vocab: Array[(String, Long)],
+      k: Int): Seq[(Int, String, String)] = {
+    var states: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      states.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val key = (syms(j), syms(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((i, l, r))
+        states = states.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += l + r; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** [[trainMerges]] memoized per (canonicalized source plan, text

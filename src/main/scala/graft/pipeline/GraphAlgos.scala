@@ -134,19 +134,26 @@ object GraphAlgos {
     val und = store.keep(
       edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
         .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst"))))
-    val adj = store.keep(und
-      .join(und.groupBy("_src").agg(count(lit(1)).as("_deg")), "_src"))
-    // vertex count: a catalog statistic at 100 TB (cf. Dedup's cached
-    // row counts); one distinct-count job here
-    val n = adj.select(col("_src")).distinct().count()
+    // the degree frame IS the vertex set (undirected graph: deg >= 1),
+    // so it also supplies n and the initial ranks — no extra distinct
+    // passes over the edge list
+    val deg = store.keep(und.groupBy("_src").agg(count(lit(1)).as("_deg")))
+    val n = deg.count()
     if (n == 0) {
       store.release()
       return edges.select(col("id_a").as("node_id"), lit(0L).as("pr_q"))
         .where(lit(false))
     }
+    // adjacency as a scratch-kept frame, scanned per iteration. (Two
+    // measured dead ends, kept out on purpose: repartition+persist of
+    // the adjacency — the cache build costs more than iters parquet
+    // re-scans here and at cluster scale risks evicting hotter data;
+    // and broadcast-joining the rank frame — re-collecting ranks
+    // through the driver every round serializes the chain, 2x slower.)
+    val adj = store.keep(und.join(deg, "_src"))
     val init = scale / n
     val base = init * (100 - dampPct) / 100
-    var pr = adj.select(col("_src").as("node_id")).distinct()
+    var pr = deg.select(col("_src").as("node_id"))
       .withColumn("_pr", lit(init))
     // materialize every 4th round only: the rank frame is one row per
     // vertex, so a per-round checkpoint costs more than the bounded
