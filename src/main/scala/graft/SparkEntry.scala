@@ -89,7 +89,7 @@ object SparkEntry {
     "q_doc_pack_bpe", "q_doc_mix_lang", "q_graph_pagerank",
     "q_doc_edit_pairs", "q_event_sessions", "q_event_funnel",
     "q_event_retention", "q_event_sketch_gate", "q_doc_gopher",
-    "q_doc_pmi", "q_doc_len_quantiles")
+    "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens")
 
   import SortOrder.{Asc, Desc}
 
@@ -895,6 +895,32 @@ object SparkEntry {
     "q_doc_len_quantiles" -> ((s, d) =>
       Curation.exactQuantiles(docs(s, d), "lang", "n_chars",
         Seq(0.25, 0.5, 0.75))),
+    // Misra-Gries heavy-hitters self-gate: the summary's certificates
+    // — est <= true <= est + dec for EVERY reported item, dec*(k+1)
+    // <= N, <= k items reported — checked against the in-plan exact
+    // counts; the oracle recomputes N and pins the certificates true.
+    // k = 8 over a 31-type vocabulary, so the summary compresses hard
+    // and the bounds are exercised, not vacuous.
+    "q_doc_heavy_tokens" -> ((s, d) => {
+      val k = 8
+      val sk = TextAnalysis.heavyHitters(docs(s, d), "text", k)
+      val exact = docs(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("_true"))
+      val tot = exact.agg(sum(col("_true")).as("n_tokens"))
+      sk.join(exact, Seq("item"), "left")
+        .agg(
+          count(lit(1)).as("_n_reported"),
+          max(when(col("est") > coalesce(col("_true"), lit(0L)) ||
+            coalesce(col("_true"), lit(0L)) > col("est") + col("dec"),
+            1L).otherwise(0L)).as("_viol"),
+          max(col("dec")).as("_dec"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_tokens"),
+          (col("_n_reported") <= k).as("k_bound_ok"),
+          (col("_viol") === 0L).as("all_ests_bounded"),
+          (col("_dec") * (k + 1) <= col("n_tokens")).as("dec_bound_ok"))
+    }),
   )
 
   // ------------------------------------------------------------------ oracle
@@ -1780,5 +1806,12 @@ object SparkEntry {
       "SELECT lang, p, n_chars AS q_value FROM k JOIN ps " +
       "ON cum >= CAST(ceil(p * n) AS BIGINT) " +
       "AND cum - c < CAST(ceil(p * n) AS BIGINT)"),
+    // the oracle recomputes the token total and pins the Misra-Gries
+    // certificates (engine-side exact-count checks) true
+    "q_doc_heavy_tokens" -> ("WITH t AS (SELECT " +
+      "UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      "x -> x <> '')) AS token FROM documents) " +
+      "SELECT count(*) AS n_tokens, TRUE AS k_bound_ok, " +
+      "TRUE AS all_ests_bounded, TRUE AS dec_bound_ok FROM t"),
   )
 }

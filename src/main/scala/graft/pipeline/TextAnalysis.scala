@@ -445,4 +445,27 @@ object TextAnalysis {
       .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
       .limit(k)
   }
+
+  /** Heavy hitters over the corpus token stream via the mergeable
+    * Misra-Gries summary ([[graft.functions.FreqItemsAgg]]): at most
+    * `k` rows `(item, est, dec)` where `est <= true <= est + dec` for
+    * every item (absent items have est 0) and `dec <= N/(k+1)`.
+    *
+    * The sketchy sibling of [[topNgrams]]: the exact aggregation
+    * ships one row per distinct token per partition; this ships ONE
+    * k-counter summary per partition regardless of vocabulary size —
+    * the right shape when the distinct-token table itself is the
+    * bottleneck (100 TB web corpora have billions of distinct
+    * "tokens" once URLs/numbers/typos are in the stream).
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    val toks = df.select(explode(tokens(col(textCol))).as("w"))
+      .select(col("w")).as(org.apache.spark.sql.Encoders.STRING)
+    toks.select(graft.functions.FreqItemsAgg(k).toColumn)
+      .toDF("sk")
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"),
+        col("e.dec").as("dec"))
+  }
 }

@@ -1240,4 +1240,46 @@ class PipelineSpec extends GraftSuite {
     // several p's land on the same value
     assert(got.size == 9)
   }
+
+  test("heavyHitters is exact when k >= distinct tokens") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(df, "text", k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 4L, 0L), ("b", 3L, 0L), ("c", 2L, 0L),
+      ("d", 1L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("heavyHitters honors the Misra-Gries certificates under compression") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: token h0 at ~30%, rest spread over 200 tail types
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 200).map { i =>
+      val words = (1 to 50).map { _ =>
+        if (rnd.nextInt(10) < 3) "h0" else s"t${rnd.nextInt(200)}"
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text").repartition(7) // force multi-summary merges
+    val k = 8
+    val sk = TextAnalysis.heavyHitters(docs, "text", k)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val dec = sk.values.map(_._2).headOption.getOrElse(0L)
+    assert(sk.size <= k)
+    assert(dec > 0, "fixture must force compression")
+    assert(dec * (k + 1) <= n, s"dec bound violated: $dec * ${k + 1} > $n")
+    sk.foreach { case (item, (est, d)) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(est <= t && t <= est + d, s"$item: est $est true $t dec $d")
+    }
+    // presence guarantee: h0's true count exceeds N/(k+1) -> must be
+    // reported, with the usual MG estimate bracket
+    assert(exact("h0") > n / (k + 1), "fixture must make h0 guaranteed-heavy")
+    assert(sk.contains("h0"), s"guaranteed-heavy item missing: $sk")
+  }
 }
