@@ -73,7 +73,7 @@ object Bench {
       val l = loadavg()
       if (l.nonEmpty && !idleEnough(l(0), cpus.toInt)) {
         System.err.println(s"--require-idle: 1-min loadavg ${l(0)} exceeds " +
-          s"${2.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
+          s"${1.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
         sys.exit(2)
       }
     }

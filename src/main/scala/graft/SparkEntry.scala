@@ -89,7 +89,8 @@ object SparkEntry {
     "q_doc_pack_bpe", "q_doc_mix_lang", "q_graph_pagerank",
     "q_doc_edit_pairs", "q_event_sessions", "q_event_funnel",
     "q_event_retention", "q_event_sketch_gate", "q_doc_gopher",
-    "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens")
+    "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens",
+    "q_event_asof_fwd", "q_event_rolling_sum")
 
   import SortOrder.{Asc, Desc}
 
@@ -726,6 +727,27 @@ object SparkEntry {
       Temporal.rollingCount(events(s, d),
         "user_id", "ts", "event_id", windowSec = 3600, saltBuckets = 8)
         .select("event_id", "n_prior")),
+    // FORWARD as-of with tolerance: for each click, the next purchase
+    // value within 24 h (label-lookahead alignment); salted hot-key
+    // path + negated-axis machinery both oracle-gated
+    "q_event_asof_fwd" -> ((s, d) => {
+      val ev = events(s, d)
+      Temporal.asofJoin(
+        ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value", out = "next_purchase",
+        saltBuckets = 8, direction = "forward", toleranceSec = 86400)
+        .select("event_id", "next_purchase")
+    }),
+    // trailing-hour SPEND per user — the value sibling of
+    // q_event_window; fixed-point µ-unit sums for bit determinism
+    "q_event_rolling_sum" -> ((s, d) =>
+      Temporal.rollingSum(events(s, d),
+        "user_id", "ts", "event_id", "value", windowSec = 3600,
+        saltBuckets = 8)
+        .select("event_id", "sum_prior")),
     // ---- graph analytics (extension): co-occurrence projection of the
     // order-part bipartite relation, then triangles / components over it
     // (thinned by part-key residue so the oracle's self-joins stay
@@ -1268,6 +1290,23 @@ object SparkEntry {
       "(PARTITION BY user_id ORDER BY ts " +
       "RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) - 1 " +
       "AS n_prior FROM events"),
+    // forward as-of: DuckDB's ASOF with <= is the nearest-at-or-after
+    // formulation; the tolerance is the same post-condition CASE
+    "q_event_asof_fwd" -> ("WITH a AS (SELECT event_id, user_id, ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "b AS (SELECT user_id, ts, max(value) AS v FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+      "SELECT a.event_id, CASE WHEN b.ts IS NOT NULL AND " +
+      "epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000 THEN b.v END " +
+      "AS next_purchase FROM a ASOF LEFT JOIN b " +
+      "ON a.user_id = b.user_id AND a.ts <= b.ts"),
+    // fixed-point µ-unit window sum (exact integers; float window sums
+    // are not bit-portable across engines), self excluded
+    "q_event_rolling_sum" -> ("WITH e AS (SELECT event_id, user_id, ts, " +
+      "COALESCE(CAST(round(value * 1000000) AS BIGINT), 0) AS vq FROM events) " +
+      "SELECT event_id, CAST(sum(vq) OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) - vq " +
+      "AS DOUBLE) / 1000000 AS sum_prior FROM e"),
     // triangle listing by plain id order (a < b < c) — independent of
     // the engine's degree-ordered orientation; same triangles
     "q_graph_tri" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +

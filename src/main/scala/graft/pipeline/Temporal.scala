@@ -52,6 +52,13 @@ object Temporal {
     * MAX value so the result is deterministic at any parallelism.
     * Output: `(leftIdCol, keyCol, tsCol, out)`.
     *
+    * `direction = "forward"` flips the match to the EARLIEST right row
+    * at or after the left timestamp (label-lookahead alignment) — the
+    * same machinery run on a negated time axis. `toleranceSec > 0`
+    * nulls out matches staler (backward) / farther ahead (forward)
+    * than the bound, the pandas `merge_asof(tolerance=...)` contract
+    * — a post-condition on the matched row, zero extra plan cost.
+    *
     * Shape — the scalable as-of formulation: tag both sides, union,
     * and take a running `last(value, ignoreNulls)` over a per-key
     * time-ordered window (right rows sort before left rows at equal
@@ -63,45 +70,63 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, leftIdCol: String, rightValCol: String,
-      out: String = "asof_value", saltBuckets: Int = 1): DataFrame = {
+      out: String = "asof_value", saltBuckets: Int = 1,
+      direction: String = "backward", toleranceSec: Long = 0L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     // The matched value rides inside a struct so that a right row whose
     // value is genuinely NULL is still a non-null window entry: the
     // running last() tracks row PRESENCE, and the NULL value propagates
-    // to the output instead of falling back to an older right row.
-    val r = right.groupBy(col(keyCol), col(tsCol))
+    // to the output instead of falling back to an older right row. The
+    // right row's epoch-µs timestamp rides along for the tolerance
+    // post-condition.
+    val rg = right.groupBy(col(keyCol), col(tsCol))
       .agg(max(col(rightValCol)).as("_rv"))
-      .select(col(keyCol), col(tsCol), lit(0).as("_side"),
-        struct(col("_rv").as("v")).as("_rrow"),
-        lit(null).cast(left.schema(leftIdCol).dataType).as("_lid"))
+    val r = rg.select(col(keyCol), col(tsCol), lit(0).as("_side"),
+      struct(col("_rv").as("v"), usCol(rg, tsCol).as("t")).as("_rrow"),
+      lit(null).cast(left.schema(leftIdCol).dataType).as("_lid"))
     val l = left.select(col(keyCol), col(tsCol), lit(1).as("_side"),
       lit(null).cast(r.schema("_rrow").dataType).as("_rrow"),
       col(leftIdCol).as("_lid"))
     val u = r.unionByName(l)
 
-    def finish(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
-      df.withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
+    def finish(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val base = df.withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
         .where(col("_side") === 1)
-        .select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol),
-          col("_m")("v").as(out))
+      val v =
+        if (toleranceSec <= 0) col("_m")("v")
+        else {
+          val lUs = usCol(base, tsCol)
+          val gap = if (fwd) col("_m")("t") - lUs else lUs - col("_m")("t")
+          // null gap (no match) falls through to the null value anyway
+          when(gap > toleranceSec * 1000000L, lit(null).cast(
+            base.schema("_m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+              .apply("v").dataType))
+            .otherwise(col("_m")("v"))
+        }
+      base.select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol),
+        v.as(out))
+    }
+
+    def plainW = Window.partitionBy(col(keyCol))
+      .orderBy(if (fwd) col(tsCol).desc else col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     if (saltBuckets <= 1) {
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(col(tsCol).asc, col("_side").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      finish(u, w)
+      finish(u, plainW)
     } else {
       // Timeline as a double: epoch micros stay exactly distinct in a
       // 53-bit mantissa, and plain longs cast losslessly — one numeric
       // axis for bucketing AND in-bucket ordering, any ts type (NTZ
       // routes through TimestampType first; see [[asInstant]]).
-      val b0 = u.withColumn("_us",
-        asInstant(u.schema(tsCol).dataType, col(tsCol)).cast("double"))
+      // Forward direction negates the axis; everything downstream
+      // (bucketing, span carry, boundary ranks) is direction-blind.
+      val axis = asInstant(u.schema(tsCol).dataType, col(tsCol)).cast("double")
+      val b0 = u.withColumn("_us", if (fwd) -axis else axis)
       val bounds = b0.agg(min(col("_us")), max(col("_us"))).head()
       if (bounds.isNullAt(0)) {
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col(tsCol).asc, col("_side").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        return finish(u, w) // empty input: nothing to salt
+        return finish(u, plainW) // empty input: nothing to salt
       }
       val (tmin, tmax) = (bounds.getDouble(0), bounds.getDouble(1))
       val width = math.max((tmax - tmin) / saltBuckets, 1e-9)
@@ -237,33 +262,61 @@ object Temporal {
     */
   def rollingCount(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, windowSec: Long, out: String = "n_prior",
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1): DataFrame =
+    rollingOver(df, keyCol, tsCol, idCol, windowSec, saltBuckets, Nil,
+      w => count(lit(1)).over(w) - 1, out)
+
+  /** Trailing-window SUM of `valCol` over the same frame contract as
+    * [[rollingCount]] (equal-ts peers in, self out) — the velocity
+    * feature's value sibling ("spend by this user in the last hour").
+    * Null values contribute 0.
+    *
+    * Values are quantized to µ-units (round(v * 1e6) as long) and
+    * summed in exact integer arithmetic, then scaled back — float
+    * window sums accumulate in engine-specific association order
+    * (Spark scans the frame linearly, DuckDB merges a segment tree),
+    * so a double sum is NOT bit-portable; the fixed-point sum is, at
+    * any parallelism (the PageRank / temperatureMix reproducibility
+    * trick). Same one-shuffle shape and `saltBuckets` ghost machinery
+    * as the count.
+    */
+  def rollingSum(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, windowSec: Long,
+      out: String = "sum_prior", saltBuckets: Int = 1): DataFrame = {
+    val q = coalesce(round(col(valCol) * 1000000L).cast("long"), lit(0L))
+    rollingOver(
+      df.withColumn("_vq", q), keyCol, tsCol, idCol, windowSec,
+      saltBuckets, Seq("_vq"),
+      w => ((sum(col("_vq")).over(w) - col("_vq")).cast("double") /
+        1000000L), out)
+  }
+
+  /** Shared trailing-RANGE-window core: unsalted = one window over
+    * (key); salted = the ghost-duplication span scheme documented on
+    * [[rollingCount]]. `mkOut` builds the output from the frame spec;
+    * `valCols` ride along for value-based aggregates.
+    */
+  private def rollingOver(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, windowSec: Long, saltBuckets: Int,
+      valCols: Seq[String], mkOut: org.apache.spark.sql.expressions.WindowSpec => Column,
+      out: String): DataFrame = {
     // Frame evaluated over epoch MICROS, not whole seconds: a long cast
     // of the timestamp truncates to seconds and shifts the boundary by
     // up to ±1 s vs the µs-precision `ts >= t - windowSec` semantics.
     // Numeric ts columns keep their original contract (interpreted as
     // epoch SECONDS, like [[asofJoin]] accepts any orderable ts).
     val windowUs = windowSec * 1000000L
-    val usExpr = df.schema(tsCol).dataType match {
-      case TimestampType | TimestampNTZType =>
-        unix_micros(asInstant(df.schema(tsCol).dataType, col(tsCol)))
-      case _ => col(tsCol).cast("long") * 1000000L
-    }
-    val base = df.select(col(idCol), col(keyCol), col(tsCol),
-      usExpr.as("_us"))
-    if (saltBuckets <= 1) {
+    val keep = Seq(col(idCol), col(keyCol), col(tsCol)) ++ valCols.map(col)
+    val base = df.select(keep :+ usCol(df, tsCol).as("_us"): _*)
+    def plain = {
       val w = Window.partitionBy(col(keyCol))
         .orderBy(col("_us")).rangeBetween(-windowUs, 0)
-      base.select(col(idCol), col(keyCol), col(tsCol),
-        (count(lit(1)).over(w) - 1).as(out))
-    } else {
+      base.select(col(idCol), col(keyCol), col(tsCol), mkOut(w).as(out))
+    }
+    if (saltBuckets <= 1) plain
+    else {
       val bounds = base.agg(min(col("_us")), max(col("_us"))).head()
-      if (bounds.isNullAt(0)) {
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col("_us")).rangeBetween(-windowUs, 0)
-        return base.select(col(idCol), col(keyCol), col(tsCol),
-          (count(lit(1)).over(w) - 1).as(out))
-      }
+      if (bounds.isNullAt(0)) return plain
       val (tmin, tmax) = (bounds.getLong(0), bounds.getLong(1))
       // spans must be >= the trailing window, so ghosts reach exactly
       // one span forward; clamp the bucket count accordingly
@@ -283,7 +336,7 @@ object Temporal {
       val w = Window.partitionBy(col(keyCol), col("_bkt"))
         .orderBy(col("_us")).rangeBetween(-windowUs, 0)
       real.unionByName(ghosts)
-        .withColumn(out, count(lit(1)).over(w) - 1)
+        .withColumn(out, mkOut(w))
         .where(col("_ghost") === 0)
         .select(col(idCol), col(keyCol), col(tsCol), col(out))
     }

@@ -275,6 +275,88 @@ class TemporalSpec extends GraftSuite {
     assert(got == Map(1L -> 3L), s"got $got")
   }
 
+  test("forward asofJoin matches brute force; salted path agrees") {
+    val ev = skewed()
+    val left = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val right = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    def run(buckets: Int) =
+      Temporal.asofJoin(left, right, "user_id", "ts", "event_id", "value",
+          saltBuckets = buckets, direction = "forward")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val plain = run(1)
+    // brute force: earliest purchase at-or-after, max value at ts ties
+    val rr = right.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    val brute = left.collect().map { r =>
+      val (id, k, t) = (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)
+      val cands = rr.filter(x => x._1 == k && x._2 >= t)
+      if (cands.isEmpty) id -> null
+      else {
+        val tmin = cands.map(_._2).min
+        val atT = cands.filter(_._2 == tmin)
+        // pre-agg max(value); an all-null collision stays null
+        val nonNull = atT.filterNot(_._3)
+        id -> (if (nonNull.isEmpty) null else (nonNull.map(_._4).max: Any))
+      }
+    }.toMap
+    assert(plain == brute)
+    for (b <- Seq(4, 8)) assert(run(b) == plain, s"saltBuckets=$b diverged")
+  }
+
+  test("asofJoin tolerance nulls stale matches in both directions") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1L, 1000L), (2L, 1L, 5000L))
+      .toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"))
+    val right = Seq((1L, 900L, 7.0), (1L, 4999L, 9.0))
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"), col("value"))
+    // backward, tol 150s: event 1 matches ts=900 (gap 100); event 2's
+    // nearest-before is 4999 (gap 1) -> both within
+    def bwd(tol: Long) = Temporal.asofJoin(left, right, "user_id", "ts",
+        "event_id", "value", toleranceSec = tol)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(bwd(150) == Map(1L -> 7.0, 2L -> 9.0))
+    // tol 50: event 1's gap 100 exceeds it -> null
+    assert(bwd(50) == Map(1L -> null, 2L -> 9.0))
+    // forward, tol 3000: event 1 -> next at 4999 (gap 3999) exceeds ->
+    // null; event 2 has no at-or-after -> null
+    val fwd = Temporal.asofJoin(left, right, "user_id", "ts",
+        "event_id", "value", direction = "forward", toleranceSec = 3000)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(fwd == Map(1L -> null, 2L -> null))
+  }
+
+  test("rollingSum matches brute force and its salted path, self excluded") {
+    val ev = skewed()
+    def run(buckets: Int) =
+      Temporal.rollingSum(ev, "user_id", "ts", "event_id", "value",
+          windowSec = 3600, saltBuckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val plain = run(1)
+    val rows = ev.select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000,
+        if (r.isNullAt(3)) 0L else math.round(r.getDouble(3) * 1e6)))
+    val brute = rows.map { case (id, k, t, _) =>
+      // self excluded; equal-ts peers included (matches RANGE frame)
+      val s = rows.filter(x => x._2 == k && x._3 >= t - 3600000000L &&
+        x._3 <= t && x._1 != id).map(_._4).sum
+      id -> (s.toDouble / 1e6)
+    }.toMap
+    assert(plain.keySet == brute.keySet)
+    plain.foreach { case (id, v) =>
+      assert(math.abs(v - brute(id)) < 1e-9, s"id $id: $v vs ${brute(id)}")
+    }
+    for (b <- Seq(4, 8)) assert(run(b) == plain, s"saltBuckets=$b diverged")
+  }
+
   test("retention cohorts by first-event period and counts distinct keys") {
     val s = spark
     import s.implicits._
