@@ -90,7 +90,7 @@ object SparkEntry {
     "q_doc_edit_pairs", "q_event_sessions", "q_event_funnel",
     "q_event_retention", "q_event_sketch_gate", "q_doc_gopher",
     "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens",
-    "q_event_asof_fwd", "q_event_rolling_sum")
+    "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore")
 
   import SortOrder.{Asc, Desc}
 
@@ -790,6 +790,17 @@ object SparkEntry {
         "p", "o"), iters = 8)
         .select(col("node_id").as("order_id"), col("pr_q"))
     }),
+    // 6-round k-core peeling (k=30): the dense-subgraph membership
+    // filter behind graph-based curation; bounded rounds = bounded
+    // shuffles, identical semantics both engines
+    "q_graph_kcore" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.kCoreBounded(GraphAlgos.coOccurrence(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), k = 30, rounds = 6)
+        .select(col("node_id").as("order_id"))
+    }),
     // range (interval) join: clicks inside a ±6 h attribution window
     // around each purchase by the same user — the bin-bucketed
     // equi-join plan (derived bucket width), exact BETWEEN post-filter
@@ -1355,6 +1366,21 @@ object SparkEntry {
           "JOIN deg ON und.s = deg.s GROUP BY und.d)"
       }.mkString(", ") +
       " SELECT v AS order_id, CAST(pr AS BIGINT) AS pr_q FROM pr8"),
+    // identical 6-round peeling unrolled (remove deg < 30 with edges)
+    "q_graph_kcore" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "u0 AS MATERIALIZED (SELECT u AS s, v AS d FROM ed " +
+      "UNION ALL SELECT v, u FROM ed), " +
+      (1 to 6).map { i =>
+        s"r$i AS MATERIALIZED (SELECT s FROM u${i - 1} GROUP BY s " +
+          "HAVING count(*) < 30), " +
+          s"u$i AS MATERIALIZED (SELECT * FROM u${i - 1} " +
+          s"WHERE s NOT IN (SELECT s FROM r$i) " +
+          s"AND d NOT IN (SELECT s FROM r$i))"
+      }.mkString(", ") +
+      " SELECT DISTINCT s AS order_id FROM u6"),
     // range join: the plain BETWEEN join is the independent formulation
     // of the bin-bucketed equi-join + post-filter plan
     "q_event_range" -> ("WITH c AS (SELECT event_id AS click_id, user_id, ts " +

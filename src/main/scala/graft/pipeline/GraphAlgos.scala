@@ -174,4 +174,46 @@ object GraphAlgos {
     store.release()
     out
   }
+
+  /** Bounded-round k-core peeling: `rounds` iterations of "drop every
+    * vertex whose current degree is < k (with all its edges)", over a
+    * canonical undirected edge frame; returns the surviving vertex
+    * set `(node_id)`. With `rounds` at or past the peeling depth this
+    * IS the k-core (the fixpoint is idempotent — extra rounds are
+    * no-ops); a data-independent round budget keeps the plan length
+    * deterministic, which is both the oracle contract and the honest
+    * cluster discipline — unbounded peeling is O(n) shuffles on a
+    * path-shaped graph, and production graph engines cap or batch it
+    * the same way.
+    *
+    * Per round: ONE degree aggregation + two anti-joins against the
+    * (small) kill set — all key shuffles; rounds pass through the
+    * reliable iterative-pass store every 2nd round to cut lineage.
+    * The kill set is a DataFrame (AQE broadcasts it when tiny); no
+    * driver-side vertex iteration anywhere.
+    */
+  def kCoreBounded(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k, rounds must be >= 1, got $k, $rounds")
+    val store = new Scratch.FrameStore(edges.sparkSession)
+    var und = store.keep(
+      edges.select(col("id_a").as("_s"), col("id_b").as("_d"))
+        .unionAll(edges.select(col("id_b").as("_s"), col("id_a").as("_d"))))
+    var r = 0
+    while (r < rounds) {
+      val kill = und.groupBy(col("_s")).agg(count(lit(1)).as("_dg"))
+        .where(col("_dg") < k).select(col("_s").as("_kv"))
+      val next = und
+        .join(kill, und("_s") === kill("_kv"), "left_anti")
+        .join(kill, und("_d") === kill("_kv"), "left_anti")
+      r += 1
+      // keep every 2nd round: each unkept round references its input
+      // TWICE (degree branch + anti-join branch), so unbounded
+      // chaining would double the scan fan-out per round
+      und = if (r % 2 == 0 && r < rounds) store.keep(next) else next
+    }
+    val out = Scratch.stable(
+      und.select(col("_s").as("node_id")).distinct())
+    store.release()
+    out
+  }
 }

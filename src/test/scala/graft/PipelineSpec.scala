@@ -1094,6 +1094,28 @@ class PipelineSpec extends GraftSuite {
     assert(empty.columns.toSeq == Seq("node_id", "pr_q") && empty.count() == 0)
   }
 
+  test("kCoreBounded peels cascades and is idempotent past the fixpoint") {
+    val s = spark
+    import s.implicits._
+    // a 4-clique (1-4) with a pendant chain 4-5-6: 2-core peeling must
+    // drop 6 (deg 1), THEN 5 (its degree falls to 1) — a cascade —
+    // keeping exactly the clique
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    def core(k: Int, rounds: Int) =
+      GraphAlgos.kCoreBounded(edges, k, rounds)
+        .collect().map(_.getLong(0)).toSet
+    assert(core(2, 4) == Set(1L, 2L, 3L, 4L))
+    // one round is NOT enough for the cascade (5 survives round 1)
+    assert(core(2, 1) == Set(1L, 2L, 3L, 4L, 5L))
+    // extra rounds past the fixpoint change nothing
+    assert(core(2, 8) == core(2, 4))
+    // k above the max degree empties the graph
+    assert(core(10, 4) == Set.empty[Long])
+    // k=1 keeps every non-isolated vertex
+    assert(core(1, 4) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("GraphAlgos: co-occurrence, degrees, triangles vs brute force; CC over projection") {
     val s = spark
     import s.implicits._
