@@ -90,7 +90,8 @@ object SparkEntry {
     "q_doc_edit_pairs", "q_event_sessions", "q_event_funnel",
     "q_event_retention", "q_event_sketch_gate", "q_doc_gopher",
     "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens",
-    "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore")
+    "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
+    "q_media_neardup", "q_doc_snapshot_diff")
 
   import SortOrder.{Asc, Desc}
 
@@ -876,6 +877,15 @@ object SparkEntry {
       Multimodal.audioChecksum(
         Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
           only = Some("audio")))),
+    // perceptual image dedup: banded aHash pairs over REAL decoded
+    // PNGs; the oracle recomputes every hash arithmetically from the
+    // id formulas and takes exact all-pairs Hamming <= 3 — a hash
+    // match proves decode + hash + banding end-to-end (banding is
+    // pigeonhole-exact at this threshold)
+    "q_media_neardup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(
+        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("image")), maxHam = 3)),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -928,6 +938,19 @@ object SparkEntry {
     "q_doc_len_quantiles" -> ((s, d) =>
       Curation.exactQuantiles(docs(s, d), "lang", "n_chars",
         Seq(0.25, 0.5, 0.75))),
+    // snapshot diff between two synthetic corpus versions: v1 = even
+    // ids, v2 = ids not divisible by 3 with every 5th text perturbed —
+    // exercises all four statuses; output is the per-status census
+    "q_doc_snapshot_diff" -> ((s, d) => {
+      val dd = docs(s, d)
+      val v1 = dd.where(col("doc_id") % 2 === 0)
+      val v2 = dd.where(col("doc_id") % 3 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+    }),
     // Misra-Gries heavy-hitters self-gate: the summary's certificates
     // — est <= true <= est + dec for EVERY reported item, dec*(k+1)
     // <= N, <= k items reported — checked against the in-plan exact
@@ -1871,6 +1894,39 @@ object SparkEntry {
       "SELECT lang, p, n_chars AS q_value FROM k JOIN ps " +
       "ON cum >= CAST(ceil(p * n) AS BIGINT) " +
       "AND cum - c < CAST(ceil(p * n) AS BIGINT)"),
+    // aHash recomputed arithmetically from the id->pixel formulas
+    // (mediaFromIds doc), exact all-pairs Hamming join
+    "q_media_neardup" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      "px AS (SELECT media_id, w, h, " +
+      "UNNEST(range(0, (w * h)::BIGINT)) AS p FROM m), " +
+      "g AS (SELECT media_id, p, " +
+      "(((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
+      "((media_id * 13 + p % w) % 255) + " +
+      "((media_id * 7 + p // w) % 255)) // 3 AS gray FROM px), " +
+      "mn AS (SELECT media_id, sum(gray) // count(*) AS mg " +
+      "FROM g GROUP BY 1), " +
+      "hs AS (SELECT g.media_id, CAST(sum(CASE WHEN g.gray >= mn.mg " +
+      "AND g.p < 63 THEN (CAST(1 AS BIGINT) << g.p::INT) ELSE 0 END) " +
+      "AS BIGINT) AS h FROM g JOIN mn ON g.media_id = mn.media_id " +
+      "GROUP BY 1) " +
+      "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+      "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
+      "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.h, b.h)) <= 3"),
+    // same full-outer hash diff over the same synthetic versions
+    "q_doc_snapshot_diff" -> ("WITH v1 AS (SELECT doc_id, md5(text) AS h " +
+      "FROM documents WHERE doc_id % 2 = 0), " +
+      "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 " +
+      "THEN text || ' v2' ELSE text END) AS h " +
+      "FROM documents WHERE doc_id % 3 <> 0), " +
+      "d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, " +
+      "CASE WHEN v1.h IS NULL THEN 'added' " +
+      "WHEN v2.h IS NULL THEN 'removed' " +
+      "WHEN v1.h <> v2.h THEN 'changed' ELSE 'unchanged' END AS status " +
+      "FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) " +
+      "SELECT status, count(*) AS n_docs FROM d GROUP BY 1"),
     // the oracle recomputes the token total and pins the Misra-Gries
     // certificates (engine-side exact-count checks) true
     "q_doc_heavy_tokens" -> ("WITH t AS (SELECT " +

@@ -262,4 +262,27 @@ object Curation {
       })))
       .select(col(groupCol), col("p"), col(valCol).as("q_value"))
   }
+
+  /** Corpus snapshot diff: per-id status between two corpus versions —
+    * `added` (only in `newDf`), `removed` (only in `oldDf`), `changed`
+    * (both, content hash differs), `unchanged`. The incremental-crawl
+    * bookkeeping op: downstream passes (re-dedup, re-index, re-score)
+    * run on `added` + `changed` only instead of the full corpus.
+    *
+    * Shape: md5 content hashes computed in the scan, ONE full outer
+    * equi-join on id — the cost of a groupBy over the combined
+    * corpora; no collection, no windows. Output:
+    * `(idCol, status)`.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("_ho"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("_hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") =!= col("_hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

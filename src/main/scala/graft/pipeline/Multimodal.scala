@@ -708,6 +708,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) of the DECODED image, over the
+    * native pixel grid: bit p (row-major, p < 63) is set iff the
+    * pixel's integer gray `(r+g+b) div 3` is >= the image's
+    * floor-mean gray. All-integer arithmetic end to end, so the hash
+    * of a synthetic image is an arithmetic function of its id and an
+    * SQL oracle can verify the decode + hash bit-for-bit (the same
+    * contract as [[pixelChecksum]]). 63 bits so the hash is a
+    * non-negative BIGINT in any SQL engine. Null for undecodable
+    * rows. Output: `(media_id, ahash)`.
+    */
+  def aHash63(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val h = decodeImage(bytes).map { img =>
+          val w = img.getWidth; val ht = img.getHeight
+          val grays = new Array[Long](w * ht)
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              grays(y * w + x) =
+                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3L
+              x += 1
+            }
+            y += 1
+          }
+          val mean = grays.sum / grays.length
+          var bits = 0L
+          var p = 0
+          val n = math.min(grays.length, 63)
+          while (p < n) {
+            if (grays(p) >= mean) bits |= 1L << p
+            p += 1
+          }
+          bits
+        }
+        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by aHash Hamming distance <= `maxHam`
+    * — perceptual image dedup. EXACT for `maxHam <= 3`: the 63-bit
+    * hash splits into 4 bands of 16 bits, candidates equi-join on an
+    * equal band, and by pigeonhole any pair within distance 3 leaves
+    * at least one band untouched — so the band join is a lossless
+    * blocking step, not an approximation. The verify is a codegen'd
+    * `bit_count(xor)` on the distinct candidates. Same
+    * banded-not-all-pairs discipline as the SimHash text path; at
+    * 100 TB the join fans out by occupied band value, never id x id.
+    * Output: `(id_a, id_b, hamming)`.
+    */
+  def imageNearDupPairs(df: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    val hs = aHash63(df).where(col("ahash").isNotNull)
+    val banded = hs.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("b"),
+          shiftright(col("ahash"), k * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("ahash"),
+        col("band")("b").as("_b"), col("band")("v").as("_v"))
+    val a = banded.select(col("media_id").as("id_a"), col("ahash").as("_ha"),
+      col("_b"), col("_v"))
+    val b = banded.select(col("media_id").as("id_b"), col("ahash").as("_hb"),
+      col("_b"), col("_v"))
+    a.join(b, Seq("_b", "_v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(_ha ^ _hb)").as("hamming"))
+      .where(col("hamming") <= maxHam)
+      .distinct()
+  }
+
   /** Integer fingerprint of the DECODED payload: sum over pixels of the
     * packed 24-bit RGB. Exact-integer, so an arithmetic SQL oracle can
     * verify that PNG encode -> distribute -> decode reproduced every

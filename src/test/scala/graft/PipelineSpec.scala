@@ -1094,6 +1094,25 @@ class PipelineSpec extends GraftSuite {
     assert(empty.columns.toSeq == Seq("node_id", "pr_q") && empty.count() == 0)
   }
 
+  test("imageNearDupPairs: banded join equals exact all-pairs Hamming") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromIds(
+      (0 until 120).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("image"))
+    val hs = Multimodal.aHash63(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.nonEmpty && hs.values.forall(_ >= 0L)) // 63-bit: non-negative
+    val exact = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.imageNearDupPairs(media, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"${got.size} vs ${exact.size}")
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
   test("kCoreBounded peels cascades and is idempotent past the fixpoint") {
     val s = spark
     import s.implicits._
