@@ -415,16 +415,21 @@ object TextAnalysis {
     *
     * Scale shape: bigrams via a zip of the token array with its own
     * tail (codegen, no posexplode self-join), ONE hash aggregation
-    * with map-side partial combine to distinct-pair counts; the
-    * marginals and the grand total re-aggregate that (far smaller)
-    * table, so every branch hangs off the same exchange and
-    * ReuseExchange computes the heavy pass once. The tiny total is
-    * broadcast; marginal joins broadcast under AQE when they fit.
-    * Top-k via TakeOrderedAndProject — per-partition heaps, no global
-    * sort. Ties break lexicographically on the pair.
+    * with map-side partial combine to distinct-pair counts — computed
+    * ONCE: the marginals are full-partition window sums over that
+    * frame (re-aggregation joins would each recompute the pair pass;
+    * column pruning makes the branches non-identical, so
+    * ReuseExchange does NOT rescue them — measured), and the grand
+    * total comes from a separate scan-only doc aggregation (sum of
+    * per-doc pair counts == sum of c_xy), broadcast as one row.
+    * Window partitions are per-WORD — bounded by the vocabulary's
+    * bigram fan-out, never corpus-sized. Top-k via
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    * Ties break lexicographically on the pair.
     */
   def collocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pc = df.select(tokens(col(textCol)).as("_t"))
       .where(size(col("_t")) >= 2)
       .select(explode(zip_with(
@@ -433,11 +438,12 @@ object TextAnalysis {
         (a, b) => struct(a.as("x"), b.as("y")))).as("_p"))
       .select(col("_p")("x").as("x"), col("_p")("y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
-    val xc = pc.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
-    val yc = pc.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
-    val tot = pc.agg(sum(col("c_xy")).as("_n"))
-    pc.where(col("c_xy") >= minCount)
-      .join(xc, Seq("x")).join(yc, Seq("y"))
+    val tot = df.select(tokens(col(textCol)).as("_t"))
+      .select(greatest(size(col("_t")) - 1, lit(0)).cast("long").as("_m"))
+      .agg(sum(col("_m")).as("_n"))
+    pc.withColumn("c_x", sum(col("c_xy")).over(Window.partitionBy(col("x"))))
+      .withColumn("c_y", sum(col("c_xy")).over(Window.partitionBy(col("y"))))
+      .where(col("c_xy") >= minCount)
       .crossJoin(broadcast(tot))
       .select(col("x"), col("y"), col("c_xy"),
         ((col("c_xy") * col("_n")).cast("double") / (col("c_x") * col("c_y")))
