@@ -91,7 +91,8 @@ object SparkEntry {
     "q_event_retention", "q_event_sketch_gate", "q_doc_gopher",
     "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens",
     "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
-    "q_media_neardup", "q_doc_snapshot_diff")
+    "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
+    "q_doc_sample_quality")
 
   import SortOrder.{Asc, Desc}
 
@@ -526,6 +527,13 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"), Curation.scrubPii(col("text")).as("scrubbed"))),
     "q_doc_sample" -> ((s, d) =>
       Curation.hashSample(docs(s, d), "doc_id", num = 1, den = 10).select("doc_id")),
+    // quality-weighted sampling: keep probability == the composite
+    // quality score (deterministic id-hash membership, no RNG)
+    "q_doc_sample_quality" -> ((s, d) =>
+      Curation.sampleByScore(
+        TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("quality")),
+        "doc_id", col("quality"))),
     // seeded deterministic training-order shuffle: every doc's position
     // in the md5(id:seed) permutation, replayable on any engine
     "q_doc_shuffle" -> ((s, d) =>
@@ -938,6 +946,12 @@ object SparkEntry {
     "q_doc_len_quantiles" -> ((s, d) =>
       Curation.exactQuantiles(docs(s, d), "lang", "n_chars",
         Seq(0.25, 0.5, 0.75))),
+    // nearest-centroid label audit over the embedding table: integer
+    // µ-unit centroids + exact long distances -> bit-identical
+    // predictions in both engines
+    "q_embed_centroid_cls" -> ((s, d) =>
+      VectorOps.nearestCentroidClassify(emb(s, d), "vec_id",
+        "embedding", "label")),
     // snapshot diff between two synthetic corpus versions: v1 = even
     // ids, v2 = ids not divisible by 3 with every 5th text perturbed —
     // exercises all four statuses; output is the per-status census
@@ -1459,6 +1473,18 @@ object SparkEntry {
       "FROM documents"),
     "q_doc_sample" -> ("SELECT doc_id FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 1"),
+    // same quality composite as q_doc_quality; keep iff
+    // idhash % 1e6 < round(quality * 1e6) (quality has 4 dp, so the
+    // product is an exact integer multiple of 100 — no rounding ties)
+    "q_doc_sample_quality" -> ("WITH " + tokCte + ", " +
+      "q AS (SELECT d.doc_id, round(least(len(t.t) / 40.0, 1.0) * 0.5 + " +
+      "least(CAST(len(list_filter(t.t, x -> list_contains(" +
+      "['the','a','of','and','to','in','is','for','on','with'], x))) " +
+      "AS DOUBLE) * 10.0 / greatest(len(t.t), 1), 1.0) * 0.5, 4) AS quality " +
+      "FROM documents d JOIN toks t ON d.doc_id = t.doc_id) " +
+      "SELECT doc_id, quality FROM q WHERE " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 " +
+      "< CAST(round(quality * 1000000) AS BIGINT)"),
     // hex digests sort identically in both engines; ties break by id
     "q_doc_shuffle" -> ("SELECT doc_id, CAST(row_number() OVER " +
       "(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s7'), doc_id) - 1 AS BIGINT) " +
@@ -1894,6 +1920,21 @@ object SparkEntry {
       "SELECT lang, p, n_chars AS q_value FROM k JOIN ps " +
       "ON cum >= CAST(ceil(p * n) AS BIGINT) " +
       "AND cum - c < CAST(ceil(p * n) AS BIGINT)"),
+    // same integer centroid/distance recurrence; argmin = row_number
+    // over (distance, label)
+    "q_embed_centroid_cls" -> ("WITH e AS (SELECT vec_id, label, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +
+      "x AS (SELECT vec_id, label, UNNEST(vq) AS q, " +
+      "generate_subscripts(vq, 1) AS d FROM e), " +
+      "c AS (SELECT label AS clabel, d, sum(q) // count(*) AS cq " +
+      "FROM x GROUP BY 1, 2), " +
+      "dist AS (SELECT x.vec_id, x.label, c.clabel, " +
+      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+      "FROM x JOIN c ON x.d = c.d GROUP BY 1, 2, 3) " +
+      "SELECT vec_id, clabel AS pred_label, clabel = label AS correct " +
+      "FROM dist QUALIFY row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY dst, clabel) = 1"),
     // aHash recomputed arithmetically from the id->pixel formulas
     // (mediaFromIds doc), exact all-pairs Hamming join
     "q_media_neardup" -> ("WITH m AS (SELECT doc_id AS media_id, " +

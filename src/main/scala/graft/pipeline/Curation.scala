@@ -91,6 +91,23 @@ object Curation {
     df.where(pmod(idHash(col(idCol)), lit(den.toLong)) < rate)
   }
 
+  /** Quality-weighted sampling: keep each row with probability
+    * proportional to a per-row score in [0, 1] (clamped), via the same
+    * deterministic id-hash membership as [[sampleByRates]]:
+    * `md5hash(id) % den < round(score * den)`. High-quality docs
+    * survive preferentially — the DCLM-style quality-weighted mix —
+    * with no RNG, no shuffle, and per-row stability under corpus
+    * growth. `scoreCol` is any in [0,1] column (e.g. the composite
+    * from `TextAnalysis.qualityReport`); scan-speed, filter pushes to
+    * the read.
+    */
+  def sampleByScore(df: DataFrame, idCol: String, scoreCol: Column,
+      den: Long = 1000000L): DataFrame = {
+    val thr = round(greatest(lit(0.0), least(scoreCol, lit(1.0))) * den)
+      .cast("long")
+    df.where(pmod(idHash(col(idCol)), lit(den)) < thr)
+  }
+
   /** Temperature-based domain mixing — the standard pretraining
     * recipe one step above fixed per-source rates: sample source `i`
     * with probability `p_i ∝ n_i^alpha` (alpha in (0, 1] flattens the

@@ -967,4 +967,61 @@ object VectorOps {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** Nearest-centroid classification over a labeled embedding table:
+    * per-label centroids, then each vector assigned to the closest
+    * centroid (squared L2; ties to the lower label). Output:
+    * `(idCol, pred_label, correct)` — the standard label-coherence /
+    * mislabel-audit pass over a training corpus's embedding column.
+    *
+    * All arithmetic is exact integer: components quantize to µ-units
+    * (round(v * 1e6) as long), centroids are integer-div means, and
+    * distances are exact long sums — so predictions are bit-identical
+    * at any partitioning and in any SQL engine (the PageRank /
+    * rollingSum reproducibility discipline; float means vary with
+    * reduction order).
+    *
+    * Shape: one posexplode + (label, dim) aggregation for centroids —
+    * map-side combined, |labels| x dims rows out — collected as a
+    * bounded write-time artifact (same contract as IVF centroids),
+    * then ONE codegen'd scan classifies every vector: per-label
+    * distances via zip_with against literal centroid arrays, argmin
+    * folded label-ascending. No join, no shuffle on the corpus side.
+    */
+  def nearestCentroidClassify(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val q = df.select(col(idCol), col(labelCol),
+      transform(col(vecCol), v =>
+        round(v.cast("double") * 1000000L).cast("long")).as("_vq"))
+    val centRows = q
+      .select(col(labelCol).as("_cl"), posexplode(col("_vq")).as(Seq("_d", "_q")))
+      .groupBy(col("_cl"), col("_d"))
+      .agg(expr("sum(_q) div count(1)").as("_cq"))
+      .collect()
+    val byLabel: Seq[(Int, Seq[Long])] = centRows
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+      .sortBy(_._1)
+    if (byLabel.isEmpty)
+      return df.select(col(idCol), lit(null).cast("int").as("pred_label"),
+        lit(null).cast("boolean").as("correct")).where(lit(false))
+    // per-label distances staged as columns, then an ascending argmin
+    // fold (strict < keeps the LOWER label on ties)
+    val distCols = byLabel.map { case (l, cent) =>
+      aggregate(
+        zip_with(col("_vq"), typedLit(cent), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v).as(s"_dist_$l")
+    }
+    val staged = q.select(Seq(col(idCol), col(labelCol)) ++ distCols: _*)
+    val init = (lit(byLabel.head._1), col(s"_dist_${byLabel.head._1}"))
+    val (pred, _) = byLabel.tail.foldLeft(init) { case ((bl, bd), (l, _)) =>
+      val d = col(s"_dist_$l")
+      (when(d < bd, lit(l)).otherwise(bl), when(d < bd, d).otherwise(bd))
+    }
+    staged.select(col(idCol), pred.as("pred_label"),
+      (pred === col(labelCol)).as("correct"))
+  }
 }

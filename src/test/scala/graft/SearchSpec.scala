@@ -716,4 +716,36 @@ class SearchSpec extends GraftSuite {
     val st = stats.collect()(0)
     assert(st.getLong(0) == 2 && st.getDouble(1) == 3.0)
   }
+
+  test("nearestCentroidClassify: separable clusters classify exactly; ties to lower label") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters around (1,0) label 0 and (0,1) label 1, plus
+    // one mislabeled point that must be flagged incorrect
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.1f), 0), (2L, Seq(0.9f, 0.0f), 0), (3L, Seq(1.1f, -0.1f), 0),
+      (4L, Seq(0.1f, 1.0f), 1), (5L, Seq(0.0f, 0.9f), 1), (6L, Seq(-0.1f, 1.1f), 1),
+      (7L, Seq(1.0f, 0.0f), 1)) // sits in cluster 0, labeled 1
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.search.VectorOps
+      .nearestCentroidClassify(rows, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(Seq(1L, 2L, 3L).forall(i => got(i) == (0, true)), s"got $got")
+    assert(Seq(4L, 5L, 6L).forall(i => got(i) == (1, true)), s"got $got")
+    assert(got(7L)._1 == 0 && !got(7L)._2, s"mislabel not flagged: $got")
+    // equidistant vector ties to the LOWER label deterministically
+    val tie = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    // centroids: l0 = (1e6, 0), l1 = (250000, 750000); v3 = (5e5, 5e5)
+    // d0 = 25e10+25e10 = 5e11; d1 = 6.25e10+6.25e10 = 1.25e11 -> label 1
+    val t = graft.search.VectorOps
+      .nearestCentroidClassify(tie, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t(3L) == 1, s"got $t")
+    // empty input: empty output with the contract schema
+    val empty = graft.search.VectorOps.nearestCentroidClassify(
+      rows.where(lit(false)), "vec_id", "embedding", "label")
+    assert(empty.columns.toSeq == Seq("vec_id", "pred_label", "correct") &&
+      empty.count() == 0)
+  }
 }
