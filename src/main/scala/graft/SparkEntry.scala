@@ -914,6 +914,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))),
     "q_event_retention" -> ((s, d) =>
       Temporal.retention(events(s, d), "user_id", "ts", periodSec = 86400)),
+    "q_event_transitions" -> ((s, d) =>
+      Temporal.transitions(events(s, d), "user_id", "ts", "event_id",
+        "event_type", gapSec = 21600)),
     // sketch self-gate: HLL distinct-users and t-digest-style median
     // must land within 5% / 2% of the exact answers computed in the
     // SAME plan; the oracle independently recomputes the exact count
@@ -1864,6 +1867,19 @@ object SparkEntry {
       "AS steps_completed FROM t1 " +
       "LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) " +
       "SELECT steps_completed, count(*) AS n_users FROM f GROUP BY 1"),
+    // sessionize + lead inside (key, session); same tie order
+    "q_event_transitions" -> ("WITH e AS (SELECT event_id, user_id, " +
+      "event_type, epoch_us(ts) AS us FROM events), " +
+      "s AS (SELECT *, CASE WHEN us - lag(us) OVER " +
+      "(PARTITION BY user_id ORDER BY us, event_id) <= 21600000000 " +
+      "THEN 0 ELSE 1 END AS nw FROM e), " +
+      "t AS (SELECT *, sum(nw) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM s), " +
+      "p AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+      "(PARTITION BY user_id, sess ORDER BY us, event_id) AS to_type " +
+      "FROM t) " +
+      "SELECT from_type, to_type, count(*) AS n_transitions FROM p " +
+      "WHERE to_type IS NOT NULL GROUP BY 1, 2"),
     // integer floor division on positive epoch µs == Spark's `div`
     "q_event_retention" -> ("WITH e AS (SELECT user_id, epoch_us(ts) AS us " +
       "FROM events), " +

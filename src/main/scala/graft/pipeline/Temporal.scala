@@ -389,6 +389,40 @@ object Temporal {
       .select(col(idCol), col(keyCol), col(tsCol), col("session_seq"))
   }
 
+  /** Within-session transition census: counts of consecutive
+    * `(from_type, to_type)` event pairs inside gap-sessions (the
+    * [[sessionize]] rule) — the Markov-transition table behind
+    * behavioral sequence analysis. Output:
+    * `(from_type, to_type, n_transitions)`.
+    *
+    * Shape: the sessionize window chain with the type column riding
+    * along, a `lead` over (key, session) — same key exchange, one
+    * extra in-partition sort, no second shuffle (hash partitioning by
+    * key already clusters (key, session)) — then a hash aggregation
+    * with map-side combine on the type pair.
+    */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val base = df.select(col(idCol), col(keyCol), col(typeCol),
+      usCol(df, tsCol).as("_us"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_us").asc, col(idCol).asc)
+    val sess = base
+      .withColumn("_new",
+        when(col("_us") - lag(col("_us"), 1).over(w) <= gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("_sess", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w2 = Window.partitionBy(col(keyCol), col("_sess"))
+      .orderBy(col("_us").asc, col(idCol).asc)
+    sess
+      .withColumn("_next", lead(col(typeCol), 1).over(w2))
+      .where(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Ordered-step funnel: for each key that performed `steps.head`,
     * how far through the step sequence it progressed, where step i+1
     * must happen AT or after the FIRST completion time of step i and

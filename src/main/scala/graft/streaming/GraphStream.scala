@@ -115,6 +115,33 @@ object GraphStream {
       .drop("_bands")
   }
 
+  /** Streaming heavy hitters: a mergeable Misra-Gries summary
+    * ([[graft.functions.FreqItemsAgg]]'s reduce/merge) maintained as
+    * `mapGroupsWithState` per-key state over `buckets` hash shards of
+    * the item stream. Each micro-batch folds its items into the
+    * shard's standing summary and emits the shard's current top
+    * estimates (item, est, dec); merging the shard summaries
+    * downstream (their certificates ADD, the mergeable-summaries
+    * property) yields corpus-wide heavy hitters. Sharding keeps state
+    * bounded at `buckets * k` counters and spreads the fold — the
+    * same shuffle-one-summary-not-the-stream shape as the batch
+    * aggregate.
+    */
+  def streamingHeavyHitters(items: Dataset[String], k: Int,
+      buckets: Int = 8): Dataset[graft.functions.FreqEst] = {
+    import items.sparkSession.implicits._
+    val agg = graft.functions.FreqItemsAgg(k)
+    items.groupByKey(it => math.floorMod(it.hashCode, buckets))
+      .flatMapGroupsWithState[graft.functions.FreqBuf, graft.functions.FreqEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, its, state: GroupState[graft.functions.FreqBuf]) =>
+          val b0 = state.getOption.getOrElse(agg.zero)
+          val b = its.foldLeft(b0)(agg.reduce)
+          state.update(b)
+          agg.finish(b).iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionUpdate(user_id: Long, events: Long, closed: Boolean)
 

@@ -107,9 +107,11 @@ class StreamingSpec extends GraftSuite {
     implicit val sc = s.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val mem = MemoryStream[(Long, String)]
+    // data BEFORE start: AvailableNow snapshots available offsets at
+    // query start — adding afterwards is a race the trigger may miss
+    mem.addData((1L, "a"), (2L, "b"), (3L, "c"))
     val q = GraphStream.nodeIngest(mem.toDF().toDF("uid", "name"), "User", "uid", root,
       buckets = 4).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    mem.addData((1L, "a"), (2L, "b"), (3L, "c"))
     q.awaitTermination(60000)
     val written = s.read.parquet(s"$root/nodes/User")
     assert(written.count() == 3)
@@ -123,10 +125,11 @@ class StreamingSpec extends GraftSuite {
     implicit val sc = s.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-stream-e").toString
     val mem = MemoryStream[(Long, Long, Long, Double)]
+    // data BEFORE start — see the node-ingest test's race note
+    mem.addData((1L, 10L, 20L, 0.5), (2L, 11L, 21L, 0.9))
     val q = GraphStream.edgeIngest(mem.toDF().toDF("eid", "from", "to", "w"),
       "KNOWS", "eid", "from", "to", root, buckets = 4)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    mem.addData((1L, 10L, 20L, 0.5), (2L, 11L, 21L, 0.9))
     q.awaitTermination(60000)
     val written = s.read.parquet(s"$root/edges/KNOWS")
     assert(written.count() == 2)
@@ -264,5 +267,32 @@ class StreamingSpec extends GraftSuite {
     val c = new graft.exec.Compiler(loaded)
     import graft.dsl.Dsl._
     assert(ids(c.run(g().n(1L).out("FOLLOWS").id().t)) == Seq(2L))
+  }
+
+  test("streamingHeavyHitters folds MG state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[String]
+    val q = GraphStream.streamingHeavyHitters(mem.toDS(), k = 4, buckets = 2)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Seq.fill(10)("hot") ++ Seq("a", "b"): _*)
+      q.processAllAvailable()
+      // second batch: state carries — hot's estimate must keep growing
+      mem.addData(Seq.fill(5)("hot") ++ Seq("c", "d", "e", "f", "g"): _*)
+      q.processAllAvailable()
+      val rows = s.table("hh").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val latestHot = rows.filter(_._1 == "hot").map(_._2).max
+      // 15 true occurrences; MG undercount bounded by the shard's dec
+      val dec = rows.map(_._3).max
+      assert(latestHot >= 15L - dec && latestHot <= 15L,
+        s"hot est $latestHot dec $dec rows ${rows.toSeq}")
+      // per-shard state stays bounded at k counters
+      val lastBatch = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      assert(lastBatch.size <= 2 * 4 + 5, s"state overflow: $lastBatch")
+    } finally q.stop()
   }
 }
