@@ -92,7 +92,7 @@ object SparkEntry {
     "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens",
     "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
-    "q_doc_sample_quality")
+    "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best")
 
   import SortOrder.{Asc, Desc}
 
@@ -449,6 +449,14 @@ object SparkEntry {
         n = 3, numHashes = 6, bands = 3, num = 3, den = 10))),
     "q_doc_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
+    // keep-BEST-of-cluster: the quality-chosen representative policy
+    // (highest composite quality survives each near-dup cluster)
+    "q_doc_keep_best" -> ((s, d) =>
+      Dedup.dedupCorpusByScore(docs(s, d), "doc_id",
+        Dedup.minhashPairs(docs(s, d), "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10),
+        TextAnalysis.qualityReport(docs(s, d), "doc_id", "text"), "quality")
+        .select("doc_id")),
     // full pipeline terminal: corpus minus non-canonical dup-cluster
     // members (pairs -> clusters -> anti-join keep-set)
     "q_doc_keep" -> ((s, d) =>
@@ -1264,6 +1272,24 @@ object SparkEntry {
       "reach(a, b) AS (SELECT a, b FROM und " +
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"),
+    // clusters + per-cluster argmax on the quality composite; corpus
+    // minus non-representative members
+    "q_doc_keep_best" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "q AS (SELECT d.doc_id, round(least(len(t.t) / 40.0, 1.0) * 0.5 + " +
+      "least(CAST(len(list_filter(t.t, x -> list_contains(" +
+      "['the','a','of','and','to','in','is','for','on','with'], x))) " +
+      "AS DOUBLE) * 10.0 / greatest(len(t.t), 1), 1.0) * 0.5, 4) AS quality " +
+      "FROM documents d JOIN toks t ON d.doc_id = t.doc_id), " +
+      "rep AS (SELECT doc_id FROM (SELECT cl.doc_id, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rk " +
+      "FROM cl JOIN q USING (doc_id)) WHERE rk = 1) " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM cl WHERE doc_id NOT IN (SELECT doc_id FROM rep))"),
     "q_doc_keep" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
       "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
       "UNION SELECT id_b, id_a FROM pairs), " +

@@ -905,6 +905,35 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a QUALITY-chosen representative: per
+    * near-dup cluster keep the member with the highest `scoreCol` in
+    * `scores` (ties to the lower id) instead of the lowest id — the
+    * keep-best-of-cluster policy production dedup actually wants
+    * (the highest-quality copy of a template survives, not an
+    * arbitrary one). Non-clustered docs always survive.
+    *
+    * Cost over [[dedupCorpus]]: one join of the cluster table (only
+    * clustered docs — a small fraction of the corpus) against the
+    * score table, and one per-cluster window over that joined frame.
+    * The corpus itself still pays exactly one anti-join.
+    */
+  def dedupCorpusByScore(df: DataFrame, idCol: String, pairs: DataFrame,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val scored = clusters.join(
+      scores.select(col(idCol).as("doc_id"), col(scoreCol).as("_sc")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_sc").desc, col("doc_id").asc)
+    val reps = scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).select(col("doc_id"))
+    val losers = clusters.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the scale escalation dupClusters documents: label

@@ -1094,6 +1094,26 @@ class PipelineSpec extends GraftSuite {
     assert(empty.columns.toSeq == Seq("node_id", "pr_q") && empty.count() == 0)
   }
 
+  test("dedupCorpusByScore keeps the highest-scored member per cluster") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (9L, 0.1))
+      .toDF("doc_id", "sc")
+    val kept = Dedup.dedupCorpusByScore(df, "doc_id", pairs, scores, "sc")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3}: 2 has the top score; solo doc 9 survives
+    assert(kept == Set(2L, 9L), s"got $kept")
+    // score ties resolve to the LOWER id
+    val tied = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (9L, 0.1))
+      .toDF("doc_id", "sc")
+    val keptTied = Dedup.dedupCorpusByScore(df, "doc_id", pairs, tied, "sc")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L, 9L), s"got $keptTied")
+  }
+
   test("imageNearDupPairs: banded join equals exact all-pairs Hamming") {
     val s = spark
     import s.implicits._
