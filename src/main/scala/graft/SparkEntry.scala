@@ -925,6 +925,22 @@ object SparkEntry {
     "q_event_transitions" -> ((s, d) =>
       Temporal.transitions(events(s, d), "user_id", "ts", "event_id",
         "event_type", gapSec = 21600)),
+    // volume-spike days per event type: daily counts vs 1.2x the
+    // per-type exact median (integer cross-multiplication, and the
+    // median comes from the count-histogram quantile op — composition)
+    "q_event_spikes" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val med = Curation.exactQuantiles(daily, "event_type", "n_events",
+        Seq(0.5))
+        .select(col("event_type"), col("q_value").as("_med"))
+      daily.join(med, Seq("event_type"))
+        .where(col("n_events") * 5 >= col("_med") * 6)
+        .select("event_type", "day", "n_events")
+    }),
     // sketch self-gate: HLL distinct-users and t-digest-style median
     // must land within 5% / 2% of the exact answers computed in the
     // SAME plan; the oracle independently recomputes the exact count
@@ -1893,6 +1909,21 @@ object SparkEntry {
       "AS steps_completed FROM t1 " +
       "LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) " +
       "SELECT steps_completed, count(*) AS n_users FROM f GROUP BY 1"),
+    // daily counts vs the count-histogram exact median, integer
+    // cross-multiplied threshold
+    "q_event_spikes" -> ("WITH d AS (SELECT event_type, " +
+      "epoch_us(ts) // 86400000000 AS day, count(*) AS n_events " +
+      "FROM events GROUP BY 1, 2), " +
+      "c AS (SELECT event_type, n_events AS v, count(*) AS c " +
+      "FROM d GROUP BY 1, 2), " +
+      "k AS (SELECT event_type, v, c, sum(c) OVER (PARTITION BY event_type " +
+      "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(c) OVER (PARTITION BY event_type) AS n FROM c), " +
+      "m AS (SELECT event_type, v AS med FROM k " +
+      "WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT) " +
+      "AND cum - c < CAST(ceil(0.5 * n) AS BIGINT)) " +
+      "SELECT d.event_type, d.day, d.n_events FROM d JOIN m " +
+      "USING (event_type) WHERE d.n_events * 5 >= m.med * 6"),
     // sessionize + lead inside (key, session); same tie order
     "q_event_transitions" -> ("WITH e AS (SELECT event_id, user_id, " +
       "event_type, epoch_us(ts) AS us FROM events), " +
