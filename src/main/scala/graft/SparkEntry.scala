@@ -92,7 +92,8 @@ object SparkEntry {
     "q_doc_pmi", "q_doc_len_quantiles", "q_doc_heavy_tokens",
     "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
-    "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best")
+    "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best",
+    "q_event_spikes")
 
   import SortOrder.{Asc, Desc}
 
