@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Dedup, GraphAlgos, Temporal, TextAnalysis}
+
+/** Partitioning-independence audit: the engine's determinism claims
+  * (integer quantization, canonical tie-breaks, order-insensitive
+  * aggregation) say results are BIT-IDENTICAL at any parallelism.
+  * This spec runs the claim-bearing operators under three different
+  * `spark.sql.shuffle.partitions` settings AND input partitionings
+  * and requires identical row multisets — the local stand-in for
+  * "same answer on 4 cores and 4000".
+  */
+class DeterminismSpec extends GraftSuite {
+
+  private def canon(df: DataFrame): Seq[Seq[String]] =
+    df.collect().map(_.toSeq.map(String.valueOf)).map(_.toSeq)
+      .toSeq.sortBy(_.mkString(""))
+
+  private def underPartitions[A](n: Int)(f: => A): A = {
+    val s = spark
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def docs(parts: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Seq("the", "a", "table", "scan", "join", "hash", "row",
+      "batch", "value", "query", "merge", "sort")
+    (1 to 120).map { i =>
+      (i.toLong, Seq.fill(20 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text").repartition(parts)
+  }
+
+  private def events(parts: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 600).map { i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(100000).toLong,
+        rnd.nextDouble() * 100)
+    }.toDF("event_id", "user_id", "tus", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tus") * 1000000L).as("ts"), col("value"))
+      .repartition(parts)
+  }
+
+  private def check(name: String)(mk: (Int, Int) => DataFrame): Unit = {
+    val base = underPartitions(4)(canon(mk(4, 4)))
+    assert(base.nonEmpty, s"$name fixture must produce rows")
+    for ((sp, ip) <- Seq((3, 7), (17, 2))) {
+      val got = underPartitions(sp)(canon(mk(sp, ip)))
+      assert(got == base,
+        s"$name differs at shuffle=$sp input=$ip: ${got.size} vs ${base.size} rows")
+    }
+  }
+
+  test("pageRank ranks are partitioning-independent") {
+    check("pageRank") { (_, ip) =>
+      GraphAlgos.pageRank(GraphAlgos.coOccurrence(
+        docs(ip).select((col("doc_id") % 11).as("g"), col("doc_id").as("it")),
+        "g", "it"), iters = 4)
+    }
+  }
+
+  test("salted rollingSum is partitioning-independent") {
+    check("rollingSum") { (_, ip) =>
+      Temporal.rollingSum(events(ip), "user_id", "ts", "event_id", "value",
+        windowSec = 3600, saltBuckets = 8)
+    }
+  }
+
+  test("heavyHitters certificates and estimates are partitioning-independent") {
+    // MG counter VALUES can legally differ across merge orders; the
+    // engine's fixed plan (one partial per partition, one final merge)
+    // must still be stable given the same input partitioning — so pin
+    // the INPUT and vary only shuffle partitions
+    val base = underPartitions(4)(canon(
+      TextAnalysis.heavyHitters(docs(6), "text", k = 6)))
+    for (sp <- Seq(3, 17)) {
+      val got = underPartitions(sp)(canon(
+        TextAnalysis.heavyHitters(docs(6), "text", k = 6)))
+      assert(got == base, s"heavyHitters differs at shuffle=$sp")
+    }
+  }
+
+  test("keep-best dedup representatives are partitioning-independent") {
+    check("dedupCorpusByScore") { (_, ip) =>
+      val d = docs(ip)
+      Dedup.dedupCorpusByScore(d, "doc_id",
+        Dedup.minhashPairs(d, "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 6, den = 10),
+        TextAnalysis.qualityReport(d, "doc_id", "text"), "quality")
+        .select("doc_id")
+    }
+  }
+
+  test("exact quantiles and temperature mix are partitioning-independent") {
+    check("exactQuantiles") { (_, ip) =>
+      Curation.exactQuantiles(
+        docs(ip).withColumn("grp", (col("doc_id") % 3).cast("string"))
+          .withColumn("v", length(col("text")).cast("long")),
+        "grp", "v", Seq(0.25, 0.5, 0.75))
+    }
+    check("temperatureMix") { (_, ip) =>
+      Curation.temperatureMix(
+        docs(ip).withColumn("src", concat(lit("s"), col("doc_id") % 4)),
+        "src", "doc_id", alpha = 0.5, targetFrac = 0.5)
+        .select("doc_id")
+    }
+  }
+}
