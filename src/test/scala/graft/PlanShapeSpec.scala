@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.dsl.Dsl._
+import graft.exec.Compiler
+import graft.model.TestGraph
+
+/** Physical-plan audits of the compiled traversal plans against the
+  * driver's parquet-backed store: predicates must reach the parquet
+  * scan as PushedFilters and projections must prune ReadSchema — the
+  * two properties that decide whether a 100 TB scan reads 100 TB or a
+  * column slice of the matching row groups.
+  */
+class PlanShapeSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def compiled(tr: graft.dsl.Tr): DataFrame =
+    new Compiler(TestGraph(spark, dir)).run(tr.t)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect() // finalize adaptive plans so stages are resolved
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case s: FileSourceScanExec => Seq(s)
+        case other =>
+          other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+      }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("NWhere predicate pushes to the parquet scan") {
+    val df = compiled(
+      g().nWithLabelWhere("Customer", gt("c_acctbal", 5000.0))
+        .values("c_custkey", "c_acctbal"))
+    val cust = scans(df).filter(_.metadata("Location").contains("customer"))
+    assert(cust.nonEmpty, "expected a customer parquet scan")
+    val pushed = cust.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThan(c_acctbal,5000.0)"),
+      s"predicate not pushed: $pushed")
+  }
+
+  test("Values projection prunes the scan to the referenced columns") {
+    val df = compiled(
+      g().nWithLabel("Part").values("p_partkey", "p_size"))
+    val part = scans(df).filter(_.metadata("Location").contains("part"))
+    assert(part.nonEmpty)
+    val schema = part.map(_.metadata("ReadSchema")).mkString
+    // only the projected columns survive — notably NOT p_name/p_comment
+    assert(schema.contains("p_partkey") && schema.contains("p_size"),
+      s"projected columns missing: $schema")
+    assert(!schema.contains("p_name") && !schema.contains("p_comment"),
+      s"scan reads unprojected columns: $schema")
+  }
+
+  test("label-pinned count prunes every other node table from the plan") {
+    val df = compiled(g().nWithLabel("Customer").count())
+    val locs = scans(df).map(_.metadata("Location")).mkString
+    assert(locs.contains("customer"))
+    Seq("orders", "lineitem", "part", "supplier", "nation", "region",
+      "documents", "events").foreach { other =>
+      assert(!locs.contains(other), s"label pin failed to prune $other: $locs")
+    }
+  }
+
+  test("navigation scans read only the join/id columns of the edge table") {
+    val df = compiled(g().nWithLabel("Customer").out("PLACED").count())
+    val all = scans(df)
+    assert(all.nonEmpty)
+    // count() over navigation needs ids, not payload columns like
+    // o_comment / c_comment
+    val schemas = all.map(_.metadata("ReadSchema")).mkString
+    assert(!schemas.contains("c_comment") && !schemas.contains("o_comment"),
+      s"navigation count reads payload columns: $schemas")
+  }
+}
