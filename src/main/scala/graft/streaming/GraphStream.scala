@@ -115,6 +115,30 @@ object GraphStream {
       .drop("_bands")
   }
 
+  /** Watermarked stream-stream interval join — the streaming mirror
+    * of `pipeline.Temporal.rangeJoin`: each right event joins the
+    * left events of the same key whose timestamp falls in
+    * `[r.ts - beforeSec, r.ts + afterSec]` (click→purchase
+    * attribution at ingest). Both sides carry the same watermark, and
+    * the time-range predicate bounds the state store exactly as
+    * Structured Streaming requires for state cleanup — without the
+    * range condition the join would buffer both streams forever.
+    * Inputs need columns `(keyCol, tsCol, ...)`; output prefixes the
+    * sides' payloads `l_` / `r_`.
+    */
+  def streamRangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, beforeSec: Long, afterSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r, expr(
+      s"l_$keyCol = r_$keyCol AND " +
+        s"l_$tsCol >= r_$tsCol - INTERVAL $beforeSec SECONDS AND " +
+        s"l_$tsCol <= r_$tsCol + INTERVAL $afterSec SECONDS"))
+  }
+
   /** Streaming heavy hitters: a mergeable Misra-Gries summary
     * ([[graft.functions.FreqItemsAgg]]'s reduce/merge) maintained as
     * `mapGroupsWithState` per-key state over `buckets` hash shards of

@@ -269,6 +269,34 @@ class StreamingSpec extends GraftSuite {
     assert(ids(c.run(g().n(1L).out("FOLLOWS").id().t)) == Seq(2L))
   }
 
+  test("streamRangeJoin attributes clicks to purchase windows across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = GraphStream.streamRangeJoin(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      "user_id", "ts", beforeSec = 600, afterSec = 60, watermark = "5 minutes")
+      .select("l_click_id", "r_purchase_id")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: clicks land first (state buffers them)
+      clicks.addData((1L, t(0), 100L), (1L, t(8), 101L), (2L, t(1), 200L))
+      q.processAllAvailable()
+      // batch 2: purchase at 10:09 for user 1 -> window [09:59, 10:10]
+      // captures both clicks; user 2's purchase at 10:30 captures none
+      purchases.addData((1L, t(9), 900L), (2L, t(30), 901L))
+      q.processAllAvailable()
+      val got = s.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 900L), (101L, 900L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters folds MG state across micro-batches") {
     val s = spark
     import s.implicits._
