@@ -93,7 +93,7 @@ object SparkEntry {
     "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
     "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best",
-    "q_event_spikes")
+    "q_event_spikes", "q_graph_ppr")
 
   import SortOrder.{Asc, Desc}
 
@@ -808,6 +808,22 @@ object SparkEntry {
         "p", "o"), iters = 8)
         .select(col("node_id").as("order_id"), col("pr_q"))
     }),
+    // personalized PageRank from a deterministic seed set (ids ≡ 0
+    // mod 97 in the projection) — graph-based retrieval ranking;
+    // seed collection is a bounded query parameter, like search terms
+    "q_graph_ppr" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val edges = GraphAlgos.coOccurrence(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o")
+      val seeds = edges.select(col("id_a").as("n"))
+        .unionAll(edges.select(col("id_b").as("n")))
+        .where(col("n") % 97 === 0).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      GraphAlgos.personalizedPageRank(edges, seeds, iters = 6)
+        .select(col("node_id").as("order_id"), col("ppr_q"))
+    }),
     // 6-round k-core peeling (k=30): the dense-subgraph membership
     // filter behind graph-based curation; bounded rounds = bounded
     // shuffles, identical semantics both engines
@@ -1449,6 +1465,28 @@ object SparkEntry {
           "JOIN deg ON und.s = deg.s GROUP BY und.d)"
       }.mkString(", ") +
       " SELECT v AS order_id, CAST(pr AS BIGINT) AS pr_q FROM pr8"),
+    // identical quantized restart recurrence; seeds = ids ≡ 0 mod 97
+    "q_graph_ppr" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS MATERIALIZED (SELECT u AS s, v AS d FROM ed " +
+      "UNION ALL SELECT v AS s, u AS d FROM ed), " +
+      "deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM und GROUP BY s), " +
+      "sd AS MATERIALIZED (SELECT s FROM deg WHERE s % 97 = 0), " +
+      "ns AS (SELECT count(*) AS c FROM sd), " +
+      "pr0 AS MATERIALIZED (SELECT s AS v, CASE WHEN s % 97 = 0 THEN " +
+      "1000000000 // (SELECT c FROM ns) ELSE 0 END AS pr FROM deg), " +
+      "bs AS MATERIALIZED (SELECT (1000000000 // (SELECT c FROM ns)) " +
+      "* 15 // 100 AS b), " +
+      (1 to 6).map { i =>
+        s"pr$i AS MATERIALIZED (SELECT und.d AS v, " +
+          "(CASE WHEN und.d % 97 = 0 THEN (SELECT b FROM bs) ELSE 0 END) + " +
+          s"(sum(pr.pr // deg.dg) * 85) // 100 AS pr " +
+          s"FROM und JOIN pr${i - 1} pr ON und.s = pr.v " +
+          "JOIN deg ON und.s = deg.s GROUP BY und.d)"
+      }.mkString(", ") +
+      " SELECT v AS order_id, CAST(pr AS BIGINT) AS ppr_q FROM pr6"),
     // identical 6-round peeling unrolled (remove deg < 30 with edges)
     "q_graph_kcore" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
       "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +

@@ -175,6 +175,58 @@ object GraphAlgos {
     out
   }
 
+  /** Personalized PageRank: the restart mass concentrates on `seeds`
+    * instead of spreading uniformly — the random-walk-with-restart
+    * similarity ranking behind graph-based retrieval ("what's most
+    * related to THESE nodes"). Same integer quantization and
+    * per-iteration join+agg shape as [[pageRank]]; seeds are query
+    * parameters (a bounded literal set, like a search query's terms).
+    * Output: `(node_id, ppr_q)` — ppr_q / scale approximates the
+    * stationary visit probability from the seed set.
+    *
+    * Integer recurrence: seeds start with `scale div |seeds|`, others
+    * 0; per round `ppr'(v) = restart(v) + (damp% of contributions)`
+    * with `restart(v) = (scale div |seeds|) * (100-damp) div 100` for
+    * seeds and 0 otherwise.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iters: Int = 6, scale: Long = 1000000000L,
+      dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    val empty = edges.select(col("id_a").as("node_id"), lit(0L).as("ppr_q"))
+      .where(lit(false))
+    if (seeds.isEmpty) return empty
+    val store = new Scratch.FrameStore(edges.sparkSession)
+    val und = store.keep(
+      edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+        .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst"))))
+    val deg = store.keep(und.groupBy("_src").agg(count(lit(1)).as("_deg")))
+    if (deg.isEmpty) { store.release(); return empty }
+    val adj = store.keep(und.join(deg, "_src"))
+    val init = scale / seeds.size
+    val base = init * (100 - dampPct) / 100
+    def isSeed(c: org.apache.spark.sql.Column) =
+      c.isin(seeds.map(x => x: Any): _*)
+    var pr = deg.select(col("_src").as("node_id"))
+      .withColumn("_pr", when(isSeed(col("node_id")), lit(init)).otherwise(lit(0L)))
+    var it = 0
+    while (it < iters) {
+      val next = adj.join(pr, adj("_src") === pr("node_id"))
+        .select(col("_dst"), expr("_pr div _deg").as("_c"))
+        .groupBy(col("_dst"))
+        .agg(sum(col("_c")).as("_s"))
+        .select(col("_dst").as("node_id"),
+          (when(isSeed(col("_dst")), lit(base)).otherwise(lit(0L)) +
+            expr(s"(_s * $dampPct) div 100")).as("_pr"))
+      it += 1
+      pr = if (it % 4 == 0 && it < iters) store.keep(next) else next
+    }
+    val out = Scratch.stable(pr.select(col("node_id"), col("_pr").as("ppr_q")))
+    store.release()
+    out
+  }
+
   /** Bounded-round k-core peeling: `rounds` iterations of "drop every
     * vertex whose current degree is < k (with all its edges)", over a
     * canonical undirected edge frame; returns the surviving vertex

@@ -1133,6 +1133,26 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("personalizedPageRank concentrates mass near the seed set") {
+    val s = spark
+    import s.implicits._
+    // two 4-cliques bridged by one edge; seeding clique A must rank
+    // every A vertex above every B vertex
+    val a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val b = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = (a ++ b :+ (4L, 11L)).toDF("id_a", "id_b")
+    val ppr = GraphAlgos.personalizedPageRank(edges, Seq(1L, 2L), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aMin = Seq(1L, 2L, 3L, 4L).map(ppr).min
+    val bMax = Seq(11L, 12L, 13L, 14L).map(ppr).max
+    assert(aMin > bMax, s"seed-side mass must dominate: $ppr")
+    // seeds themselves carry the restart mass: top-ranked overall
+    assert(ppr(1L) == ppr.values.max || ppr(2L) == ppr.values.max, s"$ppr")
+    // empty seed set -> empty result with the contract schema
+    val empty = GraphAlgos.personalizedPageRank(edges, Nil)
+    assert(empty.columns.toSeq == Seq("node_id", "ppr_q") && empty.count() == 0)
+  }
+
   test("kCoreBounded peels cascades and is idempotent past the fixpoint") {
     val s = spark
     import s.implicits._
