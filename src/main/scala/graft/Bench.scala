@@ -179,6 +179,18 @@ object Bench {
         spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id"),
         "doc_id", only = Some(m)))
     }
+    // the co-occurrence projections are write-time graph material (one
+    // projection, many analyses) — pin them like the media table
+    Seq(20, 100, 200).foreach { m =>
+      warm(s"cooc:$m") {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        graft.pipeline.GraphAlgos.coOccurrenceCached(
+          li.where(org.apache.spark.sql.functions.col("l_partkey") % m === 0)
+            .select(org.apache.spark.sql.functions.col("l_partkey").as("p"),
+              org.apache.spark.sql.functions.col("l_orderkey").as("o")),
+          "p", "o")
+      }
+    }
     warm("dupPositions")(graft.pipeline.Dedup.duplicatedPositionsCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
     // median of 3 timed iterations per query: a single-iteration
