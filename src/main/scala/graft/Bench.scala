@@ -191,6 +191,14 @@ object Bench {
           "p", "o")
       }
     }
+    warm("cooc:w100") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      graft.pipeline.GraphAlgos.coOccurrenceWeightedCached(
+        li.where(org.apache.spark.sql.functions.col("l_partkey") % 100 === 0)
+          .select(org.apache.spark.sql.functions.col("l_partkey").as("p"),
+            org.apache.spark.sql.functions.col("l_orderkey").as("o")),
+        "p", "o")
+    }
     warm("dupPositions")(graft.pipeline.Dedup.duplicatedPositionsCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
     // median of 3 timed iterations per query: a single-iteration

@@ -93,7 +93,7 @@ object SparkEntry {
     "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
     "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best",
-    "q_event_spikes", "q_graph_ppr")
+    "q_event_spikes", "q_graph_ppr", "q_graph_pagerank_w")
 
   import SortOrder.{Asc, Desc}
 
@@ -808,6 +808,16 @@ object SparkEntry {
         "p", "o"), iters = 8)
         .select(col("node_id").as("order_id"), col("pr_q"))
     }),
+    // weighted PageRank: edge weight = number of shared parts; heavier
+    // co-occurrence ties carry proportionally more rank
+    "q_graph_pagerank_w" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.pageRankWeighted(GraphAlgos.coOccurrenceWeightedCached(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), iters = 8)
+        .select(col("node_id").as("order_id"), col("pr_q"))
+    }),
     // personalized PageRank from a deterministic seed set (ids ≡ 0
     // mod 97 in the projection) — graph-based retrieval ranking;
     // seed collection is a bounded query parameter, like search terms
@@ -1461,6 +1471,25 @@ object SparkEntry {
       (1 to 8).map { i =>
         s"pr$i AS MATERIALIZED (SELECT und.d AS v, (SELECT b FROM bs) + " +
           s"(sum(pr.pr // deg.dg) * 85) // 100 AS pr " +
+          s"FROM und JOIN pr${i - 1} pr ON und.s = pr.v " +
+          "JOIN deg ON und.s = deg.s GROUP BY und.d)"
+      }.mkString(", ") +
+      " SELECT v AS order_id, CAST(pr AS BIGINT) AS pr_q FROM pr8"),
+    // identical weighted recurrence: contribution (pr*w) // wdeg
+    "q_graph_pagerank_w" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v, count(*) AS w FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS MATERIALIZED (SELECT u AS s, v AS d, w FROM ed " +
+      "UNION ALL SELECT v AS s, u AS d, w FROM ed), " +
+      "deg AS MATERIALIZED (SELECT s, sum(w) AS wd FROM und GROUP BY s), " +
+      "pr0 AS MATERIALIZED (SELECT s AS v, " +
+      "1000000000 // (SELECT count(*) FROM deg) AS pr FROM deg), " +
+      "bs AS MATERIALIZED (SELECT (1000000000 // (SELECT count(*) FROM deg)) " +
+      "* 15 // 100 AS b), " +
+      (1 to 8).map { i =>
+        s"pr$i AS MATERIALIZED (SELECT und.d AS v, (SELECT b FROM bs) + " +
+          s"(sum((pr.pr * und.w) // deg.wd) * 85) // 100 AS pr " +
           s"FROM und JOIN pr${i - 1} pr ON und.s = pr.v " +
           "JOIN deg ON und.s = deg.s GROUP BY und.d)"
       }.mkString(", ") +

@@ -38,6 +38,19 @@ object GraphAlgos {
       Seq("_g"), "_it", maxKeyDf = maxGroupSize)
       .select("id_a", "id_b").distinct()
 
+  /** [[coOccurrence]] keeping MULTIPLICITY: `(id_a, id_b, w)` where
+    * `w` = number of shared groups — the natural edge weight of a
+    * co-occurrence graph ("orders sharing 3 parts are closer than
+    * orders sharing 1"). Same bounded-block pair generation; one
+    * extra pair-count aggregation instead of the distinct.
+    */
+  def coOccurrenceWeighted(df: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int = Int.MaxValue): DataFrame =
+    Dedup.boundedKeyPairs(
+      df.select(col(groupCol).as("_g"), col(itemCol).as("_it")).distinct(),
+      Seq("_g"), "_it", maxKeyDf = maxGroupSize)
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("w"))
+
   /** [[coOccurrence]] with the projected edge frame pinned
     * (MEMORY_AND_DISK, plan-keyed like `Dedup.shingleHashSetCached`):
     * a co-occurrence graph is materialized ONCE and then analyzed
@@ -46,14 +59,25 @@ object GraphAlgos {
     * paths key apart, so the bench warm-up invariant holds.
     */
   def coOccurrenceCached(df: DataFrame, groupCol: String, itemCol: String,
-      maxGroupSize: Int = Int.MaxValue): DataFrame = {
-    val key = (Dedup.planKey(df), groupCol, itemCol, maxGroupSize)
+      maxGroupSize: Int = Int.MaxValue): DataFrame =
+    projCached(df, groupCol, itemCol, maxGroupSize, weighted = false,
+      coOccurrence(df, groupCol, itemCol, maxGroupSize))
+
+  /** [[coOccurrenceWeighted]] pinned the same way. */
+  def coOccurrenceWeightedCached(df: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int = Int.MaxValue): DataFrame =
+    projCached(df, groupCol, itemCol, maxGroupSize, weighted = true,
+      coOccurrenceWeighted(df, groupCol, itemCol, maxGroupSize))
+
+  private def projCached(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int, weighted: Boolean, mk: => DataFrame): DataFrame = {
+    val key = (Dedup.planKey(df), groupCol, itemCol, maxGroupSize, weighted)
     var built: DataFrame = null
     val e = projCache.synchronized {
       val hit = projCache.get(key)
       if (hit != null) hit
       else {
-        built = coOccurrence(df, groupCol, itemCol, maxGroupSize)
+        built = mk
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         projCache.put(key, built)
         built
@@ -64,7 +88,7 @@ object GraphAlgos {
   }
 
   private val projCache =
-    new java.util.HashMap[(String, String, String, Int), DataFrame]()
+    new java.util.HashMap[(String, String, String, Int, Boolean), DataFrame]()
 
   /** Per-vertex degree over a canonical undirected edge frame. One
     * aggregation; vertices with no edges don't appear (join the node
@@ -191,6 +215,51 @@ object GraphAlgos {
     while (it < iters) {
       val next = adj.join(pr, adj("_src") === pr("node_id"))
         .select(col("_dst"), expr("_pr div _deg").as("_c"))
+        .groupBy(col("_dst"))
+        .agg(sum(col("_c")).as("_s"))
+        .select(col("_dst").as("node_id"),
+          (lit(base) + expr(s"(_s * $dampPct) div 100")).as("_pr"))
+      it += 1
+      pr = if (it % 4 == 0 && it < iters) store.keep(next) else next
+    }
+    val out = Scratch.stable(pr.select(col("node_id"), col("_pr").as("pr_q")))
+    store.release()
+    out
+  }
+
+  /** Weighted PageRank over a canonical undirected WEIGHTED edge
+    * frame `(id_a, id_b, w)` (long weights >= 1): contribution of `u`
+    * to neighbor `v` is `(pr(u) * w(u,v)) div wdeg(u)` with
+    * `wdeg = Σ w` — heavier ties carry proportionally more rank. Same
+    * integer quantization, same per-iteration join+agg shape and
+    * reliability discipline as [[pageRank]]; `pr * w` stays far below
+    * Long overflow (pr <= scale = 1e9, practical w << 1e6).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 8,
+      scale: Long = 1000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    val store = new Scratch.FrameStore(edges.sparkSession)
+    val und = store.keep(
+      edges.select(col("id_a").as("_src"), col("id_b").as("_dst"), col("w"))
+        .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst"),
+          col("w"))))
+    val deg = store.keep(und.groupBy("_src").agg(sum(col("w")).as("_wdeg")))
+    val n = deg.count()
+    if (n == 0) {
+      store.release()
+      return edges.select(col("id_a").as("node_id"), lit(0L).as("pr_q"))
+        .where(lit(false))
+    }
+    val adj = store.keep(und.join(deg, "_src"))
+    val init = scale / n
+    val base = init * (100 - dampPct) / 100
+    var pr = deg.select(col("_src").as("node_id"))
+      .withColumn("_pr", lit(init))
+    var it = 0
+    while (it < iters) {
+      val next = adj.join(pr, adj("_src") === pr("node_id"))
+        .select(col("_dst"), expr("(_pr * w) div _wdeg").as("_c"))
         .groupBy(col("_dst"))
         .agg(sum(col("_c")).as("_s"))
         .select(col("_dst").as("node_id"),

@@ -1133,6 +1133,25 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("pageRankWeighted: unit weights equal pageRank; heavy ties pull rank") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val unit = edges.withColumn("w", lit(1L))
+    val plain = GraphAlgos.pageRank(edges, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = GraphAlgos.pageRankWeighted(unit, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted == plain, s"unit weights must reduce to pageRank")
+    // star where the hub's tie to 4 is 10x heavier than to 1..3: node 4
+    // must outrank its unit-weight peers
+    val star = Seq((1L, 10L, 1L), (2L, 10L, 1L), (3L, 10L, 1L), (4L, 10L, 10L))
+      .toDF("id_a", "id_b", "w")
+    val sp = GraphAlgos.pageRankWeighted(star, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(4L) > sp(1L) && sp(4L) > sp(2L) && sp(4L) > sp(3L), s"$sp")
+  }
+
   test("personalizedPageRank concentrates mass near the seed set") {
     val s = spark
     import s.implicits._

@@ -297,6 +297,52 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming == batch parity: dedup survivors and heavy-hitter counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // --- exact dedup: the same corpus streamed in 3 batches must keep
+    // exactly the batch keep-set (first occurrence per digest)
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"),
+      (4L, "epsilon"), (5L, "gamma delta"), (6L, "zeta"))
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = GraphStream.streamingDedup(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("paritydedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      corpus.grouped(2).zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.map { case (id, tx) => (t(i), id, tx) }: _*)
+        q.processAllAvailable()
+      }
+      val streamed = s.table("paritydedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.pipeline.Dedup.exact(
+        corpus.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+
+    // --- heavy hitters at k >= vocabulary: MG never compresses, so
+    // the streamed shard estimates must EQUAL the batch exact counts
+    val words = Seq("a", "a", "a", "b", "b", "c", "d", "d", "d", "d")
+    val hh = MemoryStream[String]
+    val q2 = GraphStream.streamingHeavyHitters(hh.toDS(), k = 16, buckets = 2)
+      .writeStream.format("memory").queryName("parityhh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      words.grouped(4).foreach { b => hh.addData(b: _*); q2.processAllAvailable() }
+      // latest estimate per item across updates
+      val streamed = s.table("parityhh").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val exact = words.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      assert(streamed == exact, s"streamed $streamed vs exact $exact")
+    } finally q2.stop()
+  }
+
   test("streamingHeavyHitters folds MG state across micro-batches") {
     val s = spark
     import s.implicits._
