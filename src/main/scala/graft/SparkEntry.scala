@@ -93,7 +93,8 @@ object SparkEntry {
     "q_event_asof_fwd", "q_event_rolling_sum", "q_graph_kcore",
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
     "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best",
-    "q_event_spikes", "q_graph_ppr", "q_graph_pagerank_w")
+    "q_event_spikes", "q_graph_ppr", "q_graph_pagerank_w",
+    "q_doc_curriculum")
 
   import SortOrder.{Asc, Desc}
 
@@ -543,6 +544,12 @@ object SparkEntry {
         TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
           .select(col("doc_id"), col("quality")),
         "doc_id", col("quality"))),
+    // curriculum training order: quality buckets descend, seeded
+    // shuffle within each bucket — replayable on any engine
+    "q_doc_curriculum" -> ((s, d) =>
+      Curation.curriculumOrder(
+        TextAnalysis.qualityReport(docs(s, d), "doc_id", "text"),
+        "doc_id", least(floor(col("quality") * 5), lit(4)), seed = "c1")),
     // seeded deterministic training-order shuffle: every doc's position
     // in the md5(id:seed) permutation, replayable on any engine
     "q_doc_shuffle" -> ((s, d) =>
@@ -1586,6 +1593,18 @@ object SparkEntry {
       "FROM documents"),
     "q_doc_sample" -> ("SELECT doc_id FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 1"),
+    // buckets descend, md5(id:seed) shuffles within; same quality CTE
+    "q_doc_curriculum" -> ("WITH " + tokCte + ", " +
+      "q AS (SELECT d.doc_id, round(least(len(t.t) / 40.0, 1.0) * 0.5 + " +
+      "least(CAST(len(list_filter(t.t, x -> list_contains(" +
+      "['the','a','of','and','to','in','is','for','on','with'], x))) " +
+      "AS DOUBLE) * 10.0 / greatest(len(t.t), 1), 1.0) * 0.5, 4) AS quality " +
+      "FROM documents d JOIN toks t ON d.doc_id = t.doc_id), " +
+      "b AS (SELECT doc_id, least(CAST(floor(quality * 5) AS BIGINT), 4) " +
+      "AS bucket FROM q) " +
+      "SELECT doc_id, bucket, CAST(row_number() OVER (ORDER BY bucket DESC, " +
+      "md5(CAST(doc_id AS VARCHAR) || ':c1'), doc_id) - 1 AS BIGINT) " +
+      "AS curriculum_pos FROM b"),
     // same quality composite as q_doc_quality; keep iff
     // idhash % 1e6 < round(quality * 1e6) (quality has 4 dp, so the
     // product is an exact integer multiple of 100 — no rounding ties)

@@ -73,6 +73,29 @@ object Curation {
       df.schema(idCol), StructField(out, LongType, nullable = false))))
   }
 
+  /** Curriculum ordering: a deterministic training order that sorts
+    * quality buckets first and shuffles WITHIN each bucket (seeded
+    * hash order) — easy/high-quality examples first, the standard
+    * curriculum recipe, replayable on any engine. Output:
+    * `(idCol, bucket, out)` with `out` the 0-based global position.
+    * Same scale shape as [[shuffleOrder]]: one distributed range
+    * sort + zipWithIndex — no single-partition window.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, bucketCol: Column,
+      seed: String, out: String = "curriculum_pos"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.select(col(idCol), bucketCol.cast("long").as("bucket"),
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))).as("_sk"))
+      .orderBy(col("bucket").desc, col("_sk"), col(idCol))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.get(0), r.getLong(1), i)
+    }
+    df.sparkSession.createDataFrame(rdd, StructType(Seq(
+      df.schema(idCol), StructField("bucket", LongType, nullable = false),
+      StructField(out, LongType, nullable = false))))
+  }
+
   /** Domain-mix sampling: per-source deterministic keep rates, the
     * operator behind "20% web, 2× wiki epochs, downsample crawl"
     * mixture recipes. A row survives iff `md5hash(id) % den <
