@@ -94,7 +94,7 @@ object SparkEntry {
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
     "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best",
     "q_event_spikes", "q_graph_ppr", "q_graph_pagerank_w",
-    "q_doc_curriculum")
+    "q_doc_curriculum", "q_doc_lang_confusion")
 
   import SortOrder.{Asc, Desc}
 
@@ -527,6 +527,13 @@ object SparkEntry {
     }),
     "q_doc_langid" -> ((s, d) =>
       TextAnalysis.langIdReport(docs(s, d), "doc_id", "text")),
+    // language-ID confusion matrix: declared lang × guessed lang — the
+    // quality-eval table for the heuristic classifier
+    "q_doc_lang_confusion" -> ((s, d) =>
+      TextAnalysis.langIdReport(docs(s, d), "doc_id", "text")
+        .join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))),
     "q_doc_quality" -> ((s, d) =>
       TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")),
     "q_doc_fingerprint" -> ((s, d) =>
@@ -1574,6 +1581,11 @@ object SparkEntry {
       "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
       s"FROM documents), s AS (SELECT doc_id, $langScoresSql FROM d) " +
       s"SELECT doc_id, $langCaseSql AS lang_guess FROM s"),
+    "q_doc_lang_confusion" -> ("WITH d AS (SELECT doc_id, lang, " +
+      "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +
+      s"FROM documents), s AS (SELECT doc_id, lang, $langScoresSql FROM d), " +
+      s"g AS (SELECT doc_id, lang, $langCaseSql AS lang_guess FROM s) " +
+      "SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2"),
     "q_doc_quality" -> ("WITH " + tokCte + " " +
       "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
       "CAST(len(t.t) AS BIGINT) AS n_tokens, " +
