@@ -101,6 +101,19 @@ class DeterminismSpec extends GraftSuite {
     }
   }
 
+  test("global orderings (shuffle, curriculum) are partitioning-independent") {
+    // sort + zipWithIndex positions must equal the global rank in the
+    // total order regardless of how the range partitioner splits it
+    check("shuffleOrder") { (_, ip) =>
+      Curation.shuffleOrder(docs(ip), "doc_id", seed = "s9")
+    }
+    check("curriculumOrder") { (_, ip) =>
+      Curation.curriculumOrder(
+        docs(ip).withColumn("b", (col("doc_id") % 5)),
+        "doc_id", col("b"), seed = "c9")
+    }
+  }
+
   test("exact quantiles and temperature mix are partitioning-independent") {
     check("exactQuantiles") { (_, ip) =>
       Curation.exactQuantiles(
