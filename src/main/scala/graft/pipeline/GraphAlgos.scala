@@ -87,8 +87,21 @@ object GraphAlgos {
     e
   }
 
+  /** FIFO-bounded like TextAnalysis.lmCache: a long-lived server must
+    * not accumulate persisted projections across stores; eviction
+    * unpersists the frame it owns.
+    */
+  private val ProjCacheMax = 8
   private val projCache =
-    new java.util.HashMap[(String, String, String, Int, Boolean), DataFrame]()
+    new java.util.LinkedHashMap[(String, String, String, Int, Boolean), DataFrame](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, Int, Boolean), DataFrame]): Boolean = {
+        val evict = size() > ProjCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Per-vertex degree over a canonical undirected edge frame. One
     * aggregation; vertices with no edges don't appear (join the node

@@ -736,8 +736,20 @@ object Multimodal {
     m
   }
 
+  /** FIFO-bounded like TextAnalysis.lmCache: eviction unpersists the
+    * synthesized media frame it owns (one per modality per corpus).
+    */
+  private val MediaCacheMax = 8
   private val mediaCache =
-    new java.util.HashMap[(String, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(String, String, String), DataFrame](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), DataFrame]): Boolean = {
+        val evict = size() > MediaCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Perceptual average-hash (aHash) of the DECODED image, over the
     * native pixel grid: bit p (row-major, p < 63) is set iff the
