@@ -1133,6 +1133,39 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("plan-keyed artifact caches serve the right corpus, never a neighbor's") {
+    val s = spark
+    import s.implicits._
+    // media: two different id frames must key apart (no cross-serving)
+    val idsA = Seq(3L, 6L, 9L).toDF("doc_id")
+    val idsB = Seq(12L, 15L).toDF("doc_id")
+    val a = Multimodal.mediaFromIdsCached(idsA, "doc_id", Some("image"))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val b = Multimodal.mediaFromIdsCached(idsB, "doc_id", Some("image"))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(a == Set(3L, 6L, 9L) && b == Set(12L, 15L), s"$a / $b")
+    // cached result equals the uncached computation
+    val direct = Multimodal.mediaFromIds(idsA, "doc_id", Some("image"))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(a == direct)
+    // co-occurrence: different group filters key apart; cached == plain
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("g", "it")
+    val full = GraphAlgos.coOccurrenceCached(bip, "g", "it")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = GraphAlgos.coOccurrenceCached(bip.where(col("g") === 1), "g", "it")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((10L, 11L), (11L, 12L)) && filtered == Set((10L, 11L)),
+      s"$full / $filtered")
+    val plain = GraphAlgos.coOccurrence(bip, "g", "it")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == plain)
+    // weighted variant keys apart from the unweighted one
+    val w = GraphAlgos.coOccurrenceWeightedCached(bip, "g", "it")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(w == Map((10L, 11L) -> 1L, (11L, 12L) -> 1L), s"$w")
+  }
+
   test("pageRankWeighted: unit weights equal pageRank; heavy ties pull rank") {
     val s = spark
     import s.implicits._
