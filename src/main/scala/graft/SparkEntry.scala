@@ -94,7 +94,7 @@ object SparkEntry {
     "q_media_neardup", "q_doc_snapshot_diff", "q_embed_centroid_cls",
     "q_doc_sample_quality", "q_event_transitions", "q_doc_keep_best",
     "q_event_spikes", "q_graph_ppr", "q_graph_pagerank_w",
-    "q_doc_curriculum", "q_doc_lang_confusion")
+    "q_doc_curriculum", "q_doc_lang_confusion", "q_doc_winnow_pairs")
 
   import SortOrder.{Asc, Desc}
 
@@ -466,6 +466,12 @@ object SparkEntry {
         Dedup.minhashPairs(docs(s, d), "text", "doc_id",
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
         .select("doc_id")),
+    // winnowing (MOSS) fingerprint candidates: shared window-min
+    // k-gram hashes — guaranteed to catch any shared run >= k+w-1
+    // tokens while keeping ~2/(w+1) of the k-grams
+    "q_doc_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(docs(s, d), "text", "doc_id",
+        k = 3, w = 4, minShared = 2)),
     "q_doc_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
     "q_embed_pairs" -> ((s, d) =>
@@ -1312,6 +1318,21 @@ object SparkEntry {
     "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
     "q_doc_minhash_pairs" -> ("WITH " + minhashPairsCtes +
       " SELECT id_a, id_b FROM pairs"),
+    // identical 56-bit k-gram hashes, window-min selection, inverted
+    // fingerprint join
+    "q_doc_winnow_pairs" -> ("WITH t AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      "x -> x <> '') AS tk FROM documents), " +
+      "g AS (SELECT doc_id, list_transform(range(0, len(tk) - 2), " +
+      "i -> ('0x' || substr(md5(array_to_string(tk[i+1:i+3], ' ')), 1, 14))::BIGINT) " +
+      "AS gh, len(tk) AS n FROM t WHERE len(tk) >= 3), " +
+      "f AS (SELECT doc_id, CASE WHEN n >= 6 THEN " +
+      "list_distinct(list_transform(range(0, len(gh) - 3), " +
+      "j -> list_min(gh[j+1:j+4]))) ELSE [list_min(gh)] END AS fps FROM g), " +
+      "e AS (SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM f) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+      "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2"),
     // same candidates, edit-distance verifier (DuckDB levenshtein has
     // identical unit-cost semantics)
     "q_doc_edit_pairs" -> ("WITH " + minhashCandCtes +

@@ -55,6 +55,58 @@ object Dedup {
 
   def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS local
+    * fingerprinting scheme): hash every k-gram, slide a window of `w`
+    * consecutive k-gram hashes, and select each window's MINIMUM —
+    * the distinct selected hashes are the doc's fingerprints. The
+    * guarantee winnowing adds over plain shingle sampling: any shared
+    * run of at least `k + w - 1` tokens yields at least one SHARED
+    * selected fingerprint, while only ~2/(w+1) of all k-grams are
+    * kept. Docs with >= 1 k-gram but < w windows fall back to their
+    * single global minimum. Pure column expressions (one staged
+    * tokenization, codegen'd); empty/short docs yield an empty array.
+    */
+  def winnowFingerprints(t: Column, k: Int, w: Int): Column = {
+    def h56(s: Column): Column =
+      conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+    val gh = transform(sequence(lit(0), size(t) - k),
+      i => h56(concat_ws(" ", slice(t, i + 1, lit(k)))))
+    when(size(t) >= k + w - 1,
+      array_distinct(transform(sequence(lit(0), size(t) - k - (w - 1)),
+        j => array_min(slice(gh, j + 1, lit(w))))))
+      .otherwise(when(size(t) >= k, array(array_min(gh)))
+        .otherwise(array().cast("array<long>")))
+  }
+
+  /** Candidate near-dup pairs by SHARED winnowed fingerprints: an
+    * inverted-index equi-join on the fingerprint value — never
+    * all-pairs — keeping pairs that share at least `minShared`
+    * selections. Fingerprints appearing in more than `maxDf` docs are
+    * dropped first (boilerplate stop-fingerprints), the same document-
+    * frequency discipline as the shingle paths. Output:
+    * `(id_a, id_b, n_shared)`.
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val fps = df.select(col(idCol).as("_id"),
+        explode(winnowFingerprints(tokens(col(textCol)), k, w)).as("_fp"))
+      .distinct()
+    val kept =
+      if (maxDf == Int.MaxValue) fps
+      else fps.withColumn("_df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_fp"))))
+        .where(col("_df") <= maxDf).drop("_df")
+    val a = kept.select(col("_id").as("id_a"), col("_fp"))
+    val b = kept.select(col("_id").as("id_b"), col("_fp"))
+    a.join(b, Seq("_fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup: canonical (min) id per distinct text digest. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("_digest"))

@@ -1133,6 +1133,46 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("winnowing: shared runs >= k+w-1 tokens always share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    // plant a 6-token (= k+w-1) shared run inside otherwise-random docs
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, words(30) + " " + shared + " " + words(30)),
+      (2L, shared + " " + words(40)),
+      (3L, words(50))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"random docs must not collide: $pairs")
+    // selection sparsity: far fewer fingerprints than k-grams
+    val doc = (1L, words(400)) :: Nil
+    val fps = doc.toDF("doc_id", "text")
+      .select(Dedup.winnowFingerprints(
+        graft.pipeline.TextAnalysis.tokens(col("text")), 3, 4).as("f"))
+      .head().getSeq[Long](0)
+    assert(fps.size < 400 - 2, "winnowing must select a subset")
+    assert(fps.size > (400 - 2) / 10, "but not degenerate")
+    // short docs: >= 1 k-gram but < w windows -> single global min
+    val short = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(Dedup.winnowFingerprints(
+        graft.pipeline.TextAnalysis.tokens(col("text")), 3, 4).as("f"))
+      .head().getSeq[Long](0)
+    assert(short.size == 1, s"short-doc fallback: $short")
+    // sub-k docs: empty fingerprint set
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.winnowFingerprints(
+        graft.pipeline.TextAnalysis.tokens(col("text")), 3, 4).as("f"))
+      .head().getSeq[Long](0)
+    assert(tiny.isEmpty)
+  }
+
   test("plan-keyed artifact caches serve the right corpus, never a neighbor's") {
     val s = spark
     import s.implicits._
