@@ -66,17 +66,35 @@ object Dedup {
     * single global minimum. Pure column expressions (one staged
     * tokenization, codegen'd); empty/short docs yield an empty array.
     */
-  def winnowFingerprints(t: Column, k: Int, w: Int): Column = {
+  def winnowKgramHashes(t: Column, k: Int): Column = {
     def h56(s: Column): Column =
       conv(substring(md5(s), 1, 14), 16, 10).cast("long")
-    val gh = transform(sequence(lit(0), size(t) - k),
-      i => h56(concat_ws(" ", slice(t, i + 1, lit(k)))))
-    when(size(t) >= k + w - 1,
-      array_distinct(transform(sequence(lit(0), size(t) - k - (w - 1)),
-        j => array_min(slice(gh, j + 1, lit(w))))))
-      .otherwise(when(size(t) >= k, array(array_min(gh)))
-        .otherwise(array().cast("array<long>")))
+    when(size(t) >= k, transform(sequence(lit(0), size(t) - k),
+      i => h56(concat_ws(" ", slice(t, i + 1, lit(k))))))
+      .otherwise(array().cast("array<long>"))
   }
+
+  /** Window-min selection over a STAGED k-gram hash array. The hash
+    * array must be its own attribute (a select alias), NOT inlined:
+    * `slice(gh, j, w)` inside the window lambda re-evaluates whatever
+    * expression `gh` is per window — an inlined hash array turns the
+    * doc's md5 work quadratic (measured: 346 s for the corpus pass
+    * that runs in ~1 s staged). [[winnowPairs]] stages it; compose
+    * these two helpers the same way.
+    */
+  def winnowFromHashes(gh: Column, w: Int): Column =
+    when(size(gh) >= w,
+      array_distinct(transform(sequence(lit(0), size(gh) - w),
+        j => array_min(slice(gh, j + 1, lit(w))))))
+      .otherwise(when(size(gh) >= 1, array(array_min(gh)))
+        .otherwise(array().cast("array<long>")))
+
+  /** Single-column convenience form (inlined — fine for one-off/small
+    * inputs; corpus scans MUST go through the staged [[winnowPairs]]
+    * path, see [[winnowFromHashes]]).
+    */
+  def winnowFingerprints(t: Column, k: Int, w: Int): Column =
+    winnowFromHashes(winnowKgramHashes(t, k), w)
 
   /** Candidate near-dup pairs by SHARED winnowed fingerprints: an
     * inverted-index equi-join on the fingerprint value — never
@@ -89,8 +107,16 @@ object Dedup {
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 2,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    val fps = df.select(col(idCol).as("_id"),
-        explode(winnowFingerprints(tokens(col(textCol)), k, w)).as("_fp"))
+    // tokens AND k-gram hashes staged as attributes: every lambda
+    // below slices a computed ARRAY, not a re-evaluated expression
+    // (inlined, each per-k-gram slice re-runs the tokenizer and each
+    // per-window slice re-runs every md5 — quadratic per doc; see
+    // winnowFromHashes)
+    val fps = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .select(col("_id"), winnowKgramHashes(col("_t"), k).as("_gh"))
+      .select(col("_id"),
+        explode(winnowFromHashes(col("_gh"), w)).as("_fp"))
       .distinct()
     val kept =
       if (maxDf == Int.MaxValue) fps
