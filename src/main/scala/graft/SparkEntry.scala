@@ -468,10 +468,14 @@ object SparkEntry {
         .select("doc_id")),
     // winnowing (MOSS) fingerprint candidates: shared window-min
     // k-gram hashes — guaranteed to catch any shared run >= k+w-1
-    // tokens while keeping ~2/(w+1) of the k-grams
+    // tokens while keeping ~2/(w+1) of the k-grams. maxDf caps the
+    // inverted-index join: a fingerprint shared by >50 docs is
+    // boilerplate (license headers, nav chrome) and would otherwise
+    // contribute O(df^2) candidate rows — the same document-frequency
+    // discipline as the shingle paths.
     "q_doc_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(docs(s, d), "text", "doc_id",
-        k = 3, w = 4, minShared = 2)),
+        k = 3, w = 4, minShared = 2, maxDf = 50)),
     "q_doc_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
     "q_embed_pairs" -> ((s, d) =>
@@ -1329,9 +1333,13 @@ object SparkEntry {
       "f AS (SELECT doc_id, CASE WHEN n >= 6 THEN " +
       "list_distinct(list_transform(range(0, len(gh) - 3), " +
       "j -> list_min(gh[j+1:j+4]))) ELSE [list_min(gh)] END AS fps FROM g), " +
-      "e AS (SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM f) " +
+      "e AS (SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM f), " +
+      // document-frequency cap mirror: fingerprints in >50 docs are
+      // dropped before the inverted-index join (maxDf = 50)
+      "kept AS (SELECT e.doc_id, e.fp FROM e JOIN (SELECT fp FROM e " +
+      "GROUP BY fp HAVING count(*) <= 50) d ON e.fp = d.fp) " +
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
-      "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 HAVING count(*) >= 2"),
     // same candidates, edit-distance verifier (DuckDB levenshtein has
     // identical unit-cost semantics)

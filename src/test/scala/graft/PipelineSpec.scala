@@ -1173,6 +1173,36 @@ class PipelineSpec extends GraftSuite {
     assert(tiny.isEmpty)
   }
 
+  test("winnowing: maxDf drops boilerplate stop-fingerprints before the join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    // boilerplate run (a license header) planted in EVERY doc: its
+    // fingerprints have df = 20, far over the cap — without the cap
+    // the inverted-index join would produce all C(20,2) pairs
+    val boiler = "copyright acme corp all rights reserved license"
+    // one genuine near-dup pair sharing a distinct long run
+    val dup = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = ((1L, boiler + " " + dup + " " + words(25)) ::
+      (2L, words(25) + " " + dup + " " + boiler) ::
+      (3 to 20).map(i => (i.toLong, boiler + " " + words(30))).toList)
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 1, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"genuine pair survives cap: $capped")
+    // every other pair exists ONLY through boilerplate fingerprints
+    assert(capped == Set((1L, 2L)),
+      s"boilerplate-only pairs must be dropped: $capped")
+    // uncapped control: the hot fingerprints connect everything
+    val uncapped = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 3, w = 4, minShared = 1)
+      .count()
+    assert(uncapped >= 20L * 19 / 2,
+      s"without the cap boilerplate goes quadratic: $uncapped pairs")
+  }
+
   test("plan-keyed artifact caches serve the right corpus, never a neighbor's") {
     val s = spark
     import s.implicits._
