@@ -320,13 +320,56 @@ object VectorOps {
         col("rank").cast("long").as("rank")) // same schema as knnJoin
   }
 
+  /** Times a broadcast-batch k-NN entry point rerouted to
+    * [[knnJoinDistributed]] because the query side exceeded
+    * `graft.search.knnQueryBatchMax` (test-visible escalation counter).
+    */
+  val knnEscalations = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Query-side row cap for the broadcast-batch k-NN paths; above it
+    * the join reroutes to [[knnJoinDistributed]] instead of collecting
+    * the query set to the driver.
+    */
+  private def knnQueryBatchMax(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("graft.search.knnQueryBatchMax", "65536").toInt
+
+  /** IVF model for an automatic escalation when the caller asked for
+    * the EXACT path (no model): probing all `nlist` clusters makes
+    * [[knnJoinDistributed]] score every (query, corpus) pair with the
+    * exact arithmetic and tie-break, so the reroute stays rank-for-rank
+    * equal to the broadcast path — it only changes WHERE the pairs meet
+    * (an equi-join on the cluster id instead of a driver broadcast).
+    */
+  private def escalationModel(corpus: DataFrame, vecCol: String): IvfModel = {
+    val nlist = corpus.sparkSession.conf
+      .get("graft.search.knnEscalateNlist", "64").toInt
+    trainIvfCached(corpus, vecCol, nlist)
+  }
+
   private def knnJoinPruned(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, excludeSelf: Boolean,
       model: Option[IvfModel], nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // bounded-batch contract, enforced: probe at most maxBatch+1 query
+    // rows; an over-cap query side is a corpus, not a batch — reroute
+    // to the distributed join instead of OOMing the driver. With a
+    // caller-supplied IVF model the candidate condition (corpus row's
+    // cluster within the query's nprobe nearest) is IDENTICAL in both
+    // formulations, so the reroute is bit-equal; without one, the
+    // all-clusters probe keeps the exact contract (see escalationModel).
+    val maxBatch = knnQueryBatchMax(spark)
+    val qsRaw = queries.select(col(idCol).cast("long"), col(vecCol))
+      .limit(maxBatch + 1)
+      .as[(Long, Array[Float])].collect()
+    if (qsRaw.length > maxBatch) {
+      knnEscalations.incrementAndGet()
+      val m = model.getOrElse(escalationModel(corpus, vecCol))
+      val np = if (model.isDefined) nprobe else m.centroids.length
+      return knnJoinDistributed(corpus, queries, vecCol, idCol, k, m, np,
+        excludeSelf)
+    }
+    val qs = qsRaw.sortBy(_._1)
     // per-query L2 norms, precomputed once
     val qn = qs.map { case (_, v) =>
       var n = 0.0; var i = 0
@@ -865,8 +908,23 @@ object VectorOps {
       nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qs = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // same bounded-batch enforcement as knnJoinPruned. The reroute
+    // scores raw vectors (exact cosine) instead of ADC-then-refine:
+    // for an over-cap query side OOM safety wins over the code-scan
+    // economy, and the candidates it ranks are a superset in quality
+    // (no ADC error, no refine bound).
+    val maxBatch = knnQueryBatchMax(spark)
+    val qsRaw = queries.select(col(idCol).cast("long"), col(vecCol))
+      .limit(maxBatch + 1)
+      .as[(Long, Array[Float])].collect()
+    if (qsRaw.length > maxBatch) {
+      knnEscalations.incrementAndGet()
+      val m = ivf.getOrElse(escalationModel(corpus, vecCol))
+      val np = if (ivf.isDefined) nprobe else m.centroids.length
+      return knnJoinDistributed(corpus, queries, vecCol, idCol, k, m, np,
+        excludeSelf)
+    }
+    val qs = qsRaw.sortBy(_._1)
     val tables = qs.map { case (_, v) => adcTable(v.map(_.toDouble).toSeq, model) }
     // per-query probe set over IVF clusters (null = no pruning) — the
     // knnJoinPruned mask discipline

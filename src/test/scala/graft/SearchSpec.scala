@@ -113,6 +113,61 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("knnJoin/pqKnnJoin auto-escalate over-cap query sides to the distributed join") {
+    val df = vecs(400, 16).cache()
+    val queries = df.where(col("_id") < 12) // 12 rows > cap of 8
+    val before = spark.conf.getOption("graft.search.knnQueryBatchMax")
+    // exact result from the (unescalated) broadcast path
+    val exact = VectorOps.knnJoin(df, queries, "emb", "_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      spark.conf.set("graft.search.knnQueryBatchMax", "8")
+      val e0 = VectorOps.knnEscalations.get()
+      // exact contract: the reroute probes all clusters -> rank-for-rank
+      // equal to the broadcast path, never a driver collect of queries
+      val rerouted = VectorOps.knnJoin(df, queries, "emb", "_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(VectorOps.knnEscalations.get() == e0 + 1,
+        "over-cap knnJoin must take the distributed path")
+      assert(rerouted == exact,
+        s"escalated exact join must be rank-for-rank equal: " +
+          s"${rerouted.diff(exact)} / ${exact.diff(rerouted)}")
+      // IVF-model variant: identical candidate condition in both
+      // formulations -> bit-equal at the same nprobe
+      val model = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+      spark.conf.set("graft.search.knnQueryBatchMax", "65536")
+      val ivfSmall = VectorOps.knnJoinIvf(df, queries, "emb", "_id",
+        k = 5, model, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.conf.set("graft.search.knnQueryBatchMax", "8")
+      val e1 = VectorOps.knnEscalations.get()
+      val ivfBig = VectorOps.knnJoinIvf(df, queries, "emb", "_id",
+        k = 5, model, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(VectorOps.knnEscalations.get() == e1 + 1)
+      assert(ivfBig == ivfSmall, "IVF escalation must keep the candidate set")
+      // PQ path: reroute ranks by exact cosine, so it recalls >= the
+      // ADC path; assert recall vs exact neighbors and the counter
+      val pq = VectorOps.trainPq(df, "emb", m = 4, ks = 16)
+      val coded = VectorOps.encodePq(df, "emb", pq)
+      val e2 = VectorOps.knnEscalations.get()
+      val pqBig = VectorOps.pqKnnJoin(coded, queries, "emb", "_id",
+        k = 5, pq, refine = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(VectorOps.knnEscalations.get() == e2 + 1,
+        "over-cap pqKnnJoin must take the distributed path")
+      val exactPairs = exact.map(t => (t._1, t._2))
+      val recall = (exactPairs intersect pqBig).size.toDouble / exactPairs.size
+      assert(recall >= 0.9, s"escalated pq join recall too low: $recall")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("graft.search.knnQueryBatchMax", v)
+        case None => spark.conf.unset("graft.search.knnQueryBatchMax")
+      }
+    }
+    df.unpersist()
+  }
+
   test("trainPq is bit-reproducible and encodePq emits m in-range byte codes") {
     val df = vecs(300, 16).cache()
     val a = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)
