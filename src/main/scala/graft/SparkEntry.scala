@@ -449,6 +449,19 @@ object SparkEntry {
     "q_doc_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Dedup.minhashPairs(docs(s, d), "text", "doc_id",
         n = 3, numHashes = 6, bands = 3, num = 3, den = 10))),
+    // the O(log n) large-star/small-star CC path gated DIRECTLY (not
+    // only via dupClusters' non-convergence escalation): path-graph
+    // pairs (i, i+1) with every 40th edge cut form chains of diameter
+    // ~40 — past label propagation's default 20-round budget, converged
+    // by the star rounds in ~log2(40) shuffles
+    "q_doc_dup_clusters_star" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val pairs = ids
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .where(col("id_a") % 40 =!= 39)
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.dupClustersStar(pairs)
+    }),
     "q_doc_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
     // keep-BEST-of-cluster: the quality-chosen representative policy
@@ -1355,6 +1368,17 @@ object SparkEntry {
     "q_doc_dup_clusters" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
       "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
       "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
+      "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"),
+    // same transitive-closure formulation over the synthetic chain
+    // pairs — independent of the engine's star rounds
+    "q_doc_dup_clusters_star" -> ("WITH RECURSIVE " +
+      "ids AS (SELECT doc_id FROM documents), " +
+      "e AS (SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM ids a " +
+      "JOIN ids b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 40 <> 39), " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM e " +
+      "UNION SELECT id_b, id_a FROM e), " +
       "reach(a, b) AS (SELECT a, b FROM und " +
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"),
