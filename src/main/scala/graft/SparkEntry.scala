@@ -793,7 +793,7 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase")
           .select(col("user_id"), col("ts"), col("value")),
         "user_id", "ts", "event_id", "value", out = "next_purchase",
-        saltBuckets = 8, direction = "forward", toleranceSec = 86400)
+        saltBuckets = 8, direction = "forward", toleranceSec = Some(86400L))
         .select("event_id", "next_purchase")
     }),
     // trailing-hour SPEND per user — the value sibling of
@@ -1015,9 +1015,15 @@ object SparkEntry {
     // two plain single-phase aggs joined 1-row x 1-row here
     "q_event_sketch_gate" -> ((s, d) => {
       val ev = events(s, d)
+      // sketch precision is set 10x tighter than the gates (rsd 0.005
+      // vs the 5% gate; rank error <= N/1e5 vs the 2% value gate) so
+      // the pinned-true oracle stays robust to Spark-internal changes
+      // (hash or register-merge tweaks in HLL++/ApproximatePercentile)
+      // — the gate tests the SELF-GATING pattern, not the sketch's
+      // luck at one threshold
       val sk = ev.agg(
-        approx_count_distinct(col("user_id"), 0.02).as("_est"),
-        approx_percentile(col("value"), lit(0.5), lit(10000)).as("_amed"),
+        approx_count_distinct(col("user_id"), 0.005).as("_est"),
+        approx_percentile(col("value"), lit(0.5), lit(100000)).as("_amed"),
         percentile(col("value"), lit(0.5)).as("_med"))
       ev.agg(count_distinct(col("user_id")).as("n_exact"))
         .crossJoin(sk)
@@ -1571,9 +1577,14 @@ object SparkEntry {
       "deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM und GROUP BY s), " +
       "sd AS MATERIALIZED (SELECT s FROM deg WHERE s % 97 = 0), " +
       "ns AS (SELECT count(*) AS c FROM sd), " +
+      // NULLIF + WHERE c > 0 guard the empty-seed edge case: with no
+      // node divisible by 97 the engine's personalizedPageRank returns
+      // zero rows (seeds.isEmpty path); pr0 — and so every pr_i —
+      // must go empty instead of dividing by zero
       "pr0 AS MATERIALIZED (SELECT s AS v, CASE WHEN s % 97 = 0 THEN " +
-      "1000000000 // (SELECT c FROM ns) ELSE 0 END AS pr FROM deg), " +
-      "bs AS MATERIALIZED (SELECT (1000000000 // (SELECT c FROM ns)) " +
+      "1000000000 // NULLIF((SELECT c FROM ns), 0) ELSE 0 END AS pr " +
+      "FROM deg WHERE (SELECT c FROM ns) > 0), " +
+      "bs AS MATERIALIZED (SELECT (1000000000 // NULLIF((SELECT c FROM ns), 0)) " +
       "* 15 // 100 AS b), " +
       (1 to 6).map { i =>
         s"pr$i AS MATERIALIZED (SELECT und.d AS v, " +

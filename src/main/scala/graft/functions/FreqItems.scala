@@ -18,6 +18,14 @@ final case class FreqBuf(counts: Map[String, Long], dec: Long)
   */
 final case class FreqEst(item: String, est: Long, dec: Long)
 
+/** A [[FreqEst]] keyed by its emitting stream shard and that shard's
+  * fold sequence number — the streaming variant's output row (see
+  * GraphStream.streamingHeavyHitters' consumer contract: keep only
+  * max-`seq` rows per `shard` before merging shards).
+  */
+final case class FreqShardEst(shard: Int, seq: Long, item: String,
+    est: Long, dec: Long)
+
 /** Mergeable Misra-Gries heavy-hitters aggregate (Agarwal et al.,
   * "Mergeable Summaries", PODS 2012) over a string column, on the
   * PUBLIC `Aggregator` API — Spark plans it as a normal two-phase

@@ -54,10 +54,13 @@ object Temporal {
     *
     * `direction = "forward"` flips the match to the EARLIEST right row
     * at or after the left timestamp (label-lookahead alignment) — the
-    * same machinery run on a negated time axis. `toleranceSec > 0`
-    * nulls out matches staler (backward) / farther ahead (forward)
-    * than the bound, the pandas `merge_asof(tolerance=...)` contract
-    * — a post-condition on the matched row, zero extra plan cost.
+    * same machinery run on a negated time axis. `toleranceSec` follows
+    * the pandas `merge_asof(tolerance=...)` contract: `None` (default)
+    * = unbounded matching, `Some(t)` nulls out matches staler
+    * (backward) / farther ahead (forward) than `t` seconds — so
+    * `Some(0)` is a REAL zero-width tolerance (equal-timestamp matches
+    * only), not a disable sentinel. A post-condition on the matched
+    * row, zero extra plan cost.
     *
     * Shape — the scalable as-of formulation: tag both sides, union,
     * and take a running `last(value, ignoreNulls)` over a per-key
@@ -71,9 +74,12 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, leftIdCol: String, rightValCol: String,
       out: String = "asof_value", saltBuckets: Int = 1,
-      direction: String = "backward", toleranceSec: Long = 0L): DataFrame = {
+      direction: String = "backward",
+      toleranceSec: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    toleranceSec.foreach(t => require(t >= 0L,
+      s"toleranceSec must be >= 0 (None = unbounded), got $t"))
     val fwd = direction == "forward"
     // The matched value rides inside a struct so that a right row whose
     // value is genuinely NULL is still a non-null window entry: the
@@ -94,17 +100,17 @@ object Temporal {
     def finish(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) = {
       val base = df.withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
         .where(col("_side") === 1)
-      val v =
-        if (toleranceSec <= 0) col("_m")("v")
-        else {
+      val v = toleranceSec match {
+        case None => col("_m")("v")
+        case Some(tol) =>
           val lUs = usCol(base, tsCol)
           val gap = if (fwd) col("_m")("t") - lUs else lUs - col("_m")("t")
           // null gap (no match) falls through to the null value anyway
-          when(gap > toleranceSec * 1000000L, lit(null).cast(
+          when(gap > tol * 1000000L, lit(null).cast(
             base.schema("_m").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
               .apply("v").dataType))
             .otherwise(col("_m")("v"))
-        }
+      }
       base.select(col("_lid").as(leftIdCol), col(keyCol), col(tsCol),
         v.as(out))
     }

@@ -465,7 +465,6 @@ object TextAnalysis {
     * "tokens" once URLs/numbers/typos are in the stream).
     */
   def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val s = df.sparkSession
     val toks = df.select(explode(tokens(col(textCol))).as("w"))
       .select(col("w")).as(org.apache.spark.sql.Encoders.STRING)
     toks.select(graft.functions.FreqItemsAgg(k).toColumn)

@@ -150,19 +150,31 @@ object GraphStream {
     * bounded at `buckets * k` counters and spreads the fold — the
     * same shuffle-one-summary-not-the-stream shape as the batch
     * aggregate.
+    *
+    * CONSUMER CONTRACT (Update mode): every micro-batch re-emits each
+    * touched shard's full CUMULATIVE summary, so summing all emitted
+    * rows across batches double-counts every earlier batch. The output
+    * is keyed for exactly this: take, per `shard`, only the rows with
+    * the highest `seq` (that shard's latest summary — `seq` increments
+    * once per fold, and MG counters are NOT monotone so a max-per-item
+    * shortcut is wrong), then union the shards (each item hashes to
+    * exactly one shard; the dec certificates add).
     */
   def streamingHeavyHitters(items: Dataset[String], k: Int,
-      buckets: Int = 8): Dataset[graft.functions.FreqEst] = {
+      buckets: Int = 8): Dataset[graft.functions.FreqShardEst] = {
     import items.sparkSession.implicits._
     val agg = graft.functions.FreqItemsAgg(k)
     items.groupByKey(it => math.floorMod(it.hashCode, buckets))
-      .flatMapGroupsWithState[graft.functions.FreqBuf, graft.functions.FreqEst](
+      .flatMapGroupsWithState[(graft.functions.FreqBuf, Long),
+          graft.functions.FreqShardEst](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        case (_, its, state: GroupState[graft.functions.FreqBuf]) =>
-          val b0 = state.getOption.getOrElse(agg.zero)
+        case (shard, its, state: GroupState[(graft.functions.FreqBuf, Long)]) =>
+          val (b0, seq0) = state.getOption.getOrElse((agg.zero, 0L))
           val b = its.foldLeft(b0)(agg.reduce)
-          state.update(b)
-          agg.finish(b).iterator
+          val seq = seq0 + 1
+          state.update((b, seq))
+          agg.finish(b).iterator.map(e =>
+            graft.functions.FreqShardEst(shard, seq, e.item, e.est, e.dec))
       }
   }
 

@@ -334,10 +334,14 @@ class StreamingSpec extends GraftSuite {
       .outputMode(OutputMode.Update()).start()
     try {
       words.grouped(4).foreach { b => hh.addData(b: _*); q2.processAllAvailable() }
-      // latest estimate per item across updates
-      val streamed = s.table("parityhh").collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // the consumer contract: latest summary (max seq) per shard,
+      // then union the shards
+      val rows = s.table("parityhh").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val latestSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      val streamed = rows
+        .filter { case (sh, seq, _, _) => seq == latestSeq(sh) }
+        .map { case (_, _, item, est) => item -> est }.toMap
       val exact = words.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
       assert(streamed == exact, s"streamed $streamed vs exact $exact")
     } finally q2.stop()
@@ -358,15 +362,23 @@ class StreamingSpec extends GraftSuite {
       mem.addData(Seq.fill(5)("hot") ++ Seq("c", "d", "e", "f", "g"): _*)
       q.processAllAvailable()
       val rows = s.table("hh").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val latestHot = rows.filter(_._1 == "hot").map(_._2).max
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+      // contract: latest summary per shard = rows at that shard's max seq
+      val latestSeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      val latest = rows.filter { case (sh, seq, _, _, _) => seq == latestSeq(sh) }
+      val latestHot = latest.filter(_._3 == "hot").map(_._4).max
       // 15 true occurrences; MG undercount bounded by the shard's dec
-      val dec = rows.map(_._3).max
+      val dec = latest.map(_._5).max
       assert(latestHot >= 15L - dec && latestHot <= 15L,
         s"hot est $latestHot dec $dec rows ${rows.toSeq}")
-      // per-shard state stays bounded at k counters
-      val lastBatch = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
-      assert(lastBatch.size <= 2 * 4 + 5, s"state overflow: $lastBatch")
+      // per-shard latest summary stays bounded at k counters
+      latest.groupBy(_._1).foreach { case (sh, xs) =>
+        assert(xs.length <= 4, s"shard $sh state overflow: ${xs.toSeq}")
+      }
+      // seq increments once per fold: two micro-batches touched each
+      // shard at most twice
+      assert(latestSeq.values.forall(_ <= 2), latestSeq.toMap.toString)
     } finally q.stop()
   }
 }

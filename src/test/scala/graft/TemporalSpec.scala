@@ -319,7 +319,7 @@ class TemporalSpec extends GraftSuite {
     // backward, tol 150s: event 1 matches ts=900 (gap 100); event 2's
     // nearest-before is 4999 (gap 1) -> both within
     def bwd(tol: Long) = Temporal.asofJoin(left, right, "user_id", "ts",
-        "event_id", "value", toleranceSec = tol)
+        "event_id", "value", toleranceSec = Some(tol))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
     assert(bwd(150) == Map(1L -> 7.0, 2L -> 9.0))
@@ -328,10 +328,32 @@ class TemporalSpec extends GraftSuite {
     // forward, tol 3000: event 1 -> next at 4999 (gap 3999) exceeds ->
     // null; event 2 has no at-or-after -> null
     val fwd = Temporal.asofJoin(left, right, "user_id", "ts",
-        "event_id", "value", direction = "forward", toleranceSec = 3000)
+        "event_id", "value", direction = "forward", toleranceSec = Some(3000L))
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
     assert(fwd == Map(1L -> null, 2L -> null))
+    // Some(0) is a REAL zero-width tolerance (pandas merge_asof
+    // contract) — only equal-timestamp matches survive, never a
+    // disable sentinel
+    val rightEq = right.union(Seq((1L, 5000L, 3.0))
+      .toDF("user_id", "sec", "value")
+      .select(col("user_id"),
+        timestamp_micros(col("sec") * 1000000L).as("ts"), col("value")))
+    assert(Temporal.asofJoin(left, rightEq, "user_id", "ts",
+        "event_id", "value", toleranceSec = Some(0L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap ==
+      Map(1L -> null, 2L -> 3.0))
+    // and None stays unbounded
+    assert(Temporal.asofJoin(left, right, "user_id", "ts",
+        "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap ==
+      Map(1L -> 7.0, 2L -> 9.0))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "user_id", "ts",
+        "event_id", "value", toleranceSec = Some(-1L))
+    }
   }
 
   test("rollingSum matches brute force and its salted path, self excluded") {
