@@ -69,11 +69,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val requireIdle = args.contains("--require-idle")
     val nameFilter = args.filterNot(_.startsWith("--")).toSet
+    // ambient machine conditions = loadavg BEFORE any Spark work; the
+    // end-of-run reading (also recorded) includes the bench's own
+    // 32-thread load and systematically reads high — r9's committed
+    // artifact was judged "taken under load" partly on that basis
+    val loadStart = loadavg()
     if (requireIdle) {
-      val l = loadavg()
-      if (l.nonEmpty && !idleEnough(l(0), cpus.toInt)) {
-        System.err.println(s"--require-idle: 1-min loadavg ${l(0)} exceeds " +
-          s"${1.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
+      if (loadStart.nonEmpty && !idleEnough(loadStart(0), cpus.toInt)) {
+        System.err.println(s"--require-idle: 1-min loadavg ${loadStart(0)} " +
+          s"exceeds ${1.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
         sys.exit(2)
       }
     }
@@ -158,6 +162,20 @@ object Bench {
       names.foreach(q => warm(q)(SparkEntry.queries(q)(spark, tiny)
         .write.mode("overwrite").format("noop").save()))
     }
+    // MEASUREMENT-DISCIPLINE RECORD: since r9 the media table and the
+    // co-occurrence projections are pinned as write-time artifacts in
+    // the warm-up below, so the timed media/graph queries measure
+    // serving, not artifact construction. To keep round-over-round
+    // deltas interpretable, ONE cold-path run of a representative of
+    // each family is recorded here — JIT-warm (the tiny loop above)
+    // but with the sfDir artifact caches still unbuilt, i.e. the
+    // pre-r9 timing discipline. Kept OUT of the headline totals.
+    val coldNames = Seq("q_media_checksum", "q_graph_pagerank")
+      .filter(names.contains)
+    val coldResults = timeQueries(coldNames,
+      name => SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save(),
+      iters = 1)
     // the shared shingle-set and minhash-signature artifacts are
     // write-time tables at scale (Dedup.shingleHashSetCached /
     // minhashSignatureCached docs) — build them like the BM25 postings
@@ -217,20 +235,41 @@ object Bench {
       name => SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save(),
       iters = 3)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // every DECLARED query gets a timing: the non-headline set runs
+    // one pass each (no multi-iteration ceremony — this is regression
+    // radar, not the headline number), so a perf regression in an
+    // oracle-only query can't ship invisibly between rounds
+    val otherNames = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.headline.contains)
+      .filter(n => nameFilter.isEmpty || nameFilter(n))
+    val otherResults = timeQueries(otherNames,
+      name => SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save(),
+      iters = 1)
+    def qJson(rs: Seq[(String, Double, Option[String])]) =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = qJson(results)
+    val errors = (results ++ otherResults ++ coldResults).collect {
+      case (k, _, Some(m)) =>
+        "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val othersTotal = otherResults.map(_._2).filter(_ >= 0).sum
     // machine load at measurement time: totals on this box swing 40-60%
     // with concurrent load (r4: 22.3 s recorded vs 5.9 s idle), so the
     // artifact records the conditions it was taken under
     val load = loadavg()
     val loadJson =
       if (load.isEmpty) "null" else load.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","loadavg":$loadJson}""")
+    val loadStartJson =
+      if (loadStart.isEmpty) "null" else loadStart.mkString("[", ",", "]")
+    // "queries"/"value" = the 3-iteration-median headline set (the
+    // round-over-round comparable); "others" = one-pass timings of the
+    // remaining declared queries; "cold" = the pre-r9 discipline
+    // record (media/cooc artifacts unbuilt) — see the warm-up comment
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"others":${qJson(otherResults)},"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if ((results ++ otherResults ++ coldResults).exists(_._3.isDefined)) sys.exit(1)
   }
 }
