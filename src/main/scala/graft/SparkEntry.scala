@@ -539,6 +539,13 @@ object SparkEntry {
       Bpe.mergeTable(s, docs(s, d), "text", k = BpeK)),
     "q_doc_bpe_count" -> ((s, d) =>
       Bpe.trainAndCount(docs(s, d), "doc_id", "text", k = BpeK)),
+    // BYTE-level budget: GPT-2-style pretokens (case + whitespace
+    // preserved, one leading space attaches to the following run),
+    // merges over UTF-8 byte symbols — the count production tokenizers
+    // actually bill; the word-level q_doc_bpe_count drops case,
+    // whitespace and punctuation from the budget
+    "q_doc_bpe_bytes" -> ((s, d) =>
+      Bpe.trainAndCountBytes(docs(s, d), "doc_id", "text", k = BpeK)),
     // the encode step: each doc's learned-subword token stream (space-
     // joined — subwords are [a-z0-9]+, so the join is lossless)
     "q_doc_bpe_encode" -> ((s, d) => {
@@ -1640,6 +1647,7 @@ object SparkEntry {
     // CTE triples — independent engine, same deterministic tie-break
     "q_doc_bpe" -> Bpe.oracleMergesSql("documents", "text", BpeK),
     "q_doc_bpe_count" -> Bpe.oracleCountSql("documents", "doc_id", "text", BpeK),
+    "q_doc_bpe_bytes" -> Bpe.oracleByteCountSql("documents", "doc_id", "text", BpeK),
     "q_doc_bpe_encode" -> Bpe.oracleEncodeSql("documents", "doc_id", "text", BpeK),
     "q_doc_langid" -> ("WITH d AS (SELECT doc_id, " +
       "list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t " +

@@ -43,6 +43,32 @@ object Bpe {
   def initState(word: Column): Column =
     regexp_replace(word, "(.)", "_$1_")
 
+  /** GPT-2-STYLE byte-level pretokenizer, lookahead-free so the SAME
+    * pattern runs under Java regex (Spark) and RE2 (DuckDB) with
+    * identical leftmost-first alternation: a letter/digit/punctuation
+    * run optionally claims ONE preceding space (GPT-2's ` ?` idiom);
+    * leftover whitespace runs stay their own pretokens. Deviation from
+    * the exact GPT-2 pattern, documented: no `'s|'t|…` contraction
+    * branch and no `\s+(?!\S)` trailing-space lookahead (RE2 has no
+    * lookahead) — contractions fall to the punctuation branch. Case is
+    * PRESERVED (byte-level BPE never lowercases).
+    */
+  val BytePretokRegex = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretoken -> initial byte-delimited state: the token's UTF-8 bytes
+    * as 2-char uppercase-hex symbols ("ab" -> "_61__62_"). Hex symbols
+    * are [0-9A-F]+ — closed under concatenation and `_`-free, so the
+    * whole `replace`-sweep machinery (applyMerges/stateTokenCount)
+    * carries over unchanged; a merged symbol is just a longer hex
+    * string naming the merged byte run.
+    */
+  def byteInitState(tok: Column): Column =
+    regexp_replace(hex(encode(tok, "UTF-8")), "(..)", "_$1_")
+
+  /** Byte-level pretoken array of a text column. */
+  def bytePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(BytePretokRegex), lit(0))
+
   /** Apply an ordered merge list to a state column (codegen'd literal
     * replace chain).
     */
@@ -73,16 +99,35 @@ object Bpe {
     * right) with rank 1-based in merge-priority order; may return
     * fewer than `k` when the vocabulary runs out of adjacent pairs.
     */
-  def trainMerges(docs: DataFrame, textCol: String, k: Int): Seq[(Int, String, String)] = {
-    val wordFreq = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+  def trainMerges(docs: DataFrame, textCol: String, k: Int): Seq[(Int, String, String)] =
+    trainMergesOver(docs
+        .select(explode(TextAnalysis.tokens(col(textCol))).as("w")),
+      initState, w => w.map(_.toString).toArray, k)
+
+  /** BYTE-LEVEL training: GPT-2-style pretokens (case preserved,
+    * spaces attached — [[BytePretokRegex]]), merges learned over
+    * UTF-8 byte symbols. The loop, tie-break, and replace-sweep are
+    * the word-level machinery verbatim; only the pretokenizer and the
+    * seed alphabet differ.
+    */
+  def trainByteMerges(docs: DataFrame, textCol: String,
+      k: Int): Seq[(Int, String, String)] =
+    trainMergesOver(docs
+        .select(explode(bytePretokens(col(textCol))).as("w")),
+      byteInitState,
+      w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X"), k)
+
+  private def trainMergesOver(words: DataFrame, seed: Column => Column,
+      seedLocal: String => Array[String], k: Int): Seq[(Int, String, String)] = {
+    val wordFreq = words
       .groupBy("w").agg(count(lit(1)).as("f"))
       .persist()
     try {
       if (wordFreq.count() <= LocalTrainVocabLimit)
         return trainMergesLocal(
-          wordFreq.collect().map(r => (r.getString(0), r.getLong(1))), k)
-      var st = wordFreq.select(initState(col("w")).as("s"), col("f"))
+          wordFreq.collect().map(r => (seedLocal(r.getString(0)), r.getLong(1))), k)
+      var st = wordFreq.select(seed(col("w")).as("s"), col("f"))
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
       var i = 1
       var exhausted = false
@@ -114,10 +159,9 @@ object Bpe {
     * argmax breaks ties count-DESC then pair-lex-ASC, and merging is
     * greedy left-to-right non-overlapping (== the `replace` sweep).
     */
-  private def trainMergesLocal(vocab: Array[(String, Long)],
+  private def trainMergesLocal(vocab: Array[(Array[String], Long)],
       k: Int): Seq[(Int, String, String)] = {
-    var states: Array[(Array[String], Long)] =
-      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    var states: Array[(Array[String], Long)] = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var i = 1
     var exhausted = false
@@ -210,6 +254,32 @@ object Bpe {
     tokenCountReport(docs, idCol, textCol,
       trainMergesCached(docs, textCol, k).map { case (_, l, r) => (l, r) })
 
+  /** [[trainByteMerges]] memoized like [[trainMergesCached]]. */
+  def trainByteMergesCached(docs: DataFrame, textCol: String,
+      k: Int): Seq[(Int, String, String)] =
+    mergeCache.computeIfAbsent(
+      "bytes|" + docs.queryExecution.analyzed.canonicalized.toString +
+        "|" + textCol + "|" + k,
+      _ => trainByteMerges(docs, textCol, k))
+
+  /** Per-doc BYTE-LEVEL BPE token count — the budget production
+    * tokenizers actually bill (whitespace and case included, every
+    * byte accounted). Same one-scan zero-shuffle shape as
+    * [[tokenCountReport]].
+    */
+  def byteTokenCountReport(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], out: String = "bpe_bytes_tokens"): DataFrame =
+    docs.select(col(idCol), coalesce(
+      aggregate(bytePretokens(col(textCol)), lit(0L),
+        (acc, w) => acc + stateTokenCount(applyMerges(byteInitState(w), merges))),
+      lit(0L)).as(out))
+
+  /** Train-then-count, byte-level (the `queries()` entry shape). */
+  def trainAndCountBytes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    byteTokenCountReport(docs, idCol, textCol,
+      trainByteMergesCached(docs, textCol, k).map { case (_, l, r) => (l, r) })
+
   /** Persist a trained merge table as a parquet artifact — the BPE
     * analogue of the IVF-centroid / BM25-postings write-time artifacts
     * (`search.IndexArtifacts`): train once in the write/index job,
@@ -281,19 +351,39 @@ object Bpe {
   /** The merge-application chain over a word expression `w` (shared by
     * the count and encode oracles).
     */
-  private def appSql(k: Int): String =
-    (1 to k).foldLeft(
-      s"regexp_replace(w, '(.)', '_\\1_', 'g')") { (e, i) =>
+  private def appSql(k: Int): String = appSqlGen(k, wordSeedSql)
+
+  private def appSqlGen(k: Int, seed: String): String =
+    (1 to k).foldLeft(seed) { (e, i) =>
       s"replace($e, coalesce((SELECT '_'||l||'__'||r||'_' FROM m$i), '~'), " +
         s"coalesce((SELECT '_'||l||r||'_' FROM m$i), '~'))"
     }
 
-  private def oracleCtes(table: String, textCol: String, k: Int): String = {
+  /** Word-level pretokenizer/seed SQL (the BM25/Dedup tokenizer). */
+  private def wordPretokSql(textCol: String): String =
+    s"regexp_extract_all(lower($textCol), '[a-z0-9]+')"
+  private val wordSeedSql = "regexp_replace(w, '(.)', '_\\1_', 'g')"
+
+  /** Byte-level pretokenizer/seed SQL — the SAME lookahead-free
+    * [[BytePretokRegex]] (RE2 and Java regex agree on leftmost-first
+    * alternation here), UTF-8 bytes as uppercase hex pairs in both
+    * engines (DuckDB `hex(encode(w))` == Spark `hex(encode(w,'UTF-8'))`).
+    */
+  private def bytePretokSql(textCol: String): String =
+    s"regexp_extract_all($textCol, '$BytePretokRegex')"
+  private val byteSeedSql =
+    "regexp_replace(hex(encode(w)), '(..)', '_\\1_', 'g')"
+
+  private def oracleCtes(table: String, textCol: String, k: Int): String =
+    oracleCtesGen(table, textCol, k, wordPretokSql, wordSeedSql)
+
+  private def oracleCtesGen(table: String, textCol: String, k: Int,
+      pretok: String => String, seed: String): String = {
     val head = Seq(
       s"WITH w0 AS MATERIALIZED (SELECT w, count(*) AS f FROM (SELECT " +
-        s"unnest(regexp_extract_all(lower($textCol), '[a-z0-9]+')) AS w " +
+        s"unnest(${pretok(textCol)}) AS w " +
         s"FROM $table) GROUP BY w)",
-      s"s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '_\\1_', 'g') AS s, f FROM w0)")
+      s"s0 AS MATERIALIZED (SELECT $seed AS s, f FROM w0)")
     val iters = (1 to k).flatMap { i =>
       val p = i - 1
       Seq(
@@ -308,4 +398,20 @@ object Bpe {
     }
     (head ++ iters).mkString(", ")
   }
+
+  /** Generated oracle for [[trainAndCountBytes]]: the byte-level CTE
+    * chain (pretokens case-preserved, hex byte symbols) ending in the
+    * per-doc count. Whitespace-only and empty docs coalesce to 0 via
+    * the LEFT JOIN exactly like the word-level count oracle.
+    */
+  def oracleByteCountSql(table: String, idCol: String, textCol: String,
+      k: Int, out: String = "bpe_bytes_tokens"): String =
+    oracleCtesGen(table, textCol, k, bytePretokSql, byteSeedSql) +
+      s", dw AS (SELECT $idCol, unnest(${bytePretokSql(textCol)}) AS w " +
+      s"FROM $table)" +
+      s", dc AS (SELECT $idCol, sum(len(string_split(trim(" +
+      s"${appSqlGen(k, byteSeedSql)}, '_'), '__'))) " +
+      s"AS $out FROM dw GROUP BY $idCol) " +
+      s"SELECT d.$idCol, CAST(coalesce(dc.$out, 0) AS BIGINT) AS $out " +
+      s"FROM $table d LEFT JOIN dc ON d.$idCol = dc.$idCol"
 }

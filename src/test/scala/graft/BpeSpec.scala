@@ -96,4 +96,57 @@ class BpeSpec extends GraftSuite {
     // with one dominant word the chain must build it up cumulatively
     assert(vocab.last.length > 2, s"expected multi-char merge, got $vocab")
   }
+
+  test("byte-level pretokenizer is lossless and bills every byte") {
+    val s = spark
+    import s.implicits._
+    // mixed case, punctuation, contraction, multi-space, unicode
+    val texts = Seq("Hello World!  It's naïve... 42\ttimes\n", "", "   ",
+      "A.B,C;D", "héllo wörld")
+    val df = texts.toDF("text")
+    // losslessness: concatenating the pretokens reconstructs the text
+    val rejoined = df.select(
+      concat_ws("", Bpe.bytePretokens(col("text"))).as("r"), col("text"))
+      .collect()
+    rejoined.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"pretokens lost bytes: '${r.getString(1)}' -> '${r.getString(0)}'"))
+    // zero merges: the per-doc count equals the UTF-8 byte length
+    // (every byte is a token) — case/whitespace/punctuation included
+    val counts = Bpe.byteTokenCountReport(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      assert(counts(i.toLong) == bytes,
+        s"doc $i: counted ${counts(i.toLong)} vs $bytes bytes")
+    }
+  }
+
+  test("trainByteMerges learns hex-symbol merges; counts shrink accordingly") {
+    val s = spark
+    import s.implicits._
+    // ' the' (with its leading space) is the dominant pretoken: byte
+    // merges must build it up; after k merges the billed count drops
+    val docs = Seq("on the mat the cat the hat the bat").toDF("text")
+    val merges = Bpe.trainByteMerges(docs, "text", k = 6)
+    assert(merges.size == 6)
+    // all symbols are hex strings (even length, [0-9A-F])
+    merges.foreach { case (_, l, r) =>
+      assert((l + r).matches("[0-9A-F]+") && (l + r).length % 2 == 0,
+        s"non-hex merge symbol: $l + $r")
+    }
+    val ids = Seq((1L, "the cat the")).toDF("doc_id", "text")
+    val c0 = Bpe.byteTokenCountReport(ids, "doc_id", "text", Nil)
+      .head().getLong(1)
+    val ck = Bpe.byteTokenCountReport(ids, "doc_id", "text",
+      merges.map { case (_, l, r) => (l, r) }).head().getLong(1)
+    assert(c0 == 11L, s"11 bytes expected, got $c0") // 'the cat the'
+    assert(ck < c0, s"merges must reduce the billed count: $ck vs $c0")
+    // ' the' = hex 20746865 must be buildable from the learned vocab:
+    // the final merged symbol set contains a run covering it
+    val built = merges.map { case (_, l, r) => l + r }
+    assert(built.exists(sym => "20746865".contains(sym) && sym.length >= 4),
+      s"expected a multi-byte ' the' fragment in $built")
+  }
 }
