@@ -171,6 +171,18 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     handleStoredT(name, paramsJson)._1
 
   private[server] def handleStoredT(name: String, paramsJson: String): (String, Boolean) = {
+    val (batch, pmap) = storedBatchParams(name, paramsJson)
+    val rendered = executeBatch(batch, pmap)
+    warm.add(name)
+    routeHits.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
+    rendered
+  }
+
+  /** Resolve a stored route to its batch plus coerced parameters (the
+    * shared front half of the buffered and NDJSON-streamed paths).
+    */
+  private def storedBatchParams(name: String,
+      paramsJson: String): (graft.ast.Batch, Map[String, graft.ast.PropertyValue]) = {
     val route = Option(stored.get(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown stored query: $name"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -184,10 +196,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       val raw = Json.readParamValue(e.getValue)
       pmap(e.getKey) = types.get(e.getKey).map(QueryBundle.coerce(raw, _)).getOrElse(raw)
     }
-    val rendered = executeBatch(route.batch, pmap.toMap)
-    warm.add(name)
-    routeHits.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
-    rendered
+    (route.batch, pmap.toMap)
   }
 
   /** Run one batch: reads on the current snapshot (concurrent), writes
@@ -264,55 +273,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     val rows = if (truncated) collected.take(maxResponseRows) else collected
     val names = df.columns
     val sb = new StringBuilder
-    def writeVal(v: Any): Unit = v match {
-      case null => sb.append("null")
-      case s: String => sb.append(quote(s))
-      case b: Boolean => sb.append(b)
-      case d: Double =>
-        if (d.isNaN || d.isInfinite) sb.append(quote(d.toString)) else sb.append(d)
-      case f: Float =>
-        // Float's own shortest representation — widening to double
-        // would print 0.1f as 0.10000000149011612
-        if (f.isNaN || f.isInfinite) sb.append(quote(f.toString)) else sb.append(f.toString)
-      case d: java.math.BigDecimal => sb.append(d.toPlainString)
-      case t: java.time.LocalDateTime =>
-        // fixed second precision: LocalDateTime.toString drops ":00"
-        // seconds, yielding two formats in one column
-        sb.append(quote(if (t.getNano == 0)
-          t.format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
-        else t.toString))
-      case t: java.sql.Timestamp => sb.append(quote(t.toInstant.toString))
-      case t: java.time.Instant => sb.append(quote(t.toString))
-      case d: java.sql.Date => sb.append(quote(d.toString))
-      case b: Array[Byte] =>
-        sb.append(quote(java.util.Base64.getEncoder.encodeToString(b)))
-      case seq: scala.collection.Seq[_] =>
-        sb.append('[')
-        var first = true
-        seq.foreach { x => if (!first) sb.append(','); first = false; writeVal(x) }
-        sb.append(']')
-      case m: scala.collection.Map[_, _] =>
-        sb.append('{')
-        var first = true
-        m.foreach { case (k, x) =>
-          if (!first) sb.append(','); first = false
-          sb.append(quote(String.valueOf(k))).append(':'); writeVal(x)
-        }
-        sb.append('}')
-      case r: org.apache.spark.sql.Row =>
-        sb.append('{')
-        val fns = r.schema.fieldNames
-        var i = 0
-        while (i < fns.length) {
-          if (i > 0) sb.append(',')
-          sb.append(quote(fns(i))).append(':'); writeVal(r.get(i))
-          i += 1
-        }
-        sb.append('}')
-      case n @ (_: Long | _: Int | _: Short | _: Byte) => sb.append(n.toString)
-      case other => sb.append(quote(other.toString))
-    }
+    def writeVal(v: Any): Unit = writeJsonVal(sb, v)
     if (collected.length == 1 && names.length == 1) writeVal(rows(0).get(0))
     else {
       sb.append('[')
@@ -332,6 +293,102 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
       sb.append(']')
     }
     (sb.toString, truncated)
+  }
+
+  /** One JSON value — the single writer both the buffered response and
+    * the NDJSON stream render through, so a row prints byte-identically
+    * on either path (explicit nulls, float shortest-form, fixed
+    * LocalDateTime second precision).
+    */
+  private def writeJsonVal(sb: StringBuilder, v: Any): Unit = v match {
+    case null => sb.append("null")
+    case s: String => sb.append(quote(s))
+    case b: Boolean => sb.append(b)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) sb.append(quote(d.toString)) else sb.append(d)
+    case f: Float =>
+      // Float's own shortest representation — widening to double
+      // would print 0.1f as 0.10000000149011612
+      if (f.isNaN || f.isInfinite) sb.append(quote(f.toString)) else sb.append(f.toString)
+    case d: java.math.BigDecimal => sb.append(d.toPlainString)
+    case t: java.time.LocalDateTime =>
+      // fixed second precision: LocalDateTime.toString drops ":00"
+      // seconds, yielding two formats in one column
+      sb.append(quote(if (t.getNano == 0)
+        t.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      else t.toString))
+    case t: java.sql.Timestamp => sb.append(quote(t.toInstant.toString))
+    case t: java.time.Instant => sb.append(quote(t.toString))
+    case d: java.sql.Date => sb.append(quote(d.toString))
+    case b: Array[Byte] =>
+      sb.append(quote(java.util.Base64.getEncoder.encodeToString(b)))
+    case seq: scala.collection.Seq[_] =>
+      sb.append('[')
+      var first = true
+      seq.foreach { x =>
+        if (!first) sb.append(','); first = false; writeJsonVal(sb, x)
+      }
+      sb.append(']')
+    case m: scala.collection.Map[_, _] =>
+      sb.append('{')
+      var first = true
+      m.foreach { case (k, x) =>
+        if (!first) sb.append(','); first = false
+        sb.append(quote(String.valueOf(k))).append(':'); writeJsonVal(sb, x)
+      }
+      sb.append('}')
+    case r: org.apache.spark.sql.Row =>
+      sb.append('{')
+      val fns = r.schema.fieldNames
+      var i = 0
+      while (i < fns.length) {
+        if (i > 0) sb.append(',')
+        sb.append(quote(fns(i))).append(':'); writeJsonVal(sb, r.get(i))
+        i += 1
+      }
+      sb.append('}')
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => sb.append(n.toString)
+    case other => sb.append(quote(other.toString))
+  }
+
+  /** Stream a READ batch's results as NDJSON: one line per row,
+    * `{"result":<name>,"row":{...}}`, results in name order, rows
+    * fetched via `toLocalIterator` — one partition buffered on the
+    * driver at a time, so the response size is unbounded WITHOUT
+    * unbounded driver memory (the `maxResponseRows` cap exists to
+    * protect the buffered path's driver-side string; a streamed
+    * response needs no cap). Write batches are not streamable (their
+    * response is the mutation summary, inherently small) — callers
+    * fall back to the buffered path.
+    */
+  private[server] def streamBatch(batch: graft.ast.Batch,
+      params: Map[String, graft.ast.PropertyValue],
+      out: java.io.OutputStream): Unit = {
+    require(!batch.write, "NDJSON streaming serves read batches only")
+    val res = new BatchExecutor(store, params).execute(batch)
+    nReads.incrementAndGet()
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+    res.results.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      val names = df.columns
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val sb = new StringBuilder
+        sb.append("{\"result\":").append(quote(name)).append(",\"row\":{")
+        var j = 0
+        while (j < names.length) {
+          if (j > 0) sb.append(',')
+          sb.append(quote(names(j))).append(':'); writeJsonVal(sb, r.get(j))
+          j += 1
+        }
+        sb.append("}}\n")
+        w.write(sb.toString)
+      }
+      w.flush()
+    }
+    w.flush()
   }
 
   def handle(body: String): String = handleT(body)._1
@@ -382,6 +439,61 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
           ex.getResponseHeaders.set("x-helix-served-by", "writer")
         hdr("x-helix-await-durable").foreach(v =>
           ex.getResponseHeaders.set("x-helix-durable", v))
+        // NDJSON streaming opt-in: removes the maxResponseRows cap for
+        // READ batches by streaming one row per line over a chunked
+        // response (toLocalIterator — bounded driver memory). Write
+        // batches and errors fall through to the buffered JSON path.
+        val wantStream = hdr("x-graft-stream").contains("ndjson") ||
+          hdr("accept").exists(_.contains("application/x-ndjson"))
+        if (wantStream) {
+          val sub = path.stripPrefix("/v1/query").stripPrefix("/")
+          val parsed =
+            try {
+              val (batch, params) =
+                if (sub.nonEmpty) {
+                  if (warmOnly && !isWarm(sub))
+                    throw new IllegalArgumentException(s"query not warm: $sub")
+                  storedBatchParams(sub, body)
+                } else {
+                  val req = Json.parseRequest(body)
+                  (req.batch, req.parameters)
+                }
+              if (batch.write) None // mutation summaries buffer below
+              else Some((batch, params))
+            } catch {
+              case e: Exception =>
+                countError()
+                val bytes = (s"""{"error":${quote(e.getMessage)}}""" + "\n")
+                  .getBytes(StandardCharsets.UTF_8)
+                ex.getResponseHeaders.set("Content-Type", "application/json")
+                ex.sendResponseHeaders(400, bytes.length)
+                ex.getResponseBody.write(bytes)
+                ex.close()
+                return
+            }
+          parsed match {
+            case Some((batch, params)) =>
+              ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+              ex.sendResponseHeaders(200, 0) // chunked
+              try {
+                streamBatch(batch, params, ex.getResponseBody)
+                if (sub.nonEmpty) {
+                  warm.add(sub)
+                  routeHits.computeIfAbsent(sub, _ => new AtomicLong)
+                    .incrementAndGet()
+                }
+              } catch {
+                // headers are gone; the truncated chunk stream is the
+                // only error signal we can still send
+                case e: Exception =>
+                  countError()
+                  val line = s"""{"error":${quote(e.getMessage)}}""" + "\n"
+                  ex.getResponseBody.write(line.getBytes(StandardCharsets.UTF_8))
+              } finally ex.close()
+              return
+            case None => // write batch: buffered path below
+          }
+        }
         val (resp, truncated) =
           try {
             // POST /v1/query/<name> runs a deployed stored query

@@ -633,4 +633,57 @@ class GatewaySpec extends GraftSuite {
       assert(conn.getResponseCode == 404)
     } finally off.stop()
   }
+
+  test("NDJSON streaming serves full reads past the buffered row cap") {
+    // maxResponseRows=2: the buffered path truncates the 3-row read,
+    // the streamed path must deliver every row, one JSON object per
+    // line, with values byte-identical to the buffered renderer's
+    val gw = new Gateway(TestBase.parityGraph(), port = 16976,
+      maxResponseRows = 2)
+    gw.start()
+    try {
+      val req =
+        """{"request_type":"read","query":{"queries":[{"Query":{"name":"names",
+          "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+          "condition":null}}],"returns":["names"]},"parameters":{}}"""
+      def post(stream: Boolean, body: String): (Int, String, Map[String, java.util.List[String]]) = {
+        val conn = new java.net.URL("http://localhost:16976/v1/query")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        if (stream) conn.setRequestProperty("x-graft-stream", "ndjson")
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        import scala.jdk.CollectionConverters._
+        (code, new String(is.readAllBytes(), "UTF-8"),
+          conn.getHeaderFields.asScala.toMap.collect {
+            case (k, v) if k != null => (k.toLowerCase, v)
+          })
+      }
+      val (bc, buffered, bh) = post(stream = false, req)
+      assert(bc == 200 && bh("x-graft-truncated").get(0) == "true")
+      assert(buffered == """{"names":[{"name":"Alice"},{"name":"Bob"}]}""")
+      val (sc, streamed, sh) = post(stream = true, req)
+      assert(sc == 200)
+      assert(sh("content-type").get(0) == "application/x-ndjson")
+      assert(!sh.contains("x-graft-truncated"))
+      val lines = streamed.split("\n").filter(_.nonEmpty)
+      assert(lines.toSeq == Seq(
+        """{"result":"names","row":{"name":"Alice"}}""",
+        """{"result":"names","row":{"name":"Bob"}}""",
+        """{"result":"names","row":{"name":"Carol"}}"""))
+      // a write batch opts out: the buffered mutation summary comes back
+      val wreq =
+        """{"request_type":"write","query":{"queries":[{"Query":{"name":"w",
+          "steps":[{"AddN":{"label":"User","properties":[
+          ["name",{"Value":{"String":"Dan"}}]]}}],
+          "condition":null}}],"returns":["w"]},"parameters":{}}"""
+      val (wc, wbody, whdr) = post(stream = true, wreq)
+      assert(wc == 200 && wbody.contains("Dan"))
+      assert(whdr("content-type").get(0) == "application/json")
+      // malformed streaming requests get a structured 400, not a hang
+      val (ec, ebody, _) = post(stream = true, "not json at all")
+      assert(ec == 400 && ebody.contains("error"))
+    } finally gw.stop()
+  }
 }
