@@ -1022,15 +1022,17 @@ object SparkEntry {
     // two plain single-phase aggs joined 1-row x 1-row here
     "q_event_sketch_gate" -> ((s, d) => {
       val ev = events(s, d)
-      // sketch precision is set 10x tighter than the gates (rsd 0.005
-      // vs the 5% gate; rank error <= N/1e5 vs the 2% value gate) so
-      // the pinned-true oracle stays robust to Spark-internal changes
-      // (hash or register-merge tweaks in HLL++/ApproximatePercentile)
-      // — the gate tests the SELF-GATING pattern, not the sketch's
-      // luck at one threshold
+      // sketch precision is set well past the gates (HLL rsd 0.01 =
+      // the 5% gate sits 5 sigma out; percentile rank error <= N/25000
+      // = 0.004% vs the 2% VALUE gate) so the pinned-true oracle stays
+      // robust to Spark-internal changes (hash or register-merge
+      // tweaks in HLL++/ApproximatePercentile) — the gate tests the
+      // SELF-GATING pattern, not the sketch's luck at one threshold.
+      // (rsd 0.005 + accuracy 1e5 was 5.3x slower for headroom nobody
+      // needs: ApproximatePercentile cost scales with accuracy.)
       val sk = ev.agg(
-        approx_count_distinct(col("user_id"), 0.005).as("_est"),
-        approx_percentile(col("value"), lit(0.5), lit(100000)).as("_amed"),
+        approx_count_distinct(col("user_id"), 0.01).as("_est"),
+        approx_percentile(col("value"), lit(0.5), lit(25000)).as("_amed"),
         percentile(col("value"), lit(0.5)).as("_med"))
       ev.agg(count_distinct(col("user_id")).as("n_exact"))
         .crossJoin(sk)
