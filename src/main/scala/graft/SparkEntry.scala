@@ -920,8 +920,8 @@ object SparkEntry {
     // bit-deterministic across engines; comma-joined — the driver
     // compare rejects collection columns)
     "q_embed_norm" -> ((s, d) =>
-      emb(s, d).select(col("vec_id"), concat_ws(",",
-        VectorOps.l2NormalizeQuantized(col("embedding"))).as("nvec"))),
+      VectorOps.l2NormalizeQuantizedStaged(emb(s, d), "embedding", "_nv")
+        .select(col("vec_id"), concat_ws(",", col("_nv")).as("nvec"))),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine

@@ -412,6 +412,10 @@ class PipelineSpec extends GraftSuite {
     }
     // sign/direction preserved componentwise
     assert(got(3L).map(_.sign) == Seq(-1L, 1L, 1L, -1L))
+    // the attribute-staged corpus form is bit-equal to the Column form
+    val staged = VectorOps.l2NormalizeQuantizedStaged(vecs, "embedding", "n")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(staged == got, s"staged $staged vs inlined $got")
   }
 
   test("RAG loop: chunk, engine-embedded ingest, text vector search finds the source chunk") {
