@@ -686,4 +686,48 @@ class GatewaySpec extends GraftSuite {
       assert(ec == 400 && ebody.contains("error"))
     } finally gw.stop()
   }
+
+  test("NDJSON streaming serves stored routes with coerced params and warms them") {
+    import graft.ast._
+    import graft.dsl.Dsl._
+    val gw = new Gateway(TestBase.parityGraph(), port = 16977,
+      maxResponseRows = 1)
+    gw.registerQuery("names_over", Batch(Seq(
+      BatchEntry.Query(NamedQuery(Some("names"),
+        g().nWithLabel("ParityUser")
+          .where(Predicate.GteExpr("age", Expr.Param("min_age")))
+          .orderBy("name", SortOrder.Asc).values("name").t))),
+      returns = Seq("names")))
+    gw.start()
+    try {
+      def post(path: String, hdrs: Map[String, String], body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://localhost:16977$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        hdrs.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      // x-helix-warm on an unrun route: the streamed path must honor
+      // the same warm gate as the buffered one
+      val (cold, coldBody) = post("/v1/query/names_over",
+        Map("x-graft-stream" -> "ndjson", "x-helix-warm" -> "true"),
+        """{"min_age": 0}""")
+      assert(cold == 400 && coldBody.contains("not warm"), s"$cold $coldBody")
+      // streams all rows past maxResponseRows=1, and warms the route
+      val (sc, streamed) = post("/v1/query/names_over",
+        Map("Accept" -> "application/x-ndjson"), """{"min_age": 30}""")
+      assert(sc == 200)
+      assert(streamed.split("\n").filter(_.nonEmpty).toSeq == Seq(
+        """{"result":"names","row":{"name":"Alice"}}""",
+        """{"result":"names","row":{"name":"Carol"}}"""))
+      val (warmed, warmedBody) = post("/v1/query/names_over",
+        Map("x-graft-stream" -> "ndjson", "x-helix-warm" -> "true"),
+        """{"min_age": 40}""")
+      assert(warmed == 200 &&
+        warmedBody.trim == """{"result":"names","row":{"name":"Carol"}}""")
+    } finally gw.stop()
+  }
 }
