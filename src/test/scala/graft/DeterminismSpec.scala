@@ -128,4 +128,29 @@ class DeterminismSpec extends GraftSuite {
         .select("doc_id")
     }
   }
+
+  test("BPE merge training (word and byte level) is partitioning-independent") {
+    // the argmax tie-break (count DESC, pair lex ASC) must land the
+    // same merge table at any input partitioning — the collected
+    // vocabulary's order must never leak into the result
+    import graft.pipeline.Bpe
+    val s = spark
+    val base = Bpe.trainMerges(docs(4), "text", k = 6)
+    val baseB = Bpe.trainByteMerges(docs(4), "text", k = 6)
+    assert(base.nonEmpty && baseB.nonEmpty)
+    for (ip <- Seq(2, 13)) {
+      assert(Bpe.trainMerges(docs(ip), "text", k = 6) == base)
+      assert(Bpe.trainByteMerges(docs(ip), "text", k = 6) == baseB)
+    }
+  }
+
+  test("dupClustersStar clusters are partitioning-independent") {
+    check("dupClustersStar") { (_, ip) =>
+      val ids = docs(ip).select(col("doc_id"))
+      Dedup.dupClustersStar(ids
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .where(col("id_a") % 15 =!= 14)
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi"))
+    }
+  }
 }

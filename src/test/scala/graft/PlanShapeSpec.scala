@@ -81,4 +81,43 @@ class PlanShapeSpec extends GraftSuite {
     assert(!schemas.contains("c_comment") && !schemas.contains("o_comment"),
       s"navigation count reads payload columns: $schemas")
   }
+
+  test("BPE token counting stays one exchange-free scan (word and byte level)") {
+    // the per-doc counts are pure per-row expression chains: any
+    // Exchange in the APPLICATION plan means the replace-chain
+    // regressed to the explode+groupBy+join shape it replaced
+    // (training runs up front, outside the counted plan)
+    import graft.pipeline.Bpe
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = Bpe.trainMergesCached(docs, "text", 4)
+      .map { case (_, l, r) => (l, r) }
+    val bmerges = Bpe.trainByteMergesCached(docs, "text", 4)
+      .map { case (_, l, r) => (l, r) }
+    for (df <- Seq(
+        Bpe.tokenCountReport(docs, "doc_id", "text", merges),
+        Bpe.byteTokenCountReport(docs, "doc_id", "text", bmerges))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"BPE count plan shuffles: $plan")
+      assert(scans(df).size == 1, "BPE count must be ONE corpus scan")
+    }
+  }
+
+  test("staged L2 normalization computes the norm aggregate exactly once") {
+    import graft.search.VectorOps
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = VectorOps.l2NormalizeQuantizedStaged(emb, "embedding", "nv")
+      .select("vec_id", "nv")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"norm scan shuffles: $plan")
+    assert(scans(df).size == 1, "norm must be ONE corpus scan")
+    // the inlined Column form embeds the O(dim) norm aggregate under
+    // EVERY element of the output transform (dim+1 occurrences); the
+    // staged form must reference the attribute — exactly one aggregate
+    // in the whole plan
+    val aggs = "aggregate\\(".r.findAllIn(plan).size
+    assert(aggs == 1, s"norm aggregate inlined $aggs times: $plan")
+  }
 }
