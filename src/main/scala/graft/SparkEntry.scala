@@ -922,6 +922,13 @@ object SparkEntry {
     "q_embed_norm" -> ((s, d) =>
       VectorOps.l2NormalizeQuantizedStaged(emb(s, d), "embedding", "_nv")
         .select(col("vec_id"), concat_ws(",", col("_nv")).as("nvec"))),
+    // Johnson-Lindenstrauss random projection 64 -> 16 (Achlioptas ±1
+    // signs from md5 parity, integer matmul) — the cheap pre-ANN
+    // dimensionality reduction; one exchange-free scan
+    "q_embed_rp" -> ((s, d) =>
+      VectorOps.randomProject(emb(s, d), "embedding", "_rv",
+        inDim = 64, outDim = 16)
+        .select(col("vec_id"), concat_ws(",", col("_rv")).as("rvec"))),
 
     // ---- training-data pipeline: multimodal (extension). Payloads are
     // REAL PNGs synthesized per-partition from doc ids; the engine
@@ -1745,6 +1752,10 @@ object SparkEntry {
       "array_to_string(list_transform(xq, x -> 0), ',') ELSE " +
       "array_to_string(list_transform(xq, x -> (x * 1000000) // nrm), ',') " +
       "END AS nvec FROM n"),
+    // sign matrix recomputed from md5 parity in SQL — independent of
+    // the JVM MD5 the engine's literals come from
+    "q_embed_rp" -> VectorOps.oracleRandomProjectSql(
+      "embeddings", "vec_id", "embedding", "rvec", 64, 16),
     "q_doc_split" -> ("WITH b AS (SELECT " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
       "FROM documents) " +

@@ -110,6 +110,62 @@ object VectorOps {
             x => ((x * scale).cast("double") / col("_lnq_norm")).cast("long"))))
       .drop("_lnq_q", "_lnq_norm")
 
+  /** Deterministic ±1 sign for the random projection: parity of the
+    * first hex nibble of `md5("rp:<i>:<j>")`. Any engine with a
+    * standard MD5 reproduces it — the DuckDB oracle recomputes the
+    * matrix in SQL, so the sign derivation itself is cross-checked,
+    * not shipped as trusted literals.
+    */
+  def rpSign(i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    * with Achlioptas ±1 signs), integer-quantized for bit determinism:
+    * `out_j = Σ_i sign(i,j) · round(x_i · scale)` — exact long
+    * arithmetic, order-free, identical at any parallelism and in any
+    * engine. The quantized array is staged as an attribute so the m
+    * output components reference it instead of re-inlining the O(d)
+    * quantize transform (the inlined-expression quadratic class —
+    * see [[l2NormalizeQuantizedStaged]]).
+    *
+    * The 100 TB shape: ONE exchange-free scan, O(d·m) multiplies per
+    * row, and every downstream distance/cluster pass pays m ops
+    * instead of d with JL-bounded distortion — the standard cheap
+    * pre-ANN reduction. Projections of sums equal sums of projections
+    * on already-quantized inputs (linearity is exact in the integer
+    * domain).
+    */
+  def randomProject(df: DataFrame, vecCol: String, out: String,
+      inDim: Int, outDim: Int, scale: Long = 1000000L): DataFrame = {
+    val staged = df.withColumn("_rp_q",
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")))
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until inDim).map(i => lit(rpSign(i, j))): _*)
+      aggregate(zip_with(col("_rp_q"), signs, (x, s) => x * s),
+        lit(0L), (a, x) => a + x)
+    }
+    staged.withColumn(out, array(comps: _*)).drop("_rp_q")
+  }
+
+  /** Generated DuckDB oracle for [[randomProject]]: the sign matrix is
+    * RECOMPUTED from md5 in SQL (independent of [[rpSign]]'s JVM MD5)
+    * and the quantized matmul replayed per output component.
+    */
+  def oracleRandomProjectSql(table: String, idCol: String, vecCol: String,
+      out: String, inDim: Int, outDim: Int, scale: Long = 1000000L): String = {
+    val comps = (0 until outDim).map { j =>
+      s"list_sum(list_transform(range(0, $inDim), i -> " +
+        s"(CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || $j), 1, 1))::BIGINT " +
+        s"% 2 = 0 THEN 1 ELSE -1 END) * q[i + 1]))"
+    }
+    s"WITH qv AS (SELECT $idCol, list_transform($vecCol, x -> " +
+      s"CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q FROM $table) " +
+      s"SELECT $idCol, concat_ws(',', ${comps.mkString(", ")}) AS $out FROM qv"
+  }
+
   /** Exact top-k by cosine similarity. orderBy+limit plans as
     * TakeOrderedAndProject: per-partition top-k then a k-row merge on
     * the driver — no full sort, no shuffle of the data.

@@ -418,6 +418,39 @@ class PipelineSpec extends GraftSuite {
     assert(staged == got, s"staged $staged vs inlined $got")
   }
 
+  test("randomProject: exact integer linearity, balanced signs, distance preservation") {
+    val s = spark
+    import s.implicits._
+    import graft.search.VectorOps
+    val d = 64; val m = 16
+    // sign matrix is deterministic and roughly balanced (md5 parity)
+    val ones = (for (i <- 0 until d; j <- 0 until m) yield
+      VectorOps.rpSign(i, j)).count(_ == 1L)
+    assert(math.abs(ones - d * m / 2) < d * m / 5, s"skewed signs: $ones")
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(d)(rnd.nextInt(200).toFloat - 100f)
+    val (a, b) = (vec(), vec())
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    def proj(vs: Seq[(Long, Seq[Float])]): Map[Long, Seq[Long]] =
+      VectorOps.randomProject(vs.toDF("vec_id", "embedding"),
+        "embedding", "rv", d, m)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val p = proj(Seq((1L, a), (2L, b), (3L, sum)))
+    // integer-valued inputs quantize exactly -> projection is exactly
+    // linear: rp(a + b) == rp(a) + rp(b) component-wise
+    assert(p(3L) == p(1L).zip(p(2L)).map { case (x, y) => x + y },
+      s"linearity broke: ${p(3L)}")
+    // JL distance preservation (sanity, generous tolerance): the
+    // expected squared projected distance is m * ||a-b||^2 at the
+    // quantization scale
+    val trueD2 = a.zip(b).map { case (x, y) =>
+      val dd = (x - y).toDouble * 1000000L; dd * dd }.sum
+    val projD2 = p(1L).zip(p(2L)).map { case (x, y) =>
+      val dd = (x - y).toDouble; dd * dd }.sum
+    val ratio = projD2 / (m * trueD2)
+    assert(ratio > 0.3 && ratio < 3.0, s"JL distortion off: $ratio")
+  }
+
   test("RAG loop: chunk, engine-embedded ingest, text vector search finds the source chunk") {
     import graft.ast._
     import graft.ast.PropertyValue._
