@@ -637,6 +637,25 @@ object SparkEntry {
       Curation.splitAssign(docs(s, d), "doc_id",
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
         .groupBy("split").agg(count(lit(1)).as("cnt"))),
+    // crawl dedup by CANONICAL URL: messy synthesized URLs (case soup,
+    // www., default ports, trailing slashes, tracking params, unsorted
+    // query, fragments) collapse to canonical keys; one hash agg, no
+    // pair materialization — the CCNet/RefinedWeb keying
+    "q_doc_url_dedup" -> ((s, d) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("&b=2&a=1")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+      Curation.urlDedup(
+        docs(s, d).select(col("doc_id"), raw.as("url")), "url", "doc_id")
+    }),
     // the stratified view of the same assignment: split × source cell
     // counts — the check that a hash split stays balanced per domain
     "q_doc_split_strat" -> ((s, d) =>
@@ -1756,6 +1775,34 @@ object SparkEntry {
     // the JVM MD5 the engine's literals come from
     "q_embed_rp" -> VectorOps.oracleRandomProjectSql(
       "embeddings", "vec_id", "embedding", "rvec", 64, 16),
+    // same synthesis, same canonicalization rules expressed in RE2 +
+    // DuckDB list ops — independent of the engine's Column chain
+    "q_doc_url_dedup" -> ("WITH r AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) || source || '.Example.COM' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || " +
+      "'/Docs/' || (doc_id % 10) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || " +
+      "'?utm_source=feed&id=' || (doc_id % 3) || " +
+      "(CASE WHEN doc_id % 2 = 1 THEN '&b=2&a=1' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url FROM documents), " +
+      "u AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS uu FROM r), " +
+      "p AS (SELECT doc_id, url, " +
+      "lower(regexp_extract(uu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+      "regexp_replace(regexp_replace(lower(regexp_extract(uu, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), ':(80|443)$', '') AS host, " +
+      "regexp_replace(regexp_extract(uu, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth, " +
+      "array_to_string(list_sort(list_filter(string_split(" +
+      "regexp_extract(uu, '\\?([^#]*)', 1), '&'), " +
+      "q -> q <> '' AND NOT starts_with(q, 'utm_') AND NOT starts_with(q, 'fbclid=') " +
+      "AND NOT starts_with(q, 'gclid=') AND NOT starts_with(q, 'ref='))), '&') AS kept " +
+      "FROM u), " +
+      "n AS (SELECT doc_id, CASE WHEN scheme = '' THEN lower(trim(url)) " +
+      "ELSE scheme || '://' || host || pth || " +
+      "(CASE WHEN kept = '' THEN '' ELSE '?' || kept END) END AS url_canon FROM p) " +
+      "SELECT url_canon, min(doc_id) AS doc_id, count(*) AS n_dups " +
+      "FROM n GROUP BY 1"),
     "q_doc_split" -> ("WITH b AS (SELECT " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
       "FROM documents) " +

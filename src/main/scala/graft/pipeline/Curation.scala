@@ -314,6 +314,49 @@ object Curation {
     * corpora; no collection, no windows. Output:
     * `(idCol, status)`.
     */
+  /** Canonicalize an absolute http(s) URL for crawl dedup — the
+    * CCNet/RefinedWeb-style keying where `HTTPS://WWW.Site.COM:443/a/?
+    * utm_source=x&b=2&a=1#frag` and `https://site.com/a?a=1&b=2` are
+    * the same document. Rules (each a pure codegen'd string op, no
+    * UDF; every regex is lookahead-free so the DuckDB oracle runs the
+    * SAME patterns under RE2):
+    *   1. trim; strip the `#fragment`;
+    *   2. scheme and host lowercase; a leading `www.` strips;
+    *   3. explicit default ports `:80` / `:443` drop;
+    *   4. trailing `/` runs on the path strip (root `/` == no path);
+    *   5. tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) drop,
+    *      survivors sort lexicographically (param order never encodes
+    *      identity in practice), empty query drops its `?`.
+    * Non-absolute inputs (no `scheme://`) pass through lowercased —
+    * callers feed crawl URLs, which are absolute by construction.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostRaw, "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val qs = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(qs, "&"),
+      p => !(p === "" || p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref=")))), "&")
+    when(scheme === "", lower(trim(url)))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
+  /** Crawl dedup by canonical URL: one row per canonical form with the
+    * min-id representative and the duplicate count — the groupBy is on
+    * the canonical STRING, so at 100 TB it is a plain hash aggregation
+    * with map-side combine, no pair materialization.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.groupBy(normalizeUrl(col(urlCol)).as("url_canon"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldDf.select(col(idCol), md5(col(textCol)).as("_ho"))

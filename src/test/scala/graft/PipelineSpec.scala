@@ -418,6 +418,42 @@ class PipelineSpec extends GraftSuite {
     assert(staged == got, s"staged $staged vs inlined $got")
   }
 
+  test("normalizeUrl canonicalizes case, ports, slashes, tracking params, fragments") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // case soup + www + default port + trailing slash + tracking +
+      // unsorted params + fragment -> one canonical form
+      ("HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+        "https://site.com/A/b?a=1&b=2"),
+      ("https://site.com/A/b?a=1&b=2", "https://site.com/A/b?a=1&b=2"),
+      // path case is preserved; only scheme/host lower
+      ("HTTP://Example.org/CaseSensitive", "http://example.org/CaseSensitive"),
+      // root path == no path; :80 drops; all-tracking query drops its ?
+      ("http://example.org:80/?utm_campaign=c&gclid=123", "http://example.org"),
+      ("http://example.org", "http://example.org"),
+      // ref= and fbclid= drop; real params survive sorted
+      ("https://a.io/p?ref=tw&z=1&fbclid=f&m=2", "https://a.io/p?m=2&z=1"),
+      // www only strips as a LEADING label
+      ("https://notwww.example.com/x", "https://notwww.example.com/x"),
+      // non-absolute input passes through lowercased
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.pipeline.Curation.normalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"'$in' -> '${got(in)}', want '$want'")
+    }
+    // dedup: two pairs collapse (the site.com pair and the example.org
+    // pair), so 8 raw urls keep 6 canonical representatives
+    val kept = graft.pipeline.Curation.urlDedup(
+      cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("doc_id", "url"), "url", "doc_id")
+    assert(kept.count() == cases.length - 2)
+    assert(kept.where(col("url_canon") === "https://site.com/A/b?a=1&b=2")
+      .head().getLong(1) == 0L) // min-id representative
+  }
+
   test("randomProject: exact integer linearity, balanced signs, distance preservation") {
     val s = spark
     import s.implicits._
