@@ -999,6 +999,15 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("image")), maxHam = 3)),
+    // perceptual AUDIO dedup: 32-window envelope hashes over the REAL
+    // decoded WAV samples, banded (pigeonhole-exact at Hamming <= 3);
+    // the synthesized clips are near-linear amplitude ramps, so hashes
+    // form genuine clusters and the oracle recomputes every hash
+    // arithmetically from the id -> sample formulas
+    "q_media_audio_neardup" -> ((s, d) =>
+      Multimodal.audioNearDupPairs(
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("audio")), maxHam = 3)),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -2108,6 +2117,24 @@ object SparkEntry {
       "k -> (media_id * 31 + k * 7) % 65536 - 32768)) AS BIGINT) AS sample_sum, " +
       "CAST(n AS BIGINT) AS n_samples, CAST(16000 AS BIGINT) AS sample_rate " +
       "FROM a"),
+    // every envelope hash recomputed from the id -> sample arithmetic
+    // (window assignment w = k*32 // n, floor means), then exact
+    // all-pairs Hamming <= 3 — the banded engine path must agree
+    "q_media_audio_neardup" -> ("WITH a AS (SELECT doc_id AS media_id, " +
+      "doc_id % 50 + 10 AS n FROM documents WHERE doc_id % 3 = 1), " +
+      "h AS (SELECT media_id, (SELECT CAST(coalesce(sum(CASE WHEN " +
+      "cw.cnt > 0 AND cw.s // cw.cnt >= (list_sum(list_transform(range(n), " +
+      "k -> abs((media_id * 31 + k * 7) % 65536 - 32768))) // n) " +
+      "THEN (1::BIGINT << cw.w) ELSE 0 END), 0) AS BIGINT) FROM " +
+      "(SELECT w, list_sum(list_transform(range(n), k -> CASE WHEN " +
+      "(k * 32) // n = w THEN abs((media_id * 31 + k * 7) % 65536 - 32768) " +
+      "ELSE 0 END)) AS s, list_sum(list_transform(range(n), k -> CASE WHEN " +
+      "(k * 32) // n = w THEN 1 ELSE 0 END)) AS cnt " +
+      "FROM (SELECT unnest(range(32)) AS w)) cw) AS ehash FROM a) " +
+      "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
+      "CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming " +
+      "FROM h x JOIN h y ON x.media_id < y.media_id " +
+      "WHERE bit_count(xor(x.ehash, y.ehash)) <= 3"),
 
     // gap sessionization: same lag + running-sum formulation over
     // epoch µs; CASE's null-cond -> ELSE mirrors when().otherwise()

@@ -834,6 +834,86 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual envelope hash of the DECODED audio — the audio
+    * analogue of [[aHash63]]: the sample stream splits into `windows`
+    * time bins by assignment `w = (k·W) div n`, and bit w is set iff
+    * the bin is non-empty and its floor-mean absolute amplitude is >=
+    * the stream's global floor-mean. All-integer arithmetic, so the
+    * hash of a synthetic clip is an arithmetic function of its id and
+    * an SQL oracle verifies decode + hash bit-for-bit. 32 bits (a
+    * non-negative BIGINT anywhere); null for undecodable rows.
+    * Output: `(media_id, ehash)`.
+    */
+  def audioEnvHash32(df: DataFrame, windows: Int = 32): DataFrame = {
+    require(windows > 0 && windows <= 32, s"1..32 windows, got $windows")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ehash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val h = decodeAudio(bytes).map { case (_, _, samples) =>
+          val n = samples.length
+          if (n == 0) 0L
+          else {
+            val sums = new Array[Long](windows)
+            val cnts = new Array[Long](windows)
+            var gsum = 0L
+            var k = 0
+            while (k < n) {
+              val av = math.abs(samples(k).toLong)
+              val w = (k * windows / n).toInt
+              sums(w) += av; cnts(w) += 1; gsum += av
+              k += 1
+            }
+            val gmean = gsum / n
+            var bits = 0L
+            var w = 0
+            while (w < windows) {
+              if (cnts(w) > 0 && sums(w) / cnts(w) >= gmean) bits |= 1L << w
+              w += 1
+            }
+            bits
+          }
+        }
+        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate audio pairs by envelope-hash Hamming distance <=
+    * `maxHam` — perceptual audio dedup, the same pigeonhole-exact
+    * banding as [[imageNearDupPairs]]: the 32-bit hash splits into 4
+    * bands of 8 bits, so any pair within distance 3 shares at least
+    * one untouched band and the band equi-join is lossless blocking,
+    * never all-pairs. Output: `(id_a, id_b, hamming)`.
+    */
+  def audioNearDupPairs(df: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    val hs = audioEnvHash32(df).where(col("ehash").isNotNull)
+    val banded = hs.select(col("media_id"), col("ehash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("b"),
+          shiftright(col("ehash"), k * 8).bitwiseAND(0xFFL).as("v"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("ehash"),
+        col("band")("b").as("_b"), col("band")("v").as("_v"))
+    val a = banded.select(col("media_id").as("id_a"), col("ehash").as("_ha"),
+      col("_b"), col("_v"))
+    val b = banded.select(col("media_id").as("id_b"), col("ehash").as("_hb"),
+      col("_b"), col("_v"))
+    a.join(b, Seq("_b", "_v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(_ha ^ _hb)").as("hamming"))
+      .where(col("hamming") <= maxHam)
+      .distinct()
+  }
+
   /** Integer fingerprint of the DECODED payload: sum over pixels of the
     * packed 24-bit RGB. Exact-integer, so an arithmetic SQL oracle can
     * verify that PNG encode -> distribute -> decode reproduced every

@@ -1206,6 +1206,29 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("audio envelope near-dup banding equals exact all-pairs Hamming") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Multimodal
+    val media = Multimodal.mediaFromIds(
+      (0 until 150).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("audio"))
+    val hs = Multimodal.audioEnvHash32(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.nonEmpty && hs.values.forall(h => h >= 0L && h < (1L << 32)))
+    val exact = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.audioNearDupPairs(media, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"${got.size} vs ${exact.size}")
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+    // the ramp clips cluster, but hashes must still discriminate:
+    // multiple distinct hash values in the fixture
+    assert(hs.values.toSet.size > 3, s"degenerate hashes: ${hs.values.toSet}")
+  }
+
   test("winnowing: shared runs >= k+w-1 tokens always share a fingerprint") {
     val s = spark
     import s.implicits._
