@@ -914,6 +914,86 @@ object Multimodal {
       .distinct()
   }
 
+  /** 63-bit aHash of one decoded frame (row-major gray vs floor-mean —
+    * the [[aHash63]] bit rule, shared by the image and video paths).
+    */
+  private def frameAHash63(img: BufferedImage): Long = {
+    val w = img.getWidth; val ht = img.getHeight
+    val grays = new Array[Long](w * ht)
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        grays(y * w + x) =
+          (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3L
+        x += 1
+      }
+      y += 1
+    }
+    val mean = grays.sum / grays.length
+    var bits = 0L
+    var p = 0
+    val n = math.min(grays.length, 63)
+    while (p < n) {
+      if (grays(p) >= mean) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash of the DECODED video: [[aHash63]]'s bit rule over
+    * the FIRST frame's gray grid — the standard key-frame hashing
+    * shortcut (near-dup videos share production pipelines, so their
+    * key frames near-match; per-frame hashing only multiplies rows).
+    * Null for undecodable or zero-frame payloads. Output:
+    * `(media_id, vhash)`.
+    */
+  def videoFrameHash63(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("vhash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val h = decodeVideo(bytes).collect {
+          case (_, _, frames) if frames.nonEmpty => frameAHash63(frames.head)
+        }
+        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate video pairs by key-frame hash Hamming distance <=
+    * `maxHam` — same pigeonhole-exact 4x16-bit banding as
+    * [[imageNearDupPairs]]. Output: `(id_a, id_b, hamming)`.
+    */
+  def videoNearDupPairs(df: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    val hs = videoFrameHash63(df).where(col("vhash").isNotNull)
+    val banded = hs.select(col("media_id"), col("vhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("b"),
+          shiftright(col("vhash"), k * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("vhash"),
+        col("band")("b").as("_b"), col("band")("v").as("_v"))
+    val a = banded.select(col("media_id").as("id_a"), col("vhash").as("_ha"),
+      col("_b"), col("_v"))
+    val b = banded.select(col("media_id").as("id_b"), col("vhash").as("_hb"),
+      col("_b"), col("_v"))
+    a.join(b, Seq("_b", "_v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(_ha ^ _hb)").as("hamming"))
+      .where(col("hamming") <= maxHam)
+      .distinct()
+  }
+
   /** Integer fingerprint of the DECODED payload: sum over pixels of the
     * packed 24-bit RGB. Exact-integer, so an arithmetic SQL oracle can
     * verify that PNG encode -> distribute -> decode reproduced every
