@@ -1008,6 +1008,15 @@ object SparkEntry {
       Multimodal.audioNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("audio")), maxHam = 3)),
+    // perceptual VIDEO dedup: key-frame aHash63 over the REAL demuxed
+    // first frame of each AVI payload, banded (pigeonhole-exact at
+    // Hamming <= 3, hot bands capped via bandedHammingPairs); the
+    // oracle recomputes every hash arithmetically from the id ->
+    // pixel formulas
+    "q_media_video_neardup" -> ((s, d) =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("video")), maxHam = 3)),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -2118,7 +2127,7 @@ object SparkEntry {
       "CAST(n AS BIGINT) AS n_samples, CAST(16000 AS BIGINT) AS sample_rate " +
       "FROM a"),
     // every envelope hash recomputed from the id -> sample arithmetic
-    // (window assignment w = k*32 // n, floor means), then exact
+    // (window assignment w = k*63 // n, floor means), then exact
     // all-pairs Hamming <= 3 — the banded engine path must agree
     "q_media_audio_neardup" -> ("WITH a AS (SELECT doc_id AS media_id, " +
       "doc_id % 50 + 10 AS n FROM documents WHERE doc_id % 3 = 1), " +
@@ -2127,14 +2136,36 @@ object SparkEntry {
       "k -> abs((media_id * 31 + k * 7) % 65536 - 32768))) // n) " +
       "THEN (1::BIGINT << cw.w) ELSE 0 END), 0) AS BIGINT) FROM " +
       "(SELECT w, list_sum(list_transform(range(n), k -> CASE WHEN " +
-      "(k * 32) // n = w THEN abs((media_id * 31 + k * 7) % 65536 - 32768) " +
+      "(k * 63) // n = w THEN abs((media_id * 31 + k * 7) % 65536 - 32768) " +
       "ELSE 0 END)) AS s, list_sum(list_transform(range(n), k -> CASE WHEN " +
-      "(k * 32) // n = w THEN 1 ELSE 0 END)) AS cnt " +
-      "FROM (SELECT unnest(range(32)) AS w)) cw) AS ehash FROM a) " +
+      "(k * 63) // n = w THEN 1 ELSE 0 END)) AS cnt " +
+      "FROM (SELECT unnest(range(63)) AS w)) cw) AS ehash FROM a) " +
       "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
       "CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming " +
       "FROM h x JOIN h y ON x.media_id < y.media_id " +
       "WHERE bit_count(xor(x.ehash, y.ehash)) <= 3"),
+    // key-frame (f = 0) aHash63 recomputed from the id -> pixel
+    // formulas of mediaFromIds' video payloads (gray = (r+g+b)//3,
+    // floor mean, bits capped at 63), then exact all-pairs Hamming
+    // <= 3 — the banded engine path must agree
+    "q_media_video_neardup" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "g AS (SELECT media_id, p, (" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
+      "((media_id * 13 + (p % w)) % 255) + " +
+      "((media_id * 7 + (p // w)) % 255)) // 3 AS gray " +
+      "FROM (SELECT media_id, w, h, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM m)), " +
+      "mn AS (SELECT media_id, sum(gray) // count(*) AS mean " +
+      "FROM g GROUP BY 1), " +
+      "vh AS (SELECT g.media_id, CAST(coalesce(sum(CASE WHEN p < 63 " +
+      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS vhash FROM g JOIN mn USING (media_id) GROUP BY 1) " +
+      "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
+      "CAST(bit_count(xor(x.vhash, y.vhash)) AS INT) AS hamming " +
+      "FROM vh x JOIN vh y ON x.media_id < y.media_id " +
+      "WHERE bit_count(xor(x.vhash, y.vhash)) <= 3"),
 
     // gap sessionization: same lag + running-sum formulation over
     // epoch µs; CASE's null-cond -> ELSE mirrors when().otherwise()

@@ -1109,29 +1109,58 @@ object Dedup {
     voted.select(col("_did").as(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: equal 15-bit band (4 bands) then
-    * exact Hamming distance <= maxDist via bit_count(xor).
+  /** Banded-Hamming candidate pairs over a 64-bit-or-less hash column —
+    * the ONE blocking shape shared by the SimHash text path and the
+    * image/audio/video perceptual paths. The hash splits into `bands`
+    * contiguous bands of `bandBits` bits; candidates equi-join on an
+    * equal (band index, band value) key, and by pigeonhole any pair
+    * within Hamming distance `maxHam <= bands - 1` leaves at least one
+    * band untouched — in that regime the band join is LOSSLESS
+    * blocking. For `maxHam > bands - 1` (the SimHash candidate-recall
+    * regime) the same blocking is a deliberate LSH approximation and
+    * the caller's oracle must mirror the band condition. Either way it
+    * is never all-pairs. The join itself runs through
+    * [[boundedKeyPairs]], so a hot band value (a degenerate corpus
+    * where one band is constant) splits into capped cap² sub-blocks
+    * instead of one n² task — the cap is structural, not optional.
+    * Verification is exact `bit_count(xor)` on the distinct
+    * candidates. Output: `(id_a, id_b, hamming)` with `id_a < id_b`.
     */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
-    val mask = (1L << SimhashBandBits) - 1
-    val sig = simhash(df, textCol, idCol)
-    // each element carries (id, signature); struct ordering is by
-    // leading field, so boundedKeyPairs still yields id_a < id_b.
-    // The grouped read touches sig ONCE — no persist needed (the old
-    // self-join formulation read it twice)
-    val banded = sig.select(
-      struct(col(idCol).as("i"), col("simhash").as("s")).as("_e"),
-      explode(array((0 until SimhashBands).map { b =>
+  private[graft] def bandedHammingPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, bands: Int, bandBits: Int, maxHam: Int,
+      cap: Int = MaxClusterBlock): DataFrame = {
+    require(bands > 0 && bandBits > 0 && bands * bandBits <= 64,
+      s"bands x bandBits must fit a long, got $bands x $bandBits")
+    require(maxHam >= 0, s"maxHam must be non-negative, got $maxHam")
+    val mask = (1L << bandBits) - 1
+    // each element carries (id, hash); struct ordering is by leading
+    // field, so boundedKeyPairs still yields id_a < id_b. The grouped
+    // read touches the hash frame ONCE — no persist needed.
+    val banded = hashes.select(
+      struct(col(idCol).as("i"), col(hashCol).as("s")).as("_e"),
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("bi"),
-          shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(mask).as("bk"))
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
       .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    val out = Scratch.stable(boundedKeyPairs(banded, Seq("bi", "bk"), "_e")
+    boundedKeyPairs(banded, Seq("bi", "bk"), "_e", cap = cap)
       .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
         col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
-      .where(bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxDist)
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
+      .where(col("hamming") <= maxHam)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup candidate pairs: equal 15-bit band (4 bands) then
+    * exact Hamming distance <= maxDist via bit_count(xor) — the
+    * [[bandedHammingPairs]] blocking shape.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
+    val sig = simhash(df, textCol, idCol)
+    Scratch.stable(bandedHammingPairs(sig, idCol, "simhash",
+        SimhashBands, SimhashBandBits, maxDist)
       .select("id_a", "id_b"))
-    out
   }
 
   /** Above this row count the brute path's driver collect would OOM;

@@ -815,23 +815,8 @@ object Multimodal {
     require(maxHam >= 0 && maxHam <= 3,
       s"banding is exact only for maxHam <= 3, got $maxHam")
     val hs = aHash63(df).where(col("ahash").isNotNull)
-    val banded = hs.select(col("media_id"), col("ahash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("b"),
-          shiftright(col("ahash"), k * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
-        .as("band"))
-      .select(col("media_id"), col("ahash"),
-        col("band")("b").as("_b"), col("band")("v").as("_v"))
-    val a = banded.select(col("media_id").as("id_a"), col("ahash").as("_ha"),
-      col("_b"), col("_v"))
-    val b = banded.select(col("media_id").as("id_b"), col("ahash").as("_hb"),
-      col("_b"), col("_v"))
-    a.join(b, Seq("_b", "_v"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(_ha ^ _hb)").as("hamming"))
-      .where(col("hamming") <= maxHam)
-      .distinct()
+    Dedup.bandedHammingPairs(hs, "media_id", "ahash",
+      bands = 4, bandBits = 16, maxHam = maxHam)
   }
 
   /** Perceptual envelope hash of the DECODED audio — the audio
@@ -840,12 +825,17 @@ object Multimodal {
     * the bin is non-empty and its floor-mean absolute amplitude is >=
     * the stream's global floor-mean. All-integer arithmetic, so the
     * hash of a synthetic clip is an arithmetic function of its id and
-    * an SQL oracle verifies decode + hash bit-for-bit. 32 bits (a
-    * non-negative BIGINT anywhere); null for undecodable rows.
+    * an SQL oracle verifies decode + hash bit-for-bit. Up to 63 bits
+    * (a non-negative BIGINT anywhere — bit 63 stays clear so the hash
+    * round-trips through engines whose `<<` rejects shifting into the
+    * sign bit); null for undecodable rows. 63 windows (not the
+    * previous 32) give 2^48 16-bit-band blocking values instead of
+    * 2^8 8-bit ones — at corpus scale the narrow hash made candidate
+    * generation Θ(N²/256); the wide hash blocks like [[aHash63]].
     * Output: `(media_id, ehash)`.
     */
-  def audioEnvHash32(df: DataFrame, windows: Int = 32): DataFrame = {
-    require(windows > 0 && windows <= 32, s"1..32 windows, got $windows")
+  def audioEnvHash63(df: DataFrame, windows: Int = 63): DataFrame = {
+    require(windows > 0 && windows <= 63, s"1..63 windows, got $windows")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("ehash", LongType, nullable = true)))
@@ -865,7 +855,9 @@ object Multimodal {
             var k = 0
             while (k < n) {
               val av = math.abs(samples(k).toLong)
-              val w = (k * windows / n).toInt
+              // Long product: Int k * windows overflows past ~67M
+              // samples (~70 min at 16 kHz) and would index negative
+              val w = (k.toLong * windows / n).toInt
               sums(w) += av; cnts(w) += 1; gsum += av
               k += 1
             }
@@ -886,32 +878,19 @@ object Multimodal {
 
   /** Near-duplicate audio pairs by envelope-hash Hamming distance <=
     * `maxHam` — perceptual audio dedup, the same pigeonhole-exact
-    * banding as [[imageNearDupPairs]]: the 32-bit hash splits into 4
-    * bands of 8 bits, so any pair within distance 3 shares at least
+    * banding as [[imageNearDupPairs]]: the 63-bit hash splits into 4
+    * bands of 16 bits, so any pair within distance 3 shares at least
     * one untouched band and the band equi-join is lossless blocking,
-    * never all-pairs. Output: `(id_a, id_b, hamming)`.
+    * never all-pairs; hot band values split into capped sub-blocks
+    * via [[Dedup.bandedHammingPairs]]. Output: `(id_a, id_b,
+    * hamming)`.
     */
   def audioNearDupPairs(df: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam >= 0 && maxHam <= 3,
       s"banding is exact only for maxHam <= 3, got $maxHam")
-    val hs = audioEnvHash32(df).where(col("ehash").isNotNull)
-    val banded = hs.select(col("media_id"), col("ehash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("b"),
-          shiftright(col("ehash"), k * 8).bitwiseAND(0xFFL).as("v"))): _*))
-        .as("band"))
-      .select(col("media_id"), col("ehash"),
-        col("band")("b").as("_b"), col("band")("v").as("_v"))
-    val a = banded.select(col("media_id").as("id_a"), col("ehash").as("_ha"),
-      col("_b"), col("_v"))
-    val b = banded.select(col("media_id").as("id_b"), col("ehash").as("_hb"),
-      col("_b"), col("_v"))
-    a.join(b, Seq("_b", "_v"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(_ha ^ _hb)").as("hamming"))
-      .where(col("hamming") <= maxHam)
-      .distinct()
+    val hs = audioEnvHash63(df).where(col("ehash").isNotNull)
+    Dedup.bandedHammingPairs(hs, "media_id", "ehash",
+      bands = 4, bandBits = 16, maxHam = maxHam)
   }
 
   /** 63-bit aHash of one decoded frame (row-major gray vs floor-mean —
@@ -975,23 +954,8 @@ object Multimodal {
     require(maxHam >= 0 && maxHam <= 3,
       s"banding is exact only for maxHam <= 3, got $maxHam")
     val hs = videoFrameHash63(df).where(col("vhash").isNotNull)
-    val banded = hs.select(col("media_id"), col("vhash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("b"),
-          shiftright(col("vhash"), k * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
-        .as("band"))
-      .select(col("media_id"), col("vhash"),
-        col("band")("b").as("_b"), col("band")("v").as("_v"))
-    val a = banded.select(col("media_id").as("id_a"), col("vhash").as("_ha"),
-      col("_b"), col("_v"))
-    val b = banded.select(col("media_id").as("id_b"), col("vhash").as("_hb"),
-      col("_b"), col("_v"))
-    a.join(b, Seq("_b", "_v"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(_ha ^ _hb)").as("hamming"))
-      .where(col("hamming") <= maxHam)
-      .distinct()
+    Dedup.bandedHammingPairs(hs, "media_id", "vhash",
+      bands = 4, bandBits = 16, maxHam = maxHam)
   }
 
   /** Integer fingerprint of the DECODED payload: sum over pixels of the

@@ -1213,9 +1213,9 @@ class PipelineSpec extends GraftSuite {
     val media = Multimodal.mediaFromIds(
       (0 until 150).map(_.toLong).toDF("doc_id"), "doc_id",
       only = Some("audio"))
-    val hs = Multimodal.audioEnvHash32(media).collect()
+    val hs = Multimodal.audioEnvHash63(media).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hs.nonEmpty && hs.values.forall(h => h >= 0L && h < (1L << 32)))
+    assert(hs.nonEmpty && hs.values.forall(_ >= 0L)) // 63-bit: non-negative
     val exact = (for {
       a <- hs.keys; b <- hs.keys if a < b
       d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
@@ -1227,6 +1227,57 @@ class PipelineSpec extends GraftSuite {
     // the ramp clips cluster, but hashes must still discriminate:
     // multiple distinct hash values in the fixture
     assert(hs.values.toSet.size > 3, s"degenerate hashes: ${hs.values.toSet}")
+  }
+
+  test("videoNearDupPairs: banded join equals exact all-pairs Hamming") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromIds(
+      (0 until 180).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("video"))
+    val hs = Multimodal.videoFrameHash63(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.nonEmpty && hs.values.forall(_ >= 0L)) // 63-bit: non-negative
+    val exact = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.videoNearDupPairs(media, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"${got.size} vs ${exact.size}")
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
+  test("bandedHammingPairs: planted hot band splits into capped blocks, result stays exact") {
+    val s = spark
+    import s.implicits._
+    // 64 hashes that ALL share band 0 (low 16 bits = 0x1234) — one
+    // degenerate blocking value — while upper bands vary; a few are
+    // genuine near-dups (Hamming <= 3), the rest are far apart
+    val hashes = (0 until 64).map { i =>
+      val high =
+        if (i < 8) (0xAAAAL << 16) | (1L << (32 + i)) // cluster: pairwise Hamming 2
+        else (i.toLong * 0x9E3779B97L) & 0x7FFFFFFFFFFF0000L
+      (i.toLong, high | 0x1234L)
+    }.toDF("id", "h")
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(exact.size >= 8, s"fixture must cluster, got ${exact.size}")
+    // cap = 4 << 64 rows under the hot (band 0, 0x1234) key: the
+    // boundedKeyPairs big-branch MUST engage (16 sub-buckets, largest
+    // single join block 4x4) and the pair set must not change
+    val got = Dedup.bandedHammingPairs(hashes, "id", "h",
+        bands = 4, bandBits = 16, maxHam = 3, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"${got.size} vs ${exact.size}")
+    // control: default cap (small-branch collect_list path) agrees
+    val gotDefault = Dedup.bandedHammingPairs(hashes, "id", "h",
+        bands = 4, bandBits = 16, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotDefault == exact)
   }
 
   test("winnowing: shared runs >= k+w-1 tokens always share a fingerprint") {
