@@ -883,7 +883,10 @@ object SparkEntry {
     }),
     // personalized PageRank from a deterministic seed set (ids ≡ 0
     // mod 97 in the projection) — graph-based retrieval ranking;
-    // seed collection is a bounded query parameter, like search terms
+    // seed collection is a bounded query parameter, like search
+    // terms: the 1024-smallest cap keeps the driver pull constant
+    // regardless of corpus size (the uncapped form collected a
+    // corpus-proportional ~1% of node ids)
     "q_graph_ppr" -> ((s, d) => {
       val li = s.read.parquet(s"$d/lineitem.parquet")
       val edges = GraphAlgos.coOccurrenceCached(
@@ -893,6 +896,7 @@ object SparkEntry {
       val seeds = edges.select(col("id_a").as("n"))
         .unionAll(edges.select(col("id_b").as("n")))
         .where(col("n") % 97 === 0).distinct()
+        .orderBy(col("n")).limit(1024)
         .collect().map(_.getLong(0)).sorted.toSeq
       GraphAlgos.personalizedPageRank(edges, seeds, iters = 6)
         .select(col("node_id").as("order_id"), col("ppr_q"))
@@ -1628,20 +1632,25 @@ object SparkEntry {
       "und AS MATERIALIZED (SELECT u AS s, v AS d FROM ed " +
       "UNION ALL SELECT v AS s, u AS d FROM ed), " +
       "deg AS MATERIALIZED (SELECT s, count(*) AS dg FROM und GROUP BY s), " +
-      "sd AS MATERIALIZED (SELECT s FROM deg WHERE s % 97 = 0), " +
+      // seed cap mirrors the engine's bounded driver pull: the 1024
+      // smallest qualifying ids, a constant-size query parameter
+      "sd AS MATERIALIZED (SELECT s FROM deg WHERE s % 97 = 0 " +
+      "ORDER BY s LIMIT 1024), " +
       "ns AS (SELECT count(*) AS c FROM sd), " +
       // NULLIF + WHERE c > 0 guard the empty-seed edge case: with no
       // node divisible by 97 the engine's personalizedPageRank returns
       // zero rows (seeds.isEmpty path); pr0 — and so every pr_i —
       // must go empty instead of dividing by zero
-      "pr0 AS MATERIALIZED (SELECT s AS v, CASE WHEN s % 97 = 0 THEN " +
+      "pr0 AS MATERIALIZED (SELECT s AS v, CASE WHEN s IN " +
+      "(SELECT s FROM sd) THEN " +
       "1000000000 // NULLIF((SELECT c FROM ns), 0) ELSE 0 END AS pr " +
       "FROM deg WHERE (SELECT c FROM ns) > 0), " +
       "bs AS MATERIALIZED (SELECT (1000000000 // NULLIF((SELECT c FROM ns), 0)) " +
       "* 15 // 100 AS b), " +
       (1 to 6).map { i =>
         s"pr$i AS MATERIALIZED (SELECT und.d AS v, " +
-          "(CASE WHEN und.d % 97 = 0 THEN (SELECT b FROM bs) ELSE 0 END) + " +
+          "(CASE WHEN und.d IN (SELECT s FROM sd) THEN " +
+          "(SELECT b FROM bs) ELSE 0 END) + " +
           s"(sum(pr.pr // deg.dg) * 85) // 100 AS pr " +
           s"FROM und JOIN pr${i - 1} pr ON und.s = pr.v " +
           "JOIN deg ON und.s = deg.s GROUP BY und.d)"
