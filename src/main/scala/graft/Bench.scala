@@ -69,17 +69,36 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val requireIdle = args.contains("--require-idle")
     val nameFilter = args.filterNot(_.startsWith("--")).toSet
+    // In-process idle gate, applied on EVERY run (the driver
+    // entrypoint doesn't pass --require-idle, and r10's committed
+    // artifact started at loadavg 3.94 vs the 2.0 bar): wait — bounded
+    // — for the ambient 1-minute loadavg to drop under the idle bar
+    // before any Spark work. If the bound is exhausted, run anyway but
+    // say so in the artifact (`idle_wait_exhausted`) instead of
+    // silently recording an under-load measurement.
+    val idleWaitMax =
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_SEC", "600").toInt
+    var idleWaited = 0
+    var lv = loadavg()
+    while (idleWaited < idleWaitMax && lv.nonEmpty &&
+        !idleEnough(lv(0), cpus.toInt)) {
+      System.err.println(s"[bench] waiting for idle: loadavg ${lv(0)} > " +
+        s"${1.0 * cpus.toInt / 16.0} (waited ${idleWaited}s/${idleWaitMax}s)")
+      Thread.sleep(15000L)
+      idleWaited += 15
+      lv = loadavg()
+    }
+    val idleWaitExhausted =
+      lv.nonEmpty && !idleEnough(lv(0), cpus.toInt)
     // ambient machine conditions = loadavg BEFORE any Spark work; the
     // end-of-run reading (also recorded) includes the bench's own
     // 32-thread load and systematically reads high — r9's committed
     // artifact was judged "taken under load" partly on that basis
-    val loadStart = loadavg()
-    if (requireIdle) {
-      if (loadStart.nonEmpty && !idleEnough(loadStart(0), cpus.toInt)) {
-        System.err.println(s"--require-idle: 1-min loadavg ${loadStart(0)} " +
-          s"exceeds ${1.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
-        sys.exit(2)
-      }
+    val loadStart = lv
+    if (requireIdle && idleWaitExhausted) {
+      System.err.println(s"--require-idle: 1-min loadavg ${loadStart(0)} " +
+        s"exceeds ${1.0 * cpus.toInt / 16.0} for $cpus cores; not recording")
+      sys.exit(2)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -272,7 +291,7 @@ object Bench {
     // round-over-round comparable); "others" = one-pass timings of the
     // remaining declared queries; "cold" = the pre-r9 discipline
     // record (media/cooc artifacts unbuilt) — see the warm-up comment
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"others":${qJson(otherResults)},"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"others":${qJson(otherResults)},"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
     spark.stop()
     if ((results ++ otherResults ++ coldResults).exists(_._3.isDefined)) sys.exit(1)
   }
