@@ -1814,10 +1814,17 @@ object SparkEntry {
       "(CASE WHEN doc_id % 2 = 1 THEN '&b=2&a=1' ELSE '' END) || " +
       "(CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url FROM documents), " +
       "u AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS uu FROM r), " +
+      // scheme-matched default-port strip mirrors the engine: only
+      // http drops :80 and only https drops :443
       "p AS (SELECT doc_id, url, " +
       "lower(regexp_extract(uu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
-      "regexp_replace(regexp_replace(lower(regexp_extract(uu, " +
-      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), ':(80|443)$', '') AS host, " +
+      "CASE lower(regexp_extract(uu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) " +
+      "WHEN 'http' THEN regexp_replace(regexp_replace(lower(regexp_extract(uu, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), ':80$', '') " +
+      "WHEN 'https' THEN regexp_replace(regexp_replace(lower(regexp_extract(uu, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), ':443$', '') " +
+      "ELSE regexp_replace(lower(regexp_extract(uu, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') END AS host, " +
       "regexp_replace(regexp_extract(uu, " +
       "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS pth, " +
       "array_to_string(list_sort(list_filter(string_split(" +

@@ -51,9 +51,15 @@ object Bpe {
     * the exact GPT-2 pattern, documented: no `'s|'t|…` contraction
     * branch and no `\s+(?!\S)` trailing-space lookahead (RE2 has no
     * lookahead) — contractions fall to the punctuation branch. Case is
-    * PRESERVED (byte-level BPE never lowercases).
+    * PRESERVED (byte-level BPE never lowercases). Whitespace is the
+    * EXPLICIT class `[\t\n\x0B\f\r ]`, not `\s`: Java's `\s` includes
+    * vertical tab (U+000B) while RE2's does not, so a `\s`-based
+    * pattern tokenizes a VT-bearing document differently in the two
+    * engines — the explicit class is Java-`\s`-identical and pins RE2
+    * to the same set.
     */
-  val BytePretokRegex = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BytePretokRegex = " ?\\p{L}+| ?\\p{N}+" +
+    "| ?[^\\t\\n\\x0B\\f\\r \\p{L}\\p{N}]+|[\\t\\n\\x0B\\f\\r ]+"
 
   /** Pretoken -> initial byte-delimited state: the token's UTF-8 bytes
     * as 2-char uppercase-hex symbols ("ab" -> "_61__62_"). Hex symbols

@@ -322,11 +322,17 @@ object Curation {
     * SAME patterns under RE2):
     *   1. trim; strip the `#fragment`;
     *   2. scheme and host lowercase; a leading `www.` strips;
-    *   3. explicit default ports `:80` / `:443` drop;
+    *   3. the SCHEME'S default port drops (`:80` for http, `:443` for
+    *      https) — a genuinely non-default port like `http://h:443/x`
+    *      is identity-bearing and stays;
     *   4. trailing `/` runs on the path strip (root `/` == no path);
     *   5. tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) drop,
     *      survivors sort lexicographically (param order never encodes
-    *      identity in practice), empty query drops its `?`.
+    *      identity in practice), empty query drops its `?`. Known
+    *      conflation risk, accepted: on sites where `ref=` is
+    *      content-bearing (a code-hosting branch ref, not a referral
+    *      tag) two distinct pages share a key — the CCNet-style
+    *      trade; scope the drop list per-corpus if that bites.
     * Non-absolute inputs (no `scheme://`) pass through lowercased —
     * callers feed crawl URLs, which are absolute by construction.
     */
@@ -334,8 +340,10 @@ object Curation {
     val u = regexp_replace(trim(url), "#.*$", "")
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostRaw = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_replace(hostRaw, "^www\\.", ""),
-      ":(80|443)$", "")
+    val hostBase = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostBase, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostBase, ":443$", ""))
+      .otherwise(hostBase)
     val path = regexp_replace(
       regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")

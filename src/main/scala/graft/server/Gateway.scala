@@ -494,6 +494,15 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
             case None => // write batch: buffered path below
           }
         }
+        // ONE error contract with the streaming path: a failed request
+        // is HTTP 400 with an {"error":...} body on both (the
+        // reference SDK treats any non-200 as RemoteError{body} and
+        // only deserializes results on 200 — sdks/rust/src/lib.rs:406;
+        // a 200 error envelope would surface as a confusing
+        // deserialization failure instead). Mid-stream NDJSON faults
+        // remain the documented truncated-chunk exception: their
+        // headers are already gone.
+        var status = 200
         val (resp, truncated) =
           try {
             // POST /v1/query/<name> runs a deployed stored query
@@ -501,20 +510,22 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
             // inline envelope
             val sub = path.stripPrefix("/v1/query").stripPrefix("/")
             if (sub.nonEmpty) {
-              if (warmOnly && !isWarm(sub))
+              if (warmOnly && !isWarm(sub)) {
+                status = 400
                 (s"""{"error":${quote(s"query not warm: $sub")}}""", false)
-              else handleStoredT(sub, body)
+              } else handleStoredT(sub, body)
             } else handleT(body)
           } catch {
             case e: Exception =>
               countError()
+              status = 400
               (s"""{"error":${quote(e.getMessage)}}""", false)
           }
         if (truncated)
           ex.getResponseHeaders.set("x-graft-truncated", "true")
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
+        ex.sendResponseHeaders(status, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
       }
@@ -537,6 +548,7 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     server.createContext("/v1/deploy", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (!requireAuth(ex)) return
+        var status = 200
         val resp =
           try {
             if (ex.getRequestMethod == "GET") renderBundle
@@ -545,11 +557,13 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
               s"""{"deployed":${loadBundle(body)}}"""
             }
           } catch {
-            case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
+            case e: Exception =>
+              status = 400
+              s"""{"error":${quote(e.getMessage)}}"""
           }
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
+        ex.sendResponseHeaders(status, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
       }

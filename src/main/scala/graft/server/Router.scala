@@ -119,8 +119,11 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       val stale = hdr("x-graft-stale").exists(_.trim.toLowerCase == "true")
       val pos = if (stale && r.position >= minPos) r.position else r.refresh()
       if (pos < minPos)
+        // the internal x-graft-status marker tells the HTTP layer to
+        // send this as an error status (stripped before the response);
+        // in-process callers see the error body either way
         (s"""{"error":"replica behind requested position: $pos < $minPos"}""",
-          Map("x-helix-served-by" -> r.name))
+          Map("x-helix-served-by" -> r.name, "x-graft-status" -> "400"))
       else {
         val (resp, truncated) = serve(r.gateway)
         respond(resp, truncated, r.name, pos)
@@ -164,14 +167,21 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         if (!requireAuth(ex)) return
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val sub = ex.getRequestURI.getPath.stripPrefix("/v1/query").stripPrefix("/")
+        // same error contract as the Gateway's own HTTP layer: a
+        // failed request is 400 with an {"error":...} body
+        var status = 200
         val (resp, headers) =
           try route(sub, body, n => Option(ex.getRequestHeaders.getFirst(n)))
           catch { case e: Exception =>
             nErrors.incrementAndGet()
+            status = 400
             (s"""{"error":${quote(e.getMessage)}}""", Map.empty[String, String])
           }
-        headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
-        send(ex, resp)
+        headers.foreach {
+          case ("x-graft-status", v) => status = v.toInt
+          case (k, v) => ex.getResponseHeaders.set(k, v)
+        }
+        send(ex, resp, status)
       }
     })
     server.createContext("/v1/cluster", new HttpHandler {
@@ -191,6 +201,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     server.createContext("/v1/deploy", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         if (!requireAuth(ex)) return
+        var st = 200
         val resp =
           try {
             if (ex.getRequestMethod == "GET") writer.renderBundle
@@ -199,9 +210,9 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
               s"""{"deployed":${loadBundle(body)}}"""
             }
           } catch {
-            case e: Exception => s"""{"error":${quote(e.getMessage)}}"""
+            case e: Exception => st = 400; s"""{"error":${quote(e.getMessage)}}"""
           }
-        send(ex, resp)
+        send(ex, resp, st)
       }
     })
     pool = java.util.concurrent.Executors.newFixedThreadPool(workerThreads)
@@ -209,10 +220,10 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     server.start()
   }
 
-  private def send(ex: HttpExchange, resp: String): Unit = {
+  private def send(ex: HttpExchange, resp: String, status: Int = 200): Unit = {
     val bytes = resp.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(200, bytes.length)
+    ex.sendResponseHeaders(status, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
   }

@@ -100,9 +100,12 @@ class BpeSpec extends GraftSuite {
   test("byte-level pretokenizer is lossless and bills every byte") {
     val s = spark
     import s.implicits._
-    // mixed case, punctuation, contraction, multi-space, unicode
+    // mixed case, punctuation, contraction, multi-space, unicode, and
+    // a vertical tab (U+000B) — the one char where Java's \s and
+    // RE2's \s disagree; the explicit whitespace class must bill it
+    // as whitespace in both engines
     val texts = Seq("Hello World!  It's naïve... 42\ttimes\n", "", "   ",
-      "A.B,C;D", "héllo wörld")
+      "A.B,C;D", "héllo wörld", "a\u000Bb c")
     val df = texts.toDF("text")
     // losslessness: concatenating the pretokens reconstructs the text
     val rejoined = df.select(

@@ -117,20 +117,28 @@ class GatewaySpec extends GraftSuite {
     val gw = new Gateway(TestBase.parityGraph(), port = 16970)
     gw.start()
     try {
-      def post(body: String): String = {
+      def post(body: String): (Int, String) = {
         val conn = new java.net.URL("http://localhost:16970/v1/query")
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST"); conn.setDoOutput(true)
         conn.getOutputStream.write(body.getBytes("UTF-8"))
-        new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
       }
-      assert(post("""{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
-        "steps":[{"Bogus":1}],"condition":null}}],"returns":["x"]}}""").contains("error"))
-      assert(post("not json at all").contains("error"))
+      // one error contract, streaming or buffered: client errors are
+      // HTTP 400 with a structured body
+      def errPost(body: String): Unit = {
+        val (code, b) = post(body)
+        assert(code == 400 && b.contains("error"), s"$code $b")
+      }
+      errPost("""{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
+        "steps":[{"Bogus":1}],"condition":null}}],"returns":["x"]}}""")
+      errPost("not json at all")
       // mutation in a read batch is rejected
-      assert(post("""{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
+      errPost("""{"request_type":"read","query":{"queries":[{"Query":{"name":"x",
         "steps":[{"AddN":{"label":"U","properties":[]}}],"condition":null}}],
-        "returns":["x"]}}""").contains("error"))
+        "returns":["x"]}}""")
     } finally gw.stop()
   }
 
@@ -194,7 +202,8 @@ class GatewaySpec extends GraftSuite {
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         c.setRequestMethod(method)
         body.foreach { b => c.setDoOutput(true); c.getOutputStream.write(b.getBytes("UTF-8")) }
-        new String(c.getInputStream.readAllBytes(), "UTF-8")
+        val is = if (c.getResponseCode < 400) c.getInputStream else c.getErrorStream
+        new String(is.readAllBytes(), "UTF-8")
       }
       assert(http("POST", "/v1/deploy", Some(doc)) == """{"deployed":1}""")
       val synced = http("GET", "/v1/deploy", None)
@@ -296,7 +305,9 @@ class GatewaySpec extends GraftSuite {
         conn.setRequestProperty("x-helix-require-writer", "true")
         conn.setRequestProperty("x-helix-await-durable", "true")
         conn.getOutputStream.write("{}".getBytes("UTF-8"))
-        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        val bs = if (conn.getResponseCode < 400) conn.getInputStream
+          else conn.getErrorStream
+        val body = new String(bs.readAllBytes(), "UTF-8")
         import scala.jdk.CollectionConverters._
         val hs = conn.getHeaderFields.asScala.collect {
           case (k, v) if k != null => k.toLowerCase -> v.get(0)

@@ -432,6 +432,11 @@ class PipelineSpec extends GraftSuite {
       // root path == no path; :80 drops; all-tracking query drops its ?
       ("http://example.org:80/?utm_campaign=c&gclid=123", "http://example.org"),
       ("http://example.org", "http://example.org"),
+      // only the SCHEME'S default port drops: http on 443 (and https
+      // on 80) is a genuinely non-default port and stays
+      ("http://example.org:443/x", "http://example.org:443/x"),
+      ("https://example.org:80/x", "https://example.org:80/x"),
+      ("https://example.org:443/x", "https://example.org/x"),
       // ref= and fbclid= drop; real params survive sorted
       ("https://a.io/p?ref=tw&z=1&fbclid=f&m=2", "https://a.io/p?m=2&z=1"),
       // www only strips as a LEADING label
