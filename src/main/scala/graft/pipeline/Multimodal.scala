@@ -771,33 +771,40 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val h = decodeImage(bytes).map { img =>
-          val w = img.getWidth; val ht = img.getHeight
-          val grays = new Array[Long](w * ht)
-          var y = 0
-          while (y < ht) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              grays(y * w + x) =
-                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3L
-              x += 1
-            }
-            y += 1
-          }
-          val mean = grays.sum / grays.length
-          var bits = 0L
-          var p = 0
-          val n = math.min(grays.length, 63)
-          while (p < n) {
-            if (grays(p) >= mean) bits |= 1L << p
-            p += 1
-          }
-          bits
-        }
-        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+        Row(r.getLong(idIdx), imageHashOf(bytes).map(Long.box).orNull)
       }
     }(enc)
+  }
+
+  /** Per-payload hash kernels — decode + perceptual hash of ONE media
+    * payload, shared by the batch hashers above/below and the
+    * streaming ingest filter
+    * ([[graft.streaming.GraphStream.mediaNearDupIngestFilter]]), which
+    * needs a row-preserving column predicate rather than a
+    * fixed-schema mapPartitions frame. None for undecodable bytes.
+    */
+  private[graft] def imageHashOf(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(frameAHash63)
+
+  private[graft] def audioHashOf(bytes: Array[Byte],
+      windows: Int = 63): Option[Long] =
+    decodeAudio(bytes).map { case (_, _, samples) =>
+      envHashOfSamples(samples, windows)
+    }
+
+  private[graft] def videoHashOf(bytes: Array[Byte]): Option[Long] =
+    decodeVideo(bytes).collect {
+      case (_, _, frames) if frames.nonEmpty => frameAHash63(frames.head)
+    }
+
+  /** The (band index, band value) blocking keys of one hash — the
+    * string form both sides of a band-Bloom membership probe must
+    * agree on (corpus build and stream probe).
+    */
+  private[graft] def bandKeysOfHash(h: Long, bands: Int,
+      bandBits: Int): Seq[String] = {
+    val mask = (1L << bandBits) - 1
+    (0 until bands).map(b => s"$b:${(h >>> (b * bandBits)) & mask}")
   }
 
   /** Near-duplicate image pairs by aHash Hamming distance <= `maxHam`
@@ -845,35 +852,39 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val h = decodeAudio(bytes).map { case (_, _, samples) =>
-          val n = samples.length
-          if (n == 0) 0L
-          else {
-            val sums = new Array[Long](windows)
-            val cnts = new Array[Long](windows)
-            var gsum = 0L
-            var k = 0
-            while (k < n) {
-              val av = math.abs(samples(k).toLong)
-              // Long product: Int k * windows overflows past ~67M
-              // samples (~70 min at 16 kHz) and would index negative
-              val w = (k.toLong * windows / n).toInt
-              sums(w) += av; cnts(w) += 1; gsum += av
-              k += 1
-            }
-            val gmean = gsum / n
-            var bits = 0L
-            var w = 0
-            while (w < windows) {
-              if (cnts(w) > 0 && sums(w) / cnts(w) >= gmean) bits |= 1L << w
-              w += 1
-            }
-            bits
-          }
-        }
-        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+        Row(r.getLong(idIdx), audioHashOf(bytes, windows).map(Long.box).orNull)
       }
     }(enc)
+  }
+
+  /** The envelope-hash kernel over decoded samples (see
+    * [[audioEnvHash63]] for the bit rule).
+    */
+  private def envHashOfSamples(samples: Array[Short], windows: Int): Long = {
+    val n = samples.length
+    if (n == 0) 0L
+    else {
+      val sums = new Array[Long](windows)
+      val cnts = new Array[Long](windows)
+      var gsum = 0L
+      var k = 0
+      while (k < n) {
+        val av = math.abs(samples(k).toLong)
+        // Long product: Int k * windows overflows past ~67M
+        // samples (~70 min at 16 kHz) and would index negative
+        val w = (k.toLong * windows / n).toInt
+        sums(w) += av; cnts(w) += 1; gsum += av
+        k += 1
+      }
+      val gmean = gsum / n
+      var bits = 0L
+      var w = 0
+      while (w < windows) {
+        if (cnts(w) > 0 && sums(w) / cnts(w) >= gmean) bits |= 1L << w
+        w += 1
+      }
+      bits
+    }
   }
 
   /** Near-duplicate audio pairs by envelope-hash Hamming distance <=
@@ -938,10 +949,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        val h = decodeVideo(bytes).collect {
-          case (_, _, frames) if frames.nonEmpty => frameAHash63(frames.head)
-        }
-        Row(r.getLong(idIdx), h.map(Long.box).orNull)
+        Row(r.getLong(idIdx), videoHashOf(bytes).map(Long.box).orNull)
       }
     }(enc)
   }

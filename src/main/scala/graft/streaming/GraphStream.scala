@@ -115,6 +115,57 @@ object GraphStream {
       .drop("_bands")
   }
 
+  /** Media near-dup filtering at ingest — the multimodal mirror of
+    * [[nearDupIngestFilter]]: drop stream media rows whose perceptual
+    * hash (image aHash63 / audio envelope / video key-frame) shares
+    * any 16-bit band with the STANDING corpus, so a re-uploaded or
+    * lightly-recompressed asset never lands twice.
+    *
+    * Plan shape: the corpus side reduces its hash frame to a Bloom
+    * filter of `(band, value)` keys, built once at filter
+    * construction and broadcast (`4 x |corpus|` keys — broadcast-sized
+    * even for a billion-asset corpus). The stream side decodes and
+    * hashes each payload in a row-preserving predicate — no shuffle,
+    * no state store — and keeps rows none of whose band keys might be
+    * in the corpus. Pigeonhole gives ZERO false negatives at Hamming
+    * <= 3 (a true near-dup always shares an untouched band); false
+    * positives (a shared band without a near-dup, or a Bloom hit) drop
+    * a clean asset at a bounded small rate — the same
+    * conservative-drop trade the text filter makes. Undecodable
+    * payloads pass through (they are not duplicates of anything).
+    */
+  def mediaNearDupIngestFilter(stream: DataFrame, corpus: DataFrame,
+      modality: String, binCol: String = "content",
+      fpp: Double = 0.01): DataFrame = {
+    import graft.pipeline.Multimodal
+    val bands = 4; val bandBits = 16
+    val hs = modality match {
+      case "image" => Multimodal.aHash63(corpus).select(col("ahash").as("_h"))
+      case "audio" =>
+        Multimodal.audioEnvHash63(corpus).select(col("ehash").as("_h"))
+      case "video" =>
+        Multimodal.videoFrameHash63(corpus).select(col("vhash").as("_h"))
+      case m => throw new IllegalArgumentException(
+        s"modality must be image|audio|video, got $m")
+    }
+    val keyUdf = udf((h: java.lang.Long) =>
+      Multimodal.bandKeysOfHash(h, bands, bandBits))
+    val keyed = hs.where(col("_h").isNotNull)
+      .select(explode(keyUdf(col("_h"))).as("_k"))
+    val bloom = keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
+    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    val hashOf: Array[Byte] => Option[Long] = modality match {
+      case "image" => Multimodal.imageHashOf _
+      case "audio" => b => Multimodal.audioHashOf(b)
+      case _ => Multimodal.videoHashOf _
+    }
+    val hits = udf((bytes: Array[Byte]) =>
+      hashOf(bytes).exists(h =>
+        Multimodal.bandKeysOfHash(h, bands, bandBits)
+          .exists(bloomB.value.mightContainString)))
+    stream.where(!hits(col(binCol)))
+  }
+
   /** Watermarked stream-stream interval join — the streaming mirror
     * of `pipeline.Temporal.rangeJoin`: each right event joins the
     * left events of the same key whose timestamp falls in

@@ -77,6 +77,58 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("mediaNearDupIngestFilter drops a later-batch near-dup clip; batch parity on survivors") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import graft.pipeline.Multimodal
+    val corpus = Multimodal.mediaFromIds(
+      (0 until 90).map(_.toLong).toDF("doc_id"), "doc_id", only = Some("audio"))
+    val corpusRows = corpus.select("media_id", "content").collect()
+    val corpusKeys = corpusRows.flatMap { r =>
+      Multimodal.audioHashOf(r.getAs[Array[Byte]](1)).toSeq
+        .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16))
+    }.toSet
+    // a near-dup: byte-identical re-upload of a standing corpus clip
+    val dupBytes = corpusRows.head.getAs[Array[Byte]](1)
+    // a fresh clip: first candidate from a disjoint id range that
+    // shares NO 16-bit band with any corpus hash (deterministic given
+    // the fixed corpus; asserted so a fixture drift fails loudly)
+    val fresh = Multimodal.mediaFromIds(
+      (1000L until 1600L by 3).toDF("doc_id"), "doc_id", only = Some("audio"))
+      .select("media_id", "content").collect().find { r =>
+        val ks = Multimodal.audioHashOf(r.getAs[Array[Byte]](1)).toSeq
+          .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16))
+        ks.nonEmpty && ks.forall(!corpusKeys.contains(_))
+      }
+    assert(fresh.isDefined, "fixture needs a clip sharing no band with the corpus")
+    val freshBytes = fresh.get.getAs[Array[Byte]](1)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = mem.toDF().toDF("media_id", "content")
+    val q = GraphStream.mediaNearDupIngestFilter(stream, corpus, "audio")
+      .writeStream.format("memory").queryName("mediaclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((500L, freshBytes))
+      q.processAllAvailable()
+      // the near-dup arrives in a LATER micro-batch: still filtered
+      // (the corpus band Bloom is standing state, not per-batch)
+      mem.addData((501L, dupBytes), (502L, freshBytes))
+      q.processAllAvailable()
+      val kept = s.table("mediaclean").select("media_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!kept.contains(501L), "re-uploaded corpus clip must be dropped")
+      assert(kept == Set(500L, 502L), s"fresh clips must survive: $kept")
+      // batch == stream parity: the same filter over a batch frame of
+      // the streamed rows keeps exactly the same survivors
+      val batchKept = GraphStream.mediaNearDupIngestFilter(
+        Seq((500L, freshBytes), (501L, dupBytes), (502L, freshBytes))
+          .toDF("media_id", "content"), corpus, "audio")
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == kept, s"batch $batchKept vs stream $kept")
+    } finally q.stop()
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
