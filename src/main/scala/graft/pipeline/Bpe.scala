@@ -108,7 +108,7 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, k: Int): Seq[(Int, String, String)] =
     trainMergesOver(docs
         .select(explode(TextAnalysis.tokens(col(textCol))).as("w")),
-      initState, w => w.map(_.toString).toArray, k)
+      initState, charSeedLocal, k)
 
   /** BYTE-LEVEL training: GPT-2-style pretokens (case preserved,
     * spaces attached — [[BytePretokRegex]]), merges learned over
@@ -120,9 +120,7 @@ object Bpe {
       k: Int): Seq[(Int, String, String)] =
     trainMergesOver(docs
         .select(explode(bytePretokens(col(textCol))).as("w")),
-      byteInitState,
-      w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .map(b => f"${b & 0xff}%02X"), k)
+      byteInitState, byteSeedLocal, k)
 
   private def trainMergesOver(words: DataFrame, seed: Column => Column,
       seedLocal: String => Array[String], k: Int): Seq[(Int, String, String)] = {
@@ -239,16 +237,113 @@ object Bpe {
     flatten(transform(TextAnalysis.tokens(text),
       w => split(trim(applyMerges(initState(w), merges), "_"), "__")))
 
+  /** Greedy left-to-right non-overlapping application of ONE merge
+    * over a symbol array — the array form of one
+    * `replace(state, "_l__r_", "_lr_")` sweep. Bit-identical: symbols
+    * are `_`-free, so the delimited pattern only matches at symbol
+    * boundaries, and `String.replace` scans left-to-right continuing
+    * AFTER each replacement — exactly this loop (BpeSpec asserts the
+    * equivalence against the expression chain).
+    */
+  private def sweepLocal(syms: Array[String], l: String,
+      r: String): Array[String] =
+    if (syms.length < 2) syms
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += l + r; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.toArray
+    }
+
+  /** Token count of one seeded word under the ordered merge chain. */
+  private[graft] def countTokensLocal(seed: Array[String],
+      merges: Array[(String, String)]): Long = {
+    var syms = seed
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = sweepLocal(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    syms.length.toLong
+  }
+
+  private[graft] val charSeedLocal: String => Array[String] =
+    w => w.map(_.toString).toArray
+  private[graft] val byteSeedLocal: String => Array[String] =
+    w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X")
+
+  /** Executor-static word-type memo, keyed by merge-chain fingerprint
+    * then word: a web corpus' word stream is zipfian, so the merge
+    * chain runs once per TYPE per executor and every later occurrence
+    * is a map hit. Bounded per chain; words past the cap compute
+    * without memoizing (correctness unaffected).
+    */
+  private val countMemos = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private val MemoCapPerChain = 1 << 20
+
+  private def sumCountsUdf(fp: String, merges: Array[(String, String)],
+      seed: String => Array[String]) =
+    udf((ws: Seq[String]) => {
+      if (ws == null) 0L
+      else {
+        val memo = countMemos.computeIfAbsent(fp,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+        var total = 0L
+        val it = ws.iterator
+        while (it.hasNext) {
+          val w = it.next()
+          val c = memo.get(w)
+          if (c != null) total += c
+          else {
+            val v = countTokensLocal(seed(w), merges)
+            if (memo.size < MemoCapPerChain) memo.put(w, v)
+            total += v
+          }
+        }
+        total
+      }
+    })
+
+  private def chainFp(kind: String, merges: Array[(String, String)]): String =
+    // \u0000 / \u0001 separators: merge symbols never contain control
+    // chars, so ("ab","c") and ("a","bc") fingerprint apart
+    kind + "\u0000" +
+      merges.map { case (l, r) => l + "\u0001" + r }.mkString("\u0000")
+
   /** Per-doc BPE token count under a trained merge list: every doc
-    * keeps a row (docs with no words count 0). A pure per-row
-    * expression — `aggregate` over the token array with the literal
-    * merge chain applied per word — so the plan is ONE scan with
-    * zero shuffles and zero joins, entirely inside whole-stage
-    * codegen (the explode + groupBy + join formulation it replaces
-    * shuffled the whole word stream for no reason).
+    * keeps a row (docs with no words count 0). ONE scan, zero
+    * shuffles, zero joins: tokenization stays a Catalyst expression
+    * and the per-word chain runs in a memoized UDF over the token
+    * array (word-TYPE memo above). This replaced the pure
+    * `aggregate`-over-replace-chain expression
+    * ([[tokenCountReportExpr]]): that form billed k literal `replace`
+    * sweeps per word OCCURRENCE and was the worst sf0.01 -> sf0.1
+    * scaler in the corpus (7.1x on 10x rows); higher-order functions
+    * never enter whole-stage codegen anyway, so the UDF gives up
+    * nothing there.
     */
   def tokenCountReport(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], out: String = "bpe_tokens"): DataFrame =
+      merges: Seq[(String, String)], out: String = "bpe_tokens"): DataFrame = {
+    val ms = merges.toArray
+    docs.select(col(idCol), coalesce(
+      sumCountsUdf(chainFp("w", ms), ms, charSeedLocal)(
+        TextAnalysis.tokens(col(textCol))),
+      lit(0L)).as(out))
+  }
+
+  /** The pure-expression form of [[tokenCountReport]] — kept as the
+    * parity reference (BpeSpec asserts it agrees with the memoized
+    * path on mixed corpora).
+    */
+  private[graft] def tokenCountReportExpr(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      out: String = "bpe_tokens"): DataFrame =
     docs.select(col(idCol), coalesce(
       aggregate(TextAnalysis.tokens(col(textCol)), lit(0L),
         (acc, w) => acc + stateTokenCount(applyMerges(initState(w), merges))),
@@ -270,11 +365,22 @@ object Bpe {
 
   /** Per-doc BYTE-LEVEL BPE token count — the budget production
     * tokenizers actually bill (whitespace and case included, every
-    * byte accounted). Same one-scan zero-shuffle shape as
-    * [[tokenCountReport]].
+    * byte accounted). Same one-scan zero-shuffle memoized shape as
+    * [[tokenCountReport]] (pretoken TYPES repeat just as heavily).
     */
   def byteTokenCountReport(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], out: String = "bpe_bytes_tokens"): DataFrame =
+      merges: Seq[(String, String)], out: String = "bpe_bytes_tokens"): DataFrame = {
+    val ms = merges.toArray
+    docs.select(col(idCol), coalesce(
+      sumCountsUdf(chainFp("b", ms), ms, byteSeedLocal)(
+        bytePretokens(col(textCol))),
+      lit(0L)).as(out))
+  }
+
+  /** Expression form of [[byteTokenCountReport]] — parity reference. */
+  private[graft] def byteTokenCountReportExpr(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      out: String = "bpe_bytes_tokens"): DataFrame =
     docs.select(col(idCol), coalesce(
       aggregate(bytePretokens(col(textCol)), lit(0L),
         (acc, w) => acc + stateTokenCount(applyMerges(byteInitState(w), merges))),

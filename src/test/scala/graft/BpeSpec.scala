@@ -97,6 +97,31 @@ class BpeSpec extends GraftSuite {
     assert(vocab.last.length > 2, s"expected multi-char merge, got $vocab")
   }
 
+  test("memoized count paths agree with the pure-expression replace chains") {
+    val s = spark
+    import s.implicits._
+    // repeats (the memo hit path), unicode, punctuation, VT, empty,
+    // null, and merge-consuming chains
+    val docs = Seq(
+      (1L, "the cat and the hat sat on the mat the cat came back"),
+      (2L, "naïve café naïve café naïve"),
+      (3L, "a ab abc abcd abcde!  42\ttimes again"),
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "aaaa aaa aa a aaaa aaaa"))
+      .toDF("doc_id", "text")
+    val wm = Bpe.trainMerges(docs, "text", k = 6).map { case (_, l, r) => (l, r) }
+    val bm = Bpe.trainByteMerges(docs, "text", k = 6).map { case (_, l, r) => (l, r) }
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Bpe.tokenCountReport(docs, "doc_id", "text", wm)) ==
+      m(Bpe.tokenCountReportExpr(docs, "doc_id", "text", wm)))
+    assert(m(Bpe.byteTokenCountReport(docs, "doc_id", "text", bm)) ==
+      m(Bpe.byteTokenCountReportExpr(docs, "doc_id", "text", bm)))
+    // and with zero merges the byte count still bills every byte
+    assert(m(Bpe.byteTokenCountReport(docs, "doc_id", "text", Nil)) ==
+      m(Bpe.byteTokenCountReportExpr(docs, "doc_id", "text", Nil)))
+  }
+
   test("byte-level pretokenizer is lossless and bills every byte") {
     val s = spark
     import s.implicits._
