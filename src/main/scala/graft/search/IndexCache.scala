@@ -43,6 +43,15 @@ object IndexCache {
     */
   private[graft] val textBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The calibrated nprobe already computed for an artifact, if any —
+    * test visibility for the per-tenant calibration contract (a
+    * tenant-partitioned artifact keys by [[tenantKey]], so a skewed
+    * tenant owns its own calibration, not the global one).
+    */
+  private[graft] def calibratedNprobe(storeVersion: String, label: String,
+      propKey: String): Option[Int] =
+    Option(probes.get((storeVersion, label, propKey))).map(_.intValue)
+
   /** Postings + corpus stats for a declared text index, built once per
     * (store version, label, property) and cached persisted. A declared
     * tenant property makes the artifact tenant-partitioned (postings

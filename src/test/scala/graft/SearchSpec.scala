@@ -450,6 +450,76 @@ class SearchSpec extends GraftSuite {
     } finally spark.conf.unset("graft.search.ivfThreshold")
   }
 
+  test("a skewed tenant meets the recall gate at its OWN calibrated nprobe") {
+    val s = spark
+    import s.implicits._
+    // tenant tc: 8 well-separated one-hot clusters - centroid pruning
+    // works, calibration lands a small nprobe. Tenant ts: DELIBERATELY
+    // skewed - all vectors share one direction with tiny angular noise
+    // but wildly different L2 scales, so k-means (L2) clusters by
+    // scale while cosine neighbors follow the noise direction; the
+    // centroid ranking carries almost no signal and ts's calibration
+    // must push nprobe far higher than tc's to hit the recall target.
+    // A shared global calibration would hand ts tc's tiny nprobe and
+    // miss the gate - the point of per-tenant artifacts.
+    val nodes = (0 until 600).map { i =>
+      if (i < 300) {
+        val c = i % 8
+        val v = Array.tabulate(16)(j =>
+          if (j == c) 1.0f else 0.001f * ((i + j) % 7)).toSeq
+        (i.toLong, "Vec", "tc", v)
+      } else {
+        val scale = 1.0f + (i % 10)
+        val v = Array.tabulate(16)(j =>
+          if (j == 0) scale
+          else scale * 0.02f * ((i * 31 + j * 7) % 13)).toSeq
+        (i.toLong, "Vec", "ts", v)
+      }
+    }.toDF("_id", "_label", "tenantId", "emb")
+    val store = new graft.model.GraphStore(s, Map("Vec" -> nodes), Map.empty, Map.empty)
+      .withIndexes(Set(graft.ast.IndexSpec.NodeVector("Vec", "emb", Some("tenantId"))))
+    import graft.ast._
+    def search(c: graft.exec.Compiler, tenant: String, q: Seq[Double]) =
+      c.run(Traversal(Vector(
+        Step.VectorSearchNodes("Vec", "emb",
+          Some(PropertyInput.Value(PropertyValue.VString(tenant))),
+          PropertyInput.Value(PropertyValue.VF64Array(q)),
+          StreamBound.Literal(10)), Step.Id)))
+        .collect().map(_.getLong(0)).toSet
+    spark.conf.set("graft.search.ivfThreshold", "100")
+    try {
+      val ivfC = TestBase.compiler(store)
+      val bruteC = TestBase.compiler(store.withIndexes(Set.empty))
+      // 8 ts queries drawn from the tenant's own noise family (mean
+      // recall mirrors the calibration semantics)
+      val recalls = (0 until 8).map { qi =>
+        val i = 310 + qi * 23
+        val q = Seq.tabulate(16)(j =>
+          if (j == 0) 1.0 else 0.02 * ((i * 31 + j * 7) % 13))
+        val ivf = search(ivfC, "ts", q)
+        assert(ivf.nonEmpty && ivf.forall(_ >= 300), s"non-tenant rows: $ivf")
+        val brute = search(bruteC, "ts", q)
+        (ivf intersect brute).size.toDouble / brute.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"skewed-tenant recall at calibrated nprobe: $mean")
+      // the clustered tenant's path stays green too
+      val qc = Seq.tabulate(16)(j => if (j == 2) 1.0 else 0.0)
+      val ivfTc = search(ivfC, "tc", qc)
+      assert(ivfTc.nonEmpty && ivfTc.forall(_ < 300))
+      // and the calibrations are genuinely per-tenant: the skewed
+      // tenant's nprobe is strictly higher than the clustered one's
+      import graft.search.IndexCache
+      val npC = IndexCache.calibratedNprobe(store.version, "Vec",
+        IndexCache.tenantKey("emb", "tc"))
+      val npS = IndexCache.calibratedNprobe(store.version, "Vec",
+        IndexCache.tenantKey("emb", "ts"))
+      assert(npC.isDefined && npS.isDefined, s"calibrations missing: $npC $npS")
+      assert(npS.get > npC.get,
+        s"skewed tenant must calibrate past the clustered one: $npS vs $npC")
+    } finally spark.conf.unset("graft.search.ivfThreshold")
+  }
+
   test("per-tenant IVF centroid artifacts round-trip through save/load") {
     val s = spark
     import s.implicits._
