@@ -475,6 +475,16 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
             case Some((batch, params)) =>
               ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
               ex.sendResponseHeaders(200, 0) // chunked
+              // toLocalIterator submits one job per partition FROM THIS
+              // THREAD, so a thread-local job group scopes exactly the
+              // stream's Spark work: when the client dies mid-stream
+              // (the write throws), cancelling the group interrupts any
+              // in-flight stage instead of letting it run to completion
+              // for a reader that is gone — abandoned iterators submit
+              // no further jobs either way, so nothing leaks.
+              val sc = store.spark.sparkContext
+              val jobGroup = s"graft-ndjson-${java.util.UUID.randomUUID()}"
+              sc.setJobGroup(jobGroup, "NDJSON stream", interruptOnCancel = true)
               try {
                 streamBatch(batch, params, ex.getResponseBody)
                 if (sub.nonEmpty) {
@@ -487,9 +497,15 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
                 // only error signal we can still send
                 case e: Exception =>
                   countError()
-                  val line = s"""{"error":${quote(e.getMessage)}}""" + "\n"
-                  ex.getResponseBody.write(line.getBytes(StandardCharsets.UTF_8))
-              } finally ex.close()
+                  sc.cancelJobGroup(jobGroup)
+                  try {
+                    val line = s"""{"error":${quote(e.getMessage)}}""" + "\n"
+                    ex.getResponseBody.write(line.getBytes(StandardCharsets.UTF_8))
+                  } catch { case _: Exception => () } // client is gone
+              } finally {
+                sc.clearJobGroup()
+                ex.close()
+              }
               return
             case None => // write batch: buffered path below
           }

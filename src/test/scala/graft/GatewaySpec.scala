@@ -592,6 +592,64 @@ class GatewaySpec extends GraftSuite {
       == """{"c":3}""")
   }
 
+  test("NDJSON stream: client disconnect mid-stream releases the Spark work, gateway stays up") {
+    val s = spark
+    import s.implicits._
+    // a result big enough (~10 MB of NDJSON) that the server outruns
+    // the socket buffers and blocks mid-stream when the client stops
+    // reading — the disconnect must surface as a write failure
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val big = s.range(300000).select(col("id").as("_id"),
+      lit("U").as("_label"), concat(lit("user-"), col("id")).as("name"))
+    val store = new graft.model.GraphStore(s, Map("U" -> big), Map.empty, Map.empty)
+    val gw = new Gateway(store, port = 16979)
+    gw.start()
+    try {
+      val req =
+        """{"request_type":"read","query":{"queries":[{"Query":{"name":"all",
+          "steps":[{"N":"All"},{"Values":["name"]}],"condition":null}}],
+          "returns":["all"]},"parameters":{}}"""
+      val body = req.getBytes("UTF-8")
+      val sock = new java.net.Socket("localhost", 16979)
+      val os = sock.getOutputStream
+      os.write(("POST /v1/query HTTP/1.1\r\nHost: localhost\r\n" +
+        "x-graft-stream: ndjson\r\nContent-Type: application/json\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8"))
+      os.write(body); os.flush()
+      // read a little of the stream to prove it started, then die
+      // ABRUPTLY (SO_LINGER 0 sends RST, so the server's blocked write
+      // fails instead of waiting on a dead peer)
+      val is = sock.getInputStream
+      val buf = new Array[Byte](8192)
+      var got = 0
+      while (got < 16384) {
+        val n = is.read(buf)
+        if (n < 0) got = Int.MaxValue else got += n
+      }
+      sock.setSoLinger(true, 0)
+      sock.close()
+      // the abandoned stream must release its Spark work: no active
+      // jobs remain once the handler's write fails and the job group
+      // is cancelled
+      val deadline = System.currentTimeMillis() + 20000
+      def active() = s.sparkContext.statusTracker.getActiveJobIds().length
+      while (System.currentTimeMillis() < deadline && active() > 0)
+        Thread.sleep(200)
+      assert(active() == 0, "leaked active Spark jobs after client disconnect")
+      // and the gateway still serves: a fresh buffered request answers
+      val conn = new java.net.URL("http://localhost:16979/v1/query")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"request_type":"read","query":{"queries":[{"Query":{"name":"n",
+          "steps":[{"N":"All"},"Count"],"condition":null}}],
+          "returns":["n"]},"parameters":{}}""".getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200)
+      val out = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(out == """{"n":300000}""", out)
+    } finally gw.stop()
+  }
+
   test("mcp protocol faults use jsonrpc errors; tool faults report in-band") {
     val gw = new Gateway(TestBase.parityGraph())
     val parse = mcpTree(gw, "{nope")
