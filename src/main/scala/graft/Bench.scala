@@ -210,6 +210,8 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
     warm("minhashSig")(graft.pipeline.Dedup.minhashSignatureCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6))
+    warm("simhashSig")(graft.pipeline.Dedup.simhashCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id"))
     warm("shingleArr")(graft.pipeline.Dedup.shingleArrayCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
     warm("termCounts")(graft.pipeline.TextAnalysis.termCountsCached(
