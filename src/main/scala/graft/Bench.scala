@@ -212,6 +212,9 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3, 6))
     warm("simhashSig")(graft.pipeline.Dedup.simhashCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id"))
+    warm("winnowFps")(graft.pipeline.Dedup.winnowFingerprintSetCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+      k = 3, w = 4))
     warm("shingleArr")(graft.pipeline.Dedup.shingleArrayCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", 3))
     warm("termCounts")(graft.pipeline.TextAnalysis.termCountsCached(

@@ -107,17 +107,7 @@ object Dedup {
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 2,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    // tokens AND k-gram hashes staged as attributes: every lambda
-    // below slices a computed ARRAY, not a re-evaluated expression
-    // (inlined, each per-k-gram slice re-runs the tokenizer and each
-    // per-window slice re-runs every md5 — quadratic per doc; see
-    // winnowFromHashes)
-    val fps = df
-      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
-      .select(col("_id"), winnowKgramHashes(col("_t"), k).as("_gh"))
-      .select(col("_id"),
-        explode(winnowFromHashes(col("_gh"), w)).as("_fp"))
-      .distinct()
+    val fps = winnowFingerprintSetCached(df, textCol, idCol, k, w)
     val kept =
       if (maxDf == Int.MaxValue) fps
       else fps.withColumn("_df",
@@ -132,6 +122,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Distinct (doc, winnow fingerprint) pairs, memoized per
+    * (canonicalized source plan, textCol, idCol, k, w) — write-time
+    * material exactly like the shingle/MinHash/SimHash artifacts: the
+    * selected-fingerprint inverted index is what a 100 TB deployment
+    * stores at ingest, and the query-time knobs (`maxDf`, `minShared`)
+    * apply DOWNSTREAM of it, so every winnowing query serves from one
+    * build. Tokens and k-gram hashes are staged as attributes inside
+    * (each lambda slices a computed ARRAY — the r9
+    * inlined-expression-quadratic fix). FIFO-bounded, unpersists on
+    * evict, cleared by [[clearShingleCache]].
+    */
+  def winnowFingerprintSetCached(df: DataFrame, textCol: String,
+      idCol: String, k: Int, w: Int, eager: Boolean = true): DataFrame = {
+    val key = (planKey(df), s"$textCol|$idCol", k, w)
+    var built: DataFrame = null
+    val fps = winnowFpCache.synchronized {
+      val hit = winnowFpCache.get(key)
+      if (hit != null) hit
+      else {
+        built = df
+          .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+          .select(col("_id"), winnowKgramHashes(col("_t"), k).as("_gh"))
+          .select(col("_id"),
+            explode(winnowFromHashes(col("_gh"), w)).as("_fp"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        winnowFpCache.put(key, built)
+        built
+      }
+    }
+    if (eager && (fps eq built)) fps.count()
+    fps
+  }
+
+  private val winnowFpCache =
+    new java.util.LinkedHashMap[(String, String, Int, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Int), DataFrame]): Boolean = {
+        val evict = size() > ShingleCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Exact dedup: canonical (min) id per distinct text digest. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -334,6 +368,10 @@ object Dedup {
     simhashSigCache.synchronized {
       simhashSigCache.values.asScalaIterator.foreach(_.unpersist(false))
       simhashSigCache.clear()
+    }
+    winnowFpCache.synchronized {
+      winnowFpCache.values.asScalaIterator.foreach(_.unpersist(false))
+      winnowFpCache.clear()
     }
   }
   private implicit class JIter[T](v: java.util.Collection[T]) {
