@@ -286,24 +286,41 @@ object Bpe {
   private val countMemos = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
   private val MemoCapPerChain = 1 << 20
+  /** Distinct merge chains memoized at once — a long-lived server that
+    * keeps retraining (new chain fingerprint per train) must not grow
+    * one memo map per historical chain forever; past the cap, new
+    * chains compute unmemoized (correctness unaffected).
+    */
+  private val MaxMemoChains = 16
+
+  private def memoFor(fp: String)
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = {
+    val hit = countMemos.get(fp)
+    if (hit != null) hit
+    else if (countMemos.size >= MaxMemoChains) null
+    else countMemos.computeIfAbsent(fp,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+  }
 
   private def sumCountsUdf(fp: String, merges: Array[(String, String)],
       seed: String => Array[String]) =
     udf((ws: Seq[String]) => {
       if (ws == null) 0L
       else {
-        val memo = countMemos.computeIfAbsent(fp,
-          _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+        val memo = memoFor(fp)
         var total = 0L
         val it = ws.iterator
         while (it.hasNext) {
           val w = it.next()
-          val c = memo.get(w)
-          if (c != null) total += c
+          if (memo == null) total += countTokensLocal(seed(w), merges)
           else {
-            val v = countTokensLocal(seed(w), merges)
-            if (memo.size < MemoCapPerChain) memo.put(w, v)
-            total += v
+            val c = memo.get(w)
+            if (c != null) total += c
+            else {
+              val v = countTokensLocal(seed(w), merges)
+              if (memo.size < MemoCapPerChain) memo.put(w, v)
+              total += v
+            }
           }
         }
         total

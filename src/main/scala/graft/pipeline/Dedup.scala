@@ -1188,6 +1188,11 @@ object Dedup {
     boundedKeyPairs(banded, Seq("bi", "bk"), "_e", cap = cap)
       .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
         col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
+      // the struct ordering above is by (id, hash), so a duplicate-id
+      // input (a re-ingested row) could pair with itself on the id
+      // level; the explicit guard keeps the id-level contract the
+      // per-modality implementations had
+      .where(col("id_a") =!= col("id_b"))
       .withColumn("hamming",
         bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
       .where(col("hamming") <= maxHam)

@@ -150,9 +150,16 @@ object GraphStream {
     }
     val keyUdf = udf((h: java.lang.Long) =>
       Multimodal.bandKeysOfHash(h, bands, bandBits))
+    // pin the keyed frame across the two actions below: decode+hash is
+    // the expensive (codec CPU) stage, and without the persist the
+    // bloom-sizing count and the bloomFilter build would each run the
+    // full corpus decode
     val keyed = hs.where(col("_h").isNotNull)
       .select(explode(keyUdf(col("_h"))).as("_k"))
-    val bloom = keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
+      finally keyed.unpersist(false)
     val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
     val hashOf: Array[Byte] => Option[Long] = modality match {
       case "image" => Multimodal.imageHashOf _

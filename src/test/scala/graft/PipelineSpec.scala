@@ -1283,6 +1283,16 @@ class PipelineSpec extends GraftSuite {
         bands = 4, bandBits = 16, maxHam = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(gotDefault == exact)
+    // duplicate-id input (a re-ingested row, same or near hash) must
+    // never emit an id-level self-pair
+    val dup = Seq((7L, 0x00AA0000_00001234L), (7L, 0x00AA0000_00001234L),
+      (7L, 0x00AA0001_00001234L), (9L, 0x00AA0000_00001234L))
+      .toDF("id", "h")
+    val dupPairs = Dedup.bandedHammingPairs(dup, "id", "h",
+        bands = 4, bandBits = 16, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.forall { case (a, b) => a != b }, s"self-pairs: $dupPairs")
+    assert(dupPairs.contains((7L, 9L)))
   }
 
   test("winnowing: shared runs >= k+w-1 tokens always share a fingerprint") {
