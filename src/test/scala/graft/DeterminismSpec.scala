@@ -101,6 +101,26 @@ class DeterminismSpec extends GraftSuite {
     }
   }
 
+  test("banded-Hamming near-dup pairs are partitioning-independent") {
+    // the one blocking helper behind simhash/image/audio/video: both
+    // boundedKeyPairs branches (grouped read AND hash-sub-bucket
+    // split) must yield the same pair set at any parallelism
+    val s = spark
+    import s.implicits._
+    def hashes(parts: Int) = (0 until 80).map { i =>
+      val high =
+        if (i < 10) (0x5555L << 16) | (1L << (33 + (i % 6)))
+        else (i.toLong * 0x9E3779B97L) & 0x7FFFFFFFFFFF0000L
+      (i.toLong, high | 0x4321L)
+    }.toDF("id", "h").repartition(parts)
+    for (cap <- Seq(4, 4096)) {
+      check(s"bandedHammingPairs(cap=$cap)") { (_, ip) =>
+        Dedup.bandedHammingPairs(hashes(ip), "id", "h",
+          bands = 4, bandBits = 16, maxHam = 3, cap = cap)
+      }
+    }
+  }
+
   test("global orderings (shuffle, curriculum) are partitioning-independent") {
     // sort + zipWithIndex positions must equal the global rank in the
     // total order regardless of how the range partitioner splits it
