@@ -1295,6 +1295,36 @@ class PipelineSpec extends GraftSuite {
     assert(dupPairs.contains((7L, 9L)))
   }
 
+  test("bandedHammingPairs: generative banding == exact all-pairs over random hash corpora") {
+    val s = spark
+    import s.implicits._
+    // random corpora with planted near-dup structure: base hashes plus
+    // jittered copies at Hamming 1..3 — the pigeonhole-exactness claim
+    // must hold for arbitrary 63-bit values, not just the fixtures
+    for (seed <- Seq(5, 23, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Seq.fill(40)(rnd.nextLong() & Long.MaxValue)
+      val jittered = base.take(15).map { h =>
+        var x = h
+        (0 until 1 + rnd.nextInt(3))
+          .foreach(_ => x ^= 1L << rnd.nextInt(63))
+        x
+      }
+      val all = (base ++ jittered).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+      val byId = all.toMap
+      val exact = (for {
+        a <- byId.keys; b <- byId.keys if a < b
+        d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= 3
+      } yield (a, b, d)).toSet
+      assert(exact.nonEmpty, s"seed $seed must plant near-dups")
+      val got = Dedup.bandedHammingPairs(all.toDF("id", "h"), "id", "h",
+          bands = 4, bandBits = 16, maxHam = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == exact, s"seed $seed: ${got.size} vs ${exact.size}")
+    }
+  }
+
   test("winnowing: shared runs >= k+w-1 tokens always share a fingerprint") {
     val s = spark
     import s.implicits._
