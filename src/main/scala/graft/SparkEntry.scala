@@ -493,6 +493,29 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
     "q_embed_pairs" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5)),
+    // sign-random-projection (Charikar cosine LSH) near-dup pairs:
+    // hyperplane-sign signatures of the corpus augmented with planted
+    // exact (+100000) and micro-jittered (+200000, first two dims
+    // +0.001) copies, then the same banded-Hamming blocking as the
+    // text/media paths — the EMBEDDING arm of the near-dup matrix.
+    // Every signature bit is integer-deterministic, so the oracle
+    // recomputes the full sign matrix + signatures + all-pairs
+    // Hamming in SQL
+    "q_embed_srp_pairs" -> ((s, d) => {
+      val e = emb(s, d)
+      def dbl(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double"))
+      val aug = e.select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+        .unionAll(e.select((col("vec_id") + 100000).as("vec_id"),
+          dbl(col("embedding")).as("embedding")))
+        .unionAll(e.select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i < 2, x.cast("double") + 0.001)
+              .otherwise(x.cast("double"))).as("embedding")))
+      val sig = VectorOps.signSignature63(aug, "embedding", "_srp", inDim = 64)
+      Dedup.bandedHammingPairs(sig, "vec_id", "_srp",
+        bands = 4, bandBits = 16, maxHam = 3)
+    }),
     // batch k-NN join: top-5 cosine neighbors for each of 8 query
     // vectors — the retrieval / semantic-dedup primitive (one corpus
     // scan, per-partition k-heaps, no corpus shuffle)
@@ -1502,6 +1525,26 @@ object SparkEntry {
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) >= 0.5"),
+    // every SRP signature bit recomputed from the md5 sign matrix over
+    // the quantized augmented corpus, then exact all-pairs Hamming
+    // <= 3 — the banded engine path must agree
+    "q_embed_srp_pairs" -> ("WITH base AS (SELECT vec_id, embedding " +
+      "FROM embeddings), " +
+      "aug AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS v FROM base " +
+      "UNION ALL SELECT vec_id + 100000, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) FROM base " +
+      "UNION ALL SELECT vec_id + 200000, list_transform(embedding, " +
+      "(x, i) -> CASE WHEN i <= 2 THEN CAST(x AS DOUBLE) + 0.001 " +
+      "ELSE CAST(x AS DOUBLE) END) FROM base), " +
+      "qv AS (SELECT vec_id, list_transform(v, " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM aug), " +
+      "sg AS MATERIALIZED (SELECT vec_id, " +
+      VectorOps.oracleSignSignatureSqlExpr(64) + " AS sig FROM qv) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
+      "FROM sg a JOIN sg b ON a.vec_id < b.vec_id " +
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 3"),
     // exact top-k pair count recomputed independently; the recall gate
     // outcome is pinned (the engine measures its distributed join
     // against its own exact broadcast join in-plan)

@@ -150,6 +150,46 @@ object VectorOps {
     staged.withColumn(out, array(comps: _*)).drop("_rp_q")
   }
 
+  /** Sign-random-projection signature (Charikar 2002 cosine LSH): bit
+    * j of the 63-bit signature is 1 iff the vector's projection onto
+    * deterministic hyperplane j is positive — two vectors' signature
+    * Hamming distance estimates their ANGLE (P[bit differs] = θ/π),
+    * so banded-Hamming blocking over signatures is the embedding
+    * analogue of SimHash over token vectors. Same [[rpSign]] ±1
+    * hyperplanes and integer quantization as [[randomProject]]
+    * (bit-deterministic across engines and partitionings; an SQL
+    * oracle recomputes every bit); 63 bits so the signature survives
+    * engines whose `<<` rejects the sign bit, splitting into the
+    * standard 4×16-bit bands. ONE exchange-free scan, O(d·63)
+    * multiplies per row.
+    */
+  def signSignature63(df: DataFrame, vecCol: String, out: String,
+      inDim: Int, scale: Long = 1000000L): DataFrame = {
+    val staged = df.withColumn("_srp_q",
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")))
+    val bits = (0 until 63).map { j =>
+      val signs = array((0 until inDim).map(i => lit(rpSign(i, j))): _*)
+      val comp = aggregate(zip_with(col("_srp_q"), signs, (x, s) => x * s),
+        lit(0L), (a, x) => a + x)
+      when(comp > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    staged.withColumn(out, bits.reduce((a, b) => a.bitwiseOR(b)))
+      .drop("_srp_q")
+  }
+
+  /** The [[signSignature63]] BIGINT expression in DuckDB SQL over a
+    * quantized BIGINT list column `q` (1-based list indexing; the sign
+    * matrix recomputed from md5 exactly like
+    * [[oracleRandomProjectSql]]).
+    */
+  def oracleSignSignatureSqlExpr(inDim: Int): String =
+    (0 until 63).map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(0, $inDim), i -> " +
+        s"(CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || $j), 1, 1))::BIGINT " +
+        s"% 2 = 0 THEN 1 ELSE -1 END) * q[i + 1])) > 0 " +
+        s"THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Generated DuckDB oracle for [[randomProject]]: the sign matrix is
     * RECOMPUTED from md5 in SQL (independent of [[rpSign]]'s JVM MD5)
     * and the quantized matmul replayed per output component.

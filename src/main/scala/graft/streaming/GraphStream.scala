@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -171,6 +171,51 @@ object GraphStream {
         Multimodal.bandKeysOfHash(h, bands, bandBits)
           .exists(bloomB.value.mightContainString)))
     stream.where(!hits(col(binCol)))
+  }
+
+  /** The (band, value) key array of a 63-bit hash column — the column
+    * form of `Multimodal.bandKeysOfHash` (same "b:v" strings), so a
+    * corpus-side Bloom build and a stream-side probe agree by
+    * construction.
+    */
+  private def bandKeyCols(sig: Column, bands: Int, bandBits: Int): Column =
+    array((0 until bands).map(b => concat_ws(":", lit(b),
+      shiftright(sig, b * bandBits).bitwiseAND((1L << bandBits) - 1))): _*)
+
+  /** EMBEDDING near-dup filtering at ingest — the third arm of the
+    * near-dup matrix (text [[nearDupIngestFilter]], media
+    * [[mediaNearDupIngestFilter]], and now vectors): drop stream rows
+    * whose sign-random-projection signature
+    * ([[graft.search.VectorOps.signSignature63]], Charikar cosine
+    * LSH) shares any 16-bit band with the standing corpus — a
+    * re-embedded or trivially-perturbed document never lands twice.
+    *
+    * Plan shape: the corpus side reduces its signature frame to a
+    * broadcast Bloom of `(band, value)` keys (built once, persisted
+    * across the sizing count and the build); the stream side computes
+    * the signature as a pure integer expression per row — no UDF
+    * decode, no shuffle, no state store. Signature Hamming estimates
+    * ANGLE (P[bit differs] = θ/π), so band-sharing is the
+    * probabilistic cosine-near-dup gate: near-identical directions
+    * share bands with near-certainty; the drop is conservative by the
+    * same trade as the text filter.
+    */
+  def embeddingNearDupIngestFilter(stream: DataFrame, corpus: DataFrame,
+      vecCol: String, inDim: Int, fpp: Double = 0.01): DataFrame = {
+    import graft.search.VectorOps
+    val bands = 4; val bandBits = 16
+    val keyed = VectorOps.signSignature63(corpus, vecCol, "_srp", inDim)
+      .select(explode(bandKeyCols(col("_srp"), bands, bandBits)).as("_k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
+      finally keyed.unpersist(false)
+    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    val hits = udf((ks: Seq[String]) =>
+      ks != null && ks.exists(bloomB.value.mightContainString))
+    VectorOps.signSignature63(stream, vecCol, "_srp", inDim)
+      .where(!hits(bandKeyCols(col("_srp"), bands, bandBits)))
+      .drop("_srp")
   }
 
   /** Watermarked stream-stream interval join — the streaming mirror

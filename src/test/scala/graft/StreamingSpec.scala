@@ -129,6 +129,62 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("embeddingNearDupIngestFilter drops a re-embedded vector; batch parity on survivors") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import graft.search.VectorOps
+    import graft.pipeline.Multimodal
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val corpusRows = (0 until 60).map(i => (i.toLong, vec()))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // corpus band keys, brute force via the engine's own signature
+    val sigs = VectorOps.signSignature63(corpus, "embedding", "_srp", dim)
+      .select("vec_id", "_srp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusKeys = sigs.values
+      .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16)).toSet
+    // the near-dup: an exact re-embedding of a corpus vector
+    val dupVec = corpusRows.head._2
+    // a fresh vector: first random candidate sharing NO band
+    val candidates = (0 until 200).map(i => (1000L + i, vec()))
+    val candSigs = VectorOps.signSignature63(
+        candidates.toDF("vec_id", "embedding"), "embedding", "_srp", dim)
+      .select("vec_id", "_srp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fresh = candidates.find { case (id, _) =>
+      Multimodal.bandKeysOfHash(candSigs(id), 4, 16)
+        .forall(!corpusKeys.contains(_))
+    }
+    assert(fresh.isDefined, "fixture needs a vector sharing no band")
+    val freshVec = fresh.get._2
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = GraphStream.embeddingNearDupIngestFilter(stream, corpus,
+        "embedding", dim)
+      .writeStream.format("memory").queryName("embclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((500L, freshVec))
+      q.processAllAvailable()
+      // the re-embedding arrives in a LATER micro-batch: still dropped
+      mem.addData((501L, dupVec), (502L, freshVec))
+      q.processAllAvailable()
+      val kept = s.table("embclean").select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!kept.contains(501L), "re-embedded corpus vector must drop")
+      assert(kept == Set(500L, 502L), s"fresh vectors must survive: $kept")
+      // batch == stream parity
+      val batchKept = GraphStream.embeddingNearDupIngestFilter(
+        Seq((500L, freshVec), (501L, dupVec), (502L, freshVec))
+          .toDF("vec_id", "embedding"), corpus, "embedding", dim)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == kept, s"batch $batchKept vs stream $kept")
+    } finally q.stop()
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
