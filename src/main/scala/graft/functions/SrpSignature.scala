@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: sign-random-projection signature
+  * (Charikar cosine LSH) of an array column — bit j is 1 iff the
+  * quantized vector's dot product with ±1 hyperplane j is positive.
+  *
+  * The sign matrix ships as ONE reference object (a flattened
+  * `long[]` via `ctx.addReferenceObj`), so the generated code is a
+  * fixed two-loop long kernel at any (bits × dim) — the higher-order
+  * `aggregate`/`zip_with` formulation it replaces built 63 interpreted
+  * array-fold trees per row (never codegen'd; measured 4.4 s for 6k
+  * rows × 63×64 at sf0.1, ~10× this kernel). Same discipline as
+  * [[NearestCentroid]].
+  *
+  * Semantics are BIT-IDENTICAL to the expression form
+  * (`VectorOps.signSignature63`'s previous body) and to the DuckDB
+  * oracle:
+  *  - quantization replays Spark's `round(x * scale)` exactly:
+  *    decimal-string HALF_UP (`BigDecimal(Double.toString(m))`), which
+  *    also equals DuckDB's away-from-zero `round` on every double
+  *    (both round the decimal value, ties away from zero);
+  *  - a vector whose length differs from `dim` signs to 0L — the
+  *    `zip_with` null-padding behavior of the expression form.
+  */
+case class SrpSignature(child: Expression, signs: Array[Long], dim: Int,
+    bits: Int, scale: Long) extends UnaryExpression {
+
+  require(signs.length == bits * dim,
+    s"sign matrix must be bits x dim = ${bits * dim}, got ${signs.length}")
+  require(bits > 0 && bits <= 63, s"1..63 bits, got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_signature"
+
+  @transient private lazy val elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_signature needs array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) 0L
+    else {
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        q(i) = SrpSignature.roundHalfUp(x * scale)
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val base = j * dim
+        var c = 0L
+        var k = 0
+        while (k < dim) { c += q(k) * signs(base + k); k += 1 }
+        if (c > 0) sig |= 1L << j
+        j += 1
+      }
+      sig
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("srpSigns", signs, "long[]")
+    val getter = if (elementIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val q = ctx.freshName("q"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val c = ctx.freshName("c"); val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      s"""
+         |long $sig = 0L;
+         |if ($arr.numElements() == $dim) {
+         |  long[] $q = new long[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $q[$i] = graft.functions.SrpSignature.roundHalfUp(
+         |      ((double) $arr.$getter($i)) * ${scale}L);
+         |  }
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = $j * $dim;
+         |    long $c = 0L;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      $c += $q[$k] * $sRef[$base + $k];
+         |    }
+         |    if ($c > 0) $sig |= 1L << $j;
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
+object SrpSignature {
+  /** Spark's `round(double)` semantics, callable from generated code:
+    * decimal-string HALF_UP — `BigDecimal(Double.toString(d))` rounds
+    * the shortest decimal representation, ties away from zero (equal
+    * to DuckDB's `round` on every double; NOT `Math.floor(d + 0.5)`,
+    * which misrounds 0.49999999999999994 to 1).
+    */
+  def roundHalfUp(d: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Column-level entry point. */
+  def apply(vec: Column, signs: Array[Long], dim: Int, bits: Int,
+      scale: Long): Column =
+    toColumn(SrpSignature(toExpression(vec), signs, dim, bits, scale))
+}

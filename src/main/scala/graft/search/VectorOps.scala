@@ -164,7 +164,31 @@ object VectorOps {
     * multiplies per row.
     */
   def signSignature63(df: DataFrame, vecCol: String, out: String,
-      inDim: Int, scale: Long = 1000000L): DataFrame = {
+      inDim: Int, scale: Long = 1000000L): DataFrame =
+    df.withColumn(out, graft.functions.SrpSignature(col(vecCol),
+      srpSignMatrix(inDim, 63), inDim, 63, scale))
+
+  /** Row-major (bits × dim) flattened ±1 sign matrix from [[rpSign]] —
+    * the one reference object the native kernel ships.
+    */
+  private[graft] def srpSignMatrix(inDim: Int, bits: Int): Array[Long] = {
+    val m = new Array[Long](bits * inDim)
+    var j = 0
+    while (j < bits) {
+      var i = 0
+      while (i < inDim) { m(j * inDim + i) = rpSign(i, j); i += 1 }
+      j += 1
+    }
+    m
+  }
+
+  /** Higher-order-function form of [[signSignature63]] — kept as the
+    * parity reference for the native [[graft.functions.SrpSignature]]
+    * kernel (SearchSpec asserts bit-equality); 63 interpreted
+    * array-folds per row, ~10× the kernel's cost.
+    */
+  private[graft] def signSignature63Hof(df: DataFrame, vecCol: String,
+      out: String, inDim: Int, scale: Long = 1000000L): DataFrame = {
     val staged = df.withColumn("_srp_q",
       transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")))
     val bits = (0 until 63).map { j =>

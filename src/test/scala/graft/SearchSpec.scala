@@ -329,6 +329,34 @@ class SearchSpec extends GraftSuite {
     fused.foreach { case (k, v) => assert(v == hof(k), s"id $k: $v vs ${hof(k)}") }
   }
 
+  test("SrpSignature native kernel equals the HOF formulation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    // random floats (incl. negatives and near-zero), plus a
+    // length-mismatch row (zip_with null-padding -> 0 signature)
+    val rows = (0 until 150).map { i =>
+      val d = if (i == 149) dim - 3 else dim
+      (i.toLong, Seq.fill(d)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "v")
+    def m(out: org.apache.spark.sql.DataFrame) =
+      out.select("vec_id", "_sig").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = m(VectorOps.signSignature63(df, "v", "_sig", dim))
+    val hof = m(VectorOps.signSignature63Hof(df, "v", "_sig", dim))
+    assert(native == hof, s"${native.size} sigs; first diff: " +
+      native.find { case (k, v) => hof(k) != v })
+    assert(native(149L) == 0L, "length-mismatch row must sign to 0")
+    assert(native.values.toSet.size > 100, "signatures must discriminate")
+    // double-element arrays take the same path
+    val ddf = rows.take(20).map { case (id, v) => (id, v.map(_.toDouble)) }
+      .toDF("vec_id", "v")
+    assert(m(VectorOps.signSignature63(ddf, "v", "_sig", dim)) ==
+      m(VectorOps.signSignature63Hof(ddf, "v", "_sig", dim)))
+  }
+
   test("NearestCentroid matches the literal-argmin formulation bit-for-bit") {
     val df = vecs(200, 16)
     val rnd = new scala.util.Random(7)
