@@ -173,15 +173,22 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
   private[server] def handleStoredT(name: String, paramsJson: String): (String, Boolean) = {
     val (batch, pmap) = storedBatchParams(name, paramsJson)
     val rendered = executeBatch(batch, pmap)
+    markServed(name)
+    rendered
+  }
+
+  /** Record a stored route as served: warms it and bumps its hit
+    * counter (shared by the buffered, streamed, and Router paths).
+    */
+  private[server] def markServed(name: String): Unit = {
     warm.add(name)
     routeHits.computeIfAbsent(name, _ => new AtomicLong).incrementAndGet()
-    rendered
   }
 
   /** Resolve a stored route to its batch plus coerced parameters (the
     * shared front half of the buffered and NDJSON-streamed paths).
     */
-  private def storedBatchParams(name: String,
+  private[server] def storedBatchParams(name: String,
       paramsJson: String): (graft.ast.Batch, Map[String, graft.ast.PropertyValue]) = {
     val route = Option(stored.get(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown stored query: $name"))
@@ -391,6 +398,45 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
     w.flush()
   }
 
+  /** Stream a read batch as NDJSON over an exchange: NDJSON headers, a
+    * per-request cancellable job group, mid-stream error lines, and
+    * exchange close. toLocalIterator submits one job per partition
+    * FROM THIS THREAD, so the thread-local job group scopes exactly
+    * the stream's Spark work: when the client dies mid-stream (the
+    * write throws), cancelling the group interrupts any in-flight
+    * stage instead of letting it run to completion for a reader that
+    * is gone — abandoned iterators submit no further jobs either way,
+    * so nothing leaks. Shared by this gateway's handler and the
+    * Router's streaming passthrough (which sets its topology headers
+    * on `ex` before calling).
+    */
+  private[server] def streamServe(ex: HttpExchange, batch: graft.ast.Batch,
+      params: Map[String, graft.ast.PropertyValue],
+      onSuccess: () => Unit): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val sc = store.spark.sparkContext
+    val jobGroup = s"graft-ndjson-${java.util.UUID.randomUUID()}"
+    sc.setJobGroup(jobGroup, "NDJSON stream", interruptOnCancel = true)
+    try {
+      streamBatch(batch, params, ex.getResponseBody)
+      onSuccess()
+    } catch {
+      // headers are gone; the truncated chunk stream is the only
+      // error signal we can still send
+      case e: Exception =>
+        countError()
+        sc.cancelJobGroup(jobGroup)
+        try {
+          val line = s"""{"error":${quote(e.getMessage)}}""" + "\n"
+          ex.getResponseBody.write(line.getBytes(StandardCharsets.UTF_8))
+        } catch { case _: Exception => () } // client is gone
+    } finally {
+      sc.clearJobGroup()
+      ex.close()
+    }
+  }
+
   def handle(body: String): String = handleT(body)._1
 
   private[server] def handleT(body: String): (String, Boolean) =
@@ -473,39 +519,8 @@ class Gateway(@volatile private var store: GraphStore, port: Int = 6969,
             }
           parsed match {
             case Some((batch, params)) =>
-              ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-              ex.sendResponseHeaders(200, 0) // chunked
-              // toLocalIterator submits one job per partition FROM THIS
-              // THREAD, so a thread-local job group scopes exactly the
-              // stream's Spark work: when the client dies mid-stream
-              // (the write throws), cancelling the group interrupts any
-              // in-flight stage instead of letting it run to completion
-              // for a reader that is gone — abandoned iterators submit
-              // no further jobs either way, so nothing leaks.
-              val sc = store.spark.sparkContext
-              val jobGroup = s"graft-ndjson-${java.util.UUID.randomUUID()}"
-              sc.setJobGroup(jobGroup, "NDJSON stream", interruptOnCancel = true)
-              try {
-                streamBatch(batch, params, ex.getResponseBody)
-                if (sub.nonEmpty) {
-                  warm.add(sub)
-                  routeHits.computeIfAbsent(sub, _ => new AtomicLong)
-                    .incrementAndGet()
-                }
-              } catch {
-                // headers are gone; the truncated chunk stream is the
-                // only error signal we can still send
-                case e: Exception =>
-                  countError()
-                  sc.cancelJobGroup(jobGroup)
-                  try {
-                    val line = s"""{"error":${quote(e.getMessage)}}""" + "\n"
-                    ex.getResponseBody.write(line.getBytes(StandardCharsets.UTF_8))
-                  } catch { case _: Exception => () } // client is gone
-              } finally {
-                sc.clearJobGroup()
-                ex.close()
-              }
+              streamServe(ex, batch, params,
+                () => if (sub.nonEmpty) markServed(sub))
               return
             case None => // write batch: buffered path below
           }

@@ -131,6 +131,51 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     }
   }
 
+  /** Dispatch + stream one NDJSON read over `ex`. Returns true when
+    * the exchange was handled (streamed, or a pre-flight client error
+    * was sent); false when the request is a write batch — those keep
+    * the buffered mutation-summary contract, so the caller falls
+    * through to [[route]]. Parse/route/warm failures throw and the
+    * caller sends the shared 400 contract.
+    */
+  private def routeStreaming(sub: String, body: String,
+      hdr: String => Option[String],
+      ex: HttpExchange): Boolean = {
+    val parsed = if (sub.isEmpty) Some(Json.parseRequest(body)) else None
+    val toWriter = hdr("x-helix-require-writer").exists(_.trim.toLowerCase == "true") ||
+      parsed.map(_.batch.write)
+        .getOrElse(writer.storedIsWrite(sub).getOrElse(false))
+    val (gw, servedBy, pos) =
+      if (toWriter) (writer, "writer", GraphWal.commitPosition(walRoot))
+      else {
+        val r = readers(math.floorMod(rr.getAndIncrement(), readers.length))
+        val minPos = hdr("x-graft-min-position").flatMap(_.toLongOption).getOrElse(-1L)
+        val stale = hdr("x-graft-stale").exists(_.trim.toLowerCase == "true")
+        val p = if (stale && r.position >= minPos) r.position else r.refresh()
+        if (p < minPos) {
+          ex.getResponseHeaders.set("x-helix-served-by", r.name)
+          send(ex,
+            s"""{"error":"replica behind requested position: $p < $minPos"}""",
+            400)
+          return true
+        }
+        (r.gateway, r.name, p)
+      }
+    val warmOnly = hdr("x-helix-warm").exists(_.trim.toLowerCase == "true")
+    if (sub.nonEmpty && warmOnly && !gw.isWarm(sub))
+      throw new IllegalArgumentException(s"query not warm: $sub")
+    val (batch, params) = parsed match {
+      case Some(req) => (req.batch, req.parameters)
+      case None => gw.storedBatchParams(sub, body)
+    }
+    if (batch.write) return false // buffered mutation summary
+    ex.getResponseHeaders.set("x-helix-served-by", servedBy)
+    ex.getResponseHeaders.set("x-graft-wal-position", pos.toString)
+    gw.streamServe(ex, batch, params,
+      () => if (sub.nonEmpty) gw.markServed(sub))
+    true
+  }
+
   private def respond(resp: String, truncated: Boolean, servedBy: String,
       pos: Long): (String, Map[String, String]) = {
     val base = Map("x-helix-served-by" -> servedBy,
@@ -167,11 +212,32 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         if (!requireAuth(ex)) return
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val sub = ex.getRequestURI.getPath.stripPrefix("/v1/query").stripPrefix("/")
+        def hd(n: String) = Option(ex.getRequestHeaders.getFirst(n))
+        // NDJSON streaming passthrough: the same opt-in the Gateway
+        // honors works through the cluster topology — dispatch picks
+        // the node (round-robin replica or writer, with the same
+        // freshness contract), then that node's gateway streams the
+        // read straight to this exchange. Write batches and
+        // client errors fall to the buffered path / 400 below.
+        val wantStream = hd("x-graft-stream")
+          .exists(_.trim.toLowerCase == "ndjson") ||
+          hd("accept").exists(_.contains("application/x-ndjson"))
+        if (wantStream) {
+          val handled =
+            try routeStreaming(sub, body, hd, ex)
+            catch {
+              case e: Exception =>
+                nErrors.incrementAndGet()
+                send(ex, s"""{"error":${quote(e.getMessage)}}""", 400)
+                true
+            }
+          if (handled) return
+        }
         // same error contract as the Gateway's own HTTP layer: a
         // failed request is 400 with an {"error":...} body
         var status = 200
         val (resp, headers) =
-          try route(sub, body, n => Option(ex.getRequestHeaders.getFirst(n)))
+          try route(sub, body, hd)
           catch { case e: Exception =>
             nErrors.incrementAndGet()
             status = 400

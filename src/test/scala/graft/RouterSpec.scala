@@ -194,6 +194,48 @@ class RouterSpec extends GraftSuite {
     } finally router.stop()
   }
 
+  test("NDJSON streaming passes through the router: replica-served rows, write fallback, 400 contract") {
+    val dir = walRoot()
+    val router = new Router(spark, dir, port = 16994, numReaders = 1)
+    router.registerQuery("names", graft.ast.Json.parseRequest(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"names",
+        "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+        "condition":null}}],"returns":["names"]},"parameters":{}}""").batch)
+    router.start()
+    try {
+      def post(path: String, body: String, stream: Boolean)
+          : (Int, String, String) = {
+        val conn = new java.net.URL(s"http://localhost:16994$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        if (stream) conn.setRequestProperty("x-graft-stream", "ndjson")
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"),
+          conn.getHeaderField("x-helix-served-by"))
+      }
+      // inline streamed read: NDJSON rows, replica-served, position ack
+      val (c1, b1, by1) = post("/v1/query", countUsers, stream = true)
+      assert(c1 == 200 && by1 == "reader-0", s"$c1 $by1")
+      assert(b1.trim == """{"result":"n","row":{"cnt":3}}""", b1)
+      // stored streamed read serves row-per-line and warms the route
+      val (c2, b2, by2) = post("/v1/query/names", "{}", stream = true)
+      assert(c2 == 200 && by2 == "reader-0")
+      val lines = b2.split("\n").filter(_.nonEmpty)
+      assert(lines.length == 3 && lines.head.contains("Alice"), b2)
+      // a write with the streaming opt-in falls back to the buffered
+      // mutation summary, served by the writer
+      val (c3, b3, by3) = post("/v1/query", addN("Hana"), stream = true)
+      assert(c3 == 200 && by3 == "writer" && b3.contains("Hana"), s"$c3 $b3")
+      // client errors keep the shared 400 contract on the stream path
+      val (c4, b4, _) = post("/v1/query", "not json", stream = true)
+      assert(c4 == 400 && b4.contains("error"), s"$c4 $b4")
+      val (c5, b5, _) = post("/v1/query/nosuch", "{}", stream = true)
+      assert(c5 == 400 && b5.contains("error"), s"$c5 $b5")
+    } finally router.stop()
+  }
+
   test("API key: keyed router rejects missing/wrong bearer, accepts the key; health open") {
     val router = new Router(spark, walRoot(), port = 16991, numReaders = 1,
       apiKey = Some("sekrit"))
