@@ -104,6 +104,27 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("SRP signature is one exchange-free codegen'd scan") {
+    // the native SrpSignature kernel must stay INSIDE whole-stage
+    // codegen (the HOF aggregate/zip_with form it replaced never
+    // codegens); any Exchange means the signature stopped being a
+    // per-row expression
+    import graft.search.VectorOps
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = VectorOps.signSignature63(emb, "embedding", "srp", inDim = 64)
+      .select("vec_id", "srp")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"SRP scan shuffles: $plan")
+    assert(scans(df).size == 1, "SRP must be ONE corpus scan")
+    // `*(n)` prefixes mark WholeStageCodegen spans in the executed
+    // plan's string form: the Project carrying the signature must be
+    // inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("srp_signature") && l.trim.startsWith("*(")),
+      s"SRP kernel fell out of codegen: $plan")
+  }
+
   test("staged L2 normalization computes the norm aggregate exactly once") {
     import graft.search.VectorOps
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
