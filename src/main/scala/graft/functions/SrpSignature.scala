@@ -54,26 +54,42 @@ case class SrpSignature(child: Expression, signs: Array[Long], dim: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // zip_with/aggregate parity: a length-mismatched vector OR one
+    // with any null element nulls every comparison in the expression
+    // form, which signs to 0L. Non-finite elements take the same
+    // degenerate-signature path BY CONTRACT (the expression form's
+    // behavior there is ANSI-config-dependent — the cast throws under
+    // ANSI — and a poisoned ingest row must never kill a streaming
+    // filter): no meaningful direction, signature 0L.
     if (arr.numElements() != dim) 0L
     else {
       val q = new Array[Long](dim)
       var i = 0
-      while (i < dim) {
-        val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        q(i) = SrpSignature.roundHalfUp(x * scale)
+      var anyNull = false
+      while (i < dim && !anyNull) {
+        if (arr.isNullAt(i)) anyNull = true
+        else {
+          val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+            anyNull = true
+          else q(i) = SrpSignature.roundHalfUp(x * scale)
+        }
         i += 1
       }
-      var sig = 0L
-      var j = 0
-      while (j < bits) {
-        val base = j * dim
-        var c = 0L
-        var k = 0
-        while (k < dim) { c += q(k) * signs(base + k); k += 1 }
-        if (c > 0) sig |= 1L << j
-        j += 1
+      if (anyNull) 0L
+      else {
+        var sig = 0L
+        var j = 0
+        while (j < bits) {
+          val base = j * dim
+          var c = 0L
+          var k = 0
+          while (k < dim) { c += q(k) * signs(base + k); k += 1 }
+          if (c > 0) sig |= 1L << j
+          j += 1
+        }
+        sig
       }
-      sig
     }
   }
 
@@ -85,21 +101,32 @@ case class SrpSignature(child: Expression, signs: Array[Long], dim: Int,
       val j = ctx.freshName("j"); val k = ctx.freshName("k")
       val c = ctx.freshName("c"); val sig = ctx.freshName("sig")
       val base = ctx.freshName("base")
+      val anyNull = ctx.freshName("anyNull")
+      val v = ctx.freshName("v")
       s"""
          |long $sig = 0L;
          |if ($arr.numElements() == $dim) {
          |  long[] $q = new long[$dim];
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    $q[$i] = graft.functions.SrpSignature.roundHalfUp(
-         |      ((double) $arr.$getter($i)) * ${scale}L);
-         |  }
-         |  for (int $j = 0; $j < $bits; $j++) {
-         |    int $base = $j * $dim;
-         |    long $c = 0L;
-         |    for (int $k = 0; $k < $dim; $k++) {
-         |      $c += $q[$k] * $sRef[$base + $k];
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $dim && !$anyNull; $i++) {
+         |    if ($arr.isNullAt($i)) { $anyNull = true; }
+         |    else {
+         |      double $v = (double) $arr.$getter($i);
+         |      if (Double.isNaN($v) || Double.isInfinite($v)) { $anyNull = true; }
+         |      else {
+         |        $q[$i] = graft.functions.SrpSignature.roundHalfUp($v * ${scale}L);
+         |      }
          |    }
-         |    if ($c > 0) $sig |= 1L << $j;
+         |  }
+         |  if (!$anyNull) {
+         |    for (int $j = 0; $j < $bits; $j++) {
+         |      int $base = $j * $dim;
+         |      long $c = 0L;
+         |      for (int $k = 0; $k < $dim; $k++) {
+         |        $c += $q[$k] * $sRef[$base + $k];
+         |      }
+         |      if ($c > 0) $sig |= 1L << $j;
+         |    }
          |  }
          |}
          |${ev.value} = $sig;
@@ -112,15 +139,24 @@ case class SrpSignature(child: Expression, signs: Array[Long], dim: Int,
 }
 
 object SrpSignature {
-  /** Spark's `round(double)` semantics, callable from generated code:
-    * decimal-string HALF_UP — `BigDecimal(Double.toString(d))` rounds
-    * the shortest decimal representation, ties away from zero (equal
-    * to DuckDB's `round` on every double; NOT `Math.floor(d + 0.5)`,
-    * which misrounds 0.49999999999999994 to 1).
+  /** Spark's `round(double).cast(long)` semantics, callable from
+    * generated code: decimal-string HALF_UP —
+    * `BigDecimal(Double.toString(d))` rounds the shortest decimal
+    * representation, ties away from zero (equal to DuckDB's `round`
+    * on every double; NOT `Math.floor(d + 0.5)`, which misrounds
+    * 0.49999999999999994 to 1). Non-finite inputs are screened by the
+    * caller (they degenerate the whole signature to 0L); the guards
+    * here are defensive only.
     */
   def roundHalfUp(d: Double): Long =
-    new java.math.BigDecimal(java.lang.Double.toString(d))
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    if (java.lang.Double.isNaN(d)) 0L
+    else if (java.lang.Double.isInfinite(d))
+      (if (d > 0) java.lang.Long.MAX_VALUE else java.lang.Long.MIN_VALUE)
+    else
+      // Spark's Round returns DOUBLE (re-quantizing past 2^53) and the
+      // long cast clamps — doubleValue + toLong replays both steps
+      new java.math.BigDecimal(java.lang.Double.toString(d))
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   /** Column-level entry point. */
   def apply(vec: Column, signs: Array[Long], dim: Int, bits: Int,

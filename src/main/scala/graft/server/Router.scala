@@ -98,69 +98,82 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     * the inline envelope); returns (response body, response headers).
     */
   def route(sub: String, body: String,
-      hdr: String => Option[String]): (String, Map[String, String]) = {
+      hdr: String => Option[String],
+      preParsed: Option[Json.Request] = None): (String, Map[String, String]) = {
     // parse the inline envelope ONCE: the dispatch decision needs its
     // write bit, and the serving gateway reuses the parsed request (a
-    // bulk-ingest envelope is megabytes of JSON)
-    val parsed = if (sub.isEmpty) Some(Json.parseRequest(body)) else None
-    val toWriter = hdr("x-helix-require-writer").exists(_.trim.toLowerCase == "true") ||
-      parsed.map(_.batch.write)
-        .getOrElse(writer.storedIsWrite(sub).getOrElse(false))
+    // bulk-ingest envelope is megabytes of JSON). `preParsed` lets the
+    // streaming pre-flight hand its parse down when a write falls back
+    // to this buffered path — the envelope is never parsed twice.
+    val parsed =
+      if (sub.isEmpty) Some(preParsed.getOrElse(Json.parseRequest(body)))
+      else None
     def serve(gw: Gateway): (String, Boolean) = parsed match {
       case Some(req) => gw.handleParsedT(req)
       case None => gw.handleStoredT(sub, body)
     }
-    if (toWriter) {
-      val (resp, truncated) = serve(writer)
-      respond(resp, truncated, "writer", GraphWal.commitPosition(walRoot))
-    } else {
+    dispatch(sub, parsed, hdr) match {
+      case Left((replicaName, errBody)) =>
+        // the internal x-graft-status marker tells the HTTP layer to
+        // send this as an error status (stripped before the response);
+        // in-process callers see the error body either way
+        (errBody,
+          Map("x-helix-served-by" -> replicaName, "x-graft-status" -> "400"))
+      case Right((gw, servedBy, pos)) =>
+        val (resp, truncated) = serve(gw)
+        // the position thunk evaluates AFTER serve: a write's ack must
+        // carry the position of the commit it just made
+        respond(resp, truncated, servedBy, pos())
+    }
+  }
+
+  /** The ONE dispatch front half both the buffered and streamed paths
+    * share: require-writer/write-bit routing, round-robin replica
+    * pick, and the stale/min-position freshness contract. Left =
+    * replica-behind (replica name, error body); Right = (serving
+    * gateway, served-by name, wal-position THUNK — the writer's
+    * position must be read AFTER its serve so a write acks the commit
+    * it just made; a replica's is the refresh result, already fixed).
+    */
+  private def dispatch(sub: String, parsed: Option[Json.Request],
+      hdr: String => Option[String])
+      : Either[(String, String), (Gateway, String, () => Long)] = {
+    val toWriter = hdr("x-helix-require-writer").exists(_.trim.toLowerCase == "true") ||
+      parsed.map(_.batch.write)
+        .getOrElse(writer.storedIsWrite(sub).getOrElse(false))
+    if (toWriter)
+      Right((writer, "writer", () => GraphWal.commitPosition(walRoot)))
+    else {
       val r = readers(math.floorMod(rr.getAndIncrement(), readers.length))
       val minPos = hdr("x-graft-min-position").flatMap(_.toLongOption).getOrElse(-1L)
       val stale = hdr("x-graft-stale").exists(_.trim.toLowerCase == "true")
       val pos = if (stale && r.position >= minPos) r.position else r.refresh()
       if (pos < minPos)
-        // the internal x-graft-status marker tells the HTTP layer to
-        // send this as an error status (stripped before the response);
-        // in-process callers see the error body either way
-        (s"""{"error":"replica behind requested position: $pos < $minPos"}""",
-          Map("x-helix-served-by" -> r.name, "x-graft-status" -> "400"))
-      else {
-        val (resp, truncated) = serve(r.gateway)
-        respond(resp, truncated, r.name, pos)
-      }
+        Left((r.name,
+          s"""{"error":"replica behind requested position: $pos < $minPos"}"""))
+      else Right((r.gateway, r.name, () => pos))
     }
   }
 
-  /** Dispatch + stream one NDJSON read over `ex`. Returns true when
-    * the exchange was handled (streamed, or a pre-flight client error
-    * was sent); false when the request is a write batch — those keep
-    * the buffered mutation-summary contract, so the caller falls
-    * through to [[route]]. Parse/route/warm failures throw and the
+  /** Dispatch + stream one NDJSON read over `ex`. Returns (handled,
+    * parsed): handled = true when the exchange was answered (streamed,
+    * or a pre-flight client error was sent); a write batch returns
+    * (false, its parse) — those keep the buffered mutation-summary
+    * contract, so the caller falls through to [[route]] WITHOUT
+    * re-parsing the envelope. Parse/route/warm failures throw and the
     * caller sends the shared 400 contract.
     */
   private def routeStreaming(sub: String, body: String,
       hdr: String => Option[String],
-      ex: HttpExchange): Boolean = {
+      ex: HttpExchange): (Boolean, Option[Json.Request]) = {
     val parsed = if (sub.isEmpty) Some(Json.parseRequest(body)) else None
-    val toWriter = hdr("x-helix-require-writer").exists(_.trim.toLowerCase == "true") ||
-      parsed.map(_.batch.write)
-        .getOrElse(writer.storedIsWrite(sub).getOrElse(false))
-    val (gw, servedBy, pos) =
-      if (toWriter) (writer, "writer", GraphWal.commitPosition(walRoot))
-      else {
-        val r = readers(math.floorMod(rr.getAndIncrement(), readers.length))
-        val minPos = hdr("x-graft-min-position").flatMap(_.toLongOption).getOrElse(-1L)
-        val stale = hdr("x-graft-stale").exists(_.trim.toLowerCase == "true")
-        val p = if (stale && r.position >= minPos) r.position else r.refresh()
-        if (p < minPos) {
-          ex.getResponseHeaders.set("x-helix-served-by", r.name)
-          send(ex,
-            s"""{"error":"replica behind requested position: $p < $minPos"}""",
-            400)
-          return true
-        }
-        (r.gateway, r.name, p)
-      }
+    val (gw, servedBy, pos) = dispatch(sub, parsed, hdr) match {
+      case Left((replicaName, errBody)) =>
+        ex.getResponseHeaders.set("x-helix-served-by", replicaName)
+        send(ex, errBody, 400)
+        return (true, parsed)
+      case Right(t) => t
+    }
     val warmOnly = hdr("x-helix-warm").exists(_.trim.toLowerCase == "true")
     if (sub.nonEmpty && warmOnly && !gw.isWarm(sub))
       throw new IllegalArgumentException(s"query not warm: $sub")
@@ -168,12 +181,14 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       case Some(req) => (req.batch, req.parameters)
       case None => gw.storedBatchParams(sub, body)
     }
-    if (batch.write) return false // buffered mutation summary
+    if (batch.write) return (false, parsed) // buffered mutation summary
     ex.getResponseHeaders.set("x-helix-served-by", servedBy)
-    ex.getResponseHeaders.set("x-graft-wal-position", pos.toString)
+    // reads never commit, so the position thunk is stable here; it
+    // must resolve before the chunked headers go out
+    ex.getResponseHeaders.set("x-graft-wal-position", pos().toString)
     gw.streamServe(ex, batch, params,
       () => if (sub.nonEmpty) gw.markServed(sub))
-    true
+    (true, parsed)
   }
 
   private def respond(resp: String, truncated: Boolean, servedBy: String,
@@ -221,11 +236,15 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         // client errors fall to the buffered path / 400 below.
         val wantStream = hd("x-graft-stream")
           .exists(_.trim.toLowerCase == "ndjson") ||
-          hd("accept").exists(_.contains("application/x-ndjson"))
+          hd("accept").exists(_.toLowerCase.contains("application/x-ndjson"))
+        var preParsed: Option[Json.Request] = None
         if (wantStream) {
           val handled =
-            try routeStreaming(sub, body, hd, ex)
-            catch {
+            try {
+              val (h, parsed) = routeStreaming(sub, body, hd, ex)
+              preParsed = parsed
+              h
+            } catch {
               case e: Exception =>
                 nErrors.incrementAndGet()
                 send(ex, s"""{"error":${quote(e.getMessage)}}""", 400)
@@ -237,7 +256,7 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         // failed request is 400 with an {"error":...} body
         var status = 200
         val (resp, headers) =
-          try route(sub, body, hd)
+          try route(sub, body, hd, preParsed)
           catch { case e: Exception =>
             nErrors.incrementAndGet()
             status = 400

@@ -106,13 +106,31 @@ object GraphStream {
     val sig = Dedup.minhashSignatureCached(corpus, textCol, idCol, n, numHashes)
     val keyed = sig.select(explode(array(Dedup.bandKeyExprs(numHashes, bands,
       j => col(s"mh$j")): _*)).as("_k"))
-    val bloom = keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
-    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
-    val hits = udf((ks: Seq[String]) =>
-      ks != null && ks.exists(bloomB.value.mightContainString))
+    val hits = bloomHitsUdf(stream, keyed, fpp)
     Dedup.withMinhashBandKeys(stream, textCol, n, numHashes, bands, "_bands")
       .where(!hits(col("_bands")))
       .drop("_bands")
+  }
+
+  /** The shared corpus-side Bloom build + probe UDF of the three
+    * ingest filters: `keyed` (one string key column `_k`) pins across
+    * the sizing count and the Bloom build — without the persist, both
+    * actions would recompute the full upstream key derivation (for
+    * media, that is the codec-CPU decode of the whole corpus) — then
+    * broadcasts, and the returned UDF tests an array of keys against
+    * the filter. One place owns sizing, persist level, and probe
+    * semantics.
+    */
+  private def bloomHitsUdf(stream: DataFrame, keyed: DataFrame,
+      fpp: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val pinned =
+      keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try pinned.stat.bloomFilter("_k", math.max(pinned.count(), 1L), fpp)
+      finally pinned.unpersist(false)
+    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    udf((ks: Seq[String]) =>
+      ks != null && ks.exists(bloomB.value.mightContainString))
   }
 
   /** Media near-dup filtering at ingest — the multimodal mirror of
@@ -148,29 +166,18 @@ object GraphStream {
       case m => throw new IllegalArgumentException(
         s"modality must be image|audio|video, got $m")
     }
-    val keyUdf = udf((h: java.lang.Long) =>
-      Multimodal.bandKeysOfHash(h, bands, bandBits))
-    // pin the keyed frame across the two actions below: decode+hash is
-    // the expensive (codec CPU) stage, and without the persist the
-    // bloom-sizing count and the bloomFilter build would each run the
-    // full corpus decode
     val keyed = hs.where(col("_h").isNotNull)
-      .select(explode(keyUdf(col("_h"))).as("_k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom =
-      try keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
-      finally keyed.unpersist(false)
-    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+      .select(explode(bandKeyCols(col("_h"), bands, bandBits)).as("_k"))
+    val bandHits = bloomHitsUdf(stream, keyed, fpp)
     val hashOf: Array[Byte] => Option[Long] = modality match {
       case "image" => Multimodal.imageHashOf _
       case "audio" => b => Multimodal.audioHashOf(b)
       case _ => Multimodal.videoHashOf _
     }
-    val hits = udf((bytes: Array[Byte]) =>
-      hashOf(bytes).exists(h =>
-        Multimodal.bandKeysOfHash(h, bands, bandBits)
-          .exists(bloomB.value.mightContainString)))
-    stream.where(!hits(col(binCol)))
+    val keysOf = udf((bytes: Array[Byte]) =>
+      hashOf(bytes).map(h =>
+        Multimodal.bandKeysOfHash(h, bands, bandBits)).orNull)
+    stream.where(!bandHits(keysOf(col(binCol))))
   }
 
   /** The (band, value) key array of a 63-bit hash column — the column
@@ -206,13 +213,7 @@ object GraphStream {
     val bands = 4; val bandBits = 16
     val keyed = VectorOps.signSignature63(corpus, vecCol, "_srp", inDim)
       .select(explode(bandKeyCols(col("_srp"), bands, bandBits)).as("_k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom =
-      try keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
-      finally keyed.unpersist(false)
-    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
-    val hits = udf((ks: Seq[String]) =>
-      ks != null && ks.exists(bloomB.value.mightContainString))
+    val hits = bloomHitsUdf(stream, keyed, fpp)
     VectorOps.signSignature63(stream, vecCol, "_srp", inDim)
       .where(!hits(bandKeyCols(col("_srp"), bands, bandBits)))
       .drop("_srp")

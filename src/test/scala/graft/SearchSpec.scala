@@ -355,6 +355,24 @@ class SearchSpec extends GraftSuite {
       .toDF("vec_id", "v")
     assert(m(VectorOps.signSignature63(ddf, "v", "_sig", dim)) ==
       m(VectorOps.signSignature63Hof(ddf, "v", "_sig", dim)))
+    // a vector containing a NULL element signs to 0 on BOTH paths (the
+    // zip_with null-padding contract)
+    val nulled = Seq((900L, Seq.tabulate(dim)(i => if (i == 3) null
+      else java.lang.Float.valueOf(0.5f)))).toDF("vec_id", "v")
+    assert(m(VectorOps.signSignature63(nulled, "v", "_sig", dim)) ==
+      m(VectorOps.signSignature63Hof(nulled, "v", "_sig", dim)))
+    assert(m(VectorOps.signSignature63(nulled, "v", "_sig", dim))(900L) == 0L)
+    // non-finite elements degenerate to signature 0 BY CONTRACT in the
+    // kernel (the HOF form's ANSI cast would throw — a poisoned ingest
+    // row must never kill a streaming filter)
+    val weird = Seq(
+      (901L, Seq.tabulate(dim)(i => java.lang.Float.valueOf(
+        if (i == 0) Float.NaN else 0.25f))),
+      (902L, Seq.tabulate(dim)(i => java.lang.Float.valueOf(
+        if (i == 1) Float.PositiveInfinity else -0.25f))))
+      .toDF("vec_id", "v")
+    val wNative = m(VectorOps.signSignature63(weird, "v", "_sig", dim))
+    assert(wNative == Map(901L -> 0L, 902L -> 0L), s"$wNative")
   }
 
   test("NearestCentroid matches the literal-argmin formulation bit-for-bit") {
