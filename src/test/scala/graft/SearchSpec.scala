@@ -375,6 +375,29 @@ class SearchSpec extends GraftSuite {
     assert(wNative == Map(901L -> 0L, 902L -> 0L), s"$wNative")
   }
 
+  test("roundHalfUp equals Spark round+cast on adversarial doubles") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // the traps: exact .5 ties (HALF_UP away from zero), the famous
+    // 0.49999999999999994 (floor(d+0.5) misrounds it), values whose
+    // shortest decimal repr sits just off a tie, and scale-sized
+    // magnitudes from the quantizer's working range
+    val vals = Seq(0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49999999999999994,
+      -0.49999999999999994, 1.0000000000000002, 999999.5, -999999.5,
+      123456.49999999999, 0.0, -0.0) ++
+      Seq.fill(200)((rnd.nextDouble() * 2 - 1) * 1e6)
+    val fromSpark = vals.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "d")
+      .select(col("i"), round(col("d")).cast("long").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(graft.functions.SrpSignature.roundHalfUp(v) == fromSpark(i),
+        s"$v: kernel ${graft.functions.SrpSignature.roundHalfUp(v)} " +
+          s"vs spark ${fromSpark(i)}")
+    }
+  }
+
   test("NearestCentroid matches the literal-argmin formulation bit-for-bit") {
     val df = vecs(200, 16)
     val rnd = new scala.util.Random(7)
