@@ -516,6 +516,27 @@ object SparkEntry {
       Dedup.bandedHammingPairs(sig, "vec_id", "_srp",
         bands = 4, bandBits = 16, maxHam = 3)
     }),
+    // incremental embedding dedup: a NEW batch (exact re-embeds +
+    // micro-jittered copies) against the STANDING corpus, never
+    // re-pairing the corpus with itself — banded SRP signatures
+    // through the bounded cross join (the crossJaccardPairs shape on
+    // the embedding axis)
+    "q_embed_srp_cross" -> ((s, d) => {
+      val e = emb(s, d)
+      def dbl(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double"))
+      val corpus = e.select(col("vec_id"), dbl(col("embedding")).as("embedding"))
+      val batch = e.select((col("vec_id") + 100000).as("vec_id"),
+          dbl(col("embedding")).as("embedding"))
+        .unionAll(e.select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i < 2, x.cast("double") + 0.001)
+              .otherwise(x.cast("double"))).as("embedding")))
+      Dedup.bandedHammingCrossPairs(
+        VectorOps.signSignature63(corpus, "embedding", "_srp", inDim = 64),
+        VectorOps.signSignature63(batch, "embedding", "_srp", inDim = 64),
+        "vec_id", "_srp", bands = 4, bandBits = 16, maxHam = 3)
+    }),
     // batch k-NN join: top-5 cosine neighbors for each of 8 query
     // vectors — the retrieval / semantic-dedup primitive (one corpus
     // scan, per-partition k-heaps, no corpus shuffle)
@@ -1544,6 +1565,27 @@ object SparkEntry {
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
       "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
       "FROM sg a JOIN sg b ON a.vec_id < b.vec_id " +
+      "WHERE bit_count(xor(a.sig, b.sig)) <= 3"),
+    // cross-side: corpus signatures x batch signatures, exact cross
+    // all-pairs Hamming <= 3, no within-side pairs
+    "q_embed_srp_cross" -> ("WITH base AS (SELECT vec_id, embedding " +
+      "FROM embeddings), " +
+      "bat AS (SELECT vec_id + 100000 AS vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS v FROM base " +
+      "UNION ALL SELECT vec_id + 200000, list_transform(embedding, " +
+      "(x, i) -> CASE WHEN i <= 2 THEN CAST(x AS DOUBLE) + 0.001 " +
+      "ELSE CAST(x AS DOUBLE) END) FROM base), " +
+      "qa AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q FROM base), " +
+      "qb AS (SELECT vec_id, list_transform(v, " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM bat), " +
+      "sa AS MATERIALIZED (SELECT vec_id, " +
+      VectorOps.oracleSignSignatureSqlExpr(64) + " AS sig FROM qa), " +
+      "sb AS MATERIALIZED (SELECT vec_id, " +
+      VectorOps.oracleSignSignatureSqlExpr(64) + " AS sig FROM qb) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming " +
+      "FROM sa a CROSS JOIN sb b " +
       "WHERE bit_count(xor(a.sig, b.sig)) <= 3"),
     // exact top-k pair count recomputed independently; the recall gate
     // outcome is pinned (the engine measures its distributed join

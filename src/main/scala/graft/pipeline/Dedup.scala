@@ -1235,6 +1235,40 @@ object Dedup {
       }
     }
 
+  /** Cross-corpus variant of [[bandedHammingPairs]]: every (A element,
+    * B element) pair within Hamming distance `maxHam`, with NO
+    * within-side pairs — the incremental-dedup shape (a new batch
+    * against the standing corpus without re-pairing the corpus
+    * against itself). Same band blocking (lossless at
+    * `maxHam <= bands - 1` by pigeonhole), same bounded-memory
+    * guarantee via [[boundedCrossPairs]] (a hot band value splits
+    * into cap² cross blocks). Output: `(id_a from A, id_b from B,
+    * hamming)`.
+    */
+  private[graft] def bandedHammingCrossPairs(hashesA: DataFrame,
+      hashesB: DataFrame, idCol: String, hashCol: String, bands: Int,
+      bandBits: Int, maxHam: Int, cap: Int = MaxClusterBlock): DataFrame = {
+    require(bands > 0 && bandBits > 0 && bands * bandBits <= 64,
+      s"bands x bandBits must fit a long, got $bands x $bandBits")
+    require(maxHam >= 0, s"maxHam must be non-negative, got $maxHam")
+    val mask = (1L << bandBits) - 1
+    def banded(hs: DataFrame) = hs.select(
+      struct(col(idCol).as("i"), col(hashCol).as("s")).as("_e"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("bi"),
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("bk"))
+      }: _*)).as("_b"))
+      .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
+    boundedCrossPairs(banded(hashesA), banded(hashesB),
+        Seq("bi", "bk"), "_e", cap = cap)
+      .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
+        col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
+      .where(col("hamming") <= maxHam)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash near-dup candidate pairs: equal 15-bit band (4 bands) then
     * exact Hamming distance <= maxDist via bit_count(xor) — the
     * [[bandedHammingPairs]] blocking shape over the cached signature

@@ -1295,6 +1295,41 @@ class PipelineSpec extends GraftSuite {
     assert(dupPairs.contains((7L, 9L)))
   }
 
+  test("bandedHammingCrossPairs: cross pairs only, exact, capped hot bands") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    // corpus A and batch B share a planted hot band (low 16 bits) so
+    // the cross sub-bucketing engages at cap=4; some B rows are exact
+    // or near copies of A rows, the rest are far
+    def mk(n: Int, off: Long, copyOf: Int => Option[Long]) =
+      (0 until n).map { i =>
+        val h = copyOf(i) match {
+          case Some(src) => (((src * 0x5DEECE66DL) & 0x7FFFFFFFFFFF0000L) |
+            0x7777L) ^ (if (i % 2 == 0) 0L else 1L << 40) // ham 0 or 1
+          case None => ((i + off) * 0x5DEECE66DL) & 0x7FFFFFFFFFFF0000L | 0x7777L
+        }
+        (off + i, h)
+      }
+    val a = mk(40, 0L, _ => None)
+    val b = mk(30, 1000L, i => if (i < 12) Some(i.toLong) else None)
+    val byA = a.toMap; val byB = b.toMap
+    val exact = (for {
+      (ia, ha) <- a; (ib, hb) <- b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(exact.size >= 12, s"fixture must cross-match, got ${exact.size}")
+    for (cap <- Seq(4, 4096)) {
+      val got = Dedup.bandedHammingCrossPairs(
+          a.toDF("id", "h"), b.toDF("id", "h"), "id", "h",
+          bands = 4, bandBits = 16, maxHam = 3, cap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == exact, s"cap=$cap: ${got.size} vs ${exact.size}")
+      // no within-side pairs: every id_a from A's range, id_b from B's
+      assert(got.forall { case (ia, ib, _) => ia < 1000 && ib >= 1000 })
+    }
+  }
+
   test("bandedHammingPairs: generative banding == exact all-pairs over random hash corpora") {
     val s = spark
     import s.implicits._
