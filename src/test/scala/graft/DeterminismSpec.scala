@@ -118,6 +118,11 @@ class DeterminismSpec extends GraftSuite {
         Dedup.bandedHammingPairs(hashes(ip), "id", "h",
           bands = 4, bandBits = 16, maxHam = 3, cap = cap)
       }
+      check(s"bandedHammingCrossPairs(cap=$cap)") { (_, ip) =>
+        Dedup.bandedHammingCrossPairs(hashes(ip),
+          hashes(ip).select((col("id") + 500).as("id"), col("h")),
+          "id", "h", bands = 4, bandBits = 16, maxHam = 3, cap = cap)
+      }
     }
   }
 
