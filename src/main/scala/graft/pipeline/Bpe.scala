@@ -283,24 +283,37 @@ object Bpe {
     * is a map hit. Bounded per chain; words past the cap compute
     * without memoizing (correctness unaffected).
     */
-  private val countMemos = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
   private val MemoCapPerChain = 1 << 20
   /** Distinct merge chains memoized at once — a long-lived server that
     * keeps retraining (new chain fingerprint per train) must not grow
-    * one memo map per historical chain forever; past the cap, new
-    * chains compute unmemoized (correctness unaffected).
+    * one memo map per historical chain forever. Access-ordered LRU:
+    * the (MaxMemoChains+1)-th chain evicts the least-recently-USED
+    * one, so the live chain always stays memoized and stale chains'
+    * maps are released instead of pinned (correctness unaffected
+    * either way — the memo is a pure cache).
     */
   private val MaxMemoChains = 16
-
-  private def memoFor(fp: String)
-      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = {
-    val hit = countMemos.get(fp)
-    if (hit != null) hit
-    else if (countMemos.size >= MaxMemoChains) null
-    else countMemos.computeIfAbsent(fp,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+  private val countMemos = new java.util.LinkedHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]](
+      MaxMemoChains * 2, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String,
+        java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]])
+        : Boolean = size() > MaxMemoChains
   }
+
+  private[graft] def memoFor(fp: String)
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
+    countMemos.synchronized {
+      val hit = countMemos.get(fp)
+      if (hit != null) hit
+      else {
+        val m =
+          new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        countMemos.put(fp, m)
+        m
+      }
+    }
 
   private def sumCountsUdf(fp: String, merges: Array[(String, String)],
       seed: String => Array[String]) =
@@ -312,15 +325,12 @@ object Bpe {
         val it = ws.iterator
         while (it.hasNext) {
           val w = it.next()
-          if (memo == null) total += countTokensLocal(seed(w), merges)
+          val c = memo.get(w)
+          if (c != null) total += c
           else {
-            val c = memo.get(w)
-            if (c != null) total += c
-            else {
-              val v = countTokensLocal(seed(w), merges)
-              if (memo.size < MemoCapPerChain) memo.put(w, v)
-              total += v
-            }
+            val v = countTokensLocal(seed(w), merges)
+            if (memo.size < MemoCapPerChain) memo.put(w, v)
+            total += v
           }
         }
         total

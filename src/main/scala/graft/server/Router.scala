@@ -95,11 +95,14 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
 
   /** Dispatch one request (the in-process entry the HTTP handler and
     * embedded callers share). `sub` is the stored-route name ("" for
-    * the inline envelope); returns (response body, response headers).
+    * the inline envelope); returns the status, body, and headers
+    * explicitly — the status is part of the public contract (a
+    * replica-behind rejection is 400), not an in-band pseudo-header,
+    * so any transport that forwards `headers` verbatim stays clean.
     */
   def route(sub: String, body: String,
       hdr: String => Option[String],
-      preParsed: Option[Json.Request] = None): (String, Map[String, String]) = {
+      preParsed: Option[Json.Request] = None): Router.Routed = {
     // parse the inline envelope ONCE: the dispatch decision needs its
     // write bit, and the serving gateway reuses the parsed request (a
     // bulk-ingest envelope is megabytes of JSON). `preParsed` lets the
@@ -114,11 +117,8 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
     }
     dispatch(sub, parsed, hdr) match {
       case Left((replicaName, errBody)) =>
-        // the internal x-graft-status marker tells the HTTP layer to
-        // send this as an error status (stripped before the response);
-        // in-process callers see the error body either way
-        (errBody,
-          Map("x-helix-served-by" -> replicaName, "x-graft-status" -> "400"))
+        Router.Routed(400, errBody,
+          Map("x-helix-served-by" -> replicaName))
       case Right((gw, servedBy, pos)) =>
         val (resp, truncated) = serve(gw)
         // the position thunk evaluates AFTER serve: a write's ack must
@@ -192,10 +192,11 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
   }
 
   private def respond(resp: String, truncated: Boolean, servedBy: String,
-      pos: Long): (String, Map[String, String]) = {
+      pos: Long): Router.Routed = {
     val base = Map("x-helix-served-by" -> servedBy,
       "x-graft-wal-position" -> pos.toString)
-    (resp, if (truncated) base + ("x-graft-truncated" -> "true") else base)
+    Router.Routed(200, resp,
+      if (truncated) base + ("x-graft-truncated" -> "true") else base)
   }
 
   /** Cluster status: writer commit position + each replica's ack. */
@@ -254,19 +255,17 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
         }
         // same error contract as the Gateway's own HTTP layer: a
         // failed request is 400 with an {"error":...} body
-        var status = 200
-        val (resp, headers) =
+        val routed =
           try route(sub, body, hd, preParsed)
           catch { case e: Exception =>
             nErrors.incrementAndGet()
-            status = 400
-            (s"""{"error":${quote(e.getMessage)}}""", Map.empty[String, String])
+            Router.Routed(400, s"""{"error":${quote(e.getMessage)}}""",
+              Map.empty)
           }
-        headers.foreach {
-          case ("x-graft-status", v) => status = v.toInt
-          case (k, v) => ex.getResponseHeaders.set(k, v)
+        routed.headers.foreach { case (k, v) =>
+          ex.getResponseHeaders.set(k, v)
         }
-        send(ex, resp, status)
+        send(ex, routed.body, routed.status)
       }
     })
     server.createContext("/v1/cluster", new HttpHandler {
@@ -326,6 +325,16 @@ final class Router(spark: SparkSession, walRoot: String, port: Int = 6969,
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+}
+
+object Router {
+  /** One routed response: HTTP status, body, response headers. The
+    * status rides explicitly (not as an in-band header) so any
+    * transport forwarding `headers` verbatim cannot leak an internal
+    * marker or mis-handle a real header of the same name.
+    */
+  final case class Routed(status: Int, body: String,
+      headers: Map[String, String])
 }
 
 /** One read replica: a read-only Gateway over a store view tailed from

@@ -206,16 +206,28 @@ object GraphStream {
     * probabilistic cosine-near-dup gate: near-identical directions
     * share bands with near-certainty; the drop is conservative by the
     * same trade as the text filter.
+    *
+    * Degenerate vectors (wrong length, null, NaN/Inf — the kernel
+    * signs all of them to 0L by contract) PASS THROUGH, mirroring the
+    * media filter's "undecodable payloads pass through" rule: they
+    * are not duplicates of anything measurable, and they are excluded
+    * from the corpus Bloom build for the same reason. Without both
+    * exclusions, one malformed corpus vector (an `inDim`
+    * misconfiguration, embedding-model dim drift) would collide every
+    * malformed stream row on signature 0 and silently discard the
+    * whole stream.
     */
   def embeddingNearDupIngestFilter(stream: DataFrame, corpus: DataFrame,
       vecCol: String, inDim: Int, fpp: Double = 0.01): DataFrame = {
     import graft.search.VectorOps
     val bands = 4; val bandBits = 16
     val keyed = VectorOps.signSignature63(corpus, vecCol, "_srp", inDim)
+      .where(col("_srp") =!= 0L)
       .select(explode(bandKeyCols(col("_srp"), bands, bandBits)).as("_k"))
     val hits = bloomHitsUdf(stream, keyed, fpp)
     VectorOps.signSignature63(stream, vecCol, "_srp", inDim)
-      .where(!hits(bandKeyCols(col("_srp"), bands, bandBits)))
+      .where(col("_srp") === 0L ||
+        !hits(bandKeyCols(col("_srp"), bands, bandBits)))
       .drop("_srp")
   }
 

@@ -177,4 +177,24 @@ class BpeSpec extends GraftSuite {
     assert(built.exists(sym => "20746865".contains(sym) && sym.length >= 4),
       s"expected a multi-byte ' the' fragment in $built")
   }
+
+  test("word-type memo is an access-ordered LRU over merge chains") {
+    // 20 distinct chains through a 16-slot LRU: the newest survives,
+    // the oldest is evicted (a fresh map comes back for it)
+    val fps = (0 until 20).map(i => s"_lru_test_chain_$i")
+    val maps = fps.map(Bpe.memoFor)
+    assert(Bpe.memoFor(fps(19)) eq maps(19), "newest chain must stay resident")
+    assert(Bpe.memoFor(fps.head) ne maps.head, "oldest chain must evict")
+    // ACCESS order, not insert order: touch an old-but-resident chain,
+    // then add enough new chains to evict everything untouched — the
+    // touched one must survive (this is what keeps the live serving
+    // chain memoized while a retrain loop churns new fingerprints)
+    val touched = s"_lru_touch_chain"
+    val tm = Bpe.memoFor(touched)
+    (0 until 15).foreach(i => Bpe.memoFor(s"_lru_fill_a_$i"))
+    assert(Bpe.memoFor(touched) eq tm) // touch: moves to MRU
+    (0 until 15).foreach(i => Bpe.memoFor(s"_lru_fill_b_$i"))
+    assert(Bpe.memoFor(touched) eq tm,
+      "recently-used chain must survive 15 newer inserts")
+  }
 }

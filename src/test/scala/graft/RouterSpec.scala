@@ -30,11 +30,11 @@ class RouterSpec extends GraftSuite {
 
   test("writes go to the writer with a wal position; default reads see them via refresh") {
     val router = new Router(spark, walRoot(), numReaders = 2)
-    val (_, wh) = router.route("", addN("Dana"), noHdr)
+    val Router.Routed(_, _, wh) = router.route("", addN("Dana"), noHdr)
     assert(wh("x-helix-served-by") == "writer")
     assert(wh("x-graft-wal-position") == "1")
     // default read refreshes to the log head before serving
-    val (body, rh) = router.route("", countUsers, noHdr)
+    val Router.Routed(_, body, rh) = router.route("", countUsers, noHdr)
     assert(body == """{"n":4}""")
     assert(rh("x-helix-served-by").startsWith("reader-"))
     assert(rh("x-graft-wal-position") == "1")
@@ -42,10 +42,10 @@ class RouterSpec extends GraftSuite {
 
   test("reads round-robin across replicas; require-writer overrides to the writer") {
     val router = new Router(spark, walRoot(), numReaders = 2)
-    val served = (1 to 4).map(_ => router.route("", countUsers, noHdr)._2("x-helix-served-by"))
+    val served = (1 to 4).map(_ => router.route("", countUsers, noHdr).headers("x-helix-served-by"))
     assert(served.toSet == Set("reader-0", "reader-1"))
     assert(served(0) != served(1)) // alternates
-    val (_, h) = router.route("", countUsers,
+    val Router.Routed(_, _, h) = router.route("", countUsers,
       n => if (n == "x-helix-require-writer") Some("true") else None)
     assert(h("x-helix-served-by") == "writer")
   }
@@ -53,12 +53,12 @@ class RouterSpec extends GraftSuite {
   test("stale reads skip catch-up; min-position forces it (read-your-writes)") {
     val router = new Router(spark, walRoot(), numReaders = 1)
     router.route("", addN("Dana"), noHdr) // replica still at position 0
-    val (stale, sh) = router.route("", countUsers,
+    val Router.Routed(_, stale, sh) = router.route("", countUsers,
       n => if (n == "x-graft-stale") Some("true") else None)
     assert(stale == """{"n":3}""") // served the pre-write view
     assert(sh("x-graft-wal-position") == "0")
     // pinning the write's position forces catch-up even on a stale read
-    val (fresh, fh) = router.route("", countUsers, n => n match {
+    val Router.Routed(_, fresh, fh) = router.route("", countUsers, n => n match {
       case "x-graft-stale" => Some("true")
       case "x-graft-min-position" => Some("1")
       case _ => None
@@ -129,7 +129,7 @@ class RouterSpec extends GraftSuite {
       })
       val readerTasks = (1 to 4).map(_ => pool.submit(new Runnable {
         override def run(): Unit = (1 to 5).foreach { _ =>
-          val (body, _) = router.route("", countUsers, noHdr)
+          val body = router.route("", countUsers, noHdr).body
           if (body.startsWith("{\"n\":")) counts.add(body.stripPrefix("{\"n\":").stripSuffix("}").toLong)
           else errors.add(body)
         }
@@ -140,7 +140,7 @@ class RouterSpec extends GraftSuite {
       // every observed count is a real store state: between the base 3
       // and 3 + 4 writes, and the final read sees all of them
       assert(counts.asScala.forall(c => c >= 3 && c <= 7), counts.asScala.toSeq)
-      val (fin, _) = router.route("", countUsers, noHdr)
+      val fin = router.route("", countUsers, noHdr).body
       assert(fin == """{"n":7}""")
     } finally pool.shutdown()
   }
@@ -152,9 +152,9 @@ class RouterSpec extends GraftSuite {
     val write = graft.ast.Json.parseRequest(addN("Gail"))
     router.registerQuery("cnt", read.batch)
     router.registerQuery("mk", write.batch)
-    val (_, rh) = router.route("cnt", "{}", noHdr)
+    val Router.Routed(_, _, rh) = router.route("cnt", "{}", noHdr)
     assert(rh("x-helix-served-by") == "reader-0")
-    val (_, wh) = router.route("mk", "{}", noHdr)
+    val Router.Routed(_, _, wh) = router.route("mk", "{}", noHdr)
     assert(wh("x-helix-served-by") == "writer")
     assert(wh("x-graft-wal-position") == "1")
 

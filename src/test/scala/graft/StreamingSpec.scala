@@ -185,6 +185,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("embedding ingest filter passes degenerate vectors through even when the corpus has one") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(12)
+    def vec() = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    // a poisoned corpus: one wrong-length vector (signs to 0L by the
+    // kernel contract) amid normal rows
+    val corpus = ((0 until 40).map(i => (i.toLong, vec())) :+
+      (99L, Seq.fill(dim - 3)(0.5f))).toDF("vec_id", "embedding")
+    // the stream carries three degenerate shapes (wrong length, NaN,
+    // null) and one clean near-dup of a corpus row; only the near-dup
+    // may drop — malformed rows are NOT "duplicates of signature 0"
+    val dup = corpus.where(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val streamDf = Seq(
+      (600L, Seq.fill(dim + 2)(0.1f)),
+      (601L, Seq.fill(dim)(Float.NaN)),
+      (602L, null: Seq[Float]),
+      (603L, dup)).toDF("vec_id", "embedding")
+    val kept = GraphStream.embeddingNearDupIngestFilter(
+        streamDf, corpus, "embedding", dim)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(600L, 601L, 602L),
+      s"degenerate rows pass, near-dup drops: $kept")
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
@@ -273,12 +300,12 @@ class StreamingSpec extends GraftSuite {
     router.registerQuery("zsearch", search)
     val noHdr: String => Option[String] = _ => None
     // first search: builds the postings artifact (sees the pre-attached doc)
-    assert(router.route("zsearch", "{}", noHdr)._1.contains("70"))
+    assert(router.route("zsearch", "{}", noHdr).body.contains("70"))
     val buildsAfterFirst = graft.search.IndexCache.textBuilds.get()
 
     // the sink commits another matching doc; no WAL write, no checkpoint
     mem.addData((71L, "more zanzibar material")); runOnce()
-    val (resp, _) = router.route("zsearch", "{}", noHdr)
+    val resp = router.route("zsearch", "{}", noHdr).body
     assert(resp.contains("70") && resp.contains("71"),
       s"streamed doc must be searchable after the sink commit: $resp")
     // and the artifact refreshed INCREMENTALLY — no full posting rebuild
@@ -316,14 +343,14 @@ class StreamingSpec extends GraftSuite {
       Step.Id))))), returns = Seq("hits"))
     router.registerQuery("ztsearch", search)
     val noHdr: String => Option[String] = _ => None
-    assert(router.route("ztsearch", "{}", noHdr)._1.contains("70"))
+    assert(router.route("ztsearch", "{}", noHdr).body.contains("70"))
     val buildsAfterFirst = graft.search.IndexCache.textBuilds.get()
 
     // appended docs for BOTH tenants; the t1 search must see only the
     // t1 addition, and the per-tenant artifact must merge, not rebuild
     mem.addData((71L, "more zanzibar material", "t1"),
       (72L, "zanzibar from the other tenant", "t2")); runOnce()
-    val (resp, _) = router.route("ztsearch", "{}", noHdr)
+    val resp = router.route("ztsearch", "{}", noHdr).body
     assert(resp.contains("70") && resp.contains("71"),
       s"tenant t1 must see both its docs after the sink commit: $resp")
     assert(!resp.contains("72"), s"tenant filter must hold: $resp")
