@@ -301,6 +301,13 @@ object Bench {
     // remaining declared queries; "cold" = the pre-r9 discipline
     // record (media/cooc artifacts unbuilt) — see the warm-up comment
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"others":${qJson(otherResults)},"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    // compact summary as the FINAL stdout line: a bounded tail capture
+    // of this process (the driver keeps only the last N bytes) must
+    // still contain the numbers that matter even when the full line
+    // above truncates mid-JSON. Self-contained and parseable on its
+    // own — same metric/value contract as the full line.
+    val nErr = (results ++ otherResults ++ coldResults).count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_headline":${results.size},"n_others":${otherResults.size},"others_total":$othersTotal,"n_errors":$nErr,"sf":"$sfDir","loadavg_start":$loadStartJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
     spark.stop()
     if ((results ++ otherResults ++ coldResults).exists(_._3.isDefined)) sys.exit(1)
   }
