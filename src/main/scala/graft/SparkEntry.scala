@@ -1065,6 +1065,15 @@ object SparkEntry {
       Multimodal.videoNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("video")), maxHam = 3)),
+    // MULTI-FRAME video dedup (trim/bumper-robust): clips pair when
+    // >= 2 cross-clip frame pairs lie within Hamming 3, over up to 8
+    // sampled frames per clip (nf = id%5+2 <= 6 here, so ALL frames
+    // sample). The oracle recomputes every per-frame hash from the
+    // id -> pixel formulas and counts exact all-pairs frame matches
+    "q_media_video_neardup_mf" -> ((s, d) =>
+      Multimodal.videoMultiFrameNearDupPairs(
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("video")), maxHam = 3, k = 8, minMatches = 2)),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -2267,6 +2276,31 @@ object SparkEntry {
       "CAST(bit_count(xor(x.vhash, y.vhash)) AS INT) AS hamming " +
       "FROM vh x JOIN vh y ON x.media_id < y.media_id " +
       "WHERE bit_count(xor(x.vhash, y.vhash)) <= 3"),
+    // per-frame aHash63 recomputed from the frame-f pixel formulas
+    // (gray(x,y,f) uses the +f*3/+f/+2f channel shifts), then exact
+    // all-pairs cross-clip frame matches at Hamming <= 3, aggregated
+    // per clip pair with the >= 2 matched-frames gate — the banded
+    // engine path must agree exactly
+    "q_media_video_neardup_mf" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "mf AS (SELECT media_id, w, h, unnest(range(0, nf::BIGINT)) AS f FROM m), " +
+      "g AS (SELECT media_id, f, p, (" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
+      "((media_id * 13 + (p % w) + f) % 255) + " +
+      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
+      "FROM (SELECT media_id, w, h, f, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM mf)), " +
+      "mn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
+      "FROM g GROUP BY 1, 2), " +
+      "fh AS (SELECT g.media_id, g.f, CAST(coalesce(sum(CASE WHEN p < 63 " +
+      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS fhash FROM g JOIN mn USING (media_id, f) GROUP BY 1, 2) " +
+      "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
+      "count(*) AS n_matched " +
+      "FROM fh x JOIN fh y ON x.media_id < y.media_id " +
+      "WHERE bit_count(xor(x.fhash, y.fhash)) <= 3 " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2"),
 
     // gap sessionization: same lag + running-sum formulation over
     // epoch µs; CASE's null-cond -> ELSE mirrors when().otherwise()

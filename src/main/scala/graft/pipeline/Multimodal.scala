@@ -957,6 +957,11 @@ object Multimodal {
   /** Near-duplicate video pairs by key-frame hash Hamming distance <=
     * `maxHam` — same pigeonhole-exact 4x16-bit banding as
     * [[imageNearDupPairs]]. Output: `(id_a, id_b, hamming)`.
+    *
+    * Recall limitation: keyed on the FIRST frame only, so a clip
+    * trimmed by one leading frame (or re-encoded behind a logo
+    * bumper) evades it — [[videoMultiFrameNearDupPairs]] is the
+    * robust form.
     */
   def videoNearDupPairs(df: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam >= 0 && maxHam <= 3,
@@ -964,6 +969,82 @@ object Multimodal {
     val hs = videoFrameHash63(df).where(col("vhash").isNotNull)
     Dedup.bandedHammingPairs(hs, "media_id", "vhash",
       bands = 4, bandBits = 16, maxHam = maxHam)
+  }
+
+  /** Per-frame aHash63 rows of each demuxed video: up to `k`
+    * evenly-spaced frames per clip (all frames when the clip has
+    * <= k), one output row per sampled frame — the demux already
+    * iterates every frame, so sampling k costs selection, not extra
+    * decode. `frame_slot` is the sample ordinal (0 until min(k, n)),
+    * NOT the raw frame index — it stays under 64 regardless of clip
+    * length, which is what lets the pair stage pack (clip, slot) into
+    * one long. Undecodable or zero-frame payloads yield no rows.
+    * Output: `(media_id, frame_slot, fhash)`.
+    */
+  def videoFrameHashes63(df: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"frame sample count must be in [1,64], got $k")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_slot", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        decodeVideo(bytes) match {
+          case Some((_, _, frames)) if frames.nonEmpty =>
+            val nf = frames.length
+            val m = math.min(k, nf)
+            // evenly-spaced distinct indices: j*nf/m is strictly
+            // increasing for m <= nf, and equals j (all frames) when
+            // the clip fits the sample budget
+            (0 until m).iterator.map { j =>
+              val fi = (j.toLong * nf / m).toInt
+              Row(r.getLong(idIdx), j, frameAHash63(frames(fi)))
+            }
+          case _ => Iterator.empty[Row]
+        }
+      }
+    }(enc)
+  }
+
+  /** Multi-frame near-duplicate video pairs — the trim/bumper-robust
+    * form of [[videoNearDupPairs]]: clips pair when at least
+    * `minMatches` cross-clip FRAME pairs lie within Hamming `maxHam`,
+    * over up to `k` sampled frames per clip. A clip trimmed by a
+    * leading frame (or prefixed with a logo bumper) keeps most of its
+    * sampled frames near-identical to the original's, so it pairs
+    * here while the first-frame key provably misses it.
+    *
+    * Plan shape: frames pair through the SAME pigeonhole-exact
+    * 4x16-bit [[graft.pipeline.Dedup.bandedHammingPairs]] machinery
+    * (hot bands split into capped sub-blocks), on a composite long id
+    * `clip * 64 + slot` — slot < 64 by the sampler contract, and the
+    * composite preserves clip order, so decoding is a shiftright and
+    * the clip-level aggregation is ONE groupBy over the (already
+    * banded, never all-pairs) frame matches. Exact at `maxHam <= 3`:
+    * frame-pair recall is lossless by pigeonhole, and the clip
+    * aggregation is a pure count over those exact pairs. Output:
+    * `(id_a, id_b, n_matched)` with `id_a < id_b`.
+    */
+  def videoMultiFrameNearDupPairs(df: DataFrame, maxHam: Int = 3,
+      k: Int = 8, minMatches: Int = 2,
+      cap: Int = Dedup.MaxClusterBlock): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    val fh = videoFrameHashes63(df, k).select(
+      (col("media_id") * 64 + col("frame_slot")).as("_fid"), col("fhash"))
+    Dedup.bandedHammingPairs(fh, "_fid", "fhash",
+        bands = 4, bandBits = 16, maxHam = maxHam, cap = cap)
+      .select(shiftright(col("id_a"), 6).as("id_a"),
+        shiftright(col("id_b"), 6).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minMatches)
   }
 
   /** Integer fingerprint of the DECODED payload: sum over pixels of the

@@ -1253,6 +1253,67 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("multi-frame video near-dup pairs a trimmed clip the first-frame key misses") {
+    val s = spark
+    import s.implicits._
+    def frame(fill: Int => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, fill(y * 8 + x))
+      img
+    }
+    // F0: vertical stripes (alternating gray bits — far from everything
+    // else); F1..F3: smooth gradients differing only slightly
+    val f0 = frame(p => if (p % 2 == 0) 0xFFFFFF else 0x000000)
+    val rest = (1 to 3).map(f => frame(p => {
+      val g = (p * 4 + f) & 0xFF; (g << 16) | (g << 8) | g
+    }))
+    val original = Multimodal.encodeAvi(f0 +: rest, fps = 10)
+    val trimmed = Multimodal.encodeAvi(rest, fps = 10) // leading frame cut
+    val media = Seq((0L, original), (1L, trimmed)).toDF("media_id", "content")
+    // fixture sanity: the first frames really are far apart (else the
+    // single-frame miss below would be vacuous)
+    val firstHashes = Multimodal.videoFrameHash63(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(firstHashes(0L) ^ firstHashes(1L)) > 3,
+      s"fixture needs distant first frames: $firstHashes")
+    // the first-frame key provably misses the trimmed near-dup...
+    assert(Multimodal.videoNearDupPairs(media, maxHam = 3).count() == 0)
+    // ...while the multi-frame path pairs it (3 exact frame matches)
+    val mf = Multimodal.videoMultiFrameNearDupPairs(media, maxHam = 3,
+      k = 8, minMatches = 2).collect()
+    assert(mf.length == 1 && mf(0).getLong(0) == 0L && mf(0).getLong(1) == 1L,
+      s"trimmed clip must pair: ${mf.toSeq}")
+    assert(mf(0).getLong(2) >= 3, s"3 shared frames expected: ${mf.toSeq}")
+  }
+
+  test("multi-frame video near-dup: banded clip aggregation equals exact all-pairs, at both cap branches") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromIds(
+      (0 until 180).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("video"))
+    // exact reference: all cross-clip frame pairs within Hamming 3,
+    // counted per clip pair, >= 2 gate — straight from the per-frame
+    // hash rows
+    val fh = Multimodal.videoFrameHashes63(media, k = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exact = (for {
+      (ca, _, ha) <- fh; (cb, _, hb) <- fh
+      if ca < cb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ca, cb)).groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    assert(exact.nonEmpty, "fixture must produce multi-frame pairs")
+    def got(cap: Int) = Multimodal.videoMultiFrameNearDupPairs(media,
+        maxHam = 3, k = 8, minMatches = 2, cap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(graft.pipeline.Dedup.MaxClusterBlock) == exact)
+    // cap = 4 forces every hot band value through the sub-block path;
+    // the result must not change (the cap is structural, not lossy)
+    assert(got(4) == exact)
+  }
+
   test("bandedHammingPairs: planted hot band splits into capped blocks, result stays exact") {
     val s = spark
     import s.implicits._
