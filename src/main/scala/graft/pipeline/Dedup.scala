@@ -1281,10 +1281,19 @@ object Dedup {
       .select("id_a", "id_b"))
   }
 
-  /** Above this row count the brute path's driver collect would OOM;
-    * auto-switch to the IVF-bucketed join.
+  /** Above this row count the exact brute path auto-switches to the
+    * IVF-bucketed join. The bound is WORK, not driver memory (the
+    * broadcast is only n·dim floats): brute is n²·dim/2 pair-dots of
+    * pure streaming compute with no shuffle, while the IVF path
+    * shuffles ~n^1.5 candidate rows carrying full vectors — so brute
+    * WINS below the crossover despite its quadratic flops. Measured
+    * at dim=64 on the r12 scaling corpus: n=20k brute 4.0 s vs
+    * IVF-bucketed 6.8 s; extrapolating both curves (n² flops vs
+    * n^1.5 shuffled bytes) puts the crossover near 2^16 rows. Above
+    * the limit the quadratic term dominates any constant and the
+    * bucketed join is the only shape that survives 100 TB.
     */
-  val BruteForcePairLimit = 100000L
+  val BruteForcePairLimit = 65536L
 
   /** One cluster's pair-join block is capped at this many rows per
     * side: a cluster of m rows splits into ceil(m/cap) sub-buckets and

@@ -37,6 +37,26 @@ object IndexCache {
   private val pqModels = new ConcurrentHashMap[Key, VectorOps.PqModel]()
   private val pqEnc = new ConcurrentHashMap[Key, DataFrame]()
   private val pqRefines = new ConcurrentHashMap[Key, java.lang.Integer]()
+  // indexed row count AT CALIBRATION TIME for each calibrated depth —
+  // the baseline the append-drift gate compares against. One baseline
+  // PER KNOB: an IVF-PQ tier calibrates nprobe AND refine under the
+  // same (version, label, propKey), and resetting one must not mask
+  // the other's drift. Carried forward with the depths themselves.
+  private val nprobeBase = new ConcurrentHashMap[Key, java.lang.Long]()
+  private val refineBase = new ConcurrentHashMap[Key, java.lang.Long]()
+
+  /** Appended-rows fraction past which a carried-forward calibration
+    * re-validates: centroids carry across appends by design (IVF
+    * serving discipline), but a corpus that grew >20% since the depth
+    * was calibrated may have drifted past the carried centroids'
+    * pruning power — the stale depth would silently under-recall. The
+    * re-check is ONE calibration pass (exact knnJoin over calibN
+    * queries — the same single pass that measures recall at every
+    * candidate depth at once), amortized over >=20% corpus growth, and
+    * it resets the baseline so steady-state serving pays only a cached
+    * row-count read.
+    */
+  private[graft] val DriftRecheckFraction = 0.2
 
   /** Full posting builds, for tests asserting the incremental append
     * path (appendText) was taken instead of a rebuild.
@@ -179,6 +199,17 @@ object IndexCache {
         if (r != null) pqRefines.putIfAbsent((to, k._2, k._3), r)
       }
     }
+    // the calibration-time baselines ride along: the drift gate
+    // compares the NEW version's (freshly re-counted) rows against the
+    // count the depth was calibrated at, across any number of appends
+    Seq(nprobeBase, refineBase).foreach { m =>
+      m.keySet.forEach { k =>
+        if (matches(k)) {
+          val b = m.get(k)
+          if (b != null) m.putIfAbsent((to, k._2, k._3), b)
+        }
+      }
+    }
   }
 
   /** IVF centroids for a declared vector index. `prop` is the CACHE key
@@ -200,16 +231,39 @@ object IndexCache {
     */
   def nprobe(storeVersion: String, label: String, prop: String,
       model: VectorOps.IvfModel, table: => DataFrame, vecCol: String,
-      target: Double, calibN: Int, idCol: String = "_id"): Int =
-    probes.computeIfAbsent((storeVersion, label, prop), _ => {
-      val t = table
+      target: Double, calibN: Int, idCol: String = "_id"): Int = {
+    val key = (storeVersion, label, prop)
+    def calibrate(t: DataFrame): Int = {
       val calib = t.orderBy(
         org.apache.spark.sql.functions.xxhash64(
           org.apache.spark.sql.functions.col(idCol)),
         org.apache.spark.sql.functions.col(idCol)).limit(calibN)
       VectorOps.calibrateNprobe(t, vecCol, idCol, model, k = 10,
         targetRecall = target, calibQueries = calib)
-    }).intValue()
+    }
+    val cached = probes.get(key)
+    if (cached != null) {
+      // append-drift gate: a depth carried forward across appends
+      // re-validates once growth since ITS calibration exceeds the
+      // fraction; within the gate the cached depth serves as-is
+      val base = Option(nprobeBase.get(key)).map(_.longValue)
+      lazy val cur = rowCount(storeVersion, label, prop, table)
+      if (base.forall(b => cur <= b * (1 + DriftRecheckFraction))) {
+        if (base.isEmpty) nprobeBase.putIfAbsent(key, cur)
+        cached.intValue
+      } else {
+        val np = calibrate(table)
+        probes.put(key, np)
+        nprobeBase.put(key, cur)
+        np
+      }
+    } else {
+      val np = probes.computeIfAbsent(key, _ => calibrate(table)).intValue
+      nprobeBase.putIfAbsent(key,
+        rowCount(storeVersion, label, prop, table))
+      np
+    }
+  }
 
   /** PQ codebooks + persisted encoded corpus for a declared vector
     * index above the PQ serving threshold. Trained/encoded once per
@@ -238,16 +292,38 @@ object IndexCache {
   def pqRefine(storeVersion: String, label: String, prop: String,
       model: VectorOps.PqModel, encoded: DataFrame, table: => DataFrame,
       vecCol: String, target: Double, calibN: Int,
-      idCol: String = "_id"): Int =
-    pqRefines.computeIfAbsent((storeVersion, label, prop), _ => {
-      val t = table
+      idCol: String = "_id"): Int = {
+    val key = (storeVersion, label, prop)
+    def calibrate(t: DataFrame): Int = {
       val calib = t.orderBy(
         org.apache.spark.sql.functions.xxhash64(
           org.apache.spark.sql.functions.col(idCol)),
         org.apache.spark.sql.functions.col(idCol)).limit(calibN)
       VectorOps.calibrateRefine(t, encoded, vecCol, idCol, model, k = 10,
         targetRecall = target, calibQueries = calib)
-    }).intValue()
+    }
+    // the nprobe append-drift gate, applied to the second serving
+    // knob, with its own baseline map (same key, different knob)
+    val cached = pqRefines.get(key)
+    if (cached != null) {
+      val base = Option(refineBase.get(key)).map(_.longValue)
+      lazy val cur = rowCount(storeVersion, label, prop, table)
+      if (base.forall(b => cur <= b * (1 + DriftRecheckFraction))) {
+        if (base.isEmpty) refineBase.putIfAbsent(key, cur)
+        cached.intValue
+      } else {
+        val r = calibrate(table)
+        pqRefines.put(key, r)
+        refineBase.put(key, cur)
+        r
+      }
+    } else {
+      val r = pqRefines.computeIfAbsent(key, _ => calibrate(table)).intValue
+      refineBase.putIfAbsent(key,
+        rowCount(storeVersion, label, prop, table))
+      r
+    }
+  }
 
   /** Pre-populate from durable artifacts (IndexArtifacts.load). */
   def putText(storeVersion: String, label: String, prop: String,
@@ -330,6 +406,14 @@ object IndexCache {
         if (v != null) pqRefines.putIfAbsent((to, k._2, k._3), v)
       }
     }
+    Seq(nprobeBase, refineBase).foreach { m =>
+      m.keySet.forEach { k =>
+        if (k._1 == from && unchangedLabels.contains(k._2)) {
+          val v = m.remove(k)
+          if (v != null) m.putIfAbsent((to, k._2, k._3), v)
+        }
+      }
+    }
   }
 
   /** Drop (and unpersist) every artifact built for a store version other
@@ -354,6 +438,8 @@ object IndexCache {
       }
     }
     pqRefines.keySet.forEach { k => if (!keep.contains(k._1)) pqRefines.remove(k) }
+    nprobeBase.keySet.forEach { k => if (!keep.contains(k._1)) nprobeBase.remove(k) }
+    refineBase.keySet.forEach { k => if (!keep.contains(k._1)) refineBase.remove(k) }
   }
 
   /** Evict ONE version's artifacts (a replica dropping its superseded
@@ -379,6 +465,8 @@ object IndexCache {
       }
     }
     pqRefines.keySet.forEach { k => if (k._1 == version) pqRefines.remove(k) }
+    nprobeBase.keySet.forEach { k => if (k._1 == version) nprobeBase.remove(k) }
+    refineBase.keySet.forEach { k => if (k._1 == version) refineBase.remove(k) }
   }
 
   /** Number of cached artifacts (for tests/diagnostics). */

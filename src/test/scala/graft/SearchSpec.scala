@@ -942,4 +942,59 @@ class SearchSpec extends GraftSuite {
     assert(empty.columns.toSeq == Seq("vec_id", "pred_label", "correct") &&
       empty.count() == 0)
   }
+
+  test("append drift: a grown corpus recalibrates the carried nprobe; the recall gate holds") {
+    import graft.search.IndexCache
+    val s = spark
+    import s.implicits._
+    // v1: 400 clustered vectors — calibration lands a small nprobe
+    val clustered = vecs(400, 16).cache()
+    val model = VectorOps.trainIvf(clustered, "emb", nlist = 16, iters = 2)
+    val v1 = "drift-v1-" + java.util.UUID.randomUUID()
+    val np1 = IndexCache.nprobe(v1, "Vec", "emb", model, clustered, "emb",
+      target = 0.95, calibN = 48)
+    assert(np1 <= 8, s"clustered corpus calibrated to nprobe=$np1")
+    // a SKEWED append: +400 structureless vectors (100% growth, far
+    // past the 20% drift gate) whose cosine neighborhoods the carried
+    // centroids cannot prune
+    val appended = clustered.unionAll(
+      uniformVecs(400, 16).select((col("_id") + 1000).as("_id"), col("emb")))
+      .cache()
+    val v2 = "drift-v2-" + java.util.UUID.randomUUID()
+    IndexCache.migrateIvfAppend(v1, v2, "Vec", "emb")
+    assert(IndexCache.calibratedNprobe(v2, "Vec", "emb").contains(np1),
+      "append must carry the calibrated depth forward")
+    val np2 = IndexCache.nprobe(v2, "Vec", "emb", model, appended, "emb",
+      target = 0.95, calibN = 48)
+    assert(np2 > np1,
+      s"drift gate must recalibrate past the stale depth: $np2 vs $np1")
+    assert(IndexCache.calibratedNprobe(v2, "Vec", "emb").contains(np2))
+    // the gate HOLDS: heldout queries from the appended (skewed) half
+    // meet the recall bar at the recalibrated depth — and provably
+    // would not have at the stale one
+    val held = appended.where(col("_id") >= 1000 && col("_id") < 1040)
+    val exact = VectorOps.knnJoin(appended, held, "emb", "_id", k = 10,
+        excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(np: Int) = {
+      val got = VectorOps.knnJoinIvf(appended, held, "emb", "_id", k = 10,
+          model, np, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val fresh = recallAt(np2); val stale = recallAt(np1)
+    assert(fresh >= 0.9, s"recalibrated depth misses the gate: $fresh")
+    assert(stale < fresh,
+      s"fixture must make the stale depth lossy: $stale vs $fresh")
+    // a below-gate append (+10%) serves the cached depth — no
+    // recalibration job in steady state
+    val v3 = "drift-v3-" + java.util.UUID.randomUUID()
+    IndexCache.migrateIvfAppend(v2, v3, "Vec", "emb")
+    val small = appended.unionAll(
+      uniformVecs(80, 16).select((col("_id") + 5000).as("_id"), col("emb")))
+    val np3 = IndexCache.nprobe(v3, "Vec", "emb", model, small, "emb",
+      target = 0.95, calibN = 48)
+    assert(np3 == np2, s"below-gate append must serve the cached depth: $np3")
+    clustered.unpersist(); appended.unpersist()
+  }
 }
