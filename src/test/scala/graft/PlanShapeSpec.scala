@@ -141,4 +141,79 @@ class PlanShapeSpec extends GraftSuite {
     val aggs = "aggregate\\(".r.findAllIn(plan).size
     assert(aggs == 1, s"norm aggregate inlined $aggs times: $plan")
   }
+
+  /** Exchange/join-node counts of a finalized adaptive plan, including
+    * subqueries; reused exchanges count under their own key (physical
+    * work happens once).
+    */
+  private def planProfile(df: DataFrame): Map[String, Int] = {
+    df.collect() // finalize AQE
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[
+        org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (!seen.add(p)) return
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          counts("reused") += 1
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          counts("shuffle") += 1
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          counts("broadcast") += 1
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          counts("smj") += 1
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          counts("bhj") += 1
+        case _ =>
+      }
+      p match {
+        case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        case _: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        case other => other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    counts.toMap.withDefaultValue(0)
+  }
+
+  test("exchange budgets hold for the 10 most expensive headline queries") {
+    // Per-query shuffle-count ceilings (measured at HEAD on sf0.001)
+    // plus broadcast-ness requirements: the r11 perf wins came from
+    // artifact caching and broadcast shapes that nothing structurally
+    // protected — a regression to a shuffling plan must fail HERE, not
+    // in the bench diff two rounds later. Ceilings are <= (a warmer
+    // cache can only remove exchanges); the two iterative cluster
+    // queries serve from a stabilized (checkpointed) frame, so their
+    // SERVED plan is exchange-free by contract — the O(log n)
+    // iteration ran at build time behind Scratch.stable.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      // (query, max shuffles in the served plan, requires a broadcast join)
+      ("q_doc_dup_clusters_star", 0, false),
+      ("q_doc_dup_clusters", 0, false),
+      ("q_graph_tri", 19, true),
+      ("q_doc_decontam_attr", 4, true), // broadcast eval shingles
+      ("q_doc_repeats", 1, true),
+      ("q_media_audio_neardup", 3, true),
+      ("q_doc_keep_best", 3, true),
+      ("q_doc_mix_lang", 2, true),
+      ("q_doc_decontam_keep", 3, true), // broadcast eval shingles
+      ("q_doc_keep", 2, true))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      // none of these queries joins two large sides at serving scale:
+      // a SortMergeJoin here means a small side stopped broadcasting
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+  }
 }
