@@ -236,6 +236,88 @@ class RouterSpec extends GraftSuite {
     } finally router.stop()
   }
 
+  test("concurrent NDJSON streams with an interleaved write: completeness, read-your-writes, no leaked jobs") {
+    val dir = walRoot()
+    val router = new Router(spark, dir, port = 16995, numReaders = 2,
+      workerThreads = 12)
+    router.registerQuery("names", graft.ast.Json.parseRequest(
+      """{"request_type":"read","query":{"queries":[{"Query":{"name":"names",
+        "steps":[{"N":"All"},{"OrderBy":["name","Asc"]},{"Values":["name"]}],
+        "condition":null}}],"returns":["names"]},"parameters":{}}""").batch)
+    router.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    try {
+      def post(path: String, body: String, stream: Boolean,
+          minPos: Long = -1L): (Int, String, String, String) = {
+        val conn = new java.net.URL(s"http://localhost:16995$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        if (stream) conn.setRequestProperty("x-graft-stream", "ndjson")
+        if (minPos >= 0)
+          conn.setRequestProperty("x-graft-min-position", minPos.toString)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"),
+          conn.getHeaderField("x-helix-served-by"),
+          conn.getHeaderField("x-graft-wal-position"))
+      }
+      import scala.jdk.CollectionConverters._
+      // phase 1: 5 simultaneous streams of the 3-row base corpus —
+      // every stream must arrive COMPLETE (no dropped or interleaved
+      // lines across concurrent exchanges)
+      val phase1 = (1 to 5).map(_ => pool.submit(
+        new java.util.concurrent.Callable[(Int, String, String, String)] {
+          override def call() = post("/v1/query/names", "{}", stream = true)
+        }))
+      phase1.map(_.get()).foreach { case (code, body, by, _) =>
+        assert(code == 200 && by.startsWith("reader-"), s"$code $by")
+        val lines = body.split("\n").filter(_.nonEmpty)
+        assert(lines.length == 3, s"incomplete stream: $body")
+        assert(lines.exists(_.contains("Alice")), body)
+      }
+      // interleaved write while 5 more streams are in flight; its ack
+      // position is the read-your-writes pin
+      val inflight = (1 to 5).map(_ => pool.submit(
+        new java.util.concurrent.Callable[(Int, String, String, String)] {
+          override def call() = post("/v1/query/names", "{}", stream = true)
+        }))
+      val (wc, _, wby, wpos) = post("/v1/query", addN("Zed"), stream = false)
+      assert(wc == 200 && wby == "writer" && wpos == "1", s"$wc $wby $wpos")
+      // the in-flight unpinned streams are each a complete snapshot of
+      // SOME committed state: exactly 3 or 4 rows, never a torn set
+      inflight.map(_.get()).foreach { case (code, body, _, _) =>
+        val lines = body.split("\n").filter(_.nonEmpty)
+        assert(code == 200 && (lines.length == 3 || lines.length == 4),
+          s"torn stream: $body")
+        if (lines.length == 4) assert(lines.exists(_.contains("Zed")), body)
+      }
+      // phase 2: 5 simultaneous position-pinned streams — every one
+      // must see the write (read-your-writes holds under concurrency,
+      // across both replicas)
+      val phase2 = (1 to 5).map(_ => pool.submit(
+        new java.util.concurrent.Callable[(Int, String, String, String)] {
+          override def call() =
+            post("/v1/query/names", "{}", stream = true, minPos = 1L)
+        }))
+      val served2 = phase2.map(_.get()).map { case (code, body, by, pos) =>
+        val lines = body.split("\n").filter(_.nonEmpty)
+        assert(code == 200 && lines.length == 4, s"stale pinned stream: $body")
+        assert(lines.exists(_.contains("Zed")), body)
+        assert(pos.toLong >= 1L, s"ack position $pos")
+        by
+      }
+      assert(served2.toSet.subsetOf(Set("reader-0", "reader-1")), served2)
+      // no leaked Spark work: every stream's job group was cleared and
+      // its jobs finished — the scheduler drains to zero active jobs
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def active() = spark.sparkContext.statusTracker.getActiveJobIds()
+      while (active().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(active().isEmpty, s"leaked jobs: ${active().toSeq}")
+    } finally { pool.shutdown(); router.stop() }
+  }
+
   test("API key: keyed router rejects missing/wrong bearer, accepts the key; health open") {
     val router = new Router(spark, walRoot(), port = 16991, numReaders = 1,
       apiKey = Some("sekrit"))
