@@ -857,6 +857,7 @@ object Dedup {
       val hit = dupPosCache.get(key)
       if (hit != null) hit
       else {
+        windowCountBuilds.incrementAndGet()
         built = windowPositions(corpus, textCol, idCol, n)
           .groupBy(col("_sh")).agg(count(lit(1)).as("_cc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -866,6 +867,54 @@ object Dedup {
     }
     if (out eq built) out.count()
     out
+  }
+
+  /** From-scratch window-count artifact builds — test visibility for
+    * the additive-maintenance contract ([[ingestWindowCounts]]): k
+    * successive ingests must build the full-corpus artifact ONCE, not
+    * k times.
+    */
+  private[graft] val windowCountBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Additive maintenance of the window-count artifact on ingest —
+    * the compaction path that makes the "maintained additively"
+    * contract of [[windowCountsCached]] real instead of aspirational:
+    * the new standing corpus' artifact is `old artifact ⊎ counts(batch)`
+    * (one full-outer count merge — one pass over the BATCH plus a
+    * hash-keyed aggregation of two count frames), never a re-tokenize
+    * of the standing corpus. Returns the new standing-corpus frame
+    * (`corpus ∪ batch`); the merged artifact is cached under THAT
+    * frame's plan key, so the caller's next
+    * [[dupSpanExtractCross]]/[[stripDupSpansCross]] against the
+    * returned frame probes the merged artifact directly.
+    *
+    * Size stays linear by construction: the artifact has one row per
+    * DISTINCT window hash of the union (counts merge, rows don't
+    * multiply), and the bounded cache unpersists superseded
+    * generations FIFO — k successive ingests pin at most
+    * ShingleCacheMax generations and build the corpus from scratch
+    * exactly once.
+    */
+  def ingestWindowCounts(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val old = windowCountsCached(corpus, textCol, idCol, n)
+    val next = corpus.unionAll(batch)
+    val key = (planKey(next), s"wc|$textCol|$idCol", n)
+    dupPosCache.synchronized {
+      if (dupPosCache.get(key) != null) return next
+    }
+    val merged = old
+      .unionAll(windowPositions(batch, textCol, idCol, n)
+        .groupBy(col("_sh")).agg(count(lit(1)).as("_cc")))
+      .groupBy(col("_sh")).agg(sum(col("_cc")).as("_cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize BEFORE any superseded unpersist
+    dupPosCache.synchronized {
+      if (dupPosCache.get(key) == null) dupPosCache.put(key, merged)
+      else merged.unpersist(false)
+    }
+    next
   }
 
   /** Cross-batch duplicated positions of the NEW batch against

@@ -641,6 +641,51 @@ class PipelineSpec extends GraftSuite {
     assert(cleanCross(3L) == "purely novel text with no duplicate windows at all")
   }
 
+  test("k successive ingests maintain the window-count artifact additively: one corpus build, exact counts, linear size") {
+    val s = spark
+    import s.implicits._
+    def docs(ids: Range, salt: String) = ids.map(i =>
+      (i.toLong, s"common preamble tokens here $salt body $i alpha beta gamma " +
+        s"unique$i tail ${i % 3}")).toDF("doc_id", "text")
+    var standing: org.apache.spark.sql.DataFrame = docs(0 until 40, "corpus")
+    val builds0 = Dedup.windowCountBuilds.get()
+    // 3 successive ingests: each probes the STANDING artifact, then
+    // folds its batch in additively — the standing corpus must never
+    // be re-tokenized after its one initial build
+    (1 to 3).foreach { k =>
+      val batch = docs(100 * k until 100 * k + 10, s"batch$k")
+      val spans = Dedup.dupSpanExtractCross(batch, standing,
+        "text", "doc_id", 3)
+      assert(spans.count() > 0, s"ingest $k found no cross spans")
+      standing = Dedup.ingestWindowCounts(standing, batch,
+        "text", "doc_id", 3)
+    }
+    assert(Dedup.windowCountBuilds.get() - builds0 == 1,
+      "k ingests must build the corpus artifact exactly once")
+    // exactness: the 3-generation merged artifact equals a from-scratch
+    // build over the same final union (distinct plan => fresh build)
+    val merged = Dedup.windowCountsCached(standing, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.windowCountsCached(standing.repartition(3),
+        "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == scratch,
+      s"additive artifact diverged: ${merged.size} vs ${scratch.size}")
+    // linear size: one row per DISTINCT window hash (counts merge,
+    // rows don't multiply across generations)
+    assert(merged.size == scratch.size && merged.values.sum == scratch.values.sum)
+    // and the incremental cross probe over the returned standing frame
+    // equals the batch run restricted to the new docs
+    val nextBatch = docs(900 until 905, "batch2") // re-salts batch2 text
+    val cross = Dedup.dupSpanExtractCross(nextBatch, standing,
+        "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRun = Dedup.dupSpanExtract(nextBatch.unionByName(standing),
+        "text", "doc_id", 3).where(col("doc_id") >= 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cross == batchRun, s"cross=$cross batch=$batchRun")
+  }
+
   test("dupSpanExtract merges duplicated windows into maximal spans; strip cuts them") {
     val s = spark
     import s.implicits._
