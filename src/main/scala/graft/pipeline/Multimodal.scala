@@ -797,6 +797,20 @@ object Multimodal {
       case (_, _, frames) if frames.nonEmpty => frameAHash63(frames.head)
     }
 
+  /** Per-frame aHash63s of one payload — the local kernel behind
+    * [[videoFrameHashes63]] and the streaming ingest filter's video
+    * arm: up to `k` evenly-spaced frames (all frames when the clip has
+    * <= k), empty for undecodable/zero-frame payloads.
+    */
+  private[graft] def videoHashesOf(bytes: Array[Byte], k: Int = 8): Seq[Long] =
+    decodeVideo(bytes) match {
+      case Some((_, _, frames)) if frames.nonEmpty =>
+        val nf = frames.length
+        val m = math.min(k, nf)
+        (0 until m).map(j => frameAHash63(frames((j.toLong * nf / m).toInt)))
+      case _ => Nil
+    }
+
   /** The (band index, band value) blocking keys of one hash — the
     * string form both sides of a band-Bloom membership probe must
     * agree on (corpus build and stream probe).
@@ -993,18 +1007,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
-        decodeVideo(bytes) match {
-          case Some((_, _, frames)) if frames.nonEmpty =>
-            val nf = frames.length
-            val m = math.min(k, nf)
-            // evenly-spaced distinct indices: j*nf/m is strictly
-            // increasing for m <= nf, and equals j (all frames) when
-            // the clip fits the sample budget
-            (0 until m).iterator.map { j =>
-              val fi = (j.toLong * nf / m).toInt
-              Row(r.getLong(idIdx), j, frameAHash63(frames(fi)))
-            }
-          case _ => Iterator.empty[Row]
+        videoHashesOf(bytes, k).iterator.zipWithIndex.map { case (h, j) =>
+          Row(r.getLong(idIdx), j, h)
         }
       }
     }(enc)

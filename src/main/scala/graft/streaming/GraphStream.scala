@@ -135,9 +135,10 @@ object GraphStream {
 
   /** Media near-dup filtering at ingest — the multimodal mirror of
     * [[nearDupIngestFilter]]: drop stream media rows whose perceptual
-    * hash (image aHash63 / audio envelope / video key-frame) shares
-    * any 16-bit band with the STANDING corpus, so a re-uploaded or
-    * lightly-recompressed asset never lands twice.
+    * hash (image aHash63 / audio envelope / video multi-frame) shares
+    * any 16-bit band with the STANDING corpus, so a re-uploaded,
+    * lightly-recompressed, or leading-frame-trimmed asset never lands
+    * twice.
     *
     * Plan shape: the corpus side reduces its hash frame to a Bloom
     * filter of `(band, value)` keys, built once at filter
@@ -157,28 +158,42 @@ object GraphStream {
       fpp: Double = 0.01): DataFrame = {
     import graft.pipeline.Multimodal
     val bands = 4; val bandBits = 16
+    // video keys on up to MediaFilterFrames sampled frames per clip
+    // (both sides), not just the first: a trimmed or bumper-prefixed
+    // re-upload keeps most of its sampled frames identical to the
+    // standing clip, so it still shares a band and drops — the ingest
+    // mirror of Multimodal.videoMultiFrameNearDupPairs
     val hs = modality match {
       case "image" => Multimodal.aHash63(corpus).select(col("ahash").as("_h"))
       case "audio" =>
         Multimodal.audioEnvHash63(corpus).select(col("ehash").as("_h"))
       case "video" =>
-        Multimodal.videoFrameHash63(corpus).select(col("vhash").as("_h"))
+        Multimodal.videoFrameHashes63(corpus, MediaFilterFrames)
+          .select(col("fhash").as("_h"))
       case m => throw new IllegalArgumentException(
         s"modality must be image|audio|video, got $m")
     }
     val keyed = hs.where(col("_h").isNotNull)
       .select(explode(bandKeyCols(col("_h"), bands, bandBits)).as("_k"))
     val bandHits = bloomHitsUdf(stream, keyed, fpp)
-    val hashOf: Array[Byte] => Option[Long] = modality match {
-      case "image" => Multimodal.imageHashOf _
-      case "audio" => b => Multimodal.audioHashOf(b)
-      case _ => Multimodal.videoHashOf _
+    val hashesOf: Array[Byte] => Seq[Long] = modality match {
+      case "image" => b => Multimodal.imageHashOf(b).toSeq
+      case "audio" => b => Multimodal.audioHashOf(b).toSeq
+      case _ => b => Multimodal.videoHashesOf(b, MediaFilterFrames)
     }
-    val keysOf = udf((bytes: Array[Byte]) =>
-      hashOf(bytes).map(h =>
-        Multimodal.bandKeysOfHash(h, bands, bandBits)).orNull)
+    val keysOf = udf((bytes: Array[Byte]) => {
+      val ks = hashesOf(bytes)
+        .flatMap(h => Multimodal.bandKeysOfHash(h, bands, bandBits))
+      if (ks.isEmpty) null else ks
+    })
     stream.where(!bandHits(keysOf(col(binCol))))
   }
+
+  /** Frames sampled per clip by the video arm of
+    * [[mediaNearDupIngestFilter]] — corpus build and stream probe must
+    * agree on the sampler.
+    */
+  private val MediaFilterFrames = 8
 
   /** The (band, value) key array of a 63-bit hash column — the column
     * form of `Multimodal.bandKeysOfHash` (same "b:v" strings), so a

@@ -129,6 +129,50 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("video ingest filter drops a leading-frame-trimmed re-upload; undecodable passes") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Multimodal
+    def frame(fill: Int => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, fill(y * 8 + x))
+      img
+    }
+    // standing clip: a stripes first frame + 3 gradient frames
+    val f0 = frame(p => if (p % 2 == 0) 0xFFFFFF else 0)
+    val rest = (1 to 3).map(f => frame(p => {
+      val g = (p * 4 + f) & 0xFF; (g << 16) | (g << 8) | g
+    }))
+    val corpus = Seq((0L, Multimodal.encodeAvi(f0 +: rest, fps = 10)))
+      .toDF("media_id", "content")
+    // the trimmed re-upload shares NO first-frame hash band by the
+    // PipelineSpec fixture argument, but 3 of its frames are exact
+    // copies — the multi-frame probe must drop it
+    val trimmed = Multimodal.encodeAvi(rest, fps = 10)
+    // a genuinely fresh clip (distinct gradient family)
+    val freshClip = Multimodal.encodeAvi(
+      (0 until 3).map(f => frame(p => {
+        val g = 255 - ((p * 7 + f * 11) & 0xFF); (g << 16) | (g << 8) | (g / 2)
+      })), fps = 10)
+    val kept = GraphStream.mediaNearDupIngestFilter(
+        Seq((600L, trimmed), (601L, freshClip),
+          (602L, Array.fill[Byte](48)(7))) // undecodable: passes through
+          .toDF("media_id", "content"), corpus, "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(600L), s"trimmed re-upload must drop: $kept")
+    assert(kept.contains(602L), s"undecodable payload must pass: $kept")
+    // fixture sanity: the fresh clip shares no band with ANY corpus
+    // frame (else its survival below is vacuous)
+    val corpusKeys = Multimodal.videoHashesOf(
+        corpus.head().getAs[Array[Byte]](1))
+      .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16)).toSet
+    val freshKeys = Multimodal.videoHashesOf(freshClip)
+      .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16))
+    if (freshKeys.forall(!corpusKeys.contains(_)))
+      assert(kept.contains(601L), s"fresh clip must survive: $kept")
+  }
+
   test("embeddingNearDupIngestFilter drops a re-embedded vector; batch parity on survivors") {
     val s = spark
     import s.implicits._
