@@ -1056,6 +1056,16 @@ object SparkEntry {
       Multimodal.audioNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("audio")), maxHam = 3)),
+    // TRIM-ROBUST audio dedup: quantized-energy symbol streams over
+    // the REAL decoded samples (4-sample windows, stride 2), then the
+    // text machinery's exact n-gram Jaccard over symbol shingles —
+    // the audio mirror of the multi-frame video path. The oracle
+    // recomputes every symbol arithmetically from the id -> sample
+    // formulas and mirrors the engine's md5 shingle hashing
+    "q_media_audio_shingle_pairs" -> ((s, d) =>
+      Multimodal.audioShingleNearDupPairs(
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("audio")), n = 3, num = 6, den = 10)),
     // perceptual VIDEO dedup: key-frame aHash63 over the REAL demuxed
     // first frame of each AVI payload, banded (pigeonhole-exact at
     // Hamming <= 3, hot bands capped via bandedHammingPairs); the
@@ -2239,6 +2249,29 @@ object SparkEntry {
     // every envelope hash recomputed from the id -> sample arithmetic
     // (window assignment w = k*63 // n, floor means), then exact
     // all-pairs Hamming <= 3 — the banded engine path must agree
+    // quantized-energy symbols recomputed from the id -> sample
+    // formulas (4-sample windows, stride 2, floor(mean|s|/2048)), then
+    // the shCte md5 shingle hashing and the exact Jaccard >= 6/10 gate
+    // — mirrors q_doc_ngram_pairs' oracle shape on the symbol streams
+    "q_media_audio_shingle_pairs" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 50 + 10 AS ns FROM documents WHERE doc_id % 3 = 1), " +
+      "sym AS (SELECT media_id, w, CAST((list_sum(list_transform(range(4), " +
+      "j -> abs((media_id * 31 + (w * 2 + j) * 7) % 65536 - 32768))) // 4) " +
+      "// 2048 AS VARCHAR) AS q FROM (SELECT media_id, " +
+      "unnest(range(0, ((ns - 4) // 2 + 1)::BIGINT)) AS w FROM m)), " +
+      "tk AS (SELECT media_id, list(q ORDER BY w) AS t FROM sym GROUP BY 1), " +
+      "sh AS (SELECT DISTINCT media_id, " +
+      "('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM " +
+      "(SELECT media_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END) AS s0 FROM tk)), " +
+      "sz AS (SELECT media_id, count(*) AS sz FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+      "count(*) AS i FROM sh a JOIN sh b ON a.s = b.s " +
+      "AND a.media_id < b.media_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b FROM inter " +
+      "JOIN sz sa ON sa.media_id = id_a JOIN sz sb ON sb.media_id = id_b " +
+      "WHERE i * 10 >= 6 * (sa.sz + sb.sz - i)"),
     "q_media_audio_neardup" -> ("WITH a AS (SELECT doc_id AS media_id, " +
       "doc_id % 50 + 10 AS n FROM documents WHERE doc_id % 3 = 1), " +
       "h AS (SELECT media_id, (SELECT CAST(coalesce(sum(CASE WHEN " +

@@ -918,6 +918,71 @@ object Multimodal {
       bands = 4, bandBits = 16, maxHam = maxHam)
   }
 
+  /** Quantized-energy SYMBOL STREAM of the decoded audio — the
+    * content-fingerprint form that survives trimming, which the
+    * whole-clip envelope hash does not: [[audioEnvHash63]] buckets
+    * samples into clip-RELATIVE windows against a clip-global mean,
+    * so cutting leading samples shifts every boundary and scrambles
+    * the bits, while these symbols are ABSOLUTE — fixed `win`-sample
+    * windows at `stride`, each emitting floor(mean|sample| / 2048) as
+    * a decimal token — so a clip trimmed by any multiple of `stride`
+    * keeps its remaining symbols verbatim. The space-joined symbol
+    * string then feeds the TEXT dedup machinery
+    * ([[graft.pipeline.Dedup.ngramJaccardPairs]] /
+    * minhash / winnowing) unchanged: audio near-dup at scale is
+    * n-gram dedup over symbol streams, with the same df-capped
+    * bounded joins. Null symbols for undecodable or shorter-than-one-
+    * window payloads. Output: `(media_id, symbols)`.
+    */
+  def audioSymbols(df: DataFrame, win: Int = 4, stride: Int = 2): DataFrame = {
+    require(win > 0 && stride > 0, s"win/stride must be positive: $win/$stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("symbols", StringType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val syms = decodeAudio(bytes) match {
+          case Some((_, _, samples)) if samples.length >= win =>
+            val m = (samples.length - win) / stride + 1
+            val sb = new java.lang.StringBuilder
+            var w = 0
+            while (w < m) {
+              var s = 0L; var j = 0
+              while (j < win) {
+                s += math.abs(samples(w * stride + j).toLong); j += 1
+              }
+              if (w > 0) sb.append(' ')
+              sb.append((s / win) / 2048)
+              w += 1
+            }
+            sb.toString
+          case _ => null
+        }
+        Row(r.getLong(idIdx), syms)
+      }
+    }(enc)
+  }
+
+  /** Trim-robust audio near-dup pairs: exact n-gram Jaccard over the
+    * [[audioSymbols]] streams — clips pair when their symbol shingle
+    * sets overlap at `>= num/den` Jaccard. Complements
+    * [[audioNearDupPairs]] exactly as
+    * [[videoMultiFrameNearDupPairs]] complements the key-frame path:
+    * the envelope hash is the cheap whole-clip key; this is the form
+    * a leading-trim or concatenation cannot evade. Inherits the
+    * df-capped bounded candidate join of the text machinery — never
+    * all-pairs. Output: `(id_a, id_b)`.
+    */
+  def audioShingleNearDupPairs(df: DataFrame, n: Int = 3, num: Int = 6,
+      den: Int = 10, win: Int = 4, stride: Int = 2): DataFrame = {
+    val sym = audioSymbols(df, win, stride).where(col("symbols").isNotNull)
+    Dedup.ngramJaccardPairs(sym, "symbols", "media_id", n, num, den)
+  }
+
   /** 63-bit aHash of one decoded frame (row-major gray vs floor-mean —
     * the [[aHash63]] bit rule, shared by the image and video paths).
     */

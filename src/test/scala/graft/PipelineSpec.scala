@@ -1298,6 +1298,40 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("audio symbol shingles pair a trimmed clip the envelope hash misses") {
+    val s = spark
+    import s.implicits._
+    // a varied waveform (seeded noise) long enough for stable shingles
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(48)((rnd.nextInt(65536) - 32768).toShort)
+    val original = Multimodal.encodeWav(base, 16000)
+    val trimmed = Multimodal.encodeWav(base.drop(4), 16000) // 2 strides cut
+    val media = Seq((0L, original), (1L, trimmed)).toDF("media_id", "content")
+    // the envelope hash scrambles on trim (clip-relative windows,
+    // global mean): fixture sanity for the miss below
+    val eh = Multimodal.audioEnvHash63(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(eh(0L) ^ eh(1L)) > 3,
+      s"fixture needs trim to scramble the envelope hash: $eh")
+    assert(Multimodal.audioNearDupPairs(media, maxHam = 3).count() == 0)
+    // absolute-window symbols survive the trim: 22 of 23 windows of
+    // the trimmed clip are verbatim windows of the original
+    val pairs = Multimodal.audioShingleNearDupPairs(media,
+      n = 3, num = 6, den = 10).collect()
+    assert(pairs.length == 1 &&
+      pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L,
+      s"trimmed clip must pair via symbol shingles: ${pairs.toSeq}")
+    // and a genuinely different clip does NOT pair
+    val other = Multimodal.encodeWav(
+      Array.fill(48)((rnd.nextInt(65536) - 32768).toShort), 16000)
+    val three = Seq((0L, original), (1L, trimmed), (2L, other))
+      .toDF("media_id", "content")
+    val got = Multimodal.audioShingleNearDupPairs(three,
+        n = 3, num = 6, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"unrelated clip must not pair: $got")
+  }
+
   test("multi-frame video near-dup pairs a trimmed clip the first-frame key misses") {
     val s = spark
     import s.implicits._
