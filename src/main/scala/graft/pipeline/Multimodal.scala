@@ -983,6 +983,39 @@ object Multimodal {
     Dedup.ngramJaccardPairs(sym, "symbols", "media_id", n, num, den)
   }
 
+  /** Local mirror of `audioSymbols → tokens → shingles → 60-bit md5
+    * hash` for ONE payload — the kernel the streaming ingest filter's
+    * row-preserving predicate needs
+    * ([[graft.streaming.GraphStream.audioShingleIngestFilter]]).
+    * Must stay hash-identical to
+    * [[graft.pipeline.Dedup.shingleHashSet]] over [[audioSymbols]]
+    * (same shingle strings, same `md5 hex[0,15)` long) — a parity
+    * spec pins it. Empty for undecodable / shorter-than-one-window
+    * payloads.
+    */
+  private[graft] def audioShingleHashesOf(bytes: Array[Byte], n: Int = 3,
+      win: Int = 4, stride: Int = 2): Seq[Long] =
+    decodeAudio(bytes) match {
+      case Some((_, _, samples)) if samples.length >= win =>
+        val m = (samples.length - win) / stride + 1
+        val toks = Array.tabulate(m) { w =>
+          var s = 0L; var j = 0
+          while (j < win) { s += math.abs(samples(w * stride + j).toLong); j += 1 }
+          ((s / win) / 2048).toString
+        }
+        val shingleStrs =
+          if (toks.length >= n)
+            (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+          else Seq(toks.mkString(" "))
+        shingleStrs.distinct.map { str =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.lang.Long.parseLong(
+            md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+        }
+      case _ => Nil
+    }
+
   /** 63-bit aHash of one decoded frame (row-major gray vs floor-mean —
     * the [[aHash63]] bit rule, shared by the image and video paths).
     */

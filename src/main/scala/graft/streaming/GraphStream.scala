@@ -195,6 +195,45 @@ object GraphStream {
     */
   private val MediaFilterFrames = 8
 
+  /** TRIM-ROBUST audio near-dup filtering at ingest — the streaming
+    * mirror of [[graft.pipeline.Multimodal.audioShingleNearDupPairs]],
+    * complementing [[mediaNearDupIngestFilter]]'s envelope-band arm
+    * the way the multi-frame probe complements the video key-frame:
+    * the corpus reduces to a broadcast Bloom of its symbol-shingle
+    * hashes, and a stream row drops when at least `minFrac` of ITS
+    * shingles might be in the corpus — approximate Jaccard
+    * CONTAINMENT, which a leading-trim cannot evade (the surviving
+    * symbols are verbatim corpus symbols). A fraction gate rather
+    * than any-hit: quiet/constant windows produce shingles shared by
+    * unrelated clips, and a single-shingle trigger would drop fresh
+    * content wholesale. Undecodable or shingle-less payloads pass
+    * through (not duplicates of anything).
+    */
+  def audioShingleIngestFilter(stream: DataFrame, corpus: DataFrame,
+      binCol: String = "content", n: Int = 3, minFrac: Double = 0.6,
+      win: Int = 4, stride: Int = 2, fpp: Double = 0.01): DataFrame = {
+    import graft.pipeline.{Dedup, Multimodal}
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac in (0,1]: $minFrac")
+    val keyed = Dedup.shingleHashSetCached(
+        Multimodal.audioSymbols(corpus, win, stride)
+          .where(col("symbols").isNotNull),
+        "symbols", "media_id", n)
+      .select(col("_sh").cast("string").as("_k"))
+    val pinned =
+      keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try pinned.stat.bloomFilter("_k", math.max(pinned.count(), 1L), fpp)
+      finally pinned.unpersist(false)
+    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    val hitFrac = udf((bytes: Array[Byte]) => {
+      val shs = Multimodal.audioShingleHashesOf(bytes, n, win, stride)
+      if (shs.isEmpty) -1.0 // pass-through marker
+      else shs.count(h =>
+        bloomB.value.mightContainString(h.toString)).toDouble / shs.size
+    })
+    stream.where(hitFrac(col(binCol)) < minFrac)
+  }
+
   /** The (band, value) key array of a 63-bit hash column — the column
     * form of `Multimodal.bandKeysOfHash` (same "b:v" strings), so a
     * corpus-side Bloom build and a stream-side probe agree by

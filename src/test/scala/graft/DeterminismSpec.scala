@@ -126,6 +126,24 @@ class DeterminismSpec extends GraftSuite {
     }
   }
 
+  test("multi-frame video and audio-shingle pairs are partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Multimodal
+    def media(parts: Int, modality: String) = Multimodal.mediaFromIds(
+      (0 until 90).map(_.toLong).toDF("doc_id").repartition(parts),
+      "doc_id", only = Some(modality))
+    for (cap <- Seq(4, 4096))
+      check(s"videoMultiFrameNearDupPairs(cap=$cap)") { (_, ip) =>
+        Multimodal.videoMultiFrameNearDupPairs(media(ip, "video"),
+          maxHam = 3, k = 8, minMatches = 2, cap = cap)
+      }
+    check("audioShingleNearDupPairs") { (_, ip) =>
+      Multimodal.audioShingleNearDupPairs(media(ip, "audio"),
+        n = 3, num = 6, den = 10)
+    }
+  }
+
   test("global orderings (shuffle, curriculum) are partitioning-independent") {
     // sort + zipWithIndex positions must equal the global rank in the
     // total order regardless of how the range partitioner splits it

@@ -173,6 +173,38 @@ class StreamingSpec extends GraftSuite {
       assert(kept.contains(601L), s"fresh clip must survive: $kept")
   }
 
+  test("audio shingle ingest filter drops a trimmed re-upload by containment; local kernel hash-matches the engine") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Dedup, Multimodal}
+    val rnd = new scala.util.Random(43)
+    val base = Array.fill(48)((rnd.nextInt(65536) - 32768).toShort)
+    val original = Multimodal.encodeWav(base, 16000)
+    val corpus = Seq((0L, original)).toDF("media_id", "content")
+    // local kernel == engine shingle hashes over the same payload —
+    // the parity that lets a row-preserving predicate stand in for
+    // the distributed shingle build
+    val engineHashes = Dedup.shingleHashSet(
+        Multimodal.audioSymbols(corpus), "symbols", "media_id", 3)
+      .select("_sh").collect().map(_.getLong(0)).toSet
+    val localHashes = Multimodal.audioShingleHashesOf(original).toSet
+    assert(localHashes == engineHashes,
+      s"kernel diverged: ${localHashes.size} vs ${engineHashes.size}")
+    // trimmed re-upload: most of its shingles are corpus shingles ->
+    // containment >= 0.6 -> dropped; fresh and undecodable pass
+    val trimmed = Multimodal.encodeWav(base.drop(4), 16000)
+    val freshClip = Multimodal.encodeWav(
+      Array.fill(48)((rnd.nextInt(65536) - 32768).toShort), 16000)
+    val kept = GraphStream.audioShingleIngestFilter(
+        Seq((700L, trimmed), (701L, freshClip),
+          (702L, Array.fill[Byte](16)(3))).toDF("media_id", "content"),
+        corpus)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(700L), s"trimmed re-upload must drop: $kept")
+    assert(kept == Set(701L, 702L),
+      s"fresh + undecodable must survive: $kept")
+  }
+
   test("embeddingNearDupIngestFilter drops a re-embedded vector; batch parity on survivors") {
     val s = spark
     import s.implicits._
