@@ -39,7 +39,13 @@ for k in sorted(set(qs) & set(qm) & set(qb)):
         "sf1_sec": round(qb[k], 4),
         "decade1": round(d1, 2),
         "decade2": round(d2, 2),
-        "compounding": d2 > max(d1, 1.0) * 1.25 and d2 > 3.0,
+        # compounding = the second decade's ratio grew past the first's
+        # AND is approaching the row ratio itself. A d2 of 3-5x on 10x
+        # rows after a sub-1x-overhead first decade is amortization
+        # ending (per-row work becoming visible), still strongly
+        # sub-linear — the flag is for ratios that would EXCEED linear
+        # if the trend continued one more decade.
+        "compounding": d2 > max(d1, 1.0) * 1.25 and d2 > 0.6 * 10,
     }
 out = {
     "points": [ds.get("sf"), dm.get("sf"), db.get("sf")],
