@@ -304,10 +304,12 @@ object Bench {
     // compact summary as the FINAL stdout line: a bounded tail capture
     // of this process (the driver keeps only the last N bytes) must
     // still contain the numbers that matter even when the full line
-    // above truncates mid-JSON. Self-contained and parseable on its
-    // own — same metric/value contract as the full line.
+    // above truncates mid-JSON. Self-contained JSON, but under metric
+    // "summary" — a consumer grepping '"metric":"total"' or parsing
+    // per-query tables must keep finding exactly ONE line (the full
+    // one above), never this digest.
     val nErr = (results ++ otherResults ++ coldResults).count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_headline":${results.size},"n_others":${otherResults.size},"others_total":$othersTotal,"n_errors":$nErr,"sf":"$sfDir","loadavg_start":$loadStartJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_headline":${results.size},"n_others":${otherResults.size},"others_total":$othersTotal,"n_errors":$nErr,"sf":"$sfDir","loadavg_start":$loadStartJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
     spark.stop()
     if ((results ++ otherResults ++ coldResults).exists(_._3.isDefined)) sys.exit(1)
   }

@@ -80,7 +80,7 @@ object SynthScale {
       perturb = (d, k) =>
         if (k == 0) d
         else d.withColumn("text", concat(lit(s"c$k "), col("text")))
-          .withColumn("n_chars", col("n_chars") + lit(3 + s"$k".length))))
+          .withColumn("n_chars", col("n_chars") + lit(2 + s"$k".length))))
 
     // per-(row, copy, dim) deterministic noise, +-0.8 amplitude, via
     // xxhash64 — i.i.d. across rows/dims/copies, which is what

@@ -286,34 +286,48 @@ object Bpe {
   private val MemoCapPerChain = 1 << 20
   /** Distinct merge chains memoized at once — a long-lived server that
     * keeps retraining (new chain fingerprint per train) must not grow
-    * one memo map per historical chain forever. Access-ordered LRU:
+    * one memo map per historical chain forever. LRU by last-use tick:
     * the (MaxMemoChains+1)-th chain evicts the least-recently-USED
     * one, so the live chain always stays memoized and stale chains'
     * maps are released instead of pinned (correctness unaffected
-    * either way — the memo is a pure cache).
+    * either way — the memo is a pure cache). The HIT path — once per
+    * row across all 32 executor threads — is a lock-free map read
+    * plus one volatile tick write; the lock is taken only to INSERT a
+    * new chain (rare: once per retrain), where a <=16-entry scan
+    * picks the eviction victim.
     */
   private val MaxMemoChains = 16
-  private val countMemos = new java.util.LinkedHashMap[
-      String, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]](
-      MaxMemoChains * 2, 0.75f, /*accessOrder=*/ true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        String,
-        java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]])
-        : Boolean = size() > MaxMemoChains
+  private final class ChainMemo {
+    val map = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    @volatile var lastUse: Long = 0L
   }
+  private val memoTick = new java.util.concurrent.atomic.AtomicLong()
+  private val countMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, ChainMemo]()
 
   private[graft] def memoFor(fp: String)
-      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
-    countMemos.synchronized {
-      val hit = countMemos.get(fp)
-      if (hit != null) hit
-      else {
-        val m =
-          new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] = {
+    val hit = countMemos.get(fp)
+    if (hit != null) { hit.lastUse = memoTick.incrementAndGet(); hit.map }
+    else countMemos.synchronized {
+      val again = countMemos.get(fp)
+      if (again != null) {
+        again.lastUse = memoTick.incrementAndGet(); again.map
+      } else {
+        while (countMemos.size >= MaxMemoChains) {
+          var lruK: String = null; var lruT = Long.MaxValue
+          countMemos.forEach { (k, v) =>
+            if (v.lastUse < lruT) { lruT = v.lastUse; lruK = k }
+          }
+          countMemos.remove(lruK)
+        }
+        val m = new ChainMemo
+        m.lastUse = memoTick.incrementAndGet()
         countMemos.put(fp, m)
-        m
+        m.map
       }
     }
+  }
 
   private def sumCountsUdf(fp: String, merges: Array[(String, String)],
       seed: String => Array[String]) =

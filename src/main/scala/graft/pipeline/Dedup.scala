@@ -1341,6 +1341,15 @@ object Dedup {
     * n^1.5 shuffled bytes) puts the crossover near 2^16 rows. Above
     * the limit the quadratic term dominates any constant and the
     * bucketed join is the only shape that survives 100 TB.
+    *
+    * Semantics note: the auto path is EXACT below the limit and
+    * approximate (pairs form only within an IVF cluster) above it, so
+    * moving the limit moves the exact/approximate boundary — corpora
+    * in the 65,537-100,000 band that previously took the exact kernel
+    * now take the bucketed join. Callers needing exactness in that
+    * band pin `bruteForce = Some(true)` (as the oracle-exact
+    * `q_embed_keep` does); `q_embed_keep_ivf` gates the bucketed
+    * path's pair recall >= 0.9 at its served similarity grade.
     */
   val BruteForcePairLimit = 65536L
 

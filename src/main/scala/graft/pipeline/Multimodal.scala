@@ -967,20 +967,67 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[audioSymbols]] memoized by (source plan, win, stride) — NOT
+    * for the compute (symbols are one cheap decode pass) but for plan
+    * IDENTITY: `mapPartitions` closures canonicalize by instance, so
+    * two calls over the same input yield plans that key APART, and
+    * every downstream plan-keyed artifact (the shingle set / array
+    * caches) would rebuild per call AND churn the bounded FIFO shared
+    * with the text corpus artifacts, evicting frames other queries
+    * still serve from. Returning the same frame instance keys the
+    * whole downstream chain stably. No persist to own — eviction
+    * drops only the reference.
+    */
+  def audioSymbolsCached(df: DataFrame, win: Int = 4,
+      stride: Int = 2): DataFrame = {
+    val key = (graft.pipeline.Dedup.planKey(df), win, stride)
+    symbolsCache.synchronized {
+      val hit = symbolsCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = audioSymbols(df, win, stride)
+        symbolsCache.put(key, built)
+        built
+      }
+    }
+  }
+
+  private val symbolsCache =
+    new java.util.LinkedHashMap[(String, Int, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Int), DataFrame]): Boolean =
+        size() > 16
+    }
+
   /** Trim-robust audio near-dup pairs: exact n-gram Jaccard over the
     * [[audioSymbols]] streams — clips pair when their symbol shingle
     * sets overlap at `>= num/den` Jaccard. Complements
     * [[audioNearDupPairs]] exactly as
     * [[videoMultiFrameNearDupPairs]] complements the key-frame path:
     * the envelope hash is the cheap whole-clip key; this is the form
-    * a leading-trim or concatenation cannot evade. Inherits the
-    * df-capped bounded candidate join of the text machinery — never
-    * all-pairs. Output: `(id_a, id_b)`.
+    * a leading-trim or concatenation cannot evade.
+    *
+    * Scale note: the quantized-energy alphabet is small (~17 values),
+    * so unlike text shingles, COMMON symbol shingles (constant
+    * loudness runs) are hot across unrelated clips — `maxShingleDf`
+    * defaults to a real cap here, not MaxValue: shingles on more than
+    * that many clips are dropped from CANDIDATE GENERATION (the
+    * Jaccard verify stays exact over full sets), which is what keeps
+    * the candidate join bounded instead of degenerating toward
+    * all-pairs on a large corpus. A pair whose every shared shingle
+    * exceeds the cap is lost — for near-dup audio that means two
+    * clips sharing only globally-common loudness patterns, which the
+    * Jaccard gate would usually reject anyway. Callers wanting the
+    * fully-exact candidate set pass `Int.MaxValue` explicitly.
+    * Output: `(id_a, id_b)`.
     */
   def audioShingleNearDupPairs(df: DataFrame, n: Int = 3, num: Int = 6,
-      den: Int = 10, win: Int = 4, stride: Int = 2): DataFrame = {
-    val sym = audioSymbols(df, win, stride).where(col("symbols").isNotNull)
-    Dedup.ngramJaccardPairs(sym, "symbols", "media_id", n, num, den)
+      den: Int = 10, win: Int = 4, stride: Int = 2,
+      maxShingleDf: Int = 256): DataFrame = {
+    val sym = audioSymbolsCached(df, win, stride)
+      .where(col("symbols").isNotNull)
+    Dedup.ngramJaccardPairs(sym, "symbols", "media_id", n, num, den,
+      maxShingleDf = maxShingleDf)
   }
 
   /** Local mirror of `audioSymbols → tokens → shingles → 60-bit md5

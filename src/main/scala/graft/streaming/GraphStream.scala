@@ -121,14 +121,19 @@ object GraphStream {
     * the filter. One place owns sizing, persist level, and probe
     * semantics.
     */
-  private def bloomHitsUdf(stream: DataFrame, keyed: DataFrame,
-      fpp: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  private def buildBloom(stream: DataFrame, keyed: DataFrame, fpp: Double)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
     val pinned =
       keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom =
       try pinned.stat.bloomFilter("_k", math.max(pinned.count(), 1L), fpp)
       finally pinned.unpersist(false)
-    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    stream.sparkSession.sparkContext.broadcast(bloom)
+  }
+
+  private def bloomHitsUdf(stream: DataFrame, keyed: DataFrame,
+      fpp: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bloomB = buildBloom(stream, keyed, fpp)
     udf((ks: Seq[String]) =>
       ks != null && ks.exists(bloomB.value.mightContainString))
   }
@@ -175,18 +180,36 @@ object GraphStream {
     }
     val keyed = hs.where(col("_h").isNotNull)
       .select(explode(bandKeyCols(col("_h"), bands, bandBits)).as("_k"))
-    val bandHits = bloomHitsUdf(stream, keyed, fpp)
+    val bloomB = buildBloom(stream, keyed, fpp)
     val hashesOf: Array[Byte] => Seq[Long] = modality match {
       case "image" => b => Multimodal.imageHashOf(b).toSeq
       case "audio" => b => Multimodal.audioHashOf(b).toSeq
       case _ => b => Multimodal.videoHashesOf(b, MediaFilterFrames)
     }
-    val keysOf = udf((bytes: Array[Byte]) => {
-      val ks = hashesOf(bytes)
-        .flatMap(h => Multimodal.bandKeysOfHash(h, bands, bandBits))
-      if (ks.isEmpty) null else ks
+    // drop gate mirrors the batch semantics per modality: image/audio
+    // have ONE hash (any shared band drops — the pigeonhole near-dup
+    // condition); video requires >= min(2, sampled) HIT FRAMES, the
+    // ingest form of videoMultiFrameNearDupPairs' minMatches=2 — a
+    // single chance band collision on one of 8 frames must not drop a
+    // fresh clip, and 8 frames' keys saturate the (band, value) space
+    // 8x faster than one, so the any-hit rule the single-hash arms
+    // use would over-drop here. Undecodable payloads pass through.
+    val dropRow = udf((bytes: Array[Byte]) => {
+      val hs = hashesOf(bytes)
+      if (hs.isEmpty) false
+      else {
+        val need = math.min(2, hs.size)
+        var hit = 0
+        val it = hs.iterator
+        while (it.hasNext && hit < need) {
+          val h = it.next()
+          if (Multimodal.bandKeysOfHash(h, bands, bandBits)
+              .exists(bloomB.value.mightContainString)) hit += 1
+        }
+        hit >= need
+      }
     })
-    stream.where(!bandHits(keysOf(col(binCol))))
+    stream.where(!dropRow(col(binCol)))
   }
 
   /** Frames sampled per clip by the video arm of
@@ -214,16 +237,17 @@ object GraphStream {
       win: Int = 4, stride: Int = 2, fpp: Double = 0.01): DataFrame = {
     import graft.pipeline.{Dedup, Multimodal}
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac in (0,1]: $minFrac")
+    // the cached symbols frame keeps downstream plan keys stable, and
+    // the shingle artifact it feeds is already persisted+counted by
+    // its own cache — the two jobs below (count + bloom build) read
+    // that cache; no second persist layer
     val keyed = Dedup.shingleHashSetCached(
-        Multimodal.audioSymbols(corpus, win, stride)
+        Multimodal.audioSymbolsCached(corpus, win, stride)
           .where(col("symbols").isNotNull),
         "symbols", "media_id", n)
       .select(col("_sh").cast("string").as("_k"))
-    val pinned =
-      keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom =
-      try pinned.stat.bloomFilter("_k", math.max(pinned.count(), 1L), fpp)
-      finally pinned.unpersist(false)
+    val bloom = keyed.stat.bloomFilter("_k",
+      math.max(keyed.count(), 1L), fpp)
     val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
     val hitFrac = udf((bytes: Array[Byte]) => {
       val shs = Multimodal.audioShingleHashesOf(bytes, n, win, stride)
