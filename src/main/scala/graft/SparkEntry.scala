@@ -1084,6 +1084,20 @@ object SparkEntry {
       Multimodal.videoMultiFrameNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("video")), maxHam = 3, k = 8, minMatches = 2)),
+    // INCREMENTAL media dedup: a new image batch (id+9000 keeps the
+    // modality residue) against the standing image corpus via banded
+    // cross pairs — no within-side pairs. The oracle recomputes both
+    // sides' aHash63s from the id -> pixel formulas and does the
+    // exact cross Hamming <= 3
+    "q_media_cross" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id")
+      Multimodal.mediaNearDupCrossPairs(
+        Multimodal.mediaFromIdsCached(
+          base.select((col("doc_id") + 9000).as("doc_id")), "doc_id",
+          only = Some("image")),
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("image")),
+        "image", maxHam = 3)
+    }),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -2485,6 +2499,32 @@ object SparkEntry {
       "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
       "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
       "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.h, b.h)) <= 3"),
+    // both sides' aHash63s from the pixel formulas (batch ids are
+    // doc_id + 9000 — same modality residue, different patterns),
+    // exact CROSS Hamming <= 3 with no within-side pairs — the banded
+    // cross engine path must agree
+    "q_media_cross" -> ("WITH ids AS (SELECT doc_id FROM documents " +
+      "WHERE doc_id % 3 = 0), " +
+      "m AS (SELECT doc_id + 9000 AS media_id, 'b' AS side FROM ids " +
+      "UNION ALL SELECT doc_id, 'c' FROM ids), " +
+      "px AS (SELECT media_id, side, media_id % 13 + 1 AS w, " +
+      "media_id % 7 + 1 AS h FROM m), " +
+      "g AS (SELECT media_id, side, p, " +
+      "(((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
+      "((media_id * 13 + p % w) % 255) + " +
+      "((media_id * 7 + p // w) % 255)) // 3 AS gray FROM " +
+      "(SELECT media_id, side, w, h, " +
+      "UNNEST(range(0, (w * h)::BIGINT)) AS p FROM px)), " +
+      "mn AS (SELECT media_id, sum(gray) // count(*) AS mg " +
+      "FROM g GROUP BY 1), " +
+      "hs AS (SELECT g.media_id, min(g.side) AS side, " +
+      "CAST(sum(CASE WHEN g.gray >= mn.mg AND g.p < 63 " +
+      "THEN (CAST(1 AS BIGINT) << g.p::INT) ELSE 0 END) AS BIGINT) AS h " +
+      "FROM g JOIN mn ON g.media_id = mn.media_id GROUP BY 1) " +
+      "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+      "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
+      "FROM hs a JOIN hs b ON a.side = 'b' AND b.side = 'c' " +
       "WHERE bit_count(xor(a.h, b.h)) <= 3"),
     // same full-outer hash diff over the same synthetic versions
     "q_doc_snapshot_diff" -> ("WITH v1 AS (SELECT doc_id, md5(text) AS h " +

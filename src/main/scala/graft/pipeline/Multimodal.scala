@@ -1130,6 +1130,35 @@ object Multimodal {
       bands = 4, bandBits = 16, maxHam = maxHam)
   }
 
+  /** Cross-corpus INCREMENTAL media near-dup: every (new-batch clip,
+    * standing-corpus clip) pair within perceptual-hash Hamming
+    * `maxHam`, with NO within-side pairs — the media arm of the
+    * incremental-dedup shape ([[graft.pipeline.Dedup.crossJaccardPairs]]
+    * for text, `bandedHammingCrossPairs` over SRP signatures for
+    * embeddings): an ingested batch checks against the corpus without
+    * re-pairing the corpus against itself. Same pigeonhole-exact
+    * 4x16-bit banding and capped cross blocks as the within-corpus
+    * forms; at scale the corpus side's hash frame is a write-time
+    * artifact and the batch pays one decode pass. Output:
+    * `(id_a from batch, id_b from corpus, hamming)`.
+    */
+  def mediaNearDupCrossPairs(batch: DataFrame, corpus: DataFrame,
+      modality: String, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    def hs(df: DataFrame) = (modality match {
+      case "image" => aHash63(df).select(col("media_id"), col("ahash").as("_h"))
+      case "audio" =>
+        audioEnvHash63(df).select(col("media_id"), col("ehash").as("_h"))
+      case "video" =>
+        videoFrameHash63(df).select(col("media_id"), col("vhash").as("_h"))
+      case m => throw new IllegalArgumentException(
+        s"modality must be image|audio|video, got $m")
+    }).where(col("_h").isNotNull)
+    Dedup.bandedHammingCrossPairs(hs(batch), hs(corpus),
+      "media_id", "_h", bands = 4, bandBits = 16, maxHam = maxHam)
+  }
+
   /** Per-frame aHash63 rows of each demuxed video: up to `k`
     * evenly-spaced frames per clip (all frames when the clip has
     * <= k), one output row per sampled frame — the demux already

@@ -1298,6 +1298,31 @@ class PipelineSpec extends GraftSuite {
     assert(exact.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("media cross pairs equal exact cross Hamming with no within-side pairs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Multimodal.mediaFromIds(
+      (0 until 150 by 3).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("image"))
+    val batch = Multimodal.mediaFromIds(
+      (9000 until 9150 by 3).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("image"))
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.aHash63(df).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val hb = hashes(batch); val hc = hashes(corpus)
+    val exact = (for {
+      (ba, bh) <- hb; (ca, ch) <- hc
+      d = java.lang.Long.bitCount(bh ^ ch) if d <= 3
+    } yield (ba, ca, d)).toSet
+    assert(exact.nonEmpty, "fixture must produce cross pairs")
+    val got = Multimodal.mediaNearDupCrossPairs(batch, corpus, "image",
+        maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, s"${got.size} vs ${exact.size}")
+    // strictly batch-side id_a, corpus-side id_b — never within-side
+    assert(got.forall { case (a, b, _) => a >= 9000 && b < 9000 })
+  }
+
   test("audio symbol shingles pair a trimmed clip the envelope hash misses") {
     val s = spark
     import s.implicits._
