@@ -1047,6 +1047,14 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("image")), maxHam = 3)),
+    // GRADIENT-hash image dedup: dHash63 (adjacent-gray rises) over
+    // the same decoded PNGs — the illumination-robust companion to
+    // the aHash query above; the oracle rebuilds each bit from a
+    // lead() over the id -> pixel gray formulas
+    "q_media_dhash_pairs" -> ((s, d) =>
+      Multimodal.imageDHashNearDupPairs(
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("image")), maxHam = 3)),
     // perceptual AUDIO dedup: 32-window envelope hashes over the REAL
     // decoded WAV samples, banded (pigeonhole-exact at Hamming <= 3);
     // the synthesized clips are near-linear amplitude ramps, so hashes
@@ -1084,6 +1092,17 @@ object SparkEntry {
       Multimodal.videoMultiFrameNearDupPairs(
         Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
           only = Some("video")), maxHam = 3, k = 8, minMatches = 2)),
+    // WINNOWED (content-anchored) video dedup: each clip's frames are
+    // winnow-selected (width-3 window, min frame hash, leftmost tie)
+    // and only SELECTED frames pair — the re-cut-robust form whose
+    // selection depends on frame content, not clip length. The oracle
+    // recomputes the per-frame hashes, replays the winnow selection
+    // with a row_number window, and counts exact all-pairs selected
+    // matches with the >= 2 gate
+    "q_media_video_neardup_wf" -> ((s, d) =>
+      Multimodal.videoWinnowedNearDupPairs(
+        Multimodal.mediaFromIdsCached(docs(s, d).select("doc_id"), "doc_id",
+          only = Some("video")), maxHam = 3, window = 3, minMatches = 2)),
     // INCREMENTAL media dedup: a new image batch (id+9000 keeps the
     // modality residue) against the standing image corpus via banded
     // cross pairs — no within-side pairs. The oracle recomputes both
@@ -2348,6 +2367,39 @@ object SparkEntry {
       "FROM fh x JOIN fh y ON x.media_id < y.media_id " +
       "WHERE bit_count(xor(x.fhash, y.fhash)) <= 3 " +
       "GROUP BY 1, 2 HAVING count(*) >= 2"),
+    // winnowed selection replayed in SQL: per-frame hashes from the
+    // same pixel formulas, a row of windows s in [0, max(nf-3, 0)]
+    // of width min(3, nf), each window's min-(fhash, f) frame
+    // selected (row_number = 1 mirrors the leftmost-tie rule), then
+    // exact all-pairs matches over DISTINCT selected frames with the
+    // >= 2 gate — the engine's winnow kernel + banding must agree
+    "q_media_video_neardup_wf" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "mf AS (SELECT media_id, w, h, unnest(range(0, nf::BIGINT)) AS f FROM m), " +
+      "g AS (SELECT media_id, f, p, (" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
+      "((media_id * 13 + (p % w) + f) % 255) + " +
+      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
+      "FROM (SELECT media_id, w, h, f, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM mf)), " +
+      "mn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
+      "FROM g GROUP BY 1, 2), " +
+      "fh AS (SELECT g.media_id, g.f, CAST(coalesce(sum(CASE WHEN p < 63 " +
+      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS fhash FROM g JOIN mn USING (media_id, f) GROUP BY 1, 2), " +
+      "wn AS (SELECT media_id, least(3, nf) AS wsz, " +
+      "unnest(range(0, greatest(nf - 3, 0)::BIGINT + 1)) AS s FROM m), " +
+      "sel AS (SELECT DISTINCT media_id, f, fhash FROM " +
+      "(SELECT wx.media_id, fh.f, fh.fhash, row_number() OVER " +
+      "(PARTITION BY wx.media_id, wx.s ORDER BY fh.fhash, fh.f) AS rn " +
+      "FROM wn wx JOIN fh ON fh.media_id = wx.media_id " +
+      "AND fh.f >= wx.s AND fh.f < wx.s + wx.wsz) WHERE rn = 1) " +
+      "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
+      "count(*) AS n_matched " +
+      "FROM sel x JOIN sel y ON x.media_id < y.media_id " +
+      "WHERE bit_count(xor(x.fhash, y.fhash)) <= 3 " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2"),
 
     // gap sessionization: same lag + running-sum formulation over
     // epoch µs; CASE's null-cond -> ELSE mirrors when().otherwise()
@@ -2496,6 +2548,28 @@ object SparkEntry {
       "AND g.p < 63 THEN (CAST(1 AS BIGINT) << g.p::INT) ELSE 0 END) " +
       "AS BIGINT) AS h FROM g JOIN mn ON g.media_id = mn.media_id " +
       "GROUP BY 1) " +
+      "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+      "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
+      "FROM hs a JOIN hs b ON a.media_id < b.media_id " +
+      "WHERE bit_count(xor(a.h, b.h)) <= 3"),
+    // dHash63 rebuilt with lead() over the pixel-gray formulas: bit p
+    // set iff the next row-major gray strictly rises (the last pixel's
+    // NULL lead falls out of the CASE, mirroring the p < n-1 kernel
+    // bound); exact all-pairs Hamming <= 3
+    "q_media_dhash_pairs" -> ("WITH m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      "px AS (SELECT media_id, w, h, " +
+      "UNNEST(range(0, (w * h)::BIGINT)) AS p FROM m), " +
+      "g AS (SELECT media_id, p, " +
+      "(((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
+      "((media_id * 13 + p % w) % 255) + " +
+      "((media_id * 7 + p // w) % 255)) // 3 AS gray FROM px), " +
+      "d AS (SELECT media_id, p, gray, lead(gray) OVER " +
+      "(PARTITION BY media_id ORDER BY p) AS g2 FROM g), " +
+      "hs AS (SELECT media_id, CAST(coalesce(sum(CASE WHEN p < 63 " +
+      "AND g2 > gray THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS h FROM d GROUP BY 1) " +
       "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
       "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
       "FROM hs a JOIN hs b ON a.media_id < b.media_id " +

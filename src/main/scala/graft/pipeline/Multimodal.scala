@@ -840,6 +840,75 @@ object Multimodal {
       bands = 4, bandBits = 16, maxHam = maxHam)
   }
 
+  /** Gradient (difference) hash of one decoded frame: bit p (p < 63)
+    * is set iff the row-major-adjacent gray strictly rises,
+    * `gray(p+1) > gray(p)`. Where [[frameAHash63]] thresholds every
+    * pixel against the GLOBAL mean — so a smooth illumination
+    * gradient (vignette, scanner lamp falloff, re-grade) shifts
+    * pixels across the mean and flips bits wholesale — the dHash bit
+    * only sees the LOCAL difference, which such a gradient perturbs
+    * by its tiny per-pixel step. All-integer, same oracle contract.
+    */
+  private def frameDHash63(img: BufferedImage): Long = {
+    val w = img.getWidth; val ht = img.getHeight
+    val n = w * ht
+    def grayAt(p: Int): Long = {
+      val rgb = img.getRGB(p % w, p / w)
+      (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3L
+    }
+    var bits = 0L
+    var p = 0
+    val m = math.min(n - 1, 63)
+    var prev = if (n > 0) grayAt(0) else 0L
+    while (p < m) {
+      val next = grayAt(p + 1)
+      if (next > prev) bits |= 1L << p
+      prev = next
+      p += 1
+    }
+    bits
+  }
+
+  private[graft] def imageDHashOf(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map(frameDHash63)
+
+  /** Per-image [[frameDHash63]] — the illumination-robust companion
+    * frame to [[aHash63]], same shape. Null for undecodable rows.
+    * Output: `(media_id, dhash)`.
+    */
+  def dHash63(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        Row(r.getLong(idIdx), imageDHashOf(bytes).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by GRADIENT-hash Hamming distance —
+    * [[imageNearDupPairs]] with [[dHash63]] as the key: catches the
+    * smooth-illumination re-grades the mean-threshold hash provably
+    * misses (a ramp overlay flips aHash bits across the whole frame
+    * but leaves adjacent-pixel orderings intact). Same
+    * pigeonhole-exact 4x16-bit capped banding. Run BOTH and union
+    * when recall matters more than one extra decode-free hash pass —
+    * the two hashes fail on disjoint edit families. Output:
+    * `(id_a, id_b, hamming)`.
+    */
+  def imageDHashNearDupPairs(df: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    val hs = dHash63(df).where(col("dhash").isNotNull)
+    Dedup.bandedHammingPairs(hs, "media_id", "dhash",
+      bands = 4, bandBits = 16, maxHam = maxHam)
+  }
+
   /** Perceptual envelope hash of the DECODED audio — the audio
     * analogue of [[aHash63]]: the sample stream splits into `windows`
     * time bins by assignment `w = (k·W) div n`, and bit w is set iff
@@ -1215,6 +1284,107 @@ object Multimodal {
     require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
     val fh = videoFrameHashes63(df, k).select(
       (col("media_id") * 64 + col("frame_slot")).as("_fid"), col("fhash"))
+    Dedup.bandedHammingPairs(fh, "_fid", "fhash",
+        bands = 4, bandBits = 16, maxHam = maxHam, cap = cap)
+      .select(shiftright(col("id_a"), 6).as("id_a"),
+        shiftright(col("id_b"), 6).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minMatches)
+  }
+
+  /** Winnowed (content-anchored) frame selection of one payload: the
+    * per-frame aHash63 sequence is scanned with a width-`window`
+    * sliding window and each window's minimum-hash frame (leftmost on
+    * ties) is selected — MOSS winnowing applied to frame streams
+    * instead of k-gram streams. The selected SET depends only on
+    * LOCAL hash comparisons, so a clip re-cut to a different length
+    * keeps selecting the same content frames away from the cut — the
+    * property ordinal sampling ([[videoHashesOf]]) lacks: there, the
+    * sampled INDICES are a function of clip length, and a re-cut
+    * shifts every one of them. Windows shrink to the clip when
+    * `n_frames < window` (one selection), and the winnowing guarantee
+    * holds: every `window` consecutive frames contribute at least one
+    * selection. At most `maxSel` selected frames survive, in frame
+    * order (the pair stage packs selections into 6 slot bits).
+    * Returns selected frame hashes in frame order; empty for
+    * undecodable/zero-frame payloads.
+    */
+  private[graft] def videoWinnowedHashesOf(bytes: Array[Byte],
+      window: Int = 3, maxSel: Int = 64): Seq[Long] =
+    decodeVideo(bytes) match {
+      case Some((_, _, frames)) if frames.nonEmpty =>
+        val hs = frames.map(frameAHash63).toArray
+        val nf = hs.length
+        val w = math.min(window, nf)
+        val sel = scala.collection.mutable.SortedSet.empty[Int]
+        var s = 0
+        while (s <= nf - w) {
+          var best = s
+          var j = s + 1
+          while (j < s + w) { if (hs(j) < hs(best)) best = j; j += 1 }
+          sel += best
+          s += 1
+        }
+        sel.iterator.take(maxSel).map(hs).toSeq
+      case _ => Nil
+    }
+
+  /** Per-clip winnowed frame-hash rows — the distributed face of
+    * [[videoWinnowedHashesOf]] (selection is per-payload local work,
+    * so it runs inside the decode pass: no shuffle, no window
+    * functions). `sel_slot` is the selection ordinal in frame order
+    * (< 64 by the `maxSel` contract), NOT the frame index — slots on
+    * two clips need not align, and the pair stage never compares
+    * them. Output: `(media_id, sel_slot, fhash)`.
+    */
+  def videoWinnowedFrameHashes63(df: DataFrame, window: Int = 3): DataFrame = {
+    require(window >= 1, s"winnow window must be >= 1, got $window")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sel_slot", IntegerType, nullable = false),
+      StructField("fhash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex("content")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        videoWinnowedHashesOf(bytes, window).iterator.zipWithIndex.map {
+          case (h, j) => Row(r.getLong(idIdx), j, h)
+        }
+      }
+    }(enc)
+  }
+
+  /** Re-cut-robust near-duplicate video pairs — the content-anchored
+    * form of [[videoMultiFrameNearDupPairs]]: clips pair when at
+    * least `minMatches` cross-clip WINNOWED-frame pairs lie within
+    * Hamming `maxHam`. The ordinal sampler compares frames at
+    * length-dependent indices, so a clip trimmed by more than the
+    * sample spacing lines almost no sampled frames up and recall
+    * collapses toward the shared-index fraction; winnowed selection
+    * keys on frame CONTENT (local hash minima), so both cuts select
+    * the same frames throughout the shared footage and the pair
+    * count tracks shared content, not shared length.
+    *
+    * Plan shape: identical to the multi-frame path — selected frames
+    * pair through the one pigeonhole-exact 4x16-bit
+    * [[graft.pipeline.Dedup.bandedHammingPairs]] machinery on a
+    * `clip * 64 + sel_slot` composite long (capped hot-band
+    * sub-blocks and all), then ONE groupBy aggregates frame matches
+    * per clip pair. Exact at `maxHam <= 3` over the selected frames.
+    * Output: `(id_a, id_b, n_matched)` with `id_a < id_b`.
+    */
+  def videoWinnowedNearDupPairs(df: DataFrame, maxHam: Int = 3,
+      window: Int = 3, minMatches: Int = 2,
+      cap: Int = Dedup.MaxClusterBlock): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    val fh = videoWinnowedFrameHashes63(df, window).select(
+      (col("media_id") * 64 + col("sel_slot")).as("_fid"), col("fhash"))
     Dedup.bandedHammingPairs(fh, "_fid", "fhash",
         bands = 4, bandBits = 16, maxHam = maxHam, cap = cap)
       .select(shiftright(col("id_a"), 6).as("id_a"),

@@ -142,6 +142,14 @@ class DeterminismSpec extends GraftSuite {
       Multimodal.audioShingleNearDupPairs(media(ip, "audio"),
         n = 3, num = 6, den = 10)
     }
+    for (cap <- Seq(4, 4096))
+      check(s"videoWinnowedNearDupPairs(cap=$cap)") { (_, ip) =>
+        Multimodal.videoWinnowedNearDupPairs(media(ip, "video"),
+          maxHam = 3, window = 3, minMatches = 2, cap = cap)
+      }
+    check("imageDHashNearDupPairs") { (_, ip) =>
+      Multimodal.imageDHashNearDupPairs(media(ip, "image"), maxHam = 3)
+    }
   }
 
   test("global orderings (shuffle, curriculum) are partitioning-independent") {

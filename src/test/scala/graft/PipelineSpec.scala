@@ -1418,6 +1418,111 @@ class PipelineSpec extends GraftSuite {
     assert(got(4) == exact)
   }
 
+  test("winnowed video near-dup pairs a re-cut clip ordinal sampling misses") {
+    val s = spark
+    import s.implicits._
+    // frame f encodes a 63-bit value as an 8x8 black/white bit grid,
+    // so frameAHash63(frame(v)) == v exactly (white = 255 >= mean,
+    // black = 0 < mean, both guaranteed while v has >= 1 set and
+    // >= 1 clear bit under p < 63)
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    val vals = (0 until 40).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    for (v <- vals) assert((v & 0x7FFFFFFFFFFFFFFFL) != 0L &&
+      java.lang.Long.bitCount(v) < 63, s"bit-frame encoding needs mixed bits: $v")
+    for (i <- vals.indices; j <- vals.indices if i < j)
+      assert(java.lang.Long.bitCount(vals(i) ^ vals(j)) > 3,
+        s"fixture frames must be pairwise far: $i $j")
+    val frames = vals.map(bitFrame)
+    val original = Multimodal.encodeAvi(frames, fps = 10)
+    // cut 22 leading frames: the survivors are VERBATIM frames
+    // 22..39 of the original, but the clip is now 18 frames long
+    val recut = Multimodal.encodeAvi(frames.drop(22), fps = 10)
+    val media = Seq((0L, original), (1L, recut)).toDF("media_id", "content")
+    // ordinal sampling at k = 8 indexes by LENGTH: the original
+    // samples {0,5,..,35}, the re-cut samples original indices
+    // {22,24,26,28,31,33,35,37} — they share only frame 35, one
+    // match, under the >= 2 gate
+    val mf = Multimodal.videoMultiFrameNearDupPairs(media, maxHam = 3,
+      k = 8, minMatches = 2).count()
+    assert(mf == 0L, s"ordinal sampling must miss the re-cut clip, got $mf")
+    // winnowed selection keys on frame CONTENT: every re-cut window
+    // is verbatim an original window, so the re-cut's selected set is
+    // a subset of the original's and the clips share many selections
+    val selA = Multimodal.videoWinnowedHashesOf(original, window = 3).toSet
+    val selB = Multimodal.videoWinnowedHashesOf(recut, window = 3).toSet
+    assert((selA & selB).size >= 2,
+      s"winnow must share >= 2 selections: ${selA.size} ${selB.size}")
+    val wf = Multimodal.videoWinnowedNearDupPairs(media, maxHam = 3,
+      window = 3, minMatches = 2).collect()
+    assert(wf.length == 1 && wf(0).getLong(0) == 0L && wf(0).getLong(1) == 1L,
+      s"re-cut clip must pair via winnowed frames: ${wf.toSeq}")
+    assert(wf(0).getLong(2) >= 2, s"shared selections expected: ${wf.toSeq}")
+  }
+
+  test("winnowed video near-dup: banded clip aggregation equals exact all-pairs, at both cap branches") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromIds(
+      (0 until 180).map(_.toLong).toDF("doc_id"), "doc_id",
+      only = Some("video"))
+    val fh = Multimodal.videoWinnowedFrameHashes63(media, window = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exact = (for {
+      (ca, _, ha) <- fh; (cb, _, hb) <- fh
+      if ca < cb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ca, cb)).groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    assert(exact.nonEmpty, "fixture must produce winnowed pairs")
+    def got(cap: Int) = Multimodal.videoWinnowedNearDupPairs(media,
+        maxHam = 3, window = 3, minMatches = 2, cap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(graft.pipeline.Dedup.MaxClusterBlock) == exact)
+    assert(got(4) == exact)
+  }
+
+  test("gradient dHash pairs an illumination re-grade the mean-threshold aHash misses") {
+    val s = spark
+    import s.implicits._
+    // base: columns alternate gray 118/122 (adjacent diffs +-4);
+    // re-grade: the same image under a left-to-right illumination
+    // ramp +2x — every adjacent ORDERING survives (ramp step 2 <
+    // diff 4) but the global mean moves 120 -> 127 and 16 pixels
+    // cross it, so the aHash flips 16 bits while the dHash flips none
+    def gradImage(ramp: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = (if (x % 2 == 0) 118 else 122) + (if (ramp) 2 * x else 0)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val base = Multimodal.encodePng(gradImage(ramp = false))
+    val regraded = Multimodal.encodePng(gradImage(ramp = true))
+    val aBase = Multimodal.imageHashOf(base).get
+    val aRe = Multimodal.imageHashOf(regraded).get
+    assert(java.lang.Long.bitCount(aBase ^ aRe) > 3,
+      s"fixture needs a real aHash break: ${java.lang.Long.bitCount(aBase ^ aRe)}")
+    val dBase = Multimodal.imageDHashOf(base).get
+    val dRe = Multimodal.imageDHashOf(regraded).get
+    assert(java.lang.Long.bitCount(dBase ^ dRe) <= 3,
+      s"dHash must survive the ramp: ${java.lang.Long.bitCount(dBase ^ dRe)}")
+    val media = Seq((0L, base), (1L, regraded)).toDF("media_id", "content")
+    assert(Multimodal.imageNearDupPairs(media, maxHam = 3).count() == 0,
+      "aHash must miss the re-grade")
+    val got = Multimodal.imageDHashNearDupPairs(media, maxHam = 3).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 0L && got(0).getLong(1) == 1L,
+      s"dHash must pair the re-grade: ${got.toSeq}")
+  }
+
   test("bandedHammingPairs: planted hot band splits into capped blocks, result stays exact") {
     val s = spark
     import s.implicits._
