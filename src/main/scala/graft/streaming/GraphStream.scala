@@ -160,21 +160,38 @@ object GraphStream {
     */
   def mediaNearDupIngestFilter(stream: DataFrame, corpus: DataFrame,
       modality: String, binCol: String = "content",
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, imageHashKind: String = "ahash",
+      videoWinnowWindow: Option[Int] = None): DataFrame = {
     import graft.pipeline.Multimodal
+    require(imageHashKind == "ahash" || imageHashKind == "dhash",
+      s"imageHashKind must be ahash|dhash, got $imageHashKind")
     val bands = 4; val bandBits = 16
     // video keys on up to MediaFilterFrames sampled frames per clip
     // (both sides), not just the first: a trimmed or bumper-prefixed
     // re-upload keeps most of its sampled frames identical to the
     // standing clip, so it still shares a band and drops — the ingest
-    // mirror of Multimodal.videoMultiFrameNearDupPairs
+    // mirror of Multimodal.videoMultiFrameNearDupPairs. With
+    // `videoWinnowWindow = Some(w)` both sides key on WINNOW-selected
+    // frames instead (the ingest mirror of
+    // Multimodal.videoWinnowedNearDupPairs): ordinal sample indices
+    // are a function of clip LENGTH, so a re-cut longer than the
+    // sample spacing lines no probes up with the corpus keys and the
+    // re-upload slips through — content-anchored selection keys the
+    // same frames on both cuts. `imageHashKind = "dhash"` probes the
+    // gradient hash instead of the mean-threshold one — the arm that
+    // still catches a smooth illumination re-grade.
     val hs = modality match {
+      case "image" if imageHashKind == "dhash" =>
+        Multimodal.dHash63(corpus).select(col("dhash").as("_h"))
       case "image" => Multimodal.aHash63(corpus).select(col("ahash").as("_h"))
       case "audio" =>
         Multimodal.audioEnvHash63(corpus).select(col("ehash").as("_h"))
-      case "video" =>
-        Multimodal.videoFrameHashes63(corpus, MediaFilterFrames)
+      case "video" => videoWinnowWindow match {
+        case Some(w) => Multimodal.videoWinnowedFrameHashes63(corpus, w)
           .select(col("fhash").as("_h"))
+        case None => Multimodal.videoFrameHashes63(corpus, MediaFilterFrames)
+          .select(col("fhash").as("_h"))
+      }
       case m => throw new IllegalArgumentException(
         s"modality must be image|audio|video, got $m")
     }
@@ -182,9 +199,14 @@ object GraphStream {
       .select(explode(bandKeyCols(col("_h"), bands, bandBits)).as("_k"))
     val bloomB = buildBloom(stream, keyed, fpp)
     val hashesOf: Array[Byte] => Seq[Long] = modality match {
+      case "image" if imageHashKind == "dhash" =>
+        b => Multimodal.imageDHashOf(b).toSeq
       case "image" => b => Multimodal.imageHashOf(b).toSeq
       case "audio" => b => Multimodal.audioHashOf(b).toSeq
-      case _ => b => Multimodal.videoHashesOf(b, MediaFilterFrames)
+      case _ => videoWinnowWindow match {
+        case Some(w) => b => Multimodal.videoWinnowedHashesOf(b, w)
+        case None => b => Multimodal.videoHashesOf(b, MediaFilterFrames)
+      }
     }
     // drop gate mirrors the batch semantics per modality: image/audio
     // have ONE hash (any shared band drops — the pigeonhole near-dup

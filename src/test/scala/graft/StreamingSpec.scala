@@ -173,6 +173,78 @@ class StreamingSpec extends GraftSuite {
       assert(kept.contains(601L), s"fresh clip must survive: $kept")
   }
 
+  test("winnow-probe video filter drops a re-cut re-upload the ordinal probe misses; dhash arm catches a re-grade") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Multimodal
+    // 63-bit values as 8x8 black/white bit grids: frame hash == value
+    // (the PipelineSpec re-cut fixture, reused as an ingest stream)
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    val vals = (0 until 40).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    val frames = vals.map(bitFrame)
+    val corpus = Seq((0L, Multimodal.encodeAvi(frames, fps = 10)))
+      .toDF("media_id", "content")
+    // a 22-frame leading cut: survivors are verbatim, but ordinal
+    // sample indices are length-keyed — only original frame 35 is
+    // sampled by both cuts, one hit frame, under the >= 2 gate
+    val recut = Multimodal.encodeAvi(frames.drop(22), fps = 10)
+    val stream = Seq((700L, recut)).toDF("media_id", "content")
+    val ordinalKept = GraphStream.mediaNearDupIngestFilter(
+        stream, corpus, "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ordinalKept.contains(700L),
+      s"fixture: the ordinal probe is expected to miss this re-cut: $ordinalKept")
+    val winnowKept = GraphStream.mediaNearDupIngestFilter(
+        stream, corpus, "video", videoWinnowWindow = Some(3))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(!winnowKept.contains(700L),
+      s"winnow probe must drop the re-cut re-upload: $winnowKept")
+
+    // image arm: a +2x illumination ramp re-grade (the PipelineSpec
+    // dHash fixture) — the aHash probe misses it, the dhash arm drops
+    // it, and a genuinely fresh image survives the dhash arm
+    def gradImage(ramp: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = (if (x % 2 == 0) 118 else 122) + (if (ramp) 2 * x else 0)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val imgCorpus = Seq((0L, Multimodal.encodePng(gradImage(ramp = false))))
+      .toDF("media_id", "content")
+    val regraded = Multimodal.encodePng(gradImage(ramp = true))
+    val freshImg = Multimodal.encodePng(bitFrame(vals(7)))
+    val imgStream = Seq((800L, regraded), (801L, freshImg))
+      .toDF("media_id", "content")
+    def keptWith(kind: String) = GraphStream.mediaNearDupIngestFilter(
+        imgStream, imgCorpus, "image", imageHashKind = kind)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // aHash Hamming is 16 across the ramp, so no band can survive
+    // untouched only by luck — still, guard the miss like the video
+    // fixture: the probe KEEPING the re-grade is the expected miss
+    assert(keptWith("ahash").contains(800L),
+      "fixture: the ahash probe is expected to miss the re-grade")
+    val dh = keptWith("dhash")
+    assert(!dh.contains(800L), s"dhash arm must drop the re-grade: $dh")
+    val corpusDKeys = Multimodal.imageDHashOf(
+        imgCorpus.head().getAs[Array[Byte]](1))
+      .toSeq.flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16)).toSet
+    val freshDKeys = Multimodal.imageDHashOf(freshImg)
+      .toSeq.flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16))
+    if (freshDKeys.forall(!corpusDKeys.contains(_)))
+      assert(dh.contains(801L), s"fresh image must survive the dhash arm: $dh")
+  }
+
   test("audio shingle ingest filter drops a trimmed re-upload by containment; local kernel hash-matches the engine") {
     val s = spark
     import s.implicits._
