@@ -1117,6 +1117,18 @@ object SparkEntry {
         Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("image")),
         "image", maxHam = 3)
     }),
+    // CROSS-MODALITY thumbnail dedup: still images that match some
+    // video FRAME within Hamming 3, via the banded cross join on
+    // (image aHash63) x (per-frame hash); the oracle recomputes both
+    // hash families from the pixel formulas and takes the exact
+    // min-distance cross join
+    "q_media_thumb_pairs" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id")
+      Multimodal.thumbnailPairs(
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("image")),
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")),
+        maxHam = 3, k = 8)
+    }),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -2600,6 +2612,44 @@ object SparkEntry {
       "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
       "FROM hs a JOIN hs b ON a.side = 'b' AND b.side = 'c' " +
       "WHERE bit_count(xor(a.h, b.h)) <= 3"),
+    // image aHash63 x per-frame video hash, both rebuilt from the
+    // pixel formulas; exact cross join at Hamming <= 3 aggregated to
+    // the best (min) frame distance per (image, video) pair
+    "q_media_thumb_pairs" -> ("WITH im AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      "ig AS (SELECT media_id, p, " +
+      "(((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
+      "((media_id * 13 + p % w) % 255) + " +
+      "((media_id * 7 + p // w) % 255)) // 3 AS gray FROM " +
+      "(SELECT media_id, w, h, " +
+      "UNNEST(range(0, (w * h)::BIGINT)) AS p FROM im)), " +
+      "imn AS (SELECT media_id, sum(gray) // count(*) AS mg " +
+      "FROM ig GROUP BY 1), " +
+      "ih AS (SELECT ig.media_id, CAST(coalesce(sum(CASE WHEN ig.p < 63 " +
+      "AND ig.gray >= imn.mg THEN (1::BIGINT << ig.p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS h FROM ig JOIN imn USING (media_id) GROUP BY 1), " +
+      "vm AS (SELECT doc_id AS media_id, doc_id % 13 + 1 AS w, " +
+      "doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "vmf AS (SELECT media_id, w, h, " +
+      "unnest(range(0, nf::BIGINT)) AS f FROM vm), " +
+      "vg AS (SELECT media_id, f, p, (" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
+      "((media_id * 13 + (p % w) + f) % 255) + " +
+      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
+      "FROM (SELECT media_id, w, h, f, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM vmf)), " +
+      "vmn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
+      "FROM vg GROUP BY 1, 2), " +
+      "fh AS (SELECT vg.media_id, vg.f, CAST(coalesce(sum(CASE WHEN p < 63 " +
+      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS fhash FROM vg JOIN vmn USING (media_id, f) " +
+      "GROUP BY 1, 2) " +
+      "SELECT i.media_id AS image_id, v.media_id AS video_id, " +
+      "CAST(min(bit_count(xor(i.h, v.fhash))) AS INT) AS best_hamming " +
+      "FROM ih i JOIN fh v ON bit_count(xor(i.h, v.fhash)) <= 3 " +
+      "GROUP BY 1, 2"),
     // same full-outer hash diff over the same synthetic versions
     "q_doc_snapshot_diff" -> ("WITH v1 AS (SELECT doc_id, md5(text) AS h " +
       "FROM documents WHERE doc_id % 2 = 0), " +

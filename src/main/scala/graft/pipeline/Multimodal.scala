@@ -1395,6 +1395,36 @@ object Multimodal {
       .where(col("n_matched") >= minMatches)
   }
 
+  /** CROSS-MODALITY near-dup: still images that match a FRAME of some
+    * video within Hamming `maxHam` — the thumbnail/poster-frame dedup
+    * a mixed-media training corpus needs (a video's key frame is
+    * routinely re-uploaded as a standalone image; hashing each
+    * modality in isolation never finds it). Images key on
+    * [[aHash63]], videos on up to `k` sampled frames, and both meet
+    * in the SAME pigeonhole-exact 4x16-bit banded cross join as the
+    * incremental media path ([[mediaNearDupCrossPairs]]) — capped
+    * cross blocks, never image x frame all-pairs. One matched frame
+    * suffices (an image can only match frame-wise), so the per-pair
+    * aggregate is the BEST frame distance, not a match count.
+    * Output: `(image_id, video_id, best_hamming)`.
+    */
+  def thumbnailPairs(images: DataFrame, videos: DataFrame, maxHam: Int = 3,
+      k: Int = 8, cap: Int = Dedup.MaxClusterBlock): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    val ih = aHash63(images).where(col("ahash").isNotNull)
+      .select(col("media_id").as("_fid"), col("ahash").as("_h"))
+    val fh = videoFrameHashes63(videos, k).select(
+      (col("media_id") * 64 + col("frame_slot")).as("_fid"),
+      col("fhash").as("_h"))
+    Dedup.bandedHammingCrossPairs(ih, fh, "_fid", "_h",
+        bands = 4, bandBits = 16, maxHam = maxHam, cap = cap)
+      .select(col("id_a").as("image_id"),
+        shiftright(col("id_b"), 6).as("video_id"), col("hamming"))
+      .groupBy("image_id", "video_id")
+      .agg(min(col("hamming")).cast("int").as("best_hamming"))
+  }
+
   /** Integer fingerprint of the DECODED payload: sum over pixels of the
     * packed 24-bit RGB. Exact-integer, so an arithmetic SQL oracle can
     * verify that PNG encode -> distribute -> decode reproduced every

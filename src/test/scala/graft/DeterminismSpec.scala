@@ -150,6 +150,11 @@ class DeterminismSpec extends GraftSuite {
     check("imageDHashNearDupPairs") { (_, ip) =>
       Multimodal.imageDHashNearDupPairs(media(ip, "image"), maxHam = 3)
     }
+    for (cap <- Seq(4, 4096))
+      check(s"thumbnailPairs(cap=$cap)") { (_, ip) =>
+        Multimodal.thumbnailPairs(media(ip, "image"), media(ip, "video"),
+          maxHam = 3, k = 8, cap = cap)
+      }
   }
 
   test("global orderings (shuffle, curriculum) are partitioning-independent") {

@@ -1488,6 +1488,54 @@ class PipelineSpec extends GraftSuite {
     assert(got(4) == exact)
   }
 
+  test("thumbnailPairs finds a still re-upload of a video frame; banded == exact at both cap branches") {
+    val s = spark
+    import s.implicits._
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    val vals = (0 until 5).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    val videos = Seq((10L, Multimodal.encodeAvi(vals.map(bitFrame), fps = 10)))
+      .toDF("media_id", "content")
+    // image 0 is frame 2 re-encoded as a standalone PNG; image 1 is
+    // unrelated (pairwise-far value by the golden-mix argument)
+    val images = Seq(
+      (0L, Multimodal.encodePng(bitFrame(vals(2)))),
+      (1L, Multimodal.encodePng(bitFrame((99L * 0x9E3779B97F4A7C15L) >>> 1))))
+      .toDF("media_id", "content")
+    val got = Multimodal.thumbnailPairs(images, videos, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((0L, 10L, 0)), s"thumbnail must pair exactly: $got")
+
+    // synthetic corpus: banded cross == exact cross at both cap
+    // branches (cap = 4 forces every hot band through sub-blocks)
+    val base = (0 until 180).map(_.toLong).toDF("doc_id")
+    val corpusImages = Multimodal.mediaFromIds(base, "doc_id",
+      only = Some("image"))
+    val corpusVideos = Multimodal.mediaFromIds(base, "doc_id",
+      only = Some("video"))
+    val ih = Multimodal.aHash63(corpusImages).collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+    val fh = Multimodal.videoFrameHashes63(corpusVideos, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val exact = (for {
+      (ii, h) <- ih; (vi, g) <- fh
+      d = java.lang.Long.bitCount(h ^ g) if d <= 3
+    } yield ((ii, vi), d)).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(exact.nonEmpty, "fixture must produce thumbnail pairs")
+    def got2(cap: Int) = Multimodal.thumbnailPairs(corpusImages, corpusVideos,
+        maxHam = 3, k = 8, cap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got2(graft.pipeline.Dedup.MaxClusterBlock) == exact)
+    assert(got2(4) == exact)
+  }
+
   test("gradient dHash pairs an illumination re-grade the mean-threshold aHash misses") {
     val s = spark
     import s.implicits._
