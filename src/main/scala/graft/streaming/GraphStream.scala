@@ -240,6 +240,39 @@ object GraphStream {
     */
   private val MediaFilterFrames = 8
 
+  /** CROSS-MODALITY thumbnail filtering at ingest — the streaming
+    * mirror of [[graft.pipeline.Multimodal.thumbnailPairs]]: drop
+    * stream IMAGE rows whose aHash63 shares any 16-bit band with a
+    * sampled FRAME of the standing video corpus, so a poster/key
+    * frame re-uploaded as a standalone image never lands next to the
+    * clip it came from. Per-modality filters are blind to this family
+    * by construction — the image corpus has never seen the frame.
+    *
+    * Plan shape: the corpus side reduces its per-frame hash frame
+    * (up to [[MediaFilterFrames]] sampled frames per clip, the same
+    * sampler as the video arm) to a broadcast Bloom of (band, value)
+    * keys; the stream side decodes and hashes each image payload in a
+    * row-preserving predicate — no shuffle, no state store. An image
+    * can only match frame-wise, so the gate is any-hit (the
+    * single-hash rule the image arm uses, not the video arm's
+    * >=2-frames gate — there is ONE image hash to probe). Pigeonhole
+    * gives zero false negatives at Hamming <= 3; undecodable payloads
+    * pass through.
+    */
+  def thumbnailIngestFilter(stream: DataFrame, videoCorpus: DataFrame,
+      binCol: String = "content", fpp: Double = 0.01): DataFrame = {
+    import graft.pipeline.Multimodal
+    val bands = 4; val bandBits = 16
+    val keyed = Multimodal.videoFrameHashes63(videoCorpus, MediaFilterFrames)
+      .select(explode(bandKeyCols(col("fhash"), bands, bandBits)).as("_k"))
+    val bloomB = buildBloom(stream, keyed, fpp)
+    val dropRow = udf((bytes: Array[Byte]) =>
+      Multimodal.imageHashOf(bytes).exists(h =>
+        Multimodal.bandKeysOfHash(h, bands, bandBits)
+          .exists(bloomB.value.mightContainString)))
+    stream.where(!dropRow(col(binCol)))
+  }
+
   /** TRIM-ROBUST audio near-dup filtering at ingest — the streaming
     * mirror of [[graft.pipeline.Multimodal.audioShingleNearDupPairs]],
     * complementing [[mediaNearDupIngestFilter]]'s envelope-band arm

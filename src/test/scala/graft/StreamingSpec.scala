@@ -173,6 +173,62 @@ class StreamingSpec extends GraftSuite {
       assert(kept.contains(601L), s"fresh clip must survive: $kept")
   }
 
+  test("thumbnailIngestFilter drops an image re-post of a corpus video frame; fresh and undecodable pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import graft.pipeline.Multimodal
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    val vals = (0 until 5).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    val videoCorpus = Seq((10L, Multimodal.encodeAvi(vals.map(bitFrame), fps = 10)))
+      .toDF("media_id", "content")
+    val repost = Multimodal.encodePng(bitFrame(vals(3)))
+    val freshImg = Multimodal.encodePng(
+      bitFrame((77L * 0x9E3779B97F4A7C15L) >>> 1))
+    // fixture sanity: the fresh image shares no 16-bit band with any
+    // corpus frame hash (else its survival is vacuous)
+    val corpusKeys = Multimodal.videoHashesOf(
+        videoCorpus.head().getAs[Array[Byte]](1))
+      .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16)).toSet
+    val freshKeys = Multimodal.imageHashOf(freshImg).toSeq
+      .flatMap(h => Multimodal.bandKeysOfHash(h, 4, 16))
+    assert(freshKeys.nonEmpty && freshKeys.forall(!corpusKeys.contains(_)),
+      "fixture needs a fresh image sharing no band with the corpus frames")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = mem.toDF().toDF("media_id", "content")
+    val q = GraphStream.thumbnailIngestFilter(stream, videoCorpus, fpp = 1e-6)
+      .writeStream.format("memory").queryName("thumbclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((700L, freshImg))
+      q.processAllAvailable()
+      // the frame re-post arrives in a LATER micro-batch: the corpus
+      // frame Bloom is standing state, not per-batch
+      mem.addData((701L, repost), (702L, Array.fill[Byte](32)(9)))
+      q.processAllAvailable()
+      val kept = s.table("thumbclean").select("media_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!kept.contains(701L), s"frame re-post must be dropped: $kept")
+      assert(kept == Set(700L, 702L),
+        s"fresh image and undecodable payload must survive: $kept")
+      // batch == stream parity on the same rows
+      val batchKept = GraphStream.thumbnailIngestFilter(
+        Seq((700L, freshImg), (701L, repost),
+          (702L, Array.fill[Byte](32)(9))).toDF("media_id", "content"),
+        videoCorpus, fpp = 1e-6)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == kept, s"batch $batchKept vs stream $kept")
+    } finally q.stop()
+  }
+
   test("winnow-probe video filter drops a re-cut re-upload the ordinal probe misses; dhash arm catches a re-grade") {
     val s = spark
     import s.implicits._
