@@ -183,6 +183,28 @@ class PlanShapeSpec extends GraftSuite {
     counts.toMap.withDefaultValue(0)
   }
 
+  test("exchange budgets hold for the round-12 media near-dup additions") {
+    // The four queries added after the r12 artifact cut (incremental
+    // media cross, winnowed video, gradient dHash, cross-modality
+    // thumbnail) all ride the capped banded-Hamming machinery; their
+    // plans must stay in the banded shape — a regression to an
+    // unbanded pair join (cartesian / SortMergeJoin explosion) fails
+    // here, not in the bench diff.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      ("q_media_cross", 5, true),
+      ("q_media_video_neardup_wf", 3, true),
+      ("q_media_dhash_pairs", 3, true),
+      ("q_media_thumb_pairs", 5, true))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+  }
+
   test("exchange budgets hold for the 10 most expensive headline queries") {
     // Per-query shuffle-count ceilings (measured at HEAD on sf0.001)
     // plus broadcast-ness requirements: the r11 perf wins came from
