@@ -183,6 +183,98 @@ class PlanShapeSpec extends GraftSuite {
     counts.toMap.withDefaultValue(0)
   }
 
+  test("bucketed tables co-locate: join + aggregation on the bucket key plan ZERO exchanges") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.model.BucketedTables
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    BucketedTables.writeBucketed(orders, "b_orders", s"$tmp/orders",
+      "o_orderkey", 8)
+    BucketedTables.writeBucketed(li, "b_lineitem", s"$tmp/lineitem",
+      "l_orderkey", 8)
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the join SHAPE (not the small sf) is tested:
+    // at 100 TB neither side broadcasts — co-location is what remains
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def agg(o: org.apache.spark.sql.DataFrame,
+          l: org.apache.spark.sql.DataFrame) =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      val bucketed = agg(BucketedTables.table(s, "b_orders"),
+        BucketedTables.table(s, "b_lineitem"))
+      val prof = planProfile(bucketed)
+      assert(prof("shuffle") == 0,
+        s"co-located join/agg must not exchange: $prof")
+      // negative control: the SAME pipeline over plain parquet shuffles
+      // both join sides (same session, same confs — the bucket metadata
+      // is the only difference)
+      val plainProf = planProfile(agg(orders, li))
+      assert(plainProf("shuffle") >= 2,
+        s"control should shuffle both sides: $plainProf")
+      // and the layouts agree on the answer
+      val a = bucketed.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val b = agg(orders, li).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(a == b, "bucketed and plain layouts must agree")
+      // catalog entries are session-scoped but the files are external:
+      // a re-REGISTERED table (the fresh-session path) keeps the
+      // co-location plan fact
+      BucketedTables.register(s, "b_orders", s"$tmp/orders", "o_orderkey", 8,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+      val reProf = planProfile(agg(BucketedTables.table(s, "b_orders"),
+        BucketedTables.table(s, "b_lineitem")))
+      assert(reProf("shuffle") == 0,
+        s"re-registered bucketed table lost co-location: $reProf")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("AQE splits a skewed join at runtime when thresholds are sized to the data") {
+    // The 100 TB skew story is two-layer: owned operators salt
+    // explicitly (Temporal's saltBuckets), and everything else rides
+    // AQE's runtime skew split — which only fires when the skew
+    // thresholds are sized to the deployment's partition sizes. This
+    // pins the latter: a hot-key join at test scale, thresholds sized
+    // down to match, must show a skew-split SortMergeJoin in the
+    // finalized adaptive plan (the same conf recipe scaled up is the
+    // production setting).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // key 0 carries ~200k rows; 999 other keys carry one each
+      val hot = s.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+      val rest = s.range(1, 1000).select(col("id").as("k"), col("id").as("v"))
+      val left = hot.unionByName(rest)
+      val right = s.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join: $plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("exchange budgets hold for the round-12 media near-dup additions") {
     // The four queries added after the r12 artifact cut (incremental
     // media cross, winnowed video, gradient dHash, cross-modality
