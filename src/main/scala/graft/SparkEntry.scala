@@ -1117,6 +1117,21 @@ object SparkEntry {
         Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("image")),
         "image", maxHam = 3)
     }),
+    // INCREMENTAL multi-frame video dedup: the cross-corpus form at
+    // FRAME granularity — a new video batch vs the standing corpus,
+    // clip pairs surviving at >= 2 matched frame pairs (the
+    // single-key-frame cross arm's trim hole, closed on the ingest
+    // side). The oracle recomputes both sides' per-frame hashes and
+    // does the exact cross frame join with the >= 2 gate
+    "q_media_cross_video_mf" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id")
+      Multimodal.videoMultiFrameCrossPairs(
+        Multimodal.mediaFromIdsCached(
+          base.select((col("doc_id") + 9000).as("doc_id")), "doc_id",
+          only = Some("video")),
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")),
+        maxHam = 3, k = 8, minMatches = 2)
+    }),
     // CROSS-MODALITY thumbnail dedup: still images that match some
     // video FRAME within Hamming 3, via the banded cross join on
     // (image aHash63) x (per-frame hash); the oracle recomputes both
@@ -2612,6 +2627,35 @@ object SparkEntry {
       "CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming " +
       "FROM hs a JOIN hs b ON a.side = 'b' AND b.side = 'c' " +
       "WHERE bit_count(xor(a.h, b.h)) <= 3"),
+    // both sides' per-frame hashes rebuilt from the pixel formulas
+    // (batch ids +9000 keep the modality residue but change w/h, so
+    // the sides synthesize different clips); exact cross frame join
+    // at Hamming <= 3 with the >= 2 clip-pair gate
+    "q_media_cross_video_mf" -> ("WITH ids AS (SELECT doc_id " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "m AS (SELECT doc_id + 9000 AS media_id, 'b' AS side FROM ids " +
+      "UNION ALL SELECT doc_id, 'c' FROM ids), " +
+      "mm AS (SELECT media_id, side, media_id % 13 + 1 AS w, " +
+      "media_id % 7 + 1 AS h, media_id % 5 + 2 AS nf FROM m), " +
+      "mf AS (SELECT media_id, side, w, h, " +
+      "unnest(range(0, nf::BIGINT)) AS f FROM mm), " +
+      "g AS (SELECT media_id, side, f, p, (" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
+      "((media_id * 13 + (p % w) + f) % 255) + " +
+      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
+      "FROM (SELECT media_id, side, w, h, f, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM mf)), " +
+      "mn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
+      "FROM g GROUP BY 1, 2), " +
+      "fh AS (SELECT g.media_id, min(g.side) AS side, g.f, " +
+      "CAST(coalesce(sum(CASE WHEN p < 63 AND gray >= mean " +
+      "THEN (1::BIGINT << p::INT) ELSE 0 END), 0) AS BIGINT) AS fhash " +
+      "FROM g JOIN mn USING (media_id, f) GROUP BY g.media_id, g.f) " +
+      "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
+      "count(*) AS n_matched " +
+      "FROM fh x JOIN fh y ON x.side = 'b' AND y.side = 'c' " +
+      "AND bit_count(xor(x.fhash, y.fhash)) <= 3 " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2"),
     // image aHash63 x per-frame video hash, both rebuilt from the
     // pixel formulas; exact cross join at Hamming <= 3 aggregated to
     // the best (min) frame distance per (image, video) pair

@@ -1395,6 +1395,48 @@ object Multimodal {
       .where(col("n_matched") >= minMatches)
   }
 
+  /** INCREMENTAL multi-frame video near-dup: new-batch clips vs the
+    * STANDING corpus, at frame granularity — the cross-corpus form of
+    * [[videoMultiFrameNearDupPairs]] (and, with `winnowWindow`, of
+    * [[videoWinnowedNearDupPairs]]). [[mediaNearDupCrossPairs]]'s
+    * video arm keys on the single key frame — the fast path, but a
+    * batch re-upload TRIMMED past the first frame evades it, exactly
+    * the recall hole the multi-frame batch path closed; an
+    * incremental pipeline needs the same closure on the ingest side.
+    *
+    * Both sides expand to per-frame hash rows on a `clip*64 + slot`
+    * composite long, meet in the capped banded CROSS join (no
+    * within-side pairs — the standing corpus was already deduped),
+    * and ONE groupBy aggregates cross-clip frame matches; clip pairs
+    * survive at >= `minMatches`. Exact over the sampled/selected
+    * frames at `maxHam <= 3` by the pigeonhole argument. Output:
+    * `(id_a, id_b, n_matched)` with `id_a` from `batch`, `id_b` from
+    * `corpus`.
+    */
+  def videoMultiFrameCrossPairs(batch: DataFrame, corpus: DataFrame,
+      maxHam: Int = 3, k: Int = 8, minMatches: Int = 2,
+      winnowWindow: Option[Int] = None,
+      cap: Int = Dedup.MaxClusterBlock): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"banding is exact only for maxHam <= 3, got $maxHam")
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    def fh(df: DataFrame) = winnowWindow match {
+      case Some(w) => videoWinnowedFrameHashes63(df, w).select(
+        (col("media_id") * 64 + col("sel_slot")).as("_fid"),
+        col("fhash").as("_h"))
+      case None => videoFrameHashes63(df, k).select(
+        (col("media_id") * 64 + col("frame_slot")).as("_fid"),
+        col("fhash").as("_h"))
+    }
+    Dedup.bandedHammingCrossPairs(fh(batch), fh(corpus), "_fid", "_h",
+        bands = 4, bandBits = 16, maxHam = maxHam, cap = cap)
+      .select(shiftright(col("id_a"), 6).as("id_a"),
+        shiftright(col("id_b"), 6).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minMatches)
+  }
+
   /** CROSS-MODALITY near-dup: still images that match a FRAME of some
     * video within Hamming `maxHam` — the thumbnail/poster-frame dedup
     * a mixed-media training corpus needs (a video's key frame is

@@ -155,6 +155,15 @@ class DeterminismSpec extends GraftSuite {
         Multimodal.thumbnailPairs(media(ip, "image"), media(ip, "video"),
           maxHam = 3, k = 8, cap = cap)
       }
+    def shifted(parts: Int) = Multimodal.mediaFromIds(
+      (0 until 90).map(i => i.toLong + 9000)
+        .toDF("doc_id").repartition(parts),
+      "doc_id", only = Some("video"))
+    for (cap <- Seq(4, 4096))
+      check(s"videoMultiFrameCrossPairs(cap=$cap)") { (_, ip) =>
+        Multimodal.videoMultiFrameCrossPairs(shifted(ip), media(ip, "video"),
+          maxHam = 3, k = 8, minMatches = 2, cap = cap)
+      }
   }
 
   test("global orderings (shuffle, curriculum) are partitioning-independent") {

@@ -1467,6 +1467,66 @@ class PipelineSpec extends GraftSuite {
     assert(wf(0).getLong(2) >= 2, s"shared selections expected: ${wf.toSeq}")
   }
 
+  test("multi-frame video CROSS pairs catch a trimmed batch re-upload; winnow arm catches a re-cut; banded == exact") {
+    val s = spark
+    import s.implicits._
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    val vals = (0 until 40).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    val frames = vals.map(bitFrame)
+    val corpus = Seq((0L, Multimodal.encodeAvi(frames, fps = 10)))
+      .toDF("media_id", "content")
+    // the batch carries a re-cut (22 leading frames dropped) under a
+    // new id — the incremental-ingest shape of the re-upload
+    val batch = Seq((100L, Multimodal.encodeAvi(frames.drop(22), fps = 10)))
+      .toDF("media_id", "content")
+    // the single-key-frame cross arm misses it (key frames are
+    // pairwise-far by the golden-mix fixture argument)...
+    assert(Multimodal.mediaNearDupCrossPairs(batch, corpus, "video").count() == 0L,
+      "key-frame cross arm must miss the trimmed re-upload")
+    // ...and so does ordinal multi-frame sampling (length-dependent
+    // indices share only one frame under the >= 2 gate)...
+    assert(Multimodal.videoMultiFrameCrossPairs(batch, corpus,
+      maxHam = 3, k = 8, minMatches = 2).count() == 0L,
+      "ordinal cross sampling must miss the re-cut")
+    // ...but content-anchored winnowed selection pairs the clips
+    val wf = Multimodal.videoMultiFrameCrossPairs(batch, corpus,
+      maxHam = 3, minMatches = 2, winnowWindow = Some(3)).collect()
+    assert(wf.length == 1 && wf(0).getLong(0) == 100L &&
+      wf(0).getLong(1) == 0L && wf(0).getLong(2) >= 2,
+      s"winnowed cross must pair the re-cut: ${wf.toSeq}")
+
+    // synthetic corpus: banded cross == exact cross frame join with
+    // the >= 2 gate, at both cap branches
+    val base = (0 until 150).map(_.toLong).toDF("doc_id")
+    val cBatch = Multimodal.mediaFromIds(
+      base.select((col("doc_id") + 9000).as("doc_id")), "doc_id",
+      only = Some("video"))
+    val cCorpus = Multimodal.mediaFromIds(base, "doc_id", only = Some("video"))
+    def fhs(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFrameHashes63(df, k = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+    val (bh, ch) = (fhs(cBatch), fhs(cCorpus))
+    val exact = (for {
+      (bi, x) <- bh; (ci, y) <- ch
+      if java.lang.Long.bitCount(x ^ y) <= 3
+    } yield ((bi, ci), 1)).groupBy(_._1).view.mapValues(_.size)
+      .filter(_._2 >= 2).toMap
+    assert(exact.nonEmpty, "fixture must produce cross clip pairs")
+    def got(cap: Int) = Multimodal.videoMultiFrameCrossPairs(cBatch, cCorpus,
+        maxHam = 3, k = 8, minMatches = 2, cap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(got(graft.pipeline.Dedup.MaxClusterBlock) == exact)
+    assert(got(4) == exact)
+  }
+
   test("winnowed video near-dup: banded clip aggregation equals exact all-pairs, at both cap branches") {
     val s = spark
     import s.implicits._
