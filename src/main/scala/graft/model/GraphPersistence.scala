@@ -23,16 +23,46 @@ object GraphPersistence {
   private val mapper = new ObjectMapper()
   private val F = JsonNodeFactory.instance
 
-  def save(store: GraphStore, root: String, edgeShufflePartitions: Int = 0): Unit = {
+  /** Catalog table name for a bucketed label directory — root-scoped
+    * so two stores on one session never collide.
+    */
+  private def bucketTable(root: String, kind: String, label: String): String =
+    s"graft_${kind}_${label}_${java.lang.Integer.toHexString(root.hashCode)}"
+
+  /** `bucketBy = Some(n)` writes every table through the catalog as a
+    * bucketed+sorted layout ([[BucketedTables]]): nodes clustered by
+    * `_id`, edges by `_src`, ONE bucket count store-wide — so the
+    * adjacency join `nodes._id = edges._src` is co-located on disk
+    * and plans with no exchange on either side (the plain layout's
+    * `repartition(_src)` loses its placement the moment the files are
+    * re-read). The bucket count is recorded in `graph_meta.json`;
+    * [[load]] re-registers the external tables with the same layout,
+    * so the co-location survives a fresh session. At 100 TB this is
+    * the difference between shuffling the edge corpus per traversal
+    * and streaming co-located bucket pairs.
+    */
+  def save(store: GraphStore, root: String, edgeShufflePartitions: Int = 0,
+      bucketBy: Option[Int] = None): Unit = {
     store.nodeTables.foreach { case (label, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/nodes/$label")
+      bucketBy match {
+        case Some(n) => BucketedTables.writeBucketed(df,
+          bucketTable(root, "nodes", label), s"$root/nodes/$label", "_id", n)
+        case None =>
+          df.write.mode(SaveMode.Overwrite).parquet(s"$root/nodes/$label")
+      }
     }
     store.edgeTables.foreach { case (label, df) =>
-      val out = if (edgeShufflePartitions > 0)
-        df.repartition(edgeShufflePartitions, col("_src")) else df
-      out.write.mode(SaveMode.Overwrite).parquet(s"$root/edges/$label")
+      bucketBy match {
+        case Some(n) => BucketedTables.writeBucketed(df,
+          bucketTable(root, "edges", label), s"$root/edges/$label", "_src", n)
+        case None =>
+          val out = if (edgeShufflePartitions > 0)
+            df.repartition(edgeShufflePartitions, col("_src")) else df
+          out.write.mode(SaveMode.Overwrite).parquet(s"$root/edges/$label")
+      }
     }
     val meta = F.objectNode()
+    bucketBy.foreach(meta.put("bucketed", _))
     val em = F.objectNode()
     store.edgeMeta.foreach { case (l, m) =>
       val o = F.objectNode()
@@ -60,10 +90,27 @@ object GraphPersistence {
       if (!d.isDirectory) Nil
       else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
     }
+    val metaPath0 = java.nio.file.Paths.get(s"$root/graph_meta.json")
+    val bucketed: Option[Int] =
+      if (java.nio.file.Files.exists(metaPath0))
+        Option(mapper.readTree(java.nio.file.Files.readString(metaPath0))
+          .get("bucketed")).filterNot(_.isNull).map(_.asInt)
+      else None
+    def readTable(kind: String, key: String)(l: String) = bucketed match {
+      case Some(n) =>
+        val path = s"$root/$kind/$l"
+        // schema from the files themselves; the register DDL must
+        // match the written layout exactly
+        val ddl = spark.read.parquet(path).schema.toDDL
+        BucketedTables.register(spark, bucketTable(root, kind, l), path,
+          key, n, ddl)
+        BucketedTables.table(spark, bucketTable(root, kind, l))
+      case None => spark.read.parquet(s"$root/$kind/$l")
+    }
     val nodes = labelsIn(s"$root/nodes")
-      .map(l => l -> spark.read.parquet(s"$root/nodes/$l")).toMap
+      .map(l => l -> readTable("nodes", "_id")(l)).toMap
     val edges = labelsIn(s"$root/edges")
-      .map(l => l -> spark.read.parquet(s"$root/edges/$l")).toMap
+      .map(l => l -> readTable("edges", "_src")(l)).toMap
     val metaPath = java.nio.file.Paths.get(s"$root/graph_meta.json")
     val (edgeMeta, indexes, hw) =
       if (java.nio.file.Files.exists(metaPath)) {

@@ -237,6 +237,47 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("bucketed graph persistence co-locates the adjacency join on reload") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.model.{EdgeMeta, GraphPersistence, GraphStore}
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bstore").toString
+    val customers = s.read.parquet(s"$dir/customer.parquet")
+      .withColumn("_id", col("c_custkey").cast("long"))
+      .withColumn("_label", lit("Customer"))
+    val placed = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("_id"),
+        lit("PLACED").as("_label"),
+        col("o_custkey").cast("long").as("_src"),
+        col("o_custkey").cast("long").as("_dst"),
+        col("o_totalprice"))
+    val store = new GraphStore(s, Map("Customer" -> customers),
+      Map("PLACED" -> placed),
+      Map("PLACED" -> EdgeMeta(Set("Customer"), Set("Customer"))))
+    GraphPersistence.save(store, s"$tmp/plain")
+    GraphPersistence.save(store, s"$tmp/bucketed", bucketBy = Some(8))
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def nav(root: String) = new Compiler(GraphPersistence.load(s, root))
+        .run(g().nWithLabel("Customer").outE("PLACED").count().t)
+      val plainDf = nav(s"$tmp/plain"); val bDf = nav(s"$tmp/bucketed")
+      val (plainProf, bProf) = (planProfile(plainDf), planProfile(bDf))
+      // the plain layout shuffles both sides of `_id = _src`; the
+      // bucketed layout's placement is a plan fact and the join runs
+      // on co-located buckets
+      assert(bProf("shuffle") < plainProf("shuffle"),
+        s"bucketed reload lost co-location: bucketed=$bProf plain=$plainProf")
+      assert(plainDf.collect().head.getLong(0) == bDf.collect().head.getLong(0),
+        "layouts must agree on the traversal result")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_"))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+    }
+  }
+
   test("AQE splits a skewed join at runtime when thresholds are sized to the data") {
     // The 100 TB skew story is two-layer: owned operators salt
     // explicitly (Temporal's saltBuckets), and everything else rides
