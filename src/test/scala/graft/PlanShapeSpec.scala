@@ -327,7 +327,8 @@ class PlanShapeSpec extends GraftSuite {
       ("q_media_cross", 5, true),
       ("q_media_video_neardup_wf", 3, true),
       ("q_media_dhash_pairs", 3, true),
-      ("q_media_thumb_pairs", 5, true))
+      ("q_media_thumb_pairs", 5, true),
+      ("q_media_cross_video_mf", 6, true))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       assert(prof("shuffle") <= maxShuffles,
