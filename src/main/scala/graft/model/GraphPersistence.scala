@@ -24,10 +24,18 @@ object GraphPersistence {
   private val F = JsonNodeFactory.instance
 
   /** Catalog table name for a bucketed label directory — root-scoped
-    * so two stores on one session never collide.
+    * so two stores on one session never collide. Labels are free-form
+    * (dots, dashes, unicode) but catalog identifiers are not: the
+    * label is squashed to `[A-Za-z0-9_]` with its own hash suffix so
+    * "a.b" and "a_b" stay distinct and the name is always a bare
+    * identifier (a dotted name would parse as a multipart identifier
+    * in `saveAsTable` and target a nonexistent database).
     */
-  private def bucketTable(root: String, kind: String, label: String): String =
-    s"graft_${kind}_${label}_${java.lang.Integer.toHexString(root.hashCode)}"
+  private def bucketTable(root: String, kind: String, label: String): String = {
+    val safe = label.replaceAll("[^A-Za-z0-9_]", "_")
+    s"graft_${kind}_${safe}_${java.lang.Integer.toHexString(label.hashCode)}" +
+      s"_${java.lang.Integer.toHexString(root.hashCode)}"
+  }
 
   /** `bucketBy = Some(n)` writes every table through the catalog as a
     * bucketed+sorted layout ([[BucketedTables]]): nodes clustered by
@@ -48,6 +56,13 @@ object GraphPersistence {
         case Some(n) => BucketedTables.writeBucketed(df,
           bucketTable(root, "nodes", label), s"$root/nodes/$label", "_id", n)
         case None =>
+          // a prior bucketed save of this root may have registered a
+          // catalog entry advertising CLUSTERED BY over these files;
+          // overwriting them as plain parquet must drop it, or a
+          // later spark.table() plans a bucketed scan over files with
+          // no bucket ids
+          df.sparkSession.sql(
+            s"DROP TABLE IF EXISTS `${bucketTable(root, "nodes", label)}`")
           df.write.mode(SaveMode.Overwrite).parquet(s"$root/nodes/$label")
       }
     }
@@ -56,6 +71,8 @@ object GraphPersistence {
         case Some(n) => BucketedTables.writeBucketed(df,
           bucketTable(root, "edges", label), s"$root/edges/$label", "_src", n)
         case None =>
+          df.sparkSession.sql(
+            s"DROP TABLE IF EXISTS `${bucketTable(root, "edges", label)}`")
           val out = if (edgeShufflePartitions > 0)
             df.repartition(edgeShufflePartitions, col("_src")) else df
           out.write.mode(SaveMode.Overwrite).parquet(s"$root/edges/$label")
@@ -90,12 +107,13 @@ object GraphPersistence {
       if (!d.isDirectory) Nil
       else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
     }
-    val metaPath0 = java.nio.file.Paths.get(s"$root/graph_meta.json")
-    val bucketed: Option[Int] =
-      if (java.nio.file.Files.exists(metaPath0))
-        Option(mapper.readTree(java.nio.file.Files.readString(metaPath0))
-          .get("bucketed")).filterNot(_.isNull).map(_.asInt)
+    val metaPath = java.nio.file.Paths.get(s"$root/graph_meta.json")
+    val metaTree: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (java.nio.file.Files.exists(metaPath))
+        Some(mapper.readTree(java.nio.file.Files.readString(metaPath)))
       else None
+    val bucketed: Option[Int] = metaTree
+      .flatMap(t => Option(t.get("bucketed"))).filterNot(_.isNull).map(_.asInt)
     def readTable(kind: String, key: String)(l: String) = bucketed match {
       case Some(n) =>
         val path = s"$root/$kind/$l"
@@ -111,10 +129,8 @@ object GraphPersistence {
       .map(l => l -> readTable("nodes", "_id")(l)).toMap
     val edges = labelsIn(s"$root/edges")
       .map(l => l -> readTable("edges", "_src")(l)).toMap
-    val metaPath = java.nio.file.Paths.get(s"$root/graph_meta.json")
-    val (edgeMeta, indexes, hw) =
-      if (java.nio.file.Files.exists(metaPath)) {
-        val tree = mapper.readTree(java.nio.file.Files.readString(metaPath))
+    val (edgeMeta, indexes, hw) = metaTree match {
+      case Some(tree) =>
         val em = Option(tree.get("edgeMeta")).map { emn =>
           emn.properties.asScala.map { e =>
             e.getKey -> EdgeMeta(
@@ -127,8 +143,9 @@ object GraphPersistence {
           .getOrElse(Set.empty[graft.ast.IndexSpec])
         val w = Option(tree.get("idHighWater")).filterNot(_.isNull).map(_.asLong)
         (em, ix, w)
-      } else (Map.empty[String, EdgeMeta], Set.empty[graft.ast.IndexSpec],
+      case None => (Map.empty[String, EdgeMeta], Set.empty[graft.ast.IndexSpec],
         Option.empty[Long])
+    }
     new GraphStore(spark, nodes, edges, edgeMeta, indexes,
       idHighWater = hw)
   }

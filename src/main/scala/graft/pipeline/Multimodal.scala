@@ -1306,10 +1306,15 @@ object Multimodal {
     * shifts every one of them. Windows shrink to the clip when
     * `n_frames < window` (one selection), and the winnowing guarantee
     * holds: every `window` consecutive frames contribute at least one
-    * selection. At most `maxSel` selected frames survive, in frame
-    * order (the pair stage packs selections into 6 slot bits).
-    * Returns selected frame hashes in frame order; empty for
-    * undecodable/zero-frame payloads.
+    * selection. When more than `maxSel` frames are selected (the pair
+    * stage packs selections into 6 slot bits), the survivors are the
+    * `maxSel` SMALLEST-hash selections — a content-anchored cut, so a
+    * re-cut long clip keeps surviving the same content frames
+    * (taking the FIRST `maxSel` in frame order would anchor the cut
+    * to the clip head, and a leading trim would leave the two cuts'
+    * surviving sets disjoint — exactly the failure this path exists
+    * to close). Returns selected frame hashes in frame order; empty
+    * for undecodable/zero-frame payloads.
     */
   private[graft] def videoWinnowedHashesOf(bytes: Array[Byte],
       window: Int = 3, maxSel: Int = 64): Seq[Long] =
@@ -1327,7 +1332,10 @@ object Multimodal {
           sel += best
           s += 1
         }
-        sel.iterator.take(maxSel).map(hs).toSeq
+        val kept =
+          if (sel.size <= maxSel) sel.toSeq
+          else sel.toSeq.sortBy(i => (hs(i), i)).take(maxSel).sorted
+        kept.map(hs)
       case _ => Nil
     }
 

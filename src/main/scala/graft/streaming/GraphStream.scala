@@ -195,9 +195,6 @@ object GraphStream {
       case m => throw new IllegalArgumentException(
         s"modality must be image|audio|video, got $m")
     }
-    val keyed = hs.where(col("_h").isNotNull)
-      .select(explode(bandKeyCols(col("_h"), bands, bandBits)).as("_k"))
-    val bloomB = buildBloom(stream, keyed, fpp)
     val hashesOf: Array[Byte] => Seq[Long] = modality match {
       case "image" if imageHashKind == "dhash" =>
         b => Multimodal.imageDHashOf(b).toSeq
@@ -208,14 +205,30 @@ object GraphStream {
         case None => b => Multimodal.videoHashesOf(b, MediaFilterFrames)
       }
     }
-    // drop gate mirrors the batch semantics per modality: image/audio
-    // have ONE hash (any shared band drops — the pigeonhole near-dup
-    // condition); video requires >= min(2, sampled) HIT FRAMES, the
-    // ingest form of videoMultiFrameNearDupPairs' minMatches=2 — a
-    // single chance band collision on one of 8 frames must not drop a
-    // fresh clip, and 8 frames' keys saturate the (band, value) space
-    // 8x faster than one, so the any-hit rule the single-hash arms
-    // use would over-drop here. Undecodable payloads pass through.
+    bandBloomDropFilter(stream, hs, hashesOf, binCol, fpp)
+  }
+
+  /** The one owner of the band-Bloom drop semantics every perceptual-
+    * hash ingest filter shares: the corpus hash frame (single column
+    * `_h`) reduces to a broadcast Bloom of (band, value) keys; each
+    * stream row decodes to `hashesOf(bytes)` hashes and drops when at
+    * least `min(2, n_hashes)` of them share a band with the corpus —
+    * any-hit for single-hash probes (image/audio: the pigeonhole
+    * near-dup condition), >= 2 hit frames for multi-hash probes
+    * (video: a single chance band collision on one of 8 frames must
+    * not drop a fresh clip, and 8 frames' keys saturate the
+    * (band, value) space 8x faster than one, so the any-hit rule
+    * would over-drop). Undecodable payloads (empty hash seq) pass
+    * through — they are not duplicates of anything.
+    */
+  private def bandBloomDropFilter(stream: DataFrame, corpusHashes: DataFrame,
+      hashesOf: Array[Byte] => Seq[Long], binCol: String,
+      fpp: Double): DataFrame = {
+    import graft.pipeline.Multimodal
+    val bands = 4; val bandBits = 16
+    val keyed = corpusHashes.where(col("_h").isNotNull)
+      .select(explode(bandKeyCols(col("_h"), bands, bandBits)).as("_k"))
+    val bloomB = buildBloom(stream, keyed, fpp)
     val dropRow = udf((bytes: Array[Byte]) => {
       val hs = hashesOf(bytes)
       if (hs.isEmpty) false
@@ -262,15 +275,10 @@ object GraphStream {
   def thumbnailIngestFilter(stream: DataFrame, videoCorpus: DataFrame,
       binCol: String = "content", fpp: Double = 0.01): DataFrame = {
     import graft.pipeline.Multimodal
-    val bands = 4; val bandBits = 16
-    val keyed = Multimodal.videoFrameHashes63(videoCorpus, MediaFilterFrames)
-      .select(explode(bandKeyCols(col("fhash"), bands, bandBits)).as("_k"))
-    val bloomB = buildBloom(stream, keyed, fpp)
-    val dropRow = udf((bytes: Array[Byte]) =>
-      Multimodal.imageHashOf(bytes).exists(h =>
-        Multimodal.bandKeysOfHash(h, bands, bandBits)
-          .exists(bloomB.value.mightContainString)))
-    stream.where(!dropRow(col(binCol)))
+    val frames = Multimodal.videoFrameHashes63(videoCorpus, MediaFilterFrames)
+      .select(col("fhash").as("_h"))
+    bandBloomDropFilter(stream, frames,
+      b => Multimodal.imageHashOf(b).toSeq, binCol, fpp)
   }
 
   /** TRIM-ROBUST audio near-dup filtering at ingest — the streaming

@@ -1467,6 +1467,53 @@ class PipelineSpec extends GraftSuite {
     assert(wf(0).getLong(2) >= 2, s"shared selections expected: ${wf.toSeq}")
   }
 
+  test("winnow maxSel cut is content-anchored: a long re-cut clip still pairs where first-64 truncation would go disjoint") {
+    val s = spark
+    import s.implicits._
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    // 500 frames -> ~190 winnow selections at window 3, far past the
+    // 64-slot budget even after the re-cut drops the ENTIRE first half
+    val vals = (0 until 500).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    for (v <- vals) assert((v & 0x7FFFFFFFFFFFFFFFL) != 0L &&
+      java.lang.Long.bitCount(v) < 63, s"bit-frame encoding needs mixed bits: $v")
+    assert(vals.distinct.size == vals.size, "fixture hashes must be distinct")
+    val frames = vals.map(bitFrame)
+    val original = Multimodal.encodeAvi(frames, fps = 10)
+    val recut = Multimodal.encodeAvi(frames.drop(250), fps = 10)
+    // the FULL selection lists (maxSel unbounded) replay the old
+    // first-64-in-frame-order policy: head-anchored, so the two cuts'
+    // surviving sets are disjoint and the pair is unfindable
+    val fullA = Multimodal.videoWinnowedHashesOf(original, window = 3,
+      maxSel = Int.MaxValue)
+    val fullB = Multimodal.videoWinnowedHashesOf(recut, window = 3,
+      maxSel = Int.MaxValue)
+    assert(fullA.size > 64 && fullB.size > 64,
+      s"fixture must overflow the slot budget: ${fullA.size} ${fullB.size}")
+    assert((fullA.take(64).toSet & fullB.take(64).toSet).isEmpty,
+      "first-64 truncation must provably miss this re-cut")
+    // the smallest-hash cut keys on content: both cuts keep the same
+    // globally-small hashes from the shared footage
+    val selA = Multimodal.videoWinnowedHashesOf(original, window = 3)
+    val selB = Multimodal.videoWinnowedHashesOf(recut, window = 3)
+    assert(selA.size == 64 && selB.size == 64,
+      s"cut must bind at 64: ${selA.size} ${selB.size}")
+    assert((selA.toSet & selB.toSet).size >= 2,
+      s"content-anchored cut must share selections: ${(selA.toSet & selB.toSet).size}")
+    val media = Seq((0L, original), (1L, recut)).toDF("media_id", "content")
+    val wf = Multimodal.videoWinnowedNearDupPairs(media, maxHam = 3,
+      window = 3, minMatches = 2).collect()
+    assert(wf.length == 1 && wf(0).getLong(0) == 0L && wf(0).getLong(1) == 1L,
+      s"long re-cut clip must pair via the content-anchored cut: ${wf.toSeq}")
+  }
+
   test("multi-frame video CROSS pairs catch a trimmed batch re-upload; winnow arm catches a re-cut; banded == exact") {
     val s = spark
     import s.implicits._
