@@ -635,6 +635,22 @@ object SparkEntry {
     // in the md5(id:seed) permutation, replayable on any engine
     "q_doc_shuffle" -> ((s, d) =>
       Curation.shuffleOrder(docs(s, d), "doc_id", seed = "s7")),
+    // DSIR importance weights: raw docs (doc_id % 7 != 0) scored
+    // against the target subset (doc_id % 7 == 0) over 256 hashed
+    // unigram+bigram buckets
+    "q_doc_dsir" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.dsirWeights(all.where(col("doc_id") % 7 =!= 0), "doc_id",
+        "text", all.where(col("doc_id") % 7 === 0), "text", buckets = 256)
+    }),
+    // Gumbel-top-k DSIR selection: deterministic seeded resampling of
+    // the 64 rawest-target-looking docs
+    "q_doc_dsir_sample" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.dsirSample(all.where(col("doc_id") % 7 =!= 0), "doc_id",
+        "text", all.where(col("doc_id") % 7 === 0), "text", k = 64,
+        seed = "d1", buckets = 256)
+    }),
     // SemDeDup-shaped embedding dedup: cosine >= 0.5 near-dup pairs ->
     // connected components -> keep each cluster's min id (composition
     // of the pair path and the cluster/keep machinery). bruteForce is
@@ -1284,6 +1300,33 @@ object SparkEntry {
     */
   private val tokCte =
     "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM documents)"
+  /** DSIR feature/weight CTE chain (mirrors Curation.dsirWeights at
+    * buckets=256, target = doc_id % 7 = 0, raw = the rest): hashed
+    * unigram+bigram buckets, add-one smoothing, per-bucket log-ratio
+    * rounded to 4dp (the exact doubles the Spark literal array
+    * carries), per-doc sum rounded to 4dp.
+    */
+  private val dsirCte =
+    tokCte + ", " +
+      "feats AS (SELECT doc_id, unnest(t) AS f FROM toks " +
+      "UNION ALL SELECT doc_id, unnest(list_transform(range(len(t) - 1), " +
+      "i -> t[i+1] || ' ' || t[i+2])) AS f FROM toks WHERE len(t) >= 2), " +
+      "fb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b " +
+      "FROM feats), " +
+      "hp AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 = 0 GROUP BY b), " +
+      "hq AS (SELECT b, count(*) AS c FROM fb WHERE doc_id % 7 <> 0 GROUP BY b), " +
+      "tp AS (SELECT count(*) AS n FROM fb WHERE doc_id % 7 = 0), " +
+      "tq AS (SELECT count(*) AS n FROM fb WHERE doc_id % 7 <> 0), " +
+      "lr AS (SELECT r.b, round(" +
+      "ln((coalesce(hp.c, 0) + 1.0) / (tp.n + 256.0)) - " +
+      "ln((coalesce(hq.c, 0) + 1.0) / (tq.n + 256.0)), 4) AS lr " +
+      "FROM (SELECT unnest(range(0, 256)) AS b) r " +
+      "LEFT JOIN hp ON hp.b = r.b LEFT JOIN hq ON hq.b = r.b " +
+      "CROSS JOIN tp CROSS JOIN tq), " +
+      "w AS (SELECT fb.doc_id, count(*) AS n_feats, " +
+      "round(sum(lr.lr), 4) AS dsir_logw " +
+      "FROM fb JOIN lr ON lr.b = fb.b WHERE fb.doc_id % 7 <> 0 GROUP BY 1)"
+
   /** Shingles are carried as 60-bit md5 hashes (mirrors
     * Dedup.shingleHashSet — identical hashes, identical set algebra).
     */
@@ -1924,6 +1967,24 @@ object SparkEntry {
     "q_doc_shuffle" -> ("SELECT doc_id, CAST(row_number() OVER " +
       "(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s7'), doc_id) - 1 AS BIGINT) " +
       "AS shuffle_pos FROM documents"),
+    // DSIR replayed arithmetically: hashed unigram+bigram buckets via
+    // the md5 hash family, add-one-smoothed target/raw log-probs, the
+    // per-bucket log-ratio ROUNDED to 4 decimals before the per-doc
+    // sum and the sum after (the lm-score double discipline — both
+    // engines then sum identical doubles)
+    "q_doc_dsir" -> ("WITH " + dsirCte + " " +
+      "SELECT d.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats, " +
+      "coalesce(w.dsir_logw, 0.0) AS dsir_logw " +
+      "FROM documents d LEFT JOIN w USING (doc_id) WHERE d.doc_id % 7 <> 0"),
+    // Gumbel key = 4dp log-weight + 4dp md5-seeded Gumbel draw; both
+    // engines add identical doubles, so the top-64 order agrees
+    "q_doc_dsir_sample" -> ("WITH " + dsirCte + ", " +
+      "ky AS (SELECT d.doc_id, coalesce(w.dsir_logw, 0.0) + " +
+      "round(-ln(-ln(((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':d1'), 1, 15))::BIGINT " +
+      "% 1073741824) + 0.5) / 1073741824.0)), 4) AS k " +
+      "FROM documents d LEFT JOIN w USING (doc_id) WHERE d.doc_id % 7 <> 0) " +
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY k DESC, doc_id) " +
+      "AS BIGINT) AS sel_rank FROM ky ORDER BY k DESC, doc_id LIMIT 64"),
     // same reach-CTE shape as q_doc_keep, over cosine near-dup pairs
     "q_embed_keep" -> ("WITH RECURSIVE pairs AS (" +
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b " +

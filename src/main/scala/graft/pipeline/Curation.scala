@@ -365,6 +365,114 @@ object Curation {
     df.groupBy(normalizeUrl(col(urlCol)).as("url_canon"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Hashed n-gram feature buckets of one document — the DSIR feature
+    * map (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): unigrams plus adjacent bigrams of the
+    * canonical tokenizer, each hashed into `buckets` buckets by the
+    * portable 60-bit md5 family (the same trick as
+    * [[Dedup.shingleHashSet]], so the oracle derives identical
+    * buckets). Input is a STAGED token-array column, not raw text —
+    * referencing the tokenizer expression from the three feature
+    * sub-expressions would inline three copies of the split into the
+    * plan.
+    */
+  private def dsirBuckets(toks: Column, buckets: Int): Column = {
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), f =>
+      pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** The smoothed hashed-feature histogram of a corpus as a log-prob
+    * array: `ln((c_b + 1) / (N + B))` per bucket. ONE scan + a
+    * B-bucket hash aggregation; the collect is bounded by `buckets`
+    * (same bounded-collect discipline as the IVF centroid pulls).
+    */
+  private def dsirLogProbs(df: DataFrame, textCol: String,
+      buckets: Int): Array[Double] = {
+    val counts = df
+      .select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(explode(dsirBuckets(col("_toks"), buckets)).as("_b"))
+      .groupBy("_b").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val n = counts.valuesIterator.sum.toDouble
+    Array.tabulate(buckets)(b =>
+      math.log((counts.getOrElse(b, 0L) + 1.0) / (n + buckets)))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023): score every raw
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET distribution than under the RAW distribution —
+    * `logw(x) = sum_f [ln p_target(f) - ln p_raw(f)]` over the doc's
+    * unigram+bigram features, add-one smoothed over `buckets` hashed
+    * buckets. High-weight documents look like the target domain;
+    * resampling raw data by these weights shifts a 100 TB crawl
+    * toward a small high-quality target corpus without training a
+    * classifier.
+    *
+    * Scale shape: the two distributions cost one scan each and
+    * collect only `buckets` counts; the per-bucket log-ratio bakes
+    * into ONE literal array, so scoring is a single codegen'd
+    * scan — a per-row HOF fold over the feature array with an array
+    * index per feature. No join, no shuffle, no UDF. Per-bucket
+    * ratios are rounded to 4 decimals before the fold and the final
+    * weight after it (the lm-score double discipline, so the oracle
+    * sums the same values in any order). Output:
+    * `(idCol, n_feats, dsir_logw)`; tokenless docs score 0.0.
+    */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    val lp = dsirLogProbs(target, targetTextCol, buckets)
+    val lq = dsirLogProbs(raw, textCol, buckets)
+    // HALF_UP to 4 decimals — what Spark SQL round() and DuckDB
+    // round() both do, so the oracle's round(ln(..)-ln(..), 4)
+    // produces these exact doubles
+    val ratio = Array.tabulate(buckets) { b =>
+      BigDecimal(lp(b) - lq(b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    raw
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), dsirBuckets(col("_toks"), buckets).as("_fb"))
+      .select(col(idCol), size(col("_fb")).cast("long").as("n_feats"),
+        round(aggregate(col("_fb"), lit(0.0),
+          (acc, b) => acc + element_at(typedLit(ratio), (b + 1).cast("int"))),
+          4).as("dsir_logw"))
+  }
+
+  /** Gumbel-top-k DSIR selection — the paper's sampling-without-
+    * replacement step made deterministic and engine-portable: each
+    * doc's key is its (rounded) importance log-weight plus a Gumbel
+    * draw `-ln(-ln(u))` whose uniform comes from the md5 id-hash
+    * family (`u = (h mod 2^30 + 0.5) / 2^30`, never 0 or 1), so the
+    * sample is exactly replayable anywhere and changing `seed` redraws
+    * it. Selecting the top `k` keys IS Gumbel-max sampling by the
+    * softmax of the weights. ONE TakeOrdered (global top-k, no full
+    * sort materialization) over the scored scan. Output:
+    * `(idCol, sel_rank)`, rank 1-based in key order.
+    */
+  def dsirSample(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      seed: String = "dsir", buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (pmod(idHash(concat(col(idCol).cast("string"), lit(":" + seed))),
+      lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
+    val key = col("dsir_logw") + round(-log(-log(u)), 4)
+    import org.apache.spark.sql.expressions.Window
+    dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+      .select(col(idCol), key.as("_key"))
+      .orderBy(col("_key").desc, col(idCol)).limit(k)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col("_key").desc, col(idCol))).cast("long")
+        .as("sel_rank"))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldDf.select(col(idCol), md5(col(textCol)).as("_ho"))

@@ -1088,6 +1088,56 @@ class PipelineSpec extends GraftSuite {
     assert(a.filter(_ % 4 == 1).subsetOf(b)) // higher rate only adds
   }
 
+  test("dsirWeights ranks target-domain docs above off-domain; feature count and degenerate contracts hold; Gumbel sample replays") {
+    val s = spark
+    import s.implicits._
+    val chemWords = Seq("acid", "base", "molecule", "reaction", "catalyst",
+      "ion", "bond", "electron", "oxide", "solvent")
+    val astroWords = Seq("galaxy", "orbit", "nebula", "quasar", "pulsar",
+      "comet", "asteroid", "cluster", "parallax", "supernova")
+    def sentence(ws: Seq[String], salt: Int): String =
+      (0 until 12).map(i => ws((i * 7 + salt) % ws.size)).mkString(" ")
+    // target corpus: pure chemistry
+    val target = (0L until 8L).map(i => (i, sentence(chemWords, i.toInt)))
+      .toDF("doc_id", "text")
+    // raw corpus: 6 chem docs, 6 astro docs, one tokenless doc
+    val raw = ((0L until 6L).map(i => (i, sentence(chemWords, i.toInt + 3))) ++
+      (10L until 16L).map(i => (i, sentence(astroWords, i.toInt))) ++
+      Seq((20L, "!!! ???"))).toDF("doc_id", "text").repartition(7)
+    val w = Curation.dsirWeights(raw, "doc_id", "text", target, "text",
+      buckets = 128).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 12 tokens -> 12 unigrams + 11 bigrams
+    assert(w(0L)._1 == 23L, s"n_feats must be 2n-1: ${w(0L)}")
+    assert(w(20L) == ((0L, 0.0)), s"tokenless doc contract: ${w(20L)}")
+    val chemMin = (0L until 6L).map(w(_)._2).min
+    val astroMax = (10L until 16L).map(w(_)._2).max
+    assert(chemMin > astroMax + 1.0,
+      s"target-domain docs must outrank clearly: $chemMin vs $astroMax")
+    // weights are partitioning-independent (pure hash arithmetic)
+    val w1 = Curation.dsirWeights(raw.repartition(2), "doc_id", "text",
+      target, "text", buckets = 128).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w1 == w, "weights must not depend on partitioning")
+    // Gumbel-top-k: exact size, 1-based dense ranks, replayable; with
+    // these weight gaps the selection is the chem side
+    val sel = Curation.dsirSample(raw, "doc_id", "text", target, "text",
+      k = 6, seed = "t1", buckets = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sel.length == 6 && sel.map(_._2).sorted.sameElements(1L to 6L),
+      s"ranks must be 1..6: ${sel.toSeq}")
+    assert(sel.map(_._1).forall(_ < 6L),
+      s"selection must be the target-domain docs: ${sel.toSeq}")
+    val sel2 = Curation.dsirSample(raw.repartition(3), "doc_id", "text",
+      target, "text", k = 6, seed = "t1", buckets = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sel2.sorted.sameElements(sel.sorted), "sample must replay exactly")
+    // a different seed redraws the Gumbel noise but keeps determinism
+    val sel3 = Curation.dsirSample(raw, "doc_id", "text", target, "text",
+      k = 6, seed = "t2", buckets = 128).collect().map(_.getLong(0)).toSet
+    assert(sel3.size == 6)
+  }
+
   test("temperatureMix flattens the source distribution toward the target mass") {
     val s = spark
     import s.implicits._

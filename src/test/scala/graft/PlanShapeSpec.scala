@@ -125,6 +125,23 @@ class PlanShapeSpec extends GraftSuite {
       s"SRP kernel fell out of codegen: $plan")
   }
 
+  test("DSIR scoring is one exchange-free scan over the raw corpus") {
+    // the two corpus distributions collect at BUILD time (bounded by
+    // the bucket count) and bake into a literal log-ratio array, so
+    // SERVING a weight per document must be a single codegen'd scan:
+    // any Exchange means the lookup regressed to a join
+    import graft.pipeline.Curation
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = Curation.dsirWeights(
+      docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      docs.where(col("doc_id") % 7 === 0), "text", buckets = 256)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"DSIR weight scan shuffles: $plan")
+    assert(scans(df).size == 1, "DSIR scoring must be ONE raw-corpus scan")
+  }
+
   test("staged L2 normalization computes the norm aggregate exactly once") {
     import graft.search.VectorOps
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
