@@ -1160,6 +1160,17 @@ object SparkEntry {
         Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")),
         maxHam = 3, k = 8)
     }),
+    // winnowed-thumbnail variant: the video side keys on its winnow-
+    // SELECTED frames (content-anchored — survives a re-edit of the
+    // clip), a strict subset of the full frame set; the oracle replays
+    // the selection and takes the exact min-distance cross join
+    "q_media_thumb_pairs_wf" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id")
+      Multimodal.thumbnailPairs(
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("image")),
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")),
+        maxHam = 3, winnowWindow = Some(3))
+    }),
 
     // ---- temporal analytics (extension): sessionization, funnels,
     // cohort retention — the event-log triad behind engagement-style
@@ -1326,6 +1337,56 @@ object SparkEntry {
       "w AS (SELECT fb.doc_id, count(*) AS n_feats, " +
       "round(sum(lr.lr), 4) AS dsir_logw " +
       "FROM fb JOIN lr ON lr.b = fb.b WHERE fb.doc_id % 7 <> 0 GROUP BY 1)"
+
+  /** Synthetic still-image aHash63 chain (media_id, hash h) — the
+    * image side of the cross-modality thumbnail oracles; recomputes
+    * every pixel from the generator formulas.
+    */
+  private val thumbImageHashCte =
+    "im AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
+      "FROM documents WHERE doc_id % 3 = 0), " +
+      "ig AS (SELECT media_id, p, " +
+      "(((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
+      "((media_id * 13 + p % w) % 255) + " +
+      "((media_id * 7 + p // w) % 255)) // 3 AS gray FROM " +
+      "(SELECT media_id, w, h, " +
+      "UNNEST(range(0, (w * h)::BIGINT)) AS p FROM im)), " +
+      "imn AS (SELECT media_id, sum(gray) // count(*) AS mg " +
+      "FROM ig GROUP BY 1), " +
+      "ih AS (SELECT ig.media_id, CAST(coalesce(sum(CASE WHEN ig.p < 63 " +
+      "AND ig.gray >= imn.mg THEN (1::BIGINT << ig.p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS h FROM ig JOIN imn USING (media_id) GROUP BY 1)"
+
+  /** Winnow-selected video frame hashes (media_id, f, fhash in `sel`):
+    * per-frame hashes from the same pixel formulas, a row of windows
+    * s in [0, max(nf-3, 0)] of width min(3, nf), each window's
+    * min-(fhash, f) frame selected (row_number = 1 mirrors the
+    * leftmost-tie rule), DISTINCT selected frames.
+    */
+  private val videoWinnowSelCte =
+    "m AS (SELECT doc_id AS media_id, " +
+      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "mf AS (SELECT media_id, w, h, unnest(range(0, nf::BIGINT)) AS f FROM m), " +
+      "g AS (SELECT media_id, f, p, (" +
+      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
+      "((media_id * 13 + (p % w) + f) % 255) + " +
+      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
+      "FROM (SELECT media_id, w, h, f, " +
+      "unnest(range(0, (w * h)::BIGINT)) AS p FROM mf)), " +
+      "mn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
+      "FROM g GROUP BY 1, 2), " +
+      "fh AS (SELECT g.media_id, g.f, CAST(coalesce(sum(CASE WHEN p < 63 " +
+      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
+      "AS BIGINT) AS fhash FROM g JOIN mn USING (media_id, f) GROUP BY 1, 2), " +
+      "wn AS (SELECT media_id, least(3, nf) AS wsz, " +
+      "unnest(range(0, greatest(nf - 3, 0)::BIGINT + 1)) AS s FROM m), " +
+      "sel AS (SELECT DISTINCT media_id, f, fhash FROM " +
+      "(SELECT wx.media_id, fh.f, fh.fhash, row_number() OVER " +
+      "(PARTITION BY wx.media_id, wx.s ORDER BY fh.fhash, fh.f) AS rn " +
+      "FROM wn wx JOIN fh ON fh.media_id = wx.media_id " +
+      "AND fh.f >= wx.s AND fh.f < wx.s + wx.wsz) WHERE rn = 1)"
 
   /** Shingles are carried as 60-bit md5 hashes (mirrors
     * Dedup.shingleHashSet — identical hashes, identical set algebra).
@@ -2461,28 +2522,7 @@ object SparkEntry {
     // selected (row_number = 1 mirrors the leftmost-tie rule), then
     // exact all-pairs matches over DISTINCT selected frames with the
     // >= 2 gate — the engine's winnow kernel + banding must agree
-    "q_media_video_neardup_wf" -> ("WITH m AS (SELECT doc_id AS media_id, " +
-      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
-      "FROM documents WHERE doc_id % 3 = 2), " +
-      "mf AS (SELECT media_id, w, h, unnest(range(0, nf::BIGINT)) AS f FROM m), " +
-      "g AS (SELECT media_id, f, p, (" +
-      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
-      "((media_id * 13 + (p % w) + f) % 255) + " +
-      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
-      "FROM (SELECT media_id, w, h, f, " +
-      "unnest(range(0, (w * h)::BIGINT)) AS p FROM mf)), " +
-      "mn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
-      "FROM g GROUP BY 1, 2), " +
-      "fh AS (SELECT g.media_id, g.f, CAST(coalesce(sum(CASE WHEN p < 63 " +
-      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
-      "AS BIGINT) AS fhash FROM g JOIN mn USING (media_id, f) GROUP BY 1, 2), " +
-      "wn AS (SELECT media_id, least(3, nf) AS wsz, " +
-      "unnest(range(0, greatest(nf - 3, 0)::BIGINT + 1)) AS s FROM m), " +
-      "sel AS (SELECT DISTINCT media_id, f, fhash FROM " +
-      "(SELECT wx.media_id, fh.f, fh.fhash, row_number() OVER " +
-      "(PARTITION BY wx.media_id, wx.s ORDER BY fh.fhash, fh.f) AS rn " +
-      "FROM wn wx JOIN fh ON fh.media_id = wx.media_id " +
-      "AND fh.f >= wx.s AND fh.f < wx.s + wx.wsz) WHERE rn = 1) " +
+    "q_media_video_neardup_wf" -> ("WITH " + videoWinnowSelCte + " " +
       "SELECT x.media_id AS id_a, y.media_id AS id_b, " +
       "count(*) AS n_matched " +
       "FROM sel x JOIN sel y ON x.media_id < y.media_id " +
@@ -2720,40 +2760,20 @@ object SparkEntry {
     // image aHash63 x per-frame video hash, both rebuilt from the
     // pixel formulas; exact cross join at Hamming <= 3 aggregated to
     // the best (min) frame distance per (image, video) pair
-    "q_media_thumb_pairs" -> ("WITH im AS (SELECT doc_id AS media_id, " +
-      "doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h " +
-      "FROM documents WHERE doc_id % 3 = 0), " +
-      "ig AS (SELECT media_id, p, " +
-      "(((media_id * 37 + (p % w) * 5 + (p // w) * 11) % 255) + " +
-      "((media_id * 13 + p % w) % 255) + " +
-      "((media_id * 7 + p // w) % 255)) // 3 AS gray FROM " +
-      "(SELECT media_id, w, h, " +
-      "UNNEST(range(0, (w * h)::BIGINT)) AS p FROM im)), " +
-      "imn AS (SELECT media_id, sum(gray) // count(*) AS mg " +
-      "FROM ig GROUP BY 1), " +
-      "ih AS (SELECT ig.media_id, CAST(coalesce(sum(CASE WHEN ig.p < 63 " +
-      "AND ig.gray >= imn.mg THEN (1::BIGINT << ig.p::INT) ELSE 0 END), 0) " +
-      "AS BIGINT) AS h FROM ig JOIN imn USING (media_id) GROUP BY 1), " +
-      "vm AS (SELECT doc_id AS media_id, doc_id % 13 + 1 AS w, " +
-      "doc_id % 7 + 1 AS h, doc_id % 5 + 2 AS nf " +
-      "FROM documents WHERE doc_id % 3 = 2), " +
-      "vmf AS (SELECT media_id, w, h, " +
-      "unnest(range(0, nf::BIGINT)) AS f FROM vm), " +
-      "vg AS (SELECT media_id, f, p, (" +
-      "((media_id * 37 + (p % w) * 5 + (p // w) * 11 + f * 3) % 255) + " +
-      "((media_id * 13 + (p % w) + f) % 255) + " +
-      "((media_id * 7 + (p // w) + 2 * f) % 255)) // 3 AS gray " +
-      "FROM (SELECT media_id, w, h, f, " +
-      "unnest(range(0, (w * h)::BIGINT)) AS p FROM vmf)), " +
-      "vmn AS (SELECT media_id, f, sum(gray) // count(*) AS mean " +
-      "FROM vg GROUP BY 1, 2), " +
-      "fh AS (SELECT vg.media_id, vg.f, CAST(coalesce(sum(CASE WHEN p < 63 " +
-      "AND gray >= mean THEN (1::BIGINT << p::INT) ELSE 0 END), 0) " +
-      "AS BIGINT) AS fhash FROM vg JOIN vmn USING (media_id, f) " +
-      "GROUP BY 1, 2) " +
+    "q_media_thumb_pairs" -> ("WITH " + thumbImageHashCte + ", " +
+      videoWinnowSelCte + " " +
       "SELECT i.media_id AS image_id, v.media_id AS video_id, " +
       "CAST(min(bit_count(xor(i.h, v.fhash))) AS INT) AS best_hamming " +
       "FROM ih i JOIN fh v ON bit_count(xor(i.h, v.fhash)) <= 3 " +
+      "GROUP BY 1, 2"),
+    // winnowed thumbnail variant: the video side reduces to its
+    // winnow-SELECTED frames (content-anchored), so the pair set is
+    // the subset of the full-frame one that a re-edited upload keeps
+    "q_media_thumb_pairs_wf" -> ("WITH " + thumbImageHashCte + ", " +
+      videoWinnowSelCte + " " +
+      "SELECT i.media_id AS image_id, v.media_id AS video_id, " +
+      "CAST(min(bit_count(xor(i.h, v.fhash))) AS INT) AS best_hamming " +
+      "FROM ih i JOIN sel v ON bit_count(xor(i.h, v.fhash)) <= 3 " +
       "GROUP BY 1, 2"),
     // same full-outer hash diff over the same synthetic versions
     "q_doc_snapshot_diff" -> ("WITH v1 AS (SELECT doc_id, md5(text) AS h " +

@@ -376,7 +376,7 @@ object Curation {
     * sub-expressions would inline three copies of the split into the
     * plan.
     */
-  private def dsirBuckets(toks: Column, buckets: Int): Column = {
+  private[graft] def dsirBuckets(toks: Column, buckets: Int): Column = {
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
@@ -426,25 +426,41 @@ object Curation {
   def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 1024): DataFrame = {
+    val ratio = dsirLogRatio(raw, textCol, target, targetTextCol, buckets)
+    raw
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), dsirBuckets(col("_toks"), ratio.length).as("_fb"))
+      .select(col(idCol), size(col("_fb")).cast("long").as("n_feats"),
+        dsirScore(col("_fb"), ratio).as("dsir_logw"))
+  }
+
+  /** The fitted per-bucket DSIR log-ratio table
+    * `round(ln p_target(b) - ln p_raw(b), 4)` — the whole trained
+    * "model" of [[dsirWeights]], exposed so a streaming quality filter
+    * can bake it into a stateless per-row expression. HALF_UP to 4
+    * decimals — what Spark SQL round() and DuckDB round() both do, so
+    * an oracle's round(ln(..)-ln(..), 4) produces these exact doubles.
+    */
+  def dsirLogRatio(raw: DataFrame, textCol: String, target: DataFrame,
+      targetTextCol: String, buckets: Int = 1024): Array[Double] = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20], got $buckets")
     val lp = dsirLogProbs(target, targetTextCol, buckets)
     val lq = dsirLogProbs(raw, textCol, buckets)
-    // HALF_UP to 4 decimals — what Spark SQL round() and DuckDB
-    // round() both do, so the oracle's round(ln(..)-ln(..), 4)
-    // produces these exact doubles
-    val ratio = Array.tabulate(buckets) { b =>
+    Array.tabulate(buckets) { b =>
       BigDecimal(lp(b) - lq(b))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    raw
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), dsirBuckets(col("_toks"), buckets).as("_fb"))
-      .select(col(idCol), size(col("_fb")).cast("long").as("n_feats"),
-        round(aggregate(col("_fb"), lit(0.0),
-          (acc, b) => acc + element_at(typedLit(ratio), (b + 1).cast("int"))),
-          4).as("dsir_logw"))
   }
+
+  /** Per-row importance log-weight of a STAGED feature-bucket array
+    * column against a fitted log-ratio table: a codegen'd fold with an
+    * array index per feature, rounded to 4dp. */
+  private[graft] def dsirScore(fb: Column, ratio: Array[Double]): Column =
+    round(aggregate(fb, lit(0.0),
+      (acc, b) => acc + element_at(typedLit(ratio), (b + 1).cast("int"))),
+      4)
+
 
   /** Gumbel-top-k DSIR selection — the paper's sampling-without-
     * replacement step made deterministic and engine-portable: each

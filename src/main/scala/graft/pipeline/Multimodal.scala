@@ -1459,14 +1459,25 @@ object Multimodal {
     * Output: `(image_id, video_id, best_hamming)`.
     */
   def thumbnailPairs(images: DataFrame, videos: DataFrame, maxHam: Int = 3,
-      k: Int = 8, cap: Int = Dedup.MaxClusterBlock): DataFrame = {
+      k: Int = 8, cap: Int = Dedup.MaxClusterBlock,
+      winnowWindow: Option[Int] = None): DataFrame = {
     require(maxHam >= 0 && maxHam <= 3,
       s"banding is exact only for maxHam <= 3, got $maxHam")
     val ih = aHash63(images).where(col("ahash").isNotNull)
       .select(col("media_id").as("_fid"), col("ahash").as("_h"))
-    val fh = videoFrameHashes63(videos, k).select(
-      (col("media_id") * 64 + col("frame_slot")).as("_fid"),
-      col("fhash").as("_h"))
+    // `winnowWindow = Some(w)` keys the video side on WINNOW-selected
+    // frames instead of ordinal samples — content-anchored, so a
+    // thumbnail cut from a re-edited upload of the clip still meets
+    // the frame the selection keeps (ordinal sample indices move with
+    // clip length; winnow minima move with content)
+    val fh = winnowWindow match {
+      case Some(w) => videoWinnowedFrameHashes63(videos, w).select(
+        (col("media_id") * 64 + col("sel_slot")).as("_fid"),
+        col("fhash").as("_h"))
+      case None => videoFrameHashes63(videos, k).select(
+        (col("media_id") * 64 + col("frame_slot")).as("_fid"),
+        col("fhash").as("_h"))
+    }
     Dedup.bandedHammingCrossPairs(ih, fh, "_fid", "_h",
         bands = 4, bandBits = 16, maxHam = maxHam, cap = cap)
       .select(col("id_a").as("image_id"),

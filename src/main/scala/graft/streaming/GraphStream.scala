@@ -372,6 +372,34 @@ object GraphStream {
       .drop("_srp")
   }
 
+  /** DSIR quality filtering at ingest — the domain-shaping arm of the
+    * filter family (the dedup arms drop what the corpus has SEEN; this
+    * drops what the target domain doesn't WANT): keep stream rows
+    * whose DSIR importance log-weight
+    * ([[graft.pipeline.Curation.dsirWeights]]) is at least `minLogw`.
+    * The target/raw distributions are fitted from BATCH corpora at
+    * filter-construction time and bake into one literal log-ratio
+    * array, so the stream side is a pure per-row codegen expression —
+    * tokenizer + hash fold — with NO state store, NO shuffle, NO UDF,
+    * and nothing broadcast per micro-batch. Tokenless rows score 0.0
+    * and so are dropped at any positive threshold (an empty document
+    * is never target-domain data). Re-fit by rebuilding the filter
+    * when the target corpus moves.
+    */
+  def dsirIngestFilter(stream: DataFrame, textCol: String,
+      raw: DataFrame, rawTextCol: String,
+      target: DataFrame, targetTextCol: String,
+      minLogw: Double, buckets: Int = 1024): DataFrame = {
+    import graft.pipeline.{Curation, TextAnalysis}
+    val ratio = Curation.dsirLogRatio(raw, rawTextCol, target,
+      targetTextCol, buckets)
+    stream
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_fb", Curation.dsirBuckets(col("_toks"), buckets))
+      .where(Curation.dsirScore(col("_fb"), ratio) >= minLogw)
+      .drop("_toks", "_fb")
+  }
+
   /** Watermarked stream-stream interval join — the streaming mirror
     * of `pipeline.Temporal.rangeJoin`: each right event joins the
     * left events of the same key whose timestamp falls in

@@ -1693,6 +1693,45 @@ class PipelineSpec extends GraftSuite {
     assert(got2(4) == exact)
   }
 
+  test("winnowed thumbnailPairs keys on selected frames: a selected-frame still pairs, a non-selected-frame still does not") {
+    val s = spark
+    import s.implicits._
+    def bitFrame(v: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (p <- 0 until 64)
+        img.setRGB(p % 8, p / 8,
+          if (p < 63 && ((v >> p) & 1L) == 1L) 0xFFFFFF else 0x000000)
+      img
+    }
+    val vals = (0 until 9).map(f =>
+      ((f + 1).toLong * 0x9E3779B97F4A7C15L) >>> 1)
+    val clip = Multimodal.encodeAvi(vals.map(bitFrame), fps = 10)
+    val selected = Multimodal.videoWinnowedHashesOf(clip, window = 3).toSet
+    val unselected = vals.toSet -- selected
+    assert(selected.nonEmpty && unselected.nonEmpty,
+      s"fixture needs both kinds of frame: ${selected.size} ${unselected.size}")
+    val videos = Seq((10L, clip)).toDF("media_id", "content")
+    // image 0 re-uploads a winnow-SELECTED frame, image 1 a frame the
+    // selection dropped
+    val images = Seq(
+      (0L, Multimodal.encodePng(bitFrame(selected.head))),
+      (1L, Multimodal.encodePng(bitFrame(unselected.head))))
+      .toDF("media_id", "content")
+    val wf = Multimodal.thumbnailPairs(images, videos, maxHam = 3,
+        winnowWindow = Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wf == Set((0L, 10L, 0)),
+      s"winnowed arm pairs exactly the selected-frame still: $wf")
+    // the full-frame arm (k >= clip length) pairs BOTH stills — the
+    // winnowed pair set is a strict subset keyed on selection
+    val full = Multimodal.thumbnailPairs(images, videos, maxHam = 3,
+        k = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == Set((0L, 10L, 0), (1L, 10L, 0)),
+      s"full-frame arm must pair both stills: $full")
+  }
+
   test("gradient dHash pairs an illumination re-grade the mean-threshold aHash misses") {
     val s = spark
     import s.implicits._

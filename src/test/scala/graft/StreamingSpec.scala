@@ -416,6 +416,43 @@ class StreamingSpec extends GraftSuite {
       s"degenerate rows pass, near-dup drops: $kept")
   }
 
+  test("DSIR ingest filter keeps target-domain rows and drops off-domain and tokenless rows at a positive threshold") {
+    val s = spark
+    import s.implicits._
+    val chemWords = Seq("acid", "base", "molecule", "reaction", "catalyst",
+      "ion", "bond", "electron", "oxide", "solvent")
+    val astroWords = Seq("galaxy", "orbit", "nebula", "quasar", "pulsar",
+      "comet", "asteroid", "cluster", "parallax", "supernova")
+    def sentence(ws: Seq[String], salt: Int): String =
+      (0 until 12).map(i => ws((i * 7 + salt) % ws.size)).mkString(" ")
+    val target = (0L until 8L).map(i => (i, sentence(chemWords, i.toInt)))
+      .toDF("doc_id", "text")
+    val raw = ((0L until 6L).map(i => (i, sentence(chemWords, i.toInt + 3))) ++
+      (10L until 16L).map(i => (i, sentence(astroWords, i.toInt))))
+      .toDF("doc_id", "text")
+    val streamDf = Seq(
+      (100L, sentence(chemWords, 5)),
+      (101L, sentence(chemWords, 8)),
+      (102L, sentence(astroWords, 2)),
+      (103L, sentence(astroWords, 9)),
+      (104L, "!!! ???")).toDF("doc_id", "text")
+    val kept = GraphStream.dsirIngestFilter(streamDf, "text",
+        raw, "text", target, "text", minLogw = 0.5, buckets = 128)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 101L),
+      s"only target-domain rows pass the positive bar: $kept")
+    // schema is preserved (the staged columns are dropped)
+    assert(GraphStream.dsirIngestFilter(streamDf, "text", raw, "text",
+      target, "text", minLogw = 0.5, buckets = 128).columns.toSeq ==
+      Seq("doc_id", "text"))
+    // an arbitrarily low bar passes everything — including the
+    // tokenless row, which scores exactly 0.0
+    val all = GraphStream.dsirIngestFilter(streamDf, "text",
+        raw, "text", target, "text", minLogw = -1e9, buckets = 128)
+      .count()
+    assert(all == 5L, s"no-op bar must keep the whole stream: $all")
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
