@@ -909,6 +909,19 @@ object SparkEntry {
         "p", "o"))
         .select(col("node_id").as("order_id"), col("component_id"))
     }),
+    // multi-source BFS hop distances from the 2 smallest projection
+    // vertices, depth-capped; the oracle walks the same frontier via a
+    // recursive CTE and takes min(dist)
+    "q_graph_bfs" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val proj = li.where(col("l_partkey") % 100 === 0)
+        .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+      val seeds = proj.select(col("o")).distinct()
+        .orderBy(col("o")).limit(2).collect().map(_.getLong(0)).toSeq
+      GraphAlgos.bfsDistances(
+        GraphAlgos.coOccurrenceCached(proj, "p", "o"), seeds, maxDepth = 6)
+        .select(col("node_id").as("order_id"), col("dist"))
+    }),
     // per-vertex degrees of the co-occurrence projection (the quick
     // structural profile that sizes skew guards before heavier passes)
     "q_graph_degrees" -> ((s, d) => {
@@ -1846,6 +1859,22 @@ object SparkEntry {
       "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
       "SELECT a AS order_id, least(a, min(b)) AS component_id " +
       "FROM reach GROUP BY a"),
+    // frontier recursion: (node, dist) states dedup via UNION, min(dist)
+    // is the BFS distance; seeds = the 2 smallest projection vertices,
+    // present at dist 0 whether or not they have edges
+    "q_graph_bfs" -> ("WITH RECURSIVE e0 AS (SELECT DISTINCT " +
+      "l_orderkey AS o, l_partkey AS p FROM lineitem " +
+      "WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed), " +
+      "sd AS (SELECT o AS node_id FROM " +
+      "(SELECT DISTINCT o FROM e0 ORDER BY o LIMIT 2)), " +
+      "r(node_id, dist) AS (SELECT node_id, 0 FROM sd " +
+      "UNION SELECT u.b, r.dist + 1 FROM r JOIN und u ON u.a = r.node_id " +
+      "WHERE r.dist < 6) " +
+      "SELECT node_id AS order_id, CAST(min(dist) AS BIGINT) AS dist " +
+      "FROM r GROUP BY 1"),
     "q_graph_degrees" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
       "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
       "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +

@@ -1267,6 +1267,34 @@ class PipelineSpec extends GraftSuite {
     assert(empty.columns.toSeq == Seq("node_id", "pr_q") && empty.count() == 0)
   }
 
+  test("bfsDistances: multi-source hop counts, depth cap, early exhaustion, isolated seed") {
+    val s = spark
+    import s.implicits._
+    // a path 1-2-3-4-5-6 with a branch 3-7, plus a disjoint edge 20-21;
+    // seed 9 touches nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 7L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = GraphAlgos.bfsDistances(edges, Seq(1L, 9L), maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      7L -> 3L, 5L -> 4L, 6L -> 5L),
+      s"hop counts must match the hand walk: $got")
+    // depth cap: maxDepth 2 stops the wave at dist 2
+    val capped = GraphAlgos.bfsDistances(edges, Seq(1L), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      s"depth cap must hold: $capped")
+    // two sources meet in the middle: each vertex takes its NEAREST
+    // seed's distance
+    val two = GraphAlgos.bfsDistances(edges, Seq(1L, 6L), maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(3L) == 2L && two(4L) == 2L && two(7L) == 3L,
+      s"nearest-seed distances: $two")
+    // empty seed set -> empty result, schema intact
+    val none = GraphAlgos.bfsDistances(edges, Nil)
+    assert(none.columns.toSeq == Seq("node_id", "dist") && none.count() == 0)
+  }
+
   test("dedupCorpusByScore keeps the highest-scored member per cluster") {
     val s = spark
     import s.implicits._
