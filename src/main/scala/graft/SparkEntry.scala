@@ -625,6 +625,17 @@ object SparkEntry {
         TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
           .select(col("doc_id"), col("quality")),
         "doc_id", col("quality"))),
+    // token-budget dataset assembly: per source, best-quality-first
+    // prefix under a per-source token budget (the final selection step
+    // of a training-mix recipe)
+    "q_doc_budget_select" -> ((s, d) => {
+      val q = TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      Curation.tokenBudgetSelect(
+        q.join(docs(s, d).select(col("doc_id"), col("source")), "doc_id"),
+        "source", "doc_id", "n_tokens", "quality",
+        Map("src0" -> 400L, "src1" -> 300L), defaultBudget = 200L)
+    }),
     // curriculum training order: quality buckets descend, seeded
     // shuffle within each bucket — replayable on any engine
     "q_doc_curriculum" -> ((s, d) =>
@@ -2053,6 +2064,23 @@ object SparkEntry {
       "SELECT doc_id, quality FROM q WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 " +
       "< CAST(round(quality * 1000000) AS BIGINT)"),
+    // same 4dp quality composite; the budget prefix replays as the
+    // identical window cumsum (quality DESC, doc_id tiebreak) under a
+    // literal CASE budget
+    "q_doc_budget_select" -> ("WITH " + tokCte + ", " +
+      "q AS (SELECT d.doc_id, d.source, CAST(len(t.t) AS BIGINT) AS n_tokens, " +
+      "round(least(len(t.t) / 40.0, 1.0) * 0.5 + " +
+      "least(CAST(len(list_filter(t.t, x -> list_contains(" +
+      "['the','a','of','and','to','in','is','for','on','with'], x))) " +
+      "AS DOUBLE) * 10.0 / greatest(len(t.t), 1), 1.0) * 0.5, 4) AS quality " +
+      "FROM documents d JOIN toks t ON d.doc_id = t.doc_id), " +
+      "c AS (SELECT doc_id, source, n_tokens, " +
+      "CAST(sum(n_tokens) OVER (PARTITION BY source " +
+      "ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS cum_tokens FROM q) " +
+      "SELECT doc_id, source, n_tokens, cum_tokens FROM c " +
+      "WHERE cum_tokens <= CASE source WHEN 'src0' THEN 400 " +
+      "WHEN 'src1' THEN 300 ELSE 200 END"),
     // hex digests sort identically in both engines; ties break by id
     "q_doc_shuffle" -> ("SELECT doc_id, CAST(row_number() OVER " +
       "(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s7'), doc_id) - 1 AS BIGINT) " +

@@ -489,6 +489,38 @@ object Curation {
         .as("sel_rank"))
   }
 
+  /** Deterministic token-budget dataset assembly: within each source,
+    * rank documents best-first (`scoreCol` DESC, id tiebreak) and keep
+    * the maximal prefix whose RUNNING token total stays within the
+    * source's budget — "give me the best N billion tokens per domain",
+    * the final selection step of a training-mix recipe. Cumulative
+    * sums are monotone (token counts are nonnegative), so the
+    * `cum <= budget` filter IS a rank prefix: the kept set is
+    * deterministic, engine-portable, and stable under re-runs.
+    *
+    * Scale shape: ONE hash-partitioned window per source (the shuffle
+    * any per-group ranking costs) — no self-join, no iteration. The
+    * budget map is a bounded literal CASE; sources absent from it get
+    * `defaultBudget`. Output:
+    * `(idCol, srcCol, tokensCol, cum_tokens)` for kept rows.
+    */
+  def tokenBudgetSelect(df: DataFrame, srcCol: String, idCol: String,
+      tokensCol: String, scoreCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be nonnegative")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(srcCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col(srcCol), col(tokensCol), col("cum_tokens"))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldDf.select(col(idCol), md5(col(textCol)).as("_ho"))

@@ -1138,6 +1138,36 @@ class PipelineSpec extends GraftSuite {
     assert(sel3.size == 6)
   }
 
+  test("tokenBudgetSelect keeps the best-first prefix within each source's token budget") {
+    val s = spark
+    import s.implicits._
+    // src A: quality order b(9) > a(8) > c(7); tokens 60/50/40.
+    // budget 120: b(60) + a(110) fit, c would reach 150 -> dropped.
+    // src B unlisted -> default budget 45: e(0.9, 40) fits, d(0.5, 10)
+    // would reach 50 -> dropped EVEN THOUGH it alone fits (prefix
+    // rule, not knapsack)
+    val df = Seq(
+      (1L, "A", 50L, 0.8), (2L, "A", 60L, 0.9), (3L, "A", 40L, 0.7),
+      (4L, "B", 10L, 0.5), (5L, "B", 40L, 0.9))
+      .toDF("doc_id", "source", "n_tokens", "quality").repartition(5)
+    val got = Curation.tokenBudgetSelect(df, "source", "doc_id",
+        "n_tokens", "quality", Map("A" -> 120L), defaultBudget = 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(2L -> 60L, 1L -> 110L, 5L -> 40L),
+      s"prefix-under-budget contract: $got")
+    // quality tie breaks by id: equal scores keep the smaller id first
+    val tie = Seq((10L, "C", 30L, 0.5), (11L, "C", 30L, 0.5))
+      .toDF("doc_id", "source", "n_tokens", "quality")
+    val tied = Curation.tokenBudgetSelect(tie, "source", "doc_id",
+        "n_tokens", "quality", Map("C" -> 30L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(10L), s"tie must resolve by id: $tied")
+    // zero default budget keeps nothing from unlisted sources
+    val none = Curation.tokenBudgetSelect(df, "source", "doc_id",
+      "n_tokens", "quality", Map("A" -> 120L)).collect().map(_.getLong(0))
+    assert(!none.contains(4L) && !none.contains(5L))
+  }
+
   test("temperatureMix flattens the source distribution toward the target mass") {
     val s = spark
     import s.implicits._
