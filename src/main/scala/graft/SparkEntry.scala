@@ -933,6 +933,22 @@ object SparkEntry {
         GraphAlgos.coOccurrenceCached(proj, "p", "o"), seeds, maxDepth = 6)
         .select(col("node_id").as("order_id"), col("dist"))
     }),
+    // sampled-source harmonic centrality (Eppstein-Wang estimator
+    // shape): per-source hop distances from the 4 smallest projection
+    // vertices via ONE composite-key BFS, hc_q(v) = sum of
+    // 1e9 div d(s,v) — integer-quantized so ranks are bit-identical
+    // across engines; the oracle re-walks per-source frontiers in a
+    // recursive CTE carrying src through the recursion
+    "q_graph_harmonic" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val proj = li.where(col("l_partkey") % 100 === 0)
+        .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+      val seeds = proj.select(col("o")).distinct()
+        .orderBy(col("o")).limit(4).collect().map(_.getLong(0)).toSeq
+      GraphAlgos.harmonicCentrality(
+        GraphAlgos.coOccurrenceCached(proj, "p", "o"), seeds, maxDepth = 6)
+        .select(col("node_id").as("order_id"), col("hc_q"))
+    }),
     // per-vertex degrees of the co-occurrence projection (the quick
     // structural profile that sizes skew guards before heavier passes)
     "q_graph_degrees" -> ((s, d) => {
@@ -1886,6 +1902,20 @@ object SparkEntry {
       "WHERE r.dist < 6) " +
       "SELECT node_id AS order_id, CAST(min(dist) AS BIGINT) AS dist " +
       "FROM r GROUP BY 1"),
+    "q_graph_harmonic" -> ("WITH RECURSIVE e0 AS (SELECT DISTINCT " +
+      "l_orderkey AS o, l_partkey AS p FROM lineitem " +
+      "WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed), " +
+      "sd AS (SELECT o AS src FROM " +
+      "(SELECT DISTINCT o FROM e0 ORDER BY o LIMIT 4)), " +
+      "r(src, node_id, dist) AS (SELECT src, src, 0 FROM sd " +
+      "UNION SELECT r.src, u.b, r.dist + 1 FROM r JOIN und u " +
+      "ON u.a = r.node_id WHERE r.dist < 6), " +
+      "md AS (SELECT src, node_id, min(dist) AS d FROM r GROUP BY 1, 2) " +
+      "SELECT node_id AS order_id, CAST(sum(1000000000 // d) AS BIGINT) " +
+      "AS hc_q FROM md WHERE d > 0 GROUP BY 1"),
     "q_graph_degrees" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
       "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
       "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +

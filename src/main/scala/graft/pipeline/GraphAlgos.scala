@@ -337,6 +337,68 @@ object GraphAlgos {
     out
   }
 
+  /** Per-source BFS hop distances: like [[bfsDistances]], but keyed by
+    * `(src, node_id)` so each seed keeps its OWN distance field instead
+    * of the set-minimum. One synchronized frontier round expands ALL
+    * sources at once (the composite key rides the same equi-join), so
+    * the cost is one join per hop regardless of |seeds| — the shape
+    * sampled-source centrality estimators need. Output:
+    * `(src, node_id, dist)`; unreached (src, node) pairs absent.
+    */
+  def bfsDistancesPerSource(edges: DataFrame, seeds: Seq[Long],
+      maxDepth: Int = 8): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    val empty = edges.select(col("id_a").as("src"),
+      col("id_b").as("node_id"), lit(0L).as("dist")).where(lit(false))
+    if (seeds.isEmpty) return empty
+    val store = new Scratch.FrameStore(spark)
+    val und = store.keep(
+      edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+        .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst"))))
+    val seedDf = spark.range(1)
+      .select(explode(typedLit(seeds.distinct)).as("src"))
+    var dist = store.keep(seedDf.select(col("src"),
+      col("src").as("node_id"), lit(0L).as("dist")))
+    var frontier = dist.select("src", "node_id")
+    var d = 0L
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
+      d += 1
+      val next = store.keep(
+        und.join(frontier, und("_src") === frontier("node_id"))
+          .select(col("src"), col("_dst").as("node_id")).distinct()
+          .join(dist, Seq("src", "node_id"), "left_anti"))
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = store.keep(dist.unionAll(
+          next.select(col("src"), col("node_id"), lit(d).as("dist"))))
+        frontier = next
+      }
+    }
+    val out = Scratch.stable(dist)
+    store.release()
+    out
+  }
+
+  /** Sampled-source harmonic centrality: `hc_q(v) = Σ_s scale div
+    * d(s, v)` over the seed sample (d > 0; the 1/0 term for v ∈ seeds
+    * is 0 by the harmonic convention). With seeds a uniform sample,
+    * hc_q/(scale·|seeds|) estimates normalized harmonic centrality —
+    * the standard sampling estimator (Eppstein-Wang style) with the
+    * all-pairs BFS replaced by [[bfsDistancesPerSource]]'s one-round-
+    * per-hop composite-key BFS. Integer floor division keeps results
+    * bit-identical across engines and partitionings. Output:
+    * `(node_id, hc_q)`; nodes unreached by every seed absent.
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long],
+      maxDepth: Int = 8, scale: Long = 1000000000L): DataFrame =
+    bfsDistancesPerSource(edges, seeds, maxDepth)
+      .where(col("dist") > 0)
+      .select(col("node_id"), expr(s"$scale div dist").as("_h"))
+      .groupBy(col("node_id"))
+      .agg(sum(col("_h")).as("hc_q"))
+
   /** Personalized PageRank: the restart mass concentrates on `seeds`
     * instead of spreading uniformly — the random-walk-with-restart
     * similarity ranking behind graph-based retrieval ("what's most

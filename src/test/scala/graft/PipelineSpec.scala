@@ -1325,6 +1325,35 @@ class PipelineSpec extends GraftSuite {
     assert(none.columns.toSeq == Seq("node_id", "dist") && none.count() == 0)
   }
 
+  test("bfsDistancesPerSource + harmonicCentrality: per-seed fields, harmonic sums") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5-6 with branch 3-7 (same fixture as bfsDistances)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 7L), (20L, 21L)).toDF("id_a", "id_b")
+    val per = GraphAlgos.bfsDistancesPerSource(edges, Seq(1L, 6L), maxDepth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // unlike bfsDistances' set-minimum, BOTH fields are present: node 4
+    // is 3 hops from seed 1 AND 2 hops from seed 6
+    assert(per((1L, 4L)) == 3L && per((6L, 4L)) == 2L, s"per-source: $per")
+    assert(per((1L, 1L)) == 0L && per((6L, 6L)) == 0L)
+    assert(!per.contains((1L, 20L)), "disjoint component unreached")
+    // harmonic sums: hc(4) = 1e9/3 + 1e9/2 (floor div), seeds get only
+    // the OTHER seed's term (their own d=0 term is dropped)
+    val hc = GraphAlgos.harmonicCentrality(edges, Seq(1L, 6L), maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hc(4L) == 1000000000L / 3 + 1000000000L / 2, s"hc: $hc")
+    assert(hc(1L) == 1000000000L / 5 && hc(6L) == 1000000000L / 5)
+    // depth cap prunes the far seed's term: at maxDepth 2, node 2 keeps
+    // only seed 1's 1-hop term (seed 6 is 4 hops away)
+    val hcCap = GraphAlgos.harmonicCentrality(edges, Seq(1L, 6L), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hcCap(2L) == 1000000000L, s"capped: $hcCap")
+    // empty seeds -> empty, schema intact
+    val none = GraphAlgos.harmonicCentrality(edges, Nil)
+    assert(none.columns.toSeq == Seq("node_id", "hc_q") && none.count() == 0)
+  }
+
   test("dedupCorpusByScore keeps the highest-scored member per cluster") {
     val s = spark
     import s.implicits._
