@@ -443,6 +443,13 @@ object SparkEntry {
 
     // ---- training-data pipeline: dedup (extension)
     "q_doc_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "text", "doc_id")),
+    // CCNet-style line-level boilerplate strip: 12-word line units,
+    // any line occurring >1 time across the corpus is cut from EVERY
+    // doc (no pair join — two shuffles total); docs reassemble from
+    // surviving lines in order
+    "q_doc_line_dedup" -> ((s, d) =>
+      Dedup.boilerplateStrip(docs(s, d), "text", "doc_id",
+        wordsPerLine = 12, maxDf = 1)),
     "q_doc_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "text", "doc_id",
         n = 3, numHashes = 6, bands = 3, num = 3, den = 10)),
@@ -464,6 +471,13 @@ object SparkEntry {
     }),
     "q_doc_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
+    // asymmetric containment (>= 80% of the contained doc's 3-gram set
+    // inside the other's): the short-doc-inside-long-doc family that
+    // symmetric Jaccard misses by construction; directional rows, both
+    // directions for near-identical docs
+    "q_doc_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "text", "doc_id",
+        n = 3, num = 4, den = 5)),
     // keep-BEST-of-cluster: the quality-chosen representative policy
     // (highest composite quality survives each near-dup cluster)
     "q_doc_keep_best" -> ((s, d) =>
@@ -1663,6 +1677,22 @@ object SparkEntry {
       "ORDER BY s DESC, doc_id LIMIT 10"),
 
     "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
+    // 12-word line segmentation, corpus-wide line df, df>1 lines cut,
+    // ordered reassembly — the engine's two-shuffle groupBy mirrored
+    // as list slicing + an ordered list() re-join
+    "q_doc_line_dedup" -> ("WITH w AS (SELECT doc_id, " +
+      "string_split(text, ' ') AS ws FROM documents), " +
+      "l AS (SELECT doc_id, i AS li, " +
+      "array_to_string(ws[i*12+1:i*12+12], ' ') AS line " +
+      "FROM w, UNNEST(range(0, (len(ws)+11)//12)) AS t(i)), " +
+      "d AS (SELECT line FROM l GROUP BY line HAVING count(*) <= 1), " +
+      "k AS (SELECT doc_id, count(*) AS n_kept, " +
+      "array_to_string(list(line ORDER BY li), ' ') AS clean_text " +
+      "FROM l JOIN d USING (line) GROUP BY doc_id) " +
+      "SELECT w.doc_id, coalesce(k.clean_text, '') AS clean_text, " +
+      "CAST((len(ws)+11)//12 AS BIGINT) AS n_lines, " +
+      "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept " +
+      "FROM w LEFT JOIN k USING (doc_id)"),
     "q_doc_minhash_pairs" -> ("WITH " + minhashPairsCtes +
       " SELECT id_a, id_b FROM pairs"),
     // identical 56-bit k-gram hashes, window-min selection, inverted
@@ -1765,6 +1795,17 @@ object SparkEntry {
       "SELECT id_a, id_b FROM inter " +
       "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
       "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    // directional containment: one intersection row drives both
+    // directions' gates; each passing direction emits its own row
+    "q_doc_containment" -> ("WITH " + shCte + ", " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "ij AS (SELECT id_a, id_b, i, sa.sz AS sza, sb.sz AS szb FROM inter " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
+      "SELECT id_a AS id_in, id_b AS id_sup FROM ij WHERE i * 5 >= 4 * sza " +
+      "UNION ALL " +
+      "SELECT id_b AS id_in, id_a AS id_sup FROM ij WHERE i * 5 >= 4 * szb"),
     "q_embed_pairs" -> ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +

@@ -956,6 +956,49 @@ object Dedup {
       crossDuplicatedPositions(newDf, corpus, textCol, idCol, n),
       textCol, idCol, n)
 
+  /** CCNet-style line-level boilerplate removal: segment each doc into
+    * fixed-`wordsPerLine` "lines", count each line string's occurrences
+    * across the WHOLE corpus, drop every line seen more than `maxDf`
+    * times (navigation chrome, cookie banners, license footers — the
+    * lines that repeat verbatim across pages), and reassemble the
+    * survivors in order. Complements span dedup: spans cut shared
+    * SUBSTRINGS between doc pairs; this cuts corpus-frequent UNITS
+    * everywhere at once with one groupBy — no pair join at all, so the
+    * cost envelope is two shuffles (line counts + doc reassembly)
+    * regardless of how many docs share a line. Docs whose every line
+    * is boilerplate survive with empty text (the caller's length
+    * filter owns dropping them).
+    *
+    * Corpora with real newlines segment on them upstream; the fixed
+    * word window here is the segmentation for single-line word-stream
+    * corpora. Output: `(idCol, clean_text, n_lines, n_kept)`.
+    */
+  def boilerplateStrip(df: DataFrame, textCol: String, idCol: String,
+      wordsPerLine: Int = 12, maxDf: Long = 1): DataFrame = {
+    require(wordsPerLine > 0, s"wordsPerLine must be > 0, got $wordsPerLine")
+    val w = wordsPerLine
+    val lines = df.select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, (size(_ws) + ${w - 1}) div $w - 1), " +
+          s"i -> array_join(slice(_ws, i * $w + 1, $w), ' '))"))
+          .as(Seq("_li", "_line")))
+    val kept = lines
+      .join(lines.groupBy(col("_line")).agg(count(lit(1)).as("_df"))
+          .where(col("_df") <= maxDf).select("_line"),
+        Seq("_line"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(_li, _line))), " +
+          "x -> x._line), ' ')").as("clean_text"))
+    df.select(col(idCol),
+        expr(s"cast((size(split($textCol, ' ')) + ${w - 1}) div $w as long)")
+          .as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Exact n-gram Jaccard pairs via shared-shingle inverted join
     * (no LSH recall loss; the candidate set is docs sharing >= 1 shingle).
     *
@@ -978,6 +1021,40 @@ object Dedup {
     val cands = boundedKeyPairs(ss, Seq("_sh"), "_did",
       maxKeyDf = maxShingleDf).distinct()
     Scratch.stable(verifyJaccard(cands, arr, num, den))
+  }
+
+  /** ASYMMETRIC shingle containment pairs: `(id_in, id_sup)` where
+    * `|S(id_in) ∩ S(id_sup)| · den >= num · |S(id_in)|` — doc `id_in`'s
+    * n-gram set is (near-)contained in `id_sup`'s. Catches what
+    * symmetric Jaccard structurally cannot: a short doc embedded
+    * verbatim in a much longer one (quoted article, README pasted into
+    * a monorepo dump) has Jaccard ≈ |A|/|B| → 0 but containment ≈ 1.
+    * Near-identical docs emit BOTH directions — each row is one
+    * directional claim, and the dedup policy downstream usually drops
+    * `id_in` (the contained doc carries no novel n-grams).
+    *
+    * Same bounded machinery as [[ngramJaccardPairs]]: df-capped
+    * shared-shingle candidates, then exact verification against full
+    * shingle arrays — one intersection computes both directions.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
+      num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val ss = shingleHashSetCached(df, textCol, idCol, n)
+    val arr = shingleArrayCached(df, textCol, idCol, n)
+    val cands = boundedKeyPairs(ss, Seq("_sh"), "_did",
+      maxKeyDf = maxShingleDf).distinct()
+    val j = cands
+      .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
+      .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
+      .withColumn("_inter",
+        size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
+    val aInB = j
+      .where(col("_inter") * den >= size(col("_seta")).cast("long") * num)
+      .select(col("id_a").as("id_in"), col("id_b").as("id_sup"))
+    val bInA = j
+      .where(col("_inter") * den >= size(col("_setb")).cast("long") * num)
+      .select(col("id_b").as("id_in"), col("id_a").as("id_sup"))
+    Scratch.stable(aInB.unionAll(bInA))
   }
 
   /** Connected components over an undirected near-dup pair set:

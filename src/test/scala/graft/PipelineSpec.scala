@@ -1325,6 +1325,72 @@ class PipelineSpec extends GraftSuite {
     assert(none.columns.toSeq == Seq("node_id", "dist") && none.count() == 0)
   }
 
+  test("containmentPairs: directional short-in-long catch that Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    // doc 2 = 6 words embedded verbatim inside doc 1's 40-word text:
+    // containment(2 in 1) = 1.0 but Jaccard ~ 4/38 -> far below any
+    // usable symmetric threshold
+    val longText = (1 to 34).map(i => s"w$i").mkString(" ") +
+      " alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, longText),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"), // near-dup of 2 (one word off)
+      (9L, "totally unrelated text about nothing shared here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", n = 3, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((2L, 1L)), s"short-in-long must be caught: $got")
+    assert(!got.contains((1L, 2L)), "long doc is NOT contained in the short one")
+    // the symmetric Jaccard gate at the same corpus misses (1,2) entirely
+    val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)),
+      s"sanity: symmetric gate misses the asymmetric pair: $jac")
+    // docs 2 and 3 share 3 of their 4 shingles: 3/4 < 4/5 -> neither
+    // direction passes at 80%; both pass at 75%
+    assert(!got.contains((2L, 3L)) && !got.contains((3L, 2L)))
+    val lax = Dedup.containmentPairs(df, "text", "doc_id", n = 3, num = 3, den = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lax.contains((2L, 3L)) && lax.contains((3L, 2L)), s"got $lax")
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "unrelated doc clean")
+  }
+
+  test("boilerplateStrip cuts corpus-frequent lines, keeps order, handles ragged tails") {
+    val s = spark
+    import s.implicits._
+    // 2-word lines for readability: "c o" is boilerplate (3 docs),
+    // everything else unique; doc 4 is ALL boilerplate; doc 3 has a
+    // ragged 1-word tail line
+    val df = Seq(
+      (1L, "a b c o x y"),  // lines: "a b" | "c o" | "x y"
+      (2L, "c o p q"),      // lines: "c o" | "p q"
+      (3L, "m n r s t"),    // lines: "m n" | "r s" | "t" (ragged)
+      (4L, "c o")           // single boilerplate line
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(df, "text", "doc_id",
+        wordsPerLine = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b x y", 3L, 2L)), s"got ${got(1L)}")
+    assert(got(2L) == (("p q", 2L, 1L)))
+    assert(got(3L) == (("m n r s t", 3L, 3L)), "unique docs untouched")
+    assert(got(4L) == (("", 1L, 0L)), "fully-boilerplate doc -> empty text")
+    // maxDf = 3 keeps the 3-occurrence line everywhere
+    val lax = Dedup.boilerplateStrip(df, "text", "doc_id",
+        wordsPerLine = 2, maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lax(1L) == "a b c o x y" && lax(4L) == "c o")
+    // within-doc repetition counts toward df: a doc repeating its own
+    // line twice crosses maxDf = 1 alone
+    val rep = Dedup.boilerplateStrip(
+        Seq((7L, "u v u v w w")).toDF("doc_id", "text"),
+        "text", "doc_id", wordsPerLine = 2, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rep(7L) == "w w", s"got ${rep(7L)}")
+  }
+
   test("bfsDistancesPerSource + harmonicCentrality: per-seed fields, harmonic sums") {
     val s = spark
     import s.implicits._
