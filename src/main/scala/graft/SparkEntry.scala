@@ -9,7 +9,7 @@ import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
 import graft.pipeline.{Bpe, Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
-import graft.search.VectorOps
+import graft.search.{BM25, Hybrid, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -440,6 +440,23 @@ object SparkEntry {
     }),
     "q_text_bm25" -> ((s, d) => run(s, d,
       g().textSearchNodes("Document", "text", "spark hash join window", 10).id())),
+    // hybrid retrieval: BM25 top-20 + cosine-ANN top-20 fused by
+    // integer-quantized Reciprocal Rank Fusion (1e12 div (60 + rank));
+    // doc ids and vec ids share the 0..n-1 key space
+    "q_text_hybrid_rrf" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("_bm25").desc, col("_id").asc)
+      val lex = BM25.topKScores(
+          docs(s, d).select(col("doc_id").as("_id"), col("text")),
+          "text", "spark hash join window", 20)
+        .select(col("_id").as("doc_id"),
+          row_number().over(w).cast("long").as("rank"))
+      val e = emb(s, d)
+      val sem = VectorOps.knnJoin(e, e.where(col("vec_id") === 0),
+          "embedding", "vec_id", k = 20, excludeSelf = false)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Hybrid.rrfFuse(Seq(lex, sem), "doc_id", "rank", k = 10)
+    }),
 
     // ---- training-data pipeline: dedup (extension)
     "q_doc_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "text", "doc_id")),
@@ -557,6 +574,14 @@ object SparkEntry {
     "q_embed_knn" -> ((s, d) => {
       val e = emb(s, d)
       VectorOps.knnJoin(e, e.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+    }),
+    // hard-negative mining: top-5 nearest DIFFERENT-label rows per
+    // query — the contrastive-training negative sampler; same one-scan
+    // heap kernel with the label gate inside
+    "q_embed_hard_neg" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.hardNegatives(e, e.where(col("vec_id") < 8),
+        "embedding", "vec_id", "label", k = 5)
     }),
     // the fully-DISTRIBUTED knn join (no driver-side query collect —
     // the path for query sides that are themselves corpora): recall
@@ -1445,6 +1470,23 @@ object SparkEntry {
   /** Shingles are carried as 60-bit md5 hashes (mirrors
     * Dedup.shingleHashSet — identical hashes, identical set algebra).
     */
+  /** BM25 score chain for the fixed query 'spark hash join window'
+    * (k1 = 1.2, b = 0.75 — mirrors search/BM25.scala): shared by the
+    * lexical oracle and the hybrid-RRF fusion oracle.
+    */
+  private val bm25ScoresCte =
+    tokCte + ", " +
+      "lens AS (SELECT doc_id, len(t) AS len FROM toks), " +
+      "stats AS (SELECT count(*) AS n, avg(len) AS avglen FROM lens), " +
+      "post AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(t) AS term FROM toks) " +
+      "WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, term), " +
+      "dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
+      "scores AS (SELECT doc_id, sum(ln(1 + (n - df + 0.5)/(df + 0.5)) * " +
+      "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avglen))) AS s " +
+      "FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
+      "GROUP BY doc_id) "
+
   private val shCte =
     tokCte + ", sh AS (SELECT DISTINCT doc_id, " +
       "('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM " +
@@ -1662,19 +1704,26 @@ object SparkEntry {
       "FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) " +
       "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q AS DOUBLE[])) DESC, " +
       "e.vec_id LIMIT 10"),
-    "q_text_bm25" -> ("WITH " + tokCte + ", " +
-      "lens AS (SELECT doc_id, len(t) AS len FROM toks), " +
-      "stats AS (SELECT count(*) AS n, avg(len) AS avglen FROM lens), " +
-      "post AS (SELECT doc_id, term, count(*) AS tf FROM " +
-      "(SELECT doc_id, unnest(t) AS term FROM toks) " +
-      "WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, term), " +
-      "dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
-      "scores AS (SELECT doc_id, sum(ln(1 + (n - df + 0.5)/(df + 0.5)) * " +
-      "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avglen))) AS s " +
-      "FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
-      "GROUP BY doc_id) " +
+    "q_text_bm25" -> ("WITH " + bm25ScoresCte +
       "SELECT CAST(9000000000 + doc_id AS BIGINT) AS id FROM scores " +
       "ORDER BY s DESC, doc_id LIMIT 10"),
+    // BM25 rank list + cosine rank list, each term 1e12 // (60 + r),
+    // summed per doc; final order rrf desc / doc_id
+    "q_text_hybrid_rrf" -> ("WITH " + bm25ScoresCte + ", " +
+      "lex AS (SELECT doc_id, row_number() OVER " +
+      "(ORDER BY s DESC, doc_id) AS r FROM scores " +
+      "ORDER BY s DESC, doc_id LIMIT 20), " +
+      "sem AS (SELECT e.vec_id AS doc_id, row_number() OVER (ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q AS DOUBLE[])) DESC, e.vec_id) AS r FROM embeddings e " +
+      "CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) " +
+      "QUALIFY row_number() OVER (ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q AS DOUBLE[])) DESC, e.vec_id) <= 20), " +
+      "u AS (SELECT doc_id, 1000000000000 // (60 + r) AS c FROM lex " +
+      "UNION ALL SELECT doc_id, 1000000000000 // (60 + r) FROM sem) " +
+      "SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q FROM u " +
+      "GROUP BY doc_id ORDER BY rrf_q DESC, doc_id LIMIT 10"),
 
     "q_doc_dedup_exact" -> ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
     // 12-word line segmentation, corpus-wide line df, df>1 lines cut,
@@ -1870,6 +1919,20 @@ object SparkEntry {
       "FROM embeddings e CROSS JOIN " +
       "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q " +
       "WHERE e.vec_id <> q.vec_id " +
+      "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
+    // the knn oracle with the null-safe different-label gate (labels
+    // compared as the engine's string-cast form)
+    "q_embed_hard_neg" -> ("SELECT q.vec_id AS query_id, " +
+      "e.vec_id AS neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank " +
+      "FROM embeddings e CROSS JOIN " +
+      "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8) q " +
+      "WHERE e.vec_id <> q.vec_id " +
+      "AND CAST(e.label AS VARCHAR) IS DISTINCT FROM CAST(q.label AS VARCHAR) " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),

@@ -420,6 +420,21 @@ object VectorOps {
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf,
       Some(model), nprobe)
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * nearest corpus rows whose `labelCol` DIFFERS from the query's —
+    * the highest-similarity wrong-class examples that make the most
+    * informative negatives. One corpus scan with the label check
+    * inside the same per-partition heap kernel as [[knnJoin]] (not one
+    * filtered scan per label); an over-cap query side reroutes to the
+    * distributed cluster-join with the identical null-safe exclusion.
+    * Label equality is null-safe: equal labels (null == null included)
+    * are never negatives; null vs non-null survives.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame =
+    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf = true,
+      None, 0, Some(labelCol))
+
   /** Fully-DISTRIBUTED approximate k-NN join: no driver-side query
     * collect, so the query side may itself be a corpus (the contract
     * [[knnJoin]]/[[knnJoinIvf]] cannot serve — they broadcast the
@@ -443,16 +458,24 @@ object VectorOps {
     */
   def knnJoinDistributed(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, model: IvfModel, nprobe: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      excludeLabelCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val lq = excludeLabelCol.map(l => col(l).cast("string"))
+      .getOrElse(lit(null).cast("string"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).as("_qv"))
+        col(vecCol).as("_qv"), lq.as("_ql"))
       .withColumn("_cluster", explode(
         graft.functions.NearestCentroids(col("_qv"), model.centroids, nprobe)))
     val c = assignCluster(corpus.select(col(idCol).cast("long")
-        .as("neighbor_id"), col(vecCol).as("_nv")), "_nv", model.centroids)
+        .as("neighbor_id"), col(vecCol).as("_nv"), lq.as("_nl")),
+      "_nv", model.centroids)
     val scored = q.join(c, Seq("_cluster"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      // null-safe label exclusion: rows with EQUAL labels (null == null
+      // included) are not negatives; a null vs non-null pair survives
+      .where(if (excludeLabelCol.isDefined) !(col("_ql") <=> col("_nl"))
+        else lit(true))
       .withColumn("_sim", cosineSimCols(col("_qv"), col("_nv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id").asc)
@@ -490,7 +513,8 @@ object VectorOps {
 
   private def knnJoinPruned(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, excludeSelf: Boolean,
-      model: Option[IvfModel], nprobe: Int): DataFrame = {
+      model: Option[IvfModel], nprobe: Int,
+      excludeLabelCol: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // bounded-batch contract, enforced: probe at most maxBatch+1 query
@@ -501,17 +525,20 @@ object VectorOps {
     // formulations, so the reroute is bit-equal; without one, the
     // all-clusters probe keeps the exact contract (see escalationModel).
     val maxBatch = knnQueryBatchMax(spark)
-    val qsRaw = queries.select(col(idCol).cast("long"), col(vecCol))
+    val labelExpr = excludeLabelCol.map(l => col(l).cast("string"))
+      .getOrElse(lit(null).cast("string"))
+    val qsRaw = queries.select(col(idCol).cast("long"), col(vecCol), labelExpr)
       .limit(maxBatch + 1)
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float], String)].collect()
     if (qsRaw.length > maxBatch) {
       knnEscalations.incrementAndGet()
       val m = model.getOrElse(escalationModel(corpus, vecCol))
       val np = if (model.isDefined) nprobe else m.centroids.length
       return knnJoinDistributed(corpus, queries, vecCol, idCol, k, m, np,
-        excludeSelf)
+        excludeSelf, excludeLabelCol)
     }
-    val qs = qsRaw.sortBy(_._1)
+    val qs = qsRaw.sortBy(_._1).map { case (id, v, _) => (id, v) }
+    val qLabels = qsRaw.sortBy(_._1).map(_._3)
     // per-query L2 norms, precomputed once
     val qn = qs.map { case (_, v) =>
       var n = 0.0; var i = 0
@@ -539,22 +566,27 @@ object VectorOps {
     val bcQ = spark.sparkContext.broadcast(qs)
     val bcN = spark.sparkContext.broadcast(qn)
     val bcP = spark.sparkContext.broadcast(probes)
+    val bcL = spark.sparkContext.broadcast(
+      if (excludeLabelCol.isDefined) qLabels else null)
     val base = model match {
       case None => corpus.select(col(idCol).cast("long"), col(vecCol),
-        lit(-1).as("_cluster"))
+        lit(-1).as("_cluster"), labelExpr.as("_lbl"))
       case Some(m) => assignCluster(
-        corpus.select(col(idCol).cast("long").as("_kid"), col(vecCol)),
-        vecCol, m.centroids).select(col("_kid"), col(vecCol), col("_cluster"))
+        corpus.select(col(idCol).cast("long").as("_kid"), col(vecCol),
+          labelExpr.as("_lbl")),
+        vecCol, m.centroids)
+        .select(col("_kid"), col(vecCol), col("_cluster"), col("_lbl"))
     }
     // worst-first ordering: pop = lowest score, then highest id
     val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
       case (s, id) => (-s, id)
     }
-    val partial = base.as[(Long, Array[Float], Int)].mapPartitions { it =>
+    val partial = base.as[(Long, Array[Float], Int, String)].mapPartitions { it =>
       val q = bcQ.value; val nrm = bcN.value; val pr = bcP.value
+      val ql = bcL.value
       val heaps = Array.fill(q.length)(
         new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
-      it.foreach { case (cid, cv, cluster) =>
+      it.foreach { case (cid, cv, cluster, clbl) =>
         var nc = 0.0; var i = 0
         while (i < cv.length) { nc += cv(i).toDouble * cv(i).toDouble; i += 1 }
         val snc = math.sqrt(nc)
@@ -562,7 +594,10 @@ object VectorOps {
         while (qi < q.length) {
           val (qid, qv) = q(qi)
           val probed = pr == null || pr(qi)(cluster)
-          if (probed && !(excludeSelf && cid == qid)) {
+          // mirrors the distributed path's null-safe `<=>` exclusion:
+          // equal labels (null == null included) are skipped
+          val labelOk = ql == null || ql(qi) != clbl
+          if (probed && labelOk && !(excludeSelf && cid == qid)) {
             var d = 0.0; var j = 0
             while (j < qv.length) { d += cv(j).toDouble * qv(j).toDouble; j += 1 }
             val s = d / (snc * nrm(qi))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.search.{BM25, VectorOps}
+import graft.search.{BM25, Hybrid, VectorOps}
 
 /** Vector + BM25 search kernels (replacements for the reference's HNSW
   * m=16/ef_search=768 and default-on BM25 — BASELINE.md).
@@ -111,6 +111,71 @@ class SearchSpec extends GraftSuite {
       k = 5, model, nprobe = 3).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
     df.unpersist()
+  }
+
+  test("hardNegatives: nearest different-label rows, null-safe, distributed parity") {
+    val s = spark
+    import s.implicits._
+    val df = vecs(120, 8).withColumn("lab",
+      when(col("_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise((col("_id") % 2).cast("string"))).cache()
+    val queries = df.where(col("_id").isin(1L, 2L, 3L))
+    val got = VectorOps.hardNegatives(df, queries, "emb", "_id", "lab", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // declarative mirror: cross join + null-safe label inequality + rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("_s").desc, col("neighbor_id").asc)
+    val declarative = df.select(col("_id").as("neighbor_id"),
+        col("emb").as("_vn"), col("lab").as("_ln"))
+      .crossJoin(queries.select(col("_id").as("query_id"),
+        col("emb").as("_vq"), col("lab").as("_lq")))
+      .where(col("neighbor_id") =!= col("query_id") &&
+        !(col("_ln") <=> col("_lq")))
+      .withColumn("_s", VectorOps.cosineSimCols(col("_vn"), col("_vq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 4).select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == declarative,
+      s"kernel vs declarative: ${got.diff(declarative)} / ${declarative.diff(got)}")
+    // every returned neighbor's label differs null-safely from its query's
+    val labOf = df.select("_id", "lab").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (q, nb, _) =>
+      assert(labOf(q) != labOf(nb), // Scala == is null-safe: null==null shares
+        s"pair ($q, $nb) shares label ${labOf(q)}")
+    }
+    // null-label query: its negatives are exactly the NON-null-label rows
+    val nullQ = got.filter(_._1 == 3L).map(_._2)
+    assert(nullQ.nonEmpty && nullQ.forall(labOf(_) != null),
+      s"null-label query must skip null-label corpus rows: $nullQ")
+    // distributed path (over-cap reroute arm) agrees with the kernel
+    val model = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+    val dist = VectorOps.knnJoinDistributed(df, queries, "emb", "_id",
+      k = 4, model, nprobe = 8, excludeSelf = true,
+      excludeLabelCol = Some("lab"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == got, s"distributed parity: ${dist.diff(got)} / ${got.diff(dist)}")
+    df.unpersist()
+  }
+
+  test("Hybrid.rrfFuse: quantized RRF sums, cross-list promotion, tie-break") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val sem = Seq((12L, 1L), (13L, 2L), (10L, 3L)).toDF("id", "rank")
+    val got = Hybrid.rrfFuse(Seq(lex, sem), "id", "rank", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def c(r: Long) = 1000000000000L / (60 + r)
+    val expect = Map(10L -> (c(1) + c(3)), 11L -> c(2), 12L -> (c(3) + c(1)),
+      13L -> c(2))
+    got.foreach { case (id, v) => assert(v == expect(id), s"$id: $v") }
+    // docs in both lists outrank single-list docs; 11 vs 13 tie at c(2)
+    // breaks by id
+    assert(got.map(_._1).toSeq == Seq(10L, 12L, 11L, 13L), s"order: ${got.toSeq}")
+    // k truncates after the tie-break order
+    val top2 = Hybrid.rrfFuse(Seq(lex, sem), "id", "rank", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(10L, 12L))
   }
 
   test("knnJoin/pqKnnJoin auto-escalate over-cap query sides to the distributed join") {
