@@ -575,6 +575,19 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.knnJoin(e, e.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
     }),
+    // MMR diversified retrieval: distributed top-20 cosine pool, then
+    // the greedy lambda=0.5 relevance/redundancy re-rank; the oracle
+    // replays the greedy walk in a recursive CTE carrying the selected
+    // list
+    "q_embed_mmr" -> ((s, d) => {
+      val e = emb(s, d)
+      val qv = queryVec(s, d).map(_.toDouble)
+      val pool = e.select(col("vec_id").as("id"), col("embedding").as("v"),
+          VectorOps.cosineSim(col("embedding"), qv).as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(20)
+      VectorOps.mmrRerank(pool, "id", "v", "rel", k = 10)
+        .select(col("id").as("vec_id"), col("mmr_rank"))
+    }),
     // hard-negative mining: top-5 nearest DIFFERENT-label rows per
     // query — the contrastive-training negative sampler; same one-scan
     // heap kernel with the label gate inside
@@ -622,6 +635,20 @@ object SparkEntry {
       Bpe.mergeTable(s, docs(s, d), "text", k = BpeK)),
     "q_doc_bpe_count" -> ((s, d) =>
       Bpe.trainAndCount(docs(s, d), "doc_id", "text", k = BpeK)),
+    // tokenizer fertility by language: BPE tokens per word — the
+    // standard multilingual-tokenizer equity metric (a high-fertility
+    // language pays more of the context budget per sentence)
+    "q_doc_fertility" -> ((s, d) => {
+      val dd = docs(s, d)
+      dd.select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("_nw"))
+        .join(Bpe.trainAndCount(dd, "doc_id", "text", k = BpeK), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("bpe_tokens")).as("sum_bpe"),
+          sum(col("_nw")).as("sum_words"))
+        .select(col("lang"), col("sum_bpe"), col("sum_words"),
+          (col("sum_bpe").cast("double") / col("sum_words")).as("fertility"))
+    }),
     // BYTE-level budget: GPT-2-style pretokens (case + whitespace
     // preserved, one leading space attaches to the following run),
     // merges over UTF-8 byte symbols — the count production tokenizers
@@ -747,6 +774,17 @@ object SparkEntry {
       Curation.splitAssign(docs(s, d), "doc_id",
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
         .groupBy("split").agg(count(lit(1)).as("cnt"))),
+    // leakage-safe split: hash the near-dup cluster representative, so
+    // a train/test boundary can never run through a near-dup pair;
+    // per-doc assignment (not counts) so the oracle pins every doc
+    "q_doc_split_safe" -> ((s, d) => {
+      val dd = docs(s, d)
+      val clusters = Dedup.dupClusters(Dedup.minhashPairs(dd, "text",
+        "doc_id", n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+      Curation.splitAssignByCluster(dd, "doc_id", clusters,
+        Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
+        .select(col("doc_id"), col("split"))
+    }),
     // crawl dedup by CANONICAL URL: messy synthesized URLs (case soup,
     // www., default ports, trailing slashes, tracking params, unsorted
     // query, fragments) collapse to canonical keys; one hash agg, no
@@ -1922,6 +1960,29 @@ object SparkEntry {
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
+    // greedy MMR replayed as a recursive CTE: the selected-id list is
+    // the recursion state; each step's argmax is a correlated scalar
+    // subquery over the materialized 20-candidate pool and its
+    // pairwise cosine table (the anchor seeds the pure-relevance first
+    // pick — an empty-list anchor trips DuckDB's NULL list semantics)
+    "q_embed_mmr" -> ("WITH RECURSIVE " +
+      "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
+      "cand AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding AS v, " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(qv.q AS DOUBLE[])) AS rel FROM embeddings e CROSS JOIN qv " +
+      "ORDER BY rel DESC, e.vec_id LIMIT 20), " +
+      "sim AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, " +
+      "list_cosine_similarity(CAST(a.v AS DOUBLE[]), " +
+      "CAST(b.v AS DOUBLE[])) AS s FROM cand a JOIN cand b ON a.id <> b.id), " +
+      "m(step, sel) AS (" +
+      "SELECT 1, [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)] " +
+      "UNION ALL SELECT step + 1, list_append(sel, (" +
+      "SELECT c.id FROM cand c WHERE NOT list_contains(m.sel, c.id) " +
+      "ORDER BY 0.5 * c.rel - 0.5 * coalesce((SELECT max(s) FROM sim " +
+      "WHERE sim.ia = c.id AND list_contains(m.sel, sim.ib)), 0.0) DESC, " +
+      "c.id LIMIT 1)) FROM m WHERE step < 10) " +
+      "SELECT sel[i+1] AS vec_id, CAST(i+1 AS BIGINT) AS mmr_rank " +
+      "FROM (SELECT sel FROM m WHERE step = 10), UNNEST(range(0, 10)) t(i)"),
     // the knn oracle with the null-safe different-label gate (labels
     // compared as the engine's string-cast form)
     "q_embed_hard_neg" -> ("SELECT q.vec_id AS query_id, " +
@@ -2144,6 +2205,15 @@ object SparkEntry {
     // CTE triples — independent engine, same deterministic tie-break
     "q_doc_bpe" -> Bpe.oracleMergesSql("documents", "text", BpeK),
     "q_doc_bpe_count" -> Bpe.oracleCountSql("documents", "doc_id", "text", BpeK),
+    // the bpe_count chain grouped by lang; word denominator = the same
+    // [a-z0-9]+ tokenization BPE pretokenizes with
+    "q_doc_fertility" -> (Bpe.oracleCountChain("documents", "doc_id", "text", BpeK) +
+      ", wc AS (SELECT doc_id, lang, " +
+      "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM documents) " +
+      "SELECT wc.lang, CAST(sum(coalesce(dc.bpe_tokens, 0)) AS BIGINT) AS sum_bpe, " +
+      "CAST(sum(wc.nw) AS BIGINT) AS sum_words, " +
+      "CAST(sum(coalesce(dc.bpe_tokens, 0)) AS DOUBLE) / sum(wc.nw) AS fertility " +
+      "FROM wc LEFT JOIN dc ON dc.doc_id = wc.doc_id GROUP BY 1"),
     "q_doc_bpe_bytes" -> Bpe.oracleByteCountSql("documents", "doc_id", "text", BpeK),
     "q_doc_bpe_encode" -> Bpe.oracleEncodeSql("documents", "doc_id", "text", BpeK),
     "q_doc_langid" -> ("WITH d AS (SELECT doc_id, " +
@@ -2320,6 +2390,19 @@ object SparkEntry {
       "SELECT CASE WHEN bucket < 90 THEN 'train' " +
       "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, " +
       "count(*) AS cnt FROM b GROUP BY 1"),
+    // the dup_clusters closure feeding the split hash: bucket on
+    // coalesce(cluster representative, own id)
+    "q_doc_split_safe" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "bk AS (SELECT d.doc_id, ('0x' || substr(md5(CAST(" +
+      "coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 " +
+      "AS bucket FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id) " +
+      "SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' " +
+      "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM bk"),
     "q_doc_split_strat" -> ("WITH b AS (SELECT source, " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket " +
       "FROM documents) " +

@@ -220,6 +220,24 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** Leakage-safe split: like [[splitAssign]], but the hash key is the
+    * doc's near-dup CLUSTER representative (`clusters` =
+    * `(idCol, cluster_id)` from `Dedup.dupClusters`), so every member
+    * of a near-dup cluster lands in the SAME split — the guard against
+    * test-set contamination through paraphrase/boilerplate twins that
+    * a per-doc hash split cannot give. Docs outside any cluster key on
+    * their own id (identical to [[splitAssign]] for them). One
+    * broadcast-or-shuffle join + the same engine-portable md5 bucket.
+    */
+  def splitAssignByCluster(df: DataFrame, idCol: String,
+      clusters: DataFrame, cuts: Seq[(String, Int)], den: Int): DataFrame = {
+    val keyed = df.join(
+        clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("_skey", coalesce(col("cluster_id"), col(idCol)))
+    splitAssign(keyed, "_skey", cuts, den).drop("_skey", "cluster_id")
+  }
+
   /** Per-source corpus composition — the report behind source-mix
     * decisions (and the input to capPerSource policies). One hash
     * aggregation; scan-speed at any scale.

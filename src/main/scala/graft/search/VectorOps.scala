@@ -435,6 +435,86 @@ object VectorOps {
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf = true,
       None, 0, Some(labelCol))
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k items maximizing
+    * `lambda · rel − (1 − lambda) · max_{s ∈ selected} cos(item, s)` —
+    * relevance traded against redundancy with what's already picked.
+    * The division of labor is the production retrieval shape:
+    * candidate generation is DISTRIBUTED (ANN/BM25 top-N bounds the
+    * pool), the greedy re-rank is an O(k·|pool|) driver loop over the
+    * bounded pool — inherently sequential, so distributing it would
+    * only add k scheduling barriers. `maxPool` enforces the bound: an
+    * over-cap pool is a bug in the caller's candidate generator, not a
+    * reason to OOM the driver.
+    *
+    * Ties (score-equal at a step) resolve to the smaller id; the first
+    * pick is the pure-relevance argmax (empty selected set ⇒ redundancy
+    * term 0, and scaling by lambda — a power of two by default — cannot
+    * reorder doubles). Output: `(idCol, mmr_rank)`, 1-based, in pick
+    * order.
+    */
+  def mmrRerank(cands: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double = 0.5,
+      maxPool: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val pool = cands
+      .select(col(idCol).cast("long"), col(vecCol), col(relCol).cast("double"))
+      .limit(maxPool + 1)
+      .as[(Long, Array[Float], Double)].collect()
+    require(pool.length <= maxPool,
+      s"MMR pool exceeds maxPool=$maxPool: bound the candidate generator " +
+        "(ANN/BM25 top-N) before re-ranking")
+    val p = pool.sortBy(_._1)
+    val n = p.length
+    // the same double arithmetic as the knn kernel (proven equal to the
+    // oracle's list_cosine_similarity over DOUBLE[] casts)
+    val norms = p.map { case (_, v, _) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def cos(a: Int, b: Int): Double = {
+      val va = p(a)._2; val vb = p(b)._2
+      var s = 0.0; var i = 0
+      while (i < va.length) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+      s / (norms(a) * norms(b))
+    }
+    // true max-sim over the selected set (can be NEGATIVE — it must
+    // not clamp at 0, or an all-negative-similarity pool would rank
+    // differently); the empty-set redundancy term is 0 by convention
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val taken = Array.fill(n)(false)
+    val picks = Array.newBuilder[(Long, Long)]
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val red = if (step == 0) 0.0 else maxSim(i)
+          val sc = lambda * p(i)._3 - (1.0 - lambda) * red
+          if (sc > bestScore) { best = i; bestScore = sc } // ascending-id
+        }                                                  // scan: first
+        i += 1                                             // wins ties
+      }
+      taken(best) = true
+      step += 1
+      picks += ((p(best)._1, step.toLong))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = cos(j, best)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+    }
+    spark.createDataFrame(picks.result().toSeq).toDF(idCol, "mmr_rank")
+  }
+
   /** Fully-DISTRIBUTED approximate k-NN join: no driver-side query
     * collect, so the query side may itself be a corpus (the contract
     * [[knnJoin]]/[[knnJoinIvf]] cannot serve — they broadcast the

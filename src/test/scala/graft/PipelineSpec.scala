@@ -1325,6 +1325,39 @@ class PipelineSpec extends GraftSuite {
     assert(none.columns.toSeq == Seq("node_id", "dist") && none.count() == 0)
   }
 
+  test("splitAssignByCluster keeps near-dup clusters on one side of every split") {
+    val s = spark
+    import s.implicits._
+    // 60 docs; pairs chain docs (3k, 3k+1, 3k+2) into 20 clusters
+    val df = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until 60L by 3).flatMap(k =>
+      Seq((k, k + 1), (k + 1, k + 2))).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val cuts = Seq(("train", 50), ("test", 100))
+    val got = Curation.splitAssignByCluster(df, "doc_id", clusters, cuts, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every cluster is split-homogeneous
+    (0L until 60L by 3).foreach { k =>
+      assert(got(k) == got(k + 1) && got(k) == got(k + 2),
+        s"cluster at $k straddles the split: ${got(k)}/${got(k + 1)}/${got(k + 2)}")
+    }
+    // the plain per-doc split DOES straddle at least one of these
+    // clusters (otherwise this test proves nothing)
+    val plain = Curation.splitAssign(df, "doc_id", cuts, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0L until 60L by 3).exists(k =>
+      Set(plain(k), plain(k + 1), plain(k + 2)).size > 1),
+      "fixture too weak: per-doc split never straddles a cluster")
+    // unclustered docs key on their own id == plain splitAssign
+    val solo = (100L until 110L).map(i => (i, s"solo $i")).toDF("doc_id", "text")
+    val soloSafe = Curation.splitAssignByCluster(solo, "doc_id",
+        clusters, cuts, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val soloPlain = Curation.splitAssign(solo, "doc_id", cuts, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(soloSafe == soloPlain)
+  }
+
   test("containmentPairs: directional short-in-long catch that Jaccard misses") {
     val s = spark
     import s.implicits._

@@ -158,6 +158,46 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("mmrRerank diversifies: near-duplicate of the top pick is deferred") {
+    val s = spark
+    import s.implicits._
+    // axis-aligned pool: 10/11 are near-identical high-relevance twins,
+    // 20 is orthogonal with lower relevance — pure relevance ranks
+    // (10, 11, 20); MMR must interleave (10, 20, 11)
+    val pool = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f), 0.99),
+      (11L, Seq(0.999f, 0.01f, 0.0f), 0.98),
+      (20L, Seq(0.0f, 1.0f, 0.0f), 0.60)
+    ).toDF("id", "v", "rel")
+    val got = VectorOps.mmrRerank(pool, "id", "v", "rel", k = 3)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 20L, 11L), s"MMR order: $got")
+    // k beyond the pool stops at pool size
+    val all = VectorOps.mmrRerank(pool, "id", "v", "rel", k = 99)
+    assert(all.count() == 3)
+    // lambda = 1 ignores redundancy -> pure relevance order
+    val rel = VectorOps.mmrRerank(pool, "id", "v", "rel", k = 3, lambda = 1.0)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(rel == Seq(10L, 11L, 20L), s"lambda=1 order: $rel")
+    // all-negative similarities: the redundancy max stays negative (no
+    // clamp at 0), so the opposite vector is REWARDED after the first
+    // pick and beats a same-direction twin despite lower relevance
+    val neg = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.9),
+      (2L, Seq(0.98f, 0.199f), 0.89), // cos to 1 ~ 0.98
+      (3L, Seq(-1.0f, 0.0f), 0.1)     // cos to 1 = -1
+    ).toDF("id", "v", "rel")
+    val got2 = VectorOps.mmrRerank(neg, "id", "v", "rel", k = 2)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(got2 == Seq(1L, 3L), s"negative-sim order: $got2")
+    // over-cap pool is refused, not collected
+    val big = spark.range(0, 50).select(col("id"),
+      array(lit(1.0f), lit(0.0f)).as("v"), lit(0.5).as("rel"))
+    intercept[IllegalArgumentException] {
+      VectorOps.mmrRerank(big, "id", "v", "rel", k = 3, maxPool = 10)
+    }
+  }
+
   test("Hybrid.rrfFuse: quantized RRF sums, cross-list promotion, tie-break") {
     val s = spark
     import s.implicits._
