@@ -924,6 +924,11 @@ object SparkEntry {
     "q_doc_cross_pairs" -> ((s, d) =>
       Dedup.crossJaccardPairsFused(docs(s, d), "text", "doc_id",
         id => id % 2 === 1, n = 3, num = 3, den = 10)),
+    // incremental containment: new-batch docs (odd ids) vs the
+    // standing corpus, directional at 80%, no within-side pairs
+    "q_doc_containment_cross" -> ((s, d) =>
+      Dedup.containmentPairsCrossFused(docs(s, d), "text", "doc_id",
+        id => id % 2 === 1, n = 3, num = 4, den = 5)),
     // model-based quality: unigram LM trained on the corpus itself
     // (vocab capped at 200 so the OOV path is exercised), scored back
     // over every document
@@ -1025,6 +1030,18 @@ object SparkEntry {
       GraphAlgos.harmonicCentrality(
         GraphAlgos.coOccurrenceCached(proj, "p", "o"), seeds, maxDepth = 6)
         .select(col("node_id").as("order_id"), col("hc_q"))
+    }),
+    // link prediction: distance-2 non-edges with >= 2 common
+    // neighbors + endpoint degrees — the integer feature table
+    // Jaccard/cosine/PA link scores are ratios of
+    "q_graph_linkpred" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.linkPredictionScores(GraphAlgos.coOccurrenceCached(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), minCommon = 2)
+        .select(col("id_a").as("order_a"), col("id_b").as("order_b"),
+          col("cn"), col("deg_a"), col("deg_b"))
     }),
     // per-vertex degrees of the co-occurrence projection (the quick
     // structural profile that sizes skew guards before heavier passes)
@@ -2087,6 +2104,24 @@ object SparkEntry {
       "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
       "und AS (SELECT u AS s FROM ed UNION ALL SELECT v FROM ed) " +
       "SELECT s AS order_id, count(*) AS degree FROM und GROUP BY s"),
+    // wedge pairs minus existing edges, with common-neighbor counts
+    // and the same degree formulation as q_graph_degrees
+    "q_graph_linkpred" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed), " +
+      "adj AS (SELECT DISTINCT b AS w, a AS u FROM und), " +
+      "cn AS (SELECT x.u AS id_a, y.u AS id_b, count(*) AS cn FROM adj x " +
+      "JOIN adj y ON x.w = y.w AND x.u < y.u GROUP BY 1, 2 " +
+      "HAVING count(*) >= 2), " +
+      "ne AS (SELECT cn.* FROM cn WHERE NOT EXISTS (SELECT 1 FROM ed " +
+      "WHERE ed.u = cn.id_a AND ed.v = cn.id_b)), " +
+      "dg AS (SELECT s AS n, count(*) AS d FROM " +
+      "(SELECT u AS s FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1) " +
+      "SELECT id_a AS order_a, id_b AS order_b, CAST(cn AS BIGINT) AS cn, " +
+      "CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b " +
+      "FROM ne JOIN dg da ON da.n = id_a JOIN dg db ON db.n = id_b"),
     // identical quantized power iteration unrolled as one CTE per
     // round (integer floor division mirrors Spark's `div`; the final
     // CAST pins DuckDB's HUGEINT sums back to BIGINT)
@@ -2617,6 +2652,17 @@ object SparkEntry {
       "SELECT id_a, id_b FROM inter " +
       "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
       "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    // the cross intersection, gated directionally both ways
+    "q_doc_containment_cross" -> ("WITH " + shCte + ", " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM sh a JOIN sh b ON a.s = b.s " +
+      "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2), " +
+      "ij AS (SELECT id_a, id_b, i, sa.sz AS sza, sb.sz AS szb FROM inter " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
+      "SELECT id_a AS id_in, id_b AS id_sup FROM ij WHERE i * 5 >= 4 * sza " +
+      "UNION ALL " +
+      "SELECT id_b AS id_in, id_a AS id_sup FROM ij WHERE i * 5 >= 4 * szb"),
     // unigram LM with add-one smoothing over a 200-term vocab plus one
     // pooled OOV class: p(in-vocab t) = (cnt_t+1)/(N+V+1),
     // p(OOV) = (N - N_in + 1)/(N+V+1); score = mean token ln p

@@ -552,16 +552,44 @@ object Dedup {
 
   private def crossFromShingleSets(ssA: DataFrame, ssB: DataFrame,
       num: Int, den: Int): DataFrame = {
-    def sizes(ss: DataFrame, out: String) =
-      ss.groupBy(col("_did")).agg(count(lit(1)).as(out))
-    val inter = boundedCrossPairs(ssA, ssB, Seq("_sh"), "_did")
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes(ssA, "_sza").withColumnRenamed("_did", "id_a"), "id_a")
-      .join(sizes(ssB, "_szb").withColumnRenamed("_did", "id_b"), "id_b")
+    crossInterSizes(ssA, ssB)
       .where(col("_inter") * den >= (col("_sza") + col("_szb") - col("_inter")) * num)
       .select("id_a", "id_b")
+  }
+
+  /** Shared cross-side intersection frame: `(id_a, id_b, _inter,
+    * _sza, _szb)` for every A-side/B-side doc pair sharing >= 1
+    * shingle — the symmetric-Jaccard and directional-containment
+    * cross gates both read it.
+    */
+  private def crossInterSizes(ssA: DataFrame, ssB: DataFrame): DataFrame = {
+    def sizes(ss: DataFrame, out: String) =
+      ss.groupBy(col("_did")).agg(count(lit(1)).as(out))
+    boundedCrossPairs(ssA, ssB, Seq("_sh"), "_did")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+      .join(sizes(ssA, "_sza").withColumnRenamed("_did", "id_a"), "id_a")
+      .join(sizes(ssB, "_szb").withColumnRenamed("_did", "id_b"), "id_b")
+  }
+
+  /** Incremental [[containmentPairs]]: directional containment between
+    * a standing corpus and a NEW batch living in the same table, split
+    * by `isNewBatch` over the id — one shared shingle artifact, no
+    * within-side pairs (a new doc near-contained in ANY standing doc,
+    * or swallowing one, is what an ingest gate acts on). Output rows
+    * `(id_in, id_sup)` may point either way across the split.
+    */
+  def containmentPairsCrossFused(all: DataFrame, textCol: String,
+      idCol: String, isNewBatch: Column => Column, n: Int,
+      num: Int, den: Int): DataFrame = {
+    val ss = shingleHashSetCached(all, textCol, idCol, n)
+    val j = crossInterSizes(ss.where(!isNewBatch(col("_did"))),
+      ss.where(isNewBatch(col("_did"))))
+    val aInB = j.where(col("_inter") * den >= col("_sza") * num)
+      .select(col("id_a").as("id_in"), col("id_b").as("id_sup"))
+    val bInA = j.where(col("_inter") * den >= col("_szb") * num)
+      .select(col("id_b").as("id_in"), col("id_a").as("id_sup"))
+    Scratch.stable(aInB.unionAll(bInA))
   }
 
   /** LSH banding: pairs of ids sharing at least one band of the

@@ -381,6 +381,38 @@ object GraphAlgos {
     out
   }
 
+  /** Link-prediction feature table: every NON-edge pair at distance 2
+    * with its common-neighbor count and endpoint degrees —
+    * `(id_a, id_b, cn, deg_a, deg_b)`, all integers (Jaccard,
+    * cosine, preferential-attachment scores are ratios of these;
+    * keeping the raw counts keeps the output engine-exact). The
+    * candidate set is pairs sharing >= 1 neighbor (the only pairs any
+    * common-neighbor score ranks above zero), generated through the
+    * capped blocking primitive, so a hub's deg² wedge explosion is
+    * block-bounded per task; `maxNeighborDf` drops super-hubs outright
+    * (the co-occurrence stop-word discipline — at 100 TB a celebrity
+    * node's wedges are noise for link prediction anyway). `minCommon`
+    * prunes the long one-shared-neighbor tail before the anti-join.
+    */
+  def linkPredictionScores(edges: DataFrame, minCommon: Long = 1,
+      maxNeighborDf: Int = Int.MaxValue): DataFrame = {
+    val und = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+    val adj = und.select(col("_dst").as("_w"), col("_src").as("_u")).distinct()
+    val cn = Dedup.boundedKeyPairs(adj, Seq("_w"), "_u",
+        maxKeyDf = maxNeighborDf)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") >= minCommon)
+    val deg = degrees(edges)
+    cn.join(edges.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .join(deg.select(col("node_id").as("id_a"), col("degree").as("deg_a")),
+        "id_a")
+      .join(deg.select(col("node_id").as("id_b"), col("degree").as("deg_b")),
+        "id_b")
+      .select("id_a", "id_b", "cn", "deg_a", "deg_b")
+  }
+
   /** Sampled-source harmonic centrality: `hc_q(v) = Σ_s scale div
     * d(s, v)` over the seed sample (d > 0; the 1/0 term for v ∈ seeds
     * is 0 by the harmonic convention). With seeds a uniform sample,

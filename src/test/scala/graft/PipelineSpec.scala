@@ -1325,6 +1325,50 @@ class PipelineSpec extends GraftSuite {
     assert(none.columns.toSeq == Seq("node_id", "dist") && none.count() == 0)
   }
 
+  test("linkPredictionScores: distance-2 non-edges, counts, hub drop") {
+    val s = spark
+    import s.implicits._
+    // square 1-2-3-4-1 plus a chord 1-3: the only wedge pair left
+    // unconnected is (2,4), with common neighbors {1,3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val got = GraphAlgos.linkPredictionScores(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((2L, 4L)), s"candidates: ${got.keySet}")
+    assert(got((2L, 4L)) == ((2L, 2L, 2L)), s"cn/degs: ${got((2L, 4L))}")
+    // star 10-{11,12,13}: leaves pair through the hub (cn = 1 each);
+    // minCommon = 2 prunes them all
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val leaves = GraphAlgos.linkPredictionScores(star)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(leaves == Map((11L, 12L) -> 1L, (11L, 13L) -> 1L,
+      (12L, 13L) -> 1L), s"star wedges: $leaves")
+    assert(GraphAlgos.linkPredictionScores(star, minCommon = 2).count() == 0)
+    // maxNeighborDf drops the hub's wedge fan entirely
+    assert(GraphAlgos.linkPredictionScores(star,
+      maxNeighborDf = 2).count() == 0)
+  }
+
+  test("containmentPairsCrossFused: only cross-split directional pairs") {
+    val s = spark
+    import s.implicits._
+    val longText = (1 to 30).map(i => s"w$i").mkString(" ") +
+      " alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (2L, longText),                              // corpus (even)
+      (4L, "alpha beta gamma delta epsilon zeta"), // corpus: contained in 2
+      (3L, "alpha beta gamma delta epsilon zeta"), // new batch (odd)
+      (9L, "nothing shared with anyone at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsCrossFused(df, "text", "doc_id",
+        id => id % 2 === 1, n = 3, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // new doc 3 is contained in corpus doc 2 AND matches corpus doc 4
+    // both ways; the WITHIN-corpus pair (4 in 2) must NOT appear
+    assert(got == Set((3L, 2L), (3L, 4L), (4L, 3L)), s"got $got")
+  }
+
   test("splitAssignByCluster keeps near-dup clusters on one side of every split") {
     val s = spark
     import s.implicits._
