@@ -190,6 +190,32 @@ object Dedup {
     * exactly (identical collisions on both sides; p(collision) ~
     * |shingles|²/2^61).
     */
+  /** Executor-local mirror of [[shingleHashSet]]'s hashing for
+    * row-preserving stream predicates: the SAME tokens (lower,
+    * `[^a-z0-9]+` split, empties dropped), the SAME shingle rule
+    * (n-grams; whole text when < n tokens), the SAME 15-hex-digit md5
+    * prefix hash — StreamingSpec pins hash-identity against the
+    * distributed build. Tokenless text returns EMPTY (the ingest
+    * filters' pass-through marker) where the distributed build would
+    * emit the hash of "" for a corpus row; a no-token row contains
+    * nothing measurable, so a filter must not drop it.
+    */
+  def shingleHashesOfText(text: String, n: Int): Seq[Long] = {
+    if (text == null) return Seq.empty
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.isEmpty) return Seq.empty
+    val shingles =
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    shingles.distinct.map { sh =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+  }
+
   def shingleHashSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     ensureParallelism(df)
       .select(col(idCol).as("_did"), tokens(col(textCol)).as("_t"))

@@ -321,6 +321,40 @@ object GraphStream {
     stream.where(hitFrac(col(binCol)) < minFrac)
   }
 
+  /** TEXT containment filtering at ingest — the streaming arm of
+    * `Dedup.containmentPairs`: drop stream docs whose shingle set is
+    * >= `minFrac` contained in the standing corpus's shingle universe
+    * (a quoted article, a README pasted into a dump — high containment
+    * with possibly LOW symmetric Jaccard, which is exactly what
+    * [[nearDupIngestFilter]]'s band probe under-catches for short-in-
+    * long). Corpus side: the cached shingle artifact reduces to one
+    * broadcast Bloom of shingle hashes; stream side: a row-preserving
+    * predicate re-hashes via `Dedup.shingleHashesOfText` (pinned
+    * hash-identical to the distributed build) and measures the hit
+    * fraction — no shuffle, no state store. Bloom false positives
+    * inflate containment slightly (conservative drop, same trade as
+    * every ingest filter); tokenless rows pass through.
+    */
+  def containmentIngestFilter(stream: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, minFrac: Double = 0.8,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.pipeline.Dedup
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac in (0,1]: $minFrac")
+    // the shingle artifact cache already persists+counts the frame;
+    // the sizing count and the Bloom build both read that cache
+    val keyed = Dedup.shingleHashSetCached(corpus, textCol, idCol, n)
+      .select(col("_sh").cast("string").as("_k"))
+    val bloom = keyed.stat.bloomFilter("_k", math.max(keyed.count(), 1L), fpp)
+    val bloomB = stream.sparkSession.sparkContext.broadcast(bloom)
+    val hitFrac = udf((text: String) => {
+      val shs = Dedup.shingleHashesOfText(text, n)
+      if (shs.isEmpty) -1.0 // pass-through marker
+      else shs.count(h =>
+        bloomB.value.mightContainString(h.toString)).toDouble / shs.size
+    })
+    stream.where(hitFrac(col(textCol)) < minFrac)
+  }
+
   /** The (band, value) key array of a 63-bit hash column — the column
     * form of `Multimodal.bandKeysOfHash` (same "b:v" strings), so a
     * corpus-side Bloom build and a stream-side probe agree by

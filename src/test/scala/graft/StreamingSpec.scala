@@ -301,6 +301,45 @@ class StreamingSpec extends GraftSuite {
       assert(dh.contains(801L), s"fresh image must survive the dhash arm: $dh")
   }
 
+  test("containmentIngestFilter drops a short quote of a corpus doc; local kernel hash-matches the engine") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import graft.pipeline.Dedup
+    val longText = (1 to 30).map(i => s"word$i").mkString(" ") +
+      " alpha beta gamma delta epsilon zeta"
+    val corpus = Seq((1L, longText)).toDF("doc_id", "text")
+    // local kernel == engine hashes (incl. the < n tokens whole-text
+    // rule), so the predicate can stand in for the distributed build
+    val engineHashes = Dedup.shingleHashSet(corpus, "text", "doc_id", 3)
+      .select("_sh").collect().map(_.getLong(0)).toSet
+    assert(Dedup.shingleHashesOfText(longText, 3).toSet == engineHashes)
+    val short = "Alpha, beta!"
+    assert(Dedup.shingleHashesOfText(short, 3).toSet ==
+      Dedup.shingleHashSet(Seq((9L, short)).toDF("doc_id", "text"),
+        "text", "doc_id", 3).select("_sh").collect().map(_.getLong(0)).toSet,
+      "short-text whole-doc shingle rule must match")
+    val mem = MemoryStream[(Long, String)]
+    val q = GraphStream.containmentIngestFilter(
+        mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id")
+      .writeStream.format("memory").queryName("containclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // verbatim quote of the corpus tail: 100% contained, but its
+        // symmetric Jaccard vs the long doc is ~4/38 — the band filter
+        // family's blind spot, this filter's reason to exist
+        (10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "wholly novel vocabulary with no overlap whatsoever today"),
+        (12L, "...!!!...")) // tokenless: passes through
+      q.processAllAvailable()
+      val kept = s.table("containclean").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(!kept.contains(10L), s"contained quote must drop: $kept")
+      assert(kept == Set(11L, 12L), s"fresh + tokenless must survive: $kept")
+    } finally q.stop()
+  }
+
   test("audio shingle ingest filter drops a trimmed re-upload by containment; local kernel hash-matches the engine") {
     val s = spark
     import s.implicits._
