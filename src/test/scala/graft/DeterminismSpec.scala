@@ -209,6 +209,62 @@ class DeterminismSpec extends GraftSuite {
     }
   }
 
+  test("containment pairs and link-prediction scores are partitioning-independent") {
+    // the shingle-DF caps, bounded blocking, and integer gates claim
+    // bit-identity for the directional containment family and the
+    // wedge-count feature table at any parallelism; every 4th doc gets
+    // a planted 8-word-prefix twin so the directional gate actually
+    // fires
+    def cdocs(parts: Int) = {
+      val d = docs(parts)
+      // planted ids are ODD so the cross (corpus-even vs batch-odd)
+      // arm sees them too
+      d.unionAll(d.where(col("doc_id") % 4 === 0)
+          .select(col("doc_id") + 1001,
+            expr("array_join(slice(split(text, ' '), 1, 8), ' ')")))
+        .repartition(parts)
+    }
+    val base = canon(underPartitions(2) {
+      Dedup.clearShingleCache()
+      Dedup.containmentPairs(cdocs(2), "text", "doc_id", n = 3,
+        num = 3, den = 5)
+    })
+    val alt = canon(underPartitions(7) {
+      Dedup.clearShingleCache()
+      Dedup.containmentPairs(cdocs(11), "text", "doc_id", n = 3,
+        num = 3, den = 5)
+    })
+    assert(base == alt && base.nonEmpty,
+      s"containment pairs diverged: ${base.size} vs ${alt.size}")
+    val crossBase = canon(underPartitions(2) {
+      Dedup.clearShingleCache()
+      Dedup.containmentPairsCrossFused(cdocs(2), "text", "doc_id",
+        id => id % 2 === 1, n = 3, num = 3, den = 5)
+    })
+    val crossAlt = canon(underPartitions(7) {
+      Dedup.clearShingleCache()
+      Dedup.containmentPairsCrossFused(cdocs(11), "text", "doc_id",
+        id => id % 2 === 1, n = 3, num = 3, den = 5)
+    })
+    assert(crossBase == crossAlt && crossBase.nonEmpty,
+      s"cross containment diverged: ${crossBase.size} vs ${crossAlt.size}")
+    def edges(parts: Int) = {
+      val s = spark
+      import s.implicits._
+      (0L until 200L).flatMap(i =>
+        Seq((i, (i * 7 + 1) % 200), (i, (i * 13 + 5) % 200)))
+        .filter { case (a, b) => a < b }
+        .map { case (a, b) => (a, b) }
+        .toDF("id_a", "id_b").repartition(parts)
+    }
+    val lpA = canon(underPartitions(2) {
+      GraphAlgos.linkPredictionScores(edges(2), minCommon = 2) })
+    val lpB = canon(underPartitions(7) {
+      GraphAlgos.linkPredictionScores(edges(11), minCommon = 2) })
+    assert(lpA == lpB && lpA.nonEmpty,
+      s"link-prediction scores diverged: ${lpA.size} vs ${lpB.size}")
+  }
+
   test("dupClustersStar clusters are partitioning-independent") {
     check("dupClustersStar") { (_, ip) =>
       val ids = docs(ip).select(col("doc_id"))

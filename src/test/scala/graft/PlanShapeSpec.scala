@@ -356,6 +356,33 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("exchange budgets hold for the retrieval/dedup/graph additions after r12") {
+    // Ceilings measured at HEAD on sf0.001. The three zero-budget
+    // queries serve from a stabilized frame (Scratch.stable) — their
+    // pair generation/greedy walk ran at build time, so the SERVED
+    // plan is exchange-free by contract.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      ("q_doc_line_dedup", 2, true),  // line-df semi-join broadcasts
+      ("q_doc_containment", 0, false),
+      ("q_doc_containment_cross", 0, false),
+      ("q_graph_linkpred", 7, true),  // degree joins broadcast
+      ("q_text_hybrid_rrf", 3, false),
+      ("q_embed_hard_neg", 1, false), // one window over heap partials
+      ("q_embed_mmr", 0, false),
+      ("q_doc_split_safe", 2, true),  // cluster-map join broadcasts
+      ("q_graph_harmonic", 1, false), // one groupBy over served dists
+      ("q_doc_fertility", 1, true))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      info(s"$name -> $prof")
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+  }
+
   test("exchange budgets hold for the 10 most expensive headline queries") {
     // Per-query shuffle-count ceilings (measured at HEAD on sf0.001)
     // plus broadcast-ness requirements: the r11 perf wins came from
