@@ -488,6 +488,22 @@ object SparkEntry {
     }),
     "q_doc_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, num = 3, den = 10)),
+    // dedup diagnostics: near-dup pair volume by (source, source) —
+    // the report that tells a curation team WHERE the duplication
+    // lives (mirror sites, cross-source syndication) before they spend
+    // a full dedup pass on it; canonical unordered source pairs
+    "q_doc_dedup_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val src = dd.select(col("doc_id"), col("source"))
+      Dedup.minhashPairs(dd, "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+        .select(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     // asymmetric containment (>= 80% of the contained doc's 3-gram set
     // inside the other's): the short-doc-inside-long-doc family that
     // symmetric Jaccard misses by construction; directional rows, both
@@ -587,6 +603,21 @@ object SparkEntry {
         .orderBy(col("rel").desc, col("id")).limit(20)
       VectorOps.mmrRerank(pool, "id", "v", "rel", k = 10)
         .select(col("id").as("vec_id"), col("mmr_rank"))
+    }),
+    // kNN label purity: per query label, how many of the 10 nearest
+    // neighbors share it — the classifier-free embedding-quality probe
+    // (a collapsed or shuffled embedding space scores at chance)
+    "q_embed_knn_purity" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.knnJoin(e, e.where(col("vec_id") < 32),
+          "embedding", "vec_id", k = 10)
+        .join(e.select(col("vec_id").as("query_id"),
+          col("label").as("_ql")), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_nl")), "neighbor_id")
+        .groupBy(col("_ql").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          sum((col("_ql") === col("_nl")).cast("long")).as("n_same"))
     }),
     // hard-negative mining: top-5 nearest DIFFERENT-label rows per
     // query — the contrastive-training negative sampler; same one-scan
@@ -1799,6 +1830,12 @@ object SparkEntry {
       "FROM w LEFT JOIN k USING (doc_id)"),
     "q_doc_minhash_pairs" -> ("WITH " + minhashPairsCtes +
       " SELECT id_a, id_b FROM pairs"),
+    // the verified pair set joined to sources, canonical unordered
+    "q_doc_dedup_report" -> ("WITH " + minhashPairsCtes + " " +
+      "SELECT least(da.source, db.source) AS source_a, " +
+      "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
+      "FROM pairs JOIN documents da ON da.doc_id = pairs.id_a " +
+      "JOIN documents db ON db.doc_id = pairs.id_b GROUP BY 1, 2"),
     // identical 56-bit k-gram hashes, window-min selection, inverted
     // fingerprint join
     "q_doc_winnow_pairs" -> ("WITH t AS (SELECT doc_id, " +
@@ -2000,6 +2037,18 @@ object SparkEntry {
       "c.id LIMIT 1)) FROM m WHERE step < 10) " +
       "SELECT sel[i+1] AS vec_id, CAST(i+1 AS BIGINT) AS mmr_rank " +
       "FROM (SELECT sel FROM m WHERE step = 10), UNNEST(range(0, 10)) t(i)"),
+    // the knn top-10 per sub-32 query, label-joined and grouped
+    "q_embed_knn_purity" -> ("WITH kn AS (SELECT q.vec_id AS query_id, " +
+      "e.vec_id AS neighbor_id, q.label AS ql, e.label AS nl " +
+      "FROM embeddings e CROSS JOIN " +
+      "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 32) q " +
+      "WHERE e.vec_id <> q.vec_id " +
+      "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 10) " +
+      "SELECT CAST(ql AS BIGINT) AS label, count(*) AS n_neighbors, " +
+      "CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_same " +
+      "FROM kn GROUP BY 1"),
     // the knn oracle with the null-safe different-label gate (labels
     // compared as the engine's string-cast form)
     "q_embed_hard_neg" -> ("SELECT q.vec_id AS query_id, " +
