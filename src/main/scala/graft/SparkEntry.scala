@@ -440,6 +440,13 @@ object SparkEntry {
     }),
     "q_text_bm25" -> ((s, d) => run(s, d,
       g().textSearchNodes("Document", "text", "spark hash join window", 10).id())),
+    // exact phrase search: consecutive-token match counted by a
+    // codegen'd window-equality HOF (overlap-correct), top-10 by
+    // occurrence count — what bag-of-words BM25 cannot express
+    "q_text_phrase" -> ((s, d) =>
+      BM25.phraseTopK(docs(s, d).select(col("doc_id").as("_id"), col("text")),
+          "text", "hash join", 10)
+        .select(col("_id").as("doc_id"), col("phrase_tf"))),
     // hybrid retrieval: BM25 top-20 + cosine-ANN top-20 fused by
     // integer-quantized Reciprocal Rank Fusion (1e12 div (60 + rank));
     // doc ids and vec ids share the 0..n-1 key space
@@ -1793,6 +1800,14 @@ object SparkEntry {
     "q_text_bm25" -> ("WITH " + bm25ScoresCte +
       "SELECT CAST(9000000000 + doc_id AS BIGINT) AS id FROM scores " +
       "ORDER BY s DESC, doc_id LIMIT 10"),
+    // window-slice equality over the token list, overlap-correct
+    "q_text_phrase" -> ("WITH " + tokCte + ", " +
+      "tf AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN " +
+      "len(list_filter(range(len(t) - 1), " +
+      "i -> t[i+1:i+2] = ['hash', 'join'])) ELSE 0 END AS phrase_tf " +
+      "FROM toks) " +
+      "SELECT doc_id, CAST(phrase_tf AS BIGINT) AS phrase_tf FROM tf " +
+      "WHERE phrase_tf > 0 ORDER BY phrase_tf DESC, doc_id LIMIT 10"),
     // BM25 rank list + cosine rank list, each term 1e12 // (60 + r),
     // summed per doc; final order rrf desc / doc_id
     "q_text_hybrid_rrf" -> ("WITH " + bm25ScoresCte + ", " +

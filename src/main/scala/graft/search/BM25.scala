@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 text relevance (the reference enables a BM25 index by default:
@@ -116,6 +116,37 @@ object BM25 {
     val out = graft.pipeline.Scratch.stable(named)
     toks.unpersist(false)
     out
+  }
+
+  /** Exact PHRASE search: top-k docs by occurrence count of the
+    * query's consecutive token sequence (`_id`, `phrase_tf`), ties on
+    * id. Bag-of-words BM25 cannot distinguish "new york" from "york
+    * new"; this positional match can. The count is a pure codegen'd
+    * HOF over the token array — one scan, no shuffle beyond the
+    * top-k (TakeOrderedAndProject), no posting index required; a
+    * position-slice equality per window counts OVERLAPPING occurrences
+    * correctly (a replace()-based count cannot — adjacent matches
+    * share the boundary token). With a declared text index, positional
+    * postings would serve this without the scan; the scan form is the
+    * always-available path.
+    */
+  def phraseTopK(df: DataFrame, textCol: String, phrase: String,
+      k: Int): DataFrame = {
+    val terms = tokenize(phrase)
+    require(terms.nonEmpty, "empty phrase")
+    val m = terms.length
+    val windowEq = (i: Column) => (0 until m)
+      .map(j => element_at(col("_t"), i + j + 1) === lit(terms(j)))
+      .reduce(_ && _)
+    ensurePar(df)
+      .select(col("_id"), graft.pipeline.TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("_id"),
+        when(size(col("_t")) >= m,
+          size(filter(sequence(lit(0), size(col("_t")) - m), windowEq)))
+          .otherwise(0).cast("long").as("phrase_tf"))
+      .where(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("_id").asc)
+      .limit(k)
   }
 
   /** Top-k (_id, score) pairs — for callers that want the relevance. */

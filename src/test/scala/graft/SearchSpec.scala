@@ -725,6 +725,28 @@ class SearchSpec extends GraftSuite {
     } finally spark.conf.unset("graft.search.ivfThreshold")
   }
 
+  test("phraseTopK: order-sensitive, overlap-correct, punctuation-normalized") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "visit New York today and New York tomorrow"), // tf 2
+      (2L, "york new is not the phrase"),                 // reversed: tf 0
+      (3L, "the new, york! mayor"),                       // punctuation splits: tf 1
+      (4L, "nothing relevant here"),
+      (5L, "new york")                                    // tf 1
+    ).toDF("_id", "text")
+    val got = BM25.phraseTopK(df, "text", "New-York", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // tf desc, id asc; bag-of-words doc 2 excluded entirely
+    assert(got.toSeq == Seq(1L -> 2L, 3L -> 1L, 5L -> 1L), s"got ${got.toSeq}")
+    // overlapping occurrences all count: "a a a" has TWO "a a" windows
+    val ov = BM25.phraseTopK(Seq((7L, "a a a")).toDF("_id", "text"),
+      "text", "a a", 10).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ov.toSeq == Seq((7L, 2L)), s"overlap count: ${ov.toSeq}")
+    // k truncates
+    assert(BM25.phraseTopK(df, "text", "new york", 1).count() == 1)
+  }
+
   test("BM25 ranks exact term matches above partial ones") {
     val s = spark
     import s.implicits._
