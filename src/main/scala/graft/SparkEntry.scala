@@ -447,6 +447,12 @@ object SparkEntry {
       BM25.phraseTopK(docs(s, d).select(col("doc_id").as("_id"), col("text")),
           "text", "hash join", 10)
         .select(col("_id").as("doc_id"), col("phrase_tf"))),
+    // proximity (NEAR) search: vector within 3 tokens of stream,
+    // ranked by minimal distance — between bag-of-words and phrase
+    "q_text_near" -> ((s, d) =>
+      BM25.nearTopK(docs(s, d).select(col("doc_id").as("_id"), col("text")),
+          "text", "vector", "stream", window = 3, k = 10)
+        .select(col("_id").as("doc_id"), col("near_dist"))),
     // hybrid retrieval: BM25 top-20 + cosine-ANN top-20 fused by
     // integer-quantized Reciprocal Rank Fusion (1e12 div (60 + rank));
     // doc ids and vec ids share the 0..n-1 key space
@@ -1369,6 +1375,13 @@ object SparkEntry {
     // volume-spike days per event type: daily counts vs 1.2x the
     // per-type exact median (integer cross-multiplication, and the
     // median comes from the count-histogram quantile op — composition)
+    // freshness-weighted popularity: exact integer decay table
+    // (scale * (9/10)^age_days, BigInt-derived literals) — none of
+    // pow(0.9, age)'s cross-engine float risk
+    "q_event_decay" -> ((s, d) =>
+      Temporal.decayedCounts(s.read.parquet(s"$d/events.parquet"),
+        "event_type", "ts", decayNum = 9, decayDen = 10,
+        scale = 1000000000L, maxAgeDays = 40)),
     "q_event_spikes" -> ((s, d) => {
       val daily = events(s, d)
         .select(col("event_type"),
@@ -1808,6 +1821,16 @@ object SparkEntry {
       "FROM toks) " +
       "SELECT doc_id, CAST(phrase_tf AS BIGINT) AS phrase_tf FROM tf " +
       "WHERE phrase_tf > 0 ORDER BY phrase_tf DESC, doc_id LIMIT 10"),
+    // per-term position lists joined on doc, min |pa - pb|
+    "q_text_near" -> ("WITH " + tokCte + ", " +
+      "pa AS (SELECT doc_id, UNNEST(list_filter(range(len(t)), " +
+      "i -> t[i+1] = 'vector')) AS p FROM toks), " +
+      "pb AS (SELECT doc_id, UNNEST(list_filter(range(len(t)), " +
+      "i -> t[i+1] = 'stream')) AS p FROM toks), " +
+      "d AS (SELECT pa.doc_id, CAST(min(abs(pa.p - pb.p)) AS BIGINT) " +
+      "AS near_dist FROM pa JOIN pb USING (doc_id) GROUP BY 1) " +
+      "SELECT doc_id, near_dist FROM d WHERE near_dist <= 3 " +
+      "ORDER BY near_dist, doc_id LIMIT 10"),
     // BM25 rank list + cosine rank list, each term 1e12 // (60 + r),
     // summed per doc; final order rrf desc / doc_id
     "q_text_hybrid_rrf" -> ("WITH " + bm25ScoresCte + ", " +
@@ -2946,6 +2969,16 @@ object SparkEntry {
       "SELECT steps_completed, count(*) AS n_users FROM f GROUP BY 1"),
     // daily counts vs the count-histogram exact median, integer
     // cross-multiplied threshold
+    // the SAME BigInt-derived weight literals, age-indexed
+    "q_event_decay" -> ("WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md " +
+      "FROM events), " +
+      "ag AS (SELECT event_type, datediff('day', CAST(ts AS DATE), md) " +
+      "AS age FROM events CROSS JOIN mx) " +
+      "SELECT event_type, CAST(sum(CASE WHEN age BETWEEN 0 AND 40 THEN (" +
+      Temporal.decayWeights(9, 10, 1000000000L, 40)
+        .mkString("[", ", ", "]") +
+      ")[age+1] ELSE 0 END) AS BIGINT) AS decayed_q, " +
+      "count(*) AS n FROM ag GROUP BY 1"),
     "q_event_spikes" -> ("WITH d AS (SELECT event_type, " +
       "epoch_us(ts) // 86400000000 AS day, count(*) AS n_events " +
       "FROM events GROUP BY 1, 2), " +

@@ -379,6 +379,46 @@ object Temporal {
     * range-splitting keys whose sessions are known-short, which
     * callers can do by pre-mapping the key column.
     */
+  /** Time-decayed counts per key: each event contributes
+    * `weight(age)` where age = whole days between its date and the
+    * corpus's max date, and `weight(a) = scale · (decayNum/decayDen)^a`
+    * computed EXACTLY in BigInt and baked into a literal lookup array —
+    * the freshness-weighted popularity behind recency-aware ranking
+    * and data-mix weighting, with none of `pow(0.9, age)`'s cross-
+    * engine float risk. Ages past `maxAgeDays` weigh 0 (the literal
+    * stays bounded). One scan + one scalar-aggregate broadcast (the
+    * anchor date) + one hash aggregation. Output:
+    * `(keyCol, decayed_q, n)`.
+    */
+  def decayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+      decayNum: Int = 9, decayDen: Int = 10, scale: Long = 1000000000L,
+      maxAgeDays: Int = 64): DataFrame = {
+    require(decayNum >= 0 && decayDen > 0 && decayNum <= decayDen,
+      s"decay must be a fraction in [0,1]: $decayNum/$decayDen")
+    require(maxAgeDays >= 0 && maxAgeDays <= 4096,
+      s"maxAgeDays in [0,4096]: $maxAgeDays")
+    val weights = decayWeights(decayNum, decayDen, scale, maxAgeDays)
+    val anchor = df.agg(max(to_date(col(tsCol))).as("_anchor"))
+    df.crossJoin(anchor)
+      .select(col(keyCol),
+        datediff(col("_anchor"), to_date(col(tsCol))).as("_age"))
+      .select(col(keyCol),
+        when(col("_age").between(0, maxAgeDays),
+          element_at(typedLit(weights), col("_age").cast("int") + 1))
+          .otherwise(0L).as("_w"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_w")).as("decayed_q"), count(lit(1)).as("n"))
+  }
+
+  /** The exact integer decay table `scale · (num/den)^a`, a = 0..max —
+    * shared with oracle construction so both engines read the SAME
+    * literals.
+    */
+  def decayWeights(decayNum: Int, decayDen: Int, scale: Long,
+      maxAgeDays: Int): Seq[Long] =
+    (0 to maxAgeDays).map(a =>
+      (BigInt(decayNum).pow(a) * scale / BigInt(decayDen).pow(a)).toLong)
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, gapSec: Long): DataFrame = {
     val gapUs = gapSec * 1000000L

@@ -155,6 +155,38 @@ object BM25 {
       .limit(k)
   }
 
+  /** Proximity (NEAR) search: top-k docs where `termA` and `termB`
+    * co-occur within `window` token positions, ranked by their MINIMAL
+    * distance (`_id`, `near_dist`), ties on id — the relevance signal
+    * between bag-of-words (any distance) and exact phrase (distance
+    * enforced AND order enforced). Same positional-postings shape as
+    * [[phraseTopK]]: one posexplode scan, each term's positions
+    * filtered BEFORE the shuffle, one equi-join on the doc id, one
+    * min-aggregation; the per-doc pair fan-out is tfA·tfB — query-term
+    * frequencies, not corpus size.
+    */
+  def nearTopK(df: DataFrame, textCol: String, termA: String, termB: String,
+      window: Int, k: Int): DataFrame = {
+    val (ta, tb) = (tokenize(termA), tokenize(termB))
+    require(ta.length == 1 && tb.length == 1,
+      s"nearTopK takes single terms, got '$termA' / '$termB'")
+    require(ta.head != tb.head, "NEAR of a term with itself is degenerate")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pos = ensurePar(df)
+      .select(col("_id"),
+        posexplode(graft.pipeline.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("_p", "_w")))
+    pos.where(col("_w") === lit(ta.head))
+      .select(col("_id"), col("_p").as("_pa"))
+      .join(pos.where(col("_w") === lit(tb.head))
+        .select(col("_id"), col("_p").as("_pb")), Seq("_id"))
+      .groupBy(col("_id"))
+      .agg(min(abs(col("_pa") - col("_pb"))).cast("long").as("near_dist"))
+      .where(col("near_dist") <= window)
+      .orderBy(col("near_dist").asc, col("_id").asc)
+      .limit(k)
+  }
+
   /** Top-k (_id, score) pairs — for callers that want the relevance. */
   def topKScores(df: DataFrame, textCol: String, query: String, k: Int): DataFrame = {
     val (scores, toks) = scoreWithHandle(df, textCol, query)

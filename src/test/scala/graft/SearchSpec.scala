@@ -747,6 +747,30 @@ class SearchSpec extends GraftSuite {
     assert(BM25.phraseTopK(df, "text", "new york", 1).count() == 1)
   }
 
+  test("nearTopK ranks by minimal distance within the window, either order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spark shuffle join"),                   // dist 2
+      (2L, "join with spark"),                      // reversed order: dist 2
+      (3L, "spark a b c d e f g join"),             // dist 8: outside window
+      (4L, "spark here then far away spark join"),  // MIN dist 1 of {1, 6}
+      (5L, "spark only no second term"),
+      (6L, "join only")
+    ).toDF("_id", "text")
+    val got = BM25.nearTopK(df, "text", "spark", "join", window = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // min-dist asc, id asc; single-term and out-of-window docs excluded
+    assert(got.toSeq == Seq((4L, 1L), (1L, 2L), (2L, 2L)), s"got ${got.toSeq}")
+    // widening the window admits doc 3
+    val wide = BM25.nearTopK(df, "text", "spark", "join", window = 8, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      BM25.nearTopK(df, "text", "spark", "spark", window = 3, k = 10)
+    }
+  }
+
   test("BM25 ranks exact term matches above partial ones") {
     val s = spark
     import s.implicits._

@@ -184,6 +184,32 @@ class TemporalSpec extends GraftSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("decayedCounts: exact BigInt weight table, age anchoring, cap to zero") {
+    val s = spark
+    import s.implicits._
+    // exact table: scale * (9/10)^a with integer floor at each step
+    val w = Temporal.decayWeights(9, 10, 1000L, 5)
+    assert(w == Seq(1000L, 900L, 810L, 729L, 656L, 590L), s"weights: $w")
+    // anchor = max date; ages 0, 1, 3 for key a; key b one stale event
+    val df = Seq(
+      (1L, "a", "2024-03-10 12:00:00"),
+      (2L, "a", "2024-03-09 23:59:59"),
+      (3L, "a", "2024-03-07 00:00:01"),
+      (4L, "b", "2024-01-01 00:00:00") // age 69 > maxAgeDays -> weight 0
+    ).toDF("event_id", "k", "tss")
+      .select(col("event_id"), col("k"), to_timestamp(col("tss")).as("ts"))
+    val got = Temporal.decayedCounts(df, "k", "ts",
+        decayNum = 9, decayDen = 10, scale = 1000L, maxAgeDays = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((1000L + 900L + 729L, 3L)), s"got ${got("a")}")
+    assert(got("b") == ((0L, 1L)), s"stale event counts but weighs 0: $got")
+    // decayNum = decayDen degenerates to plain counts * scale
+    val flat = Temporal.decayedCounts(df, "k", "ts",
+        decayNum = 1, decayDen = 1, scale = 7L, maxAgeDays = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat == Map("a" -> 21L, "b" -> 7L), s"flat: $flat")
+  }
+
   test("rangeJoin: inverted and point intervals, numeric ts contract") {
     val s = spark
     import s.implicits._
