@@ -1367,6 +1367,24 @@ object SparkEntry {
         Seq("view", "click", "purchase"), horizonSec = 604800)
         .groupBy(col("steps_completed"))
         .agg(count(lit(1)).as("n_users"))),
+    // session co-visitation: unordered event-type pairs co-occurring
+    // inside one session, counted across sessions — the recsys
+    // "bought-together" matrix over the sessionize output; pairs ride
+    // the capped blocking primitive so one mega-session cannot
+    // pair-explode a task
+    "q_event_covisit" -> ((s, d) => {
+      val ev = events(s, d)
+      val items = Temporal.sessionize(ev, "user_id", "ts",
+          "event_id", gapSec = 21600)
+        .join(ev.select(col("event_id"), col("event_type")), "event_id")
+        .select(col("user_id"), col("session_seq"), col("event_type"))
+        .distinct()
+      Dedup.boundedKeyPairs(items, Seq("user_id", "session_seq"),
+          "event_type")
+        .select(col("id_a").as("type_a"), col("id_b").as("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
     "q_event_retention" -> ((s, d) =>
       Temporal.retention(events(s, d), "user_id", "ts", periodSec = 86400)),
     "q_event_transitions" -> ((s, d) =>
@@ -2948,6 +2966,24 @@ object SparkEntry {
       "AS session_seq FROM s) " +
       "SELECT user_id, session_seq, count(*) AS n_events, " +
       "min(us) AS start_us, max(us) AS end_us FROM t GROUP BY 1, 2"),
+    // the sessions CTE carrying event_type, distinct per-session
+    // types, ordered self-join pairs
+    "q_event_covisit" -> ("WITH e AS (SELECT event_id, user_id, " +
+      "event_type, epoch_us(ts) AS us FROM events), " +
+      "s AS (SELECT user_id, event_id, event_type, us, " +
+      "CASE WHEN us - lag(us) OVER " +
+      "(PARTITION BY user_id ORDER BY us, event_id) <= 21600000000 " +
+      "THEN 0 ELSE 1 END AS nw FROM e), " +
+      "t AS (SELECT user_id, event_type, " +
+      "CAST(sum(nw) OVER (PARTITION BY user_id " +
+      "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS session_seq FROM s), " +
+      "it AS (SELECT DISTINCT user_id, session_seq, event_type FROM t), " +
+      "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b " +
+      "FROM it a JOIN it b ON a.user_id = b.user_id " +
+      "AND a.session_seq = b.session_seq " +
+      "AND a.event_type < b.event_type) " +
+      "SELECT type_a, type_b, count(*) AS n_sessions FROM p GROUP BY 1, 2"),
     // chained conditional-min formulation of the ordered funnel; a key
     // missing step i never appears in step i+1's CTE
     "q_event_funnel" -> ("WITH e AS (SELECT user_id, event_type, " +

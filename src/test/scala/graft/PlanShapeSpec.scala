@@ -371,7 +371,11 @@ class PlanShapeSpec extends GraftSuite {
       ("q_embed_mmr", 0, false),
       ("q_doc_split_safe", 2, true),  // cluster-map join broadcasts
       ("q_graph_harmonic", 1, false), // one groupBy over served dists
-      ("q_doc_fertility", 1, true))
+      ("q_doc_fertility", 1, true),
+      ("q_text_phrase", 2, true),  // positional joins broadcast
+      ("q_text_near", 2, true),
+      ("q_event_decay", 2, false), // anchor broadcast + one hash agg
+      ("q_event_covisit", 4, true))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       info(s"$name -> $prof")
