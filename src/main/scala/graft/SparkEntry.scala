@@ -617,6 +617,11 @@ object SparkEntry {
       VectorOps.mmrRerank(pool, "id", "v", "rel", k = 10)
         .select(col("id").as("vec_id"), col("mmr_rank"))
     }),
+    // label-centroid geometry: exact squared L2 between µ-unit integer
+    // centroids, every unordered label pair — the cluster-merge /
+    // label-noise report over the bounded centroid artifact
+    "q_embed_centroid_dist" -> ((s, d) =>
+      VectorOps.centroidDistances(emb(s, d), "embedding", "label")),
     // kNN label purity: per query label, how many of the 10 nearest
     // neighbors share it — the classifier-free embedding-quality probe
     // (a collapsed or shuffled embedding space scores at chance)
@@ -1086,6 +1091,16 @@ object SparkEntry {
         "p", "o"), minCommon = 2)
         .select(col("id_a").as("order_a"), col("id_b").as("order_b"),
           col("cn"), col("deg_a"), col("deg_b"))
+    }),
+    // 2-hop fan-out per node (GNN sampling budget): distance-2 counts
+    // from the same capped wedge candidates link prediction uses
+    "q_graph_twohop" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.twoHopStats(GraphAlgos.coOccurrenceCached(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"))
+        .select(col("node_id").as("order_id"), col("degree"), col("n_2hop"))
     }),
     // per-vertex degrees of the co-occurrence projection (the quick
     // structural profile that sizes skew guards before heavier passes)
@@ -2209,6 +2224,25 @@ object SparkEntry {
       "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
       "und AS (SELECT u AS s FROM ed UNION ALL SELECT v FROM ed) " +
       "SELECT s AS order_id, count(*) AS degree FROM und GROUP BY s"),
+    // distance-2 pair membership counts per node over the same wedge
+    // CTE, left-joined to degrees (isolated-from-2-hop nodes at 0)
+    "q_graph_twohop" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u AS a, v AS b FROM ed UNION SELECT v, u FROM ed), " +
+      "adj AS (SELECT DISTINCT b AS w, a AS u FROM und), " +
+      "cn AS (SELECT x.u AS id_a, y.u AS id_b FROM adj x " +
+      "JOIN adj y ON x.w = y.w AND x.u < y.u GROUP BY 1, 2), " +
+      "ne AS (SELECT cn.* FROM cn WHERE NOT EXISTS (SELECT 1 FROM ed " +
+      "WHERE ed.u = cn.id_a AND ed.v = cn.id_b)), " +
+      "two AS (SELECT n, count(*) AS n2 FROM (SELECT id_a AS n FROM ne " +
+      "UNION ALL SELECT id_b FROM ne) GROUP BY 1), " +
+      "dg AS (SELECT s AS n, count(*) AS d FROM " +
+      "(SELECT u AS s FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1) " +
+      "SELECT dg.n AS order_id, CAST(dg.d AS BIGINT) AS degree, " +
+      "CAST(coalesce(two.n2, 0) AS BIGINT) AS n_2hop " +
+      "FROM dg LEFT JOIN two ON two.n = dg.n"),
     // wedge pairs minus existing edges, with common-neighbor counts
     // and the same degree formulation as q_graph_degrees
     "q_graph_linkpred" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
@@ -3099,6 +3133,18 @@ object SparkEntry {
       "AND cum - c < CAST(ceil(p * n) AS BIGINT)"),
     // same integer centroid/distance recurrence; argmin = row_number
     // over (distance, label)
+    // the same quantized-centroid CTE, self-joined per dimension
+    "q_embed_centroid_dist" -> ("WITH e AS (SELECT vec_id, label, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +
+      "x AS (SELECT vec_id, label, UNNEST(vq) AS q, " +
+      "generate_subscripts(vq, 1) AS d FROM e), " +
+      "c AS (SELECT label AS clabel, d, sum(q) // count(*) AS cq " +
+      "FROM x GROUP BY 1, 2) " +
+      "SELECT CAST(a.clabel AS BIGINT) AS label_a, " +
+      "CAST(b.clabel AS BIGINT) AS label_b, " +
+      "CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS dist_sq " +
+      "FROM c a JOIN c b ON a.d = b.d AND a.clabel < b.clabel GROUP BY 1, 2"),
     "q_embed_centroid_cls" -> ("WITH e AS (SELECT vec_id, label, " +
       "list_transform(CAST(embedding AS DOUBLE[]), " +
       "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +

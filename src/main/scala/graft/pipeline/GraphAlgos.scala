@@ -413,6 +413,28 @@ object GraphAlgos {
       .select("id_a", "id_b", "cn", "deg_a", "deg_b")
   }
 
+  /** Per-node neighborhood fan-out profile: degree and the count of
+    * nodes at distance EXACTLY 2 — `(node_id, degree, n_2hop)`. THE
+    * sizing statistic for GNN neighbor sampling and ego-net feature
+    * budgets (2-hop fan-out decides whether full neighborhood
+    * aggregation fits or needs sampling). Reuses
+    * [[linkPredictionScores]]' capped wedge candidates: a distance-2
+    * pair is exactly a non-adjacent wedge pair, so n_2hop(u) = the
+    * number of such pairs containing u. Same hub discipline via
+    * `maxNeighborDf`.
+    */
+  def twoHopStats(edges: DataFrame,
+      maxNeighborDf: Int = Int.MaxValue): DataFrame = {
+    val lp = linkPredictionScores(edges, minCommon = 1, maxNeighborDf)
+    val two = lp.select(col("id_a").as("node_id"))
+      .unionAll(lp.select(col("id_b").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("n_2hop"))
+    degrees(edges)
+      .join(two, Seq("node_id"), "left")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+  }
+
   /** Sampled-source harmonic centrality: `hc_q(v) = Σ_s scale div
     * d(s, v)` over the seed sample (d > 0; the 1/0 term for v ∈ seeds
     * is 0 by the harmonic convention). With seeds a uniform sample,

@@ -1303,23 +1303,60 @@ object VectorOps {
     * distances via zip_with against literal centroid arrays, argmin
     * folded label-ascending. No join, no shuffle on the corpus side.
     */
+  /** Per-label µ-unit integer centroids (bounded labels×dim collect —
+    * a write-time artifact, like the IVF tables). Shared by the
+    * classify audit and the pairwise centroid-distance matrix.
+    */
+  private def quantizedCentroids(df: DataFrame, vecCol: String,
+      labelCol: String): Seq[(Int, Seq[Long])] = {
+    val centRows = df
+      .select(col(labelCol).as("_cl"),
+        posexplode(transform(col(vecCol), v =>
+          round(v.cast("double") * 1000000L).cast("long")))
+          .as(Seq("_d", "_q")))
+      .groupBy(col("_cl"), col("_d"))
+      .agg(expr("sum(_q) div count(1)").as("_cq"))
+      .collect()
+    centRows
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rows) => (l, rows.sortBy(_._2).map(_._3).toSeq) }
+      .sortBy(_._1)
+  }
+
+  /** Pairwise squared L2 distances between the per-label µ-unit
+    * integer centroids — `(label_a, label_b, dist_sq)`, a < b, exact
+    * longs. The label-geometry report behind cluster-merge /
+    * label-noise decisions: two labels whose centroids nearly coincide
+    * are candidates for merging (or evidence of label noise the kNN
+    * purity probe will also show). Labels×labels driver math over the
+    * bounded centroid artifact; zero additional scans.
+    */
+  def centroidDistances(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byLabel = quantizedCentroids(df, vecCol, labelCol)
+    val rows = for {
+      i <- byLabel.indices
+      j <- (i + 1) until byLabel.size
+    } yield {
+      val (la, ca) = byLabel(i); val (lb, cb) = byLabel(j)
+      var s = 0L; var d = 0
+      while (d < ca.length) {
+        val diff = ca(d) - cb(d); s += diff * diff; d += 1
+      }
+      (la.toLong, lb.toLong, s)
+    }
+    rows.toDF("label_a", "label_b", "dist_sq")
+  }
+
   def nearestCentroidClassify(df: DataFrame, idCol: String,
       vecCol: String, labelCol: String): DataFrame = {
     val q = df.select(col(idCol), col(labelCol),
       transform(col(vecCol), v =>
         round(v.cast("double") * 1000000L).cast("long")).as("_vq"))
-    val centRows = q
-      .select(col(labelCol).as("_cl"), posexplode(col("_vq")).as(Seq("_d", "_q")))
-      .groupBy(col("_cl"), col("_d"))
-      .agg(expr("sum(_q) div count(1)").as("_cq"))
-      .collect()
-    val byLabel: Seq[(Int, Seq[Long])] = centRows
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1).toSeq
-      .map { case (l, rows) =>
-        (l, rows.sortBy(_._2).map(_._3).toSeq)
-      }
-      .sortBy(_._1)
+    val byLabel = quantizedCentroids(df, vecCol, labelCol)
     if (byLabel.isEmpty)
       return df.select(col(idCol), lit(null).cast("int").as("pred_label"),
         lit(null).cast("boolean").as("correct")).where(lit(false))

@@ -1350,6 +1350,23 @@ class PipelineSpec extends GraftSuite {
       maxNeighborDf = 2).count() == 0)
   }
 
+  test("twoHopStats counts nodes at distance exactly 2") {
+    val s = spark
+    import s.implicits._
+    // square 1-2-3-4-1 with chord 1-3: only (2,4) is a distance-2 pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("id_a", "id_b")
+    val got = GraphAlgos.twoHopStats(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 0L)), 2L -> ((2L, 1L)),
+      3L -> ((3L, 0L)), 4L -> ((2L, 1L))), s"got $got")
+    // star: each leaf sees the other two leaves at distance 2, hub none
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    val st = GraphAlgos.twoHopStats(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(st == Map(10L -> 0L, 11L -> 2L, 12L -> 2L, 13L -> 2L), s"star: $st")
+  }
+
   test("containmentPairsCrossFused: only cross-split directional pairs") {
     val s = spark
     import s.implicits._

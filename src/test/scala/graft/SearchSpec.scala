@@ -158,6 +158,28 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("centroidDistances: exact integer label geometry, canonical pairs") {
+    val s = spark
+    import s.implicits._
+    // label 0 centroid = mean of (1,0) and (3,0) = (2e6, 0) in µ-units;
+    // label 1 = (0, 1e6); label 2 coincides with label 1
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(3.0f, 0.0f)),
+      (3L, 1, Seq(0.0f, 1.0f)),
+      (4L, 2, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = VectorOps.centroidDistances(df, "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e = 1000000L
+    assert(got == Map(
+      (0L, 1L) -> (2 * e * 2 * e + e * e),
+      (0L, 2L) -> (2 * e * 2 * e + e * e),
+      (1L, 2L) -> 0L), s"got $got")
+    // a single label has no pairs
+    assert(VectorOps.centroidDistances(
+      df.where(col("label") === 0), "embedding", "label").count() == 0)
+  }
+
   test("mmrRerank diversifies: near-duplicate of the top pick is deferred") {
     val s = spark
     import s.implicits._
