@@ -1382,6 +1382,14 @@ object SparkEntry {
         Seq("view", "click", "purchase"), horizonSec = 604800)
         .groupBy(col("steps_completed"))
         .agg(count(lit(1)).as("n_users"))),
+    // freshness-weighted popularity: exact integer decay table
+    // (scale * (9/10)^age_days, BigInt-derived literals) — none of
+    // pow(0.9, age)'s cross-engine float risk; reads through the
+    // events() ts-normalization helper like every other event query
+    "q_event_decay" -> ((s, d) =>
+      Temporal.decayedCounts(events(s, d),
+        "event_type", "ts", decayNum = 9, decayDen = 10,
+        scale = 1000000000L, maxAgeDays = 40)),
     // session co-visitation: unordered event-type pairs co-occurring
     // inside one session, counted across sessions — the recsys
     // "bought-together" matrix over the sessionize output; pairs ride
@@ -1408,13 +1416,6 @@ object SparkEntry {
     // volume-spike days per event type: daily counts vs 1.2x the
     // per-type exact median (integer cross-multiplication, and the
     // median comes from the count-histogram quantile op — composition)
-    // freshness-weighted popularity: exact integer decay table
-    // (scale * (9/10)^age_days, BigInt-derived literals) — none of
-    // pow(0.9, age)'s cross-engine float risk
-    "q_event_decay" -> ((s, d) =>
-      Temporal.decayedCounts(s.read.parquet(s"$d/events.parquet"),
-        "event_type", "ts", decayNum = 9, decayDen = 10,
-        scale = 1000000000L, maxAgeDays = 40)),
     "q_event_spikes" -> ((s, d) => {
       val daily = events(s, d)
         .select(col("event_type"),

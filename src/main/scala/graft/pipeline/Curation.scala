@@ -222,7 +222,9 @@ object Curation {
 
   /** Leakage-safe split: like [[splitAssign]], but the hash key is the
     * doc's near-dup CLUSTER representative (`clusters` =
-    * `(idCol, cluster_id)` from `Dedup.dupClusters`), so every member
+    * `(doc_id, cluster_id)` exactly as `Dedup.dupClusters` emits —
+    * the frame's id column is named `doc_id` regardless of this
+    * df's `idCol`), so every member
     * of a near-dup cluster lands in the SAME split — the guard against
     * test-set contamination through paraphrase/boilerplate twins that
     * a per-doc hash split cannot give. Docs outside any cluster key on

@@ -405,7 +405,14 @@ object GraphAlgos {
       .agg(count(lit(1)).as("cn"))
       .where(col("cn") >= minCommon)
     val deg = degrees(edges)
-    cn.join(edges.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    // anti-join against ORIENTATION-CANONICALIZED edges: cn pairs are
+    // emitted id_a < id_b, so an edge stored as (b, a) must still
+    // exclude its pair (every other op here normalizes via the und
+    // union; the anti-join needs the same discipline)
+    val canonEdges = edges.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"))
+    cn.join(canonEdges, Seq("id_a", "id_b"), "left_anti")
       .join(deg.select(col("node_id").as("id_a"), col("degree").as("deg_a")),
         "id_a")
       .join(deg.select(col("node_id").as("id_b"), col("degree").as("deg_b")),

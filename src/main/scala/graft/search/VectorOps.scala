@@ -476,6 +476,12 @@ object VectorOps {
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
       math.sqrt(s)
     }
+    // degenerate candidates (zero-norm vector -> NaN cosines, or NaN
+    // relevance) are never pickable: without the gate a zero vector's
+    // redundancy term stays -Infinity forever (NaN never updates the
+    // running max) and it would hijack the second pick with a +Inf
+    // score — and an all-NaN pool would leave argmax at -1 and crash
+    val valid = Array.tabulate(n)(i => norms(i) > 0.0 && !p(i)._3.isNaN)
     def cos(a: Int, b: Int): Double = {
       val va = p(a)._2; val vb = p(b)._2
       var s = 0.0; var i = 0
@@ -489,27 +495,31 @@ object VectorOps {
     val taken = Array.fill(n)(false)
     val picks = Array.newBuilder[(Long, Long)]
     var step = 0
-    while (step < math.min(k, n)) {
+    var exhausted = false
+    while (step < math.min(k, n) && !exhausted) {
       var best = -1; var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < n) {
-        if (!taken(i)) {
+        if (!taken(i) && valid(i)) {
           val red = if (step == 0) 0.0 else maxSim(i)
           val sc = lambda * p(i)._3 - (1.0 - lambda) * red
           if (sc > bestScore) { best = i; bestScore = sc } // ascending-id
         }                                                  // scan: first
         i += 1                                             // wins ties
       }
-      taken(best) = true
-      step += 1
-      picks += ((p(best)._1, step.toLong))
-      var j = 0
-      while (j < n) {
-        if (!taken(j)) {
-          val s = cos(j, best)
-          if (s > maxSim(j)) maxSim(j) = s
+      if (best < 0) exhausted = true // only degenerates remain
+      else {
+        taken(best) = true
+        step += 1
+        picks += ((p(best)._1, step.toLong))
+        var j = 0
+        while (j < n) {
+          if (!taken(j) && valid(j)) {
+            val s = cos(j, best)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
         }
-        j += 1
       }
     }
     spark.createDataFrame(picks.result().toSeq).toDF(idCol, "mmr_rank")

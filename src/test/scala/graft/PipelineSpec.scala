@@ -1348,6 +1348,14 @@ class PipelineSpec extends GraftSuite {
     // maxNeighborDf drops the hub's wedge fan entirely
     assert(GraphAlgos.linkPredictionScores(star,
       maxNeighborDf = 2).count() == 0)
+    // an edge stored in REVERSED orientation still excludes its pair:
+    // triangle 1-2-3 with the closing edge stored as (3,1) has no
+    // distance-2 non-edges at all
+    val rev = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    assert(GraphAlgos.linkPredictionScores(rev).count() == 0,
+      "reversed-orientation edge must still be excluded")
+    assert(GraphAlgos.twoHopStats(rev).collect()
+      .forall(_.getLong(2) == 0L), "triangle has no distance-2 nodes")
   }
 
   test("twoHopStats counts nodes at distance exactly 2") {

@@ -218,6 +218,19 @@ class SearchSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       VectorOps.mmrRerank(big, "id", "v", "rel", k = 3, maxPool = 10)
     }
+    // degenerate candidates (zero-norm vector -> NaN cosines) are never
+    // pickable and cannot hijack a pick with an unpenalized score
+    val degen = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.9),
+      (2L, Seq(0.0f, 0.0f), 0.99), // zero norm, top relevance
+      (3L, Seq(0.0f, 1.0f), 0.3)
+    ).toDF("id", "v", "rel")
+    val dg = VectorOps.mmrRerank(degen, "id", "v", "rel", k = 3)
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(dg == Seq(1L, 3L), s"zero-norm candidate must be skipped: $dg")
+    // an all-degenerate pool returns empty instead of crashing
+    assert(VectorOps.mmrRerank(degen.where(col("id") === 2),
+      "id", "v", "rel", k = 2).count() == 0)
   }
 
   test("Hybrid.rrfFuse: quantized RRF sums, cross-list promotion, tie-break") {
