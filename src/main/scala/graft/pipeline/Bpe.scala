@@ -205,13 +205,15 @@ object Bpe {
   /** [[trainMerges]] memoized per (canonicalized source plan, text
     * column, k) — the merge table is a write-time artifact of the
     * corpus (like IVF centroids or BM25 postings), not something to
-    * retrain per query. Keyed on the canonicalized plan, so the bench
-    * warm-up invariant holds (sf0.001 and sf0.1 scans key apart).
+    * retrain per query. Keyed on Dedup.planKey (canonical plan + file
+    * root paths + local-data digest): a bare canonicalized string
+    * makes two same-schema corpora from DIFFERENT directories key
+    * together and silently share a merge table.
     */
   def trainMergesCached(docs: DataFrame, textCol: String,
       k: Int): Seq[(Int, String, String)] =
     mergeCache.computeIfAbsent(
-      docs.queryExecution.analyzed.canonicalized.toString + "|" + textCol + "|" + k,
+      Dedup.planKey(docs) + "|" + textCol + "|" + k,
       _ => trainMerges(docs, textCol, k))
 
   private val mergeCache =
@@ -400,8 +402,7 @@ object Bpe {
   def trainByteMergesCached(docs: DataFrame, textCol: String,
       k: Int): Seq[(Int, String, String)] =
     mergeCache.computeIfAbsent(
-      "bytes|" + docs.queryExecution.analyzed.canonicalized.toString +
-        "|" + textCol + "|" + k,
+      "bytes|" + Dedup.planKey(docs) + "|" + textCol + "|" + k,
       _ => trainByteMerges(docs, textCol, k))
 
   /** Per-doc BYTE-LEVEL BPE token count — the budget production

@@ -252,7 +252,11 @@ object Dedup {
     * corpus's positions).
     */
   private[graft] def planKey(df: DataFrame): String = {
-    val canon = df.queryExecution.logical.canonicalized
+    // ANALYZED, not logical: Spark 4 defers source resolution, so a
+    // raw read's logical plan is one `UnresolvedDataSource ... paths:
+    // 1 provided` node — EVERY parquet read of any path stringifies
+    // identically there
+    val canon = df.queryExecution.analyzed.canonicalized
     // 128-bit MD5 over the rows' string forms plus the row count — a
     // 32-bit Seq.hashCode would make two same-schema in-memory frames
     // collide at birthday-bound odds and silently share an artifact
@@ -263,8 +267,25 @@ object Dedup {
         lr.data.length.toString + ":" +
           md.digest().map("%02x".format(_)).mkString
     }
-    if (localData.isEmpty) canon.toString
-    else canon.toString + localData.mkString("|local:", ",", "")
+    // a LogicalRelation's canonical string does NOT include its file
+    // paths — two same-schema parquet reads of DIFFERENT directories
+    // canonicalize identically, so any plan-keyed artifact cache
+    // would silently serve one corpus's shingles/signatures to the
+    // other within a session (observed: an sf0.1 artifact answered an
+    // sf1 corpus's query). Append every file relation's root paths.
+    val fileData = canon.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2.table.name()
+    }
+    canon.toString +
+      (if (localData.isEmpty) "" else localData.mkString("|local:", ",", "")) +
+      (if (fileData.isEmpty) "" else fileData.mkString("|files:", ",", ""))
   }
 
   /** `eager = false` skips the materializing count on a cache MISS —
@@ -609,11 +630,20 @@ object Dedup {
       idCol: String, isNewBatch: Column => Column, n: Int,
       num: Int, den: Int): DataFrame = {
     val ss = shingleHashSetCached(all, textCol, idCol, n)
-    val j = crossInterSizes(ss.where(!isNewBatch(col("_did"))),
-      ss.where(isNewBatch(col("_did"))))
-    val aInB = j.where(col("_inter") * den >= col("_sza") * num)
+    val arr = shingleArrayCached(all, textCol, idCol, n)
+    val cands = prefixFilteredCrossCands(
+      ss.where(!isNewBatch(col("_did"))),
+      ss.where(isNewBatch(col("_did"))), num, den)
+    val j = cands
+      .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
+      .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
+      .withColumn("_inter",
+        size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
+    val aInB = j
+      .where(col("_inter") * den >= size(col("_seta")).cast("long") * num)
       .select(col("id_a").as("id_in"), col("id_b").as("id_sup"))
-    val bInA = j.where(col("_inter") * den >= col("_szb") * num)
+    val bInA = j
+      .where(col("_inter") * den >= size(col("_setb")).cast("long") * num)
       .select(col("id_b").as("id_in"), col("id_a").as("id_sup"))
     Scratch.stable(aInB.unionAll(bInA))
   }
@@ -1068,13 +1098,83 @@ object Dedup {
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSetCached(df, textCol, idCol, n)
     val arr = shingleArrayCached(df, textCol, idCol, n)
-    // candidates = distinct pairs sharing >= 1 (df-capped) shingle —
-    // boundedKeyPairs' maxKeyDf drops hotter shingles before any
-    // aggregation, so the hot-shingle blow-up never materializes;
-    // verification is then exact against FULL shingle arrays either way
-    val cands = boundedKeyPairs(ss, Seq("_sh"), "_did",
-      maxKeyDf = maxShingleDf).distinct()
+    // prefix-filtered candidates (lossless: J >= num/den implies
+    // containment >= num/den of each side — see prefixFilteredCands);
+    // verification is exact against FULL shingle arrays either way
+    val cands = prefixFilteredCands(ss, num, den, maxShingleDf)
     Scratch.stable(verifyJaccard(cands, arr, num, den))
+  }
+
+  /** PPJoin-style PREFIX-FILTERED candidate pairs (Xiao, Wang, Lin &
+    * Yu, WWW 2008): rank each doc's shingles in a GLOBAL canonical
+    * order (df asc, hash asc) and probe only the doc's first
+    * `floor(|S| · (den-num)/den) + 1` — its rarest — shingles against
+    * the full inverted index. LOSSLESS for any gate that implies
+    * containment `>= num/den` of at least one side (both directional
+    * containment and Jaccard `>= num/den`, since
+    * `J <= |A∩B|/|A|`): a passing pair misses at most
+    * `(1 - num/den)·|A|` of A's shingles, so by pigeonhole one PREFIX
+    * shingle of A is in B. The candidate set is therefore a SUBSET of
+    * the all-shared-shingles set with identical verified output — but
+    * the probes are each doc's RAREST shingles, so the
+    * `Σ df²` hot-shingle quadratic collapses to `Σ_prefix df`.
+    * Measured: exact containment on a 10×-duplicated 50k-doc corpus
+    * fell from 531 s (all-shared-shingle candidates) to seconds.
+    * `maxKeyDf` still applies to the index side as the stop-word
+    * discipline (that part stays potentially lossy, as documented on
+    * every caller).
+    */
+  private def prefixFilteredCands(ss: DataFrame, num: Int, den: Int,
+      maxKeyDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = ss.groupBy(col("_sh")).agg(count(lit(1)).as("_dfq"))
+    val capped =
+      if (maxKeyDf == Int.MaxValue) ss.join(dfreq, "_sh")
+      else ss.join(dfreq.where(col("_dfq") <= maxKeyDf), "_sh")
+    val ranked = capped.withColumn("_rk",
+      row_number().over(
+        Window.partitionBy(col("_did")).orderBy(col("_dfq"), col("_sh"))))
+    val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
+    val probe = ranked.join(sizes, "_did")
+      .where(col("_rk") <=
+        expr(s"(_sz * ${den - num}) div $den") + 1)
+      .select(col("_sh"), col("_did").as("_probe"))
+    probe
+      .join(capped.select(col("_sh"), col("_did").as("_other")), Seq("_sh"))
+      .where(col("_probe") =!= col("_other"))
+      .select(least(col("_probe"), col("_other")).as("id_a"),
+        greatest(col("_probe"), col("_other")).as("id_b"))
+      .distinct()
+  }
+
+  /** Cross-corpus form of [[prefixFilteredCands]]: A-side prefixes
+    * probe B's full index and vice versa (a passing pair implies
+    * containment of at least one side, whose prefix then hits the
+    * other side's index). Output `(id_a, id_b)` distinct with id_a
+    * from `ssA`, id_b from `ssB`. The canonical shingle order uses
+    * the UNION df (order choice affects pruning, not correctness).
+    */
+  private def prefixFilteredCrossCands(ssA: DataFrame, ssB: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = ssA.unionAll(ssB).groupBy(col("_sh"))
+      .agg(count(lit(1)).as("_dfq"))
+    def probesOf(ss: DataFrame): DataFrame = {
+      val ranked = ss.join(dfreq, "_sh").withColumn("_rk",
+        row_number().over(
+          Window.partitionBy(col("_did")).orderBy(col("_dfq"), col("_sh"))))
+      val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
+      ranked.join(sizes, "_did")
+        .where(col("_rk") <= expr(s"(_sz * ${den - num}) div $den") + 1)
+        .select(col("_sh"), col("_did"))
+    }
+    val aProbesB = probesOf(ssA).withColumnRenamed("_did", "id_a")
+      .join(ssB.select(col("_sh"), col("_did").as("id_b")), Seq("_sh"))
+    val bProbesA = probesOf(ssB).withColumnRenamed("_did", "id_b")
+      .join(ssA.select(col("_sh"), col("_did").as("id_a")), Seq("_sh"))
+    aProbesB.select("id_a", "id_b")
+      .unionAll(bProbesA.select("id_a", "id_b"))
+      .distinct()
   }
 
   /** ASYMMETRIC shingle containment pairs: `(id_in, id_sup)` where
@@ -1095,8 +1195,7 @@ object Dedup {
       num: Int, den: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val ss = shingleHashSetCached(df, textCol, idCol, n)
     val arr = shingleArrayCached(df, textCol, idCol, n)
-    val cands = boundedKeyPairs(ss, Seq("_sh"), "_did",
-      maxKeyDf = maxShingleDf).distinct()
+    val cands = prefixFilteredCands(ss, num, den, maxShingleDf)
     val j = cands
       .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
       .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")

@@ -1358,6 +1358,34 @@ class PipelineSpec extends GraftSuite {
       .forall(_.getLong(2) == 0L), "triangle has no distance-2 nodes")
   }
 
+  test("plan-keyed caches key apart two same-schema corpora from different paths") {
+    val s = spark
+    import s.implicits._
+    // a LogicalRelation's canonical string has NO file path: before the
+    // planKey fix, corpus B silently served corpus A's cached shingle
+    // artifact and BPE merge table (observed live: an sf0.1 artifact
+    // answered an sf1 corpus — pair counts froze at the wrong corpus's)
+    val base = java.nio.file.Files.createTempDirectory("keyfix").toString
+    Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma x y"))
+      .toDF("doc_id", "text").write.parquet(s"$base/a")
+    Seq((1L, "one two three four five"), (2L, "six seven eight nine ten"),
+      (3L, "one two three four five"))
+      .toDF("doc_id", "text").write.parquet(s"$base/b")
+    val (da, db) = (s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b"))
+    assert(Dedup.planKey(da) != Dedup.planKey(db),
+      "same-schema reads of different paths must key apart")
+    Dedup.clearShingleCache()
+    val ca = Dedup.shingleHashSetCached(da, "text", "doc_id", 3).count()
+    val cb = Dedup.shingleHashSetCached(db, "text", "doc_id", 3).count()
+    // corpus b: 3 docs x 3 shingles, doc 3 duplicating doc 1's rows
+    assert(ca == 6 && cb == 9,
+      s"cached artifacts cross-served between corpora: a=$ca b=$cb")
+    // the BPE merge cache keys the same way
+    val ma = graft.pipeline.Bpe.trainMergesCached(da, "text", 3)
+    val mb = graft.pipeline.Bpe.trainMergesCached(db, "text", 3)
+    assert(ma != mb, "merge tables cross-served between corpora")
+  }
+
   test("twoHopStats counts nodes at distance exactly 2") {
     val s = spark
     import s.implicits._
