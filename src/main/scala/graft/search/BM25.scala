@@ -136,11 +136,27 @@ object BM25 {
     * INTERPRETED per token and measured ~6 s where this plan is
     * sub-second at sf0.1.
     */
+  /** Superset pre-filter for the positional scans: every token
+    * [[tokenize]] emits is a contiguous substring of `lower(text)`
+    * (the split on `[^a-z0-9]+` does no further normalization), so
+    * requiring the lowered text to CONTAIN each query term keeps
+    * every doc whose token list has all of them. The positional
+    * posexplode then runs over the matching sliver instead of the
+    * corpus — the contains pass is one codegen'd scan, and the
+    * sliver is what a term-partitioned positional index would hand
+    * a 1000-executor cluster anyway.
+    */
+  private def containsAllTerms(df: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame =
+    df.where(terms.distinct
+      .map(t => contains(lower(col(textCol)), lit(t)))
+      .reduce(_ && _))
+
   def phraseTopK(df: DataFrame, textCol: String, phrase: String,
       k: Int): DataFrame = {
     val terms = tokenize(phrase)
     require(terms.nonEmpty, "empty phrase")
-    val pos = ensurePar(df)
+    val pos = ensurePar(containsAllTerms(df, textCol, terms))
       .select(col("_id"),
         posexplode(graft.pipeline.TextAnalysis.tokens(col(textCol)))
           .as(Seq("_p", "_w")))
@@ -172,7 +188,7 @@ object BM25 {
       s"nearTopK takes single terms, got '$termA' / '$termB'")
     require(ta.head != tb.head, "NEAR of a term with itself is degenerate")
     require(window >= 1, s"window must be >= 1, got $window")
-    val pos = ensurePar(df)
+    val pos = ensurePar(containsAllTerms(df, textCol, Seq(ta.head, tb.head)))
       .select(col("_id"),
         posexplode(graft.pipeline.TextAnalysis.tokens(col(textCol)))
           .as(Seq("_p", "_w")))
