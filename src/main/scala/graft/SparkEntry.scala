@@ -1051,6 +1051,19 @@ object SparkEntry {
         "p", "o"))
         .select(col("node_id").as("order_id"), col("component_id"))
     }),
+    // synchronous deterministic label propagation (3 rounds, most
+    // frequent neighbor label, ties to the smaller) over the same
+    // co-occurrence projection as q_graph_cc — communities are the
+    // mesoscale between components and per-vertex scores; the oracle
+    // unrolls the three rounds as MATERIALIZED argmax CTEs
+    "q_graph_lpa" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.labelPropagation(GraphAlgos.coOccurrenceCached(
+        li.where(col("l_partkey") % 200 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), rounds = 3)
+        .select(col("node_id").as("order_id"), col("community_id"))
+    }),
     // multi-source BFS hop distances from the 2 smallest projection
     // vertices, depth-capped; the oracle walks the same frontier via a
     // recursive CTE and takes min(dist)
@@ -1475,6 +1488,26 @@ object SparkEntry {
     "q_embed_centroid_cls" -> ((s, d) =>
       VectorOps.nearestCentroidClassify(emb(s, d), "vec_id",
         "embedding", "label")),
+    // integer-exact Lloyd's k-means (k=8, 2 update rounds): md5-seeded,
+    // µ-unit integer distances and truncating-div means, ties to the
+    // lower cluster — the replay-exact topic-clustering primitive; the
+    // oracle unrolls both rounds as MATERIALIZED CTEs
+    "q_embed_kmeans" -> ((s, d) =>
+      VectorOps.kmeansQuantized(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
+    // SEMANTIC decontamination: eval set = micro-jittered copies of
+    // every 23rd embedding (a paraphrased eval item: no shared n-gram,
+    // nearly unmoved embedding); corpus rows within cosine 0.9 of any
+    // eval row are flagged through the broadcast-eval streaming scan
+    "q_embed_decontam_sem" -> ((s, d) => {
+      val e = emb(s, d)
+      val evalSet = e.where(col("vec_id") % 23 === 0)
+        .select(transform(col("embedding"), (x, i) =>
+          when(i < 2, x.cast("double") + 0.001)
+            .otherwise(x.cast("double"))).as("embedding"))
+      Decontam.semanticContamination(e, evalSet, "embedding", "vec_id",
+        minCos = 0.9)
+    }),
     // snapshot diff between two synthetic corpus versions: v1 = even
     // ids, v2 = ids not divisible by 3 with every 5th text perturbed —
     // exercises all four statuses; output is the per-status census
@@ -2180,6 +2213,28 @@ object SparkEntry {
       "(SELECT a AS order_id FROM tri UNION ALL SELECT b FROM tri " +
       "UNION ALL SELECT c FROM tri) GROUP BY 1"),
     // reach-CTE closure labels each vertex with its component minimum
+    // three synchronous LPA rounds unrolled: per-round neighbor-label
+    // counts, argmax with (count DESC, label) determinism via QUALIFY
+    "q_graph_lpa" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem WHERE l_partkey % 200 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS MATERIALIZED (SELECT u, v FROM ed " +
+      "UNION ALL SELECT v AS u, u AS v FROM ed), " +
+      "l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM und), " +
+      "c1 AS (SELECT und.u AS n, l.lbl AS lbl, count(*) AS c " +
+      "FROM und JOIN l0 l ON und.v = l.n GROUP BY 1, 2), " +
+      "l1 AS MATERIALIZED (SELECT n, lbl FROM c1 QUALIFY row_number() " +
+      "OVER (PARTITION BY n ORDER BY c DESC, lbl) = 1), " +
+      "c2 AS (SELECT und.u AS n, l.lbl AS lbl, count(*) AS c " +
+      "FROM und JOIN l1 l ON und.v = l.n GROUP BY 1, 2), " +
+      "l2 AS MATERIALIZED (SELECT n, lbl FROM c2 QUALIFY row_number() " +
+      "OVER (PARTITION BY n ORDER BY c DESC, lbl) = 1), " +
+      "c3 AS (SELECT und.u AS n, l.lbl AS lbl, count(*) AS c " +
+      "FROM und JOIN l2 l ON und.v = l.n GROUP BY 1, 2), " +
+      "l3 AS (SELECT n, lbl FROM c3 QUALIFY row_number() " +
+      "OVER (PARTITION BY n ORDER BY c DESC, lbl) = 1) " +
+      "SELECT n AS order_id, lbl AS community_id FROM l3"),
     "q_graph_cc" -> ("WITH RECURSIVE e0 AS (SELECT DISTINCT l_orderkey AS o, " +
       "l_partkey AS p FROM lineitem WHERE l_partkey % 200 = 0), " +
       "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
@@ -3146,6 +3201,52 @@ object SparkEntry {
       "CAST(b.clabel AS BIGINT) AS label_b, " +
       "CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS dist_sq " +
       "FROM c a JOIN c b ON a.d = b.d AND a.clabel < b.clabel GROUP BY 1, 2"),
+    // both Lloyd rounds unrolled: md5-ordered seeds, exact integer
+    // distances, trunc-div means, empty clusters coalesce to their
+    // previous centroid; final assignment against the round-2 centroids
+    "q_embed_kmeans" -> ("WITH qv AS (SELECT vec_id, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +
+      "x AS MATERIALIZED (SELECT vec_id, UNNEST(vq) AS q, " +
+      "generate_subscripts(vq, 1) AS d FROM qv), " +
+      "sd AS (SELECT vec_id, row_number() OVER " +
+      "(ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl FROM qv), " +
+      "c0 AS MATERIALIZED (SELECT sd.cl, x.d, x.q AS cq FROM sd " +
+      "JOIN x ON sd.vec_id = x.vec_id WHERE sd.cl < 8), " +
+      "d1 AS (SELECT x.vec_id, c.cl, " +
+      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+      "FROM x JOIN c0 c ON x.d = c.d GROUP BY 1, 2), " +
+      "a1 AS MATERIALIZED (SELECT vec_id, cl FROM d1 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      "s1 AS (SELECT a.cl, x.d, sum(x.q) // count(*) AS cq " +
+      "FROM a1 a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2), " +
+      "c1 AS MATERIALIZED (SELECT c0.cl, c0.d, " +
+      "coalesce(s1.cq, c0.cq) AS cq FROM c0 LEFT JOIN s1 " +
+      "ON c0.cl = s1.cl AND c0.d = s1.d), " +
+      "d2 AS (SELECT x.vec_id, c.cl, " +
+      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+      "FROM x JOIN c1 c ON x.d = c.d GROUP BY 1, 2), " +
+      "a2 AS MATERIALIZED (SELECT vec_id, cl FROM d2 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      "s2 AS (SELECT a.cl, x.d, sum(x.q) // count(*) AS cq " +
+      "FROM a2 a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2), " +
+      "c2 AS MATERIALIZED (SELECT c1.cl, c1.d, " +
+      "coalesce(s2.cq, c1.cq) AS cq FROM c1 LEFT JOIN s2 " +
+      "ON c1.cl = s2.cl AND c1.d = s2.d), " +
+      "d3 AS (SELECT x.vec_id, c.cl, " +
+      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+      "FROM x JOIN c2 c ON x.d = c.d GROUP BY 1, 2) " +
+      "SELECT vec_id, cl AS cluster FROM d3 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1"),
+    // the paraphrase-decontam gate: jittered every-23rd-row eval set,
+    // exact double cosine against the full corpus
+    "q_embed_decontam_sem" -> ("WITH ev AS (SELECT " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "(x, i) -> CASE WHEN i <= 2 THEN x + 0.001 ELSE x END) AS v " +
+      "FROM embeddings WHERE vec_id % 23 = 0) " +
+      "SELECT DISTINCT a.vec_id FROM embeddings a JOIN ev " +
+      "ON list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), ev.v) " +
+      ">= 0.9"),
     "q_embed_centroid_cls" -> ("WITH e AS (SELECT vec_id, label, " +
       "list_transform(CAST(embedding AS DOUBLE[]), " +
       "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +

@@ -88,4 +88,20 @@ object Decontam {
       .where(col("n_hit") >= maxHits).select(idCol)
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination: corpus rows whose EMBEDDING is within
+    * `minCos` cosine of any evaluation embedding — the paraphrase arm
+    * of decontamination. The shingle arm above catches verbatim
+    * n-gram leakage; a reworded eval item shares no 13-gram with its
+    * source, but its embedding barely moves, which is exactly what a
+    * cosine gate sees. Scale shape mirrors the shingle arm: the eval
+    * side is benchmark-sized and broadcast (with its norms), the
+    * corpus streams one scan with no shuffle and per-row first-hit
+    * early exit ([[graft.search.VectorOps.cosineFlagsBroadcast]]).
+    * Returns the flagged ids, one row each.
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      vecCol: String, idCol: String, minCos: Double): DataFrame =
+    graft.search.VectorOps.cosineFlagsBroadcast(
+      corpus, evalSet, vecCol, idCol, minCos)
 }

@@ -124,6 +124,54 @@ object GraphAlgos {
     Dedup.dupClustersStar(edges)
       .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * made deterministic): every vertex starts labeled with its own id;
+    * each round every vertex SIMULTANEOUSLY adopts the label most
+    * frequent among its neighbors' previous-round labels, ties broken
+    * toward the SMALLER label. Returns `(node_id, community_id)` after
+    * `rounds` rounds — communities are denser-than-cut vertex groups,
+    * the mesoscale between [[connectedComponents]] (pure reachability)
+    * and per-vertex scores, and the grouping a curation pipeline
+    * balances topical graph neighborhoods with.
+    *
+    * The classic algorithm breaks frequency ties RANDOMLY and updates
+    * asynchronously in a shuffled vertex order — neither survives a
+    * distributed replay. Synchronous rounds + the min-label tie rule
+    * make every round one join + two aggregations with a bit-identical
+    * result at any partitioning (`max_by` over the (count, -label)
+    * struct is an associative argmax with distinct orderings). Fixed
+    * `rounds` keeps the plan data-independent; label oscillation (the
+    * known bipartite two-coloring flip of synchronous LPA) is bounded,
+    * not divergent, so a small fixed budget is the standard remedy.
+    * Per-round cost is degree-sum rows through one shuffle — the same
+    * shape as a [[pageRank]] iteration, with the same every-4th-round
+    * lineage cut.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val store = new Scratch.FrameStore(edges.sparkSession)
+    val und = store.keep(
+      edges.select(col("id_a").as("_u"), col("id_b").as("_v"))
+        .unionAll(edges.select(col("id_b").as("_u"), col("id_a").as("_v"))))
+    var labels = und.select(col("_u").as("node_id")).distinct()
+      .withColumn("_lbl", col("node_id"))
+    var it = 0
+    while (it < rounds) {
+      val next = und
+        .join(labels.select(col("node_id").as("_v"), col("_lbl")), "_v")
+        .groupBy(col("_u"), col("_lbl"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("_u").as("node_id"))
+        .agg(max_by(col("_lbl"), struct(col("_c"), -col("_lbl"))).as("_lbl"))
+      it += 1
+      labels = if (it % 4 == 0 && it < rounds) store.keep(next) else next
+    }
+    val out = Scratch.stable(
+      labels.select(col("node_id"), col("_lbl").as("community_id")))
+    store.release()
+    out
+  }
+
   /** Per-vertex triangle participation counts: `(node_id, triangles)`
     * — how many triangles each vertex is a corner of. Vertices in no
     * triangle don't appear.

@@ -1386,4 +1386,112 @@ object VectorOps {
     staged.select(col(idCol), pred.as("pred_label"),
       (pred === col(labelCol)).as("correct"))
   }
+
+  /** Integer-exact distributed Lloyd's k-means over µ-unit quantized
+    * vectors: deterministic md5-ordered seeding, `iters` synchronous
+    * rounds of (argmin assignment, per-dim integer-mean update), ties
+    * toward the LOWER cluster id, empty clusters keep their previous
+    * centroid. Returns `(idCol, cluster)` with cluster in `0 until k`
+    * numbered by seed order.
+    *
+    * Every distance and mean is exact long arithmetic (µ-unit diffs
+    * squared; `sum div count` truncating division), so the final
+    * assignment is bit-identical at any partitioning and replayable in
+    * an external engine — the topic-clustering primitive a curation
+    * pipeline balances domains with (cluster, then sample or cap per
+    * cluster), distinct from [[trainIvf]] (double math, recall-gated
+    * serving, not replay-exact). Per round: one codegen'd
+    * staged-distance scan + one groupBy collapsing to k×dim rows; the
+    * centroid table (k×dim longs) is the only driver state, exactly
+    * the bounded-artifact shape the IVF trainer already uses.
+    */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = df.select(col(idCol).cast("long").as("_kid"),
+      transform(col(vecCol), v =>
+        round(v.cast("double") * 1000000L).cast("long")).as("_vq"))
+    val seedRows = q
+      .orderBy(md5(col("_kid").cast("string")), col("_kid"))
+      .limit(k).select(col("_vq")).collect()
+    require(seedRows.length == k,
+      s"k=$k exceeds the ${seedRows.length} distinct input rows")
+    var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
+    def assign(c: Array[Seq[Long]]): DataFrame = {
+      val distCols = c.indices.map { j =>
+        aggregate(
+          zip_with(col("_vq"), typedLit(c(j)), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as(s"_dist_$j")
+      }
+      val staged = q.select(Seq(col("_kid"), col("_vq")) ++ distCols: _*)
+      val init = (lit(0), col("_dist_0"))
+      val (cl, _) = (1 until c.length).foldLeft(init) { case ((bj, bd), j) =>
+        val d = col(s"_dist_$j")
+        (when(d < bd, lit(j)).otherwise(bj), when(d < bd, d).otherwise(bd))
+      }
+      staged.select(col("_kid"), col("_vq"), cl.cast("long").as("_cl"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assign(cents)
+        .select(col("_cl"), posexplode(col("_vq")).as(Seq("_d", "_q")))
+        .groupBy(col("_cl"), col("_d"))
+        .agg(expr("sum(_q) div count(1)").as("_cq"))
+        .collect()
+      val byCl = sums
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (j, rows) => (j, rows.sortBy(_._2).map(_._3).toSeq) }
+      cents = Array.tabulate(k)(j => byCl.getOrElse(j, cents(j)))
+    }
+    assign(cents).select(col("_kid").as(idCol), col("_cl").as("cluster"))
+  }
+
+  /** Cross-frame cosine contamination flags: the ids of `corpus` rows
+    * within `threshold` cosine of ANY `evalSet` row. The eval side
+    * collects bounded by `maxEval` (it is benchmark-sized by the same
+    * contract as the shingle-decontam broadcast — refuse, don't spill,
+    * past the cap) and broadcasts with precomputed norms; the corpus
+    * streams through one mapPartitions scan with no shuffle and no
+    * corpus-side collect, early-exiting each row on its first hit.
+    * [[graft.pipeline.Decontam.semanticContamination]] is the caller.
+    */
+  def cosineFlagsBroadcast(corpus: DataFrame, evalSet: DataFrame,
+      vecCol: String, idCol: String, threshold: Double,
+      maxEval: Int = 1 << 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def dbl(df: DataFrame, cols: Column*) =
+      df.select(cols :+ transform(col(vecCol), x => x.cast("double")).as("_v"): _*)
+    val ev = dbl(evalSet).select(col("_v"))
+      .as[Array[Double]].limit(maxEval + 1).collect()
+    require(ev.length <= maxEval,
+      s"eval side exceeds $maxEval rows — not benchmark-sized; shard it")
+    val bc = spark.sparkContext.broadcast(ev)
+    val bn = spark.sparkContext.broadcast(ev.map { v =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      math.sqrt(n)
+    })
+    dbl(corpus, col(idCol).cast("long").as("_cid"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val r = bc.value; val rn = bn.value
+        it.filter { case (_, va) =>
+          var na = 0.0; var i = 0
+          while (i < va.length) { na += va(i) * va(i); i += 1 }
+          val sna = math.sqrt(na)
+          var hit = false; var j = 0
+          while (!hit && j < r.length) {
+            val vb = r(j)
+            var d = 0.0; var kk = 0
+            while (kk < va.length) { d += va(kk) * vb(kk); kk += 1 }
+            hit = d / (sna * rn(j)) >= threshold
+            j += 1
+          }
+          hit
+        }
+      }
+      .map(_._1).toDF(idCol)
+  }
 }

@@ -1521,6 +1521,42 @@ class PipelineSpec extends GraftSuite {
     assert(rep(7L) == "w w", s"got ${rep(7L)}")
   }
 
+  test("labelPropagation: two bridged triangles split into their communities") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; the
+    // 3-round synchronous walk with the min-label tie rule lands on
+    // community 1 for the left triangle and 3 for the right —
+    // hand-walked round by round (round 1: 2,1,1,3,4,4; round 2:
+    // 1,1,1,4,3,3; round 3: 1,1,1,3,3,3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = GraphAlgos.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"communities must match the hand walk: $got")
+    // rounds=0 is the identity labeling
+    val id0 = GraphAlgos.labelPropagation(edges, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L), s"rounds=0 must be identity: $id0")
+    // labels never cross a component boundary: disjoint triangles
+    // each converge to their own min id
+    val dis = GraphAlgos.labelPropagation(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+        (10L, 12L)).toDF("id_a", "id_b"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dis.filterKeys(_ < 10).values.toSet == Set(1L) &&
+      dis.filterKeys(_ >= 10).values.toSet == Set(10L),
+      s"disjoint components must not share labels: $dis")
+    // partitioning independence: the argmax is associative, so a
+    // different input layout changes nothing
+    val rep = GraphAlgos.labelPropagation(edges.repartition(7), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got, s"partitioning must not change communities")
+  }
+
   test("bfsDistancesPerSource + harmonicCentrality: per-seed fields, harmonic sums") {
     val s = spark
     import s.implicits._

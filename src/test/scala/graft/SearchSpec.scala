@@ -1183,4 +1183,71 @@ class SearchSpec extends GraftSuite {
     assert(np3 == np2, s"below-gate append must serve the cached depth: $np3")
     clustered.unpersist(); appended.unpersist()
   }
+
+  test("kmeansQuantized: separable groups cluster together, bit-identical at any partitioning") {
+    val s = spark
+    import s.implicits._
+    // three tight groups on orthogonal axes with per-row distinct
+    // jitter on a spare dim. The md5 seed order over ids 0..8 picks
+    // 6, 7, 4 — the group map keys those three into DIFFERENT groups
+    // so every cluster starts anchored (Lloyd from degenerate seeds
+    // is a seeding pathology, not what this asserts)
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = VectorOps.kmeansQuantized(df, "vec_id", "embedding",
+      k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach { g =>
+      val members = group.collect { case (i, gg) if gg == g => got(i.toLong) }
+      assert(members.toSeq.distinct.size == 1,
+        s"group $g must land in one cluster: $got")
+    }
+    assert(got.values.toSet.size == 3,
+      s"the three groups must occupy three clusters: $got")
+    // partitioning independence: integer math end to end
+    val rep = VectorOps.kmeansQuantized(df.repartition(7), "vec_id",
+      "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got, "partitioning must not change assignments")
+    // all-identical vectors: every distance ties, the lower cluster
+    // wins, clusters 1..k-1 empty out and keep their seed centroids
+    val same = (0 until 6).map(i => (i.toLong, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val one = VectorOps.kmeansQuantized(same, "vec_id", "embedding",
+      k = 3, iters = 2).collect().map(_.getLong(1)).toSet
+    assert(one == Set(0L), s"identical rows all tie into cluster 0: $one")
+    // k past the row count is a caller error, not a silent shrink
+    intercept[IllegalArgumentException] {
+      VectorOps.kmeansQuantized(same, "vec_id", "embedding", k = 7, iters = 1)
+    }
+  }
+
+  test("cosineFlagsBroadcast: jittered copy flags, orthogonal row passes, eval cap refuses") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),    // ~1.0 vs eval -> flagged
+      (2L, Array(0f, 1f, 0f)),    // orthogonal -> clean
+      (3L, Array(0.9f, 0.1f, 0f)) // cos ~0.994 -> flagged at 0.95
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(Tuple1(Array(1f, 0.001f, 0f))).toDF("embedding")
+    val got = VectorOps.cosineFlagsBroadcast(corpus, eval, "embedding",
+      "vec_id", threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"flag set must be exactly {1,3}: $got")
+    // empty eval set flags nothing
+    assert(VectorOps.cosineFlagsBroadcast(corpus, eval.where(lit(false)),
+      "embedding", "vec_id", 0.5).count() == 0)
+    // an over-cap eval side is refused, never spilled through collect
+    val bigEval = (0 until 4).map(i => Tuple1(Array(i.toFloat, 1f, 0f)))
+      .toDF("embedding")
+    intercept[IllegalArgumentException] {
+      VectorOps.cosineFlagsBroadcast(corpus, bigEval, "embedding",
+        "vec_id", 0.5, maxEval = 2)
+    }
+  }
 }
