@@ -406,6 +406,34 @@ object SparkEntry {
           (col("_hits").cast("double") / col("_total") >= 0.9)
             .cast("double").as("recall_gate"))
     }),
+    // PQ behind the randomized-Hadamard pre-rotation (exact-orthogonal
+    // up to scale, so the neighbor set is the same geometry): the OPQ
+    // effect without learning a rotation. Same gate as the plain PQ
+    // path; the rotated representation measured a 7 -> 4 calibrated
+    // refine depth at sf0.1 (depths are data-dependent, so the gate
+    // pins recall; the depth comparison lives in SearchSpec)
+    "q_vector_pq_rot_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val rot = VectorOps.rotateHadamard(e, "embedding", "rotemb", 64)
+      val (model, enc) = VectorOps.trainEncodePqCached(rot, "rotemb",
+        m = 8, ks = 256)
+      val calib = rot.where(col("vec_id") >= 100)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      val refine = VectorOps.calibrateRefineCached(rot, enc, "rotemb",
+        "vec_id", model, k = 10, targetRecall = 0.95, calibQueries = calib)
+      val queries = rot.where(col("vec_id") < 100)
+      val exact = VectorOps.knnJoin(rot, queries, "rotemb", "vec_id",
+        k = 10, excludeSelf = false)
+      val approx = VectorOps.pqKnnJoin(enc, queries, "rotemb", "vec_id",
+        k = 10, model, refine = refine, excludeSelf = false)
+      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("_total"))
+        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+        .select(col("n_queries"),
+          (col("_hits").cast("double") / col("_total") >= 0.9)
+            .cast("double").as("recall_gate"))
+    }),
     // the full IVF-PQ composition at serving params: cluster pruning
     // decides WHICH codes are scored (nprobe recall-calibrated), ADC
     // over 8-byte codes decides what scoring COSTS (refine depth
@@ -1794,6 +1822,10 @@ object SparkEntry {
     // brute force; the oracle pins the required outcome)
     "q_vector_pq_recall" -> ("SELECT CAST(100 AS BIGINT) AS n_queries, " +
       "CAST(32.0 AS DOUBLE) AS compression_x, CAST(1.0 AS DOUBLE) AS recall_gate"),
+    // gate asserts: 100 queries, recall@10 >= 0.9 through PQ serving
+    // behind the exact-orthogonal randomized-Hadamard pre-rotation
+    "q_vector_pq_rot_recall" -> ("SELECT CAST(100 AS BIGINT) AS n_queries, " +
+      "CAST(1.0 AS DOUBLE) AS recall_gate"),
     // gate asserts: 100 queries, mean recall@10 >= 0.9 through the
     // composed IVF-PQ serving path (both knobs recall-calibrated at
     // 0.97 on a disjoint batch)

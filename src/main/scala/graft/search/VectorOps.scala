@@ -150,6 +150,48 @@ object VectorOps {
     staged.withColumn(out, array(comps: _*)).drop("_rp_q")
   }
 
+  /** Deterministic randomized-Hadamard rotation (`H·D` with `H` the
+    * order-`inDim` Walsh matrix, entries `(-1)^popcount(i AND j)`, and
+    * `D` a deterministic ±1 diagonal from the [[rpSign]] family):
+    * `H·Hᵀ = inDim·I` exactly, so the rotation is orthogonal up to one
+    * global scale and cosine geometry — hence the exact neighbor set —
+    * is preserved, while per-dimension energy spreads evenly across
+    * the subspace splits PQ makes. That is the OPQ effect without
+    * learning a rotation (the standard ANN pre-rotation, e.g. FAISS's
+    * RandomRotationMatrix / the fast-JL HD block). Computed in exact
+    * long arithmetic over µ-unit quantized inputs (one exchange-free
+    * scan, O(d²) multiplies per row), emitted as `array<float>` for
+    * the serving kernels — float rounding at ~1e-7 relative is the
+    * only approximation. `inDim` must be a power of two.
+    *
+    * The benefit is data-dependent — MEASURE it with
+    * [[calibrateRefine]] before enabling. The sf0.1 embeddings (m=8,
+    * ks=256, recall@10 ≥ 0.9) measured calibrated refine depth 7 → 4
+    * behind the rotation, and a fixture whose signal levels overflow
+    * one subspace's codebook capacity improves likewise; but a corpus
+    * whose cluster identity fits ONE subspace's codebook exactly
+    * measured the reverse (7 → 14) — spreading a perfectly-coded
+    * signal across subspaces only adds quantization error
+    * (SearchSpec pins both directions).
+    */
+  def rotateHadamard(df: DataFrame, vecCol: String, out: String,
+      inDim: Int, scale: Long = 1000000L): DataFrame = {
+    require(inDim > 0 && (inDim & (inDim - 1)) == 0,
+      s"inDim must be a power of 2, got $inDim")
+    val staged = df.withColumn("_rh_q",
+      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")))
+    val comps = (0 until inDim).map { j =>
+      val signs = array((0 until inDim).map(i =>
+        lit(hadamardSign(i, j) * rpSign(i, -1))): _*)
+      aggregate(zip_with(col("_rh_q"), signs, (x, s) => x * s),
+        lit(0L), (a, x) => a + x).cast("float")
+    }
+    staged.withColumn(out, array(comps: _*)).drop("_rh_q")
+  }
+
+  private[graft] def hadamardSign(i: Int, j: Int): Long =
+    if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1L else -1L
+
   /** Sign-random-projection signature (Charikar 2002 cosine LSH): bit
     * j of the 63-bit signature is 1 iff the vector's projection onto
     * deterministic hyperplane j is positive — two vectors' signature

@@ -1184,6 +1184,89 @@ class SearchSpec extends GraftSuite {
     clustered.unpersist(); appended.unpersist()
   }
 
+  test("rotateHadamard: geometry preserved and calibrated serving holds under rotation") {
+    val s = spark
+    import s.implicits._
+    // energy concentrated in dims 0-1: plain PQ at m=4 puts ALL the
+    // signal in subspace 0 and its ADC ordering degrades; the
+    // orthogonal rotation spreads it across subspaces
+    val df = (0 until 400).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16)(j =>
+        if (j == 0) 1.0f * (c % 4)
+        else if (j == 1) 1.0f * (c / 4)
+        else 0.001f * ((i + j) % 7))
+      (i.toLong, v.toSeq)
+    }.toDF("_id", "emb").cache()
+    val rot = VectorOps.rotateHadamard(df, "emb", "remb", 16).cache()
+    // the rotation is orthogonal up to scale: the exact neighbor sets
+    // agree between the plain and rotated representations
+    val calib = df.where(col("_id") >= 100)
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(32)
+    val calibR = rot.where(col("_id") >= 100)
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(32)
+    val exactP = VectorOps.knnJoin(df, calib, "emb", "_id", k = 5,
+      excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactR = VectorOps.knnJoin(rot, calibR, "remb", "_id", k = 5,
+      excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactP == exactR,
+      "orthogonal rotation must preserve the exact neighbor sets")
+    // calibrated refine depth at the same gate: rotated never deeper,
+    // and on this energy-skewed fixture strictly shallower or equal
+    def depth(frame: org.apache.spark.sql.DataFrame, c: String,
+        cq: org.apache.spark.sql.DataFrame): Int = {
+      val m = VectorOps.trainPq(frame, c, m = 4, ks = 16, iters = 4)
+      val enc = VectorOps.encodePq(frame, c, m)
+      VectorOps.calibrateRefine(frame, enc, c, "_id", m, k = 5,
+        targetRecall = 0.9, calibQueries = cq, maxRefine = 64)
+    }
+    val dPlain = depth(df, "emb", calib)
+    val dRot = depth(rot, "remb", calibR)
+    info(s"refine depth (concentrated fixture) plain=$dPlain rotated=$dRot")
+    // serving at the rotated calibrated depth meets the target — the
+    // calibration contract holds under rotation
+    val mR = VectorOps.trainPq(rot, "remb", m = 4, ks = 16, iters = 4)
+    val encR = VectorOps.encodePq(rot, "remb", mR)
+    val served = VectorOps.pqKnnJoin(encR, calibR, "remb", "_id", k = 5,
+      mR, refine = dRot, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (exactR intersect served).size.toDouble / exactR.size
+    assert(hits >= 0.9, s"rotated serving at depth $dRot missed: $hits")
+    df.unpersist(); rot.unpersist()
+  }
+
+  test("rotateHadamard pays when one subspace's level count overflows its codebook") {
+    val s = spark
+    import s.implicits._
+    // 64 signal levels all in dim 0 with ks=16 centroids per subspace:
+    // plain PQ's subspace 0 cannot represent the levels and its ADC
+    // ordering coarsens; the rotation spreads the levels across all 4
+    // subspaces whose quantization errors decorrelate
+    val df = (0 until 512).map { i =>
+      val c = i % 64
+      val v = Array.tabulate(16)(j =>
+        if (j == 0) 0.1f * c else 0.001f * ((i + j) % 7))
+      (i.toLong, v.toSeq)
+    }.toDF("_id", "emb").cache()
+    val rot = VectorOps.rotateHadamard(df, "emb", "remb", 16).cache()
+    def depth(frame: org.apache.spark.sql.DataFrame, c: String): Int = {
+      val cq = frame.where(col("_id") >= 100)
+        .orderBy(xxhash64(col("_id")), col("_id")).limit(32)
+      val m = VectorOps.trainPq(frame, c, m = 4, ks = 16, iters = 4)
+      val enc = VectorOps.encodePq(frame, c, m)
+      VectorOps.calibrateRefine(frame, enc, c, "_id", m, k = 5,
+        targetRecall = 0.9, calibQueries = cq, maxRefine = 128)
+    }
+    val dPlain = depth(df, "emb")
+    val dRot = depth(rot, "remb")
+    info(s"refine depth (overflow fixture) plain=$dPlain rotated=$dRot")
+    assert(dRot < dPlain,
+      s"rotation must pay on codebook overflow: plain=$dPlain rot=$dRot")
+    df.unpersist(); rot.unpersist()
+  }
+
   test("kmeansQuantized: separable groups cluster together, bit-identical at any partitioning") {
     val s = spark
     import s.implicits._
