@@ -759,6 +759,13 @@ object SparkEntry {
     // ---- training-data pipeline: dataset curation (extension)
     "q_doc_scrub" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), Curation.scrubPii(col("text")).as("scrubbed"))),
+    // blocklist hit counts through the one-pass Aho-Corasick kernel:
+    // every occurrence of every pattern (overlapping included — the
+    // oracle counts by position scan, so "table table table" counts
+    // the two-word phrase twice)
+    "q_doc_blocklist" -> ((s, d) =>
+      Curation.blocklistHits(docs(s, d), "doc_id", "text",
+        Seq("fast table", "table table", "scan slow", "vector", "spark a"))),
     "q_doc_sample" -> ((s, d) =>
       Curation.hashSample(docs(s, d), "doc_id", num = 1, den = 10).select("doc_id")),
     // quality-weighted sampling: keep probability == the composite
@@ -2504,6 +2511,19 @@ object SparkEntry {
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
       "'\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed " +
       "FROM documents"),
+    // position scan: pattern p matches at i iff substr(text,i,|p|)=p —
+    // the overlap-inclusive count the AC kernel produces
+    "q_doc_blocklist" -> ("WITH pats AS (SELECT * FROM (VALUES " +
+      "('fast table'), ('table table'), ('scan slow'), ('vector'), " +
+      "('spark a')) p(pat)), " +
+      "pos AS (SELECT d.doc_id, p.pat, UNNEST(range(1, " +
+      "length(d.text) - length(p.pat) + 2)) AS i " +
+      "FROM documents d CROSS JOIN pats p), " +
+      "hits AS (SELECT pos.doc_id, count(*) AS n_hits FROM pos " +
+      "JOIN documents d2 ON pos.doc_id = d2.doc_id " +
+      "WHERE substr(d2.text, CAST(pos.i AS INT), length(pos.pat)) = pos.pat " +
+      "GROUP BY 1) " +
+      "SELECT doc_id, n_hits FROM hits"),
     "q_doc_sample" -> ("SELECT doc_id FROM documents WHERE " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 1"),
     // buckets descend, md5(id:seed) shuffles within; same quality CTE

@@ -20,6 +20,26 @@ object Curation {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
 
+  /** Blocklist hit report: `(idCol, n_hits)` for documents with at
+    * least one occurrence of any blocklist pattern — ALL occurrences
+    * counted, overlapping included (byte-exact matching; lower() both
+    * sides for case folding). One codegen'd scan through the
+    * Aho-Corasick reference object
+    * ([[graft.functions.MultiPatternCount]]): per-row cost is one pass
+    * over the text regardless of |patterns|, where the compositional
+    * `exists(contains)` form scans the text once PER pattern — the
+    * difference between a 10-entry demo list and the million-entry
+    * domain/word blocklists real curation runs. Filter-side policy
+    * (drop, cap, weight) composes downstream of the count.
+    */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.exists(_.nonEmpty), "empty blocklist")
+    df.select(col(idCol),
+        graft.functions.MultiPatternCount(col(textCol), patterns).as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
+
   /** Replace URLs / emails / phone-shaped numbers with typed
     * placeholder tags. Order matters (see pattern doc).
     */

@@ -1521,6 +1521,57 @@ class PipelineSpec extends GraftSuite {
     assert(rep(7L) == "w w", s"got ${rep(7L)}")
   }
 
+  test("AcAutomaton: overlap-inclusive counts match a brute position scan; codegen path agrees") {
+    val s = spark
+    import s.implicits._
+    def brute(text: String, pats: Seq[String]): Long =
+      pats.distinct.filter(_.nonEmpty).map { p =>
+        (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+      }.sum
+    // classic fail-link fixture: "ushers" x {he, she, his, hers} = 3
+    val classic = new graft.functions.AcAutomaton(Seq("he", "she", "his", "hers"))
+    assert(classic.countMatches(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ushers")) == 3L)
+    // overlapping matches all count: "aaaa" x {aa} = 3, "ababab" x
+    // {ab, aba, b} = 3 + 2 + 3
+    val ov = new graft.functions.AcAutomaton(Seq("aa"))
+    assert(ov.countMatches(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaa")) == 3L)
+    val ab = new graft.functions.AcAutomaton(Seq("ab", "aba", "b"))
+    assert(ab.countMatches(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ababab")) == 8L)
+    // deterministic pseudo-random corpus over a 3-letter alphabet vs
+    // the brute scan — exercises deep fail chains
+    val pats = Seq("ab", "ba", "aab", "abab", "bb", "aaa", "babba")
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until 120).map { j =>
+        ("abb" + "aab" + "bba").charAt(
+          math.abs(s"$i:$j".hashCode) % 9).toString
+      }.mkString)
+    }
+    val aut = new graft.functions.AcAutomaton(pats)
+    texts.foreach { case (_, t) =>
+      val got = aut.countMatches(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(got == brute(t, pats), s"mismatch on $t")
+    }
+    // the codegen'd DataFrame path agrees with the kernel; null text
+    // rows null out and blocklistHits drops them
+    val df = texts.toDF("doc_id", "text")
+      .unionAll(Seq((999L, null: String)).toDF("doc_id", "text"))
+    val viaDf = Curation.blocklistHits(df, "doc_id", "text", pats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      val exp = brute(t, pats)
+      if (exp > 0) assert(viaDf(id) == exp) else assert(!viaDf.contains(id))
+    }
+    assert(!viaDf.contains(999L), "null text must not surface hits")
+    // multi-byte UTF-8 patterns match exactly (self-synchronizing)
+    val uni = new graft.functions.AcAutomaton(Seq("naïve", "ïv"))
+    assert(uni.countMatches(org.apache.spark.unsafe.types.UTF8String
+      .fromString("a naïve naïve test")) == 4L)
+  }
+
   test("labelPropagation: two bridged triangles split into their communities") {
     val s = spark
     import s.implicits._
