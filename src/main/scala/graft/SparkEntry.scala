@@ -1019,6 +1019,11 @@ object SparkEntry {
     "q_doc_lm_score" -> ((s, d) =>
       TextAnalysis.lmScoreReport(docs(s, d), "doc_id", "text",
         docs(s, d), "text", vocab = 200)),
+    // bigram LM: word order now matters; Laplace-smoothed conditionals
+    // over the capped-vocab closure, both model tables broadcast
+    "q_doc_lm2_score" -> ((s, d) =>
+      TextAnalysis.bigramLmScoreReport(docs(s, d), "doc_id", "text",
+        docs(s, d), "text", vocab = 200)),
     "q_doc_keywords" -> ((s, d) =>
       TextAnalysis.keywordReport(docs(s, d), "doc_id", "text", k = 3)),
     "q_doc_chunks" -> ((s, d) =>
@@ -2926,6 +2931,31 @@ object SparkEntry {
       "FROM dt LEFT JOIN top USING (term) CROSS JOIN tot GROUP BY doc_id) " +
       "SELECT d.doc_id, CAST(coalesce(sc.ntok, 0) AS BIGINT) AS n_tokens, " +
       "sc.lm_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+    // bigram LM replay: vocab closure via list_contains over the
+    // top-200 list, bigrams by position, prefix counts from the bigram
+    // table, Laplace V = |top| + 1 (the <unk> symbol)
+    "q_doc_lm2_score" -> ("WITH " + tokCte + ", " +
+      "occ AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+      "lm0 AS (SELECT term, count(*) AS cnt FROM occ GROUP BY term), " +
+      "top AS (SELECT term, cnt FROM lm0 ORDER BY cnt DESC, term LIMIT 200), " +
+      "vl AS (SELECT list(term) AS ts, count(*) + 1 AS v FROM top), " +
+      "mt AS (SELECT doc_id, list_transform(t, x -> CASE WHEN " +
+      "list_contains(vl.ts, x) THEN x ELSE '<unk>' END) AS m " +
+      "FROM toks CROSS JOIN vl), " +
+      "bg AS (SELECT doc_id, m[CAST(i AS INT)] AS w1, " +
+      "m[CAST(i AS INT) + 1] AS w2 FROM (SELECT doc_id, m, " +
+      "UNNEST(range(1, len(m))) AS i FROM mt)), " +
+      "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1), " +
+      "db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT doc_id, sum(c) AS nb, " +
+      "round(sum(CAST(c AS DOUBLE) * ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) " +
+      "+ 1.0) / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + " +
+      "CAST(vl.v AS DOUBLE)))) / CAST(sum(c) AS DOUBLE), 4) " +
+      "AS lm2_logp FROM db LEFT JOIN c2 USING (w1, w2) " +
+      "LEFT JOIN c1 USING (w1) CROSS JOIN vl GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams, " +
+      "sc.lm2_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
     // tf-idf keywords: ranking and values use the ROUNDED score so
     // both engines order identically; ties break on the term string
     "q_doc_keywords" -> ("WITH " + tokCte + ", " +

@@ -244,6 +244,61 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_tokens"))
   }
 
+  /** Bigram language-model score per document — one modeling level up
+    * from [[lmScoreReport]]'s unigram (word ORDER now matters: "the
+    * cat sat" and "sat the cat" score apart), the shape CCNet's KenLM
+    * filter has. Tokens outside the top-`vocab` reference terms map to
+    * one `<unk>` symbol (the standard capped-vocab closure), then
+    * `P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)` with Laplace
+    * smoothing, `c1` the bigram-PREFIX count (Σ_w2 c2) and `V` the
+    * mapped-symbol count. Output `(idCol, n_bigrams, lm2_logp)` —
+    * mean log-prob over the doc's bigram positions, 4dp; docs with
+    * fewer than 2 tokens carry `n_bigrams = 0` and a null score.
+    *
+    * Scale shape: the vocab closure makes BOTH model tables bounded
+    * artifacts — unigrams ≤ V rows, bigrams ≤ V² — so they BROADCAST
+    * to the scoring scan; the corpus-side counting is one groupBy
+    * whose map-side combine collapses to ≤ V² keys. The vocab itself
+    * collects bounded by `vocab` and rides the token mapper as an
+    * `InSet` literal.
+    */
+  def bigramLmScoreReport(docs: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame, lmTextCol: String, vocab: Int): DataFrame = {
+    val topTerms = capVocab(termCountsCached(lmCorpus, lmTextCol), vocab)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val vSize = topTerms.size + 1
+    def mapped(c: Column) = transform(tokens(c), t =>
+      when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
+    def bigrams(c: Column): Column = {
+      val mt = mapped(c)
+      val n1 = greatest(size(mt) - 1, lit(0))
+      zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val corpusBi = lmCorpus
+      .select(explode(bigrams(col(lmTextCol))).as("bg"))
+      .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
+    val corpusPre = corpusBi.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val docBi = docs
+      .select(col(idCol).as("_did"), explode(bigrams(col(textCol))).as("bg"))
+      .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+      .groupBy(col("_did"), col("_w1"), col("_w2")).agg(count(lit(1)).as("_c"))
+    val scored = docBi
+      .join(broadcast(corpusBi), Seq("_w1", "_w2"), "left")
+      .join(broadcast(corpusPre), Seq("_w1"), "left")
+      .withColumn("_lp",
+        log((coalesce(col("_c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("_c1"), lit(0L)).cast("double") + vSize.toDouble)))
+      .groupBy(col("_did"))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        round(sum(col("_c").cast("double") * col("_lp")) /
+          sum(col("_c")).cast("double"), 4).as("lm2_logp"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("_did", idCol), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
+
   /** Overlapping token-window chunks per document — the segmentation
     * step ahead of embedding/RAG indexing and fixed-context
     * pre-training. Chunk i covers tokens `[i·stride, i·stride +

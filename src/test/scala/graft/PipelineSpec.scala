@@ -1521,6 +1521,45 @@ class PipelineSpec extends GraftSuite {
     assert(rep(7L) == "w w", s"got ${rep(7L)}")
   }
 
+  test("bigramLmScoreReport: hand-computed Laplace conditionals, unk closure, short docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b a b"),
+      (2L, "a"), // 1 token -> no bigrams -> n_bigrams 0, null score
+    ).toDF("doc_id", "text")
+    // vocab=1 keeps only 'a' (count 3 vs 2); 'b' folds to <unk>, V=2.
+    // mapped doc 1 = [a,u,a,u]: bigrams (a,u)x2, (u,a)x1; prefix
+    // counts a=2, u=1 -> score = (2 ln(3/4) + ln(2/3)) / 3
+    val r1 = TextAnalysis.bigramLmScoreReport(corpus, "doc_id", "text",
+      corpus, "text", vocab = 1)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    val exp1 = (2 * math.log(3.0 / 4.0) + math.log(2.0 / 3.0)) / 3.0
+    assert(r1(1L)._1 == 3L)
+    assert(math.abs(r1(1L)._2 -
+      BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r1(2L)._1 == 0L && r1(2L)._2.isNaN)
+    // full vocab: no unk, V=3 (a, b, <unk> slot); c2(a,b)=2, c2(b,a)=1
+    val r2 = TextAnalysis.bigramLmScoreReport(corpus, "doc_id", "text",
+      corpus, "text", vocab = 10)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    val exp2 = (2 * math.log(3.0 / 5.0) + math.log(2.0 / 4.0)) / 3.0
+    assert(math.abs(r2(1L) -
+      BigDecimal(exp2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // word order matters at the bigram level: a shuffled twin of a
+    // corpus-typical doc scores apart (the unigram model cannot see it)
+    val c2 = Seq((1L, "x y x y x y"), (2L, "y y x x x y"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.lmScoreReport(c2, "doc_id", "text", c2, "text", 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val bi = TextAnalysis.bigramLmScoreReport(c2, "doc_id", "text", c2, "text", 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), "unigram is order-blind on equal bags")
+    assert(bi(1L) != bi(2L), "bigram must separate the shuffled twin")
+  }
+
   test("AcAutomaton: overlap-inclusive counts match a brute position scan; codegen path agrees") {
     val s = spark
     import s.implicits._
