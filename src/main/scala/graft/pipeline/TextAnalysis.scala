@@ -275,11 +275,20 @@ object TextAnalysis {
       zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
-    val corpusBi = lmCorpus
+    // ONE corpus pass: the aggregated bigram table is <= V² rows by
+    // the vocab closure — a bounded driver artifact (the IVF-centroid
+    // class), so the prefix sums derive on the driver instead of a
+    // second corpus scan + shuffle
+    val biCounts = lmCorpus
       .select(explode(bigrams(col(lmTextCol))).as("bg"))
       .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
       .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
-    val corpusPre = corpusBi.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val corpusBi = biCounts.toSeq.toDF("_w1", "_w2", "_c2")
+    val corpusPre = biCounts.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
     val docBi = docs
       .select(col(idCol).as("_did"), explode(bigrams(col(textCol))).as("bg"))
       .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))

@@ -356,6 +356,29 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("exchange budgets hold for the r12 late additions") {
+    // Ceilings measured at HEAD on sf0.001. Zero-budget queries serve
+    // one codegen'd scan (blocklist, semantic decontam, the final
+    // k-means assignment) or a stabilized frame (LPA) — a shuffle
+    // appearing there is a regression, not noise.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      ("q_doc_blocklist", 0, false),
+      ("q_embed_decontam_sem", 0, false),
+      ("q_embed_kmeans", 0, false),
+      ("q_graph_lpa", 0, false),
+      ("q_doc_lm2_score", 3, true),
+      ("q_vector_pq_rot_recall", 8, false))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      info(s"$name -> $prof")
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+  }
+
   test("exchange budgets hold for the retrieval/dedup/graph additions after r12") {
     // Ceilings measured at HEAD on sf0.001. The three zero-budget
     // queries serve from a stabilized frame (Scratch.stable) — their
