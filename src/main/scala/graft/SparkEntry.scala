@@ -1535,6 +1535,14 @@ object SparkEntry {
     "q_embed_kmeans" -> ((s, d) =>
       VectorOps.kmeansQuantized(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2)),
+    // SemDeDup (Abbas et al. 2023): cosine near-dup pairs confined to
+    // the integer-exact k-means blocks above; keep = min-id-wins
+    "q_embed_semdedup_pairs" -> ((s, d) =>
+      Dedup.semanticDedupPairs(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, theta = 0.42)),
+    "q_embed_semdedup_keep" -> ((s, d) =>
+      Dedup.semanticDedupKeep(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, theta = 0.42)),
     // SEMANTIC decontamination: eval set = micro-jittered copies of
     // every 23rd embedding (a paraphrased eval item: no shared n-gram,
     // nearly unmoved embedding); corpus rows within cosine 0.9 of any
@@ -1764,6 +1772,57 @@ object SparkEntry {
     "pairs AS (SELECT id_a, id_b FROM cand JOIN inter USING (id_a, id_b) " +
     "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
     "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i))"
+
+  // Integer-exact k-means replay (k=8, 2 Lloyd rounds), shared by
+  // q_embed_kmeans and the SemDeDup oracles: md5-ordered seeds, exact
+  // integer distances, trunc-div means, empty clusters coalesce to
+  // their previous centroid; `asgn` is the final assignment against
+  // the round-2 centroids.
+  private val kmeansAsgnCtes = "WITH qv AS (SELECT vec_id, " +
+    "list_transform(CAST(embedding AS DOUBLE[]), " +
+    "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +
+    "x AS MATERIALIZED (SELECT vec_id, UNNEST(vq) AS q, " +
+    "generate_subscripts(vq, 1) AS d FROM qv), " +
+    "sd AS (SELECT vec_id, row_number() OVER " +
+    "(ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl FROM qv), " +
+    "c0 AS MATERIALIZED (SELECT sd.cl, x.d, x.q AS cq FROM sd " +
+    "JOIN x ON sd.vec_id = x.vec_id WHERE sd.cl < 8), " +
+    "d1 AS (SELECT x.vec_id, c.cl, " +
+    "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+    "FROM x JOIN c0 c ON x.d = c.d GROUP BY 1, 2), " +
+    "a1 AS MATERIALIZED (SELECT vec_id, cl FROM d1 QUALIFY " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+    "s1 AS (SELECT a.cl, x.d, sum(x.q) // count(*) AS cq " +
+    "FROM a1 a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2), " +
+    "c1 AS MATERIALIZED (SELECT c0.cl, c0.d, " +
+    "coalesce(s1.cq, c0.cq) AS cq FROM c0 LEFT JOIN s1 " +
+    "ON c0.cl = s1.cl AND c0.d = s1.d), " +
+    "d2 AS (SELECT x.vec_id, c.cl, " +
+    "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+    "FROM x JOIN c1 c ON x.d = c.d GROUP BY 1, 2), " +
+    "a2 AS MATERIALIZED (SELECT vec_id, cl FROM d2 QUALIFY " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+    "s2 AS (SELECT a.cl, x.d, sum(x.q) // count(*) AS cq " +
+    "FROM a2 a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2), " +
+    "c2 AS MATERIALIZED (SELECT c1.cl, c1.d, " +
+    "coalesce(s2.cq, c1.cq) AS cq FROM c1 LEFT JOIN s2 " +
+    "ON c1.cl = s2.cl AND c1.d = s2.d), " +
+    "d3 AS (SELECT x.vec_id, c.cl, " +
+    "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
+    "FROM x JOIN c2 c ON x.d = c.d GROUP BY 1, 2), " +
+    "asgn AS MATERIALIZED (SELECT vec_id, cl FROM d3 QUALIFY " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1)"
+
+  // within-cluster exact-cosine θ-pairs over the k-means blocks —
+  // shared by both SemDeDup oracles
+  private val semdedupPairsCtes = kmeansAsgnCtes + ", " +
+    "spr AS MATERIALIZED (SELECT a.cl AS cluster, a.vec_id AS id_a, " +
+    "b.vec_id AS id_b FROM asgn a JOIN asgn b " +
+    "ON a.cl = b.cl AND a.vec_id < b.vec_id " +
+    "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
+    "JOIN embeddings eb ON eb.vec_id = b.vec_id " +
+    "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
+    "CAST(eb.embedding AS DOUBLE[])) >= 0.42)"
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
@@ -3286,40 +3345,15 @@ object SparkEntry {
     // both Lloyd rounds unrolled: md5-ordered seeds, exact integer
     // distances, trunc-div means, empty clusters coalesce to their
     // previous centroid; final assignment against the round-2 centroids
-    "q_embed_kmeans" -> ("WITH qv AS (SELECT vec_id, " +
-      "list_transform(CAST(embedding AS DOUBLE[]), " +
-      "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM embeddings), " +
-      "x AS MATERIALIZED (SELECT vec_id, UNNEST(vq) AS q, " +
-      "generate_subscripts(vq, 1) AS d FROM qv), " +
-      "sd AS (SELECT vec_id, row_number() OVER " +
-      "(ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cl FROM qv), " +
-      "c0 AS MATERIALIZED (SELECT sd.cl, x.d, x.q AS cq FROM sd " +
-      "JOIN x ON sd.vec_id = x.vec_id WHERE sd.cl < 8), " +
-      "d1 AS (SELECT x.vec_id, c.cl, " +
-      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
-      "FROM x JOIN c0 c ON x.d = c.d GROUP BY 1, 2), " +
-      "a1 AS MATERIALIZED (SELECT vec_id, cl FROM d1 QUALIFY " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
-      "s1 AS (SELECT a.cl, x.d, sum(x.q) // count(*) AS cq " +
-      "FROM a1 a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2), " +
-      "c1 AS MATERIALIZED (SELECT c0.cl, c0.d, " +
-      "coalesce(s1.cq, c0.cq) AS cq FROM c0 LEFT JOIN s1 " +
-      "ON c0.cl = s1.cl AND c0.d = s1.d), " +
-      "d2 AS (SELECT x.vec_id, c.cl, " +
-      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
-      "FROM x JOIN c1 c ON x.d = c.d GROUP BY 1, 2), " +
-      "a2 AS MATERIALIZED (SELECT vec_id, cl FROM d2 QUALIFY " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
-      "s2 AS (SELECT a.cl, x.d, sum(x.q) // count(*) AS cq " +
-      "FROM a2 a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2), " +
-      "c2 AS MATERIALIZED (SELECT c1.cl, c1.d, " +
-      "coalesce(s2.cq, c1.cq) AS cq FROM c1 LEFT JOIN s2 " +
-      "ON c1.cl = s2.cl AND c1.d = s2.d), " +
-      "d3 AS (SELECT x.vec_id, c.cl, " +
-      "sum((x.q - c.cq) * (x.q - c.cq)) AS dst " +
-      "FROM x JOIN c2 c ON x.d = c.d GROUP BY 1, 2) " +
-      "SELECT vec_id, cl AS cluster FROM d3 QUALIFY " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1"),
+    "q_embed_kmeans" -> (kmeansAsgnCtes +
+      " SELECT vec_id, cl AS cluster FROM asgn"),
+    // SemDeDup: the same k-means blocks, exact double cosine within
+    // each block; keep = min-id-wins against the dropped (id_b) set
+    "q_embed_semdedup_pairs" -> (semdedupPairsCtes +
+      " SELECT cluster, id_a, id_b FROM spr"),
+    "q_embed_semdedup_keep" -> (semdedupPairsCtes +
+      " SELECT vec_id FROM asgn WHERE vec_id NOT IN " +
+      "(SELECT id_b FROM spr)"),
     // the paraphrase-decontam gate: jittered every-23rd-row eval set,
     // exact double cosine against the full corpus
     "q_embed_decontam_sem" -> ("WITH ev AS (SELECT " +

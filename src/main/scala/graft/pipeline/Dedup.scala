@@ -1689,4 +1689,62 @@ object Dedup {
       stable
     }
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pairs found WITHIN k-means clusters only — the
+    * quadratic cosine search is confined to semantically-coherent
+    * blocks, so k tunes the work the same way IVF's nlist does
+    * (Σ·cluster² vs n²; k ≈ n/target_block keeps blocks constant-size
+    * as the corpus grows). Clustering is [[VectorOps.kmeansQuantized]]
+    * — integer-exact and replayable on any engine — so an oracle can
+    * rebuild the exact same blocks; pair generation routes through
+    * [[boundedKeyPairs]] with `cluster` as the key, which means a
+    * skewed cluster hash-splits into cap² sub-blocks instead of one
+    * giant collect buffer (the structural cap every other near-dup
+    * family here shares). Emitted pairs carry id_a < id_b and the
+    * shared cluster; cosine is exact double arithmetic (matches
+    * DuckDB's `list_cosine_similarity` left-to-right accumulation).
+    *
+    * By construction this misses cross-cluster near-dups (a pair
+    * split by a k-means boundary) — the SemDeDup trade: recall is
+    * bounded by clustering quality, cost by k. The unclustered exact
+    * path ([[embeddingPairs]]) is the recall oracle to gate against.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, theta: Double,
+      cap: Int = MaxClusterBlock): DataFrame = {
+    val asgn = VectorOps.kmeansQuantized(df, idCol, vecCol, k, iters)
+    val items = df
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as("_sv"))
+      .join(asgn, idCol)
+      .select(col("cluster"), struct(col(idCol).as("_sid"), col("_sv"),
+        col("cluster").as("_cl")).as("_elem"))
+    // struct ordering leads with _sid, so explodePairs' sorted output
+    // yields id_a._sid < id_b._sid for free (ids are distinct); the
+    // shared cluster rides inside the element because boundedKeyPairs
+    // projects its key columns away
+    boundedKeyPairs(items, Seq("cluster"), "_elem", cap)
+      .where(VectorOps.cosineSimCols(col("id_a._sv"), col("id_b._sv"))
+        >= theta)
+      .select(col("id_a._cl").as("cluster"), col("id_a._sid").as("id_a"),
+        col("id_b._sid").as("id_b"))
+  }
+
+  /** The keep-set form of [[semanticDedupPairs]]: a row is DROPPED iff
+    * a smaller-id row in the same cluster is cosine-θ-similar —
+    * deterministic min-id-wins, the same tie rule every exact-dedup
+    * keeper here uses. Each dropped row's witness may itself be
+    * dropped (witness chains of θ-edges bottom out at a kept row), so
+    * like connected-component dedup this prunes θ-CHAINS to one
+    * representative — stricter than one-per-θ-ball; callers wanting
+    * ball semantics post-filter pairs against the kept set. Returns
+    * the kept ids. */
+  def semanticDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, theta: Double,
+      cap: Int = MaxClusterBlock): DataFrame = {
+    val dropped = semanticDedupPairs(df, idCol, vecCol, k, iters, theta,
+      cap).select(col("id_b")).distinct()
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(dropped, col(idCol) === col("id_b"), "left_anti")
+  }
 }

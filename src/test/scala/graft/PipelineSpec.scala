@@ -2635,4 +2635,46 @@ class PipelineSpec extends GraftSuite {
     assert(exact("h0") > n / (k + 1), "fixture must make h0 guaranteed-heavy")
     assert(sk.contains("h0"), s"guaranteed-heavy item missing: $sk")
   }
+
+  test("semanticDedup: within-cluster pairs == naive, capped == uncapped, min-id keep, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // the kmeansQuantized spec fixture: three orthogonal groups whose
+    // md5-ordered seeds (6, 7, 4) anchor three distinct clusters, so
+    // group == cluster; within-group cosine ~1, cross-group ~0
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val got = pairSet(Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, theta = 0.9))
+    // naive recomputation from the same assignment: all within-cluster
+    // ordered pairs at cosine >= theta (here: every within-group pair)
+    val expected = (for {
+      a <- 0 until 9; b <- a + 1 until 9 if group(a) == group(b)
+    } yield (a.toLong, b.toLong)).toSet
+    assert(got == expected, s"got $got")
+    // a cap smaller than the largest cluster (4 members) forces the
+    // sub-bucket split path; the pair set must not change
+    val capped = pairSet(Dedup.semanticDedupPairs(df, "vec_id",
+      "embedding", k = 3, iters = 2, theta = 0.9, cap = 2))
+    assert(capped == got, "cap-split path must be lossless")
+    // theta above every within-group cosine: no pairs at all
+    assert(pairSet(Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, theta = 0.9999999)).isEmpty)
+    // keep: min id of each theta-chain survives -> group minima
+    val kept = Dedup.semanticDedupKeep(df, "vec_id", "embedding",
+      k = 3, iters = 2, theta = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L), s"kept $kept")
+    // partitioning independence end to end
+    val rep = pairSet(Dedup.semanticDedupPairs(df.repartition(7),
+      "vec_id", "embedding", k = 3, iters = 2, theta = 0.9))
+    assert(rep == got, "partitioning must not change the pair set")
+  }
 }

@@ -367,7 +367,9 @@ class PlanShapeSpec extends GraftSuite {
       ("q_embed_kmeans", 0, false),
       ("q_graph_lpa", 0, false),
       ("q_doc_lm2_score", 3, true),
-      ("q_vector_pq_rot_recall", 8, false))
+      ("q_vector_pq_rot_recall", 8, false),
+      ("q_embed_semdedup_pairs", 2, true),
+      ("q_embed_semdedup_keep", 4, true))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       info(s"$name -> $prof")
