@@ -673,6 +673,14 @@ object SparkEntry {
       VectorOps.hardNegatives(e, e.where(col("vec_id") < 8),
         "embedding", "vec_id", "label", k = 5)
     }),
+    // margin-based pair mining (Artetxe & Schwenk 2019): the corpus
+    // split by id parity stands in for the two language sides; each
+    // even-id source's best odd-id target by integer difference margin
+    "q_embed_margin_mine" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.marginMiningQuantized(e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+    }),
     // the fully-DISTRIBUTED knn join (no driver-side query collect —
     // the path for query sides that are themselves corpora): recall
     // vs the exact broadcast join gated >= 0.9 at the CALIBRATED
@@ -2271,6 +2279,31 @@ object SparkEntry {
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
+    // difference-margin mining over the parity split: top-4 each
+    // direction double-ordered (the engine's knn ordering), cosines
+    // then 1e-9-quantized so sums/margins/argmax replay in integers
+    "q_embed_margin_mine" -> ("WITH src AS (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+      "WHERE vec_id % 2 = 0), " +
+      "tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings WHERE vec_id % 2 = 1), " +
+      "cand AS MATERIALIZED (SELECT s.vec_id AS sid, t.vec_id AS tid, " +
+      "list_cosine_similarity(s.v, t.v) AS c FROM src s CROSS JOIN tgt t), " +
+      "fk AS MATERIALIZED (SELECT sid, tid, " +
+      "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
+      "QUALIFY row_number() OVER (PARTITION BY sid " +
+      "ORDER BY c DESC, tid) <= 4), " +
+      "bk AS MATERIALIZED (SELECT sid, tid, " +
+      "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
+      "QUALIFY row_number() OVER (PARTITION BY tid " +
+      "ORDER BY c DESC, sid) <= 4), " +
+      "a AS (SELECT sid, sum(qc) AS sa FROM fk GROUP BY 1), " +
+      "b AS (SELECT tid, sum(qc) AS sb FROM bk GROUP BY 1) " +
+      "SELECT f.sid AS src_id, f.tid AS tgt_id, " +
+      "8 * f.qc - a.sa - b.sb AS margin_q " +
+      "FROM fk f JOIN a ON f.sid = a.sid JOIN b ON f.tid = b.tid " +
+      "QUALIFY row_number() OVER (PARTITION BY f.sid " +
+      "ORDER BY margin_q DESC, f.tid) = 1"),
 
     // as-of join: DuckDB's native ASOF LEFT JOIN is the independent
     // formulation of the union + running-last-value window; right-side

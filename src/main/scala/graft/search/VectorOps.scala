@@ -477,6 +477,57 @@ object VectorOps {
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf = true,
       None, 0, Some(labelCol))
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
+    * the bitext-mining criterion behind CCMatrix/LASER corpora): a
+    * raw cosine threshold can't separate true translation pairs from
+    * hubs (rows cosine-close to EVERYTHING), so each candidate is
+    * scored against the competition — here the DIFFERENCE margin
+    * `cos(x,y) − (avgK_fwd(x) + avgK_bwd(y))/2`, computed integer-
+    * exactly over 1e-9-quantized cosines as
+    * `margin_q = 2k·qc(x,y) − ΣtopK_fwd(x) − ΣtopK_bwd(y)` (2k clears
+    * both /k and /2; ordering is unchanged, and integer margins make
+    * the per-source argmax replayable on any engine). Top-k selection
+    * on both directions is the [[knnJoin]] kernel (double-ordered,
+    * id tie-break — the ordering DuckDB reproduces bit-for-bit), so
+    * the mining inherits its scale shape: two batch kNN joins that
+    * auto-escalate to the distributed cluster join past the collect
+    * cap, then bounded candidate-set joins (≤ n·k rows) and one
+    * integer window per source. Emits each source's best target by
+    * (margin_q DESC, tgt id): positive margin ⇒ the match stands out
+    * above x's and y's respective neighborhoods.
+    */
+  def marginMiningQuantized(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sv = src.select(col(idCol).cast("long").as("src_id"),
+      col(vecCol).as("_sv"))
+    val tv = tgt.select(col(idCol).cast("long").as("tgt_id"),
+      col(vecCol).as("_tv"))
+    val fwd = knnJoin(tgt, src, vecCol, idCol, k, excludeSelf = false)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"))
+    val bwd = knnJoin(src, tgt, vecCol, idCol, k, excludeSelf = false)
+      .select(col("query_id").as("tgt_id"),
+        col("neighbor_id").as("src_id"))
+    def scored(cand: DataFrame) = cand.join(sv, "src_id")
+      .join(tv, "tgt_id")
+      .withColumn("_qc", round(cosineSimCols(col("_sv"), col("_tv"))
+        * lit(1000000000L)).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("_qc"))
+    val f = scored(fwd)
+    val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
+    val sumB = scored(bwd).groupBy(col("tgt_id"))
+      .agg(sum(col("_qc")).as("_sb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id"))
+      .orderBy(col("margin_q").desc, col("tgt_id").asc)
+    f.join(sumA, "src_id").join(sumB, "tgt_id")
+      .withColumn("margin_q",
+        lit(2L * k) * col("_qc") - col("_sa") - col("_sb"))
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin_q"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
     * 1998): greedily pick k items maximizing
     * `lambda · rel − (1 − lambda) · max_{s ∈ selected} cos(item, s)` —

@@ -381,6 +381,20 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("exchange budget: q_embed_margin_mine tolerates its one co-partitioned SMJ") {
+    // the margin join (candidates x per-source/per-target sums) runs
+    // on the shuffle key both sides already carry — an SMJ there is
+    // the RIGHT 100 TB shape (the sum tables scale with the corpus, so
+    // a broadcast would be the regression); everything else must stay
+    // within the measured budget
+    val prof = planProfile(
+      SparkEntry.queries("q_embed_margin_mine")(spark, dir))
+    info(s"q_embed_margin_mine -> $prof")
+    assert(prof("shuffle") <= 4, s"shuffle budget exceeded: $prof")
+    assert(prof("smj") <= 1, s"more than the one margin-join SMJ: $prof")
+    assert(prof("bhj") >= 1, s"candidate-set joins lost broadcast: $prof")
+  }
+
   test("exchange budgets hold for the retrieval/dedup/graph additions after r12") {
     // Ceilings measured at HEAD on sf0.001. The three zero-budget
     // queries serve from a stabilized frame (Scratch.stable) — their

@@ -1333,4 +1333,69 @@ class SearchSpec extends GraftSuite {
         "vec_id", 0.5, maxEval = 2)
     }
   }
+
+  test("marginMiningQuantized: hand-replayed margins, hub demotion, partitioning independence") {
+    val s = spark
+    import s.implicits._
+    // t5 is a HUB: cosine-closest to BOTH sources, so raw-cosine argmax
+    // picks it for s2 — the margin criterion must demote it (its
+    // backward neighborhood is uniformly strong) in favor of t3
+    val srcRows = Seq((0L, Array(1f, 0f)), (2L, Array(0.6f, 0.8f)))
+    val tgtRows = Seq((1L, Array(1f, 0f)), (3L, Array(0f, 1f)),
+      (5L, Array(0.8f, 0.6f)))
+    val srcDf = srcRows.toDF("vec_id", "embedding")
+    val tgtDf = tgtRows.toDF("vec_id", "embedding")
+    val k = 2
+    // reference replay with the engine's exact arithmetic: left-to-right
+    // double accumulation over float-cast components, 1e-9 quantization
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def qc(a: Array[Float], b: Array[Float]): Long =
+      math.round(cos(a, b) * 1000000000L)
+    val fwdTop = srcRows.map { case (sid, sv) =>
+      sid -> tgtRows.map { case (tid, tv) => (tid, cos(sv, tv)) }
+        .sortBy { case (tid, c) => (-c, tid) }.take(k)
+    }.toMap
+    val bwdTop = tgtRows.map { case (tid, tv) =>
+      tid -> srcRows.map { case (sid, sv) => (sid, cos(tv, sv)) }
+        .sortBy { case (sid, c) => (-c, sid) }.take(k)
+    }.toMap
+    val sa = srcRows.map { case (sid, sv) => sid ->
+      fwdTop(sid).map { case (tid, _) =>
+        qc(sv, tgtRows.find(_._1 == tid).get._2) }.sum }.toMap
+    val sb = tgtRows.map { case (tid, tv) => tid ->
+      bwdTop(tid).map { case (sid, _) =>
+        qc(tv, srcRows.find(_._1 == sid).get._2) }.sum }.toMap
+    val expected = srcRows.map { case (sid, sv) =>
+      val best = fwdTop(sid).map { case (tid, _) =>
+        val m = 2L * k * qc(sv, tgtRows.find(_._1 == tid).get._2) -
+          sa(sid) - sb(tid)
+        (tid, m)
+      }.sortBy { case (tid, m) => (-m, tid) }.head
+      (sid, best._1, best._2)
+    }.toSet
+    val got = VectorOps.marginMiningQuantized(srcDf, tgtDf, "vec_id",
+      "embedding", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the hub effect the margin exists for: s2's raw-cosine argmax IS
+    // the hub t5, but its margin winner is t3
+    assert(fwdTop(2L).head._1 == 5L, "fixture must make t5 s2's raw argmax")
+    assert(got.exists { case (sid, tid, _) => sid == 2L && tid == 3L },
+      s"margin must demote the hub for s2: $got")
+    // positive margin for the genuinely-matched source
+    assert(got.exists { case (sid, _, m) => sid == 0L && m > 0L })
+    // partitioning independence: integer margins end to end
+    val rep = VectorOps.marginMiningQuantized(srcDf.repartition(5),
+      tgtDf.repartition(3), "vec_id", "embedding", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep == got, "partitioning must not change mined pairs")
+  }
 }
