@@ -43,7 +43,21 @@ object VectorOps {
     dot(vecCol, q) / (norm(vecCol) * lit(qn))
   }
 
+  /** Pairwise cosine via the fused native expression (one compiled
+    * loop — graft.functions.CosinePair); bit-equal with the HOF
+    * reference below, parity-spec'd including the null branches. On a
+    * zero-norm vector the fused form returns IEEE NaN (DuckDB's
+    * behavior; a `>= θ` filter drops the row) where the HOF under
+    * ANSI throws — see the CosinePair scaladoc.
+    */
   def cosineSimCols(a: Column, b: Column): Column =
+    graft.functions.CosinePair(a, b)
+
+  /** Composable HOF reference formulation for [[cosineSimCols]] (the
+    * semantics contract the fused expression and the DuckDB oracle's
+    * `list_cosine_similarity` both match).
+    */
+  def cosineSimColsHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Symmetric per-vector int8 quantization — the 4×-storage/IO shrink

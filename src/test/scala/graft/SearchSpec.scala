@@ -1398,4 +1398,71 @@ class SearchSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rep == got, "partitioning must not change mined pairs")
   }
+
+  test("CosinePair fused expression: bit-equal with the HOF reference, null contract, interpreted parity") {
+    val s = spark
+    import s.implicits._
+    // adversarial values: negatives, zeros, subnormal-ish smalls, a
+    // zero vector (NaN via 0/0), mixed magnitudes
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 64).map { i =>
+      val v = Array.fill(16)((rnd.nextFloat() - 0.5f) * (if (i % 7 == 0) 1e-6f else 10f))
+      v(0) += 1e-9f // keep norms nonzero: the HOF throws under ANSI on 0/0
+      (i.toLong, v)
+    }
+    val pairs = base.flatMap { case (ia, va) =>
+      base.take(8).map { case (ib, vb) => (ia * 100 + ib, va, vb) } }
+    val df = pairs.toDF("pid", "va", "vb")
+    val both = df.select(col("pid"),
+      VectorOps.cosineSimCols(col("va"), col("vb")).as("fused"),
+      VectorOps.cosineSimColsHof(col("va"), col("vb")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      val f = r.getDouble(1); val h = r.getDouble(2)
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(h),
+        s"pid ${r.getLong(0)}: fused $f != hof $h (bitwise)")
+    }
+    // null contract parity: null array, null element, length mismatch
+    val edge = Seq(
+      (1L, Array(1f, 2f), null.asInstanceOf[Array[Float]]),
+      (3L, Array(1f, 2f), Array(3f, 4f, 5f))
+    ).toDF("pid", "va", "vb")
+      .union(Seq((2L, Seq(Some(1f), None), Seq(Some(3f), Some(4f))))
+        .toDF("pid", "va", "vb"))
+    val er = edge.select(col("pid"),
+      VectorOps.cosineSimCols(col("va"), col("vb")).as("fused"),
+      VectorOps.cosineSimColsHof(col("va"), col("vb")).as("hof"))
+      .collect()
+    er.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"pid ${r.getLong(0)}: fused null=${r.isNullAt(1)} hof null=${r.isNullAt(2)}")
+      assert(r.isNullAt(1), s"pid ${r.getLong(0)} must be null")
+    }
+    // zero-norm vectors: the documented deliberate divergence — the
+    // HOF under ANSI throws on the division, the fused form returns
+    // IEEE NaN (DuckDB's behavior), so one degenerate row can no
+    // longer kill a verify query
+    val zdf = Seq((9L, Array(0f, 0f), Array(1f, 2f))).toDF("pid", "va", "vb")
+    val nan = zdf.select(VectorOps.cosineSimCols(col("va"), col("vb")))
+      .collect()(0).getDouble(0)
+    assert(nan.isNaN, s"zero-norm must yield NaN, got $nan")
+    intercept[Exception] {
+      zdf.select(VectorOps.cosineSimColsHof(col("va"), col("vb"))).collect()
+    }
+    // interpreted eval matches the codegen'd DataFrame result
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val (_, va0, vb0) = pairs.head
+    val lit1 = CatLit.create(va0, ArrayType(FloatType, false))
+    val lit2 = CatLit.create(vb0, ArrayType(FloatType, false))
+    val interp = graft.functions.CosinePair(lit1, lit2)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Double]
+    val fromDf = both.find(_.getLong(0) == pairs.head._1).get.getDouble(1)
+    assert(java.lang.Double.doubleToRawLongBits(interp) ==
+      java.lang.Double.doubleToRawLongBits(fromDf),
+      s"interpreted $interp != codegen $fromDf")
+  }
 }
