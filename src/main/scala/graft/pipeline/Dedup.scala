@@ -1568,7 +1568,14 @@ object Dedup {
     * WINS below the crossover despite its quadratic flops. Measured
     * at dim=64 on the r12 scaling corpus: n=20k brute 4.0 s vs
     * IVF-bucketed 6.8 s; extrapolating both curves (n² flops vs
-    * n^1.5 shuffled bytes) puts the crossover near 2^16 rows. Above
+    * n^1.5 shuffled bytes) puts the crossover near 2^16 rows.
+    * RE-MEASURED after the fused CosinePair expression landed (it
+    * speeds the bucketed verify, not the brute kernel): 20k 2.9 vs
+    * 9.5 s, 40k 4.5 vs 5.9 s, 65k 11.0 vs 5.4 s — the crossover sits
+    * ~45-65k, and at the bound brute pays ≤2× for EXACT pairs, so the
+    * bound stands (exactness is the tiebreaker inside the noise
+    * band; IVF train time, not the verify, now dominates the
+    * bucketed constant). Above
     * the limit the quadratic term dominates any constant and the
     * bucketed join is the only shape that survives 100 TB.
     *
