@@ -673,6 +673,12 @@ object SparkEntry {
       VectorOps.hardNegatives(e, e.where(col("vec_id") < 8),
         "embedding", "vec_id", "label", k = 5)
     }),
+    // k-th-neighbor isolation: the 20 most isolated rows (lowest 4th-
+    // neighbor cosine) — the distance-based outlier cut a cleaning
+    // pipeline drops or audits
+    "q_embed_outlier" -> ((s, d) =>
+      VectorOps.kthNeighborScore(emb(s, d), "vec_id", "embedding", k = 4)
+        .orderBy(col("kth_qcos").asc, col("vec_id").asc).limit(20)),
     // margin-based pair mining (Artetxe & Schwenk 2019): the corpus
     // split by id parity stands in for the two language sides; each
     // even-id source's best odd-id target by integer difference margin
@@ -1551,6 +1557,19 @@ object SparkEntry {
     "q_embed_semdedup_keep" -> ((s, d) =>
       Dedup.semanticDedupKeep(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2, theta = 0.42)),
+    // incremental SemDeDup: a batch of near-paraphrases (every 7th
+    // row jittered, ids offset) deduped against the standing corpus —
+    // batch assigns to the CORPUS's centroids, no retrain
+    "q_embed_semdedup_cross" -> ((s, d) => {
+      val e = emb(s, d)
+      val batch = e.where(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i < 2, x.cast("double") + 0.001)
+              .otherwise(x.cast("double"))).as("embedding"))
+      Dedup.semanticDedupCrossPairs(e, batch, "vec_id", "embedding",
+        k = 8, iters = 2, theta = 0.9)
+    }),
     // SEMANTIC decontamination: eval set = micro-jittered copies of
     // every 23rd embedding (a paraphrased eval item: no shared n-gram,
     // nearly unmoved embedding); corpus rows within cosine 0.9 of any
@@ -2279,6 +2298,17 @@ object SparkEntry {
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
+    // 4th-neighbor cosine per row (excluding self), quantized, lowest
+    // 20 = the isolation outliers
+    "q_embed_outlier" -> ("SELECT a.vec_id, " +
+      "CAST(round(list_cosine_similarity(" +
+      "CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) " +
+      "* 1000000000) AS BIGINT) AS kth_qcos " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
+      "QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+      "CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id) = 4 " +
+      "ORDER BY kth_qcos, a.vec_id LIMIT 20"),
     // difference-margin mining over the parity split: top-4 each
     // direction double-ordered (the engine's knn ordering), cosines
     // then 1e-9-quantized so sums/margins/argmax replay in integers
@@ -3387,6 +3417,28 @@ object SparkEntry {
     "q_embed_semdedup_keep" -> (semdedupPairsCtes +
       " SELECT vec_id FROM asgn WHERE vec_id NOT IN " +
       "(SELECT id_b FROM spr)"),
+    // incremental SemDeDup: batch rows argmin against the CORPUS's
+    // round-2 centroids (c2), cross pairs within shared clusters
+    "q_embed_semdedup_cross" -> (kmeansAsgnCtes + ", " +
+      "bqv AS (SELECT vec_id + 10000 AS vec_id, " +
+      "list_transform(CAST(embedding AS DOUBLE[]), " +
+      "(x, i) -> CASE WHEN i <= 2 THEN x + 0.001 ELSE x END) AS bv " +
+      "FROM embeddings WHERE vec_id % 7 = 0), " +
+      "bq AS (SELECT vec_id, list_transform(bv, " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS vq FROM bqv), " +
+      "bx AS MATERIALIZED (SELECT vec_id, UNNEST(vq) AS q, " +
+      "generate_subscripts(vq, 1) AS d FROM bq), " +
+      "bd3 AS (SELECT bx.vec_id, c.cl, " +
+      "sum((bx.q - c.cq) * (bx.q - c.cq)) AS dst " +
+      "FROM bx JOIN c2 c ON bx.d = c.d GROUP BY 1, 2), " +
+      "basgn AS MATERIALIZED (SELECT vec_id, cl FROM bd3 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1) " +
+      "SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM asgn a JOIN basgn b ON a.cl = b.cl " +
+      "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
+      "JOIN bqv eb ON eb.vec_id = b.vec_id " +
+      "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
+      "eb.bv) >= 0.9"),
     // the paraphrase-decontam gate: jittered every-23rd-row eval set,
     // exact double cosine against the full corpus
     "q_embed_decontam_sem" -> ("WITH ev AS (SELECT " +

@@ -1737,6 +1737,37 @@ object Dedup {
         col("id_b._sid").as("id_b"))
   }
 
+  /** Incremental SemDeDup — the cross form of [[semanticDedupPairs]]:
+    * a NEW batch deduped against the STANDING corpus without ever
+    * re-pairing the corpus with itself. The corpus trains the k-means
+    * centroids once (a k×dim long artifact); the batch assigns to
+    * THOSE centroids (no retrain — the incremental contract every
+    * other cross-dedup here follows), and corpus×batch pairs form only
+    * within shared clusters through [[boundedCrossPairs]] (both-side
+    * cluster pruning, cap² cross blocks). Output:
+    * (cluster, id_a from corpus, id_b from batch) at cosine ≥ θ —
+    * `id_b`'s distinct set is the batch rows already represented.
+    */
+  def semanticDedupCrossPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int, theta: Double,
+      cap: Int = MaxClusterBlock): DataFrame = {
+    val cents = VectorOps.kmeansCentroidsQuantized(corpus, idCol, vecCol,
+      k, iters)
+    def items(df: DataFrame) = {
+      val asgn = VectorOps.kmeansAssignQuantized(df, idCol, vecCol, cents)
+      df.select(col(idCol).cast("long").as(idCol), col(vecCol).as("_sv"))
+        .join(asgn, idCol)
+        .select(col("cluster"), struct(col(idCol).as("_sid"),
+          col("_sv"), col("cluster").as("_cl")).as("_elem"))
+    }
+    boundedCrossPairs(items(corpus), items(batch), Seq("cluster"),
+      "_elem", cap)
+      .where(VectorOps.cosineSimCols(col("id_a._sv"), col("id_b._sv"))
+        >= theta)
+      .select(col("id_a._cl").as("cluster"), col("id_a._sid").as("id_a"),
+        col("id_b._sid").as("id_b"))
+  }
+
   /** The keep-set form of [[semanticDedupPairs]]: a row is DROPPED iff
     * a smaller-id row in the same cluster is cosine-θ-similar —
     * deterministic min-id-wins, the same tie rule every exact-dedup

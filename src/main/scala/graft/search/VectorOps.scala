@@ -491,6 +491,31 @@ object VectorOps {
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf = true,
       None, 0, Some(labelCol))
 
+  /** k-th-neighbor isolation score — the classic distance-based
+    * outlier signal (Ramaswamy et al., SIGMOD 2000) in cosine form: a
+    * row whose k-th nearest neighbor is already far (low cosine) sits
+    * in no local cluster — mislabeled rows, embedding-model failures,
+    * and off-distribution junk surface at the low end, while the high
+    * end flags redundancy. One [[knnJoin]] (auto-escalating), then the
+    * rank-k rows join vectors back to score — cosines quantized at
+    * 1e-9 so downstream order/limit replays on any engine. Returns
+    * every row's (id, kth_qcos); callers threshold or top-N.
+    */
+  def kthNeighborScore(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = df.select(col(idCol).cast("long").as("_kid"),
+      col(vecCol).as("_kv"))
+    knnJoin(df, df, vecCol, idCol, k).where(col("rank") === k)
+      .join(v.withColumnRenamed("_kid", "query_id")
+        .withColumnRenamed("_kv", "_qv"), "query_id")
+      .join(v.withColumnRenamed("_kid", "neighbor_id")
+        .withColumnRenamed("_kv", "_nv"), "neighbor_id")
+      .select(col("query_id").as(idCol),
+        round(cosineSimCols(col("_qv"), col("_nv")) * lit(1000000000L))
+          .cast("long").as("kth_qcos"))
+  }
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
     * the bitext-mining criterion behind CCMatrix/LASER corpora): a
     * raw cosine threshold can't separate true translation pairs from
@@ -1513,34 +1538,50 @@ object VectorOps {
     * the bounded-artifact shape the IVF trainer already uses.
     */
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val q = df.select(col(idCol).cast("long").as("_kid"),
+      k: Int, iters: Int): DataFrame =
+    kmeansAssignQuantized(df, idCol, vecCol,
+      kmeansCentroidsQuantized(df, idCol, vecCol, k, iters))
+
+  private def quantizedFrame(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("_kid"),
       transform(col(vecCol), v =>
         round(v.cast("double") * 1000000L).cast("long")).as("_vq"))
+
+  private def assignFrame(q: DataFrame,
+      c: Array[Seq[Long]]): DataFrame = {
+    val distCols = c.indices.map { j =>
+      aggregate(
+        zip_with(col("_vq"), typedLit(c(j)), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v).as(s"_dist_$j")
+    }
+    val staged = q.select(Seq(col("_kid"), col("_vq")) ++ distCols: _*)
+    val init = (lit(0), col("_dist_0"))
+    val (cl, _) = (1 until c.length).foldLeft(init) { case ((bj, bd), j) =>
+      val d = col(s"_dist_$j")
+      (when(d < bd, lit(j)).otherwise(bj), when(d < bd, d).otherwise(bd))
+    }
+    staged.select(col("_kid"), col("_vq"), cl.cast("long").as("_cl"))
+  }
+
+  /** The trained-centroid half of [[kmeansQuantized]]: the k×dim long
+    * table after `iters` Lloyd rounds — the bounded driver artifact a
+    * caller reuses to assign OTHER frames (an incoming batch) to the
+    * standing corpus's clusters without retraining. */
+  private[graft] def kmeansCentroidsQuantized(df: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      iters: Int): Array[Seq[Long]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = quantizedFrame(df, idCol, vecCol)
     val seedRows = q
       .orderBy(md5(col("_kid").cast("string")), col("_kid"))
       .limit(k).select(col("_vq")).collect()
     require(seedRows.length == k,
       s"k=$k exceeds the ${seedRows.length} distinct input rows")
     var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
-    def assign(c: Array[Seq[Long]]): DataFrame = {
-      val distCols = c.indices.map { j =>
-        aggregate(
-          zip_with(col("_vq"), typedLit(c(j)), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as(s"_dist_$j")
-      }
-      val staged = q.select(Seq(col("_kid"), col("_vq")) ++ distCols: _*)
-      val init = (lit(0), col("_dist_0"))
-      val (cl, _) = (1 until c.length).foldLeft(init) { case ((bj, bd), j) =>
-        val d = col(s"_dist_$j")
-        (when(d < bd, lit(j)).otherwise(bj), when(d < bd, d).otherwise(bd))
-      }
-      staged.select(col("_kid"), col("_vq"), cl.cast("long").as("_cl"))
-    }
     for (_ <- 1 to iters) {
-      val sums = assign(cents)
+      val sums = assignFrame(q, cents)
         .select(col("_cl"), posexplode(col("_vq")).as(Seq("_d", "_q")))
         .groupBy(col("_cl"), col("_d"))
         .agg(expr("sum(_q) div count(1)").as("_cq"))
@@ -1551,8 +1592,16 @@ object VectorOps {
         .map { case (j, rows) => (j, rows.sortBy(_._2).map(_._3).toSeq) }
       cents = Array.tabulate(k)(j => byCl.getOrElse(j, cents(j)))
     }
-    assign(cents).select(col("_kid").as(idCol), col("_cl").as("cluster"))
+    cents
   }
+
+  /** Assign any frame to a trained centroid table (exact integer
+    * argmin, ties to the lower cluster — the [[kmeansQuantized]]
+    * rule). Returns `(idCol, cluster)`. */
+  private[graft] def kmeansAssignQuantized(df: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Seq[Long]]): DataFrame =
+    assignFrame(quantizedFrame(df, idCol, vecCol), cents)
+      .select(col("_kid").as(idCol), col("_cl").as("cluster"))
 
   /** Cross-frame cosine contamination flags: the ids of `corpus` rows
     * within `threshold` cosine of ANY `evalSet` row. The eval side

@@ -2677,4 +2677,47 @@ class PipelineSpec extends GraftSuite {
       "vec_id", "embedding", k = 3, iters = 2, theta = 0.9))
     assert(rep == got, "partitioning must not change the pair set")
   }
+
+  test("semanticDedupCrossPairs: cross-only contract, standing centroids, novel rows pass, cap parity") {
+    val s = spark
+    import s.implicits._
+    // the planted-cluster fixture again: group == cluster
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    // batch: near-copies of 1 and 5 (ids offset), plus one NOVEL row
+    // orthogonal to every cluster axis — it must pair with nothing
+    val batch = Seq(
+      (101L, { val v = rows(1)._2.clone(); v(3) += 0.0005f; v }),
+      (105L, { val v = rows(5)._2.clone(); v(3) += 0.0005f; v }),
+      (199L, { val v = Array.fill(4)(0f); v(3) = 1f; v })
+    ).toDF("vec_id", "embedding")
+    def run(cap: Int) = Dedup.semanticDedupCrossPairs(corpus, batch,
+      "vec_id", "embedding", k = 3, iters = 2, theta = 0.9, cap = cap)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val got = run(4096)
+    // every pair is corpus-id x batch-id (cross-only, never within)
+    got.foreach { case (a, b) =>
+      assert(a < 100 && b >= 100, s"non-cross pair ($a, $b)")
+    }
+    // the two near-copies pair with every same-cluster corpus row
+    // (within-group cosine ~1); the novel row pairs with nothing
+    val expected = (for {
+      (cid, g) <- group; bid <- Seq(101L -> 0, 105L -> 1)
+      if g == bid._2
+    } yield (cid.toLong, bid._1)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(!got.exists(_._2 == 199L), "novel row must not pair")
+    // cap-split parity through boundedCrossPairs
+    assert(run(1) == got, "cap-split cross path must be lossless")
+    // partitioning independence
+    val rep = Dedup.semanticDedupCrossPairs(corpus.repartition(5),
+      batch.repartition(3), "vec_id", "embedding", k = 3, iters = 2,
+      theta = 0.9).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rep == got)
+  }
 }

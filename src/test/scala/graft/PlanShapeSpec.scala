@@ -369,7 +369,9 @@ class PlanShapeSpec extends GraftSuite {
       ("q_doc_lm2_score", 3, true),
       ("q_vector_pq_rot_recall", 8, false),
       ("q_embed_semdedup_pairs", 2, true),
-      ("q_embed_semdedup_keep", 4, true))
+      ("q_embed_semdedup_keep", 4, true),
+      ("q_embed_semdedup_cross", 6, true),
+      ("q_embed_outlier", 1, true))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       info(s"$name -> $prof")

@@ -1465,4 +1465,43 @@ class SearchSpec extends GraftSuite {
       java.lang.Double.doubleToRawLongBits(fromDf),
       s"interpreted $interp != codegen $fromDf")
   }
+
+  test("kthNeighborScore: brute-replayed scores, planted outlier ranks last") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // 20 rows in two tight groups + one planted isolate on a spare axis
+    val rows = (0 until 20).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat() * 0.01f)
+      if (i == 19) v(7) = 10f else v(i % 2) = 1f
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 4
+    val expected = rows.map { case (id, v) =>
+      val kth = rows.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }(Ordering.Tuple2(
+          Ordering.Double.TotalOrdering, Ordering.Long))(k - 1)
+      id -> math.round(kth._2 * 1000000000L)
+    }.toMap
+    val got = VectorOps.kthNeighborScore(df, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // the planted isolate has the LOWEST kth cosine
+    assert(got.minBy(_._2)._1 == 19L, s"isolate must rank most isolated: $got")
+    // partitioning independence
+    val rep = VectorOps.kthNeighborScore(df.repartition(7), "vec_id",
+      "embedding", k).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
 }
