@@ -767,6 +767,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))),
     "q_doc_quality" -> ((s, d) =>
       TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")),
+    "q_doc_readability" -> ((s, d) =>
+      TextAnalysis.readabilityReport(docs(s, d), "doc_id", "text")),
     "q_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
@@ -2621,6 +2623,18 @@ object SparkEntry {
       s"FROM documents), s AS (SELECT doc_id, lang, $langScoresSql FROM d), " +
       s"g AS (SELECT doc_id, lang, $langCaseSql AS lang_guess FROM s) " +
       "SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2"),
+    // FK grade from whole-text regexp counts; the explicit whitespace
+    // class keeps Java and RE2 word counts identical (VT divergence)
+    "q_doc_readability" -> ("WITH m AS (SELECT doc_id, " +
+      "greatest(len(regexp_extract_all(text, '[^\\t\\n\\x0B\\f\\r ]+')), 1) AS w, " +
+      "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS se, " +
+      "greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sy " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(w AS BIGINT) AS n_words, " +
+      "CAST(se AS BIGINT) AS n_sentences, CAST(sy AS BIGINT) AS n_syllables, " +
+      "round(0.39::DOUBLE * (w::DOUBLE / se) + " +
+      "11.8::DOUBLE * (sy::DOUBLE / w) - 15.59::DOUBLE, 4) AS fk_grade " +
+      "FROM m"),
     "q_doc_quality" -> ("WITH " + tokCte + " " +
       "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, " +
       "CAST(len(t.t) AS BIGINT) AS n_tokens, " +

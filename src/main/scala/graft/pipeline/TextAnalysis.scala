@@ -99,6 +99,34 @@ object TextAnalysis {
       .select(col(idCol) +: metrics: _*)
   }
 
+  /** Flesch-Kincaid grade level (Kincaid et al. 1975) — the classic
+    * readability signal an edu-quality curation cut keys on:
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`.
+    * Whole-text approximations keep it ONE codegen'd regexp scan with
+    * identical counts on any RE2/Java engine: words = runs of
+    * non-whitespace (EXPLICIT class — Java `\s` and RE2 `\s` disagree
+    * on VT), syllables ≈ vowel-group runs `[aeiouy]+` over the
+    * lowercased text, sentences ≈ runs of `[.!?]+`; each floored at 1
+    * so the ratios are total and the grade is defined on fragments.
+    * Counts are exact longs; the grade is the IEEE double of those
+    * longs rounded to 4dp — replayable cross-engine.
+    */
+  def readabilityReport(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = greatest(regexp_count(col(textCol),
+      lit("[^\\t\\n\\x0B\\f\\r ]+")), lit(1)).cast("long")
+    val sy = greatest(regexp_count(lower(col(textCol)),
+      lit("[aeiouy]+")), lit(1)).cast("long")
+    val se = greatest(regexp_count(col(textCol), lit("[.!?]+")),
+      lit(1)).cast("long")
+    df.select(col(idCol), w.as("n_words"), se.as("n_sentences"),
+      sy.as("n_syllables"))
+      .withColumn("fk_grade", round(
+        lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+          lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+          lit(15.59), 4))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. (A rolling/shingle fingerprint for locality lives in
     * Dedup.minhashSignature.)

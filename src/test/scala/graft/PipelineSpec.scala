@@ -2720,4 +2720,25 @@ class PipelineSpec extends GraftSuite {
       theta = 0.9).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(rep == got)
   }
+
+  test("readabilityReport: hand-counted FK terms, floors, VT in the word class") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentences, 5 vowel runs
+      (2L, "zzz brr"),              // no vowels, no enders -> floors
+      (3L, "a\u000Bb")              // VT separates words in BOTH engines
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityReport(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def fk(w: Long, se: Long, sy: Long): Double =
+      math.rint((0.39 * (w.toDouble / se) + 11.8 * (sy.toDouble / w)
+        - 15.59) * 10000) / 10000
+    assert(got(1L) == ((5L, 2L, 5L, fk(5, 2, 5))), s"${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, fk(2, 1, 1))), s"${got(2L)}")
+    assert(got(3L) == ((2L, 1L, 1L, fk(2, 1, 1))), s"${got(3L)}")
+    // sanity anchor: doc 1 computes to the known value
+    assert(math.abs(got(1L)._4 - (-2.815)) < 1e-9, s"${got(1L)._4}")
+  }
 }

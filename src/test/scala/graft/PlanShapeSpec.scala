@@ -371,7 +371,8 @@ class PlanShapeSpec extends GraftSuite {
       ("q_embed_semdedup_pairs", 2, true),
       ("q_embed_semdedup_keep", 4, true),
       ("q_embed_semdedup_cross", 6, true),
-      ("q_embed_outlier", 1, true))
+      ("q_embed_outlier", 1, true),
+      ("q_doc_readability", 0, false))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       info(s"$name -> $prof")
