@@ -23,12 +23,19 @@ import org.apache.spark.sql.types._
   * mismatch (zip_with pads with null) all yield NULL, never a partial
   * sum. A parity spec pins fused == HOF across these branches.
   *
-  * ONE deliberate divergence: a zero-norm vector divides by zero. The
-  * HOF form under Spark 4's default ANSI mode THROWS there (killing
-  * the whole query on one degenerate row); this expression does raw
-  * IEEE division — 0/0 → NaN — which is what DuckDB's
-  * `list_cosine_similarity` returns and what every `>= θ` verify
-  * filter wants (NaN compares false, the row just doesn't pair).
+  * ONE deliberate divergence: a degenerate input (zero-norm vector —
+  * 0/0 — or NaN elements) yields NULL, not the raw IEEE NaN. The HOF
+  * form under Spark 4's default ANSI mode THROWS on the zero-norm
+  * division (killing the whole query on one bad row), and a NaN
+  * would be WORSE than either: Spark and DuckDB both order NaN
+  * GREATER than every value — in comparisons, not just sorts — so a
+  * NaN cosine passes every `>= θ` verify filter and a single zero
+  * embedding would silently pair with (and min-id-delete) its entire
+  * cluster. NULL is the only value that (a) fails every threshold
+  * filter, (b) sorts nulls-last under the `desc` rank windows —
+  * agreeing with the collect-path Java kernel where NaN never wins a
+  * `>` — and (c) stays null through `round(...).cast("long")`
+  * quantization instead of throwing under ANSI.
   */
 case class CosinePair(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -69,7 +76,8 @@ case class CosinePair(left: Expression, right: Expression)
       dot += va * vb; na += va * va; nb += vb * vb
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (r.isNaN) null else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -94,6 +102,7 @@ case class CosinePair(left: Expression, right: Expression)
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
          |  }
          |}
        """.stripMargin

@@ -46,9 +46,12 @@ object VectorOps {
   /** Pairwise cosine via the fused native expression (one compiled
     * loop — graft.functions.CosinePair); bit-equal with the HOF
     * reference below, parity-spec'd including the null branches. On a
-    * zero-norm vector the fused form returns IEEE NaN (DuckDB's
-    * behavior; a `>= θ` filter drops the row) where the HOF under
-    * ANSI throws — see the CosinePair scaladoc.
+    * degenerate input (zero-norm vector, NaN elements) the fused form
+    * returns NULL — failing every `>= θ` filter and ranking
+    * nulls-last — where the HOF under ANSI threw on the division and
+    * a raw NaN would have PASSED every threshold (Spark and DuckDB
+    * both compare NaN greater than everything). See the CosinePair
+    * scaladoc.
     */
   def cosineSimCols(a: Column, b: Column): Column =
     graft.functions.CosinePair(a, b)
@@ -499,7 +502,11 @@ object VectorOps {
     * end flags redundancy. One [[knnJoin]] (auto-escalating), then the
     * rank-k rows join vectors back to score — cosines quantized at
     * 1e-9 so downstream order/limit replays on any engine. Returns
-    * every row's (id, kth_qcos); callers threshold or top-N.
+    * (id, kth_qcos) for every row WITH a rank-k neighbor: a corpus of
+    * n ≤ k rows has none (each row sees only n−1 non-self neighbors)
+    * and such rows are absent from the output, so callers reading
+    * "absent == fine" must ensure n > k; a degenerate (zero-norm/NaN)
+    * row's kth_qcos is null rather than a fake score.
     */
   def kthNeighborScore(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -531,7 +538,11 @@ object VectorOps {
     * the mining inherits its scale shape: two batch kNN joins that
     * auto-escalate to the distributed cluster join past the collect
     * cap, then bounded candidate-set joins (≤ n·k rows) and one
-    * integer window per source. Emits each source's best target by
+    * integer window per source. Degenerate (zero-norm/NaN) vectors
+    * carry null quantized cosines: `sum` skips them (their neighbors'
+    * sums span the real candidates only) and their own null margins
+    * rank nulls-last, so one bad row degrades only its own output
+    * row, never the query. Emits each source's best target by
     * (margin_q DESC, tgt id): positive margin ⇒ the match stands out
     * above x's and y's respective neighborhoods.
     */

@@ -2676,6 +2676,20 @@ class PipelineSpec extends GraftSuite {
     val rep = pairSet(Dedup.semanticDedupPairs(df.repartition(7),
       "vec_id", "embedding", k = 3, iters = 2, theta = 0.9))
     assert(rep == got, "partitioning must not change the pair set")
+    // REGRESSION (review finding): a zero-norm row must pair with
+    // NOTHING — its cosines are null, not NaN. NaN would compare
+    // greater than theta in Spark AND DuckDB, silently deleting the
+    // whole cluster via min-id-wins when the zero row has the low id
+    val poisoned = (Seq((100L, Array(0f, 0f, 0f, 0f))) ++ rows.map {
+      case (i, v) => (i + 200L, v) }).toDF("vec_id", "embedding")
+    val pp = pairSet(Dedup.semanticDedupPairs(poisoned, "vec_id",
+      "embedding", k = 3, iters = 2, theta = 0.9))
+    assert(!pp.exists { case (a, b) => a == 100L || b == 100L },
+      s"zero-norm row paired: $pp")
+    val keptP = Dedup.semanticDedupKeep(poisoned, "vec_id", "embedding",
+      k = 3, iters = 2, theta = 0.9).collect().map(_.getLong(0)).toSet
+    assert(keptP.contains(100L) && keptP.size == 4,
+      s"one zero row must not delete real rows: $keptP")
   }
 
   test("semanticDedupCrossPairs: cross-only contract, standing centroids, novel rows pass, cap parity") {

@@ -1439,16 +1439,27 @@ class SearchSpec extends GraftSuite {
         s"pid ${r.getLong(0)}: fused null=${r.isNullAt(1)} hof null=${r.isNullAt(2)}")
       assert(r.isNullAt(1), s"pid ${r.getLong(0)} must be null")
     }
-    // zero-norm vectors: the documented deliberate divergence — the
-    // HOF under ANSI throws on the division, the fused form returns
-    // IEEE NaN (DuckDB's behavior), so one degenerate row can no
-    // longer kill a verify query
-    val zdf = Seq((9L, Array(0f, 0f), Array(1f, 2f))).toDF("pid", "va", "vb")
-    val nan = zdf.select(VectorOps.cosineSimCols(col("va"), col("vb")))
-      .collect()(0).getDouble(0)
-    assert(nan.isNaN, s"zero-norm must yield NaN, got $nan")
+    // degenerate vectors: the documented deliberate divergence — the
+    // HOF under ANSI throws on the zero-norm division, and a raw NaN
+    // would PASS every >= theta filter (Spark compares NaN greater
+    // than everything); the fused form returns NULL, which fails
+    // every threshold and ranks nulls-last
+    val zdf = Seq(
+      (9L, Array(0f, 0f), Array(1f, 2f)),
+      (10L, Array(Float.NaN, 1f), Array(1f, 2f))
+    ).toDF("pid", "va", "vb")
+    val zr = zdf.select(col("pid"),
+      VectorOps.cosineSimCols(col("va"), col("vb")).as("c"),
+      (VectorOps.cosineSimCols(col("va"), col("vb")) >= 0.0).as("gate"))
+      .collect()
+    zr.foreach { r =>
+      assert(r.isNullAt(1), s"pid ${r.getLong(0)} must be null, got $r")
+      assert(r.isNullAt(2) || !r.getBoolean(2),
+        s"pid ${r.getLong(0)}: a degenerate row must never pass a threshold")
+    }
     intercept[Exception] {
-      zdf.select(VectorOps.cosineSimColsHof(col("va"), col("vb"))).collect()
+      zdf.where(col("pid") === 9L)
+        .select(VectorOps.cosineSimColsHof(col("va"), col("vb"))).collect()
     }
     // interpreted eval matches the codegen'd DataFrame result
     import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
