@@ -641,7 +641,8 @@ object SparkEntry {
       val qv = queryVec(s, d).map(_.toDouble)
       val pool = e.select(col("vec_id").as("id"), col("embedding").as("v"),
           VectorOps.cosineSim(col("embedding"), qv).as("rel"))
-        .orderBy(col("rel").desc, col("id")).limit(20)
+        .orderBy(round(col("rel") * 1000000).cast("long").desc,
+          col("id")).limit(20)
       VectorOps.mmrRerank(pool, "id", "v", "rel", k = 10)
         .select(col("id").as("vec_id"), col("mmr_rank"))
     }),
@@ -685,6 +686,12 @@ object SparkEntry {
     "q_embed_margin_mine" -> ((s, d) => {
       val e = emb(s, d)
       VectorOps.marginMiningQuantized(e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+    }),
+    // mutual-best mining: forward AND backward margin argmax agree
+    "q_embed_margin_mutual" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.marginMiningMutual(e.where(col("vec_id") % 2 === 0),
         e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
     }),
     // the fully-DISTRIBUTED knn join (no driver-side query collect —
@@ -1853,6 +1860,34 @@ object SparkEntry {
     "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
     "CAST(eb.embedding AS DOUBLE[])) >= 0.42)"
 
+  // Difference-margin mining replay (parity-split sides, k=4), shared
+  // by the best-per-source and mutual-best oracles: top-4 each
+  // direction double-ordered (the knn kernel's ordering), cosines
+  // 1e-9-quantized so sums/margins/argmax run in integers; `pf` is
+  // each source's margin argmax.
+  private val marginCtes = "WITH src AS (SELECT vec_id, " +
+    "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+    "WHERE vec_id % 2 = 0), " +
+    "tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+    "FROM embeddings WHERE vec_id % 2 = 1), " +
+    "cand AS MATERIALIZED (SELECT s.vec_id AS sid, t.vec_id AS tid, " +
+    "list_cosine_similarity(s.v, t.v) AS c FROM src s CROSS JOIN tgt t), " +
+    "fk AS MATERIALIZED (SELECT sid, tid, " +
+    "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
+    "QUALIFY row_number() OVER (PARTITION BY sid " +
+    "ORDER BY c DESC, tid) <= 4), " +
+    "bk AS MATERIALIZED (SELECT sid, tid, " +
+    "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
+    "QUALIFY row_number() OVER (PARTITION BY tid " +
+    "ORDER BY c DESC, sid) <= 4), " +
+    "a AS (SELECT sid, sum(qc) AS sa FROM fk GROUP BY 1), " +
+    "b AS (SELECT tid, sum(qc) AS sb FROM bk GROUP BY 1), " +
+    "fm AS (SELECT f.sid, f.tid, 8 * f.qc - a.sa - b.sb AS margin_q " +
+    "FROM fk f JOIN a ON f.sid = a.sid JOIN b ON f.tid = b.tid), " +
+    "pf AS MATERIALIZED (SELECT sid, tid, margin_q FROM fm " +
+    "QUALIFY row_number() OVER (PARTITION BY sid " +
+    "ORDER BY margin_q DESC, tid) = 1)"
+
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
     "q_nwhere" -> "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0",
@@ -2256,24 +2291,37 @@ object SparkEntry {
     // subquery over the materialized 20-candidate pool and its
     // pairwise cosine table (the anchor seeds the pure-relevance first
     // pick — an empty-list anchor trips DuckDB's NULL list semantics)
-    "q_embed_mmr" -> ("WITH RECURSIVE " +
+    // Greedy walk UNROLLED as plain set-based CTEs (the kmeans-unroll
+    // discipline): the earlier recursive-CTE form's correlated max(s)
+    // subquery intermittently returned NULL under DuckDB's parallel
+    // execution (redundancy collapsed to 0 via the coalesce and the
+    // hub candidate won), flipping picks ~40% of runs. Each step is a
+    // non-correlated groupBy redundancy + grid-quantized argmax.
+    "q_embed_mmr" -> ("WITH " +
       "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
       "cand AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding AS v, " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(qv.q AS DOUBLE[])) AS rel FROM embeddings e CROSS JOIN qv " +
-      "ORDER BY rel DESC, e.vec_id LIMIT 20), " +
+      "ORDER BY CAST(round(rel * 1000000) AS BIGINT) DESC, " +
+      "e.vec_id LIMIT 20), " +
       "sim AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, " +
       "list_cosine_similarity(CAST(a.v AS DOUBLE[]), " +
       "CAST(b.v AS DOUBLE[])) AS s FROM cand a JOIN cand b ON a.id <> b.id), " +
-      "m(step, sel) AS (" +
-      "SELECT 1, [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)] " +
-      "UNION ALL SELECT step + 1, list_append(sel, (" +
-      "SELECT c.id FROM cand c WHERE NOT list_contains(m.sel, c.id) " +
-      "ORDER BY 0.5 * c.rel - 0.5 * coalesce((SELECT max(s) FROM sim " +
-      "WHERE sim.ia = c.id AND list_contains(m.sel, sim.ib)), 0.0) DESC, " +
-      "c.id LIMIT 1)) FROM m WHERE step < 10) " +
-      "SELECT sel[i+1] AS vec_id, CAST(i+1 AS BIGINT) AS mmr_rank " +
-      "FROM (SELECT sel FROM m WHERE step = 10), UNNEST(range(0, 10)) t(i)"),
+      "sel1 AS MATERIALIZED (SELECT id, 1 AS r FROM cand " +
+      "ORDER BY CAST(round(0.5 * rel * 1000000) AS BIGINT) DESC, " +
+      "id LIMIT 1)" +
+      (2 to 10).map { i =>
+        s", red$i AS (SELECT ia AS id, max(s) AS ms FROM sim " +
+          s"WHERE ib IN (SELECT id FROM sel${i - 1}) GROUP BY ia)" +
+          s", pick$i AS MATERIALIZED (SELECT c.id, $i AS r " +
+          s"FROM cand c JOIN red$i rd ON rd.id = c.id " +
+          s"WHERE c.id NOT IN (SELECT id FROM sel${i - 1}) " +
+          "ORDER BY CAST(round((0.5 * c.rel - 0.5 * rd.ms) * 1000000) " +
+          "AS BIGINT) DESC, c.id LIMIT 1)" +
+          s", sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} " +
+          s"UNION ALL SELECT * FROM pick$i)"
+      }.mkString +
+      " SELECT id AS vec_id, CAST(r AS BIGINT) AS mmr_rank FROM sel10"),
     // the knn top-10 per sub-32 query, label-joined and grouped
     "q_embed_knn_purity" -> ("WITH kn AS (SELECT q.vec_id AS query_id, " +
       "e.vec_id AS neighbor_id, q.label AS ql, e.label AS nl " +
@@ -2314,28 +2362,17 @@ object SparkEntry {
     // difference-margin mining over the parity split: top-4 each
     // direction double-ordered (the engine's knn ordering), cosines
     // then 1e-9-quantized so sums/margins/argmax replay in integers
-    "q_embed_margin_mine" -> ("WITH src AS (SELECT vec_id, " +
-      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
-      "WHERE vec_id % 2 = 0), " +
-      "tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
-      "FROM embeddings WHERE vec_id % 2 = 1), " +
-      "cand AS MATERIALIZED (SELECT s.vec_id AS sid, t.vec_id AS tid, " +
-      "list_cosine_similarity(s.v, t.v) AS c FROM src s CROSS JOIN tgt t), " +
-      "fk AS MATERIALIZED (SELECT sid, tid, " +
-      "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
-      "QUALIFY row_number() OVER (PARTITION BY sid " +
-      "ORDER BY c DESC, tid) <= 4), " +
-      "bk AS MATERIALIZED (SELECT sid, tid, " +
-      "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
-      "QUALIFY row_number() OVER (PARTITION BY tid " +
-      "ORDER BY c DESC, sid) <= 4), " +
-      "a AS (SELECT sid, sum(qc) AS sa FROM fk GROUP BY 1), " +
-      "b AS (SELECT tid, sum(qc) AS sb FROM bk GROUP BY 1) " +
-      "SELECT f.sid AS src_id, f.tid AS tgt_id, " +
-      "8 * f.qc - a.sa - b.sb AS margin_q " +
-      "FROM fk f JOIN a ON f.sid = a.sid JOIN b ON f.tid = b.tid " +
-      "QUALIFY row_number() OVER (PARTITION BY f.sid " +
-      "ORDER BY margin_q DESC, f.tid) = 1"),
+    "q_embed_margin_mine" -> (marginCtes +
+      " SELECT sid AS src_id, tid AS tgt_id, margin_q FROM pf"),
+    // the mutual-best (CCMatrix "max") criterion: forward argmax AND
+    // backward argmax must agree
+    "q_embed_margin_mutual" -> (marginCtes + ", " +
+      "bm AS (SELECT f.sid, f.tid, 8 * f.qc - a.sa - b.sb AS margin_q " +
+      "FROM bk f JOIN a ON f.sid = a.sid JOIN b ON f.tid = b.tid), " +
+      "pb AS (SELECT sid, tid FROM bm QUALIFY row_number() OVER " +
+      "(PARTITION BY tid ORDER BY margin_q DESC, sid) = 1) " +
+      "SELECT pf.sid AS src_id, pf.tid AS tgt_id, pf.margin_q " +
+      "FROM pf JOIN pb ON pf.sid = pb.sid AND pf.tid = pb.tid"),
 
     // as-of join: DuckDB's native ASOF LEFT JOIN is the independent
     // formulation of the union + running-last-value window; right-side

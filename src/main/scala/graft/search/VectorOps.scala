@@ -547,7 +547,32 @@ object VectorOps {
     * above x's and y's respective neighborhoods.
     */
   def marginMiningQuantized(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    marginFrames(src, tgt, idCol, vecCol, k) match {
+      case (f, _) => bestPer(f, "src_id", "tgt_id")
+    }
+
+  /** The stricter MUTUAL-best criterion (the CCMatrix "max" mining
+    * strategy): a pair survives only when the target is the source's
+    * margin argmax AND the source is the target's — one-directional
+    * bests (a source whose favorite target prefers some other source)
+    * are exactly the mining false positives the intersection exists
+    * to drop. Same margins, same sums; one extra window over the
+    * backward candidates + an equi-join of the two argmax sets.
+    */
+  def marginMiningMutual(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val (f, b) = marginFrames(src, tgt, idCol, vecCol, k)
+    bestPer(f, "src_id", "tgt_id")
+      .join(bestPer(b, "tgt_id", "src_id")
+        .select(col("src_id"), col("tgt_id")), Seq("src_id", "tgt_id"))
+  }
+
+  /** Both candidate sets with margins attached: forward (each source's
+    * top-k targets) and backward (each target's top-k sources), every
+    * row carrying `margin_q = 2k·qc − Σfwd(src) − Σbwd(tgt)`. */
+  private def marginFrames(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val sv = src.select(col(idCol).cast("long").as("src_id"),
       col(vecCol).as("_sv"))
@@ -565,16 +590,23 @@ object VectorOps {
         * lit(1000000000L)).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("_qc"))
     val f = scored(fwd)
+    val b = scored(bwd)
     val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
-    val sumB = scored(bwd).groupBy(col("tgt_id"))
-      .agg(sum(col("_qc")).as("_sb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src_id"))
-      .orderBy(col("margin_q").desc, col("tgt_id").asc)
-    f.join(sumA, "src_id").join(sumB, "tgt_id")
+    val sumB = b.groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
+    def withMargin(cand: DataFrame) = cand
+      .join(sumA, "src_id").join(sumB, "tgt_id")
       .withColumn("margin_q",
         lit(2L * k) * col("_qc") - col("_sa") - col("_sb"))
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+    (withMargin(f), withMargin(b))
+  }
+
+  /** Per-`keyCol` margin argmax (ties to the smaller `otherCol`). */
+  private def bestPer(m: DataFrame, keyCol: String,
+      otherCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("margin_q").desc, col(otherCol).asc)
+    m.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .select(col("src_id"), col("tgt_id"), col("margin_q"))
   }
 
@@ -590,11 +622,18 @@ object VectorOps {
     * over-cap pool is a bug in the caller's candidate generator, not a
     * reason to OOM the driver.
     *
-    * Ties (score-equal at a step) resolve to the smaller id; the first
-    * pick is the pure-relevance argmax (empty selected set ⇒ redundancy
-    * term 0, and scaling by lambda — a power of two by default — cannot
-    * reorder doubles). Output: `(idCol, mmr_rank)`, 1-based, in pick
-    * order.
+    * Each step's argmax compares scores on a 1e-6 QUANTIZED grid
+    * (`round(score · 1e6)` as a long), ties to the smaller id; the
+    * first pick is the pure-relevance argmax (empty selected set ⇒
+    * redundancy term 0). The grid is load-bearing for replay: DuckDB's
+    * `list_cosine_similarity` is bit-stable on a plain scan but drifts
+    * in the LAST ULP once lists pass through a join (SIMD accumulation
+    * order follows the list's offset in the child vector), so a raw
+    * double argmax over near-tied candidates flips between runs — the
+    * q_embed_mmr oracle flipped its step-2 pick ~40% of runs until
+    * both engines compared on this grid, where ulp noise collapses
+    * into an exact tie and the id breaks it. Output:
+    * `(idCol, mmr_rank)`, 1-based, in pick order.
     */
   def mmrRerank(cands: DataFrame, idCol: String, vecCol: String,
       relCol: String, k: Int, lambda: Double = 0.5,
@@ -640,16 +679,19 @@ object VectorOps {
     var step = 0
     var exhausted = false
     while (step < math.min(k, n) && !exhausted) {
-      var best = -1; var bestScore = Double.NegativeInfinity
+      var best = -1; var bestScore = Long.MinValue
       var i = 0
       while (i < n) {
         if (!taken(i) && valid(i)) {
           val red = if (step == 0) 0.0 else maxSim(i)
-          val sc = lambda * p(i)._3 - (1.0 - lambda) * red
-          if (sc > bestScore) { best = i; bestScore = sc } // ascending-id
-        }                                                  // scan: first
-        i += 1                                             // wins ties
-      }
+          val sc = (lambda * p(i)._3 - (1.0 - lambda) * red) * 1e6
+          // the replay grid; half-away-from-zero to match SQL round()
+          val scq = (if (sc >= 0) math.floor(sc + 0.5)
+                     else math.ceil(sc - 0.5)).toLong
+          if (scq > bestScore) { best = i; bestScore = scq } // ascending-
+        }                                                  // id scan:
+        i += 1                                             // first wins
+      }                                                    // ties
       if (best < 0) exhausted = true // only degenerates remain
       else {
         taken(best) = true

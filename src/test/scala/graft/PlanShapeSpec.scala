@@ -396,6 +396,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(prof("shuffle") <= 4, s"shuffle budget exceeded: $prof")
     assert(prof("smj") <= 1, s"more than the one margin-join SMJ: $prof")
     assert(prof("bhj") >= 1, s"candidate-set joins lost broadcast: $prof")
+    // the mutual form adds the backward window + argmax join; heavy
+    // exchange reuse (14 reused at HEAD) keeps the extra cost at 3
+    // shuffles over the one-directional plan
+    val mprof = planProfile(
+      SparkEntry.queries("q_embed_margin_mutual")(spark, dir))
+    info(s"q_embed_margin_mutual -> $mprof")
+    assert(mprof("shuffle") <= 7, s"shuffle budget exceeded: $mprof")
+    assert(mprof("smj") <= 1, s"more than the one margin-join SMJ: $mprof")
+    assert(mprof("reused") >= 1, s"lost exchange reuse entirely: $mprof")
   }
 
   test("exchange budgets hold for the retrieval/dedup/graph additions after r12") {

@@ -1515,4 +1515,28 @@ class SearchSpec extends GraftSuite {
       "embedding", k).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep == got)
   }
+
+  test("marginMiningMutual: one-directional bests drop, mutual pair survives") {
+    val s = spark
+    import s.implicits._
+    // both sources' forward best is t1, but t1's backward best is s0 —
+    // so s2's (2,1) is one-directional and must be dropped, and since
+    // s2's own favorite is taken, s2 contributes NO mutual pair;
+    // t3's backward best (s2) is likewise not s2's forward best
+    val srcDf = Seq((0L, Array(1f, 0.001f)), (2L, Array(0.9f, 0.436f)))
+      .toDF("vec_id", "embedding")
+    val tgtDf = Seq((1L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val fwd = VectorOps.marginMiningQuantized(srcDf, tgtDf, "vec_id",
+      "embedding", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fwd == Set((0L, 1L), (2L, 1L)),
+      s"fixture must make both sources prefer t1: $fwd")
+    val mutual = VectorOps.marginMiningMutual(srcDf, tgtDf, "vec_id",
+      "embedding", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual == Set((0L, 1L)), s"mutual must keep only (0,1): $mutual")
+    // mutual is a subset of the forward bests by construction
+    assert(mutual.subsetOf(fwd))
+  }
 }
