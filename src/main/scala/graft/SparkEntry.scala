@@ -632,10 +632,10 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.knnJoin(e, e.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
     }),
-    // MMR diversified retrieval: distributed top-20 cosine pool, then
-    // the greedy lambda=0.5 relevance/redundancy re-rank; the oracle
-    // replays the greedy walk in a recursive CTE carrying the selected
-    // list
+    // MMR diversified retrieval: distributed top-20 cosine pool
+    // (grid-quantized ordering), then the greedy lambda=0.5 relevance/
+    // redundancy re-rank; the oracle replays the walk as UNROLLED
+    // set-based CTE steps
     "q_embed_mmr" -> ((s, d) => {
       val e = emb(s, d)
       val qv = queryVec(s, d).map(_.toDouble)
@@ -679,7 +679,8 @@ object SparkEntry {
     // pipeline drops or audits
     "q_embed_outlier" -> ((s, d) =>
       VectorOps.kthNeighborScore(emb(s, d), "vec_id", "embedding", k = 4)
-        .orderBy(col("kth_qcos").asc, col("vec_id").asc).limit(20)),
+        .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc)
+        .limit(20)),
     // margin-based pair mining (Artetxe & Schwenk 2019): the corpus
     // split by id parity stands in for the two language sides; each
     // even-id source's best odd-id target by integer difference margin
@@ -2286,11 +2287,6 @@ object SparkEntry {
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
       "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
-    // greedy MMR replayed as a recursive CTE: the selected-id list is
-    // the recursion state; each step's argmax is a correlated scalar
-    // subquery over the materialized 20-candidate pool and its
-    // pairwise cosine table (the anchor seeds the pure-relevance first
-    // pick — an empty-list anchor trips DuckDB's NULL list semantics)
     // Greedy walk UNROLLED as plain set-based CTEs (the kmeans-unroll
     // discipline): the earlier recursive-CTE form's correlated max(s)
     // subquery intermittently returned NULL under DuckDB's parallel
@@ -2358,7 +2354,7 @@ object SparkEntry {
       "QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
       "list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
       "CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id) = 4 " +
-      "ORDER BY kth_qcos, a.vec_id LIMIT 20"),
+      "ORDER BY kth_qcos NULLS LAST, a.vec_id LIMIT 20"),
     // difference-margin mining over the parity split: top-4 each
     // direction double-ordered (the engine's knn ordering), cosines
     // then 1e-9-quantized so sums/margins/argmax replay in integers

@@ -33,9 +33,11 @@ import org.apache.spark.sql.types._
   * embedding would silently pair with (and min-id-delete) its entire
   * cluster. NULL is the only value that (a) fails every threshold
   * filter, (b) sorts nulls-last under the `desc` rank windows —
-  * agreeing with the collect-path Java kernel where NaN never wins a
-  * `>` — and (c) stays null through `round(...).cast("long")`
-  * quantization instead of throwing under ANSI.
+  * and the collect-path Java kernel skips NaN scores outright, so
+  * both knn paths agree degenerates are not neighbors — and
+  * (c) stays null through `round(...).cast("long")` quantization
+  * instead of throwing under ANSI. [[CosineToQuery]] carries the
+  * same NULL contract on the vector-vs-query side.
   */
 case class CosinePair(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -17,6 +17,14 @@ import org.apache.spark.sql.types._
   * Accumulation order matches VectorOps.cosineSim exactly (left-to-right
   * double sums, `dot / (sqrt(norm) * qnorm)`), so results are bit-equal
   * and interchangeable with the HOF path (and the DuckDB oracle).
+  *
+  * Degenerate inputs (zero-norm vector, NaN elements, zero-norm query)
+  * yield NULL — the same contract as [[CosinePair]], for the same
+  * reason: a raw NaN would rank FIRST under every `desc` retrieval
+  * window and pass every threshold (Spark compares NaN greater than
+  * everything), and `round(...).cast("long")` quantization of it
+  * throws under ANSI. NULL fails filters, sorts nulls-last, and
+  * quantizes to null.
   */
 case class CosineToQuery(child: Expression, query: Array[Double])
     extends UnaryExpression {
@@ -55,7 +63,8 @@ case class CosineToQuery(child: Expression, query: Array[Double])
         dot += v * query(i); nv += v * v; i += 1
       }
     }
-    dot / (math.sqrt(nv) * qNorm)
+    val r = dot / (math.sqrt(nv) * qNorm)
+    if (r.isNaN) null else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -75,6 +84,7 @@ case class CosineToQuery(child: Expression, query: Array[Double])
          |  $nv += $v * $v;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nv) * ${qNorm}D);
+         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
        """.stripMargin
     })
   }

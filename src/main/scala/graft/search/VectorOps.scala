@@ -505,8 +505,10 @@ object VectorOps {
     * (id, kth_qcos) for every row WITH a rank-k neighbor: a corpus of
     * n ≤ k rows has none (each row sees only n−1 non-self neighbors)
     * and such rows are absent from the output, so callers reading
-    * "absent == fine" must ensure n > k; a degenerate (zero-norm/NaN)
-    * row's kth_qcos is null rather than a fake score.
+    * "absent == fine" must ensure n > k. Degenerate (zero-norm/NaN)
+    * rows are absent too — the knn kernels exclude them on both
+    * sides, so they neither receive a rank-k score nor displace a
+    * healthy row's true k-th neighbor.
     */
   def kthNeighborScore(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -644,6 +646,10 @@ object VectorOps {
     import spark.implicits._
     val pool = cands
       .select(col(idCol).cast("long"), col(vecCol), col(relCol).cast("double"))
+      // a NULL relevance (CosinePair's degenerate contract) would
+      // crash the non-nullable decode below; such rows are never
+      // pickable anyway, so drop them here
+      .where(col(relCol).isNotNull)
       .limit(maxPool + 1)
       .as[(Long, Array[Float], Double)].collect()
     require(pool.length <= maxPool,
@@ -752,6 +758,9 @@ object VectorOps {
       .where(if (excludeLabelCol.isDefined) !(col("_ql") <=> col("_nl"))
         else lit(true))
       .withColumn("_sim", cosineSimCols(col("_qv"), col("_nv")))
+      // CosinePair yields NULL for degenerate pairs; drop them so the
+      // distributed rank agrees with the heap kernel's NaN skip
+      .where(col("_sim").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -876,12 +885,19 @@ object VectorOps {
             var d = 0.0; var j = 0
             while (j < qv.length) { d += cv(j).toDouble * qv(j).toDouble; j += 1 }
             val s = d / (snc * nrm(qi))
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue((s, cid))
-            else {
-              val w = h.head // worst of the current k
-              if (s > w._1 || (s == w._1 && cid < w._2)) {
-                h.dequeue(); h.enqueue((s, cid))
+            // degenerate rows (zero-norm/NaN on either side) never
+            // enter the heap: an enqueued NaN could never be displaced
+            // (no real score compares > NaN) and would poison a rank,
+            // and skipping matches the distributed path's null-sim
+            // filter — both paths agree degenerates are not neighbors
+            if (!s.isNaN) {
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((s, cid))
+              else {
+                val w = h.head // worst of the current k
+                if (s > w._1 || (s == w._1 && cid < w._2)) {
+                  h.dequeue(); h.enqueue((s, cid))
+                }
               }
             }
           }

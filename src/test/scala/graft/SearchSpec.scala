@@ -1539,4 +1539,70 @@ class SearchSpec extends GraftSuite {
     // mutual is a subset of the forward bests by construction
     assert(mutual.subsetOf(fwd))
   }
+
+  test("degenerate vectors are not neighbors: uniform NULL contract across knn paths") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // 12 healthy rows + one zero-norm row (id 99) + one NaN row (id 98)
+    val healthy = (0 until 12).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat() * 0.01f); v(i % 2) = 1f
+      (i.toLong, v)
+    }
+    val rows = healthy ++ Seq(
+      (99L, Array.fill(8)(0f)),
+      (98L, { val v = Array.fill(8)(1f); v(0) = Float.NaN; v }))
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 4
+    // kthNeighborScore: degenerates absent, healthy rows score against
+    // HEALTHY neighbors only (the brute replay over the healthy set)
+    val got = VectorOps.kthNeighborScore(df, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(99L) && !got.contains(98L),
+      s"degenerate rows must be absent: $got")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = healthy.map { case (id, v) =>
+      val kth = healthy.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }(Ordering.Tuple2(
+          Ordering.Double.TotalOrdering, Ordering.Long))(k - 1)
+      id -> math.round(kth._2 * 1000000000L)
+    }.toMap
+    assert(got == expected,
+      s"degenerates must not displace true neighbors: $got vs $expected")
+    // knnJoin itself: no degenerate id ever appears as a neighbor, and
+    // no query_id for the degenerate rows
+    val nn = VectorOps.knnJoin(df, df, "embedding", "vec_id", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!nn.exists { case (q, n) => n == 99L || n == 98L },
+      "degenerate rows must never rank as neighbors")
+    assert(!nn.exists { case (q, _) => q == 99L || q == 98L },
+      "degenerate query rows have no neighbors")
+    // cosineSim (vector-vs-query) carries the same contract: null for
+    // a zero-norm row, so it fails thresholds and sorts last
+    val relRows = df.select(col("vec_id"),
+      VectorOps.cosineSim(col("embedding"),
+        Seq.fill(8)(1.0)).as("rel")).collect()
+    relRows.foreach { r =>
+      val id = r.getLong(0)
+      if (id == 99L || id == 98L) assert(r.isNullAt(1), s"id $id must be null")
+      else assert(!r.isNullAt(1) && !r.getDouble(1).isNaN)
+    }
+    // mmrRerank over a pool containing a null-rel row must not crash
+    // and must never pick the degenerate
+    val pool = df.select(col("vec_id").as("id"), col("embedding").as("v"),
+      VectorOps.cosineSim(col("embedding"), Seq.fill(8)(1.0)).as("rel"))
+    val picks = VectorOps.mmrRerank(pool, "id", "v", "rel", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(picks.size == 5 && !picks.contains(99L) && !picks.contains(98L),
+      s"mmr must skip degenerates: $picks")
+  }
 }
