@@ -1567,6 +1567,11 @@ object SparkEntry {
     "q_embed_semdedup_keep" -> ((s, d) =>
       Dedup.semanticDedupKeep(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2, theta = 0.42)),
+    // SemDeDup pre-flight telemetry: per-cluster size + implied pair
+    // volume, the k-calibration report
+    "q_embed_semdedup_report" -> ((s, d) =>
+      Dedup.semanticDedupReport(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
     // incremental SemDeDup: a batch of near-paraphrases (every 7th
     // row jittered, ids offset) deduped against the standing corpus —
     // batch assigns to the CORPUS's centroids, no retrain
@@ -3464,6 +3469,10 @@ object SparkEntry {
     "q_embed_semdedup_keep" -> (semdedupPairsCtes +
       " SELECT vec_id FROM asgn WHERE vec_id NOT IN " +
       "(SELECT id_b FROM spr)"),
+    "q_embed_semdedup_report" -> (kmeansAsgnCtes +
+      " SELECT cl AS cluster, count(*) AS n_rows, " +
+      "count(*) * (count(*) - 1) // 2 AS n_pairs " +
+      "FROM asgn GROUP BY cl"),
     // incremental SemDeDup: batch rows argmin against the CORPUS's
     // round-2 centroids (c2), cross pairs within shared clusters
     "q_embed_semdedup_cross" -> (kmeansAsgnCtes + ", " +

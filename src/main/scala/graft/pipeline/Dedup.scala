@@ -1768,6 +1768,21 @@ object Dedup {
         col("id_b._sid").as("id_b"))
   }
 
+  /** Pre-flight telemetry for [[semanticDedupPairs]]: per-cluster row
+    * counts and the implied within-cluster pair volume `n·(n−1)/2` —
+    * what a caller reads to calibrate k BEFORE committing to the full
+    * quadratic pass (total pair volume is the cost driver; the largest
+    * block is the skew the cap machinery will sub-split). One
+    * k-means assignment + one groupBy; k rows out.
+    */
+  def semanticDedupReport(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    VectorOps.kmeansQuantized(df, idCol, vecCol, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_pairs", expr("n_rows * (n_rows - 1) div 2"))
+      .select(col("cluster"), col("n_rows"), col("n_pairs"))
+
   /** The keep-set form of [[semanticDedupPairs]]: a row is DROPPED iff
     * a smaller-id row in the same cluster is cosine-θ-similar —
     * deterministic min-id-wins, the same tie rule every exact-dedup

@@ -2692,6 +2692,22 @@ class PipelineSpec extends GraftSuite {
       s"one zero row must not delete real rows: $keptP")
   }
 
+  test("semanticDedupReport: planted cluster sizes and pair volumes") {
+    val s = spark
+    import s.implicits._
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v)
+    }
+    val rep = Dedup.semanticDedupReport(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // group sizes 4/3/2 -> pair volumes 6/3/1
+    assert(rep == Set((4L, 6L), (3L, 3L), (2L, 1L)), s"$rep")
+  }
+
   test("semanticDedupCrossPairs: cross-only contract, standing centroids, novel rows pass, cap parity") {
     val s = spark
     import s.implicits._
