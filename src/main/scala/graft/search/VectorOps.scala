@@ -467,6 +467,17 @@ object VectorOps {
       idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0)
 
+  /** [[knnJoin]] plus the kernel's exact similarity as `_score` —
+    * internal: both kernels already compute it (the heap entries / the
+    * `_sim` window key), so consumers that need the value (isolation
+    * scoring, margin mining) read it here instead of joining the
+    * vector table back and re-evaluating the cosine per candidate. */
+  private[graft] def knnJoinScored(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0,
+      keepScore = true)
+
   /** IVF-pruned batch k-NN join: like knnJoin, but corpus rows are only
     * scored against queries whose `nprobe` nearest centroids include
     * the row's cluster. With the cluster id as a partition column the
@@ -513,15 +524,9 @@ object VectorOps {
   def kthNeighborScore(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val v = df.select(col(idCol).cast("long").as("_kid"),
-      col(vecCol).as("_kv"))
-    knnJoin(df, df, vecCol, idCol, k).where(col("rank") === k)
-      .join(v.withColumnRenamed("_kid", "query_id")
-        .withColumnRenamed("_kv", "_qv"), "query_id")
-      .join(v.withColumnRenamed("_kid", "neighbor_id")
-        .withColumnRenamed("_kv", "_nv"), "neighbor_id")
+    knnJoinScored(df, df, vecCol, idCol, k).where(col("rank") === k)
       .select(col("query_id").as(idCol),
-        round(cosineSimCols(col("_qv"), col("_nv")) * lit(1000000000L))
+        round(col("_score") * lit(1000000000L))
           .cast("long").as("kth_qcos"))
   }
 
@@ -576,23 +581,17 @@ object VectorOps {
   private def marginFrames(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val sv = src.select(col(idCol).cast("long").as("src_id"),
-      col(vecCol).as("_sv"))
-    val tv = tgt.select(col(idCol).cast("long").as("tgt_id"),
-      col(vecCol).as("_tv"))
-    val fwd = knnJoin(tgt, src, vecCol, idCol, k, excludeSelf = false)
+    // both directions read the kernel's exact score directly (it is
+    // bit-equal with CosinePair by construction), so no vector
+    // join-back / cosine re-evaluation per candidate
+    val f = knnJoinScored(tgt, src, vecCol, idCol, k, excludeSelf = false)
       .select(col("query_id").as("src_id"),
-        col("neighbor_id").as("tgt_id"))
-    val bwd = knnJoin(src, tgt, vecCol, idCol, k, excludeSelf = false)
+        col("neighbor_id").as("tgt_id"),
+        round(col("_score") * lit(1000000000L)).cast("long").as("_qc"))
+    val b = knnJoinScored(src, tgt, vecCol, idCol, k, excludeSelf = false)
       .select(col("query_id").as("tgt_id"),
-        col("neighbor_id").as("src_id"))
-    def scored(cand: DataFrame) = cand.join(sv, "src_id")
-      .join(tv, "tgt_id")
-      .withColumn("_qc", round(cosineSimCols(col("_sv"), col("_tv"))
-        * lit(1000000000L)).cast("long"))
-      .select(col("src_id"), col("tgt_id"), col("_qc"))
-    val f = scored(fwd)
-    val b = scored(bwd)
+        col("neighbor_id").as("src_id"),
+        round(col("_score") * lit(1000000000L)).cast("long").as("_qc"))
     val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
     val sumB = b.groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
     def withMargin(cand: DataFrame) = cand
@@ -740,7 +739,8 @@ object VectorOps {
   def knnJoinDistributed(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, model: IvfModel, nprobe: Int,
       excludeSelf: Boolean = true,
-      excludeLabelCol: Option[String] = None): DataFrame = {
+      excludeLabelCol: Option[String] = None,
+      keepScore: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lq = excludeLabelCol.map(l => col(l).cast("string"))
       .getOrElse(lit(null).cast("string"))
@@ -763,10 +763,12 @@ object VectorOps {
       .where(col("_sim").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank")) // same schema as knnJoin
+    val cols = Seq(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank")) ++ // same schema as knnJoin
+      (if (keepScore) Seq(col("_sim").as("_score")) else Nil)
+    ranked.select(cols: _*)
   }
 
   /** Times a broadcast-batch k-NN entry point rerouted to
@@ -798,7 +800,8 @@ object VectorOps {
   private def knnJoinPruned(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, excludeSelf: Boolean,
       model: Option[IvfModel], nprobe: Int,
-      excludeLabelCol: Option[String] = None): DataFrame = {
+      excludeLabelCol: Option[String] = None,
+      keepScore: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // bounded-batch contract, enforced: probe at most maxBatch+1 query
@@ -819,7 +822,7 @@ object VectorOps {
       val m = model.getOrElse(escalationModel(corpus, vecCol))
       val np = if (model.isDefined) nprobe else m.centroids.length
       return knnJoinDistributed(corpus, queries, vecCol, idCol, k, m, np,
-        excludeSelf, excludeLabelCol)
+        excludeSelf, excludeLabelCol, keepScore)
     }
     val qs = qsRaw.sortBy(_._1).map { case (id, v, _) => (id, v) }
     val qLabels = qsRaw.sortBy(_._1).map(_._3)
@@ -912,9 +915,10 @@ object VectorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("_score").desc, col("neighbor_id").asc)
-    partial.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    val ranked = partial.withColumn("rank",
+      row_number().over(w).cast("long")).where(col("rank") <= k)
+    if (keepScore) ranked.select("query_id", "neighbor_id", "rank", "_score")
+    else ranked.select("query_id", "neighbor_id", "rank")
   }
 
   /** Smallest `nprobe` whose mean recall@k over a calibration query
