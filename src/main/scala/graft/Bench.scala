@@ -25,15 +25,30 @@ object Bench {
 
   /** Times each query (median of `iters` noop-sink runs). A throwing
     * query short-circuits its remaining iterations and reports
-    * `(-1, Some(message))` — never a normal-looking duration.
+    * `(-1, Some(message))` — never a normal-looking duration. The
+    * 4th element carries EVERY rep's time in run order: same-code
+    * headline totals swing with ambient load (37.0→44.3 s across r12
+    * same-binary runs as loadavg rose), so the artifact records the
+    * per-rep spread the median collapsed — a regression flag is
+    * readable only against that swing band.
     */
-  def timeQueries(names: Seq[String],
-      run: String => Unit, iters: Int): Seq[(String, Double, Option[String])] =
+  def timeQueries(names: Seq[String], run: String => Unit,
+      iters: Int): Seq[(String, Double, Option[String], Seq[Double])] =
     names.map { name =>
       var err: Option[String] = None
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
       while (i < iters && err.isEmpty) {
+        // GC between REPS, outside every timing window (not just
+        // between queries): lets the ContextCleaner reap dead
+        // localCheckpoint blocks. The eager checkpoints of prior work
+        // stay pinned until their discarded DataFrames are GC'd, and
+        // with a big driver heap GC may never run during the bench —
+        // storage fills, later artifact-dependent queries degrade 3-8x
+        // (measured: q_doc_ngram_pairs 0.9 s alone vs 8.6 s late in a
+        // 41-query run). A long-lived server gets the same reaping
+        // from natural allocation churn; a benchmark must force it.
+        System.gc()
         val t0 = System.nanoTime()
         try {
           run(name)
@@ -44,18 +59,8 @@ object Bench {
         }
         i += 1
       }
-      // between queries (outside every timing window): let the
-      // ContextCleaner reap dead localCheckpoint blocks. The eager
-      // checkpoints of prior queries stay pinned until their discarded
-      // DataFrames are GC'd, and with a big driver heap GC may never
-      // run during the bench — storage fills, later artifact-dependent
-      // queries degrade 3-8x (measured: q_doc_ngram_pairs 0.9 s alone
-      // vs 8.6 s late in a 41-query run). A long-lived server gets the
-      // same reaping from its natural allocation churn; a benchmark
-      // must force it.
-      System.gc()
-      if (err.isDefined) (name, -1.0, err)
-      else (name, times.sorted.apply(iters / 2), None)
+      if (err.isDefined) (name, -1.0, err, times.toSeq)
+      else (name, times.sorted.apply(iters / 2), None, times.toSeq)
     }
 
   private def loadavg(): Array[Double] =
@@ -278,12 +283,18 @@ object Bench {
       name => SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save(),
       iters = 1)
-    def qJson(rs: Seq[(String, Double, Option[String])]) =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def qJson(rs: Seq[(String, Double, Option[String], Seq[Double])]) =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val qs = qJson(results)
+    // per-rep spread for the headline (the swing band a regression
+    // flag must be read against — medians alone hid the 37→44 s
+    // ambient drift across r12 same-binary runs)
+    val reps = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errors = (results ++ otherResults ++ coldResults).collect {
-      case (k, _, Some(m)) =>
+      case (k, _, Some(m), _) =>
         "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -300,7 +311,7 @@ object Bench {
     // round-over-round comparable); "others" = one-pass timings of the
     // remaining declared queries; "cold" = the pre-r9 discipline
     // record (media/cooc artifacts unbuilt) — see the warm-up comment
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"others":${qJson(otherResults)},"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":$reps,"others":${qJson(otherResults)},"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
     // compact summary as the FINAL stdout line: a bounded tail capture
     // of this process (the driver keeps only the last N bytes) must
     // still contain the numbers that matter even when the full line

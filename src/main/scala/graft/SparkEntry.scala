@@ -1745,8 +1745,15 @@ object SparkEntry {
       "(SELECT doc_id, unnest(t) AS term FROM toks) " +
       "WHERE term IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, term), " +
       "dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term), " +
-      "scores AS (SELECT doc_id, sum(ln(1 + (n - df + 0.5)/(df + 0.5)) * " +
-      "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avglen))) AS s " +
+      // per-term 1e-9 quantization INSIDE the sum (the engine's
+      // BM25.quantizedSum grid): the integer sum is summation-order-
+      // free and the top-k ordering replays cross-engine — a raw
+      // double sum ordered raw is the same rank-boundary flake class
+      // the margin rows hit in r12
+      "scores AS (SELECT doc_id, " +
+      "sum(CAST(round(ln(1 + (n - df + 0.5)/(df + 0.5)) * " +
+      "tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avglen)) " +
+      "* 1000000000) AS BIGINT)) AS s " +
       "FROM post JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
       "GROUP BY doc_id) "
 
@@ -1868,9 +1875,12 @@ object SparkEntry {
 
   // Difference-margin mining replay (parity-split sides, k=4), shared
   // by the best-per-source and mutual-best oracles: top-4 each
-  // direction double-ordered (the knn kernel's ordering), cosines
-  // 1e-9-quantized so sums/margins/argmax run in integers; `pf` is
-  // each source's margin argmax.
+  // direction selected on the 1e-9 QUANTIZED cosine (the knn kernel's
+  // q9 selection grid — a raw-double window here flaked the r12
+  // driver run when a rank-4 ULP near-tie flipped under DuckDB's
+  // join-order SIMD drift), so candidate sets, sums, margins, and
+  // argmax all replay in integers; `pf` is each source's margin
+  // argmax.
   private val marginCtes = "WITH src AS (SELECT vec_id, " +
     "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
     "WHERE vec_id % 2 = 0), " +
@@ -1881,11 +1891,11 @@ object SparkEntry {
     "fk AS MATERIALIZED (SELECT sid, tid, " +
     "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
     "QUALIFY row_number() OVER (PARTITION BY sid " +
-    "ORDER BY c DESC, tid) <= 4), " +
+    "ORDER BY CAST(round(c * 1000000000) AS BIGINT) DESC, tid) <= 4), " +
     "bk AS MATERIALIZED (SELECT sid, tid, " +
     "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
     "QUALIFY row_number() OVER (PARTITION BY tid " +
-    "ORDER BY c DESC, sid) <= 4), " +
+    "ORDER BY CAST(round(c * 1000000000) AS BIGINT) DESC, sid) <= 4), " +
     "a AS (SELECT sid, sum(qc) AS sa FROM fk GROUP BY 1), " +
     "b AS (SELECT tid, sum(qc) AS sb FROM bk GROUP BY 1), " +
     "fm AS (SELECT f.sid, f.tid, 8 * f.qc - a.sa - b.sb AS margin_q " +
@@ -2048,7 +2058,8 @@ object SparkEntry {
 
     "q_vector_knn" -> ("SELECT CAST(10000000000 + e.vec_id AS BIGINT) AS id " +
       "FROM embeddings e, (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) " +
-      "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q AS DOUBLE[])) DESC, " +
+      "ORDER BY CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
       "e.vec_id LIMIT 10"),
     "q_text_bm25" -> ("WITH " + bm25ScoresCte +
       "SELECT CAST(9000000000 + doc_id AS BIGINT) AS id FROM scores " +
@@ -2078,12 +2089,13 @@ object SparkEntry {
       "(ORDER BY s DESC, doc_id) AS r FROM scores " +
       "ORDER BY s DESC, doc_id LIMIT 20), " +
       "sem AS (SELECT e.vec_id AS doc_id, row_number() OVER (ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q AS DOUBLE[])) DESC, e.vec_id) AS r FROM embeddings e " +
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) AS r " +
+      "FROM embeddings e " +
       "CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) " +
       "QUALIFY row_number() OVER (ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q AS DOUBLE[])) DESC, e.vec_id) <= 20), " +
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) <= 20), " +
       "u AS (SELECT doc_id, 1000000000000 // (60 + r) AS c FROM lex " +
       "UNION ALL SELECT doc_id, 1000000000000 // (60 + r) FROM sem) " +
       "SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q FROM u " +
@@ -2275,8 +2287,8 @@ object SparkEntry {
     // against its own exact broadcast join in-plan)
     "q_embed_knn_dist" -> ("WITH ex AS (SELECT q.vec_id AS query_id, " +
       "e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id " +
-      "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk " +
+      "ORDER BY CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) AS rk " +
       "FROM embeddings e CROSS JOIN " +
       "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q " +
       "WHERE e.vec_id <> q.vec_id) " +
@@ -2284,14 +2296,15 @@ object SparkEntry {
       "CAST(1.0 AS DOUBLE) AS recall_gate FROM ex WHERE rk <= 5"),
     "q_embed_knn" -> ("SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank " +
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) " +
+      "AS BIGINT) AS rank " +
       "FROM embeddings e CROSS JOIN " +
       "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q " +
       "WHERE e.vec_id <> q.vec_id " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) <= 5"),
     // Greedy walk UNROLLED as plain set-based CTEs (the kmeans-unroll
     // discipline): the earlier recursive-CTE form's correlated max(s)
     // subquery intermittently returned NULL under DuckDB's parallel
@@ -2330,8 +2343,9 @@ object SparkEntry {
       "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 32) q " +
       "WHERE e.vec_id <> q.vec_id " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 10) " +
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
+      "e.vec_id) <= 10) " +
       "SELECT CAST(ql AS BIGINT) AS label, count(*) AS n_neighbors, " +
       "CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_same " +
       "FROM kn GROUP BY 1"),
@@ -2340,16 +2354,18 @@ object SparkEntry {
     "q_embed_hard_neg" -> ("SELECT q.vec_id AS query_id, " +
       "e.vec_id AS neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank " +
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) " +
+      "AS BIGINT) AS rank " +
       "FROM embeddings e CROSS JOIN " +
       "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8) q " +
       "WHERE e.vec_id <> q.vec_id " +
       "AND CAST(e.label AS VARCHAR) IS DISTINCT FROM CAST(q.label AS VARCHAR) " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5"),
-    // 4th-neighbor cosine per row (excluding self), quantized, lowest
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) <= 5"),
+    // 4th-neighbor cosine per row (excluding self), rank-4 selected on
+    // the 1e-9 quantized grid (the kernel's q9 selection key), lowest
     // 20 = the isolation outliers
     "q_embed_outlier" -> ("SELECT a.vec_id, " +
       "CAST(round(list_cosine_similarity(" +
@@ -2357,8 +2373,9 @@ object SparkEntry {
       "* 1000000000) AS BIGINT) AS kth_qcos " +
       "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
       "QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
-      "list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
-      "CAST(a.embedding AS DOUBLE[])) DESC, b.vec_id) = 4 " +
+      "CAST(round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
+      "CAST(a.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
+      "b.vec_id) = 4 " +
       "ORDER BY kth_qcos NULLS LAST, a.vec_id LIMIT 20"),
     // difference-margin mining over the parity split: top-4 each
     // direction double-ordered (the engine's knn ordering), cosines

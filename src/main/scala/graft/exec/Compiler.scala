@@ -1382,9 +1382,12 @@ class Compiler(
         } else
           graft.search.VectorOps.ivfTopK(tbl, prop, model, qv, k, nprobe)
       case _ =>
+        // selection on the shared 1e-9 grid (VectorOps.q9) like every
+        // exact-cosine top-k — raw-double windows flake cross-engine
         val scored = filtered.withColumn("_score",
           graft.search.VectorOps.cosineSim(col(prop), qv))
-        scored.orderBy(col("_score").desc, col("_id").asc).limit(k)
+        scored.orderBy(graft.search.VectorOps.q9Col(col("_score")).desc,
+          col("_id").asc).limit(k)
     }
     Stream(top, isEdges, Some(labels))
   }

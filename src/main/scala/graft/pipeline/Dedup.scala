@@ -1783,6 +1783,52 @@ object Dedup {
       .withColumn("n_pairs", expr("n_rows * (n_rows - 1) div 2"))
       .select(col("cluster"), col("n_rows"), col("n_pairs"))
 
+  /** Closes the [[semanticDedupReport]] loop: the smallest k whose
+    * implied within-cluster pair volume Σ nᵢ(nᵢ−1)/2 fits
+    * `pairBudget` — chosen from the one-agg report alone, so NO
+    * quadratic pair work runs until k is fixed. Probes double from
+    * `minK` until the budget holds, then binary-search the smallest
+    * conforming k in the last doubling interval (pair volume is not
+    * strictly monotone in k — Lloyd reshuffles boundaries — so the
+    * result is the smallest CONFORMING PROBE, exact under
+    * monotonicity); each probe costs one k-means train + one groupBy,
+    * ≈ 2·log₂(kMax/minK) probes total. Refuses (require) when even
+    * `maxK` can't meet the budget — on a corpus with a giant
+    * duplicate blob no k separates, the honest answers are a bigger
+    * budget or an exact-dedup pre-pass, not a silent overrun (the
+    * maxPool/maxEval refuse-don't-spill discipline).
+    */
+  def calibrateSemDedupK(df: DataFrame, idCol: String, vecCol: String,
+      pairBudget: Long, iters: Int, minK: Int = 2,
+      maxK: Int = 4096): Int = {
+    require(pairBudget >= 0, s"pairBudget must be >= 0, got $pairBudget")
+    require(minK >= 1 && maxK >= minK, s"need 1 <= minK <= maxK: $minK, $maxK")
+    // k can't exceed the row count (k-means seeds k rows)
+    val kCap = math.min(maxK.toLong, cachedCount(df)).toInt
+    def volume(k: Int): Long =
+      semanticDedupReport(df, idCol, vecCol, k, iters)
+        .agg(sum(col("n_pairs"))).head.getLong(0)
+    var k = math.min(minK, kCap)
+    var v = volume(k)
+    if (v <= pairBudget) return k
+    // doubling phase: first k that conforms bounds the search above
+    var lo = k // largest known non-conforming
+    while (v > pairBudget && k < kCap) {
+      lo = k
+      k = math.min(k * 2, kCap)
+      v = volume(k)
+    }
+    require(v <= pairBudget,
+      s"pair budget $pairBudget unreachable at maxK=$kCap (implied pairs $v)" +
+        " — raise the budget or exact-dedup the duplicate mass first")
+    var hi = k // smallest known conforming
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (volume(mid) <= pairBudget) hi = mid else lo = mid
+    }
+    hi
+  }
+
   /** The keep-set form of [[semanticDedupPairs]]: a row is DROPPED iff
     * a smaller-id row in the same cluster is cosine-θ-similar —
     * deterministic min-id-wins, the same tie rule every exact-dedup

@@ -291,7 +291,16 @@ object TextAnalysis {
     * `InSet` literal.
     */
   def bigramLmScoreReport(docs: DataFrame, idCol: String, textCol: String,
-      lmCorpus: DataFrame, lmTextCol: String, vocab: Int): DataFrame = {
+      lmCorpus: DataFrame, lmTextCol: String, vocab: Int,
+      maxVocab: Int = 4096): DataFrame = {
+    // the "bounded driver artifact" claim below is V²-bounded by the
+    // VOCAB, so the vocab itself must be bounded: vocab=50000 would
+    // imply collecting up to 2.5B bigram rows — refuse up front (the
+    // maxEval/maxPool discipline), don't discover it as a driver OOM
+    require(vocab >= 1 && vocab <= maxVocab,
+      s"vocab $vocab outside [1, $maxVocab]: the bigram table collects " +
+        "up to vocab² rows to the driver; raise maxVocab only with the " +
+        "memory to hold it")
     val topTerms = capVocab(termCountsCached(lmCorpus, lmTextCol), vocab)
       .select(col("term")).collect().map(_.getString(0)).toSeq
     val vSize = topTerms.size + 1

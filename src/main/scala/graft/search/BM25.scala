@@ -88,9 +88,27 @@ object BM25 {
       (col("_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("_len") / col("_avglen")))
     val scores = post.join(dfreq, "_term").crossJoin(stats)
       .withColumn("_termScore", idf * tfNorm)
-      .groupBy(col("_id")).agg(sum(col("_termScore")).as("_bm25"))
+      .groupBy(col("_id")).agg(quantizedSum(col("_termScore")).as("_bm25"))
     (scores, toks)
   }
+
+  /** The BM25 aggregation grid: per-TERM scores quantize to 1e-9 longs
+    * and SUM exactly, then the total derives back to a double. Two
+    * flake classes die here at once: (1) a raw double sum is
+    * summation-order-dependent, and Spark's partial-agg merge order
+    * varies with shuffle arrival — same engine, same data, different
+    * last ULP run to run; (2) ordering top-k on a raw cross-engine
+    * double is the exact rank-boundary near-tie class that flipped the
+    * r12 margin-mining driver rows (see VectorOps.q9). The integer sum
+    * is order-free and replays in any engine; the derived double is
+    * `qsum / 1e9` — monotone and injective for every realistic score
+    * (qsum ≪ 2^53), so ordering by it IS ordering by the exact sum,
+    * and `$score` consumers still read a double. Oracles mirror the
+    * per-term rounding inside their SUM.
+    */
+  private def quantizedSum(termScore: org.apache.spark.sql.Column) =
+    sum(round(termScore * lit(1000000000L)).cast("long")) /
+      lit(1000000000.0)
 
   /** Scores every matching document; returns (_id, _bm25). The corpus
     * is tokenized ONCE (cached). NOTE: the cache lives until the session
@@ -227,6 +245,6 @@ object BM25 {
       (col("_tf") + lit(K1) * (lit(1 - B) + lit(B) * col("_len") / col("_avglen")))
     qPost.join(dfreq, "_term").crossJoin(stats)
       .withColumn("_termScore", idf * tfNorm)
-      .groupBy(col("_id")).agg(sum(col("_termScore")).as("_bm25"))
+      .groupBy(col("_id")).agg(quantizedSum(col("_termScore")).as("_bm25"))
   }
 }

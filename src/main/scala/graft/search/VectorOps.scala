@@ -63,6 +63,52 @@ object VectorOps {
   def cosineSimColsHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** The 1e-9 SELECTION grid for every exact-cosine top-k in this
+    * module: `round(score · 1e9)` half-away-from-zero, as a long.
+    *
+    * The grid is load-bearing for cross-engine replay — at the
+    * SELECTION boundary, not just after it. DuckDB's
+    * `list_cosine_similarity` is bit-stable on a plain scan but drifts
+    * in the last ULP once lists pass through a join (SIMD accumulation
+    * order follows the list's offset in the child vector), so a top-k
+    * window ordered on the RAW double flips rank-boundary near-ties
+    * between runs: the r12 driver artifact caught exactly that on
+    * `q_embed_margin_mine`/`_mutual` (a rank-4 tie flip changed the
+    * candidate set, hence every Σ/margin/argmax downstream) after the
+    * same mechanism had already hit `q_embed_mmr`'s pick windows.
+    * Ordering selection on the quantized value collapses ULP noise
+    * into an exact tie that the id tie-break settles identically on
+    * both engines; a flip now needs two candidates within one ULP of
+    * the SAME grid boundary, not merely within an ULP of each other.
+    *
+    * Implemented boundary-exact (floor + exact fractional compare, no
+    * `x + 0.5` whose addition can round across the boundary): for
+    * |x| < 2^53, `x − floor(x)` is an exact double, so the half-point
+    * comparison is exact and the result agrees with C++ `round`
+    * (DuckDB) and Spark's HALF_UP `round` for every input. The heap
+    * kernels quantize with this function and EMIT the quantized key;
+    * the declarative paths order on [[q9Col]] — same value by the
+    * above, so kernel heaps and final windows never disagree.
+    */
+  private[graft] def q9(s: Double): Long = {
+    val x = s * 1e9
+    val f = math.floor(x)
+    val d = x - f
+    if (d > 0.5) f.toLong + 1L
+    else if (d < 0.5) f.toLong
+    else if (x >= 0) f.toLong + 1L // half away from zero: +2.5 -> 3
+    else f.toLong                  //                      -2.5 -> -3
+  }
+
+  /** Column form of [[q9]] (Spark `round` is HALF_UP on the double's
+    * shortest decimal form, which agrees with [[q9]] for every double
+    * — shortest-repr never crosses an exactly-representable z + 0.5
+    * boundary). Oracles mirror it as
+    * `CAST(round(c * 1000000000) AS BIGINT)`.
+    */
+  private[graft] def q9Col(c: Column): Column =
+    round(c * lit(1000000000L)).cast("long")
+
   /** Symmetric per-vector int8 quantization — the 4×-storage/IO shrink
     * a 100 TB embedding corpus takes before serving (float32 → 1 byte
     * per dimension + one scale per vector). Adds `q_vec`
@@ -196,7 +242,17 @@ object VectorOps {
     require(inDim > 0 && (inDim & (inDim - 1)) == 0,
       s"inDim must be a power of 2, got $inDim")
     val staged = df.withColumn("_rh_q",
-      transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")))
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")))
+      // fail fast on a dim mismatch: zip_with null-pads a short/long
+      // vector, which poisons the aggregate into silent NULL output
+      // components that only surface as an obscure non-nullable-decode
+      // or null-cosine failure far downstream (in knnJoin/trainPq)
+      .withColumn("_rh_q",
+        when(size(col("_rh_q")) === inDim, col("_rh_q"))
+          .otherwise(raise_error(concat(
+            lit("rotateHadamard: vector length "),
+            size(col(vecCol)).cast("string"),
+            lit(s" != inDim $inDim")))))
     val comps = (0 until inDim).map { j =>
       val signs = array((0 until inDim).map(i =>
         lit(hadamardSign(i, j) * rpSign(i, -1))): _*)
@@ -291,12 +347,15 @@ object VectorOps {
 
   /** Exact top-k by cosine similarity. orderBy+limit plans as
     * TakeOrderedAndProject: per-partition top-k then a k-row merge on
-    * the driver — no full sort, no shuffle of the data.
+    * the driver — no full sort, no shuffle of the data. Selection
+    * orders on the [[q9]] grid (ties to the ascending id) so the
+    * result replays against a DuckDB oracle window ordered the same
+    * way; see the [[q9]] scaladoc for why raw-double selection flakes.
     */
   def bruteForceTopK(df: DataFrame, vecCol: String, query: Seq[Double], k: Int,
       idCol: String = "_id"): DataFrame =
     df.withColumn("_score", cosineSim(col(vecCol), query))
-      .orderBy(col("_score").desc, col(idCol).asc)
+      .orderBy(q9Col(col("_score")).desc, col(idCol).asc)
       .limit(k)
 
   /** All-pairs cosine >= threshold via a broadcast block kernel: the
@@ -449,8 +508,9 @@ object VectorOps {
     df.withColumn("_cluster", graft.functions.NearestCentroid(col(vecCol), cents))
 
   /** Batch k-NN join: for every row of `queries`, the `k` most
-    * cosine-similar rows of `corpus` (ties broken by ascending neighbor
-    * id; the query row itself excluded when `excludeSelf`).
+    * cosine-similar rows of `corpus` (selection ordered on the [[q9]]
+    * 1e-9 grid, ties broken by ascending neighbor id; the query row
+    * itself excluded when `excludeSelf`).
     *
     * Plan shape for 100 TB: the query set is broadcast (bounded — it is
     * the batch being enriched, not the corpus), each corpus partition
@@ -459,7 +519,10 @@ object VectorOps {
     * rank — one full corpus scan, no corpus shuffle, the same
     * TakeOrdered discipline as bruteForceTopK generalized to a query
     * batch. Arithmetic matches cosineSimCols (left-to-right double
-    * accumulation) so ranks agree with the declarative form bit-for-bit.
+    * accumulation); selection compares on the quantized grid so ranks
+    * replay against a DuckDB window ordered
+    * `CAST(round(c·1e9) AS BIGINT) DESC, id` — see [[q9]] for why
+    * raw-double selection is not replay-safe.
     *
     * Output: (query_id, neighbor_id, rank), rank 1-based.
     */
@@ -467,12 +530,18 @@ object VectorOps {
       idCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0)
 
-  /** [[knnJoin]] plus the kernel's exact similarity as `_score` —
-    * internal: both kernels already compute it (the heap entries / the
-    * `_sim` window key), so consumers that need the value (isolation
-    * scoring, margin mining) read it here instead of joining the
-    * vector table back and re-evaluating the cosine per candidate. */
-  private[graft] def knnJoinScored(corpus: DataFrame, queries: DataFrame,
+  /** [[knnJoin]] plus the similarity the kernel computed: `_score`
+    * (the raw double, bit-equal with [[cosineSimCols]] — parity-spec'd
+    * in SearchSpec) and `_qscore` (the [[q9]]-quantized long the
+    * selection itself ordered on). Both kernels already hold these
+    * (the heap entries / the `_sim` window key), so consumers that
+    * need the value — isolation scoring, margin mining, rerankers —
+    * read them here instead of joining the vector table back and
+    * re-evaluating the cosine per candidate. Downstream sums/argmaxes
+    * should consume `_qscore`: it is the SAME key the top-k selection
+    * used, so the candidate set and the arithmetic over it replay
+    * together. */
+  def knnJoinScored(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame =
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0,
@@ -510,9 +579,10 @@ object VectorOps {
     * row whose k-th nearest neighbor is already far (low cosine) sits
     * in no local cluster — mislabeled rows, embedding-model failures,
     * and off-distribution junk surface at the low end, while the high
-    * end flags redundancy. One [[knnJoin]] (auto-escalating), then the
-    * rank-k rows join vectors back to score — cosines quantized at
-    * 1e-9 so downstream order/limit replays on any engine. Returns
+    * end flags redundancy. One [[knnJoinScored]] scan (auto-escalating)
+    * — the rank-k row's `_qscore` IS the output (no vector join-back,
+    * no cosine re-evaluation): the kernel's 1e-9-quantized selection
+    * key, so downstream order/limit replays on any engine. Returns
     * (id, kth_qcos) for every row WITH a rank-k neighbor: a corpus of
     * n ≤ k rows has none (each row sees only n−1 non-self neighbors)
     * and such rows are absent from the output, so callers reading
@@ -525,9 +595,7 @@ object VectorOps {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     knnJoinScored(df, df, vecCol, idCol, k).where(col("rank") === k)
-      .select(col("query_id").as(idCol),
-        round(col("_score") * lit(1000000000L))
-          .cast("long").as("kth_qcos"))
+      .select(col("query_id").as(idCol), col("_qscore").as("kth_qcos"))
   }
 
   /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
@@ -540,16 +608,19 @@ object VectorOps {
     * `margin_q = 2k·qc(x,y) − ΣtopK_fwd(x) − ΣtopK_bwd(y)` (2k clears
     * both /k and /2; ordering is unchanged, and integer margins make
     * the per-source argmax replayable on any engine). Top-k selection
-    * on both directions is the [[knnJoin]] kernel (double-ordered,
-    * id tie-break — the ordering DuckDB reproduces bit-for-bit), so
-    * the mining inherits its scale shape: two batch kNN joins that
-    * auto-escalate to the distributed cluster join past the collect
-    * cap, then bounded candidate-set joins (≤ n·k rows) and one
-    * integer window per source. Degenerate (zero-norm/NaN) vectors
-    * carry null quantized cosines: `sum` skips them (their neighbors'
-    * sums span the real candidates only) and their own null margins
-    * rank nulls-last, so one bad row degrades only its own output
-    * row, never the query. Emits each source's best target by
+    * on both directions is the [[knnJoinScored]] kernel, ordered on
+    * the SAME 1e-9 grid the sums consume (`_qc` = the selection key
+    * `_qscore` verbatim — candidate set and margin arithmetic replay
+    * together; raw-double selection flaked the r12 driver run at a
+    * rank-4 ULP tie, see [[q9]]), so the mining inherits its scale
+    * shape: two batch kNN joins that auto-escalate to the distributed
+    * cluster join past the collect cap, then bounded candidate-set
+    * joins (≤ n·k rows) and one integer window per source. Degenerate
+    * (zero-norm/NaN) vectors never enter a candidate set — both knn
+    * paths drop them before ranking — so each sum spans k real
+    * candidates and no null `_qc` exists downstream; a degenerate
+    * SOURCE simply has no candidates and is absent from the output.
+    * Emits each source's best target by
     * (margin_q DESC, tgt id): positive margin ⇒ the match stands out
     * above x's and y's respective neighborhoods.
     */
@@ -586,12 +657,10 @@ object VectorOps {
     // join-back / cosine re-evaluation per candidate
     val f = knnJoinScored(tgt, src, vecCol, idCol, k, excludeSelf = false)
       .select(col("query_id").as("src_id"),
-        col("neighbor_id").as("tgt_id"),
-        round(col("_score") * lit(1000000000L)).cast("long").as("_qc"))
+        col("neighbor_id").as("tgt_id"), col("_qscore").as("_qc"))
     val b = knnJoinScored(src, tgt, vecCol, idCol, k, excludeSelf = false)
       .select(col("query_id").as("tgt_id"),
-        col("neighbor_id").as("src_id"),
-        round(col("_score") * lit(1000000000L)).cast("long").as("_qc"))
+        col("neighbor_id").as("src_id"), col("_qscore").as("_qc"))
     val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
     val sumB = b.groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
     def withMargin(cand: DataFrame) = cand
@@ -761,13 +830,17 @@ object VectorOps {
       // CosinePair yields NULL for degenerate pairs; drop them so the
       // distributed rank agrees with the heap kernel's NaN skip
       .where(col("_sim").isNotNull)
+    // selection on the q9 grid (q9Col == the heap kernel's q9 for
+    // every double), so the reroute stays rank-equal to the broadcast
+    // path AND both replay against quantized oracle windows
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("_sim").desc, col("neighbor_id").asc)
+      .orderBy(q9Col(col("_sim")).desc, col("neighbor_id").asc)
     val ranked = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
     val cols = Seq(col("query_id"), col("neighbor_id"),
       col("rank").cast("long").as("rank")) ++ // same schema as knnJoin
-      (if (keepScore) Seq(col("_sim").as("_score")) else Nil)
+      (if (keepScore) Seq(col("_sim").as("_score"),
+        q9Col(col("_sim")).as("_qscore")) else Nil)
     ranked.select(cols: _*)
   }
 
@@ -864,15 +937,18 @@ object VectorOps {
         vecCol, m.centroids)
         .select(col("_kid"), col(vecCol), col("_cluster"), col("_lbl"))
     }
-    // worst-first ordering: pop = lowest score, then highest id
-    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-      case (s, id) => (-s, id)
+    // worst-first ordering on the q9 SELECTION grid: pop = lowest
+    // quantized score, then highest id (see the q9 scaladoc — raw-
+    // double selection flakes against the oracle at rank-boundary
+    // near-ties); the raw score rides along for the _score output
+    val worstFirst = Ordering.by[(Long, Double, Long), (Long, Long)] {
+      case (qs, _, id) => (-qs, id)
     }
     val partial = base.as[(Long, Array[Float], Int, String)].mapPartitions { it =>
       val q = bcQ.value; val nrm = bcN.value; val pr = bcP.value
       val ql = bcL.value
       val heaps = Array.fill(q.length)(
-        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        new scala.collection.mutable.PriorityQueue[(Long, Double, Long)]()(worstFirst))
       it.foreach { case (cid, cv, cluster, clbl) =>
         var nc = 0.0; var i = 0
         while (i < cv.length) { nc += cv(i).toDouble * cv(i).toDouble; i += 1 }
@@ -894,12 +970,13 @@ object VectorOps {
             // and skipping matches the distributed path's null-sim
             // filter — both paths agree degenerates are not neighbors
             if (!s.isNaN) {
+              val qsc = q9(s)
               val h = heaps(qi)
-              if (h.size < k) h.enqueue((s, cid))
+              if (h.size < k) h.enqueue((qsc, s, cid))
               else {
                 val w = h.head // worst of the current k
-                if (s > w._1 || (s == w._1 && cid < w._2)) {
-                  h.dequeue(); h.enqueue((s, cid))
+                if (qsc > w._1 || (qsc == w._1 && cid < w._3)) {
+                  h.dequeue(); h.enqueue((qsc, s, cid))
                 }
               }
             }
@@ -908,16 +985,19 @@ object VectorOps {
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (s, cid) => (q(qi)._1, cid, s) }
+        h.iterator.map { case (qsc, s, cid) => (q(qi)._1, cid, qsc, s) }
       }
-    }.toDF("query_id", "neighbor_id", "_score")
-    // final exact rank over the (numPartitions * k)-bounded candidates
+    }.toDF("query_id", "neighbor_id", "_qscore", "_score")
+    // final exact rank over the (numPartitions * k)-bounded candidates,
+    // ordered on the heap's own quantized key (kernel selection and
+    // final window cannot disagree on a value's grid cell)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("_score").desc, col("neighbor_id").asc)
+      .orderBy(col("_qscore").desc, col("neighbor_id").asc)
     val ranked = partial.withColumn("rank",
       row_number().over(w).cast("long")).where(col("rank") <= k)
-    if (keepScore) ranked.select("query_id", "neighbor_id", "rank", "_score")
+    if (keepScore)
+      ranked.select("query_id", "neighbor_id", "rank", "_score", "_qscore")
     else ranked.select("query_id", "neighbor_id", "rank")
   }
 
@@ -1490,9 +1570,11 @@ object VectorOps {
           (qid, nid, score)
         }
       }.toDF("query_id", "neighbor_id", "_score")
+    // exact re-rank on the q9 grid — keeps the refine-covers-corpus
+    // case bit-equal to knnJoin's quantized selection
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("_score").desc, col("neighbor_id").asc)
+      .orderBy(q9Col(col("_score")).desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -1629,12 +1711,16 @@ object VectorOps {
         lit(0L), (acc, v) => acc + v).as(s"_dist_$j")
     }
     val staged = q.select(Seq(col("_kid"), col("_vq")) ++ distCols: _*)
-    val init = (lit(0), col("_dist_0"))
-    val (cl, _) = (1 until c.length).foldLeft(init) { case ((bj, bd), j) =>
-      val d = col(s"_dist_$j")
-      (when(d < bd, lit(j)).otherwise(bj), when(d < bd, d).otherwise(bd))
+    // argmin as array_min over (dist, j) structs — struct ordering is
+    // lexicographic, so ties go to the LOWER cluster for free, and the
+    // expression tree is LINEAR in k. (The when/otherwise fold this
+    // replaces re-nested the running best inside each step — ~3^k
+    // nodes, an OutOfMemoryError while BUILDING the tree at k=64.)
+    val entries = c.indices.map { j =>
+      struct(col(s"_dist_$j").as("d"), lit(j).as("j"))
     }
-    staged.select(col("_kid"), col("_vq"), cl.cast("long").as("_cl"))
+    staged.select(col("_kid"), col("_vq"),
+      array_min(array(entries: _*)).getField("j").cast("long").as("_cl"))
   }
 
   /** The trained-centroid half of [[kmeansQuantized]]: the k×dim long
@@ -1647,11 +1733,18 @@ object VectorOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val q = quantizedFrame(df, idCol, vecCol)
+    // seeding assumes unique ids (the id contract everywhere in this
+    // module): a duplicated id — or two ids carrying the same vector —
+    // seeds duplicate centroids and leaves a cluster permanently empty
+    // (the empty cluster keeps its seed via the getOrElse below; the
+    // assignment tie-rule sends every row to the lower duplicate).
+    // Deterministic but wasteful; callers wanting k EFFECTIVE clusters
+    // on a dup-heavy corpus should exact-dedup first.
     val seedRows = q
       .orderBy(md5(col("_kid").cast("string")), col("_kid"))
       .limit(k).select(col("_vq")).collect()
     require(seedRows.length == k,
-      s"k=$k exceeds the ${seedRows.length} distinct input rows")
+      s"k=$k exceeds the ${seedRows.length} input rows")
     var cents: Array[Seq[Long]] = seedRows.map(_.getSeq[Long](0))
     for (_ <- 1 to iters) {
       val sums = assignFrame(q, cents)

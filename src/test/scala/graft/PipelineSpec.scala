@@ -2708,6 +2708,45 @@ class PipelineSpec extends GraftSuite {
     assert(rep == Set((4L, 6L), (3L, 3L), (2L, 1L)), s"$rep")
   }
 
+  test("calibrateSemDedupK: skewed corpus lands within the pair budget; unreachable budget refuses") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // skewed: one dense 24-row blob around axis 0 (jittered, so larger
+    // k CAN split it) + 40 spread rows across 8 directions
+    val blob = (0 until 24).map { i =>
+      val v = Array.tabulate(6)(j => rnd.nextFloat() * 0.2f)
+      v(0) = 1f; (i.toLong, v)
+    }
+    val spread = (0 until 40).map { i =>
+      val v = Array.tabulate(6)(j => rnd.nextFloat() * 0.3f)
+      v(1 + i % 5) = 1f; (100L + i, v)
+    }
+    val df = (blob ++ spread).toDF("vec_id", "embedding").cache()
+    val budget = 400L // 64 rows all-pairs = 2016; the blob alone is 276
+    val k = Dedup.calibrateSemDedupK(df, "vec_id", "embedding",
+      budget, iters = 2)
+    val implied = Dedup.semanticDedupReport(df, "vec_id", "embedding",
+      k, iters = 2).agg(sum(col("n_pairs"))).head.getLong(0)
+    assert(implied <= budget, s"calibrated k=$k implies $implied > $budget")
+    // the chosen k actually bounds the quadratic pass it gates
+    val pairs = Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+      k, iters = 2, theta = 0.8).count()
+    assert(pairs <= implied, s"ran $pairs pairs past the implied bound $implied")
+    // a trivially-met budget returns the cheapest probe
+    assert(Dedup.calibrateSemDedupK(df, "vec_id", "embedding",
+      3000L, iters = 2) == 2)
+    // 64 identical vectors can never split: the refusal arm, with the
+    // duplicate mass named in the message
+    val dup = (0 until 64).map(i => (i.toLong, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.calibrateSemDedupK(dup, "vec_id", "embedding", 100L, iters = 1)
+    }
+    assert(ex.getMessage.contains("unreachable"), ex.getMessage)
+    df.unpersist()
+  }
+
   test("semanticDedupCrossPairs: cross-only contract, standing centroids, novel rows pass, cap parity") {
     val s = spark
     import s.implicits._
@@ -2770,5 +2809,70 @@ class PipelineSpec extends GraftSuite {
     assert(got(3L) == ((2L, 1L, 1L, fk(2, 1, 1))), s"${got(3L)}")
     // sanity anchor: doc 1 computes to the known value
     assert(math.abs(got(1L)._4 - (-2.815)) < 1e-9, s"${got(1L)._4}")
+  }
+
+  test("NaN contract: poisoned text rows yield finite-or-null scores in every scoring family") {
+    // Spark AND DuckDB compare NaN greater than everything, so ONE NaN
+    // score would pass every `>= θ` gate and rank first in every desc
+    // sort — the silent cluster-killer the r12 cosine review caught.
+    // The scoring families guard their divisions by construction
+    // (greatest(·, 1) floors, when(size > 0) branches, left-join nulls);
+    // this spec plants the degenerate inputs that would break an
+    // UNguarded division — empty text, whitespace-only, no letters,
+    // one token — and pins the contract: every double is finite or
+    // NULL, never NaN, and no poisoned row outranks a healthy one.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran to the park."),
+      (2L, ""), // empty: zero tokens, zero chars
+      (3L, "   \t\n  "), // whitespace-only
+      (4L, "!!! ??? ... 123 456"), // no letters, no vowel groups
+      (5L, "b") // one token, no vowel, no sentence mark
+    ).toDF("doc_id", "text")
+    def assertNoNaN(df: org.apache.spark.sql.DataFrame): Unit = {
+      val doubles = df.schema.fields.filter(
+        _.dataType == org.apache.spark.sql.types.DoubleType).map(_.name)
+      df.collect().foreach { r =>
+        doubles.foreach { c =>
+          val i = r.fieldIndex(c)
+          assert(r.isNullAt(i) || !r.getDouble(i).isNaN,
+            s"NaN leaked in $c: $r")
+        }
+      }
+    }
+    val q = TextAnalysis.qualityReport(docs, "doc_id", "text")
+    assertNoNaN(q)
+    // the poisoned rows' composite quality never beats the real doc's
+    val quality = q.collect().map(r =>
+      r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    (2L to 5L).foreach(i => assert(quality(i) < quality(1L),
+      s"poisoned row $i outranks healthy: ${quality(i)} >= ${quality(1L)}"))
+    assertNoNaN(TextAnalysis.readabilityReport(docs, "doc_id", "text"))
+    val g = TextAnalysis.gopherReport(docs, "doc_id", "text", minWords = 3)
+    assertNoNaN(g)
+    g.collect().foreach { r => // no poisoned row passes the gopher gate
+      if (r.getLong(0) >= 2L)
+        assert(!r.getBoolean(r.fieldIndex("keep")), s"poisoned keep: $r")
+    }
+    assertNoNaN(TextAnalysis.repetition(docs, "doc_id", "text"))
+    assertNoNaN(TextAnalysis.lmScoreReport(docs, "doc_id", "text",
+      docs, "text", vocab = 8))
+    val b = TextAnalysis.bigramLmScoreReport(docs, "doc_id", "text",
+      docs, "text", vocab = 8)
+    assertNoNaN(b)
+    // sub-2-token docs (2, 3, 5) carry null (not NaN) and sort BELOW
+    // every scored row under the desc-nulls-last convention both
+    // engines share (doc 4 has the "123 456" bigram, so it scores)
+    val ordered = b.orderBy(col("lm2_logp").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ordered.takeRight(3).toSet == Set(2L, 3L, 5L),
+      s"null-score rows must sort last: $ordered")
+    assertNoNaN(Curation.dsirWeights(docs, "doc_id", "text",
+      docs.where(col("doc_id") === 1L), "text", buckets = 64))
+    // langId: degenerate rows classify "und", never crash
+    val langs = TextAnalysis.langIdReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (2L to 5L).foreach(i => assert(langs(i) == "und", s"$i -> ${langs(i)}"))
   }
 }

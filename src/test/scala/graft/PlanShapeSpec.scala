@@ -371,7 +371,10 @@ class PlanShapeSpec extends GraftSuite {
       ("q_embed_semdedup_pairs", 2, true),
       ("q_embed_semdedup_keep", 4, true),
       ("q_embed_semdedup_cross", 6, true),
-      ("q_embed_outlier", 1, true),
+      // outlier reads the kernel's _qscore directly since knnJoinScored
+      // landed: ONE knn scan + select, no vector join-backs — so no
+      // broadcast join remains to require (the better plan)
+      ("q_embed_outlier", 1, false),
       ("q_doc_readability", 0, false))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))

@@ -58,8 +58,12 @@ class SearchSpec extends GraftSuite {
     val queries = df.where(col("_id") < 6)
     val kernel = VectorOps.knnJoin(df, queries, "emb", "_id", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // selection contract: the 1e-9 quantized grid, id tie-break (the
+    // cross-engine replay discipline — see VectorOps.q9)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("_s").desc, col("neighbor_id").asc)
+      .partitionBy("query_id")
+      .orderBy(round(col("_s") * lit(1000000000L)).cast("long").desc,
+        col("neighbor_id").asc)
     val declarative = df.select(col("_id").as("neighbor_id"), col("emb").as("_vn"))
       .crossJoin(queries.select(col("_id").as("query_id"), col("emb").as("_vq")))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -122,9 +126,13 @@ class SearchSpec extends GraftSuite {
     val queries = df.where(col("_id").isin(1L, 2L, 3L))
     val got = VectorOps.hardNegatives(df, queries, "emb", "_id", "lab", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // declarative mirror: cross join + null-safe label inequality + rank
+    // declarative mirror: cross join + null-safe label inequality +
+    // rank on the q9 selection grid (this fixture's structured vectors
+    // tie within 1e-9, so the grid's id tie-break is load-bearing)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("_s").desc, col("neighbor_id").asc)
+      .partitionBy("query_id")
+      .orderBy(round(col("_s") * lit(1000000000L)).cast("long").desc,
+        col("neighbor_id").asc)
     val declarative = df.select(col("_id").as("neighbor_id"),
         col("emb").as("_vn"), col("lab").as("_ln"))
       .crossJoin(queries.select(col("_id").as("query_id"),
@@ -1604,5 +1612,66 @@ class SearchSpec extends GraftSuite {
       .collect().map(_.getLong(0)).toSet
     assert(picks.size == 5 && !picks.contains(99L) && !picks.contains(98L),
       s"mmr must skip degenerates: $picks")
+  }
+
+  test("knnJoinScored._score is bit-equal to CosinePair; _qscore is its q9 grid cell") {
+    // the margin/outlier paths consume the kernel's score instead of
+    // joining vectors back — this spec closes the "bit-equal by
+    // construction" claim: re-evaluate every scored pair through the
+    // fused CosinePair expression and compare RAW BITS, over a random
+    // corpus + planted exact twins (grid ties) + degenerates
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val healthy = (0 until 40).map { i =>
+      (i.toLong, Array.fill(12)(rnd.nextFloat() * 2f - 1f))
+    }
+    val twins = Seq((100L, healthy(3)._2.clone()), (101L, healthy(7)._2.clone()))
+    val degenerates = Seq((98L, Array.fill(12)(0f)),
+      (97L, { val v = Array.fill(12)(1f); v(2) = Float.NaN; v }))
+    val df = (healthy ++ twins ++ degenerates).toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 6 || col("vec_id") === 98L)
+    def checkParity(scored: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = scored
+        .join(df.select(col("vec_id").as("query_id"),
+          col("embedding").as("_qv")), "query_id")
+        .join(df.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("_nv")), "neighbor_id")
+        .withColumn("_pair", VectorOps.cosineSimCols(col("_qv"), col("_nv")))
+        .select("query_id", "neighbor_id", "_score", "_qscore", "_pair")
+        .collect()
+      assert(rows.length == 6 * 5, s"expected 6 healthy queries x k=5: ${rows.length}")
+      rows.foreach { r =>
+        assert(!r.isNullAt(4),
+          s"degenerate pair survived selection: ${r.getLong(0)} -> ${r.getLong(1)}")
+        val sc = r.getDouble(2); val qsc = r.getLong(3); val pair = r.getDouble(4)
+        assert(java.lang.Double.doubleToRawLongBits(sc) ==
+          java.lang.Double.doubleToRawLongBits(pair),
+          s"kernel _score != CosinePair for (${r.getLong(0)}, ${r.getLong(1)}): $sc vs $pair")
+        assert(qsc == VectorOps.q9(sc),
+          s"_qscore off its q9 grid cell for (${r.getLong(0)}, ${r.getLong(1)}): $qsc vs ${VectorOps.q9(sc)}")
+      }
+      // the planted twins tie with their originals on the grid; the id
+      // tie-break must put the ORIGINAL (smaller id) first wherever
+      // both rank
+      val byQuery = rows.groupBy(_.getLong(0))
+      byQuery.foreach { case (qid, rs) =>
+        val ids = rs.map(_.getLong(1)).toSet
+        Seq((3L, 100L), (7L, 101L)).foreach { case (orig, twin) =>
+          // (skip when the original IS the query — excludeSelf drops it
+          // while its identical twin legitimately ranks)
+          if (qid != orig && ids.contains(twin)) assert(ids.contains(orig),
+            s"twin $twin ranked without its smaller-id original $orig: $ids")
+        }
+      }
+    }
+    // broadcast heap kernel
+    checkParity(VectorOps.knnJoinScored(df, queries, "embedding", "vec_id", k = 5))
+    // distributed reroute at full probe — same contract, same columns
+    val model = VectorOps.trainIvf(df.where(col("vec_id") <= 101L &&
+      col("vec_id") =!= 97L && col("vec_id") =!= 98L), "embedding", nlist = 4, iters = 2)
+    checkParity(VectorOps.knnJoinDistributed(df, queries, "embedding",
+      "vec_id", k = 5, model, nprobe = 4, excludeSelf = true,
+      excludeLabelCol = None, keepScore = true))
   }
 }

@@ -5,12 +5,37 @@ Mimics the driver's t2 gate: read each query's parquet result (written
 by graft.Verify), run the oracle SQL in DuckDB over the same sf dir,
 sort columns by name + rows by value, and compare.
 
-Usage: python3 tools/check.py <outDir> <sfDir>
+Usage: python3 tools/check.py <outDir> <sfDir> [--repeat N] [--only a,b,c]
+
+--repeat N  re-executes each ORACLE N times and fails on any variance
+            between executions — the mechanical form of the hard-won
+            "REPEAT-RUN any oracle whose result feeds through an argmax
+            over computed doubles" lesson (the q_embed_mmr flake hit
+            ~40% of single runs yet survived every full single-run
+            sweep; the r12 margin flake hit only on round-artifact
+            day). Use with --only to target the double-argmax families
+            (knn/margin/outlier/mmr) without N-times-ing the world.
+--only      comma-separated query names (or name prefixes ending in
+            '*') to check; everything else is skipped.
 """
 import json, sys, glob, os
 import duckdb
 
-outdir, sfdir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+outdir, sfdir = args[0], args[1]
+repeat = 1
+only = None
+argv = sys.argv[1:]
+for i, a in enumerate(argv):
+    if a == "--repeat":
+        repeat = int(argv[i + 1])
+    elif a.startswith("--repeat="):
+        repeat = int(a.split("=", 1)[1])
+    elif a == "--only":
+        only = argv[i + 1].split(",")
+    elif a.startswith("--only="):
+        only = a.split("=", 1)[1].split(",")
+
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -19,6 +44,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted([os.path.basename(p) for p in glob.glob(f"{outdir}/*")
                 if os.path.isdir(p)])
+if only:
+    def selected(n):
+        return any(n == o or (o.endswith("*") and n.startswith(o[:-1]))
+                   for o in only)
+    names = [n for n in names if selected(n)]
 
 def canon(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -58,9 +88,24 @@ for name in names:
         print(f"FAIL {name}: oracle error: {e}")
         fail += 1
         continue
-    sc, sr = canon(srows, scols)
     oc, orr = canon(orows, ocols)
-    if sc != oc:
+    # oracle-variance gate: any rep that hashes apart from rep 0 means
+    # the oracle itself is not replay-safe (double argmax over drifting
+    # computed values) — a FAIL even if the spark compare would pass
+    variance = None
+    for rep in range(1, repeat):
+        rcols, rrows = (lambda rel: (rel.columns, rel.fetchall()))(
+            con.sql(oracle[name]))
+        rc, rr = canon(rrows, rcols)
+        if (rc, rr) != (oc, orr):
+            diff = [(a, b) for a, b in zip(orr, rr) if a != b][:3]
+            variance = f"oracle VARIANCE at rep {rep + 1}/{repeat}: {diff}"
+            break
+    sc, sr = canon(srows, scols)
+    if variance:
+        print(f"FAIL {name}: {variance}")
+        fail += 1
+    elif sc != oc:
         print(f"FAIL {name}: columns {sc} vs {oc}")
         fail += 1
     elif sr != orr:
@@ -71,7 +116,8 @@ for name in names:
               f"spark-only {extra_s}; oracle-only {extra_o}")
         fail += 1
     else:
-        print(f"OK   {name} ({len(sr)} rows)")
+        rep_note = f" [x{repeat} stable]" if repeat > 1 else ""
+        print(f"OK   {name} ({len(sr)} rows){rep_note}")
         ok += 1
 print(f"\n{ok} ok, {fail} fail, {len(names)} results")
 sys.exit(1 if fail else 0)
