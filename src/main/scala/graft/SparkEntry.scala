@@ -3116,9 +3116,12 @@ object SparkEntry {
       "tot AS (SELECT (SELECT sum(cnt) FROM lm0) AS n, " +
       "(SELECT count(*) FROM top) AS v, (SELECT sum(cnt) FROM top) AS nin), " +
       "dt AS (SELECT doc_id, term, count(*) AS c FROM occ GROUP BY 1, 2), " +
+      // per-term ln quantized to 1e-9 BIGINTs inside the sum (the
+      // engine's integer-numerator discipline): exact, order-free
       "sc AS (SELECT doc_id, sum(c) AS ntok, " +
-      "round(sum(CAST(c AS DOUBLE) * ln((CAST(coalesce(top.cnt, tot.n - tot.nin) AS DOUBLE) + 1.0) / " +
-      "(CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0))) / CAST(sum(c) AS DOUBLE), 4) AS lm_logp " +
+      "round(CAST(sum(c * CAST(round(ln((CAST(coalesce(top.cnt, tot.n - tot.nin) AS DOUBLE) + 1.0) / " +
+      "(CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE) + 1.0)) * 1000000000) AS BIGINT)) AS DOUBLE) " +
+      "/ (CAST(sum(c) AS DOUBLE) * 1000000000.0), 4) AS lm_logp " +
       "FROM dt LEFT JOIN top USING (term) CROSS JOIN tot GROUP BY doc_id) " +
       "SELECT d.doc_id, CAST(coalesce(sc.ntok, 0) AS BIGINT) AS n_tokens, " +
       "sc.lm_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
@@ -3140,9 +3143,10 @@ object SparkEntry {
       "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1), " +
       "db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3), " +
       "sc AS (SELECT doc_id, sum(c) AS nb, " +
-      "round(sum(CAST(c AS DOUBLE) * ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) " +
+      "round(CAST(sum(c * CAST(round(ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) " +
       "+ 1.0) / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + " +
-      "CAST(vl.v AS DOUBLE)))) / CAST(sum(c) AS DOUBLE), 4) " +
+      "CAST(vl.v AS DOUBLE))) * 1000000000) AS BIGINT)) AS DOUBLE) " +
+      "/ (CAST(sum(c) AS DOUBLE) * 1000000000.0), 4) " +
       "AS lm2_logp FROM db LEFT JOIN c2 USING (w1, w2) " +
       "LEFT JOIN c1 USING (w1) CROSS JOIN vl GROUP BY doc_id) " +
       "SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams, " +

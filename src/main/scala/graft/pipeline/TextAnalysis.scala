@@ -260,13 +260,22 @@ object TextAnalysis {
     val scored = occ
       .join(broadcast(lmTop), Seq("term"), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("_lp",
-        log((coalesce(col("cnt"), col("_n") - col("_nin")).cast("double") + 1.0) /
-          (col("_n").cast("double") + col("_v").cast("double") + 1.0)))
+      // per-term log-probs quantize to 1e-9 longs BEFORE the per-doc
+      // sum: a raw double sum is summation-order-dependent (Spark's
+      // partial-agg merge order varies with shuffle arrival), so the
+      // 4dp-rounded mean could flip at a rounding boundary run to run
+      // or cross-engine — the BM25.quantizedSum / VectorOps.q9
+      // discipline applied to the LM family. The integer numerator is
+      // exact and order-free; the mean derives from it in one
+      // deterministic division.
+      .withColumn("_qlp",
+        round(log((coalesce(col("cnt"), col("_n") - col("_nin")).cast("double") + 1.0) /
+          (col("_n").cast("double") + col("_v").cast("double") + 1.0)) *
+          lit(1000000000L)).cast("long"))
       .groupBy(col("_did"))
       .agg(sum(col("_c")).as("n_tokens"),
-        round(sum(col("_c").cast("double") * col("_lp")) /
-          sum(col("_c")).cast("double"), 4).as("lm_logp"))
+        round(sum(col("_c") * col("_qlp")).cast("double") /
+          (sum(col("_c")).cast("double") * lit(1000000000.0)), 4).as("lm_logp"))
     docs.select(col(idCol))
       .join(scored.withColumnRenamed("_did", idCol), Seq(idCol), "left")
       .na.fill(0L, Seq("n_tokens"))
@@ -333,13 +342,16 @@ object TextAnalysis {
     val scored = docBi
       .join(broadcast(corpusBi), Seq("_w1", "_w2"), "left")
       .join(broadcast(corpusPre), Seq("_w1"), "left")
-      .withColumn("_lp",
-        log((coalesce(col("_c2"), lit(0L)).cast("double") + 1.0) /
-          (coalesce(col("_c1"), lit(0L)).cast("double") + vSize.toDouble)))
+      // same 1e-9 integer-numerator discipline as lmScoreReport: the
+      // per-doc mean must not depend on double summation order
+      .withColumn("_qlp",
+        round(log((coalesce(col("_c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("_c1"), lit(0L)).cast("double") + vSize.toDouble)) *
+          lit(1000000000L)).cast("long"))
       .groupBy(col("_did"))
       .agg(sum(col("_c")).as("n_bigrams"),
-        round(sum(col("_c").cast("double") * col("_lp")) /
-          sum(col("_c")).cast("double"), 4).as("lm2_logp"))
+        round(sum(col("_c") * col("_qlp")).cast("double") /
+          (sum(col("_c")).cast("double") * lit(1000000000.0)), 4).as("lm2_logp"))
     docs.select(col(idCol))
       .join(scored.withColumnRenamed("_did", idCol), Seq(idCol), "left")
       .na.fill(0L, Seq("n_bigrams"))
