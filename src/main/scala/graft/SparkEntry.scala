@@ -656,15 +656,14 @@ object SparkEntry {
     // (a collapsed or shuffled embedding space scores at chance)
     "q_embed_knn_purity" -> ((s, d) => {
       val e = emb(s, d)
-      VectorOps.knnJoin(e, e.where(col("vec_id") < 32),
-          "embedding", "vec_id", k = 10)
-        .join(e.select(col("vec_id").as("query_id"),
-          col("label").as("_ql")), "query_id")
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("label").as("_nl")), "neighbor_id")
-        .groupBy(col("_ql").cast("long").as("label"))
+      // labels ride the kernel scan (knnJoinLabeled) — ONE scan + one
+      // window, no corpus join-backs
+      VectorOps.knnJoinLabeled(e, e.where(col("vec_id") < 32),
+          "embedding", "vec_id", "label", k = 10)
+        .groupBy(col("query_label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_neighbors"),
-          sum((col("_ql") === col("_nl")).cast("long")).as("n_same"))
+          sum((col("query_label") === col("neighbor_label")).cast("long"))
+            .as("n_same"))
     }),
     // hard-negative mining: top-5 nearest DIFFERENT-label rows per
     // query — the contrastive-training negative sampler; same one-scan

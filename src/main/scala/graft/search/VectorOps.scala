@@ -547,6 +547,20 @@ object VectorOps {
     knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0,
       keepScore = true)
 
+  /** [[knnJoin]] plus both sides' `labelCol` (string-cast) as
+    * `query_label` / `neighbor_label` — the labels already ride the
+    * kernel's scan when a consumer needs them (the hardNegatives
+    * machinery), so label-keyed analyses (kNN purity, leakage audits)
+    * read them here instead of joining the corpus back TWICE per
+    * analysis. Same selection contract as [[knnJoin]]; same
+    * auto-escalation to the distributed join.
+    */
+  def knnJoinLabeled(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, labelCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0,
+      keepLabelCol = Some(labelCol))
+
   /** IVF-pruned batch k-NN join: like knnJoin, but corpus rows are only
     * scored against queries whose `nprobe` nearest centroids include
     * the row's cluster. With the cluster id as a partition column the
@@ -809,9 +823,11 @@ object VectorOps {
       vecCol: String, idCol: String, k: Int, model: IvfModel, nprobe: Int,
       excludeSelf: Boolean = true,
       excludeLabelCol: Option[String] = None,
-      keepScore: Boolean = false): DataFrame = {
+      keepScore: Boolean = false,
+      keepLabelCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lq = excludeLabelCol.map(l => col(l).cast("string"))
+    val lq = excludeLabelCol.orElse(keepLabelCol)
+      .map(l => col(l).cast("string"))
       .getOrElse(lit(null).cast("string"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).as("_qv"), lq.as("_ql"))
@@ -840,7 +856,9 @@ object VectorOps {
     val cols = Seq(col("query_id"), col("neighbor_id"),
       col("rank").cast("long").as("rank")) ++ // same schema as knnJoin
       (if (keepScore) Seq(col("_sim").as("_score"),
-        q9Col(col("_sim")).as("_qscore")) else Nil)
+        q9Col(col("_sim")).as("_qscore")) else Nil) ++
+      (if (keepLabelCol.isDefined) Seq(col("_ql").as("query_label"),
+        col("_nl").as("neighbor_label")) else Nil)
     ranked.select(cols: _*)
   }
 
@@ -874,7 +892,8 @@ object VectorOps {
       vecCol: String, idCol: String, k: Int, excludeSelf: Boolean,
       model: Option[IvfModel], nprobe: Int,
       excludeLabelCol: Option[String] = None,
-      keepScore: Boolean = false): DataFrame = {
+      keepScore: Boolean = false,
+      keepLabelCol: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // bounded-batch contract, enforced: probe at most maxBatch+1 query
@@ -885,7 +904,10 @@ object VectorOps {
     // formulations, so the reroute is bit-equal; without one, the
     // all-clusters probe keeps the exact contract (see escalationModel).
     val maxBatch = knnQueryBatchMax(spark)
-    val labelExpr = excludeLabelCol.map(l => col(l).cast("string"))
+    // labels ride the scan when they gate (hard negatives) OR when the
+    // caller wants them emitted (purity) — same column, two uses
+    val labelSource = excludeLabelCol.orElse(keepLabelCol)
+    val labelExpr = labelSource.map(l => col(l).cast("string"))
       .getOrElse(lit(null).cast("string"))
     val qsRaw = queries.select(col(idCol).cast("long"), col(vecCol), labelExpr)
       .limit(maxBatch + 1)
@@ -895,7 +917,7 @@ object VectorOps {
       val m = model.getOrElse(escalationModel(corpus, vecCol))
       val np = if (model.isDefined) nprobe else m.centroids.length
       return knnJoinDistributed(corpus, queries, vecCol, idCol, k, m, np,
-        excludeSelf, excludeLabelCol, keepScore)
+        excludeSelf, excludeLabelCol, keepScore, keepLabelCol)
     }
     val qs = qsRaw.sortBy(_._1).map { case (id, v, _) => (id, v) }
     val qLabels = qsRaw.sortBy(_._1).map(_._3)
@@ -928,6 +950,8 @@ object VectorOps {
     val bcP = spark.sparkContext.broadcast(probes)
     val bcL = spark.sparkContext.broadcast(
       if (excludeLabelCol.isDefined) qLabels else null)
+    val bcQL = spark.sparkContext.broadcast(
+      if (keepLabelCol.isDefined) qLabels else null)
     val base = model match {
       case None => corpus.select(col(idCol).cast("long"), col(vecCol),
         lit(-1).as("_cluster"), labelExpr.as("_lbl"))
@@ -940,15 +964,17 @@ object VectorOps {
     // worst-first ordering on the q9 SELECTION grid: pop = lowest
     // quantized score, then highest id (see the q9 scaladoc — raw-
     // double selection flakes against the oracle at rank-boundary
-    // near-ties); the raw score rides along for the _score output
-    val worstFirst = Ordering.by[(Long, Double, Long), (Long, Long)] {
-      case (qs, _, id) => (-qs, id)
-    }
+    // near-ties); the raw score and the neighbor label (null unless
+    // keepLabelCol) ride along for the output
+    val worstFirst =
+      Ordering.by[(Long, Double, Long, String), (Long, Long)] {
+        case (qs, _, id, _) => (-qs, id)
+      }
     val partial = base.as[(Long, Array[Float], Int, String)].mapPartitions { it =>
       val q = bcQ.value; val nrm = bcN.value; val pr = bcP.value
-      val ql = bcL.value
+      val ql = bcL.value; val qkl = bcQL.value
       val heaps = Array.fill(q.length)(
-        new scala.collection.mutable.PriorityQueue[(Long, Double, Long)]()(worstFirst))
+        new scala.collection.mutable.PriorityQueue[(Long, Double, Long, String)]()(worstFirst))
       it.foreach { case (cid, cv, cluster, clbl) =>
         var nc = 0.0; var i = 0
         while (i < cv.length) { nc += cv(i).toDouble * cv(i).toDouble; i += 1 }
@@ -972,11 +998,11 @@ object VectorOps {
             if (!s.isNaN) {
               val qsc = q9(s)
               val h = heaps(qi)
-              if (h.size < k) h.enqueue((qsc, s, cid))
+              if (h.size < k) h.enqueue((qsc, s, cid, clbl))
               else {
                 val w = h.head // worst of the current k
                 if (qsc > w._1 || (qsc == w._1 && cid < w._3)) {
-                  h.dequeue(); h.enqueue((qsc, s, cid))
+                  h.dequeue(); h.enqueue((qsc, s, cid, clbl))
                 }
               }
             }
@@ -985,9 +1011,13 @@ object VectorOps {
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (qsc, s, cid) => (q(qi)._1, cid, qsc, s) }
+        h.iterator.map { case (qsc, s, cid, nl) =>
+          (q(qi)._1, cid, qsc, s,
+            if (qkl == null) null else qkl(qi), nl)
+        }
       }
-    }.toDF("query_id", "neighbor_id", "_qscore", "_score")
+    }.toDF("query_id", "neighbor_id", "_qscore", "_score",
+      "query_label", "neighbor_label")
     // final exact rank over the (numPartitions * k)-bounded candidates,
     // ordered on the heap's own quantized key (kernel selection and
     // final window cannot disagree on a value's grid cell)
@@ -996,9 +1026,11 @@ object VectorOps {
       .orderBy(col("_qscore").desc, col("neighbor_id").asc)
     val ranked = partial.withColumn("rank",
       row_number().over(w).cast("long")).where(col("rank") <= k)
-    if (keepScore)
-      ranked.select("query_id", "neighbor_id", "rank", "_score", "_qscore")
-    else ranked.select("query_id", "neighbor_id", "rank")
+    val keep = Seq(col("query_id"), col("neighbor_id"), col("rank")) ++
+      (if (keepScore) Seq(col("_score"), col("_qscore")) else Nil) ++
+      (if (keepLabelCol.isDefined)
+        Seq(col("query_label"), col("neighbor_label")) else Nil)
+    ranked.select(keep: _*)
   }
 
   /** Smallest `nprobe` whose mean recall@k over a calibration query

@@ -1667,6 +1667,27 @@ class SearchSpec extends GraftSuite {
     }
     // broadcast heap kernel
     checkParity(VectorOps.knnJoinScored(df, queries, "embedding", "vec_id", k = 5))
+    // label passthrough: same ranks as knnJoin, labels equal to the
+    // two-join-back formulation it replaces (kernel + distributed)
+    val lab = df.withColumn("lab", (col("vec_id") % 3).cast("string"))
+    val viaKernel = VectorOps.knnJoinLabeled(lab, lab.where(col("vec_id") < 6),
+        "embedding", "vec_id", "lab", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    val plain = VectorOps.knnJoin(lab, lab.where(col("vec_id") < 6),
+      "embedding", "vec_id", k = 5)
+    val viaJoins = plain
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("lab").as("_ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("lab").as("_nl")), "neighbor_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getLong(r.fieldIndex("rank")),
+        r.getString(r.fieldIndex("_ql")),
+        r.getString(r.fieldIndex("_nl")))).toSet
+    assert(viaKernel == viaJoins,
+      s"labeled kernel vs join-backs: ${viaKernel.diff(viaJoins)} / ${viaJoins.diff(viaKernel)}")
     // distributed reroute at full probe — same contract, same columns
     val model = VectorOps.trainIvf(df.where(col("vec_id") <= 101L &&
       col("vec_id") =!= 97L && col("vec_id") =!= 98L), "embedding", nlist = 4, iters = 2)
