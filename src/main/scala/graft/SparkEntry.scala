@@ -9,7 +9,7 @@ import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
 import graft.pipeline.{Bpe, Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
-import graft.search.{BM25, Hybrid, VectorOps}
+import graft.search.{BM25, Hybrid, RankEval, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -693,6 +693,35 @@ object SparkEntry {
       val e = emb(s, d)
       VectorOps.marginMiningMutual(e.where(col("vec_id") % 2 === 0),
         e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+    }),
+    // TREC-style retrieval eval over the knn run, relevance = shared
+    // label: per-query hits@10 / first-relevant-rank / fixed-point
+    // MRR + nDCG@10 — exact integer arithmetic on shared literal
+    // discount tables (RankEval scaladoc); the measurement half of
+    // the embedding-quality story (purity counts agreement, this
+    // grades the RANKING of it)
+    "q_eval_rank" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 32)
+      val runs = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")), Seq("_l"))
+        .where(col("query_id") =!= col("doc_id"))
+        .select("query_id", "doc_id")
+      RankEval.rankEvalReport(runs, rels, k = 10)
+    }),
+    // corpus-level MRR / mean nDCG of the same run (integer means)
+    "q_eval_summary" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 32)
+      val runs = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")), Seq("_l"))
+        .where(col("query_id") =!= col("doc_id"))
+        .select("query_id", "doc_id")
+      RankEval.rankEvalSummary(RankEval.rankEvalReport(runs, rels, k = 10))
     }),
     // the fully-DISTRIBUTED knn join (no driver-side query collect —
     // the path for query sides that are themselves corpora): recall
@@ -1903,6 +1932,42 @@ object SparkEntry {
     "QUALIFY row_number() OVER (PARTITION BY sid " +
     "ORDER BY margin_q DESC, tid) = 1)"
 
+  // Retrieval-eval replay: quantized knn top-10 over the sub-32 query
+  // batch, relevance = shared label, per-query integer rank metrics.
+  // The DCG discount / ideal-DCG tables inline as CASE literals from
+  // the SAME Scala arrays the engine plan carries (RankEval
+  // .dcgWeightCaseSql) — no libm log anywhere in the data path.
+  private val rankEvalCtes = "WITH kn0 AS (SELECT q.vec_id AS query_id, " +
+    "e.vec_id AS doc_id, row_number() OVER (PARTITION BY q.vec_id " +
+    "ORDER BY CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+    "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
+    "e.vec_id) AS rank FROM embeddings e CROSS JOIN " +
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32) q " +
+    "WHERE e.vec_id <> q.vec_id), " +
+    "kn AS (SELECT * FROM kn0 WHERE rank <= 10), " +
+    "rel AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS doc_id " +
+    "FROM embeddings e JOIN embeddings q ON e.label = q.label " +
+    "AND e.vec_id <> q.vec_id WHERE q.vec_id < 32), " +
+    "mk AS (SELECT kn.query_id, kn.rank, " +
+    "CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r " +
+    "FROM kn LEFT JOIN rel ON kn.query_id = rel.query_id " +
+    "AND kn.doc_id = rel.doc_id), " +
+    "per AS (SELECT query_id, sum(r) AS hits_k, " +
+    "min(CASE WHEN r = 1 THEN rank END) AS frr, " +
+    "sum(CASE WHEN r = 1 THEN " +
+    graft.search.RankEval.dcgWeightCaseSql(10, "rank") +
+    " ELSE 0 END) AS dcg FROM mk GROUP BY 1), " +
+    "nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1), " +
+    "ev AS (SELECT per.query_id, CAST(hits_k AS BIGINT) AS hits_k, " +
+    "CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel, " +
+    "CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank, " +
+    "CAST(CASE WHEN frr IS NOT NULL THEN 1000000000 // frr ELSE 0 END " +
+    "AS BIGINT) AS rr_q, CAST(dcg AS BIGINT) AS dcg_q, " +
+    "CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0 THEN dcg * 1000000 // (" +
+    graft.search.RankEval.idcgCaseSql(10, "nr.n_rel") +
+    ") ELSE 0 END AS BIGINT) AS ndcg_q " +
+    "FROM per LEFT JOIN nr USING (query_id))"
+
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
     "q_nwhere" -> "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0",
@@ -2390,6 +2455,15 @@ object SparkEntry {
       "(PARTITION BY tid ORDER BY margin_q DESC, sid) = 1) " +
       "SELECT pf.sid AS src_id, pf.tid AS tgt_id, pf.margin_q " +
       "FROM pf JOIN pb ON pf.sid = pb.sid AND pf.tid = pb.tid"),
+    // per-query retrieval metrics: integer fixed-point throughout,
+    // discount tables shared as literals with the engine plan
+    "q_eval_rank" -> (rankEvalCtes +
+      " SELECT query_id, hits_k, n_rel, first_rel_rank, rr_q, dcg_q, " +
+      "ndcg_q FROM ev"),
+    "q_eval_summary" -> (rankEvalCtes +
+      " SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+      "CAST(sum(rr_q) // count(*) AS BIGINT) AS mrr_q, " +
+      "CAST(sum(ndcg_q) // count(*) AS BIGINT) AS mean_ndcg_q FROM ev"),
 
     // as-of join: DuckDB's native ASOF LEFT JOIN is the independent
     // formulation of the union + running-last-value window; right-side

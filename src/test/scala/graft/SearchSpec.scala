@@ -1695,4 +1695,50 @@ class SearchSpec extends GraftSuite {
       "vec_id", k = 5, model, nprobe = 4, excludeSelf = true,
       excludeLabelCol = None, keepScore = true))
   }
+
+  test("RankEval: hand-computed MRR/hits/nDCG, k cap, no-rel zeros, duplicate qrels") {
+    val s = spark
+    import s.implicits._
+    import graft.search.RankEval
+    val k = 10
+    val w = RankEval.dcgWeights(k)
+    val cw = RankEval.cumDcgWeights(k)
+    assert(w.head == 1000000000L) // w(1) = 1e9 / log2(2)
+    assert(cw(1) == w(0) + w(1))
+    val runs = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      (1L, 14L, 11L), // beyond k: relevant but MUST not count
+      (2L, 10L, 1L), (2L, 11L, 2L),
+      (3L, 10L, 1L), (3L, 11L, 2L), (3L, 12L, 3L)
+    ).toDF("query_id", "doc_id", "rank")
+    val rels = Seq(
+      (1L, 11L), (1L, 11L), // duplicate qrel collapses
+      (1L, 13L), (1L, 99L), // 99 never retrieved
+      (1L, 14L),            // retrieved only past k
+      (3L, 10L), (3L, 11L), (3L, 12L)
+    ).toDF("query_id", "doc_id")
+    val got = RankEval.rankEvalReport(runs, rels, k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // q1: rel hits at ranks 2 and 4; n_rel = 4 (11,13,99,14); idcg = cum(4)
+    val dcg1 = w(1) + w(3)
+    assert(got(1L) == ((2L, 4L, 2L, 500000000L, dcg1,
+      dcg1 * 1000000L / cw(3))), s"${got(1L)}")
+    // q2: no qrels at all -> all zeros
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)), s"${got(2L)}")
+    // q3: perfect ranking -> ndcg exactly 1e6
+    assert(got(3L) == ((3L, 3L, 1L, 1000000000L, cw(2), 1000000L)),
+      s"${got(3L)}")
+    val sum = RankEval.rankEvalSummary(
+      RankEval.rankEvalReport(runs, rels, k)).head
+    assert(sum.getLong(0) == 3L)
+    assert(sum.getLong(1) == (500000000L + 0L + 1000000000L) / 3L)
+    assert(sum.getLong(2) ==
+      (dcg1 * 1000000L / cw(3) + 0L + 1000000L) / 3L)
+    // partitioning independence: exact integers at any layout
+    val rep = RankEval.rankEvalReport(runs.repartition(7), rels.repartition(3), k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rep == got)
+  }
 }
