@@ -1753,6 +1753,20 @@ object Dedup {
       cap: Int = MaxClusterBlock): DataFrame = {
     val cents = VectorOps.kmeansCentroidsQuantized(corpus, idCol, vecCol,
       k, iters)
+    semanticDedupCrossPairsSeeded(cents, corpus, batch, idCol, vecCol,
+      theta, cap)
+  }
+
+  /** [[semanticDedupCrossPairs]] against ALREADY-TRAINED centroids —
+    * the repeated-ingest form: a streaming/foreachBatch caller trains
+    * the k×dim centroid artifact ONCE at filter construction and
+    * assigns every micro-batch to the same standing blocks (per-batch
+    * retraining would both waste the Lloyd scans and drift the block
+    * boundaries between batches). */
+  def semanticDedupCrossPairsSeeded(cents: Array[Seq[Long]],
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, theta: Double,
+      cap: Int = MaxClusterBlock): DataFrame = {
     def items(df: DataFrame) = {
       val asgn = VectorOps.kmeansAssignQuantized(df, idCol, vecCol, cents)
       df.select(col(idCol).cast("long").as(idCol), col(vecCol).as("_sv"))

@@ -406,6 +406,50 @@ object GraphStream {
       .drop("_srp")
   }
 
+  /** SemDeDup at ingest — the micro-batch arm of
+    * [[graft.pipeline.Dedup.semanticDedupCrossPairs]], for use inside
+    * `writeStream.foreachBatch` (an EXACT θ-cosine check against the
+    * standing corpus is a join, not a per-row predicate, so unlike
+    * the Bloom filters above it composes at the micro-batch level):
+    *
+    * {{{
+    * val keep = GraphStream.semanticIngestKeep(corpus, "id", "v", k, it, θ)
+    * stream.writeStream.foreachBatch { (b, _) => keep(b).write.…(…) }
+    * }}}
+    *
+    * The k-means centroids train ONCE here at filter construction
+    * (the bounded k×dim artifact) and every micro-batch assigns to
+    * the SAME standing blocks — per-batch retraining would waste the
+    * Lloyd scans and drift block boundaries between batches. Each
+    * batch then pairs against the corpus only within shared clusters
+    * through the capped cross machinery and keeps the rows with NO
+    * θ-neighbor — exactly the batch semantics of
+    * semanticDedupCrossPairs, so batch == stream parity holds by
+    * construction (spec-pinned). Degenerate vectors carry null
+    * cosines, fail the θ gate, and pass through — the filter family's
+    * uniform "not a duplicate of anything measurable" rule.
+    *
+    * Like SemDeDup itself this dedups the batch against the CORPUS,
+    * not against other rows of the same micro-batch (and the corpus
+    * frame is read per batch — at scale, a cluster-partitioned stored
+    * table whose scan prunes to the batch's clusters).
+    */
+  def semanticIngestKeep(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, theta: Double,
+      cap: Int = graft.pipeline.Dedup.MaxClusterBlock)
+      : DataFrame => DataFrame = {
+    import graft.search.VectorOps
+    val cents = VectorOps.kmeansCentroidsQuantized(corpus, idCol, vecCol,
+      k, iters)
+    batch => {
+      val dropped = graft.pipeline.Dedup.semanticDedupCrossPairsSeeded(
+          cents, corpus, batch, idCol, vecCol, theta, cap)
+        .select(col("id_b")).distinct()
+      batch.join(dropped, col(idCol).cast("long") === col("id_b"),
+        "left_anti")
+    }
+  }
+
   /** DSIR quality filtering at ingest — the domain-shaping arm of the
     * filter family (the dedup arms drop what the corpus has SEEN; this
     * drops what the target domain doesn't WANT): keep stream rows

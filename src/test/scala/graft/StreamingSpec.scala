@@ -428,6 +428,52 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("semanticIngestKeep: foreachBatch SemDeDup drops corpus-near rows across micro-batches; batch parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // the planted-cluster fixture: group == k-means cluster
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val keep = GraphStream.semanticIngestKeep(corpus, "vec_id", "embedding",
+      k = 3, iters = 2, theta = 0.9)
+    // near-copies of corpus rows 1 and 5 must drop; a row orthogonal
+    // to every cluster axis must survive; a zero vector (degenerate,
+    // null cosine) must pass through
+    val dup1 = { val v = rows(1)._2.toArray.clone(); v(3) += 0.0005f; v.toSeq }
+    val dup5 = { val v = rows(5)._2.toArray.clone(); v(3) += 0.0005f; v.toSeq }
+    val novel = { val v = Array.fill(4)(0f); v(3) = 1f; v.toSeq }
+    val zero = Seq.fill(4)(0f)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        keep(b).select("vec_id").collect().foreach(r => kept.add(r.getLong(0)))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((101L, dup1), (199L, novel))
+      q.processAllAvailable()
+      // a later micro-batch assigns to the SAME standing centroids
+      mem.addData((105L, dup5), (198L, zero))
+      q.processAllAvailable()
+      val got = kept.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+      assert(got == Set(199L, 198L),
+        s"near-copies drop, novel + degenerate survive: $got")
+      // batch == stream parity: the direct call on the union batch
+      val batchKept = keep(Seq((101L, dup1), (199L, novel),
+          (105L, dup5), (198L, zero)).toDF("vec_id", "embedding"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(batchKept == got, s"batch $batchKept vs stream $got")
+    } finally q.stop()
+  }
+
   test("embedding ingest filter passes degenerate vectors through even when the corpus has one") {
     val s = spark
     import s.implicits._
