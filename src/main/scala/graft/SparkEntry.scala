@@ -680,6 +680,37 @@ object SparkEntry {
       VectorOps.kthNeighborScore(emb(s, d), "vec_id", "embedding", k = 4)
         .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc)
         .limit(20)),
+    // the SCALE path of outlier scoring: every row is a query, so the
+    // exact form is the one knn shape that is inherently O(n²)
+    // (SCALING3_r13 d2 = 8.8x — the documented brute band); the IVF
+    // form probes each row's calibrated nprobe nearest clusters and
+    // must still surface >= 16 of the exact bottom-20 isolation set.
+    // The calibration target is 0.99, HIGHER than the serving tiers'
+    // 0.95: the bottom-k SET is boundary-sensitive (a missed true
+    // neighbor deflates a random row's k-th score INTO the outlier
+    // band — outlier-biased, never outlier-blind), and measured
+    // overlap at 0.95 was 15/20 where 0.99 reads 18-19/20. On this
+    // near-uniform corpus the 0.99 depth honestly approaches the full
+    // scan (np 13-14 of nlist 16) — calibrateNprobe's documented
+    // unstructured-data contract; on clustered data (the SearchSpec
+    // fixture) the same gate holds at nprobe 3 of 8.
+    "q_embed_outlier_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val eid = e.withColumnRenamed("vec_id", "_id")
+      val model = VectorOps.trainIvfCached(eid, "embedding", nlist = 16)
+      val calib = eid.where(col("_id") >= 100)
+        .orderBy(xxhash64(col("_id")), col("_id")).limit(64)
+      val np = VectorOps.calibrateNprobeCached(eid, "embedding", "_id",
+        model, k = 4, targetRecall = 0.99, calibQueries = calib)
+      val exact = VectorOps.kthNeighborScore(e, "vec_id", "embedding", k = 4)
+        .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc).limit(20)
+      val approx = VectorOps.kthNeighborScoreIvf(e, "vec_id", "embedding",
+          k = 4, model, np)
+        .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc).limit(20)
+      exact.select("vec_id").join(approx.select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) >= 16).cast("double").as("overlap_gate"))
+    }),
     // margin-based pair mining (Artetxe & Schwenk 2019): the corpus
     // split by id parity stands in for the two language sides; each
     // even-id source's best odd-id target by integer difference margin
@@ -2455,6 +2486,11 @@ object SparkEntry {
       "(PARTITION BY tid ORDER BY margin_q DESC, sid) = 1) " +
       "SELECT pf.sid AS src_id, pf.tid AS tgt_id, pf.margin_q " +
       "FROM pf JOIN pb ON pf.sid = pb.sid AND pf.tid = pb.tid"),
+    // gate asserts: the IVF outlier path at the calibrated nprobe
+    // surfaces >= 16/20 of the exact isolation set (engine measures
+    // itself; the oracle pins the required outcome — the q_vector_ivf
+    // discipline)
+    "q_embed_outlier_ivf" -> "SELECT CAST(1.0 AS DOUBLE) AS overlap_gate",
     // per-query retrieval metrics: integer fixed-point throughout,
     // discount tables shared as literals with the engine plan
     "q_eval_rank" -> (rankEvalCtes +

@@ -543,9 +543,10 @@ object VectorOps {
     * together. */
   def knnJoinScored(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      excludeSelf: Boolean = true): DataFrame =
-    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, None, 0,
-      keepScore = true)
+      excludeSelf: Boolean = true, model: Option[IvfModel] = None,
+      nprobe: Int = 0): DataFrame =
+    knnJoinPruned(corpus, queries, vecCol, idCol, k, excludeSelf, model,
+      nprobe, keepScore = true)
 
   /** [[knnJoin]] plus both sides' `labelCol` (string-cast) as
     * `query_label` / `neighbor_label` — the labels already ride the
@@ -609,6 +610,30 @@ object VectorOps {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     knnJoinScored(df, df, vecCol, idCol, k).where(col("rank") === k)
+      .select(col("query_id").as(idCol), col("_qscore").as("kth_qcos"))
+  }
+
+  /** The SCALE path of [[kthNeighborScore]]: every corpus row is a
+    * query, so the exact form is inherently O(n²) (the one knn shape
+    * whose query side is never "a bounded batch" — measured: d2 = 8.8×
+    * on 10× rows in SCALING3_r13, the exact kernel's documented brute
+    * band). Here the k-th-neighbor search probes only each row's
+    * `nprobe` nearest IVF clusters — work drops to ~n²·nprobe/nlist
+    * and, with the cluster id as a stored partition column, the scan
+    * itself prunes. Approximate by the same trade as every IVF tier:
+    * a missed true neighbor can only INFLATE a row's isolation score
+    * (the k-th-best found is a lower bound on similarity), so the
+    * outlier set it surfaces is a superset-biased estimate — calibrate
+    * `nprobe` with [[calibrateNprobe]] exactly like the serving paths
+    * (the q_embed_outlier_ivf gate pins bottom-k overlap ≥ 0.8 at the
+    * calibrated probe count).
+    */
+  def kthNeighborScoreIvf(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: IvfModel, nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    knnJoinScored(df, df, vecCol, idCol, k, excludeSelf = true,
+        model = Some(model), nprobe = nprobe)
+      .where(col("rank") === k)
       .select(col("query_id").as(idCol), col("_qscore").as("kth_qcos"))
   }
 

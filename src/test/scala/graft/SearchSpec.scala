@@ -1696,6 +1696,33 @@ class SearchSpec extends GraftSuite {
       excludeLabelCol = None, keepScore = true))
   }
 
+  test("kthNeighborScoreIvf: full probe equals exact; pruned probe keeps the isolation set") {
+    val df = vecs(400, 16).cache()
+    val exact = VectorOps.kthNeighborScore(df, "_id", "emb", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = VectorOps.trainIvf(df, "emb", nlist = 8, iters = 2)
+    // nprobe = nlist: every cluster probed -> bit-equal with exact
+    val full = VectorOps.kthNeighborScoreIvf(df, "_id", "emb", k = 4,
+        model, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == exact, s"full-probe mismatch: ${full.size} vs ${exact.size}")
+    // pruned probe: scores can only DROP (a missed neighbor inflates
+    // isolation — kth_qcos is a lower bound... on similarity, so the
+    // quantized cosine can only be <= the exact one), and the exact
+    // bottom-20 overlaps the approximate bottom-20 at >= 0.8
+    val pruned = VectorOps.kthNeighborScoreIvf(df, "_id", "emb", k = 4,
+        model, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.foreach { case (id, q) =>
+      assert(q <= exact(id), s"pruned kth score above exact for $id")
+    }
+    def bottom(m: Map[Long, Long], n: Int) =
+      m.toSeq.sortBy { case (id, q) => (q, id) }.take(n).map(_._1).toSet
+    val overlap = (bottom(exact, 20) intersect bottom(pruned, 20)).size
+    assert(overlap >= 16, s"isolation-set overlap too low: $overlap/20")
+    df.unpersist()
+  }
+
   test("RankEval: hand-computed MRR/hits/nDCG, k cap, no-rel zeros, duplicate qrels") {
     val s = spark
     import s.implicits._
