@@ -1989,6 +1989,11 @@ object SparkEntry {
     graft.search.RankEval.dcgWeightCaseSql(10, "rank") +
     " ELSE 0 END) AS dcg FROM mk GROUP BY 1), " +
     "nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1), " +
+    // AP numerator: ordinal of each relevant hit over its own rank
+    "rh AS (SELECT query_id, rank, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY rank) AS j FROM mk WHERE r = 1), " +
+    "aps AS (SELECT query_id, sum(1000000000 * j // rank) AS apsum " +
+    "FROM rh GROUP BY 1), " +
     "ev AS (SELECT per.query_id, CAST(hits_k AS BIGINT) AS hits_k, " +
     "CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel, " +
     "CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank, " +
@@ -1996,8 +2001,12 @@ object SparkEntry {
     "AS BIGINT) AS rr_q, CAST(dcg AS BIGINT) AS dcg_q, " +
     "CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0 THEN dcg * 1000000 // (" +
     graft.search.RankEval.idcgCaseSql(10, "nr.n_rel") +
-    ") ELSE 0 END AS BIGINT) AS ndcg_q " +
-    "FROM per LEFT JOIN nr USING (query_id))"
+    ") ELSE 0 END AS BIGINT) AS ndcg_q, " +
+    "CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0 THEN " +
+    "coalesce(aps.apsum, 0) // least(nr.n_rel, 10) ELSE 0 END " +
+    "AS BIGINT) AS ap_q " +
+    "FROM per LEFT JOIN nr USING (query_id) " +
+    "LEFT JOIN aps USING (query_id))"
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
@@ -2495,11 +2504,12 @@ object SparkEntry {
     // discount tables shared as literals with the engine plan
     "q_eval_rank" -> (rankEvalCtes +
       " SELECT query_id, hits_k, n_rel, first_rel_rank, rr_q, dcg_q, " +
-      "ndcg_q FROM ev"),
+      "ndcg_q, ap_q FROM ev"),
     "q_eval_summary" -> (rankEvalCtes +
       " SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
       "CAST(sum(rr_q) // count(*) AS BIGINT) AS mrr_q, " +
-      "CAST(sum(ndcg_q) // count(*) AS BIGINT) AS mean_ndcg_q FROM ev"),
+      "CAST(sum(ndcg_q) // count(*) AS BIGINT) AS mean_ndcg_q, " +
+      "CAST(sum(ap_q) // count(*) AS BIGINT) AS map_q FROM ev"),
 
     // as-of join: DuckDB's native ASOF LEFT JOIN is the independent
     // formulation of the union + running-last-value window; right-side

@@ -56,6 +56,11 @@ object RankEval {
     *  - `ndcg_q`      dcg·1e6 div idcg, idcg = cum(min(n_rel, k))
     *                  (0 when the query has no relevant docs) — 1e-6
     *                  fixed-point nDCG@k
+    *  - `ap_q`        average precision@k, 1e-9 fixed-point: the j-th
+    *                  relevant hit at rank r contributes `1e9·j div r`
+    *                  (precision at that rank), summed and divided by
+    *                  min(n_rel, k) — exact truncating divisions, so
+    *                  a perfect prefix ranking scores exactly 1e9
     */
   def rankEvalReport(runs: DataFrame, rels: DataFrame, k: Int): DataFrame = {
     val w = dcgWeights(k)
@@ -71,6 +76,15 @@ object RankEval {
       .withColumn("_rel", coalesce(col("_rel"), lit(0L)))
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     val relRank: Column = when(col("_rel") === 1L, col("rank"))
+    // AP numerator: ordinal of each relevant hit over its own rank —
+    // the window partitions on the SAME key the aggregation groups on,
+    // so this costs no extra exchange
+    val apW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    val apSum = marked.where(col("_rel") === 1L)
+      .withColumn("_j", row_number().over(apW).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(sum(expr("1000000000L * _j div rank")).as("_apsum"))
     marked.groupBy(col("query_id")).agg(
         sum(col("_rel")).as("hits_k"),
         min(relRank).as("_frr"),
@@ -78,7 +92,8 @@ object RankEval {
           element_at(typedLit(w), col("rank").cast("int")))
           .otherwise(0L)).as("dcg_q"))
       .join(nRel, Seq("query_id"), "left")
-      .na.fill(0L, Seq("n_rel"))
+      .join(apSum, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel", "_apsum"))
       .withColumn("first_rel_rank", coalesce(col("_frr"), lit(0L)))
       .withColumn("rr_q", when(col("_frr").isNotNull,
         expr("1000000000L div _frr")).otherwise(0L))
@@ -87,19 +102,24 @@ object RankEval {
           least(col("n_rel"), lit(k.toLong)).cast("int"))).otherwise(0L))
       .withColumn("ndcg_q", when(col("_idcg") > 0L,
         expr("dcg_q * 1000000L div _idcg")).otherwise(0L))
+      .withColumn("ap_q", when(col("n_rel") > 0L,
+        expr(s"_apsum div least(n_rel, ${k}L)")).otherwise(0L))
       .select(col("query_id"), col("hits_k"), col("n_rel"),
-        col("first_rel_rank"), col("rr_q"), col("dcg_q"), col("ndcg_q"))
+        col("first_rel_rank"), col("rr_q"), col("dcg_q"), col("ndcg_q"),
+        col("ap_q"))
   }
 
-  /** Corpus-level summary of [[rankEvalReport]]: query count, MRR and
-    * mean nDCG as exact integer means (truncating div — replay-safe;
-    * the per-query table is the precision carrier). */
+  /** Corpus-level summary of [[rankEvalReport]]: query count, MRR,
+    * mean nDCG and MAP as exact integer means (truncating div —
+    * replay-safe; the per-query table is the precision carrier). */
   def rankEvalSummary(report: DataFrame): DataFrame =
     report.agg(count(lit(1)).as("n_queries"),
-        sum(col("rr_q")).as("_srr"), sum(col("ndcg_q")).as("_sn"))
+        sum(col("rr_q")).as("_srr"), sum(col("ndcg_q")).as("_sn"),
+        sum(col("ap_q")).as("_sap"))
       .select(col("n_queries"),
         expr("_srr div n_queries").as("mrr_q"),
-        expr("_sn div n_queries").as("mean_ndcg_q"))
+        expr("_sn div n_queries").as("mean_ndcg_q"),
+        expr("_sap div n_queries").as("map_q"))
 
   /** The `CASE rank WHEN 1 THEN w1 … END` / `CASE … END` SQL fragments
     * an oracle inlines — generated from the SAME literal tables the

@@ -1744,28 +1744,32 @@ class SearchSpec extends GraftSuite {
       (1L, 14L),            // retrieved only past k
       (3L, 10L), (3L, 11L), (3L, 12L)
     ).toDF("query_id", "doc_id")
-    val got = RankEval.rankEvalReport(runs, rels, k)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
-    // q1: rel hits at ranks 2 and 4; n_rel = 4 (11,13,99,14); idcg = cum(4)
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    val got = collectRows(RankEval.rankEvalReport(runs, rels, k))
+    // q1: rel hits at ranks 2 and 4; n_rel = 4 (11,13,99,14); idcg =
+    // cum(4); AP: P@2 = 1/2, P@4 = 2/4 -> apsum = 1e9, div min(4,10)
     val dcg1 = w(1) + w(3)
+    val ap1 = (1000000000L * 1L / 2L + 1000000000L * 2L / 4L) / 4L
     assert(got(1L) == ((2L, 4L, 2L, 500000000L, dcg1,
-      dcg1 * 1000000L / cw(3))), s"${got(1L)}")
+      dcg1 * 1000000L / cw(3), ap1)), s"${got(1L)}")
     // q2: no qrels at all -> all zeros
-    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)), s"${got(2L)}")
-    // q3: perfect ranking -> ndcg exactly 1e6
-    assert(got(3L) == ((3L, 3L, 1L, 1000000000L, cw(2), 1000000L)),
-      s"${got(3L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)), s"${got(2L)}")
+    // q3: perfect ranking -> ndcg exactly 1e6, AP exactly 1e9
+    assert(got(3L) == ((3L, 3L, 1L, 1000000000L, cw(2), 1000000L,
+      1000000000L)), s"${got(3L)}")
     val sum = RankEval.rankEvalSummary(
       RankEval.rankEvalReport(runs, rels, k)).head
     assert(sum.getLong(0) == 3L)
     assert(sum.getLong(1) == (500000000L + 0L + 1000000000L) / 3L)
     assert(sum.getLong(2) ==
       (dcg1 * 1000000L / cw(3) + 0L + 1000000L) / 3L)
+    assert(sum.getLong(3) == (ap1 + 0L + 1000000000L) / 3L)
     // partitioning independence: exact integers at any layout
-    val rep = RankEval.rankEvalReport(runs.repartition(7), rels.repartition(3), k)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val rep = collectRows(
+      RankEval.rankEvalReport(runs.repartition(7), rels.repartition(3), k))
     assert(rep == got)
   }
 }
