@@ -375,6 +375,15 @@ class PlanShapeSpec extends GraftSuite {
       // landed: ONE knn scan + select, no vector join-backs — so no
       // broadcast join remains to require (the better plan)
       ("q_embed_outlier", 1, false),
+      // purity: labels ride the kernel scan (knnJoinLabeled) — one
+      // scan + one window + one groupBy, no corpus join-backs (the
+      // two-join-back formulation it replaced measured 2 more)
+      ("q_embed_knn_purity", 2, false),
+      // rank eval: runs x qrels equi-join + nRel/AP/main aggregations
+      // + report joins, all query-keyed; qrels side broadcasts here
+      // only because the 32-query batch is tiny — the join itself is
+      // shuffle-safe at corpus-scale qrels
+      ("q_eval_rank", 7, true),
       ("q_doc_readability", 0, false))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
