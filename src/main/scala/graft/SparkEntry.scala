@@ -60,6 +60,22 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The one run + qrels construction q_eval_rank and q_eval_summary
+    * share (a drift between the per-query report and its summary would
+    * pass both oracles individually): knn top-10 over the sub-32 query
+    * batch, relevance = shared label excluding self. */
+  private def evalRankReport(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < 32)
+    val runs = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
+      .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")), Seq("_l"))
+      .where(col("query_id") =!= col("doc_id"))
+      .select("query_id", "doc_id")
+    RankEval.rankEvalReport(runs, rels, k = 10)
+  }
+
   /** Query vector = the stored embedding of vec_id 0 (so Spark and the
     * oracle agree on it without hard-coding 64 floats).
     */
@@ -731,29 +747,10 @@ object SparkEntry {
     // discount tables (RankEval scaladoc); the measurement half of
     // the embedding-quality story (purity counts agreement, this
     // grades the RANKING of it)
-    "q_eval_rank" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.where(col("vec_id") < 32)
-      val runs = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 10)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
-        .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")), Seq("_l"))
-        .where(col("query_id") =!= col("doc_id"))
-        .select("query_id", "doc_id")
-      RankEval.rankEvalReport(runs, rels, k = 10)
-    }),
-    // corpus-level MRR / mean nDCG of the same run (integer means)
-    "q_eval_summary" -> ((s, d) => {
-      val e = emb(s, d)
-      val q = e.where(col("vec_id") < 32)
-      val runs = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 10)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
-        .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")), Seq("_l"))
-        .where(col("query_id") =!= col("doc_id"))
-        .select("query_id", "doc_id")
-      RankEval.rankEvalSummary(RankEval.rankEvalReport(runs, rels, k = 10))
-    }),
+    "q_eval_rank" -> ((s, d) => evalRankReport(s, d)),
+    // corpus-level MRR / mean nDCG / MAP of the same run (integer means)
+    "q_eval_summary" -> ((s, d) =>
+      RankEval.rankEvalSummary(evalRankReport(s, d))),
     // the fully-DISTRIBUTED knn join (no driver-side query collect —
     // the path for query sides that are themselves corpora): recall
     // vs the exact broadcast join gated >= 0.9 at the CALIBRATED

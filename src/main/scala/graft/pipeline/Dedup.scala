@@ -1819,6 +1819,7 @@ object Dedup {
     require(minK >= 1 && maxK >= minK, s"need 1 <= minK <= maxK: $minK, $maxK")
     // k can't exceed the row count (k-means seeds k rows)
     val kCap = math.min(maxK.toLong, cachedCount(df)).toInt
+    require(kCap >= 1, "calibrateSemDedupK on an empty corpus")
     def volume(k: Int): Long =
       semanticDedupReport(df, idCol, vecCol, k, iters)
         .agg(sum(col("n_pairs"))).head.getLong(0)
@@ -1826,10 +1827,11 @@ object Dedup {
     var v = volume(k)
     if (v <= pairBudget) return k
     // doubling phase: first k that conforms bounds the search above
+    // (long doubling — an Int k*2 overflows negative near 2^31)
     var lo = k // largest known non-conforming
     while (v > pairBudget && k < kCap) {
       lo = k
-      k = math.min(k * 2, kCap)
+      k = math.min(k.toLong * 2L, kCap.toLong).toInt
       v = volume(k)
     }
     require(v <= pairBudget,

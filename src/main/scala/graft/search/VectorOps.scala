@@ -246,9 +246,14 @@ object VectorOps {
       // fail fast on a dim mismatch: zip_with null-pads a short/long
       // vector, which poisons the aggregate into silent NULL output
       // components that only surface as an obscure non-nullable-decode
-      // or null-cosine failure far downstream (in knnJoin/trainPq)
+      // or null-cosine failure far downstream (in knnJoin/trainPq).
+      // A NULL vector is NOT a mismatch — it stays null and flows
+      // through the module's degenerate contract (null cosines drop);
+      // checking it first also keeps the raise_error message non-null
+      // (concat null-propagates)
       .withColumn("_rh_q",
-        when(size(col("_rh_q")) === inDim, col("_rh_q"))
+        when(col(vecCol).isNull, lit(null))
+          .when(size(col("_rh_q")) === inDim, col("_rh_q"))
           .otherwise(raise_error(concat(
             lit("rotateHadamard: vector length "),
             size(col(vecCol)).cast("string"),

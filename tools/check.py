@@ -21,20 +21,37 @@ Usage: python3 tools/check.py <outDir> <sfDir> [--repeat N] [--only a,b,c]
 import json, sys, glob, os
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-outdir, sfdir = args[0], args[1]
+# one-pass parse: flag VALUES are consumed, never mistaken for the
+# positional outdir/sfdir, and a trailing valueless flag is a usage
+# error instead of an IndexError traceback
+positional = []
 repeat = 1
 only = None
 argv = sys.argv[1:]
-for i, a in enumerate(argv):
+i = 0
+while i < len(argv):
+    a = argv[i]
+    if a == "--repeat" or a == "--only":
+        if i + 1 >= len(argv):
+            sys.exit(f"usage: {a} needs a value (see module docstring)")
+        v = argv[i + 1]
+        i += 2
+    elif a.startswith("--repeat=") or a.startswith("--only="):
+        a, v = a.split("=", 1)
+        i += 1
+    elif a.startswith("--"):
+        sys.exit(f"unknown flag {a} (see module docstring)")
+    else:
+        positional.append(a)
+        i += 1
+        continue
     if a == "--repeat":
-        repeat = int(argv[i + 1])
-    elif a.startswith("--repeat="):
-        repeat = int(a.split("=", 1)[1])
-    elif a == "--only":
-        only = argv[i + 1].split(",")
-    elif a.startswith("--only="):
-        only = a.split("=", 1)[1].split(",")
+        repeat = int(v)
+    else:
+        only = v.split(",")
+if len(positional) != 2:
+    sys.exit("usage: check.py <outDir> <sfDir> [--repeat N] [--only a,b,c]")
+outdir, sfdir = positional
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -94,12 +111,23 @@ for name in names:
     # computed values) — a FAIL even if the spark compare would pass
     variance = None
     for rep in range(1, repeat):
-        rcols, rrows = (lambda rel: (rel.columns, rel.fetchall()))(
-            con.sql(oracle[name]))
+        try:
+            rrel = con.sql(oracle[name])
+            rcols, rrows = rrel.columns, rrel.fetchall()
+        except Exception as e:
+            # an intermittently-ERRORING oracle is the same flake class
+            # --repeat exists to catch: FAIL this query, keep sweeping
+            variance = f"oracle ERROR at rep {rep + 1}/{repeat}: {e}"
+            break
         rc, rr = canon(rrows, rcols)
         if (rc, rr) != (oc, orr):
-            diff = [(a, b) for a, b in zip(orr, rr) if a != b][:3]
-            variance = f"oracle VARIANCE at rep {rep + 1}/{repeat}: {diff}"
+            # set-diff evidence survives row-COUNT drift (zip would
+            # truncate to the shorter list and show an empty diff)
+            s0, s1 = set(orr), set(rr)
+            variance = (f"oracle VARIANCE at rep {rep + 1}/{repeat}: "
+                        f"rows {len(orr)} vs {len(rr)}; "
+                        f"rep1-only {sorted(s0 - s1)[:3]}; "
+                        f"rep{rep + 1}-only {sorted(s1 - s0)[:3]}")
             break
     sc, sr = canon(srows, scols)
     if variance:
