@@ -81,23 +81,34 @@ object VectorOps {
     * both engines; a flip now needs two candidates within one ULP of
     * the SAME grid boundary, not merely within an ULP of each other.
     *
-    * Implemented boundary-exact (floor + exact fractional compare, no
-    * `x + 0.5` whose addition can round across the boundary): for
-    * |x| < 2^53, `x − floor(x)` is an exact double, so the half-point
-    * comparison is exact and the result agrees with C++ `round`
-    * (DuckDB) and Spark's HALF_UP `round` for every input. The heap
-    * kernels quantize with this function and EMIT the quantized key;
-    * the declarative paths order on [[q9Col]] — same value by the
-    * above, so kernel heaps and final windows never disagree.
+    * Implemented boundary-exact on |x| (floor + exact fractional
+    * compare, no `x + 0.5` whose addition can round across the
+    * boundary): for y ≥ 0 with y < 2^53, `y − floor(y)` is an exact
+    * double (both are multiples of ulp(y) and the difference needs no
+    * finer resolution), so the half-point comparison is exact; the
+    * sign is applied after — half-away-from-zero is sign-symmetric.
+    * The |x| detour is load-bearing, not style: for NEGATIVE x just
+    * above a half boundary (e.g. x = nextUp(−0.5)), `x − floor(x)` =
+    * x + 1 crosses into the next binade and rounds half-even to
+    * EXACTLY 0.5, misfiring the tie branch — q9 returned −1 where
+    * Spark/DuckDB round give 0 (caught by the executed-ground-truth
+    * property spec). The result agrees with C++ `round` (DuckDB, half
+    * away from zero) and Spark's `round` (shortest-decimal HALF_UP —
+    * shortest repr never crosses an exactly-representable z + 0.5)
+    * for every double. The heap kernels quantize with this function
+    * and EMIT the quantized key; the declarative paths order on
+    * [[q9Col]] — same value by the above, so kernel heaps and final
+    * windows never disagree.
     */
   private[graft] def q9(s: Double): Long = {
     val x = s * 1e9
-    val f = math.floor(x)
-    val d = x - f
-    if (d > 0.5) f.toLong + 1L
-    else if (d < 0.5) f.toLong
-    else if (x >= 0) f.toLong + 1L // half away from zero: +2.5 -> 3
-    else f.toLong                  //                      -2.5 -> -3
+    val ax = math.abs(x)
+    val f = math.floor(ax)
+    val d = ax - f // exact: ax >= 0
+    val m = if (d > 0.5) f + 1
+      else if (d < 0.5) f
+      else f + 1 // exact half: away from zero (2.5 -> 3, -2.5 -> -3)
+    if (x < 0) -m.toLong else m.toLong
   }
 
   /** Column form of [[q9]] (Spark `round` is HALF_UP on the double's

@@ -1696,6 +1696,41 @@ class SearchSpec extends GraftSuite {
       excludeLabelCol = None, keepScore = true))
   }
 
+  test("q9 equals Spark's executed round(x*1e9) on random and boundary-adversarial doubles") {
+    // the selection grid's load-bearing claim: the JVM heap kernels
+    // (q9) and the declarative windows (q9Col -> Spark round) can
+    // never disagree on a value's grid cell. Ground truth here is the
+    // EXECUTED Spark expression, not a reimplementation.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(97)
+    val random = Seq.fill(4000)(rnd.nextDouble() * 2.2 - 1.1)
+    // adversarial: cosines whose scaled form sits within ulps of a
+    // half-grid boundary z + 0.5 — where floor(x+0.5)'s addition
+    // rounding diverges from true half-away rounding
+    val boundary = for {
+      z <- Seq(0L, 1L, 2L, 7L, 999999999L, -1L, -2L, -999999999L)
+      shift <- -3 to 3
+    } yield {
+      var x = (z + 0.5) / 1e9
+      val dir = if (shift >= 0) Double.MaxValue else Double.MinValue
+      for (_ <- 0 until math.abs(shift)) x = math.nextAfter(x, dir)
+      x
+    }
+    // the classic pathology class: x where x + 0.5 rounds across the
+    // integer despite x < z + 0.5 exactly
+    val pathological = Seq(0.49999999999999994 / 1e9,
+      (1L << 40) * 1.0 / 1e9, -0.49999999999999994 / 1e9)
+    val values = (random ++ boundary ++ pathological).distinct
+    val executed = values.toDF("x")
+      .select(col("x"), round(col("x") * lit(1000000000L)).cast("long").as("q"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    values.foreach { v =>
+      assert(VectorOps.q9(v) == executed(v),
+        s"q9($v) = ${VectorOps.q9(v)} but Spark round gives ${executed(v)}")
+    }
+  }
+
   test("kthNeighborScoreIvf: full probe equals exact; pruned probe keeps the isolation set") {
     val df = vecs(400, 16).cache()
     val exact = VectorOps.kthNeighborScore(df, "_id", "emb", k = 4)
