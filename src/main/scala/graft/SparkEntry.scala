@@ -949,6 +949,12 @@ object SparkEntry {
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
         .select(col("doc_id"), col("split"))
     }),
+    // EXACT-proportion stratified split by label (hash splits drift
+    // ~1/sqrt(n) per stratum — a rare label lands lopsided; this one
+    // hits the cuts exactly per stratum via integer rank arithmetic)
+    "q_embed_split_strat" -> ((s, d) =>
+      Curation.stratifiedSplit(emb(s, d), "vec_id", "label",
+        Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)),
     // crawl dedup by CANONICAL URL: messy synthesized URLs (case soup,
     // www., default ports, trailing slashes, tracking params, unsorted
     // query, fragments) collapse to canonical keys; one hash agg, no
@@ -2986,6 +2992,14 @@ object SparkEntry {
       "count(*) AS cnt FROM b GROUP BY 1"),
     // the dup_clusters closure feeding the split hash: bucket on
     // coalesce(cluster representative, own id)
+    // exact stratified split: per-label rank in (md5(id), id) order,
+    // first cumulative cut with r*den <= cut*n — all-integer
+    "q_embed_split_strat" -> ("WITH st AS (SELECT vec_id, label, " +
+      "row_number() OVER (PARTITION BY label " +
+      "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r, " +
+      "count(*) OVER (PARTITION BY label) AS n FROM embeddings) " +
+      "SELECT vec_id, label, CASE WHEN r * 100 <= 90 * n THEN 'train' " +
+      "WHEN r * 100 <= 95 * n THEN 'val' ELSE 'test' END AS split FROM st"),
     "q_doc_split_safe" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
       "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
       "UNION SELECT id_b, id_a FROM pairs), " +

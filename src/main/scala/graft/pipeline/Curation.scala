@@ -240,6 +240,43 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** EXACT-proportion stratified split — the complement of
+    * [[splitAssign]]'s hash buckets: a hash split only approximates
+    * its cuts (binomial drift ~1/√n), so a 30-row stratum (a rare
+    * language, a small label) can land 40% in test; here every
+    * stratum hits its cut proportions exactly (floor allocation).
+    * Within each stratum rows order by `(md5(id), id)` — unbiased,
+    * deterministic, engine-portable — and the 1-based rank r of the
+    * stratum's n rows takes the first split whose cumulative share
+    * covers it: `r·den ≤ cut·n`, all-integer arithmetic. NULL strata
+    * form their own stratum (Spark and SQL window partitioning agree
+    * on that). Unlike [[splitAssign]] this is NOT append-stable by
+    * construction (ranks shift as a stratum grows — exactness and
+    * append-stability are mutually exclusive); use the hash split
+    * when incremental stability matters more than exact proportions.
+    * Output: (idCol, strataCol, split).
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+      cuts: Seq[(String, Int)], den: Int): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == den, "cuts must cover [0, den)")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be cumulative uppers, got ${cuts.map(_._2)}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cw = Window.partitionBy(col(strataCol))
+    val ranked = df.select(col(idCol), col(strataCol))
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(cw))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, hi), rest) =>
+        when(col("_r") * lit(den.toLong) <= lit(hi.toLong) * col("_n"),
+          lit(name)).otherwise(rest)
+    }
+    ranked.withColumn("split", split).select(col(idCol), col(strataCol),
+      col("split"))
+  }
+
   /** Leakage-safe split: like [[splitAssign]], but the hash key is the
     * doc's near-dup CLUSTER representative (`clusters` =
     * `(doc_id, cluster_id)` exactly as `Dedup.dupClusters` emits —

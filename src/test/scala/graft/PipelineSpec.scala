@@ -2811,6 +2811,36 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(got(1L)._4 - (-2.815)) < 1e-9, s"${got(1L)._4}")
   }
 
+  test("stratifiedSplit: exact floor proportions per stratum, tiny strata covered, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // strata of size 40, 7, 1 — the 7/1 sizes are where hash splits
+    // go lopsided and exactness matters
+    val rows = (0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 107).map(i => (i.toLong, "small")) ++
+      Seq((200L, "solo"))
+    val df = rows.toDF("id", "stratum")
+    val cuts = Seq(("train", 90), ("val", 95), ("test", 100))
+    val got = Curation.stratifiedSplit(df, "id", "stratum", cuts, 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 48)
+    val counts = got.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+      .withDefaultValue(0)
+    // exact cumulative floors: big 40 -> 36/2/2; small 7 -> 6/0/1;
+    // solo 1 -> r*100 <= 90*1 false, <= 95 false -> test
+    assert(counts(("big", "train")) == 36 && counts(("big", "val")) == 2 &&
+      counts(("big", "test")) == 2, s"$counts")
+    assert(counts(("small", "train")) == 6 && counts(("small", "val")) == 0 &&
+      counts(("small", "test")) == 1, s"$counts")
+    assert(counts(("solo", "test")) == 1 && counts(("solo", "train")) == 0,
+      s"$counts")
+    // deterministic at any layout
+    val rep = Curation.stratifiedSplit(df.repartition(7), "id", "stratum",
+      cuts, 100).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(rep == got.toSet)
+  }
+
   test("NaN contract: poisoned text rows yield finite-or-null scores in every scoring family") {
     // Spark AND DuckDB compare NaN greater than everything, so ONE NaN
     // score would pass every `>= θ` gate and rank first in every desc
