@@ -1621,6 +1621,19 @@ object SparkEntry {
     "q_embed_kmeans" -> ((s, d) =>
       VectorOps.kmeansQuantized(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2)),
+    // topic labels for the semantic clusters: each k-means block's 3
+    // most characteristic terms by CLUSTER-level tf-idf (df counts
+    // clusters containing the term) — embeddings and documents share
+    // the 0..n-1 key space, so the assignment joins straight onto the
+    // text corpus; the human-readable half of SemDeDup/curation-mix
+    // decisions over the same blocks
+    "q_embed_cluster_topics" -> ((s, d) => {
+      val asgn = VectorOps.kmeansQuantized(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+      val dd = docs(s, d)
+        .join(asgn.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      TextAnalysis.groupKeywordReport(dd, "cluster", "text", k = 3)
+    }),
     // SemDeDup (Abbas et al. 2023): cosine near-dup pairs confined to
     // the integer-exact k-means blocks above; keep = min-id-wins
     "q_embed_semdedup_pairs" -> ((s, d) =>
@@ -3613,6 +3626,23 @@ object SparkEntry {
     // previous centroid; final assignment against the round-2 centroids
     "q_embed_kmeans" -> (kmeansAsgnCtes +
       " SELECT vec_id, cl AS cluster FROM asgn"),
+    // cluster topic labels: the k-means replay joined onto the token
+    // CTE, cluster-level tf-idf (df over clusters, N = clusters with
+    // >= 1 doc), top-3 per cluster on (score desc, term)
+    "q_embed_cluster_topics" -> (kmeansAsgnCtes + ", " + tokCte + ", " +
+      "cocc AS (SELECT asgn.cl AS cluster, unnest(t) AS term " +
+      "FROM toks JOIN asgn ON toks.doc_id = asgn.vec_id), " +
+      "ctf AS (SELECT cluster, term, count(*) AS c FROM cocc GROUP BY 1, 2), " +
+      "cdf AS (SELECT term, count(*) AS d FROM ctf GROUP BY term), " +
+      "cnn AS (SELECT count(DISTINCT asgn.cl) AS n FROM toks " +
+      "JOIN asgn ON toks.doc_id = asgn.vec_id), " +
+      "csc AS (SELECT cluster, term, round(CAST(c AS DOUBLE) * " +
+      "ln(CAST(cnn.n AS DOUBLE) / CAST(d AS DOUBLE)), 4) AS score " +
+      "FROM ctf JOIN cdf USING (term) CROSS JOIN cnn) " +
+      "SELECT cluster, term, CAST(row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY score DESC, term) AS BIGINT) AS rank, score FROM csc " +
+      "QUALIFY row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY score DESC, term) <= 3"),
     // SemDeDup: the same k-means blocks, exact double cosine within
     // each block; keep = min-id-wins against the dropped (id_b) set
     "q_embed_semdedup_pairs" -> (semdedupPairsCtes +

@@ -417,6 +417,35 @@ object TextAnalysis {
       .select(col("_did").as(idCol), col("term"), col("rank"), col("score"))
   }
 
+  /** [[keywordReport]] with the DOCUMENT UNIT redefined as a group —
+    * the topic-labeling half of semantic clustering: feed it
+    * `(cluster, text)` rows (a k-means assignment joined back to the
+    * corpus) and each cluster gets its k most characteristic terms by
+    * cluster-level tf-idf, where df counts the CLUSTERS containing a
+    * term and N is the number of distinct groups. Rows never
+    * concatenate per group — tf is a (group, term) hash aggregation
+    * over the exploded tokens, so the shape is [[keywordReport]]'s
+    * (two shuffles, map-side combine), not a giant-string build.
+    * Ties break on the term string; scores round to 4dp (per-row
+    * expression — no order-dependent double sum).
+    */
+  def groupKeywordReport(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val occ = df.select(col(groupCol).as("_did"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = occ.groupBy(col("_did"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val n = df.select(col(groupCol)).distinct().agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("_tf").cast("double") *
+        log(col("_n").cast("double") / col("_df").cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_did")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("_did").as(groupCol), col("term"), col("rank"), col("score"))
+  }
+
   /** In-document repetition metrics (MassiveText/Gopher-style
     * duplicate-n-gram filters): the share of n-grams that are repeats
     * of an earlier n-gram in the SAME document, for n = 1..3. High

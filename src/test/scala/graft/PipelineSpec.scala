@@ -2811,6 +2811,32 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(got(1L)._4 - (-2.815)) < 1e-9, s"${got(1L)._4}")
   }
 
+  test("groupKeywordReport: cluster-level tf-idf, shared terms zero out, no per-group concatenation") {
+    val s = spark
+    import s.implicits._
+    // two clusters, multiple ROWS per cluster (the no-concatenation
+    // contract: tf must aggregate across a group's rows); "the" in
+    // both clusters -> df = 2 = N -> ln(1) = 0 score
+    val rows = Seq(
+      (0L, "the spark shuffle"), (0L, "the spark join spark"),
+      (1L, "the cat"), (1L, "cat nap cat cat"))
+    val df = rows.toDF("cluster", "text")
+    val got = TextAnalysis.groupKeywordReport(df, "cluster", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val byG = got.groupBy(_._1)
+    val ln2 = math.rint(math.log(2.0) * 10000) / 10000
+    // cluster 0: spark tf=3 across BOTH rows, df=1 -> 3*ln2 top
+    assert(byG(0L).find(_._3 == 1L).get._2 == "spark")
+    assert(math.abs(byG(0L).find(_._3 == 1L).get._4 -
+      math.rint(3 * math.log(2.0) * 10000) / 10000) < 1e-9)
+    // cluster 1: cat tf=4, df=1 -> top
+    assert(byG(1L).find(_._3 == 1L).get._2 == "cat")
+    // "the" scores exactly 0 everywhere (df == N), so it can only
+    // appear via the tie-broken tail, never above a distinctive term
+    got.filter(_._2 == "the").foreach(t => assert(t._4 == 0.0, s"$t"))
+  }
+
   test("stratifiedSplit: exact floor proportions per stratum, tiny strata covered, partitioning-independent") {
     val s = spark
     import s.implicits._
