@@ -741,6 +741,20 @@ object SparkEntry {
       VectorOps.marginMiningMutual(e.where(col("vec_id") % 2 === 0),
         e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
     }),
+    // the STANDING-artifact mining path (the streaming arm's batch
+    // half): backward sums pinned once from the reference source
+    // corpus, the batch mined against them at threshold 0 — with
+    // batch == srcRef this equals the full miner's positive-margin
+    // rows, which is exactly what the oracle replays
+    "q_embed_margin_stream" -> ((s, d) => {
+      val e = emb(s, d)
+      val src = e.where(col("vec_id") % 2 === 0)
+      val tgt = e.where(col("vec_id") % 2 === 1)
+      val back = VectorOps.marginBackwardSums(src, tgt, "vec_id",
+        "embedding", k = 4)
+      VectorOps.marginMineBatch(src, tgt, back, "vec_id", "embedding",
+        k = 4, minMarginQ = 0L)
+    }),
     // TREC-style retrieval eval over the knn run, relevance = shared
     // label: per-query hits@10 / first-relevant-rank / fixed-point
     // MRR + nDCG@10 — exact integer arithmetic on shared literal
@@ -1634,6 +1648,13 @@ object SparkEntry {
         .join(asgn.withColumnRenamed("vec_id", "doc_id"), "doc_id")
       TextAnalysis.groupKeywordReport(dd, "cluster", "text", k = 3)
     }),
+    // prototypicality pruning (Sorscher et al. 2022): keep the HARDEST
+    // 3/4 of every k-means block — per-cluster rank on the exact
+    // integer distance-to-centroid the assignment itself selected on,
+    // floor allocation via the all-integer r·den <= n·num compare
+    "q_embed_proto_prune" -> ((s, d) =>
+      VectorOps.prototypicalityPrune(emb(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, keepNum = 3, keepDen = 4)),
     // SemDeDup (Abbas et al. 2023): cosine near-dup pairs confined to
     // the integer-exact k-means blocks above; keep = min-id-wins
     "q_embed_semdedup_pairs" -> ((s, d) =>
@@ -2511,6 +2532,11 @@ object SparkEntry {
       "(PARTITION BY tid ORDER BY margin_q DESC, sid) = 1) " +
       "SELECT pf.sid AS src_id, pf.tid AS tgt_id, pf.margin_q " +
       "FROM pf JOIN pb ON pf.sid = pb.sid AND pf.tid = pb.tid"),
+    // standing-artifact mining: with batch == srcRef the output is the
+    // full miner's rows at margin_q >= 0 (same fk/bk/a/b CTEs)
+    "q_embed_margin_stream" -> (marginCtes +
+      " SELECT sid AS src_id, tid AS tgt_id, margin_q FROM pf " +
+      "WHERE margin_q >= 0"),
     // gate asserts: the IVF outlier path at the calibrated nprobe
     // surfaces >= 16/20 of the exact isolation set (engine measures
     // itself; the oracle pins the required outcome — the q_vector_ivf
@@ -3643,6 +3669,17 @@ object SparkEntry {
       "ORDER BY score DESC, term) AS BIGINT) AS rank, score FROM csc " +
       "QUALIFY row_number() OVER (PARTITION BY cluster " +
       "ORDER BY score DESC, term) <= 3"),
+    // prototypicality pruning: winning centroid distance from the d3
+    // CTE (the same argmin the assignment replays), hardest-3/4 kept
+    // per cluster by the integer floor-allocation compare
+    "q_embed_proto_prune" -> (kmeansAsgnCtes + ", " +
+      "pd AS (SELECT vec_id, cl, dst FROM d3 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      "rk AS (SELECT vec_id, cl, dst, row_number() OVER " +
+      "(PARTITION BY cl ORDER BY dst DESC, vec_id) AS r, " +
+      "count(*) OVER (PARTITION BY cl) AS n FROM pd) " +
+      "SELECT vec_id, cl AS cluster, CAST(dst AS BIGINT) AS proto_dist " +
+      "FROM rk WHERE r * 4 <= n * 3"),
     // SemDeDup: the same k-means blocks, exact double cosine within
     // each block; keep = min-id-wins against the dropped (id_b) set
     "q_embed_semdedup_pairs" -> (semdedupPairsCtes +

@@ -701,6 +701,55 @@ object VectorOps {
         .select(col("src_id"), col("tgt_id")), Seq("src_id", "tgt_id"))
   }
 
+  /** The standing half of streaming margin mining: each target's
+    * backward sum Σ top-k qcos(y, srcRef) over a REFERENCE source
+    * corpus — the `Σbwd(y)` term of the margin, which in a streaming
+    * setting cannot be computed against "all sources ever" and is
+    * instead pinned to the reference corpus the filter was built
+    * from (the CCMatrix-style practice: target-side neighborhood
+    * statistics come from a fixed index build, queries stream).
+    * One backward kNN + one groupBy; |tgt| rows out (a standing
+    * table at scale, partitioned by `tgt_id` so the per-batch join
+    * in [[marginMineBatch]] co-partitions). Output: (tgt_id, _sb).
+    */
+  def marginBackwardSums(srcRef: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    knnJoinScored(srcRef, tgt, vecCol, idCol, k, excludeSelf = false)
+      .select(col("query_id").as("tgt_id"), col("_qscore").as("_qc"))
+      .groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
+  }
+
+  /** The per-batch half of streaming margin mining: mine a bounded
+    * SOURCE batch against the standing target corpus, with the
+    * backward sums precomputed by [[marginBackwardSums]]. The forward
+    * side is exact and batch-local — one [[knnJoinScored]] scan (the
+    * batch is the broadcast query side, the corpus is scanned once),
+    * `Σfwd(x)` is a per-source aggregate over that batch's own
+    * candidates (depends only on x and the target corpus, never on
+    * other sources), so mining a union of batches row-for-row equals
+    * mining each batch separately — batch == stream parity holds by
+    * construction and is spec-pinned in StreamingSpec. Margins are
+    * the same integer-exact `margin_q = 2k·qc − Σa − Σb` as
+    * [[marginMiningQuantized]]; with `srcRef == batch` the output is
+    * exactly that function's, filtered to `margin_q >= minMarginQ`
+    * (the mining threshold — Artetxe & Schwenk mine by margin cutoff;
+    * on this grid a raw margin m corresponds to ≈ 2k·1e9·m).
+    */
+  def marginMineBatch(batch: DataFrame, tgt: DataFrame,
+      backSums: DataFrame, idCol: String, vecCol: String, k: Int,
+      minMarginQ: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val f = knnJoinScored(tgt, batch, vecCol, idCol, k, excludeSelf = false)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("_qscore").as("_qc"))
+    val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
+    val m = f.join(sumA, "src_id").join(backSums, "tgt_id")
+      .withColumn("margin_q",
+        lit(2L * k) * col("_qc") - col("_sa") - col("_sb"))
+    bestPer(m, "src_id", "tgt_id").where(col("margin_q") >= minMarginQ)
+  }
+
   /** Both candidate sets with margins attached: forward (each source's
     * top-k targets) and backward (each target's top-k sources), every
     * row carrying `margin_q = 2k·qc − Σfwd(src) − Σbwd(tgt)`. */
@@ -1792,8 +1841,10 @@ object VectorOps {
     val entries = c.indices.map { j =>
       struct(col(s"_dist_$j").as("d"), lit(j).as("j"))
     }
+    val best = array_min(array(entries: _*))
     staged.select(col("_kid"), col("_vq"),
-      array_min(array(entries: _*)).getField("j").cast("long").as("_cl"))
+      best.getField("j").cast("long").as("_cl"),
+      best.getField("d").as("_dist"))
   }
 
   /** The trained-centroid half of [[kmeansQuantized]]: the k×dim long
@@ -1841,6 +1892,59 @@ object VectorOps {
       vecCol: String, cents: Array[Seq[Long]]): DataFrame =
     assignFrame(quantizedFrame(df, idCol, vecCol), cents)
       .select(col("_kid").as(idCol), col("_cl").as("cluster"))
+
+  /** Per-row prototypicality over the [[kmeansQuantized]] blocks
+    * (Sorscher et al., NeurIPS 2022 "Beyond neural scaling laws": the
+    * SSL prototype metric — distance to the row's own cluster
+    * centroid; LOW = prototypical/easy, HIGH = hard/informative).
+    * `proto_dist` is the EXACT long squared L2 between the µ-unit
+    * quantized vector and its winning centroid — the very argmin key
+    * the assignment selected on (read from the kernel, never
+    * re-evaluated — the knnJoinScored discipline), so cluster, score,
+    * and any downstream rank replay together on any engine. For
+    * unit-normalized embeddings L2 order IS cosine order (monotone),
+    * so the ranking matches the paper's cosine form. One assignment
+    * scan; no pairs, no quadratic work. Returns
+    * `(idCol, cluster, proto_dist)`.
+    */
+  def prototypicalityScores(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    assignFrame(quantizedFrame(df, idCol, vecCol),
+        kmeansCentroidsQuantized(df, idCol, vecCol, k, iters))
+      .select(col("_kid").as(idCol), col("_cl").as("cluster"),
+        col("_dist").as("proto_dist"))
+
+  /** Prototypicality-based data pruning (Sorscher et al. 2022): keep
+    * the HARDEST `keepNum/keepDen` fraction of every cluster — the
+    * paper's abundant-data regime, where pruning easy/prototypical
+    * examples beats random pruning and per-cluster balance stops any
+    * one dense topic from surviving wholesale (their class-balance
+    * rule). Rank within each cluster by (proto_dist DESC, id ASC) and
+    * keep rank r iff `r·keepDen <= n·keepNum` — the stratifiedSplit
+    * integer-compare discipline, so every cluster hits its floor
+    * allocation exactly and the keep set replays bit-for-bit. Scarce-
+    * data callers wanting the OPPOSITE end (keep easy) rank
+    * [[prototypicalityScores]] ascending themselves. Scale shape: one
+    * k-means + one assignment scan + one window keyed by cluster —
+    * at corpus scale pick k ~ √n (the SemDeDup/IVF sizing rule) so
+    * cluster partitions stay bounded and the window never sees a
+    * giant partition.
+    */
+  def prototypicalityPrune(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 0 && keepNum <= keepDen,
+      s"need 0 <= keepNum <= keepDen with keepDen >= 1: $keepNum/$keepDen")
+    val scores = prototypicalityScores(df, idCol, vecCol, k, iters)
+    val byCl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    scores
+      .withColumn("_r", row_number().over(
+        byCl.orderBy(col("proto_dist").desc, col(idCol).asc)))
+      .withColumn("_n", count(lit(1)).over(byCl))
+      .where(col("_r") * lit(keepDen.toLong) <=
+        col("_n") * lit(keepNum.toLong))
+      .drop("_r", "_n")
+  }
 
   /** Cross-frame cosine contamination flags: the ids of `corpus` rows
     * within `threshold` cosine of ANY `evalSet` row. The eval side

@@ -450,6 +450,44 @@ object GraphStream {
     }
   }
 
+  /** Margin-criterion bitext mining at ingest — the streaming arm of
+    * [[graft.search.VectorOps.marginMiningQuantized]] (Artetxe &
+    * Schwenk 2019), for use inside `writeStream.foreachBatch` (like
+    * [[semanticIngestKeep]], the criterion is a join against a
+    * standing corpus, not a per-row predicate):
+    *
+    * {{{
+    * val mine = GraphStream.marginMineIngest(srcRef, tgt, "id", "v", k, θq)
+    * stream.writeStream.foreachBatch { (b, _) => mine(b).write.…(…) }
+    * }}}
+    *
+    * The margin needs both neighborhoods: `Σfwd(x)` over the target
+    * corpus is batch-local (each source's own top-k — computable per
+    * micro-batch), but `Σbwd(y)` ranges over "all sources" — ill-posed
+    * on a stream, so it is pinned HERE at filter construction to the
+    * reference source corpus `srcRef` ([[graft.search.VectorOps
+    * .marginBackwardSums]], materialized once and cached; at serving
+    * scale, a stored table partitioned by target id — rebuild when
+    * the source distribution moves, exactly like the DSIR refit
+    * rule). Each micro-batch then runs one forward kNN scan + one
+    * integer window and emits its rows' best targets at
+    * `margin_q >= minMarginQ` — (src_id, tgt_id, margin_q). Because
+    * `Σfwd` depends only on the row and the standing corpus, mining a
+    * union of micro-batches equals mining them separately: batch ==
+    * stream parity by construction (spec-pinned), and with the
+    * streamed rows == `srcRef` the output is exactly the batch
+    * miner's, thresholded.
+    */
+  def marginMineIngest(srcRef: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, minMarginQ: Long): DataFrame => DataFrame = {
+    import graft.search.VectorOps
+    val backSums = VectorOps.marginBackwardSums(srcRef, tgt, idCol,
+      vecCol, k).persist()
+    backSums.count() // materialize the standing artifact once, not per batch
+    batch => VectorOps.marginMineBatch(batch, tgt, backSums, idCol,
+      vecCol, k, minMarginQ)
+  }
+
   /** DSIR quality filtering at ingest — the domain-shaping arm of the
     * filter family (the dedup arms drop what the corpus has SEEN; this
     * drops what the target domain doesn't WANT): keep stream rows

@@ -1318,6 +1318,63 @@ class SearchSpec extends GraftSuite {
     }
   }
 
+  test("prototypicalityScores/Prune: exact centroid distances, hardest-fraction keep, floor allocation") {
+    val s = spark
+    import s.implicits._
+    // the kmeansQuantized fixture: three orthogonal groups, distinct
+    // per-row jitter on the spare dim makes every distance unique
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = VectorOps.kmeansCentroidsQuantized(df, "vec_id",
+      "embedding", k = 3, iters = 2)
+    val asgn = VectorOps.kmeansQuantized(df, "vec_id", "embedding",
+      k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = VectorOps.prototypicalityScores(df, "vec_id",
+      "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // proto_dist == the exact µ-unit integer distance to the row's
+    // assigned centroid, recomputed independently here
+    rows.foreach { case (id, v) =>
+      val vq = v.map(x => math.round(x.toDouble * 1000000L))
+      val c = cents(asgn(id).toInt)
+      val d = vq.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(scores(id) == ((asgn(id), d)),
+        s"row $id: ${scores(id)} vs (${asgn(id)}, $d)")
+    }
+    // keep the hardest 1/2 per cluster: rank by (dist desc, id asc),
+    // keep r iff r*2 <= n (floor allocation)
+    val kept = VectorOps.prototypicalityPrune(df, "vec_id", "embedding",
+      k = 3, iters = 2, keepNum = 1, keepDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    val expected = scores.groupBy(_._2._1).flatMap { case (_, m) =>
+      val ranked = m.toSeq.sortBy { case (id, (_, dd)) => (-dd, id) }
+      ranked.zipWithIndex.collect {
+        case ((id, _), i) if (i + 1) * 2 <= ranked.size => id
+      }
+    }.toSet
+    assert(kept == expected, s"keep set $kept vs hand-ranked $expected")
+    // partitioning independence: integer math end to end
+    val rep = VectorOps.prototypicalityPrune(df.repartition(5), "vec_id",
+      "embedding", k = 3, iters = 2, keepNum = 1, keepDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(rep == kept, "partitioning must not change the keep set")
+    // fraction edges: 0 keeps nothing, 1 keeps everything
+    assert(VectorOps.prototypicalityPrune(df, "vec_id", "embedding",
+      3, 2, 0, 1).count() == 0L)
+    assert(VectorOps.prototypicalityPrune(df, "vec_id", "embedding",
+      3, 2, 1, 1).count() == 9L)
+    intercept[IllegalArgumentException] {
+      VectorOps.prototypicalityPrune(df, "vec_id", "embedding", 3, 2, 3, 2)
+    }
+  }
+
   test("cosineFlagsBroadcast: jittered copy flags, orthogonal row passes, eval cap refuses") {
     val s = spark
     import s.implicits._

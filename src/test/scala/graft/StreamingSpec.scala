@@ -474,6 +474,65 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("marginMineIngest: foreachBatch margin mining matches the batch miner across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // targets = axis vectors; sources = near-copies of distinct axes
+    // plus a HUB equally close to every axis (the false positive the
+    // margin criterion exists to reject)
+    val tgt = Seq(
+      (0L, Seq(1f, 0f, 0f, 0.01f)),
+      (1L, Seq(0f, 1f, 0f, 0.02f)),
+      (2L, Seq(0f, 0f, 1f, 0.03f))).toDF("vec_id", "embedding")
+    val s100 = Seq(0.99f, 0.05f, 0f, 0.01f)
+    val s101 = Seq(0.05f, 0.99f, 0f, 0.02f)
+    val hub = Seq(0.577f, 0.577f, 0.577f, 0f)
+    val s103 = Seq(0f, 0.05f, 0.99f, 0.03f)
+    val srcRef = Seq((100L, s100), (101L, s101), (102L, hub))
+      .toDF("vec_id", "embedding")
+    val mine = GraphStream.marginMineIngest(srcRef, tgt, "vec_id",
+      "embedding", k = 2, minMarginQ = 0L)
+    val mined = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        mine(b).select("src_id", "tgt_id").collect()
+          .foreach(r => mined.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((100L, s100), (102L, hub))
+      q.processAllAvailable()
+      // a later micro-batch mines against the SAME standing back-sums;
+      // 103 is NOT in srcRef (a genuinely new streamed source)
+      mem.addData((101L, s101), (103L, s103))
+      q.processAllAvailable()
+      val got = mined.toArray(Array.empty[(Long, Long)]).toSet
+      // true pairs mine (incl. the unseen source), the hub's margin is
+      // negative and it never surfaces
+      assert(got == Set((100L, 0L), (101L, 1L), (103L, 2L)),
+        s"true pairs mine, hub rejected: $got")
+      // batch == stream parity: one direct call on the union batch
+      val union = Seq((100L, s100), (102L, hub), (101L, s101),
+        (103L, s103)).toDF("vec_id", "embedding")
+      val batchGot = mine(union).select("src_id", "tgt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchGot == got, s"batch $batchGot vs stream $got")
+      // and for the reference rows, parity with the BATCH miner's
+      // margins: srcRef streamed through == marginMiningQuantized
+      // thresholded (the back-sums pin makes them the same arithmetic)
+      val full = graft.search.VectorOps.marginMiningQuantized(
+          srcRef, tgt, "vec_id", "embedding", 2)
+        .where(col("margin_q") >= 0L)
+        .select("src_id", "tgt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.filter(_._1 <= 102L) == full,
+        s"stream (ref rows) ${got.filter(_._1 <= 102L)} vs batch API $full")
+    } finally q.stop()
+  }
+
   test("embedding ingest filter passes degenerate vectors through even when the corpus has one") {
     val s = spark
     import s.implicits._
