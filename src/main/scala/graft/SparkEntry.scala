@@ -1265,6 +1265,18 @@ object SparkEntry {
         "p", "o"))
         .select(col("node_id").as("order_id"), col("degree"))
     }),
+    // deterministic random-walk corpus (DeepWalk, Perozzi et al.
+    // 2014): 2 walks of 3 hops from every vertex of the co-occurrence
+    // projection — skip-gram training sequences for graph embeddings;
+    // each hop is a seeded md5 choice over id-ordered adjacency, so
+    // the corpus replays bit-for-bit (no RNG anywhere)
+    "q_graph_walks" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.randomWalks(GraphAlgos.coOccurrenceCached(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), steps = 3, walksPerNode = 2, seed = "w1")
+    }),
     // integer-quantized PageRank (8 damped power iterations) over the
     // same co-occurrence projection family — "domain ranking" for
     // curation; exact integer arithmetic makes ranks bit-identical
@@ -1655,6 +1667,21 @@ object SparkEntry {
     "q_embed_proto_prune" -> ((s, d) =>
       VectorOps.prototypicalityPrune(emb(s, d), "vec_id", "embedding",
         k = 8, iters = 2, keepNum = 3, keepDen = 4)),
+    // topic-balanced token-budget assembly: the cluster-level form of
+    // q_doc_budget_select — per k-means block, HARDEST-first (the
+    // prototypicality rank) prefix under a uniform token budget. The
+    // budget is per TOPIC, not per crawl source, so one dense topic
+    // can't eat the whole mix; embeddings and documents share the
+    // 0..n-1 key space, so scores join straight onto token counts
+    "q_embed_cluster_budget" -> ((s, d) => {
+      val scores = VectorOps.prototypicalityScores(emb(s, d), "vec_id",
+        "embedding", k = 8, iters = 2)
+      val toks = TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
+        .select(col("doc_id").as("vec_id"), col("n_tokens"))
+      Curation.tokenBudgetSelect(scores.join(toks, "vec_id"),
+        "cluster", "vec_id", "n_tokens", "proto_dist",
+        Map.empty, defaultBudget = 2000L)
+    }),
     // SemDeDup (Abbas et al. 2023): cosine near-dup pairs confined to
     // the integer-exact k-means blocks above; keep = min-id-wins
     "q_embed_semdedup_pairs" -> ((s, d) =>
@@ -2664,6 +2691,32 @@ object SparkEntry {
       "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
       "und AS (SELECT u AS s FROM ed UNION ALL SELECT v FROM ed) " +
       "SELECT s AS order_id, count(*) AS degree FROM und GROUP BY s"),
+    // deterministic random walks: adjacency ranks + degrees over the
+    // co-occurrence projection, hops unrolled — each hop joins on the
+    // SAME md5(seed:start:walk:t:node) mod degree index as the engine
+    "q_graph_walks" -> {
+      def hop(t: Int) = s"f$t AS MATERIALIZED (SELECT f.start_id, " +
+        s"f.walk, a.v AS node FROM f${t - 1} f JOIN dg ON dg.u = f.node " +
+        "JOIN adj a ON a.u = f.node AND a.idx = ('0x' || " +
+        "substr(md5('w1:' || CAST(f.start_id AS VARCHAR) || ':' || " +
+        s"CAST(f.walk AS VARCHAR) || ':$t:' || CAST(f.node AS VARCHAR)), " +
+        "1, 15))::BIGINT % dg.deg)"
+      "WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_partkey % 100 = 0), " +
+        "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+        "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+        "und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed), " +
+        "adj AS MATERIALIZED (SELECT u, v, row_number() OVER " +
+        "(PARTITION BY u ORDER BY v) - 1 AS idx FROM und), " +
+        "dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+        "f0 AS (SELECT n.u AS start_id, CAST(w.walk AS BIGINT) AS walk, " +
+        "n.u AS node FROM (SELECT DISTINCT u FROM und) n " +
+        "CROSS JOIN (VALUES (0), (1)) w(walk))" +
+        (1 to 3).map(hop).mkString(", ", ", ", " ") +
+        "SELECT start_id, walk, CAST(0 AS BIGINT) AS step, node FROM f0 " +
+        (1 to 3).map(t => "UNION ALL SELECT start_id, walk, " +
+          s"CAST($t AS BIGINT), node FROM f$t").mkString(" ")
+    },
     // distance-2 pair membership counts per node over the same wedge
     // CTE, left-joined to degrees (isolated-from-2-hop nodes at 0)
     "q_graph_twohop" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +
@@ -3680,6 +3733,18 @@ object SparkEntry {
       "count(*) OVER (PARTITION BY cl) AS n FROM pd) " +
       "SELECT vec_id, cl AS cluster, CAST(dst AS BIGINT) AS proto_dist " +
       "FROM rk WHERE r * 4 <= n * 3"),
+    // topic-balanced budget: winning centroid distance joined onto the
+    // token CTE; per-cluster hardest-first cumsum prefix at 2000 tokens
+    "q_embed_cluster_budget" -> (kmeansAsgnCtes + ", " + tokCte + ", " +
+      "pd AS (SELECT vec_id, cl, dst FROM d3 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      "tb AS (SELECT p.vec_id, p.cl, CAST(len(t.t) AS BIGINT) AS n_tokens, " +
+      "p.dst FROM pd p JOIN toks t ON p.vec_id = t.doc_id), " +
+      "cb AS (SELECT vec_id, cl, n_tokens, CAST(sum(n_tokens) OVER " +
+      "(PARTITION BY cl ORDER BY dst DESC, vec_id ROWS UNBOUNDED PRECEDING) " +
+      "AS BIGINT) AS cum_tokens FROM tb) " +
+      "SELECT vec_id, cl AS cluster, n_tokens, cum_tokens FROM cb " +
+      "WHERE cum_tokens <= 2000"),
     // SemDeDup: the same k-means blocks, exact double cosine within
     // each block; keep = min-id-wins against the dropped (id_b) set
     "q_embed_semdedup_pairs" -> (semdedupPairsCtes +

@@ -350,6 +350,72 @@ object GraphAlgos {
     * the first time a frontier comes back empty (the per-round count
     * is on the materialized frontier — no extra job).
     */
+  /** Deterministic random-walk corpus (DeepWalk — Perozzi et al.,
+    * KDD 2014; node2vec with p=q=1): `walksPerNode` walks of `steps`
+    * hops from EVERY vertex, the training-sequence generator for
+    * skip-gram graph embeddings and the neighborhood sampler GNN
+    * pipelines batch by. The classic sampler draws from an RNG —
+    * unreplayable distributed; here hop `t` of walk `(s, w)` standing
+    * at vertex `u` picks neighbor index
+    * `md5(seed:s:w:t:u) mod deg(u)` over u's id-ORDERED adjacency — a
+    * seeded hash choice, so the corpus is a pure function of
+    * (graph, seed) and replays bit-for-bit on any engine or
+    * partitioning (the id-hash membership discipline every sampler
+    * here uses). Undirected graphs have no dead ends (the walk can
+    * always step back along the edge it came in on), so every walk
+    * emits exactly `steps + 1` rows.
+    *
+    * Scale shape: adjacency ranks + degrees are one window + one agg
+    * over the edge frame, then each hop is ONE equi-join of the
+    * (start, walk)-keyed frontier against the node-partitioned
+    * adjacency — the BFS frontier discipline; the frontier never
+    * grows, so cost is `steps` joins each linear in |V|·walksPerNode.
+    * Frames go through the iterative-pass store ([[Scratch]]) to cut
+    * lineage. Output: `(start_id, walk, step, node)`, step 0 = start.
+    */
+  def randomWalks(edges: DataFrame, steps: Int, walksPerNode: Int,
+      seed: String): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    val spark = edges.sparkSession
+    val store = new Scratch.FrameStore(spark)
+    val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    // adjacency/degree frames carry their own column names: frontier
+    // and adj share the und lineage, so same-name joins are ambiguous
+    val adj = store.keep(und
+      .withColumn("_idx", row_number().over(wAdj).cast("long") - 1)
+      .select(col("u").as("_au"), col("v").as("_av"),
+        col("_idx").as("_aidx")))
+    val deg = store.keep(und.groupBy(col("u"))
+      .agg(count(lit(1)).as("_deg"))
+      .select(col("u").as("_du"), col("_deg")))
+    var frontier = store.keep(und.select(col("u")).distinct()
+      .select(col("u").as("start_id"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+      .withColumn("node", col("start_id")))
+    var out = frontier.select(col("start_id"), col("walk"),
+      lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val h = conv(substring(md5(concat_ws(":", lit(seed),
+        col("start_id"), col("walk"), lit(t), col("node"))), 1, 15),
+        16, 10).cast("long")
+      frontier = store.keep(frontier
+        .join(deg, col("node") === col("_du")).drop("_du")
+        .withColumn("_i", pmod(h, col("_deg")))
+        .join(adj, col("node") === col("_au") && col("_i") === col("_aidx"))
+        .select(col("start_id"), col("walk"), col("_av").as("node")))
+      out = out.unionByName(frontier.select(col("start_id"), col("walk"),
+        lit(t.toLong).as("step"), col("node")))
+    }
+    val res = Scratch.stable(out)
+    store.release()
+    res
+  }
+
   def bfsDistances(edges: DataFrame, seeds: Seq[Long],
       maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")

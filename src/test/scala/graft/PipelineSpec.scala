@@ -1297,6 +1297,53 @@ class PipelineSpec extends GraftSuite {
     assert(empty.columns.toSeq == Seq("node_id", "pr_q") && empty.count() == 0)
   }
 
+  test("randomWalks: hand-replayed md5 choices, full length, determinism, partitioning independence") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3: every vertex has the id-sorted 2-neighbor
+    // adjacency, so each hop's choice is md5 mod 2 — replayed here
+    // with an independent MessageDigest implementation
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val nbrs = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L))
+    def choice(seed: String, st: Long, w: Long, t: Int, u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$st:$w:$t:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % nbrs(u).size).toInt
+    }
+    val got = GraphAlgos.randomWalks(edges, steps = 3, walksPerNode = 2,
+        seed = "t")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    // 3 vertices x 2 walks x 4 positions, no dead ends on undirected
+    assert(got.size == 24, s"expected 24 walk rows, got ${got.size}")
+    for (st <- 1L to 3L; w <- 0L to 1L) {
+      var cur = st
+      assert(got((st, w, 0L)) == cur, "step 0 is the start vertex")
+      for (t <- 1 to 3) {
+        cur = nbrs(cur)(choice("t", st, w, t, cur))
+        assert(got((st, w, t.toLong)) == cur,
+          s"walk ($st,$w) step $t: ${got((st, w, t.toLong))} vs $cur")
+      }
+    }
+    // same seed replays; a different seed moves at least one hop
+    val again = GraphAlgos.randomWalks(edges.repartition(5), 3, 2, "t")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(again == got, "partitioning must not change the corpus")
+    val other = GraphAlgos.randomWalks(edges, 3, 2, "u")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(other != got, "a different seed must change some hop")
+    // steps = 0 emits exactly the starts
+    assert(GraphAlgos.randomWalks(edges, 0, 1, "t").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet ==
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("bfsDistances: multi-source hop counts, depth cap, early exhaustion, isolated seed") {
     val s = spark
     import s.implicits._
