@@ -1277,6 +1277,17 @@ object SparkEntry {
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
         "p", "o"), steps = 3, walksPerNode = 2, seed = "w1")
     }),
+    // skip-gram (center, context) pairs within 2 positions of the
+    // same walk — the positive training examples a DeepWalk embedding
+    // trainer consumes; multiplicity kept as the pair weight
+    "q_graph_walk_pairs" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val walks = GraphAlgos.randomWalks(GraphAlgos.coOccurrenceCached(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), steps = 3, walksPerNode = 2, seed = "w1")
+      GraphAlgos.walkSkipGramPairs(walks, window = 2)
+    }),
     // integer-quantized PageRank (8 damped power iterations) over the
     // same co-occurrence projection family — "domain ranking" for
     // curation; exact integer arithmetic makes ranks bit-identical
@@ -2027,6 +2038,35 @@ object SparkEntry {
     "QUALIFY row_number() OVER (PARTITION BY sid " +
     "ORDER BY margin_q DESC, tid) = 1)"
 
+  // Deterministic random-walk replay (3 hops, 2 walks/vertex, seed
+  // w1) over the q_graph_degrees co-occurrence projection: id-ranked
+  // adjacency + degrees, then each unrolled hop picks neighbor index
+  // md5(seed:start:walk:t:node) mod degree — the engine's exact
+  // choice function; `wk` is the full (start, walk, step, node) corpus
+  private val walksCtes = {
+    def hop(t: Int) = s"f$t AS MATERIALIZED (SELECT f.start_id, " +
+      s"f.walk, a.v AS node FROM f${t - 1} f JOIN dg ON dg.u = f.node " +
+      "JOIN adj a ON a.u = f.node AND a.idx = ('0x' || " +
+      "substr(md5('w1:' || CAST(f.start_id AS VARCHAR) || ':' || " +
+      s"CAST(f.walk AS VARCHAR) || ':$t:' || CAST(f.node AS VARCHAR)), " +
+      "1, 15))::BIGINT % dg.deg)"
+    "WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+      "FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
+      "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+      "und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed), " +
+      "adj AS MATERIALIZED (SELECT u, v, row_number() OVER " +
+      "(PARTITION BY u ORDER BY v) - 1 AS idx FROM und), " +
+      "dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+      "f0 AS (SELECT n.u AS start_id, CAST(w.walk AS BIGINT) AS walk, " +
+      "n.u AS node FROM (SELECT DISTINCT u FROM und) n " +
+      "CROSS JOIN (VALUES (0), (1)) w(walk))" +
+      (1 to 3).map(hop).mkString(", ", ", ", ", ") +
+      "wk AS (SELECT start_id, walk, CAST(0 AS BIGINT) AS step, node FROM f0 " +
+      (1 to 3).map(t => "UNION ALL SELECT start_id, walk, " +
+        s"CAST($t AS BIGINT), node FROM f$t").mkString(" ") + ")"
+  }
+
   // Retrieval-eval replay: quantized knn top-10 over the sub-32 query
   // batch, relevance = shared label, per-query integer rank metrics.
   // The DCG discount / ideal-DCG tables inline as CASE literals from
@@ -2694,29 +2734,15 @@ object SparkEntry {
     // deterministic random walks: adjacency ranks + degrees over the
     // co-occurrence projection, hops unrolled — each hop joins on the
     // SAME md5(seed:start:walk:t:node) mod degree index as the engine
-    "q_graph_walks" -> {
-      def hop(t: Int) = s"f$t AS MATERIALIZED (SELECT f.start_id, " +
-        s"f.walk, a.v AS node FROM f${t - 1} f JOIN dg ON dg.u = f.node " +
-        "JOIN adj a ON a.u = f.node AND a.idx = ('0x' || " +
-        "substr(md5('w1:' || CAST(f.start_id AS VARCHAR) || ':' || " +
-        s"CAST(f.walk AS VARCHAR) || ':$t:' || CAST(f.node AS VARCHAR)), " +
-        "1, 15))::BIGINT % dg.deg)"
-      "WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
-        "FROM lineitem WHERE l_partkey % 100 = 0), " +
-        "ed AS (SELECT a.o AS u, b.o AS v FROM e0 a JOIN e0 b " +
-        "ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
-        "und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed), " +
-        "adj AS MATERIALIZED (SELECT u, v, row_number() OVER " +
-        "(PARTITION BY u ORDER BY v) - 1 AS idx FROM und), " +
-        "dg AS MATERIALIZED (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
-        "f0 AS (SELECT n.u AS start_id, CAST(w.walk AS BIGINT) AS walk, " +
-        "n.u AS node FROM (SELECT DISTINCT u FROM und) n " +
-        "CROSS JOIN (VALUES (0), (1)) w(walk))" +
-        (1 to 3).map(hop).mkString(", ", ", ", " ") +
-        "SELECT start_id, walk, CAST(0 AS BIGINT) AS step, node FROM f0 " +
-        (1 to 3).map(t => "UNION ALL SELECT start_id, walk, " +
-          s"CAST($t AS BIGINT), node FROM f$t").mkString(" ")
-    },
+    "q_graph_walks" -> (walksCtes +
+      " SELECT start_id, walk, step, node FROM wk"),
+    // skip-gram pairs from the same walks: ordered (center, context)
+    // within 2 positions of the same walk, multiplicity counted
+    "q_graph_walk_pairs" -> (walksCtes + ", " +
+      "pr AS (SELECT a.node AS center, b.node AS context FROM wk a " +
+      "JOIN wk b ON a.start_id = b.start_id AND a.walk = b.walk " +
+      "AND a.step <> b.step AND abs(a.step - b.step) <= 2) " +
+      "SELECT center, context, count(*) AS n FROM pr GROUP BY 1, 2"),
     // distance-2 pair membership counts per node over the same wedge
     // CTE, left-joined to degrees (isolated-from-2-hop nodes at 0)
     "q_graph_twohop" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS o, " +

@@ -416,6 +416,31 @@ object GraphAlgos {
     res
   }
 
+  /** Skip-gram training pairs from a [[randomWalks]] corpus: every
+    * ordered (center, context) vertex pair co-occurring within
+    * `window` positions of the same walk — the positive examples a
+    * DeepWalk/node2vec embedding trainer consumes (the walk is the
+    * "sentence", this is its context window). One self-equi-join on
+    * the (start, walk) key with the position-distance predicate —
+    * output is bounded at `2·window` pairs per walk position by
+    * construction, never quadratic in walk length. Duplicate pairs
+    * (the walk revisiting a vertex) are counted, not dropped —
+    * multiplicity IS the training weight. Output:
+    * `(center, context, n)` aggregated pair counts.
+    */
+  def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val a = walks.select(col("start_id").as("_s"), col("walk").as("_w"),
+      col("step").as("_p1"), col("node").as("center"))
+    val b = walks.select(col("start_id").as("_s"), col("walk").as("_w"),
+      col("step").as("_p2"), col("node").as("context"))
+    a.join(b, Seq("_s", "_w"))
+      .where(col("_p1") =!= col("_p2") &&
+        abs(col("_p1") - col("_p2")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def bfsDistances(edges: DataFrame, seeds: Seq[Long],
       maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")

@@ -1344,6 +1344,28 @@ class PipelineSpec extends GraftSuite {
       Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("walkSkipGramPairs: window pairs with multiplicity, no cross-walk leakage") {
+    val s = spark
+    import s.implicits._
+    // one 4-position walk with a revisit (node 10 at steps 0 and 2)
+    // plus an unrelated single-position walk that must pair with nothing
+    val walks = Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 20L), (1L, 0L, 2L, 10L),
+      (1L, 0L, 3L, 30L), (5L, 0L, 0L, 99L))
+      .toDF("start_id", "walk", "step", "node")
+    val got = GraphAlgos.walkSkipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val expected = Map(
+      (10L, 20L) -> 2L, (10L, 10L) -> 2L, (20L, 10L) -> 2L,
+      (20L, 30L) -> 1L, (10L, 30L) -> 1L, (30L, 20L) -> 1L,
+      (30L, 10L) -> 1L)
+    assert(got == expected, s"pairs $got vs hand-enumerated $expected")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.walkSkipGramPairs(walks, window = 0)
+    }
+  }
+
   test("bfsDistances: multi-source hop counts, depth cap, early exhaustion, isolated seed") {
     val s = spark
     import s.implicits._
