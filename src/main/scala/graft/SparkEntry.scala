@@ -1124,6 +1124,12 @@ object SparkEntry {
     "q_doc_lm2_score" -> ((s, d) =>
       TextAnalysis.bigramLmScoreReport(docs(s, d), "doc_id", "text",
         docs(s, d), "text", vocab = 200)),
+    // Jelinek-Mercer interpolation: ML bigram backed off toward the
+    // add-one unigram at λ = 3/4 — the KenLM-style smoothing family;
+    // same broadcast model tables and integer-numerator means
+    "q_doc_lmi_score" -> ((s, d) =>
+      TextAnalysis.interpolatedLmScoreReport(docs(s, d), "doc_id",
+        "text", docs(s, d), "text", vocab = 200, lambda = 0.75)),
     "q_doc_keywords" -> ((s, d) =>
       TextAnalysis.keywordReport(docs(s, d), "doc_id", "text", k = 3)),
     "q_doc_chunks" -> ((s, d) =>
@@ -3399,6 +3405,41 @@ object SparkEntry {
       "LEFT JOIN c1 USING (w1) CROSS JOIN vl GROUP BY doc_id) " +
       "SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams, " +
       "sc.lm2_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+    // Jelinek-Mercer interpolated bigram LM: the lm2 replay plus the
+    // mapped-unigram distribution; the per-position probability is the
+    // exact double shape the engine computes — (λ·c2)/c1 backed off
+    // to (1−λ)·(cu+1)/(N+V) — then ln quantizes to the 1e-9 grid
+    // before the order-free integer numerator sum
+    "q_doc_lmi_score" -> ("WITH " + tokCte + ", " +
+      "occ AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+      "lm0 AS (SELECT term, count(*) AS cnt FROM occ GROUP BY term), " +
+      "top AS (SELECT term, cnt FROM lm0 ORDER BY cnt DESC, term LIMIT 200), " +
+      "vl AS (SELECT list(term) AS ts, count(*) + 1 AS v FROM top), " +
+      "mt AS (SELECT doc_id, list_transform(t, x -> CASE WHEN " +
+      "list_contains(vl.ts, x) THEN x ELSE '<unk>' END) AS m " +
+      "FROM toks CROSS JOIN vl), " +
+      "bg AS (SELECT doc_id, m[CAST(i AS INT)] AS w1, " +
+      "m[CAST(i AS INT) + 1] AS w2 FROM (SELECT doc_id, m, " +
+      "UNNEST(range(1, len(m))) AS i FROM mt)), " +
+      "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+      "c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1), " +
+      "ut AS (SELECT unnest(m) AS w2 FROM mt), " +
+      "cu AS (SELECT w2, count(*) AS cu FROM ut GROUP BY 1), " +
+      "nn AS (SELECT count(*) AS n FROM ut), " +
+      "db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT doc_id, sum(c) AS nb, " +
+      "round(CAST(sum(c * CAST(round(ln(" +
+      "CASE WHEN coalesce(c1.c1, 0) = 0 THEN 0.0 ELSE " +
+      "0.75 * CAST(coalesce(c2.c2, 0) AS DOUBLE) / CAST(c1.c1 AS DOUBLE) END " +
+      "+ 0.25 * ((CAST(coalesce(cu.cu, 0) AS DOUBLE) + 1.0) / " +
+      "(CAST(nn.n AS DOUBLE) + CAST(vl.v AS DOUBLE)))" +
+      ") * 1000000000) AS BIGINT)) AS DOUBLE) " +
+      "/ (CAST(sum(c) AS DOUBLE) * 1000000000.0), 4) AS lmi_logp " +
+      "FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) " +
+      "LEFT JOIN cu USING (w2) CROSS JOIN nn CROSS JOIN vl " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams, " +
+      "sc.lmi_logp FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
     // tf-idf keywords: ranking and values use the ROUNDED score so
     // both engines order identically; ties break on the term string
     "q_doc_keywords" -> ("WITH " + tokCte + ", " +

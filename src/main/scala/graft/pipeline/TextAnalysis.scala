@@ -357,6 +357,86 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bigrams"))
   }
 
+  /** Jelinek-Mercer interpolated bigram LM scoring (Jelinek & Mercer
+    * 1980 — the interpolation family KenLM-style filters actually
+    * ship, one smoothing level up from [[bigramLmScoreReport]]'s
+    * add-one): each bigram position scores
+    * `ln( λ·c2/c1 + (1−λ)·(cu(w2)+1)/(N+V) )` — the maximum-
+    * likelihood bigram estimate backed off toward the add-one unigram,
+    * so an unseen CONTINUATION (c2 = 0 under a seen context) degrades
+    * to unigram mass instead of the flat 1/(c1+V) floor, and an
+    * unseen CONTEXT (c1 = 0) backs off entirely. Same capped-vocab
+    * `<unk>` closure, same broadcast-bounded model tables (unigrams
+    * ≤ V+1 rows ride along with the ≤ V² bigram table), same
+    * 1e-9-integer-numerator mean discipline as the other LM scorers.
+    * Output `(idCol, n_bigrams, lmi_logp)`; sub-2-token docs carry
+    * `n_bigrams = 0` and a null score.
+    */
+  def interpolatedLmScoreReport(docs: DataFrame, idCol: String,
+      textCol: String, lmCorpus: DataFrame, lmTextCol: String,
+      vocab: Int, lambda: Double = 0.75,
+      maxVocab: Int = 4096): DataFrame = {
+    require(vocab >= 1 && vocab <= maxVocab,
+      s"vocab $vocab outside [1, $maxVocab]: the bigram table collects " +
+        "up to vocab² rows to the driver")
+    require(lambda > 0.0 && lambda < 1.0, s"lambda in (0,1), got $lambda")
+    val topTerms = capVocab(termCountsCached(lmCorpus, lmTextCol), vocab)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val vSize = topTerms.size + 1
+    def mapped(c: Column) = transform(tokens(c), t =>
+      when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
+    def bigrams(c: Column): Column = {
+      val mt = mapped(c)
+      val n1 = greatest(size(mt) - 1, lit(0))
+      zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val biCounts = lmCorpus
+      .select(explode(bigrams(col(lmTextCol))).as("bg"))
+      .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val corpusBi = biCounts.toSeq.toDF("_w1", "_w2", "_c2")
+    val corpusPre = biCounts.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
+    // mapped-unigram counts (≤ V+1 rows) + the scalar token total:
+    // the (1−λ) leg's add-one distribution over the SAME closure
+    val uniCounts = lmCorpus
+      .select(explode(mapped(col(lmTextCol))).as("_w2"))
+      .groupBy(col("_w2")).agg(count(lit(1)).as("_cu"))
+    val nTok = uniCounts.agg(coalesce(sum(col("_cu")), lit(0L)))
+      .head.getLong(0)
+    val docBi = docs
+      .select(col(idCol).as("_did"), explode(bigrams(col(textCol))).as("bg"))
+      .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+      .groupBy(col("_did"), col("_w1"), col("_w2")).agg(count(lit(1)).as("_c"))
+    // probability assembled in the EXACT double shape the oracle
+    // mirrors: (λ·c2)/c1 + (1−λ)·((cu+1)/(N+V)) — IEEE ops in the
+    // same order are bit-deterministic, then ln quantizes to the
+    // 1e-9 grid before the order-free integer sum
+    val pMl = when(coalesce(col("_c1"), lit(0L)) === 0L, lit(0.0))
+      .otherwise(lit(lambda) * coalesce(col("_c2"), lit(0L)).cast("double") /
+        col("_c1").cast("double"))
+    val pUni = lit(1.0 - lambda) *
+      ((coalesce(col("_cu"), lit(0L)).cast("double") + 1.0) /
+        lit(nTok.toDouble + vSize.toDouble))
+    val scored = docBi
+      .join(broadcast(corpusBi), Seq("_w1", "_w2"), "left")
+      .join(broadcast(corpusPre), Seq("_w1"), "left")
+      .join(broadcast(uniCounts), Seq("_w2"), "left")
+      .withColumn("_qlp",
+        round(log(pMl + pUni) * lit(1000000000L)).cast("long"))
+      .groupBy(col("_did"))
+      .agg(sum(col("_c")).as("n_bigrams"),
+        round(sum(col("_c") * col("_qlp")).cast("double") /
+          (sum(col("_c")).cast("double") * lit(1000000000.0)), 4).as("lmi_logp"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("_did", idCol), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
+
   /** Overlapping token-window chunks per document — the segmentation
     * step ahead of embedding/RAG indexing and fixed-context
     * pre-training. Chunk i covers tokens `[i·stride, i·stride +

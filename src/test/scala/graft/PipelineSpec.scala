@@ -1629,6 +1629,44 @@ class PipelineSpec extends GraftSuite {
     assert(bi(1L) != bi(2L), "bigram must separate the shuffled twin")
   }
 
+  test("interpolatedLmScoreReport: hand-computed JM mix, both backoff legs, lambda bounds") {
+    val s = spark
+    import s.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = Seq((1L, "a b a b"), (2L, "a")).toDF("doc_id", "text")
+    // self-scoring at vocab=1: doc1 maps to [a,u,a,u] -> c2 (a,u)=2,
+    // (u,a)=1; prefixes a=2, u=1; mapped unigrams a=3, u=2; N=5, V=2
+    val r1 = TextAnalysis.interpolatedLmScoreReport(corpus, "doc_id",
+      "text", corpus, "text", vocab = 1)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2)))
+      .toMap
+    val pau = 0.75 * 2.0 / 2.0 + 0.25 * ((2.0 + 1.0) / 7.0)
+    val pua = 0.75 * 1.0 / 1.0 + 0.25 * ((3.0 + 1.0) / 7.0)
+    val exp1 = (2 * math.log(pau) + math.log(pua)) / 3.0
+    assert(r1(1L)._1 == 3L)
+    assert(math.abs(r1(1L)._2 - r4(exp1)) < 1e-9,
+      s"${r1(1L)._2} vs ${r4(exp1)}")
+    assert(r1(2L)._1 == 0L && r1(2L)._2.isNaN, "1-token doc: no score")
+    // cross-corpus backoff legs at vocab=10 (V=3, unigram N=5):
+    // "a a" -> bigram (a,a) unseen under a SEEN context (c1(a)=2):
+    // the ML leg is 0, the unigram leg carries (cu(a)+1)/(N+V) = 4/8;
+    // "c c" -> both map <unk>, context UNSEEN: pure unigram floor 1/8
+    val docsX = Seq((7L, "a a"), (8L, "c c")).toDF("doc_id", "text")
+    val rx = TextAnalysis.interpolatedLmScoreReport(docsX, "doc_id",
+      "text", corpus, "text", vocab = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(math.abs(rx(7L) - r4(math.log(0.25 * (4.0 / 8.0)))) < 1e-9,
+      s"seen-context backoff: ${rx(7L)}")
+    assert(math.abs(rx(8L) - r4(math.log(0.25 * (1.0 / 8.0)))) < 1e-9,
+      s"unseen-context backoff: ${rx(8L)}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.interpolatedLmScoreReport(corpus, "doc_id", "text",
+        corpus, "text", vocab = 1, lambda = 1.0)
+    }
+  }
+
   test("AcAutomaton: overlap-inclusive counts match a brute position scan; codegen path agrees") {
     val s = spark
     import s.implicits._
@@ -2993,6 +3031,13 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ordered.takeRight(3).toSet == Set(2L, 3L, 5L),
       s"null-score rows must sort last: $ordered")
+    val jm = TextAnalysis.interpolatedLmScoreReport(docs, "doc_id",
+      "text", docs, "text", vocab = 8)
+    assertNoNaN(jm)
+    val jmOrdered = jm.orderBy(col("lmi_logp").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(jmOrdered.takeRight(3).toSet == Set(2L, 3L, 5L),
+      s"null-score rows must sort last: $jmOrdered")
     assertNoNaN(Curation.dsirWeights(docs, "doc_id", "text",
       docs.where(col("doc_id") === 1L), "text", buckets = 64))
     // langId: degenerate rows classify "und", never crash
