@@ -396,6 +396,33 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("exchange budgets hold for the r13 second-wave additions") {
+    // Ceilings measured at HEAD on sf0.001. proto_prune is ONE
+    // assignment scan + the per-cluster window (kmeans trains in
+    // separate bounded-artifact actions); cluster_budget adds one
+    // broadcast token join; walks serve the stabilized corpus (the
+    // hop joins ran through the iterative store — an exchange HERE
+    // would mean the stabilization regressed); walk_pairs is the
+    // self-join (AQE broadcasts one side at this scale) + the pair
+    // groupBy; lmi carries lm2's three plus the in-plan mapped-unigram
+    // aggregation its fourth broadcast table needs.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      ("q_embed_proto_prune", 1, false),
+      ("q_embed_cluster_budget", 1, true),
+      ("q_graph_walks", 0, false),
+      ("q_graph_walk_pairs", 2, true),
+      ("q_doc_lmi_score", 4, true))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      info(s"$name -> $prof")
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+  }
+
   test("exchange budget: q_embed_margin_mine tolerates its one co-partitioned SMJ") {
     // the margin join (candidates x per-source/per-target sums) runs
     // on the shuffle key both sides already carry — an SMJ there is
