@@ -1845,6 +1845,27 @@ object Dedup {
     hi
   }
 
+  /** [[semanticDedupKeep]] with k chosen by [[calibrateSemDedupK]]
+    * from a PAIR BUDGET instead of hand-picked — the auto-sizing
+    * entry point, mirroring how the IVF serving tiers calibrate
+    * nprobe/refine from a recall target instead of shipping magic
+    * numbers. The caller states the quadratic work it can afford
+    * (`pairBudget` — at corpus scale, executors × per-task pair
+    * throughput × time budget); calibration probes the one-agg report
+    * until the implied within-cluster pair volume fits, then the
+    * single committed dedup pass runs at that k. Refuses (the
+    * calibrate contract) when even `maxK` can't meet the budget.
+    * Returns (kept ids, the calibrated k).
+    */
+  def semanticDedupKeepBudget(df: DataFrame, idCol: String,
+      vecCol: String, pairBudget: Long, iters: Int, theta: Double,
+      cap: Int = MaxClusterBlock, minK: Int = 2,
+      maxK: Int = 4096): (DataFrame, Int) = {
+    val k = calibrateSemDedupK(df, idCol, vecCol, pairBudget, iters,
+      minK, maxK)
+    (semanticDedupKeep(df, idCol, vecCol, k, iters, theta, cap), k)
+  }
+
   /** The keep-set form of [[semanticDedupPairs]]: a row is DROPPED iff
     * a smaller-id row in the same cluster is cosine-θ-similar —
     * deterministic min-id-wins, the same tie rule every exact-dedup

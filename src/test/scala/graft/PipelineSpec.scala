@@ -2851,6 +2851,15 @@ class PipelineSpec extends GraftSuite {
       Dedup.calibrateSemDedupK(dup, "vec_id", "embedding", 100L, iters = 1)
     }
     assert(ex.getMessage.contains("unreachable"), ex.getMessage)
+    // the budgeted entry point commits the dedup at exactly the
+    // calibrated k: kept set == the hand-calibrated keep
+    val (kept, kAuto) = Dedup.semanticDedupKeepBudget(df, "vec_id",
+      "embedding", budget, iters = 2, theta = 0.8)
+    assert(kAuto == k, s"budgeted keep calibrated $kAuto, expected $k")
+    val handKept = Dedup.semanticDedupKeep(df, "vec_id", "embedding",
+      k, iters = 2, theta = 0.8).collect().map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet == handKept,
+      "budgeted keep must equal the keep at the calibrated k")
     df.unpersist()
   }
 
