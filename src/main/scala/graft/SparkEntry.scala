@@ -576,6 +576,26 @@ object SparkEntry {
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10),
         TextAnalysis.qualityReport(docs(s, d), "doc_id", "text"), "quality")
         .select("doc_id")),
+    // END-TO-END curation recipe in ONE declarative plan — the
+    // composition proof: near-dup keep-BEST (minhash pairs -> clusters
+    // -> quality representative) -> quality gate -> per-source
+    // best-first token-budget assembly. Every stage is an operator
+    // gated elsewhere; this pins that they CHAIN without driver
+    // round-trips (one plan, Catalyst sees the whole pipeline)
+    "q_doc_recipe" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = TextAnalysis.qualityReport(dd, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val kept = Dedup.dedupCorpusByScore(dd, "doc_id",
+        Dedup.minhashPairs(dd, "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10),
+        q, "quality").select("doc_id")
+      val gated = kept.join(q, "doc_id").where(col("quality") >= 0.3)
+        .join(dd.select(col("doc_id"), col("source")), "doc_id")
+      Curation.tokenBudgetSelect(gated, "source", "doc_id", "n_tokens",
+        "quality", Map("src0" -> 300L, "src1" -> 250L),
+        defaultBudget = 150L)
+    }),
     // full pipeline terminal: corpus minus non-canonical dup-cluster
     // members (pairs -> clusters -> anti-join keep-set)
     "q_doc_keep" -> ((s, d) =>
@@ -2405,6 +2425,36 @@ object SparkEntry {
       "FROM cl JOIN q USING (doc_id)) WHERE rk = 1) " +
       "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
       "(SELECT doc_id FROM cl WHERE doc_id NOT IN (SELECT doc_id FROM rep))"),
+    // end-to-end recipe: the keep-best replay (clusters + quality
+    // representative) -> quality >= 0.3 gate -> the budget cumsum —
+    // each CTE identical to its standalone oracle
+    "q_doc_recipe" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "q AS (SELECT d.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, " +
+      "round(least(len(t.t) / 40.0, 1.0) * 0.5 + " +
+      "least(CAST(len(list_filter(t.t, x -> list_contains(" +
+      "['the','a','of','and','to','in','is','for','on','with'], x))) " +
+      "AS DOUBLE) * 10.0 / greatest(len(t.t), 1), 1.0) * 0.5, 4) AS quality " +
+      "FROM documents d JOIN toks t ON d.doc_id = t.doc_id), " +
+      "rep AS (SELECT doc_id FROM (SELECT cl.doc_id, row_number() OVER " +
+      "(PARTITION BY cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rk " +
+      "FROM cl JOIN q USING (doc_id)) WHERE rk = 1), " +
+      "keep AS (SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM cl WHERE doc_id NOT IN (SELECT doc_id FROM rep))), " +
+      "g AS (SELECT k.doc_id, d.source, q.n_tokens, q.quality " +
+      "FROM keep k JOIN q USING (doc_id) " +
+      "JOIN documents d ON d.doc_id = k.doc_id WHERE q.quality >= 0.3), " +
+      "cum AS (SELECT doc_id, source, n_tokens, " +
+      "CAST(sum(n_tokens) OVER (PARTITION BY source " +
+      "ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS cum_tokens FROM g) " +
+      "SELECT doc_id, source, n_tokens, cum_tokens FROM cum " +
+      "WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300 " +
+      "WHEN 'src1' THEN 250 ELSE 150 END"),
     "q_doc_keep" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
       "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
       "UNION SELECT id_b, id_a FROM pairs), " +
