@@ -615,6 +615,24 @@ object SparkEntry {
         k = 3, w = 4, minShared = 2, maxDf = 50)),
     "q_doc_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxDist = 12)),
+    // contrastive TRIPLET assembly — the training-data shape embedding
+    // finetuning consumes: anchor + its nearest semantic duplicate as
+    // the positive (min-id per anchor for determinism) + the
+    // highest-similarity WRONG-label row as the hard negative; pairs
+    // and hard negatives are both independently-gated operators, this
+    // pins the assembly join
+    "q_embed_triplets" -> ((s, d) => {
+      val e = emb(s, d)
+      val pos = Dedup.embeddingPairs(e, "embedding", "vec_id", 0.4)
+        .select(col("id_a").as("anchor"), col("id_b"))
+        .groupBy("anchor").agg(min(col("id_b")).as("positive"))
+      val anchors = pos.select(col("anchor").as("vec_id")).join(e, "vec_id")
+      val neg = VectorOps.hardNegatives(e, anchors, "embedding",
+          "vec_id", "label", k = 1)
+        .select(col("query_id").as("anchor"),
+          col("neighbor_id").as("negative"))
+      pos.join(neg, "anchor")
+    }),
     "q_embed_pairs" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "embedding", "vec_id", 0.5)),
     // sign-random-projection (Charikar cosine LSH) near-dup pairs:
@@ -2501,6 +2519,23 @@ object SparkEntry {
       "SELECT id_a AS id_in, id_b AS id_sup FROM ij WHERE i * 5 >= 4 * sza " +
       "UNION ALL " +
       "SELECT id_b AS id_in, id_a AS id_sup FROM ij WHERE i * 5 >= 4 * szb"),
+    // triplets: θ-pair positives (min-id) joined with each anchor's
+    // rank-1 different-label neighbor on the quantized selection grid
+    "q_embed_triplets" -> ("WITH pos AS (SELECT a.vec_id AS anchor, " +
+      "min(b.vec_id) AS positive FROM embeddings a JOIN embeddings b " +
+      "ON a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) >= 0.4 GROUP BY 1), " +
+      "neg AS (SELECT q.vec_id AS anchor, e.vec_id AS negative " +
+      "FROM embeddings e JOIN embeddings q ON e.vec_id <> q.vec_id " +
+      "JOIN pos p ON p.anchor = q.vec_id " +
+      "WHERE CAST(e.label AS VARCHAR) IS DISTINCT FROM CAST(q.label AS VARCHAR) " +
+      "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
+      "e.vec_id) = 1) " +
+      "SELECT p.anchor, p.positive, n.negative FROM pos p " +
+      "JOIN neg n USING (anchor)"),
     "q_embed_pairs" -> ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
