@@ -1847,6 +1847,28 @@ object VectorOps {
       best.getField("d").as("_dist"))
   }
 
+  /** [[quantizedFrame]]'s vector leg as a standalone column (µ-unit
+    * longs) — for call sites that must keep the row's other columns
+    * (streaming filters). */
+  private[graft] def quantizeVec(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000000L).cast("long"))
+
+  /** The [[assignFrame]] argmin as ONE column over a quantized vector:
+    * a (d, j) struct holding the winning integer distance and cluster
+    * (same lexicographic tie rule — lower cluster wins). Pure per-row
+    * expression: no window, no shuffle, streaming-safe. */
+  private[graft] def assignStruct(vq: Column,
+      c: Array[Seq[Long]]): Column = {
+    val entries = c.indices.map { j =>
+      struct(
+        aggregate(
+          zip_with(vq, typedLit(c(j)), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d"),
+        lit(j).as("j"))
+    }
+    array_min(array(entries: _*))
+  }
+
   /** The trained-centroid half of [[kmeansQuantized]]: the k×dim long
     * table after `iters` Lloyd rounds — the bounded driver artifact a
     * caller reuses to assign OTHER frames (an incoming batch) to the

@@ -450,6 +450,46 @@ object GraphStream {
     }
   }
 
+  /** Prototypicality filtering at ingest — the streaming arm of
+    * [[graft.search.VectorOps.prototypicalityPrune]] (Sorscher 2022),
+    * for the abundant-data regime where only HARD examples are worth
+    * storing: keep stream rows whose exact integer distance to their
+    * assigned standing centroid is at least the reference corpus's
+    * per-cluster prune boundary (the smallest distance the reference
+    * prune KEPT in that cluster). Unlike the dedup filters this is a
+    * pure per-row column predicate — centroids and boundaries bake
+    * into the expression at construction (k×dim literals + one CASE
+    * over k clusters), so the stream side has NO state store, NO
+    * shuffle, NO foreachBatch, exactly the [[dsirIngestFilter]] shape.
+    *
+    * Parity: on the reference corpus itself the kept set equals
+    * `prototypicalityPrune`'s whenever kept distances are unique at
+    * the boundary (the prune breaks exact-distance ties by id, which
+    * a per-row threshold cannot see — boundary ties admit the extra
+    * tied rows). A cluster whose reference prune kept NOTHING keeps
+    * nothing here either; rows whose distance is null (NaN components,
+    * wrong vector length) drop — an unmeasurable row is never "hard",
+    * the same contract as tokenless rows under the DSIR filter.
+    */
+  def protoIngestFilter(stream: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      keepNum: Int, keepDen: Int): DataFrame = {
+    import graft.search.VectorOps
+    val cents = VectorOps.kmeansCentroidsQuantized(corpus, idCol,
+      vecCol, k, iters)
+    val bounds = VectorOps.prototypicalityPrune(corpus, idCol, vecCol,
+        k, iters, keepNum, keepDen)
+      .groupBy(col("cluster")).agg(min(col("proto_dist")).as("_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val best = VectorOps.assignStruct(
+      VectorOps.quantizeVec(col(vecCol)), cents)
+    val bound = bounds.toSeq.sortBy(_._1)
+      .foldLeft(lit(Long.MaxValue)) { case (acc, (cl, b)) =>
+        when(best.getField("j") === cl.toInt, lit(b)).otherwise(acc)
+      }
+    stream.where(best.getField("d") >= bound)
+  }
+
   /** Margin-criterion bitext mining at ingest — the streaming arm of
     * [[graft.search.VectorOps.marginMiningQuantized]] (Artetxe &
     * Schwenk 2019), for use inside `writeStream.foreachBatch` (like

@@ -474,6 +474,68 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("protoIngestFilter: batch parity with the prune, hard rows pass, prototypical and unmeasurable drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // the kmeans fixture: per-row jitter makes every distance unique,
+    // so the threshold filter must match the rank-based prune exactly
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val kept = GraphStream.protoIngestFilter(corpus, corpus, "vec_id",
+        "embedding", k = 3, iters = 2, keepNum = 1, keepDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    val pruneKept = graft.search.VectorOps.prototypicalityPrune(corpus,
+        "vec_id", "embedding", k = 3, iters = 2, 1, 2)
+      .collect().map(_.getLong(0)).toSet
+    // the documented contract: prune's keep set plus any rows TIED at
+    // a cluster's boundary distance (the rank prune id-breaks exact
+    // ties; a per-row threshold admits them — this fixture has
+    // symmetric jitter, so clusters 1 and 2 tie at their boundary)
+    val scores = graft.search.VectorOps.prototypicalityScores(corpus,
+        "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bound = scores.filter(s => pruneKept(s._1))
+      .groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    val expected = scores.filter(s =>
+      bound.get(s._2).exists(s._3 >= _)).map(_._1).toSet
+    assert(kept == expected,
+      s"threshold filter $kept vs boundary-expanded prune $expected")
+    assert(pruneKept.subsetOf(kept), "prune keeps must all pass")
+    // streaming: a copy of a kept hard row passes; a near-centroid
+    // (prototypical) row drops; a wrong-length vector is unmeasurable
+    // and drops
+    val hard = rows(6)._2
+    val proto = Seq(1f, 0f, 0f, 0.00225f)
+    val short2 = Seq(1f, 0f)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = GraphStream.protoIngestFilter(
+        mem.toDF().toDF("vec_id", "embedding"), corpus, "vec_id",
+        "embedding", k = 3, iters = 2, keepNum = 1, keepDen = 2)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("vec_id").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((201L, hard), (202L, proto), (203L, short2))
+      q.processAllAvailable()
+      val ids = got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+      assert(ids == Set(201L),
+        s"hard copy passes, prototypical + unmeasurable drop: $ids")
+    } finally q.stop()
+    // a keep-nothing reference prune keeps nothing at ingest either
+    assert(GraphStream.protoIngestFilter(corpus, corpus, "vec_id",
+      "embedding", k = 3, iters = 2, keepNum = 0, keepDen = 1).count() == 0L)
+  }
+
   test("marginMineIngest: foreachBatch margin mining matches the batch miner across micro-batches") {
     val s = spark
     import s.implicits._
