@@ -1689,6 +1689,11 @@ object SparkEntry {
     "q_doc_len_quantiles" -> ((s, d) =>
       Curation.exactQuantiles(docs(s, d), "lang", "n_chars",
         Seq(0.25, 0.5, 0.75))),
+    // quantile-GATED selection: keep docs at/above the exact 4/5
+    // length quantile — dynamic thresholding by keep rate (the cutoff
+    // adapts to the distribution; all-integer ceil, no double p·n)
+    "q_doc_len_gate" -> ((s, d) =>
+      Curation.quantileGate(docs(s, d), "doc_id", "n_chars", 4, 5)),
     // nearest-centroid label audit over the embedding table: integer
     // µ-unit centroids + exact long distances -> bit-identical
     // predictions in both engines
@@ -3827,6 +3832,14 @@ object SparkEntry {
       "CAST(pc.c_xy * (SELECT nt FROM n) AS DOUBLE) / (xc.c_x * yc.c_y) " +
       "AS pmi_ratio FROM pc JOIN xc USING (x) JOIN yc USING (y) " +
       "WHERE c_xy >= 5 ORDER BY pmi_ratio DESC, x, y LIMIT 20"),
+    // quantile gate: the same count-histogram, corpus-wide; threshold
+    // = min value whose cum reaches the all-integer ceil(4n/5)
+    "q_doc_len_gate" -> ("WITH c AS (SELECT n_chars, count(*) AS c " +
+      "FROM documents GROUP BY 1), " +
+      "k AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars " +
+      "ROWS UNBOUNDED PRECEDING) AS cum, sum(c) OVER () AS n FROM c), " +
+      "t AS (SELECT min(n_chars) AS t FROM k WHERE cum >= (4 * n + 4) // 5) " +
+      "SELECT d.doc_id, d.n_chars FROM documents d, t WHERE d.n_chars >= t.t"),
     // count-histogram percentile_disc: value v is the ceil(p*n)-th
     // smallest iff cum-c < ceil(p*n) <= cum
     "q_doc_len_quantiles" -> ("WITH c AS (SELECT lang, n_chars, count(*) AS c " +

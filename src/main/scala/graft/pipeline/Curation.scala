@@ -380,6 +380,44 @@ object Curation {
       .select(col(groupCol), col("p"), col(valCol).as("q_value"))
   }
 
+  /** Quantile-gated selection — dynamic thresholding by KEEP RATE
+    * instead of a hand-picked cutoff ("drop the shortest 20%", "keep
+    * the top-quality 10%"): keep rows whose integer `valCol` is at or
+    * above the corpus's exact `pNum/pDen` quantile (percentile_disc
+    * semantics — the threshold is an actual data value, the
+    * ceil(p·n)-th smallest, computed ALL-INTEGER as
+    * `(pNum·n + pDen − 1) div pDen` so no double p·n ever rounds).
+    * The fixed-threshold filters this complements assume the score
+    * distribution is known; this one adapts to it — re-running on a
+    * shifted corpus keeps the same FRACTION, not the same cutoff.
+    *
+    * Scale shape: the heavy pass is one groupBy on the VALUE (bounded
+    * by the distinct value count, like [[exactQuantiles]]); the
+    * threshold derivation windows over those collapsed rows only, and
+    * the gate itself is a broadcast of ONE row. Output:
+    * `(idCol, valCol)` for kept rows.
+    */
+  def quantileGate(df: DataFrame, idCol: String, valCol: String,
+      pNum: Int, pDen: Int): DataFrame = {
+    require(pDen >= 1 && pNum >= 0 && pNum <= pDen,
+      s"need 0 <= pNum <= pDen with pDen >= 1: $pNum/$pDen")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(valCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.orderBy(col(valCol)).rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(lit(1))))
+    val thr = counts
+      .where(col("_cum") >=
+        expr(s"($pNum * _n + ${pDen - 1}) div $pDen"))
+      .agg(min(col(valCol)).as("_thr"))
+    df.select(col(idCol), col(valCol))
+      .crossJoin(broadcast(thr))
+      .where(col(valCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Corpus snapshot diff: per-id status between two corpus versions —
     * `added` (only in `newDf`), `removed` (only in `oldDf`), `changed`
     * (both, content hash differs), `unchanged`. The incremental-crawl

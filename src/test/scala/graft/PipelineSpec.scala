@@ -1629,6 +1629,33 @@ class PipelineSpec extends GraftSuite {
     assert(bi(1L) != bi(2L), "bigram must separate the shuffled twin")
   }
 
+  test("quantileGate: exact percentile_disc threshold, duplicates, keep-all and keep-top edges") {
+    val s = spark
+    import s.implicits._
+    // values 10,10,20,30,40,50 (n=6): the 1/2 quantile index is
+    // ceil(6/2)=3 -> 3rd smallest = 20; keep >= 20
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L),
+      (5L, 40L), (6L, 50L)).toDF("id", "v")
+    def kept(num: Int, den: Int) =
+      Curation.quantileGate(df, "id", "v", num, den)
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(1, 2) == Set(3L, 4L, 5L, 6L), s"median gate: ${kept(1, 2)}")
+    // 5/6 quantile: ceil(5*6/6)=5 -> 5th smallest = 40
+    assert(kept(5, 6) == Set(5L, 6L), s"5/6 gate: ${kept(5, 6)}")
+    // p=0 keeps everything (threshold = min value); p=1 keeps the max
+    // tier (threshold = n-th smallest = max)
+    assert(kept(0, 1) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(kept(1, 1) == Set(6L))
+    // duplicate values at the threshold all pass (value-gate, not rank)
+    val dup = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L))
+      .toDF("id", "v")
+    assert(Curation.quantileGate(dup, "id", "v", 1, 2)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      Curation.quantileGate(df, "id", "v", 3, 2)
+    }
+  }
+
   test("interpolatedLmScoreReport: hand-computed JM mix, both backoff legs, lambda bounds") {
     val s = spark
     import s.implicits._
