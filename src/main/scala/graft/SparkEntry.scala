@@ -1694,6 +1694,19 @@ object SparkEntry {
     // adapts to the distribution; all-integer ceil, no double p·n)
     "q_doc_len_gate" -> ((s, d) =>
       Curation.quantileGate(docs(s, d), "doc_id", "n_chars", 4, 5)),
+    // vocabulary drift between snapshots (parity split stands in for
+    // old/new crawls): top-20 per-term KL(new||old) contributions over
+    // the reference vocab closure — novel terms surface in <unk>
+    "q_doc_drift" -> ((s, d) => {
+      val dd = docs(s, d)
+      val drift = TextAnalysis.vocabularyDrift(
+        dd.where(col("doc_id") % 2 === 0),
+        dd.where(col("doc_id") % 2 === 1), "text", vocab = 100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(abs(col("contrib_q")).desc, col("term"))
+      drift.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+    }),
     // nearest-centroid label audit over the embedding table: integer
     // µ-unit centroids + exact long distances -> bit-identical
     // predictions in both engines
@@ -3832,6 +3845,39 @@ object SparkEntry {
       "CAST(pc.c_xy * (SELECT nt FROM n) AS DOUBLE) / (xc.c_x * yc.c_y) " +
       "AS pmi_ratio FROM pc JOIN xc USING (x) JOIN yc USING (y) " +
       "WHERE c_xy >= 5 ORDER BY pmi_ratio DESC, x, y LIMIT 20"),
+    // vocabulary drift: reference (even-id) vocab closure, add-one
+    // frequencies both sides, per-term p·ln(p/q) on the 1e-9 grid,
+    // top-20 by (|contribution| desc, term)
+    "q_doc_drift" -> ("WITH " + tokCte + ", " +
+      "od AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 0), " +
+      "nd AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1), " +
+      "lm0 AS (SELECT term, count(*) AS cnt FROM " +
+      "(SELECT unnest(t) AS term FROM od) GROUP BY term), " +
+      "top AS (SELECT term FROM lm0 ORDER BY cnt DESC, term LIMIT 100), " +
+      "vl AS (SELECT list(term) AS ts, count(*) + 1 AS v FROM top), " +
+      "oc AS (SELECT CASE WHEN list_contains(vl.ts, w) THEN w " +
+      "ELSE '<unk>' END AS term, count(*) AS c_old FROM " +
+      "(SELECT unnest(t) AS w FROM od) CROSS JOIN vl GROUP BY 1), " +
+      "nc AS (SELECT CASE WHEN list_contains(vl.ts, w) THEN w " +
+      "ELSE '<unk>' END AS term, count(*) AS c_new FROM " +
+      "(SELECT unnest(t) AS w FROM nd) CROSS JOIN vl GROUP BY 1), " +
+      "tt AS (SELECT (SELECT coalesce(sum(c_old), 0) FROM oc) AS no, " +
+      "(SELECT coalesce(sum(c_new), 0) FROM nc) AS nn), " +
+      "j AS (SELECT coalesce(oc.term, nc.term) AS term, " +
+      "coalesce(oc.c_old, 0) AS c_old, coalesce(nc.c_new, 0) AS c_new " +
+      "FROM oc FULL OUTER JOIN nc ON oc.term = nc.term), " +
+      "sc AS (SELECT term, c_old, c_new, CAST(round(" +
+      "((CAST(c_new AS DOUBLE) + 1.0) / (CAST(tt.nn AS DOUBLE) + " +
+      "CAST(vl.v AS DOUBLE))) * ln(((CAST(c_new AS DOUBLE) + 1.0) / " +
+      "(CAST(tt.nn AS DOUBLE) + CAST(vl.v AS DOUBLE))) / " +
+      "((CAST(c_old AS DOUBLE) + 1.0) / (CAST(tt.no AS DOUBLE) + " +
+      "CAST(vl.v AS DOUBLE)))) * 1000000000) AS BIGINT) AS contrib_q " +
+      "FROM j CROSS JOIN tt CROSS JOIN vl) " +
+      "SELECT term, CAST(c_old AS BIGINT) AS c_old, " +
+      "CAST(c_new AS BIGINT) AS c_new, contrib_q, " +
+      "CAST(row_number() OVER (ORDER BY abs(contrib_q) DESC, term) " +
+      "AS BIGINT) AS rank FROM sc QUALIFY row_number() OVER " +
+      "(ORDER BY abs(contrib_q) DESC, term) <= 20"),
     // quantile gate: the same count-histogram, corpus-wide; threshold
     // = min value whose cum reaches the all-integer ceil(4n/5)
     "q_doc_len_gate" -> ("WITH c AS (SELECT n_chars, count(*) AS c " +

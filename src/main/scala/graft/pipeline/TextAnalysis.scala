@@ -437,6 +437,52 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bigrams"))
   }
 
+  /** Vocabulary drift between two corpus snapshots — the monitoring
+    * op behind "did the new crawl shift the token distribution?": the
+    * per-term KL(new‖old) contribution `p·ln(p/q)` over the REFERENCE
+    * corpus's capped-vocab closure (`p`/`q` = add-one term frequencies
+    * in new/old; out-of-vocab mass pools in `<unk>`, so NOVEL terms
+    * surface there). Positive contributions are terms the new corpus
+    * over-represents, negative under-represents; their sum is the
+    * total divergence. Contributions quantize to 1e-9 longs (the LM
+    * discipline — order-free integer totals, engine-replayable
+    * ordering). Output: `(term, c_old, c_new, contrib_q)` — one row
+    * per vocab symbol, ≤ vocab+1 rows.
+    *
+    * Scale shape: two explode→groupBy term counts (each collapses to
+    * ≤ V+1 keys map-side), two 1-row totals broadcast, one bounded
+    * full-outer join on the tiny term tables. Nothing quadratic,
+    * nothing collected but the vocab itself.
+    */
+  def vocabularyDrift(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String, vocab: Int): DataFrame = {
+    require(vocab >= 1, s"vocab must be >= 1, got $vocab")
+    val refTop = capVocab(termCountsCached(oldDf, textCol), vocab)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val vSize = refTop.size + 1
+    def mapped(c: Column) = transform(tokens(c), t =>
+      when(t.isInCollection(refTop), t).otherwise(lit("<unk>")))
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(mapped(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(as))
+    val co = counts(oldDf, "c_old")
+    val cn = counts(newDf, "c_new")
+    val tot = co.agg(coalesce(sum(col("c_old")), lit(0L)).as("_no"))
+      .crossJoin(cn.agg(coalesce(sum(col("c_new")), lit(0L)).as("_nn")))
+    val p = (coalesce(col("c_new"), lit(0L)).cast("double") + 1.0) /
+      (col("_nn").cast("double") + lit(vSize.toDouble))
+    val q = (coalesce(col("c_old"), lit(0L)).cast("double") + 1.0) /
+      (col("_no").cast("double") + lit(vSize.toDouble))
+    co.join(cn, Seq("term"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_q",
+        round(p * log(p / q) * lit(1000000000L)).cast("long"))
+      .select(col("term"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"),
+        col("contrib_q"))
+  }
+
   /** Overlapping token-window chunks per document — the segmentation
     * step ahead of embedding/RAG indexing and fixed-context
     * pre-training. Chunk i covers tokens `[i·stride, i·stride +

@@ -1629,6 +1629,29 @@ class PipelineSpec extends GraftSuite {
     assert(bi(1L) != bi(2L), "bigram must separate the shuffled twin")
   }
 
+  test("vocabularyDrift: hand-computed KL contributions, novel terms pool in <unk>") {
+    val s = spark
+    import s.implicits._
+    val oldC = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val newC = Seq((2L, "a b b b c")).toDF("doc_id", "text")
+    // vocab from OLD = {a, b}, V = 3; No = 4, Nn = 5 (c pools in unk)
+    val got = TextAnalysis.vocabularyDrift(oldC, newC, "text", vocab = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def contrib(cOld: Long, cNew: Long): Long = {
+      val p = (cNew + 1.0) / (5.0 + 3.0)
+      val q = (cOld + 1.0) / (4.0 + 3.0)
+      math.round(p * math.log(p / q) * 1000000000L).toLong
+    }
+    assert(got == Map(
+      "a" -> ((3L, 1L, contrib(3, 1))),
+      "b" -> ((1L, 3L, contrib(1, 3))),
+      "<unk>" -> ((0L, 1L, contrib(0, 1)))), s"drift table: $got")
+    // signs: the under-represented reference term is negative, the
+    // over-represented and the novel mass positive
+    assert(got("a")._3 < 0 && got("b")._3 > 0 && got("<unk>")._3 > 0)
+  }
+
   test("quantileGate: exact percentile_disc threshold, duplicates, keep-all and keep-top edges") {
     val s = spark
     import s.implicits._
