@@ -423,6 +423,36 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("exchange budgets hold for the r13 third-wave additions") {
+    // Ceilings measured at HEAD on sf0.001. recipe = the whole
+    // curation pipeline in one tree (pairs + clusters + quality +
+    // budget window); triplets = pair agg + the knn-side exchanges;
+    // len_gate = the value groupBy + the collapsed-histogram window
+    // (single-partition by design: it windows over DISTINCT VALUES,
+    // not rows). drift is pinned below — its full-outer join of the
+    // two ≤V+1-row term tables plans as an SMJ (full outer cannot
+    // broadcast), bounded by the vocab, not the corpus.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      ("q_doc_recipe", 4, true),
+      ("q_embed_triplets", 2, true),
+      ("q_doc_len_gate", 2, false))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      info(s"$name -> $prof")
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+    val drift = planProfile(SparkEntry.queries("q_doc_drift")(spark, dir))
+    info(s"q_doc_drift -> $drift")
+    assert(drift("shuffle") <= 4,
+      s"q_doc_drift shuffles ${drift("shuffle")} > 4 ($drift)")
+    assert(drift("smj") <= 1,
+      s"q_doc_drift gained an SMJ beyond the vocab-bounded full outer: $drift")
+  }
+
   test("exchange budget: q_embed_margin_mine tolerates its one co-partitioned SMJ") {
     // the margin join (candidates x per-source/per-target sums) runs
     // on the shuffle key both sides already carry — an SMJ there is
