@@ -216,7 +216,7 @@ object TextAnalysis {
     lmCache.clear()
   }
 
-  private def capVocab(counts: DataFrame, vocab: Int): DataFrame =
+  private[graft] def capVocab(counts: DataFrame, vocab: Int): DataFrame =
     counts.orderBy(col("cnt").desc, col("term")).limit(vocab)
 
   /** Unigram language-model score per document — the model-based

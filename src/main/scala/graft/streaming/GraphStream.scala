@@ -528,6 +528,62 @@ object GraphStream {
       vecCol, k, minMarginQ)
   }
 
+  /** Corpus drift monitoring at ingest — the streaming arm of
+    * [[graft.pipeline.TextAnalysis.vocabularyDrift]]: every
+    * micro-batch yields ITS OWN per-term KL(batch‖reference)
+    * contribution table against a standing reference corpus, the
+    * alerting signal behind "this crawl shard looks nothing like the
+    * corpus" (a spiking `<unk>` row = novel vocabulary, a large
+    * positive term = topical skew). The reference side — vocab
+    * closure, term counts, token total — collects ONCE at
+    * construction (bounded ≤ vocab+1 rows, the centroid-artifact
+    * class) and bakes into literals, so each batch costs one
+    * explode→groupBy over its own tokens and a join against the
+    * literal vocab frame; no state store, nothing re-read per batch.
+    * Per-batch output rows match [[TextAnalysis.vocabularyDrift]]
+    * (ref, batch) exactly — same closure, same add-one arithmetic,
+    * same 1e-9 grid (parity spec-pinned).
+    */
+  def driftIngestMonitor(ref: DataFrame, textCol: String,
+      vocab: Int): DataFrame => DataFrame = {
+    import graft.pipeline.TextAnalysis
+    require(vocab >= 1, s"vocab must be >= 1, got $vocab")
+    val refTop = TextAnalysis.capVocab(
+        TextAnalysis.termCountsCached(ref, textCol), vocab)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val vSize = refTop.size + 1
+    def mapped(c: Column) = transform(TextAnalysis.tokens(c), t =>
+      when(t.isInCollection(refTop), t).otherwise(lit("<unk>")))
+    val refCounts: Map[String, Long] = ref
+      .select(explode(mapped(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val no = refCounts.values.sum
+    val symbols = (refTop :+ "<unk>").toSeq
+    batch => {
+      val cn = batch.select(explode(mapped(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c_new"))
+      val base = batch.sparkSession.range(1)
+        .select(explode(typedLit(symbols)).as("term"))
+        .withColumn("c_old",
+          coalesce(element_at(typedLit(refCounts), col("term")), lit(0L)))
+      val tot = cn.agg(coalesce(sum(col("c_new")), lit(0L)).as("_nn"))
+      val p = (coalesce(col("c_new"), lit(0L)).cast("double") + 1.0) /
+        (col("_nn").cast("double") + lit(vSize.toDouble))
+      val q = (col("c_old").cast("double") + 1.0) /
+        (lit(no.toDouble) + lit(vSize.toDouble))
+      base.join(cn, Seq("term"), "left")
+        .crossJoin(broadcast(tot))
+        // symbols silent on BOTH sides don't drift (and don't appear
+        // in the batch form's full-outer either — exact parity)
+        .where(col("c_old") + coalesce(col("c_new"), lit(0L)) > 0)
+        .withColumn("contrib_q",
+          round(p * log(p / q) * lit(1000000000L)).cast("long"))
+        .select(col("term"), col("c_old"),
+          coalesce(col("c_new"), lit(0L)).as("c_new"), col("contrib_q"))
+    }
+  }
+
   /** DSIR quality filtering at ingest — the domain-shaping arm of the
     * filter family (the dedup arms drop what the corpus has SEEN; this
     * drops what the target domain doesn't WANT): keep stream rows

@@ -536,6 +536,45 @@ class StreamingSpec extends GraftSuite {
       "embedding", k = 3, iters = 2, keepNum = 0, keepDen = 1).count() == 0L)
   }
 
+  test("driftIngestMonitor: per-batch KL tables match the batch drift exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val ref = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val monitor = GraphStream.driftIngestMonitor(ref, "text", vocab = 10)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // batch parity: monitor(batch) == vocabularyDrift(ref, batch)
+    val b1 = Seq((10L, "a b b b z")).toDF("doc_id", "text")
+    assert(table(monitor(b1)) == table(
+      graft.pipeline.TextAnalysis.vocabularyDrift(ref, b1, "text", 10)),
+      "monitor must equal the batch drift on the same rows")
+    // streaming: each micro-batch yields its OWN table against the
+    // SAME standing reference
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long,
+      Map[String, (Long, Long, Long)]]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) { seen.put(id, table(monitor(b))); () } else ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((10L, "a b b b z"))
+      q.processAllAvailable()
+      mem.addData((11L, "c c c c"))
+      q.processAllAvailable()
+      val tables = seen.values()
+      assert(tables.size == 2, s"two per-batch tables: ${seen.keySet()}")
+      val expect2 = table(graft.pipeline.TextAnalysis.vocabularyDrift(
+        ref, Seq((11L, "c c c c")).toDF("doc_id", "text"), "text", 10))
+      assert(tables.contains(table(monitor(b1))) &&
+        tables.contains(expect2),
+        s"per-batch tables must match their batch-form drift: $seen")
+    } finally q.stop()
+  }
+
   test("marginMineIngest: foreachBatch margin mining matches the batch miner across micro-batches") {
     val s = spark
     import s.implicits._
