@@ -402,7 +402,12 @@ object Curation {
     require(pDen >= 1 && pNum >= 0 && pNum <= pDen,
       s"need 0 <= pNum <= pDen with pDen >= 1: $pNum/$pDen")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(valCol)).agg(count(lit(1)).as("_c"))
+    // nulls are excluded from the histogram AND from n (percentile_disc
+    // semantics) — counting them into n would inflate the index while
+    // the value gate can never keep them, silently shrinking the kept
+    // fraction of measurable rows below pNum/pDen
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(valCol)).agg(count(lit(1)).as("_c"))
       .withColumn("_cum", sum(col("_c")).over(
         Window.orderBy(col(valCol)).rowsBetween(
           Window.unboundedPreceding, Window.currentRow)))

@@ -402,12 +402,16 @@ object TextAnalysis {
     val corpusPre = biCounts.groupBy(_._1).view
       .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
     // mapped-unigram counts (≤ V+1 rows) + the scalar token total:
-    // the (1−λ) leg's add-one distribution over the SAME closure
-    val uniCounts = lmCorpus
+    // the (1−λ) leg's add-one distribution over the SAME closure.
+    // Collected once and re-parallelized (the biCounts pattern) — a
+    // live frame would re-tokenize the corpus twice: once for the
+    // total's action, once as the broadcast join input
+    val uniRows = lmCorpus
       .select(explode(mapped(col(lmTextCol))).as("_w2"))
       .groupBy(col("_w2")).agg(count(lit(1)).as("_cu"))
-    val nTok = uniCounts.agg(coalesce(sum(col("_cu")), lit(0L)))
-      .head.getLong(0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTok = uniRows.map(_._2).sum
+    val uniCounts = uniRows.toSeq.toDF("_w2", "_cu")
     val docBi = docs
       .select(col(idCol).as("_did"), explode(bigrams(col(textCol))).as("bg"))
       .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
@@ -467,14 +471,20 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as(as))
     val co = counts(oldDf, "c_old")
     val cn = counts(newDf, "c_new")
-    val tot = co.agg(coalesce(sum(col("c_old")), lit(0L)).as("_no"))
-      .crossJoin(cn.agg(coalesce(sum(col("c_new")), lit(0L)).as("_nn")))
     val p = (coalesce(col("c_new"), lit(0L)).cast("double") + 1.0) /
       (col("_nn").cast("double") + lit(vSize.toDouble))
     val q = (coalesce(col("c_old"), lit(0L)).cast("double") + 1.0) /
       (col("_no").cast("double") + lit(vSize.toDouble))
+    // token totals as whole-frame window sums over the JOINED term
+    // table (≤ V+1 rows — single-partition by design): totals as
+    // separate aggregates would re-tokenize both corpora a second
+    // time, Catalyst does not deduplicate the common subplans
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     co.join(cn, Seq("term"), "full_outer")
-      .crossJoin(broadcast(tot))
+      .withColumn("_no",
+        sum(coalesce(col("c_old"), lit(0L))).over(all))
+      .withColumn("_nn",
+        sum(coalesce(col("c_new"), lit(0L))).over(all))
       .withColumn("contrib_q",
         round(p * log(p / q) * lit(1000000000L)).cast("long"))
       .select(col("term"),

@@ -1931,8 +1931,17 @@ object VectorOps {
     */
   def prototypicalityScores(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame =
-    assignFrame(quantizedFrame(df, idCol, vecCol),
-        kmeansCentroidsQuantized(df, idCol, vecCol, k, iters))
+    prototypicalityScoresSeeded(df, idCol, vecCol,
+      kmeansCentroidsQuantized(df, idCol, vecCol, k, iters))
+
+  /** [[prototypicalityScores]] against an ALREADY-trained centroid
+    * table — for callers that hold the bounded artifact and must not
+    * pay a second Lloyd training (the streaming filter constructs
+    * centroids once and scores the same corpus with them). */
+  private[graft] def prototypicalityScoresSeeded(df: DataFrame,
+      idCol: String, vecCol: String,
+      cents: Array[Seq[Long]]): DataFrame =
+    assignFrame(quantizedFrame(df, idCol, vecCol), cents)
       .select(col("_kid").as(idCol), col("_cl").as("cluster"),
         col("_dist").as("proto_dist"))
 
@@ -1953,10 +1962,22 @@ object VectorOps {
     * giant partition.
     */
   def prototypicalityPrune(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, keepNum: Int, keepDen: Int): DataFrame = {
+      k: Int, iters: Int, keepNum: Int, keepDen: Int): DataFrame =
+    pruneScores(prototypicalityScores(df, idCol, vecCol, k, iters),
+      idCol, keepNum, keepDen)
+
+  /** [[prototypicalityPrune]] against an already-trained centroid
+    * table (see [[prototypicalityScoresSeeded]]). */
+  private[graft] def prototypicalityPruneSeeded(df: DataFrame,
+      idCol: String, vecCol: String, cents: Array[Seq[Long]],
+      keepNum: Int, keepDen: Int): DataFrame =
+    pruneScores(prototypicalityScoresSeeded(df, idCol, vecCol, cents),
+      idCol, keepNum, keepDen)
+
+  private def pruneScores(scores: DataFrame, idCol: String,
+      keepNum: Int, keepDen: Int): DataFrame = {
     require(keepDen >= 1 && keepNum >= 0 && keepNum <= keepDen,
       s"need 0 <= keepNum <= keepDen with keepDen >= 1: $keepNum/$keepDen")
-    val scores = prototypicalityScores(df, idCol, vecCol, k, iters)
     val byCl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
     scores

@@ -475,19 +475,35 @@ object GraphStream {
       idCol: String, vecCol: String, k: Int, iters: Int,
       keepNum: Int, keepDen: Int): DataFrame = {
     import graft.search.VectorOps
+    // ONE Lloyd training; the boundary pass scores the corpus against
+    // the same centroid artifact instead of retraining
     val cents = VectorOps.kmeansCentroidsQuantized(corpus, idCol,
       vecCol, k, iters)
-    val bounds = VectorOps.prototypicalityPrune(corpus, idCol, vecCol,
-        k, iters, keepNum, keepDen)
+    val bounds = VectorOps.prototypicalityPruneSeeded(corpus, idCol,
+        vecCol, cents, keepNum, keepDen)
       .groupBy(col("cluster")).agg(min(col("proto_dist")).as("_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val best = VectorOps.assignStruct(
-      VectorOps.quantizeVec(col(vecCol)), cents)
-    val bound = bounds.toSeq.sortBy(_._1)
-      .foldLeft(lit(Long.MaxValue)) { case (acc, (cl, b)) =>
-        when(best.getField("j") === cl.toInt, lit(b)).otherwise(acc)
-      }
-    stream.where(best.getField("d") >= bound)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    // boundaries as ONE literal array indexed by the winning cluster —
+    // a per-cluster CASE would re-embed the whole argmin expression in
+    // every arm (the k-quadratic tree blow-up assignFrame documents)
+    val boundArr: Seq[Long] =
+      cents.indices.map(j => bounds.getOrElse(j, Long.MaxValue))
+    // NaN components must never reach the µ-unit quantization: under
+    // ANSI the double->long cast THROWS (killing the stream on one
+    // garbage row), under legacy casting NaN becomes 0 — a fabricated
+    // far-away vector that would pass as maximally hard. The lazy
+    // `when` guards evaluation itself (CaseWhen only evaluates the
+    // matched branch), so unmeasurable rows carry a null struct and
+    // fail the comparison; wrong-length vectors null out inside the
+    // aggregate on their own
+    val measurable = !exists(col(vecCol), x => isnan(x.cast("double")))
+    val cols = stream.columns.map(col)
+    stream
+      .withColumn("_best", when(measurable, VectorOps.assignStruct(
+        VectorOps.quantizeVec(col(vecCol)), cents)))
+      .where(col("_best").getField("d") >=
+        element_at(typedLit(boundArr), col("_best").getField("j") + 1))
+      .select(cols: _*)
   }
 
   /** Margin-criterion bitext mining at ingest — the streaming arm of
@@ -521,12 +537,41 @@ object GraphStream {
   def marginMineIngest(srcRef: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int, minMarginQ: Long): DataFrame => DataFrame = {
     import graft.search.VectorOps
-    val backSums = VectorOps.marginBackwardSums(srcRef, tgt, idCol,
-      vecCol, k).persist()
-    backSums.count() // materialize the standing artifact once, not per batch
+    import graft.pipeline.Dedup
+    val key = (Dedup.planKey(srcRef), Dedup.planKey(tgt), idCol, vecCol, k)
+    var built: DataFrame = null
+    val backSums = backSumCache.synchronized {
+      val hit = backSumCache.get(key)
+      if (hit != null) hit
+      else {
+        built = VectorOps.marginBackwardSums(srcRef, tgt, idCol,
+            vecCol, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        backSumCache.put(key, built)
+        built
+      }
+    }
+    // materialize the standing artifact once, not per batch
+    if (backSums eq built) backSums.count()
     batch => VectorOps.marginMineBatch(batch, tgt, backSums, idCol,
       vecCol, k, minMarginQ)
   }
+
+  /** FIFO-bounded like GraphAlgos.projCache: a long-lived ingest
+    * server that rebuilds margin filters (the doc's "rebuild when the
+    * source distribution moves" rule) must not accumulate persisted
+    * back-sum tables; eviction unpersists the frame it owns. */
+  private val BackSumCacheMax = 4
+  private val backSumCache =
+    new java.util.LinkedHashMap[(String, String, String, String, Int), DataFrame](
+      8, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, String, Int), DataFrame]): Boolean = {
+        val evict = size() > BackSumCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Corpus drift monitoring at ingest — the streaming arm of
     * [[graft.pipeline.TextAnalysis.vocabularyDrift]]: every
@@ -567,13 +612,17 @@ object GraphStream {
         .select(explode(typedLit(symbols)).as("term"))
         .withColumn("c_old",
           coalesce(element_at(typedLit(refCounts), col("term")), lit(0L)))
-      val tot = cn.agg(coalesce(sum(col("c_new")), lit(0L)).as("_nn"))
       val p = (coalesce(col("c_new"), lit(0L)).cast("double") + 1.0) /
         (col("_nn").cast("double") + lit(vSize.toDouble))
       val q = (col("c_old").cast("double") + 1.0) /
         (lit(no.toDouble) + lit(vSize.toDouble))
+      // batch token total as a whole-frame window sum over the joined
+      // ≤vocab+1-row table — a separate aggregate would tokenize the
+      // batch twice (the vocabularyDrift fix, batch-side)
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
       base.join(cn, Seq("term"), "left")
-        .crossJoin(broadcast(tot))
+        .withColumn("_nn",
+          sum(coalesce(col("c_new"), lit(0L))).over(all))
         // symbols silent on BOTH sides don't drift (and don't appear
         // in the batch form's full-outer either — exact parity)
         .where(col("c_old") + coalesce(col("c_new"), lit(0L)) > 0)

@@ -1674,6 +1674,15 @@ class PipelineSpec extends GraftSuite {
       .toDF("id", "v")
     assert(Curation.quantileGate(dup, "id", "v", 1, 2)
       .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // null values are excluded from n (percentile_disc semantics):
+    // the threshold over {10,10,20,30,40,50} must not move when null
+    // rows join the corpus — they can never be kept anyway
+    val withNulls = Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 10L),
+      (3L, 20L), (4L, 30L), (5L, 40L), (6L, 50L), (7L, null),
+      (8L, null)).toDF("id", "v")
+    assert(Curation.quantileGate(withNulls, "id", "v", 1, 2)
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 6L),
+      "nulls must not inflate the quantile index")
     intercept[IllegalArgumentException] {
       Curation.quantileGate(df, "id", "v", 3, 2)
     }

@@ -513,6 +513,9 @@ class StreamingSpec extends GraftSuite {
     val hard = rows(6)._2
     val proto = Seq(1f, 0f, 0f, 0.00225f)
     val short2 = Seq(1f, 0f)
+    // NaN components would quantize to 0 (a fabricated far-away
+    // vector that looks maximally hard) without the explicit gate
+    val nan = Seq(Float.NaN, 0f, 0f, 0f)
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = GraphStream.protoIngestFilter(
@@ -525,11 +528,11 @@ class StreamingSpec extends GraftSuite {
       }
       .outputMode(OutputMode.Append()).start()
     try {
-      mem.addData((201L, hard), (202L, proto), (203L, short2))
+      mem.addData((201L, hard), (202L, proto), (203L, short2), (204L, nan))
       q.processAllAvailable()
       val ids = got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
       assert(ids == Set(201L),
-        s"hard copy passes, prototypical + unmeasurable drop: $ids")
+        s"hard copy passes; prototypical, wrong-length and NaN drop: $ids")
     } finally q.stop()
     // a keep-nothing reference prune keeps nothing at ingest either
     assert(GraphStream.protoIngestFilter(corpus, corpus, "vec_id",
