@@ -1321,6 +1321,16 @@ object SparkEntry {
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
         "p", "o"), steps = 3, walksPerNode = 2, seed = "w1")
     }),
+    // HITS hubs/authorities (Kleinberg) on the DIRECTED order->part
+    // bipartite relation: integer max-normalized power iteration —
+    // two-sided importance, bit-replayable (no L2 norm anywhere)
+    "q_graph_hits" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.hits(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", rounds = 2)
+    }),
     // skip-gram (center, context) pairs within 2 positions of the
     // same walk — the positive training examples a DeepWalk embedding
     // trainer consumes; multiplicity kept as the pair weight
@@ -1694,6 +1704,12 @@ object SparkEntry {
     // adapts to the distribution; all-integer ceil, no double p·n)
     "q_doc_len_gate" -> ((s, d) =>
       Curation.quantileGate(docs(s, d), "doc_id", "n_chars", 4, 5)),
+    // corpus-health diagnostics per source: type/token/hapax counts +
+    // 4dp TTR and hapax-fraction ratios — the Zipf sanity check read
+    // before heavier curation passes
+    "q_doc_health" -> ((s, d) =>
+      TextAnalysis.corpusHealthReport(docs(s, d), "doc_id", "text",
+        "source")),
     // vocabulary drift between snapshots (parity split stands in for
     // old/new crawls): top-20 per-term KL(new||old) contributions over
     // the reference vocab closure — novel terms surface in <unk>
@@ -2845,6 +2861,30 @@ object SparkEntry {
     // SAME md5(seed:start:walk:t:node) mod degree index as the engine
     "q_graph_walks" -> (walksCtes +
       " SELECT start_id, walk, step, node FROM wk"),
+    // HITS: two unrolled integer max-normalized half-step pairs over
+    // the directed bipartite edges; sums CAST back from HUGEINT
+    "q_graph_hits" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS s, " +
+      "l_partkey AS d FROM lineitem WHERE l_partkey % 100 = 0), " +
+      "h0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM e0), " +
+      "a1r AS (SELECT e.d, sum(h0.h) AS ar FROM e0 e " +
+      "JOIN h0 ON e.s = h0.s GROUP BY 1), " +
+      "a1 AS (SELECT d, CAST(ar * 1000000 // " +
+      "(SELECT max(ar) FROM a1r) AS BIGINT) AS a FROM a1r), " +
+      "h1r AS (SELECT e.s, sum(a1.a) AS hr FROM e0 e " +
+      "JOIN a1 ON e.d = a1.d GROUP BY 1), " +
+      "h1 AS (SELECT s, CAST(hr * 1000000 // " +
+      "(SELECT max(hr) FROM h1r) AS BIGINT) AS h FROM h1r), " +
+      "a2r AS (SELECT e.d, sum(h1.h) AS ar FROM e0 e " +
+      "JOIN h1 ON e.s = h1.s GROUP BY 1), " +
+      "a2 AS (SELECT d, CAST(ar * 1000000 // " +
+      "(SELECT max(ar) FROM a2r) AS BIGINT) AS a FROM a2r), " +
+      "h2r AS (SELECT e.s, sum(a2.a) AS hr FROM e0 e " +
+      "JOIN a2 ON e.d = a2.d GROUP BY 1), " +
+      "h2 AS (SELECT s, CAST(hr * 1000000 // " +
+      "(SELECT max(hr) FROM h2r) AS BIGINT) AS h FROM h2r) " +
+      "SELECT coalesce(h2.s, a2.d) AS node_id, coalesce(h2.h, 0) AS hub, " +
+      "coalesce(a2.a, 0) AS authority FROM h2 " +
+      "FULL OUTER JOIN a2 ON h2.s = a2.d"),
     // skip-gram pairs from the same walks: ordered (center, context)
     // within 2 positions of the same walk, multiplicity counted
     "q_graph_walk_pairs" -> (walksCtes + ", " +
@@ -3845,6 +3885,24 @@ object SparkEntry {
       "CAST(pc.c_xy * (SELECT nt FROM n) AS DOUBLE) / (xc.c_x * yc.c_y) " +
       "AS pmi_ratio FROM pc JOIN xc USING (x) JOIN yc USING (y) " +
       "WHERE c_xy >= 5 ORDER BY pmi_ratio DESC, x, y LIMIT 20"),
+    // corpus health: (source, term) counts -> per-source type/token/
+    // hapax aggregates, 4dp ratio rounding on both engines
+    "q_doc_health" -> ("WITH " + tokCte + ", " +
+      "occ AS (SELECT d.source, unnest(t.t) AS term FROM documents d " +
+      "JOIN toks t ON d.doc_id = t.doc_id), " +
+      "tc AS (SELECT source, term, count(*) AS c FROM occ GROUP BY 1, 2), " +
+      "agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "count(*) AS n_types, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_hapax FROM tc GROUP BY 1), " +
+      "dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) " +
+      "SELECT dc.source, dc.n_docs, coalesce(agg.n_tokens, 0) AS n_tokens, " +
+      "CAST(coalesce(agg.n_types, 0) AS BIGINT) AS n_types, " +
+      "coalesce(agg.n_hapax, 0) AS n_hapax, " +
+      "CASE WHEN agg.n_tokens > 0 THEN round(CAST(agg.n_types AS DOUBLE) / " +
+      "CAST(agg.n_tokens AS DOUBLE), 4) END AS ttr, " +
+      "CASE WHEN agg.n_types > 0 THEN round(CAST(agg.n_hapax AS DOUBLE) / " +
+      "CAST(agg.n_types AS DOUBLE), 4) END AS hapax_frac " +
+      "FROM dc LEFT JOIN agg USING (source)"),
     // vocabulary drift: reference (even-id) vocab closure, add-one
     // frequencies both sides, per-term p·ln(p/q) on the 1e-9 grid,
     // top-20 by (|contribution| desc, term)

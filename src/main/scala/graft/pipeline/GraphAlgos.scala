@@ -441,6 +441,57 @@ object GraphAlgos {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge frame — the link-analysis complement of PageRank, and on a
+    * bipartite relation (orders→parts, users→domains) the classic
+    * two-sided importance score: a hub is good because it points at
+    * good authorities and vice versa. The classic formulation
+    * L2-normalizes each half-step — irrational values no engine
+    * replays bit-for-bit — so like [[pageRank]] this runs the power
+    * iteration on an INTEGER grid: scores start at `scale`, each
+    * half-step sums the opposite side over the edges and rescales to
+    * max = `scale` by `v·scale div max(v)` (floor division, exact) —
+    * max-normalization instead of L2, same fixed point direction,
+    * bit-identical on any engine or partitioning. Per round: two
+    * equi-joins + two aggregations + two 1-row max broadcasts.
+    * Output: `(node_id, hub, authority)`, zero-filled for nodes on
+    * one side only. Overflow headroom: Σ-scores ≤ maxInDegree·scale,
+    * times `scale` ≤ 9.2e18 wants maxInDegree·scale² < 2^63 — at the
+    * default scale that is in-degrees below ~9e6; lower `scale` for
+    * denser graphs.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    val spark = edges.sparkSession
+    val store = new Scratch.FrameStore(spark)
+    val e = store.keep(edges.select(col(srcCol).cast("long").as("_s"),
+      col(dstCol).cast("long").as("_d")).distinct())
+    var h = store.keep(e.select(col("_s")).distinct()
+      .withColumn("_h", lit(scale)))
+    var a: DataFrame = h // overwritten in round 1 (rounds >= 1)
+    for (_ <- 1 to rounds) {
+      val araw = e.join(h, "_s").groupBy(col("_d"))
+        .agg(sum(col("_h")).as("_ar"))
+      val maxA = araw.agg(max(col("_ar")).as("_ma"))
+      a = store.keep(araw.crossJoin(broadcast(maxA))
+        .select(col("_d"), expr(s"_ar * $scale div _ma").as("_a")))
+      val hraw = e.join(a, "_d").groupBy(col("_s"))
+        .agg(sum(col("_a")).as("_hr"))
+      val maxH = hraw.agg(max(col("_hr")).as("_mh"))
+      h = store.keep(hraw.crossJoin(broadcast(maxH))
+        .select(col("_s"), expr(s"_hr * $scale div _mh").as("_h")))
+    }
+    val res = Scratch.stable(
+      h.select(col("_s").as("node_id"), col("_h").as("hub"))
+        .join(a.select(col("_d").as("node_id"), col("_a").as("authority")),
+          Seq("node_id"), "full_outer")
+        .na.fill(0L, Seq("hub", "authority")))
+    store.release()
+    res
+  }
+
   def bfsDistances(edges: DataFrame, seeds: Seq[Long],
       maxDepth: Int = 8): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")

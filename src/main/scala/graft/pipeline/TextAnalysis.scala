@@ -441,6 +441,39 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bigrams"))
   }
 
+  /** Corpus-health report per source: type/token statistics — the
+    * quick diagnostic a curation run reads BEFORE committing to
+    * heavier passes (a collapsing type-token ratio flags template
+    * spam / dedup failures; a collapsing hapax fraction flags
+    * boilerplate floods — natural text keeps roughly half its types
+    * as hapax legomena under Zipf). Per source: document count, token
+    * count, distinct types, hapax count (types occurring once), and
+    * the 4dp type-token + hapax-fraction ratios (rounded so both
+    * engines emit identical doubles). One explode → (source, term)
+    * hash aggregation → one per-source aggregation; the doc count
+    * rides a separate tiny agg joined back — nothing quadratic.
+    */
+  def corpusHealthReport(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val tc = df.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("source"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val docs = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(tc, Seq("source"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_types", "n_hapax"))
+      .withColumn("ttr", when(col("n_tokens") > 0,
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 4)))
+      .withColumn("hapax_frac", when(col("n_types") > 0,
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 4)))
+  }
+
   /** Vocabulary drift between two corpus snapshots — the monitoring
     * op behind "did the new crawl shift the token distribution?": the
     * per-term KL(new‖old) contribution `p·ln(p/q)` over the REFERENCE

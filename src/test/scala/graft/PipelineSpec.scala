@@ -1344,6 +1344,52 @@ class PipelineSpec extends GraftSuite {
       Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("hits: integer max-normalized rounds match a hand replay; one-sided nodes zero-fill") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 10L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 11L)).toDF("o", "p")
+    // two hand-unrolled rounds at scale 1e6 (floor division):
+    // r1: a = (1e6, 1e6, 5e5) for (10, 11, 12); h = (75e4, 1e6, 5e5)
+    // r2: a_raw = (1.75e6, 1.5e6, 75e4) -> a = (1e6, 857142, 428571)
+    //     h_raw = (1428571, 1857142, 857142) -> h = (769230, 1e6, 461538)
+    val got = GraphAlgos.hits(edges, "o", "p", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((769230L, 0L)), 2L -> ((1000000L, 0L)), 3L -> ((461538L, 0L)),
+      10L -> ((0L, 1000000L)), 11L -> ((0L, 857142L)),
+      12L -> ((0L, 428571L))), s"hits table: $got")
+    // partitioning independence: integer arithmetic end to end
+    val rep = GraphAlgos.hits(edges.repartition(5), "o", "p", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rep == got, "partitioning must not change HITS scores")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.hits(edges, "o", "p", rounds = 0)
+    }
+  }
+
+  test("corpusHealthReport: hand-counted types/tokens/hapax, tokenless source nulls ratios") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a", "s1"), (2L, "c", "s1"), (3L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusHealthReport(docs, "doc_id", "text",
+        "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))).toMap
+    // s1: 4 tokens {a,b,a,c}, 3 types, hapax {b,c}; ttr 0.75,
+    // hapax 2/3 -> 0.6667
+    assert(got("s1") == ((2L, 4L, 3L, 2L, 0.75, 0.6667)),
+      s"s1: ${got("s1")}")
+    val s2 = got("s2")
+    assert(s2._1 == 1L && s2._2 == 0L && s2._3 == 0L && s2._4 == 0L &&
+      s2._5.isNaN && s2._6.isNaN, s"tokenless source: $s2")
+  }
+
   test("walkSkipGramPairs: window pairs with multiplicity, no cross-walk leakage") {
     val s = spark
     import s.implicits._
