@@ -451,6 +451,22 @@ class PlanShapeSpec extends GraftSuite {
     // drift's totals are whole-frame window sums over the joined
     // ≤V+1-row term table (separate total aggregates measured one more
     // shuffle each — they re-tokenized both corpora a second time)
+    // hits serves its stabilized frame (the per-round joins ran
+    // through the iterative store — an exchange here would mean the
+    // stabilization regressed); health is the (source, term) agg +
+    // per-source agg + the tiny doc-count broadcast join
+    val wave4: Seq[(String, Int, Boolean)] = Seq(
+      ("q_graph_hits", 0, false),
+      ("q_doc_health", 3, true))
+    wave4.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      info(s"$name -> $prof")
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
     val drift = planProfile(SparkEntry.queries("q_doc_drift")(spark, dir))
     info(s"q_doc_drift -> $drift")
     assert(drift("shuffle") <= 3,
