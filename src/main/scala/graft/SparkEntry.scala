@@ -1704,6 +1704,12 @@ object SparkEntry {
     // adapts to the distribution; all-integer ceil, no double p·n)
     "q_doc_len_gate" -> ((s, d) =>
       Curation.quantileGate(docs(s, d), "doc_id", "n_chars", 4, 5)),
+    // the per-SOURCE quantile gate: every source keeps docs at/above
+    // its OWN 4/5 length quantile — a verbose source's cutoff never
+    // gates a terse one
+    "q_doc_len_gate_src" -> ((s, d) =>
+      Curation.quantileGateBy(docs(s, d), "source", "doc_id",
+        "n_chars", 4, 5)),
     // corpus-health diagnostics per source: type/token/hapax counts +
     // 4dp TTR and hapax-fraction ratios — the Zipf sanity check read
     // before heavier curation passes
@@ -3885,6 +3891,17 @@ object SparkEntry {
       "CAST(pc.c_xy * (SELECT nt FROM n) AS DOUBLE) / (xc.c_x * yc.c_y) " +
       "AS pmi_ratio FROM pc JOIN xc USING (x) JOIN yc USING (y) " +
       "WHERE c_xy >= 5 ORDER BY pmi_ratio DESC, x, y LIMIT 20"),
+    // per-source quantile gate: the same count-histogram keyed by
+    // source, per-group integer-ceil thresholds
+    "q_doc_len_gate_src" -> ("WITH c AS (SELECT source, n_chars, " +
+      "count(*) AS c FROM documents GROUP BY 1, 2), " +
+      "k AS (SELECT source, n_chars, sum(c) OVER (PARTITION BY source " +
+      "ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum, " +
+      "sum(c) OVER (PARTITION BY source) AS n FROM c), " +
+      "t AS (SELECT source, min(n_chars) AS t FROM k " +
+      "WHERE cum >= (4 * n + 4) // 5 GROUP BY 1) " +
+      "SELECT d.doc_id, d.source, d.n_chars FROM documents d " +
+      "JOIN t ON d.source = t.source WHERE d.n_chars >= t.t"),
     // corpus health: (source, term) counts -> per-source type/token/
     // hapax aggregates, 4dp ratio rounding on both engines
     "q_doc_health" -> ("WITH " + tokCte + ", " +

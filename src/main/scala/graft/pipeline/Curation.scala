@@ -423,6 +423,37 @@ object Curation {
       .drop("_thr")
   }
 
+  /** [[quantileGate]] per group: every `grpCol` value keeps rows at or
+    * above its OWN exact pNum/pDen quantile — per-source dynamic
+    * thresholding ("drop every source's shortest 20%"), so a verbose
+    * source's cutoff never gates a terse one (the per-source analog of
+    * the per-source caps/budgets). Same all-integer index and
+    * null-exclusion contract; the histogram groupBy now keys on
+    * (group, value) and the thresholds (one row per group) broadcast
+    * to the gate join. Output: `(idCol, grpCol, valCol)` kept rows.
+    */
+  def quantileGateBy(df: DataFrame, grpCol: String, idCol: String,
+      valCol: String, pNum: Int, pDen: Int): DataFrame = {
+    require(pDen >= 1 && pNum >= 0 && pNum <= pDen,
+      s"need 0 <= pNum <= pDen with pDen >= 1: $pNum/$pDen")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(grpCol), col(valCol)).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(col(grpCol)).orderBy(col(valCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(col(grpCol))))
+    val thr = counts
+      .where(col("_cum") >=
+        expr(s"($pNum * _n + ${pDen - 1}) div $pDen"))
+      .groupBy(col(grpCol)).agg(min(col(valCol)).as("_thr"))
+    df.select(col(idCol), col(grpCol), col(valCol))
+      .join(broadcast(thr), Seq(grpCol))
+      .where(col(valCol) >= col("_thr"))
+      .select(col(idCol), col(grpCol), col(valCol))
+  }
+
   /** Corpus snapshot diff: per-id status between two corpus versions —
     * `added` (only in `newDf`), `removed` (only in `oldDf`), `changed`
     * (both, content hash differs), `unchanged`. The incremental-crawl

@@ -1732,6 +1732,15 @@ class PipelineSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       Curation.quantileGate(df, "id", "v", 3, 2)
     }
+    // grouped form: each group's threshold is its OWN quantile —
+    // g1 {10,20,30,40} at 1/2 -> ceil(2)=2nd smallest = 20;
+    // g2 {100,200} at 1/2 -> 1st smallest = 100 (everything kept)
+    val grouped = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+      (4L, "g1", 40L), (5L, "g2", 100L), (6L, "g2", 200L))
+      .toDF("id", "g", "v")
+    assert(Curation.quantileGateBy(grouped, "g", "id", "v", 1, 2)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 5L, 6L),
+      "per-group thresholds must be independent")
   }
 
   test("interpolatedLmScoreReport: hand-computed JM mix, both backoff legs, lambda bounds") {
