@@ -457,7 +457,8 @@ class PlanShapeSpec extends GraftSuite {
     // per-source agg + the tiny doc-count broadcast join
     val wave4: Seq[(String, Int, Boolean)] = Seq(
       ("q_graph_hits", 0, false),
-      ("q_doc_health", 3, true))
+      ("q_doc_health", 3, true),
+      ("q_doc_len_gate_src", 2, true))
     wave4.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       info(s"$name -> $prof")
