@@ -573,6 +573,30 @@ object GraphStream {
       }
     }
 
+  /** Quantile gating at ingest — the streaming arm of
+    * [[graft.pipeline.Curation.quantileGate]]: the reference corpus's
+    * exact pNum/pDen threshold collects ONCE at construction (one
+    * long) and the stream keeps rows at or above it — a pure column
+    * predicate, no state, no shuffle (the dsirIngestFilter shape).
+    * Same semantics as re-running the batch gate with the reference
+    * corpus's threshold: the cutoff is pinned to the REFERENCE
+    * distribution (streams have no global quantile), so like the DSIR
+    * and margin filters, rebuild when the distribution moves. Null
+    * values never pass (the batch gate's null contract). Refuses an
+    * empty/all-null reference — there is no threshold to pin.
+    */
+  def quantileGateIngestFilter(stream: DataFrame, corpus: DataFrame,
+      valCol: String, pNum: Int, pDen: Int): DataFrame = {
+    import graft.pipeline.Curation
+    val thr = Curation.quantileGate(
+        corpus.select(lit(0L).as("_qid"), col(valCol)), "_qid", valCol,
+        pNum, pDen)
+      .agg(min(col(valCol)).as("_t")).head
+    require(!thr.isNullAt(0),
+      "quantileGateIngestFilter: empty or all-null reference corpus")
+    stream.where(col(valCol) >= lit(thr.get(0)))
+  }
+
   /** Corpus drift monitoring at ingest — the streaming arm of
     * [[graft.pipeline.TextAnalysis.vocabularyDrift]]: every
     * micro-batch yields ITS OWN per-term KL(batch‖reference)

@@ -539,6 +539,36 @@ class StreamingSpec extends GraftSuite {
       "embedding", k = 3, iters = 2, keepNum = 0, keepDen = 1).count() == 0L)
   }
 
+  test("quantileGateIngestFilter: reference threshold gates the stream, nulls drop, empty reference refuses") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // reference {10,10,20,30,40,50} at 1/2 -> threshold = 20
+    val corpus = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L),
+      (5L, 40L), (6L, 50L)).toDF("id", "v")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[(Long, java.lang.Long)]
+    val q = GraphStream.quantileGateIngestFilter(
+        mem.toDF().toDF("id", "v"), corpus, "v", 1, 2)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("id").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((101L, 15L), (102L, 20L), (103L, null), (104L, 100L))
+      q.processAllAvailable()
+      val ids = got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+      assert(ids == Set(102L, 104L),
+        s"at/above the reference threshold pass, below + null drop: $ids")
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      GraphStream.quantileGateIngestFilter(
+        mem.toDF().toDF("id", "v"), corpus.where(lit(false)), "v", 1, 2)
+    }
+  }
+
   test("driftIngestMonitor: per-batch KL tables match the batch drift exactly") {
     val s = spark
     import s.implicits._
