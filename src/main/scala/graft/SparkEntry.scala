@@ -1146,6 +1146,28 @@ object SparkEntry {
     "q_doc_cross_pairs" -> ((s, d) =>
       Dedup.crossJaccardPairsFused(docs(s, d), "text", "doc_id",
         id => id % 2 === 1, n = 3, num = 3, den = 10)),
+    // the INCREMENTAL-CRAWL pipeline in one plan: snapshotDiff picks
+    // the added+changed docs of the new snapshot, and ONLY those
+    // (id-offset +10000) probe the standing corpus for near-dups —
+    // the re-dedup work is proportional to the delta, not the corpus;
+    // changed docs match their own standing originals by construction
+    "q_doc_incr_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val v1 = dd.select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 2 === 0)
+      val v2 = dd.select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .where(col("doc_id") % 3 =!= 0)
+      val fresh = v2.join(
+        Curation.snapshotDiff(v1, v2, "doc_id", "text")
+          .where(col("status").isin("added", "changed"))
+          .select("doc_id"), "doc_id")
+      val all = v1.unionByName(fresh
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.crossJaccardPairsFused(all, "text", "doc_id",
+        id => id >= 10000, n = 3, num = 3, den = 10)
+    }),
     // incremental containment: new-batch docs (odd ids) vs the
     // standing corpus, directional at 80%, no within-side pairs
     "q_doc_containment_cross" -> ((s, d) =>
@@ -3495,6 +3517,38 @@ object SparkEntry {
       "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
       "FROM sh a JOIN sh b ON a.s = b.s " +
       "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2) " +
+      "SELECT id_a, id_b FROM inter " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
+      "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
+    // incremental pipeline: diff statuses -> fresh (added+changed)
+    // batch at +10000 ids -> the cross-Jaccard replay over the union
+    // corpus (the tok/shingle chain re-instantiated over `corp`)
+    "q_doc_incr_dedup" -> ("WITH v1 AS (SELECT doc_id, text " +
+      "FROM documents WHERE doc_id % 2 = 0), " +
+      "v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+      "THEN text || ' v2' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 3 <> 0), " +
+      "st AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, " +
+      "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+      "WHEN b.doc_id IS NULL THEN 'removed' " +
+      "WHEN md5(a.text) <> md5(b.text) THEN 'changed' " +
+      "ELSE 'unchanged' END AS status " +
+      "FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id), " +
+      "fresh AS (SELECT v2.doc_id, v2.text FROM v2 JOIN st USING (doc_id) " +
+      "WHERE st.status IN ('added', 'changed')), " +
+      "corp AS (SELECT doc_id, text FROM v1 " +
+      "UNION ALL SELECT doc_id + 10000, text FROM fresh), " +
+      "toks2 AS (SELECT doc_id, list_filter(string_split_regex(" +
+      "lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM corp), " +
+      "sh2 AS (SELECT DISTINCT doc_id, " +
+      "('0x' || substr(md5(s0), 1, 15))::BIGINT AS s FROM " +
+      "(SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) " +
+      "ELSE [array_to_string(t, ' ')] END) AS s0 FROM toks2)), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM sh2 a JOIN sh2 b ON a.s = b.s " +
+      "WHERE a.doc_id < 10000 AND b.doc_id >= 10000 GROUP BY 1, 2) " +
       "SELECT id_a, id_b FROM inter " +
       "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b " +
       "WHERE i * 10 >= 3 * (sa.sz + sb.sz - i)"),
