@@ -458,7 +458,10 @@ class PlanShapeSpec extends GraftSuite {
     val wave4: Seq[(String, Int, Boolean)] = Seq(
       ("q_graph_hits", 0, false),
       ("q_doc_health", 3, true),
-      ("q_doc_len_gate_src", 2, true))
+      ("q_doc_len_gate_src", 2, true),
+      // the whole incremental pipeline (diff full-outer + fresh gate +
+      // shingle chains + cross join-verify) in one tree
+      ("q_doc_incr_dedup", 7, true))
     wave4.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       info(s"$name -> $prof")
