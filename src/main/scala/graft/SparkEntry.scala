@@ -2114,31 +2114,45 @@ object SparkEntry {
     "CAST(eb.embedding AS DOUBLE[])) >= 0.42)"
 
   // Difference-margin mining replay (parity-split sides, k=4), shared
-  // by the best-per-source and mutual-best oracles: top-4 each
-  // direction selected on the 1e-9 QUANTIZED cosine (the knn kernel's
-  // q9 selection grid — a raw-double window here flaked the r12
-  // driver run when a rank-4 ULP near-tie flipped under DuckDB's
-  // join-order SIMD drift), so candidate sets, sums, margins, and
-  // argmax all replay in integers; `pf` is each source's margin
+  // by the best-per-source and mutual-best oracles. NO FLOAT exists
+  // anywhere in this contract: vectors quantize to µ-unit integer
+  // unit vectors exactly as the engine's l2NormalizeQuantized
+  // (round(x·1e6) longs → exact integer norm² → floor(sqrt) →
+  // trunc-toward-zero division — every double intermediate is either
+  // an exactly-representable integer or a single correctly-rounded
+  // IEEE op, identical on any build), and the score is the exact
+  // integer dot product (components ≤ 1e6, 64-dim sums ≤ 6.4e13 <
+  // 2^53, so list_dot_product over DOUBLE[] is exact in ANY summation
+  // order / SIMD width / FMA mode — CAST back to BIGINT is lossless).
+  // History: the r12/r13 driver flakes were last-ULP
+  // list_cosine_similarity drift flipping a q9 grid cell (judge
+  // measured candidates 1.4e-13-in-cosine from a boundary); an
+  // integer contract cannot drift. `pf` is each source's margin
   // argmax.
-  private val marginCtes = "WITH src AS (SELECT vec_id, " +
-    "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
-    "WHERE vec_id % 2 = 0), " +
-    "tgt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
-    "FROM embeddings WHERE vec_id % 2 = 1), " +
+  private val marginCtes = "WITH uq AS MATERIALIZED (SELECT vec_id, " +
+    "CASE WHEN nrm = 0 THEN list_transform(q, x -> CAST(0 AS BIGINT)) " +
+    "ELSE list_transform(q, x -> " +
+    "CAST(trunc(CAST(x * 1000000 AS DOUBLE) / nrm) AS BIGINT)) END AS v " +
+    "FROM (SELECT vec_id, q, CAST(floor(sqrt(CAST(" +
+    "list_sum(list_transform(q, x -> x * x)) AS DOUBLE))) AS BIGINT) AS nrm " +
+    "FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+    "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings)) " +
+    "WHERE nrm > 0), " +
+    "src AS (SELECT vec_id, v FROM uq WHERE vec_id % 2 = 0), " +
+    "tgt AS (SELECT vec_id, v FROM uq WHERE vec_id % 2 = 1), " +
     "cand AS MATERIALIZED (SELECT s.vec_id AS sid, t.vec_id AS tid, " +
-    "list_cosine_similarity(s.v, t.v) AS c FROM src s CROSS JOIN tgt t), " +
-    "fk AS MATERIALIZED (SELECT sid, tid, " +
-    "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
+    "CAST(list_dot_product(CAST(s.v AS DOUBLE[]), CAST(t.v AS DOUBLE[])) " +
+    "AS BIGINT) AS qc FROM src s CROSS JOIN tgt t), " +
+    "fk AS MATERIALIZED (SELECT sid, tid, qc FROM cand " +
     "QUALIFY row_number() OVER (PARTITION BY sid " +
-    "ORDER BY CAST(round(c * 1000000000) AS BIGINT) DESC, tid) <= 4), " +
-    "bk AS MATERIALIZED (SELECT sid, tid, " +
-    "CAST(round(c * 1000000000) AS BIGINT) AS qc FROM cand " +
+    "ORDER BY qc DESC, tid) <= 4), " +
+    "bk AS MATERIALIZED (SELECT sid, tid, qc FROM cand " +
     "QUALIFY row_number() OVER (PARTITION BY tid " +
-    "ORDER BY CAST(round(c * 1000000000) AS BIGINT) DESC, sid) <= 4), " +
-    "a AS (SELECT sid, sum(qc) AS sa FROM fk GROUP BY 1), " +
-    "b AS (SELECT tid, sum(qc) AS sb FROM bk GROUP BY 1), " +
-    "fm AS (SELECT f.sid, f.tid, 8 * f.qc - a.sa - b.sb AS margin_q " +
+    "ORDER BY qc DESC, sid) <= 4), " +
+    "a AS (SELECT sid, CAST(sum(qc) AS BIGINT) AS sa FROM fk GROUP BY 1), " +
+    "b AS (SELECT tid, CAST(sum(qc) AS BIGINT) AS sb FROM bk GROUP BY 1), " +
+    "fm AS (SELECT f.sid, f.tid, " +
+    "CAST(8 * f.qc - a.sa - b.sb AS BIGINT) AS margin_q " +
     "FROM fk f JOIN a ON f.sid = a.sid JOIN b ON f.tid = b.tid), " +
     "pf AS MATERIALIZED (SELECT sid, tid, margin_q FROM fm " +
     "QUALIFY row_number() OVER (PARTITION BY sid " +

@@ -184,6 +184,33 @@ object VectorOps {
             x => ((x * scale).cast("double") / col("_lnq_norm")).cast("long"))))
       .drop("_lnq_q", "_lnq_norm")
 
+  /** True iff every component of a float/double array column is
+    * finite. A NaN/±Inf component poisons integer-quantized pipelines
+    * silently (round(NaN)→NULL/0 depending on mode, Inf quantizes to
+    * Long.MaxValue and wraps the very first multiply), so every
+    * quantized-arithmetic entry point filters on this BEFORE staging
+    * — mirroring the knn kernels' degenerate-row exclusion.
+    */
+  private[graft] def finiteVec(c: Column): Column =
+    !exists(c, x => isnan(x.cast("double")) ||
+      abs(x.cast("double")) === lit(Double.PositiveInfinity))
+
+  /** Exact integer dot product of two `array<long>` columns — a pure
+    * long fold, order-free and bit-identical on any engine/partition
+    * layout. Over [[l2NormalizeQuantized]] µ-unit vectors the value is
+    * ≈ cosine·1e12 with |result| ≤ scale² = 1e12 (Cauchy–Schwarz), so
+    * 64-dim sums sit 6 decimal orders below 2^63 and, cast to double,
+    * below 2^53 — which is why the DuckDB oracle can mirror it as
+    * `CAST(list_dot_product(CAST(v AS DOUBLE[]), …) AS BIGINT)`: every
+    * intermediate is an integer exactly representable in double, so
+    * ANY summation order (SIMD width, FMA, thread count) produces the
+    * same bits. This is the margin-mining selection key: no float
+    * exists anywhere in the contract, so a different DuckDB build
+    * cannot flip a candidate the way last-ULP cosine drift did.
+    */
+  def intDotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Deterministic ±1 sign for the random projection: parity of the
     * first hex nibble of `md5("rp:<i>:<j>")`. Any engine with a
     * standard MD5 reproduces it — the DuckDB oracle recomputes the
@@ -653,29 +680,235 @@ object VectorOps {
       .select(col("query_id").as(idCol), col("_qscore").as("kth_qcos"))
   }
 
+  /** Batch top-k by EXACT integer dot product over pre-quantized
+    * `array<long>` vectors (the [[l2NormalizeQuantized]] µ-unit form).
+    * Same plan shape as [[knnJoin]] — the bounded query batch is
+    * broadcast, each corpus partition keeps a k-bounded heap per query
+    * (map-side top-k combine), only numPartitions·k candidates per
+    * query reach the final window; an over-cap query side reroutes to
+    * the distributed cluster join (exact: every cluster probed).
+    *
+    * The difference from the cosine kernels is the CONTRACT: the
+    * selection key `_qdot` is a pure long function of the input longs
+    * — no float is computed anywhere, so the key is bit-identical on
+    * any engine, SIMD width, FMA setting, or summation order. This is
+    * what closes the cross-binary oracle flake the q9 grid could only
+    * narrow (r13 driver artifact: candidates measured 1.4e-13-in-
+    * cosine from a q9 boundary — a different DuckDB build's
+    * `list_cosine_similarity` diverges by more than that and flips a
+    * cell; an integer dot cannot drift at all). Output:
+    * (query_id, neighbor_id, rank, _qdot), rank 1-based on
+    * (_qdot DESC, neighbor_id ASC).
+    */
+  def intDotTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      qvecCol: String, k: Int, excludeSelf: Boolean = false,
+      excludeLabelCol: Option[String] = None,
+      keepLabelCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val labelSource = excludeLabelCol.orElse(keepLabelCol)
+    val labelExpr = labelSource.map(l => col(l).cast("string"))
+      .getOrElse(lit(null).cast("string"))
+    val maxBatch = knnQueryBatchMax(spark)
+    val qsRaw = queries
+      .select(col(idCol).cast("long"), col(qvecCol), labelExpr)
+      .limit(maxBatch + 1).as[(Long, Array[Long], String)].collect()
+    if (qsRaw.length > maxBatch) {
+      knnEscalations.incrementAndGet()
+      return intDotTopKDistributed(corpus, queries, idCol, qvecCol, k,
+        excludeSelf, excludeLabelCol, keepLabelCol)
+    }
+    val qs = qsRaw.sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(qs.map { case (id, v, _) => (id, v) })
+    val bcL = spark.sparkContext.broadcast(
+      if (excludeLabelCol.isDefined) qs.map(_._3) else null)
+    val bcQL = spark.sparkContext.broadcast(
+      if (keepLabelCol.isDefined) qs.map(_._3) else null)
+    // worst-first: pop = lowest dot, then highest id (the entry the
+    // next candidate must beat under (dot DESC, id ASC) selection)
+    val worstFirst = Ordering.by[(Long, Long, String), (Long, Long)] {
+      case (d, id, _) => (-d, id)
+    }
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(qvecCol), labelExpr)
+      .as[(Long, Array[Long], String)].mapPartitions { it =>
+        val q = bcQ.value; val ql = bcL.value; val qkl = bcQL.value
+        val heaps = Array.fill(q.length)(
+          new scala.collection.mutable.PriorityQueue[(Long, Long, String)]()(worstFirst))
+        it.foreach { case (cid, cv, clbl) =>
+          var qi = 0
+          while (qi < q.length) {
+            val (qid, qv) = q(qi)
+            // null-safe label exclusion mirrors the float kernel: equal
+            // labels (null == null included) are never negatives
+            val labelOk = ql == null || ql(qi) != clbl
+            if (labelOk && !(excludeSelf && cid == qid)) {
+              var d = 0L; var j = 0
+              while (j < qv.length) { d += cv(j) * qv(j); j += 1 }
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((d, cid, clbl))
+              else {
+                val w = h.head
+                if (d > w._1 || (d == w._1 && cid < w._2)) {
+                  h.dequeue(); h.enqueue((d, cid, clbl))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, cid, nl) =>
+            (q(qi)._1, cid, d, if (qkl == null) null else qkl(qi), nl)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "_qdot",
+        "query_label", "neighbor_label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_qdot").desc, col("neighbor_id").asc)
+    val ranked = partial.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+    val keep = Seq(col("query_id"), col("neighbor_id"), col("rank"),
+      col("_qdot")) ++
+      (if (keepLabelCol.isDefined)
+        Seq(col("query_label"), col("neighbor_label")) else Nil)
+    ranked.select(keep: _*)
+  }
+
+  /** The over-cap reroute of [[intDotTopK]]: co-partition both sides
+    * on a cluster id from an IVF model over the float view of the
+    * quantized vectors, probing ALL clusters — the model only decides
+    * WHERE pairs meet (an equi-join instead of a driver broadcast),
+    * never WHETHER they meet, so ranks are bit-equal to the broadcast
+    * kernel (same exact long key, same id tie-break). Same discipline
+    * as [[knnJoinDistributed]] at nprobe = nlist.
+    */
+  private def intDotTopKDistributed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qvecCol: String, k: Int, excludeSelf: Boolean,
+      excludeLabelCol: Option[String] = None,
+      keepLabelCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labelExpr = excludeLabelCol.orElse(keepLabelCol)
+      .map(l => col(l).cast("string")).getOrElse(lit(null).cast("string"))
+    val fv = (c: Column) =>
+      transform(c, x => (x.cast("double") / 1000000.0).cast("float"))
+    val cf = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(qvecCol).as("_nv"), labelExpr.as("_nl"))
+      .withColumn("_fv", fv(col("_nv")))
+    val model = trainIvfCached(cf, "_fv", corpus.sparkSession.conf
+      .get("graft.search.knnEscalateNlist", "64").toInt)
+    val nlist = model.centroids.length
+    val c = assignCluster(cf, "_fv", model.centroids).drop("_fv")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(qvecCol).as("_qv"), labelExpr.as("_ql"))
+      .withColumn("_cluster", explode(sequence(lit(0), lit(nlist - 1))))
+    val scored = q.join(c, Seq("_cluster"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .where(if (excludeLabelCol.isDefined) !(col("_ql") <=> col("_nl"))
+        else lit(true))
+      .withColumn("_qdot", intDotCol(col("_qv"), col("_nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_qdot").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+    val keep = Seq(col("query_id"), col("neighbor_id"), col("rank"),
+      col("_qdot")) ++
+      (if (keepLabelCol.isDefined) Seq(col("_ql").as("query_label"),
+        col("_nl").as("neighbor_label")) else Nil)
+    ranked.select(keep: _*)
+  }
+
+  /** Stage µ-unit integer vectors for the integer-dot knn family: rows
+    * with non-finite or zero-norm vectors are dropped (not rankable —
+    * mirrors the float kernels' degenerate exclusion; the oracle
+    * mirrors with `WHERE nrm > 0`), every survivor carries `_uq` = the
+    * exact [[l2NormalizeQuantized]] unit vector. `extra` columns ride
+    * along (labels).
+    */
+  private def stagedUnit(df: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[String] = Nil): DataFrame =
+    l2NormalizeQuantizedStaged(df.where(finiteVec(col(vecCol))), vecCol, "_uq")
+      .where(exists(col("_uq"), x => x =!= 0L))
+      .select((idCol +: "_uq" +: extra).map(col): _*)
+
+  /** [[knnJoin]] on the INTEGER-DOT contract: ranks by the exact long
+    * dot product of [[l2NormalizeQuantized]] µ-unit vectors (`_qdot`
+    * ≈ cosine·1e12) instead of the q9-quantized float cosine. Use this
+    * for every analytics query whose OUTPUT exposes the selected set
+    * or a score-derived value (purity sums, isolation scores, eval
+    * ranks, mined pairs): the boundary audit measured q9-grid
+    * candidates ~1.5e-6 grid units from a rounding boundary on the
+    * real corpus, so a cross-binary last-ULP cosine drift can flip a
+    * cell — the integer key cannot drift at all. The float kernels
+    * remain the serving-tier contract (raw cosine semantics,
+    * recall-gated). Same plan shape: one corpus scan, per-partition
+    * k-heaps, auto-escalation past the query-batch cap.
+    */
+  def intKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
+    intDotTopK(stagedUnit(corpus, idCol, vecCol),
+      stagedUnit(queries, idCol, vecCol), idCol, "_uq", k, excludeSelf)
+
+  /** [[knnJoinLabeled]] on the integer-dot contract — both sides'
+    * labels ride the kernel scan for purity/leakage analyses. */
+  def intKnnJoinLabeled(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame =
+    intDotTopK(stagedUnit(corpus, idCol, vecCol, Seq(labelCol)),
+      stagedUnit(queries, idCol, vecCol, Seq(labelCol)), idCol, "_uq", k,
+      excludeSelf, keepLabelCol = Some(labelCol))
+
+  /** [[hardNegatives]] on the integer-dot contract — top-k nearest
+    * DIFFERENT-label rows per query, null-safe label gate inside the
+    * heap kernel. */
+  def intHardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
+    intDotTopK(stagedUnit(corpus, idCol, vecCol, Seq(labelCol)),
+      stagedUnit(queries, idCol, vecCol, Seq(labelCol)), idCol, "_uq", k,
+      excludeSelf = true, excludeLabelCol = Some(labelCol))
+
+  /** [[kthNeighborScore]] on the integer-dot contract: (id, kth_qdot)
+    * where `kth_qdot` is the exact integer dot of the rank-k neighbor
+    * — the isolation score a cleaning pipeline exposes, now a pure
+    * integer function of the parquet bytes. */
+  def intKthNeighborScore(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    intKnnJoin(df, df, idCol, vecCol, k).where(col("rank") === k)
+      .select(col("query_id").as(idCol), col("_qdot").as("kth_qdot"))
+  }
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 —
     * the bitext-mining criterion behind CCMatrix/LASER corpora): a
     * raw cosine threshold can't separate true translation pairs from
     * hubs (rows cosine-close to EVERYTHING), so each candidate is
     * scored against the competition — here the DIFFERENCE margin
-    * `cos(x,y) − (avgK_fwd(x) + avgK_bwd(y))/2`, computed integer-
-    * exactly over 1e-9-quantized cosines as
+    * `score(x,y) − (avgK_fwd(x) + avgK_bwd(y))/2`, computed as
     * `margin_q = 2k·qc(x,y) − ΣtopK_fwd(x) − ΣtopK_bwd(y)` (2k clears
-    * both /k and /2; ordering is unchanged, and integer margins make
-    * the per-source argmax replayable on any engine). Top-k selection
-    * on both directions is the [[knnJoinScored]] kernel, ordered on
-    * the SAME 1e-9 grid the sums consume (`_qc` = the selection key
-    * `_qscore` verbatim — candidate set and margin arithmetic replay
-    * together; raw-double selection flaked the r12 driver run at a
-    * rank-4 ULP tie, see [[q9]]), so the mining inherits its scale
-    * shape: two batch kNN joins that auto-escalate to the distributed
-    * cluster join past the collect cap, then bounded candidate-set
-    * joins (≤ n·k rows) and one integer window per source. Degenerate
-    * (zero-norm/NaN) vectors never enter a candidate set — both knn
-    * paths drop them before ranking — so each sum spans k real
-    * candidates and no null `_qc` exists downstream; a degenerate
-    * SOURCE simply has no candidates and is absent from the output.
-    * Emits each source's best target by
+    * both /k and /2; ordering is unchanged).
+    *
+    * The score is the EXACT INTEGER dot product of
+    * [[l2NormalizeQuantized]] µ-unit vectors (≈ cosine·1e12) — no
+    * float exists anywhere in the contract, so candidate sets, sums,
+    * margins and argmaxes are pure integer functions of the parquet
+    * bytes, identical on any engine/build/SIMD width. (History: r12
+    * selected on raw doubles and flaked at a rank-4 ULP tie; r13
+    * quantized the cosine on the q9 grid, which closed same-binary
+    * replay but left candidates measured 1.4e-13-in-cosine from a
+    * grid boundary — a DIFFERENT DuckDB build diverges past that and
+    * flips a cell. Removing the float closes the class.)
+    *
+    * Top-k selection on both directions is the [[intDotTopK]] kernel
+    * (same 100 TB shape as the knn family: broadcast heaps
+    * auto-escalating to the distributed cluster join), then bounded
+    * candidate-set joins (≤ n·k rows) and one integer window per
+    * source. Degenerate (zero-norm/non-finite) vectors never enter a
+    * candidate set; headroom: |qc| ≤ 1e12, so k=4 sums and 2k·qc stay
+    * 6 decimal orders below 2^63 (the oracle's HUGEINT sums cast back
+    * to BIGINT losslessly). Emits each source's best target by
     * (margin_q DESC, tgt id): positive margin ⇒ the match stands out
     * above x's and y's respective neighborhoods.
     */
@@ -702,12 +935,13 @@ object VectorOps {
   }
 
   /** The standing half of streaming margin mining: each target's
-    * backward sum Σ top-k qcos(y, srcRef) over a REFERENCE source
+    * backward sum Σ top-k score(y, srcRef) over a REFERENCE source
     * corpus — the `Σbwd(y)` term of the margin, which in a streaming
     * setting cannot be computed against "all sources ever" and is
     * instead pinned to the reference corpus the filter was built
     * from (the CCMatrix-style practice: target-side neighborhood
     * statistics come from a fixed index build, queries stream).
+    * Scores are the exact integer dots of [[marginMiningQuantized]].
     * One backward kNN + one groupBy; |tgt| rows out (a standing
     * table at scale, partitioned by `tgt_id` so the per-batch join
     * in [[marginMineBatch]] co-partitions). Output: (tgt_id, _sb).
@@ -715,8 +949,9 @@ object VectorOps {
   def marginBackwardSums(srcRef: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    knnJoinScored(srcRef, tgt, vecCol, idCol, k, excludeSelf = false)
-      .select(col("query_id").as("tgt_id"), col("_qscore").as("_qc"))
+    intDotTopK(stagedUnit(srcRef, idCol, vecCol),
+        stagedUnit(tgt, idCol, vecCol), idCol, "_uq", k)
+      .select(col("query_id").as("tgt_id"), col("_qdot").as("_qc"))
       .groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
   }
 
@@ -740,9 +975,10 @@ object VectorOps {
       backSums: DataFrame, idCol: String, vecCol: String, k: Int,
       minMarginQ: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val f = knnJoinScored(tgt, batch, vecCol, idCol, k, excludeSelf = false)
+    val f = intDotTopK(stagedUnit(tgt, idCol, vecCol),
+        stagedUnit(batch, idCol, vecCol), idCol, "_uq", k)
       .select(col("query_id").as("src_id"),
-        col("neighbor_id").as("tgt_id"), col("_qscore").as("_qc"))
+        col("neighbor_id").as("tgt_id"), col("_qdot").as("_qc"))
     val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
     val m = f.join(sumA, "src_id").join(backSums, "tgt_id")
       .withColumn("margin_q",
@@ -756,15 +992,17 @@ object VectorOps {
   private def marginFrames(src: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // both directions read the kernel's exact score directly (it is
-    // bit-equal with CosinePair by construction), so no vector
-    // join-back / cosine re-evaluation per candidate
-    val f = knnJoinScored(tgt, src, vecCol, idCol, k, excludeSelf = false)
+    // both directions select and score on the SAME exact integer dot
+    // (`_qdot` — the kernel's selection key verbatim), so candidate
+    // sets and the margin arithmetic over them replay together
+    val srcU = stagedUnit(src, idCol, vecCol)
+    val tgtU = stagedUnit(tgt, idCol, vecCol)
+    val f = intDotTopK(tgtU, srcU, idCol, "_uq", k)
       .select(col("query_id").as("src_id"),
-        col("neighbor_id").as("tgt_id"), col("_qscore").as("_qc"))
-    val b = knnJoinScored(src, tgt, vecCol, idCol, k, excludeSelf = false)
+        col("neighbor_id").as("tgt_id"), col("_qdot").as("_qc"))
+    val b = intDotTopK(srcU, tgtU, idCol, "_uq", k)
       .select(col("query_id").as("tgt_id"),
-        col("neighbor_id").as("src_id"), col("_qscore").as("_qc"))
+        col("neighbor_id").as("src_id"), col("_qdot").as("_qc"))
     val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
     val sumB = b.groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
     def withMargin(cand: DataFrame) = cand

@@ -6,6 +6,7 @@ by graft.Verify), run the oracle SQL in DuckDB over the same sf dir,
 sort columns by name + rows by value, and compare.
 
 Usage: python3 tools/check.py <outDir> <sfDir> [--repeat N] [--only a,b,c]
+       python3 tools/check.py --boundary-audit <sfDir>
 
 --repeat N  re-executes each ORACLE N times and fails on any variance
             between executions — the mechanical form of the hard-won
@@ -17,6 +18,20 @@ Usage: python3 tools/check.py <outDir> <sfDir> [--repeat N] [--only a,b,c]
             (knn/margin/outlier/mmr) without N-times-ing the world.
 --only      comma-separated query names (or name prefixes ending in
             '*') to check; everything else is skipped.
+--boundary-audit
+            Measures, for every oracle family whose output exposes a
+            quantized-cosine-DERIVED value or a raw-cosine θ-gate, how
+            close the deciding floats sit to their decision boundary —
+            the r13 postmortem's mechanism: the engine and oracle both
+            round c·1e9, but c is an environment-dependent double, so
+            a candidate within ~1e-4 grid units of a z+0.5 boundary
+            flips on a different DuckDB build (judge-measured: the
+            margin family's closest candidate sat 1.4e-4 grid units
+            out; the fix removed the float from that contract
+            entirely). Reports min distance per probe in GRID UNITS
+            and the count within 1e-2; exits 1 if any min < 1e-3.
+            The margin family needs no probe anymore — its contract is
+            a pure integer function of the parquet bytes.
 """
 import json, sys, glob, os
 import duckdb
@@ -27,10 +42,15 @@ import duckdb
 positional = []
 repeat = 1
 only = None
+boundary_audit = False
 argv = sys.argv[1:]
 i = 0
 while i < len(argv):
     a = argv[i]
+    if a == "--boundary-audit":
+        boundary_audit = True
+        i += 1
+        continue
     if a == "--repeat" or a == "--only":
         if i + 1 >= len(argv):
             sys.exit(f"usage: {a} needs a value (see module docstring)")
@@ -49,14 +69,77 @@ while i < len(argv):
         repeat = int(v)
     else:
         only = v.split(",")
-if len(positional) != 2:
+if boundary_audit:
+    if len(positional) != 1:
+        sys.exit("usage: check.py --boundary-audit <sfDir>")
+    sfdir = positional[0]
+elif len(positional) != 2:
     sys.exit("usage: check.py <outDir> <sfDir> [--repeat N] [--only a,b,c]")
-outdir, sfdir = positional
+else:
+    outdir, sfdir = positional
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+if boundary_audit:
+    # Each probe yields the deciding float set for a family of oracles.
+    # "grid" probes quantize c on round(c*g): the boundary is the
+    # nearest half-integer of |c|*g, distance in grid units =
+    # abs(fmod(|c|*g, 1) - 0.5). "gate" probes compare raw c >= theta:
+    # distance reported on the SAME 1e-9 grid-unit scale so one
+    # threshold reads across probes.
+    pairwise = ("SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+                "CAST(b.embedding AS DOUBLE[])) AS c "
+                "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id")
+    probes = [
+        # every q9 rank window over pairwise cosines: q_embed_outlier's
+        # kth_qcos, q_embed_knn*/hard_neg/purity windows, the triplets
+        # negative pick, q_eval_rank's rank-derived integers
+        ("pairwise_q9_grid", f"WITH p AS ({pairwise}) "
+         "SELECT min(abs(fmod(abs(c) * 1e9, 1) - 0.5)) AS mind, "
+         "sum(CASE WHEN abs(fmod(abs(c) * 1e9, 1) - 0.5) < 1e-2 "
+         "THEN 1 ELSE 0 END) AS near FROM p"),
+        # the mmr pick grid is 1e6 — audit the same cosines there
+        ("pairwise_q6_grid_mmr", f"WITH p AS ({pairwise}) "
+         "SELECT min(abs(fmod(abs(c) * 1e6, 1) - 0.5)) AS mind, "
+         "sum(CASE WHEN abs(fmod(abs(c) * 1e6, 1) - 0.5) < 1e-2 "
+         "THEN 1 ELSE 0 END) AS near FROM p"),
+        # raw-cosine theta gates (distance scaled to 1e-9 grid units):
+        # q_embed_pairs >= 0.5, q_embed_triplets pos >= 0.4,
+        # q_embed_semdedup_* >= 0.42 (all-pairs superset of the
+        # within-cluster sets — conservative)
+        ("gate_pairs_0.5", f"WITH p AS ({pairwise}) "
+         "SELECT min(abs(c - 0.5)) * 1e9 AS mind, "
+         "sum(CASE WHEN abs(c - 0.5) * 1e9 < 1e-2 THEN 1 ELSE 0 END) "
+         "AS near FROM p"),
+        ("gate_triplets_0.4", f"WITH p AS ({pairwise}) "
+         "SELECT min(abs(c - 0.4)) * 1e9 AS mind, "
+         "sum(CASE WHEN abs(c - 0.4) * 1e9 < 1e-2 THEN 1 ELSE 0 END) "
+         "AS near FROM p"),
+        ("gate_semdedup_0.42", f"WITH p AS ({pairwise}) "
+         "SELECT min(abs(c - 0.42)) * 1e9 AS mind, "
+         "sum(CASE WHEN abs(c - 0.42) * 1e9 < 1e-2 THEN 1 ELSE 0 END) "
+         "AS near FROM p"),
+    ]
+    worst = None
+    bad = 0
+    for pname, sql in probes:
+        mind, near = con.sql(sql).fetchall()[0]
+        flag = ""
+        if mind is not None and mind < 1e-3:
+            flag = "  <-- WITHIN 1e-3 OF A BOUNDARY: rebase this "\
+                   "family on integer dots or regenerate the fixture"
+            bad += 1
+        print(f"{pname:24s} min_boundary_dist={mind:.6g} grid units, "
+              f"n_within_1e-2={near}{flag}")
+        if worst is None or (mind is not None and mind < worst):
+            worst = mind
+    print(f"\nboundary audit: worst={worst:.6g} grid units, "
+          f"{bad} probes below 1e-3 "
+          f"({'FAIL' if bad else 'OK'})")
+    sys.exit(1 if bad else 0)
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted([os.path.basename(p) for p in glob.glob(f"{outdir}/*")
