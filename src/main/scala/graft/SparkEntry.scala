@@ -67,13 +67,19 @@ object SparkEntry {
   private def evalRankReport(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.where(col("vec_id") < 32)
-    val runs = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 10)
+    // the run under evaluation ranks on the integer-dot contract: the
+    // eval exposes rank-DERIVED integers (hits/rr/dcg), so a cosine
+    // ULP flip at a rank cut would flip the metrics
+    val runs = VectorOps.intKnnJoin(e, q, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
       .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")), Seq("_l"))
       .where(col("query_id") =!= col("doc_id"))
       .select("query_id", "doc_id")
-    RankEval.rankEvalReport(runs, rels, k = 10)
+    // the qrels side is bounded by the 32-query batch — broadcast it
+    // (the caller knows this; rankEvalReport itself stays shuffle-safe
+    // for corpus-scale qrels)
+    RankEval.rankEvalReport(runs, broadcast(rels), k = 10)
   }
 
   /** Query vector = the stored embedding of vec_id 0 (so Spark and the
@@ -627,8 +633,8 @@ object SparkEntry {
         .select(col("id_a").as("anchor"), col("id_b"))
         .groupBy("anchor").agg(min(col("id_b")).as("positive"))
       val anchors = pos.select(col("anchor").as("vec_id")).join(e, "vec_id")
-      val neg = VectorOps.hardNegatives(e, anchors, "embedding",
-          "vec_id", "label", k = 1)
+      val neg = VectorOps.intHardNegatives(e, anchors, "vec_id",
+          "embedding", "label", k = 1)
         .select(col("query_id").as("anchor"),
           col("neighbor_id").as("negative"))
       pos.join(neg, "anchor")
@@ -679,25 +685,37 @@ object SparkEntry {
         VectorOps.signSignature63(batch, "embedding", "_srp", inDim = 64),
         "vec_id", "_srp", bands = 4, bandBits = 16, maxHam = 3)
     }),
-    // batch k-NN join: top-5 cosine neighbors for each of 8 query
-    // vectors — the retrieval / semantic-dedup primitive (one corpus
-    // scan, per-partition k-heaps, no corpus shuffle)
+    // batch k-NN join: top-5 neighbors for each of 8 query vectors —
+    // the retrieval / semantic-dedup primitive (one corpus scan,
+    // per-partition k-heaps, no corpus shuffle). Ranks on the exact
+    // INTEGER-DOT contract (µ-unit quantized vectors, long dots): the
+    // output exposes the selected set, and the boundary audit measured
+    // q9-grid candidates ~1.5e-6 grid units from a rounding boundary —
+    // a cross-binary cosine ULP away from a rank flip. Integer keys
+    // cannot drift.
     "q_embed_knn" -> ((s, d) => {
       val e = emb(s, d)
-      VectorOps.knnJoin(e, e.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+      VectorOps.intKnnJoin(e, e.where(col("vec_id") < 8), "vec_id",
+          "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
     }),
-    // MMR diversified retrieval: distributed top-20 cosine pool
-    // (grid-quantized ordering), then the greedy lambda=0.5 relevance/
-    // redundancy re-rank; the oracle replays the walk as UNROLLED
-    // set-based CTE steps
+    // MMR diversified retrieval: distributed top-20 pool by exact
+    // integer relevance dot, then the greedy lambda=0.5 relevance/
+    // redundancy re-rank over exact long dots; the oracle replays the
+    // walk as UNROLLED set-based CTE steps. The pick windows were the
+    // FIRST family the cross-engine float-argmax flake hit — the
+    // integer contract closes it for good
     "q_embed_mmr" -> ((s, d) => {
       val e = emb(s, d)
-      val qv = queryVec(s, d).map(_.toDouble)
-      val pool = e.select(col("vec_id").as("id"), col("embedding").as("v"),
-          VectorOps.cosineSim(col("embedding"), qv).as("rel"))
-        .orderBy(round(col("rel") * 1000000).cast("long").desc,
-          col("id")).limit(20)
-      VectorOps.mmrRerank(pool, "id", "v", "rel", k = 10)
+      val qu = VectorOps.stagedUnit(
+        e.where(col("vec_id") === 0), "vec_id", "embedding")
+        .select(col("_uq").as("_qv"))
+      val pool = VectorOps.stagedUnit(e, "vec_id", "embedding")
+        .crossJoin(broadcast(qu))
+        .select(col("vec_id").as("id"), col("_uq"),
+          VectorOps.intDotCol(col("_uq"), col("_qv")).as("relq"))
+        .orderBy(col("relq").desc, col("id")).limit(20)
+      VectorOps.mmrRerankInt(pool, "id", "_uq", "relq", k = 10)
         .select(col("id").as("vec_id"), col("mmr_rank"))
     }),
     // label-centroid geometry: exact squared L2 between µ-unit integer
@@ -710,10 +728,11 @@ object SparkEntry {
     // (a collapsed or shuffled embedding space scores at chance)
     "q_embed_knn_purity" -> ((s, d) => {
       val e = emb(s, d)
-      // labels ride the kernel scan (knnJoinLabeled) — ONE scan + one
-      // window, no corpus join-backs
-      VectorOps.knnJoinLabeled(e, e.where(col("vec_id") < 32),
-          "embedding", "vec_id", "label", k = 10)
+      // labels ride the kernel scan — ONE scan + one window, no corpus
+      // join-backs; integer-dot selection (the n_same sums expose the
+      // selected SET, the margin-family flake shape)
+      VectorOps.intKnnJoinLabeled(e, e.where(col("vec_id") < 32),
+          "vec_id", "embedding", "label", k = 10)
         .groupBy(col("query_label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_neighbors"),
           sum((col("query_label") === col("neighbor_label")).cast("long"))
@@ -724,15 +743,19 @@ object SparkEntry {
     // heap kernel with the label gate inside
     "q_embed_hard_neg" -> ((s, d) => {
       val e = emb(s, d)
-      VectorOps.hardNegatives(e, e.where(col("vec_id") < 8),
-        "embedding", "vec_id", "label", k = 5)
+      VectorOps.intHardNegatives(e, e.where(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 5)
+        .select("query_id", "neighbor_id", "rank")
     }),
     // k-th-neighbor isolation: the 20 most isolated rows (lowest 4th-
-    // neighbor cosine) — the distance-based outlier cut a cleaning
-    // pipeline drops or audits
+    // neighbor similarity) — the distance-based outlier cut a cleaning
+    // pipeline drops or audits. The exposed score is the exact integer
+    // dot (kth_qdot ≈ cosine·1e12): a VALUE output derived from a
+    // float was one cross-binary ULP from a hash flake (the r13
+    // margin-family mechanism)
     "q_embed_outlier" -> ((s, d) =>
-      VectorOps.kthNeighborScore(emb(s, d), "vec_id", "embedding", k = 4)
-        .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc)
+      VectorOps.intKthNeighborScore(emb(s, d), "vec_id", "embedding", k = 4)
+        .orderBy(col("kth_qdot").asc_nulls_last, col("vec_id").asc)
         .limit(20)),
     // the SCALE path of outlier scoring: every row is a query, so the
     // exact form is the one knn shape that is inherently O(n²)
@@ -756,8 +779,11 @@ object SparkEntry {
         .orderBy(xxhash64(col("_id")), col("_id")).limit(64)
       val np = VectorOps.calibrateNprobeCached(eid, "embedding", "_id",
         model, k = 4, targetRecall = 0.99, calibQueries = calib)
-      val exact = VectorOps.kthNeighborScore(e, "vec_id", "embedding", k = 4)
-        .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc).limit(20)
+      // exact side on the integer-dot contract (matches q_embed_outlier);
+      // the IVF arm keeps the float serving kernel — the ≥16/20 overlap
+      // gate absorbs the µ-quantization difference between the two
+      val exact = VectorOps.intKthNeighborScore(e, "vec_id", "embedding", k = 4)
+        .orderBy(col("kth_qdot").asc_nulls_last, col("vec_id").asc).limit(20)
       val approx = VectorOps.kthNeighborScoreIvf(e, "vec_id", "embedding",
           k = 4, model, np)
         .orderBy(col("kth_qcos").asc_nulls_last, col("vec_id").asc).limit(20)
@@ -2113,6 +2139,30 @@ object SparkEntry {
     "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
     "CAST(eb.embedding AS DOUBLE[])) >= 0.42)"
 
+  // The integer-dot contract's shared oracle prelude: µ-unit integer
+  // unit vectors + label, mirroring VectorOps.l2NormalizeQuantized
+  // exactly (round(x·1e6) longs → exact integer norm² → floor(sqrt) →
+  // trunc-toward-zero division; zero-norm rows dropped like the
+  // engine's stagedUnit). Every double intermediate is either an
+  // exactly-representable integer or a single correctly-rounded IEEE
+  // op — identical on any DuckDB build.
+  private val unitCte = "uq AS MATERIALIZED (SELECT vec_id, label, " +
+    "CASE WHEN nrm = 0 THEN list_transform(q, x -> CAST(0 AS BIGINT)) " +
+    "ELSE list_transform(q, x -> " +
+    "CAST(trunc(CAST(x * 1000000 AS DOUBLE) / nrm) AS BIGINT)) END AS v " +
+    "FROM (SELECT vec_id, label, q, CAST(floor(sqrt(CAST(" +
+    "list_sum(list_transform(q, x -> x * x)) AS DOUBLE))) AS BIGINT) AS nrm " +
+    "FROM (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
+    "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings)) " +
+    "WHERE nrm > 0)"
+
+  // Exact integer dot of two µ-unit vectors in DuckDB: components
+  // ≤ 1e6, 64-dim sums ≤ 6.4e13 < 2^53, so list_dot_product over
+  // DOUBLE[] is exact in ANY summation order / SIMD width / FMA mode;
+  // the CAST back to BIGINT is lossless.
+  private def qdSql(a: String, b: String): String =
+    s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+
   // Difference-margin mining replay (parity-split sides, k=4), shared
   // by the best-per-source and mutual-best oracles. NO FLOAT exists
   // anywhere in this contract: vectors quantize to µ-unit integer
@@ -2192,12 +2242,12 @@ object SparkEntry {
   // The DCG discount / ideal-DCG tables inline as CASE literals from
   // the SAME Scala arrays the engine plan carries (RankEval
   // .dcgWeightCaseSql) — no libm log anywhere in the data path.
-  private val rankEvalCtes = "WITH kn0 AS (SELECT q.vec_id AS query_id, " +
+  private val rankEvalCtes = "WITH " + unitCte +
+    ", kn0 AS (SELECT q.vec_id AS query_id, " +
     "e.vec_id AS doc_id, row_number() OVER (PARTITION BY q.vec_id " +
-    "ORDER BY CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-    "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
-    "e.vec_id) AS rank FROM embeddings e CROSS JOIN " +
-    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32) q " +
+    "ORDER BY " + qdSql("e.v", "q.v") + " DESC, " +
+    "e.vec_id) AS rank FROM uq e CROSS JOIN " +
+    "(SELECT vec_id, v FROM uq WHERE vec_id < 32) q " +
     "WHERE e.vec_id <> q.vec_id), " +
     "kn AS (SELECT * FROM kn0 WHERE rank <= 10), " +
     "rel AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS doc_id " +
@@ -2595,21 +2645,21 @@ object SparkEntry {
       "SELECT id_a AS id_in, id_b AS id_sup FROM ij WHERE i * 5 >= 4 * sza " +
       "UNION ALL " +
       "SELECT id_b AS id_in, id_a AS id_sup FROM ij WHERE i * 5 >= 4 * szb"),
-    // triplets: θ-pair positives (min-id) joined with each anchor's
-    // rank-1 different-label neighbor on the quantized selection grid
-    "q_embed_triplets" -> ("WITH pos AS (SELECT a.vec_id AS anchor, " +
+    // triplets: θ-pair positives (min-id, raw-cosine gate — boundary
+    // audit: ≥1e5 grid units from θ) joined with each anchor's rank-1
+    // different-label neighbor picked on the exact integer dot
+    "q_embed_triplets" -> ("WITH " + unitCte +
+      ", pos AS (SELECT a.vec_id AS anchor, " +
       "min(b.vec_id) AS positive FROM embeddings a JOIN embeddings b " +
       "ON a.vec_id < b.vec_id " +
       "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) >= 0.4 GROUP BY 1), " +
       "neg AS (SELECT q.vec_id AS anchor, e.vec_id AS negative " +
-      "FROM embeddings e JOIN embeddings q ON e.vec_id <> q.vec_id " +
+      "FROM uq e JOIN uq q ON e.vec_id <> q.vec_id " +
       "JOIN pos p ON p.anchor = q.vec_id " +
       "WHERE CAST(e.label AS VARCHAR) IS DISTINCT FROM CAST(q.label AS VARCHAR) " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
-      "e.vec_id) = 1) " +
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) = 1) " +
       "SELECT p.anchor, p.positive, n.negative FROM pos p " +
       "JOIN neg n USING (anchor)"),
     "q_embed_pairs" -> ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
@@ -2669,89 +2719,76 @@ object SparkEntry {
       "WHERE e.vec_id <> q.vec_id) " +
       "SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
       "CAST(1.0 AS DOUBLE) AS recall_gate FROM ex WHERE rk <= 5"),
-    "q_embed_knn" -> ("SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
+    "q_embed_knn" -> ("WITH " + unitCte +
+      " SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) " +
-      "AS BIGINT) AS rank " +
-      "FROM embeddings e CROSS JOIN " +
-      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q " +
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) AS BIGINT) AS rank " +
+      "FROM uq e CROSS JOIN " +
+      "(SELECT vec_id, v FROM uq WHERE vec_id < 8) q " +
       "WHERE e.vec_id <> q.vec_id " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) <= 5"),
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) <= 5"),
     // Greedy walk UNROLLED as plain set-based CTEs (the kmeans-unroll
     // discipline): the earlier recursive-CTE form's correlated max(s)
     // subquery intermittently returned NULL under DuckDB's parallel
     // execution (redundancy collapsed to 0 via the coalesce and the
     // hub candidate won), flipping picks ~40% of runs. Each step is a
     // non-correlated groupBy redundancy + grid-quantized argmax.
-    "q_embed_mmr" -> ("WITH " +
-      "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
-      "cand AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding AS v, " +
-      "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(qv.q AS DOUBLE[])) AS rel FROM embeddings e CROSS JOIN qv " +
-      "ORDER BY CAST(round(rel * 1000000) AS BIGINT) DESC, " +
-      "e.vec_id LIMIT 20), " +
+    "q_embed_mmr" -> ("WITH " + unitCte + ", " +
+      "q0 AS (SELECT v AS q FROM uq WHERE vec_id = 0), " +
+      "cand AS MATERIALIZED (SELECT e.vec_id AS id, e.v, " +
+      qdSql("e.v", "q0.q") + " AS relq FROM uq e CROSS JOIN q0 " +
+      "ORDER BY relq DESC, e.vec_id LIMIT 20), " +
       "sim AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, " +
-      "list_cosine_similarity(CAST(a.v AS DOUBLE[]), " +
-      "CAST(b.v AS DOUBLE[])) AS s FROM cand a JOIN cand b ON a.id <> b.id), " +
+      qdSql("a.v", "b.v") +
+      " AS sq FROM cand a JOIN cand b ON a.id <> b.id), " +
       "sel1 AS MATERIALIZED (SELECT id, 1 AS r FROM cand " +
-      "ORDER BY CAST(round(0.5 * rel * 1000000) AS BIGINT) DESC, " +
-      "id LIMIT 1)" +
+      "ORDER BY relq DESC, id LIMIT 1)" +
       (2 to 10).map { i =>
-        s", red$i AS (SELECT ia AS id, max(s) AS ms FROM sim " +
+        s", red$i AS (SELECT ia AS id, max(sq) AS ms FROM sim " +
           s"WHERE ib IN (SELECT id FROM sel${i - 1}) GROUP BY ia)" +
           s", pick$i AS MATERIALIZED (SELECT c.id, $i AS r " +
           s"FROM cand c JOIN red$i rd ON rd.id = c.id " +
           s"WHERE c.id NOT IN (SELECT id FROM sel${i - 1}) " +
-          "ORDER BY CAST(round((0.5 * c.rel - 0.5 * rd.ms) * 1000000) " +
-          "AS BIGINT) DESC, c.id LIMIT 1)" +
+          "ORDER BY c.relq - rd.ms DESC, c.id LIMIT 1)" +
           s", sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} " +
           s"UNION ALL SELECT * FROM pick$i)"
       }.mkString +
       " SELECT id AS vec_id, CAST(r AS BIGINT) AS mmr_rank FROM sel10"),
-    // the knn top-10 per sub-32 query, label-joined and grouped
-    "q_embed_knn_purity" -> ("WITH kn AS (SELECT q.vec_id AS query_id, " +
+    // the integer-dot top-10 per sub-32 query, label-joined and
+    // grouped (n_same exposes the selected SET — integer selection)
+    "q_embed_knn_purity" -> ("WITH " + unitCte +
+      ", kn AS (SELECT q.vec_id AS query_id, " +
       "e.vec_id AS neighbor_id, q.label AS ql, e.label AS nl " +
-      "FROM embeddings e CROSS JOIN " +
-      "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 32) q " +
+      "FROM uq e CROSS JOIN " +
+      "(SELECT vec_id, v, label FROM uq WHERE vec_id < 32) q " +
       "WHERE e.vec_id <> q.vec_id " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
-      "e.vec_id) <= 10) " +
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) <= 10) " +
       "SELECT CAST(ql AS BIGINT) AS label, count(*) AS n_neighbors, " +
       "CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_same " +
       "FROM kn GROUP BY 1"),
-    // the knn oracle with the null-safe different-label gate (labels
-    // compared as the engine's string-cast form)
-    "q_embed_hard_neg" -> ("SELECT q.vec_id AS query_id, " +
-      "e.vec_id AS neighbor_id, " +
+    // the integer-dot knn oracle with the null-safe different-label
+    // gate (labels compared as the engine's string-cast form)
+    "q_embed_hard_neg" -> ("WITH " + unitCte +
+      " SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) " +
-      "AS BIGINT) AS rank " +
-      "FROM embeddings e CROSS JOIN " +
-      "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8) q " +
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) AS BIGINT) AS rank " +
+      "FROM uq e CROSS JOIN " +
+      "(SELECT vec_id, v, label FROM uq WHERE vec_id < 8) q " +
       "WHERE e.vec_id <> q.vec_id " +
       "AND CAST(e.label AS VARCHAR) IS DISTINCT FROM CAST(q.label AS VARCHAR) " +
       "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
-      "CAST(q.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, e.vec_id) <= 5"),
-    // 4th-neighbor cosine per row (excluding self), rank-4 selected on
-    // the 1e-9 quantized grid (the kernel's q9 selection key), lowest
-    // 20 = the isolation outliers
-    "q_embed_outlier" -> ("SELECT a.vec_id, " +
-      "CAST(round(list_cosine_similarity(" +
-      "CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) " +
-      "* 1000000000) AS BIGINT) AS kth_qcos " +
-      "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) <= 5"),
+    // 4th-neighbor integer dot per row (excluding self), lowest 20 =
+    // the isolation outliers; the exposed kth_qdot is a pure integer
+    // function of the parquet bytes
+    "q_embed_outlier" -> ("WITH " + unitCte +
+      " SELECT a.vec_id, " + qdSql("b.v", "a.v") + " AS kth_qdot " +
+      "FROM uq a JOIN uq b ON a.vec_id <> b.vec_id " +
       "QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
-      "CAST(round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), " +
-      "CAST(a.embedding AS DOUBLE[])) * 1000000000) AS BIGINT) DESC, " +
-      "b.vec_id) = 4 " +
-      "ORDER BY kth_qcos NULLS LAST, a.vec_id LIMIT 20"),
+      qdSql("b.v", "a.v") + " DESC, b.vec_id) = 4 " +
+      "ORDER BY kth_qdot NULLS LAST, a.vec_id LIMIT 20"),
     // difference-margin mining over the parity split: top-4 each
     // direction double-ordered (the engine's knn ordering), cosines
     // then 1e-9-quantized so sums/margins/argmax replay in integers

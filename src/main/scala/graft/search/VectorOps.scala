@@ -828,7 +828,7 @@ object VectorOps {
     * exact [[l2NormalizeQuantized]] unit vector. `extra` columns ride
     * along (labels).
     */
-  private def stagedUnit(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def stagedUnit(df: DataFrame, idCol: String, vecCol: String,
       extra: Seq[String] = Nil): DataFrame =
     l2NormalizeQuantizedStaged(df.where(finiteVec(col(vecCol))), vecCol, "_uq")
       .where(exists(col("_uq"), x => x =!= 0L))
@@ -1121,6 +1121,78 @@ object VectorOps {
           }
           j += 1
         }
+      }
+    }
+    spark.createDataFrame(picks.result().toSeq).toDF(idCol, "mmr_rank")
+  }
+
+  /** [[mmrRerank]] on the INTEGER-DOT contract (λ = 0.5): candidates
+    * carry µ-unit quantized vectors (`uqCol`) and an integer relevance
+    * (`relQCol` — the exact dot against the query's unit vector), and
+    * each greedy step picks argmax of `relq − maxSimq` over exact
+    * longs (0.5·rel − 0.5·ms orders identically — the common factor
+    * cancels), ties to the smaller id. No float exists anywhere in
+    * the walk, so the pick sequence is a pure integer function of the
+    * pool — the q_embed_mmr pick windows were the FIRST family this
+    * flake class hit (step-2 flipped ~40% of runs pre-grid; the 1e-6
+    * grid closed same-binary replay but sat one cross-binary ULP from
+    * a boundary, like every quantized-float contract). Same division
+    * of labor: distributed candidate generation, O(k·|pool|) driver
+    * greedy over the bounded pool.
+    *
+    * Degenerate rows: a zero-norm vector quantizes to all-zero longs
+    * (dot 0 with everything — it cannot hijack picks via NaN, but it
+    * IS pickable at rank tail like any orthogonal row); rows with a
+    * NULL relq are dropped like mmrRerank's null-relevance contract.
+    */
+  def mmrRerankInt(cands: DataFrame, idCol: String, uqCol: String,
+      relQCol: String, k: Int, maxPool: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val pool = cands
+      .select(col(idCol).cast("long"), col(uqCol), col(relQCol).cast("long"))
+      .where(col(relQCol).isNotNull)
+      .limit(maxPool + 1)
+      .as[(Long, Array[Long], Long)].collect()
+    require(pool.length <= maxPool,
+      s"MMR pool exceeds maxPool=$maxPool: bound the candidate generator " +
+        "(ANN/BM25 top-N) before re-ranking")
+    val p = pool.sortBy(_._1)
+    val n = p.length
+    def dotQ(a: Int, b: Int): Long = {
+      val va = p(a)._2; val vb = p(b)._2
+      var s = 0L; var i = 0
+      while (i < va.length) { s += va(i) * vb(i); i += 1 }
+      s
+    }
+    // empty-set redundancy is 0 by convention; the running max can be
+    // negative and must not clamp (mmrRerank's contract)
+    val maxSim = Array.fill(n)(Long.MinValue)
+    val taken = Array.fill(n)(false)
+    val picks = Array.newBuilder[(Long, Long)]
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1; var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val red = if (step == 0) 0L else maxSim(i)
+          val sc = p(i)._3 - red
+          if (sc > bestScore) { best = i; bestScore = sc } // ascending-id
+        }                                                  // scan: first
+        i += 1                                             // wins ties
+      }
+      taken(best) = true
+      step += 1
+      picks += ((p(best)._1, step.toLong))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = dotQ(j, best)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
       }
     }
     spark.createDataFrame(picks.result().toSeq).toDF(idCol, "mmr_rank")

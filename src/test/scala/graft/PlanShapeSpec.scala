@@ -379,11 +379,6 @@ class PlanShapeSpec extends GraftSuite {
       // scan + one window + one groupBy, no corpus join-backs (the
       // two-join-back formulation it replaced measured 2 more)
       ("q_embed_knn_purity", 2, false),
-      // rank eval: runs x qrels equi-join + nRel/AP/main aggregations
-      // + report joins, all query-keyed; qrels side broadcasts here
-      // only because the 32-query batch is tiny — the join itself is
-      // shuffle-safe at corpus-scale qrels
-      ("q_eval_rank", 7, true),
       ("q_doc_readability", 0, false))
     budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
@@ -500,6 +495,20 @@ class PlanShapeSpec extends GraftSuite {
     assert(mprof("shuffle") <= 7, s"shuffle budget exceeded: $mprof")
     assert(mprof("smj") <= 1, s"more than the one margin-join SMJ: $mprof")
     assert(mprof("reused") >= 1, s"lost exchange reuse entirely: $mprof")
+  }
+
+  test("exchange budget: q_eval_rank tolerates its one co-partitioned SMJ") {
+    // runs x qrels equi-join + nRel/AP/main aggregations + report
+    // joins, all query-keyed; the qrels side broadcasts here only
+    // because the 32-query batch is tiny. The AP-sum report join runs
+    // on the query_id partitioning BOTH sides already carry for their
+    // own window/groupBy — an SMJ there adds zero exchanges and scales
+    // with per-query aggregate tables a broadcast could not.
+    val prof = planProfile(SparkEntry.queries("q_eval_rank")(spark, dir))
+    info(s"q_eval_rank -> $prof")
+    assert(prof("shuffle") <= 7, s"shuffle budget exceeded: $prof")
+    assert(prof("smj") <= 1, s"more than the one report-join SMJ: $prof")
+    assert(prof("bhj") >= 1, s"q_eval_rank lost its broadcast join: $prof")
   }
 
   test("exchange budgets hold for the retrieval/dedup/graph additions after r12") {

@@ -316,6 +316,98 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("integer-dot knn family: brute replay, label modes, escalation parity, mmr replay") {
+    val df = vecs(120, 16)
+      .withColumn("lbl", (col("_id") % 3).cast("int")).cache()
+    val queries = df.where(col("_id") < 12)
+    // pure-JVM integer reference replay (the oracle arithmetic)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def unitQ(a: Array[Float]): Array[Long] = {
+      val q = a.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val nrm = math.floor(math.sqrt(q.map(x => x * x).sum.toDouble)).toLong
+      if (nrm == 0L) q.map(_ => 0L)
+      else q.map(x => ((x * 1000000L).toDouble / nrm).toLong)
+    }
+    val unit = rows.map { case (id, v, _) => id -> unitQ(v) }.toMap
+    val lbl = rows.map { case (id, _, l) => id -> l }.toMap
+    def d(a: Long, b: Long): Long =
+      unit(a).indices.map(i => unit(a)(i) * unit(b)(i)).sum
+    val qids = rows.map(_._1).filter(_ < 12)
+    val all = rows.map(_._1)
+    def refTopK(k: Int, label: Boolean): Set[(Long, Long, Long)] =
+      qids.flatMap { q =>
+        all.filter(c => c != q && (!label || lbl(c) != lbl(q)))
+          .map(c => (c, d(q, c)))
+          .sortBy { case (c, s) => (-s, c) }.take(k).zipWithIndex
+          .map { case ((c, _), i) => (q, c, (i + 1).toLong) }
+      }.toSet
+    val knn = VectorOps.intKnnJoin(df, queries, "_id", "emb", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(knn == refTopK(5, label = false),
+      "intKnnJoin must equal the integer replay")
+    val hn = VectorOps.intHardNegatives(df, queries, "_id", "emb", "lbl", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hn == refTopK(4, label = true),
+      "intHardNegatives must equal the label-gated integer replay")
+    // labeled passthrough: same ranks as intKnnJoin + correct labels
+    val lab = VectorOps.intKnnJoinLabeled(df, queries, "_id", "emb",
+      "lbl", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5))).toSet
+    assert(lab.map(t => (t._1, t._2, t._3)) == knn)
+    assert(lab.forall { case (q, c, _, ql, nl) =>
+      ql == lbl(q).toString && nl == lbl(c).toString })
+    // escalation parity: the distributed all-cluster reroute is
+    // rank-for-rank equal (same exact long key, same tie-break)
+    val before = spark.conf.getOption("graft.search.knnQueryBatchMax")
+    try {
+      spark.conf.set("graft.search.knnQueryBatchMax", "8")
+      val e0 = VectorOps.knnEscalations.get()
+      val rerouted = VectorOps.intKnnJoin(df, queries, "_id", "emb", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(VectorOps.knnEscalations.get() == e0 + 1,
+        "over-cap intKnnJoin must take the distributed path")
+      assert(rerouted == knn, s"escalated integer join must be " +
+        s"rank-for-rank equal: ${rerouted.diff(knn)} / ${knn.diff(rerouted)}")
+      val hnR = VectorOps.intHardNegatives(df, queries, "_id", "emb",
+        "lbl", k = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hnR == hn, "escalated label gate must match")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("graft.search.knnQueryBatchMax", v)
+        case None => spark.conf.unset("graft.search.knnQueryBatchMax")
+      }
+    }
+    // mmrRerankInt: hand replay of the greedy integer walk
+    val pool = VectorOps.stagedUnit(df.where(col("_id") < 16), "_id", "emb")
+      .withColumn("relq", VectorOps.intDotCol(col("_uq"),
+        typedLit(unit(0L))))
+    val got = VectorOps.mmrRerankInt(pool, "_id", "_uq", "relq", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+    val ids = (0L until 16L).toArray
+    val rel = ids.map(i => i -> d(0L, i)).toMap
+    var sel = Vector.empty[Long]
+    val ms = scala.collection.mutable.Map.empty[Long, Long]
+    (1 to 6).foreach { step =>
+      val cands = ids.filterNot(sel.contains)
+      val best = cands.map { i =>
+        (i, rel(i) - (if (step == 1) 0L else ms(i)))
+      }.sortBy { case (i, s) => (-s, i) }.head._1
+      sel :+= best
+      cands.filter(_ != best).foreach { i =>
+        val s = d(i, best)
+        if (!ms.contains(i) || s > ms(i)) ms(i) = s
+      }
+    }
+    assert(got == sel.zipWithIndex.map { case (id, i) =>
+      (id, (i + 1).toLong) },
+      s"mmrRerankInt must equal the integer greedy replay: $got vs $sel")
+    df.unpersist()
+  }
+
   test("trainPq is bit-reproducible and encodePq emits m in-range byte codes") {
     val df = vecs(300, 16).cache()
     val a = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)

@@ -84,57 +84,97 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 if boundary_audit:
-    # Each probe yields the deciding float set for a family of oracles.
-    # "grid" probes quantize c on round(c*g): the boundary is the
-    # nearest half-integer of |c|*g, distance in grid units =
-    # abs(fmod(|c|*g, 1) - 0.5). "gate" probes compare raw c >= theta:
-    # distance reported on the SAME 1e-9 grid-unit scale so one
-    # threshold reads across probes.
+    # Two probe kinds.
+    #
+    # "gate" probes: an oracle compares a raw cosine against a literal
+    # theta (q_embed_pairs >= 0.5, triplets pos >= 0.4, semdedup
+    # >= 0.42). The decision flips when cross-binary drift (~1e-13 in
+    # cosine = 1e-4 grid units) crosses theta; distance is reported in
+    # 1e-9 grid units so one threshold reads across probes.
+    #
+    # "cut" probes: an oracle RANKS on round(c*1e9) and exposes the
+    # selected set or rank-derived values (q_vector_knn's top-10 ids,
+    # q_text_hybrid_rrf's semantic-leg ranks). A single drifted cell
+    # changes the output only if it reorders an ADJACENT pair: a
+    # quantized gap >= 2 between neighbors is un-flippable by sub-grid
+    # drift regardless of boundary proximity; a gap <= 1 pair is
+    # decided by the nearer value's distance to its z+0.5 rounding
+    # boundary. The probe reports the min such decision margin over
+    # the pairs that matter (all adjacent pairs when ranks are
+    # exposed, the cut pair when only the set is).
+    #
+    # Families already on the INTEGER-DOT contract need no probe —
+    # their outputs are pure integer functions of the parquet bytes
+    # (margin family, q_embed_knn/purity/hard_neg/outlier/triplets-neg,
+    # q_eval_*, q_embed_mmr). q_embed_knn_dist exposes only a COUNT
+    # (rk <= 5 rows over fixed queries) — flip-immune by construction.
+    # BM25/LM sums are integer numerators; their 1e-9 per-term
+    # rounding shares ln()'s cross-libm risk but has round-tripped
+    # green since r13 — revisit if a driver artifact ever reddens it.
     pairwise = ("SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
                 "CAST(b.embedding AS DOUBLE[])) AS c "
                 "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id")
-    probes = [
-        # every q9 rank window over pairwise cosines: q_embed_outlier's
-        # kth_qcos, q_embed_knn*/hard_neg/purity windows, the triplets
-        # negative pick, q_eval_rank's rank-derived integers
-        ("pairwise_q9_grid", f"WITH p AS ({pairwise}) "
-         "SELECT min(abs(fmod(abs(c) * 1e9, 1) - 0.5)) AS mind, "
-         "sum(CASE WHEN abs(fmod(abs(c) * 1e9, 1) - 0.5) < 1e-2 "
-         "THEN 1 ELSE 0 END) AS near FROM p"),
-        # the mmr pick grid is 1e6 — audit the same cosines there
-        ("pairwise_q6_grid_mmr", f"WITH p AS ({pairwise}) "
-         "SELECT min(abs(fmod(abs(c) * 1e6, 1) - 0.5)) AS mind, "
-         "sum(CASE WHEN abs(fmod(abs(c) * 1e6, 1) - 0.5) < 1e-2 "
-         "THEN 1 ELSE 0 END) AS near FROM p"),
-        # raw-cosine theta gates (distance scaled to 1e-9 grid units):
-        # q_embed_pairs >= 0.5, q_embed_triplets pos >= 0.4,
-        # q_embed_semdedup_* >= 0.42 (all-pairs superset of the
-        # within-cluster sets — conservative)
-        ("gate_pairs_0.5", f"WITH p AS ({pairwise}) "
-         "SELECT min(abs(c - 0.5)) * 1e9 AS mind, "
-         "sum(CASE WHEN abs(c - 0.5) * 1e9 < 1e-2 THEN 1 ELSE 0 END) "
-         "AS near FROM p"),
-        ("gate_triplets_0.4", f"WITH p AS ({pairwise}) "
-         "SELECT min(abs(c - 0.4)) * 1e9 AS mind, "
-         "sum(CASE WHEN abs(c - 0.4) * 1e9 < 1e-2 THEN 1 ELSE 0 END) "
-         "AS near FROM p"),
-        ("gate_semdedup_0.42", f"WITH p AS ({pairwise}) "
-         "SELECT min(abs(c - 0.42)) * 1e9 AS mind, "
-         "sum(CASE WHEN abs(c - 0.42) * 1e9 < 1e-2 THEN 1 ELSE 0 END) "
-         "AS near FROM p"),
+    qcos0 = ("SELECT e.vec_id AS id, "
+             "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+             "CAST(q.q AS DOUBLE[])) AS c FROM embeddings e CROSS JOIN "
+             "(SELECT embedding AS q FROM embeddings WHERE vec_id = 0) q "
+             "ORDER BY CAST(round(c * 1e9) AS BIGINT) DESC, e.vec_id")
+    gate_probes = [
+        ("gate_pairs_0.5", 0.5), ("gate_triplets_0.4", 0.4),
+        ("gate_semdedup_0.42", 0.42),
     ]
+    def half_dist(c):
+        # distance of |c|*1e9 to its nearest z+0.5 rounding boundary
+        import math
+        x = abs(c) * 1e9
+        return abs(x - math.floor(x) - 0.5)
+    def cut_margin(cs, n_rank_exposed, n_cut):
+        # cs: cosines in selection order. Adjacent pairs among the
+        # first n_rank_exposed all matter (ranks exposed); beyond
+        # that, only the cut pair (set exposure).
+        import math
+        qs = [int(round(c * 1e9)) for c in cs]
+        worst = math.inf
+        for i in range(len(cs) - 1):
+            if i + 1 > n_cut and i >= n_rank_exposed:
+                break
+            gap = qs[i] - qs[i + 1]
+            if gap >= 2:
+                continue  # un-flippable by sub-grid drift
+            d = min(half_dist(cs[i]), half_dist(cs[i + 1]))
+            worst = min(worst, d)
+        return worst
+    results = []
+    for pname, theta in gate_probes:
+        mind, near = con.sql(
+            f"WITH p AS ({pairwise}) "
+            f"SELECT min(abs(c - {theta})) * 1e9, "
+            f"sum(CASE WHEN abs(c - {theta}) * 1e9 < 1e-2 THEN 1 ELSE 0 "
+            f"END) FROM p").fetchall()[0]
+        results.append((pname, mind, f"n_within_1e-2={near}"))
+    # q_vector_knn: top-10 id set exposed, rank not -> cut pair only
+    cs = [r[1] for r in con.sql(f"{qcos0} LIMIT 12").fetchall()]
+    results.append(("cut_vector_knn_top10",
+                    cut_margin(cs, n_rank_exposed=0, n_cut=10),
+                    "set exposure at cut 10"))
+    # q_text_hybrid_rrf semantic leg: ranks 1..20 feed the RRF sums
+    cs = [r[1] for r in con.sql(f"{qcos0} LIMIT 22").fetchall()]
+    results.append(("cut_hybrid_sem_ranks",
+                    cut_margin(cs, n_rank_exposed=21, n_cut=20),
+                    "rank exposure to 20"))
     worst = None
     bad = 0
-    for pname, sql in probes:
-        mind, near = con.sql(sql).fetchall()[0]
+    for pname, mind, note in results:
         flag = ""
         if mind is not None and mind < 1e-3:
-            flag = "  <-- WITHIN 1e-3 OF A BOUNDARY: rebase this "\
-                   "family on integer dots or regenerate the fixture"
+            flag = ("  <-- WITHIN 1e-3 OF A BOUNDARY: rebase this "
+                    "family on integer dots or regenerate the fixture")
             bad += 1
-        print(f"{pname:24s} min_boundary_dist={mind:.6g} grid units, "
-              f"n_within_1e-2={near}{flag}")
-        if worst is None or (mind is not None and mind < worst):
+        shown = "inf" if mind == float("inf") else f"{mind:.6g}"
+        print(f"{pname:24s} min_decision_margin={shown} grid units "
+              f"({note}){flag}")
+        if mind is not None and mind != float("inf") and \
+                (worst is None or mind < worst):
             worst = mind
     print(f"\nboundary audit: worst={worst:.6g} grid units, "
           f"{bad} probes below 1e-3 "
