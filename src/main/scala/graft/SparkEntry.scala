@@ -710,7 +710,7 @@ object SparkEntry {
       val qu = VectorOps.stagedUnit(
         e.where(col("vec_id") === 0), "vec_id", "embedding")
         .select(col("_uq").as("_qv"))
-      val pool = VectorOps.stagedUnit(e, "vec_id", "embedding")
+      val pool = VectorOps.stagedUnitCached(e, "vec_id", "embedding")
         .crossJoin(broadcast(qu))
         .select(col("vec_id").as("id"), col("_uq"),
           VectorOps.intDotCol(col("_uq"), col("_qv")).as("relq"))
@@ -1368,6 +1368,18 @@ object SparkEntry {
         li.where(col("l_partkey") % 100 === 0)
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
         "p", "o"), steps = 3, walksPerNode = 2, seed = "w1")
+    }),
+    // WEIGHTED deterministic walks: neighbor choice proportional to
+    // edge multiplicity (co-purchase count) via cumulative integer
+    // intervals — a pair co-occurring in 5 baskets is walked 5× as
+    // often; same md5 replay determinism, the draw is mod total
+    // weight instead of mod degree
+    "q_graph_walks_w" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      GraphAlgos.randomWalksWeighted(GraphAlgos.coOccurrenceWeightedCached(
+        li.where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), steps = 3, walksPerNode = 2, seed = "ww1")
     }),
     // HITS hubs/authorities (Kleinberg) on the DIRECTED order->part
     // bipartite relation: integer max-normalized power iteration —
@@ -2940,6 +2952,41 @@ object SparkEntry {
     // SAME md5(seed:start:walk:t:node) mod degree index as the engine
     "q_graph_walks" -> (walksCtes +
       " SELECT start_id, walk, step, node FROM wk"),
+    // weighted walks: identical replay discipline, the draw is mod
+    // TOTAL weight and lands in a cumulative-interval [lo, hi) over
+    // id-ordered weighted adjacency (running sum window — exact
+    // integers, frame-identical on both engines)
+    "q_graph_walks_w" -> {
+      def hop(t: Int) = s"f$t AS MATERIALIZED (SELECT f.start_id, " +
+        s"f.walk, a.v AS node FROM f${t - 1} f JOIN tw ON tw.u = f.node " +
+        "JOIN adj a ON a.u = f.node AND (('0x' || " +
+        "substr(md5('ww1:' || CAST(f.start_id AS VARCHAR) || ':' || " +
+        s"CAST(f.walk AS VARCHAR) || ':$t:' || CAST(f.node AS VARCHAR)), " +
+        "1, 15))::BIGINT % tw.tw) >= a.lo AND (('0x' || " +
+        "substr(md5('ww1:' || CAST(f.start_id AS VARCHAR) || ':' || " +
+        s"CAST(f.walk AS VARCHAR) || ':$t:' || CAST(f.node AS VARCHAR)), " +
+        "1, 15))::BIGINT % tw.tw) < a.hi)"
+      "WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_partkey % 100 = 0), " +
+        "ed AS (SELECT a.o AS u, b.o AS v, CAST(count(*) AS BIGINT) AS w " +
+        "FROM e0 a JOIN e0 b ON a.p = b.p AND a.o < b.o GROUP BY 1, 2), " +
+        "und AS (SELECT u, v, w FROM ed " +
+        "UNION ALL SELECT v, u, w FROM ed), " +
+        "adj AS MATERIALIZED (SELECT u, v, " +
+        "CAST(sum(w) OVER (PARTITION BY u ORDER BY v) - w AS BIGINT) AS lo, " +
+        "CAST(sum(w) OVER (PARTITION BY u ORDER BY v) AS BIGINT) AS hi " +
+        "FROM und), " +
+        "tw AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS tw " +
+        "FROM und GROUP BY u), " +
+        "f0 AS (SELECT n.u AS start_id, CAST(w.walk AS BIGINT) AS walk, " +
+        "n.u AS node FROM (SELECT DISTINCT u FROM und) n " +
+        "CROSS JOIN (VALUES (0), (1)) w(walk))" +
+        (1 to 3).map(hop).mkString(", ", ", ", ", ") +
+        "wk AS (SELECT start_id, walk, CAST(0 AS BIGINT) AS step, node FROM f0 " +
+        (1 to 3).map(t => "UNION ALL SELECT start_id, walk, " +
+          s"CAST($t AS BIGINT), node FROM f$t").mkString(" ") + ") " +
+        "SELECT start_id, walk, step, node FROM wk"
+    },
     // HITS: two unrolled integer max-normalized half-step pairs over
     // the directed bipartite edges; sums CAST back from HUGEINT
     "q_graph_hits" -> ("WITH e0 AS (SELECT DISTINCT l_orderkey AS s, " +

@@ -416,6 +416,68 @@ object GraphAlgos {
     res
   }
 
+  /** [[randomWalks]] with edge-multiplicity-PROPORTIONAL neighbor
+    * choice (node2vec/DeepWalk over a weighted projection: an order
+    * pair co-occurring in 5 baskets should be walked 5× as often as a
+    * single co-occurrence — the unweighted walk underrepresents strong
+    * ties and the skip-gram corpus downstream inherits the bias).
+    *
+    * Deterministic like the unweighted form — no RNG, no alias-table
+    * rejection sampling: neighbors of `u` (id-ordered) carry CUMULATIVE
+    * weight intervals `[lo, hi)` partitioning `[0, W(u))`, hop t at u
+    * draws `md5(seed:start:walk:t:u) mod W(u)` and takes the unique
+    * covering interval. Each hop is ONE equi-join of the fixed-size
+    * frontier against the node-partitioned adjacency (the interval
+    * predicate is a join residual evaluated DURING the equi-match —
+    * exactly one adjacency row survives per frontier row, so the
+    * frontier never grows). Input edges: `(id_a, id_b, w)` canonical
+    * undirected with positive long weights (the
+    * [[coOccurrenceWeighted]] frame); W(u) must stay < 2^59 or the
+    * draw's modulus would bias (a non-issue for count weights).
+    */
+  def randomWalksWeighted(edges: DataFrame, steps: Int, walksPerNode: Int,
+      seed: String): DataFrame = {
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    val spark = edges.sparkSession
+    val store = new Scratch.FrameStore(spark)
+    val und = edges.select(col("id_a").as("u"), col("id_b").as("v"),
+        col("w").cast("long").as("w"))
+      .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v"),
+        col("w").cast("long").as("w")))
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("v"))
+    val adj = store.keep(und
+      .withColumn("_hi", sum(col("w")).over(wAdj))
+      .select(col("u").as("_au"), col("v").as("_av"),
+        (col("_hi") - col("w")).as("_alo"), col("_hi").as("_ahi")))
+    val tot = store.keep(und.groupBy(col("u"))
+      .agg(sum(col("w")).as("_tw"))
+      .select(col("u").as("_du"), col("_tw")))
+    var frontier = store.keep(und.select(col("u")).distinct()
+      .select(col("u").as("start_id"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"))
+      .withColumn("node", col("start_id")))
+    var out = frontier.select(col("start_id"), col("walk"),
+      lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val h = conv(substring(md5(concat_ws(":", lit(seed),
+        col("start_id"), col("walk"), lit(t), col("node"))), 1, 15),
+        16, 10).cast("long")
+      frontier = store.keep(frontier
+        .join(tot, col("node") === col("_du")).drop("_du")
+        .withColumn("_r", pmod(h, col("_tw")))
+        .join(adj, col("node") === col("_au") &&
+          col("_r") >= col("_alo") && col("_r") < col("_ahi"))
+        .select(col("start_id"), col("walk"), col("_av").as("node")))
+      out = out.unionByName(frontier.select(col("start_id"), col("walk"),
+        lit(t.toLong).as("step"), col("node")))
+    }
+    val res = Scratch.stable(out)
+    store.release()
+    res
+  }
+
   /** Skip-gram training pairs from a [[randomWalks]] corpus: every
     * ordered (center, context) vertex pair co-occurring within
     * `window` positions of the same walk — the positive examples a
@@ -468,6 +530,18 @@ object GraphAlgos {
     val store = new Scratch.FrameStore(spark)
     val e = store.keep(edges.select(col(srcCol).cast("long").as("_s"),
       col(dstCol).cast("long").as("_d")).distinct())
+    // Overflow guard (fail loudly, never diverge): each half-step sums
+    // ≤ deg values of magnitude ≤ scale, then rescales by ·scale — the
+    // largest intermediate is maxDeg·scale². Spark longs WRAP silently
+    // in non-ANSI mode while the DuckDB oracle sums in HUGEINT, so an
+    // over-headroom graph would silently hash-diverge instead of
+    // erroring. One cheap degree aggregation, once, before iterating.
+    val maxDeg = e.groupBy(col("_d")).agg(count(lit(1)).as("c"))
+      .unionAll(e.groupBy(col("_s")).agg(count(lit(1)).as("c")))
+      .agg(max(col("c"))).head.getLong(0)
+    require(maxDeg <= Long.MaxValue / scale / scale,
+      s"hits: max degree $maxDeg overflows long at scale $scale " +
+        s"(need maxDeg * scale^2 < 2^63) — lower `scale` or thin the graph")
     var h = store.keep(e.select(col("_s")).distinct()
       .withColumn("_h", lit(scale)))
     var a: DataFrame = h // overwritten in round 1 (rounds >= 1)

@@ -830,9 +830,59 @@ object VectorOps {
     */
   private[graft] def stagedUnit(df: DataFrame, idCol: String, vecCol: String,
       extra: Seq[String] = Nil): DataFrame =
-    l2NormalizeQuantizedStaged(df.where(finiteVec(col(vecCol))), vecCol, "_uq")
-      .where(exists(col("_uq"), x => x =!= 0L))
+    // both degenerate gates test the RAW column, BEFORE staging: a
+    // zero-norm row is exactly one whose every component quantizes to
+    // 0 (|round(x·1e6)| < 1), so the test needs none of the staged
+    // arithmetic. Filtering on `_uq` instead looks equivalent but is a
+    // measured 5× slowdown: predicate pushdown substitutes the alias,
+    // inlining the whole O(dim) normalize chain under the filter's
+    // per-element lambda — the l2NormalizeQuantizedStaged scaladoc's
+    // inlined-expression quadratic class, resurrected by the optimizer
+    l2NormalizeQuantizedStaged(
+        df.where(finiteVec(col(vecCol)) && exists(col(vecCol),
+          x => abs(round(x.cast("double") * 1000000L)) >= 1L)),
+        vecCol, "_uq")
       .select((idCol +: "_uq" +: extra).map(col): _*)
+
+  /** [[stagedUnit]] with the staged frame pinned (MEMORY_AND_DISK,
+    * plan-keyed, FIFO-bounded like GraphAlgos.projCache): the µ-unit
+    * corpus is WRITE-TIME material — at 100 TB it is a materialized
+    * column next to the embeddings, not per-query work — and the
+    * analytics family (knn/margins/outlier/purity/eval/mmr) re-reads
+    * the same staged corpus a dozen times per session. Streaming
+    * micro-batches churn keys through the FIFO harmlessly (an evicted
+    * entry recomputes its one-scan lineage; no correctness loss).
+    */
+  private[graft] def stagedUnitCached(df: DataFrame, idCol: String,
+      vecCol: String, extra: Seq[String] = Nil): DataFrame = {
+    val key = (graft.pipeline.Dedup.planKey(df), idCol, vecCol,
+      extra.mkString(","))
+    var built: DataFrame = null
+    val e = unitCache.synchronized {
+      val hit = unitCache.get(key)
+      if (hit != null) hit
+      else {
+        built = stagedUnit(df, idCol, vecCol, extra)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        unitCache.put(key, built)
+        built
+      }
+    }
+    if (e eq built) e.count()
+    e
+  }
+
+  private val UnitCacheMax = 8
+  private val unitCache =
+    new java.util.LinkedHashMap[(String, String, String, String), DataFrame](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, String), DataFrame]): Boolean = {
+        val evict = size() > UnitCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** [[knnJoin]] on the INTEGER-DOT contract: ranks by the exact long
     * dot product of [[l2NormalizeQuantized]] µ-unit vectors (`_qdot`
@@ -849,16 +899,16 @@ object VectorOps {
     */
   def intKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
-    intDotTopK(stagedUnit(corpus, idCol, vecCol),
-      stagedUnit(queries, idCol, vecCol), idCol, "_uq", k, excludeSelf)
+    intDotTopK(stagedUnitCached(corpus, idCol, vecCol),
+      stagedUnitCached(queries, idCol, vecCol), idCol, "_uq", k, excludeSelf)
 
   /** [[knnJoinLabeled]] on the integer-dot contract — both sides'
     * labels ride the kernel scan for purity/leakage analyses. */
   def intKnnJoinLabeled(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame =
-    intDotTopK(stagedUnit(corpus, idCol, vecCol, Seq(labelCol)),
-      stagedUnit(queries, idCol, vecCol, Seq(labelCol)), idCol, "_uq", k,
+    intDotTopK(stagedUnitCached(corpus, idCol, vecCol, Seq(labelCol)),
+      stagedUnitCached(queries, idCol, vecCol, Seq(labelCol)), idCol, "_uq", k,
       excludeSelf, keepLabelCol = Some(labelCol))
 
   /** [[hardNegatives]] on the integer-dot contract — top-k nearest
@@ -866,8 +916,8 @@ object VectorOps {
     * heap kernel. */
   def intHardNegatives(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
-    intDotTopK(stagedUnit(corpus, idCol, vecCol, Seq(labelCol)),
-      stagedUnit(queries, idCol, vecCol, Seq(labelCol)), idCol, "_uq", k,
+    intDotTopK(stagedUnitCached(corpus, idCol, vecCol, Seq(labelCol)),
+      stagedUnitCached(queries, idCol, vecCol, Seq(labelCol)), idCol, "_uq", k,
       excludeSelf = true, excludeLabelCol = Some(labelCol))
 
   /** [[kthNeighborScore]] on the integer-dot contract: (id, kth_qdot)
@@ -949,8 +999,8 @@ object VectorOps {
   def marginBackwardSums(srcRef: DataFrame, tgt: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    intDotTopK(stagedUnit(srcRef, idCol, vecCol),
-        stagedUnit(tgt, idCol, vecCol), idCol, "_uq", k)
+    intDotTopK(stagedUnitCached(srcRef, idCol, vecCol),
+        stagedUnitCached(tgt, idCol, vecCol), idCol, "_uq", k)
       .select(col("query_id").as("tgt_id"), col("_qdot").as("_qc"))
       .groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
   }
@@ -975,7 +1025,7 @@ object VectorOps {
       backSums: DataFrame, idCol: String, vecCol: String, k: Int,
       minMarginQ: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val f = intDotTopK(stagedUnit(tgt, idCol, vecCol),
+    val f = intDotTopK(stagedUnitCached(tgt, idCol, vecCol),
         stagedUnit(batch, idCol, vecCol), idCol, "_uq", k)
       .select(col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"), col("_qdot").as("_qc"))
@@ -995,8 +1045,8 @@ object VectorOps {
     // both directions select and score on the SAME exact integer dot
     // (`_qdot` — the kernel's selection key verbatim), so candidate
     // sets and the margin arithmetic over them replay together
-    val srcU = stagedUnit(src, idCol, vecCol)
-    val tgtU = stagedUnit(tgt, idCol, vecCol)
+    val srcU = stagedUnitCached(src, idCol, vecCol)
+    val tgtU = stagedUnitCached(tgt, idCol, vecCol)
     val f = intDotTopK(tgtU, srcU, idCol, "_uq", k)
       .select(col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"), col("_qdot").as("_qc"))

@@ -495,8 +495,13 @@ object GraphStream {
     // `when` guards evaluation itself (CaseWhen only evaluates the
     // matched branch), so unmeasurable rows carry a null struct and
     // fail the comparison; wrong-length vectors null out inside the
-    // aggregate on their own
-    val measurable = !exists(col(vecCol), x => isnan(x.cast("double")))
+    // aggregate on their own. The guard covers ALL non-finite values,
+    // not just NaN: an Inf component quantizes to Long.MaxValue and
+    // the squared-diff aggregate wraps, so a garbage row could pass as
+    // maximally 'hard' — the exact fabricated-far-away failure this
+    // gate exists to stop (finiteVec = the knn kernels' degenerate
+    // exclusion, shared contract)
+    val measurable = graft.search.VectorOps.finiteVec(col(vecCol))
     val cols = stream.columns.map(col)
     stream
       .withColumn("_best", when(measurable, VectorOps.assignStruct(
@@ -560,7 +565,20 @@ object GraphStream {
   /** FIFO-bounded like GraphAlgos.projCache: a long-lived ingest
     * server that rebuilds margin filters (the doc's "rebuild when the
     * source distribution moves" rule) must not accumulate persisted
-    * back-sum tables; eviction unpersists the frame it owns. */
+    * back-sum tables; eviction unpersists the frame it owns.
+    *
+    * Liveness contract (documented, not tracked): a filter closure
+    * returned by [[marginMineIngest]] holds its back-sums DataFrame by
+    * reference, so after >4 DISTINCT filters are constructed the
+    * oldest filters' standing tables are unpersisted underneath them —
+    * they keep working (Spark recomputes the backward kNN lineage per
+    * micro-batch) but degrade from a cached-read to a full recompute,
+    * a perf cliff with no correctness loss. A deployment that really
+    * serves >4 concurrent margin filters should raise BackSumCacheMax
+    * or pin its own persisted tables and call [[graft.search.VectorOps
+    * .marginMineBatch]] directly; reference-counting closures here
+    * would trade that documented cliff for unbounded executor memory
+    * on the same workload. */
   private val BackSumCacheMax = 4
   private val backSumCache =
     new java.util.LinkedHashMap[(String, String, String, String, Int), DataFrame](

@@ -1344,6 +1344,69 @@ class PipelineSpec extends GraftSuite {
       Set((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("randomWalksWeighted: interval replay, proportional choice, determinism, partitioning independence") {
+    val s = spark
+    import s.implicits._
+    // triangle with a HEAVY 1-2 edge (w=5) vs light 2-3 / 1-3 (w=1):
+    // each hop draws md5 mod totalWeight(u) and lands in the
+    // cumulative interval over id-ordered neighbors — replayed here
+    // with an independent MessageDigest implementation
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 1L))
+      .toDF("id_a", "id_b", "w")
+    val nbrs = Map( // (neighbor, weight) id-ordered
+      1L -> Seq((2L, 5L), (3L, 1L)),
+      2L -> Seq((1L, 5L), (3L, 1L)),
+      3L -> Seq((1L, 1L), (2L, 1L)))
+    def pick(seed: String, st: Long, w: Long, t: Int, u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$st:$w:$t:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val tot = nbrs(u).map(_._2).sum
+      val r = (BigInt(hex.substring(0, 15), 16) % tot).toLong
+      var cum = 0L; var res = -1L
+      for ((v, wt) <- nbrs(u)) if (res < 0) { cum += wt; if (r < cum) res = v }
+      res
+    }
+    val got = GraphAlgos.randomWalksWeighted(edges, steps = 3,
+        walksPerNode = 2, seed = "tw")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(got.size == 24, s"expected 24 walk rows, got ${got.size}")
+    for (st <- 1L to 3L; w <- 0L to 1L) {
+      var cur = st
+      assert(got((st, w, 0L)) == cur, "step 0 is the start vertex")
+      for (t <- 1 to 3) {
+        cur = pick("tw", st, w, t, cur)
+        assert(got((st, w, t.toLong)) == cur,
+          s"walk ($st,$w) step $t: ${got((st, w, t.toLong))} vs $cur")
+      }
+    }
+    // proportionality: across many seeds, vertex 1's first hop picks
+    // the w=5 neighbor ~5/6 of the time (exact counting, no tolerance
+    // games: 5/6 of 60 seeds is 50; accept the binomial bulk 40..58)
+    val heavy = (0 until 60).count(i => pick(s"s$i", 1L, 0L, 1, 1L) == 2L)
+    assert(heavy >= 40 && heavy <= 58,
+      s"heavy edge picked $heavy/60 — not weight-proportional")
+    // partitioning independence + seed sensitivity
+    val again = GraphAlgos.randomWalksWeighted(edges.repartition(5), 3, 2, "tw")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(again == got, "partitioning must not change the corpus")
+    val other = GraphAlgos.randomWalksWeighted(edges, 3, 2, "uw")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    assert(other != got, "a different seed must change some hop")
+    // uniform weights degrade to the unweighted walk's distribution
+    // shape (same interval arithmetic, every interval width 1)
+    val uni = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+      .toDF("id_a", "id_b", "w")
+    val uniGot = GraphAlgos.randomWalksWeighted(uni, 2, 1, "tw").collect()
+    assert(uniGot.length == 9, "3 vertices x 1 walk x 3 positions")
+  }
+
   test("hits: integer max-normalized rounds match a hand replay; one-sided nodes zero-fill") {
     val s = spark
     import s.implicits._

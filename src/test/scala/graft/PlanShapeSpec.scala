@@ -405,6 +405,10 @@ class PlanShapeSpec extends GraftSuite {
       ("q_embed_proto_prune", 1, false),
       ("q_embed_cluster_budget", 1, true),
       ("q_graph_walks", 0, false),
+      // weighted walks: same served shape — every hop an equi-join of
+      // the fixed-size frontier vs the pinned weighted adjacency (the
+      // interval predicate is a join residual, never a frontier blowup)
+      ("q_graph_walks_w", 0, false),
       ("q_graph_walk_pairs", 2, true),
       // lm2's three shuffles exactly — the unigram table collects once
       // and broadcasts like the bigram tables (a live frame measured
@@ -474,27 +478,27 @@ class PlanShapeSpec extends GraftSuite {
       s"q_doc_drift gained an SMJ beyond the vocab-bounded full outer: $drift")
   }
 
-  test("exchange budget: q_embed_margin_mine tolerates its one co-partitioned SMJ") {
-    // the margin join (candidates x per-source/per-target sums) runs
-    // on the shuffle key both sides already carry — an SMJ there is
-    // the RIGHT 100 TB shape (the sum tables scale with the corpus, so
-    // a broadcast would be the regression); everything else must stay
-    // within the measured budget
+  test("exchange budget: the margin miners on the integer-dot contract") {
+    // since the r14 integer-dot rebase the two directions read the
+    // PERSISTED staged unit-vector frames (stagedUnitCached), so
+    // cross-plan sharing happens at the cached-frame level instead of
+    // exchange reuse, and the sum joins broadcast (the sum tables are
+    // |src|/|tgt|-row aggregates of the bounded candidate set); at a
+    // corpus scale where they stop broadcasting, the join key is
+    // already the candidate shuffle key — SMJ degrades gracefully
     val prof = planProfile(
       SparkEntry.queries("q_embed_margin_mine")(spark, dir))
     info(s"q_embed_margin_mine -> $prof")
     assert(prof("shuffle") <= 4, s"shuffle budget exceeded: $prof")
     assert(prof("smj") <= 1, s"more than the one margin-join SMJ: $prof")
     assert(prof("bhj") >= 1, s"candidate-set joins lost broadcast: $prof")
-    // the mutual form adds the backward window + argmax join; heavy
-    // exchange reuse (14 reused at HEAD) keeps the extra cost at 3
-    // shuffles over the one-directional plan
+    // the mutual form adds the backward window + argmax join
     val mprof = planProfile(
       SparkEntry.queries("q_embed_margin_mutual")(spark, dir))
     info(s"q_embed_margin_mutual -> $mprof")
     assert(mprof("shuffle") <= 7, s"shuffle budget exceeded: $mprof")
     assert(mprof("smj") <= 1, s"more than the one margin-join SMJ: $mprof")
-    assert(mprof("reused") >= 1, s"lost exchange reuse entirely: $mprof")
+    assert(mprof("bhj") >= 1, s"candidate-set joins lost broadcast: $mprof")
   }
 
   test("exchange budget: q_eval_rank tolerates its one co-partitioned SMJ") {
