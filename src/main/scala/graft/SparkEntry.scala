@@ -1837,6 +1837,35 @@ object SparkEntry {
         "cluster", "vec_id", "n_tokens", "proto_dist",
         Map.empty, defaultBudget = 2000L)
     }),
+    // embedding-space isotropy diagnostic (Mu & Viswanath / Ethayarajh):
+    // mean pairwise integer dot over a deterministic md5-sampled row
+    // subset — a collapsed/anisotropic embedding model reads high,
+    // healthy spaces near 0; pure integer function of (bytes, seed)
+    "q_embed_isotropy" -> ((s, d) =>
+      VectorOps.isotropyReport(emb(s, d), "vec_id", "embedding",
+        seed = "iso", modP = 8)),
+    // per-SOURCE prototypicality pruning: global centroid space, but
+    // each (source, cluster) cell keeps its own hardest 3/4 — the
+    // sharded-by-tenant deployment shape of q_embed_proto_prune
+    "q_embed_proto_prune_src" -> ((s, d) => {
+      val e = emb(s, d).join(docs(s, d)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      VectorOps.prototypicalityPruneBy(e, "vec_id", "embedding",
+        "source", k = 8, iters = 2, keepNum = 3, keepDen = 4)
+    }),
+    // per-(source, cluster) token budgets: the tenant-sharded form of
+    // the topic-balanced assembly — one window, composite key
+    "q_embed_cluster_budget_src" -> ((s, d) => {
+      val scores = VectorOps.prototypicalityScores(emb(s, d), "vec_id",
+        "embedding", k = 8, iters = 2)
+      val toks = TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
+        .select(col("doc_id").as("vec_id"), col("n_tokens"))
+      val src = docs(s, d).select(col("doc_id").as("vec_id"), col("source"))
+      Curation.tokenBudgetSelectBy(
+        scores.join(toks, "vec_id").join(src, "vec_id"),
+        Seq("source", "cluster"), "vec_id", "n_tokens", "proto_dist",
+        budget = 500L)
+    }),
     // SemDeDup (Abbas et al. 2023): cosine near-dup pairs confined to
     // the integer-exact k-means blocks above; keep = min-id-wins
     "q_embed_semdedup_pairs" -> ((s, d) =>
@@ -4183,6 +4212,45 @@ object SparkEntry {
       "AS BIGINT) AS cum_tokens FROM tb) " +
       "SELECT vec_id, cl AS cluster, n_tokens, cum_tokens FROM cb " +
       "WHERE cum_tokens <= 2000"),
+    // isotropy: same md5 sample gate, all within-sample pairs on the
+    // exact integer dot, trunc-division mean (DuckDB // == Spark div)
+    "q_embed_isotropy" -> ("WITH " + unitCte + ", " +
+      "sm AS (SELECT vec_id, v FROM uq WHERE ('0x' || " +
+      "substr(md5('iso:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT " +
+      "% 8 = 0), " +
+      "pr AS (SELECT " + qdSql("a.v", "b.v") + " AS qd " +
+      "FROM sm a JOIN sm b ON a.vec_id < b.vec_id) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(sum(qd) // count(*) AS BIGINT) AS mean_qdot, " +
+      "CAST(abs(sum(qd) // count(*)) AS BIGINT) AS aniso_q FROM pr"),
+    // per-source prune: same winning-distance CTEs, windows keyed by
+    // (source, cluster) after the id join onto documents
+    "q_embed_proto_prune_src" -> (kmeansAsgnCtes + ", " +
+      "pd AS (SELECT vec_id, cl, dst FROM d3 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      "ps AS (SELECT p.vec_id, d.source, p.cl, p.dst FROM pd p " +
+      "JOIN documents d ON d.doc_id = p.vec_id), " +
+      "rk AS (SELECT vec_id, source, cl, dst, row_number() OVER " +
+      "(PARTITION BY source, cl ORDER BY dst DESC, vec_id) AS r, " +
+      "count(*) OVER (PARTITION BY source, cl) AS n FROM ps) " +
+      "SELECT vec_id, source, cl AS cluster, " +
+      "CAST(dst AS BIGINT) AS proto_dist " +
+      "FROM rk WHERE r * 4 <= n * 3"),
+    // per-(source, cluster) budgets: the same cumsum prefix, composite
+    // partition key, uniform 500-token cap per cell
+    "q_embed_cluster_budget_src" -> (kmeansAsgnCtes + ", " + tokCte + ", " +
+      "pd AS (SELECT vec_id, cl, dst FROM d3 QUALIFY " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      "tb AS (SELECT p.vec_id, d.source, p.cl, " +
+      "CAST(len(t.t) AS BIGINT) AS n_tokens, p.dst FROM pd p " +
+      "JOIN toks t ON p.vec_id = t.doc_id " +
+      "JOIN documents d ON d.doc_id = p.vec_id), " +
+      "cb AS (SELECT vec_id, source, cl, n_tokens, " +
+      "CAST(sum(n_tokens) OVER (PARTITION BY source, cl " +
+      "ORDER BY dst DESC, vec_id ROWS UNBOUNDED PRECEDING) " +
+      "AS BIGINT) AS cum_tokens FROM tb) " +
+      "SELECT vec_id, source, cl AS cluster, n_tokens, cum_tokens " +
+      "FROM cb WHERE cum_tokens <= 500"),
     // SemDeDup: the same k-means blocks, exact double cosine within
     // each block; keep = min-id-wins against the dropped (id_b) set
     "q_embed_semdedup_pairs" -> (semdedupPairsCtes +

@@ -672,6 +672,30 @@ object Curation {
       .select(col(idCol), col(srcCol), col(tokensCol), col("cum_tokens"))
   }
 
+  /** [[tokenBudgetSelect]] keyed by a COMPOSITE group — the per-tenant
+    * form of the topic-balanced assembly: each (tenant, cluster) cell
+    * gets the same uniform token cap, so no tenant's dense topic can
+    * eat another tenant's share of that topic. Still ONE window (the
+    * composite key is just more partition columns); a per-cell budget
+    * MAP would be |tenants|·|clusters| literals — at that point the
+    * budgets belong in a small broadcast-joined table, which callers
+    * can do with the same cum_tokens column this emits.
+    */
+  def tokenBudgetSelectBy(df: DataFrame, grpCols: Seq[String],
+      idCol: String, tokensCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    require(grpCols.nonEmpty, "need at least one group column")
+    require(budget >= 0, "budget must be nonnegative")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(grpCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .where(col("cum_tokens") <= budget)
+      .select((col(idCol) +: grpCols.map(col)) ++
+        Seq(col(tokensCol), col("cum_tokens")): _*)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldDf.select(col(idCol), md5(col(textCol)).as("_ho"))

@@ -2334,12 +2334,74 @@ object VectorOps {
     pruneScores(prototypicalityScoresSeeded(df, idCol, vecCol, cents),
       idCol, keepNum, keepDen)
 
+  /** Embedding-space isotropy diagnostic (Mu & Viswanath 2018 /
+    * Ethayarajh 2019: anisotropic spaces — all vectors sharing a
+    * dominant direction — degrade cosine retrieval and clustering;
+    * healthy mean pairwise cosine sits near 0, a collapsed embedding
+    * model reads high): the mean integer dot over a DETERMINISTIC
+    * md5-sampled row subset's pairs. Sampling gates each row on
+    * `md5(seed:id) mod modP == 0` (expected n/modP rows — pick modP
+    * so the sample is maxSample-ish), then all pairs within the
+    * bounded sample score by exact µ-unit integer dots — the report
+    * is a pure integer function of (parquet bytes, seed, modP),
+    * replayable on any engine, no RNG. Refuses an over-cap sample
+    * (quadratic pair work must stay diagnostic-sized — the MMR
+    * maxPool discipline). One cached staged scan + one broadcast
+    * self-join of the sample. Output:
+    * (n_pairs, mean_qdot, aniso_q = |mean_qdot|), mean ≈ cosine·1e12.
+    */
+  def isotropyReport(df: DataFrame, idCol: String, vecCol: String,
+      seed: String, modP: Int, maxSample: Int = 512): DataFrame = {
+    require(modP >= 1, s"modP must be >= 1, got $modP")
+    val su = stagedUnitCached(df, idCol, vecCol)
+    val gate = pmod(conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(modP.toLong)) === 0L
+    val sampled = su.where(gate)
+    val n = sampled.count()
+    require(n <= maxSample,
+      s"isotropy sample $n exceeds maxSample=$maxSample: raise modP " +
+        "(pair work is quadratic in the sample — keep it diagnostic-sized)")
+    val a = sampled.select(col(idCol).as("_ia"), col("_uq").as("_ua"))
+    val b = sampled.select(col(idCol).as("_ib"), col("_uq").as("_ub"))
+    a.join(broadcast(b), col("_ia") < col("_ib"))
+      .select(intDotCol(col("_ua"), col("_ub")).as("_qd"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_qd")).as("_s"))
+      .select(col("n_pairs"),
+        expr("_s div n_pairs").as("mean_qdot"),
+        abs(expr("_s div n_pairs")).as("aniso_q"))
+  }
+
+  /** Per-GROUP prototypicality pruning — the deployment shape a real
+    * curation pipeline shards by (tenant, crawl source, license
+    * bucket): the centroid space stays GLOBAL (topics are corpus-wide
+    * — per-tenant k-means would make "cluster 3" mean different things
+    * per tenant), but each (group, cluster) cell keeps its own hardest
+    * `keepNum/keepDen` fraction, so one verbose tenant cannot eat
+    * another's allocation within a topic. Same exact integer keep rule
+    * (`r·keepDen ≤ n·keepDen` floor compare on the assignment's own
+    * argmin key); the group column joins back onto the bounded score
+    * frame by id — one broadcast-sized join, the windows gain a
+    * partition key for free. Output adds `grpCol`.
+    */
+  def prototypicalityPruneBy(df: DataFrame, idCol: String, vecCol: String,
+      grpCol: String, k: Int, iters: Int, keepNum: Int,
+      keepDen: Int): DataFrame =
+    pruneScoresBy(
+      prototypicalityScores(df, idCol, vecCol, k, iters)
+        .join(df.select(col(idCol), col(grpCol)), idCol :: Nil),
+      idCol, Seq(grpCol, "cluster"), keepNum, keepDen)
+
   private def pruneScores(scores: DataFrame, idCol: String,
-      keepNum: Int, keepDen: Int): DataFrame = {
+      keepNum: Int, keepDen: Int): DataFrame =
+    pruneScoresBy(scores, idCol, Seq("cluster"), keepNum, keepDen)
+
+  private def pruneScoresBy(scores: DataFrame, idCol: String,
+      keys: Seq[String], keepNum: Int, keepDen: Int): DataFrame = {
     require(keepDen >= 1 && keepNum >= 0 && keepNum <= keepDen,
       s"need 0 <= keepNum <= keepDen with keepDen >= 1: $keepNum/$keepDen")
     val byCl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster"))
+      .partitionBy(keys.map(col): _*)
     scores
       .withColumn("_r", row_number().over(
         byCl.orderBy(col("proto_dist").desc, col(idCol).asc)))

@@ -675,6 +675,52 @@ object GraphStream {
     }
   }
 
+  /** The COMPOSED ingest curation recipe — the streaming analogue of
+    * `q_doc_recipe`, wiring the independently-gated arms into the one
+    * per-batch chain a crawl-ingest deployment actually runs over
+    * (id, text, embedding) rows:
+    *
+    *   1. length gate — keep rows whose token count is at/above the
+    *      reference corpus's exact pNum/pDen quantile (the
+    *      [[quantileGateIngestFilter]] arm; threshold pinned ONCE at
+    *      construction — one long);
+    *   2. semantic dedup — drop survivors θ-near the standing corpus
+    *      within shared k-means blocks ([[semanticIngestKeep]];
+    *      centroids train once);
+    *   3. drift telemetry TAP — every batch also yields its
+    *      KL(batch‖reference) table ([[driftIngestMonitor]]);
+    *      telemetry never gates.
+    *
+    * Order is load-bearing: the pure-predicate gate runs FIRST so the
+    * join-shaped dedup only pays for survivors; the drift monitor
+    * reads the RAW batch — the alert is about what ARRIVES, a shard
+    * whose junk the gate happens to absorb must still trip it.
+    * Returns `batch => (kept, driftReport)`. Batch == stream parity
+    * holds arm-by-arm (each arm's own contract), hence for the
+    * composition: union-of-batches curates row-for-row like one
+    * batch. Rebuild when the reference distribution moves (the DSIR
+    * refit rule, shared by every pinned-artifact filter here).
+    */
+  def curationIngestRecipe(ref: DataFrame, idCol: String, textCol: String,
+      vecCol: String, pNum: Int, pDen: Int, k: Int, iters: Int,
+      theta: Double, vocab: Int): DataFrame => (DataFrame, DataFrame) = {
+    import graft.pipeline.{Curation, TextAnalysis}
+    val ntok = (c: Column) => size(TextAnalysis.tokens(c)).cast("long")
+    val thrRow = Curation.quantileGate(
+        ref.select(lit(0L).as("_qid"), ntok(col(textCol)).as("_ntok")),
+        "_qid", "_ntok", pNum, pDen)
+      .agg(min(col("_ntok")).as("_t")).head
+    require(!thrRow.isNullAt(0),
+      "curationIngestRecipe: empty or all-null reference corpus")
+    val thr = thrRow.getLong(0)
+    val dedupKeep = semanticIngestKeep(ref, idCol, vecCol, k, iters, theta)
+    val drift = driftIngestMonitor(ref, textCol, vocab)
+    batch => {
+      val gated = batch.where(ntok(col(textCol)) >= lit(thr))
+      (dedupKeep(gated), drift(batch))
+    }
+  }
+
   /** DSIR quality filtering at ingest — the domain-shaping arm of the
     * filter family (the dedup arms drop what the corpus has SEEN; this
     * drops what the target domain doesn't WANT): keep stream rows

@@ -1166,6 +1166,18 @@ class PipelineSpec extends GraftSuite {
     val none = Curation.tokenBudgetSelect(df, "source", "doc_id",
       "n_tokens", "quality", Map("A" -> 120L)).collect().map(_.getLong(0))
     assert(!none.contains(4L) && !none.contains(5L))
+    // composite-key form: per (source, topic) cells budget
+    // independently — A/t1 keeps only its best (60 fills the 70 cap),
+    // A/t2 and B/t1 budget separately from it
+    val cells = Seq(
+      (1L, "A", "t1", 60L, 0.9), (2L, "A", "t1", 20L, 0.8),
+      (3L, "A", "t2", 50L, 0.9), (4L, "B", "t1", 50L, 0.9))
+      .toDF("doc_id", "source", "topic", "n_tokens", "quality")
+    val byCell = Curation.tokenBudgetSelectBy(cells,
+        Seq("source", "topic"), "doc_id", "n_tokens", "quality", 70L)
+      .collect().map(_.getLong(0)).toSet
+    assert(byCell == Set(1L, 3L, 4L),
+      s"per-cell budgets must be independent: $byCell")
   }
 
   test("temperatureMix flattens the source distribution toward the target mass") {

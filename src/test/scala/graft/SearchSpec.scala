@@ -1465,6 +1465,63 @@ class SearchSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       VectorOps.prototypicalityPrune(df, "vec_id", "embedding", 3, 2, 3, 2)
     }
+    // per-GROUP pruning: same global centroids, each (group, cluster)
+    // cell keeps its own hardest half — hand-ranked against the same
+    // independently recomputed scores
+    val grouped = df.withColumn("tenant",
+      (org.apache.spark.sql.functions.col("vec_id") % 2).cast("string"))
+    val keptBy = VectorOps.prototypicalityPruneBy(grouped, "vec_id",
+      "embedding", "tenant", k = 3, iters = 2, keepNum = 1, keepDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    val expectedBy = scores.groupBy { case (id, (cl, _)) => (id % 2, cl) }
+      .flatMap { case (_, m) =>
+        val ranked = m.toSeq.sortBy { case (id, (_, dd)) => (-dd, id) }
+        ranked.zipWithIndex.collect {
+          case ((id, _), i) if (i + 1) * 2 <= ranked.size => id
+        }
+      }.toSet
+    assert(keptBy == expectedBy,
+      s"per-group keep set $keptBy vs hand-ranked $expectedBy")
+  }
+
+  test("isotropyReport: integer hand replay, determinism, over-cap sample refuses") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.3f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // modP = 1 samples every row: the report must equal the all-pairs
+    // integer replay exactly
+    def unitQ(a: Array[Float]): Array[Long] = {
+      val q = a.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val nrm = math.floor(math.sqrt(q.map(x => x * x).sum.toDouble)).toLong
+      if (nrm == 0L) q.map(_ => 0L)
+      else q.map(x => ((x * 1000000L).toDouble / nrm).toLong)
+    }
+    val unit = rows.map { case (id, v) => id -> unitQ(v) }.toMap
+    val pairs = for (a <- rows.map(_._1); b <- rows.map(_._1) if a < b)
+      yield unit(a).indices.map(i => unit(a)(i) * unit(b)(i)).sum
+    val mean = pairs.sum / pairs.size // trunc like div
+    val got = VectorOps.isotropyReport(df, "vec_id", "embedding",
+      seed = "t", modP = 1).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((pairs.size.toLong, mean, math.abs(mean))),
+      s"got $got expected (${pairs.size}, $mean, ${math.abs(mean)})")
+    // determinism: same (seed, modP) replays; a different seed changes
+    // the sampled set (with modP > 1)
+    val s1 = VectorOps.isotropyReport(df, "vec_id", "embedding", "a", 4)
+      .collect().head
+    val s2 = VectorOps.isotropyReport(df, "vec_id", "embedding", "a", 4)
+      .collect().head
+    assert(s1.toSeq == s2.toSeq, "same seed must replay")
+    // cap contract: quadratic pair work must stay diagnostic-sized
+    intercept[IllegalArgumentException] {
+      VectorOps.isotropyReport(df, "vec_id", "embedding", "t", 1,
+        maxSample = 10)
+    }
   }
 
   test("cosineFlagsBroadcast: jittered copy flags, orthogonal row passes, eval cap refuses") {

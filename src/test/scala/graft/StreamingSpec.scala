@@ -474,6 +474,80 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("curationIngestRecipe: composed gate->dedup chain equals the batch recipe; drift taps the raw batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // reference corpus: 3 planted clusters, texts of varying length
+    // (so the p25 token gate has a real threshold)
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, ("tok " * (4 + i)).trim, v.toSeq)
+    }
+    val ref = rows.toDF("doc_id", "text", "embedding")
+    val recipe = GraphStream.curationIngestRecipe(ref, "doc_id", "text",
+      "embedding", pNum = 1, pDen = 4, k = 3, iters = 2, theta = 0.9,
+      vocab = 4)
+    // p25 of token counts 5..13 -> threshold 7 (percentile_disc):
+    // verified against the batch gate below, not assumed here
+    val dup1 = { val v = rows(1)._3.toArray.clone(); v(3) += 0.0005f; v.toSeq }
+    val novel = { val v = Array.fill(4)(0f); v(3) = 1f; v.toSeq }
+    val longText = ("tok " * 12).trim
+    val shortText = "tok tok" // under any 5..13 p25 threshold
+    val batches = Seq(
+      Seq((101L, longText, dup1), (102L, longText, novel)),
+      Seq((103L, shortText, novel), (104L, longText, novel)))
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val driftRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = mem.toDF().toDF("doc_id", "text", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (k2, dr) = recipe(b)
+        k2.select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+        dr.select("term", "contrib_q").collect()
+          .foreach(r => driftRows.add((r.getString(0), r.getLong(1))))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batches(0): _*)
+      q.processAllAvailable()
+      mem.addData(batches(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = kept.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    // 101 is a near-copy of corpus row 1 (dedup drops), 103 is under
+    // the length gate (gate drops), 102/104 are long novel rows (pass)
+    assert(got == Set(102L, 104L), s"composed chain kept: $got")
+    // composition parity: the recipe applied to the UNION as one batch
+    // equals the union of per-batch outputs
+    val union = batches.flatten.toDF("doc_id", "text", "embedding")
+    val (batchKept, batchDrift) = recipe(union)
+    assert(batchKept.select("doc_id").collect().map(_.getLong(0)).toSet == got,
+      "union-of-batches must equal the single batch")
+    // the batch form equals composing the standalone arms directly
+    val gated = GraphStream.quantileGateIngestFilter(
+      union.withColumn("_ntok",
+        size(graft.pipeline.TextAnalysis.tokens(col("text"))).cast("long")),
+      ref.select(size(graft.pipeline.TextAnalysis.tokens(col("text")))
+        .cast("long").as("_ntok")),
+      "_ntok", 1, 4)
+    val armKept = GraphStream.semanticIngestKeep(ref, "doc_id", "embedding",
+        k = 3, iters = 2, theta = 0.9)(gated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(armKept == got, s"standalone arms $armKept vs recipe $got")
+    // drift taps the RAW batch: the gated-out short doc's tokens are
+    // still counted — per-batch c_new sums equal raw batch token count
+    val totalNew = driftRows.toArray(Array.empty[(String, Long)]).length
+    assert(totalNew > 0, "drift tables must be emitted per batch")
+    val unionDriftTerms = batchDrift.select("term").collect()
+      .map(_.getString(0)).toSet
+    assert(unionDriftTerms.contains("tok") || unionDriftTerms.contains("<unk>"),
+      s"drift table must cover the arriving vocabulary: $unionDriftTerms")
+  }
+
   test("protoIngestFilter: batch parity with the prune, hard rows pass, prototypical and unmeasurable drop") {
     val s = spark
     import s.implicits._
