@@ -1843,7 +1843,7 @@ object SparkEntry {
     // healthy spaces near 0; pure integer function of (bytes, seed)
     "q_embed_isotropy" -> ((s, d) =>
       VectorOps.isotropyReport(emb(s, d), "vec_id", "embedding",
-        seed = "iso", modP = 8)),
+        seed = "iso")),
     // per-SOURCE prototypicality pruning: global centroid space, but
     // each (source, cluster) cell keeps its own hardest 3/4 — the
     // sharded-by-tenant deployment shape of q_embed_proto_prune
@@ -4215,9 +4215,10 @@ object SparkEntry {
     // isotropy: same md5 sample gate, all within-sample pairs on the
     // exact integer dot, trunc-division mean (DuckDB // == Spark div)
     "q_embed_isotropy" -> ("WITH " + unitCte + ", " +
+      "mp AS (SELECT (count(*) + 255) // 256 AS p FROM uq), " +
       "sm AS (SELECT vec_id, v FROM uq WHERE ('0x' || " +
       "substr(md5('iso:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT " +
-      "% 8 = 0), " +
+      "% (SELECT p FROM mp) = 0), " +
       "pr AS (SELECT " + qdSql("a.v", "b.v") + " AS qd " +
       "FROM sm a JOIN sm b ON a.vec_id < b.vec_id) " +
       "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +

@@ -2351,12 +2351,19 @@ object VectorOps {
     * (n_pairs, mean_qdot, aniso_q = |mean_qdot|), mean ≈ cosine·1e12.
     */
   def isotropyReport(df: DataFrame, idCol: String, vecCol: String,
-      seed: String, modP: Int, maxSample: Int = 512): DataFrame = {
-    require(modP >= 1, s"modP must be >= 1, got $modP")
+      seed: String, modP: Int = 0, maxSample: Int = 512): DataFrame = {
+    require(modP >= 0, s"modP must be >= 0 (0 = auto-size), got $modP")
     val su = stagedUnitCached(df, idCol, vecCol)
+    // modP = 0 auto-sizes the gate to a ~256-row expected sample from
+    // the measurable-corpus count — a FIXED modP stops being a
+    // diagnostic at 10× the rows (measured: the sf1 scaling corpus
+    // blew a modP=8 sample straight through the cap). ceil division;
+    // the oracle mirrors with the same integer arithmetic over uq.
+    val p = if (modP > 0) modP.toLong
+            else (su.count() + 255L) / 256L
     val gate = pmod(conv(substring(md5(concat(lit(seed + ":"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"),
-      lit(modP.toLong)) === 0L
+      lit(p)) === 0L
     val sampled = su.where(gate)
     val n = sampled.count()
     require(n <= maxSample,

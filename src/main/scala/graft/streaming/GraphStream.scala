@@ -721,6 +721,36 @@ object GraphStream {
     }
   }
 
+  /** Retrieval-quality monitoring at ingest — the streaming arm of
+    * [[graft.search.RankEval]]: each micro-batch of serving-log RUN
+    * rows (query_id, doc_id, rank) yields ONE corpus-summary row
+    * (n_queries, mrr_q, mean_ndcg_q, map_q — the exact integer
+    * fixed-point metrics) against a standing qrels table — the
+    * "retrieval quality of live traffic just dropped" alert, the
+    * measurement sibling of [[driftIngestMonitor]] (that one watches
+    * the input distribution; this one watches the RANKER's output
+    * quality). Qrels pin once at construction (persisted,
+    * MEMORY_AND_DISK — a write-time eval artifact); each batch costs
+    * the one runs×qrels equi-join + per-query windows/aggs of
+    * `rankEvalReport`. Per-batch summaries equal the batch form on
+    * that batch's rows by construction — the metrics are per-query,
+    * so a batch IS its own eval universe (spec-pinned; note the
+    * summary is per-BATCH, not a running mean over the stream —
+    * alerting wants the fresh window, and integer means of means
+    * would not compose anyway).
+    */
+  def rankEvalIngestMonitor(qrels: DataFrame, k: Int)
+      : DataFrame => DataFrame = {
+    import graft.search.RankEval
+    val pinned = qrels
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count() // materialize the standing artifact once
+    batch => RankEval.rankEvalSummary(
+      RankEval.rankEvalReport(batch, pinned, k))
+  }
+
   /** DSIR quality filtering at ingest — the domain-shaping arm of the
     * filter family (the dedup arms drop what the corpus has SEEN; this
     * drops what the target domain doesn't WANT): keep stream rows

@@ -1517,6 +1517,11 @@ class SearchSpec extends GraftSuite {
     val s2 = VectorOps.isotropyReport(df, "vec_id", "embedding", "a", 4)
       .collect().head
     assert(s1.toSeq == s2.toSeq, "same seed must replay")
+    // auto-sizing (modP = 0): at n = 40 the gate auto-sizes to
+    // ceil(40/256) = 1 — identical to the explicit modP = 1 report
+    val auto = VectorOps.isotropyReport(df, "vec_id", "embedding",
+      seed = "t").collect().head
+    assert(auto.toSeq == got.toSeq, "auto modP must equal explicit at n<256")
     // cap contract: quadratic pair work must stay diagnostic-sized
     intercept[IllegalArgumentException] {
       VectorOps.isotropyReport(df, "vec_id", "embedding", "t", 1,

@@ -548,6 +548,52 @@ class StreamingSpec extends GraftSuite {
       s"drift table must cover the arriving vocabulary: $unionDriftTerms")
   }
 
+  test("rankEvalIngestMonitor: per-batch integer summaries equal the batch form; degraded batch reads lower") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // qrels: query 1 -> {10, 11}; query 2 -> {20}
+    val qrels = Seq((1L, 10L), (1L, 11L), (2L, 20L))
+      .toDF("query_id", "doc_id")
+    val monitor = GraphStream.rankEvalIngestMonitor(qrels, k = 3)
+    // batch A: perfect runs (relevant at rank 1); batch B: degraded
+    // (query 1 finds a relevant doc only at rank 3, query 2 none)
+    val batchA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 99L, 3L),
+      (2L, 20L, 1L), (2L, 98L, 2L))
+    val batchB = Seq((1L, 97L, 1L), (1L, 96L, 2L), (1L, 11L, 3L),
+      (2L, 95L, 1L), (2L, 94L, 2L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val sums = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = mem.toDF().toDF("query_id", "doc_id", "rank").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        monitor(b).collect().foreach(r =>
+          sums.add((r.getLong(0), r.getLong(1)))) // (n_queries, mrr_q)
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batchA: _*); q.processAllAvailable()
+      mem.addData(batchB: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = sums.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(got.size == 2, s"one summary row per batch: $got")
+    // parity with the batch form on each batch's own rows
+    def batchForm(rows: Seq[(Long, Long, Long)]) = {
+      val r = graft.search.RankEval.rankEvalSummary(
+        graft.search.RankEval.rankEvalReport(
+          rows.toDF("query_id", "doc_id", "rank"), qrels, k = 3))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(got.toSet == Set(batchForm(batchA), batchForm(batchB)),
+      s"per-batch summaries must equal the batch form: $got")
+    // the alert signal: the perfect batch reads MRR = 1e9 exactly
+    // (both queries' first relevant at rank 1); the degraded batch
+    // reads (1e9//3 + 0)/2 = 166666666 — strictly lower
+    assert(got.toSet == Set((2L, 1000000000L), (2L, 166666666L)),
+      s"hand-computed per-batch MRR: $got")
+  }
+
   test("protoIngestFilter: batch parity with the prune, hard rows pass, prototypical and unmeasurable drop") {
     val s = spark
     import s.implicits._
