@@ -829,12 +829,74 @@ object SparkEntry {
     // corpus-level MRR / mean nDCG / MAP of the same run (integer means)
     "q_eval_summary" -> ((s, d) =>
       RankEval.rankEvalSummary(evalRankReport(s, d))),
+    // A/B run comparison — the run-selection decision table: run A =
+    // the exact integer-dot knn; run B = knn in the 16-dim
+    // random-projection space (the JL-reduced cheap ranker — a real
+    // candidate system, deterministically derivable by both engines).
+    // Per-query nDCG wins/losses/ties (sign-test counts) + both runs'
+    // integer MRR / mean-nDCG; exact integers end to end
+    "q_eval_ab" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 32)
+      val rels = q.select(col("vec_id").as("query_id"), col("label").as("_l"))
+        .join(e.select(col("vec_id").as("doc_id"), col("label").as("_l")),
+          Seq("_l"))
+        .where(col("query_id") =!= col("doc_id"))
+        .select("query_id", "doc_id")
+      val runA = VectorOps.intKnnJoin(e, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      // run B ranks by the exact long dot of UNNORMALIZED projected
+      // vectors — a deliberately cheaper/coarser ranker; 16-dim sums
+      // stay < 2^63 (components ≤ 64·6e5, products ≤ 1.5e15)
+      val rp = VectorOps.randomProject(e, "embedding", "_rv",
+        inDim = 64, outDim = 16)
+      val runB = VectorOps.intDotTopK(
+          rp.select(col("vec_id"), col("_rv")),
+          rp.where(col("vec_id") < 32).select(col("vec_id"), col("_rv")),
+          "vec_id", "_rv", k = 10, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      RankEval.rankEvalAbSummary(
+        RankEval.rankEvalReport(runA, broadcast(rels), k = 10),
+        RankEval.rankEvalReport(runB, broadcast(rels), k = 10))
+    }),
     // the fully-DISTRIBUTED knn join (no driver-side query collect —
     // the path for query sides that are themselves corpora): recall
     // vs the exact broadcast join gated >= 0.9 at the CALIBRATED
     // probe count (the serving path's discipline — honest on uniform
     // data, pruning on clustered), exact pair count cross-checked by
     // the oracle
+    // mining yield curve: how many best-per-source pairs survive each
+    // margin threshold band — the report that picks minMarginQ for the
+    // streaming miner (Artetxe & Schwenk tune mining by margin cutoff);
+    // bands are trunc-division of the exact integer margin, so the
+    // whole curve is replay-exact
+    "q_embed_margin_yield" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.marginMiningQuantized(e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+        .groupBy(expr("margin_q div 100000000000L").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("margin_q")).as("min_margin_q"),
+          max(col("margin_q")).as("max_margin_q"))
+    }),
+    // embedding cluster discovery by MUTUAL-kNN components (the
+    // classic embedding-clustering shape, e.g. face clustering: an
+    // edge iff each row is in the OTHER's top-k, components = the
+    // clusters — mutuality kills hub edges that would chain everything
+    // together). kNN on the integer-dot contract, components via the
+    // gated CC operator; rows with no mutual neighbor are absent
+    // (singletons by definition)
+    "q_embed_knn_components" -> ((s, d) => {
+      val e = emb(s, d)
+      val kn = VectorOps.intKnnJoin(e, e, "vec_id", "embedding", k = 4)
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      val mutual = kn
+        .join(kn.select(col("id_a").as("id_b"), col("id_b").as("id_a")),
+          Seq("id_a", "id_b"))
+        .where(col("id_a") < col("id_b"))
+      GraphAlgos.connectedComponents(mutual)
+        .select(col("node_id").as("vec_id"), col("component_id"))
+    }),
     "q_embed_knn_dist" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.where(col("vec_id") < 8)
@@ -2283,33 +2345,34 @@ object SparkEntry {
   // The DCG discount / ideal-DCG tables inline as CASE literals from
   // the SAME Scala arrays the engine plan carries (RankEval
   // .dcgWeightCaseSql) — no libm log anywhere in the data path.
-  private val rankEvalCtes = "WITH " + unitCte +
-    ", kn0 AS (SELECT q.vec_id AS query_id, " +
-    "e.vec_id AS doc_id, row_number() OVER (PARTITION BY q.vec_id " +
-    "ORDER BY " + qdSql("e.v", "q.v") + " DESC, " +
-    "e.vec_id) AS rank FROM uq e CROSS JOIN " +
-    "(SELECT vec_id, v FROM uq WHERE vec_id < 32) q " +
-    "WHERE e.vec_id <> q.vec_id), " +
-    "kn AS (SELECT * FROM kn0 WHERE rank <= 10), " +
+  // shared label-relevance qrels for every rank-eval oracle
+  private val rankEvalRelCtes =
     "rel AS (SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS doc_id " +
     "FROM embeddings e JOIN embeddings q ON e.label = q.label " +
     "AND e.vec_id <> q.vec_id WHERE q.vec_id < 32), " +
-    "mk AS (SELECT kn.query_id, kn.rank, " +
+    "nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)"
+
+  // the full kn0→ev metric pipe for ONE run source, suffix-named so
+  // two runs can share one statement (the A/B oracle); sfx = "" keeps
+  // the historical names for q_eval_rank/q_eval_summary
+  private def rankEvalPipe(kn0Body: String, sfx: String): String =
+    s"kn0$sfx AS ($kn0Body), " +
+    s"kn$sfx AS (SELECT * FROM kn0$sfx WHERE rank <= 10), " +
+    s"mk$sfx AS (SELECT kn$sfx.query_id, kn$sfx.rank, " +
     "CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r " +
-    "FROM kn LEFT JOIN rel ON kn.query_id = rel.query_id " +
-    "AND kn.doc_id = rel.doc_id), " +
-    "per AS (SELECT query_id, sum(r) AS hits_k, " +
+    s"FROM kn$sfx LEFT JOIN rel ON kn$sfx.query_id = rel.query_id " +
+    s"AND kn$sfx.doc_id = rel.doc_id), " +
+    s"per$sfx AS (SELECT query_id, sum(r) AS hits_k, " +
     "min(CASE WHEN r = 1 THEN rank END) AS frr, " +
     "sum(CASE WHEN r = 1 THEN " +
     graft.search.RankEval.dcgWeightCaseSql(10, "rank") +
-    " ELSE 0 END) AS dcg FROM mk GROUP BY 1), " +
-    "nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1), " +
+    s" ELSE 0 END) AS dcg FROM mk$sfx GROUP BY 1), " +
     // AP numerator: ordinal of each relevant hit over its own rank
-    "rh AS (SELECT query_id, rank, row_number() OVER " +
-    "(PARTITION BY query_id ORDER BY rank) AS j FROM mk WHERE r = 1), " +
-    "aps AS (SELECT query_id, sum(1000000000 * j // rank) AS apsum " +
-    "FROM rh GROUP BY 1), " +
-    "ev AS (SELECT per.query_id, CAST(hits_k AS BIGINT) AS hits_k, " +
+    s"rh$sfx AS (SELECT query_id, rank, row_number() OVER " +
+    s"(PARTITION BY query_id ORDER BY rank) AS j FROM mk$sfx WHERE r = 1), " +
+    s"aps$sfx AS (SELECT query_id, sum(1000000000 * j // rank) AS apsum " +
+    s"FROM rh$sfx GROUP BY 1), " +
+    s"ev$sfx AS (SELECT per$sfx.query_id, CAST(hits_k AS BIGINT) AS hits_k, " +
     "CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel, " +
     "CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank, " +
     "CAST(CASE WHEN frr IS NOT NULL THEN 1000000000 // frr ELSE 0 END " +
@@ -2318,10 +2381,21 @@ object SparkEntry {
     graft.search.RankEval.idcgCaseSql(10, "nr.n_rel") +
     ") ELSE 0 END AS BIGINT) AS ndcg_q, " +
     "CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0 THEN " +
-    "coalesce(aps.apsum, 0) // least(nr.n_rel, 10) ELSE 0 END " +
+    s"coalesce(aps$sfx.apsum, 0) // least(nr.n_rel, 10) ELSE 0 END " +
     "AS BIGINT) AS ap_q " +
-    "FROM per LEFT JOIN nr USING (query_id) " +
-    "LEFT JOIN aps USING (query_id))"
+    s"FROM per$sfx LEFT JOIN nr USING (query_id) " +
+    s"LEFT JOIN aps$sfx USING (query_id))"
+
+  // the integer-dot knn run over the µ-unit corpus (run A everywhere)
+  private val rankEvalKn0 = "SELECT q.vec_id AS query_id, " +
+    "e.vec_id AS doc_id, row_number() OVER (PARTITION BY q.vec_id " +
+    "ORDER BY " + qdSql("e.v", "q.v") + " DESC, " +
+    "e.vec_id) AS rank FROM uq e CROSS JOIN " +
+    "(SELECT vec_id, v FROM uq WHERE vec_id < 32) q " +
+    "WHERE e.vec_id <> q.vec_id"
+
+  private val rankEvalCtes = "WITH " + unitCte + ", " + rankEvalRelCtes +
+    ", " + rankEvalPipe(rankEvalKn0, "")
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS cnt FROM customer",
@@ -2849,6 +2923,27 @@ object SparkEntry {
     "q_embed_margin_stream" -> (marginCtes +
       " SELECT sid AS src_id, tid AS tgt_id, margin_q FROM pf " +
       "WHERE margin_q >= 0"),
+    // yield curve: trunc-division bands of the exact integer margins
+    // (DuckDB // == Spark div on negatives, probe-verified)
+    "q_embed_margin_yield" -> (marginCtes +
+      " SELECT margin_q // 100000000000 AS band, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "min(margin_q) AS min_margin_q, max(margin_q) AS max_margin_q " +
+      "FROM pf GROUP BY 1"),
+    // mutual-kNN components: both-direction top-4 on the integer dot,
+    // transitive closure over the mutual edges, min-id component label
+    "q_embed_knn_components" -> ("WITH RECURSIVE " + unitCte + ", " +
+      "kn AS (SELECT q.vec_id AS qa, e.vec_id AS qb " +
+      "FROM uq e CROSS JOIN uq q WHERE e.vec_id <> q.vec_id " +
+      "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      qdSql("e.v", "q.v") + " DESC, e.vec_id) <= 4), " +
+      "mu AS (SELECT a.qa AS u, a.qb AS v FROM kn a " +
+      "JOIN kn b ON a.qa = b.qb AND a.qb = b.qa WHERE a.qa < a.qb), " +
+      "und AS (SELECT u AS a, v AS b FROM mu UNION SELECT v, u FROM mu), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) " +
+      "SELECT a AS vec_id, least(a, min(b)) AS component_id " +
+      "FROM reach GROUP BY a"),
     // gate asserts: the IVF outlier path at the calibrated nprobe
     // surfaces >= 16/20 of the exact isolation set (engine measures
     // itself; the oracle pins the required outcome — the q_vector_ivf
@@ -2864,6 +2959,42 @@ object SparkEntry {
       "CAST(sum(rr_q) // count(*) AS BIGINT) AS mrr_q, " +
       "CAST(sum(ndcg_q) // count(*) AS BIGINT) AS mean_ndcg_q, " +
       "CAST(sum(ap_q) // count(*) AS BIGINT) AS map_q FROM ev"),
+    // A/B: run A = the uq knn pipe; run B = the same pipe over the
+    // 16-dim random projection (signs recomputed from md5 parity —
+    // the q_embed_rp matrix), unnormalized exact integer dots
+    "q_eval_ab" -> {
+      val rpComps = (0 until 16).map { j =>
+        "CAST(list_sum(list_transform(range(0, 64), i -> " +
+          s"(CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || $j), 1, 1))" +
+          "::BIGINT % 2 = 0 THEN 1 ELSE -1 END) * q[i + 1])) AS BIGINT)"
+      }.mkString("[", ", ", "]")
+      val kn0b = "SELECT q.vec_id AS query_id, e.vec_id AS doc_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "CAST(list_sum(list_transform(range(0, 16), " +
+        "i -> e.v[i + 1] * q.v[i + 1])) AS BIGINT) DESC, " +
+        "e.vec_id) AS rank FROM rp e CROSS JOIN " +
+        "(SELECT vec_id, v FROM rp WHERE vec_id < 32) q " +
+        "WHERE e.vec_id <> q.vec_id"
+      "WITH " + unitCte + ", " +
+        "qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings), " +
+        s"rp AS MATERIALIZED (SELECT vec_id, $rpComps AS v FROM qv), " +
+        rankEvalRelCtes + ", " +
+        rankEvalPipe(rankEvalKn0, "a") + ", " +
+        rankEvalPipe(kn0b, "b") +
+        " SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "CAST(sum(CASE WHEN a.ndcg_q > b.ndcg_q THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS wins_a, " +
+        "CAST(sum(CASE WHEN a.ndcg_q < b.ndcg_q THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS losses_a, " +
+        "CAST(sum(CASE WHEN a.ndcg_q = b.ndcg_q THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ties, " +
+        "CAST(sum(a.rr_q) // count(*) AS BIGINT) AS mrr_a, " +
+        "CAST(sum(b.rr_q) // count(*) AS BIGINT) AS mrr_b, " +
+        "CAST(sum(a.ndcg_q) // count(*) AS BIGINT) AS mean_ndcg_a, " +
+        "CAST(sum(b.ndcg_q) // count(*) AS BIGINT) AS mean_ndcg_b " +
+        "FROM eva a JOIN evb b USING (query_id)"
+    },
 
     // as-of join: DuckDB's native ASOF LEFT JOIN is the independent
     // formulation of the union + running-last-value window; right-side

@@ -121,6 +121,35 @@ object RankEval {
         expr("_sn div n_queries").as("mean_ndcg_q"),
         expr("_sap div n_queries").as("map_q"))
 
+  /** A/B comparison of two [[rankEvalReport]] tables over the SAME
+    * qrels — the run-selection decision table ("did the new ranker
+    * beat the old one, per query, not just on the mean"): per-query
+    * nDCG wins/losses/ties (the sign-test counts — exact integers, so
+    * the verdict replays on any engine; the caller applies whatever
+    * significance rule they trust to wins vs losses) plus both runs'
+    * integer MRR / mean-nDCG. Queries are compared INNER — a query one
+    * run never answered is a coverage problem, not a quality delta;
+    * compare n_queries against each run's own summary to see it.
+    */
+  def rankEvalAbSummary(reportA: DataFrame, reportB: DataFrame): DataFrame = {
+    val a = reportA.select(col("query_id"), col("ndcg_q").as("_na"),
+      col("rr_q").as("_ra"))
+    val b = reportB.select(col("query_id"), col("ndcg_q").as("_nb"),
+      col("rr_q").as("_rb"))
+    a.join(b, Seq("query_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_na") > col("_nb"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("_na") < col("_nb"), 1L).otherwise(0L)).as("losses_a"),
+        sum(when(col("_na") === col("_nb"), 1L).otherwise(0L)).as("ties"),
+        sum(col("_ra")).as("_sra"), sum(col("_rb")).as("_srb"),
+        sum(col("_na")).as("_sna"), sum(col("_nb")).as("_snb"))
+      .select(col("n_queries"), col("wins_a"), col("losses_a"), col("ties"),
+        expr("_sra div n_queries").as("mrr_a"),
+        expr("_srb div n_queries").as("mrr_b"),
+        expr("_sna div n_queries").as("mean_ndcg_a"),
+        expr("_snb div n_queries").as("mean_ndcg_b"))
+  }
+
   /** The `CASE rank WHEN 1 THEN w1 … END` / `CASE … END` SQL fragments
     * an oracle inlines — generated from the SAME literal tables the
     * engine plan carries. `rankExpr` / `nExpr` are the SQL expressions

@@ -2093,5 +2093,24 @@ class SearchSpec extends GraftSuite {
     val rep = collectRows(
       RankEval.rankEvalReport(runs.repartition(7), rels.repartition(3), k))
     assert(rep == got)
+    // A/B summary: run B degrades q1 (first relevant pushed to rank 3)
+    // and q3 (2 of 3 relevants dropped from the top-k), q2 stays
+    // all-zero -> wins_a = 2, losses_a = 0, ties = 1; means trunc-div
+    val runsB = Seq(
+      (1L, 90L, 1L), (1L, 91L, 2L), (1L, 11L, 3L),
+      (2L, 92L, 1L),
+      (3L, 10L, 1L), (3L, 93L, 2L), (3L, 94L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val repA = RankEval.rankEvalReport(runs, rels, k)
+    val repB = RankEval.rankEvalReport(runsB, rels, k)
+    val ab = RankEval.rankEvalAbSummary(repA, repB).head
+    val gb = collectRows(repB)
+    assert(ab.getLong(0) == 3L && ab.getLong(1) == 2L &&
+      ab.getLong(2) == 0L && ab.getLong(3) == 1L,
+      s"wins/losses/ties: $ab (B per-query: $gb)")
+    assert(ab.getLong(4) == (500000000L + 0L + 1000000000L) / 3L,
+      "mrr_a must equal run A's own summary")
+    assert(ab.getLong(5) ==
+      (gb(1L)._4 + gb(2L)._4 + gb(3L)._4) / 3L, s"mrr_b: $ab")
   }
 }
