@@ -501,6 +501,37 @@ class PlanShapeSpec extends GraftSuite {
     assert(mprof("bhj") >= 1, s"candidate-set joins lost broadcast: $mprof")
   }
 
+  test("exchange budgets hold for the round-14 additions") {
+    // Ceilings measured at HEAD on sf0.001. The integer-dot analytics
+    // read the PERSISTED staged unit-vector frame (stagedUnitCached),
+    // so their kernels cost one scan + one k-bounded window shuffle;
+    // yield adds the margin pipeline's bounded joins; components adds
+    // the CC iteration's per-round exchanges (bounded by the
+    // min-label/star rounds on the mutual graph); ab runs two full
+    // metric pipes; the per-source variants pay their group join.
+    val budgets: Seq[(String, Int, Boolean)] = Seq(
+      // isotropy's pair join is a broadcast NESTED-LOOP (id-inequality
+      // predicate over the bounded sample — no equi key to hash on),
+      // so the broadcast shows without a BHJ node
+      ("q_embed_isotropy", 1, false),
+      ("q_embed_margin_yield", 5, true),
+      // components' iterative passes run behind the FrameStore lineage
+      // cuts (the CC operator's own gated shape) — the SERVED plan is
+      // a checkpoint scan, exchange-free by contract
+      ("q_embed_knn_components", 0, false),
+      ("q_embed_proto_prune_src", 3, true),
+      ("q_embed_cluster_budget_src", 3, true))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+      val prof = planProfile(SparkEntry.queries(name)(spark, dir))
+      info(s"$name -> $prof")
+      assert(prof("shuffle") <= maxShuffles,
+        s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
+      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      if (needsBroadcast)
+        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+    }
+  }
+
   test("exchange budget: q_eval_rank tolerates its one co-partitioned SMJ") {
     // runs x qrels equi-join + nRel/AP/main aggregations + report
     // joins, all query-keyed; the qrels side broadcasts here only
@@ -513,6 +544,14 @@ class PlanShapeSpec extends GraftSuite {
     assert(prof("shuffle") <= 7, s"shuffle budget exceeded: $prof")
     assert(prof("smj") <= 1, s"more than the one report-join SMJ: $prof")
     assert(prof("bhj") >= 1, s"q_eval_rank lost its broadcast join: $prof")
+    // the A/B comparison runs TWO metric pipes and inherits the same
+    // co-partitioned AP-report SMJ; heavy exchange reuse keeps the
+    // second pipe cheap
+    val ab = planProfile(SparkEntry.queries("q_eval_ab")(spark, dir))
+    info(s"q_eval_ab -> $ab")
+    assert(ab("shuffle") <= 8, s"shuffle budget exceeded: $ab")
+    assert(ab("smj") <= 2, s"more than the per-pipe report SMJs: $ab")
+    assert(ab("bhj") >= 1, s"q_eval_ab lost its broadcast joins: $ab")
   }
 
   test("exchange budgets hold for the retrieval/dedup/graph additions after r12") {
