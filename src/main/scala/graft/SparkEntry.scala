@@ -1161,6 +1161,21 @@ object SparkEntry {
     "q_doc_pack_stats" -> ((s, d) =>
       Packing.packStats(docs(s, d), "doc_id", "text",
         window = 512, nBuckets = 16)),
+    // SEMANTIC packing (in-context pretraining, Shi et al. 2024: fill
+    // each context window with RELATED docs, not random neighbors):
+    // shard key = the doc's k-means topic over the shared 0..n-1 key
+    // space, pack greedily within each topic — same deterministic
+    // first-fit mechanics, (cluster, seq) addresses the sequence
+    "q_doc_pack_sem" -> ((s, d) => {
+      val asgn = VectorOps.kmeansQuantized(emb(s, d), "vec_id",
+        "embedding", k = 8, iters = 2)
+        .withColumnRenamed("vec_id", "doc_id")
+      val dd = docs(s, d).join(asgn, "doc_id")
+        .select(col("doc_id"), col("cluster"),
+          TextAnalysis.tokenCount(col("text")).as("_tc"))
+      Packing.packByCountsKeyed(dd, "doc_id", "_tc", "cluster",
+        window = 512)
+    }),
     // packing under REAL BPE budgets: train the merge table, count
     // per-doc BPE tokens (zero-shuffle scan), pack by those counts —
     // the composition that makes Packing's budget axis honest
@@ -3630,6 +3645,21 @@ object SparkEntry {
       "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn FROM documents), " +
       "pack AS (SELECT bucket, rn, doc_id, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
       "FROM base WHERE rn = 1 " +
+      "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.t, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.seq ELSE p.seq + 1 END, " +
+      "CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END " +
+      "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
+      "SELECT doc_id, bucket, seq, t AS n_tok FROM pack"),
+    // semantic packing: the k-means topic is the shard key; the same
+    // recursive first-fit replay per cluster
+    "q_doc_pack_sem" -> ("WITH RECURSIVE " +
+      kmeansAsgnCtes.stripPrefix("WITH ") + ", " +
+      "base AS (SELECT d.doc_id, a.cl AS bucket, " +
+      "least(CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT), 512) AS t, " +
+      "row_number() OVER (PARTITION BY a.cl ORDER BY d.doc_id) AS rn " +
+      "FROM documents d JOIN asgn a ON a.vec_id = d.doc_id), " +
+      "pack AS (SELECT bucket, rn, doc_id, t, CAST(1 AS BIGINT) AS seq, " +
+      "t AS fill FROM base WHERE rn = 1 " +
       "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.t, " +
       "CASE WHEN p.fill + d.t <= 512 THEN p.seq ELSE p.seq + 1 END, " +
       "CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END " +

@@ -62,18 +62,53 @@ object Packing {
     */
   def packByCounts(df: DataFrame, idCol: String, countCol: String,
       window: Int, nBuckets: Int): DataFrame = {
-    require(window > 0, s"window must be positive, got $window")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val checkedId = checkedIdExpr(idCol)
+    packCore(df, checkedId, countCol,
+      pmod(checkedId, lit(nBuckets.toLong)), window)
+  }
+
+  private def checkedIdExpr(idCol: String): org.apache.spark.sql.Column = {
     val idL = col(idCol).cast("long")
-    val checkedId = when(idL.isNull || idL < 0, raise_error(concat(
-        lit(s"Packing.packByCounts: '$idCol' must be a non-negative " +
-          "numeric id (shard = id mod B must replay identically in " +
-          "external engines), got: "),
+    when(idL.isNull || idL < 0, raise_error(concat(
+        lit(s"Packing: '$idCol' must be a non-negative numeric id " +
+          "(shard and pack order must replay identically in external " +
+          "engines), got: "),
         coalesce(col(idCol).cast("string"), lit("null")))).cast("long"))
       .otherwise(idL)
+  }
+
+  /** [[packByCounts]] sharded by an ARBITRARY key column instead of
+    * `id mod B` — the SEMANTIC-packing entry point (in-context
+    * pretraining, Shi et al. 2024: a context window filled with
+    * RELATED documents beats random neighbors, so the shard key is a
+    * topic — a k-means cluster id, a domain, a near-dup cluster
+    * representative). Mechanics identical: each key packs as one
+    * bounded sequential scan, greedy first-fit in id order; the
+    * (key, seq) pair addresses the training sequence. Null keys are
+    * refused loudly (a silent null shard would collapse every keyless
+    * doc into one mega-bucket). Skew note: key = topic means shard
+    * sizes follow the topic distribution — cap upstream (the
+    * per-cluster budget operators) if one topic dominates.
+    */
+  def packByCountsKeyed(df: DataFrame, idCol: String, countCol: String,
+      keyCol: String, window: Int): DataFrame = {
+    val k = col(keyCol).cast("long")
+    val checkedKey = when(k.isNull, raise_error(
+        lit(s"Packing.packByCountsKeyed: null '$keyCol' shard key — " +
+          "semantic packing needs every doc assigned"))
+        .cast("long"))
+      .otherwise(k)
+    packCore(df, checkedIdExpr(idCol), countCol, checkedKey, window)
+  }
+
+  private def packCore(df: DataFrame, idExpr: org.apache.spark.sql.Column,
+      countCol: String, bucketExpr: org.apache.spark.sql.Column,
+      window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
     val base = df.select(
-      checkedId.as("doc_id"),
-      pmod(checkedId, lit(nBuckets.toLong)).as("bucket"),
+      idExpr.as("doc_id"),
+      bucketExpr.as("bucket"),
       least(col(countCol).cast("long"), lit(window.toLong))
         .cast("long").as("n_tok"))
     val outSchema = StructType(Seq(

@@ -51,6 +51,42 @@ class PackingSpec extends GraftSuite {
     }
   }
 
+  test("packByCountsKeyed: arbitrary shard key matches the per-key greedy reference; null key refuses") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    // topic-keyed docs: key distribution deliberately skewed
+    val rows = (0 until 150).map { i =>
+      (i.toLong, (i % 13 % 4).toLong, rnd.nextInt(45).toLong)
+    }
+    val df = rows.toDF("doc_id", "topic", "ntok")
+    val expected = rows.groupBy(_._2).flatMap { case (key, ds) =>
+      var seq = 0L; var fill = 0L
+      ds.sortBy(_._1).zipWithIndex.map { case ((id, _, rawT), i) =>
+        val t = math.min(rawT, 50L)
+        if (i == 0) { seq = 1L; fill = t }
+        else if (fill + t <= 50L) fill += t
+        else { seq += 1L; fill = t }
+        id -> ((key, seq, t))
+      }
+    }
+    val got = Packing.packByCountsKeyed(df.repartition(7), "doc_id",
+        "ntok", "topic", window = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == expected.toMap, "keyed pack must match the reference")
+    // a null shard key must refuse loudly, never collapse silently
+    val withNull = rows.toDF("doc_id", "topic", "ntok")
+      .withColumn("topic", when(col("doc_id") === 3L,
+        lit(null).cast("long")).otherwise(col("topic")))
+    val e = intercept[Exception] {
+      Packing.packByCountsKeyed(withNull, "doc_id", "ntok", "topic", 50)
+        .collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("shard key") ||
+      e.getCause != null, s"expected the null-key refusal, got $e")
+  }
+
   test("packSequences invariants: fill <= window, seqs contiguous from 1, docs capped") {
     val df = corpus(99, 200)
     val rows = Packing.packSequences(df, "doc_id", "text", window = 40, nBuckets = 4)
