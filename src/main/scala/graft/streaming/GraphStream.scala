@@ -842,6 +842,47 @@ object GraphStream {
       }
   }
 
+  final case class PackDoc(doc_id: Long, bucket: Long, n_tok: Long)
+  final case class PackedDoc(doc_id: Long, bucket: Long, seq: Long,
+    n_tok: Long)
+
+  /** Streaming sequence packing — the stateful arm of
+    * [[graft.pipeline.Packing.packByCountsKeyed]]: each shard key
+    * (id-mod bucket or semantic topic) keeps ONE open bin
+    * `(seq, fill)` as `flatMapGroupsWithState` state, so training
+    * sequences keep filling ACROSS micro-batches instead of leaking
+    * padding at every batch boundary (the thing a per-batch pack
+    * cannot avoid). Docs pack in id order WITHIN a batch (the group
+    * iterator sorts — bounded by the group's batch slice); across
+    * batches, arrival order is the pack order — the append-log
+    * contract every streaming ingest here shares. Counts cap at
+    * `window` like the batch form. Parity: streaming a corpus in id-
+    * ordered batches equals the batch pack exactly (spec-pinned);
+    * out-of-order arrival packs a different — still window-valid —
+    * layout, which is the honest semantics of packing an infinite
+    * stream. State: two longs per LIVE shard key.
+    */
+  def packIngest(docs: Dataset[PackDoc], window: Long)
+      : Dataset[PackedDoc] = {
+    require(window > 0, s"window must be positive, got $window")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[(Long, Long), PackedDoc](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, its, state: GroupState[(Long, Long)]) =>
+          var (seq, fill) = state.getOption.getOrElse((0L, 0L))
+          val out = its.toSeq.sortBy(_.doc_id).map { d =>
+            val t = math.min(d.n_tok, window)
+            if (seq == 0L) { seq = 1L; fill = t }
+            else if (fill + t <= window) fill += t
+            else { seq += 1L; fill = t }
+            PackedDoc(d.doc_id, bucket, seq, t)
+          }
+          state.update((seq, fill))
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionUpdate(user_id: Long, events: Long, closed: Boolean)
 

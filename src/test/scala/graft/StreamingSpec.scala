@@ -851,6 +851,47 @@ class StreamingSpec extends GraftSuite {
     assert(all == 5L, s"no-op bar must keep the whole stream: $all")
   }
 
+  test("packIngest: open bins persist across micro-batches; id-ordered stream equals the batch pack") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // two topics, doc token counts chosen so bins SPAN the batch
+    // boundary: topic 0 fills 30+15 = 45 of 50 in batch 1, doc 4
+    // (10 tokens) must OPEN A NEW BIN in batch 2 while topic 1's
+    // 20-token doc 5 still fits its open bin (20+25=45)
+    val b1 = Seq(GraphStream.PackDoc(0L, 0L, 30L),
+      GraphStream.PackDoc(2L, 0L, 15L), GraphStream.PackDoc(1L, 1L, 25L))
+    val b2 = Seq(GraphStream.PackDoc(4L, 0L, 10L),
+      GraphStream.PackDoc(5L, 1L, 20L), GraphStream.PackDoc(6L, 1L, 60L))
+    val mem = MemoryStream[GraphStream.PackDoc]
+    val q = GraphStream.packIngest(mem.toDS(), window = 50L)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("packed").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // batch parity: the same docs in id order through the BATCH packer
+    // (topic as the shard key)
+    val batch = graft.pipeline.Packing.packByCountsKeyed(
+        (b1 ++ b2).map(d => (d.doc_id, d.bucket, d.n_tok))
+          .toDF("doc_id", "topic", "ntok"),
+        "doc_id", "ntok", "topic", window = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == batch,
+      s"id-ordered stream must equal the batch pack: $got vs $batch")
+    // the cross-batch bin semantics the per-batch form cannot give:
+    // doc 4 opens topic 0's bin 2 (45 + 10 > 50), doc 5 JOINS topic
+    // 1's still-open bin 1, the 60-token doc 6 caps at the window
+    assert(got(4L) == ((0L, 2L, 10L)))
+    assert(got(5L) == ((1L, 1L, 20L)))
+    assert(got(6L) == ((1L, 2L, 50L)))
+  }
+
   test("sessionize counts events per user via flatMapGroupsWithState") {
     val s = spark
     import s.implicits._
