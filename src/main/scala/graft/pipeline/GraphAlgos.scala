@@ -434,6 +434,15 @@ object GraphAlgos {
     * undirected with positive long weights (the
     * [[coOccurrenceWeighted]] frame); W(u) must stay < 2^59 or the
     * draw's modulus would bias (a non-issue for count weights).
+    *
+    * The contract is VALIDATED, not assumed (fail loudly, never
+    * mis-walk): non-positive/null weights, self-loops, or duplicate
+    * (u, v) rows — including an edge listed in both orientations —
+    * would break the cumulative-interval partition of `[0, W(u))`
+    * (overlapping intervals double-draw a neighbor; W(u) = 0 makes
+    * `pmod(h, 0)` NULL and silently DROPS the walk mid-stream). One
+    * cheap aggregation over the directed adjacency checks all three
+    * before the first hop.
     */
   def randomWalksWeighted(edges: DataFrame, steps: Int, walksPerNode: Int,
       seed: String): DataFrame = {
@@ -445,6 +454,25 @@ object GraphAlgos {
         col("w").cast("long").as("w"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v"),
         col("w").cast("long").as("w")))
+    val chk = und.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("_c"), min(col("w")).as("_mw"))
+      .agg(
+        coalesce(sum(when(col("_c") > 1, 1L)), lit(0L)).as("_dups"),
+        coalesce(sum(when(col("_mw").isNull || col("_mw") <= 0L, 1L)),
+          lit(0L)).as("_badw"),
+        coalesce(sum(when(col("u") === col("v"), 1L)), lit(0L)).as("_self"))
+      .head
+    // self-loops first: (u, u) doubles into a duplicate under the
+    // two-orientation union, so the root-cause message must win
+    require(chk.getLong(2) == 0L, s"randomWalksWeighted: ${chk.getLong(2)} " +
+      "self-loop edges — the canonical undirected frame excludes them")
+    require(chk.getLong(1) == 0L, s"randomWalksWeighted: ${chk.getLong(1)} " +
+      "edges with null or non-positive weight — weights must be positive " +
+      "longs (a zero-total node would silently drop its walks)")
+    require(chk.getLong(0) == 0L, s"randomWalksWeighted: ${chk.getLong(0)} " +
+      "duplicate (u, v) pairs (or an edge listed in both orientations) — " +
+      "aggregate multiplicities into `w` first; duplicates corrupt the " +
+      "cumulative-interval draw")
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("v"))
     val adj = store.keep(und
@@ -536,9 +564,12 @@ object GraphAlgos {
     // in non-ANSI mode while the DuckDB oracle sums in HUGEINT, so an
     // over-headroom graph would silently hash-diverge instead of
     // erroring. One cheap degree aggregation, once, before iterating.
-    val maxDeg = e.groupBy(col("_d")).agg(count(lit(1)).as("c"))
+    // max over an EMPTY degree frame is NULL — an empty graph has
+    // maxDeg 0 (and returns empty below), not an NPE.
+    val maxDegRow = e.groupBy(col("_d")).agg(count(lit(1)).as("c"))
       .unionAll(e.groupBy(col("_s")).agg(count(lit(1)).as("c")))
-      .agg(max(col("c"))).head.getLong(0)
+      .agg(max(col("c"))).head
+    val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
     require(maxDeg <= Long.MaxValue / scale / scale,
       s"hits: max degree $maxDeg overflows long at scale $scale " +
         s"(need maxDeg * scale^2 < 2^63) — lower `scale` or thin the graph")

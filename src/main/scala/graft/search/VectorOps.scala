@@ -699,6 +699,17 @@ object VectorOps {
     * cell; an integer dot cannot drift at all). Output:
     * (query_id, neighbor_id, rank, _qdot), rank 1-based on
     * (_qdot DESC, neighbor_id ASC).
+    *
+    * Exactness needs HEADROOM: the long fold is only exact while
+    * max|c|·max|q|·dim < 2^63 (µ-unit vectors sit 6 orders below it;
+    * unnormalized callers own the bound). The kernel VERIFIES it —
+    * the hits()-style fail-loudly rule: a JVM long wraps silently
+    * where the DuckDB oracle errors on HUGEINT→BIGINT overflow, so an
+    * over-headroom fixture would hash-diverge engine-side with no
+    * error. max|q| comes free from the already-collected batch; each
+    * corpus row checks its own max|component| once (O(dim), amortized
+    * into the scan that reads the vector anyway) and throws with the
+    * measured magnitudes.
     */
   def intDotTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       qvecCol: String, k: Int, excludeSelf: Boolean = false,
@@ -720,6 +731,12 @@ object VectorOps {
         excludeSelf, excludeLabelCol, keepLabelCol)
     }
     val qs = qsRaw.sortBy(_._1)
+    val absL = (x: Long) =>
+      if (x == Long.MinValue) Long.MaxValue else math.abs(x)
+    val maxQ = qs.iterator.flatMap(_._2.iterator).map(absL)
+      .foldLeft(0L)(_ max _)
+    val dimB = qs.iterator.map(_._2.length).foldLeft(1)(_ max _)
+    val compCap = Long.MaxValue / dimB / math.max(maxQ, 1L)
     val bcQ = spark.sparkContext.broadcast(qs.map { case (id, v, _) => (id, v) })
     val bcL = spark.sparkContext.broadcast(
       if (excludeLabelCol.isDefined) qs.map(_._3) else null)
@@ -737,6 +754,18 @@ object VectorOps {
         val heaps = Array.fill(q.length)(
           new scala.collection.mutable.PriorityQueue[(Long, Long, String)]()(worstFirst))
         it.foreach { case (cid, cv, clbl) =>
+          var m = 0L; var cj = 0
+          while (cj < cv.length) {
+            val ax = if (cv(cj) == Long.MinValue) Long.MaxValue
+              else math.abs(cv(cj))
+            if (ax > m) m = ax
+            cj += 1
+          }
+          if (m > compCap) throw new IllegalArgumentException(
+            s"intDotTopK: corpus row $cid component magnitude $m exceeds " +
+              s"exact-dot headroom (need max|c|*max|q|*dim < 2^63; " +
+              s"max|q|=$maxQ, dim=$dimB) — the long fold would wrap " +
+              "silently while the oracle errors; rescale the quantization")
           var qi = 0
           while (qi < q.length) {
             val (qid, qv) = q(qi)
@@ -792,6 +821,21 @@ object VectorOps {
     import org.apache.spark.sql.expressions.Window
     val labelExpr = excludeLabelCol.orElse(keepLabelCol)
       .map(l => col(l).cast("string")).getOrElse(lit(null).cast("string"))
+    // Same headroom rule as the broadcast kernel, one small agg per
+    // side (negligible next to the all-cluster join this path runs).
+    val absMaxE = (c: Column) =>
+      aggregate(transform(c, x => abs(x)), lit(0L), (a, x) => greatest(a, x))
+    val qStat = queries.agg(max(absMaxE(col(qvecCol))).as("m"),
+      max(size(col(qvecCol))).as("d")).head
+    val cStat = corpus.agg(max(absMaxE(col(qvecCol))).as("m")).head
+    if (!qStat.isNullAt(0) && !cStat.isNullAt(0)) {
+      val mq = math.max(qStat.getLong(0), 1L)
+      val d = math.max(qStat.getInt(1), 1)
+      require(cStat.getLong(0) <= Long.MaxValue / d / mq,
+        s"intDotTopK(distributed): max|c|=${cStat.getLong(0)} exceeds " +
+          s"exact-dot headroom (max|q|=$mq, dim=$d; need the product " +
+          "under 2^63) — rescale the quantization")
+    }
     val fv = (c: Column) =>
       transform(c, x => (x.cast("double") / 1000000.0).cast("float"))
     val cf = corpus.select(col(idCol).cast("long").as("neighbor_id"),

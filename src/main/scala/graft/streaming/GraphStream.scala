@@ -738,18 +738,50 @@ object GraphStream {
     * summary is per-BATCH, not a running mean over the stream —
     * alerting wants the fresh window, and integer means of means
     * would not compose anyway).
+    *
+    * The pinned qrels route through a plan-keyed FIFO cache (the
+    * [[backSumCache]] discipline): re-constructing the monitor —
+    * or constructing many against the same eval set — reuses one
+    * persisted table, and a server cycling through distinct qrels
+    * frames evicts-and-unpersists past the cap instead of
+    * accumulating pinned tables for its lifetime.
     */
   def rankEvalIngestMonitor(qrels: DataFrame, k: Int)
       : DataFrame => DataFrame = {
     import graft.search.RankEval
-    val pinned = qrels
-      .select(col("query_id").cast("long").as("query_id"),
-        col("doc_id").cast("long").as("doc_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned.count() // materialize the standing artifact once
+    val key = graft.pipeline.Dedup.planKey(qrels)
+    var built: DataFrame = null
+    val pinned = qrelsCache.synchronized {
+      val hit = qrelsCache.get(key)
+      if (hit != null) hit
+      else {
+        built = qrels
+          .select(col("query_id").cast("long").as("query_id"),
+            col("doc_id").cast("long").as("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        qrelsCache.put(key, built)
+        built
+      }
+    }
+    if (pinned eq built) pinned.count() // materialize once, outside the lock
     batch => RankEval.rankEvalSummary(
       RankEval.rankEvalReport(batch, pinned, k))
   }
+
+  /** Bounded standing-qrels cache for [[rankEvalIngestMonitor]] —
+    * same eviction contract as [[backSumCache]]: >cap distinct qrels
+    * frames degrade the oldest to recompute-on-next-construction,
+    * never to unbounded pinned memory. */
+  private val QrelsCacheMax = 4
+  private val qrelsCache =
+    new java.util.LinkedHashMap[String, DataFrame](8, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > QrelsCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** DSIR quality filtering at ingest — the domain-shaping arm of the
     * filter family (the dedup arms drop what the corpus has SEEN; this

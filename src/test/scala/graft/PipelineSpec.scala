@@ -1417,6 +1417,24 @@ class PipelineSpec extends GraftSuite {
       .toDF("id_a", "id_b", "w")
     val uniGot = GraphAlgos.randomWalksWeighted(uni, 2, 1, "tw").collect()
     assert(uniGot.length == 9, "3 vertices x 1 walk x 3 positions")
+    // contract validation fails LOUDLY, never mis-walks: duplicate
+    // pairs (incl. both orientations of one edge), non-positive
+    // weights, self-loops each break the cumulative-interval draw
+    val dup = intercept[IllegalArgumentException] {
+      GraphAlgos.randomWalksWeighted(
+        Seq((1L, 2L, 2L), (2L, 1L, 3L)).toDF("id_a", "id_b", "w"), 1, 1, "x")
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    val badw = intercept[IllegalArgumentException] {
+      GraphAlgos.randomWalksWeighted(
+        Seq((1L, 2L, 0L), (2L, 3L, 1L)).toDF("id_a", "id_b", "w"), 1, 1, "x")
+    }
+    assert(badw.getMessage.contains("non-positive"), badw.getMessage)
+    val selfl = intercept[IllegalArgumentException] {
+      GraphAlgos.randomWalksWeighted(
+        Seq((1L, 1L, 2L), (1L, 2L, 1L)).toDF("id_a", "id_b", "w"), 1, 1, "x")
+    }
+    assert(selfl.getMessage.contains("self-loop"), selfl.getMessage)
   }
 
   test("hits: integer max-normalized rounds match a hand replay; one-sided nodes zero-fill") {
@@ -1443,6 +1461,10 @@ class PipelineSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       GraphAlgos.hits(edges, "o", "p", rounds = 0)
     }
+    // empty graph: the overflow guard's max(degree) is NULL — must
+    // read as maxDeg 0 and return empty, not NullPointerException
+    val none = GraphAlgos.hits(edges.where(lit(false)), "o", "p", rounds = 1)
+    assert(none.collect().isEmpty, "empty edge frame yields empty HITS")
   }
 
   test("corpusHealthReport: hand-counted types/tokens/hapax, tokenless source nulls ratios") {

@@ -408,6 +408,42 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("intDotTopK headroom guard: over-magnitude components fail loudly on both paths") {
+    val s = spark
+    import s.implicits._
+    // max|c| * max|q| * dim >> 2^63: the long fold would wrap silently
+    // (the oracle errors on HUGEINT -> BIGINT) — the kernel must throw
+    val big = 3000000000000000000L // 3e18
+    val frame = Seq(
+      (1L, Array(big, -big, big, -big)),
+      (2L, Array(big, big, -big, big)),
+      (3L, Array(-big, big, big, big))).toDF("_id", "uq")
+    val broad = intercept[Exception] {
+      VectorOps.intDotTopK(frame, frame, "_id", "uq", k = 2).collect()
+    }
+    assert(broad.getMessage != null && broad.getMessage.contains("headroom"),
+      s"broadcast path must name the headroom contract: ${broad.getMessage}")
+    val before = spark.conf.getOption("graft.search.knnQueryBatchMax")
+    try {
+      spark.conf.set("graft.search.knnQueryBatchMax", "1")
+      val dist = intercept[Exception] {
+        VectorOps.intDotTopK(frame, frame, "_id", "uq", k = 2).collect()
+      }
+      assert(dist.getMessage != null && dist.getMessage.contains("headroom"),
+        s"distributed path must name the headroom contract: ${dist.getMessage}")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("graft.search.knnQueryBatchMax", v)
+        case None => spark.conf.unset("graft.search.knnQueryBatchMax")
+      }
+    }
+    // in-headroom magnitudes still pass (mu-unit scale): no false trips
+    val ok = Seq((1L, Array(1000000L, 0L, 0L, 0L)),
+      (2L, Array(0L, 1000000L, 0L, 0L))).toDF("_id", "uq")
+    assert(VectorOps.intDotTopK(ok, ok, "_id", "uq", k = 1,
+      excludeSelf = true).count() == 2L)
+  }
+
   test("trainPq is bit-reproducible and encodePq emits m in-range byte codes") {
     val df = vecs(300, 16).cache()
     val a = VectorOps.trainPq(df, "emb", m = 4, ks = 16, iters = 4)

@@ -133,6 +133,11 @@ if boundary_audit:
         # first n_rank_exposed all matter (ranks exposed); beyond
         # that, only the cut pair (set exposure).
         import math
+        # NB: Python round() is banker's rounding; the engines round
+        # HALF_UP. They differ ONLY at exact half-grid values, where
+        # half_dist(c) == 0 — such a pair already reads margin 0 and
+        # fails the gate, so the audit verdict cannot be flipped by
+        # the rounding-mode mismatch.
         qs = [int(round(c * 1e9)) for c in cs]
         worst = math.inf
         for i in range(len(cs) - 1):
@@ -176,7 +181,11 @@ if boundary_audit:
         if mind is not None and mind != float("inf") and \
                 (worst is None or mind < worst):
             worst = mind
-    print(f"\nboundary audit: worst={worst:.6g} grid units, "
+    # worst stays None when every probe reads inf/None (all families on
+    # integer dots, or adjacent-gap >= 2 everywhere) — that is the BEST
+    # outcome, not a formatting crash.
+    worst_s = "inf" if worst is None else f"{worst:.6g}"
+    print(f"\nboundary audit: worst={worst_s} grid units, "
           f"{bad} probes below 1e-3 "
           f"({'FAIL' if bad else 'OK'})")
     sys.exit(1 if bad else 0)
