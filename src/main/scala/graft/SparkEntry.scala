@@ -8,7 +8,7 @@ import graft.ast.PropertyValue._
 import graft.dsl.Dsl._
 import graft.exec.Compiler
 import graft.model.TestGraph
-import graft.pipeline.{Bpe, Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, SuffixDedup, Temporal, TextAnalysis}
+import graft.pipeline.{Bpe, Curation, Decontam, Dedup, GraphAlgos, Multimodal, Packing, QualityClf, SuffixDedup, Temporal, TextAnalysis}
 import graft.search.{BM25, Hybrid, RankEval, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1031,6 +1031,20 @@ object SparkEntry {
       Curation.dsirSample(all.where(col("doc_id") % 7 =!= 0), "doc_id",
         "text", all.where(col("doc_id") % 7 === 0), "text", k = 64,
         seed = "d1", buckets = 256)
+    }),
+    // trained quality classifier (fastText/DCLM-style): hashed
+    // unigram+bigram+char-trigram linear model, 12 integer GD epochs
+    // on a content-derived label (doc contains the token "spark")
+    // over the doc_id % 3 != 0 split, then the full corpus scored in
+    // one exchange-free scan — the oracle replays TRAINING itself,
+    // epoch by unrolled epoch, in exact integer CTEs
+    "q_doc_quality_clf" -> ((s, d) => {
+      val all = docs(s, d)
+      val labeled = all.where(col("doc_id") % 3 =!= 0)
+        .withColumn("_y", when(array_contains(
+          TextAnalysis.tokens(col("text")), "spark"), 1L).otherwise(0L))
+      val model = QualityClf.trainQualityClf(labeled, "doc_id", "text", "_y")
+      QualityClf.scoreQualityClf(all, "doc_id", "text", model)
     }),
     // SemDeDup-shaped embedding dedup: cosine >= 0.5 near-dup pairs ->
     // connected components -> keep each cluster's min id (composition
@@ -2063,6 +2077,77 @@ object SparkEntry {
       "w AS (SELECT fb.doc_id, count(*) AS n_feats, " +
       "round(sum(lr.lr), 4) AS dsir_logw " +
       "FROM fb JOIN lr ON lr.b = fb.b WHERE fb.doc_id % 7 <> 0 GROUP BY 1)"
+
+  /** Quality-classifier FULL-TRAINING replay (mirrors
+    * QualityClf.trainQualityClf at buckets=1024, epochs=12, sigDiv=4,
+    * lrW=1024/1, lrB=1/1, label = doc contains token "spark", train
+    * split doc_id % 3 != 0): hashed unigram+bigram+char-trigram
+    * buckets, then twelve UNROLLED gradient epochs — per-doc margin
+    * (trunc division, both engines truncate toward zero), clamped
+    * linear error, per-bucket gradient with the common-mode mean
+    * projected out, split-rate updates — and the final corpus scoring
+    * scan. Every value is a long on the fixed-point grid; DuckDB sums
+    * in HUGEINT where Spark's headroom require guarantees the long
+    * fold never wraps, so the weight trajectories are bit-identical.
+    */
+  private def qualityClfSql: String = {
+    val B = 1024; val E = 12; val W = 1000000L; val S = 1000000L
+    val K = 4; val lrW = 1024L
+    val ntr = "(SELECT n FROM ntr)"
+    // base CTEs are MATERIALIZED: 12 unrolled epochs reference fc/tr
+    // dozens of times, and un-materialized CTEs re-open the parquet
+    // per reference (measured: "Too many open files" past ~5 epochs)
+    val sb = new StringBuilder("WITH ")
+    sb.append("toks AS MATERIALIZED (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+      "x -> x <> '') AS t FROM documents), ")
+    sb.append("cf AS (SELECT doc_id, unnest(t) AS f FROM toks " +
+      "UNION ALL SELECT doc_id, unnest(list_transform(range(len(t) - 1), " +
+      "i -> t[i+1] || ' ' || t[i+2])) AS f FROM toks WHERE len(t) >= 2 " +
+      "UNION ALL SELECT doc_id, 'c3:' || substr(tok, CAST(i AS INT) + 1, 3) AS f " +
+      "FROM (SELECT doc_id, tok, unnest(range(len(tok) - 2)) AS i " +
+      "FROM (SELECT doc_id, unnest(t) AS tok FROM toks) WHERE len(tok) >= 3)), ")
+    sb.append(s"fb AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % $B AS b FROM cf), ")
+    sb.append("fc AS MATERIALIZED (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2), ")
+    sb.append("di AS MATERIALIZED (SELECT t.doc_id, coalesce(n.n, 0) AS n, " +
+      "CASE WHEN list_contains(t.t, 'spark') THEN 1 ELSE 0 END AS y " +
+      "FROM toks t LEFT JOIN (SELECT doc_id, count(*) AS n FROM fb GROUP BY 1) n USING (doc_id)), ")
+    sb.append("tr AS MATERIALIZED (SELECT * FROM di WHERE doc_id % 3 <> 0), ")
+    sb.append("ntr AS MATERIALIZED (SELECT count(*) AS n FROM tr), ")
+    sb.append(s"w0 AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w), ")
+    sb.append("bs0 AS (SELECT CAST(0 AS BIGINT) AS bias)")
+    // every per-epoch CTE is MATERIALIZED as well: w{e}/bs{e}/er{e}
+    // are each referenced twice (next epoch + own update), so the
+    // un-materialized chain re-evaluates its whole ancestry per
+    // reference — exponential in epochs
+    for (e <- 1 to E) {
+      val p = e - 1
+      sb.append(s", sc$e AS MATERIALIZED (SELECT t.doc_id, t.n, t.y, (SELECT bias FROM bs$p) + " +
+        s"CASE WHEN t.n = 0 THEN CAST(0 AS BIGINT) ELSE CAST(coalesce(r.rd, 0) // t.n AS BIGINT) END AS z " +
+        s"FROM tr t LEFT JOIN (SELECT f.doc_id, sum(f.c * w.w) AS rd " +
+        s"FROM fc f JOIN w$p w USING (b) GROUP BY 1) r USING (doc_id))")
+      sb.append(s", er$e AS MATERIALIZED (SELECT doc_id, n, GREATEST(-$W, LEAST($W, " +
+        s"(${W / 2} + z // $K) - y * $W)) AS err FROM sc$e)")
+      sb.append(s", qc$e AS MATERIALIZED (SELECT doc_id, CASE WHEN n = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE CAST((err * $S) // n AS BIGINT) END AS q FROM er$e)")
+      sb.append(s", g$e AS MATERIALIZED (SELECT f.b, sum(f.c * q.q) AS g " +
+        s"FROM fc f JOIN qc$e q USING (doc_id) GROUP BY 1)")
+      sb.append(s", gm$e AS MATERIALIZED (SELECT coalesce(sum(g), 0) // $B AS m FROM g$e)")
+      sb.append(s", w$e AS MATERIALIZED (SELECT w.b, CAST(w.w - " +
+        s"((coalesce(g.g, 0) - (SELECT m FROM gm$e)) * $lrW) // ($ntr * $S) AS BIGINT) AS w " +
+        s"FROM w$p w LEFT JOIN g$e g USING (b))")
+      sb.append(s", bs$e AS MATERIALIZED (SELECT CAST((SELECT bias FROM bs$p) - " +
+        s"(SELECT coalesce(sum(err), 0) FROM er$e) // $ntr AS BIGINT) AS bias)")
+    }
+    sb.append(s", sv AS (SELECT d.doc_id, d.n, (SELECT bias FROM bs$E) + " +
+      s"CASE WHEN d.n = 0 THEN CAST(0 AS BIGINT) ELSE CAST(coalesce(r.rd, 0) // d.n AS BIGINT) END AS m " +
+      s"FROM di d LEFT JOIN (SELECT f.doc_id, sum(f.c * w.w) AS rd " +
+      s"FROM fc f JOIN w$E w USING (b) GROUP BY 1) r USING (doc_id)) ")
+    sb.append(s"SELECT doc_id, CAST(n AS BIGINT) AS n_feats, CAST(m AS BIGINT) AS qclf_margin, " +
+      s"CAST(GREATEST(0, LEAST($W, ${W / 2} + m // $K)) AS BIGINT) AS qclf_p, " +
+      s"CAST(CASE WHEN m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS qclf_label FROM sv")
+    sb.toString
+  }
 
   /** Synthetic still-image aHash63 chain (media_id, hash h) — the
     * image side of the cross-modality thumbnail oracles; recomputes
@@ -3475,6 +3560,9 @@ object SparkEntry {
       "FROM documents d LEFT JOIN w USING (doc_id) WHERE d.doc_id % 7 <> 0) " +
       "SELECT doc_id, CAST(row_number() OVER (ORDER BY k DESC, doc_id) " +
       "AS BIGINT) AS sel_rank FROM ky ORDER BY k DESC, doc_id LIMIT 64"),
+    // full training replay: twelve unrolled integer gradient epochs,
+    // then the scoring scan — see qualityClfSql
+    "q_doc_quality_clf" -> qualityClfSql,
     // same reach-CTE shape as q_doc_keep, over cosine near-dup pairs
     "q_embed_keep" -> ("WITH RECURSIVE pairs AS (" +
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b " +

@@ -3265,4 +3265,97 @@ class PipelineSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     (2L to 5L).foreach(i => assert(langs(i) == "und", s"$i -> ${langs(i)}"))
   }
+
+  test("quality classifier: pure-BigInt gradient replay, learnability, partitioning independence, guards") {
+    import graft.pipeline.QualityClf
+    val s = spark
+    import s.implicits._
+    // separable toy corpus: label = doc mentions "good"
+    val corpus = Seq(
+      (1L, "good clean prose with real sentences", 1L),
+      (2L, "good structure and good grammar here", 1L),
+      (3L, "spam spam click here buy now", 0L),
+      (4L, "asdf qwer zxcv garbled nonsense tokens", 0L),
+      (5L, "a good and thoughtful essay follows", 1L),
+      (6L, "buy buy buy click spam offer", 0L),
+      (7L, "good writing is mostly rewriting", 1L),
+      (8L, "zzzz kjhg mnbv garbled spam", 0L)).toDF("doc_id", "text", "y")
+    // lrW obeys the LMS stability bound: mean-pooled features scale
+    // as 1/n_doc, so short toy docs need a ~10x smaller rate than the
+    // long-doc fixture corpus (lrW=1024 there) — at 1024 this corpus
+    // oscillates with period 2 (measured), at 64 it converges
+    val B = 64; val E = 16; val lrWSpec = 64L
+    val model = QualityClf.trainQualityClf(corpus, "doc_id", "text", "y",
+      buckets = B, epochs = E, lrWNum = lrWSpec)
+    // ---- pure-JVM integer replay (the oracle arithmetic, BigInt) ----
+    val W = 1000000L; val S = 1000000L; val K = 4L; val lrW = lrWSpec
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def featsOf(t: String): Seq[String] = {
+      val ts = toks(t)
+      ts ++ ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")) ++
+        ts.filter(_.length >= 3).flatMap(w =>
+          (0 to w.length - 3).map(i => "c3:" + w.substring(i, i + 3)))
+    }
+    def bk(f: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % B).toInt
+    }
+    def tdivB(a: BigInt, d: BigInt): BigInt = a / d // BigInt / truncates
+    val rows = corpus.collect().map(r =>
+      (r.getLong(0), featsOf(r.getString(1)).map(bk), r.getLong(2)))
+    val n = rows.map(r => r._1 -> r._2.length.toLong).toMap
+    val cnts = rows.map(r =>
+      r._1 -> r._2.groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    val N = rows.length
+    var wRef = Array.fill(B)(BigInt(0)); var biasRef = BigInt(0)
+    for (_ <- 1 to E) {
+      val G = Array.fill(B)(BigInt(0)); var g0 = BigInt(0)
+      rows.foreach { case (id, _, y) =>
+        val rd = cnts(id).map { case (b, c) => wRef(b) * c }.sum
+        val z = biasRef + (if (n(id) == 0) BigInt(0) else tdivB(rd, n(id)))
+        val p = BigInt(W / 2) + tdivB(z, K)
+        val e = (p - BigInt(y) * W).max(BigInt(-W)).min(BigInt(W))
+        val q = if (n(id) == 0) BigInt(0) else tdivB(e * S, n(id))
+        cnts(id).foreach { case (b, c) => G(b) += q * c }
+        g0 += e
+      }
+      val gm = tdivB(G.sum, B)
+      wRef = Array.tabulate(B)(b =>
+        wRef(b) - tdivB((G(b) - gm) * lrW, BigInt(N) * S))
+      biasRef = biasRef - tdivB(g0, N)
+    }
+    assert(model.weights.toSeq == wRef.map(_.toLong).toSeq,
+      "trained weights must equal the BigInt replay")
+    assert(model.bias == biasRef.toLong,
+      "trained bias must equal the BigInt replay")
+    // ---- learnability: the separable toy must classify perfectly ----
+    val scored = QualityClf.scoreQualityClf(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    assert((1L to 8L).forall(i => scored(i) == labels(i)),
+      s"separable corpus must train to 100%: $scored vs $labels")
+    // ---- partitioning independence: exact integer arithmetic ----
+    val rep = QualityClf.trainQualityClf(corpus.repartition(7),
+      "doc_id", "text", "y", buckets = B, epochs = E, lrWNum = lrWSpec)
+    assert(rep.weights.toSeq == model.weights.toSeq && rep.bias == model.bias,
+      "partitioning must not change the trained model")
+    // ---- tokenless docs score bias exactly ----
+    val sc0 = QualityClf.scoreQualityClf(
+      Seq((9L, "!!!")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()(0)
+    assert(sc0.getLong(1) == 0L && sc0.getLong(2) == model.bias,
+      s"tokenless doc must score the bias: $sc0")
+    // ---- guards fail loudly ----
+    intercept[IllegalArgumentException] {
+      QualityClf.trainQualityClf(
+        Seq((1L, "x", 2L)).toDF("doc_id", "text", "y"),
+        "doc_id", "text", "y", buckets = B, epochs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      QualityClf.trainQualityClf(corpus.where(lit(false)),
+        "doc_id", "text", "y", buckets = B, epochs = 1)
+    }
+  }
 }

@@ -618,4 +618,24 @@ class PlanShapeSpec extends GraftSuite {
         assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
     }
   }
+
+  test("exchange budget: quality-classifier SERVE is one exchange-free scan") {
+    // the 100 TB contract of QualityClf.scoreQualityClf: weights bake
+    // into a literal array, so scoring the corpus is one codegen scan
+    // — no shuffle, no join, no broadcast (the dsirScore serve shape).
+    // Profiled with a synthetic model so the pin isolates the SERVE
+    // plan from the (labeled-split-sized) training phase.
+    import graft.pipeline.QualityClf
+    val model = QualityClf.ClfModel(
+      Array.tabulate(1024)(b => (b * 37 % 101) - 50L), bias = 1234L,
+      epochs = 1, sigDiv = 4L, lrWNum = 1024L, lrWDen = 1L,
+      lrBNum = 1L, lrBDen = 1L)
+    val served = QualityClf.scoreQualityClf(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", model)
+    val prof = planProfile(served)
+    info(s"q_doc_quality_clf serve -> $prof")
+    assert(prof("shuffle") == 0 && prof("smj") == 0 && prof("bhj") == 0 &&
+      prof("broadcast") == 0,
+      s"quality-clf serve must stay a single exchange-free scan: $prof")
+  }
 }
