@@ -1175,6 +1175,14 @@ object SparkEntry {
     "q_doc_pack_stats" -> ((s, d) =>
       Packing.packStats(docs(s, d), "doc_id", "text",
         window = 512, nBuckets = 16)),
+    // token-CONSERVING packing: over-window docs split into
+    // ceil(n/48) chunks (window 48 so the fixture actually splits:
+    // 279 docs -> 2 chunks, 10 -> 3 at sf0.01) and the chunks pack in
+    // (doc_id, chunk) order — nothing truncated, Sum(n_tok) == corpus
+    // token count
+    "q_doc_pack_split" -> ((s, d) =>
+      Packing.packSequencesSplit(docs(s, d), "doc_id", "text",
+        window = 48, nBuckets = 16)),
     // SEMANTIC packing (in-context pretraining, Shi et al. 2024: fill
     // each context window with RELATED docs, not random neighbors):
     // shard key = the doc's k-means topic over the shared 0..n-1 key
@@ -3738,6 +3746,24 @@ object SparkEntry {
       "CASE WHEN p.fill + d.t <= 512 THEN p.fill + d.t ELSE d.t END " +
       "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
       "SELECT doc_id, bucket, seq, t AS n_tok FROM pack"),
+    // splitting packer: the chunk explosion happens in the base CTE
+    // (interior chunks exactly 48 tokens, tail the remainder, empty
+    // docs keep one zero-token chunk), then the identical recursive
+    // first-fit replay in (doc_id, chunk) order
+    "q_doc_pack_split" -> (
+      "WITH RECURSIVE base AS (SELECT doc_id, doc_id % 16 AS bucket, chunk, " +
+      "GREATEST(0, LEAST(48, n - chunk * 48)) AS t, " +
+      "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id, chunk) AS rn " +
+      "FROM (SELECT doc_id, n, unnest(range(0, GREATEST(1, (n + 47) // 48))) AS chunk " +
+      "FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n " +
+      "FROM documents))), " +
+      "pack AS (SELECT bucket, rn, doc_id, chunk, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
+      "FROM base WHERE rn = 1 " +
+      "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.chunk, d.t, " +
+      "CASE WHEN p.fill + d.t <= 48 THEN p.seq ELSE p.seq + 1 END, " +
+      "CASE WHEN p.fill + d.t <= 48 THEN p.fill + d.t ELSE d.t END " +
+      "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
+      "SELECT doc_id, bucket, chunk, seq, t AS n_tok FROM pack"),
     // semantic packing: the k-means topic is the shard key; the same
     // recursive first-fit replay per cluster
     "q_doc_pack_sem" -> ("WITH RECURSIVE " +

@@ -28,12 +28,23 @@ import org.apache.spark.sql.types._
   * no second shuffle.
   *
   * Greedy first-fit-in-id-order: a doc joins the open sequence if it
-  * fits, else opens the next one. Docs longer than the window cap at
-  * the window (real pipelines truncate or split long docs upstream;
-  * the cap keeps every sequence's fill ≤ window without a special
-  * case). This is the standard "greedy packing" baseline — within a
-  * few percent of optimal fill for natural document-length
-  * distributions, and O(n) versus NP-hard exact binning.
+  * fits, else opens the next one. This is the standard "greedy
+  * packing" baseline — within a few percent of optimal fill for
+  * natural document-length distributions, and O(n) versus NP-hard
+  * exact binning.
+  *
+  * Two long-document policies, choose per pipeline:
+  *  - the TRUNCATING variants ([[packSequences]]/[[packByCounts]]/
+  *    [[packByCountsKeyed]]) cap a doc's contribution at `window` and
+  *    DISCARD the overflow — the right call when upstream already
+  *    splits, or when tail tokens of over-window docs are expendable;
+  *    the silent loss is the documented price;
+  *  - the SPLITTING variants ([[packSequencesSplit]]/
+  *    [[packByCountsSplit]]) cut each doc into `ceil(n/window)`
+  *    chunks first (chunk index in the output addresses the slice)
+  *    and pack the chunks — token-conserving (Σ n_tok out == Σ counts
+  *    in, spec-enforced), the production default for pretraining
+  *    shards where every token was paid for.
   */
 object Packing {
 
@@ -100,6 +111,85 @@ object Packing {
         .cast("long"))
       .otherwise(k)
     packCore(df, checkedIdExpr(idCol), countCol, checkedKey, window)
+  }
+
+  /** [[packSequences]] with long-document SPLITTING instead of
+    * truncation: whitespace token counts, `id mod B` shards.
+    */
+  def packSequencesSplit(df: DataFrame, idCol: String, textCol: String,
+      window: Int, nBuckets: Int): DataFrame =
+    packByCountsSplit(
+      df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("_pack_tc")),
+      idCol, "_pack_tc", window, nBuckets)
+
+  /** Token-conserving packing: each doc is first cut into
+    * `ceil(n/window)` window-aligned chunks (a tokenless doc keeps one
+    * zero-token chunk so it stays addressable, mirroring the
+    * truncating variant), then the CHUNKS pack greedily in
+    * `(doc_id, chunk)` order within the doc's shard. Interior chunks
+    * are exactly `window` tokens, so each fills a whole sequence; the
+    * tail chunk packs with its neighbors like any short doc. Output:
+    * `(doc_id, bucket, chunk, seq, n_tok)` — `Σ n_tok` over a doc's
+    * chunks equals its full count, NOTHING is discarded (the spec
+    * enforces conservation). Same plan as the truncating form: the
+    * chunk explosion is a per-row generator inside the same scan, one
+    * hash exchange on the shard key, one stateful in-partition pass.
+    * Null/negative counts are refused loudly (the id contract's
+    * sibling — a null count would silently vanish tokens, the exact
+    * failure this variant exists to close).
+    */
+  def packByCountsSplit(df: DataFrame, idCol: String, countCol: String,
+      window: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val checkedId = checkedIdExpr(idCol)
+    packCoreSplit(df, checkedId, countCol,
+      pmod(checkedId, lit(nBuckets.toLong)), window)
+  }
+
+  private def packCoreSplit(df: DataFrame,
+      idExpr: org.apache.spark.sql.Column, countCol: String,
+      bucketExpr: org.apache.spark.sql.Column, window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val w = window.toLong
+    val nRaw = col(countCol).cast("long")
+    val checkedN = when(nRaw.isNull || nRaw < 0, raise_error(concat(
+        lit(s"Packing: '$countCol' must be a non-negative token count " +
+          "(splitting conserves every token, so a null count would " +
+          "silently vanish tokens), got: "),
+        coalesce(col(countCol).cast("string"), lit("null")))).cast("long"))
+      .otherwise(nRaw)
+    val base = df.select(
+        idExpr.as("doc_id"),
+        bucketExpr.as("bucket"),
+        checkedN.as("_n"))
+      .withColumn("chunk", explode(sequence(lit(0L),
+        greatest(lit(1L), expr(s"(_n + ${w - 1}) div $w")) - 1L)))
+      .select(col("doc_id"), col("bucket"), col("chunk"),
+        greatest(lit(0L), least(lit(w), col("_n") - col("chunk") * w))
+          .as("n_tok"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("chunk", LongType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("n_tok", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    base.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"), col("chunk"))
+      .mapPartitions { rows =>
+        var cur = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        rows.map { r =>
+          val id = r.getLong(0); val b = r.getLong(1)
+          val ch = r.getLong(2); val t = r.getLong(3)
+          if (b != cur) { cur = b; seq = 1L; fill = t }
+          else if (fill + t <= w) fill += t
+          else { seq += 1L; fill = t }
+          Row(id, b, ch, seq, t)
+        }
+      }(enc)
   }
 
   private def packCore(df: DataFrame, idExpr: org.apache.spark.sql.Column,

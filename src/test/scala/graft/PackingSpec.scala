@@ -51,6 +51,65 @@ class PackingSpec extends GraftSuite {
     }
   }
 
+  /** Reference SPLITTING pack: chunk each doc, then greedy-fill the
+    * chunks in (id, chunk) order within id-mod-B shards.
+    */
+  private def refPackSplit(docs: Seq[(Long, Int)], window: Int,
+      nBuckets: Int): Map[(Long, Long), (Long, Long, Long)] =
+    docs.flatMap { case (id, n) =>
+      val chunks = math.max(1, (n + window - 1) / window)
+      (0 until chunks).map(c =>
+        (id, c.toLong, math.max(0, math.min(window, n - c * window)).toLong))
+    }.groupBy { case (id, _, _) => id % nBuckets }
+      .flatMap { case (b, cs) =>
+        var seq = 0L; var fill = 0L
+        cs.sortBy { case (id, c, _) => (id, c) }.zipWithIndex.map {
+          case ((id, c, t), i) =>
+            if (i == 0) { seq = 1L; fill = t }
+            else if (fill + t <= window) fill += t
+            else { seq += 1L; fill = t }
+            (id, c) -> ((b, seq, t))
+        }
+      }
+
+  test("packSequencesSplit: greedy reference replay, token conservation, interior chunks full") {
+    for (seed <- Seq(3, 11)) {
+      val df = corpus(seed, 120)
+      val counts = df.collect()
+        .map(r => (r.getLong(0), tokens(r.getString(1)))).toSeq
+      // window 16 << the 0..39-token docs: most docs split
+      val expected = refPackSplit(counts, window = 16, nBuckets = 8)
+      val got = Packing.packSequencesSplit(df, "doc_id", "text",
+          window = 16, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"seed $seed")
+      // TOKEN CONSERVATION — the property the truncating variant
+      // cannot give: sum over a doc's chunks == the doc's full count
+      val perDoc = got.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2._3).sum).toMap
+      counts.foreach { case (id, n) =>
+        assert(perDoc(id) == n.toLong,
+          s"doc $id: ${perDoc(id)} packed of $n tokens (seed $seed)")
+      }
+      // interior chunks are exactly the window; only the tail is short
+      got.foreach { case ((id, c), (_, _, t)) =>
+        val n = counts.toMap.apply(id)
+        val last = math.max(1, (n + 15) / 16) - 1
+        if (c < last) assert(t == 16L, s"interior chunk ($id,$c) = $t")
+      }
+    }
+    // null count refuses loudly (token conservation cannot hold)
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "tc")
+    val ex = intercept[Exception] {
+      Packing.packByCountsSplit(bad, "doc_id", "tc", 16, 4).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("non-negative"),
+      s"null count must refuse: ${ex.getMessage}")
+  }
+
   test("packByCountsKeyed: arbitrary shard key matches the per-key greedy reference; null key refuses") {
     val s = spark
     import s.implicits._
