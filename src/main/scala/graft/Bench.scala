@@ -271,6 +271,26 @@ object Bench {
     // cost was 50× that before its own fix), while the noop sink
     // evaluates every output column and discards the rows — the
     // standard benchmarking sink shape
+    // CANARY normalization: a pinned set of cheap, stable,
+    // long-untouched queries timed at the START and END of every run.
+    // Four same-binary r14 runs spanned 40.4→50.9 s with UNIFORM
+    // inflation across untouched queries (thermal/ambient drift, not
+    // loadavg-correlated) — so a raw round-over-round total cannot
+    // distinguish a real 1.2× regression from an afternoon of drift.
+    // The canary carries the drift: read any query as
+    // seconds / canary-mean (queries_norm below) and a real regression
+    // moves the ratio even when the box is 20% hot; the start→end
+    // canary drift within one run bounds how much the box moved WHILE
+    // measuring. Canaries are timed with the same noop sink + GC'd
+    // 3-rep median as the headline.
+    val canaryNames = Seq("q_count", "q_agg_sum", "q_where_logic",
+      "q_group", "q_orderby_limit").filter(SparkEntry.queries.contains)
+    def timeCanaries(): Seq[(String, Double, Option[String], Seq[Double])] =
+      timeQueries(canaryNames,
+        name => SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save(),
+        iters = 3)
+    val canaryStart = timeCanaries()
     val results = timeQueries(names,
       name => SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save(),
@@ -301,10 +321,27 @@ object Bench {
     val otherResults = otherPass1.map { case r @ (n, _, _, _) =>
       heavyByName.getOrElse(n, r)
     }
+    val canaryEnd = timeCanaries()
     def qJson(rs: Seq[(String, Double, Option[String], Seq[Double])]) =
       rs.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val qs = qJson(results)
+    // canary section: start/end medians, totals, within-run drift, and
+    // the normalization divisor (mean of the two totals)
+    val canStartTotal = canaryStart.map(_._2).filter(_ >= 0).sum
+    val canEndTotal = canaryEnd.map(_._2).filter(_ >= 0).sum
+    val canMean = (canStartTotal + canEndTotal) / 2.0
+    val canDrift = if (canStartTotal > 0) canEndTotal / canStartTotal else -1.0
+    val canaryJson = s"""{"names":${canaryNames.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},"start":${qJson(canaryStart)},""" +
+      s""""end":${qJson(canaryEnd)},"start_total":$canStartTotal,""" +
+      s""""end_total":$canEndTotal,"mean_total":$canMean,"drift":$canDrift}"""
+    // normalized medians: seconds / canary mean — the round-over-round
+    // comparable that survives ambient drift
+    def qNormJson(rs: Seq[(String, Double, Option[String], Seq[Double])]) =
+      rs.map { case (k, v, _, _) =>
+        "\"" + k + "\":" + (if (v >= 0 && canMean > 0) v / canMean else -1.0)
+      }.mkString("{", ",", "}")
     // per-rep spread for the headline (the swing band a regression
     // flag must be read against — medians alone hid the 37→44 s
     // ambient drift across r12 same-binary runs)
@@ -332,7 +369,7 @@ object Bench {
     val othersReps = heavyResults.map { case (k, _, _, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":$reps,"others":${qJson(otherResults)},"others_reps":$othersReps,"others_total":$othersTotal,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":$reps,"queries_norm":${qNormJson(results)},"others":${qJson(otherResults)},"others_reps":$othersReps,"others_norm":${qNormJson(otherResults)},"others_total":$othersTotal,"canary":$canaryJson,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
     // compact summary as the FINAL stdout line: a bounded tail capture
     // of this process (the driver keeps only the last N bytes) must
     // still contain the numbers that matter even when the full line
@@ -341,7 +378,7 @@ object Bench {
     // per-query tables must keep finding exactly ONE line (the full
     // one above), never this digest.
     val nErr = (results ++ otherResults ++ coldResults).count(_._3.isDefined)
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_headline":${results.size},"n_others":${otherResults.size},"others_total":$othersTotal,"n_errors":$nErr,"sf":"$sfDir","loadavg_start":$loadStartJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_headline":${results.size},"n_others":${otherResults.size},"others_total":$othersTotal,"n_errors":$nErr,"canary_mean":$canMean,"canary_drift":$canDrift,"sf":"$sfDir","loadavg_start":$loadStartJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
     spark.stop()
     if ((results ++ otherResults ++ coldResults).exists(_._3.isDefined)) sys.exit(1)
   }

@@ -1072,12 +1072,17 @@ object SparkEntry {
       // drawn FROM the subsample, so every planted pair stays present)
       val e = emb(s, d).select("vec_id", "embedding")
         .where(col("vec_id") % 3 === 0)
-      val planted = e.where(col("vec_id") < 150)
+      // the jitter runs in DOUBLE (float32 ops are not replayable in
+      // SQL; double IEEE arithmetic is identical in any engine), so
+      // the whole corpus carries double vectors into the quantizer
+      val eD = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = eD.where(col("vec_id") < 150)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), (x, i) =>
-            when(i === 0, x * lit(1.01f) + lit(0.001f)).otherwise(x))
+            when(i === 0, x * 1.01 + 0.001).otherwise(x))
             .as("embedding"))
-      val corpus = e.unionByName(planted)
+      val corpus = eD.unionByName(planted)
       val ivfPairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id", 0.98,
         bruteForce = Some(false))
       val exactPairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id", 0.98,
@@ -2342,13 +2347,23 @@ object SparkEntry {
   // within-cluster exact-cosine θ-pairs over the k-means blocks —
   // shared by both SemDeDup oracles
   private val semdedupPairsCtes = kmeansAsgnCtes + ", " +
+    // within-cluster pairs on the integer-dot θ-gate (0.42·1e12) —
+    // blocks from the integer-exact k-means, gate from the µ-unit CTE
+    "sduq AS MATERIALIZED (SELECT vec_id, CASE WHEN nrm = 0 THEN " +
+    "list_transform(q, x -> CAST(0 AS BIGINT)) ELSE " +
+    "list_transform(q, x -> CAST(trunc(CAST(x * 1000000 AS DOUBLE) / nrm) AS BIGINT)) END AS v " +
+    "FROM (SELECT vec_id, q, CAST(floor(sqrt(CAST(" +
+    "list_sum(list_transform(q, x -> x * x)) AS DOUBLE))) AS BIGINT) AS nrm " +
+    "FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+    "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings)) " +
+    "WHERE nrm > 0), " +
     "spr AS MATERIALIZED (SELECT a.cl AS cluster, a.vec_id AS id_a, " +
     "b.vec_id AS id_b FROM asgn a JOIN asgn b " +
     "ON a.cl = b.cl AND a.vec_id < b.vec_id " +
-    "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
-    "JOIN embeddings eb ON eb.vec_id = b.vec_id " +
-    "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
-    "CAST(eb.embedding AS DOUBLE[])) >= 0.42)"
+    "JOIN sduq ea ON ea.vec_id = a.vec_id " +
+    "JOIN sduq eb ON eb.vec_id = b.vec_id " +
+    "WHERE CAST(list_dot_product(CAST(ea.v AS DOUBLE[]), " +
+    "CAST(eb.v AS DOUBLE[])) AS BIGINT) >= 420000000000)"
 
   // The integer-dot contract's shared oracle prelude: µ-unit integer
   // unit vectors + label, mirroring VectorOps.l2NormalizeQuantized
@@ -2868,15 +2883,14 @@ object SparkEntry {
       "SELECT id_a AS id_in, id_b AS id_sup FROM ij WHERE i * 5 >= 4 * sza " +
       "UNION ALL " +
       "SELECT id_b AS id_in, id_a AS id_sup FROM ij WHERE i * 5 >= 4 * szb"),
-    // triplets: θ-pair positives (min-id, raw-cosine gate — boundary
-    // audit: ≥1e5 grid units from θ) joined with each anchor's rank-1
-    // different-label neighbor picked on the exact integer dot
+    // triplets: θ-pair positives on the integer-dot gate (θ·1e12 —
+    // the same exact-long contract the negative arm rides) joined
+    // with each anchor's rank-1 different-label neighbor
     "q_embed_triplets" -> ("WITH " + unitCte +
       ", pos AS (SELECT a.vec_id AS anchor, " +
-      "min(b.vec_id) AS positive FROM embeddings a JOIN embeddings b " +
+      "min(b.vec_id) AS positive FROM uq a JOIN uq b " +
       "ON a.vec_id < b.vec_id " +
-      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-      "CAST(b.embedding AS DOUBLE[])) >= 0.4 GROUP BY 1), " +
+      "WHERE " + qdSql("a.v", "b.v") + " >= 400000000000 GROUP BY 1), " +
       "neg AS (SELECT q.vec_id AS anchor, e.vec_id AS negative " +
       "FROM uq e JOIN uq q ON e.vec_id <> q.vec_id " +
       "JOIN pos p ON p.anchor = q.vec_id " +
@@ -2885,10 +2899,10 @@ object SparkEntry {
       qdSql("e.v", "q.v") + " DESC, e.vec_id) = 1) " +
       "SELECT p.anchor, p.positive, n.negative FROM pos p " +
       "JOIN neg n USING (anchor)"),
-    "q_embed_pairs" -> ("SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
-      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
-      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-      "CAST(b.embedding AS DOUBLE[])) >= 0.5"),
+    "q_embed_pairs" -> ("WITH " + unitCte +
+      " SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM uq a JOIN uq b ON a.vec_id < b.vec_id " +
+      "WHERE " + qdSql("a.v", "b.v") + " >= 500000000000"),
     // every SRP signature bit recomputed from the md5 sign matrix over
     // the quantized augmented corpus, then exact all-pairs Hamming
     // <= 3 — the banded engine path must agree
@@ -3571,12 +3585,12 @@ object SparkEntry {
     // full training replay: twelve unrolled integer gradient epochs,
     // then the scoring scan — see qualityClfSql
     "q_doc_quality_clf" -> qualityClfSql,
-    // same reach-CTE shape as q_doc_keep, over cosine near-dup pairs
-    "q_embed_keep" -> ("WITH RECURSIVE pairs AS (" +
+    // same reach-CTE shape as q_doc_keep, over integer-dot near-dup
+    // pairs (the same gate as q_embed_pairs)
+    "q_embed_keep" -> ("WITH RECURSIVE " + unitCte + ", pairs AS (" +
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
-      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
-      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
-      "CAST(b.embedding AS DOUBLE[])) >= 0.5), " +
+      "FROM uq a JOIN uq b ON a.vec_id < b.vec_id " +
+      "WHERE " + qdSql("a.v", "b.v") + " >= 500000000000), " +
       "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
       "UNION SELECT id_b, id_a FROM pairs), " +
       "reach(a, b) AS (SELECT a, b FROM und " +
@@ -3595,10 +3609,20 @@ object SparkEntry {
       "list_transform(range(1, len(v) + 1), " +
       "i -> CASE WHEN i = 1 THEN v[1] * 1.01 + 0.001 ELSE v[i] END) AS v " +
       "FROM base WHERE vec_id < 150), " +
-      "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted) " +
+      "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted), " +
+      // µ-unit quantization of the planted corpus (the unitCte shape
+      // over an inline frame), then the exact integer-dot 0.98 gate
+      "cuq AS MATERIALIZED (SELECT vec_id, CASE WHEN nrm = 0 THEN " +
+      "list_transform(q, x -> CAST(0 AS BIGINT)) ELSE " +
+      "list_transform(q, x -> CAST(trunc(CAST(x * 1000000 AS DOUBLE) / nrm) AS BIGINT)) END AS v " +
+      "FROM (SELECT vec_id, q, CAST(floor(sqrt(CAST(" +
+      "list_sum(list_transform(q, x -> x * x)) AS DOUBLE))) AS BIGINT) AS nrm " +
+      "FROM (SELECT vec_id, list_transform(v, " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM corpus)) " +
+      "WHERE nrm > 0) " +
       "SELECT count(*) AS n_exact, CAST(1.0 AS DOUBLE) AS recall_gate " +
-      "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id " +
-      "WHERE list_cosine_similarity(a.v, b.v) >= 0.98"),
+      "FROM cuq a JOIN cuq b ON a.vec_id < b.vec_id " +
+      "WHERE " + qdSql("a.v", "b.v") + " >= 980000000000"),
     "q_embed_norm" -> ("WITH q AS (SELECT vec_id, " +
       "list_transform(CAST(embedding AS DOUBLE[]), " +
       "x -> CAST(round(x * 1000000) AS BIGINT)) AS xq FROM embeddings), " +
@@ -4553,13 +4577,31 @@ object SparkEntry {
       "sum((bx.q - c.cq) * (bx.q - c.cq)) AS dst " +
       "FROM bx JOIN c2 c ON bx.d = c.d GROUP BY 1, 2), " +
       "basgn AS MATERIALIZED (SELECT vec_id, cl FROM bd3 QUALIFY " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1) " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dst, cl) = 1), " +
+      // both sides µ-unit quantized (corpus from floats, batch from
+      // the jittered doubles — the engine's double jitter replays
+      // exactly), gate = exact integer dot >= 0.9e12
+      "cruq AS MATERIALIZED (SELECT vec_id, CASE WHEN nrm = 0 THEN " +
+      "list_transform(q, x -> CAST(0 AS BIGINT)) ELSE " +
+      "list_transform(q, x -> CAST(trunc(CAST(x * 1000000 AS DOUBLE) / nrm) AS BIGINT)) END AS v " +
+      "FROM (SELECT vec_id, q, CAST(floor(sqrt(CAST(" +
+      "list_sum(list_transform(q, x -> x * x)) AS DOUBLE))) AS BIGINT) AS nrm " +
+      "FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM embeddings)) " +
+      "WHERE nrm > 0), " +
+      "buq AS MATERIALIZED (SELECT vec_id, CASE WHEN nrm = 0 THEN " +
+      "list_transform(q, x -> CAST(0 AS BIGINT)) ELSE " +
+      "list_transform(q, x -> CAST(trunc(CAST(x * 1000000 AS DOUBLE) / nrm) AS BIGINT)) END AS v " +
+      "FROM (SELECT vec_id, q, CAST(floor(sqrt(CAST(" +
+      "list_sum(list_transform(q, x -> x * x)) AS DOUBLE))) AS BIGINT) AS nrm " +
+      "FROM (SELECT vec_id, list_transform(bv, " +
+      "x -> CAST(round(x * 1000000) AS BIGINT)) AS q FROM bqv)) " +
+      "WHERE nrm > 0) " +
       "SELECT a.cl AS cluster, a.vec_id AS id_a, b.vec_id AS id_b " +
       "FROM asgn a JOIN basgn b ON a.cl = b.cl " +
-      "JOIN embeddings ea ON ea.vec_id = a.vec_id " +
-      "JOIN bqv eb ON eb.vec_id = b.vec_id " +
-      "WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
-      "eb.bv) >= 0.9"),
+      "JOIN cruq ea ON ea.vec_id = a.vec_id " +
+      "JOIN buq eb ON eb.vec_id = b.vec_id " +
+      "WHERE " + qdSql("ea.v", "eb.v") + " >= 900000000000"),
     // the paraphrase-decontam gate: jittered every-23rd-row eval set,
     // exact double cosine against the full corpus
     "q_embed_decontam_sem" -> ("WITH ev AS (SELECT " +

@@ -1666,8 +1666,15 @@ object Dedup {
     } else {
       val model = VectorOps.trainIvfCached(df.withColumnRenamed(idCol, "_id")
         .withColumnRenamed(vecCol, "_v"), "_v", nlist = ivfNlistFor(n))
+      // clusters are assigned on the float view (blocking only decides
+      // WHERE pairs meet); the θ-gate itself reads the µ-unit integer
+      // vector so the emitted SET is on the exact-dot contract
+      val stagedU = VectorOps.stagedUnit(
+        df.select(col(idCol), col(vecCol)), idCol, vecCol)
+        .select(col(idCol).as("_aid"), col("_uq"))
       val assigned = VectorOps.assignCluster(
         df.select(col(idCol).as("_aid"), col(vecCol).as("_v")), "_v", model.centroids)
+        .join(stagedU, "_aid")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-cluster sub-bucket count (nlist rows -> broadcast join)
       val nb = assigned.groupBy(col("_cluster"))
@@ -1682,13 +1689,14 @@ object Dedup {
       // common nb=1 case both sides emit (0,0) once — zero overhead.
       val aSide = bucketed.select(col("_cluster"), col("_bkt").as("_p"),
         explode(sequence(col("_bkt"), col("_nb") - 1)).as("_q"),
-        col("_aid").as("id_a"), col("_v").as("_va"))
+        col("_aid").as("id_a"), col("_uq").as("_ua"))
       val bSide = bucketed.select(col("_cluster"),
         explode(sequence(lit(0), col("_bkt"))).as("_p"),
-        col("_bkt").as("_q"), col("_aid").as("id_b"), col("_v").as("_vb"))
+        col("_bkt").as("_q"), col("_aid").as("id_b"), col("_uq").as("_ub"))
       val out = aSide.join(bSide, Seq("_cluster", "_p", "_q"))
         .where((col("_p") < col("_q")) || (col("id_a") < col("id_b")))
-        .where(VectorOps.cosineSimCols(col("_va"), col("_vb")) >= threshold)
+        .where(VectorOps.intDotCol(col("_ua"), col("_ub"))
+          >= VectorOps.thetaQ(threshold))
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
       val stable = Scratch.stable(out)
@@ -1709,8 +1717,9 @@ object Dedup {
     * skewed cluster hash-splits into cap² sub-blocks instead of one
     * giant collect buffer (the structural cap every other near-dup
     * family here shares). Emitted pairs carry id_a < id_b and the
-    * shared cluster; cosine is exact double arithmetic (matches
-    * DuckDB's `list_cosine_similarity` left-to-right accumulation).
+    * shared cluster; the θ-gate is the EXACT integer dot of µ-unit
+    * quantized vectors against `round(θ·1e12)` — no float in the
+    * selection, so the pair set is bit-stable on any engine.
     *
     * By construction this misses cross-cluster near-dups (a pair
     * split by a k-means boundary) — the SemDeDup trade: recall is
@@ -1721,18 +1730,22 @@ object Dedup {
       k: Int, iters: Int, theta: Double,
       cap: Int = MaxClusterBlock): DataFrame = {
     val asgn = VectorOps.kmeansQuantized(df, idCol, vecCol, k, iters)
-    val items = df
-      .select(col(idCol).cast("long").as(idCol), col(vecCol).as("_sv"))
+    // the θ-gate reads the µ-unit integer vector (the exact-dot
+    // contract — cluster blocks decide WHERE pairs meet, the long dot
+    // decides WHETHER, and no engine can flip an integer comparison)
+    val items = VectorOps.stagedUnit(
+        df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        idCol, vecCol)
       .join(asgn, idCol)
-      .select(col("cluster"), struct(col(idCol).as("_sid"), col("_sv"),
+      .select(col("cluster"), struct(col(idCol).as("_sid"), col("_uq"),
         col("cluster").as("_cl")).as("_elem"))
     // struct ordering leads with _sid, so explodePairs' sorted output
     // yields id_a._sid < id_b._sid for free (ids are distinct); the
     // shared cluster rides inside the element because boundedKeyPairs
     // projects its key columns away
     boundedKeyPairs(items, Seq("cluster"), "_elem", cap)
-      .where(VectorOps.cosineSimCols(col("id_a._sv"), col("id_b._sv"))
-        >= theta)
+      .where(VectorOps.intDotCol(col("id_a._uq"), col("id_b._uq"))
+        >= VectorOps.thetaQ(theta))
       .select(col("id_a._cl").as("cluster"), col("id_a._sid").as("id_a"),
         col("id_b._sid").as("id_b"))
   }
@@ -1769,15 +1782,17 @@ object Dedup {
       cap: Int = MaxClusterBlock): DataFrame = {
     def items(df: DataFrame) = {
       val asgn = VectorOps.kmeansAssignQuantized(df, idCol, vecCol, cents)
-      df.select(col(idCol).cast("long").as(idCol), col(vecCol).as("_sv"))
+      VectorOps.stagedUnit(
+          df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+          idCol, vecCol)
         .join(asgn, idCol)
         .select(col("cluster"), struct(col(idCol).as("_sid"),
-          col("_sv"), col("cluster").as("_cl")).as("_elem"))
+          col("_uq"), col("cluster").as("_cl")).as("_elem"))
     }
     boundedCrossPairs(items(corpus), items(batch), Seq("cluster"),
       "_elem", cap)
-      .where(VectorOps.cosineSimCols(col("id_a._sv"), col("id_b._sv"))
-        >= theta)
+      .where(VectorOps.intDotCol(col("id_a._uq"), col("id_b._uq"))
+        >= VectorOps.thetaQ(theta))
       .select(col("id_a._cl").as("cluster"), col("id_a._sid").as("id_a"),
         col("id_b._sid").as("id_b"))
   }

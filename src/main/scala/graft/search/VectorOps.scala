@@ -401,41 +401,52 @@ object VectorOps {
       .orderBy(q9Col(col("_score")).desc, col(idCol).asc)
       .limit(k)
 
-  /** All-pairs cosine >= threshold via a broadcast block kernel: the
-    * right side is collected (bounded — caller guarantees it fits; at
-    * 100 TB this runs per-IVF-cluster, never globally) and each left
-    * partition scans it with tight scalar loops. Arithmetic order is
-    * identical to cosineSimCols (left-to-right double accumulation) so
-    * results are bit-equal with the declarative form, at ~50× the speed
-    * of the crossJoin plan.
+  /** The θ-gate threshold on the exact integer-dot scale: two µ-unit
+    * vectors' long dot is ≈ cosine·1e12, so `cos ≥ θ` becomes the
+    * integer comparison `_qdot ≥ round(θ·1e12)` — a contract no
+    * engine, SIMD width, or libm can flip (the r14 lesson applied to
+    * the θ-gates: selection keys must not be floats).
+    *
+    * RESOLUTION near 1: floor(sqrt(norm²)) underestimates the norm by
+    * up to 1 µ-unit, so a quantized unit vector's own norm can read
+    * slightly ABOVE 1 and near-parallel pairs dot to ≥ 1e12 even when
+    * the true cosine is 1 − 5e-7. A θ within ~2e-6 of 1.0 is below
+    * the grid's resolving power — use exact-duplicate detection for
+    * that band; θ ≤ 1 − 1e-5 behaves as expected. (A θ > the
+    * quantized-dot ceiling ~1.000002 excludes everything, exactly.)
+    */
+  def thetaQ(theta: Double): Long = math.round(theta * 1e12)
+
+  /** All-pairs θ-gate via a broadcast block kernel: the right side is
+    * collected (bounded — caller guarantees it fits; at 100 TB this
+    * runs per-IVF-cluster, never globally) and each left partition
+    * scans it with tight scalar loops. The gate is the EXACT integer
+    * dot of µ-unit quantized vectors against [[thetaQ]] — no float
+    * exists in the selection (the oracle replays through the shared
+    * unit-vector CTE), so the emitted pair SET is bit-stable across
+    * engines and fixtures; zero-norm rows are not rankable and emit
+    * nothing (same exclusion the float kernel's NaN gate produced).
     */
   def cosinePairsBroadcast(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairsIn = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    val right = pairsIn.collect().sortBy(_._1)
+    val tq = thetaQ(threshold)
+    val staged = stagedUnit(df.select(col(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol).cast("long"), col("_uq")).as[(Long, Array[Long])]
+    val right = staged.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(right)
-    val norms = spark.sparkContext.broadcast(right.map { case (_, v) =>
-      var n = 0.0; var i = 0
-      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(n)
-    })
-    pairsIn.mapPartitions { it =>
-      val r = bc.value; val rn = norms.value
+    staged.mapPartitions { it =>
+      val r = bc.value
       it.flatMap { case (ida, va) =>
-        var na = 0.0
-        var i = 0
-        while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
-        val sna = math.sqrt(na)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var j = 0
         while (j < r.length) {
           val (idb, vb) = r(j)
           if (idb > ida) {
-            var d = 0.0; var k = 0
-            while (k < va.length) { d += va(k).toDouble * vb(k).toDouble; k += 1 }
-            if (d / (sna * rn(j)) >= threshold) out += ((ida, idb))
+            var d = 0L; var k = 0
+            while (k < va.length) { d += va(k) * vb(k); k += 1 }
+            if (d >= tq) out += ((ida, idb))
           }
           j += 1
         }

@@ -2982,9 +2982,11 @@ class PipelineSpec extends GraftSuite {
     val capped = pairSet(Dedup.semanticDedupPairs(df, "vec_id",
       "embedding", k = 3, iters = 2, theta = 0.9, cap = 2))
     assert(capped == got, "cap-split path must be lossless")
-    // theta above every within-group cosine: no pairs at all
+    // theta above the quantized-dot ceiling (µ-unit dots reach at most
+    // ~1.000002e12; a θ within ~2e-6 of 1.0 is below the 1e-6 grid's
+    // resolving power — see VectorOps.thetaQ): no pairs at all
     assert(pairSet(Dedup.semanticDedupPairs(df, "vec_id", "embedding",
-      k = 3, iters = 2, theta = 0.9999999)).isEmpty)
+      k = 3, iters = 2, theta = 1.001)).isEmpty)
     // keep: min id of each theta-chain survives -> group minima
     val kept = Dedup.semanticDedupKeep(df, "vec_id", "embedding",
       k = 3, iters = 2, theta = 0.9)

