@@ -72,10 +72,20 @@ object QualityClf {
     * the hyperparameters that produced it (carried so a serve site
     * scores with the geometry it was trained at — `sigDiv` shapes
     * `qclf_p`).
+    *
+    * `maeFirst`/`maeLast` are convergence telemetry: the mean |error|
+    * (scale [[ScaleW]]) of the FIRST and LAST epoch's forward pass.
+    * An over-stability-bound `lrW` fails SILENTLY (period-2
+    * oscillation, not an exception — the isotropy lesson's worst
+    * form), and it reads here as `maeLast >= maeFirst`: check this
+    * after training a new corpus shape and halve `lrW` until the MAE
+    * moves down. Telemetry only — no training decision reads it, so
+    * the oracle replay is unaffected.
     */
   final case class ClfModel(weights: Array[Long], bias: Long,
       epochs: Int, sigDiv: Long, lrWNum: Long, lrWDen: Long,
-      lrBNum: Long, lrBDen: Long) {
+      lrBNum: Long, lrBDen: Long, maeFirst: Long = -1L,
+      maeLast: Long = -1L) {
     def buckets: Int = weights.length
   }
 
@@ -191,6 +201,8 @@ object QualityClf {
           "anyway) or lower the fixed-point scales")
       var w = Array.fill(buckets)(0L)
       var bias = 0L
+      var maeFirst = -1L
+      var maeLast = -1L
       for (_ <- 1 to epochs) {
         val litW = typedLit(w)
         val rd = feats
@@ -208,15 +220,22 @@ object QualityClf {
             .otherwise(expr(s"(_e * $ScaleS) div _n")))
         val contrib = scored.select(col("_id"), col("_q"), col("_e"))
         // one action per epoch: per-bucket gradients plus the bias
-        // gradient riding along as bucket −1
+        // gradient (bucket −1) and the |error| sum (bucket −2,
+        // convergence telemetry) riding along
         val gRows = feats.join(contrib, Seq("_id"))
           .groupBy(col("_b")).agg(sum(col("_c") * col("_q")).as("_g"))
           .unionByName(contrib.agg(
             coalesce(sum(col("_e")), lit(0L)).as("_g"))
             .select(lit(-1L).as("_b"), col("_g")))
+          .unionByName(contrib.agg(
+            coalesce(sum(abs(col("_e"))), lit(0L)).as("_g"))
+            .select(lit(-2L).as("_b"), col("_g")))
           .collect()
         val g = gRows.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
         val g0 = g.getOrElse(-1, 0L)
+        val mae = g.getOrElse(-2, 0L) / nTrain
+        if (maeFirst < 0) maeFirst = mae
+        maeLast = mae
         // BigInt divide = truncation toward zero (the shared
         // contract); also gives the lr-scaled numerators 2^63 headroom
         val gSum = (0 until buckets).foldLeft(BigInt(0))(
@@ -228,7 +247,8 @@ object QualityClf {
           w(b) - ((BigInt(g.getOrElse(b, 0L)) - gm) * lrWNum / denW).toLong)
         bias = bias - (BigInt(g0) * lrBNum / denB).toLong
       }
-      ClfModel(w, bias, epochs, sigDiv, lrWNum, lrWDen, lrBNum, lrBDen)
+      ClfModel(w, bias, epochs, sigDiv, lrWNum, lrWDen, lrBNum, lrBDen,
+        maeFirst, maeLast)
     } finally store.release()
   }
 

@@ -721,6 +721,122 @@ object GraphStream {
     }
   }
 
+  /** The FULL streaming pretraining-shard pipeline: length-quantile
+    * gate → semantic dedup → sequence packing, per micro-batch — what
+    * [[curationIngestRecipe]] curates, packed into fixed-window
+    * training sequences as it arrives. Per batch it returns
+    * `(packed, drift)`: `packed` = `(doc_id, bucket, seq, n_tok)`
+    * sequence assignments of the batch's SURVIVORS (gate first, then
+    * the join-shaped dedup, exactly the recipe's order; window-capped
+    * counts — split long docs upstream with [[graft.pipeline.Packing
+    * .packByCountsSplit]] mechanics if conservation is needed),
+    * `drift` = the recipe's raw-batch telemetry tap.
+    *
+    * Open bins persist ACROSS batches like [[packIngest]]: each
+    * bucket's `(seq, fill)` carries in recipe state (nBuckets·2
+    * longs), so a sequence keeps filling over micro-batch boundaries
+    * and an id-ordered stream packs exactly like the batch form on
+    * the union corpus (spec-pinned parity). The batch-side plan is
+    * the [[graft.pipeline.Packing]] shape — one hash exchange on the
+    * shard key, one stateful in-partition scan — with the per-bucket
+    * state seeded from the carried bins and the batch's FINAL bins
+    * collected back (bounded: nBuckets rows). State lives in the
+    * recipe closure, not Spark's state store — the foreachBatch
+    * trade; a restart re-seeds by replaying from the last committed
+    * shard boundary, or use [[packIngest]] directly when Spark-managed
+    * checkpointed state is required and the gate/dedup arms are
+    * applied upstream.
+    */
+  def curationShardRecipe(ref: DataFrame, idCol: String, textCol: String,
+      vecCol: String, pNum: Int, pDen: Int, k: Int, iters: Int,
+      theta: Double, vocab: Int, window: Long, nBuckets: Int)
+      : DataFrame => (DataFrame, DataFrame) = {
+    require(window > 0, s"window must be positive, got $window")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import graft.pipeline.TextAnalysis
+    val base = curationIngestRecipe(ref, idCol, textCol, vecCol,
+      pNum, pDen, k, iters, theta, vocab)
+    val openBins = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    batch => {
+      val (kept, drift) = base(batch)
+      val packedIn = kept.select(col(idCol).cast("long").as("doc_id"),
+        least(size(TextAnalysis.tokens(col(textCol))).cast("long"),
+          lit(window)).as("_tc"))
+      (packBatchSeeded(packedIn, window, nBuckets, openBins), drift)
+    }
+  }
+
+  /** One micro-batch of the shard packer: [[graft.pipeline.Packing]]'s
+    * shard-then-pack scan seeded per bucket from `openBins`, emitting
+    * the batch's assignments and updating `openBins` with each touched
+    * bucket's final `(seq, fill)` (sentinel rows ride the same scan —
+    * one job, one bounded collect).
+    */
+  private def packBatchSeeded(docs: DataFrame, window: Long,
+      nBuckets: Int, openBins: scala.collection.mutable.Map[Long, (Long, Long)])
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val spark = docs.sparkSession
+    val init = spark.sparkContext.broadcast(openBins.toMap)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("n_tok", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val w = window
+    val raw = docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nBuckets.toLong))
+        .as("bucket"), col("_tc").as("n_tok"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .mapPartitions { rows =>
+        // doc rows + one sentinel (doc_id = -1, bucket, seq, fill) per
+        // touched bucket, emitted on bucket change / exhaustion
+        new Iterator[Row] {
+          private var cur = Long.MinValue
+          private var sq = 0L
+          private var fill = 0L
+          private var queued: Row = null
+          private var finalized = false
+          private def place(t: Long): Unit =
+            if (sq == 0L) { sq = 1L; fill = t }
+            else if (fill + t <= w) fill += t
+            else { sq += 1L; fill = t }
+          def hasNext: Boolean = queued != null || rows.hasNext ||
+            (cur != Long.MinValue && !finalized)
+          def next(): Row = {
+            if (queued != null) { val r = queued; queued = null; return r }
+            if (!rows.hasNext) {
+              finalized = true
+              return Row(-1L, cur, sq, fill)
+            }
+            val r = rows.next()
+            val id = r.getLong(0); val b = r.getLong(1); val t = r.getLong(2)
+            if (b != cur) {
+              val st = if (cur != Long.MinValue) Row(-1L, cur, sq, fill)
+                else null
+              cur = b
+              val s0 = init.value.getOrElse(b, (0L, 0L))
+              sq = s0._1; fill = s0._2
+              place(t)
+              val doc = Row(id, b, sq, t)
+              if (st != null) { queued = doc; st } else doc
+            } else { place(t); Row(id, b, sq, t) }
+          }
+        }
+      }(enc)
+    val all = graft.pipeline.Scratch.stable(raw)
+    val newStates = all.where(col("doc_id") < 0L)
+      .select(col("bucket"), col("seq"), col("n_tok")).collect()
+    openBins.synchronized {
+      newStates.foreach(r =>
+        openBins(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+    }
+    all.where(col("doc_id") >= 0L)
+  }
+
   /** Retrieval-quality monitoring at ingest — the streaming arm of
     * [[graft.search.RankEval]]: each micro-batch of serving-log RUN
     * rows (query_id, doc_id, rank) yields ONE corpus-summary row

@@ -3338,6 +3338,11 @@ class PipelineSpec extends GraftSuite {
     val labels = rows.map(r => r._1 -> r._3).toMap
     assert((1L to 8L).forall(i => scored(i) == labels(i)),
       s"separable corpus must train to 100%: $scored vs $labels")
+    // ---- convergence telemetry: the stable rate's MAE moves down ----
+    assert(model.maeFirst >= 0 && model.maeLast >= 0 &&
+      model.maeLast < model.maeFirst,
+      s"converging training must read maeLast < maeFirst: " +
+        s"${model.maeFirst} -> ${model.maeLast}")
     // ---- partitioning independence: exact integer arithmetic ----
     val rep = QualityClf.trainQualityClf(corpus.repartition(7),
       "doc_id", "text", "y", buckets = B, epochs = E, lrWNum = lrWSpec)

@@ -548,6 +548,81 @@ class StreamingSpec extends GraftSuite {
       s"drift table must cover the arriving vocabulary: $unionDriftTerms")
   }
 
+  test("curationShardRecipe: gate->dedup->pack chain, open bins span batches, equals batch recipe-then-pack") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    // the curationIngestRecipe fixture: planted clusters + length gate
+    val group = Map(0 -> 0, 1 -> 0, 2 -> 0, 6 -> 0,
+      3 -> 1, 5 -> 1, 7 -> 1, 4 -> 2, 8 -> 2)
+    val rows = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(group(i)) = 1f; v(3) = 0.001f * i
+      (i.toLong, ("tok " * (4 + i)).trim, v.toSeq)
+    }
+    val ref = rows.toDF("doc_id", "text", "embedding")
+    // window 30, one bucket: the two 12-token survivors (102, 104)
+    // arrive in DIFFERENT batches and must share sequence 1 — the
+    // open bin persisting across micro-batches
+    val recipe = GraphStream.curationShardRecipe(ref, "doc_id", "text",
+      "embedding", pNum = 1, pDen = 4, k = 3, iters = 2, theta = 0.9,
+      vocab = 4, window = 30L, nBuckets = 1)
+    val dup1 = { val v = rows(1)._3.toArray.clone(); v(3) += 0.0005f; v.toSeq }
+    val novel = { val v = Array.fill(4)(0f); v(3) = 1f; v.toSeq }
+    val longText = ("tok " * 12).trim
+    val shortText = "tok tok"
+    val batches = Seq(
+      Seq((101L, longText, dup1), (102L, longText, novel)),
+      Seq((103L, shortText, novel), (104L, longText, novel)))
+    val mem = MemoryStream[(Long, String, Seq[Float])]
+    val packed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val q = mem.toDF().toDF("doc_id", "text", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (p, _) = recipe(b)
+        p.collect().foreach(r => packed.add(
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batches(0): _*)
+      q.processAllAvailable()
+      mem.addData(batches(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = packed.toArray(Array.empty[(Long, Long, Long, Long)]).toSet
+    // 101 dedup-dropped, 103 gate-dropped; 102 and 104 pack into the
+    // SAME sequence (12 + 12 <= 30) even though they arrived in
+    // different micro-batches
+    assert(got == Set((102L, 0L, 1L, 12L), (104L, 0L, 1L, 12L)),
+      s"composed shard chain packed: $got")
+    // batch parity: a FRESH recipe applied to the union as one batch
+    // (same curate semantics, fresh open bins) gives the same layout
+    val recipe2 = GraphStream.curationShardRecipe(ref, "doc_id", "text",
+      "embedding", pNum = 1, pDen = 4, k = 3, iters = 2, theta = 0.9,
+      vocab = 4, window = 30L, nBuckets = 1)
+    val union = batches.flatten.toDF("doc_id", "text", "embedding")
+    val (pu, _) = recipe2(union)
+    val unionGot = pu.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(unionGot == got, s"union-of-batches must pack identically: $unionGot")
+    // ...and equals composing the standalone arms by hand: gate +
+    // dedup via the recipe, then the batch packer on the survivors
+    val (keptU, _) = GraphStream.curationIngestRecipe(ref, "doc_id",
+      "text", "embedding", 1, 4, 3, 2, 0.9, 4)(union)
+    val handPacked = graft.pipeline.Packing.packSequences(
+        keptU, "doc_id", "text", window = 30, nBuckets = 1)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(handPacked == got, s"hand-composed arms: $handPacked")
+    // a third batch opens sequence 2 once the open bin overflows
+    val (p3, _) = recipe(Seq((105L, longText, novel))
+      .toDF("doc_id", "text", "embedding"))
+    val got3 = p3.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got3 == Set((105L, 0L, 2L, 12L)),
+      s"open bin at 24/30 must overflow to seq 2: $got3")
+  }
+
   test("rankEvalIngestMonitor: per-batch integer summaries equal the batch form; degraded batch reads lower") {
     val s = spark
     import s.implicits._
