@@ -2149,4 +2149,62 @@ class SearchSpec extends GraftSuite {
     assert(ab.getLong(5) ==
       (gb(1L)._4 + gb(2L)._4 + gb(3L)._4) / 3L, s"mrr_b: $ab")
   }
+
+  test("appendText stays EXACTLY fresh under repeated heavy appends — no staleness to gate") {
+    // The vector tiers carry an append-drift gate because IVF
+    // centroids are a LOSSY trained artifact (appends degrade recall
+    // until a recalibration). The text artifact has no analogue BY
+    // CONSTRUCTION: postings carry no idf (df derives at query time
+    // from the unioned postings) and corpus stats merge in closed
+    // form (N' = N + n_delta, avglen' exactly re-weighted) — so an
+    // appended artifact IS the cold rebuild of the grown corpus.
+    // This spec is that claim, enforced: two successive appends that
+    // double then triple the corpus serve scores BIT-EQUAL to a
+    // fresh build on the same rows, for every doc and two queries.
+    val s = spark
+    import s.implicits._
+    import graft.search.{BM25, IndexCache}
+    // dyadic lengths: every avg is exact in double on BOTH the
+    // closed-form merge and the direct mean, so equality is exact
+    val a = Seq((1L, "red fox runs fast"), (2L, "red red dog naps now"))
+      .toDF("_id", "text")
+    val d1 = Seq((3L, "fox fox fox den sleeps well today yes"),
+      (4L, "dog dog dog dog barks loud at dawn")).toDF("_id", "text")
+    val d2 = Seq((5L, "red den"), (6L, "fox now")).toDF("_id", "text")
+    def scores(post: org.apache.spark.sql.DataFrame,
+        stats: org.apache.spark.sql.DataFrame, q: String) =
+      BM25.scoreFromIndex(post, stats, q).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    IndexCache.textIndex("vap-0", "D", "text", a)
+    val builds0 = IndexCache.textBuilds.get()
+    val u1 = a.unionByName(d1)
+    assert(IndexCache.appendText("vap-0", "vap-1", "D", "text", a, u1),
+      "first append must take the merge path")
+    val u2 = u1.unionByName(d2)
+    assert(IndexCache.appendText("vap-1", "vap-2", "D", "text", u1, u2),
+      "second append must take the merge path")
+    val (pApp, sApp) = IndexCache.textIndex("vap-2", "D", "text",
+      sys.error("must be cached"): org.apache.spark.sql.DataFrame)
+    // the whole chain cost one delta-build per append, zero rebuilds
+    // of the standing corpus through textIndex
+    assert(IndexCache.textBuilds.get() == builds0,
+      "appends must never trigger a full textIndex rebuild")
+    val (pCold, sCold) = BM25.buildIndex(u2, "text")
+    // stats exactly equal (N and the closed-form avgdl)
+    val mApp = sApp.collect()(0)
+    val mCold = sCold.collect()(0)
+    assert(mApp.getLong(0) == mCold.getLong(0) &&
+      mApp.getDouble(1) == mCold.getDouble(1),
+      s"stats must merge exactly: $mApp vs $mCold")
+    for (q <- Seq("red fox", "dog den now")) {
+      val gotApp = scores(pApp, sApp, q)
+      val gotCold = scores(pCold, sCold, q)
+      assert(gotApp == gotCold,
+        s"appended artifact must serve the rebuild's exact scores " +
+          s"for '$q': $gotApp vs $gotCold")
+    }
+    IndexCache.evictVersion("vap-0")
+    IndexCache.evictVersion("vap-1")
+    IndexCache.evictVersion("vap-2")
+  }
 }
