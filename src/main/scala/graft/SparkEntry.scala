@@ -805,6 +805,27 @@ object SparkEntry {
       VectorOps.marginMiningMutual(e.where(col("vec_id") % 2 === 0),
         e.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
     }),
+    // the SCALE path for mining (Artetxe & Schwenk mine over ANN
+    // candidates; SCALING4 measured the exact miner's quadratic
+    // asymptote): IVF-pruned candidate generation + the same exact
+    // integer margins, gated in-plan against the exact miner —
+    // >= 85% of the exact argmax pairs must survive the pruning
+    // (measured 0.93-0.94 at both SFs at nprobe 12/16)
+    "q_embed_margin_mine_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val srcE = e.where(col("vec_id") % 2 === 0)
+      val tgtE = e.where(col("vec_id") % 2 === 1)
+      val exact = VectorOps.marginMiningQuantized(srcE, tgtE,
+        "vec_id", "embedding", k = 4)
+      val ivf = VectorOps.marginMiningIvf(srcE, tgtE,
+        "vec_id", "embedding", k = 4, nlist = 16, nprobe = 12)
+      val nInter = exact.join(ivf, Seq("src_id", "tgt_id"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
+        .select(col("n_exact"),
+          (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
+            .as("recall_gate"))
+    }),
     // the STANDING-artifact mining path (the streaming arm's batch
     // half): backward sums pinned once from the reference source
     // corpus, the batch mined against them at threshold 0 — with
@@ -3031,6 +3052,14 @@ object SparkEntry {
     // then 1e-9-quantized so sums/margins/argmax replay in integers
     "q_embed_margin_mine" -> (marginCtes +
       " SELECT sid AS src_id, tid AS tgt_id, margin_q FROM pf"),
+    // IVF-candidate mining gate: the oracle recomputes the EXACT
+    // miner's pair count (cross-engine-verifying the truth side) and
+    // pins the gate outcome, the q_embed_keep_ivf pattern — the IVF
+    // arm is the engine measuring its pruned path against its own
+    // exact kernel in-plan
+    "q_embed_margin_mine_ivf" -> (marginCtes +
+      " SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+      "CAST(1.0 AS DOUBLE) AS recall_gate FROM pf"),
     // the mutual-best (CCMatrix "max") criterion: forward argmax AND
     // backward argmax must agree
     "q_embed_margin_mutual" -> (marginCtes + ", " +

@@ -1039,6 +1039,104 @@ object VectorOps {
         .select(col("src_id"), col("tgt_id")), Seq("src_id", "tgt_id"))
   }
 
+  /** Margin mining over IVF-pruned candidates — the Artetxe & Schwenk
+    * production recipe (they mine margins over ANN candidate lists,
+    * not all pairs; CCMatrix runs exactly this at web scale). The
+    * exact miner ([[marginMiningQuantized]]) scores |src|·|tgt| pairs
+    * — SCALING4 measured its quadratic asymptote at 30× rows; this
+    * form prunes candidate GENERATION to each query's `nprobe` of
+    * `nlist` nearest clusters (~nprobe/nlist of the scoring work,
+    * linear-ish at fixed cluster occupancy) while keeping EVERY
+    * exposed decision on the exact integer-dot contract: clusters
+    * decide only WHERE candidates come from (recall, gated by the
+    * overlap query), the long dot decides ranks, sums, margins, and
+    * the per-source argmax. Fully distributed — both sides stay
+    * frames (cluster equi-join), no driver batch collect, so this is
+    * also the shape for corpus×corpus mining where the broadcast
+    * kernels' bounded-batch contract doesn't apply.
+    *
+    * Output: `(src_id, tgt_id, margin_q)` — each source's best target
+    * by the integer margin over its pruned candidates, the same
+    * `2k·qc − Σa − Σb` arithmetic as the exact miner (sums over the
+    * pruned candidate sets, as the ANN-mining recipe defines them).
+    */
+  def marginMiningIvf(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val fModel = trainIvfCached(tgt.withColumnRenamed(idCol, "_id")
+      .withColumnRenamed(vecCol, "_v"), "_v", nlist)
+    val f = ivfTopKCandidates(tgt, src, idCol, vecCol, k, fModel, nprobe)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("_qdot").as("_qc"))
+    val bModel = trainIvfCached(src.withColumnRenamed(idCol, "_id")
+      .withColumnRenamed(vecCol, "_v"), "_v", nlist)
+    val b = ivfTopKCandidates(src, tgt, idCol, vecCol, k, bModel, nprobe)
+      .select(col("query_id").as("tgt_id"),
+        col("neighbor_id").as("src_id"), col("_qdot").as("_qc"))
+    val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
+    val sumB = b.groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
+    val m = f.join(sumA, "src_id").join(sumB, "tgt_id")
+      .withColumn("margin_q",
+        lit(2L * k) * col("_qc") - col("_sa") - col("_sb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id"))
+      .orderBy(col("margin_q").desc, col("tgt_id").asc)
+    m.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin_q"))
+  }
+
+  /** The IVF-pruned integer-dot top-k candidate join behind
+    * [[marginMiningIvf]]: corpus rows carry their cluster (float
+    * assignment — write-time material at scale), queries explode to
+    * their `nprobe` nearest centroids (distances computed in-plan
+    * against the centroid literal — no collect on EITHER side), the
+    * cluster equi-join meets candidates, and the exact long dot ranks
+    * them (top-k per query, `_qdot DESC, neighbor_id ASC` — the
+    * intDotTopK selection contract verbatim). Returns
+    * (query_id, neighbor_id, rank, _qdot).
+    */
+  private def ivfTopKCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, model: IvfModel,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val vecD = (c: Column) => transform(c, x => x.cast("double"))
+    val cU = stagedUnit(corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val cAsgn = assignCluster(corpus.select(col(idCol).as("_cid2"),
+        col(vecCol).as("_v")), "_v", model.centroids)
+      .select(col("_cid2"), col("_cluster"))
+    val cSide = cU.join(cAsgn, col(idCol) === col("_cid2"))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("_uq").as("_nu"), col("_cluster"))
+    val qU = stagedUnit(queries.select(col(idCol), col(vecCol)), idCol,
+      vecCol, extra = Seq(vecCol))
+    // nprobe nearest centroids, in-plan: (dist, idx) structs sorted
+    // ascending — struct comparison breaks float-distance ties by the
+    // centroid index, deterministically
+    val distIdx = zip_with(centsLit,
+      sequence(lit(0), lit(model.centroids.length - 1)),
+      (c, i) => struct(
+        aggregate(zip_with(c, vecD(col(vecCol)), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        i.as("i")))
+    val qSide = qU
+      .withColumn("_ds", transform(array_sort(distIdx), s => s.getField("i")))
+      .withColumn("_cluster", explode(slice(col("_ds"), 1, nprobe)))
+      .select(col(idCol).cast("long").as("query_id"),
+        col("_uq").as("_qu"), col("_cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_qdot").desc, col("neighbor_id").asc)
+    qSide.join(cSide, Seq("_cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_qdot", intDotCol(col("_qu"), col("_nu")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("_qdot"))
+  }
+
   /** The standing half of streaming margin mining: each target's
     * backward sum Σ top-k score(y, srcRef) over a REFERENCE source
     * corpus — the `Σbwd(y)` term of the margin, which in a streaming

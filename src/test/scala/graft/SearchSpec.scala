@@ -2150,6 +2150,45 @@ class SearchSpec extends GraftSuite {
       (gb(1L)._4 + gb(2L)._4 + gb(3L)._4) / 3L, s"mrr_b: $ab")
   }
 
+  test("marginMiningIvf: all-clusters probe equals the exact miner; pruning is deterministic and recall-bounded") {
+    val df = vecs(240, 16).cache()
+    val srcE = df.where(col("_id") % 2 === 0).select(col("_id").as("vec_id"),
+      col("emb").as("embedding"))
+    val tgtE = df.where(col("_id") % 2 === 1).select(col("_id").as("vec_id"),
+      col("emb").as("embedding"))
+    val exact = VectorOps.marginMiningQuantized(srcE, tgtE, "vec_id",
+        "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe = nlist probes every cluster: candidate sets equal the
+    // brute kernel's, so pairs AND margins must be bit-equal — the
+    // blocking decides only WHERE candidates come from
+    val allProbe = VectorOps.marginMiningIvf(srcE, tgtE, "vec_id",
+        "embedding", k = 4, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allProbe == exact,
+      s"all-clusters IVF mining must equal the exact miner: " +
+        s"${allProbe.diff(exact)} / ${exact.diff(allProbe)}")
+    // pruned probe: deterministic (same set on a different
+    // partitioning) and recall-bounded against the exact argmaxes
+    val pruned = VectorOps.marginMiningIvf(srcE, tgtE, "vec_id",
+        "embedding", k = 4, nlist = 8, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prunedRep = VectorOps.marginMiningIvf(srcE.repartition(7), tgtE,
+        "vec_id", "embedding", k = 4, nlist = 8, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(prunedRep == pruned, "partitioning must not change the mined set")
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val prunedPairs = pruned.map(t => (t._1, t._2))
+    val overlap = exactPairs.intersect(prunedPairs).size
+    assert(overlap * 100 >= exactPairs.size * 60,
+      s"pruned mining recall collapsed: $overlap of ${exactPairs.size}")
+    intercept[IllegalArgumentException] {
+      VectorOps.marginMiningIvf(srcE, tgtE, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 9)
+    }
+    df.unpersist()
+  }
+
   test("appendText stays EXACTLY fresh under repeated heavy appends — no staleness to gate") {
     // The vector tiers carry an append-drift gate because IVF
     // centroids are a LOSSY trained artifact (appends degrade recall
