@@ -927,6 +927,41 @@ object GraphStream {
       .drop("_toks", "_fb")
   }
 
+  /** Trained-classifier quality filtering at ingest — the serving arm
+    * of [[graft.pipeline.QualityClf]] and the trained sibling of
+    * [[dsirIngestFilter]] (DSIR weights without training; this gates
+    * on a model someone DID train): keep stream rows whose
+    * `qclf_margin` is at least `minMarginQ` (the 1e-6 fixed-point
+    * logit grid — 0 is the decision boundary, positive thresholds
+    * demand confidence). The weights bake into one literal-array
+    * codegen fold at construction — a pure per-row column predicate:
+    * NO state store, NO shuffle, NO foreachBatch, the dsirIngestFilter
+    * shape exactly, so it composes anywhere in a streaming plan. Same
+    * scoring arithmetic as the batch scan (spec-pinned parity); like
+    * every pinned-artifact filter here, rebuild when the model
+    * retrains. Tokenless rows score `bias` and pass iff the PRIOR
+    * clears the threshold — the model's honest answer for a row with
+    * no features.
+    */
+  def qualityClfIngestFilter(stream: DataFrame, textCol: String,
+      model: graft.pipeline.QualityClf.ClfModel,
+      minMarginQ: Long = 0L): DataFrame = {
+    import graft.pipeline.{QualityClf, TextAnalysis}
+    val litW = typedLit(model.weights)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val fb = QualityClf.clfBuckets(toks, model.buckets)
+    val n = size(fb).cast("long")
+    val rd = aggregate(fb, lit(0L), (acc, b) =>
+      acc + element_at(litW, (b + 1).cast("int")))
+    val margin = lit(model.bias) +
+      when(n === 0L, 0L).otherwise(expr("_qclf_rd div _qclf_n"))
+    stream
+      .withColumn("_qclf_n", n)
+      .withColumn("_qclf_rd", rd)
+      .where(margin >= lit(minMarginQ))
+      .drop("_qclf_n", "_qclf_rd")
+  }
+
   /** Watermarked stream-stream interval join — the streaming mirror
     * of `pipeline.Temporal.rangeJoin`: each right event joins the
     * left events of the same key whose timestamp falls in

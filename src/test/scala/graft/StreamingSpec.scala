@@ -548,6 +548,61 @@ class StreamingSpec extends GraftSuite {
       s"drift table must cover the arriving vocabulary: $unionDriftTerms")
   }
 
+  test("qualityClfIngestFilter: stream keep-set equals the batch scorer's margin gate") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    import graft.pipeline.QualityClf
+    val corpus = Seq(
+      (1L, "good clean prose with real sentences", 1L),
+      (2L, "good structure and good grammar here", 1L),
+      (3L, "spam spam click here buy now", 0L),
+      (4L, "asdf qwer zxcv garbled nonsense tokens", 0L),
+      (5L, "a good and thoughtful essay follows", 1L),
+      (6L, "buy buy buy click spam offer", 0L)).toDF("doc_id", "text", "y")
+    val model = QualityClf.trainQualityClf(corpus, "doc_id", "text", "y",
+      buckets = 64, epochs = 16, lrWNum = 64L)
+    // stream rows: trained-on docs + unseen variants + a tokenless row
+    val rows = Seq(
+      (11L, "good thoughtful prose here"),
+      (12L, "spam click buy buy spam"),
+      (13L, "!!!"), // tokenless: scores bias
+      (14L, "good grammar and clean structure"))
+    val batchKept = QualityClf.scoreQualityClf(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+      .where(col("qclf_margin") >= 0L)
+      .collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = GraphStream.qualityClfIngestFilter(
+        mem.toDF().toDF("doc_id", "text"), "text", model, minMarginQ = 0L)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
+          ()
+      }.outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = got.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    assert(streamKept == batchKept,
+      s"stream gate must equal the batch margin gate: $streamKept vs $batchKept")
+    // the gate actually separates on this corpus: a good-ish row in,
+    // a spammy row out
+    assert(streamKept.contains(11L) && !streamKept.contains(12L),
+      s"trained gate must separate: $streamKept")
+    // a confidence threshold above the bias excludes tokenless rows
+    // whenever the prior doesn't clear it
+    val strict = QualityClf.scoreQualityClf(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+      .where(col("qclf_margin") >= lit(model.bias + 1L))
+      .collect().map(_.getLong(0)).toSet
+    assert(!strict.contains(13L), "tokenless row scores exactly the bias")
+  }
+
   test("curationShardRecipe: gate->dedup->pack chain, open bins span batches, equals batch recipe-then-pack") {
     val s = spark
     import s.implicits._
