@@ -774,7 +774,13 @@ object SparkEntry {
     "q_embed_outlier_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val eid = e.withColumnRenamed("vec_id", "_id")
-      val model = VectorOps.trainIvfCached(eid, "embedding", nlist = 16)
+      // build-time nlist ~ sqrt(n) (the declared-index sizing rule,
+      // r15 verdict item 4 — no more fixture-pinned 16): the serve
+      // shape stays O(n·sqrt(n)) as the corpus grows, and nprobe is
+      // still recall-calibrated against THESE clusters below
+      val nIvf = Dedup.warmRowCount(eid)
+      val nlist = math.max(16, math.min(4096, math.sqrt(nIvf.toDouble).toInt))
+      val model = VectorOps.trainIvfCached(eid, "embedding", nlist)
       val calib = eid.where(col("_id") >= 100)
         .orderBy(xxhash64(col("_id")), col("_id")).limit(64)
       val np = VectorOps.calibrateNprobeCached(eid, "embedding", "_id",
@@ -820,6 +826,27 @@ object SparkEntry {
       val ivf = VectorOps.marginMiningIvf(srcE, tgtE,
         "vec_id", "embedding", k = 4, nlist = 16, nprobe = 12)
       val nInter = exact.join(ivf, Seq("src_id", "tgt_id"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
+        .select(col("n_exact"),
+          (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
+            .as("recall_gate"))
+    }),
+    // the TWO-STAGE refinement (mine_ivf's open case — probed clusters
+    // themselves huge): PQ-ADC code scan generates top-16 candidates
+    // per query, the exact integer dot re-ranks them to top-4, margins
+    // and argmax stay flip-immune integers; gated in-plan at >= 85%
+    // argmax overlap vs the exact miner (the keep_ivf/mine_ivf
+    // pattern; ADC error only shapes the candidate pool)
+    "q_embed_margin_mine_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val srcE = e.where(col("vec_id") % 2 === 0)
+      val tgtE = e.where(col("vec_id") % 2 === 1)
+      val exact = VectorOps.marginMiningQuantized(srcE, tgtE,
+        "vec_id", "embedding", k = 4)
+      val pq = VectorOps.marginMiningPq(srcE, tgtE,
+        "vec_id", "embedding", k = 4, cand = 16)
+      val nInter = exact.join(pq, Seq("src_id", "tgt_id"), "left_semi")
         .agg(count(lit(1)).as("_ni"))
       exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
         .select(col("n_exact"),
@@ -1064,8 +1091,34 @@ object SparkEntry {
       val labeled = all.where(col("doc_id") % 3 =!= 0)
         .withColumn("_y", when(array_contains(
           TextAnalysis.tokens(col("text")), "spark"), 1L).otherwise(0L))
-      val model = QualityClf.trainQualityClf(labeled, "doc_id", "text", "_y")
+      val model = QualityClf.trainQualityClfCached(labeled, "doc_id",
+        "text", "_y")
       QualityClf.scoreQualityClf(all, "doc_id", "text", model)
+    }),
+    // the composed PRETRAINING-SHARD recipe, batch form (the
+    // curationShardRecipe sibling): minhash near-dup keep → trained
+    // clf gate (label 1 survivors) → token-conserving split-pack, ONE
+    // declarative keep→gate→pack plan Catalyst optimizes as a tree
+    // (the trained weights enter as a literal fold — the serve scan's
+    // exchange-free shape; training itself is the cached write-time
+    // fit shared with q_doc_quality_clf). Oracle = the three arms'
+    // CTEs verbatim, composed.
+    "q_doc_recipe2" -> ((s, d) => {
+      val dd = docs(s, d)
+      val kept = Dedup.dedupCorpus(dd, "doc_id",
+        Dedup.minhashPairs(dd, "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+        .select("doc_id")
+      val labeled = dd.where(col("doc_id") % 3 =!= 0)
+        .withColumn("_y", when(array_contains(
+          TextAnalysis.tokens(col("text")), "spark"), 1L).otherwise(0L))
+      val model = QualityClf.trainQualityClfCached(labeled, "doc_id",
+        "text", "_y")
+      val gated = QualityClf.scoreQualityClf(dd.join(kept, "doc_id"),
+          "doc_id", "text", model)
+        .where(col("qclf_label") === 1L).select("doc_id")
+      Packing.packSequencesSplit(dd.join(gated, "doc_id"), "doc_id",
+        "text", window = 48, nBuckets = 16)
     }),
     // SemDeDup-shaped embedding dedup: cosine >= 0.5 near-dup pairs ->
     // connected components -> keep each cluster's min id (composition
@@ -2114,7 +2167,9 @@ object SparkEntry {
 
   /** Quality-classifier FULL-TRAINING replay (mirrors
     * QualityClf.trainQualityClf at buckets=1024, epochs=12, sigDiv=4,
-    * lrW=1024/1, lrB=1/1, label = doc contains token "spark", train
+    * lrW=AUTO (derived in the `lw` CTE — sigDiv × harmonic-mean
+    * feature count, the same truncating-long agg the engine runs),
+    * lrB=1/1, label = doc contains token "spark", train
     * split doc_id % 3 != 0): hashed unigram+bigram+char-trigram
     * buckets, then twelve UNROLLED gradient epochs — per-doc margin
     * (trunc division, both engines truncate toward zero), clamped
@@ -2124,17 +2179,30 @@ object SparkEntry {
     * in HUGEINT where Spark's headroom require guarantees the long
     * fold never wraps, so the weight trajectories are bit-identical.
     */
-  private def qualityClfSql: String = {
+  /** The clf-training CTE chain (toks → … → sv, no WITH, no final
+    * SELECT) — shared verbatim by the standalone q_doc_quality_clf
+    * oracle and composed recipes (q_doc_recipe2), per the
+    * identical-CTE composition rule. `includeToks = false` drops the
+    * leading toks CTE for chains that already define it (the minhash
+    * CTEs' tokCte has the same body).
+    */
+  private def qualityClfCtes(includeToks: Boolean): String = {
     val B = 1024; val E = 12; val W = 1000000L; val S = 1000000L
-    val K = 4; val lrW = 1024L
+    val K = 4
+    // the AUTO weight rate (trainQualityClf lrWNum = 0): sigDiv × the
+    // harmonic-mean feature count, derived in-CTE from the same
+    // truncating-long agg the engine runs — part of the replayed
+    // trajectory, not a constant
+    val lrW = "(SELECT lw FROM lw)"
     val ntr = "(SELECT n FROM ntr)"
     // base CTEs are MATERIALIZED: 12 unrolled epochs reference fc/tr
     // dozens of times, and un-materialized CTEs re-open the parquet
     // per reference (measured: "Too many open files" past ~5 epochs)
-    val sb = new StringBuilder("WITH ")
-    sb.append("toks AS MATERIALIZED (SELECT doc_id, " +
-      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
-      "x -> x <> '') AS t FROM documents), ")
+    val sb = new StringBuilder()
+    if (includeToks)
+      sb.append("toks AS MATERIALIZED (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "x -> x <> '') AS t FROM documents), ")
     sb.append("cf AS (SELECT doc_id, unnest(t) AS f FROM toks " +
       "UNION ALL SELECT doc_id, unnest(list_transform(range(len(t) - 1), " +
       "i -> t[i+1] || ' ' || t[i+2])) AS f FROM toks WHERE len(t) >= 2 " +
@@ -2148,6 +2216,9 @@ object SparkEntry {
       "FROM toks t LEFT JOIN (SELECT doc_id, count(*) AS n FROM fb GROUP BY 1) n USING (doc_id)), ")
     sb.append("tr AS MATERIALIZED (SELECT * FROM di WHERE doc_id % 3 <> 0), ")
     sb.append("ntr AS MATERIALIZED (SELECT count(*) AS n FROM tr), ")
+    sb.append(s"lw AS MATERIALIZED (SELECT CASE WHEN i.s IS NULL OR i.s = 0 " +
+      s"THEN CAST(1 AS BIGINT) ELSE GREATEST(1, $K * (($ntr * $S) // i.s)) END AS lw " +
+      s"FROM (SELECT sum(CASE WHEN n = 0 THEN 0 ELSE $S // n END) AS s FROM tr) i), ")
     sb.append(s"w0 AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w), ")
     sb.append("bs0 AS (SELECT CAST(0 AS BIGINT) AS bias)")
     // every per-epoch CTE is MATERIALIZED as well: w{e}/bs{e}/er{e}
@@ -2176,11 +2247,16 @@ object SparkEntry {
     sb.append(s", sv AS (SELECT d.doc_id, d.n, (SELECT bias FROM bs$E) + " +
       s"CASE WHEN d.n = 0 THEN CAST(0 AS BIGINT) ELSE CAST(coalesce(r.rd, 0) // d.n AS BIGINT) END AS m " +
       s"FROM di d LEFT JOIN (SELECT f.doc_id, sum(f.c * w.w) AS rd " +
-      s"FROM fc f JOIN w$E w USING (b) GROUP BY 1) r USING (doc_id)) ")
-    sb.append(s"SELECT doc_id, CAST(n AS BIGINT) AS n_feats, CAST(m AS BIGINT) AS qclf_margin, " +
-      s"CAST(GREATEST(0, LEAST($W, ${W / 2} + m // $K)) AS BIGINT) AS qclf_p, " +
-      s"CAST(CASE WHEN m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS qclf_label FROM sv")
+      s"FROM fc f JOIN w$E w USING (b) GROUP BY 1) r USING (doc_id))")
     sb.toString
+  }
+
+  private def qualityClfSql: String = {
+    val W = 1000000L; val K = 4
+    "WITH " + qualityClfCtes(includeToks = true) +
+      s" SELECT doc_id, CAST(n AS BIGINT) AS n_feats, CAST(m AS BIGINT) AS qclf_margin, " +
+      s"CAST(GREATEST(0, LEAST($W, ${W / 2} + m // $K)) AS BIGINT) AS qclf_p, " +
+      s"CAST(CASE WHEN m >= 0 THEN 1 ELSE 0 END AS BIGINT) AS qclf_label FROM sv"
   }
 
   /** Synthetic still-image aHash63 chain (media_id, hash h) — the
@@ -3060,6 +3136,12 @@ object SparkEntry {
     "q_embed_margin_mine_ivf" -> (marginCtes +
       " SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
       "CAST(1.0 AS DOUBLE) AS recall_gate FROM pf"),
+    // two-stage PQ mining gate: same pattern — the oracle recomputes
+    // the exact miner's pair count and pins the in-plan >= 85%
+    // argmax-overlap outcome
+    "q_embed_margin_mine_pq" -> (marginCtes +
+      " SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+      "CAST(1.0 AS DOUBLE) AS recall_gate FROM pf"),
     // the mutual-best (CCMatrix "max") criterion: forward argmax AND
     // backward argmax must agree
     "q_embed_margin_mutual" -> (marginCtes + ", " +
@@ -3614,6 +3696,33 @@ object SparkEntry {
     // full training replay: twelve unrolled integer gradient epochs,
     // then the scoring scan — see qualityClfSql
     "q_doc_quality_clf" -> qualityClfSql,
+    // composed recipe: the q_doc_keep reach CTEs + the full clf
+    // training chain (qualityClfCtes verbatim — toks shared with the
+    // minhash chain, same body) + the q_doc_pack_split recursive
+    // replay over the kept∩gated survivors
+    "q_doc_recipe2" -> ("WITH RECURSIVE " + minhashPairsCtes + ", " +
+      "und AS (SELECT id_a AS a, id_b AS b FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT a, b FROM und " +
+      "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a), " +
+      "keepd AS (SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT a FROM reach GROUP BY a HAVING a <> min(b))), " +
+      qualityClfCtes(includeToks = false) + ", " +
+      "gated AS (SELECT sv.doc_id FROM sv JOIN keepd USING (doc_id) " +
+      "WHERE sv.m >= 0), " +
+      "base AS (SELECT doc_id, doc_id % 16 AS bucket, chunk, " +
+      "GREATEST(0, LEAST(48, n - chunk * 48)) AS t, " +
+      "row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id, chunk) AS rn " +
+      "FROM (SELECT doc_id, n, unnest(range(0, GREATEST(1, (n + 47) // 48))) AS chunk " +
+      "FROM (SELECT d.doc_id, CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n " +
+      "FROM documents d JOIN gated USING (doc_id)))), " +
+      "pack AS (SELECT bucket, rn, doc_id, chunk, t, CAST(1 AS BIGINT) AS seq, t AS fill " +
+      "FROM base WHERE rn = 1 " +
+      "UNION ALL SELECT d.bucket, d.rn, d.doc_id, d.chunk, d.t, " +
+      "CASE WHEN p.fill + d.t <= 48 THEN p.seq ELSE p.seq + 1 END, " +
+      "CASE WHEN p.fill + d.t <= 48 THEN p.fill + d.t ELSE d.t END " +
+      "FROM pack p JOIN base d ON d.bucket = p.bucket AND d.rn = p.rn + 1) " +
+      "SELECT doc_id, bucket, chunk, seq, t AS n_tok FROM pack"),
     // same reach-CTE shape as q_doc_keep, over integer-dot near-dup
     // pairs (the same gate as q_embed_pairs)
     "q_embed_keep" -> ("WITH RECURSIVE " + unitCte + ", pairs AS (" +

@@ -283,9 +283,23 @@ object Dedup {
       case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
         v2.table.name()
     }
+    // RDD-backed leaves (foreachBatch micro-batches, Dataset-from-RDD)
+    // canonicalize by SCHEMA only — without this, every micro-batch of
+    // a stream shares one plan string and a plan-keyed cache serves
+    // batch 1's artifact to batch 2 (observed: a cached µ-unit staging
+    // let a near-duplicate sail through semanticIngestKeep). The RDD
+    // id is unique per SparkContext, so RDD-backed frames never
+    // cache-hit each other — correct, since each batch is new data.
+    val rddData = canon.collect {
+      case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
+        "rdd:" + lrdd.rdd.id
+      case erdd: org.apache.spark.sql.execution.ExternalRDD[_] =>
+        "rdd:" + erdd.rdd.id
+    }
     canon.toString +
       (if (localData.isEmpty) "" else localData.mkString("|local:", ",", "")) +
-      (if (fileData.isEmpty) "" else fileData.mkString("|files:", ",", ""))
+      (if (fileData.isEmpty) "" else fileData.mkString("|files:", ",", "")) +
+      (if (rddData.isEmpty) "" else rddData.mkString("|rdds:", ",", ""))
   }
 
   /** `eager = false` skips the materializing count on a cache MISS —
@@ -1669,7 +1683,7 @@ object Dedup {
       // clusters are assigned on the float view (blocking only decides
       // WHERE pairs meet); the θ-gate itself reads the µ-unit integer
       // vector so the emitted SET is on the exact-dot contract
-      val stagedU = VectorOps.stagedUnit(
+      val stagedU = VectorOps.stagedUnitCached(
         df.select(col(idCol), col(vecCol)), idCol, vecCol)
         .select(col(idCol).as("_aid"), col("_uq"))
       val assigned = VectorOps.assignCluster(
@@ -1729,11 +1743,15 @@ object Dedup {
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, theta: Double,
       cap: Int = MaxClusterBlock): DataFrame = {
-    val asgn = VectorOps.kmeansQuantized(df, idCol, vecCol, k, iters)
+    // cached halves (the r15 weak-item fix): the µ-unit corpus and the
+    // k-means assignment are WRITE-TIME material shared by the whole
+    // pairs/keep/report family — re-deriving them per query was the
+    // measured ~2.8× SemDeDup regression
+    val asgn = VectorOps.kmeansQuantizedCached(df, idCol, vecCol, k, iters)
     // the θ-gate reads the µ-unit integer vector (the exact-dot
     // contract — cluster blocks decide WHERE pairs meet, the long dot
     // decides WHETHER, and no engine can flip an integer comparison)
-    val items = VectorOps.stagedUnit(
+    val items = VectorOps.stagedUnitCached(
         df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
         idCol, vecCol)
       .join(asgn, idCol)
@@ -1764,7 +1782,7 @@ object Dedup {
   def semanticDedupCrossPairs(corpus: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, k: Int, iters: Int, theta: Double,
       cap: Int = MaxClusterBlock): DataFrame = {
-    val cents = VectorOps.kmeansCentroidsQuantized(corpus, idCol, vecCol,
+    val cents = VectorOps.kmeansCentroidsCached(corpus, idCol, vecCol,
       k, iters)
     semanticDedupCrossPairsSeeded(cents, corpus, batch, idCol, vecCol,
       theta, cap)
@@ -1780,16 +1798,21 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, theta: Double,
       cap: Int = MaxClusterBlock): DataFrame = {
-    def items(df: DataFrame) = {
+    // only the STANDING corpus rides the µ-unit cache (write-time
+    // material reused batch after batch); the batch is fresh data —
+    // caching it would add a persist boundary (and its exchanges) per
+    // micro-batch for a frame read exactly once
+    def items(df: DataFrame, cached: Boolean) = {
       val asgn = VectorOps.kmeansAssignQuantized(df, idCol, vecCol, cents)
-      VectorOps.stagedUnit(
-          df.select(col(idCol).cast("long").as(idCol), col(vecCol)),
-          idCol, vecCol)
-        .join(asgn, idCol)
+      val sel = df.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      val su = if (cached) VectorOps.stagedUnitCached(sel, idCol, vecCol)
+        else VectorOps.stagedUnit(sel, idCol, vecCol)
+      su.join(asgn, idCol)
         .select(col("cluster"), struct(col(idCol).as("_sid"),
           col("_uq"), col("cluster").as("_cl")).as("_elem"))
     }
-    boundedCrossPairs(items(corpus), items(batch), Seq("cluster"),
+    boundedCrossPairs(items(corpus, cached = true),
+      items(batch, cached = false), Seq("cluster"),
       "_elem", cap)
       .where(VectorOps.intDotCol(col("id_a._uq"), col("id_b._uq"))
         >= VectorOps.thetaQ(theta))
@@ -1806,7 +1829,7 @@ object Dedup {
     */
   def semanticDedupReport(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame =
-    VectorOps.kmeansQuantized(df, idCol, vecCol, k, iters)
+    VectorOps.kmeansQuantizedCached(df, idCol, vecCol, k, iters)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("n_pairs", expr("n_rows * (n_rows - 1) div 2"))
@@ -1835,8 +1858,13 @@ object Dedup {
     // k can't exceed the row count (k-means seeds k rows)
     val kCap = math.min(maxK.toLong, cachedCount(df)).toInt
     require(kCap >= 1, "calibrateSemDedupK on an empty corpus")
+    // probes run UNCACHED (kmeansQuantized, not the Cached form): each
+    // probe is a different k, so caching would only churn the shared
+    // assignment FIFO and evict the entries the committed pass reuses
     def volume(k: Int): Long =
-      semanticDedupReport(df, idCol, vecCol, k, iters)
+      VectorOps.kmeansQuantized(df, idCol, vecCol, k, iters)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("n_pairs", expr("n_rows * (n_rows - 1) div 2"))
         .agg(sum(col("n_pairs"))).head.getLong(0)
     var k = math.min(minK, kCap)
     var v = volume(k)

@@ -149,21 +149,32 @@ object QualityClf {
     * need a proportionally smaller weight rate or the iteration
     * oscillates with period 2 instead of converging (measured: the
     * ~200-feature fixture corpus converges at lrW=1024 where a
-    * ~30-feature toy corpus needs ≤256). The default fits
-    * typical-length documents; halve it until held-out accuracy moves
-    * monotonically over epochs if your docs are short.
+    * ~30-feature toy corpus needs ≤256).
+    *
+    * '''lrWNum = 0 selects the AUTO rate''' — derived from the staged
+    * feature frame itself: `lrW = max(1, sigDiv · (nTrain·S div
+    * Σ_d (S div n_d)))`, i.e. sigDiv × the harmonic-mean feature
+    * count. The per-bucket LMS curvature is ≈ Σ_d c²/(sigDiv·n_d²) ~
+    * mean(1/n)/sigDiv (counts are mostly 1), so the stable step is ∝
+    * sigDiv/mean(1/n); this sits ~2× inside the measured divergence
+    * edge at both anchor corpora (200-feature: auto ≈ 800 vs edge
+    * ~1600; 30-feature: auto ≈ 120 vs edge ~256). The derivation is
+    * one agg of longs with truncating division — part of the exact
+    * trajectory, replayed by the oracle's CTEs like every other
+    * training number. Fixed explicit rates remain for callers that
+    * calibrated their own.
     */
   def trainQualityClf(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int = 1024, epochs: Int = 12,
-      sigDiv: Long = 4L, lrWNum: Long = 1024L, lrWDen: Long = 1L,
+      sigDiv: Long = 4L, lrWNum: Long = 0L, lrWDen: Long = 1L,
       lrBNum: Long = 1L, lrBDen: Long = 1L): ClfModel = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20], got $buckets")
     require(epochs >= 1 && epochs <= 256,
       s"epochs must be in [1, 256], got $epochs")
     require(sigDiv >= 1L, s"sigDiv must be >= 1, got $sigDiv")
-    require(lrWNum >= 1L && lrWDen >= 1L && lrBNum >= 1L && lrBDen >= 1L,
-      "learning-rate rationals must be positive")
+    require(lrWNum >= 0L && lrWDen >= 1L && lrBNum >= 1L && lrBDen >= 1L,
+      "learning-rate rationals must be positive (lrWNum = 0 selects auto)")
     val spark = labeled.sparkSession
     val store = new Scratch.FrameStore(spark)
     try {
@@ -174,14 +185,20 @@ object QualityClf {
         .select(col("_id"), col("_fb"),
           size(col("_fb")).cast("long").as("_n"), col("_y"))
       // stage once, hash-partitioned by doc id: every epoch's groupBy
-      // and join below reuse this partitioning exchange-free
-      val docinfo = store.keep(base
-        .select(col("_id"), col("_n"), col("_y"))
-        .repartition(col("_id")))
-      val feats = store.keep(base
+      // and join below reuse this partitioning exchange-free. ONE
+      // feature pass: tokenize + md5-bucket is the staging cost driver
+      // (measured ~16 s of the 22 s sf0.1 fit — ~600 features/doc,
+      // one md5 each), so the staged frame holds the feature ARRAY and
+      // both docinfo and feats derive from it cache-side instead of
+      // re-running the feature scan per derived frame
+      val staged = store.keep(base.repartition(col("_id")))
+      val docinfo = staged.select(col("_id"), col("_n"), col("_y"))
+      // HashPartitioning(_id) clusters (_id, _b) groups too (grouping
+      // keys are a superset of the partitioning keys), so this groupBy
+      // adds no exchange — and the epoch loop's joins stay co-located
+      val feats = store.keep(staged
         .select(col("_id"), explode(col("_fb")).as("_b"))
-        .groupBy(col("_id"), col("_b")).agg(count(lit(1)).as("_c"))
-        .repartition(col("_id")))
+        .groupBy(col("_id"), col("_b")).agg(count(lit(1)).as("_c")))
       val stats = docinfo.agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("_y") =!= 0L && col("_y") =!= 1L, 1L)),
           lit(0L)).as("badY")).head
@@ -199,6 +216,17 @@ object QualityClf {
           s"${Long.MaxValue / (ScaleW * ScaleS)}) — train on a sampled " +
           "labeled split (quality labels are bounded by labeling cost " +
           "anyway) or lower the fixed-point scales")
+      // AUTO weight rate (lrWNum = 0): one agg over the staged split —
+      // Σ_d (S div n_d), truncating longs, part of the replayed
+      // trajectory (the oracle computes the same CTE). All-tokenless
+      // splits have no weight gradient at all; any rate is a no-op, 1
+      // keeps the arithmetic defined.
+      val lrWn = if (lrWNum > 0L) lrWNum else {
+        val invSum = docinfo.agg(coalesce(sum(when(col("_n") === 0L, 0L)
+          .otherwise(expr(s"$ScaleS div _n"))), lit(0L))).head.getLong(0)
+        if (invSum <= 0L) 1L
+        else math.max(1L, sigDiv * (nTrain * ScaleS / invSum))
+      }
       var w = Array.fill(buckets)(0L)
       var bias = 0L
       var maeFirst = -1L
@@ -244,12 +272,47 @@ object QualityClf {
         val denW = BigInt(lrWDen) * nTrain * ScaleS
         val denB = BigInt(lrBDen) * nTrain
         w = Array.tabulate(buckets)(b =>
-          w(b) - ((BigInt(g.getOrElse(b, 0L)) - gm) * lrWNum / denW).toLong)
+          w(b) - ((BigInt(g.getOrElse(b, 0L)) - gm) * lrWn / denW).toLong)
         bias = bias - (BigInt(g0) * lrBNum / denB).toLong
       }
-      ClfModel(w, bias, epochs, sigDiv, lrWNum, lrWDen, lrBNum, lrBDen,
+      // the model records the rate actually APPLIED (the derived one
+      // under auto) — a serve/retrain site must see the realized
+      // hyperparameters, not the sentinel
+      ClfModel(w, bias, epochs, sigDiv, lrWn, lrWDen, lrBNum, lrBDen,
         maeFirst, maeLast)
     } finally store.release()
+  }
+
+  /** [[trainQualityClf]] memoized per (labeled plan, cols,
+    * hyperparameters) — training is deterministic (no RNG, exact
+    * integer trajectory), so the cache never changes a result, and
+    * composed recipes (dedup → clf gate → pack) share one fit with
+    * the standalone classifier query instead of re-training per
+    * query. Models are small driver artifacts (buckets+1 longs).
+    */
+  private val ClfCacheMax = 8
+  private val clfCache = new java.util.LinkedHashMap[
+      (String, String, String, String, Int, Int, Long, Long, Long, Long, Long),
+      ClfModel](16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, String, String, Int, Int, Long, Long, Long, Long, Long), ClfModel]): Boolean =
+      size() > ClfCacheMax
+  }
+
+  def trainQualityClfCached(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int = 1024,
+      epochs: Int = 12, sigDiv: Long = 4L, lrWNum: Long = 0L,
+      lrWDen: Long = 1L, lrBNum: Long = 1L, lrBDen: Long = 1L): ClfModel = {
+    val key = (Dedup.planKey(labeled), idCol, textCol, labelCol, buckets,
+      epochs, sigDiv, lrWNum, lrWDen, lrBNum, lrBDen)
+    clfCache.synchronized {
+      val hit = clfCache.get(key)
+      if (hit != null) return hit
+    }
+    val m = trainQualityClf(labeled, idCol, textCol, labelCol, buckets,
+      epochs, sigDiv, lrWNum, lrWDen, lrBNum, lrBDen)
+    clfCache.synchronized { clfCache.put(key, m) }
+    m
   }
 
   /** Score a corpus with a trained model: ONE exchange-free codegen

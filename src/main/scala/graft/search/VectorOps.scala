@@ -432,8 +432,18 @@ object VectorOps {
     val spark = df.sparkSession
     import spark.implicits._
     val tq = thetaQ(threshold)
-    val staged = stagedUnit(df.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val staged = stagedUnitCached(df.select(col(idCol), col(vecCol)), idCol, vecCol)
       .select(col(idCol).cast("long"), col("_uq")).as[(Long, Array[Long])]
+    // bounded-collect discipline (the intDotTopK rule): this kernel
+    // broadcasts the WHOLE staged set — a direct caller on a big frame
+    // would OOM the driver, so refuse loudly past the brute limit and
+    // name the auto-switching entry point. The count is the cached
+    // row-count (catalog-statistics stand-in), not a fresh job per call.
+    val nStaged = graft.pipeline.Dedup.warmRowCount(staged.toDF())
+    require(nStaged <= graft.pipeline.Dedup.BruteForcePairLimit,
+      s"cosinePairsBroadcast: $nStaged rows exceed the broadcast-kernel " +
+        s"bound ${graft.pipeline.Dedup.BruteForcePairLimit}; use " +
+        "Dedup.embeddingPairs, which auto-switches to the IVF-bucketed path")
     val right = staged.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(right)
     staged.mapPartitions { it =>
@@ -834,8 +844,14 @@ object VectorOps {
       .map(l => col(l).cast("string")).getOrElse(lit(null).cast("string"))
     // Same headroom rule as the broadcast kernel, one small agg per
     // side (negligible next to the all-cluster join this path runs).
+    // mirrors the broadcast path's absL: non-ANSI abs(Long.MinValue)
+    // returns Long.MinValue (negative — invisible to greatest/max),
+    // so that one value maps to MaxValue explicitly; both paths now
+    // enforce the identical headroom contract
     val absMaxE = (c: Column) =>
-      aggregate(transform(c, x => abs(x)), lit(0L), (a, x) => greatest(a, x))
+      aggregate(transform(c, x =>
+          when(x === Long.MinValue, Long.MaxValue).otherwise(abs(x))),
+        lit(0L), (a, x) => greatest(a, x))
     val qStat = queries.agg(max(absMaxE(col(qvecCol))).as("m"),
       max(size(col(qvecCol))).as("d")).head
     val cStat = corpus.agg(max(absMaxE(col(qvecCol))).as("m")).head
@@ -917,7 +933,13 @@ object VectorOps {
       val hit = unitCache.get(key)
       if (hit != null) hit
       else {
+        // persist PRE-PARTITIONED on the id: the family's consumers
+        // join the staged corpus on idCol (asgn joins, pair joins), so
+        // the one build-time exchange here buys exchange-free joins on
+        // every read — the bucketed-by-id layout the materialized
+        // column would have at 100 TB
         built = stagedUnit(df, idCol, vecCol, extra)
+          .repartition(col(idCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         unitCache.put(key, built)
         built
@@ -1067,12 +1089,14 @@ object VectorOps {
       s"nprobe must be in [1, nlist=$nlist], got $nprobe")
     val fModel = trainIvfCached(tgt.withColumnRenamed(idCol, "_id")
       .withColumnRenamed(vecCol, "_v"), "_v", nlist)
-    val f = ivfTopKCandidates(tgt, src, idCol, vecCol, k, fModel, nprobe)
+    val f = ivfTopKCandidates(tgt, src, idCol, vecCol, k, fModel, nprobe,
+        excludeSelf = false)
       .select(col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"), col("_qdot").as("_qc"))
     val bModel = trainIvfCached(src.withColumnRenamed(idCol, "_id")
       .withColumnRenamed(vecCol, "_v"), "_v", nlist)
-    val b = ivfTopKCandidates(src, tgt, idCol, vecCol, k, bModel, nprobe)
+    val b = ivfTopKCandidates(src, tgt, idCol, vecCol, k, bModel, nprobe,
+        excludeSelf = false)
       .select(col("query_id").as("tgt_id"),
         col("neighbor_id").as("src_id"), col("_qdot").as("_qc"))
     val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
@@ -1084,6 +1108,76 @@ object VectorOps {
       .partitionBy(col("src_id"))
       .orderBy(col("margin_q").desc, col("tgt_id").asc)
     m.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("margin_q"))
+  }
+
+  /** Two-stage margin mining: PQ-ADC candidate generation → exact
+    * integer re-rank — the full CCMatrix production recipe for the
+    * case [[marginMiningIvf]] leaves open: probed clusters that are
+    * THEMSELVES huge, where even the within-cluster exact dot per
+    * candidate is the cost driver. Stage 1 scans CODES only (the
+    * codegen'd [[graft.functions.PqAdcScore]] — m byte lookups per
+    * row instead of a dim-long dot; at 100 TB the code column is
+    * written at ingest) and keeps each query's top-`cand` candidates;
+    * stage 2 re-ranks those `cand` rows per query on the EXACT long
+    * dot of µ-unit vectors and takes top-k — so ADC's float error can
+    * only shape the candidate POOL (recall, gated by the caller's
+    * overlap query, the keep_ivf/mine_ivf pattern), while ranks,
+    * sums, margins, and the per-source argmax are all flip-immune
+    * integers. `cand > k` is the refinement headroom (the
+    * [[calibrateRefine]] knob): ADC mis-ranks inside the pool are
+    * harmless as long as the true top-k survive the cut.
+    *
+    * Candidate generation composes with IVF at scale (use the probed
+    * [[pqKnnJoinIvf]] mask — cluster id as a partition column — when
+    * the corpus no longer broadcast-batches); this entry point keeps
+    * the two-stage arithmetic itself pinned and spec-gated.
+    *
+    * Output: `(src_id, tgt_id, margin_q)` — the [[marginMiningIvf]]
+    * contract with sums over the PQ-refined candidate sets.
+    */
+  def marginMiningPq(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, cand: Int, m: Int = 8,
+      ks: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cand >= k, s"cand must be >= k, got cand=$cand k=$k")
+    import org.apache.spark.sql.expressions.Window
+    // top-`cand` ADC candidates of each query over the other side's
+    // codes, re-ranked to top-k on the exact integer dot
+    def refined(corpus: DataFrame, queries: DataFrame, qOut: String,
+        nOut: String): DataFrame = {
+      val cRen = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
+      val qRen = queries.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
+      val (model, enc) = trainEncodePqCached(cRen, "_pv", m, ks)
+      val pool = pqKnnJoin(enc, qRen, "_pv", "_pid", k = cand, model,
+        refine = 1, excludeSelf = false)
+      val qU = stagedUnitCached(queries.select(col(idCol), col(vecCol)),
+          idCol, vecCol)
+        .select(col(idCol).cast("long").as("query_id"), col("_uq").as("_qu"))
+      val nU = stagedUnitCached(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol)
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col("_uq").as("_nu"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("_qdot").desc, col("neighbor_id").asc)
+      pool.select(col("query_id"), col("neighbor_id"))
+        .join(qU, "query_id").join(nU, "neighbor_id")
+        .withColumn("_qdot", intDotCol(col("_qu"), col("_nu")))
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= k)
+        .select(col("query_id").as(qOut), col("neighbor_id").as(nOut),
+          col("_qdot").as("_qc"))
+    }
+    val f = refined(tgt, src, "src_id", "tgt_id")
+    val b = refined(src, tgt, "tgt_id", "src_id")
+    val sumA = f.groupBy(col("src_id")).agg(sum(col("_qc")).as("_sa"))
+    val sumB = b.groupBy(col("tgt_id")).agg(sum(col("_qc")).as("_sb"))
+    val mg = f.join(sumA, "src_id").join(sumB, "tgt_id")
+      .withColumn("margin_q",
+        lit(2L * k) * col("_qc") - col("_sa") - col("_sb"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_q").desc, col("tgt_id").asc)
+    mg.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
       .select(col("src_id"), col("tgt_id"), col("margin_q"))
   }
 
@@ -1099,18 +1193,18 @@ object VectorOps {
     */
   private def ivfTopKCandidates(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, model: IvfModel,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centsLit = typedLit(model.centroids.map(_.toSeq).toSeq)
     val vecD = (c: Column) => transform(c, x => x.cast("double"))
-    val cU = stagedUnit(corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val cU = stagedUnitCached(corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
     val cAsgn = assignCluster(corpus.select(col(idCol).as("_cid2"),
         col(vecCol).as("_v")), "_v", model.centroids)
       .select(col("_cid2"), col("_cluster"))
     val cSide = cU.join(cAsgn, col(idCol) === col("_cid2"))
       .select(col(idCol).cast("long").as("neighbor_id"),
         col("_uq").as("_nu"), col("_cluster"))
-    val qU = stagedUnit(queries.select(col(idCol), col(vecCol)), idCol,
+    val qU = stagedUnitCached(queries.select(col(idCol), col(vecCol)), idCol,
       vecCol, extra = Seq(vecCol))
     // nprobe nearest centroids, in-plan: (dist, idx) structs sorted
     // ascending — struct comparison breaks float-distance ties by the
@@ -1128,8 +1222,16 @@ object VectorOps {
         col("_uq").as("_qu"), col("_cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_qdot").desc, col("neighbor_id").asc)
-    qSide.join(cSide, Seq("_cluster"))
-      .where(col("query_id") =!= col("neighbor_id"))
+    // self-exclusion is the CALLER's contract: the exact miner
+    // (marginFrames → intDotTopK(excludeSelf=false)) KEEPS same-id
+    // src/tgt candidates — distinct corpora may share numeric id
+    // spaces — so marginMiningIvf passes false to preserve the
+    // documented nprobe=nlist bit-equality with the exact form
+    val met = qSide.join(cSide, Seq("_cluster"))
+    val filtered =
+      if (excludeSelf) met.where(col("query_id") =!= col("neighbor_id"))
+      else met
+    filtered
       .withColumn("_qdot", intDotCol(col("_qu"), col("_nu")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -2331,6 +2433,71 @@ object VectorOps {
       k: Int, iters: Int): DataFrame =
     kmeansAssignQuantized(df, idCol, vecCol,
       kmeansCentroidsQuantized(df, idCol, vecCol, k, iters))
+
+  /** [[kmeansCentroidsQuantized]] memoized per (source plan, cols, k,
+    * iters) — Lloyd training is deterministic write-time material (the
+    * trainIvfCached rule), and the SemDeDup family (pairs/keep/cross/
+    * report) re-trains the SAME blocks query after query without this.
+    * Centroids are k×dim longs — a small driver artifact, no frames
+    * to own.
+    */
+  private val KmCacheMax = 16
+  private val kmCentCache =
+    new java.util.LinkedHashMap[(String, String, String, Int, Int), Array[Seq[Long]]](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, Int, Int), Array[Seq[Long]]]): Boolean =
+        size() > KmCacheMax
+    }
+
+  private[graft] def kmeansCentroidsCached(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): Array[Seq[Long]] = {
+    val key = (graft.pipeline.Dedup.planKey(df), idCol, vecCol, k, iters)
+    kmCentCache.synchronized {
+      val hit = kmCentCache.get(key)
+      if (hit != null) return hit
+    }
+    val c = kmeansCentroidsQuantized(df, idCol, vecCol, k, iters)
+    kmCentCache.synchronized { kmCentCache.put(key, c) }
+    c
+  }
+
+  /** [[kmeansQuantized]] with BOTH halves shared: cached centroids and
+    * the assignment frame pinned (MEMORY_AND_DISK, plan-keyed FIFO —
+    * the stagedUnitCached discipline). The assignment is one scan with
+    * a k-literal argmin; pairs/keep/report over the same corpus read
+    * the identical block structure, so recomputing it per query is the
+    * SemDeDup-family recompute the r15 bench measured at ~2.8×.
+    */
+  private val kmAsgnCache =
+    new java.util.LinkedHashMap[(String, String, String, Int, Int), DataFrame](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, Int, Int), DataFrame]): Boolean = {
+        val evict = size() > KmCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+
+  private[graft] def kmeansQuantizedCached(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
+    val key = (graft.pipeline.Dedup.planKey(df), idCol, vecCol, k, iters)
+    var built: DataFrame = null
+    val e = kmAsgnCache.synchronized {
+      val hit = kmAsgnCache.get(key)
+      if (hit != null) hit
+      else {
+        built = kmeansAssignQuantized(df, idCol, vecCol,
+            kmeansCentroidsCached(df, idCol, vecCol, k, iters))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kmAsgnCache.put(key, built)
+        built
+      }
+    }
+    if (e eq built) e.count()
+    e
+  }
 
   private def quantizedFrame(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =

@@ -742,14 +742,22 @@ object GraphStream {
     * state seeded from the carried bins and the batch's FINAL bins
     * collected back (bounded: nBuckets rows). State lives in the
     * recipe closure, not Spark's state store — the foreachBatch
-    * trade; a restart re-seeds by replaying from the last committed
-    * shard boundary, or use [[packIngest]] directly when Spark-managed
-    * checkpointed state is required and the gate/dedup arms are
-    * applied upstream.
+    * trade. DURABILITY: pass `statePath` and each batch checkpoints
+    * the open bins (nBuckets·(seq, fill) longs — a tiny text
+    * artifact) with a write-tmp-then-atomic-rename, and a NEW recipe
+    * constructed with the same path restores them — a restart resumes
+    * packing mid-bin instead of silently re-anchoring seq numbering
+    * (spec-pinned: kill/rebuild mid-stream equals the uninterrupted
+    * run). The checkpoint lands after the batch's state collect, so a
+    * crash INSIDE a batch replays that one batch — align statePath
+    * commits with the sink's own batch-id idempotence, or use
+    * [[packIngest]] directly when Spark-managed checkpointed state is
+    * required and the gate/dedup arms are applied upstream.
     */
   def curationShardRecipe(ref: DataFrame, idCol: String, textCol: String,
       vecCol: String, pNum: Int, pDen: Int, k: Int, iters: Int,
-      theta: Double, vocab: Int, window: Long, nBuckets: Int)
+      theta: Double, vocab: Int, window: Long, nBuckets: Int,
+      statePath: Option[String] = None)
       : DataFrame => (DataFrame, DataFrame) = {
     require(window > 0, s"window must be positive, got $window")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
@@ -757,13 +765,46 @@ object GraphStream {
     val base = curationIngestRecipe(ref, idCol, textCol, vecCol,
       pNum, pDen, k, iters, theta, vocab)
     val openBins = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    statePath.foreach(p => openBins ++= loadBinState(p))
     batch => {
       val (kept, drift) = base(batch)
       val packedIn = kept.select(col(idCol).cast("long").as("doc_id"),
         least(size(TextAnalysis.tokens(col(textCol))).cast("long"),
           lit(window)).as("_tc"))
-      (packBatchSeeded(packedIn, window, nBuckets, openBins), drift)
+      val packed = packBatchSeeded(packedIn, window, nBuckets, openBins)
+      statePath.foreach(p => saveBinState(p, openBins))
+      (packed, drift)
     }
+  }
+
+  /** Atomic open-bin checkpoint: one `bucket seq fill` line per bin,
+    * written to `<path>.tmp` and renamed over `path` (rename is the
+    * atomicity unit — a crash mid-write leaves the previous good
+    * state). Tiny by construction (nBuckets rows), so a per-batch
+    * rewrite costs microseconds next to the batch's Spark jobs.
+    */
+  private def saveBinState(path: String,
+      bins: scala.collection.Map[Long, (Long, Long)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val body = bins.toSeq.sortBy(_._1)
+      .map { case (b, (s, f)) => s"$b $s $f" }.mkString("", "\n", "\n")
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadBinState(path: String): Map[Long, (Long, Long)] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
+      val a = l.split(" ")
+      require(a.length == 3, s"corrupt bin-state line in $path: '$l'")
+      a(0).toLong -> (a(1).toLong, a(2).toLong)
+    }.toMap
   }
 
   /** One micro-batch of the shard packer: [[graft.pipeline.Packing]]'s
@@ -786,8 +827,20 @@ object GraphStream {
       StructField("n_tok", LongType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
     val w = window
+    // the batch packers' checkedIdExpr contract, enforced here too:
+    // doc_id = -1 is this scan's IN-BAND bin-state sentinel, so a
+    // negative (or null) stream id must refuse loudly — silently it
+    // would be dropped from the packed output AND misparsed as a
+    // bin-state row, corrupting openBins for its bucket
+    val checkedId = when(col("doc_id").isNull || col("doc_id") < 0L,
+        raise_error(concat(
+          lit("GraphStream: stream 'doc_id' must be a non-negative id " +
+            "(doc_id = -1 is the packer's bin-state sentinel), got: "),
+          coalesce(col("doc_id").cast("string"), lit("null")))).cast("long"))
+      .otherwise(col("doc_id"))
     val raw = docs
-      .select(col("doc_id"), pmod(col("doc_id"), lit(nBuckets.toLong))
+      .select(checkedId.as("doc_id"),
+        pmod(checkedId, lit(nBuckets.toLong))
         .as("bucket"), col("_tc").as("n_tok"))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"))
@@ -953,13 +1006,14 @@ object GraphStream {
     val n = size(fb).cast("long")
     val rd = aggregate(fb, lit(0L), (acc, b) =>
       acc + element_at(litW, (b + 1).cast("int")))
+    // one inline predicate — no withColumn round-trip, so a user
+    // stream that happens to carry columns named like our scratch
+    // space is never overwritten-then-dropped (`div` is the registered
+    // IntegralDivide function: the same truncating semantics as the
+    // trainer's `a div b` SQL)
     val margin = lit(model.bias) +
-      when(n === 0L, 0L).otherwise(expr("_qclf_rd div _qclf_n"))
-    stream
-      .withColumn("_qclf_n", n)
-      .withColumn("_qclf_rd", rd)
-      .where(margin >= lit(minMarginQ))
-      .drop("_qclf_n", "_qclf_rd")
+      when(n === 0L, 0L).otherwise(call_function("div", rd, n))
+    stream.where(margin >= lit(minMarginQ))
   }
 
   /** Watermarked stream-stream interval join — the streaming mirror

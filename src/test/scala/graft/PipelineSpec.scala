@@ -3268,6 +3268,42 @@ class PipelineSpec extends GraftSuite {
     (2L to 5L).foreach(i => assert(langs(i) == "und", s"$i -> ${langs(i)}"))
   }
 
+  test("quality classifier AUTO lrW: short-doc corpus oscillates at the long-doc fixed rate, converges at the derived rate") {
+    import graft.pipeline.QualityClf
+    val s = spark
+    import s.implicits._
+    // VERY short docs (2-char tokens -> no char trigrams, ~5 features
+    // each): mean-pooled curvature ~ 1/n is ~40x the long-doc fixture
+    // corpus's, so the fixture-tuned lrW=1024 sits far past the LMS
+    // stability edge here
+    val corpus = Seq(
+      (1L, "ok go on up", 1L), (2L, "ok go up an", 1L),
+      (3L, "xz qv jk wy", 0L), (4L, "qv jk zz xz", 0L),
+      (5L, "ok an on go", 1L), (6L, "jk wy qv zz", 0L),
+      (7L, "on up ok an", 1L), (8L, "zz wy xz jk", 0L))
+      .toDF("doc_id", "text", "y")
+    val fixed = QualityClf.trainQualityClf(corpus, "doc_id", "text", "y",
+      buckets = 64, epochs = 16, lrWNum = 1024L)
+    assert(fixed.maeLast >= fixed.maeFirst,
+      s"the long-doc rate must oscillate on short docs (the telemetry " +
+        s"this auto-sizing exists to clear): ${fixed.maeFirst} -> ${fixed.maeLast}")
+    val auto = QualityClf.trainQualityClf(corpus, "doc_id", "text", "y",
+      buckets = 64, epochs = 16) // lrWNum default 0 = AUTO
+    // derived rate = sigDiv * harmonic-mean feature count: 5-6 feature
+    // docs -> a rate around 20-30, far under the fixed default
+    assert(auto.lrWNum >= 1L && auto.lrWNum <= 64L,
+      s"auto rate must track the short docs, got ${auto.lrWNum}")
+    assert(auto.maeLast < auto.maeFirst,
+      s"auto rate must converge MAE-monotone: ${auto.maeFirst} -> ${auto.maeLast}")
+    // and still learns the separable labels
+    val scored = QualityClf.scoreQualityClf(corpus, "doc_id", "text", auto)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val truth = Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L,
+      5L -> 1L, 6L -> 0L, 7L -> 1L, 8L -> 0L)
+    assert((1L to 8L).forall(i => scored(i) == truth(i)),
+      s"auto-rate model must classify the separable toy: $scored")
+  }
+
   test("quality classifier: pure-BigInt gradient replay, learnability, partitioning independence, guards") {
     import graft.pipeline.QualityClf
     val s = spark

@@ -370,7 +370,12 @@ class PlanShapeSpec extends GraftSuite {
       ("q_vector_pq_rot_recall", 8, false),
       ("q_embed_semdedup_pairs", 2, true),
       ("q_embed_semdedup_keep", 4, true),
-      ("q_embed_semdedup_cross", 6, true),
+      // +1 over the r12 ceiling (6 → 7): the corpus side now reads the
+      // CACHED µ-unit staging (the r15 SemDeDup-regression fix), and
+      // its one-time bucketed-by-id materialization exchange shows in
+      // the first plan — write-time layout cost at 100 TB, traded
+      // against re-quantizing the standing corpus per micro-batch
+      ("q_embed_semdedup_cross", 7, true),
       // outlier reads the kernel's _qscore directly since knnJoinScored
       // landed: ONE knn scan + select, no vector join-backs — so no
       // broadcast join remains to require (the better plan)

@@ -678,6 +678,46 @@ class StreamingSpec extends GraftSuite {
       s"open bin at 24/30 must overflow to seq 2: $got3")
   }
 
+  test("curationShardRecipe statePath: a rebuilt recipe resumes open bins — kill/restart equals the uninterrupted run") {
+    val s = spark
+    import s.implicits._
+    val ref = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(i % 3) = 1f; v(3) = 0.001f * i
+      (i.toLong, ("tok " * (4 + i)).trim, v.toSeq)
+    }.toDF("doc_id", "text", "embedding")
+    val novel = { val v = Array.fill(4)(0f); v(3) = 1f; v.toSeq }
+    val longText = ("tok " * 12).trim
+    val dir = java.nio.file.Files.createTempDirectory("binstate").toString
+    val sp = s"$dir/bins.state"
+    def mk() = GraphStream.curationShardRecipe(ref, "doc_id", "text",
+      "embedding", pNum = 1, pDen = 4, k = 3, iters = 2, theta = 0.9,
+      vocab = 4, window = 30L, nBuckets = 1, statePath = Some(sp))
+    def pack(recipe: org.apache.spark.sql.DataFrame => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        docs: Seq[(Long, String, Seq[Float])]) =
+      recipe(docs.toDF("doc_id", "text", "embedding"))._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // "stream": batch 1 through recipe A, then A dies; batch 2 through
+    // a FRESH recipe constructed from the same statePath
+    val a = mk()
+    val g1 = pack(a, Seq((102L, longText, novel)))
+    val b = mk() // restart: restores (seq=1, fill=12) from disk
+    val g2 = pack(b, Seq((104L, longText, novel)))
+    // 12 + 12 <= 30: the restarted recipe must CONTINUE bin (0, seq 1)
+    assert(g1 == Set((102L, 0L, 1L, 12L)) && g2 == Set((104L, 0L, 1L, 12L)),
+      s"restart must resume the open bin, not re-anchor: $g1 / $g2")
+    // ...and the next doc overflows to seq 2 exactly like the
+    // uninterrupted run would
+    val g3 = pack(b, Seq((105L, longText, novel)))
+    assert(g3 == Set((105L, 0L, 2L, 12L)), s"post-restart overflow: $g3")
+    // without statePath a fresh recipe silently re-anchors (the gap
+    // this checkpoint closes)
+    val c = GraphStream.curationShardRecipe(ref, "doc_id", "text",
+      "embedding", pNum = 1, pDen = 4, k = 3, iters = 2, theta = 0.9,
+      vocab = 4, window = 30L, nBuckets = 1)
+    val g4 = pack(c, Seq((106L, longText, novel)))
+    assert(g4 == Set((106L, 0L, 1L, 12L)), s"stateless recipe re-anchors: $g4")
+  }
+
   test("rankEvalIngestMonitor: per-batch integer summaries equal the batch form; degraded batch reads lower") {
     val s = spark
     import s.implicits._

@@ -122,10 +122,32 @@ if boundary_audit:
     # r15: the θ-gate families (pairs 0.5, triplets-pos 0.4, semdedup
     # 0.42/0.9, keep 0.5, keep_ivf 0.98) moved to the integer-dot
     # contract — the gate is `long_dot(uq_a, uq_b) >= round(θ·1e12)`,
-    # a pure integer comparison no engine can flip, so their probes
-    # report exact (inf margin) by construction. The probe list below
-    # is retained for any FUTURE float θ-gate; it is currently empty.
+    # a pure integer comparison no engine can flip. r16: the exemption
+    # is VERIFIED against the registry source per family instead of
+    # hardcoded — each family reads exact only if its integer
+    # threshold literal still appears in SparkEntry's oracle SQL; a
+    # family whose integer gate disappears falls back onto the float
+    # probe below and gets measured.
     gate_probes = []
+    gate_families = [("gate_pairs_0.5", 0.5),
+                     ("gate_triplets_0.4", 0.4),
+                     ("gate_semdedup_0.42", 0.42)]
+    entry_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "src/main/scala/graft/SparkEntry.scala")
+    try:
+        entry_src = open(entry_path).read()
+    except OSError:
+        entry_src = ""  # no registry source -> probe everything
+    gate_exact = []
+    for gname, theta in gate_families:
+        int_thresh = str(round(theta * 1e12))
+        if f">= {int_thresh}" in entry_src:
+            gate_exact.append(
+                (gname, float("inf"),
+                 f"integer-dot gate: oracle compares >= {int_thresh} "
+                 "(verified in SparkEntry)"))
+        else:
+            gate_probes.append((gname, theta))
     def half_dist(c):
         # distance of |c|*1e9 to its nearest z+0.5 rounding boundary
         import math
@@ -152,11 +174,7 @@ if boundary_audit:
             d = min(half_dist(cs[i]), half_dist(cs[i + 1]))
             worst = min(worst, d)
         return worst
-    results = []
-    for gname in ("gate_pairs_0.5", "gate_triplets_0.4",
-                  "gate_semdedup_0.42"):
-        results.append((gname, float("inf"),
-                        "integer-dot gate: exact by construction"))
+    results = list(gate_exact)
     for pname, theta in gate_probes:
         mind, near = con.sql(
             f"WITH p AS ({pairwise}) "
