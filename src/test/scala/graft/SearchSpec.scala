@@ -2262,6 +2262,44 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("marginMiningPq: full-candidate pool equals the exact miner; pruned pool is deterministic and recall-bounded") {
+    val df = vecs(240, 16).cache()
+    val srcE = df.where(col("_id") % 2 === 0).select(col("_id").as("vec_id"),
+      col("emb").as("embedding"))
+    val tgtE = df.where(col("_id") % 2 === 1).select(col("_id").as("vec_id"),
+      col("emb").as("embedding"))
+    val exact = VectorOps.marginMiningQuantized(srcE, tgtE, "vec_id",
+        "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cand = the whole other side: the ADC pool covers everything, the
+    // integer re-rank IS intDotTopK's selection — pairs AND margins
+    // bit-equal to the exact miner (ADC decides only the POOL)
+    val full = VectorOps.marginMiningPq(srcE, tgtE, "vec_id",
+        "embedding", k = 4, cand = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact,
+      s"full-pool PQ mining must equal the exact miner: " +
+        s"${full.diff(exact)} / ${exact.diff(full)}")
+    // pruned pool (the production shape): deterministic across
+    // partitionings, argmax recall bounded against the exact miner
+    val pruned = VectorOps.marginMiningPq(srcE, tgtE, "vec_id",
+        "embedding", k = 4, cand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prunedRep = VectorOps.marginMiningPq(srcE.repartition(7), tgtE,
+        "vec_id", "embedding", k = 4, cand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(prunedRep == pruned, "partitioning must not change the mined set")
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val overlap = exactPairs.intersect(pruned.map(t => (t._1, t._2))).size
+    assert(overlap * 100 >= exactPairs.size * 60,
+      s"PQ-pool mining recall collapsed: $overlap of ${exactPairs.size}")
+    intercept[IllegalArgumentException] {
+      VectorOps.marginMiningPq(srcE, tgtE, "vec_id", "embedding",
+        k = 4, cand = 3)
+    }
+    df.unpersist()
+  }
+
   test("appendText stays EXACTLY fresh under repeated heavy appends — no staleness to gate") {
     // The vector tiers carry an append-drift gate because IVF
     // centroids are a LOSSY trained artifact (appends degrade recall
