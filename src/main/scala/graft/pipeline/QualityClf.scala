@@ -109,14 +109,34 @@ object QualityClf {
     concat(toks, bigrams, char3)
   }
 
+  /** Expression-level let-binding: evaluates `v` ONCE per row and
+    * hands the result to `body` as a lambda variable. Catalyst's alias
+    * inlining (CollapseProject, filter pushdown) substitutes an
+    * aliased expression at EVERY reference site, and lambda-bearing
+    * expressions get no codegen subexpression elimination — so a
+    * tokenize+md5 chain referenced from several projected columns and
+    * a pushed-down predicate re-runs per reference (measured 12x on
+    * the classifier's gated scoring scan). `transform` over a
+    * 1-element array is the one stable public let Spark offers: the
+    * input evaluates once, the lambda variable is a bound value.
+    * A null `v` stays a null element (array(v) itself is never null),
+    * so null propagation through `body` is unchanged.
+    */
+  private[graft] def letEval(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Hashed feature buckets: md5 of the feature string, first 15 hex
     * digits, mod `buckets` — the [[Curation]] bucket family, so any
     * engine with a standard MD5 reproduces the feature space.
+    * The token array is let-bound: [[clfFeatures]] references it seven
+    * times, and without the binding every reference re-runs the full
+    * split/lower/filter tokenizer per row.
     */
   private[graft] def clfBuckets(toks: Column, buckets: Int): Column =
-    transform(clfFeatures(toks), f =>
-      pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
-        lit(buckets.toLong)))
+    letEval(toks)(t =>
+      transform(clfFeatures(t), f =>
+        pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong))))
 
   /** Truncating division for possibly-negative numerators — the ONE
     * integral-division semantics Spark `div` and DuckDB `//` share
@@ -178,12 +198,16 @@ object QualityClf {
     val spark = labeled.sparkSession
     val store = new Scratch.FrameStore(spark)
     try {
+      // inline(transform(array(..))) is a Generate barrier: the
+      // feature chain lands in concrete attributes (_fb, _n) computed
+      // in ONE pass, instead of aliases the optimizer would inline
+      // (and so re-evaluate) into each consumer — see letEval
       val base = labeled.select(col(idCol).cast("long").as("_id"),
-          TextAnalysis.tokens(col(textCol)).as("_toks"),
-          col(labelCol).cast("long").as("_y"))
-        .withColumn("_fb", clfBuckets(col("_toks"), buckets))
-        .select(col("_id"), col("_fb"),
-          size(col("_fb")).cast("long").as("_n"), col("_y"))
+          col(labelCol).cast("long").as("_y"),
+          inline(transform(
+            array(clfBuckets(TextAnalysis.tokens(col(textCol)), buckets)),
+            f => struct(f.as("_fb"), size(f).cast("long").as("_n")))))
+        .select(col("_id"), col("_fb"), col("_n"), col("_y"))
       // stage once, hash-partitioned by doc id: every epoch's groupBy
       // and join below reuse this partitioning exchange-free. ONE
       // feature pass: tokenize + md5-bucket is the staging cost driver
@@ -326,12 +350,18 @@ object QualityClf {
   def scoreQualityClf(docs: DataFrame, idCol: String, textCol: String,
       model: ClfModel): DataFrame = {
     val litW = typedLit(model.weights)
+    // the Generate barrier (see trainQualityClf's staging): _n and _rd
+    // become attributes of ONE per-row feature pass; without it a
+    // downstream filter on qclf_label pushes the whole tokenize+md5
+    // chain into its own predicate and each projected column inlines
+    // another copy (measured 12x on q_doc_recipe2's gate)
     docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .withColumn("_fb", clfBuckets(col("_toks"), model.buckets))
-      .withColumn("_n", size(col("_fb")).cast("long"))
-      .withColumn("_rd", aggregate(col("_fb"), lit(0L),
-        (acc, b) => acc + element_at(litW, (b + 1).cast("int"))))
+      .select(col(idCol),
+        inline(transform(
+          array(clfBuckets(TextAnalysis.tokens(col(textCol)), model.buckets)),
+          f => struct(size(f).cast("long").as("_n"),
+            aggregate(f, lit(0L), (acc, b) =>
+              acc + element_at(litW, (b + 1).cast("int"))).as("_rd")))))
       .withColumn("qclf_margin", lit(model.bias) +
         when(col("_n") === 0L, 0L).otherwise(tdiv("_rd", "_n")))
       .select(col(idCol), col("_n").as("n_feats"), col("qclf_margin"),

@@ -1001,18 +1001,22 @@ object GraphStream {
       minMarginQ: Long = 0L): DataFrame = {
     import graft.pipeline.{QualityClf, TextAnalysis}
     val litW = typedLit(model.weights)
-    val toks = TextAnalysis.tokens(col(textCol))
-    val fb = QualityClf.clfBuckets(toks, model.buckets)
-    val n = size(fb).cast("long")
-    val rd = aggregate(fb, lit(0L), (acc, b) =>
-      acc + element_at(litW, (b + 1).cast("int")))
     // one inline predicate — no withColumn round-trip, so a user
     // stream that happens to carry columns named like our scratch
-    // space is never overwritten-then-dropped (`div` is the registered
-    // IntegralDivide function: the same truncating semantics as the
-    // trainer's `a div b` SQL)
-    val margin = lit(model.bias) +
-      when(n === 0L, 0L).otherwise(call_function("div", rd, n))
+    // space is never overwritten-then-dropped. The bucket array is
+    // let-bound (QualityClf.letEval) so the feature pass runs once
+    // even though size and the weight fold both read it (`div` is the
+    // registered IntegralDivide function: the same truncating
+    // semantics as the trainer's `a div b` SQL)
+    val margin = QualityClf.letEval(
+      QualityClf.clfBuckets(TextAnalysis.tokens(col(textCol)),
+        model.buckets)) { fb =>
+      val n = size(fb).cast("long")
+      val rd = aggregate(fb, lit(0L), (acc, b) =>
+        acc + element_at(litW, (b + 1).cast("int")))
+      lit(model.bias) +
+        when(n === 0L, 0L).otherwise(call_function("div", rd, n))
+    }
     stream.where(margin >= lit(minMarginQ))
   }
 
