@@ -749,10 +749,11 @@ object GraphStream {
     * packing mid-bin instead of silently re-anchoring seq numbering
     * (spec-pinned: kill/rebuild mid-stream equals the uninterrupted
     * run). The checkpoint lands after the batch's state collect, so a
-    * crash INSIDE a batch replays that one batch — align statePath
-    * commits with the sink's own batch-id idempotence, or use
-    * [[packIngest]] directly when Spark-managed checkpointed state is
-    * required and the gate/dedup arms are applied upstream.
+    * crash INSIDE a batch replays that one batch — for the
+    * batch-id-keyed commit that makes such a replay idempotent, use
+    * [[curationShardRecipeTx]]; or [[packIngest]] directly when
+    * Spark-managed checkpointed state is required and the gate/dedup
+    * arms are applied upstream.
     */
   def curationShardRecipe(ref: DataFrame, idCol: String, textCol: String,
       vecCol: String, pNum: Int, pDen: Int, k: Int, iters: Int,
@@ -775,6 +776,106 @@ object GraphStream {
       statePath.foreach(p => saveBinState(p, openBins))
       (packed, drift)
     }
+  }
+
+  /** EXACTLY-ONCE form of [[curationShardRecipe]]: the closure takes
+    * the sink's `batchId` (foreachBatch hands it over) and the state
+    * checkpoint is keyed by it — closing the crash-inside-a-batch
+    * replay window the post-batch form documents. The file stores
+    * `(batchId, preState, postState)`; on invocation the seed is
+    * chosen by id:
+    *
+    *   - `batchId == committed id` → REPLAY: seed from `preState`.
+    *     The packer is deterministic (sorted (bucket, doc_id) scan),
+    *     so the replayed batch reproduces byte-identical assignments
+    *     and re-commits the same post-state — idempotent no matter
+    *     where the previous attempt died.
+    *   - new `batchId` → seed from `postState` (the normal advance).
+    *
+    * Structured Streaming's contract is that only the LAST
+    * un-committed batch replays, so an id older than the committed
+    * one means the caller paired the recipe with the wrong sink
+    * checkpoint — refused loudly rather than silently forking the
+    * packing history. Combined with an idempotent (batch-id-keyed)
+    * sink this makes the whole gate→dedup→pack chain exactly-once:
+    * state and output both replay to the same bytes.
+    */
+  def curationShardRecipeTx(ref: DataFrame, idCol: String, textCol: String,
+      vecCol: String, pNum: Int, pDen: Int, k: Int, iters: Int,
+      theta: Double, vocab: Int, window: Long, nBuckets: Int,
+      statePath: String): (DataFrame, Long) => (DataFrame, DataFrame) = {
+    require(window > 0, s"window must be positive, got $window")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import graft.pipeline.TextAnalysis
+    val base = curationIngestRecipe(ref, idCol, textCol, vecCol,
+      pNum, pDen, k, iters, theta, vocab)
+    val lock = new Object
+    var committed: Option[(Long, Map[Long, (Long, Long)], Map[Long, (Long, Long)])] =
+      loadTxBinState(statePath)
+    (batch, batchId) => lock.synchronized {
+      committed.foreach { case (id, _, _) =>
+        require(batchId >= id,
+          s"curationShardRecipeTx: batch $batchId is older than the " +
+            s"committed frontier $id in $statePath — only the last " +
+            "batch can replay; this recipe is paired with the wrong " +
+            "sink checkpoint")
+      }
+      val seed = committed match {
+        case Some((id, pre, _)) if id == batchId => pre // replay
+        case Some((_, _, post)) => post
+        case None => Map.empty[Long, (Long, Long)]
+      }
+      val (kept, drift) = base(batch)
+      val bins = scala.collection.mutable.Map.empty[Long, (Long, Long)] ++ seed
+      val packedIn = kept.select(col(idCol).cast("long").as("doc_id"),
+        least(size(TextAnalysis.tokens(col(textCol))).cast("long"),
+          lit(window)).as("_tc"))
+      // packBatchSeeded materializes the batch before returning, so
+      // `bins` holds the FINAL post-state when the commit below runs
+      val packed = packBatchSeeded(packedIn, window, nBuckets, bins)
+      saveTxBinState(statePath, batchId, seed, bins.toMap)
+      committed = Some((batchId, seed, bins.toMap))
+      (packed, drift)
+    }
+  }
+
+  private def saveTxBinState(path: String, batchId: Long,
+      pre: Map[Long, (Long, Long)], post: Map[Long, (Long, Long)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def sec(m: Map[Long, (Long, Long)]) = m.toSeq.sortBy(_._1)
+      .map { case (b, (s, f)) => s"$b $s $f" }
+    val body = (Seq(s"txbatch $batchId", "pre") ++ sec(pre) ++
+      Seq("post") ++ sec(post)).mkString("", "\n", "\n")
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadTxBinState(path: String)
+      : Option[(Long, Map[Long, (Long, Long)], Map[Long, (Long, Long)])] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return None
+    val lines = Files.readString(p).linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head.startsWith("txbatch "),
+      s"$path is not a transactional bin-state file (use a fresh path " +
+        "for curationShardRecipeTx — the post-batch statePath format " +
+        "carries no batch id and cannot distinguish a replay)")
+    val id = lines.head.stripPrefix("txbatch ").toLong
+    def parse(ls: Seq[String]) = ls.map { l =>
+      val a = l.split(" ")
+      require(a.length == 3, s"corrupt bin-state line in $path: '$l'")
+      a(0).toLong -> (a(1).toLong, a(2).toLong)
+    }.toMap
+    val rest = lines.tail
+    require(rest.headOption.contains("pre"), s"corrupt tx bin-state $path")
+    val (preLs, postSec) = rest.tail.span(_ != "post")
+    require(postSec.headOption.contains("post"),
+      s"corrupt tx bin-state $path")
+    Some((id, parse(preLs), parse(postSec.tail)))
   }
 
   /** Atomic open-bin checkpoint: one `bucket seq fill` line per bin,

@@ -718,6 +718,55 @@ class StreamingSpec extends GraftSuite {
     assert(g4 == Set((106L, 0L, 1L, 12L)), s"stateless recipe re-anchors: $g4")
   }
 
+  test("curationShardRecipeTx: batch-id-keyed commit makes a mid-batch crash replay idempotent") {
+    val s = spark
+    import s.implicits._
+    val ref = (0 until 9).map { i =>
+      val v = Array.fill(4)(0f); v(i % 3) = 1f; v(3) = 0.001f * i
+      (i.toLong, ("tok " * (4 + i)).trim, v.toSeq)
+    }.toDF("doc_id", "text", "embedding")
+    val novel = { val v = Array.fill(4)(0f); v(3) = 1f; v.toSeq }
+    val longText = ("tok " * 12).trim
+    val dir = java.nio.file.Files.createTempDirectory("txbinstate").toString
+    val sp = s"$dir/bins.tx"
+    def mk() = GraphStream.curationShardRecipeTx(ref, "doc_id", "text",
+      "embedding", pNum = 1, pDen = 4, k = 3, iters = 2, theta = 0.9,
+      vocab = 4, window = 30L, nBuckets = 1, statePath = sp)
+    def pack(recipe: (org.apache.spark.sql.DataFrame, Long) => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        id: Long, docs: Seq[(Long, String, Seq[Float])]) =
+      recipe(docs.toDF("doc_id", "text", "embedding"), id)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = mk()
+    val b0 = pack(a, 0L, Seq((102L, longText, novel)))
+    val b1 = pack(a, 1L, Seq((104L, longText, novel)))
+    assert(b0 == Set((102L, 0L, 1L, 12L)) && b1 == Set((104L, 0L, 1L, 12L)),
+      s"open bin must span batches: $b0 / $b1")
+    // crash AFTER batch 1's state commit but BEFORE the sink commit:
+    // Spark replays batch 1 with the same id into a REBUILT recipe.
+    // The post-batch form would seed from batch 1's post-state and
+    // double-advance; the tx form seeds from its pre-state and
+    // reproduces the identical assignment
+    val b = mk()
+    val b1r = pack(b, 1L, Seq((104L, longText, novel)))
+    assert(b1r == b1, s"replayed batch must be byte-identical: $b1r vs $b1")
+    // and the stream then continues exactly like the uninterrupted run
+    // (12+12+12 > 30: batch 2's doc overflows to seq 2)
+    val b2 = pack(b, 2L, Seq((105L, longText, novel)))
+    assert(b2 == Set((105L, 0L, 2L, 12L)), s"post-replay continuation: $b2")
+    // an id BEHIND the committed frontier is a mispaired checkpoint —
+    // refused loudly
+    val err = intercept[IllegalArgumentException] {
+      pack(mk(), 0L, Seq((106L, longText, novel)))
+    }
+    assert(err.getMessage.contains("older than the committed frontier"))
+    // a post-batch-format state file is refused (no batch id — a
+    // replay would be indistinguishable from an advance)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sp), "0 1 12\n")
+    val err2 = intercept[IllegalArgumentException] { mk() }
+    assert(err2.getMessage.contains("not a transactional bin-state file"))
+  }
+
   test("rankEvalIngestMonitor: per-batch integer summaries equal the batch form; degraded batch reads lower") {
     val s = spark
     import s.implicits._
