@@ -853,6 +853,28 @@ object SparkEntry {
           (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
             .as("recall_gate"))
     }),
+    // the FULL three-way mining composition (IVF × PQ × exact): probe
+    // masks prune WHICH codes the candidate scan scores (nprobe 12 of
+    // 16, mine_ivf's measured knobs), ADC prunes what scoring a code
+    // COSTS, exact integer re-rank owns margins and argmax; gated
+    // in-plan at >= 85% argmax overlap vs the exact miner like both
+    // single-pruning arms
+    "q_embed_margin_mine_pq_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val srcE = e.where(col("vec_id") % 2 === 0)
+      val tgtE = e.where(col("vec_id") % 2 === 1)
+      val exact = VectorOps.marginMiningQuantized(srcE, tgtE,
+        "vec_id", "embedding", k = 4)
+      val pqIvf = VectorOps.marginMiningPq(srcE, tgtE,
+        "vec_id", "embedding", k = 4, cand = 16, ivfNlist = 16,
+        nprobe = 12)
+      val nInter = exact.join(pqIvf, Seq("src_id", "tgt_id"), "left_semi")
+        .agg(count(lit(1)).as("_ni"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
+        .select(col("n_exact"),
+          (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
+            .as("recall_gate"))
+    }),
     // the STANDING-artifact mining path (the streaming arm's batch
     // half): backward sums pinned once from the reference source
     // corpus, the batch mined against them at threshold 0 — with
@@ -3140,6 +3162,12 @@ object SparkEntry {
     // the exact miner's pair count and pins the in-plan >= 85%
     // argmax-overlap outcome
     "q_embed_margin_mine_pq" -> (marginCtes +
+      " SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
+      "CAST(1.0 AS DOUBLE) AS recall_gate FROM pf"),
+    // full IVF x PQ composition gate: identical oracle form — the
+    // exact miner's pair count is the cross-engine truth, the engine
+    // measures its doubly-pruned path against it in-plan
+    "q_embed_margin_mine_pq_ivf" -> (marginCtes +
       " SELECT CAST(count(*) AS BIGINT) AS n_exact, " +
       "CAST(1.0 AS DOUBLE) AS recall_gate FROM pf"),
     // the mutual-best (CCMatrix "max") criterion: forward argmax AND

@@ -1128,19 +1128,25 @@ object VectorOps {
     * [[calibrateRefine]] knob): ADC mis-ranks inside the pool are
     * harmless as long as the true top-k survive the cut.
     *
-    * Candidate generation composes with IVF at scale (use the probed
-    * [[pqKnnJoinIvf]] mask — cluster id as a partition column — when
-    * the corpus no longer broadcast-batches); this entry point keeps
-    * the two-stage arithmetic itself pinned and spec-gated.
+    * Candidate generation composes with IVF at scale: pass
+    * `ivfNlist > 0` (with a calibrated `nprobe`) and stage 1 runs the
+    * probed [[pqKnnJoinIvf]] mask — cluster pruning decides WHICH
+    * codes are scored, ADC decides what scoring a code COSTS, and the
+    * exact integer re-rank still owns every exposed number. With
+    * `nprobe == ivfNlist` the masks cover the corpus and the output
+    * is bit-equal to the unpruned form (spec-pinned).
     *
     * Output: `(src_id, tgt_id, margin_q)` — the [[marginMiningIvf]]
     * contract with sums over the PQ-refined candidate sets.
     */
   def marginMiningPq(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int, cand: Int, m: Int = 8,
-      ks: Int = 256): DataFrame = {
+      ks: Int = 256, ivfNlist: Int = 0, nprobe: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cand >= k, s"cand must be >= k, got cand=$cand k=$k")
+    require(ivfNlist >= 0, s"ivfNlist must be >= 0, got $ivfNlist")
+    require(ivfNlist == 0 || (nprobe >= 1 && nprobe <= ivfNlist),
+      s"nprobe must be in [1, ivfNlist], got nprobe=$nprobe ivfNlist=$ivfNlist")
     import org.apache.spark.sql.expressions.Window
     // top-`cand` ADC candidates of each query over the other side's
     // codes, re-ranked to top-k on the exact integer dot
@@ -1149,8 +1155,14 @@ object VectorOps {
       val cRen = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
       val qRen = queries.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
       val (model, enc) = trainEncodePqCached(cRen, "_pv", m, ks)
-      val pool = pqKnnJoin(enc, qRen, "_pv", "_pid", k = cand, model,
-        refine = 1, excludeSelf = false)
+      val pool =
+        if (ivfNlist == 0)
+          pqKnnJoin(enc, qRen, "_pv", "_pid", k = cand, model,
+            refine = 1, excludeSelf = false)
+        else
+          pqKnnJoinIvf(enc, qRen, "_pv", "_pid", k = cand, model,
+            trainIvfCached(cRen, "_pv", ivfNlist), nprobe,
+            refine = 1, excludeSelf = false)
       val qU = stagedUnitCached(queries.select(col(idCol), col(vecCol)),
           idCol, vecCol)
         .select(col(idCol).cast("long").as("query_id"), col("_uq").as("_qu"))

@@ -2300,6 +2300,35 @@ class SearchSpec extends GraftSuite {
     df.unpersist()
   }
 
+  test("marginMiningPq with IVF masks: full probe bit-equals the unpruned form; pruned probe is deterministic") {
+    val df = vecs(240, 16).cache()
+    val srcE = df.where(col("_id") % 2 === 0).select(col("_id").as("vec_id"),
+      col("emb").as("embedding"))
+    val tgtE = df.where(col("_id") % 2 === 1).select(col("_id").as("vec_id"),
+      col("emb").as("embedding"))
+    def run(nlist: Int, np: Int, s: org.apache.spark.sql.DataFrame = srcE) =
+      VectorOps.marginMiningPq(s, tgtE, "vec_id", "embedding",
+        k = 4, cand = 16, ivfNlist = nlist, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe == nlist: every mask covers the corpus, the candidate
+    // pool is the unpruned pool, pairs AND margins bit-equal
+    val unpruned = run(0, 0)
+    assert(run(8, 8) == unpruned,
+      "full-probe IVF masks must not change the mined set")
+    // pruned (the production shape): deterministic across
+    // partitionings, and still a subset-quality pool the in-plan
+    // overlap gate measures (recall asserted by the query's gate, not
+    // a flaky bound here)
+    val pruned = run(8, 4)
+    assert(run(8, 4, srcE.repartition(7)) == pruned,
+      "partitioning must not change the IVF-pruned mined set")
+    intercept[IllegalArgumentException] {
+      VectorOps.marginMiningPq(srcE, tgtE, "vec_id", "embedding",
+        k = 4, cand = 16, ivfNlist = 8, nprobe = 0)
+    }
+    df.unpersist()
+  }
+
   test("appendText stays EXACTLY fresh under repeated heavy appends — no staleness to gate") {
     // The vector tiers carry an append-drift gate because IVF
     // centroids are a LOSSY trained artifact (appends degrade recall
