@@ -209,6 +209,13 @@ object VectorOps {
     * cannot flip a candidate the way last-ULP cosine drift did.
     */
   def intDotCol(a: Column, b: Column): Column =
+    graft.functions.IntDotProduct(a, b)
+
+  /** The composable HOF reference formulation of [[intDotCol]] — the
+    * contract the fused expression is parity-pinned against (and the
+    * form any plain-Spark reader can replay without this library).
+    */
+  private[graft] def intDotColHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Deterministic ±1 sign for the random projection: parity of the

@@ -1804,6 +1804,80 @@ class SearchSpec extends GraftSuite {
       s"interpreted $interp != codegen $fromDf")
   }
 
+  test("IntDotProduct fused expression: bit-equal with the HOF fold, null/overflow contract, interpreted parity") {
+    val s = spark
+    import s.implicits._
+    // value parity over adversarial longs: negatives, zeros, mixed
+    // magnitudes up to the mu-unit ceiling (1e6) and beyond
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 48).map { i =>
+      (i.toLong, Array.fill(24)(
+        (rnd.nextLong() % 2000003L) * (if (i % 5 == 0) 1L else 7L)))
+    }
+    val pairs = base.flatMap { case (ia, va) =>
+      base.take(6).map { case (ib, vb) => (ia * 100 + ib, va, vb) } }
+    val both = pairs.toDF("pid", "va", "vb").select(col("pid"),
+      VectorOps.intDotCol(col("va"), col("vb")).as("fused"),
+      VectorOps.intDotColHof(col("va"), col("vb")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"pid ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+    // null contract: null array, null element, length mismatch (both
+    // directions), empty arrays -> the HOF's exact outcomes
+    val edge = Seq(
+      (1L, Array(1L, 2L), null.asInstanceOf[Array[Long]]),
+      (3L, Array(1L, 2L), Array(3L, 4L, 5L)),
+      (4L, Array(1L, 2L, 3L), Array(3L, 4L)),
+      (5L, Array.empty[Long], Array.empty[Long])
+    ).toDF("pid", "va", "vb")
+      .union(Seq((2L, Seq(Some(1L), None), Seq(Some(3L), Some(4L))))
+        .toDF("pid", "va", "vb"))
+    val er = edge.select(col("pid"),
+      VectorOps.intDotCol(col("va"), col("vb")).as("fused"),
+      VectorOps.intDotColHof(col("va"), col("vb")).as("hof"))
+      .collect()
+    er.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"pid ${r.getLong(0)}: fused null=${r.isNullAt(1)} hof null=${r.isNullAt(2)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"pid ${r.getLong(0)}: $r")
+    }
+    assert(er.find(_.getLong(0) == 5L).exists(r => !r.isNullAt(1) &&
+      r.getLong(1) == 0L), "empty arrays must fold to the zero element")
+    // ANSI overflow parity: a product past 2^63 throws in BOTH forms
+    // (loud, never wraps) — even with an earlier null pair, because
+    // zip_with materializes every product before the fold
+    val ovr = Seq((9L, Seq(Some(1L), Some(Long.MaxValue)),
+      Seq(None: Option[Long], Some(2L)))).toDF("pid", "va", "vb")
+    intercept[Exception] {
+      ovr.select(VectorOps.intDotCol(col("va"), col("vb"))).collect()
+    }
+    intercept[Exception] {
+      ovr.select(VectorOps.intDotColHof(col("va"), col("vb"))).collect()
+    }
+    // ...but a sum that would only overflow AFTER a null pair stays
+    // null-poisoned and silent in both forms
+    val post = Seq((11L, Seq(None: Option[Long], Some(Long.MaxValue), Some(Long.MaxValue)),
+      Seq(Some(1L), Some(1L), Some(1L)))).toDF("pid", "va", "vb")
+    val pr = post.select(VectorOps.intDotCol(col("va"), col("vb")).as("f"),
+      VectorOps.intDotColHof(col("va"), col("vb")).as("h")).collect()
+    assert(pr.head.isNullAt(0) && pr.head.isNullAt(1),
+      s"post-null sums must poison, not throw: ${pr.head}")
+    // interpreted eval matches the codegen'd result
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.types._
+    val (_, va0, vb0) = pairs.head
+    val lit1 = CatLit.create(va0, ArrayType(LongType, false))
+    val lit2 = CatLit.create(vb0, ArrayType(LongType, false))
+    val interp = graft.functions.IntDotProduct(lit1, lit2)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    assert(interp == both.find(_.getLong(0) == pairs.head._1).get.getLong(1),
+      "interpreted eval diverges from codegen")
+  }
+
   test("kthNeighborScore: brute-replayed scores, planted outlier ranks last") {
     val s = spark
     import s.implicits._
