@@ -1478,18 +1478,39 @@ object Dedup {
           shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
       .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    boundedKeyPairs(banded, Seq("bi", "bk"), "_e", cap = cap)
-      .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
-        col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
-      // the struct ordering above is by (id, hash), so a duplicate-id
-      // input (a re-ingested row) could pair with itself on the id
-      // level; the explicit guard keeps the id-level contract the
-      // per-modality implementations had
+    // pair generation runs the COMPILED block loop
+    // (functions.HammingBlockPairs), not the generic join: a hot band
+    // value (low-entropy hash bits — measured 5600 of 6664 frame
+    // hashes sharing one 16-bit band on the media corpus, ~31M
+    // candidates) would pay Spark's per-row production cost for every
+    // candidate the XOR+popcount immediately discards; here blocks
+    // arrive as cap-bounded (id, hash) arrays — the boundedKeyPairs
+    // grouping and sub-bucket split verbatim, same memory guarantee —
+    // and only Hamming survivors become rows. The id-level guard
+    // keeps the duplicate-id contract the join formulation had.
+    val counts = banded.groupBy(col("bi"), col("bk"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+    val withN = banded.join(counts, Seq("bi", "bk"))
+    val gen = (a: Column, b: Column, self: Column) =>
+      graft.functions.HammingBlockPairs(a, b, self, lit(false), lit(maxHam))
+    val small = withN.where(col("_n") <= cap)
+      .groupBy(col("bi"), col("bk"))
+      .agg(sort_array(collect_list(col("_e"))).as("_arr"))
+      .select(gen(col("_arr"), col("_arr"), lit(true)))
+    val buckets = withN.where(col("_n") > cap)
+      .withColumn("_nb", ceil(col("_n") / lit(cap.toDouble)).cast("int"))
+      .withColumn("_bkt", pmod(hash(col("_e")), col("_nb")))
+      .groupBy(col("bi"), col("bk"), col("_bkt"))
+      .agg(sort_array(collect_list(col("_e"))).as("_arr"))
+    val big = buckets.select(col("bi"), col("bk"),
+        col("_bkt").as("_p"), col("_arr").as("_aa"))
+      .join(buckets.select(col("bi"), col("bk"),
+        col("_bkt").as("_q"), col("_arr").as("_ab")), Seq("bi", "bk"))
+      .where(col("_p") <= col("_q"))
+      .select(gen(col("_aa"), col("_ab"), col("_p") === col("_q")))
+    small.unionByName(big)
       .where(col("id_a") =!= col("id_b"))
-      .withColumn("hamming",
-        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
-      .where(col("hamming") <= maxHam)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** [[simhash]] memoized per (canonicalized source plan, textCol,
@@ -1552,14 +1573,32 @@ object Dedup {
           shiftright(col(hashCol), b * bandBits).bitwiseAND(mask).as("bk"))
       }: _*)).as("_b"))
       .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
-    boundedCrossPairs(banded(hashesA), banded(hashesB),
-        Seq("bi", "bk"), "_e", cap = cap)
-      .select(col("id_a.i").as("id_a"), col("id_b.i").as("id_b"),
-        col("id_a.s").as("_sa"), col("id_b.s").as("_sb")).distinct()
-      .withColumn("hamming",
-        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
-      .where(col("hamming") <= maxHam)
-      .select("id_a", "id_b", "hamming")
+    // the compiled-block discipline of bandedHammingPairs, cross-side:
+    // per-key bucket arrays from both sides (the boundedCrossPairs
+    // sub-bucket split — na x nb block rows per key, each block
+    // cap-bounded), the inner key join prunes keys absent on either
+    // side before any array builds, and the generator emits only
+    // Hamming survivors with id_a always from side A (oriented mode —
+    // no within-side pairs by construction)
+    val bA = banded(hashesA); val bB = banded(hashesB)
+    val meta = bA.groupBy(col("bi"), col("bk")).agg(count(lit(1)).as("_cna"))
+      .join(bB.groupBy(col("bi"), col("bk")).agg(count(lit(1)).as("_cnb")),
+        Seq("bi", "bk"))
+      .select(col("bi"), col("bk"),
+        ceil(col("_cna") / lit(cap.toDouble)).cast("int").as("_na"),
+        ceil(col("_cnb") / lit(cap.toDouble)).cast("int").as("_nb"))
+    val aBuckets = bA.join(meta, Seq("bi", "bk"))
+      .withColumn("_p", pmod(hash(col("_e")), col("_na")))
+      .groupBy(col("bi"), col("bk"), col("_p"))
+      .agg(collect_list(col("_e")).as("_aa"))
+    val bBuckets = bB.join(meta, Seq("bi", "bk"))
+      .withColumn("_q", pmod(hash(col("_e")), col("_nb")))
+      .groupBy(col("bi"), col("bk"), col("_q"))
+      .agg(collect_list(col("_e")).as("_ab"))
+    aBuckets.join(bBuckets, Seq("bi", "bk"))
+      .select(graft.functions.HammingBlockPairs(col("_aa"), col("_ab"),
+        lit(false), lit(true), lit(maxHam)))
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** SimHash near-dup candidate pairs: equal 15-bit band (4 bands) then
