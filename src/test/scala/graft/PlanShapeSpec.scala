@@ -340,17 +340,31 @@ class PlanShapeSpec extends GraftSuite {
     // plans must stay in the banded shape — a regression to an
     // unbanded pair join (cartesian / SortMergeJoin explosion) fails
     // here, not in the bench diff.
-    val budgets: Seq[(String, Int, Boolean)] = Seq(
-      ("q_media_cross", 5, true),
-      ("q_media_video_neardup_wf", 3, true),
-      ("q_media_dhash_pairs", 3, true),
-      ("q_media_thumb_pairs", 5, true),
-      ("q_media_cross_video_mf", 6, true))
-    budgets.foreach { case (name, maxShuffles, needsBroadcast) =>
+    // maxSmj: the cross-corpus banded paths join the two sides'
+    // cap-bounded bucket-ARRAY frames on the band key — an
+    // aggregate x aggregate join that rides the SAME (bi, bk) shuffle
+    // as the aggs (zero extra exchange, co-partitioned), so it plans
+    // as ONE mid-stage SortMergeJoin AQE has no boundary stats to
+    // convert. That co-partitioned SMJ is the plan we'd WANT at
+    // 100 TB (neither side is broadcastable when both corpora are
+    // large); the unbanded-explosion regression this pin exists for
+    // would blow the shuffle budget, not hide in it.
+    // (budgets hold for BOTH suite orders: a cold-cache isolated run
+    // carries the media-artifact build exchanges that a full-suite
+    // run's warmed TableCache absorbs, and the cache boundary also
+    // decides whether AQE gets the stats to broadcast the block join)
+    val budgets: Seq[(String, Int, Boolean, Int)] = Seq(
+      ("q_media_cross", 5, true, 1),
+      ("q_media_video_neardup_wf", 5, true, 1),
+      ("q_media_dhash_pairs", 5, true, 1),
+      ("q_media_thumb_pairs", 5, true, 1),
+      ("q_media_cross_video_mf", 6, true, 1))
+    budgets.foreach { case (name, maxShuffles, needsBroadcast, maxSmj) =>
       val prof = planProfile(SparkEntry.queries(name)(spark, dir))
       assert(prof("shuffle") <= maxShuffles,
         s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
-      assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      assert(prof("smj") <= maxSmj,
+        s"$name regressed to SortMergeJoin: $prof")
       if (needsBroadcast)
         assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
     }
