@@ -94,29 +94,43 @@ case class HammingBlockPairs(left: Expression, right: Expression,
     val (idsA, hsA) = unpack(aRaw.asInstanceOf[ArrayData])
     val (idsB, hsB) =
       if (isSelf) (idsA, hsA) else unpack(bRaw.asInstanceOf[ArrayData])
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var i = 0
-    while (i < idsA.length) {
-      var j = if (isSelf) i + 1 else 0
-      while (j < idsB.length) {
-        val d = java.lang.Long.bitCount(hsA(i) ^ hsB(j))
-        if (d <= mh) {
-          // self blocks arrive sorted, so i < j IS struct order; an
-          // unoriented cross block sorts the pair by (id, hash) —
-          // both match the join formulation's least/greatest contract
-          val swap = !isSelf && !oriented &&
-            (idsB(j) < idsA(i) ||
-              (idsB(j) == idsA(i) && hsB(j) < hsA(i)))
-          val (ia, ib) =
-            if (swap) (idsB(j), idsA(i)) else (idsA(i), idsB(j))
-          out += new GenericInternalRow(
-            Array[Any](ia, ib, d))
+    // LAZY emission: a dense block (the hot-band case this generator
+    // exists for) can have millions of survivors — buffering them per
+    // block would reintroduce the memory spike the cap bounds exist
+    // to prevent. The iterator scans with O(1) state.
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = if (isSelf) 1 else 0
+      private var nextRow: InternalRow = null
+      private def advance(): Unit = {
+        while (nextRow == null && i < idsA.length) {
+          while (nextRow == null && j < idsB.length) {
+            val d = java.lang.Long.bitCount(hsA(i) ^ hsB(j))
+            if (d <= mh) {
+              // self blocks arrive sorted, so i < j IS struct order;
+              // an unoriented cross block sorts the pair by
+              // (id, hash) — both match the join formulation's
+              // least/greatest contract
+              val swap = !isSelf && !oriented &&
+                (idsB(j) < idsA(i) ||
+                  (idsB(j) == idsA(i) && hsB(j) < hsA(i)))
+              val (ia, ib) =
+                if (swap) (idsB(j), idsA(i)) else (idsA(i), idsB(j))
+              nextRow = new GenericInternalRow(Array[Any](ia, ib, d))
+            }
+            j += 1
+          }
+          if (nextRow == null) { i += 1; j = if (isSelf) i + 1 else 0 }
         }
-        j += 1
       }
-      i += 1
+      override def hasNext: Boolean = { advance(); nextRow != null }
+      override def next(): InternalRow = {
+        advance()
+        val r = nextRow; nextRow = null
+        if (r == null) throw new NoSuchElementException
+        r
+      }
     }
-    out
   }
 
   override protected def withNewChildrenInternal(
