@@ -60,6 +60,29 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** One-pass hit counting for the self-gating queries: counts
+    * `exact`'s rows and how many of them also appear in `approx` (by
+    * `keys`) in a SINGLE aggregation over ONE evaluation of `exact`.
+    * The previous shape (`exact.join(approx, keys, "left_semi").agg`
+    * crossJoined with `exact.agg`) referenced the exact subtree —
+    * usually the expensive arm, e.g. the corpus×corpus exact miner —
+    * in two branches of a join, and Catalyst performs no cross-branch
+    * CSE, so every gate paid for its exact arm twice. `approx` must be
+    * key-unique (top-k / argmax / distinct-pair outputs all are), so
+    * the left join preserves exact's row multiplicity and
+    * `count(_hit)` equals the semi-join count. Output: one row
+    * (`_total`, `_hits`[, `n_queries` when `countQueries`]).
+    */
+  private def gateCounts(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String], countQueries: Boolean = false): DataFrame = {
+    val marked = approx.select(keys.map(col) :+ lit(1).as("_hit"): _*)
+    val joined = exact.join(marked, keys, "left")
+    val aggs = Seq(count(col("_hit")).as("_hits")) ++
+      (if (countQueries) Seq(count_distinct(col(keys.head)).as("n_queries"))
+       else Nil)
+    joined.agg(count(lit(1)).as("_total"), aggs: _*)
+  }
+
   /** The one run + qrels construction q_eval_rank and q_eval_summary
     * share (a drift between the per-query report and its summary would
     * pass both oracles individually): knn top-10 over the sub-32 query
@@ -386,10 +409,8 @@ object SparkEntry {
         k = 10, excludeSelf = false)
       val approx = VectorOps.knnJoinIvf(e, queries, "embedding", "vec_id",
         k = 10, model, np, excludeSelf = false)
-      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count_distinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("_total"))
-        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+      gateCounts(exact, approx, Seq("query_id", "neighbor_id"),
+          countQueries = true)
         .select(col("n_queries"),
           (col("_hits").cast("double") / col("_total") >= 0.9)
             .cast("double").as("recall_gate"))
@@ -419,10 +440,8 @@ object SparkEntry {
         k = 10, excludeSelf = false)
       val approx = VectorOps.pqKnnJoin(enc, queries, "embedding", "vec_id",
         k = 10, model, refine = refine, excludeSelf = false)
-      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count_distinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("_total"))
-        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+      gateCounts(exact, approx, Seq("query_id", "neighbor_id"),
+          countQueries = true)
         .select(col("n_queries"),
           lit(model.compressionX).as("compression_x"),
           (col("_hits").cast("double") / col("_total") >= 0.9)
@@ -448,10 +467,8 @@ object SparkEntry {
         k = 10, excludeSelf = false)
       val approx = VectorOps.pqKnnJoin(enc, queries, "rotemb", "vec_id",
         k = 10, model, refine = refine, excludeSelf = false)
-      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count_distinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("_total"))
-        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+      gateCounts(exact, approx, Seq("query_id", "neighbor_id"),
+          countQueries = true)
         .select(col("n_queries"),
           (col("_hits").cast("double") / col("_total") >= 0.9)
             .cast("double").as("recall_gate"))
@@ -480,10 +497,8 @@ object SparkEntry {
         k = 10, excludeSelf = false)
       val approx = VectorOps.pqKnnJoinIvf(enc, queries, "embedding", "vec_id",
         k = 10, pq, ivf, nprobe = np, refine = refine, excludeSelf = false)
-      val matched = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-      exact.agg(count_distinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("_total"))
-        .crossJoin(matched.agg(count(lit(1)).as("_hits")))
+      gateCounts(exact, approx, Seq("query_id", "neighbor_id"),
+          countQueries = true)
         .select(col("n_queries"),
           (col("_hits").cast("double") / col("_total") >= 0.9)
             .cast("double").as("recall_gate"))
@@ -825,11 +840,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 4)
       val ivf = VectorOps.marginMiningIvf(srcE, tgtE,
         "vec_id", "embedding", k = 4, nlist = 16, nprobe = 12)
-      val nInter = exact.join(ivf, Seq("src_id", "tgt_id"), "left_semi")
-        .agg(count(lit(1)).as("_ni"))
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
-        .select(col("n_exact"),
-          (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
+      gateCounts(exact, ivf, Seq("src_id", "tgt_id"))
+        .select(col("_total").as("n_exact"),
+          (col("_hits") * 100L >= col("_total") * 85L).cast("double")
             .as("recall_gate"))
     }),
     // the TWO-STAGE refinement (mine_ivf's open case — probed clusters
@@ -846,11 +859,9 @@ object SparkEntry {
         "vec_id", "embedding", k = 4)
       val pq = VectorOps.marginMiningPq(srcE, tgtE,
         "vec_id", "embedding", k = 4, cand = 16)
-      val nInter = exact.join(pq, Seq("src_id", "tgt_id"), "left_semi")
-        .agg(count(lit(1)).as("_ni"))
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
-        .select(col("n_exact"),
-          (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
+      gateCounts(exact, pq, Seq("src_id", "tgt_id"))
+        .select(col("_total").as("n_exact"),
+          (col("_hits") * 100L >= col("_total") * 85L).cast("double")
             .as("recall_gate"))
     }),
     // the FULL three-way mining composition (IVF × PQ × exact): probe
@@ -868,11 +879,9 @@ object SparkEntry {
       val pqIvf = VectorOps.marginMiningPq(srcE, tgtE,
         "vec_id", "embedding", k = 4, cand = 16, ivfNlist = 16,
         nprobe = 12)
-      val nInter = exact.join(pqIvf, Seq("src_id", "tgt_id"), "left_semi")
-        .agg(count(lit(1)).as("_ni"))
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
-        .select(col("n_exact"),
-          (col("_ni") * 100L >= col("n_exact") * 85L).cast("double")
+      gateCounts(exact, pqIvf, Seq("src_id", "tgt_id"))
+        .select(col("_total").as("n_exact"),
+          (col("_hits") * 100L >= col("_total") * 85L).cast("double")
             .as("recall_gate"))
     }),
     // the STANDING-artifact mining path (the streaming arm's batch
@@ -958,12 +967,18 @@ object SparkEntry {
     // (singletons by definition)
     "q_embed_knn_components" -> ((s, d) => {
       val e = emb(s, d)
+      // mutual-kNN via ONE pass: a pair is mutual iff BOTH directed
+      // edges exist, i.e. its canonical form appears exactly twice in
+      // the kNN list — one aggregation instead of a self-join whose two
+      // branches each re-ran the whole O(n·corpus) top-k kernel scan
+      // (the kNN subtree appeared twice in the plan; no CSE across
+      // join inputs)
       val kn = VectorOps.intKnnJoin(e, e, "vec_id", "embedding", k = 4)
-        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-      val mutual = kn
-        .join(kn.select(col("id_a").as("id_b"), col("id_b").as("id_a")),
-          Seq("id_a", "id_b"))
-        .where(col("id_a") < col("id_b"))
+        .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+          greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+      val mutual = kn.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("_m"))
+        .where(col("_m") === 2).select("id_a", "id_b")
       GraphAlgos.connectedComponents(mutual)
         .select(col("node_id").as("vec_id"), col("component_id"))
     }),
@@ -981,11 +996,9 @@ object SparkEntry {
       val dist = VectorOps.knnJoinDistributed(e, q, "embedding", "vec_id",
         k = 5, model, nprobe = np)
       val exact = VectorOps.knnJoin(e, q, "embedding", "vec_id", k = 5)
-      val nInter = exact.join(dist, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("_ni"))
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
-        .select(col("n_exact"),
-          (col("_ni") >= col("n_exact") * 0.9).cast("double").as("recall_gate"))
+      gateCounts(exact, dist, Seq("query_id", "neighbor_id"))
+        .select(col("_total").as("n_exact"),
+          (col("_hits") >= col("_total") * 0.9).cast("double").as("recall_gate"))
     }),
 
     // ---- training-data pipeline: text analysis (extension)
@@ -1183,11 +1196,9 @@ object SparkEntry {
         bruteForce = Some(false))
       val exactPairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id", 0.98,
         bruteForce = Some(true))
-      val nInter = exactPairs.join(ivfPairs, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("_ni"))
-      exactPairs.agg(count(lit(1)).as("n_exact")).crossJoin(nInter)
-        .select(col("n_exact"),
-          (col("_ni") >= col("n_exact") * 0.9).cast("double").as("recall_gate"))
+      gateCounts(exactPairs, ivfPairs, Seq("id_a", "id_b"))
+        .select(col("_total").as("n_exact"),
+          (col("_hits") >= col("_total") * 0.9).cast("double").as("recall_gate"))
     }),
     "q_doc_split" -> ((s, d) =>
       Curation.splitAssign(docs(s, d), "doc_id",

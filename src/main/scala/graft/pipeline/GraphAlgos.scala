@@ -727,7 +727,21 @@ object GraphAlgos {
     */
   def twoHopStats(edges: DataFrame,
       maxNeighborDf: Int = Int.MaxValue): DataFrame = {
-    val lp = linkPredictionScores(edges, minCommon = 1, maxNeighborDf)
+    // [[linkPredictionScores]]' wedge candidates WITHOUT its per-pair
+    // degree joins — the degree columns are dropped here, so computing
+    // them joined two deg frames against the (large) pair frame for
+    // nothing; distance-2 pairs need only distinct non-adjacent wedge
+    // pairs (same boundedKeyPairs hub discipline, same anti-join)
+    val und = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+    val adj = und.select(col("_dst").as("_w"), col("_src").as("_u")).distinct()
+    val wedgePairs = Dedup.boundedKeyPairs(adj, Seq("_w"), "_u",
+        maxKeyDf = maxNeighborDf)
+      .select("id_a", "id_b").distinct()
+    val canonEdges = edges.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"))
+    val lp = wedgePairs.join(canonEdges, Seq("id_a", "id_b"), "left_anti")
     val two = lp.select(col("id_a").as("node_id"))
       .unionAll(lp.select(col("id_b").as("node_id")))
       .groupBy("node_id").agg(count(lit(1)).as("n_2hop"))
