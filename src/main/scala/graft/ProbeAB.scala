@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.search.VectorOps
+import graft.pipeline.{Dedup, GraphAlgos, Multimodal}
 
 /** Intra-JVM A/B measurement harness: times an old formulation against
   * its replacement INTERLEAVED in one SparkSession (GC'd noop-sink
@@ -79,9 +80,110 @@ object ProbeAB {
       else gateNew(exact, ivf, Seq("src_id", "tgt_id"))
     }
 
+    def docsDf = s.read.parquet(s"$d/documents.parquet")
+
+    // --- r16 second-session probes ---
+    // triangle corner count: 3-way unionAll of the closure join (old)
+    // vs one explode pass (new); the co-occurrence projection is the
+    // shared cached input, so the probe isolates the tail
+    def triEdges = GraphAlgos.coOccurrenceCached(
+      s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_partkey") % 20 === 0)
+        .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+      "p", "o")
+    def triOld: DataFrame = {
+      val edges = triEdges
+      val deg = edges.select(col("id_a").as("node_id"))
+        .unionAll(edges.select(col("id_b").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("degree"))
+      val withDeg = edges
+        .join(deg.select(col("node_id").as("id_a"), col("degree").as("_da")), "id_a")
+        .join(deg.select(col("node_id").as("id_b"), col("degree").as("_db")), "id_b")
+      val lowFirst = col("_da") < col("_db") ||
+        (col("_da") === col("_db") && col("id_a") < col("id_b"))
+      val oriented = withDeg.select(
+        when(lowFirst, col("id_a")).otherwise(col("id_b")).as("_lo"),
+        when(lowFirst, struct(col("_db").as("d"), col("id_b").as("i")))
+          .otherwise(struct(col("_da").as("d"), col("id_a").as("i"))).as("_hiK"))
+        .select(col("_lo"), col("_hiK"), col("_hiK").getField("i").as("_hi"))
+      val w1 = oriented.select(col("_lo"), col("_hiK").as("_vK"), col("_hi").as("_v"))
+      val w2 = oriented.select(col("_lo"), col("_hiK").as("_wK"), col("_hi").as("_w"))
+      val wedges = w1.join(w2, Seq("_lo")).where(col("_vK") < col("_wK"))
+        .select(col("_lo"), col("_v"), col("_w"))
+      val closing = oriented.select(col("_lo").as("_v"), col("_hi").as("_w"))
+      val tris = wedges.join(closing, Seq("_v", "_w"))
+      tris.select(col("_lo").as("node_id"))
+        .unionAll(tris.select(col("_v").as("node_id")))
+        .unionAll(tris.select(col("_w").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+    }
+    def triNew: DataFrame = GraphAlgos.triangleCounts(triEdges)
+
+    // banded Hamming cross (multi-frame video): legacy emit-all
+    // generator + survivor `.distinct()` (old) vs first-agreeing-band
+    // emission, no dedup shuffle (new); frame hashes ride the shared
+    // media cache on both sides
+    def mfSides: (DataFrame, DataFrame) = {
+      val base = docsDf.select("doc_id")
+      val batch = Multimodal.mediaFromIdsCached(
+        base.select((col("doc_id") + 9000).as("doc_id")), "doc_id",
+        only = Some("video"))
+      val corpus = Multimodal.mediaFromIdsCached(base, "doc_id",
+        only = Some("video"))
+      def fh(df: DataFrame) = Multimodal.videoFrameHashes63(df, 8).select(
+        (col("media_id") * 64 + col("frame_slot")).as("_fid"),
+        col("fhash").as("_h"))
+      (fh(batch), fh(corpus))
+    }
+    def crossMfOld: DataFrame = {
+      val (hashesA, hashesB) = mfSides
+      val (bands, bandBits, maxHam, cap) = (4, 16, 3, Dedup.MaxClusterBlock)
+      val mask = (1L << bandBits) - 1
+      def banded(hs: DataFrame) = hs.select(
+        struct(col("_fid").as("i"), col("_h").as("s")).as("_e"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("bi"),
+            shiftright(col("_h"), b * bandBits).bitwiseAND(mask).as("bk"))
+        }: _*)).as("_b"))
+        .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
+      val bA = banded(hashesA); val bB = banded(hashesB)
+      val meta = bA.groupBy(col("bi"), col("bk")).agg(count(lit(1)).as("_cna"))
+        .join(bB.groupBy(col("bi"), col("bk")).agg(count(lit(1)).as("_cnb")),
+          Seq("bi", "bk"))
+        .select(col("bi"), col("bk"),
+          ceil(col("_cna") / lit(cap.toDouble)).cast("int").as("_na"),
+          ceil(col("_cnb") / lit(cap.toDouble)).cast("int").as("_nb"))
+      val aBuckets = bA.join(meta, Seq("bi", "bk"))
+        .withColumn("_p", pmod(hash(col("_e")), col("_na")))
+        .groupBy(col("bi"), col("bk"), col("_p"))
+        .agg(collect_list(col("_e")).as("_aa"))
+      val bBuckets = bB.join(meta, Seq("bi", "bk"))
+        .withColumn("_q", pmod(hash(col("_e")), col("_nb")))
+        .groupBy(col("bi"), col("bk"), col("_q"))
+        .agg(collect_list(col("_e")).as("_ab"))
+      aBuckets.join(bBuckets, Seq("bi", "bk"))
+        .select(graft.functions.HammingBlockPairs(col("_aa"), col("_ab"),
+          lit(false), lit(true), lit(maxHam)))
+        .select("id_a", "id_b", "hamming").distinct()
+        .select(shiftright(col("id_a"), 6).as("id_a"),
+          shiftright(col("id_b"), 6).as("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_matched"))
+        .where(col("n_matched") >= 2)
+    }
+    def crossMfNew: DataFrame = {
+      val base = docsDf.select("doc_id")
+      Multimodal.videoMultiFrameCrossPairs(
+        Multimodal.mediaFromIdsCached(
+          base.select((col("doc_id") + 9000).as("doc_id")), "doc_id",
+          only = Some("video")),
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")),
+        maxHam = 3, k = 8, minMatches = 2)
+    }
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
-      ("mine_pq", () => minePq(true), () => minePq(false)),
-      ("mine_ivf", () => mineIvf(true), () => mineIvf(false)))
+      ("tri", () => triOld, () => triNew),
+      ("cross_mf", () => crossMfOld, () => crossMfNew))
 
     pairs.foreach { case (_, a, b) => time(a()); time(b()) }
     val reps = args.headOption.map(_.toInt).getOrElse(5)

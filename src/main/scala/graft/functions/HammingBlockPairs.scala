@@ -36,13 +36,33 @@ import org.apache.spark.sql.types._
   * Output rows: `(id_a, id_b, hamming)` with `hamming <= maxHam`.
   * Same-id pairs are emitted (the caller's id-level guard owns that
   * contract, as it always did).
+  *
+  * Cross-band dedup (`nBands > 1`): a pair within Hamming `maxHam`
+  * agrees on up to `nBands` band keys and its block therefore shows
+  * up once PER agreeing band — the join formulation paid a full
+  * `.distinct()` shuffle of the survivor volume to collapse those.
+  * With the band geometry (`bandIdx` = this block's band, `bandBits`,
+  * `nBands`) the generator emits the pair only from its FIRST
+  * agreeing band (lowest index with a zero XOR band — computable from
+  * the two hashes it already holds), so the output is globally
+  * duplicate-free BY CONSTRUCTION and no dedup shuffle exists at all.
+  * Exactness: the pair sits in this block precisely because band
+  * `bandIdx` agrees, so a first agreeing band always exists and is
+  * unique — each surviving pair is emitted exactly once across all
+  * bands. With `nBands <= 1` every survivor is emitted (the legacy
+  * single-banding mode). Callers must key elements by UNIQUE ids
+  * (all do: doc/media/vec ids, `clip*64+slot` composites) — with
+  * duplicate (id, hash) elements the pair emits once per ELEMENT
+  * pair, where the old distinct collapsed equal (id, id, hamming)
+  * triples.
   */
 case class HammingBlockPairs(left: Expression, right: Expression,
-    selfBlock: Expression, orient: Expression, maxHam: Expression)
+    selfBlock: Expression, orient: Expression, maxHam: Expression,
+    bandIdx: Expression, bandBits: Expression, nBands: Expression)
     extends Expression with Generator with CodegenFallback {
 
   override def children: Seq[Expression] =
-    Seq(left, right, selfBlock, orient, maxHam)
+    Seq(left, right, selfBlock, orient, maxHam, bandIdx, bandBits, nBands)
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("id_a", LongType, nullable = false),
@@ -59,13 +79,14 @@ case class HammingBlockPairs(left: Expression, right: Expression,
     }
     if (okArr(left.dataType) && okArr(right.dataType) &&
         selfBlock.dataType == BooleanType && orient.dataType == BooleanType &&
-        maxHam.dataType == IntegerType)
+        maxHam.dataType == IntegerType && bandIdx.dataType == IntegerType &&
+        bandBits.dataType == IntegerType && nBands.dataType == IntegerType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"hamming_block_pairs needs two array<struct<long,long>> blocks " +
-          s"($elem), boolean selfBlock/orient and int maxHam; got " +
-          s"${children.map(_.dataType)}")
+          s"($elem), boolean selfBlock/orient and int maxHam/bandIdx/" +
+          s"bandBits/nBands; got ${children.map(_.dataType)}")
   }
 
   private def unpack(a: ArrayData): (Array[Long], Array[Long]) = {
@@ -91,6 +112,14 @@ case class HammingBlockPairs(left: Expression, right: Expression,
     val mh = mhRaw.asInstanceOf[Int]
     val isSelf = selfRaw.asInstanceOf[Boolean]
     val oriented = orientRaw != null && orientRaw.asInstanceOf[Boolean]
+    val biRaw = bandIdx.eval(input)
+    val bitsRaw = bandBits.eval(input)
+    val nbRaw = nBands.eval(input)
+    if (biRaw == null || bitsRaw == null || nbRaw == null) return Nil
+    val bIdx = biRaw.asInstanceOf[Int]
+    val bits = bitsRaw.asInstanceOf[Int]
+    val nb = nbRaw.asInstanceOf[Int]
+    val bandMask = if (bits >= 64) -1L else (1L << bits) - 1
     val (idsA, hsA) = unpack(aRaw.asInstanceOf[ArrayData])
     val (idsB, hsB) =
       if (isSelf) (idsA, hsA) else unpack(bRaw.asInstanceOf[ArrayData])
@@ -105,8 +134,19 @@ case class HammingBlockPairs(left: Expression, right: Expression,
       private def advance(): Unit = {
         while (nextRow == null && i < idsA.length) {
           while (nextRow == null && j < idsB.length) {
-            val d = java.lang.Long.bitCount(hsA(i) ^ hsB(j))
-            if (d <= mh) {
+            val x = hsA(i) ^ hsB(j)
+            val d = java.lang.Long.bitCount(x)
+            // first-agreeing-band rule: emit only from the lowest band
+            // whose key matches (nb <= 1 keeps legacy emit-always)
+            var firstBand = true
+            if (d <= mh && nb > 1) {
+              var b = 0
+              while (b < bIdx && firstBand) {
+                if (((x >>> (b * bits)) & bandMask) == 0L) firstBand = false
+                b += 1
+              }
+            }
+            if (d <= mh && firstBand) {
               // self blocks arrive sorted, so i < j IS struct order;
               // an unoriented cross block sorts the pair by
               // (id, hash) — both match the join formulation's
@@ -137,13 +177,26 @@ case class HammingBlockPairs(left: Expression, right: Expression,
       newChildren: IndexedSeq[Expression]): HammingBlockPairs =
     copy(left = newChildren(0), right = newChildren(1),
       selfBlock = newChildren(2), orient = newChildren(3),
-      maxHam = newChildren(4))
+      maxHam = newChildren(4), bandIdx = newChildren(5),
+      bandBits = newChildren(6), nBands = newChildren(7))
 }
 
 object HammingBlockPairs {
-  /** Column-level entry point (use inside a `select`, like explode). */
+  /** Column-level entry point (use inside a `select`, like explode).
+    * Single-band legacy mode: every survivor emitted. */
   def apply(a: Column, b: Column, selfBlock: Column, orient: Column,
       maxHam: Column): Column =
+    apply(a, b, selfBlock, orient, maxHam,
+      org.apache.spark.sql.functions.lit(0),
+      org.apache.spark.sql.functions.lit(64),
+      org.apache.spark.sql.functions.lit(1))
+
+  /** Banded mode: with `nBands > 1`, each surviving pair is emitted
+    * only from its first agreeing band — globally duplicate-free. */
+  def apply(a: Column, b: Column, selfBlock: Column, orient: Column,
+      maxHam: Column, bandIdx: Column, bandBits: Column,
+      nBands: Column): Column =
     toColumn(HammingBlockPairs(toExpression(a), toExpression(b),
-      toExpression(selfBlock), toExpression(orient), toExpression(maxHam)))
+      toExpression(selfBlock), toExpression(orient), toExpression(maxHam),
+      toExpression(bandIdx), toExpression(bandBits), toExpression(nBands)))
 }

@@ -1491,12 +1491,19 @@ object Dedup {
     val counts = banded.groupBy(col("bi"), col("bk"))
       .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
     val withN = banded.join(counts, Seq("bi", "bk"))
-    val gen = (a: Column, b: Column, self: Column) =>
-      graft.functions.HammingBlockPairs(a, b, self, lit(false), lit(maxHam))
+    // first-agreeing-band emission (the generator's banded mode) makes
+    // the output duplicate-free across bands BY CONSTRUCTION — the
+    // former `.distinct()` was a full extra shuffle of the survivor
+    // volume spent collapsing cross-band copies (§2.4 of the
+    // optimization guide: remove shuffles outright). Exact because
+    // every caller keys elements by unique ids (scaladoc contract).
+    val gen = (a: Column, b: Column, self: Column, bi: Column) =>
+      graft.functions.HammingBlockPairs(a, b, self, lit(false), lit(maxHam),
+        bi, lit(bandBits), lit(bands))
     val small = withN.where(col("_n") <= cap)
       .groupBy(col("bi"), col("bk"))
       .agg(sort_array(collect_list(col("_e"))).as("_arr"))
-      .select(gen(col("_arr"), col("_arr"), lit(true)))
+      .select(gen(col("_arr"), col("_arr"), lit(true), col("bi")))
     val buckets = withN.where(col("_n") > cap)
       .withColumn("_nb", ceil(col("_n") / lit(cap.toDouble)).cast("int"))
       .withColumn("_bkt", pmod(hash(col("_e")), col("_nb")))
@@ -1507,10 +1514,10 @@ object Dedup {
       .join(buckets.select(col("bi"), col("bk"),
         col("_bkt").as("_q"), col("_arr").as("_ab")), Seq("bi", "bk"))
       .where(col("_p") <= col("_q"))
-      .select(gen(col("_aa"), col("_ab"), col("_p") === col("_q")))
+      .select(gen(col("_aa"), col("_ab"), col("_p") === col("_q"), col("bi")))
     small.unionByName(big)
       .where(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b", "hamming").distinct()
+      .select("id_a", "id_b", "hamming")
   }
 
   /** [[simhash]] memoized per (canonicalized source plan, textCol,
@@ -1595,10 +1602,14 @@ object Dedup {
       .withColumn("_q", pmod(hash(col("_e")), col("_nb")))
       .groupBy(col("bi"), col("bk"), col("_q"))
       .agg(collect_list(col("_e")).as("_ab"))
+    // first-agreeing-band emission: duplicate-free across bands by
+    // construction (see bandedHammingPairs), so no `.distinct()`
+    // shuffle over the survivor volume
     aBuckets.join(bBuckets, Seq("bi", "bk"))
       .select(graft.functions.HammingBlockPairs(col("_aa"), col("_ab"),
-        lit(false), lit(true), lit(maxHam)))
-      .select("id_a", "id_b", "hamming").distinct()
+        lit(false), lit(true), lit(maxHam),
+        col("bi"), lit(bandBits), lit(bands)))
+      .select("id_a", "id_b", "hamming")
   }
 
   /** SimHash near-dup candidate pairs: equal 15-bit band (4 bands) then

@@ -108,8 +108,7 @@ object GraphAlgos {
     * table with a zero-fill if isolated vertices matter).
     */
   def degrees(edges: DataFrame): DataFrame =
-    edges.select(col("id_a").as("node_id"))
-      .unionAll(edges.select(col("id_b").as("node_id")))
+    edges.select(explode(array(col("id_a"), col("id_b"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
 
   /** Connected components: `(node_id, component_id)` with the
@@ -208,9 +207,13 @@ object GraphAlgos {
     // close the wedge: an oriented edge _v -> _w must exist
     val closing = oriented.select(col("_lo").as("_v"), col("_hi").as("_w"))
     val tris = wedges.join(closing, Seq("_v", "_w"))
-    tris.select(col("_lo").as("node_id"))
-      .unionAll(tris.select(col("_v").as("node_id")))
-      .unionAll(tris.select(col("_w").as("node_id")))
+    // ONE evaluation of the wedge+closure join: the former
+    // 3-way unionAll referenced `tris` in three plan branches, and
+    // Catalyst performs no cross-branch CSE — the closure join's
+    // probe stage ran three times (exchanges reused, join work not).
+    // explode(array(...)) emits the three corners from a single pass.
+    tris.select(explode(array(col("_lo"), col("_v"), col("_w")))
+        .as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
   }
 
@@ -691,6 +694,28 @@ object GraphAlgos {
     */
   def linkPredictionScores(edges: DataFrame, minCommon: Long = 1,
       maxNeighborDf: Int = Int.MaxValue): DataFrame = {
+    val deg = degrees(edges)
+    // `minCommon` filters AFTER the shared frame (filter and anti-join
+    // commute), so every minCommon reads the same cached candidates
+    wedgeCnCached(edges, maxNeighborDf)
+      .where(col("cn") >= minCommon)
+      .join(deg.select(col("node_id").as("id_a"), col("degree").as("deg_a")),
+        "id_a")
+      .join(deg.select(col("node_id").as("id_b"), col("degree").as("deg_b")),
+        "id_b")
+      .select("id_a", "id_b", "cn", "deg_a", "deg_b")
+  }
+
+  /** Non-adjacent wedge pairs with common-neighbor counts —
+    * `(id_a, id_b, cn)` with `id_a < id_b`, every pair at distance
+    * exactly 2 (shares >= 1 neighbor, no edge) — THE candidate frame
+    * both [[linkPredictionScores]] and [[twoHopStats]] rank/aggregate
+    * over. Hub discipline via [[Dedup.boundedKeyPairs]]' `maxKeyDf`;
+    * the anti-join runs against ORIENTATION-CANONICALIZED edges (cn
+    * pairs are emitted id_a < id_b, so an edge stored as (b, a) must
+    * still exclude its pair).
+    */
+  private def wedgeCn(edges: DataFrame, maxNeighborDf: Int): DataFrame = {
     val und = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
       .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
     val adj = und.select(col("_dst").as("_w"), col("_src").as("_u")).distinct()
@@ -698,22 +723,46 @@ object GraphAlgos {
         maxKeyDf = maxNeighborDf)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("cn"))
-      .where(col("cn") >= minCommon)
-    val deg = degrees(edges)
-    // anti-join against ORIENTATION-CANONICALIZED edges: cn pairs are
-    // emitted id_a < id_b, so an edge stored as (b, a) must still
-    // exclude its pair (every other op here normalizes via the und
-    // union; the anti-join needs the same discipline)
     val canonEdges = edges.select(
       least(col("id_a"), col("id_b")).as("id_a"),
       greatest(col("id_a"), col("id_b")).as("id_b"))
     cn.join(canonEdges, Seq("id_a", "id_b"), "left_anti")
-      .join(deg.select(col("node_id").as("id_a"), col("degree").as("deg_a")),
-        "id_a")
-      .join(deg.select(col("node_id").as("id_b"), col("degree").as("deg_b")),
-        "id_b")
-      .select("id_a", "id_b", "cn", "deg_a", "deg_b")
   }
+
+  /** [[wedgeCn]] pinned like [[coOccurrenceCached]] (plan-keyed FIFO,
+    * MEMORY_AND_DISK, eviction unpersists): the wedge-candidate frame
+    * of a graph is write-time material shared by the whole
+    * link-prediction/fan-out family — link prediction and 2-hop stats
+    * over one projection used to regenerate the identical candidate
+    * set per query (the r16 "not yet optimized" item).
+    */
+  def wedgeCnCached(edges: DataFrame, maxNeighborDf: Int = Int.MaxValue): DataFrame = {
+    val key = (Dedup.planKey(edges), maxNeighborDf)
+    var built: DataFrame = null
+    val e = wedgeCache.synchronized {
+      val hit = wedgeCache.get(key)
+      if (hit != null) hit
+      else {
+        built = wedgeCn(edges, maxNeighborDf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wedgeCache.put(key, built)
+        built
+      }
+    }
+    if (e eq built) e.count()
+    e
+  }
+
+  private val WedgeCacheMax = 8
+  private val wedgeCache =
+    new java.util.LinkedHashMap[(String, Int), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), DataFrame]): Boolean = {
+        val evict = size() > WedgeCacheMax
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
 
   /** Per-node neighborhood fan-out profile: degree and the count of
     * nodes at distance EXACTLY 2 — `(node_id, degree, n_2hop)`. THE
@@ -727,23 +776,15 @@ object GraphAlgos {
     */
   def twoHopStats(edges: DataFrame,
       maxNeighborDf: Int = Int.MaxValue): DataFrame = {
-    // [[linkPredictionScores]]' wedge candidates WITHOUT its per-pair
-    // degree joins — the degree columns are dropped here, so computing
-    // them joined two deg frames against the (large) pair frame for
-    // nothing; distance-2 pairs need only distinct non-adjacent wedge
-    // pairs (same boundedKeyPairs hub discipline, same anti-join)
-    val und = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
-      .unionAll(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
-    val adj = und.select(col("_dst").as("_w"), col("_src").as("_u")).distinct()
-    val wedgePairs = Dedup.boundedKeyPairs(adj, Seq("_w"), "_u",
-        maxKeyDf = maxNeighborDf)
-      .select("id_a", "id_b").distinct()
-    val canonEdges = edges.select(
-      least(col("id_a"), col("id_b")).as("id_a"),
-      greatest(col("id_a"), col("id_b")).as("id_b"))
-    val lp = wedgePairs.join(canonEdges, Seq("id_a", "id_b"), "left_anti")
-    val two = lp.select(col("id_a").as("node_id"))
-      .unionAll(lp.select(col("id_b").as("node_id")))
+    // the SHARED cached wedge-candidate frame ([[wedgeCnCached]] —
+    // one persisted build serves this and link prediction); the cn
+    // counts ride along unread (the grouped count IS the distinct
+    // the old form computed separately). One evaluation of the
+    // candidates via explode (the 2-way unionAll ran the pair subtree
+    // twice — same class as triangleCounts' fix).
+    val lp = wedgeCnCached(edges, maxNeighborDf)
+    val two = lp.select(explode(array(col("id_a"), col("id_b")))
+        .as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_2hop"))
     degrees(edges)
       .join(two, Seq("node_id"), "left")

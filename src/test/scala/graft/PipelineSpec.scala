@@ -2601,6 +2601,44 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("banded pair paths emit each pair exactly ONCE without a dedup shuffle") {
+    val s = spark
+    import s.implicits._
+    // identical hashes agree on ALL 4 bands: the join formulation
+    // produced 4 cross-band candidate copies and paid a `.distinct()`
+    // to collapse them; first-agreeing-band emission must yield
+    // exactly one ROW (multiplicity, not set membership — the old
+    // spec's `.toSet` would mask regressions here)
+    val h = 0x0123456789ABCDL
+    val self = Seq((1L, h), (2L, h), (3L, h ^ 3L), // Hamming 2 from h
+        (9L, 0x7EDCBA987654321L)) // far from everything
+      .toDF("id", "h")
+    val rows = Dedup.bandedHammingPairs(self, "id", "h",
+        bands = 4, bandBits = 16, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == rows.toSet.size,
+      s"duplicate emissions: ${rows.toSeq.sorted.mkString(",")}")
+    assert(rows.toSet == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)))
+    // cross form: A row matching a B row on all bands emits once,
+    // oriented (id_a from side A)
+    val a = Seq((10L, h)).toDF("id", "h")
+    val b = Seq((20L, h), (21L, h ^ 1L)).toDF("id", "h")
+    val cross = Dedup.bandedHammingCrossPairs(a, b, "id", "h",
+        bands = 4, bandBits = 16, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(cross.length == cross.toSet.size,
+      s"duplicate cross emissions: ${cross.toSeq.sorted.mkString(",")}")
+    assert(cross.toSet == Set((10L, 20L, 0), (10L, 21L, 1)))
+    // and the survivor-side plan carries no deduplicating exchange:
+    // banding contributes exactly the grouping aggregates, never a
+    // distinct over emitted pairs
+    val plan = Dedup.bandedHammingPairs(self, "id", "h",
+      bands = 4, bandBits = 16, maxHam = 3)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Deduplicate"),
+      s"unexpected dedup of generator output:\n$plan")
+  }
+
   test("winnowing: shared runs >= k+w-1 tokens always share a fingerprint") {
     val s = spark
     import s.implicits._
