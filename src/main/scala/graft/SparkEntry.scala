@@ -1301,7 +1301,11 @@ object SparkEntry {
     // space, pack greedily within each topic — same deterministic
     // first-fit mechanics, (cluster, seq) addresses the sequence
     "q_doc_pack_sem" -> ((s, d) => {
-      val asgn = VectorOps.kmeansQuantized(emb(s, d), "vec_id",
+      // cached k-means halves (trainIvfCached rule): the k=8 topic
+      // assignment is write-time material shared by the whole
+      // cluster-keyed family — pack_sem/topics/prune/budget re-trained
+      // the identical Lloyd fit per query before this
+      val asgn = VectorOps.kmeansQuantizedCached(emb(s, d), "vec_id",
         "embedding", k = 8, iters = 2)
         .withColumnRenamed("vec_id", "doc_id")
       val dd = docs(s, d).join(asgn, "doc_id")
@@ -2010,9 +2014,15 @@ object SparkEntry {
     // µ-unit integer distances and truncating-div means, ties to the
     // lower cluster — the replay-exact topic-clustering primitive; the
     // oracle unrolls both rounds as MATERIALIZED CTEs
+    // cached CENTROIDS only + a fresh assignment scan: this query's
+    // whole result IS the assignment, so (unlike the downstream
+    // cluster-keyed queries) the frame itself stays uncached — every
+    // invocation recomputes the scan from parquet; only the
+    // deterministic Lloyd fit (a k×dim driver artifact) is shared
     "q_embed_kmeans" -> ((s, d) =>
-      VectorOps.kmeansQuantized(emb(s, d), "vec_id", "embedding",
-        k = 8, iters = 2)),
+      VectorOps.kmeansAssignQuantized(emb(s, d), "vec_id", "embedding",
+        VectorOps.kmeansCentroidsCached(emb(s, d), "vec_id", "embedding",
+          k = 8, iters = 2))),
     // topic labels for the semantic clusters: each k-means block's 3
     // most characteristic terms by CLUSTER-level tf-idf (df counts
     // clusters containing the term) — embeddings and documents share
@@ -2020,8 +2030,8 @@ object SparkEntry {
     // text corpus; the human-readable half of SemDeDup/curation-mix
     // decisions over the same blocks
     "q_embed_cluster_topics" -> ((s, d) => {
-      val asgn = VectorOps.kmeansQuantized(emb(s, d), "vec_id", "embedding",
-        k = 8, iters = 2)
+      val asgn = VectorOps.kmeansQuantizedCached(emb(s, d), "vec_id",
+        "embedding", k = 8, iters = 2)
       val dd = docs(s, d)
         .join(asgn.withColumnRenamed("vec_id", "doc_id"), "doc_id")
       TextAnalysis.groupKeywordReport(dd, "cluster", "text", k = 3)
@@ -2031,8 +2041,9 @@ object SparkEntry {
     // integer distance-to-centroid the assignment itself selected on,
     // floor allocation via the all-integer r·den <= n·num compare
     "q_embed_proto_prune" -> ((s, d) =>
-      VectorOps.prototypicalityPrune(emb(s, d), "vec_id", "embedding",
-        k = 8, iters = 2, keepNum = 3, keepDen = 4)),
+      VectorOps.prototypicalityPruneSeeded(emb(s, d), "vec_id", "embedding",
+        VectorOps.kmeansCentroidsCached(emb(s, d), "vec_id", "embedding",
+          k = 8, iters = 2), keepNum = 3, keepDen = 4)),
     // topic-balanced token-budget assembly: the cluster-level form of
     // q_doc_budget_select — per k-means block, HARDEST-first (the
     // prototypicality rank) prefix under a uniform token budget. The
@@ -2040,8 +2051,9 @@ object SparkEntry {
     // can't eat the whole mix; embeddings and documents share the
     // 0..n-1 key space, so scores join straight onto token counts
     "q_embed_cluster_budget" -> ((s, d) => {
-      val scores = VectorOps.prototypicalityScores(emb(s, d), "vec_id",
-        "embedding", k = 8, iters = 2)
+      val scores = VectorOps.prototypicalityScoresSeeded(emb(s, d), "vec_id",
+        "embedding", VectorOps.kmeansCentroidsCached(emb(s, d), "vec_id",
+          "embedding", k = 8, iters = 2))
       val toks = TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
         .select(col("doc_id").as("vec_id"), col("n_tokens"))
       Curation.tokenBudgetSelect(scores.join(toks, "vec_id"),
@@ -2059,16 +2071,23 @@ object SparkEntry {
     // each (source, cluster) cell keeps its own hardest 3/4 — the
     // sharded-by-tenant deployment shape of q_embed_proto_prune
     "q_embed_proto_prune_src" -> ((s, d) => {
+      // centroids from the SHARED cached fit over the plain embedding
+      // corpus — the 1:1 source join doesn't change the training rows
+      // (the oracle's own kmeansAsgnCtes train on embeddings alone),
+      // and training on the joined plan forked a second identical
+      // Lloyd fit under a different cache key
       val e = emb(s, d).join(docs(s, d)
         .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
-      VectorOps.prototypicalityPruneBy(e, "vec_id", "embedding",
-        "source", k = 8, iters = 2, keepNum = 3, keepDen = 4)
+      VectorOps.prototypicalityPruneBySeeded(e, "vec_id", "embedding",
+        "source", VectorOps.kmeansCentroidsCached(emb(s, d), "vec_id",
+          "embedding", k = 8, iters = 2), keepNum = 3, keepDen = 4)
     }),
     // per-(source, cluster) token budgets: the tenant-sharded form of
     // the topic-balanced assembly — one window, composite key
     "q_embed_cluster_budget_src" -> ((s, d) => {
-      val scores = VectorOps.prototypicalityScores(emb(s, d), "vec_id",
-        "embedding", k = 8, iters = 2)
+      val scores = VectorOps.prototypicalityScoresSeeded(emb(s, d), "vec_id",
+        "embedding", VectorOps.kmeansCentroidsCached(emb(s, d), "vec_id",
+          "embedding", k = 8, iters = 2))
       val toks = TextAnalysis.qualityReport(docs(s, d), "doc_id", "text")
         .select(col("doc_id").as("vec_id"), col("n_tokens"))
       val src = docs(s, d).select(col("doc_id").as("vec_id"), col("source"))

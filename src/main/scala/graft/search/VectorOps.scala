@@ -2673,6 +2673,19 @@ object VectorOps {
     pruneScores(prototypicalityScoresSeeded(df, idCol, vecCol, cents),
       idCol, keepNum, keepDen)
 
+  /** [[prototypicalityPruneBy]] against an already-trained centroid
+    * table — so the grouped (per-tenant) form can score with the SAME
+    * shared centroids as the global family instead of re-training
+    * Lloyd on its joined frame (the centroid space is global by
+    * design; only the keep windows are per-group). */
+  private[graft] def prototypicalityPruneBySeeded(df: DataFrame,
+      idCol: String, vecCol: String, grpCol: String,
+      cents: Array[Seq[Long]], keepNum: Int, keepDen: Int): DataFrame =
+    pruneScoresBy(
+      prototypicalityScoresSeeded(df, idCol, vecCol, cents)
+        .join(df.select(col(idCol), col(grpCol)), idCol :: Nil),
+      idCol, Seq(grpCol, "cluster"), keepNum, keepDen)
+
   /** Embedding-space isotropy diagnostic (Mu & Viswanath 2018 /
     * Ethayarajh 2019: anisotropic spaces — all vectors sharing a
     * dominant direction — degrade cosine retrieval and clustering;

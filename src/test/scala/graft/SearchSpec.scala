@@ -1591,6 +1591,14 @@ class SearchSpec extends GraftSuite {
       }.toSet
     assert(keptBy == expectedBy,
       s"per-group keep set $keptBy vs hand-ranked $expectedBy")
+    // the seeded-by form with externally trained centroids (the shared
+    // write-time fit the query family rides) must equal the
+    // train-inline form — same global centroid space, same windows
+    val keptBySeeded = VectorOps.prototypicalityPruneBySeeded(grouped,
+      "vec_id", "embedding", "tenant", cents, keepNum = 1, keepDen = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptBySeeded == expectedBy,
+      s"seeded per-group keep set $keptBySeeded vs $expectedBy")
   }
 
   test("isotropyReport: integer hand replay, determinism, over-cap sample refuses") {
