@@ -181,7 +181,113 @@ object ProbeAB {
         maxHam = 3, k = 8, minMatches = 2)
     }
 
+    // image near-dup: legacy emit-all + distinct (old) vs first-band
+    // emission (new) — the bench read 1.44 -> 3.41 on a loaded box;
+    // this probe decides load vs regression
+    def imgHashes = {
+      val base = docsDf.select("doc_id")
+      Multimodal.aHash63(Multimodal.mediaFromIdsCached(base, "doc_id",
+        only = Some("image"))).where(col("ahash").isNotNull)
+    }
+    def bandedSelfOld(hs0: DataFrame, idC: String, hC: String): DataFrame = {
+      val (bands, bandBits, maxHam, cap) = (4, 16, 3, Dedup.MaxClusterBlock)
+      val mask = (1L << bandBits) - 1
+      val banded = hs0.select(
+        struct(col(idC).as("i"), col(hC).as("s")).as("_e"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("bi"),
+            shiftright(col(hC), b * bandBits).bitwiseAND(mask).as("bk"))
+        }: _*)).as("_b"))
+        .select(col("_e"), col("_b.bi").as("bi"), col("_b.bk").as("bk"))
+      val counts = banded.groupBy(col("bi"), col("bk"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+      val withN = banded.join(counts, Seq("bi", "bk"))
+      val gen = (a: Column, b: Column, self: Column) =>
+        graft.functions.HammingBlockPairs(a, b, self, lit(false), lit(maxHam))
+      val small = withN.where(col("_n") <= cap)
+        .groupBy(col("bi"), col("bk"))
+        .agg(sort_array(collect_list(col("_e"))).as("_arr"))
+        .select(gen(col("_arr"), col("_arr"), lit(true)))
+      val buckets = withN.where(col("_n") > cap)
+        .withColumn("_nb", ceil(col("_n") / lit(cap.toDouble)).cast("int"))
+        .withColumn("_bkt", pmod(hash(col("_e")), col("_nb")))
+        .groupBy(col("bi"), col("bk"), col("_bkt"))
+        .agg(sort_array(collect_list(col("_e"))).as("_arr"))
+      val big = buckets.select(col("bi"), col("bk"),
+          col("_bkt").as("_p"), col("_arr").as("_aa"))
+        .join(buckets.select(col("bi"), col("bk"),
+          col("_bkt").as("_q"), col("_arr").as("_ab")), Seq("bi", "bk"))
+        .where(col("_p") <= col("_q"))
+        .select(gen(col("_aa"), col("_ab"), col("_p") === col("_q")))
+      small.unionByName(big)
+        .where(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b", "hamming").distinct()
+    }
+    def imgOld: DataFrame = bandedSelfOld(imgHashes, "media_id", "ahash")
+    def imgNew: DataFrame = Multimodal.imageNearDupPairs(
+      Multimodal.mediaFromIdsCached(docsDf.select("doc_id"), "doc_id",
+        only = Some("image")), maxHam = 3)
+
+    // star-contraction CC: the old groupBy+join round body (inline,
+    // verbatim) vs the window-based round body now in dupClustersStar;
+    // driven through the q_doc_dup_clusters_star pair generator
+    def ccPairs: DataFrame = {
+      val ids = docsDf.select(col("doc_id"))
+      ids.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .where(col("id_a") % 40 =!= 39)
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    }
+    def ccOld: DataFrame = {
+      val pairs0 = ccPairs
+      val store = new graft.pipeline.Scratch.FrameStore(s)
+      val nodes = store.keep(pairs0.select(col("id_a").as("id"))
+        .union(pairs0.select(col("id_b").as("id"))).distinct())
+      var edges = store.keep(pairs0
+        .select(greatest(col("id_a"), col("id_b")).as("u"),
+          least(col("id_a"), col("id_b")).as("v"))
+        .where(col("u") =!= col("v")).distinct())
+      def sig(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var prev = sig(edges)
+      var round = 0
+      var converged = false
+      while (!converged && round < 30) {
+        val bidir = edges.select(col("u"), col("v"))
+          .union(edges.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = bidir.groupBy(col("u"))
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        val ls = bidir.join(lsMin, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .where(col("u") =!= col("v")).distinct()
+        val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val ss = store.keep(ls.join(ssMin, "u")
+          .select(explode(array(
+            struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("e"))
+          .select(greatest(col("e.a"), col("e.b")).as("u"),
+            least(col("e.a"), col("e.b")).as("v"))
+          .where(col("u") =!= col("v")).distinct())
+        val cur = sig(ss)
+        converged = cur == prev
+        prev = cur
+        edges = ss
+        round += 1
+      }
+      val out = graft.pipeline.Scratch.stable(
+        nodes.join(edges, nodes("id") === edges("u"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("v"), col("id")).as("cluster_id")))
+      store.release()
+      out
+    }
+    def ccNew: DataFrame = Dedup.dupClustersStar(ccPairs)
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("cc_star", () => ccOld, () => ccNew),
+      ("img_neardup", () => imgOld, () => imgNew),
       ("tri", () => triOld, () => triNew),
       ("cross_mf", () => crossMfOld, () => crossMfNew))
 

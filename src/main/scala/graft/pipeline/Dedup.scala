@@ -1384,19 +1384,33 @@ object Dedup {
     var prev = sig(edges)
     var round = 0
     var converged = false
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     while (!converged && round < maxIter) {
+      // Round shape: the old form computed each star's neighborhood
+      // minimum as a groupBy + equi-join back onto the edge frame —
+      // two operators, the frame referenced in two plan branches (the
+      // join probe re-ran per branch; no cross-branch CSE) — plus a
+      // redundant mid-round distinct. A partition window attaches the
+      // group min in ONE pass over ONE exchange (§2.4: window keyed
+      // like the aggregation needs no second shuffle), the explode
+      // replaces the self-union, and the one terminal distinct
+      // canonicalizes the round (the dropped `ls` distinct was
+      // correctness-free: the window min is duplicate-insensitive and
+      // duplicate survivors die in the terminal distinct anyway).
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
-      val bidir = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = bidir.groupBy(col("u"))
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val ls = bidir.join(lsMin, "u").where(col("v") > col("u"))
+      val bidir = edges.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("_e"))
+        .select(col("_e.u").as("u"), col("_e.v").as("v"))
+      val ls = bidir
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
       // small-star on (u > v) orientation: u and all its smaller
       // neighbors link to the minimum of that closed neighborhood
-      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = store.keep(ls.join(ssMin, "u")
+      val ss = store.keep(ls
+        .withColumn("m", min(col("v")).over(wU))
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
           struct(col("u").as("a"), col("m").as("b")))).as("e"))
