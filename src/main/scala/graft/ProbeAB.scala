@@ -135,8 +135,7 @@ object ProbeAB {
         col("fhash").as("_h"))
       (fh(batch), fh(corpus))
     }
-    def crossMfOld: DataFrame = {
-      val (hashesA, hashesB) = mfSides
+    def oldCrossPairs(hashesA: DataFrame, hashesB: DataFrame): DataFrame = {
       val (bands, bandBits, maxHam, cap) = (4, 16, 3, Dedup.MaxClusterBlock)
       val mask = (1L << bandBits) - 1
       def banded(hs: DataFrame) = hs.select(
@@ -165,6 +164,10 @@ object ProbeAB {
         .select(graft.functions.HammingBlockPairs(col("_aa"), col("_ab"),
           lit(false), lit(true), lit(maxHam)))
         .select("id_a", "id_b", "hamming").distinct()
+    }
+    def crossMfOld: DataFrame = {
+      val (hashesA, hashesB) = mfSides
+      oldCrossPairs(hashesA, hashesB)
         .select(shiftright(col("id_a"), 6).as("id_a"),
           shiftright(col("id_b"), 6).as("id_b"))
         .groupBy("id_a", "id_b")
@@ -285,7 +288,37 @@ object ProbeAB {
     }
     def ccNew: DataFrame = Dedup.dupClustersStar(ccPairs)
 
+    // thumbnail cross pairs: the bench flagged a possible mover here
+    def thumbSides: (DataFrame, DataFrame) = {
+      val base = docsDf.select("doc_id")
+      val ih = Multimodal.aHash63(Multimodal.mediaFromIdsCached(base,
+          "doc_id", only = Some("image")))
+        .where(col("ahash").isNotNull)
+        .select(col("media_id").as("_fid"), col("ahash").as("_h"))
+      val fh = Multimodal.videoFrameHashes63(
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")), 8)
+        .select((col("media_id") * 64 + col("frame_slot")).as("_fid"),
+          col("fhash").as("_h"))
+      (ih, fh)
+    }
+    def thumbOld: DataFrame = {
+      val (ih, fh) = thumbSides
+      oldCrossPairs(ih, fh)
+        .select(col("id_a").as("image_id"),
+          shiftright(col("id_b"), 6).as("video_id"), col("hamming"))
+        .groupBy("image_id", "video_id")
+        .agg(min(col("hamming")).cast("int").as("best_hamming"))
+    }
+    def thumbNew: DataFrame = {
+      val base = docsDf.select("doc_id")
+      Multimodal.thumbnailPairs(
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("image")),
+        Multimodal.mediaFromIdsCached(base, "doc_id", only = Some("video")),
+        maxHam = 3, k = 8)
+    }
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("thumb", () => thumbOld, () => thumbNew),
       ("cc_star", () => ccOld, () => ccNew),
       ("img_neardup", () => imgOld, () => imgNew),
       ("tri", () => triOld, () => triNew),

@@ -599,8 +599,17 @@ class PlanShapeSpec extends GraftSuite {
       assert(prof("shuffle") <= maxShuffles,
         s"$name shuffles ${prof("shuffle")} > budget $maxShuffles ($prof)")
       assert(prof("smj") == 0, s"$name regressed to SortMergeJoin: $prof")
+      // the broadcast guard exists to catch a small side silently
+      // regressing to a shuffle join — an ALL-EMPTY profile is not
+      // that: it means AQE empty-propagated the entire serve plan
+      // (q_graph_linkpred at sf0.001 has zero cn>=2 survivors, and
+      // the cached wedge frame's known row count lets AQE collapse
+      // every downstream join to an empty local relation)
+      val anyPlanWork =
+        prof("shuffle") + prof("smj") + prof("bhj") + prof("broadcast")
       if (needsBroadcast)
-        assert(prof("bhj") >= 1, s"$name lost its broadcast join: $prof")
+        assert(prof("bhj") >= 1 || anyPlanWork == 0,
+          s"$name lost its broadcast join: $prof")
     }
   }
 
