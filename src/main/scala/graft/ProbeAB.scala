@@ -317,7 +317,22 @@ object ProbeAB {
         maxHam = 3, k = 8)
     }
 
+    // keep-set dedup: per-query pairs+CC rebuild (old) vs the shared
+    // memoized cluster table (new); first new rep pays the build, the
+    // median reads the steady state every later consumer sees
+    def keepOld: DataFrame =
+      Dedup.dedupCorpus(docsDf, "doc_id",
+        Dedup.minhashPairs(docsDf, "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+        .select("doc_id")
+    def keepNew: DataFrame =
+      Dedup.dedupCorpusByClusters(docsDf, "doc_id",
+        Dedup.minhashClustersCached(docsDf, "text", "doc_id",
+          n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+        .select("doc_id")
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("keep_clusters", () => keepOld, () => keepNew),
       ("thumb", () => thumbOld, () => thumbNew),
       ("cc_star", () => ccOld, () => ccNew),
       ("img_neardup", () => imgOld, () => imgNew),

@@ -591,9 +591,12 @@ object SparkEntry {
         n = 3, num = 4, den = 5)),
     // keep-BEST-of-cluster: the quality-chosen representative policy
     // (highest composite quality survives each near-dup cluster)
+    // the five cluster consumers below ride minhashClustersCached —
+    // ONE pairs+CC build of the shared dedup decision table;
+    // q_doc_dup_clusters (whose result IS the table) stays uncached
     "q_doc_keep_best" -> ((s, d) =>
-      Dedup.dedupCorpusByScore(docs(s, d), "doc_id",
-        Dedup.minhashPairs(docs(s, d), "text", "doc_id",
+      Dedup.dedupCorpusByScoreClusters(docs(s, d), "doc_id",
+        Dedup.minhashClustersCached(docs(s, d), "text", "doc_id",
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10),
         TextAnalysis.qualityReport(docs(s, d), "doc_id", "text"), "quality")
         .select("doc_id")),
@@ -607,8 +610,8 @@ object SparkEntry {
       val dd = docs(s, d)
       val q = TextAnalysis.qualityReport(dd, "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
-      val kept = Dedup.dedupCorpusByScore(dd, "doc_id",
-        Dedup.minhashPairs(dd, "text", "doc_id",
+      val kept = Dedup.dedupCorpusByScoreClusters(dd, "doc_id",
+        Dedup.minhashClustersCached(dd, "text", "doc_id",
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10),
         q, "quality").select("doc_id")
       val gated = kept.join(q, "doc_id").where(col("quality") >= 0.3)
@@ -620,8 +623,8 @@ object SparkEntry {
     // full pipeline terminal: corpus minus non-canonical dup-cluster
     // members (pairs -> clusters -> anti-join keep-set)
     "q_doc_keep" -> ((s, d) =>
-      Dedup.dedupCorpus(docs(s, d), "doc_id",
-        Dedup.minhashPairs(docs(s, d), "text", "doc_id",
+      Dedup.dedupCorpusByClusters(docs(s, d), "doc_id",
+        Dedup.minhashClustersCached(docs(s, d), "text", "doc_id",
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
         .select("doc_id")),
     // winnowing (MOSS) fingerprint candidates: shared window-min
@@ -1140,8 +1143,8 @@ object SparkEntry {
     // CTEs verbatim, composed.
     "q_doc_recipe2" -> ((s, d) => {
       val dd = docs(s, d)
-      val kept = Dedup.dedupCorpus(dd, "doc_id",
-        Dedup.minhashPairs(dd, "text", "doc_id",
+      val kept = Dedup.dedupCorpusByClusters(dd, "doc_id",
+        Dedup.minhashClustersCached(dd, "text", "doc_id",
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
         .select("doc_id")
       val labeled = dd.where(col("doc_id") % 3 =!= 0)
@@ -1209,8 +1212,8 @@ object SparkEntry {
     // per-doc assignment (not counts) so the oracle pins every doc
     "q_doc_split_safe" -> ((s, d) => {
       val dd = docs(s, d)
-      val clusters = Dedup.dupClusters(Dedup.minhashPairs(dd, "text",
-        "doc_id", n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+      val clusters = Dedup.minhashClustersCached(dd, "text",
+        "doc_id", n = 3, numHashes = 6, bands = 3, num = 3, den = 10)
       Curation.splitAssignByCluster(dd, "doc_id", clusters,
         Seq(("train", 90), ("val", 95), ("test", 100)), den = 100)
         .select(col("doc_id"), col("split"))

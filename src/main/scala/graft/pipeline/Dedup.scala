@@ -1312,11 +1312,52 @@ object Dedup {
     * One anti-join against the (tiny) non-representative set; the
     * corpus itself is never shuffled.
     */
-  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val drop = dupClusters(pairs).where(col("doc_id") =!= col("cluster_id"))
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    dedupCorpusByClusters(df, idCol, dupClusters(pairs))
+
+  /** [[dedupCorpus]] against an already-computed cluster table — the
+    * share point for consumers riding [[minhashClustersCached]]. */
+  def dedupCorpusByClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** MinHash near-dup clusters of a corpus, memoized per
+    * (canonicalized corpus plan, all MinHash/Jaccard params) — the
+    * dedup DECISION TABLE is write-time material exactly like the
+    * signature artifact it derives from: five consumer queries
+    * (keep / keep-best / the two composed recipes / cluster-safe
+    * split) each re-ran the identical candidate generation + exact
+    * verification + star-contraction per invocation. dupClusters'
+    * output is already a stabilized (checkpointed) frame, so the cache
+    * holds plain references — dropping one on eviction releases its
+    * blocks through the ContextCleaner like any discarded stable
+    * frame. `q_doc_dup_clusters`, whose declared RESULT is this very
+    * frame, deliberately stays on the uncached direct call.
+    */
+  def minhashClustersCached(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int, bands: Int, num: Int, den: Int): DataFrame = {
+    val key = (planKey(df), textCol, idCol, n, numHashes, bands, num, den)
+    clusterCache.synchronized {
+      val hit = clusterCache.get(key)
+      if (hit != null) return hit
+    }
+    val built = dupClusters(
+      minhashPairs(df, textCol, idCol, n, numHashes, bands, num, den))
+    clusterCache.synchronized { clusterCache.put(key, built) }
+    built
+  }
+
+  private val ClusterCacheMax = 8
+  private val clusterCache =
+    new java.util.LinkedHashMap[(String, String, String, Int, Int, Int, Int, Int), DataFrame](
+      16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String, Int, Int, Int, Int, Int), DataFrame]): Boolean =
+        size() > ClusterCacheMax
+    }
 
   /** [[dedupCorpus]] with a QUALITY-chosen representative: per
     * near-dup cluster keep the member with the highest `scoreCol` in
@@ -1331,8 +1372,14 @@ object Dedup {
     * The corpus itself still pays exactly one anti-join.
     */
   def dedupCorpusByScore(df: DataFrame, idCol: String, pairs: DataFrame,
-      scores: DataFrame, scoreCol: String): DataFrame = {
-    val clusters = dupClusters(pairs)
+      scores: DataFrame, scoreCol: String): DataFrame =
+    dedupCorpusByScoreClusters(df, idCol, dupClusters(pairs), scores,
+      scoreCol)
+
+  /** [[dedupCorpusByScore]] against an already-computed cluster table
+    * (see [[minhashClustersCached]]). */
+  def dedupCorpusByScoreClusters(df: DataFrame, idCol: String,
+      clusters: DataFrame, scores: DataFrame, scoreCol: String): DataFrame = {
     val scored = clusters.join(
       scores.select(col(idCol).as("doc_id"), col(scoreCol).as("_sc")),
       Seq("doc_id"))

@@ -2601,6 +2601,34 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("minhashClustersCached equals the direct build and keys corpora apart") {
+    val s = spark
+    import s.implicits._
+    def corpus(tag: String) = Seq(
+      (1L, s"alpha beta gamma delta $tag one"),
+      (2L, s"alpha beta gamma delta $tag one"), // near-dup of 1
+      (3L, s"totally different words entirely $tag here")).toDF("doc_id", "text")
+    val a = corpus("xx")
+    val direct = Dedup.dupClusters(Dedup.minhashPairs(a, "text", "doc_id",
+        n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cached = Dedup.minhashClustersCached(a, "text", "doc_id",
+        n = 3, numHashes = 6, bands = 3, num = 3, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached == direct, s"$cached vs $direct")
+    assert(direct.contains((2L, 1L)), s"fixture must cluster: $direct")
+    // same corpus + params -> the SAME memoized frame (reference hit)
+    val again = Dedup.minhashClustersCached(a, "text", "doc_id",
+      n = 3, numHashes = 6, bands = 3, num = 3, den = 10)
+    val first = Dedup.minhashClustersCached(a, "text", "doc_id",
+      n = 3, numHashes = 6, bands = 3, num = 3, den = 10)
+    assert(again eq first, "cache must memoize the frame reference")
+    // a DIFFERENT corpus must key apart (content-hashed local data)
+    val b = Dedup.minhashClustersCached(corpus("yy"), "text", "doc_id",
+        n = 3, numHashes = 6, bands = 3, num = 3, den = 10)
+    assert(!(b eq first), "distinct corpora must not share an entry")
+  }
+
   test("banded pair paths emit each pair exactly ONCE without a dedup shuffle") {
     val s = spark
     import s.implicits._
