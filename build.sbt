@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNDECORATED: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which is what kept
+// the driver from parsing the bench's one-line JSON in rounds 1-16
+// (BENCH_r*.json: parsed null). StdoutOutput inherits the parent's
+// streams, so `sbt "runMain graft.Bench"` emits the bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

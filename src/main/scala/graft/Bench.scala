@@ -150,11 +150,24 @@ object Bench {
     // queries) would otherwise abort before a single timing is taken
     // (BENCH_r08 was rc=1 with no numbers). The timed loop records the
     // real error per-query; warm-up just logs and moves on.
-    def warm(what: String)(f: => Unit): Unit =
+    def warm(what: String)(f: => Unit): Unit = {
+      // labeled so the cache-build ledger (Scratch.noteBuild) records
+      // which builds were pinned pre-timing vs paid by a timed query
+      spark.sparkContext.setJobDescription(s"warmup:$what")
       try f catch {
         case e: Throwable => System.err.println(s"[bench] warm-up $what: " +
           e.toString.linesIterator.next().take(200))
-      }
+      } finally spark.sparkContext.setJobDescription(null)
+    }
+    // one labeled noop-sink run (guide §1.5): the label makes the UI
+    // readable and lets the cache-build ledger attribute every
+    // plan-keyed artifact build to the query that paid for it
+    def runNoop(name: String): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      finally spark.sparkContext.setJobDescription(null)
+    }
     // warm-up actions so JVM/codegen startup and the one-time lineitem
     // id materialization aren't billed to the first timed query; the
     // text-search warm-up builds the declared Document.text postings
@@ -208,9 +221,7 @@ object Bench {
     val coldNames = Seq("q_media_checksum", "q_graph_pagerank")
       .filter(names.contains)
     val coldResults = timeQueries(coldNames,
-      name => SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save(),
-      iters = 1)
+      runNoop, iters = 1)
     // the shared shingle-set and minhash-signature artifacts are
     // write-time tables at scale (Dedup.shingleHashSetCached /
     // minhashSignatureCached docs) — build them like the BM25 postings
@@ -286,23 +297,14 @@ object Bench {
     val canaryNames = Seq("q_count", "q_agg_sum", "q_where_logic",
       "q_group", "q_orderby_limit").filter(SparkEntry.queries.contains)
     def timeCanaries(): Seq[(String, Double, Option[String], Seq[Double])] =
-      timeQueries(canaryNames,
-        name => SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save(),
-        iters = 3)
+      timeQueries(canaryNames, runNoop, iters = 3)
     val canaryStart = timeCanaries()
-    val results = timeQueries(names,
-      name => SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save(),
-      iters = 3)
+    val results = timeQueries(names, runNoop, iters = 3)
     // every DECLARED query gets a timing: the non-headline set runs
     // one pass each (no multi-iteration ceremony — this is regression
     // radar, not the headline number), so a perf regression in an
     // oracle-only query can't ship invisibly between rounds
-    val otherPass1 = timeQueries(otherNames,
-      name => SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save(),
-      iters = 1)
+    val otherPass1 = timeQueries(otherNames, runNoop, iters = 1)
     // HEAVY others get the headline's 3-rep + GC treatment: single-shot
     // timings of multi-second queries are unreadable against ambient
     // swing (q_graph_tri read 2.5→6.2→8.7 s across three rounds of
@@ -313,10 +315,7 @@ object Bench {
     val heavyNames = otherPass1.collect {
       case (n, t, None, _) if t > heavyBar => n
     }
-    val heavyResults = timeQueries(heavyNames,
-      name => SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save(),
-      iters = 3)
+    val heavyResults = timeQueries(heavyNames, runNoop, iters = 3)
     val heavyByName = heavyResults.map(r => r._1 -> r).toMap
     val otherResults = otherPass1.map { case r @ (n, _, _, _) =>
       heavyByName.getOrElse(n, r)
@@ -369,7 +368,8 @@ object Bench {
     val othersReps = heavyResults.map { case (k, _, _, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":$reps,"queries_norm":${qNormJson(results)},"others":${qJson(otherResults)},"others_reps":$othersReps,"others_norm":${qNormJson(otherResults)},"others_total":$othersTotal,"canary":$canaryJson,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_reps":$reps,"queries_norm":${qNormJson(results)},"others":${qJson(otherResults)},"others_reps":$othersReps,"others_norm":${qNormJson(otherResults)},"others_total":$othersTotal,"canary":$canaryJson,"cold":${qJson(coldResults)},"errors":$errors,"sf":"$sfDir","loadavg_start":$loadStartJson,"loadavg":$loadJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}"""
+    println(totalLine)
     // compact summary as the FINAL stdout line: a bounded tail capture
     // of this process (the driver keeps only the last N bytes) must
     // still contain the numbers that matter even when the full line
@@ -379,6 +379,25 @@ object Bench {
     // one above), never this digest.
     val nErr = (results ++ otherResults ++ coldResults).count(_._3.isDefined)
     println(s"""{"metric":"summary","value":$total,"unit":"sec","n_headline":${results.size},"n_others":${otherResults.size},"others_total":$othersTotal,"n_errors":$nErr,"canary_mean":$canMean,"canary_drift":$canDrift,"sf":"$sfDir","loadavg_start":$loadStartJson,"idle_wait_sec":$idleWaited,"idle_wait_exhausted":$idleWaitExhausted}""")
+    // Driver-parsable artifact FILE (r16 verdict item 1): sixteen
+    // straight rounds of BENCH_r*.json carry `parsed: null` because
+    // sbt decorates the stdout lines with "[info] " — so the same
+    // JSON (the full per-query line, plus the summary digest fields
+    // and the cache-build ledger) is ALSO written as one JSON document
+    // to BENCH_SUMMARY.json next to the repo (path overridable via
+    // $SPARK_GRAFT_BENCH_OUT). Numbers are identical to the stdout
+    // lines — this adds a transport, not a measurement change.
+    val ledgerJson = graft.pipeline.Scratch.drainLedgerJson()
+    val fileJson = totalLine.dropRight(1) +
+      s""","n_headline":${results.size},"n_others":${otherResults.size},"n_errors":$nErr,"canary_mean":$canMean,"canary_drift":$canDrift,"cache_builds":$ledgerJson}"""
+    val benchOut =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SUMMARY.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(benchOut), fileJson + "\n")
+    catch {
+      case e: Exception => System.err.println(
+        s"[bench] could not write $benchOut: ${e.toString.linesIterator.next()}")
+    }
     spark.stop()
     if ((results ++ otherResults ++ coldResults).exists(_._3.isDefined)) sys.exit(1)
   }

@@ -214,7 +214,7 @@ object Bpe {
       k: Int): Seq[(Int, String, String)] =
     mergeCache.computeIfAbsent(
       Dedup.planKey(docs) + "|" + textCol + "|" + k,
-      _ => trainMerges(docs, textCol, k))
+      _ => { Scratch.noteBuild("bpeMerges"); trainMerges(docs, textCol, k) })
 
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String)]]()
@@ -403,7 +403,7 @@ object Bpe {
       k: Int): Seq[(Int, String, String)] =
     mergeCache.computeIfAbsent(
       "bytes|" + Dedup.planKey(docs) + "|" + textCol + "|" + k,
-      _ => trainByteMerges(docs, textCol, k))
+      _ => { Scratch.noteBuild("bpeByteMerges"); trainByteMerges(docs, textCol, k) })
 
   /** Per-doc BYTE-LEVEL BPE token count — the budget production
     * tokenizers actually bill (whitespace and case included, every

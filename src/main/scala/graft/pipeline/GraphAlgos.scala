@@ -80,6 +80,7 @@ object GraphAlgos {
         built = mk
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         projCache.put(key, built)
+        Scratch.noteBuild("coOccurrence")
         built
       }
     }
@@ -523,6 +524,14 @@ object GraphAlgos {
     */
   def walkSkipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
+    // Audited r17 (the no-cross-branch-CSE class): this self-join
+    // reads a CHECKPOINTED walk frame (randomWalks returns a stable
+    // frame), so the two branches re-scan cached blocks, not a
+    // recomputed subtree, and AQE broadcasts one side at bench scale.
+    // A collect_list + generator one-exchange form was built and
+    // measured SLOWER intra-JVM (ProbeAB walk_pairs 0.38 -> 0.60 s:
+    // object-agg + interpreted nested HOF cost more than the join) —
+    // kept the join.
     val a = walks.select(col("start_id").as("_s"), col("walk").as("_w"),
       col("step").as("_p1"), col("node").as("center"))
     val b = walks.select(col("start_id").as("_s"), col("walk").as("_w"),
@@ -746,6 +755,7 @@ object GraphAlgos {
         built = wedgeCn(edges, maxNeighborDf)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         wedgeCache.put(key, built)
+        Scratch.noteBuild("wedgeCn")
         built
       }
     }

@@ -729,6 +729,7 @@ object Multimodal {
         built = mediaFromIds(ids, idCol, only)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         mediaCache.put(key, built)
+        Scratch.noteBuild("mediaFromIds")
         built
       }
     }
@@ -1056,6 +1057,7 @@ object Multimodal {
       else {
         val built = audioSymbols(df, win, stride)
         symbolsCache.put(key, built)
+        Scratch.noteBuild("audioSymbols")
         built
       }
     }

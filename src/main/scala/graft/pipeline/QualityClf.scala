@@ -336,6 +336,7 @@ object QualityClf {
     val m = trainQualityClf(labeled, idCol, textCol, labelCol, buckets,
       epochs, sigDiv, lrWNum, lrWDen, lrBNum, lrBDen)
     clfCache.synchronized { clfCache.put(key, m) }
+    Scratch.noteBuild("qualityClf")
     m
   }
 

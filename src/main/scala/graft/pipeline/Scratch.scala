@@ -22,6 +22,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Scratch {
 
+  /** Cache-build ledger: one entry per plan-keyed cache MISS, naming
+    * the cache and the query that paid the build (the thread's Spark
+    * job description at build time). Per-query bench numbers are
+    * order-dependent wherever a shared artifact family exists — the
+    * FIRST query of a family pays the build inside its timed region
+    * (e.g. q_doc_pack_sem +0.2 s for the k-means family in r16) — so
+    * the bench drains this buffer into its artifact
+    * (`cache_builds` in BENCH_SUMMARY.json) to keep those numbers
+    * interpretable. Bounded: entries cap at 4096 (a ledger must never
+    * become a leak in a long-lived server).
+    */
+  private val buildLedger =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  def noteBuild(cache: String): Unit = {
+    val during = SparkSession.getActiveSession
+      .flatMap(s => Option(
+        s.sparkContext.getLocalProperty("spark.job.description")))
+      .getOrElse("")
+    if (buildLedger.size < 4096) buildLedger.add((cache, during))
+    System.err.println(s"[cache-build] $cache during=" +
+      (if (during.isEmpty) "(unlabeled)" else during))
+  }
+
+  /** Drain the ledger as a JSON array (the bench artifact shape). */
+  def drainLedgerJson(): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sb = new StringBuilder("[")
+    var first = true
+    var e = buildLedger.poll()
+    while (e != null) {
+      if (!first) sb.append(',')
+      first = false
+      sb.append(s"""{"cache":"${esc(e._1)}","during":"${esc(e._2)}"}""")
+      e = buildLedger.poll()
+    }
+    sb.append(']').toString
+  }
+
   /** Durable lineage-truncating materialization for TERMINAL frames —
     * results that must outlive any [[FrameStore]] (query results
     * returned to a caller, cached index artifacts, Repeat's

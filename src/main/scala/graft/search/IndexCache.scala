@@ -258,7 +258,9 @@ object IndexCache {
         np
       }
     } else {
-      val np = probes.computeIfAbsent(key, _ => calibrate(table)).intValue
+      val np = probes.computeIfAbsent(key, _ => {
+        graft.pipeline.Scratch.noteBuild("nprobeCalibration"); calibrate(table)
+      }).intValue
       nprobeBase.putIfAbsent(key,
         rowCount(storeVersion, label, prop, table))
       np
@@ -318,7 +320,9 @@ object IndexCache {
         r
       }
     } else {
-      val r = pqRefines.computeIfAbsent(key, _ => calibrate(table)).intValue
+      val r = pqRefines.computeIfAbsent(key, _ => {
+        graft.pipeline.Scratch.noteBuild("pqRefineCalibration"); calibrate(table)
+      }).intValue
       refineBase.putIfAbsent(key,
         rowCount(storeVersion, label, prop, table))
       r

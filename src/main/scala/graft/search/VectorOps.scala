@@ -544,6 +544,7 @@ object VectorOps {
     }
     val m = trainIvf(df, vecCol, nlist, iters)
     ivfModelCache.synchronized { ivfModelCache.put(key, m) }
+    graft.pipeline.Scratch.noteBuild("ivfModel")
     m
   }
 
@@ -562,6 +563,7 @@ object VectorOps {
     val hit = ivfNprobeCache.get(key)
     if (hit != 0) hit
     else {
+      graft.pipeline.Scratch.noteBuild("ivfNprobeCalibration")
       val np = calibrateNprobe(corpus, vecCol, idCol, model, k,
         targetRecall, calibQueries)
       ivfNprobeCache.putIfAbsent(key, np)
@@ -949,6 +951,7 @@ object VectorOps {
           .repartition(col(idCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         unitCache.put(key, built)
+        graft.pipeline.Scratch.noteBuild("stagedUnit")
         built
       }
     }
@@ -1986,6 +1989,7 @@ object VectorOps {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val entry = (model, built)
         pqCache.put(key, entry)
+        graft.pipeline.Scratch.noteBuild("pqModel")
         entry
       }
     }
@@ -2003,6 +2007,7 @@ object VectorOps {
     val hit = pqRefineCache.get(key)
     if (hit != 0) hit
     else {
+      graft.pipeline.Scratch.noteBuild("pqRefineCalibration")
       val r = calibrateRefine(corpus, encoded, vecCol, idCol, model, k,
         targetRecall, calibQueries, maxRefine, codeCol)
       pqRefineCache.putIfAbsent(key, r)
@@ -2478,6 +2483,7 @@ object VectorOps {
     }
     val c = kmeansCentroidsQuantized(df, idCol, vecCol, k, iters)
     kmCentCache.synchronized { kmCentCache.put(key, c) }
+    graft.pipeline.Scratch.noteBuild("kmeansCentroids")
     c
   }
 
@@ -2511,6 +2517,7 @@ object VectorOps {
             kmeansCentroidsCached(df, idCol, vecCol, k, iters))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         kmAsgnCache.put(key, built)
+        graft.pipeline.Scratch.noteBuild("kmeansQuantized")
         built
       }
     }

@@ -553,6 +553,7 @@ object GraphStream {
             vecCol, k)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         backSumCache.put(key, built)
+        graft.pipeline.Scratch.noteBuild("graphBackSum")
         built
       }
     }
@@ -1030,6 +1031,7 @@ object GraphStream {
             col("doc_id").cast("long").as("doc_id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         qrelsCache.put(key, built)
+        graft.pipeline.Scratch.noteBuild("qrels")
         built
       }
     }
