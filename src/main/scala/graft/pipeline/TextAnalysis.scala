@@ -202,6 +202,7 @@ object TextAnalysis {
         built = termCounts(df, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         lmCache.put(key, built)
+        Scratch.noteBuild("termCounts")
         built
       }
     }
@@ -210,11 +211,58 @@ object TextAnalysis {
   }
 
   /** Drop and unpersist every cached term-count model. */
-  def clearLmCache(): Unit = lmCache.synchronized {
-    val it = lmCache.values.iterator()
-    while (it.hasNext) it.next().unpersist(false)
-    lmCache.clear()
+  def clearLmCache(): Unit = {
+    lmCache.synchronized {
+      val it = lmCache.values.iterator()
+      while (it.hasNext) it.next().unpersist(false)
+      lmCache.clear()
+    }
+    lmBiCache.clear()
   }
+
+  /** Mapped-closure corpus counts — unigram occurrences AND bigram
+    * occurrences over the capped-vocab `<unk>` closure — as BOUNDED
+    * driver-side model tables (≤ (V+1)² + V+1 rows), memoized per
+    * (corpus plan, text col, vocab) exactly like [[termCountsCached]]
+    * and Bpe.trainMergesCached: at 100 TB the n-gram LM trains once at
+    * write time and is SERVED to every scoring query; rebuilding it
+    * per query was the fit half of both bigram scorers' cost. ONE
+    * tokenize pass emits both populations from a let-bound mapped
+    * array; the bounded collect splits driver-side. Keyed on the
+    * canonicalized corpus plan (the bench warm-up invariant), build
+    * logged to the cache ledger. NOT any query's declared result —
+    * the scorers' per-doc outputs always recompute from the corpus.
+    */
+  private val lmBiCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), (Seq[(String, String, Long)], Seq[(String, Long)])]()
+
+  private[graft] def mappedCorpusCountsCached(lmCorpus: DataFrame,
+      lmTextCol: String, vocab: Int, topTerms: Seq[String])
+      : (Seq[(String, String, Long)], Seq[(String, Long)]) =
+    lmBiCache.computeIfAbsent(
+      (Dedup.planKey(lmCorpus), lmTextCol, vocab), _ => {
+        Scratch.noteBuild("lmMappedCounts")
+        def mapped(c: Column) = transform(tokens(c), t =>
+          when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
+        val rows = lmCorpus
+          .select(explode(QualityClf.letEval(mapped(col(lmTextCol))) { mt =>
+            val n1 = greatest(size(mt) - 1, lit(0))
+            concat(
+              transform(mt, t =>
+                struct(lit("u").as("_k"), t.as("_w1"), lit("").as("_w2"))),
+              zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
+                (a, b) => struct(lit("b").as("_k"), a.as("_w1"), b.as("_w2"))))
+          }).as("r"))
+          .select(col("r._k").as("_k"), col("r._w1").as("_w1"),
+            col("r._w2").as("_w2"))
+          .groupBy(col("_k"), col("_w1"), col("_w2"))
+          .agg(count(lit(1)).as("_c"))
+          .collect()
+        (rows.filter(_.getString(0) == "b").toSeq
+          .map(r => (r.getString(1), r.getString(2), r.getLong(3))),
+         rows.filter(_.getString(0) == "u").toSeq
+          .map(r => (r.getString(1), r.getLong(3))))
+      })
 
   private[graft] def capVocab(counts: DataFrame, vocab: Int): DataFrame =
     counts.orderBy(col("cnt").desc, col("term")).limit(vocab)
@@ -315,24 +363,24 @@ object TextAnalysis {
     val vSize = topTerms.size + 1
     def mapped(c: Column) = transform(tokens(c), t =>
       when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
-    def bigrams(c: Column): Column = {
-      val mt = mapped(c)
+    // the mapped token array is LET-BOUND (QualityClf.letEval): the
+    // zip_with/slice bigram shape references it four times (two
+    // slices, size twice through n1), and alias inlining would re-run
+    // the tokenize + 200-string InSet map per reference — the same
+    // multi-referenced-lambda-Column trap the classifier hit (§4.4's
+    // JVM sibling; r16 item 3)
+    def bigrams(c: Column): Column = QualityClf.letEval(mapped(c)) { mt =>
       val n1 = greatest(size(mt) - 1, lit(0))
       zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
-    // ONE corpus pass: the aggregated bigram table is <= V² rows by
-    // the vocab closure — a bounded driver artifact (the IVF-centroid
-    // class), so the prefix sums derive on the driver instead of a
-    // second corpus scan + shuffle
-    val biCounts = lmCorpus
-      .select(explode(bigrams(col(lmTextCol))).as("bg"))
-      .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
-      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // model tables served from the bounded memo (one tokenize pass,
+    // shared with the interpolated scorer — see mappedCorpusCountsCached)
+    val (biCounts, _) =
+      mappedCorpusCountsCached(lmCorpus, lmTextCol, vocab, topTerms)
     val spark = docs.sparkSession
     import spark.implicits._
-    val corpusBi = biCounts.toSeq.toDF("_w1", "_w2", "_c2")
+    val corpusBi = biCounts.toDF("_w1", "_w2", "_c2")
     val corpusPre = biCounts.groupBy(_._1).view
       .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
     val docBi = docs
@@ -385,33 +433,29 @@ object TextAnalysis {
     val vSize = topTerms.size + 1
     def mapped(c: Column) = transform(tokens(c), t =>
       when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
-    def bigrams(c: Column): Column = {
-      val mt = mapped(c)
+    // let-bound like bigramLmScoreReport's (four references otherwise
+    // re-run tokenize + the InSet map per row per reference)
+    def bigrams(c: Column): Column = QualityClf.letEval(mapped(c)) { mt =>
       val n1 = greatest(size(mt) - 1, lit(0))
       zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
-    val biCounts = lmCorpus
-      .select(explode(bigrams(col(lmTextCol))).as("bg"))
-      .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
-      .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ONE corpus pass for BOTH model tables (was two: a bigram scan +
+    // a unigram scan, each re-tokenizing the corpus — §1.2 "don't
+    // compute things twice"), served from the bounded memo shared with
+    // the plain bigram scorer (mappedCorpusCountsCached). Counts are
+    // identical to the two-scan form by construction.
+    val (biCounts, uniRows) =
+      mappedCorpusCountsCached(lmCorpus, lmTextCol, vocab, topTerms)
     val spark = docs.sparkSession
     import spark.implicits._
-    val corpusBi = biCounts.toSeq.toDF("_w1", "_w2", "_c2")
+    val corpusBi = biCounts.toDF("_w1", "_w2", "_c2")
     val corpusPre = biCounts.groupBy(_._1).view
       .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
     // mapped-unigram counts (≤ V+1 rows) + the scalar token total:
-    // the (1−λ) leg's add-one distribution over the SAME closure.
-    // Collected once and re-parallelized (the biCounts pattern) — a
-    // live frame would re-tokenize the corpus twice: once for the
-    // total's action, once as the broadcast join input
-    val uniRows = lmCorpus
-      .select(explode(mapped(col(lmTextCol))).as("_w2"))
-      .groupBy(col("_w2")).agg(count(lit(1)).as("_cu"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the (1−λ) leg's add-one distribution over the SAME closure
     val nTok = uniRows.map(_._2).sum
-    val uniCounts = uniRows.toSeq.toDF("_w2", "_cu")
+    val uniCounts = uniRows.toDF("_w2", "_cu")
     val docBi = docs
       .select(col(idCol).as("_did"), explode(bigrams(col(textCol))).as("bg"))
       .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
