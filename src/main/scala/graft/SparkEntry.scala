@@ -1105,19 +1105,17 @@ object SparkEntry {
     // DSIR importance weights: raw docs (doc_id % 7 != 0) scored
     // against the target subset (doc_id % 7 == 0) over 256 hashed
     // unigram+bigram buckets
-    "q_doc_dsir" -> ((s, d) => {
-      val all = docs(s, d)
-      Curation.dsirWeights(all.where(col("doc_id") % 7 =!= 0), "doc_id",
-        "text", all.where(col("doc_id") % 7 === 0), "text", buckets = 256)
-    }),
+    "q_doc_dsir" -> ((s, d) =>
+      // raw/target partition one table, so the split form fits both
+      // histograms from ONE tokenize pass (was two filtered scans);
+      // identical counts per side → identical ratio → identical rows
+      Curation.dsirWeightsSplit(docs(s, d), "doc_id", "text",
+        id => id % 7 === 0, buckets = 256)),
     // Gumbel-top-k DSIR selection: deterministic seeded resampling of
     // the 64 rawest-target-looking docs
-    "q_doc_dsir_sample" -> ((s, d) => {
-      val all = docs(s, d)
-      Curation.dsirSample(all.where(col("doc_id") % 7 =!= 0), "doc_id",
-        "text", all.where(col("doc_id") % 7 === 0), "text", k = 64,
-        seed = "d1", buckets = 256)
-    }),
+    "q_doc_dsir_sample" -> ((s, d) =>
+      Curation.dsirSampleSplit(docs(s, d), "doc_id", "text",
+        id => id % 7 === 0, k = 64, seed = "d1", buckets = 256)),
     // trained quality classifier (fastText/DCLM-style): hashed
     // unigram+bigram+char-trigram linear model, 12 integer GD epochs
     // on a content-derived label (doc contains the token "spark")
@@ -1905,9 +1903,10 @@ object SparkEntry {
     // pair-explode a task
     "q_event_covisit" -> ((s, d) => {
       val ev = events(s, d)
+      // event_type rides the sessionize window (carryCols) instead of
+      // a join back to a second events scan — one scan, no join (§2.4)
       val items = Temporal.sessionize(ev, "user_id", "ts",
-          "event_id", gapSec = 21600)
-        .join(ev.select(col("event_id"), col("event_type")), "event_id")
+          "event_id", gapSec = 21600, carryCols = Seq("event_type"))
         .select(col("user_id"), col("session_seq"), col("event_type"))
         .distinct()
       Dedup.boundedKeyPairs(items, Seq("user_id", "session_seq"),

@@ -527,6 +527,13 @@ object Curation {
     * sub-expressions would inline three copies of the split into the
     * plan.
     */
+  // NOTE (r17 audit): `toks` is referenced four times below, but every
+  // caller passes an ALIASED attribute from a separate projection and
+  // CollapseProject declines to inline non-cheap multi-referenced
+  // aliases — so the tokenizer already runs once per row. A letEval
+  // binding was built and measured SLOWER (ProbeAB dsir 2.46 → 2.65 s:
+  // the wrapper costs more than the attribute reads it saves) — the
+  // plain form is kept deliberately.
   private[graft] def dsirBuckets(toks: Column, buckets: Int): Column = {
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
@@ -578,12 +585,22 @@ object Curation {
       target: DataFrame, targetTextCol: String,
       buckets: Int = 1024): DataFrame = {
     val ratio = dsirLogRatio(raw, textCol, target, targetTextCol, buckets)
+    dsirScoreScan(raw, idCol, textCol, ratio)
+  }
+
+  /** The scoring scan of [[dsirWeights]], shared with the split-fit
+    * form. The select-chain staging (alias per stage) is deliberate:
+    * CollapseProject keeps non-cheap multi-referenced aliases in their
+    * own projections, so `_toks` and `_fb` each compute once per row
+    * (an inline-Generate barrier variant measured slower — r17 audit).
+    */
+  private def dsirScoreScan(raw: DataFrame, idCol: String, textCol: String,
+      ratio: Array[Double]): DataFrame =
     raw
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), dsirBuckets(col("_toks"), ratio.length).as("_fb"))
       .select(col(idCol), size(col("_fb")).cast("long").as("n_feats"),
         dsirScore(col("_fb"), ratio).as("dsir_logw"))
-  }
 
   /** The fitted per-bucket DSIR log-ratio table
     * `round(ln p_target(b) - ln p_raw(b), 4)` — the whole trained
@@ -598,6 +615,50 @@ object Curation {
       s"buckets must be in [1, 2^20], got $buckets")
     val lp = dsirLogProbs(target, targetTextCol, buckets)
     val lq = dsirLogProbs(raw, textCol, buckets)
+    Array.tabulate(buckets) { b =>
+      BigDecimal(lp(b) - lq(b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** [[dsirWeights]] when raw and target PARTITION one frame (the
+    * in-corpus configuration: score the raw split against a held-out
+    * target split of the same table): both per-bucket histograms come
+    * from ONE tokenize + bucket + count pass over `all`, tagged by the
+    * predicate, instead of two full filtered scans (§1.2 — the fit was
+    * two of the query's three corpus passes). Counts per side are
+    * identical to the two-scan form by construction (the predicate
+    * partitions the rows), so the fitted ratio — and therefore every
+    * output row — is bit-identical. Rows where `isTarget` evaluates
+    * to null fall out of BOTH sides, exactly as two complementary
+    * `where` filters drop them.
+    */
+  def dsirWeightsSplit(all: DataFrame, idCol: String, textCol: String,
+      isTarget: Column => Column, buckets: Int = 1024): DataFrame = {
+    val ratio = dsirLogRatioSplit(all, idCol, textCol, isTarget, buckets)
+    dsirScoreScan(all.where(!isTarget(col(idCol))), idCol, textCol, ratio)
+  }
+
+  /** [[dsirLogRatio]] fitted from one pass — see [[dsirWeightsSplit]]. */
+  def dsirLogRatioSplit(all: DataFrame, idCol: String, textCol: String,
+      isTarget: Column => Column, buckets: Int = 1024): Array[Double] = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    val rows = all
+      .select(isTarget(col(idCol)).as("_t"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .where(col("_t").isNotNull)
+      .select(col("_t"), explode(dsirBuckets(col("_toks"), buckets)).as("_b"))
+      .groupBy(col("_t"), col("_b")).count().collect()
+    def logProbs(t: Boolean): Array[Double] = {
+      val m = rows.filter(_.getBoolean(0) == t)
+        .map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+      val n = m.valuesIterator.sum.toDouble
+      Array.tabulate(buckets)(b =>
+        math.log((m.getOrElse(b, 0L) + 1.0) / (n + buckets)))
+    }
+    val lp = logProbs(true)
+    val lq = logProbs(false)
     Array.tabulate(buckets) { b =>
       BigDecimal(lp(b) - lq(b))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -633,6 +694,24 @@ object Curation {
     val key = col("dsir_logw") + round(-log(-log(u)), 4)
     import org.apache.spark.sql.expressions.Window
     dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+      .select(col(idCol), key.as("_key"))
+      .orderBy(col("_key").desc, col(idCol)).limit(k)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col("_key").desc, col(idCol))).cast("long")
+        .as("sel_rank"))
+  }
+
+  /** [[dsirSample]] over the one-pass split fit ([[dsirWeightsSplit]]) —
+    * same keys, same selection, one fewer corpus scan. */
+  def dsirSampleSplit(all: DataFrame, idCol: String, textCol: String,
+      isTarget: Column => Column, k: Int, seed: String = "dsir",
+      buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (pmod(idHash(concat(col(idCol).cast("string"), lit(":" + seed))),
+      lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
+    val key = col("dsir_logw") + round(-log(-log(u)), 4)
+    import org.apache.spark.sql.expressions.Window
+    dsirWeightsSplit(all, idCol, textCol, isTarget, buckets)
       .select(col(idCol), key.as("_key"))
       .orderBy(col("_key").desc, col(idCol)).limit(k)
       .select(col(idCol), row_number().over(

@@ -420,10 +420,15 @@ object Temporal {
       (BigInt(decayNum).pow(a) * scale / BigInt(decayDen).pow(a)).toLong)
 
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, gapSec: Long): DataFrame = {
+      idCol: String, gapSec: Long,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // carryCols ride the window unchanged (the [[transitions]] shape):
+    // a consumer that needs an extra event column joins nothing back —
+    // without this, q_event_covisit re-scanned events and paid a
+    // whole-table self-join just to re-attach event_type (§2.4)
     val gapUs = gapSec * 1000000L
-    val base = df.select(col(idCol), col(keyCol), col(tsCol),
-      usCol(df, tsCol).as("_us"))
+    val base = df.select(col(idCol) +: col(keyCol) +: col(tsCol) +:
+      usCol(df, tsCol).as("_us") +: carryCols.map(col): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_us").asc, col(idCol).asc)
     base
@@ -432,7 +437,8 @@ object Temporal {
           .otherwise(1L)) // first row per key: lag is null -> new session
       .withColumn("session_seq", sum(col("_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col(idCol), col(keyCol), col(tsCol), col("session_seq"))
+      .select(col(idCol) +: col(keyCol) +: col(tsCol) +:
+        col("session_seq") +: carryCols.map(col): _*)
   }
 
   /** Within-session transition census: counts of consecutive
