@@ -150,6 +150,7 @@ object Dedup {
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         winnowFpCache.put(key, built)
+        Scratch.noteBuild("winnowFingerprintSet")
         built
       }
     }
@@ -327,6 +328,7 @@ object Dedup {
         built = shingleHashSet(df, textCol, idCol, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         shingleCache.put(key, built)
+        Scratch.noteBuild("shingleHashSet")
         built
       }
     }
@@ -372,6 +374,7 @@ object Dedup {
         built = ss.groupBy(col("_did")).agg(aggs.head, aggs.tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sigCache.put(key, built)
+        Scratch.noteBuild("minhashSignature")
         built
       }
     }
@@ -409,6 +412,7 @@ object Dedup {
           .agg(collect_list(col("_sh")).as("_sha"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         arrCache.put(key, built)
+        Scratch.noteBuild("shingleArray")
         built
       }
     }
@@ -653,13 +657,10 @@ object Dedup {
       .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
       .withColumn("_inter",
         size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
-    val aInB = j
-      .where(col("_inter") * den >= size(col("_seta")).cast("long") * num)
-      .select(col("id_a").as("id_in"), col("id_b").as("id_sup"))
-    val bInA = j
-      .where(col("_inter") * den >= size(col("_setb")).cast("long") * num)
-      .select(col("id_b").as("id_in"), col("id_a").as("id_sup"))
-    Scratch.stable(aInB.unionAll(bInA))
+    // one evaluation of j for both directions — see
+    // emitContainmentDirections (the union form re-ran the
+    // candidate⋈array⋈array + intersect subtree per direction)
+    Scratch.stable(emitContainmentDirections(j, num, den))
   }
 
   /** LSH banding: pairs of ids sharing at least one band of the
@@ -857,6 +858,7 @@ object Dedup {
         built = pos.join(occ, "_sh").select(col("_did"), col("_nw"), col("_p"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         dupPosCache.put(key, built)
+        Scratch.noteBuild("duplicatedPositions")
         built
       }
     }
@@ -960,6 +962,7 @@ object Dedup {
           .groupBy(col("_sh")).agg(count(lit(1)).as("_cc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         dupPosCache.put(key, built)
+        Scratch.noteBuild("windowCounts")
         built
       }
     }
@@ -1153,8 +1156,16 @@ object Dedup {
       .where(col("_rk") <=
         expr(s"(_sz * ${den - num}) div $den") + 1)
       .select(col("_sh"), col("_did").as("_probe"))
+    // index side: the dfreq join exists only to apply maxKeyDf — in
+    // the uncapped (fully exact) configuration it is an inner join
+    // that keeps every row (dfreq derives FROM ss), so probing the
+    // cached artifact directly removes one evaluation of the
+    // ss⋈dfreq subtree from the plan (§1.2 / §2.4)
+    val index =
+      if (maxKeyDf == Int.MaxValue) ss
+      else capped
     probe
-      .join(capped.select(col("_sh"), col("_did").as("_other")), Seq("_sh"))
+      .join(index.select(col("_sh"), col("_did").as("_other")), Seq("_sh"))
       .where(col("_probe") =!= col("_other"))
       .select(least(col("_probe"), col("_other")).as("id_a"),
         greatest(col("_probe"), col("_other")).as("id_b"))
@@ -1215,14 +1226,29 @@ object Dedup {
       .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
       .withColumn("_inter",
         size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
-    val aInB = j
-      .where(col("_inter") * den >= size(col("_seta")).cast("long") * num)
-      .select(col("id_a").as("id_in"), col("id_b").as("id_sup"))
-    val bInA = j
-      .where(col("_inter") * den >= size(col("_setb")).cast("long") * num)
-      .select(col("id_b").as("id_in"), col("id_a").as("id_sup"))
-    Scratch.stable(aInB.unionAll(bInA))
+    Scratch.stable(emitContainmentDirections(j, num, den))
   }
+
+  /** Both directional containment claims from ONE evaluation of the
+    * verified-candidate frame: the union-of-two-filters form put the
+    * candidate⋈array⋈array + array_intersect subtree in TWO plan
+    * branches (no cross-branch CSE — the class that cost triangles
+    * 2.8× in r16), so every candidate paid the intersection twice.
+    * A generator over a conditionally-built row array emits 0, 1 or 2
+    * directions per candidate in one pass (the explode(array(..))
+    * corner-count shape, §1.2/§2.4).
+    */
+  private def emitContainmentDirections(j: DataFrame, num: Int,
+      den: Int): DataFrame =
+    j.select(explode(filter(array(
+        struct((col("_inter") * den >=
+          size(col("_seta")).cast("long") * num).as("_keep"),
+          col("id_a").as("id_in"), col("id_b").as("id_sup")),
+        struct((col("_inter") * den >=
+          size(col("_setb")).cast("long") * num).as("_keep"),
+          col("id_b").as("id_in"), col("id_a").as("id_sup"))),
+        r => r("_keep"))).as("_dir"))
+      .select(col("_dir.id_in").as("id_in"), col("_dir.id_sup").as("id_sup"))
 
   /** Connected components over an undirected near-dup pair set:
     * every doc that appears in some pair gets the MIN id of its
@@ -1347,6 +1373,7 @@ object Dedup {
     val built = dupClusters(
       minhashPairs(df, textCol, idCol, n, numHashes, bands, num, den))
     clusterCache.synchronized { clusterCache.put(key, built) }
+    Scratch.noteBuild("minhashClusters")
     built
   }
 
@@ -1600,6 +1627,7 @@ object Dedup {
         built = simhash(df, textCol, idCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         simhashSigCache.put(key, built)
+        Scratch.noteBuild("simhash")
         built
       }
     }
