@@ -331,13 +331,314 @@ object ProbeAB {
           n = 3, numHashes = 6, bands = 3, num = 3, den = 10))
         .select("doc_id")
 
-    val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+    // ---- r17 probes: old formulations verbatim from the r16 tag ----
+    import graft.pipeline.{Temporal, TextAnalysis, Curation}
+    import org.apache.spark.sql.expressions.Window
+
+    def lm2Old: DataFrame = {
+      val vocab = 200
+      val topTerms = TextAnalysis.capVocab(
+        TextAnalysis.termCountsCached(docsDf, "text"), vocab)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      val vSize = topTerms.size + 1
+      def mapped(c: Column) = transform(TextAnalysis.tokens(c), t =>
+        when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
+      def bigrams(c: Column): Column = {
+        val mt = mapped(c)
+        val n1 = greatest(size(mt) - 1, lit(0))
+        zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+      }
+      val biCounts = docsDf.select(explode(bigrams(col("text"))).as("bg"))
+        .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+        .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      import s.implicits._
+      val corpusBi = biCounts.toSeq.toDF("_w1", "_w2", "_c2")
+      val corpusPre = biCounts.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
+      val docBi = docsDf
+        .select(col("doc_id").as("_did"), explode(bigrams(col("text"))).as("bg"))
+        .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+        .groupBy(col("_did"), col("_w1"), col("_w2")).agg(count(lit(1)).as("_c"))
+      val scored = docBi
+        .join(broadcast(corpusBi), Seq("_w1", "_w2"), "left")
+        .join(broadcast(corpusPre), Seq("_w1"), "left")
+        .withColumn("_qlp",
+          round(log((coalesce(col("_c2"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("_c1"), lit(0L)).cast("double") + vSize.toDouble)) *
+            lit(1000000000L)).cast("long"))
+        .groupBy(col("_did"))
+        .agg(sum(col("_c")).as("n_bigrams"),
+          round(sum(col("_c") * col("_qlp")).cast("double") /
+            (sum(col("_c")).cast("double") * lit(1000000000.0)), 4).as("lm2_logp"))
+      docsDf.select(col("doc_id"))
+        .join(scored.withColumnRenamed("_did", "doc_id"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bigrams"))
+    }
+    def lm2New: DataFrame = TextAnalysis.bigramLmScoreReport(
+      docsDf, "doc_id", "text", docsDf, "text", vocab = 200)
+
+    def lmiOld: DataFrame = {
+      val (vocab, lambda) = (200, 0.75)
+      val topTerms = TextAnalysis.capVocab(
+        TextAnalysis.termCountsCached(docsDf, "text"), vocab)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      val vSize = topTerms.size + 1
+      def mapped(c: Column) = transform(TextAnalysis.tokens(c), t =>
+        when(t.isInCollection(topTerms), t).otherwise(lit("<unk>")))
+      def bigrams(c: Column): Column = {
+        val mt = mapped(c)
+        val n1 = greatest(size(mt) - 1, lit(0))
+        zip_with(slice(mt, lit(1), n1), slice(mt, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+      }
+      val biCounts = docsDf.select(explode(bigrams(col("text"))).as("bg"))
+        .select(col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+        .groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c2"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      import s.implicits._
+      val corpusBi = biCounts.toSeq.toDF("_w1", "_w2", "_c2")
+      val corpusPre = biCounts.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toSeq.toDF("_w1", "_c1")
+      val uniRows = docsDf
+        .select(explode(mapped(col("text"))).as("_w2"))
+        .groupBy(col("_w2")).agg(count(lit(1)).as("_cu"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val nTok = uniRows.map(_._2).sum
+      val uniCounts = uniRows.toSeq.toDF("_w2", "_cu")
+      val docBi = docsDf
+        .select(col("doc_id").as("_did"), explode(bigrams(col("text"))).as("bg"))
+        .select(col("_did"), col("bg.w1").as("_w1"), col("bg.w2").as("_w2"))
+        .groupBy(col("_did"), col("_w1"), col("_w2")).agg(count(lit(1)).as("_c"))
+      val pMl = when(coalesce(col("_c1"), lit(0L)) === 0L, lit(0.0))
+        .otherwise(lit(lambda) * coalesce(col("_c2"), lit(0L)).cast("double") /
+          col("_c1").cast("double"))
+      val pUni = lit(1.0 - lambda) *
+        ((coalesce(col("_cu"), lit(0L)).cast("double") + 1.0) /
+          lit(nTok.toDouble + vSize.toDouble))
+      val scored = docBi
+        .join(broadcast(corpusBi), Seq("_w1", "_w2"), "left")
+        .join(broadcast(corpusPre), Seq("_w1"), "left")
+        .join(broadcast(uniCounts), Seq("_w2"), "left")
+        .withColumn("_qlp",
+          round(log(pMl + pUni) * lit(1000000000L)).cast("long"))
+        .groupBy(col("_did"))
+        .agg(sum(col("_c")).as("n_bigrams"),
+          round(sum(col("_c") * col("_qlp")).cast("double") /
+            (sum(col("_c")).cast("double") * lit(1000000000.0)), 4).as("lmi_logp"))
+      docsDf.select(col("doc_id"))
+        .join(scored.withColumnRenamed("_did", "doc_id"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bigrams"))
+    }
+    def lmiNew: DataFrame = TextAnalysis.interpolatedLmScoreReport(
+      docsDf, "doc_id", "text", docsDf, "text", vocab = 200, lambda = 0.75)
+
+    def dsirBucketsOld(toks: Column, buckets: Int): Column = {
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      transform(concat(toks, bigrams), f =>
+        pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    }
+    def dsirOld: DataFrame = {
+      val buckets = 256
+      val raw = docsDf.where(col("doc_id") % 7 =!= 0)
+      val target = docsDf.where(col("doc_id") % 7 === 0)
+      def logProbs(df0: DataFrame): Array[Double] = {
+        val counts = df0.select(TextAnalysis.tokens(col("text")).as("_toks"))
+          .select(explode(dsirBucketsOld(col("_toks"), buckets)).as("_b"))
+          .groupBy("_b").count().collect()
+          .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        val n = counts.valuesIterator.sum.toDouble
+        Array.tabulate(buckets)(b =>
+          math.log((counts.getOrElse(b, 0L) + 1.0) / (n + buckets)))
+      }
+      val lp = logProbs(target)
+      val lq = logProbs(raw)
+      val ratio = Array.tabulate(buckets)(b => BigDecimal(lp(b) - lq(b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      raw
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), dsirBucketsOld(col("_toks"), ratio.length).as("_fb"))
+        .select(col("doc_id"), size(col("_fb")).cast("long").as("n_feats"),
+          Curation.dsirScore(col("_fb"), ratio).as("dsir_logw"))
+    }
+    def dsirNew: DataFrame = Curation.dsirWeightsSplit(docsDf, "doc_id",
+      "text", id => id % 7 === 0, buckets = 256)
+
+    def eventsDf = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
+    }
+    def covisitOf(items: DataFrame): DataFrame =
+      Dedup.boundedKeyPairs(items, Seq("user_id", "session_seq"), "event_type")
+        .select(col("id_a").as("type_a"), col("id_b").as("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_sessions"))
+    def covisitOld: DataFrame = {
+      val ev = eventsDf
+      covisitOf(Temporal.sessionize(ev, "user_id", "ts",
+          "event_id", gapSec = 21600)
+        .join(ev.select(col("event_id"), col("event_type")), "event_id")
+        .select(col("user_id"), col("session_seq"), col("event_type"))
+        .distinct())
+    }
+    def covisitNew: DataFrame = {
+      covisitOf(Temporal.sessionize(eventsDf, "user_id", "ts",
+          "event_id", gapSec = 21600, carryCols = Seq("event_type"))
+        .select(col("user_id"), col("session_seq"), col("event_type"))
+        .distinct())
+    }
+
+    // walks are built ONCE (randomWalks returns a checkpointed frame):
+    // the probe isolates the skip-gram pair stage, not the walk build
+    lazy val walksShared: DataFrame = GraphAlgos.randomWalks(
+      GraphAlgos.coOccurrenceCached(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .where(col("l_partkey") % 100 === 0)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o")),
+        "p", "o"), steps = 3, walksPerNode = 2, seed = "w1")
+    def wpOld: DataFrame = {
+      val window = 2
+      val a = walksShared.select(col("start_id").as("_s"), col("walk").as("_w"),
+        col("step").as("_p1"), col("node").as("center"))
+      val b = walksShared.select(col("start_id").as("_s"), col("walk").as("_w"),
+        col("step").as("_p2"), col("node").as("context"))
+      a.join(b, Seq("_s", "_w"))
+        .where(col("_p1") =!= col("_p2") &&
+          abs(col("_p1") - col("_p2")) <= window)
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+    }
+    def wpNew: DataFrame = GraphAlgos.walkSkipGramPairs(walksShared, window = 2)
+
+    // old prefixFilteredCands (verbatim: index side re-joins dfreq even
+    // when uncapped) + old verifyJaccard — vs the library path
+    def oldPrefixCands(ss: DataFrame, num: Int, den: Int): DataFrame = {
+      val dfreq = ss.groupBy(col("_sh")).agg(count(lit(1)).as("_dfq"))
+      val capped = ss.join(dfreq, "_sh")
+      val ranked = capped.withColumn("_rk",
+        row_number().over(
+          Window.partitionBy(col("_did")).orderBy(col("_dfq"), col("_sh"))))
+      val sizes = ss.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
+      val probe = ranked.join(sizes, "_did")
+        .where(col("_rk") <= expr(s"(_sz * ${den - num}) div $den") + 1)
+        .select(col("_sh"), col("_did").as("_probe"))
+      probe
+        .join(capped.select(col("_sh"), col("_did").as("_other")), Seq("_sh"))
+        .where(col("_probe") =!= col("_other"))
+        .select(least(col("_probe"), col("_other")).as("id_a"),
+          greatest(col("_probe"), col("_other")).as("id_b"))
+        .distinct()
+    }
+    def oldVerifyJaccard(cands: DataFrame, arr: DataFrame,
+        num: Int, den: Int): DataFrame =
+      cands
+        .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
+        .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
+        .withColumn("_inter",
+          size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
+        .where(col("_inter") * den >=
+          (size(col("_seta")).cast("long") + size(col("_setb")) - col("_inter")) * num)
+        .select("id_a", "id_b")
+    def ngramOld: DataFrame = {
+      val ss = Dedup.shingleHashSetCached(docsDf, "text", "doc_id", 3)
+      val arr = Dedup.shingleArrayCached(docsDf, "text", "doc_id", 3)
+      graft.pipeline.Scratch.stable(
+        oldVerifyJaccard(oldPrefixCands(ss, 3, 10), arr, 3, 10))
+    }
+    def ngramNew: DataFrame =
+      Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", n = 3, num = 3, den = 10)
+
+    // old containmentPairsCrossFused: union-of-two-filters emit (the
+    // verify subtree evaluated per direction) vs the one-pass generator
+    def oldCrossFusedContainment: DataFrame = {
+      val (n, num, den) = (3, 4, 5)
+      val isNewBatch = (c: Column) => c % 2 === 1
+      val ss = Dedup.shingleHashSetCached(docsDf, "text", "doc_id", n)
+      val arr = Dedup.shingleArrayCached(docsDf, "text", "doc_id", n)
+      val ssA = ss.where(!isNewBatch(col("_did")))
+      val ssB = ss.where(isNewBatch(col("_did")))
+      val dfreq = ssA.unionAll(ssB).groupBy(col("_sh"))
+        .agg(count(lit(1)).as("_dfq"))
+      def probesOf(ss0: DataFrame): DataFrame = {
+        val ranked = ss0.join(dfreq, "_sh").withColumn("_rk",
+          row_number().over(
+            Window.partitionBy(col("_did")).orderBy(col("_dfq"), col("_sh"))))
+        val sizes = ss0.groupBy(col("_did")).agg(count(lit(1)).as("_sz"))
+        ranked.join(sizes, "_did")
+          .where(col("_rk") <= expr(s"(_sz * ${den - num}) div $den") + 1)
+          .select(col("_sh"), col("_did"))
+      }
+      val aProbesB = probesOf(ssA).withColumnRenamed("_did", "id_a")
+        .join(ssB.select(col("_sh"), col("_did").as("id_b")), Seq("_sh"))
+      val bProbesA = probesOf(ssB).withColumnRenamed("_did", "id_b")
+        .join(ssA.select(col("_sh"), col("_did").as("id_a")), Seq("_sh"))
+      val cands = aProbesB.select("id_a", "id_b")
+        .unionAll(bProbesA.select("id_a", "id_b"))
+        .distinct()
+      val j = cands
+        .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
+        .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
+        .withColumn("_inter",
+          size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
+      val aInB = j
+        .where(col("_inter") * den >= size(col("_seta")).cast("long") * num)
+        .select(col("id_a").as("id_in"), col("id_b").as("id_sup"))
+      val bInA = j
+        .where(col("_inter") * den >= size(col("_setb")).cast("long") * num)
+        .select(col("id_b").as("id_in"), col("id_a").as("id_sup"))
+      graft.pipeline.Scratch.stable(aInB.unionAll(bInA))
+    }
+    def crossFusedContainmentNew: DataFrame =
+      Dedup.containmentPairsCrossFused(docsDf, "text", "doc_id",
+        id => id % 2 === 1, n = 3, num = 4, den = 5)
+
+    // same formulation on BOTH sides: records the ambient swing band
+    // of q_media_audio_shingle_pairs (r16 verdict item 7 — its five
+    // r16 bench runs spanned 0.7-1.8 s on untouched code)
+    def audioShingle: DataFrame = Multimodal.audioShingleNearDupPairs(
+      Multimodal.mediaFromIdsCached(docsDf.select("doc_id"), "doc_id",
+        only = Some("audio")), n = 3, num = 6, den = 10)
+
+    val r16Pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("keep_clusters", () => keepOld, () => keepNew),
       ("thumb", () => thumbOld, () => thumbNew),
       ("cc_star", () => ccOld, () => ccNew),
       ("img_neardup", () => imgOld, () => imgNew),
       ("tri", () => triOld, () => triNew),
       ("cross_mf", () => crossMfOld, () => crossMfNew))
+
+    val r17Pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("lm2", () => lm2Old, () => lm2New),
+      ("lmi", () => lmiOld, () => lmiNew),
+      ("dsir", () => dsirOld, () => dsirNew),
+      ("covisit", () => covisitOld, () => covisitNew),
+      ("walk_pairs", () => wpOld, () => wpNew),
+      ("ngram_pairs", () => ngramOld, () => ngramNew),
+      ("containment_cross",
+        () => oldCrossFusedContainment, () => crossFusedContainmentNew),
+      ("audio_shingle_band", () => audioShingle, () => audioShingle))
+
+    // args: [reps] [pairName...] — names select pairs (r17 set by
+    // default); "r16" selects the r16 baseline set
+    val nameArgs = args.drop(1).toSet
+    val pairs =
+      if (nameArgs.contains("r16")) r16Pairs
+      else if (nameArgs.nonEmpty)
+        (r17Pairs ++ r16Pairs).filter(p => nameArgs.contains(p._1))
+      else r17Pairs
 
     pairs.foreach { case (_, a, b) => time(a()); time(b()) }
     val reps = args.headOption.map(_.toInt).getOrElse(5)
