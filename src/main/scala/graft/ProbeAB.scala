@@ -605,6 +605,32 @@ object ProbeAB {
       Dedup.containmentPairsCrossFused(docsDf, "text", "doc_id",
         id => id % 2 === 1, n = 3, num = 4, den = 5)
 
+    // decontam family: text-scanning form (old — re-tokenizes 90% of
+    // the corpus per query) vs the shingle-artifact-serving form
+    def decontamAttrOld: DataFrame =
+      graft.pipeline.Decontam.attribution(
+        docsDf.where(col("doc_id") % 10 =!= 7),
+        docsDf.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+    def decontamAttrNew: DataFrame = {
+      val ss = Dedup.shingleHashSetCached(docsDf, "text", "doc_id", 3)
+      graft.pipeline.Decontam.attributionFromShingles(
+        ss.where(col("_did") % 10 =!= 7),
+        ss.where(col("_did") % 10 === 7))
+    }
+    def decontamKeepOld: DataFrame =
+      graft.pipeline.Decontam.decontaminate(
+        docsDf.where(col("doc_id") % 10 =!= 7),
+        docsDf.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+        .select("doc_id")
+    def decontamKeepNew: DataFrame = {
+      val ss = Dedup.shingleHashSetCached(docsDf, "text", "doc_id", 3)
+      graft.pipeline.Decontam.decontaminateFromShingles(
+        docsDf.where(col("doc_id") % 10 =!= 7),
+        ss.where(col("_did") % 10 =!= 7),
+        ss.where(col("_did") % 10 === 7), "doc_id")
+        .select("doc_id")
+    }
+
     // same formulation on BOTH sides: records the ambient swing band
     // of q_media_audio_shingle_pairs (r16 verdict item 7 — its five
     // r16 bench runs spanned 0.7-1.8 s on untouched code)
@@ -629,6 +655,8 @@ object ProbeAB {
       ("ngram_pairs", () => ngramOld, () => ngramNew),
       ("containment_cross",
         () => oldCrossFusedContainment, () => crossFusedContainmentNew),
+      ("decontam_attr", () => decontamAttrOld, () => decontamAttrNew),
+      ("decontam_keep", () => decontamKeepOld, () => decontamKeepNew),
       ("audio_shingle_band", () => audioShingle, () => audioShingle))
 
     // args: [reps] [pairName...] — names select pairs (r17 set by

@@ -1336,23 +1336,32 @@ object SparkEntry {
     // ---- training-data pipeline: decontamination + repetition
     // (extension). Eval side = the doc_id % 10 = 7 held-out slice;
     // its shingle set broadcasts, the corpus side never shuffles.
+    // r17: the decontam family rides the per-doc shingle artifact
+    // (the same (_did, _sh) rows its text-scanning form recomputed by
+    // re-tokenizing 90% of the corpus per query) — both sides are
+    // slices of ONE corpus whose shingle set is write-time material
     "q_doc_decontam" -> ((s, d) => {
-      val all = docs(s, d)
-      Decontam.contamination(all.where(col("doc_id") % 10 =!= 7),
-        all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+      val ss = Dedup.shingleHashSetCached(docs(s, d), "text", "doc_id", 3)
+      Decontam.contaminationFromShingles(
+        ss.where(col("_did") % 10 =!= 7),
+        ss.where(col("_did") % 10 === 7), "doc_id")
     }),
     "q_doc_decontam_keep" -> ((s, d) => {
       val all = docs(s, d)
-      Decontam.decontaminate(all.where(col("doc_id") % 10 =!= 7),
-        all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+      val ss = Dedup.shingleHashSetCached(all, "text", "doc_id", 3)
+      Decontam.decontaminateFromShingles(
+        all.where(col("doc_id") % 10 =!= 7),
+        ss.where(col("_did") % 10 =!= 7),
+        ss.where(col("_did") % 10 === 7), "doc_id")
         .select("doc_id")
     }),
     // eval-side attribution: which benchmark items are compromised,
     // by how many train docs / leaked shingles
     "q_doc_decontam_attr" -> ((s, d) => {
-      val all = docs(s, d)
-      Decontam.attribution(all.where(col("doc_id") % 10 =!= 7),
-        all.where(col("doc_id") % 10 === 7), "text", "doc_id", n = 3)
+      val ss = Dedup.shingleHashSetCached(docs(s, d), "text", "doc_id", 3)
+      Decontam.attributionFromShingles(
+        ss.where(col("_did") % 10 =!= 7),
+        ss.where(col("_did") % 10 === 7))
     }),
     "q_doc_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d), "doc_id", "text")),

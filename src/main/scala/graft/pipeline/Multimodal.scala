@@ -718,6 +718,16 @@ object Multimodal {
     * discipline as Dedup.shingleHashSetCached — sf paths key apart,
     * so the bench warm-up invariant holds.
     */
+  /** Read-only probe: is the synthesized-media artifact for this
+    * (ids plan, modality) already pinned? Lets plan-shape tests pick
+    * the cache-state-appropriate exchange budget (r16 verdict item 8)
+    * instead of one ceiling slack enough for both suite orders. */
+  private[graft] def mediaCacheHas(ids: DataFrame, idCol: String,
+      only: Option[String] = None): Boolean = {
+    val key = (graft.pipeline.Dedup.planKey(ids), idCol, only.getOrElse("*"))
+    mediaCache.synchronized(mediaCache.get(key) != null)
+  }
+
   def mediaFromIdsCached(ids: DataFrame, idCol: String,
       only: Option[String] = None): DataFrame = {
     val key = (graft.pipeline.Dedup.planKey(ids), idCol, only.getOrElse("*"))

@@ -166,6 +166,11 @@ object SuffixDedup {
     // (checkpoint or scratch parquet), so a lost sort partition
     // recomputes deterministically (range bounds are sampled once per
     // plan) without materializing the slice frame anywhere
+    // r17 audit note: leading the sort with the first two suffix
+    // tokens as scalar keys (same total order, codegen'd prefix
+    // comparisons) was measured — slice-sort+scan stayed 1.0-2.1 s,
+    // within the rep band; the stage's cost is the LCP scan + row
+    // conversion, not the array comparator. Kept the plain form.
     val sorted = retained.join(toksH, "_did")
       .select(col("_did"), col("_len"), col("_p"),
         slice(col("_th"), col("_p") + 1,
