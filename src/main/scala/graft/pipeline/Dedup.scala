@@ -773,6 +773,13 @@ object Dedup {
     cands
       .join(arr.select(col("_did").as("id_a"), col("_sha").as("_seta")), "id_a")
       .join(arr.select(col("_did").as("id_b"), col("_sha").as("_setb")), "id_b")
+      // PPJoin length filter, evaluated BEFORE the O(|A|+|B|)
+      // intersect (the predicate references only sizes, so it sits
+      // below the _inter projection): J >= num/den implies
+      // den·min(|A|,|B|) >= num·max — candidates failing it cannot
+      // pass the exact gate, so the output is unchanged
+      .where(least(size(col("_seta")), size(col("_setb"))).cast("long") * den >=
+        greatest(size(col("_seta")), size(col("_setb"))).cast("long") * num)
       .withColumn("_inter",
         size(array_intersect(col("_seta"), col("_setb"))).cast("long"))
       .where(col("_inter") * den >=
@@ -1117,8 +1124,10 @@ object Dedup {
     val arr = shingleArrayCached(df, textCol, idCol, n)
     // prefix-filtered candidates (lossless: J >= num/den implies
     // containment >= num/den of each side — see prefixFilteredCands);
-    // verification is exact against FULL shingle arrays either way
-    val cands = prefixFilteredCands(ss, num, den, maxShingleDf)
+    // verification is exact against FULL shingle arrays either way.
+    // Symmetric Jaccard additionally admits the prefix-prefix index.
+    val cands = prefixFilteredCands(ss, num, den, maxShingleDf,
+      prefixIndex = true)
     Scratch.stable(verifyJaccard(cands, arr, num, den))
   }
 
@@ -1142,7 +1151,8 @@ object Dedup {
     * every caller).
     */
   private def prefixFilteredCands(ss: DataFrame, num: Int, den: Int,
-      maxKeyDf: Int = Int.MaxValue): DataFrame = {
+      maxKeyDf: Int = Int.MaxValue,
+      prefixIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfreq = ss.groupBy(col("_sh")).agg(count(lit(1)).as("_dfq"))
     val capped =
@@ -1156,16 +1166,30 @@ object Dedup {
       .where(col("_rk") <=
         expr(s"(_sz * ${den - num}) div $den") + 1)
       .select(col("_sh"), col("_did").as("_probe"))
-    // index side: the dfreq join exists only to apply maxKeyDf — in
-    // the uncapped (fully exact) configuration it is an inner join
-    // that keeps every row (dfreq derives FROM ss), so probing the
-    // cached artifact directly removes one evaluation of the
-    // ss⋈dfreq subtree from the plan (§1.2 / §2.4)
-    val index =
-      if (maxKeyDf == Int.MaxValue) ss
-      else capped
+    // index side:
+    //  - prefixIndex (SYMMETRIC-Jaccard callers only): PREFIX-PREFIX
+    //    join, the full PPJoin candidate rule — if J(A,B) >= num/den,
+    //    both prefixes (length |S| - ceil(num/den·|S|) + 1) must share
+    //    an element, so indexing only prefix rows loses no passing
+    //    pair and the candidate volume drops by the non-prefix
+    //    occurrence mass. NOT valid for directional containment: A's
+    //    prefix witness lands anywhere in B, so containment callers
+    //    keep the full index.
+    //  - uncapped full index: probe the cached artifact directly (the
+    //    dfreq join exists only to apply maxKeyDf; uncapped it keeps
+    //    every row).
+    //  - capped: keep the df-capped index — its documented loss
+    //    semantics ("pairs whose every shared shingle is ultra-
+    //    common") must not silently become prefix-conditioned (the
+    //    oracle mirrors the former).
+    val indexRows =
+      if (prefixIndex && maxKeyDf == Int.MaxValue)
+        probe.select(col("_sh"), col("_probe").as("_other"))
+      else if (maxKeyDf == Int.MaxValue)
+        ss.select(col("_sh"), col("_did").as("_other"))
+      else capped.select(col("_sh"), col("_did").as("_other"))
     probe
-      .join(index.select(col("_sh"), col("_did").as("_other")), Seq("_sh"))
+      .join(indexRows, Seq("_sh"))
       .where(col("_probe") =!= col("_other"))
       .select(least(col("_probe"), col("_other")).as("id_a"),
         greatest(col("_probe"), col("_other")).as("id_b"))
