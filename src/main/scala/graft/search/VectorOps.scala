@@ -959,10 +959,20 @@ object VectorOps {
     e
   }
 
-  private val UnitCacheMax = 8
+  // LRU (accessOrder = true), 24 entries. The r17 cache-build ledger
+  // caught the old 8-entry INSERTION-order FIFO churning: the
+  // embedding suite stages more than 8 distinct frames (corpus,
+  // src/tgt halves, augmented unions...), so a hot entry was evicted
+  // by 8 newer inserts even while being read every rep —
+  // q_embed_margin_mine_ivf alone rebuilt its staging 10× across one
+  // bench (3 reps), paying the build exchange each time. Access-order
+  // keeps hot entries; 24 bounds the simultaneous staging footprint
+  // (each entry is a bucketed id+unit-vector projection persisted
+  // MEMORY_AND_DISK — spillable; eviction still unpersists).
+  private val UnitCacheMax = 24
   private val unitCache =
     new java.util.LinkedHashMap[(String, String, String, String), DataFrame](
-      16, 0.75f, false) {
+      32, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, String, String, String), DataFrame]): Boolean = {
         val evict = size() > UnitCacheMax
